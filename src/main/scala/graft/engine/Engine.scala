@@ -1,0 +1,351 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.model.TsdbContext
+import graft.query.Ast._
+import graft.query.QueryParser
+import graft.ops.ApplyNodes
+import graft.series.SeriesName
+
+/** Compiles TSDB queries (JSON or [[graft.query.Ast]]) into Spark DataFrame
+  * plans over a [[TsdbContext]].
+  *
+  * This replaces the reference's entire two-tier hardwired planner
+  * (stdb/query/plan/query_plan_builder.cc:593-613) with declarative plans:
+  * Catalyst takes care of predicate pushdown, column pruning and partial
+  * aggregation, which the reference implements by hand inside its NB+tree
+  * iterators (SURVEY §4).
+  *
+  * Scale notes (100 TB): the series catalog is always broadcast (it is the
+  * analog of the reference's parse-time inverted-index resolution); fact
+  * scans carry `ts`-range and value predicates that reach the Parquet reader
+  * as `PushedFilters`; aggregations are keyed by the re-keyed output series
+  * so map-side partial aggregation collapses data before any shuffle. The
+  * only unavoidable shuffle is the (tagkey, ts) alignment of `join` queries
+  * — pre-bucketing the fact table by series hash makes it local.
+  *
+  * Output schemas:
+  *   - select:            (series, ts, value)
+  *   - select-events:     (series, ts, body)
+  *   - aggregate:         (series = "m:func tags", ts, value)
+  *   - group-aggregate:   (series = "m:f1|m:f2 tags", ts = bin, <func cols>)
+  *   - join:              (series = "m1|m2 tags", ts, <metric cols>)
+  *   - group-aggregate-join: like join with ts = bin
+  * `ts` is Long UTC ns throughout.
+  */
+final class Engine(val ctx: TsdbContext) {
+
+  def execute(json: String): DataFrame = run(QueryParser.parse(json))
+
+  def run(q: Query): DataFrame = q match {
+    case s: SelectQuery             => select(s)
+    case s: SelectEventsQuery       => selectEvents(s)
+    case a: AggregateQuery          => aggregate(a)
+    case g: GroupAggregateQuery     => groupAggregate(g)
+    case j: JoinQuery               => join(j)
+    case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
+    case s: SearchQuery             => search(s)
+    case s: SuggestQuery            => suggest(s)
+  }
+
+  // ---------------------------------------------------------------- select
+
+  def select(q: SelectQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
+    var df = scan(ids, q.range)
+    q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
+    df = df.select(col("out_name").as("series"), col("ts"), col("value"))
+    finish(ApplyNodes.chain(df, q.apply, Seq("value")), q.orderBy, q.range.forward,
+      q.limit, q.offset)
+  }
+
+  def selectEvents(q: SelectEventsQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
+    var df = ctx.events
+      .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      .where(rangeCond(q.range))
+    q.regex.foreach(re => df = df.where(col("body").rlike(re)))
+    df = df.select(col("out_name").as("series"), col("ts"), col("body"))
+    finish(df, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  // ------------------------------------------------------------- aggregate
+
+  /** One output sample per (metric:func, output series) over the whole
+    * range (range optional = whole history). Output ts = earliest sample ts
+    * contributing to the aggregate. */
+  def aggregate(q: AggregateQuery): DataFrame = {
+    val parts = q.funcs.map { case (metric, func) =>
+      val ids = resolvedIds(Seq(metric), q.where, q.groupBy,
+        renameMetric = Some(SeriesName.aggregateMetric(metric, func.token)))
+      val in = q.range match {
+        case Some(r) => scan(ids, r)
+        case None => ctx.samples
+          .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      }
+      in.groupBy(col("out_name").as("series"))
+        .agg(min(col("ts")).as("ts"), aggColumn(func).as("value"))
+    }
+    val df = parts.reduce(_ unionByName _)
+    val out = ApplyNodes.chain(df, q.apply, Seq("value"))
+      .orderBy(col("series"), col("ts"))
+    limitOffset(out, q.limit, q.offset)
+  }
+
+  // ------------------------------------------------------- group-aggregate
+
+  /** Time-bucketed (downsampling) aggregation. Bins are aligned to the
+    * range's `from` end (reference: bin = begin + step*((ts-begin)/step),
+    * operators/aggregate.cc:160-170); for backward queries bins anchor at
+    * `from` (the high end) and descend. Multi-func output = one column per
+    * function, named by its token. */
+  def groupAggregate(q: GroupAggregateQuery): DataFrame = {
+    require(q.metrics.nonEmpty, "group-aggregate requires >=1 metric")
+    if (q.metrics.size > 1) {
+      // reference plans >1 column as a downsample+join (SURVEY §2.5)
+      require(q.funcs.size == 1,
+        "group-aggregate over several metrics supports exactly one func")
+      return groupAggregateJoin(GroupAggregateJoinQuery(q.metrics, q.funcs.head,
+        q.step, q.range, q.where, q.orderBy, q.limit, q.offset, q.apply))
+    }
+    val metric = q.metrics.head
+    val outMetric = SeriesName.groupAggregateMetric(metric, q.funcs.map(_.token))
+    val ids = resolvedIds(Seq(metric), q.where, q.groupBy, renameMetric = Some(outMetric))
+    val binned = scan(ids, q.range).withColumn("ts", binColumn(q.range, q.step))
+    val aggCols = q.funcs.map(f => aggColumn(f).as(f.token))
+    var df = binned.groupBy(col("out_name").as("series"), col("ts"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    // HAVING-style filter on aggregate components; reference allows only
+    // min/max/mean to be filtered (query_plan_builder.cc:76-104).
+    if (q.filters.nonEmpty) {
+      val conds = q.filters.toSeq.map { case (name, f) =>
+        val target = if (name.isEmpty) q.funcs.head.token else name
+        require(Seq("min", "max", "mean").contains(target),
+          s"aggregate filter on '$target' is not supported (only min/max/mean)")
+        require(q.funcs.exists(_.token == target), s"filter names unknown func '$target'")
+        valueFilterCond(col(target), f)
+      }
+      df = df.where(combine(conds, q.combiner))
+    }
+    val out = ApplyNodes.chain(df, q.apply, q.funcs.map(_.token))
+    finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  // ------------------------------------------------------------------ join
+
+  /** Align N metrics sharing the same tag set on timestamp → one wide row
+    * per (tag set, ts) with one nullable column per metric (null = the
+    * presence bitmap of the reference's tuple payload, tuples.h:26-50). */
+  def join(q: JoinQuery): DataFrame = {
+    val wide = alignedWide(q.metrics, q.where, q.range, q.filters, identity)
+    val withFilters = applyJoinCombiner(wide, q.metrics, q.filters, q.combiner)
+    val out = ApplyNodes.chain(withFilters, q.apply, q.metrics)
+    finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  def groupAggregateJoin(q: GroupAggregateJoinQuery): DataFrame = {
+    val wide = alignedWide(q.metrics, q.where, q.range, Map.empty,
+      df => df.withColumn("ts", binColumn(q.range, q.step))
+        .groupBy("series_id", "metric", "tagkey", "ts")
+        .agg(aggColumn(q.func).as("value")))
+    val out = ApplyNodes.chain(wide, q.apply, q.metrics)
+    finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  /** Shared scan→(optional transform)→pivot pipeline for the join kinds. */
+  private def alignedWide(
+      metrics: Seq[String], where: Where, range: TimeRange,
+      filters: Map[String, ValueFilter],
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(metrics.size >= 2, "join requires at least 2 metrics")
+    val ids = seriesFor(metrics, where)
+      .select(col("series_id"), col("metric"), tagSuffix(col("tags")).as("tagkey"))
+    var f = ctx.samples.join(broadcast(ids), "series_id").where(rangeCond(range))
+    // per-metric value filters run during the scan, before tuple assembly
+    // (reference replicates filters across the zig-zag id layout,
+    // query_plan_builder.cc:178-203)
+    if (filters.nonEmpty) {
+      val conds = metrics.map { m =>
+        filters.get(m).orElse(if (m == metrics.head) filters.get("") else None) match {
+          case Some(vf) => col("metric") =!= m || valueFilterCond(col("value"), vf)
+          case None => lit(true)
+        }
+      }
+      f = f.where(conds.reduce(_ && _))
+    }
+    val t = transform(f)
+    val seriesCol = when(col("tagkey") === "", lit(SeriesName.joinMetric(metrics)))
+      .otherwise(concat_ws(" ", lit(SeriesName.joinMetric(metrics)), col("tagkey")))
+    t.groupBy(col("tagkey"), col("ts"))
+      .pivot("metric", metrics)
+      .agg(first(col("value")))
+      .withColumn("series", seriesCol)
+      .drop("tagkey")
+      .select(col("series") +: col("ts") +: metrics.map(col): _*)
+  }
+
+  private def applyJoinCombiner(
+      wide: DataFrame, metrics: Seq[String],
+      filters: Map[String, ValueFilter], combiner: FilterCombiner): DataFrame =
+    if (filters.isEmpty) wide
+    else {
+      val filtered = metrics.filter(m =>
+        filters.contains(m) || (m == metrics.head && filters.contains("")))
+      val conds = filtered.map(col(_).isNotNull)
+      if (conds.isEmpty) wide else wide.where(combine(conds, combiner))
+    }
+
+  // -------------------------------------------------------------- metadata
+
+  def search(q: SearchQuery): DataFrame = {
+    val base = if (q.metric.isEmpty) ctx.series else seriesFor(Seq(q.metric), q.where)
+    val out = base.select(col("series_id"), col("name")).orderBy("name")
+    limitOffset(out, q.limit, q.offset)
+  }
+
+  def suggest(q: SuggestQuery): DataFrame = {
+    val sw = q.startsWith.getOrElse("")
+    q.kind match {
+      case SuggestKind.MetricNames =>
+        ctx.series.select(col("metric").as("name")).distinct()
+          .where(col("name").startsWith(sw)).orderBy("name")
+      case SuggestKind.TagNames =>
+        val base = q.metric.map(m => ctx.series.where(col("metric") === m))
+          .getOrElse(ctx.series)
+        base.select(explode(map_keys(col("tags"))).as("name")).distinct()
+          .where(col("name").startsWith(sw)).orderBy("name")
+      case SuggestKind.TagValues =>
+        val tag = q.tag.getOrElse(throw new BadQuery("suggest tag-values needs 'tag'"))
+        val base = q.metric.map(m => ctx.series.where(col("metric") === m))
+          .getOrElse(ctx.series)
+        base.select(col("tags").getItem(tag).as("name"))
+          .where(col("name").isNotNull && col("name").startsWith(sw))
+          .distinct().orderBy("name")
+    }
+  }
+
+  // ----------------------------------------------------------- primitives
+
+  /** Catalog subset for the given metrics under the where clause. */
+  def seriesFor(metrics: Seq[String], where: Where): DataFrame = {
+    val base = ctx.series.where(col("metric").isin(metrics: _*))
+    where match {
+      case Where.All => base
+      case Where.TagsIn(tags) =>
+        tags.foldLeft(base) { case (df, (k, vs)) =>
+          df.where(col("tags").getItem(k).isin(vs: _*))
+        }
+      case Where.ExplicitSeries(list) =>
+        val conds = list.map(_.map { case (k, v) => col("tags").getItem(k) === v }
+          .reduceOption(_ && _).getOrElse(lit(true)))
+        base.where(conds.reduceOption(_ || _).getOrElse(lit(true)))
+    }
+  }
+
+  /** Resolve metrics+where to (series_id, out_name) where out_name carries
+    * the group-by-tag re-keying (GROUP drops tags, PIVOT keeps only listed;
+    * seriesparser.cc:309-354) and optional metric rename. */
+  private def resolvedIds(
+      metrics: Seq[String], where: Where, groupBy: Option[GroupByTag],
+      renameMetric: Option[String] = None): DataFrame = {
+    val base = seriesFor(metrics, where)
+    val metricCol = renameMetric.map(lit).getOrElse(col("metric"))
+    val tagsCol = groupBy match {
+      case None => col("tags")
+      case Some(GroupByTag(GroupByOp.Pivot, keep)) =>
+        map_filter(col("tags"), (k, _) => array_contains(lit(keep.toArray), k))
+      case Some(GroupByTag(GroupByOp.Group, drop)) =>
+        map_filter(col("tags"), (k, _) => !array_contains(lit(drop.toArray), k))
+    }
+    base.select(col("series_id"), renderName(metricCol, tagsCol).as("out_name"))
+  }
+
+  /** Broadcast-join facts to resolved ids and apply the time range. */
+  private def scan(ids: DataFrame, range: TimeRange): DataFrame =
+    ctx.samples
+      .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      .where(rangeCond(range))
+
+  /** Semi-open [from, to) forward; (to, from] backward (reference
+    * operator.h:88-100: direction from begin/end comparison). */
+  private def rangeCond(r: TimeRange): Column =
+    if (r.forward) col("ts") >= r.from && col("ts") < r.to
+    else col("ts") <= r.from && col("ts") > r.to
+
+  private def valueFilterCond(value: Column, f: ValueFilter): Column = {
+    val conds = Seq(
+      f.gt.map(value > _), f.ge.map(value >= _),
+      f.lt.map(value < _), f.le.map(value <= _)).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  private def combine(conds: Seq[Column], c: FilterCombiner): Column = c match {
+    case FilterCombiner.All => conds.reduce(_ && _)
+    case FilterCombiner.Any => conds.reduce(_ || _)
+  }
+
+  /** bin start for a ts: anchored at range.from, descending for backward. */
+  private def binColumn(range: TimeRange, step: Long): Column = {
+    require(step > 0, "step must be positive")
+    if (range.forward)
+      lit(range.from) + ((col("ts") - range.from) / step).cast(LongType) * step
+    else
+      lit(range.from) - ((lit(range.from) - col("ts")) / step).cast(LongType) * step
+  }
+
+  /** The 11 aggregation functions over (ts, value) groups (SURVEY §2.3).
+    * All outputs are DoubleType like the reference's float64 payload —
+    * including the *_timestamp functions (ns→double, same precision loss).
+    * Ties resolve to the earliest value/timestamp via struct ordering, so
+    * results are deterministic under Spark's unordered aggregation. */
+  def aggColumn(f: AggFunc): Column = f match {
+    case AggFunc.Min  => min(col("value"))
+    case AggFunc.Max  => max(col("value"))
+    case AggFunc.Sum  => sum(col("value"))
+    case AggFunc.Cnt  => count(col("value")).cast(DoubleType)
+    case AggFunc.Mean => avg(col("value"))
+    case AggFunc.First => min(struct(col("ts"), col("value"))).getField("value")
+    case AggFunc.Last  => max(struct(col("ts"), col("value"))).getField("value")
+    case AggFunc.MinTimestamp =>
+      min(struct(col("value"), col("ts"))).getField("ts").cast(DoubleType)
+    case AggFunc.MaxTimestamp =>
+      max(struct(col("value"), col("ts"))).getField("ts").cast(DoubleType)
+    case AggFunc.FirstTimestamp => min(col("ts")).cast(DoubleType)
+    case AggFunc.LastTimestamp  => max(col("ts")).cast(DoubleType)
+  }
+
+  /** Render `metric k=v ...` from a metric column and a map column with
+    * sorted unique keys (canonical form, seriesparser.cc:112). */
+  def renderName(metric: Column, tags: Column): Column = {
+    val suffix = tagSuffixOf(tags)
+    when(suffix === "", metric).otherwise(concat_ws(" ", metric, suffix))
+  }
+
+  private def tagSuffix(tags: Column): Column = tagSuffixOf(tags)
+
+  private def tagSuffixOf(tags: Column): Column =
+    array_join(
+      transform(array_sort(map_entries(tags)),
+        e => concat_ws("=", e.getField("key"), e.getField("value"))),
+      " ")
+
+  /** order-by + limit/offset epilogue. Series order = (series, ts); time
+    * order = (ts, series); backward ranges emit descending timestamps. */
+  private def finish(df: DataFrame, orderBy: OrderBy, forward: Boolean,
+      limit: Option[Long], offset: Option[Long]): DataFrame = {
+    val ts = if (forward) col("ts").asc else col("ts").desc
+    val ordered = orderBy match {
+      case OrderBy.Series => df.orderBy(col("series").asc, ts)
+      case OrderBy.Time   => df.orderBy(ts, col("series").asc)
+    }
+    limitOffset(ordered, limit, offset)
+  }
+
+  private def limitOffset(df: DataFrame, limit: Option[Long], offset: Option[Long]): DataFrame = {
+    val afterOffset = offset.filter(_ > 0).map(o => df.offset(o.toInt)).getOrElse(df)
+    limit.map(l => afterOffset.limit(l.toInt)).getOrElse(afterOffset)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Canonical schemas of the engine.
+  *
+  * The reference's universal record is the Sample
+  * (/root/reference/stdb/common/basic.h:96-101): `{timestamp: u64 ns,
+  * location, paramid, payload}` with one compressed column per series.
+  * In Spark this becomes three DataFrames:
+  *
+  *   - `series`  — the catalog (small; broadcastable): one row per
+  *     registered series with its parsed metric/tags and optional location.
+  *   - `samples` — the metric facts: `(series_id, ts, value)`, ts = Long
+  *     UTC nanoseconds (never TimestampType internally: Spark timestamps
+  *     are µs and would silently truncate; see SURVEY §1.2).
+  *   - `events`  — the string-payload facts: `(series_id, ts, body)`.
+  *
+  * 100 TB design notes: `samples` is the only large table. Its physical
+  * layout should be partitioned by (metric, coarse time bucket) and
+  * sorted/z-ordered by (series_id, ts) within files so that (a) metric +
+  * where-clause pruning maps to partition pruning, (b) time-range scans map
+  * to file/row-group pruning on ts min/max stats, (c) per-series windows
+  * avoid wide shuffles. The catalog stays small enough to broadcast to
+  * every join against the facts (the Spark analog of the reference's
+  * parse-time inverted-index resolution, queryparser.cc:689-740).
+  */
+object TsdbSchema {
+  val series: StructType = StructType(Seq(
+    StructField("series_id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("metric", StringType, nullable = false),
+    StructField("tags", MapType(StringType, StringType), nullable = false),
+    StructField("lon", FloatType, nullable = true),
+    StructField("lat", FloatType, nullable = true)))
+
+  val samples: StructType = StructType(Seq(
+    StructField("series_id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val events: StructType = StructType(Seq(
+    StructField("series_id", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+}
+
+/** The engine's handle on one "database": catalog + fact tables. */
+final case class TsdbContext(
+    spark: SparkSession,
+    series: DataFrame,
+    samples: DataFrame,
+    events: DataFrame)
+
+object TsdbContext {
+
+  /** Build a context from arbitrary wide data: `df` must expose a metric
+    * column, tag columns, a Long-ns ts column and a Double value column.
+    * This is the "registration on write" path (reference:
+    * standalone_database_session.cc:39-87) — the catalog is derived from
+    * the distinct (metric, tags) combinations and ids assigned by a stable
+    * 64-bit hash of the canonical name, so ingestion is idempotent and
+    * needs no global sequence (which would not scale to 1000 executors).
+    */
+  def fromWide(
+      spark: SparkSession,
+      df: DataFrame,
+      metricCol: String,
+      tagCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      lonExpr: Option[String] = None,
+      latExpr: Option[String] = None): TsdbContext = {
+
+    // canonical name: metric + sorted "k=v" tag pairs, single spaces
+    val tagPairs = tagCols.sorted.map(c => concat(lit(c + "="), col(c).cast(StringType)))
+    val nameCol = concat_ws(" ", (col(metricCol) +: tagPairs): _*)
+
+    val withName = df.withColumn("name", nameCol)
+      .withColumn("series_id", xxhash64(col("name")))
+
+    val catalog = withName
+      .select(col("series_id"), col("name"), col(metricCol).as("metric"),
+        map_from_arrays(
+          array(tagCols.sorted.map(lit(_)): _*),
+          array(tagCols.sorted.map(col(_).cast(StringType)): _*)).as("tags"),
+        lonExpr.map(expr(_).cast(FloatType)).getOrElse(lit(null).cast(FloatType)).as("lon"),
+        latExpr.map(expr(_).cast(FloatType)).getOrElse(lit(null).cast(FloatType)).as("lat"))
+      .dropDuplicates("series_id")
+
+    val samples = withName.select(
+      col("series_id"),
+      col(tsCol).cast(LongType).as("ts"),
+      col(valueCol).cast(DoubleType).as("value"))
+
+    TsdbContext(spark, catalog, samples, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbSchema.events))
+  }
+
+  /** Map the driver testdata (`events.parquet`) onto the TSDB model:
+    * metric = event_type, one tag `user=<user_id>`, ts = Long ns (requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), value = value. The
+    * event-series facts reuse the same rows with the `props` JSON string as
+    * body under the `!log` event metric. Locations are synthesized
+    * deterministically from user_id so spatial operators are testable and
+    * oracle-reproducible.
+    */
+  def fromTestdata(spark: SparkSession, sfDir: String): TsdbContext = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val base = fromWide(spark, ev.withColumnRenamed("user_id", "user"),
+      metricCol = "event_type", tagCols = Seq("user"), tsCol = "ts", valueCol = "value",
+      lonExpr = Some("cast(user % 36 as double) * 10.0 - 180.0 + 0.5"),
+      latExpr = Some("cast(user % 18 as double) * 10.0 - 90.0 + 0.5"))
+
+    val evName = concat(lit("!log user="), col("user_id").cast(StringType))
+    val events = ev
+      .withColumn("name", evName)
+      .withColumn("series_id", xxhash64(col("name")))
+      .select(col("series_id"), col("ts").cast(LongType).as("ts"), col("props").as("body"))
+
+    val evCatalog = ev.select(col("user_id").cast(StringType).as("user")).distinct()
+      .withColumn("name", concat(lit("!log user="), col("user")))
+      .select(xxhash64(col("name")).as("series_id"), col("name"),
+        lit("!log").as("metric"),
+        map_from_arrays(array(lit("user")), array(col("user"))).as("tags"),
+        lit(null).cast(FloatType).as("lon"), lit(null).cast(FloatType).as("lat"))
+
+    base.copy(series = base.series.unionByName(evCatalog), events = events)
+  }
+
+  /** Standard session settings the engine expects. Call when building your
+    * own SparkSession. */
+  def configure(b: SparkSession.Builder, cpus: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+}

@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.query.Ast.ApplySpec
+
+/** The `apply` post-processing pipeline — all 18 registered node tokens of
+  * the reference (stdb/query/query_processing/, registry
+  * queryprocessor_framework.cc:13-46) as DataFrame transformations.
+  *
+  * Input/output shape: `(series: String, ts: Long, <value cols: Double>)`;
+  * scalar streams have one value column (`value`), tuple streams (join /
+  * group-aggregate output) one per slot. Null = absent slot, mirroring the
+  * reference's tuple presence bitmap.
+  *
+  * Stateful per-series nodes (rate, cusum, sma, cma) compile to window
+  * functions partitioned by series — at 100 TB these shuffle once on the
+  * series key and then stream; no state ever materializes per key beyond
+  * the window frame. EWMA is genuinely recursive, so it runs as
+  * `flatMapSortedGroups` over each series (sorted-iterator, memory-bounded).
+  *
+  * Known deviations from reference behavior (deliberate, bug-for-bug
+  * copies avoided): CMA here is the standard expanding mean (the reference
+  * double-counts state, sliding_window.cc:182-223); top-N weights every
+  * interval (the reference's first interval is lost to zero-initialized
+  * state, top.cc:46-70); limit/offset actually skip (limiter.cc:19-28
+  * never counts skipped rows).
+  */
+object ApplyNodes {
+
+  /** Run the pipeline. `valueCols` = the tuple slot columns of `df`. */
+  def chain(df: DataFrame, specs: Seq[ApplySpec], valueCols: Seq[String]): DataFrame =
+    specs.foldLeft((df, valueCols)) { case ((d, cols), spec) => node(d, spec, cols) }._1
+
+  def node(df: DataFrame, spec: ApplySpec, cols: Seq[String]): (DataFrame, Seq[String]) = {
+    def num(key: String): Double = spec.params.get(key) match {
+      case Some(d: Double) => d
+      case Some(s: String) => s.toDouble
+      case other => throw new IllegalArgumentException(
+        s"apply node '${spec.name}' needs numeric param '$key', got $other")
+    }
+    spec.name match {
+      case "abs" =>
+        (cols.foldLeft(df)((d, c) => d.withColumn(c, abs(col(c)))), cols)
+
+      case "scale" =>
+        val weights = spec.params.get("weights") match {
+          case Some(ws: Seq[_]) => ws.map(_.toString.toDouble)
+          case _ => throw new IllegalArgumentException("scale needs 'weights' list")
+        }
+        require(weights.size == cols.size,
+          s"scale: ${weights.size} weights for ${cols.size} columns")
+        (cols.zip(weights).foldLeft(df) { case (d, (c, w)) =>
+          d.withColumn(c, col(c) * w)
+        }, cols)
+
+      case op @ ("sum" | "diff" | "multiply" | "divide") =>
+        val ignoreMissing = spec.params.get("ignore_missing").contains(true)
+        val unit = if (op == "sum" || op == "diff") 0.0 else 1.0
+        def slot(c: String): Column =
+          if (ignoreMissing) coalesce(col(c), lit(unit))
+          else coalesce(col(c), lit(Double.NaN))
+        val folded = cols.map(slot).reduce { (a, b) =>
+          op match {
+            case "sum" => a + b; case "diff" => a - b
+            case "multiply" => a * b; case "divide" => a / b
+          }
+        }
+        (df.withColumn("value", folded).drop(cols.filterNot(_ == "value"): _*),
+          Seq("value"))
+
+      case "rate" =>
+        // Δx/Δt per second; previous point defaults to (0, 0) (rate.cc:17-49)
+        val w = seriesWindow
+        (cols.foldLeft(df) { (d, c) =>
+          d.withColumn(c,
+            (col(c) - coalesce(lag(col(c), 1).over(w), lit(0.0))) /
+              (col("ts") - coalesce(lag(col("ts"), 1).over(w), lit(0L))) * 1e9)
+        }, cols)
+
+      case "accumulate" | "cusum" =>
+        val w = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (cols.foldLeft(df)((d, c) => d.withColumn(c, sum(col(c)).over(w))), cols)
+
+      case "ewma" => (ewma(df, cols, decay = num("decay"), delta = false), cols)
+      case "ewma-error" => (ewma(df, cols, decay = num("decay"), delta = true), cols)
+
+      case "sma" | "sma-error" =>
+        // prediction = mean of the previous N inputs, zero-padded buffer
+        // (sliding_window.cc:105-180): value *before* adding current.
+        val n = num("window-width").toInt
+        require(n > 0, "sma window-width must be positive")
+        val w = seriesWindow.rowsBetween(-n, -1)
+        (cols.foldLeft(df) { (d, c) =>
+          val sma = coalesce(sum(col(c)).over(w), lit(0.0)) / n
+          d.withColumn(c, if (spec.name == "sma") sma else col(c) - sma)
+        }, cols)
+
+      case "cma" =>
+        val w = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (cols.foldLeft(df)((d, c) => d.withColumn(c, avg(col(c)).over(w))), cols)
+
+      case "eval" => evalNode(df, spec, cols)
+
+      case "top" =>
+        val n = num("N").toInt
+        // time-weighted sum: Σ (ts_{i+1}-ts_i) × x_i / 1e9 (top.cc:46-70)
+        val w = seriesWindow
+        val weighted = df
+          .withColumn("__dt", (lead(col("ts"), 1).over(w) - col("ts")).cast(DoubleType) / 1e9)
+          .groupBy(col("series"))
+          .agg(max(col("ts")).as("ts"),
+            sum(col(cols.head) * coalesce(col("__dt"), lit(0.0))).as("value"))
+          .orderBy(col("value").desc, col("series"))
+          .limit(n)
+        (weighted.select("series", "ts", "value"), Seq("value"))
+
+      case "frequent-items" | "heavy-hitters" =>
+        // SpaceSaver sketch (spacesaver.h:12-153). Exact rewrite: emit the
+        // series whose (weighted) count exceeds (portion - error) × total.
+        // At 100 TB swap in a CountMinSketch TypedImperativeAggregate; the
+        // exact groupBy is itself a single partial-agg shuffle of |series|
+        // rows, which is usually fine.
+        val portion = num("portion")
+        val error = num("error")
+        val weight = if (spec.name == "heavy-hitters") col(cols.head) else lit(1.0)
+        val counted = df.withColumn("__w", weight)
+        val total = counted.agg(sum(col("__w"))).first().getDouble(0)
+        val out = counted.groupBy(col("series"))
+          .agg(max(col("ts")).as("ts"), sum(col("__w")).as("value"))
+          .where(col("value") > (portion - error) * total)
+          .orderBy(col("value").desc, col("series"))
+        (out.select("series", "ts", "value"), Seq("value"))
+
+      case "limit" =>
+        (df.limit(num("limit").toInt), cols)
+      case "offset" =>
+        (df.offset(num("offset").toInt), cols)
+
+      case other => throw new IllegalArgumentException(s"unknown apply node: '$other'")
+    }
+  }
+
+  private def seriesWindow =
+    Window.partitionBy(col("series")).orderBy(col("ts"))
+
+  /** EWMA with the reference's 10-sample arithmetic warm-up
+    * (sliding_window.cc:7-103): for samples 1..11 the output is the input
+    * itself; after the 11th, state = mean(x1..x11) seeded then
+    * v = d·x + (1−d)·v, and each output is the prediction *before* the
+    * current sample. `delta` outputs x − prediction (ewma-error). */
+  def ewma(df: DataFrame, cols: Seq[String], decay: Double, delta: Boolean): DataFrame = {
+    val warmup = 10
+    val spark = df.sparkSession
+    val others = df.columns.filterNot(c => c == "series" || c == "ts" || cols.contains(c))
+    require(others.isEmpty, s"ewma: unexpected non-slot columns ${others.toSeq}")
+    val packed = df.select(col("series"), col("ts"),
+      array(cols.map(col): _*).as("vs"))
+    implicit val enc = Encoders.product[(String, Long, Seq[Double])]
+    val ds: Dataset[(String, Long, Seq[Double])] = packed.as[(String, Long, Seq[Double])]
+    val out = ds.groupByKey(_._1)(Encoders.STRING)
+      .flatMapSortedGroups(col("ts")) { (series: String, it: Iterator[(String, Long, Seq[Double])]) =>
+        val nSlots = cols.size
+        val state = Array.fill(nSlots)(new EwmaState(decay, warmup))
+        it.map { case (_, ts, vs) =>
+          val outVs = Array.tabulate(nSlots) { i =>
+            val x = vs(i)
+            if (x == null || x.isNaN) x
+            else {
+              val pred = state(i).get(x)
+              state(i).add(x)
+              if (delta) x - pred else pred
+            }
+          }
+          (series, ts, outVs.toSeq)
+        }
+      }
+    val unpacked = out.toDF("series", "ts", "vs")
+    cols.zipWithIndex.foldLeft(unpacked) { case (d, (c, i)) =>
+      d.withColumn(c, col("vs").getItem(i))
+    }.drop("vs")
+  }
+
+  private final class EwmaState(decay: Double, warmupN: Int) {
+    private var warmup = 0
+    private var v = 0.0
+    def get(default: Double): Double = if (warmup <= warmupN) default else v
+    def add(x: Double): Unit = {
+      if (warmup < warmupN) { v += x; warmup += 1 }
+      else if (warmup == warmupN) {
+        warmup += 1
+        v = (v + x) / warmup
+        v = x * decay + v * (1.0 - decay)
+      } else v = x * decay + v * (1.0 - decay)
+    }
+  }
+
+  /** `eval`: arithmetic expression over the join's metric column names
+    * (eval.cc:18-195, muparser). Catalyst *is* the expression engine here:
+    * the expression text is rewritten to backtick-quoted column refs and
+    * handed to `expr`. NaN results are dropped like the reference. */
+  private def evalNode(df: DataFrame, spec: ApplySpec, cols: Seq[String]): (DataFrame, Seq[String]) = {
+    val exprText = spec.params.get("expr") match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException("eval needs 'expr'")
+    }
+    // quote metric names (which may contain '.') — longest first so that
+    // "cpu.user" is matched before "cpu"
+    val quoted = cols.sortBy(-_.length).foldLeft(exprText) { (e, c) =>
+      e.replace(c, s"`$c`")
+    }
+    val out = df.withColumn("value", expr(quoted).cast(DoubleType))
+      .where(!isnan(col("value")) && col("value").isNotNull)
+      .drop(cols.filterNot(_ == "value"): _*)
+    (out, Seq("value"))
+  }
+}

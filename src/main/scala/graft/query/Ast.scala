@@ -1,0 +1,181 @@
+package graft.query
+
+/** Query AST for the reference TSDB's JSON query language.
+  *
+  * Six mutually-exclusive data-query kinds plus the metadata entry points
+  * (search / suggest), per /root/reference/stdb/query/queryparser.h:17-25 and
+  * the per-kind parsers in queryparser.cc (§2.1 of SURVEY.md).
+  */
+object Ast {
+
+  /** Aggregation functions (reference operator.h:33-45). */
+  sealed abstract class AggFunc(val token: String)
+  object AggFunc {
+    case object Min extends AggFunc("min")
+    case object Max extends AggFunc("max")
+    case object Sum extends AggFunc("sum")
+    case object Cnt extends AggFunc("cnt")
+    case object Mean extends AggFunc("mean")
+    case object First extends AggFunc("first")
+    case object Last extends AggFunc("last")
+    case object MinTimestamp extends AggFunc("min_timestamp")
+    case object MaxTimestamp extends AggFunc("max_timestamp")
+    case object FirstTimestamp extends AggFunc("first_timestamp")
+    case object LastTimestamp extends AggFunc("last_timestamp")
+
+    val all: Seq[AggFunc] = Seq(Min, Max, Sum, Cnt, Mean, First, Last,
+      MinTimestamp, MaxTimestamp, FirstTimestamp, LastTimestamp)
+    def fromToken(s: String): AggFunc = all.find(_.token == s)
+      .getOrElse(throw new BadQuery(s"unknown aggregate function: '$s'"))
+  }
+
+  final class BadQuery(msg: String) extends IllegalArgumentException(msg)
+
+  /** Semi-open time range [from, to) in UTC ns; from > to means backward
+    * scan (descending output). */
+  final case class TimeRange(from: Long, to: Long) {
+    def forward: Boolean = from <= to
+    def lo: Long = math.min(from, to)
+    def hi: Long = math.max(from, to)
+  }
+
+  sealed trait Where
+  object Where {
+    /** `{"tag": ["v1","v2"], ...}` — AND across keys, OR within values. */
+    final case class TagsIn(tags: Map[String, Seq[String]]) extends Where
+    /** `[{"tag1":"v1",...}, ...]` — explicit series list (exact tag sets). */
+    final case class ExplicitSeries(list: Seq[Map[String, String]]) extends Where
+    case object All extends Where
+  }
+
+  /** Value-range predicate (gt/ge/lt/le), conjunctive within one filter. */
+  final case class ValueFilter(
+      gt: Option[Double] = None, ge: Option[Double] = None,
+      lt: Option[Double] = None, le: Option[Double] = None) {
+    def isEmpty: Boolean = gt.isEmpty && ge.isEmpty && lt.isEmpty && le.isEmpty
+  }
+
+  sealed trait FilterCombiner
+  object FilterCombiner {
+    case object All extends FilterCombiner
+    case object Any extends FilterCombiner
+  }
+
+  sealed trait OrderBy
+  object OrderBy {
+    /** (series, ts) lexicographic — the default. */
+    case object Series extends OrderBy
+    /** (ts, series). */
+    case object Time extends OrderBy
+  }
+
+  sealed trait GroupByOp
+  object GroupByOp {
+    /** `group-by-tag`: DROP the listed tags from the series key. */
+    case object Group extends GroupByOp
+    /** `pivot-by-tag`: KEEP ONLY the listed tags. */
+    case object Pivot extends GroupByOp
+  }
+  final case class GroupByTag(op: GroupByOp, tags: Seq[String])
+
+  /** One `apply` pipeline stage, e.g. {"name":"ewma","decay":0.9}. */
+  final case class ApplySpec(name: String, params: Map[String, Any])
+
+  sealed trait Query
+
+  final case class SelectQuery(
+      metric: String,
+      range: TimeRange,
+      where: Where = Where.All,
+      filter: Option[ValueFilter] = None,
+      orderBy: OrderBy = OrderBy.Series,
+      groupBy: Option[GroupByTag] = None,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  final case class SelectEventsQuery(
+      metric: String, // starts with '!'
+      range: TimeRange,
+      regex: Option[String] = None,
+      where: Where = Where.All,
+      orderBy: OrderBy = OrderBy.Series,
+      groupBy: Option[GroupByTag] = None,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  /** `{"aggregate": {"metric": "func", ...}}` — one value per series over
+    * the whole (optional) range. Order-by is disallowed by the reference
+    * (queryparser.cc:1499-1505). */
+  final case class AggregateQuery(
+      funcs: Seq[(String, AggFunc)], // (metric, func) pairs
+      range: Option[TimeRange] = None,
+      where: Where = Where.All,
+      groupBy: Option[GroupByTag] = None,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  /** `{"group-aggregate": {"metric": m|[m...], "step": "30s", "func": f|[f...]}}`. */
+  final case class GroupAggregateQuery(
+      metrics: Seq[String],
+      funcs: Seq[AggFunc],
+      step: Long, // ns
+      range: TimeRange,
+      where: Where = Where.All,
+      /** filter keyed by *function* name (HAVING), only min/max/mean legal. */
+      filters: Map[String, ValueFilter] = Map.empty,
+      combiner: FilterCombiner = FilterCombiner.All,
+      orderBy: OrderBy = OrderBy.Series,
+      groupBy: Option[GroupByTag] = None,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  /** `{"join": ["m1","m2",...]}` — align metrics sharing the same tag set
+    * on timestamp into tuples. */
+  final case class JoinQuery(
+      metrics: Seq[String],
+      range: TimeRange,
+      where: Where = Where.All,
+      filters: Map[String, ValueFilter] = Map.empty, // keyed by metric
+      combiner: FilterCombiner = FilterCombiner.All,
+      orderBy: OrderBy = OrderBy.Series,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  /** `{"group-aggregate-join": {"metric": [...], "step": s, "func": f}}` —
+    * downsample each metric by step with a single func, then join. */
+  final case class GroupAggregateJoinQuery(
+      metrics: Seq[String],
+      func: AggFunc,
+      step: Long,
+      range: TimeRange,
+      where: Where = Where.All,
+      orderBy: OrderBy = OrderBy.Series,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil) extends Query
+
+  // ---- metadata entry points ----
+
+  final case class SearchQuery(
+      metric: String,
+      where: Where = Where.All,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None) extends Query
+
+  sealed trait SuggestKind
+  object SuggestKind {
+    case object MetricNames extends SuggestKind
+    case object TagNames extends SuggestKind
+    case object TagValues extends SuggestKind
+  }
+  final case class SuggestQuery(
+      kind: SuggestKind,
+      metric: Option[String] = None,
+      tag: Option[String] = None,
+      startsWith: Option[String] = None) extends Query
+}

@@ -1,0 +1,256 @@
+package graft.query
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.time.TimeUtil
+import scala.jdk.CollectionConverters._
+
+/** JSON → [[Ast.Query]] front end for the reference TSDB query language.
+  *
+  * Query kind = which of the six mutually-exclusive statement keys is present
+  * (reference queryparser.cc:887-918); shared clause grammar per SURVEY §2.2.
+  * The two known reference bugs in limit/offset handling
+  * (queryparser.cc:624 assigns offset into limit; limiter.cc never counts
+  * skipped rows) are deliberately NOT replicated — `limit`/`offset` here have
+  * standard semantics.
+  */
+object QueryParser {
+  import Ast._
+
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): Query = parseNode(mapper.readTree(json))
+
+  def parseNode(root: JsonNode): Query = {
+    require(root != null && root.isObject, "query must be a JSON object")
+    if (root.has("select-events")) parseSelectEvents(root)
+    else if (root.has("aggregate")) parseAggregate(root)
+    else if (root.has("group-aggregate")) parseGroupAggregate(root)
+    else if (root.has("group-aggregate-join")) parseGroupAggregateJoin(root)
+    else if (root.has("join")) parseJoin(root)
+    else if (root.has("select")) {
+      val sel = root.get("select").asText()
+      if (sel.startsWith("meta:names")) parseMeta(root, sel)
+      else if (sel == "metric-names" || sel == "tag-names" || sel == "tag-values") parseSuggest(root, sel)
+      else parseSelect(root)
+    } else throw new BadQuery("no statement found in query")
+  }
+
+  /** `search()` entry point: same shape as select but only metadata returned. */
+  def parseSearch(json: String): SearchQuery = {
+    val root = mapper.readTree(json)
+    SearchQuery(root.get("select").asText(), parseWhere(root),
+      optLong(root, "limit"), optLong(root, "offset"))
+  }
+
+  def parseSuggestJson(json: String): SuggestQuery =
+    parseSuggest(mapper.readTree(json), mapper.readTree(json).get("select").asText())
+
+  // ---- per-kind ----
+
+  private def parseSelect(root: JsonNode): SelectQuery = {
+    val metric = root.get("select").asText()
+    SelectQuery(metric, parseRange(root), parseWhere(root),
+      parseSingleFilter(root), parseOrderBy(root), parseGroupBy(root),
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseSelectEvents(root: JsonNode): SelectEventsQuery = {
+    val metric = root.get("select-events").asText()
+    if (!metric.startsWith("!"))
+      throw new BadQuery(s"event name should start with '!': '$metric'")
+    val regex = Option(root.get("filter")).map(_.asText())
+    SelectEventsQuery(metric, parseRange(root), regex, parseWhere(root),
+      parseOrderBy(root), parseGroupBy(root),
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseAggregate(root: JsonNode): AggregateQuery = {
+    if (root.has("order-by"))
+      throw new BadQuery("aggregate query doesn't support 'order-by'")
+    val stmt = root.get("aggregate")
+    if (!stmt.isObject || stmt.isEmpty)
+      throw new BadQuery("aggregate statement must be a non-empty object")
+    val funcs = stmt.fieldNames().asScala.toSeq.flatMap { m =>
+      val v = stmt.get(m)
+      if (v.isArray) v.elements().asScala.toSeq.map(f => m -> AggFunc.fromToken(f.asText()))
+      else Seq(m -> AggFunc.fromToken(v.asText()))
+    }
+    val dups = funcs.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    if (dups.nonEmpty) throw new BadQuery(s"duplicate aggregate entries: $dups")
+    AggregateQuery(funcs, parseOptRange(root), parseWhere(root), parseGroupBy(root),
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseGroupAggregate(root: JsonNode): GroupAggregateQuery = {
+    val stmt = root.get("group-aggregate")
+    val metrics = strOrList(stmt.get("metric"), "group-aggregate.metric")
+    val funcs = strOrList(stmt.get("func"), "group-aggregate.func").map(AggFunc.fromToken)
+    if (funcs.isEmpty) throw new BadQuery("at least one aggregate function required")
+    val step = TimeUtil.parseDuration(stmt.get("step").asText())
+    val (filters, comb) = parseNamedFilters(root)
+    GroupAggregateQuery(metrics, funcs, step, parseRange(root), parseWhere(root),
+      filters, comb, parseOrderBy(root), parseGroupBy(root),
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseJoin(root: JsonNode): JoinQuery = {
+    val metrics = strOrList(root.get("join"), "join")
+    if (metrics.size < 2) throw new BadQuery("join requires at least 2 metrics")
+    if (root.has("group-by-tag") || root.has("group-by") || root.has("pivot-by-tag"))
+      throw new BadQuery("join doesn't support group-by")
+    val (filters, comb) = parseNamedFilters(root)
+    JoinQuery(metrics, parseRange(root), parseWhere(root), filters, comb,
+      parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseGroupAggregateJoin(root: JsonNode): GroupAggregateJoinQuery = {
+    val stmt = root.get("group-aggregate-join")
+    val metrics = strOrList(stmt.get("metric"), "group-aggregate-join.metric")
+    if (metrics.size < 2) throw new BadQuery("group-aggregate-join requires >=2 metrics")
+    val funcs = strOrList(stmt.get("func"), "group-aggregate-join.func")
+    if (funcs.size != 1) throw new BadQuery("group-aggregate-join requires exactly 1 func")
+    val step = TimeUtil.parseDuration(stmt.get("step").asText())
+    GroupAggregateJoinQuery(metrics, AggFunc.fromToken(funcs.head), step,
+      parseRange(root), parseWhere(root), parseOrderBy(root),
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+  }
+
+  private def parseMeta(root: JsonNode, sel: String): SearchQuery = {
+    // deprecated `{"select": "meta:names[:metric]"}`
+    val metric = sel.stripPrefix("meta:names") match {
+      case "" => ""
+      case s if s.startsWith(":") => s.substring(1)
+      case other => throw new BadQuery(s"bad meta query: '$other'")
+    }
+    SearchQuery(metric, parseWhere(root), optLong(root, "limit"), optLong(root, "offset"))
+  }
+
+  private def parseSuggest(root: JsonNode, sel: String): SuggestQuery = {
+    val kind = sel match {
+      case "metric-names" => SuggestKind.MetricNames
+      case "tag-names"    => SuggestKind.TagNames
+      case "tag-values"   => SuggestKind.TagValues
+    }
+    SuggestQuery(kind,
+      Option(root.get("metric")).map(_.asText()),
+      Option(root.get("tag")).map(_.asText()),
+      Option(root.get("starts-with")).map(_.asText()))
+  }
+
+  // ---- clauses ----
+
+  private def parseRange(root: JsonNode): TimeRange =
+    parseOptRange(root).getOrElse(throw new BadQuery("'range' field required"))
+
+  private def parseOptRange(root: JsonNode): Option[TimeRange] =
+    Option(root.get("range")).map { r =>
+      val from = Option(r.get("from")).map(tsOf)
+        .getOrElse(throw new BadQuery("range.from required"))
+      val to = Option(r.get("to")).map(tsOf)
+        .getOrElse(throw new BadQuery("range.to required"))
+      TimeRange(from, to)
+    }
+
+  private def tsOf(n: JsonNode): Long =
+    if (n.isNumber) n.asLong() else TimeUtil.parseIsoOrRaw(n.asText())
+
+  private def parseWhere(root: JsonNode): Where = Option(root.get("where")) match {
+    case None => Where.All
+    case Some(w) if w.isArray =>
+      Where.ExplicitSeries(w.elements().asScala.toSeq.map { o =>
+        o.fieldNames().asScala.map(k => k -> o.get(k).asText()).toMap
+      })
+    case Some(w) if w.isObject =>
+      Where.TagsIn(w.fieldNames().asScala.map { k =>
+        val v = w.get(k)
+        k -> (if (v.isArray) v.elements().asScala.toSeq.map(_.asText()) else Seq(v.asText()))
+      }.toMap)
+    case Some(_) => throw new BadQuery("bad where clause")
+  }
+
+  /** Single-metric filter: `{"filter": {"gt": 10}}` (form 2) or
+    * `{"filter": {"metric": {"gt": 10}}}` (form 1, metric irrelevant here). */
+  private def parseSingleFilter(root: JsonNode): Option[ValueFilter] =
+    Option(root.get("filter")).map { f =>
+      if (Seq("gt", "ge", "lt", "le").exists(f.has)) parseValueFilter(f)
+      else {
+        val names = f.fieldNames().asScala.filterNot(_ == "=").toSeq
+        if (names.isEmpty) ValueFilter()
+        else parseValueFilter(f.get(names.head))
+      }
+    }.filter(!_.isEmpty)
+
+  /** Per-name filters (metric names for join, func names for
+    * group-aggregate) + the `"=": {"require": "all"|"any"}` combiner. */
+  private def parseNamedFilters(root: JsonNode): (Map[String, ValueFilter], FilterCombiner) =
+    Option(root.get("filter")) match {
+      case None => (Map.empty, FilterCombiner.All)
+      case Some(f) =>
+        val comb = Option(f.get("=")).flatMap(c => Option(c.get("require")))
+          .map(_.asText() match {
+            case "all" => FilterCombiner.All
+            case "any" => FilterCombiner.Any
+            case other => throw new BadQuery(s"bad filter combiner: '$other'")
+          }).getOrElse(FilterCombiner.All)
+        if (Seq("gt", "ge", "lt", "le").exists(f.has))
+          (Map("" -> parseValueFilter(f)), comb) // form 2: applies to first column
+        else {
+          val m = f.fieldNames().asScala.filterNot(_ == "=").map { name =>
+            name -> parseValueFilter(f.get(name))
+          }.toMap.filter(!_._2.isEmpty)
+          (m, comb)
+        }
+    }
+
+  private def parseValueFilter(n: JsonNode): ValueFilter = ValueFilter(
+    gt = Option(n.get("gt")).map(_.asDouble()),
+    ge = Option(n.get("ge")).map(_.asDouble()),
+    lt = Option(n.get("lt")).map(_.asDouble()),
+    le = Option(n.get("le")).map(_.asDouble()))
+
+  private def parseOrderBy(root: JsonNode): OrderBy =
+    Option(root.get("order-by")).map(_.asText() match {
+      case "series" => OrderBy.Series
+      case "time"   => OrderBy.Time
+      case other    => throw new BadQuery(s"bad order-by: '$other'")
+    }).getOrElse(OrderBy.Series)
+
+  private def parseGroupBy(root: JsonNode): Option[GroupByTag] = {
+    val pivot = Option(root.get("pivot-by-tag")).map(n => GroupByTag(GroupByOp.Pivot, strOrListNode(n)))
+    val group = Option(root.get("group-by-tag")).orElse(Option(root.get("group-by")))
+      .map(n => GroupByTag(GroupByOp.Group, strOrListNode(n)))
+    if (pivot.nonEmpty && group.nonEmpty)
+      throw new BadQuery("can't use both group-by-tag and pivot-by-tag")
+    pivot.orElse(group)
+  }
+
+  private def parseApply(root: JsonNode): Seq[ApplySpec] =
+    Option(root.get("apply")).map { a =>
+      if (!a.isArray) throw new BadQuery("apply must be an array")
+      a.elements().asScala.toSeq.map { n =>
+        val name = Option(n.get("name")).map(_.asText())
+          .getOrElse(throw new BadQuery("apply entry needs 'name'"))
+        val params = n.fieldNames().asScala.filterNot(_ == "name").map { k =>
+          val v = n.get(k)
+          val value: Any =
+            if (v.isNumber) v.asDouble()
+            else if (v.isBoolean) v.asBoolean()
+            else if (v.isArray) v.elements().asScala.toSeq.map(e =>
+              if (e.isNumber) e.asDouble() else e.asText())
+            else v.asText()
+          k -> value
+        }.toMap
+        ApplySpec(name, params)
+      }
+    }.getOrElse(Nil)
+
+  private def optLong(root: JsonNode, key: String): Option[Long] =
+    Option(root.get(key)).map(_.asLong())
+
+  private def strOrList(n: JsonNode, what: String): Seq[String] = {
+    if (n == null) throw new BadQuery(s"$what required")
+    strOrListNode(n)
+  }
+  private def strOrListNode(n: JsonNode): Seq[String] =
+    if (n.isArray) n.elements().asScala.toSeq.map(_.asText()) else Seq(n.asText())
+}

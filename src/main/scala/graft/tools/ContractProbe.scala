@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+import graft.engine.Engine
+import graft.model.TsdbContext
+
+/** Throwaway driver-contract probe (removed before round end):
+  * entry smoke + hostile inputs at the library boundary. */
+object ContractProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TsdbContext.configure(
+      SparkSession.builder().master("local[4]"), 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val n = SparkEntry.entry(spark).count()
+    println(s"PROBE entry rows=$n (smoke wants >0)")
+
+    val e = new Engine(TsdbContext.fromTestdata(spark, "/root/testdata/sf0.001"))
+    def tryQ(tag: String, json: String): Unit =
+      try {
+        val c = e.execute(json).count()
+        println(s"PROBE $tag -> $c rows")
+      } catch {
+        case ex: Throwable =>
+          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+      }
+
+    tryQ("malformed-json", """{"select": "purchase", "range"""")
+    tryQ("unknown-metric", """{"select": "no_such_metric"}""")
+    tryQ("unknown-metric-ranged", """{"select": "no_such_metric", "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("where-no-match-ranged", """{"select": "purchase", "range": {"from": "20240101T000000", "to": "20240401T000000"}, "where": {"user_id": ["999999"]}}""")
+    tryQ("two-kinds", """{"select": "purchase", "aggregate": {"purchase": "sum"}}""")
+    tryQ("bad-func", """{"aggregate": {"purchase": "sigmoid"}}""")
+    tryQ("from-after-to-backward",
+      """{"select": "purchase",
+          "range": {"from": "20240401T000000", "to": "20240101T000000"}}""")
+    tryQ("where-no-match",
+      """{"select": "purchase", "where": {"user_id": ["999999"]}}""")
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.time.TimeUtil
+import graft.series.SeriesName
+
+class TimeUtilSpec extends AnyFunSuite {
+  test("ISO basic format round-trips with ns precision") {
+    // reference constant from datetime docs (datetime.h:49-57)
+    val ts = TimeUtil.parseIsoOrRaw("20141210T074343.999999999")
+    assert(TimeUtil.toIsoBasic(ts) === "20141210T074343.999999999")
+  }
+
+  test("raw ns integers pass through") {
+    assert(TimeUtil.parseIsoOrRaw("1136214245999999999") === 1136214245999999999L)
+  }
+
+  test("fractional part right-pads to 9 digits") {
+    val a = TimeUtil.parseIsoOrRaw("20141210T074343.5")
+    val b = TimeUtil.parseIsoOrRaw("20141210T074343.500000000")
+    assert(a === b)
+  }
+
+  test("leading non-digits are trimmed") {
+    assert(TimeUtil.parseIsoOrRaw(" 20141210T074343") ===
+      TimeUtil.parseIsoOrRaw("20141210T074343"))
+  }
+
+  test("known epoch value") {
+    // 2006-01-02T15:04:05 UTC = 1136214245 s
+    assert(TimeUtil.parseIsoOrRaw("20060102T150405") === 1136214245L * 1000000000L)
+  }
+
+  test("durations follow the reference grammar") {
+    assert(TimeUtil.parseDuration("1") === 1L)
+    assert(TimeUtil.parseDuration("1n") === 1L)
+    assert(TimeUtil.parseDuration("1us") === 1000L)
+    assert(TimeUtil.parseDuration("1ms") === 1000000L)
+    assert(TimeUtil.parseDuration("1s") === 1000000000L)
+    assert(TimeUtil.parseDuration("1m") === 60L * 1000000000L)
+    assert(TimeUtil.parseDuration("30min") === 30L * 60L * 1000000000L)
+    assert(TimeUtil.parseDuration("1h") === 3600L * 1000000000L)
+    assert(TimeUtil.parseDuration("2d") === 2L * 86400L * 1000000000L)
+    intercept[TimeUtil.BadDateTimeFormat](TimeUtil.parseDuration("5x"))
+    intercept[TimeUtil.BadDateTimeFormat](TimeUtil.parseDuration("s"))
+  }
+}
+
+class SeriesNameSpec extends AnyFunSuite {
+  test("canonical form sorts tags and normalizes spaces") {
+    assert(SeriesName.canonicalize("cpu.user  host=h1   region=eu") ===
+      "cpu.user host=h1 region=eu")
+    assert(SeriesName.canonicalize("cpu.user region=eu host=h1") ===
+      "cpu.user host=h1 region=eu")
+  }
+
+  test("at least one tag required for stored series") {
+    intercept[SeriesName.BadSeriesName](SeriesName.canonicalize("cpu.user"))
+  }
+
+  test("parse extracts metric and tags") {
+    val sn = SeriesName.parse("mem host=h1 region=eu")
+    assert(sn.metric === "mem")
+    assert(sn.tags === scala.collection.immutable.SortedMap("host" -> "h1", "region" -> "eu"))
+  }
+
+  test("pivot keeps only listed tags; group drops listed tags") {
+    val sn = SeriesName.parse("m a=1 b=2 c=3")
+    assert(sn.pivotByTag(Seq("a")).render === "m a=1")
+    assert(sn.groupByTag(Seq("a")).render === "m b=2 c=3")
+  }
+
+  test("output naming helpers") {
+    assert(SeriesName.aggregateMetric("cpu", "min") === "cpu:min")
+    assert(SeriesName.groupAggregateMetric("cpu", Seq("min", "max")) === "cpu:min|cpu:max")
+    assert(SeriesName.joinMetric(Seq("a", "b")) === "a|b")
+  }
+}
+
+class QueryParserSpec extends AnyFunSuite {
+  import graft.query.Ast._
+  import graft.query.QueryParser
+
+  test("scan query (reference queryparser_test.cc:98-107)") {
+    val q = QueryParser.parse(
+      """{"select": "test", "order-by": "series",
+         "range": {"from": "20160102T123000.000000", "to": "20160102T123010.000000"},
+         "where": {"tag1": ["1"]}}""").asInstanceOf[SelectQuery]
+    assert(q.metric === "test")
+    assert(q.orderBy === OrderBy.Series)
+    assert(q.where === Where.TagsIn(Map("tag1" -> Seq("1"))))
+    assert(q.range.forward)
+  }
+
+  test("aggregate query with multiple funcs") {
+    val q = QueryParser.parse(
+      """{"aggregate": {"cpu": ["min", "max"], "mem": "sum"}}""").asInstanceOf[AggregateQuery]
+    assert(q.funcs.toSet === Set(("cpu", AggFunc.Min), ("cpu", AggFunc.Max), ("mem", AggFunc.Sum)))
+    assert(q.range.isEmpty)
+  }
+
+  test("aggregate rejects order-by") {
+    intercept[BadQuery](QueryParser.parse(
+      """{"aggregate": {"cpu": "min"}, "order-by": "time", "range": {"from": 0, "to": 1}}"""))
+  }
+
+  test("group-aggregate with step and funcs") {
+    val q = QueryParser.parse(
+      """{"group-aggregate": {"metric": "cpu", "step": "30s", "func": ["min", "max"]},
+         "range": {"from": 0, "to": 1000000000000}}""").asInstanceOf[GroupAggregateQuery]
+    assert(q.step === 30L * 1000000000L)
+    assert(q.funcs === Seq(AggFunc.Min, AggFunc.Max))
+  }
+
+  test("group-aggregate filter on func names (HAVING)") {
+    val q = QueryParser.parse(
+      """{"group-aggregate": {"metric": "cpu", "step": "1s", "func": ["max"]},
+         "range": {"from": 0, "to": 10},
+         "filter": {"max": {"gt": 100}}}""").asInstanceOf[GroupAggregateQuery]
+    assert(q.filters("max") === ValueFilter(gt = Some(100.0)))
+  }
+
+  test("join query with per-metric filters and combiner") {
+    val q = QueryParser.parse(
+      """{"join": ["cpu", "mem"], "range": {"from": 0, "to": 10},
+         "filter": {"cpu": {"gt": 1}, "mem": {"le": 5}, "=": {"require": "any"}}}""")
+      .asInstanceOf[JoinQuery]
+    assert(q.metrics === Seq("cpu", "mem"))
+    assert(q.filters("cpu") === ValueFilter(gt = Some(1.0)))
+    assert(q.filters("mem") === ValueFilter(le = Some(5.0)))
+    assert(q.combiner === FilterCombiner.Any)
+  }
+
+  test("group-aggregate-join requires exactly one func") {
+    intercept[BadQuery](QueryParser.parse(
+      """{"group-aggregate-join": {"metric": ["a","b"], "step": "1s", "func": ["min","max"]},
+         "range": {"from": 0, "to": 10}}"""))
+  }
+
+  test("select-events with regex filter") {
+    val q = QueryParser.parse(
+      """{"select-events": "!err", "range": {"from": 0, "to": 10}, "filter": "disk.*"}""")
+      .asInstanceOf[SelectEventsQuery]
+    assert(q.metric === "!err")
+    assert(q.regex === Some("disk.*"))
+  }
+
+  test("event name must start with '!'") {
+    intercept[BadQuery](QueryParser.parse(
+      """{"select-events": "err", "range": {"from": 0, "to": 10}}"""))
+  }
+
+  test("suggest queries") {
+    val q = QueryParser.parse("""{"select": "metric-names", "starts-with": "cp"}""")
+      .asInstanceOf[SuggestQuery]
+    assert(q.kind === SuggestKind.MetricNames)
+    assert(q.startsWith === Some("cp"))
+  }
+
+  test("backward range detected") {
+    val q = QueryParser.parse(
+      """{"select": "m", "range": {"from": 100, "to": 10}}""").asInstanceOf[SelectQuery]
+    assert(!q.range.forward)
+  }
+
+  test("apply pipeline parses params") {
+    val q = QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "apply": [{"name": "rate"}, {"name": "ewma", "decay": 0.9}]}""")
+      .asInstanceOf[SelectQuery]
+    assert(q.apply.map(_.name) === Seq("rate", "ewma"))
+    assert(q.apply(1).params("decay") === 0.9)
+  }
+
+  test("explicit series list in where") {
+    val q = QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where": [{"a": "1", "b": "2"}, {"a": "3"}]}""").asInstanceOf[SelectQuery]
+    assert(q.where === Where.ExplicitSeries(Seq(Map("a" -> "1", "b" -> "2"), Map("a" -> "3"))))
+  }
+}

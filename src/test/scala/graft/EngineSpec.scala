@@ -1,0 +1,221 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Engine
+import graft.query.Ast._
+
+/** Ports of the reference's operator-level integration tests
+  * (stdb/storage/column_store_test.cc) against the Spark engine. */
+class EngineSpec extends AnyFunSuite with SparkTestBase {
+
+  // ids 10..12, ticks [100, 200), value = 0.1*ts  (cc:133-279 scan tests)
+  private lazy val ctx = rampContext(Seq(10, 11, 12), 100, 200)
+  private lazy val engine = new Engine(ctx)
+
+  test("forward scan, series order") {
+    val q = SelectQuery("test", TimeRange(100, 200))
+    val rows = collectSeries(engine.select(q))
+    assert(rows.size === 300)
+    // series order: all of T10 (ascending ts), then T11, then T12
+    assert(rows.take(100).forall(_._1 === "test tag=T10"))
+    assert(rows.map(_._2).take(100) === (100L until 200L))
+    assert(rows.head._3 === 10.0)
+  }
+
+  test("forward scan, time order interleaves series") {
+    val q = SelectQuery("test", TimeRange(100, 200), orderBy = OrderBy.Time)
+    val rows = collectSeries(engine.select(q))
+    assert(rows.size === 300)
+    assert(rows.take(3).map(_._1) ===
+      Seq("test tag=T10", "test tag=T11", "test tag=T12"))
+    assert(rows.take(3).forall(_._2 === 100L))
+  }
+
+  test("backward scan emits descending timestamps, (to, from] range") {
+    // reference tests scan from=end-1... backward = from>to, range (to, from]
+    val q = SelectQuery("test", TimeRange(199, 99))
+    val rows = collectSeries(engine.select(q))
+    assert(rows.size === 300)
+    assert(rows.take(100).map(_._2) === (199L to 100L by -1L))
+  }
+
+  test("where clause prunes series") {
+    val q = SelectQuery("test", TimeRange(100, 200),
+      where = Where.TagsIn(Map("tag" -> Seq("T10", "T12"))))
+    val rows = collectSeries(engine.select(q))
+    assert(rows.map(_._1).distinct === Seq("test tag=T10", "test tag=T12"))
+  }
+
+  test("limit and offset") {
+    val q = SelectQuery("test", TimeRange(100, 200), limit = Some(5), offset = Some(2))
+    val rows = collectSeries(engine.select(q))
+    assert(rows.size === 5)
+    assert(rows.head._2 === 102L) // offset actually skips (no reference bug)
+  }
+
+  test("value filter keeps matching rows (cc:851-1017)") {
+    // alternating sign fixture: value = ts%2==0 ? -0.1*ts : 0.1*ts
+    val ctx2 = rampContext(Seq(10), 100, 200,
+      ts => if (ts % 2 == 0) -0.1 * ts else 0.1 * ts)
+    val e2 = new Engine(ctx2)
+    val q = SelectQuery("test", TimeRange(100, 200),
+      filter = Some(ValueFilter(ge = Some(0.0))))
+    val rows = collectSeries(e2.select(q))
+    assert(rows.size === 50) // odd ticks only
+    assert(rows.forall(_._3 >= 0.0))
+  }
+
+  test("whole-range aggregate sum (cc:438-479)") {
+    val q = AggregateQuery(Seq(("test", AggFunc.Sum)), Some(TimeRange(100, 200)))
+    val rows = collectSeries(engine.aggregate(q))
+    assert(rows.size === 3)
+    val expected = (100L until 200L).map(0.1 * _).sum
+    rows.foreach { case (series, ts, v) =>
+      assert(series.startsWith("test:sum tag="))
+      assert(ts === 100L)
+      assert(math.abs(v - expected) < 1e-9)
+    }
+  }
+
+  test("aggregate with group-by-tag combines series (cc:481-539)") {
+    val q = AggregateQuery(Seq(("test", AggFunc.Sum)), Some(TimeRange(100, 200)),
+      groupBy = Some(GroupByTag(GroupByOp.Group, Seq("tag"))))
+    val rows = collectSeries(engine.aggregate(q))
+    assert(rows.size === 1)
+    assert(rows.head._1 === "test:sum")
+    val expected = 3 * (100L until 200L).map(0.1 * _).sum
+    assert(math.abs(rows.head._3 - expected) < 1e-9)
+  }
+
+  test("all 11 aggregation functions") {
+    val ctx1 = rampContext(Seq(10), 100, 200)
+    val e1 = new Engine(ctx1)
+    def agg(f: AggFunc): Double =
+      collectSeries(e1.aggregate(AggregateQuery(Seq(("test", f)),
+        Some(TimeRange(100, 200))))).head._3
+    def approx(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+    assert(agg(AggFunc.Min) === 10.0)
+    assert(approx(agg(AggFunc.Max), 19.9))
+    assert(agg(AggFunc.Cnt) === 100.0)
+    assert(approx(agg(AggFunc.Mean), (100L until 200L).map(0.1 * _).sum / 100))
+    assert(agg(AggFunc.First) === 10.0)
+    assert(approx(agg(AggFunc.Last), 19.9))
+    assert(agg(AggFunc.MinTimestamp) === 100.0)
+    assert(agg(AggFunc.MaxTimestamp) === 199.0)
+    assert(agg(AggFunc.FirstTimestamp) === 100.0)
+    assert(agg(AggFunc.LastTimestamp) === 199.0)
+  }
+
+  test("group-aggregate min, step 10 (cc:668-762)") {
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min), step = 10,
+      TimeRange(100, 200), where = Where.TagsIn(Map("tag" -> Seq("T10"))))
+    val df = engine.groupAggregate(q)
+    val rows = df.collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.size === 10)
+    // first value of each bin = 0.1 * bin_start (cc:704-711)
+    rows.foreach { case (series, ts, v) =>
+      assert(series === "test:min tag=T10")
+      assert((ts - 100) % 10 === 0)
+      assert(math.abs(v - 0.1 * ts) < 1e-9)
+    }
+  }
+
+  test("group-aggregate multi-func emits one column per func") {
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Max), step = 50,
+      TimeRange(100, 200), where = Where.TagsIn(Map("tag" -> Seq("T10"))))
+    val df = engine.groupAggregate(q)
+    assert(df.columns.toSeq === Seq("series", "ts", "min", "max"))
+    val rows = df.collect().toSeq
+    assert(rows.size === 2)
+    assert(rows.head.getString(0) === "test:min|test:max tag=T10")
+    assert(rows.head.getDouble(2) === 10.0) // min of bin [100,150)
+    assert(math.abs(rows.head.getDouble(3) - 14.9) < 1e-9)
+  }
+
+  test("group-aggregate HAVING filter on max") {
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Max), step = 10,
+      TimeRange(100, 200), where = Where.TagsIn(Map("tag" -> Seq("T10"))),
+      filters = Map("max" -> ValueFilter(gt = Some(15.0))))
+    val df = engine.groupAggregate(q)
+    val rows = df.collect().toSeq
+    // bins with max > 15.0: bins starting at 150..190 (max 15.9..19.9)
+    assert(rows.size === 5)
+  }
+
+  test("join aligns two metrics on timestamp (cc:585-666)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two metrics m1, m2 sharing tag T1; m2 only has even ticks
+    val rows1 = (100L until 110L).map(ts => ("m1", "T1", ts, 1.0 * ts))
+    val rows2 = (100L until 110L by 2).map(ts => ("m2", "T1", ts, 2.0 * ts))
+    val wide = (rows1 ++ rows2).toDF("metric", "tag", "ts", "value")
+    val ctxJ = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("tag"), "ts", "value")
+    val eJ = new Engine(ctxJ)
+    val df = eJ.join(JoinQuery(Seq("m1", "m2"), TimeRange(100, 110)))
+    assert(df.columns.toSeq === Seq("series", "ts", "m1", "m2"))
+    val out = df.collect().toSeq
+    assert(out.size === 10)
+    assert(out.forall(_.getString(0) === "m1|m2 tag=T1"))
+    // odd ts → m2 null (the presence bitmap)
+    val odd = out.filter(_.getLong(1) % 2 === 1)
+    assert(odd.forall(_.isNullAt(3)))
+    val even = out.filter(_.getLong(1) % 2 === 0)
+    assert(even.forall(r => r.getDouble(3) === 2.0 * r.getLong(1)))
+  }
+
+  test("group-aggregate-join downsamples then joins") {
+    import spark.implicits._
+    val rows1 = (100L until 120L).map(ts => ("m1", "T1", ts, 1.0 * ts))
+    val rows2 = (100L until 120L).map(ts => ("m2", "T1", ts, 2.0 * ts))
+    val wide = (rows1 ++ rows2).toDF("metric", "tag", "ts", "value")
+    val ctxJ = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("tag"), "ts", "value")
+    val eJ = new Engine(ctxJ)
+    val df = eJ.groupAggregateJoin(GroupAggregateJoinQuery(
+      Seq("m1", "m2"), AggFunc.Max, step = 10, TimeRange(100, 120)))
+    val out = df.orderBy("ts").collect().toSeq
+    assert(out.size === 2)
+    assert(out.map(_.getLong(1)) === Seq(100L, 110L))
+    assert(out.head.getDouble(2) === 109.0) // max of m1 in [100,110)
+    assert(out.head.getDouble(3) === 218.0) // max of m2 in [100,110)
+  }
+
+  test("pivot-by-tag keeps only listed tags") {
+    import spark.implicits._
+    val rows = for (h <- Seq("h1", "h2"); r <- Seq("eu", "us"); ts <- 100L until 110L)
+      yield ("cpu", h, r, ts, 1.0)
+    val wide = rows.toDF("metric", "host", "region", "ts", "value")
+    val c = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("host", "region"), "ts", "value")
+    val e = new Engine(c)
+    val q = AggregateQuery(Seq(("cpu", AggFunc.Sum)), Some(TimeRange(100, 110)),
+      groupBy = Some(GroupByTag(GroupByOp.Pivot, Seq("region"))))
+    val out = collectSeries(e.aggregate(q))
+    assert(out.map(_._1).sorted === Seq("cpu:sum region=eu", "cpu:sum region=us"))
+    assert(out.forall(_._3 === 20.0)) // 2 hosts × 10 ticks
+  }
+
+  test("search returns matching series names") {
+    val df = engine.search(SearchQuery("test", Where.TagsIn(Map("tag" -> Seq("T10")))))
+    val names = df.collect().map(_.getString(1)).toSeq
+    assert(names === Seq("test tag=T10"))
+  }
+
+  test("suggest metric names / tag names / tag values") {
+    val e = engine
+    assert(e.suggest(SuggestQuery(SuggestKind.MetricNames, startsWith = Some("te")))
+      .collect().map(_.getString(0)).toSeq === Seq("test"))
+    assert(e.suggest(SuggestQuery(SuggestKind.TagNames))
+      .collect().map(_.getString(0)).toSeq === Seq("tag"))
+    assert(e.suggest(SuggestQuery(SuggestKind.TagValues, metric = Some("test"),
+      tag = Some("tag"), startsWith = Some("T1")))
+      .collect().map(_.getString(0)).toSeq === Seq("T10", "T11", "T12"))
+  }
+
+  test("JSON end-to-end: the reference scan query shape") {
+    val df = engine.execute(
+      """{"select": "test", "range": {"from": 100, "to": 110},
+          "where": {"tag": ["T10"]}, "order-by": "time"}""")
+    val rows = collectSeries(df)
+    assert(rows.size === 10)
+    assert(rows.map(_._2) === (100L until 110L))
+  }
+}
