@@ -287,13 +287,18 @@ final class Engine(val ctx: TsdbContext) {
     case FilterCombiner.Any => conds.reduce(_ || _)
   }
 
-  /** bin start for a ts: anchored at range.from, descending for backward. */
+  /** bin start for a ts: anchored at range.from, descending for backward.
+    * Pure Long arithmetic (d − d % step) — `/` on Long columns is double
+    * division in Spark and loses ns precision past 2^53. */
   private def binColumn(range: TimeRange, step: Long): Column = {
     require(step > 0, "step must be positive")
-    if (range.forward)
-      lit(range.from) + ((col("ts") - range.from) / step).cast(LongType) * step
-    else
-      lit(range.from) - ((lit(range.from) - col("ts")) / step).cast(LongType) * step
+    if (range.forward) {
+      val d = col("ts") - range.from
+      lit(range.from) + (d - pmod(d, lit(step)))
+    } else {
+      val d = lit(range.from) - col("ts")
+      lit(range.from) - (d - pmod(d, lit(step)))
+    }
   }
 
   /** The 11 aggregation functions over (ts, value) groups (SURVEY §2.3).

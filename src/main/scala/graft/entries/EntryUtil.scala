@@ -1,0 +1,48 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+import graft.model.TsdbContext
+
+/** Shared plumbing for the driver-contract query entries.
+  *
+  * Cross-engine (Spark vs DuckDB oracle) hash-parity conventions:
+  *   - timestamps emitted as `ts_us` (Long µs): the engine's Long-ns `ts`
+  *     divided by 1000; DuckDB truncates ns→µs on parquet read, so
+  *     `epoch_us(ts)` matches exactly.
+  *   - doubles `round(x, 6)` on both sides (same IEEE op sequence on both
+  *     engines wherever a query computes arithmetic).
+  *   - every query totally ordered by its key columns (the compare sorts
+  *     rows, but limit/offset cuts must be deterministic).
+  */
+object EntryUtil {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def engineFor(spark: SparkSession, dir: String): Engine =
+    new Engine(TsdbContext.fromTestdata(spark, dir))
+
+  /** µs view of the engine's Long-ns ts column, oracle-comparable. */
+  def usView(df: DataFrame, valueCols: Seq[String] = Seq("value")): DataFrame = {
+    val cols = df.columns.map {
+      case "ts" => expr("ts div 1000").as("ts_us")
+      case c if valueCols.contains(c) => round(col(c), 6).as(c)
+      case c => col(c)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  // the canonical 3-month test window over the events table
+  val FromIso = "20240101T000000"
+  val ToIso = "20240401T000000"
+  val FromNs = 1704067200000000000L
+  val ToNs = 1711929600000000000L
+
+  /** DuckDB view of the raw events table as TSDB samples of one metric. */
+  def oracleScan(metric: String, extra: String = ""): String =
+    s"""FROM events
+        WHERE event_type = '$metric'
+          AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs $extra"""
+}

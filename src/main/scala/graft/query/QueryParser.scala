@@ -20,8 +20,17 @@ object QueryParser {
 
   def parse(json: String): Query = parseNode(mapper.readTree(json))
 
+  /** The six mutually-exclusive statement keys (validate_query,
+    * queryparser.cc:920-971: exactly one must be present). */
+  private val statementKeys =
+    Seq("select", "select-events", "aggregate", "group-aggregate",
+      "join", "group-aggregate-join")
+
   def parseNode(root: JsonNode): Query = {
     require(root != null && root.isObject, "query must be a JSON object")
+    val present = statementKeys.filter(root.has)
+    if (present.size > 1)
+      throw new BadQuery(s"ambiguous query: multiple statements ${present.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
