@@ -29,7 +29,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
             continue
         got = pd.concat([pd.read_parquet(p) for p in sorted(files)])
-        want = con.sql(sql).df()
+        try:
+            want = con.sql(sql).df()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_bad += 1
+            continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"SCHEMA   {name}: spark={list(g.columns)} duckdb={list(w.columns)}")

@@ -1,0 +1,282 @@
+package graft.entries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import EntryUtil.QueryFn
+
+/** Driver-contract entries for the training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal) over the
+  * `documents` and `embeddings` tables.
+  */
+object PipelineEntries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- dedup ------------------------------------------------------------
+    "docs_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    "docs_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 3, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "docs_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 3, numPerm = 32, bands = 8, threshold = 0.8)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "docs_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("id")),
+
+    "emb_dup_pairs" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", "embedding", threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search ------------------------------------------------
+    "emb_knn_brute" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnBrute(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "rank")
+    }),
+
+    "emb_knn_bucketed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnBucketed(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 1, bits = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "rank")
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "docs_langid" -> ((s, dir) =>
+      TextOps.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("id")),
+
+    "docs_quality" -> ((s, dir) =>
+      TextOps.quality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .orderBy("id")),
+
+    "docs_token_counts" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id").as("id"),
+          TextOps.tokenCountWs(col("text")).as("ws_tokens"),
+          TextOps.tokenCountRegex(col("text")).as("re_tokens"))
+        .orderBy("id")
+    }),
+
+    "docs_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
+          "doc_id", "text", k = 3)
+        .orderBy("id")),
+
+    // ---- multimodal (decode stubbed; plumbing real) -----------------------
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeBinary(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes")
+        .toDF().orderBy("id")),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", stride = 2)
+        .toDF().orderBy("id", "frame_idx"))
+  )
+
+  /** hash60 in DuckDB. */
+  private def h60(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** Distinct word-3-shingles CTE over documents. */
+  private val shinglesCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+              FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i))"""
+
+  private val jaccardSql =
+    s"""WITH $shinglesCte,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+       SELECT id_a, id_b,
+         round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+       FROM inter
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+       WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+       ORDER BY id_a, id_b"""
+
+  private val cosSql =
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)"
+
+  private val srp6 =
+    """(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)"""
+
+  val oracle: Map[String, String] = Map(
+    "docs_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+
+    "docs_jaccard_pairs" -> jaccardSql,
+
+    // full MinHash+LSH mirror: 32 perm hashes -> 8 bands of 4 -> bucket
+    // self-join -> exact-Jaccard verification (same as the Spark plan)
+    "docs_minhash_pairs" ->
+      s"""WITH $shinglesCte,
+           mh AS (
+             SELECT doc_id, p, min(${h60("p || ':' || g")}) AS h
+             FROM sh, UNNEST(generate_series(0, 31)) AS pp(p)
+             GROUP BY doc_id, p),
+           bands AS (
+             SELECT doc_id, p // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS band_key
+             FROM mh GROUP BY doc_id, band),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           ver AS (
+             SELECT id_a, id_b, count(*) AS c
+             FROM cand JOIN sh a ON a.doc_id = id_a
+               JOIN sh b ON b.doc_id = id_b AND a.g = b.g
+             GROUP BY id_a, id_b)
+         SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         FROM ver JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+         ORDER BY id_a, id_b""",
+
+    "docs_simhash" ->
+      s"""WITH words AS (
+             SELECT doc_id, ${h60("u.w")} AS h
+             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+           perbit AS (
+             SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+               count(*) AS total
+             FROM words, UNNEST(generate_series(0, 59)) AS t(b)
+             GROUP BY doc_id, b)
+         SELECT doc_id AS id,
+           sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END) AS simhash
+         FROM perbit GROUP BY doc_id ORDER BY id""",
+
+    "emb_dup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    "emb_knn_brute" ->
+      s"""SELECT * FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS id,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+             $cosSql AS cos
+           FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+           WHERE a.vec_id < 10)
+         WHERE rank <= 3 ORDER BY qid, rank""",
+
+    "emb_knn_bucketed" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $srp6 AS bucket FROM embeddings),
+           q AS (SELECT * FROM c WHERE vec_id < 10)
+         SELECT * FROM (
+           SELECT q.vec_id AS qid, b.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+           FROM q JOIN c b ON q.bucket = b.bucket AND q.vec_id != b.vec_id)
+         WHERE rank <= 1 ORDER BY qid, rank""",
+
+    "docs_langid" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect(ws, $lst)) AS s_$lang"
+      }.mkString(", ")
+      // left-to-right argmax with first-wins tie-break (mirrors the fold)
+      val folded = TextOps.LangMarkers.tail.foldLeft(
+        (s"s_${TextOps.LangMarkers.head._1}", s"'${TextOps.LangMarkers.head._1}'")) {
+        case ((bs, bl), (lang, _)) =>
+          (s"greatest($bs, s_$lang)",
+            s"(CASE WHEN s_$lang > $bs THEN '$lang' ELSE $bl END)")
+      }
+      s"""WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+             FROM documents),
+           sc AS (SELECT doc_id, $scores FROM w)
+         SELECT doc_id AS id, ${folded._2} AS lang_pred,
+           ${folded._1} AS score
+         FROM sc ORDER BY id"""
+    },
+
+    "docs_quality" ->
+      """WITH f AS (
+           SELECT doc_id, length(text) AS n_chars,
+             string_split(text, ' ') AS ws
+           FROM documents)
+         SELECT doc_id AS id, n_chars, len(ws) AS n_tokens,
+           round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws), 6)
+             AS mean_token_len,
+           round(len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+             * 1.0 / len(list_distinct(ws)), 6) AS stopword_ratio,
+           round(least(len(ws) / 100.0, 1.0) * 0.5 +
+             (len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+              * 1.0 / len(list_distinct(ws))) * 0.5, 6) AS quality
+         FROM f ORDER BY id""",
+
+    "docs_token_counts" ->
+      s"""SELECT doc_id AS id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '${TextOps.TokenRegex}')) AS re_tokens
+         FROM documents ORDER BY id""",
+
+    "docs_fingerprint" ->
+      s"""WITH $shinglesCte
+         SELECT doc_id AS id, min(${h60("g")}) AS fingerprint
+         FROM sh GROUP BY doc_id ORDER BY id""",
+
+    "mm_decode" ->
+      """SELECT doc_id AS id,
+           CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(1 + unicode(substr(text, 1, 1)) % 64 AS INT) AS height,
+           3 AS channels,
+           CAST((1 + octet_length(encode(text)) % 64)
+             * (1 + unicode(substr(text, 1, 1)) % 64) * 3 AS BIGINT) AS n_pixels
+         FROM documents ORDER BY id""",
+
+    "mm_frames" ->
+      """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1024 AS BIGINT) AS byte_offset
+         FROM documents,
+           UNNEST(generate_series(0, octet_length(encode(text)) % 5, 2)) AS t(i)
+         ORDER BY id, frame_idx""")
+}

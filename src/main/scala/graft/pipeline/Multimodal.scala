@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media (image/audio/video) travel as opaque
+  * `binary` columns + typed metadata; decode / feature-extract / frame-
+  * sample run per partition over iterators (one codec instance per
+  * partition, streaming — never materializing a partition in memory).
+  *
+  * The decode itself is STUBBED: this container has no image/audio codecs,
+  * so [[decodeStub]] derives deterministic fake features from the raw
+  * bytes. The Spark-side shape — schema, encoders, partition iterator,
+  * per-partition "codec" lifecycle — is the real, tested part; swapping
+  * the stub for javax.imageio / ffmpeg bindings changes only the marked
+  * function body.
+  *
+  * Scale notes (100 TB): media rows are large → keep
+  * `spark.sql.files.maxPartitionBytes` small enough that a partition of
+  * blobs fits in executor memory, and select the binary column only in
+  * the decode stage (column pruning keeps it out of every other scan).
+  */
+object Multimodal {
+
+  /** Decoded-media metadata (what a real image decode would yield). */
+  final case class MediaMeta(
+      id: Long, width: Int, height: Int, channels: Int, n_pixels: Long)
+
+  /** One sampled frame reference of a (fake) video. */
+  final case class Frame(id: Long, frame_idx: Int, byte_offset: Long)
+
+  /** ======== STUB ======== deterministic fake "decode" of a media blob.
+    * Real implementation: decode `bytes` with an image codec here
+    * (per-partition codec instance is set up in [[decodeBinary]]). */
+  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val w = 1 + (bytes.length % 64)
+    val h = 1 + ((if (bytes.nonEmpty) bytes(0) & 0xff else 0) % 64)
+    MediaMeta(id, w, h, 3, w.toLong * h * 3)
+  }
+
+  /** Decode a binary column into media metadata, one codec per partition.
+    * Input: (id: Long, bytes: binary). */
+  def decodeBinary(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // real codec init would happen here, once per partition
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Sample every `stride`-th "frame" of a (fake) video blob: one output
+    * row per sampled frame, streamed from the partition iterator. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): Dataset[Frame] = {
+    require(stride > 0, "stride must be positive")
+    implicit val enc = Encoders.product[Frame]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          // STUB: frame count = len % 5 + 1; real impl reads container index
+          val frames = bytes.length % 5 + 1
+          (0 until frames by stride).iterator.map(i =>
+            Frame(id, i, i.toLong * 1024))
+        }
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: token counting, quality
+  * scoring, language identification, document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs); regex patterns are
+  * restricted to constructs with identical semantics in Java regex (Spark)
+  * and RE2 (DuckDB oracle): character classes, +, |.
+  */
+object TextOps {
+
+  /** Whitespace token count (single-space tokenization). */
+  def tokenCountWs(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: runs of lowercase letters, runs of digits, or
+    * single non-alphanumeric non-space characters each count as a token —
+    * a cheap proxy for subword tokenizer output length. */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenRegex), lit(0)))
+
+  /** Quality-score features + composite score in [0, 1]:
+    * short docs and stopword-free docs score low (heuristic curation
+    * signal, not a model). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val nTokens = size(words)
+    val stopRatio = size(array_intersect(words, stop)).cast("double") /
+      size(array_distinct(words))
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / nTokens
+    df.select(
+      col(idCol).as("id"),
+      length(col(textCol)).as("n_chars"),
+      nTokens.as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(
+        least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
+          stopRatio * 0.5, 6).as("quality"))
+  }
+
+  /** Marker-word sets per language (the n-gram-heuristic skeleton: score =
+    * |words ∩ markers|, predict argmax, ties broken by language order).
+    * Real deployments learn char-n-gram profiles; the plan shape — a
+    * per-language score column + greatest() — is identical. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "group", "join"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "row", "table"),
+    "fr" -> Seq("merge", "sort", "key"),
+    "zh" -> Seq("hash", "scan", "filter"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = array_distinct(split(col(textCol), " "))
+    val scored = LangMarkers.map { case (lang, ms) =>
+      lang -> size(array_intersect(words, array(ms.map(lit): _*)))
+    }
+    // argmax with first-in-order tie-break: fold left keeping (best, lang)
+    val first = scored.head
+    val (bestScore, bestLang) = scored.tail.foldLeft(
+      (first._2, lit(first._1))) { case ((bs, bl), (lang, sc)) =>
+      (greatest(bs, sc), when(sc > bs, lit(lang)).otherwise(bl))
+    }
+    df.select(col(idCol).as("id"), bestLang.as("lang_pred"),
+      bestScore.as("score"))
+  }
+
+  /** Document fingerprint: min 60-bit hash over word k-shingles (the
+    * 1-fingerprint degenerate case of winnowing; content-defined, stable
+    * under doc reordering of equal shingles). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    Dedup.shingles(df, idCol, textCol, k)
+      .groupBy(col("id"))
+      .agg(min(Dedup.hash60(col("shingle"))).as("fingerprint"))
+}
