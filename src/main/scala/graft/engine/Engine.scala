@@ -76,18 +76,35 @@ final class Engine(val ctx: TsdbContext) {
 
   /** One output sample per (metric:func, output series) over the whole
     * range (range optional = whole history). Output ts = earliest sample ts
-    * contributing to the aggregate. */
+    * contributing to the aggregate.
+    *
+    * All functions requested for one metric are computed in a single
+    * groupBy pass (the reference likewise extracts every requested field
+    * from one accumulated AggregationResult, tuples.h:52-88); the
+    * per-function output rows are then unfolded from that one row — one
+    * fact scan regardless of how many functions are asked for. */
   def aggregate(q: AggregateQuery): DataFrame = {
-    val parts = q.funcs.map { case (metric, func) =>
-      val ids = resolvedIds(Seq(metric), q.where, q.groupBy,
-        renameMetric = Some(SeriesName.aggregateMetric(metric, func.token)))
+    val parts = q.funcs.groupBy(_._1).toSeq.sortBy(_._1).map { case (metric, mfs) =>
+      val funcs = mfs.map(_._2)
+      val ids = resolvedIds(Seq(metric), q.where, q.groupBy)
       val in = q.range match {
         case Some(r) => scan(ids, r)
         case None => ctx.samples
           .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       }
-      in.groupBy(col("out_name").as("series"))
-        .agg(min(col("ts")).as("ts"), aggColumn(func).as("value"))
+      val aggCols = min(col("ts")).as("__ts") +:
+        funcs.zipWithIndex.map { case (f, i) => aggColumn(f).as(s"__v$i") }
+      val agged = in.groupBy(col("out_name")).agg(aggCols.head, aggCols.tail: _*)
+      // out_name = "metric[ tags]"; rename to "metric:func[ tags]" per func
+      val suffix = substring(col("out_name"), metric.length + 1, Int.MaxValue)
+      val rows = funcs.zipWithIndex.map { case (f, i) =>
+        struct(
+          concat(lit(SeriesName.aggregateMetric(metric, f.token)), suffix).as("series"),
+          col("__ts").as("ts"), col(s"__v$i").as("value"))
+      }
+      agged.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.series").as("series"), col("r.ts").as("ts"),
+          col("r.value").as("value"))
     }
     val df = parts.reduce(_ unionByName _)
     val out = ApplyNodes.chain(df, q.apply, Seq("value"))

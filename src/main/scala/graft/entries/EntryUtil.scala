@@ -21,8 +21,18 @@ object EntryUtil {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  private val engines =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Engine]
+
+  /** Engine over `dir`, memoized per session with the series catalog
+    * cached: the catalog is the one derived table every query re-joins
+    * (the reference keeps it as an in-memory matcher for the same reason:
+    * series_matcher.h), and it is broadcast-sized by design. */
   def engineFor(spark: SparkSession, dir: String): Engine =
-    new Engine(TsdbContext.fromTestdata(spark, dir))
+    engines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      new Engine(ctx.copy(series = ctx.series.cache()))
+    })
 
   /** µs view of the engine's Long-ns ts column, oracle-comparable. */
   def usView(df: DataFrame, valueCols: Seq[String] = Seq("value")): DataFrame = {

@@ -11,37 +11,48 @@ import EntryUtil.QueryFn
   */
 object PipelineEntries {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Testdata tables arrive as one small parquet file = one input split,
+    * which would serialize every downstream map on a single core. Fan out
+    * to the session's parallelism first — on a real many-file corpus the
+    * scan already has enough splits and callers skip this. */
+  private def rp(s: SparkSession, dir: String, table: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$table.parquet")
+    df.repartition(s.sparkContext.defaultParallelism)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // ---- dedup ------------------------------------------------------------
     "docs_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      Dedup.exact(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("text_hash")),
 
     "docs_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.jaccardPairs(rp(s, dir, "documents"),
           "doc_id", "text", k = 3, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
     "docs_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.minhashPairs(rp(s, dir, "documents"),
           "doc_id", "text", k = 3, numPerm = 32, bands = 8, threshold = 0.8)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
     "docs_simhash" -> ((s, dir) =>
-      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      Dedup.simhash(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
     "emb_dup_pairs" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+      Dedup.embeddingDupPairs(rp(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.9)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
     // ---- similarity search ------------------------------------------------
     "emb_knn_brute" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = rp(s, dir, "embeddings")
       Similarity.knnBrute(
           emb.select(col("vec_id").as("id"), col("embedding")),
           emb.where(col("vec_id") < 10)
@@ -52,7 +63,7 @@ object PipelineEntries {
     }),
 
     "emb_knn_bucketed" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = rp(s, dir, "embeddings")
       Similarity.knnBucketed(
           emb.select(col("vec_id").as("id"), col("embedding")),
           emb.where(col("vec_id") < 10)
@@ -64,15 +75,15 @@ object PipelineEntries {
 
     // ---- text analysis ----------------------------------------------------
     "docs_langid" -> ((s, dir) =>
-      TextOps.langId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      TextOps.langId(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
     "docs_quality" -> ((s, dir) =>
-      TextOps.quality(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      TextOps.quality(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
     "docs_token_counts" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
+      val d = rp(s, dir, "documents")
       d.select(col("doc_id").as("id"),
           TextOps.tokenCountWs(col("text")).as("ws_tokens"),
           TextOps.tokenCountRegex(col("text")).as("re_tokens"))
@@ -80,21 +91,21 @@ object PipelineEntries {
     }),
 
     "docs_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprint(s.read.parquet(s"$dir/documents.parquet"),
+      TextOps.fingerprint(rp(s, dir, "documents"),
           "doc_id", "text", k = 3)
         .orderBy("id")),
 
     // ---- multimodal (decode stubbed; plumbing real) -----------------------
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeBinary(
-          s.read.parquet(s"$dir/documents.parquet")
+          rp(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes")
         .toDF().orderBy("id")),
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-          s.read.parquet(s"$dir/documents.parquet")
+          rp(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes", stride = 2)
         .toDF().orderBy("id", "frame_idx"))
@@ -144,18 +155,26 @@ object PipelineEntries {
 
     "docs_jaccard_pairs" -> jaccardSql,
 
-    // full MinHash+LSH mirror: 32 perm hashes -> 8 bands of 4 -> bucket
-    // self-join -> exact-Jaccard verification (same as the Spark plan)
-    "docs_minhash_pairs" ->
+    // full MinHash+LSH mirror: one base hash per shingle + 32 affine perms
+    // mod 2^31-1 -> 8 bands of 4 -> bucket self-join -> exact-Jaccard
+    // verification (identical arithmetic to the Spark plan)
+    "docs_minhash_pairs" -> {
+      val M = graft.pipeline.Dedup.MinhashPrime
+      val params = graft.pipeline.Dedup.permParams(32)
+      val minSelects = params.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * hb + $b) % $M) AS m$i"
+      }.mkString(", ")
+      val bandKeys = (0 until 8).map { band =>
+        val ks = (band * 4 until band * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+        s"WHEN $band THEN $ks"
+      }.mkString(" ")
       s"""WITH $shinglesCte,
-           mh AS (
-             SELECT doc_id, p, min(${h60("p || ':' || g")}) AS h
-             FROM sh, UNNEST(generate_series(0, 31)) AS pp(p)
-             GROUP BY doc_id, p),
+           shb AS (SELECT doc_id, ${h60("g")} % $M AS hb FROM sh),
+           mh AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),
            bands AS (
-             SELECT doc_id, p // 4 AS band,
-               string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS band_key
-             FROM mh GROUP BY doc_id, band),
+             SELECT doc_id, b AS band, CASE b $bandKeys END AS band_key
+             FROM mh, UNNEST(generate_series(0, 7)) AS t(b)),
            cand AS (
              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
              FROM bands x JOIN bands y
@@ -171,7 +190,8 @@ object PipelineEntries {
          FROM ver JOIN sz sa ON sa.doc_id = id_a
            JOIN sz sb ON sb.doc_id = id_b
          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""
+    },
 
     "docs_simhash" ->
       s"""WITH words AS (

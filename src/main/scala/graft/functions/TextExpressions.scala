@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels for text shingling (static methods so generated code
+  * can call them directly). */
+object TextKernels {
+
+  /** Distinct word k-shingles of `text` in first-occurrence order.
+    * Split preserves empty tokens (`split(" ", -1)`), matching
+    * `split()`/`string_split` semantics in Spark SQL and DuckDB. */
+  def wordShingles(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = words.length - k + 1
+    val seen = new java.util.LinkedHashSet[String](n * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator
+    var m = 0
+    while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Native expressions for the dedup/text pipeline.
+  *
+  * The composable form (`transform(sequence(...), i -> array_join(slice(
+  * words, i, k), ' '))`) evaluates an interpreted lambda — with an array
+  * copy — per shingle per document; at corpus scale the shingling pass
+  * dominates MinHash/Jaccard dedup cost. [[TextExpressions.WordShingles]]
+  * is one compiled kernel call per document instead, and dedups in-array
+  * so no `distinct` shuffle is needed afterwards (each document is a
+  * single input row, so per-document dedup == global (id, shingle)
+  * dedup).
+  */
+object TextExpressions {
+
+  case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.wordShingles(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.wordShingles($c, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+  }
+
+  /** Distinct word k-shingles (first-occurrence order) of a string column. */
+  def wordShingles(text: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), k))
+}

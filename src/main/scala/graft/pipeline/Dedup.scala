@@ -30,16 +30,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word k-shingles per document: (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    require(k >= 1, "shingle size must be >= 1")
-    val words = split(col(textCol), " ")
-    // shingle i = words[i..i+k) joined by space, for i in [0, n-k]
-    val sh = transform(
-      sequence(lit(0), greatest(size(words) - k, lit(-1))),
-      i => array_join(slice(words, i + 1, lit(k)), " "))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
-  }
+  /** Distinct word k-shingles per document: (id, shingle). The shingling
+    * kernel ([[graft.functions.TextExpressions.WordShingles]]) dedups
+    * within the document, and each document is one input row, so the
+    * output is globally distinct with no extra shuffle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.TextExpressions.wordShingles(col(textCol), k))
+        .as("shingle"))
+
+  /** Distinct hashed shingles per document: (id, h). Joining/intersecting
+    * on 8-byte longs instead of k-word strings is the scale form — string
+    * equality on shuffle keys costs length, longs cost 8 bytes. (60-bit
+    * collisions are ~n²/2⁶¹ — negligible against corpus sizes where this
+    * engine applies.) */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingles(df, idCol, textCol, k).select(col("id"), hash60(col("shingle")).as("h"))
 
   /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
     * `maxShingleFreq` drops shingles shared by more than that many docs
@@ -49,16 +55,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = shingleHashes(df, idCol, textCol, k).cache()
     val pruned = maxShingleFreq match {
       case None => sh
       case Some(cap) =>
-        val hot = sh.groupBy("shingle").count().where(col("count") > cap)
-        sh.join(hot, Seq("shingle"), "left_anti")
+        val hot = sh.groupBy("h").count().where(col("count") > cap)
+        sh.join(hot, Seq("h"), "left_anti")
     }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = pruned.as("a")
-      .join(pruned.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(pruned.as("b"), col("a.h") === col("b.h") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"))
@@ -70,28 +76,30 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Modulus of the MinHash permutation family: the Mersenne prime 2³¹−1.
+    * Affine products stay < 2⁶² so the identical BIGINT arithmetic runs in
+    * both Spark and the DuckDB oracle without overflow. */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic affine-permutation parameters (aᵢ ∈ [1,M), bᵢ ∈ [0,M)),
+    * from a fixed-seed LCG so Spark plans and generated oracle SQL agree. */
+  def permParams(numPerm: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPerm)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
   /** MinHash signature bands per document: (id, band, band_key).
-    * Permutation i is `hash60(i ++ ":" ++ shingle)` — independent hashes
-    * rather than affine perms of one hash (affine needs 122-bit modular
-    * multiplication, not expressible in codegen'd Long arithmetic). */
+    *
+    * One md5-derived base hash per distinct shingle, then the classic
+    * affine family hᵢ = (aᵢ·h + bᵢ) mod (2³¹−1). The signature is computed
+    * as `numPerm` min-aggregate columns in a single groupBy — no per-perm
+    * row explosion, one partial-aggregatable shuffle of |docs| skinny
+    * rows regardless of corpus size. */
   def minhashBands(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int, numPerm: Int, bands: Int): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val sh = shingles(df, idCol, textCol, k)
-    // (id, perm, h) — one row per (shingle, perm); min over shingles
-    val perms = sh.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(numPerm - 1)),
-        i => hash60(concat(i.cast("string"), lit(":"), col("shingle"))))))
-      .toDF("id", "perm", "h")
-      .groupBy("id", "perm").agg(min("h").as("h"))
-    val rowsPerBand = numPerm / bands
-    perms
-      .withColumn("band", col("perm").divide(rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("perm"), col("h")))),
-        e => e.getField("h").cast("string")), ",").as("band_key"))
-  }
+      k: Int, numPerm: Int, bands: Int): DataFrame =
+    minhashBandsOf(shingleHashes(df, idCol, textCol, k), numPerm, bands)
 
   /** MinHash+LSH near-dup pairs: band-bucket candidates, then exact
     * Jaccard verification (so output has no LSH false positives; recall
@@ -100,14 +108,33 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val b = minhashBands(df, idCol, textCol, k, numPerm, bands)
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    // One groupBy computes the signature minima AND the shingle set, and
+    // the result (one skinny row per document) is cached: its four
+    // consumers (band explode ×2 sides of the self-join, verification
+    // sets ×2) would otherwise each re-run the shingling+hashing map side
+    // — column pruning specializes the aggregate per consumer, so
+    // ReuseExchange cannot dedupe them.
+    val hashed = shingleHashes(df, idCol, textCol, k)
+      .withColumn("hb", pmod(col("h"), lit(MinhashPrime)))
+    val params = permParams(numPerm)
+    val aggCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
+    } :+ collect_set(col("h")).as("set")
+    val sig = hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*).cache()
+    val rowsPerBand = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
+    }
+    val b = sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val cand = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val sets = shingles(df, idCol, textCol, k)
-      .groupBy("id").agg(collect_set(col("shingle")).as("set"))
+    val sets = sig.select(col("id"), col("set"))
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
@@ -115,6 +142,24 @@ object Dedup {
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** [[minhashBands]] over a prepared (id, h) hashed-shingle DataFrame. */
+  private def minhashBandsOf(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val hashed = sh.withColumn("hb", pmod(col("h"), lit(MinhashPrime)))
+    val params = permParams(numPerm)
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val rowsPerBand = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
+    }
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** 60-bit SimHash per document: majority vote per bit over word hashes

@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product in double precision (sequential fold —
-    * bit-identical across engines for the oracle). */
+  /** Elementwise dot product in double precision — a native codegen'd
+    * Catalyst expression ([[graft.functions.VectorExpressions.VecDot]]);
+    * sequential fold order, bit-identical to the oracle's list arithmetic. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (same IEEE op sequence as dot/(‖a‖‖b‖)). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * @param corpus (id, embedding) — the searched set

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+
+import graft.query.Ast.AggFunc
+
+/** Streaming ingestion + continuous downsampling.
+  *
+  * The reference has no continuous-query engine — its "streaming" is the
+  * RESP/OpenTSDB ingestion path feeding the store, and queries re-run over
+  * storage (SURVEY §1.1). Here the same capability is expressed with
+  * Structured Streaming: `readStream` (socket/Kafka/file) → the *same*
+  * parser/column algebra as batch ([[graft.sources.OpenTsdb]]) →
+  * event-time windowed aggregation with watermarked state → parquet/console
+  * sink. Because parsers and aggregations are plain DataFrame transforms,
+  * every operator here also runs unchanged on a batch DataFrame — tests
+  * exercise both paths.
+  *
+  * Scale notes: the only state held by a streaming downsample is one
+  * aggregation buffer per (series, open window); the watermark bounds open
+  * windows, so state is O(active series), independent of throughput.
+  * Ingestion parsing is stateless and scales linearly with input partitions
+  * (= Kafka partitions).
+  */
+object TsdbStream {
+
+  /** ns → µs TimestampType column (event time for watermarking). */
+  def eventTime(tsNs: Column): Column =
+    timestamp_micros((tsNs / 1000L).cast("long"))
+
+  /** Continuous group-aggregate: time-bucketed min/max/sum/cnt/mean per
+    * series, watermarked so late data beyond `lateness` is dropped and
+    * window state is reclaimed. Mirrors the batch GROUP_AGGREGATE kind
+    * (SURVEY §2.1) with bins aligned to the epoch.
+    *
+    * @param samples streaming or batch DataFrame (series_id|name, ts, value)
+    * @param step     bucket width, e.g. "1 minute"
+    * @param lateness watermark delay, e.g. "10 minutes"
+    */
+  def downsample(samples: DataFrame, step: String, lateness: String,
+      funcs: Seq[AggFunc] = Seq(AggFunc.Min, AggFunc.Max, AggFunc.Cnt)): DataFrame = {
+    val keyCol = if (samples.columns.contains("name")) "name" else "series_id"
+    val aggs = funcs.map {
+      case AggFunc.Min => min(col("value")).as("min")
+      case AggFunc.Max => max(col("value")).as("max")
+      case AggFunc.Sum => sum(col("value")).as("sum")
+      case AggFunc.Cnt => count(col("value")).cast("double").as("cnt")
+      case AggFunc.Mean => avg(col("value")).as("mean")
+      case f => throw new IllegalArgumentException(
+        s"streaming downsample supports min/max/sum/cnt/mean, not ${f.token}")
+    }
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col(keyCol), window(col("event_time"), step))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: col("window.start").as("bin") +: funcs.map(f => col(f.token)): _*)
+  }
+
+  /** Streaming exact dedup of samples on (series, ts) within the watermark
+    * horizon — the ingestion-side guard the reference gets from its
+    * tree-append idempotence. */
+  def dedup(samples: DataFrame, lateness: String): DataFrame = {
+    val keyCol = if (samples.columns.contains("name")) "name" else "series_id"
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicates(Seq(keyCol, "ts"))
+      .drop("event_time")
+  }
+
+  private case class EwmaRow(name: String, ts: Long, value: Double)
+  private case class EwmaOut(name: String, ts: Long, value: Double, ewma: Double)
+  private case class EwmaSt(v: Double, n: Long)
+
+  /** Continuous per-series EWMA over an append stream — the streaming twin
+    * of the `ewma` apply node, carrying its recursive state in
+    * `mapGroupsWithState` (unbounded-lateness variant; batch path uses
+    * [[graft.ops.ApplyNodes]]). State: 16 bytes per series. Rows within a
+    * micro-batch are folded in (ts) order. */
+  def ewma(samples: DataFrame, decay: Double): DataFrame = {
+    implicit val rowEnc = Encoders.product[EwmaRow]
+    implicit val stEnc = Encoders.product[EwmaSt]
+    implicit val outEnc = Encoders.kryo[List[EwmaOut]]
+    val keyCol = if (samples.columns.contains("name")) col("name") else col("series_id").cast("string")
+    val ds: Dataset[EwmaRow] = samples
+      .select(keyCol.as("name"), col("ts"), col("value").cast("double"))
+      .as[EwmaRow]
+    val listed = ds.groupByKey(_.name)(Encoders.STRING)
+      .mapGroupsWithState[EwmaSt, List[EwmaOut]](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[EwmaRow], state: GroupState[EwmaSt]) =>
+          var st = state.getOption.getOrElse(EwmaSt(0.0, 0L))
+          val out = rows.toSeq.sortBy(_.ts).map { r =>
+            st = if (st.n == 0L) EwmaSt(r.value, 1L)
+            else EwmaSt(decay * r.value + (1.0 - decay) * st.v, st.n + 1L)
+            EwmaOut(key, r.ts, r.value, st.v)
+          }
+          state.update(st)
+          out.toList
+      }
+    implicit val flatEnc = Encoders.product[EwmaOut]
+    listed.flatMap(identity).toDF("name", "ts", "value", "ewma")
+  }
+}
