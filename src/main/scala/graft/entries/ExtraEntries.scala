@@ -1,0 +1,243 @@
+package graft.entries
+
+import org.apache.spark.sql.functions._
+
+import graft.query.QueryParser
+import graft.sources.OpenTsdb
+import graft.spatial.Spatial
+import EntryUtil._
+
+/** Second wave of driver-contract entries: spatial (R-tree analog),
+  * metadata search, the remaining apply nodes (diff/divide/frequent-items/
+  * sma-error/ewma), aggregate re-keying, join filter combiners, and an
+  * ingestion-protocol round-trip.
+  */
+object ExtraEntries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // ---- spatial (SURVEY §2.9: R-tree range + kNN over series locations) --
+    "ts_spatial_range" -> ((s, dir) =>
+      Spatial.rangeQuery(engineFor(s, dir).ctx.series, -60, 60, -40, 40)
+        .select(col("name"), col("lon"), col("lat"))
+        .orderBy("name")),
+
+    "ts_spatial_knn" -> ((s, dir) =>
+      Spatial.knn(engineFor(s, dir).ctx.series, 10.0, 10.0, k = 15)
+        .select(col("name"), round(col("dist2"), 6).as("dist2"))
+        .orderBy("dist2", "name")),
+
+    // ---- metadata: search + tag-names suggest -----------------------------
+    "ts_search" -> ((s, dir) =>
+      engineFor(s, dir).run(QueryParser.parseSearch(
+        """{"select": "purchase", "where": {"user": ["1", "2", "3", "12"]}}"""))
+        .select("name")),
+
+    "ts_suggest_tag_names" -> ((s, dir) =>
+      engineFor(s, dir).execute(
+        """{"select": "tag-names", "metric": "click", "starts-with": "u"}""")),
+
+    // ---- aggregate + group-by-tag (AggregateCombiner, SURVEY §2.4) --------
+    "ts_agg_groupby_tag" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"aggregate": {"purchase": "sum"},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "group-by-tag": ["user"]}"""))),
+
+    // ---- select + pivot-by-tag (keep-only re-keying) ----------------------
+    "ts_select_pivot_tag" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "pivot-by-tag": ["user"]}"""))),
+
+    // ---- join with per-metric filters + ANY combiner ----------------------
+    "ts_join_filter_any" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "filter": {"click": {"gt": 100}, "view": {"gt": 100},
+                        "=": {"require": "any"}}}"""),
+        valueCols = Seq("click", "view"))),
+
+    // ---- remaining apply nodes --------------------------------------------
+    "ts_apply_diff" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "diff", "ignore_missing": true}]}"""))),
+
+    "ts_apply_divide" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "divide", "ignore_missing": true}]}"""))),
+
+    "ts_apply_frequent_items" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "frequent-items",
+                        "portion": 0.0068, "error": 0.0003}]}"""))),
+
+    "ts_apply_sma_error" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "sma-error", "window-width": 5}]}"""))),
+
+    // EWMA is genuinely recursive (flatMapSortedGroups per series); the
+    // oracle replays the recursion with list_reduce in the same IEEE op
+    // order, so values compare bit-exactly (round(6) like the rest).
+    "ts_apply_ewma" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "ewma", "decay": 0.3}]}"""))),
+
+    // ---- ingestion protocol round-trip ------------------------------------
+    // Render OpenTSDB `put` lines from the raw events, parse them back with
+    // the codegen line parser, and emit normalized samples; the oracle
+    // computes the same samples directly — checking the parser end-to-end.
+    "src_opentsdb_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+      val lines = ev.select(concat(
+        lit("put "), col("event_type"), lit(" "), col("ts").cast("string"),
+        lit(" "), col("value").cast("string"),
+        lit(" user="), col("user_id").cast("string")).as("value"))
+      OpenTsdb.parseLines(lines)
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "ts_us", "value")
+    })
+  )
+
+  /** lon/lat synthesized from user_id (TsdbContext.fromTestdata). */
+  private val lonSql = "CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT)"
+  private val latSql = "CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT)"
+
+  /** All metric (non-event) series with their locations. */
+  private val seriesCte =
+    s"""se AS (SELECT DISTINCT concat(event_type, ' user=',
+          CAST(user_id AS VARCHAR)) AS name,
+          $lonSql AS lon, $latSql AS lat
+        FROM events)"""
+
+  val oracle: Map[String, String] = Map(
+    "ts_spatial_range" ->
+      s"""WITH $seriesCte
+         SELECT name, lon, lat FROM se
+         WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -40 AND 40
+         ORDER BY name""",
+
+    "ts_spatial_knn" ->
+      s"""WITH $seriesCte
+         SELECT name, round((lon - 10.0) * (lon - 10.0)
+           + (lat - 10.0) * (lat - 10.0), 6) AS dist2
+         FROM se
+         ORDER BY (lon - 10.0) * (lon - 10.0) + (lat - 10.0) * (lat - 10.0),
+           name
+         LIMIT 15""",
+
+    "ts_search" ->
+      """SELECT DISTINCT concat('purchase user=', CAST(user_id AS VARCHAR)) AS name
+         FROM events WHERE event_type = 'purchase' AND user_id IN (1, 2, 3, 12)
+         ORDER BY name""",
+
+    "ts_suggest_tag_names" ->
+      """SELECT DISTINCT 'user' AS name FROM events
+         WHERE event_type = 'click' AND 'user' LIKE 'u%'""",
+
+    "ts_agg_groupby_tag" ->
+      s"""SELECT 'purchase:sum' AS series, min(epoch_us(ts)) AS ts_us,
+            round(sum(value), 6) AS value
+          ${oracleScan("purchase")}""",
+
+    "ts_select_pivot_tag" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          ${oracleScan("purchase")} ORDER BY series, ts_us""",
+
+    "ts_join_filter_any" ->
+      s"""SELECT * FROM (
+            SELECT concat('click|view user=', CAST(user_id AS VARCHAR)) AS series,
+              epoch_us(ts) AS ts_us,
+              round(max(value) FILTER (WHERE event_type = 'click' AND value > 100), 6)
+                AS click,
+              round(max(value) FILTER (WHERE event_type = 'view' AND value > 100), 6)
+                AS "view"
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY user_id, ts)
+          WHERE click IS NOT NULL OR "view" IS NOT NULL
+          ORDER BY series, ts_us""",
+
+    "ts_apply_diff" ->
+      s"""SELECT series, ts_us,
+            round(coalesce(click, 0.0) - coalesce("view", 0.0), 6) AS value
+          FROM (${pivot2Sql("click", "view")}) ORDER BY series, ts_us""",
+
+    "ts_apply_divide" ->
+      s"""SELECT series, ts_us,
+            round(coalesce(click, 1.0) / coalesce("view", 1.0), 6) AS value
+          FROM (${pivot2Sql("click", "view")}) ORDER BY series, ts_us""",
+
+    "ts_apply_frequent_items" ->
+      s"""WITH f AS (SELECT user_id, ts, value ${oracleScan("purchase")}),
+            tot AS (SELECT count(*) AS t FROM f)
+          SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            max(epoch_us(ts)) AS ts_us, CAST(count(*) AS DOUBLE) AS value
+          FROM f, tot GROUP BY user_id, t
+          HAVING count(*) > (0.0068 - 0.0003) * t
+          ORDER BY value DESC, series""",
+
+    "ts_apply_sma_error" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(value - coalesce(sum(value) OVER (PARTITION BY user_id
+              ORDER BY ts ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0.0) / 5,
+              6) AS value
+          ${oracleScan("purchase")} ORDER BY series, ts_us""",
+
+    // Exact replay of the reference EWMA recursion (10-sample arithmetic
+    // warm-up, sliding_window.cc:7-103): output_n = x_n for n<=11, else
+    // fold v ← x·d + v·(1−d) over x_12..x_{n-1} seeded with
+    // v11 = x_11·d + mean(x_1..x_11)·(1−d) — list_reduce applies the same
+    // IEEE operations in the same order as the engine's per-series fold,
+    // so the comparison is bit-exact.
+    "ts_apply_ewma" ->
+      s"""WITH f AS (
+            SELECT user_id, ts, value,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            ${oracleScan("purchase")}),
+          l AS (
+            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
+            FROM f GROUP BY user_id)
+          SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(CASE WHEN rn <= 11 THEN value
+              ELSE list_reduce(
+                list_prepend(
+                  xs[11] * 0.3 + (list_reduce(xs[1:11], (a, b) -> a + b) / 11)
+                    * (1.0 - 0.3),
+                  xs[12:rn - 1]),
+                (v, x) -> x * 0.3 + v * (1.0 - 0.3)) END, 6) AS value
+          FROM f JOIN l USING (user_id) ORDER BY series, ts_us""",
+
+    "src_opentsdb_roundtrip" ->
+      """SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+           epoch_us(ts) AS ts_us, round(value, 6) AS value
+         FROM events WHERE event_type = 'click'
+         ORDER BY name, ts_us, value""")
+
+  private def pivot2Sql(m1: String, m2: String): String =
+    s"""SELECT concat('$m1|$m2 user=', CAST(user_id AS VARCHAR)) AS series,
+          epoch_us(ts) AS ts_us,
+          max(value) FILTER (WHERE event_type = '$m1') AS "$m1",
+          max(value) FILTER (WHERE event_type = '$m2') AS "$m2"
+        FROM events
+        WHERE event_type IN ('$m1', '$m2')
+          AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+        GROUP BY user_id, ts"""
+}
