@@ -72,9 +72,9 @@ object TsdbStream {
       .drop("event_time")
   }
 
-  private case class EwmaRow(name: String, ts: Long, value: Double)
-  private case class EwmaOut(name: String, ts: Long, value: Double, ewma: Double)
-  private case class EwmaSt(v: Double, n: Long)
+  case class EwmaRow(name: String, ts: Long, value: Double)
+  case class EwmaOut(name: String, ts: Long, value: Double, ewma: Double)
+  case class EwmaSt(v: Double, n: Long)
 
   /** Continuous per-series EWMA over an append stream — the streaming twin
     * of the `ewma` apply node, carrying its recursive state in

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.spatial.Spatial
+
+/** Training-data pipeline operators: dedup, similarity, multimodal,
+  * spatial, and the native expressions backing them. */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- native expressions --------------------------------------------------
+
+  test("vec_dot and vec_cosine match reference math") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val Array(dot, cos) = df.select(
+      VectorExpressions.vecDot(col("a"), col("b")),
+      VectorExpressions.vecCosine(col("a"), col("b"))).as[(Double, Double)]
+      .collect().flatMap(t => Array(t._1, t._2))
+    assert(dot === 32.0)
+    assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
+  }
+
+  test("vec_cosine of identical vectors is 1") {
+    val df = Seq((Array(0.5f, -2f), Array(0.5f, -2f))).toDF("a", "b")
+    assert(df.select(VectorExpressions.vecCosine(col("a"), col("b")))
+      .as[Double].head() === 1.0)
+  }
+
+  test("word_shingles dedups and handles short/empty docs") {
+    val df = Seq("a b c d", "a b a b a b", "a b", "").toDF("text")
+    val out = df.select(TextExpressions.wordShingles(col("text"), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq("a b a", "b a b")) // duplicates collapsed
+    assert(out(2) === Seq.empty) // fewer than k words
+    assert(out(3) === Seq.empty)
+  }
+
+  // ---- dedup ---------------------------------------------------------------
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely different text about spark engines and columnar io")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH surfaces the exact pair and the verified near pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      k = 2, numPerm = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical -> every band collides
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard pairs: exact similarity with threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 2, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical, near docs are close") {
+    val h = Dedup.simhash(docs, "doc_id", "text").orderBy("id")
+      .select("simhash").as[Long].collect()
+    assert(h(0) === h(1))
+    assert(java.lang.Long.bitCount(h(0) ^ h(2)) < 20) // near dup: small hamming
+  }
+
+  // ---- similarity ----------------------------------------------------------
+
+  test("knnBrute returns exact top-k by cosine") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))).toDF("id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f))).toDF("qid", "embedding")
+    val out = Similarity.knnBrute(corpus, queries, k = 2)
+      .select("id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("knnBucketed only scores same-SRP-bucket candidates") {
+    val corpus = Seq(
+      (1L, Array(1f, 1f)), (2L, Array(1f, 0.5f)),
+      (3L, Array(-1f, -1f))).toDF("id", "embedding")
+    val queries = Seq((10L, Array(1f, 0.9f))).toDF("qid", "embedding")
+    val out = Similarity.knnBucketed(corpus, queries, k = 3, bits = 2)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L)) // 3 is in the opposite sign bucket
+  }
+
+  // ---- multimodal plumbing -------------------------------------------------
+
+  test("multimodal decode/frames stubs stream through mapPartitions") {
+    val df = Seq((1L, "abcdef".getBytes), (2L, Array.empty[Byte]))
+      .toDF("id", "bytes")
+    val meta = Multimodal.decodeBinary(df, "id", "bytes").collect().sortBy(_.id)
+    assert(meta.map(_.n_pixels).forall(_ > 0))
+    val frames = Multimodal.sampleFrames(df, "id", "bytes", stride = 1).collect()
+    assert(frames.nonEmpty && frames.forall(_.byte_offset % 1024 == 0))
+  }
+
+  // ---- spatial -------------------------------------------------------------
+
+  private lazy val cat = Seq(
+    ("s1", 0.0f, 0.0f), ("s2", 10.0f, 10.0f), ("s3", 50.0f, 50.0f),
+    ("s4", -170.0f, 80.0f)).toDF("name", "lon", "lat")
+
+  test("spatial range query returns boxed series") {
+    val out = Spatial.rangeQuery(cat, -20, 20, -20, 20)
+      .select("name").as[String].collect().toSet
+    assert(out === Set("s1", "s2"))
+  }
+
+  test("spatial kNN orders by distance with name tiebreak") {
+    val out = Spatial.knn(cat, 1.0, 1.0, 3).select("name").as[String].collect()
+    assert(out.toSeq === Seq("s1", "s2", "s3"))
+  }
+
+  test("grid-pruned kNN matches brute kNN when radius covers k") {
+    val brute = Spatial.knn(cat, 1.0, 1.0, 2).select("name").as[String].collect()
+    val pruned = Spatial.knnPruned(cat, 1.0, 1.0, 2, radius = 60, cellDeg = 10)
+      .select("name").as[String].collect()
+    assert(brute.toSeq === pruned.toSeq)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.query.Ast.AggFunc
+import graft.sources.OpenTsdb
+import graft.streaming.TsdbStream
+
+/** Structured Streaming ingestion + continuous downsampling. The same
+  * transforms run on batch DataFrames (asserted per test), which is the
+  * design point: one code path for backlog and live tail. */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("streaming downsample: put lines -> windowed min/max/cnt per series") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val parsed = OpenTsdb.parseLines(in.toDF())
+    val down = TsdbStream.downsample(parsed, "1 minute", "5 minutes",
+      Seq(AggFunc.Min, AggFunc.Max, AggFunc.Cnt))
+    val q = down.writeStream.format("memory").queryName("down")
+      .outputMode("append").start()
+    try {
+      // two windows for m t=a: [0:00, 0:01) and [0:01, 0:02)
+      in.addData(
+        "put m 60 1.0 t=a", // 60 s -> window 1
+        "put m 70 5.0 t=a",
+        "put m 125 2.0 t=a") // window 2
+      q.processAllAvailable()
+      // watermark far past both windows -> both emitted in append mode
+      in.addData("put m 100000 9.0 t=a")
+      q.processAllAvailable()
+      val rows = spark.table("down")
+        .select(col("name"), col("bin").cast("long"), col("min"), col("max"), col("cnt"))
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._2)
+      assert(rows.take(2).toSeq === Seq(
+        ("m t=a", 60L, 1.0, 5.0, 2.0),
+        ("m t=a", 120L, 2.0, 2.0, 1.0)))
+    } finally q.stop()
+  }
+
+  test("downsample is batch/stream agnostic") {
+    val batch = Seq(
+      ("m t=a", 60L * 1000000000L, 1.0),
+      ("m t=a", 70L * 1000000000L, 5.0),
+      ("m t=a", 125L * 1000000000L, 2.0)).toDF("name", "ts", "value")
+    val out = TsdbStream.downsample(batch, "1 minute", "5 minutes",
+      Seq(AggFunc.Min, AggFunc.Max, AggFunc.Cnt))
+      .select(col("name"), col("bin").cast("long"), col("min"), col("max"), col("cnt"))
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq(
+      ("m t=a", 60L, 1.0, 5.0, 2.0),
+      ("m t=a", 120L, 2.0, 2.0, 1.0)))
+  }
+
+  test("streaming dedup drops exact (series, ts) duplicates in-horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val df = in.toDF().toDF("name", "ts", "value")
+    val q = TsdbStream.dedup(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 1000000000L, 1.0), ("a", 1000000000L, 1.0), ("a", 2000000000L, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming EWMA carries per-series state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val df = in.toDF().toDF("name", "ts", "value")
+    val q = TsdbStream.ewma(df, decay = 0.5)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("s", 1L, 10.0))
+      q.processAllAvailable()
+      in.addData(("s", 2L, 20.0)) // state from batch 1: v=10 -> 0.5*20+0.5*10=15
+      q.processAllAvailable()
+      val rows = spark.table("ewma_out").orderBy("ts")
+        .select("ts", "ewma").as[(Long, Double)].collect()
+      assert(rows.toSeq === Seq((1L, 10.0), (2L, 15.0)))
+    } finally q.stop()
+  }
+}
