@@ -55,7 +55,7 @@ final class Engine(val ctx: TsdbContext) {
 
   def select(q: SelectQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
-    var df = scan(ids, q.range)
+    var df = scan(ids, q.range, Seq(q.metric))
     q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
     df = df.select(col("out_name").as("series"), col("ts"), col("value"))
     finish(ApplyNodes.chain(df, q.apply, Seq("value")), q.orderBy, q.range.forward,
@@ -88,8 +88,8 @@ final class Engine(val ctx: TsdbContext) {
       val funcs = mfs.map(_._2)
       val ids = resolvedIds(Seq(metric), q.where, q.groupBy)
       val in = q.range match {
-        case Some(r) => scan(ids, r)
-        case None => ctx.samples
+        case Some(r) => scan(ids, r, Seq(metric))
+        case None => facts(Seq(metric))
           .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       }
       val aggCols = min(col("ts")).as("__ts") +:
@@ -131,7 +131,8 @@ final class Engine(val ctx: TsdbContext) {
     val metric = q.metrics.head
     val outMetric = SeriesName.groupAggregateMetric(metric, q.funcs.map(_.token))
     val ids = resolvedIds(Seq(metric), q.where, q.groupBy, renameMetric = Some(outMetric))
-    val binned = scan(ids, q.range).withColumn("ts", binColumn(q.range, q.step))
+    val binned = scan(ids, q.range, Seq(metric))
+      .withColumn("ts", binColumn(q.range, q.step))
     val aggCols = q.funcs.map(f => aggColumn(f).as(f.token))
     var df = binned.groupBy(col("out_name").as("series"), col("ts"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -180,7 +181,7 @@ final class Engine(val ctx: TsdbContext) {
     require(metrics.size >= 2, "join requires at least 2 metrics")
     val ids = seriesFor(metrics, where)
       .select(col("series_id"), col("metric"), tagSuffix(col("tags")).as("tagkey"))
-    var f = ctx.samples.join(broadcast(ids), "series_id").where(rangeCond(range))
+    var f = facts(metrics).join(broadcast(ids), "series_id").where(rangeCond(range))
     // per-metric value filters run during the scan, before tuple assembly
     // (reference replicates filters across the zig-zag id layout,
     // query_plan_builder.cc:178-203)
@@ -222,6 +223,13 @@ final class Engine(val ctx: TsdbContext) {
     val out = base.select(col("series_id"), col("name")).orderBy("name")
     limitOffset(out, q.limit, q.offset)
   }
+
+  /** Regex match over full series names — the reference's
+    * PlainSeriesMatcher::regex_match (plain_series_matcher.h:87-89);
+    * fuzzy/prefix match is the `suggest` starts-with path. */
+  def searchRegex(pattern: String): DataFrame =
+    ctx.series.where(col("name").rlike(pattern))
+      .select(col("series_id"), col("name")).orderBy("name")
 
   def suggest(q: SuggestQuery): DataFrame = {
     val sw = q.startsWith.getOrElse("")
@@ -280,9 +288,18 @@ final class Engine(val ctx: TsdbContext) {
     base.select(col("series_id"), renderName(metricCol, tagsCol).as("out_name"))
   }
 
+  /** The fact table restricted to `metrics` when the physical layout
+    * carries a `metric` partition column ([[graft.model.TsdbLayout]]) —
+    * the predicate prunes (metric, ts_day) directories before any I/O.
+    * On a plain layout this is a no-op and series pruning alone applies. */
+  private def facts(metrics: Seq[String]): DataFrame =
+    if (ctx.samples.columns.contains("metric") && metrics.nonEmpty)
+      ctx.samples.where(col("metric").isin(metrics: _*))
+    else ctx.samples
+
   /** Broadcast-join facts to resolved ids and apply the time range. */
-  private def scan(ids: DataFrame, range: TimeRange): DataFrame =
-    ctx.samples
+  private def scan(ids: DataFrame, range: TimeRange, metrics: Seq[String]): DataFrame =
+    facts(metrics)
       .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(range))
 

@@ -36,6 +36,9 @@ object ExtraEntries {
       engineFor(s, dir).execute(
         """{"select": "tag-names", "metric": "click", "starts-with": "u"}""")),
 
+    "ts_search_regex" -> ((s, dir) =>
+      engineFor(s, dir).searchRegex("^purchase user=1[0-2]$").select("name")),
+
     // ---- aggregate + group-by-tag (AggregateCombiner, SURVEY §2.4) --------
     "ts_agg_groupby_tag" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
@@ -147,6 +150,14 @@ object ExtraEntries {
     "ts_suggest_tag_names" ->
       """SELECT DISTINCT 'user' AS name FROM events
          WHERE event_type = 'click' AND 'user' LIKE 'u%'""",
+
+    "ts_search_regex" ->
+      """SELECT DISTINCT concat('purchase user=', CAST(user_id AS VARCHAR)) AS name
+         FROM events
+         WHERE event_type = 'purchase'
+           AND regexp_matches(concat('purchase user=', CAST(user_id AS VARCHAR)),
+             '^purchase user=1[0-2]$')
+         ORDER BY name""",
 
     "ts_agg_groupby_tag" ->
       s"""SELECT 'purchase:sum' AS series, min(epoch_us(ts)) AS ts_us,

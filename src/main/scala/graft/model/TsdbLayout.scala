@@ -1,0 +1,61 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout of the samples fact table at scale.
+  *
+  * The reference's NB+tree gives it (a) per-series clustering, (b) time-
+  * ordered blocks, (c) per-block min/max stats for pruning
+  * (stdb/storage/nbtree_def.h:47-84). The Parquet equivalent written here:
+  *
+  *   - directory partitioning by `metric` and a coarse time bucket
+  *     (`ts_day`) → Catalyst partition pruning eliminates whole
+  *     directories for metric + range predicates before any I/O;
+  *   - files sorted by (series_id, ts) within each partition → parquet
+  *     row-group min/max stats on both columns make row-group pruning
+  *     effective for narrow `where` clauses, and per-series windows read
+  *     nearly-clustered data.
+  *
+  * At 100 TB this is the difference between scanning everything and
+  * touching only the (metric, day) directories a query ranges over — the
+  * same two-level pruning the reference does with its inverted index +
+  * SubtreeRef stats.
+  */
+object TsdbLayout {
+
+  private val NsPerDay = 86400L * 1000000000L
+
+  /** Write `ctx.samples` (joined to its catalog for the metric key) as a
+    * partitioned, sorted Parquet dataset under `path`. */
+  def writeSamples(ctx: TsdbContext, path: String,
+      filesPerPartition: Int = 1): Unit = {
+    val withMetric = ctx.samples
+      .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
+        "series_id")
+      .withColumn("ts_day", (col("ts") / NsPerDay).cast("long"))
+    withMetric
+      .repartition(col("metric"), col("ts_day"))
+      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
+      .write
+      .partitionBy("metric", "ts_day")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Read a layout written by [[writeSamples]]: (series_id, ts, value,
+    * metric, ts_day) with metric/ts_day as partition columns — predicates
+    * on them prune directories, never touching file contents. */
+  def readSamples(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** A TsdbContext whose fact scan goes through the partitioned layout.
+    * The `metric` partition column stays on the samples DF: Engine scans
+    * join on series_id only, and Catalyst prunes partitions when the
+    * resolved id set narrows to specific metrics. */
+  def contextOver(spark: SparkSession, path: String, series: DataFrame,
+      events: DataFrame): TsdbContext =
+    TsdbContext(spark, series,
+      readSamples(spark, path).select("series_id", "ts", "value", "metric", "ts_day"),
+      events)
+}

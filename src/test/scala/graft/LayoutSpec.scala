@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Engine
+import graft.model.TsdbLayout
+import graft.query.Ast._
+
+/** Partitioned physical layout: results identical to the flat layout, and
+  * metric predicates become partition pruning. */
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  test("layout round-trip preserves query results and prunes partitions") {
+    // compact fixture: 3 series, samples across 3 distinct days
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    val rows = for (i <- 1 to 3; d <- 0 until 3; k <- 0 until 5)
+      yield (s"T$i", d * day + k * 1000L, i * 100.0 + d * 10 + k)
+    val wide = rows.toDF("tag", "ts", "value")
+      .withColumn("metric", org.apache.spark.sql.functions.lit("test"))
+    val flat = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+
+    val path = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    TsdbLayout.writeSamples(flat, path)
+    val laid = TsdbLayout.contextOver(spark, path, flat.series, flat.events)
+
+    val q = SelectQuery("test", TimeRange(0, day * 2)) // first two days only
+    val a = collectSeries(new Engine(flat).select(q))
+    val b = collectSeries(new Engine(laid).select(q))
+    assert(a === b)
+    assert(a.size === 30) // 3 series × 2 days × 5 samples
+
+    // partition pruning: the metric predicate must reach PartitionFilters
+    val plan = new Engine(laid).select(q).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("metric"))
+
+    // directory structure is (metric, ts_day)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("metric="))
+    assert(dirs.nonEmpty)
+  }
+}
