@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.ApplyNodes
+import graft.query.Ast.ApplySpec
+
+/** Per-node unit tests of the apply pipeline — the Spark mirror of the
+  * reference's per-node suites under stdb/query/query_processing (each
+  * node fed hand-built samples, outputs asserted exactly). */
+class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** One series, ts 1..n, given values. */
+  private def scalarDf(values: Seq[Double], series: String = "s"): DataFrame =
+    values.zipWithIndex.map { case (v, i) => (series, (i + 1).toLong, v) }
+      .toDF("series", "ts", "value")
+
+  private def run(df: DataFrame, spec: ApplySpec, cols: Seq[String] = Seq("value")) =
+    ApplyNodes.node(df, spec, cols)._1
+
+  private def values(df: DataFrame): Seq[Double] =
+    df.orderBy("ts").select("value").as[Double].collect().toSeq
+
+  test("abs (absolute_test.cc)") {
+    val out = run(scalarDf(Seq(-1.0, 2.0, -3.5)), ApplySpec("abs", Map.empty))
+    assert(values(out) === Seq(1.0, 2.0, 3.5))
+  }
+
+  test("scale multiplies per-slot weights (scale_test.cc)") {
+    val out = run(scalarDf(Seq(1.0, 2.0)),
+      ApplySpec("scale", Map("weights" -> Seq(2.5))))
+    assert(values(out) === Seq(2.5, 5.0))
+  }
+
+  test("rate: Δx/Δt per second with (0,0) seed (rate_test.cc)") {
+    val df = Seq(("s", 1000000000L, 5.0), ("s", 3000000000L, 9.0))
+      .toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("rate", Map.empty))
+    assert(values(out) === Seq(5.0, 2.0)) // 5/1s, then 4/2s
+  }
+
+  test("cusum accumulates per series") {
+    val out = run(scalarDf(Seq(1.0, 2.0, 3.0)), ApplySpec("cusum", Map.empty))
+    assert(values(out) === Seq(1.0, 3.0, 6.0))
+  }
+
+  test("sma: mean of previous N, zero-padded (sliding_window_test.cc)") {
+    val out = run(scalarDf(Seq(10.0, 20.0, 30.0)),
+      ApplySpec("sma", Map("window-width" -> 2.0)))
+    assert(values(out) === Seq(0.0, 5.0, 15.0)) // (0+0)/2, (0+10)/2? no: buffer holds last 2
+  }
+
+  test("cma: expanding mean") {
+    val out = run(scalarDf(Seq(2.0, 4.0, 9.0)), ApplySpec("cma", Map.empty))
+    assert(values(out) === Seq(2.0, 3.0, 5.0))
+  }
+
+  test("ewma: first 11 outputs echo input, then prediction (sliding_window.cc:7-103)") {
+    val xs = (1 to 13).map(_.toDouble)
+    val out = values(run(scalarDf(xs), ApplySpec("ewma", Map("decay" -> 0.5))))
+    assert(out.take(11) === xs.take(11))
+    val mean11 = xs.take(11).sum / 11
+    val v11 = 0.5 * xs(10) + 0.5 * mean11
+    assert(math.abs(out(11) - v11) < 1e-12) // 12th output = state after 11 adds
+    val v12 = 0.5 * xs(11) + 0.5 * v11
+    assert(math.abs(out(12) - v12) < 1e-12)
+  }
+
+  test("math sum folds tuple slots with ignore_missing unit (math_test.cc)") {
+    val df = Seq(("s", 1L, Some(1.0), Some(2.0)), ("s", 2L, None, Some(5.0)))
+      .toDF("series", "ts", "a", "b")
+    val out = run(df, ApplySpec("sum", Map("ignore_missing" -> true)), Seq("a", "b"))
+    assert(values(out) === Seq(3.0, 5.0))
+  }
+
+  test("math sum without ignore_missing yields NaN on absent slots") {
+    val df = Seq[(String, Long, Option[Double], Option[Double])](
+      ("s", 1L, None, Some(5.0))).toDF("series", "ts", "a", "b")
+    val out = run(df, ApplySpec("sum", Map.empty), Seq("a", "b"))
+    assert(values(out).head.isNaN)
+  }
+
+  test("eval: expression over tuple metric names; NaN rows dropped (eval_test.cc)") {
+    val df = Seq(("s", 1L, Some(2.0), Some(3.0)), ("s", 2L, None, Some(4.0)))
+      .toDF("series", "ts", "cpu.user", "cpu.sys")
+    val out = run(df, ApplySpec("eval", Map("expr" -> "cpu.user + 2*cpu.sys")),
+      Seq("cpu.user", "cpu.sys"))
+    assert(values(out) === Seq(8.0)) // row 2 drops: null slot -> null result
+  }
+
+  test("top: N series by time-weighted sum (top_test.cc)") {
+    val df = Seq(
+      ("a", 0L, 1.0), ("a", 2000000000L, 1.0), // a: 1.0 over 2s = 2.0
+      ("b", 0L, 10.0), ("b", 1000000000L, 10.0) // b: 10 over 1s = 10.0
+    ).toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("top", Map("N" -> 1.0)))
+    assert(out.select("series").as[String].collect().toSeq === Seq("b"))
+  }
+
+  test("heavy-hitters: weighted share above portion-error (spacesaver_test.cc)") {
+    val df = Seq(("a", 1L, 80.0), ("b", 2L, 15.0), ("c", 3L, 5.0))
+      .toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("heavy-hitters",
+      Map("portion" -> 0.2, "error" -> 0.05)))
+    assert(out.select("series").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("frequent-items counts occurrences, not weights") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("b", 4L, 99.0))
+      .toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("frequent-items",
+      Map("portion" -> 0.6, "error" -> 0.1)))
+    assert(out.select("series").as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("chained nodes compose in JSON order") {
+    val out = ApplyNodes.chain(scalarDf(Seq(-2.0, 3.0)),
+      Seq(ApplySpec("abs", Map.empty), ApplySpec("cusum", Map.empty)), Seq("value"))
+    assert(values(out) === Seq(2.0, 5.0))
+  }
+
+  test("unknown node is rejected") {
+    assertThrows[IllegalArgumentException](
+      run(scalarDf(Seq(1.0)), ApplySpec("bogus", Map.empty)))
+  }
+}
