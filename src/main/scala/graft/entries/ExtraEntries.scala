@@ -97,6 +97,13 @@ object ExtraEntries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "ewma", "decay": 0.3}]}"""))),
 
+    "ts_apply_sax" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "sax", "window-width": 8,
+                        "paa": 4, "alphabet": 4}]}"""), valueCols = Nil)),
+
     // ---- ingestion protocol round-trip ------------------------------------
     // Render OpenTSDB `put` lines from the raw events, parse them back with
     // the codegen line parser, and emit normalized samples; the oracle
@@ -235,6 +242,32 @@ object ExtraEntries {
                   xs[12:rn - 1]),
                 (v, x) -> x * 0.3 + v * (1.0 - 0.3)) END, 6) AS value
           FROM f JOIN l USING (user_id) ORDER BY series, ts_us""",
+
+    // SAX letters are discrete, so FP summation-order differences between
+    // engines cannot flip them except exactly on a breakpoint (~never).
+    "ts_apply_sax" -> {
+      val bps = graft.functions.SaxKernels.breakpoints(4)
+      def letter(seg: String) = {
+        val z = s"(CASE WHEN sd < 1e-12 THEN 0.0 ELSE ($seg - mu) / sd END)"
+        s"chr(97 ${bps.map(b => s"+ CAST($z > $b AS INT)").mkString(" ")})"
+      }
+      val segs = (0 until 4).map(i => s"(xs[${2 * i + 1}] + xs[${2 * i + 2}]) / 2")
+      s"""WITH f AS (
+            SELECT user_id, ts, value, count(*) OVER w AS n, list(value) OVER w AS xs
+            ${oracleScan("purchase")}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+          g AS (
+            SELECT user_id, ts, n, xs, list_sum(xs) / 8 AS mu,
+              sqrt(list_sum(list_transform(xs, x ->
+                (x - list_sum(xs) / 8) * (x - list_sum(xs) / 8))) / 8) AS sd
+            FROM f)
+          SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            CASE WHEN n = 8
+              THEN ${segs.map(letter).mkString(" || ")} END AS word
+          FROM g ORDER BY series, ts_us"""
+    },
 
     "src_opentsdb_roundtrip" ->
       """SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,

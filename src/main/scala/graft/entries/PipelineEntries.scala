@@ -73,6 +73,19 @@ object PipelineEntries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF ANN: k-means codebook cells, nprobe probing. No SQL oracle (the
+    // codebook is not SQL-expressible) → driver records the rows-only check.
+    "emb_knn_ivf" -> ((s, dir) => {
+      val emb = rp(s, dir, "embeddings")
+      Similarity.knnIvf(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3, nlist = 8, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "docs_langid" -> ((s, dir) =>
       TextOps.langId(rp(s, dir, "documents"), "doc_id", "text")

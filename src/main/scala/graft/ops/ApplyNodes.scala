@@ -135,6 +135,22 @@ object ApplyNodes {
           .orderBy(col("value").desc, col("series"))
         (out.select("series", "ts", "value"), Seq("value"))
 
+      case "sax" =>
+        // SAX word per trailing window (the reference reserves the SAX_WORD
+        // payload, basic.h:77, without shipping an encoder; standard
+        // Lin/Keogh semantics implemented in SaxExpressions). Output rows
+        // carry a string `word` column; short windows yield null.
+        val w = num("window-width").toInt
+        val paa = num("paa").toInt
+        val alphabet = num("alphabet").toInt
+        require(cols.size == 1, "sax applies to scalar streams")
+        require(w > 0 && w % paa == 0, "window-width must divide into paa segments")
+        val win = seriesWindow.rowsBetween(-(w - 1), Window.currentRow)
+        val arr = collect_list(col(cols.head).cast(DoubleType)).over(win)
+        val word = when(size(arr) === w,
+          graft.functions.SaxExpressions.saxWord(arr, paa, alphabet))
+        (df.withColumn("word", word).drop(cols: _*), Seq.empty)
+
       case "limit" =>
         (df.limit(num("limit").toInt), cols)
       case "offset" =>

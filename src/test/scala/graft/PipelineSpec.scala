@@ -100,6 +100,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(1L, 2L)) // 3 is in the opposite sign bucket
   }
 
+  test("knnIvf recalls the true neighbor when probing its cell") {
+    // two well-separated clusters; the query sits in cluster A
+    val corpus = (
+      (1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 10f))) ++
+      (11 to 20).map(i => (i.toLong, Array(-10f - i * 0.01f, -10f)))
+    ).toDF("id", "embedding")
+    val queries = Seq((100L, Array(10.05f, 10f))).toDF("qid", "embedding")
+    val ivf = Similarity.knnIvf(corpus, queries, k = 3, nlist = 2, nprobe = 1)
+      .select("id").as[Long].collect().toSet
+    val brute = Similarity.knnBrute(corpus, queries, k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(ivf === brute) // cluster A's cell contains the true top-3
+  }
+
   // ---- multimodal plumbing -------------------------------------------------
 
   test("multimodal decode/frames stubs stream through mapPartitions") {
