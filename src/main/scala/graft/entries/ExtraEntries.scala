@@ -63,6 +63,25 @@ object ExtraEntries {
         valueCols = Seq("click", "view"))),
 
     // ---- remaining apply nodes --------------------------------------------
+    // explicit series list: where = [{tag: v}, ...] resolves exact series
+    "ts_select_where_explicit" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where": [{"user": "5"}, {"user": "9"}]}"""))),
+
+    "ts_apply_multiply" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "multiply", "ignore_missing": true}]}"""))),
+
+    "ts_apply_ewma_error" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "ewma-error", "decay": 0.3}]}"""))),
+
     "ts_apply_diff" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
         s"""{"join": ["click", "view"],
@@ -191,6 +210,19 @@ object ExtraEntries {
           WHERE click IS NOT NULL OR "view" IS NOT NULL
           ORDER BY series, ts_us""",
 
+    "ts_select_where_explicit" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          ${oracleScan("purchase", "AND user_id IN (5, 9)")}
+          ORDER BY series, ts_us""",
+
+    "ts_apply_multiply" ->
+      s"""SELECT series, ts_us,
+            round(coalesce(click, 1.0) * coalesce("view", 1.0), 6) AS value
+          FROM (${pivot2Sql("click", "view")}) ORDER BY series, ts_us""",
+
+    "ts_apply_ewma_error" -> ewmaSql(delta = true),
+
     "ts_apply_diff" ->
       s"""SELECT series, ts_us,
             round(coalesce(click, 0.0) - coalesce("view", 0.0), 6) AS value
@@ -218,30 +250,7 @@ object ExtraEntries {
               6) AS value
           ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
-    // Exact replay of the reference EWMA recursion (10-sample arithmetic
-    // warm-up, sliding_window.cc:7-103): output_n = x_n for n<=11, else
-    // fold v ← x·d + v·(1−d) over x_12..x_{n-1} seeded with
-    // v11 = x_11·d + mean(x_1..x_11)·(1−d) — list_reduce applies the same
-    // IEEE operations in the same order as the engine's per-series fold,
-    // so the comparison is bit-exact.
-    "ts_apply_ewma" ->
-      s"""WITH f AS (
-            SELECT user_id, ts, value,
-              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-            ${oracleScan("purchase")}),
-          l AS (
-            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
-            FROM f GROUP BY user_id)
-          SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
-            epoch_us(ts) AS ts_us,
-            round(CASE WHEN rn <= 11 THEN value
-              ELSE list_reduce(
-                list_prepend(
-                  xs[11] * 0.3 + (list_reduce(xs[1:11], (a, b) -> a + b) / 11)
-                    * (1.0 - 0.3),
-                  xs[12:rn - 1]),
-                (v, x) -> x * 0.3 + v * (1.0 - 0.3)) END, 6) AS value
-          FROM f JOIN l USING (user_id) ORDER BY series, ts_us""",
+    "ts_apply_ewma" -> ewmaSql(delta = false),
 
     // SAX letters are discrete, so FP summation-order differences between
     // engines cannot flip them except exactly on a breakpoint (~never).
@@ -274,6 +283,34 @@ object ExtraEntries {
            epoch_us(ts) AS ts_us, round(value, 6) AS value
          FROM events WHERE event_type = 'click'
          ORDER BY name, ts_us, value""")
+
+  /** Exact replay of the reference EWMA recursion (10-sample arithmetic
+    * warm-up, sliding_window.cc:7-103): prediction_n = x_n for n<=11, else
+    * fold v ← x·d + v·(1−d) over x_12..x_{n-1} seeded with
+    * v11 = x_11·d + mean(x_1..x_11)·(1−d) — list_reduce applies the same
+    * IEEE operations in the same order as the engine's per-series fold, so
+    * the comparison is bit-exact. `delta` = the ewma-error node (x − pred;
+    * warm-up rows yield exactly 0). */
+  private def ewmaSql(delta: Boolean): String = {
+    val pred = """CASE WHEN rn <= 11 THEN value
+              ELSE list_reduce(
+                list_prepend(
+                  xs[11] * 0.3 + (list_reduce(xs[1:11], (a, b) -> a + b) / 11)
+                    * (1.0 - 0.3),
+                  xs[12:rn - 1]),
+                (v, x) -> x * 0.3 + v * (1.0 - 0.3)) END"""
+    val out = if (delta) s"value - ($pred)" else pred
+    s"""WITH f AS (
+          SELECT user_id, ts, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          ${oracleScan("purchase")}),
+        l AS (
+          SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
+          FROM f GROUP BY user_id)
+        SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+          epoch_us(ts) AS ts_us, round($out, 6) AS value
+        FROM f JOIN l USING (user_id) ORDER BY series, ts_us"""
+  }
 
   private def pivot2Sql(m1: String, m2: String): String =
     s"""SELECT concat('$m1|$m2 user=', CAST(user_id AS VARCHAR)) AS series,
