@@ -26,11 +26,23 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join")
 
+  /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
+    * exactly one statement, only known clause keys; `output` accepted as a
+    * formatting hint with no engine semantics). */
+  private val clauseKeys = Set(
+    "range", "where", "filter", "order-by", "group-by", "group-by-tag",
+    "pivot-by-tag", "limit", "offset", "apply", "output",
+    "metric", "tag", "starts-with")
+
   def parseNode(root: JsonNode): Query = {
     require(root != null && root.isObject, "query must be a JSON object")
     val present = statementKeys.filter(root.has)
     if (present.size > 1)
       throw new BadQuery(s"ambiguous query: multiple statements ${present.mkString(", ")}")
+    val unknown = root.fieldNames().asScala
+      .filterNot(k => statementKeys.contains(k) || clauseKeys.contains(k)).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"unknown query field(s): ${unknown.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)

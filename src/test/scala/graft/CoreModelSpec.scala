@@ -172,6 +172,15 @@ class QueryParserSpec extends AnyFunSuite {
     assert(q.apply(1).params("decay") === 0.9)
   }
 
+  test("unknown clause keys are rejected (validate_query whitelist)") {
+    val e = intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "rnage": {"from": 1, "to": 2}}"""))
+    assert(e.getMessage.contains("rnage"))
+    // `output` is whitelisted as a formatting hint with no semantics
+    QueryParser.parse(
+      """{"select": "m", "range": {"from": 1, "to": 2}, "output": {"format": "csv"}}""")
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},
