@@ -28,9 +28,12 @@ object SparkEntry {
         s.read.parquet(s"$dir/lineitem.parquet")
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(col("l_quantity")), 6).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+            // money sums reach ~5e9 at sf0.1: parallel summation order puts
+            // ~1e-5 noise on them, so compare at integer precision; the
+            // per-row averages stay at round(6)
+            round(sum(col("l_quantity")), 0).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 0).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0).as("sum_disc_price"),
             round(avg(col("l_quantity")), 6).as("avg_qty"),
             round(avg(col("l_discount")), 6).as("avg_disc"),
             count(lit(1)).as("count_order"))
@@ -43,9 +46,9 @@ object SparkEntry {
     TsdbEntries.oracle ++ PipelineEntries.oracle ++ ExtraEntries.oracle ++ Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 6) AS sum_qty,
-             round(sum(l_extendedprice), 6) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+             round(sum(l_quantity), 0) AS sum_qty,
+             round(sum(l_extendedprice), 0) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
              round(avg(l_quantity), 6) AS avg_qty,
              round(avg(l_discount), 6) AS avg_disc,
              count(*) AS count_order

@@ -34,6 +34,19 @@ object EntryUtil {
       new Engine(ctx.copy(series = ctx.series.cache()))
     })
 
+  /** Engine whose sample timestamps are truncated to µs. DuckDB's
+    * TIMESTAMP is µs, so any entry doing *arithmetic* on ts (Δt in rate /
+    * top, ns-valued aggregate outputs) must feed both engines identical
+    * longs; entries that only order/range by ts don't need this. */
+  def engineUs(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#us"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      new Engine(ctx.copy(
+        series = ctx.series.cache(),
+        samples = ctx.samples.withColumn("ts",
+          col("ts") - pmod(col("ts"), lit(1000L)))))
+    })
+
   /** µs view of the engine's Long-ns ts column, oracle-comparable. */
   def usView(df: DataFrame, valueCols: Seq[String] = Seq("value")): DataFrame = {
     val cols = df.columns.map {

@@ -228,6 +228,9 @@ object ExtraEntries {
             round(coalesce(click, 0.0) - coalesce("view", 0.0), 6) AS value
           FROM (${pivot2Sql("click", "view")}) ORDER BY series, ts_us""",
 
+    // Division by zero → NULL in BOTH engines (Spark non-ANSI and DuckDB
+    // share SQL semantics here; the reference's C++ would give ±inf —
+    // recorded as a deliberate deviation in COVERAGE.md).
     "ts_apply_divide" ->
       s"""SELECT series, ts_us,
             round(coalesce(click, 1.0) / coalesce("view", 1.0), 6) AS value
@@ -246,7 +249,7 @@ object ExtraEntries {
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             epoch_us(ts) AS ts_us,
             round(value - coalesce(sum(value) OVER (PARTITION BY user_id
-              ORDER BY ts ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0.0) / 5,
+              ORDER BY ts, value ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0.0) / 5,
               6) AS value
           ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
@@ -264,7 +267,7 @@ object ExtraEntries {
       s"""WITH f AS (
             SELECT user_id, ts, value, count(*) OVER w AS n, list(value) OVER w AS xs
             ${oracleScan("purchase")}
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, value
               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
           g AS (
             SELECT user_id, ts, n, xs, list_sum(xs) / 8 AS mu,
@@ -302,10 +305,10 @@ object ExtraEntries {
     val out = if (delta) s"value - ($pred)" else pred
     s"""WITH f AS (
           SELECT user_id, ts, value,
-            row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, value) AS rn
           ${oracleScan("purchase")}),
         l AS (
-          SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
+          SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, value) AS xs
           FROM f GROUP BY user_id)
         SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
           epoch_us(ts) AS ts_us, round($out, 6) AS value

@@ -61,13 +61,9 @@ object TsdbEntries {
     // sees µs on parquet read, so for oracle parity this entry truncates the
     // context's ts to µs first — both engines then cast identical longs.
     "ts_agg_funcs" -> ((s, dir) => {
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
-      val e = new graft.engine.Engine(ctx.copy(
-        samples = ctx.samples.withColumn("ts",
-          col("ts") - pmod(col("ts"), lit(1000L)))))
       // round(huge_double, 6) is lossy in DuckDB (x·1e6 overflows double
       // precision) but identity in Spark — so don't round ns-valued rows
-      usView(e.execute(
+      usView(engineUs(s, dir).execute(
         """{"aggregate": {"purchase": ["min","max","sum","cnt","mean",
              "first","last","min_timestamp","max_timestamp",
              "first_timestamp","last_timestamp"]}}"""), valueCols = Nil)
@@ -107,7 +103,8 @@ object TsdbEntries {
 
     // ---- APPLY pipeline ---------------------------------------------------
     "ts_apply_rate" -> ((s, dir) =>
-      usView(engineFor(s, dir).execute(
+      // Δt-sensitive: see EntryUtil.engineUs (DuckDB ts is µs)
+      usView(engineUs(s, dir).execute(
         s"""{"select": "purchase",
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "rate"}]}"""))),
@@ -150,8 +147,9 @@ object TsdbEntries {
              "apply": [{"name": "eval", "expr": "click + 2*view"}]}"""))),
 
     "ts_apply_top" -> ((s, dir) =>
-      // time-weighted sums accumulate in engine-dependent order → round(3)
-      usView(engineFor(s, dir).execute(
+      // time-weighted sums accumulate in engine-dependent order → round(3);
+      // Δt-sensitive: see EntryUtil.engineUs (DuckDB ts is µs)
+      usView(engineUs(s, dir).execute(
         s"""{"select": "purchase",
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "top", "N": 5}]}"""), valueCols = Nil)
@@ -301,27 +299,27 @@ object TsdbEntries {
                   / (epoch_ns(ts) - coalesce(lag(epoch_ns(ts)) OVER w, 0))
                   * 1e9, 6) AS value
           ${oracleScan("purchase")}
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
           ORDER BY series, ts_us""",
 
     "ts_apply_cusum" ->
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             epoch_us(ts) AS ts_us,
-            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
           ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
     "ts_apply_sma" ->
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             epoch_us(ts) AS ts_us,
-            round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+            round(coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 0.0) / 5, 6) AS value
           ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
     "ts_apply_cma" ->
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             epoch_us(ts) AS ts_us,
-            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, value
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
           ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
@@ -347,7 +345,7 @@ object TsdbEntries {
             round(sum(value * coalesce(dt, 0.0)), 3) AS value
           FROM (
             SELECT user_id, ts, value,
-              CAST(lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+              CAST(lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, value)
                    - epoch_ns(ts) AS DOUBLE) / 1e9 AS dt
             ${oracleScan("purchase")})
           GROUP BY user_id ORDER BY value DESC, series LIMIT 5""",

@@ -138,4 +138,8 @@ object TsdbContext {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // IEEE arithmetic like the reference's C++ engine: x/0 → ±inf/NaN,
+      // no overflow errors (Spark 4 defaults to ANSI, which would abort
+      // the divide/eval apply nodes on zero divisors)
+      .config("spark.sql.ansi.enabled", "false")
 }

@@ -75,15 +75,16 @@ object ApplyNodes {
       case "rate" =>
         // Δx/Δt per second; previous point defaults to (0, 0) (rate.cc:17-49)
         val w = seriesWindow
-        (cols.foldLeft(df) { (d, c) =>
+        (cols.foldLeft(withOrd(df, cols)) { (d, c) =>
           d.withColumn(c,
             (col(c) - coalesce(lag(col(c), 1).over(w), lit(0.0))) /
               (col("ts") - coalesce(lag(col("ts"), 1).over(w), lit(0L))) * 1e9)
-        }, cols)
+        }.drop("__ord"), cols)
 
       case "accumulate" | "cusum" =>
         val w = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        (cols.foldLeft(df)((d, c) => d.withColumn(c, sum(col(c)).over(w))), cols)
+        (cols.foldLeft(withOrd(df, cols))((d, c) =>
+          d.withColumn(c, sum(col(c)).over(w))).drop("__ord"), cols)
 
       case "ewma" => (ewma(df, cols, decay = num("decay"), delta = false), cols)
       case "ewma-error" => (ewma(df, cols, decay = num("decay"), delta = true), cols)
@@ -94,14 +95,15 @@ object ApplyNodes {
         val n = num("window-width").toInt
         require(n > 0, "sma window-width must be positive")
         val w = seriesWindow.rowsBetween(-n, -1)
-        (cols.foldLeft(df) { (d, c) =>
+        (cols.foldLeft(withOrd(df, cols)) { (d, c) =>
           val sma = coalesce(sum(col(c)).over(w), lit(0.0)) / n
           d.withColumn(c, if (spec.name == "sma") sma else col(c) - sma)
-        }, cols)
+        }.drop("__ord"), cols)
 
       case "cma" =>
         val w = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        (cols.foldLeft(df)((d, c) => d.withColumn(c, avg(col(c)).over(w))), cols)
+        (cols.foldLeft(withOrd(df, cols))((d, c) =>
+          d.withColumn(c, avg(col(c)).over(w))).drop("__ord"), cols)
 
       case "eval" => evalNode(df, spec, cols)
 
@@ -109,7 +111,7 @@ object ApplyNodes {
         val n = num("N").toInt
         // time-weighted sum: Σ (ts_{i+1}-ts_i) × x_i / 1e9 (top.cc:46-70)
         val w = seriesWindow
-        val weighted = df
+        val weighted = withOrd(df, cols)
           .withColumn("__dt", (lead(col("ts"), 1).over(w) - col("ts")).cast(DoubleType) / 1e9)
           .groupBy(col("series"))
           .agg(max(col("ts")).as("ts"),
@@ -149,7 +151,8 @@ object ApplyNodes {
         val arr = collect_list(col(cols.head).cast(DoubleType)).over(win)
         val word = when(size(arr) === w,
           graft.functions.SaxExpressions.saxWord(arr, paa, alphabet))
-        (df.withColumn("word", word).drop(cols: _*), Seq.empty)
+        (withOrd(df, cols).withColumn("word", word)
+          .drop("__ord").drop(cols: _*), Seq.empty)
 
       case "limit" =>
         (df.limit(num("limit").toInt), cols)
@@ -160,8 +163,17 @@ object ApplyNodes {
     }
   }
 
+  /** Per-series window ordered by (ts, __ord): duplicate timestamps within
+    * a series would otherwise make every lag/lead/rolling node
+    * nondeterministic (and engine-vs-oracle divergent). `__ord` is a
+    * struct of the ORIGINAL value columns, captured before any node
+    * rewrites them. */
   private def seriesWindow =
-    Window.partitionBy(col("series")).orderBy(col("ts"))
+    Window.partitionBy(col("series")).orderBy(col("ts"), col("__ord"))
+
+  /** Capture the tie-break struct; call before using [[seriesWindow]]. */
+  private def withOrd(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumn("__ord", struct(cols.map(col): _*))
 
   /** EWMA with the reference's 10-sample arithmetic warm-up
     * (sliding_window.cc:7-103): for samples 1..11 the output is the input
@@ -178,7 +190,7 @@ object ApplyNodes {
     implicit val enc = Encoders.product[(String, Long, Seq[Double])]
     val ds: Dataset[(String, Long, Seq[Double])] = packed.as[(String, Long, Seq[Double])]
     val out = ds.groupByKey(_._1)(Encoders.STRING)
-      .flatMapSortedGroups(col("ts")) { (series: String, it: Iterator[(String, Long, Seq[Double])]) =>
+      .flatMapSortedGroups(col("ts"), col("vs")) { (series: String, it: Iterator[(String, Long, Seq[Double])]) =>
         val nSlots = cols.size
         val state = Array.fill(nSlots)(new EwmaState(decay, warmup))
         it.map { case (_, ts, vs) =>
