@@ -77,4 +77,26 @@ object TextOps {
     Dedup.shingles(df, idCol, textCol, k)
       .groupBy(col("id"))
       .agg(min(Dedup.hash60(col("shingle"))).as("fingerprint"))
+
+  /** PII patterns — restricted to regex constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): classes, bounded
+    * repetition, alternation. Pattern quality is deployment-specific;
+    * the operator's plan shape (codegen'd regexp counts, one scan) is
+    * the part that matters at corpus scale. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+",
+    "phones" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ips" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}")
+
+  /** Per-document PII counts + a redaction-needed flag. One scan, all
+    * counts codegen'd column expressions. */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    val flag = PiiPatterns.map { case (name, _) => col(s"n_$name") > 0 }
+      .reduce(_ || _)
+    df.select(col(idCol).as("id") +: counts: _*)
+      .withColumn("has_pii", flag)
+  }
 }
