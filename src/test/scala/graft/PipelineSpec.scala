@@ -25,6 +25,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(cos - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-15)
   }
 
+  test("vec_dot / vec_cosine are registered as SQL functions via extensions") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                        array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d,
+                vec_cosine(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT))) AS c""")
+      .as[(Double, Double)].head()
+    assert(r === ((11.0, 1.0)))
+  }
+
+  test("pii scan counts emails, phones, ips") {
+    val df = Seq(
+      (1L, "reach me at a.b@x.io or 555-123-4567 server 10.0.0.1"),
+      (2L, "no sensitive content here")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.piiScan(df, "doc_id", "text").orderBy("id")
+      .select("n_emails", "n_phones", "n_ips", "has_pii")
+      .as[(Int, Int, Int, Boolean)].collect()
+    assert(out(0) === ((1, 1, 1, true)))
+    assert(out(1) === ((0, 0, 0, false)))
+  }
+
   test("vec_cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -2f), Array(0.5f, -2f))).toDF("a", "b")
     assert(df.select(VectorExpressions.vecCosine(col("a"), col("b")))

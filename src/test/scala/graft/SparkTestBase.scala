@@ -7,6 +7,7 @@ object SparkTestBase {
   lazy val spark: SparkSession = TsdbContext.configure(
     SparkSession.builder().master("local[4]").appName("graft-test"), cpus = 4)
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 }
 
