@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+
+/** Salting utilities: results identical to unsalted plans, hot keys spread. */
+class SkewSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val big = (
+    (1 to 1000).map(i => ("hot", i.toLong)) ++ // one dominant key
+    (1 to 10).map(i => ("cold", i.toLong))
+  ).toDF("k", "v")
+  private lazy val dim = Seq(("hot", 2.0), ("cold", 3.0)).toDF("k", "w")
+
+  test("saltedJoin equals the plain join") {
+    val plain = big.join(dim, Seq("k")).select(sum($"v" * $"w")).as[Double].head()
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), n = 8)
+      .select(sum($"v" * $"w")).as[Double].head()
+    assert(salted === plain)
+    assert(Skew.saltedJoin(big, dim, Seq("k"), 8).count() === big.count())
+  }
+
+  test("saltedJoin left keeps unmatched big rows exactly once") {
+    val dimMissing = Seq(("cold", 3.0)).toDF("k", "w")
+    val out = Skew.saltedJoin(big, dimMissing, Seq("k"), n = 4, joinType = "left")
+    assert(out.count() === big.count())
+    assert(out.where($"k" === "hot").where($"w".isNotNull).count() === 0)
+  }
+
+  test("withSalt is deterministic and bounded") {
+    val s1 = Skew.withSalt(big, 8, Seq("k", "v")).select("__salt").as[Int].collect()
+    val s2 = Skew.withSalt(big, 8, Seq("k", "v")).select("__salt").as[Int].collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.forall(s => s >= 0 && s < 8))
+    assert(s1.distinct.length > 1) // actually spreads
+  }
+
+  test("saltedAgg equals direct aggregation") {
+    val direct = big.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .orderBy("k").as[(String, Long, Long)].collect()
+    val salted = Skew.saltedAgg(big, Seq("k"), n = 8, Seq(
+      ("s", sum("v"), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("c", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))))
+      .orderBy("k").as[(String, Long, Long)].collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
+}
