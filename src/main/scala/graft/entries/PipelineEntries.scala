@@ -108,6 +108,10 @@ object PipelineEntries {
           "doc_id", "text", k = 3)
         .orderBy("id")),
 
+    "docs_winnow" -> ((s, dir) =>
+      TextOps.winnow(rp(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .orderBy("id", "fingerprint")),
+
     // the synthetic corpus is PII-free, so the entry plants deterministic
     // PII in a third of the docs (same construction in the oracle) —
     // otherwise the hash-match would be trivially all-zeros
@@ -310,6 +314,18 @@ object PipelineEntries {
       s"""WITH $shinglesCte
          SELECT doc_id AS id, min(${h60("g")}) AS fingerprint
          FROM sh GROUP BY doc_id ORDER BY id""",
+
+    "docs_winnow" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           sh AS (SELECT doc_id, i - 1 AS pos,
+               ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+             FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+           sel AS (SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+             FROM sh)
+         SELECT DISTINCT doc_id AS id, fp AS fingerprint
+         FROM sel WHERE pos >= 3 ORDER BY id, fingerprint""",
 
     "docs_pii" -> {
       val counts = TextOps.PiiPatterns.map { case (name, re) =>

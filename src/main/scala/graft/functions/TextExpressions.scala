@@ -39,6 +39,29 @@ object TextKernels {
     while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
     new GenericArrayData(arr)
   }
+
+  /** ALL word k-shingles in positional order (duplicates kept) — the
+    * sequence form required by positional algorithms (winnowing). */
+  def wordShinglesAll(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = words.length - k + 1
+    val arr = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      arr(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
 }
 
 /** Native expressions for the dedup/text pipeline.
@@ -70,7 +93,27 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class WordShinglesAll(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles_all"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.wordShinglesAll(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.wordShinglesAll($c, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+      copy(child = newChild)
+  }
+
   /** Distinct word k-shingles (first-occurrence order) of a string column. */
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
+
+  /** All word k-shingles in positional order (duplicates kept). */
+  def wordShinglesAll(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesAll(Bridge.expression(text), k))
 }

@@ -78,6 +78,31 @@ object TextOps {
       .groupBy(col("id"))
       .agg(min(Dedup.hash60(col("shingle"))).as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): over the
+    * positional k-shingle hash sequence, select the minimum hash of every
+    * w-length window; the distinct selected hashes are the document's
+    * fingerprints. Guarantees any shared run of w+k-1 words between two
+    * documents shares a fingerprint — the multi-fingerprint upgrade of
+    * [[fingerprint]] (which is the w=∞ degenerate case).
+    *
+    * Plan shape: one codegen shingling kernel per doc → per-doc window
+    * min (docs are independent partitions; no cross-doc shuffle until the
+    * final distinct) → distinct (id, fingerprint). */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, "winnow window must be >= 1")
+    val sh = df.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextExpressions.wordShinglesAll(col(textCol), k))
+        .as(Seq("pos", "shingle")))
+      .withColumn("h", Dedup.hash60(col("shingle")))
+    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sh.withColumn("sel", min(col("h")).over(win))
+      .where(col("pos") >= w - 1) // full windows only
+      .select(col("id"), col("sel").as("fingerprint"))
+      .distinct()
+  }
+
   /** PII patterns — restricted to regex constructs with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): classes, bounded
     * repetition, alternation. Pattern quality is deployment-specific;

@@ -98,6 +98,19 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(java.lang.Long.bitCount(h(0) ^ h(2)) < 20) // near dup: small hamming
   }
 
+  test("winnowing: shared w+k-1 word runs guarantee a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 words = w+k-1 with k=3,w=4
+    val docs2 = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"nine ten eleven $shared twelve thirteen fourteen"),
+      (3L, "entirely unrelated content with many different words here")
+    ).toDF("doc_id", "text")
+    val fp = graft.pipeline.TextOps.winnow(docs2, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fp(1L) & fp(2L)).nonEmpty) // guarantee from the shared run
+    assert((fp(1L) & fp(3L)).isEmpty)
+  }
+
   // ---- similarity ----------------------------------------------------------
 
   test("knnBrute returns exact top-k by cosine") {
