@@ -52,7 +52,18 @@ final case class TsdbContext(
     spark: SparkSession,
     series: DataFrame,
     samples: DataFrame,
-    events: DataFrame)
+    events: DataFrame) {
+
+  /** Expose the model as temp views (`<prefix>series` etc.) so the full
+    * Spark SQL surface — arbitrary joins, set ops, window functions, the
+    * relational features the reference lacks (SURVEY §2.8) — works over
+    * the same data: `spark.sql("SELECT ... FROM tsdb_samples ...")`. */
+  def registerViews(prefix: String = "tsdb_"): Unit = {
+    series.createOrReplaceTempView(s"${prefix}series")
+    samples.createOrReplaceTempView(s"${prefix}samples")
+    events.createOrReplaceTempView(s"${prefix}events")
+  }
+}
 
 object TsdbContext {
 

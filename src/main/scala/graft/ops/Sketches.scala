@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch-based variants of the SpaceSaver nodes — the 100 TB swap-in for
+  * `frequent-items`/`heavy-hitters` (reference spacesaver.h:12-153).
+  *
+  * The exact forms in [[ApplyNodes]] shuffle one partial count per
+  * distinct series, which is fine while |series| is catalog-sized. When
+  * the key universe itself is huge (e.g. hitting shingles or URLs, not
+  * series), a Count-Min sketch bounds memory: each partition folds its
+  * rows into a fixed-size sketch (Spark's `count_min_sketch` partial
+  * aggregate), sketches merge associatively, and candidates are probed
+  * against the merged sketch. CMS only overestimates, so the result is a
+  * superset of the true hitters at the same threshold — the same
+  * guarantee SpaceSaver gives (reference emits count > (portion−error)·N
+  * with est ≥ true).
+  */
+object Sketches {
+
+  /** Approximate frequent keys: every key whose estimated count exceeds
+    * `portion − error` of the total. `candidates` bounds the probe set
+    * (for series workloads: the catalog; defaults to distinct keys of
+    * `df` — exact-ish but still sketch-memory-bounded on the agg side).
+    *
+    * @param eps,confidence CMS accuracy: width = ⌈e/eps⌉, depth = ⌈ln(1/(1−conf))⌉
+    */
+  def frequentKeys(df: DataFrame, keyCol: String,
+      portion: Double, error: Double,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    val total = df.count()
+    val sketchBytes = df
+      .select(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(42)).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val bc = spark.sparkContext.broadcast(cms)
+    val cand = candidates.getOrElse(df.select(col(keyCol)).distinct())
+    val estimate = udf((k: Any) => bc.value.estimateCount(k))
+    cand
+      .withColumn("est_count", estimate(col(keyCol)))
+      .where(col("est_count") > (portion - error) * total)
+      .orderBy(col("est_count").desc, col(keyCol))
+  }
+}

@@ -116,6 +116,27 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("series").as[String].collect().toSeq === Seq("a"))
   }
 
+  test("CMS-sketch frequent keys are a superset of the exact hitters") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "i")
+    val approx = graft.ops.Sketches.frequentKeys(df, "k", portion = 0.3, error = 0.05)
+      .select("k").as[String].collect().toSet
+    assert(approx.contains("a")) // 50/85 ≈ 0.59
+    assert(approx.contains("b")) // 30/85 ≈ 0.35
+    // CMS overestimates only: never misses a true hitter; c (0.06) may
+    // appear under collision but not here at default accuracy
+    assert(!approx.contains("c"))
+  }
+
+  test("tsdb context registers SQL views") {
+    val ctx = rampContext(Seq(1), 0, 10)
+    ctx.registerViews("t_")
+    assert(spark.sql("SELECT count(*) FROM t_samples").as[Long].head() === 10L)
+    assert(spark.sql(
+      """SELECT count(*) FROM t_samples s JOIN t_series c USING (series_id)
+         WHERE c.metric = 'test'""").as[Long].head() === 10L)
+  }
+
   test("chained nodes compose in JSON order") {
     val out = ApplyNodes.chain(scalarDf(Seq(-2.0, 3.0)),
       Seq(ApplySpec("abs", Map.empty), ApplySpec("cusum", Map.empty)), Seq("value"))
