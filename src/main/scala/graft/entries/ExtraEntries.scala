@@ -123,6 +123,24 @@ object ExtraEntries {
              "apply": [{"name": "sax", "window-width": 8,
                         "paa": 4, "alphabet": 4}]}"""), valueCols = Nil)),
 
+    // as-of join: for each click, the latest view at or before it (µs-
+    // truncated ts so the <= boundary agrees with DuckDB's µs TIMESTAMP;
+    // the oracle uses DuckDB's native ASOF JOIN)
+    "ts_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("long"))
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_asof"))
+      graft.ops.TimeJoins.asof(clicks, views, Seq("user_id"), Seq("view_asof"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("click"), 6).as("click"),
+          round(col("view_asof"), 6).as("view_asof"))
+        .orderBy("user_id", "ts_us", "click")
+    }),
+
     // ---- ingestion protocol round-trip ------------------------------------
     // Render OpenTSDB `put` lines from the raw events, parse them back with
     // the codegen line parser, and emit normalized samples; the oracle
@@ -280,6 +298,15 @@ object ExtraEntries {
               THEN ${segs.map(letter).mkString(" || ")} END AS word
           FROM g ORDER BY series, ts_us"""
     },
+
+    "ts_asof_join" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+           round(l.value, 6) AS click, round(r.value, 6) AS view_asof
+         FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.user_id, ts_us, click""",
 
     "src_opentsdb_roundtrip" ->
       """SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,

@@ -39,6 +39,39 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.distinct.length > 1) // actually spreads
   }
 
+  test("asof join picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0))
+      .toDF("k", "ts", "v")
+    val out = graft.ops.TimeJoins.asof(left, right, Seq("k"), Seq("v"))
+      .orderBy("k", "ts").select("k", "ts", "tag", "v")
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, 10L, "a", Some(100.0)), // latest right <= 10 is ts=5
+      (1L, 25L, "b", Some(200.0)), // ts=20
+      (2L, 5L, "c", None))) // no right rows for k=2
+  }
+
+  test("asof join with equal timestamps matches (<= semantics)") {
+    val left = Seq((1L, 20L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 20L, 7.0)).toDF("k", "ts", "v")
+    val out = graft.ops.TimeJoins.asof(left, right, Seq("k"), Seq("v"))
+      .select("v").as[Option[Double]].head()
+    assert(out === Some(7.0))
+  }
+
+  test("asof join tolerance voids stale matches") {
+    val left = Seq((1L, 100L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 7.0)).toDF("k", "ts", "v")
+    val hit = graft.ops.TimeJoins.asof(left, right, Seq("k"), Seq("v"),
+      toleranceNs = Some(95L)).select("v").as[Option[Double]].head()
+    val miss = graft.ops.TimeJoins.asof(left, right, Seq("k"), Seq("v"),
+      toleranceNs = Some(50L)).select("v").as[Option[Double]].head()
+    assert(hit === Some(7.0))
+    assert(miss === None)
+  }
+
   test("saltedAgg equals direct aggregation") {
     val direct = big.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
       .orderBy("k").as[(String, Long, Long)].collect()
