@@ -141,6 +141,25 @@ object ExtraEntries {
         .orderBy("user_id", "ts_us", "click")
     }),
 
+    // range join: each click paired with the 1-day purchase windows that
+    // contain it (bucketed equi-join; oracle is the plain inequality join)
+    "ts_range_join" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("long"))
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click"))
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("start"),
+          (col("ts") + dayNs).as("end"))
+      graft.ops.TimeJoins.rangeJoin(clicks, windows, Seq("user_id"), dayNs)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          expr("start div 1000").as("win_start_us"),
+          round(col("click"), 6).as("click"))
+        .orderBy("user_id", "ts_us", "win_start_us")
+    }),
+
     // ---- ingestion protocol round-trip ------------------------------------
     // Render OpenTSDB `put` lines from the raw events, parse them back with
     // the codegen line parser, and emit normalized samples; the oracle
@@ -298,6 +317,15 @@ object ExtraEntries {
               THEN ${segs.map(letter).mkString(" || ")} END AS word
           FROM g ORDER BY series, ts_us"""
     },
+
+    "ts_range_join" ->
+      """SELECT c.user_id AS user_id, epoch_us(c.ts) AS ts_us,
+           epoch_us(p.ts) AS win_start_us, round(c.value, 6) AS click
+         FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 DAY
+         ORDER BY c.user_id, ts_us, win_start_us""",
 
     "ts_asof_join" ->
       """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,

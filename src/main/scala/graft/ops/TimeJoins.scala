@@ -22,6 +22,34 @@ import org.apache.spark.sql.functions._
   */
 object TimeJoins {
 
+  /** Range (interval) join: pair each point with every interval of the
+    * same key containing it (`start <= ts < end`).
+    *
+    * A naive inequality join plans as a nested loop (O(points·intervals)
+    * per key). Bucketizing makes it an equi-join: each point lands in one
+    * coarse time bucket, each interval is replicated to the buckets it
+    * overlaps, and the join key becomes (keys..., bucket) with an exact
+    * containment filter after. Every (point, interval) pair meets in
+    * exactly one bucket — the point's — so no dedup is needed. Choose
+    * `bucketNs` near the typical interval length: replication factor is
+    * ~len/bucket + 1.
+    *
+    * @param points    (keys..., ts, …)
+    * @param intervals (keys..., start, end, …), half-open [start, end)
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucket width must be positive")
+    val pts = points.withColumn("__b", floor(col("ts") / bucketNs).cast("long"))
+    val ivs = intervals.withColumn("__b",
+      explode(sequence(
+        floor(col("start") / bucketNs).cast("long"),
+        floor((col("end") - 1) / bucketNs).cast("long"))))
+    pts.join(ivs, keys :+ "__b")
+      .where(col("ts") >= col("start") && col("ts") < col("end"))
+      .drop("__b")
+  }
+
   /** As-of join: for each `left` row, the most recent `right` row with the
     * same `keys` and `right.ts <= left.ts` (within `toleranceNs` if set).
     * Right columns come back as `valueCols` (null when nothing qualifies).

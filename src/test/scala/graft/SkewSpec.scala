@@ -72,6 +72,20 @@ class SkewSpec extends AnyFunSuite with SparkTestBase {
     assert(miss === None)
   }
 
+  test("range join pairs points with containing intervals exactly once") {
+    val pts = Seq((1L, 5L, "p1"), (1L, 15L, "p2"), (1L, 25L, "p3"))
+      .toDF("k", "ts", "tag")
+    // overlapping intervals spanning bucket boundaries (bucket = 10)
+    val ivs = Seq((1L, 0L, 20L, "w1"), (1L, 10L, 30L, "w2"))
+      .toDF("k", "start", "end", "w")
+    val out = graft.ops.TimeJoins.rangeJoin(pts, ivs, Seq("k"), bucketNs = 10L)
+      .select("tag", "w").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("p1", "w1"), // 5 in [0,20) only
+      ("p2", "w1"), ("p2", "w2"), // 15 in both
+      ("p3", "w2"))) // 25 in [10,30) only
+  }
+
   test("saltedAgg equals direct aggregation") {
     val direct = big.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
       .orderBy("k").as[(String, Long, Long)].collect()
