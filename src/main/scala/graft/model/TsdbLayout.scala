@@ -49,6 +49,21 @@ object TsdbLayout {
   def readSamples(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write a DataFrame as a bucketed + sorted table on `series_id`: joins
+    * and aggregations keyed on series then read co-located buckets and
+    * plan with NO exchange — the Spark analog of the reference keeping
+    * all of one series' data in one tree. Registered in the session
+    * catalog (external, at `path`); both sides of a join must share the
+    * bucket count for the shuffle to vanish. */
+  def writeBucketedBySeries(df: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    df.write
+      .option("path", path)
+      .bucketBy(buckets, "series_id")
+      .sortBy("series_id", "ts")
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** A TsdbContext whose fact scan goes through the partitioned layout.
     * The `metric` partition column stays on the samples DF: Engine scans
     * join on series_id only, and Catalyst prunes partitions when the

@@ -39,4 +39,28 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("metric="))
     assert(dirs.nonEmpty)
   }
+
+  test("bucketed-by-series tables join with no shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ctx = rampContext(Seq(1, 2, 3), 100, 200)
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets")
+    TsdbLayout.writeBucketedBySeries(ctx.samples, "graft_bk_a", s"$base/a", buckets = 4)
+    TsdbLayout.writeBucketedBySeries(ctx.samples, "graft_bk_b", s"$base/b", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("graft_bk_a").as("a")
+        .join(spark.table("graft_bk_b").as("b"), "series_id")
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bk_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bk_b")
+    }
+  }
 }
