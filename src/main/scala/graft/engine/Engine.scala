@@ -197,9 +197,11 @@ final class Engine(val ctx: TsdbContext) {
     val t = transform(f)
     val seriesCol = when(col("tagkey") === "", lit(SeriesName.joinMetric(metrics)))
       .otherwise(concat_ws(" ", lit(SeriesName.joinMetric(metrics)), col("tagkey")))
+    // max, not first: deterministic under duplicate (series, ts) samples
+    // (the oracle SQL aggregates the same way)
     t.groupBy(col("tagkey"), col("ts"))
       .pivot("metric", metrics)
-      .agg(first(col("value")))
+      .agg(max(col("value")))
       .withColumn("series", seriesCol)
       .drop("tagkey")
       .select(col("series") +: col("ts") +: metrics.map(col): _*)
