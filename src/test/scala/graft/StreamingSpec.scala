@@ -70,6 +70,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpointed stream restarts without reprocessing (durability)") {
+    // file source -> parse -> parquet sink with checkpoint; stop, add more
+    // input, restart with the same checkpoint: old input is not re-emitted.
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    def writeLines(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = OpenTsdb.toSamples(
+        spark.readStream.format("text").load(in))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    writeLines("a.txt", Seq("put m 10 1.0 t=a", "put m 20 2.0 t=a"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    writeLines("b.txt", Seq("put m 30 3.0 t=a"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3) // a.txt not reprocessed, b.txt appended once
+    assert(rows.select(sum(col("value"))).head().getDouble(0) === 6.0)
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
