@@ -160,6 +160,21 @@ object ExtraEntries {
         .orderBy("user_id", "ts_us", "win_start_us")
     }),
 
+    // the streaming downsample run on a batch frame (same code path as the
+    // watermarked stream — that equivalence is the design point), checked
+    // against an epoch-aligned hourly bucket in SQL
+    "stream_downsample_batch" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+          col("ts").cast("long").as("ts"), col("value"))
+      graft.streaming.TsdbStream.downsample(ev, "1 hour", "10 minutes")
+        .select(col("name"), unix_micros(col("bin")).as("bin_us"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          col("cnt"))
+        .orderBy("name", "bin_us")
+    }),
+
     // ---- ingestion protocol round-trip ------------------------------------
     // Render OpenTSDB `put` lines from the raw events, parse them back with
     // the codegen line parser, and emit normalized samples; the oracle
@@ -317,6 +332,14 @@ object ExtraEntries {
               THEN ${segs.map(letter).mkString(" || ")} END AS word
           FROM g ORDER BY series, ts_us"""
     },
+
+    "stream_downsample_batch" ->
+      """SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+           (epoch_us(ts) // 3600000000) * 3600000000 AS bin_us,
+           round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+           CAST(count(value) AS DOUBLE) AS cnt
+         FROM events WHERE event_type = 'click'
+         GROUP BY user_id, bin_us ORDER BY name, bin_us""",
 
     "ts_range_join" ->
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS ts_us,
