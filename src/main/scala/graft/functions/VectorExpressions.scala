@@ -111,7 +111,29 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact Long integer division by a positive constant. Spark's `/` on
+    * Long columns is double division, which rounds above 2^53 — fatal for
+    * ns-epoch arithmetic (1.7e18). Java long division, codegen'd. */
+  case class LongDiv(child: Expression, d: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(d > 0, "divisor must be positive")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_div"
+
+    override protected def nullSafeEval(input: Any): Any =
+      input.asInstanceOf[Long] / d
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $c / ${d}L;")
+
+    override protected def withNewChildInternal(newChild: Expression): LongDiv =
+      copy(child = newChild)
+  }
+
   // ---- Column API --------------------------------------------------------
+
+  def longDiv(c: Column, d: Long): Column =
+    Bridge.column(LongDiv(Bridge.expression(c), d))
 
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))

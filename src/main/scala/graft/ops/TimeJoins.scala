@@ -40,11 +40,14 @@ object TimeJoins {
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       bucketNs: Long): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
-    val pts = points.withColumn("__b", floor(col("ts") / bucketNs).cast("long"))
+    // integer division: `/` on Long ns columns is double division, which
+    // can misbucket values within ~0.25µs of a boundary past 2^53
+    import graft.functions.VectorExpressions.longDiv
+    val pts = points.withColumn("__b", longDiv(col("ts"), bucketNs))
     val ivs = intervals.withColumn("__b",
       explode(sequence(
-        floor(col("start") / bucketNs).cast("long"),
-        floor((col("end") - 1) / bucketNs).cast("long"))))
+        longDiv(col("start"), bucketNs),
+        longDiv(col("end") - 1, bucketNs))))
     pts.join(ivs, keys :+ "__b")
       .where(col("ts") >= col("start") && col("ts") < col("end"))
       .drop("__b")

@@ -27,9 +27,11 @@ import graft.query.Ast.AggFunc
   */
 object TsdbStream {
 
-  /** ns → µs TimestampType column (event time for watermarking). */
+  /** ns → µs TimestampType column (event time for watermarking).
+    * Integer division — `/` on Long columns is double division and loses
+    * ns precision beyond 2^53. */
   def eventTime(tsNs: Column): Column =
-    timestamp_micros((tsNs / 1000L).cast("long"))
+    timestamp_micros(graft.functions.VectorExpressions.longDiv(tsNs.cast("long"), 1000L))
 
   /** Continuous group-aggregate: time-bucketed min/max/sum/cnt/mean per
     * series, watermarked so late data beyond `lateness` is dropped and
