@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.query.Ast.AggFunc
+
+/** Materialized downsample rollups — the Spark analog of the reference's
+  * per-block SubtreeRef aggregates (stdb/storage/nbtree_def.h:47-84:
+  * count/min/max/sum/first/last + the timestamps of min/max/first/last),
+  * which let whole-range and coarse-step aggregates answer from interior
+  * nodes without touching leaves (nbtree.h:457; SURVEY §4 "aggregate
+  * pushdown").
+  *
+  * [[write]] precomputes the full accumulator per (series, fine bin) once;
+  * [[reaggregate]] answers any aggregate whose step is a multiple of the
+  * fine step — and any whole-range aggregate — from the rollup alone,
+  * using the same combination law as the reference's
+  * AggregationResult::combine. At 100 TB a 1-minute rollup is ~1/60th the
+  * raw sample count per series: coarse dashboards and long-range
+  * aggregates stop scanning raw data entirely.
+  */
+object Rollup {
+
+  /** The SubtreeRef-style accumulator per (series_id, bin). Bins are
+    * epoch-aligned: bin = ts - ts % step (exact Long arithmetic). */
+  def build(samples: DataFrame, stepNs: Long): DataFrame = {
+    require(stepNs > 0, "rollup step must be positive")
+    samples
+      .withColumn("bin", col("ts") - pmod(col("ts"), lit(stepNs)))
+      .groupBy("series_id", "bin")
+      .agg(
+        count(col("value")).as("cnt"),
+        sum(col("value")).as("sum"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        min(struct(col("ts"), col("value"))).getField("value").as("first"),
+        max(struct(col("ts"), col("value"))).getField("value").as("last"),
+        min(struct(col("value"), col("ts"))).getField("ts").as("ts_of_min"),
+        max(struct(col("value"), col("ts"))).getField("ts").as("ts_of_max"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+  }
+
+  /** Persist a rollup next to the fact data. */
+  def write(samples: DataFrame, path: String, stepNs: Long): Unit =
+    build(samples, stepNs).write.mode("overwrite").parquet(path)
+
+  /** Combine fine-bin accumulators into coarser bins (coarse step must be
+    * a multiple of the rollup's fine step) — AggregationResult::combine as
+    * column algebra. `coarseStepNs = None` folds the whole range into one
+    * accumulator per series. */
+  def reaggregate(rollup: DataFrame, coarseStepNs: Option[Long]): DataFrame = {
+    val binned = coarseStepNs match {
+      case Some(step) =>
+        rollup.withColumn("bin", col("bin") - pmod(col("bin"), lit(step)))
+      case None => rollup.withColumn("bin", lit(0L))
+    }
+    binned.groupBy("series_id", "bin").agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sum")).as("sum"),
+      min(col("vmin")).as("vmin"),
+      max(col("vmax")).as("vmax"),
+      min(struct(col("ts_min"), col("first"))).getField("first").as("first"),
+      max(struct(col("ts_max"), col("last"))).getField("last").as("last"),
+      min(struct(col("vmin"), col("ts_of_min"))).getField("ts_of_min").as("ts_of_min"),
+      max(struct(col("vmax"), col("ts_of_max"))).getField("ts_of_max").as("ts_of_max"),
+      min(col("ts_min")).as("ts_min"),
+      max(col("ts_max")).as("ts_max"))
+  }
+
+  /** Extract an aggregation function's value from the accumulator columns
+    * (TupleOutputUtils::get, stdb/storage/tuples.h:52-88). */
+  def extract(f: AggFunc): Column = f match {
+    case AggFunc.Min => col("vmin")
+    case AggFunc.Max => col("vmax")
+    case AggFunc.Sum => col("sum")
+    case AggFunc.Cnt => col("cnt").cast(DoubleType)
+    case AggFunc.Mean => col("sum") / col("cnt")
+    case AggFunc.First => col("first")
+    case AggFunc.Last => col("last")
+    case AggFunc.MinTimestamp => col("ts_of_min").cast(DoubleType)
+    case AggFunc.MaxTimestamp => col("ts_of_max").cast(DoubleType)
+    case AggFunc.FirstTimestamp => col("ts_min").cast(DoubleType)
+    case AggFunc.LastTimestamp => col("ts_max").cast(DoubleType)
+  }
+
+  /** Answer a group-aggregate from the rollup: one column per requested
+    * function, bins of `coarseStepNs` (a multiple of the build step). */
+  def groupAggregate(rollup: DataFrame, funcs: Seq[AggFunc],
+      coarseStepNs: Long): DataFrame = {
+    val combined = reaggregate(rollup, Some(coarseStepNs))
+    combined.select(
+      col("series_id") +: col("bin") +: funcs.map(f => extract(f).as(f.token)): _*)
+  }
+}

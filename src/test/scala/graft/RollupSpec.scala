@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.engine.Rollup
+import graft.query.Ast.AggFunc
+
+/** Rollup accumulators must reproduce exactly what direct aggregation of
+  * the raw samples gives, for every function and at every coarser step —
+  * the combination law of the reference's AggregationResult. */
+class RollupSpec extends AnyFunSuite with SparkTestBase {
+
+  // values chosen so min/max/first/last land on distinct rows
+  private lazy val ctx = rampContext(Seq(1, 2), 100, 200,
+    value = ts => ((ts * 7919) % 101).toDouble)
+
+  private def direct(stepNs: Long) = {
+    val f = AggFunc.all
+    ctx.samples
+      .withColumn("bin", col("ts") - pmod(col("ts"), lit(stepNs)))
+      .groupBy("series_id", "bin")
+      .agg(
+        min(col("value")).as("min"), max(col("value")).as("max"),
+        sum(col("value")).as("sum"),
+        count(col("value")).cast(DoubleType).as("cnt"),
+        avg(col("value")).as("mean"),
+        min(struct(col("ts"), col("value"))).getField("value").as("first"),
+        max(struct(col("ts"), col("value"))).getField("value").as("last"),
+        min(struct(col("value"), col("ts"))).getField("ts").cast(DoubleType).as("min_timestamp"),
+        max(struct(col("value"), col("ts"))).getField("ts").cast(DoubleType).as("max_timestamp"),
+        min(col("ts")).cast(DoubleType).as("first_timestamp"),
+        max(col("ts")).cast(DoubleType).as("last_timestamp"))
+  }
+
+  test("rollup reaggregation equals direct aggregation for all 11 functions") {
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    for (coarse <- Seq(10L, 20L, 50L)) {
+      val fromRollup = Rollup.groupAggregate(rollup, AggFunc.all, coarse)
+        .orderBy("series_id", "bin").collect().map(_.toSeq)
+      val fromRaw = direct(coarse)
+        .select(col("series_id") :: col("bin") ::
+          AggFunc.all.map(f => col(f.token)).toList: _*)
+        .orderBy("series_id", "bin").collect().map(_.toSeq)
+      assert(fromRollup.toSeq === fromRaw.toSeq, s"coarse step $coarse")
+    }
+  }
+
+  test("whole-range reaggregate answers aggregate queries from the rollup") {
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val whole = Rollup.reaggregate(rollup, None)
+      .select(col("series_id"), Rollup.extract(AggFunc.Sum).as("sum"),
+        Rollup.extract(AggFunc.Cnt).as("cnt"))
+      .orderBy("series_id").collect().map(_.toSeq)
+    val raw = ctx.samples.groupBy("series_id")
+      .agg(sum("value").as("sum"), count(lit(1)).cast(DoubleType).as("cnt"))
+      .orderBy("series_id").collect().map(_.toSeq)
+    assert(whole.map(_.drop(1)).toSeq === raw.map(_.drop(1)).toSeq)
+  }
+
+  test("rollup round-trips through parquet") {
+    val path = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    Rollup.write(ctx.samples, path, stepNs = 10)
+    val back = spark.read.parquet(path)
+    assert(back.count() === Rollup.build(ctx.samples, 10).count())
+    assert(Rollup.groupAggregate(back, Seq(AggFunc.Mean), 50L).count() > 0)
+  }
+}
