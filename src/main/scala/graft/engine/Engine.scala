@@ -131,11 +131,17 @@ final class Engine(val ctx: TsdbContext) {
     val metric = q.metrics.head
     val outMetric = SeriesName.groupAggregateMetric(metric, q.funcs.map(_.token))
     val ids = resolvedIds(Seq(metric), q.where, q.groupBy, renameMetric = Some(outMetric))
-    val binned = scan(ids, q.range, Seq(metric))
-      .withColumn("ts", binColumn(q.range, q.step))
-    val aggCols = q.funcs.map(f => aggColumn(f).as(f.token))
-    var df = binned.groupBy(col("out_name").as("series"), col("ts"))
-      .agg(aggCols.head, aggCols.tail: _*)
+    var df = rollupGroupAggregate(q, ids).getOrElse {
+      // bin in a SEPARATE column: first/last/min_ts/max_ts aggregate over
+      // the real per-sample ts; collapsing ts to the bin before the agg
+      // would silently turn them into min/max-by-value
+      val binned = scan(ids, q.range, Seq(metric))
+        .withColumn("__bin", binColumn(q.range, q.step))
+      val aggCols = q.funcs.map(f => aggColumn(f).as(f.token))
+      binned.groupBy(col("out_name").as("series"), col("__bin"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumnRenamed("__bin", "ts")
+    }
     // HAVING-style filter on aggregate components; reference allows only
     // min/max/mean to be filtered (query_plan_builder.cc:76-104).
     if (q.filters.nonEmpty) {
@@ -152,6 +158,35 @@ final class Engine(val ctx: TsdbContext) {
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
   }
 
+  /** Serve a group-aggregate from a materialized rollup (SURVEY §4
+    * "aggregate pushdown": the reference answers these from SubtreeRef
+    * stats without touching leaves). Usable when some rollup's fine step
+    * divides the query step AND both range endpoints — then every fine
+    * bin lies wholly inside the range and inside one query bin, and the
+    * accumulator combination law gives bit-identical results to scanning
+    * raw samples. Group-by-tag re-keying composes (combining across
+    * source series is the same law). */
+  private def rollupGroupAggregate(q: GroupAggregateQuery, ids: DataFrame): Option[DataFrame] = {
+    if (!q.range.forward) return None
+    ctx.rollups.find { case (fine, _) =>
+      fine > 0 && q.step % fine == 0 &&
+        q.range.from % fine == 0 && q.range.to % fine == 0
+    }.map { case (_, rollup) =>
+      val anchored = rollup
+        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .withColumn("bin",
+          lit(q.range.from) +
+            (col("bin") - q.range.from) -
+            pmod(col("bin") - q.range.from, lit(q.step)))
+      val combined = anchored
+        .groupBy(col("out_name").as("series"), col("bin").as("ts"))
+        .agg(Rollup.combineAggs.head, Rollup.combineAggs.tail: _*)
+      combined.select(
+        col("series") +: col("ts") +: q.funcs.map(f => Rollup.extract(f).as(f.token)): _*)
+    }
+  }
+
   // ------------------------------------------------------------------ join
 
   /** Align N metrics sharing the same tag set on timestamp → one wide row
@@ -166,9 +201,10 @@ final class Engine(val ctx: TsdbContext) {
 
   def groupAggregateJoin(q: GroupAggregateJoinQuery): DataFrame = {
     val wide = alignedWide(q.metrics, q.where, q.range, Map.empty,
-      df => df.withColumn("ts", binColumn(q.range, q.step))
-        .groupBy("series_id", "metric", "tagkey", "ts")
-        .agg(aggColumn(q.func).as("value")))
+      df => df.withColumn("__bin", binColumn(q.range, q.step))
+        .groupBy("series_id", "metric", "tagkey", "__bin")
+        .agg(aggColumn(q.func).as("value"))
+        .withColumnRenamed("__bin", "ts"))
     val out = ApplyNodes.chain(wide, q.apply, q.metrics)
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
   }

@@ -47,27 +47,30 @@ object Rollup {
   def write(samples: DataFrame, path: String, stepNs: Long): Unit =
     build(samples, stepNs).write.mode("overwrite").parquet(path)
 
+  /** The accumulator-combination aggregate columns
+    * (AggregationResult::combine as column algebra). */
+  def combineAggs: Seq[Column] = Seq(
+    sum(col("cnt")).as("cnt"),
+    sum(col("sum")).as("sum"),
+    min(col("vmin")).as("vmin"),
+    max(col("vmax")).as("vmax"),
+    min(struct(col("ts_min"), col("first"))).getField("first").as("first"),
+    max(struct(col("ts_max"), col("last"))).getField("last").as("last"),
+    min(struct(col("vmin"), col("ts_of_min"))).getField("ts_of_min").as("ts_of_min"),
+    max(struct(col("vmax"), col("ts_of_max"))).getField("ts_of_max").as("ts_of_max"),
+    min(col("ts_min")).as("ts_min"),
+    max(col("ts_max")).as("ts_max"))
+
   /** Combine fine-bin accumulators into coarser bins (coarse step must be
-    * a multiple of the rollup's fine step) — AggregationResult::combine as
-    * column algebra. `coarseStepNs = None` folds the whole range into one
-    * accumulator per series. */
+    * a multiple of the rollup's fine step). `coarseStepNs = None` folds
+    * the whole range into one accumulator per series. */
   def reaggregate(rollup: DataFrame, coarseStepNs: Option[Long]): DataFrame = {
     val binned = coarseStepNs match {
       case Some(step) =>
         rollup.withColumn("bin", col("bin") - pmod(col("bin"), lit(step)))
       case None => rollup.withColumn("bin", lit(0L))
     }
-    binned.groupBy("series_id", "bin").agg(
-      sum(col("cnt")).as("cnt"),
-      sum(col("sum")).as("sum"),
-      min(col("vmin")).as("vmin"),
-      max(col("vmax")).as("vmax"),
-      min(struct(col("ts_min"), col("first"))).getField("first").as("first"),
-      max(struct(col("ts_max"), col("last"))).getField("last").as("last"),
-      min(struct(col("vmin"), col("ts_of_min"))).getField("ts_of_min").as("ts_of_min"),
-      max(struct(col("vmax"), col("ts_of_max"))).getField("ts_of_max").as("ts_of_max"),
-      min(col("ts_min")).as("ts_min"),
-      max(col("ts_max")).as("ts_max"))
+    binned.groupBy("series_id", "bin").agg(combineAggs.head, combineAggs.tail: _*)
   }
 
   /** Extract an aggregation function's value from the accumulator columns

@@ -123,6 +123,16 @@ object ExtraEntries {
              "apply": [{"name": "sax", "window-width": 8,
                         "paa": 4, "alphabet": 4}]}"""), valueCols = Nil)),
 
+    // per-bin first/last aggregate over the REAL sample timestamps (locks
+    // the fix for the ts-collapse bug: binning must not replace ts before
+    // the aggregation); Δt-free but ts-ARGMAX-sensitive → µs engine
+    "ts_group_aggregate_first_last" -> ((s, dir) =>
+      usView(engineUs(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "7d",
+                                 "func": ["first", "last"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
+        valueCols = Seq("first", "last"))),
+
     // as-of join: for each click, the latest view at or before it (µs-
     // truncated ts so the <= boundary agrees with DuckDB's µs TIMESTAMP;
     // the oracle uses DuckDB's native ASOF JOIN)
@@ -340,6 +350,20 @@ object ExtraEntries {
            CAST(count(value) AS DOUBLE) AS cnt
          FROM events WHERE event_type = 'click'
          GROUP BY user_id, bin_us ORDER BY name, bin_us""",
+
+    "ts_group_aggregate_first_last" -> {
+      val stepNs = 7L * 86400000000000L
+      s"""SELECT concat('purchase:first|purchase:last user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            ($FromNs + ((epoch_ns(ts) - $FromNs) // $stepNs) * $stepNs) // 1000
+              AS ts_us,
+            round((min(struct_pack(t := epoch_ns(ts), v := value))).v, 6)
+              AS "first",
+            round((max(struct_pack(t := epoch_ns(ts), v := value))).v, 6)
+              AS "last"
+          ${oracleScan("purchase")}
+          GROUP BY user_id, ts_us ORDER BY series, ts_us"""
+    },
 
     "ts_range_join" ->
       """SELECT c.user_id AS user_id, epoch_us(c.ts) AS ts_us,

@@ -47,12 +47,16 @@ object TsdbSchema {
     StructField("body", StringType, nullable = false)))
 }
 
-/** The engine's handle on one "database": catalog + fact tables. */
+/** The engine's handle on one "database": catalog + fact tables +
+  * optional materialized rollups (fine-step → accumulator DataFrame, see
+  * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
+  * raw samples when step/range alignment allows. */
 final case class TsdbContext(
     spark: SparkSession,
     series: DataFrame,
     samples: DataFrame,
-    events: DataFrame) {
+    events: DataFrame,
+    rollups: Seq[(Long, DataFrame)] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

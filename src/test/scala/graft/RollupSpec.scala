@@ -59,6 +59,29 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(whole.map(_.drop(1)).toSeq === raw.map(_.drop(1)).toSeq)
   }
 
+  test("engine serves aligned group-aggregates from the rollup, not raw samples") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Mean, AggFunc.Last),
+      step = 20, range = TimeRange(100, 200))
+    val direct = new Engine(ctx).groupAggregate(q).collect().map(_.toSeq)
+    // poisoned samples: if the engine touched raw data the result would be empty
+    val emptySamples = ctx.samples.where(lit(false))
+    val viaRollup = new Engine(ctx.copy(
+      samples = emptySamples, rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+    assert(viaRollup.nonEmpty)
+
+    // misaligned range (from % fine != 0) must fall back to the raw scan
+    val misaligned = q.copy(range = TimeRange(105, 195))
+    val fallback = new Engine(ctx.copy(
+      samples = emptySamples, rollups = Seq(10L -> rollup)))
+      .groupAggregate(misaligned).collect()
+    assert(fallback.isEmpty) // poisoned samples prove the raw path was taken
+  }
+
   test("rollup round-trips through parquet") {
     val path = java.nio.file.Files.createTempDirectory("graft_rollup").toString
     Rollup.write(ctx.samples, path, stepNs = 10)
