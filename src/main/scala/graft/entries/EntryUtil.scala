@@ -31,6 +31,8 @@ object EntryUtil {
   def engineFor(spark: SparkSession, dir: String): Engine =
     engines.getOrElseUpdate((spark, dir), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
+      // cache only the catalog: caching samples too was measured neutral
+      // (the derivation is map-side) and hides parquet PushedFilters
       new Engine(ctx.copy(series = ctx.series.cache()))
     })
 
