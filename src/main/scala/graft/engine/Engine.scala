@@ -271,7 +271,7 @@ final class Engine(val ctx: TsdbContext) {
 
   def suggest(q: SuggestQuery): DataFrame = {
     val sw = q.startsWith.getOrElse("")
-    q.kind match {
+    val base = q.kind match {
       case SuggestKind.MetricNames =>
         ctx.series.select(col("metric").as("name")).distinct()
           .where(col("name").startsWith(sw)).orderBy("name")
@@ -288,6 +288,8 @@ final class Engine(val ctx: TsdbContext) {
           .where(col("name").isNotNull && col("name").startsWith(sw))
           .distinct().orderBy("name")
     }
+    // reference: suggest results flow through the same Limiter node chain
+    limitOffset(base, q.limit, q.offset)
   }
 
   // ----------------------------------------------------------- primitives

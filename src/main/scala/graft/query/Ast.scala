@@ -177,5 +177,7 @@ object Ast {
       kind: SuggestKind,
       metric: Option[String] = None,
       tag: Option[String] = None,
-      startsWith: Option[String] = None) extends Query
+      startsWith: Option[String] = None,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None) extends Query
 }

@@ -155,7 +155,8 @@ object QueryParser {
     SuggestQuery(kind,
       Option(root.get("metric")).map(_.asText()),
       Option(root.get("tag")).map(_.asText()),
-      Option(root.get("starts-with")).map(_.asText()))
+      Option(root.get("starts-with")).map(_.asText()),
+      optLong(root, "limit"), optLong(root, "offset"))
   }
 
   // ---- clauses ----
