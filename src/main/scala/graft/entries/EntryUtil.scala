@@ -49,11 +49,13 @@ object EntryUtil {
           col("ts") - pmod(col("ts"), lit(1000L)))))
     })
 
-  /** µs view of the engine's Long-ns ts column, oracle-comparable. */
+  /** µs view of the engine's Long-ns ts column, oracle-comparable.
+    * `+ 0.0` maps IEEE -0.0 → 0.0 (DuckDB's round(-ε, 6) keeps the sign,
+    * Spark's drops it); the oracle SQL applies the same normalization. */
   def usView(df: DataFrame, valueCols: Seq[String] = Seq("value")): DataFrame = {
     val cols = df.columns.map {
       case "ts" => expr("ts div 1000").as("ts_us")
-      case c if valueCols.contains(c) => round(col(c), 6).as(c)
+      case c if valueCols.contains(c) => (round(col(c), 6) + lit(0.0)).as(c)
       case c => col(c)
     }
     df.select(cols.toSeq: _*)

@@ -235,7 +235,8 @@ object PipelineEntries {
              FROM words, UNNEST(generate_series(0, 59)) AS t(b)
              GROUP BY doc_id, b)
          SELECT doc_id AS id,
-           sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
+             AS BIGINT) AS simhash
          FROM perbit GROUP BY doc_id ORDER BY id""",
 
     "emb_dup_pairs" ->

@@ -297,7 +297,7 @@ object TsdbEntries {
             epoch_us(ts) AS ts_us,
             round((value - coalesce(lag(value) OVER w, 0.0))
                   / (epoch_ns(ts) - coalesce(lag(epoch_ns(ts)) OVER w, 0))
-                  * 1e9, 6) AS value
+                  * 1e9, 6) + 0.0 AS value
           ${oracleScan("purchase")}
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
           ORDER BY series, ts_us""",
