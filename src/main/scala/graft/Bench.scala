@@ -23,18 +23,24 @@ object Bench {
     } catch { case _: Throwable => () }
     // best of 2 runs per query: steady-state engine cost, not scheduler /
     // first-compile noise (run-to-run totals varied ~2x on a busy host)
+    // A throwing query must surface as a failure, not a (fast) timing:
+    // failed runs are excluded from best-of-2 and from the total, and the
+    // query is reported as -1 plus listed under "failed".
     val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> math.min(once(), once())
+      val ok = Seq(once(), once()).flatten
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,9 +44,13 @@ object PipelineEntries {
       Dedup.simhash(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    // threshold 0.45: the synthetic corpus has no true near-dups, so the
+    // gate runs where the cosine tail actually is (7/14/144 pairs at
+    // sf0.001/0.01/0.1) — a 0.9 cut returns 0 rows everywhere and
+    // verifies nothing
     "emb_dup_pairs" -> ((s, dir) =>
       Dedup.embeddingDupPairs(rp(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.9)
+          "vec_id", "embedding", threshold = 0.45)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -243,7 +247,7 @@ object PipelineEntries {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                 CAST(b.embedding AS DOUBLE[])) >= 0.9
+                 CAST(b.embedding AS DOUBLE[])) >= 0.45
          ORDER BY id_a, id_b""",
 
     "emb_knn_brute" ->

@@ -140,9 +140,14 @@ object TsdbEntries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "sum", "ignore_missing": true}]}"""))),
 
+    // eval over group-aggregate-join output: downsampled bins align, so
+    // both slots are populated (raw click/view never share an exact ns
+    // timestamp — eval over the raw join returns 0 rows and verifies
+    // nothing)
     "ts_apply_eval" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
-        s"""{"join": ["click", "view"],
+        s"""{"group-aggregate-join": {"metric": ["click", "view"],
+                                      "step": "7d", "func": "max"},
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "eval", "expr": "click + 2*view"}]}"""))),
 
@@ -155,12 +160,16 @@ object TsdbEntries {
              "apply": [{"name": "top", "N": 5}]}"""), valueCols = Nil)
         .withColumn("value", round(col("value"), 3))),
 
+    // portion 0.0015: per-user share shrinks as 1/|users| with scale
+    // (max share 0.12 / 0.016 / 0.0019 at sf0.001/0.01/0.1), so the
+    // threshold must sit below the sf0.1 max for the entry to return rows
+    // at every driver scale
     "ts_apply_heavy_hitters" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
         s"""{"select": "purchase",
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "heavy-hitters",
-                        "portion": 0.072, "error": 0.002}]}"""))),
+                        "portion": 0.0015, "error": 0.0005}]}"""))),
 
     // ---- metadata ---------------------------------------------------------
     "ts_meta_names" -> ((s, dir) =>
@@ -334,9 +343,21 @@ object TsdbEntries {
           FROM (${pivot2("click", "view")}) ORDER BY series, ts_us""",
 
     "ts_apply_eval" ->
-      s"""SELECT series, ts_us, round(click + 2 * "view", 6) AS value
-          FROM (${pivot2("click", "view")})
-          WHERE click IS NOT NULL AND "view" IS NOT NULL
+      s"""WITH b AS (
+            SELECT user_id, event_type, ${binUs(7 * dayNs)} AS ts_us,
+              max(value) AS v
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY user_id, event_type, ts_us),
+          p AS (
+            SELECT user_id, ts_us,
+              max(v) FILTER (WHERE event_type = 'click') AS click,
+              max(v) FILTER (WHERE event_type = 'view') AS "view"
+            FROM b GROUP BY user_id, ts_us)
+          SELECT concat('click|view user=', CAST(user_id AS VARCHAR)) AS series,
+            ts_us, round(click + 2 * "view", 6) AS value
+          FROM p WHERE click IS NOT NULL AND "view" IS NOT NULL
           ORDER BY series, ts_us""",
 
     "ts_apply_top" ->
@@ -355,7 +376,7 @@ object TsdbEntries {
             tot AS (SELECT sum(value) AS t FROM f)
           SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             max(epoch_us(ts)) AS ts_us, round(sum(value), 6) AS value
-          FROM f, tot GROUP BY user_id, t HAVING sum(value) > 0.07 * t
+          FROM f, tot GROUP BY user_id, t HAVING sum(value) > 0.001 * t
           ORDER BY value DESC, series""",
 
     "ts_meta_names" ->

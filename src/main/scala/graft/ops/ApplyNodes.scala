@@ -187,20 +187,25 @@ object ApplyNodes {
     require(others.isEmpty, s"ewma: unexpected non-slot columns ${others.toSeq}")
     val packed = df.select(col("series"), col("ts"),
       array(cols.map(col): _*).as("vs"))
-    implicit val enc = Encoders.product[(String, Long, Seq[Double])]
-    val ds: Dataset[(String, Long, Seq[Double])] = packed.as[(String, Long, Seq[Double])]
+    // Boxed slot elements: tuple streams (join / group-aggregate output)
+    // carry null for absent slots, and a primitive Seq[Double] decoder
+    // throws on them. Nulls pass through without advancing EWMA state,
+    // mirroring the reference's presence bitmap skip.
+    implicit val enc = Encoders.product[(String, Long, Seq[java.lang.Double])]
+    val ds: Dataset[(String, Long, Seq[java.lang.Double])] =
+      packed.as[(String, Long, Seq[java.lang.Double])]
     val out = ds.groupByKey(_._1)(Encoders.STRING)
-      .flatMapSortedGroups(col("ts"), col("vs")) { (series: String, it: Iterator[(String, Long, Seq[Double])]) =>
+      .flatMapSortedGroups(col("ts"), col("vs")) { (series: String, it: Iterator[(String, Long, Seq[java.lang.Double])]) =>
         val nSlots = cols.size
         val state = Array.fill(nSlots)(new EwmaState(decay, warmup))
         it.map { case (_, ts, vs) =>
-          val outVs = Array.tabulate(nSlots) { i =>
+          val outVs = Array.tabulate[java.lang.Double](nSlots) { i =>
             val x = vs(i)
             if (x == null || x.isNaN) x
             else {
               val pred = state(i).get(x)
               state(i).add(x)
-              if (delta) x - pred else pred
+              java.lang.Double.valueOf(if (delta) x - pred else pred)
             }
           }
           (series, ts, outVs.toSeq)
@@ -235,14 +240,35 @@ object ApplyNodes {
       case Some(s: String) => s
       case _ => throw new IllegalArgumentException("eval needs 'expr'")
     }
-    // quote metric names (which may contain '.') — longest first so that
-    // "cpu.user" is matched before "cpu"
-    val quoted = cols.sortBy(-_.length).foldLeft(exprText) { (e, c) =>
-      e.replace(c, s"`$c`")
-    }
+    val quoted = quoteMetricRefs(exprText, cols)
     val out = df.withColumn("value", expr(quoted).cast(DoubleType))
       .where(!isnan(col("value")) && col("value").isNotNull)
       .drop(cols.filterNot(_ == "value"): _*)
     (out, Seq("value"))
+  }
+
+  /** Backtick-quote metric-name references in an eval expression. Single
+    * left-to-right pass (replaced text is never re-scanned, so one metric
+    * being a substring of another cannot corrupt the output); longest
+    * metric wins at each position; a match must sit on identifier
+    * boundaries so substrings of function names or other identifiers are
+    * left alone. Identifier chars include '.' because metric names do. */
+  private[graft] def quoteMetricRefs(exprText: String, cols: Seq[String]): String = {
+    val sorted = cols.filter(_.nonEmpty).sortBy(-_.length)
+    def isIdent(ch: Char) = ch.isLetterOrDigit || ch == '_' || ch == '.'
+    val sb = new StringBuilder
+    var i = 0
+    while (i < exprText.length) {
+      val hit = sorted.find { c =>
+        exprText.startsWith(c, i) &&
+          (i == 0 || !isIdent(exprText.charAt(i - 1))) &&
+          (i + c.length == exprText.length || !isIdent(exprText.charAt(i + c.length)))
+      }
+      hit match {
+        case Some(c) => sb.append('`').append(c).append('`'); i += c.length
+        case None => sb.append(exprText.charAt(i)); i += 1
+      }
+    }
+    sb.toString
   }
 }

@@ -91,6 +91,36 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assert(values(out) === Seq(8.0)) // row 2 drops: null slot -> null result
   }
 
+  test("eval: one metric a substring of another quotes cleanly") {
+    val df = Seq(("s", 1L, Some(2.0), Some(3.0)))
+      .toDF("series", "ts", "cpu.user", "cpu")
+    val out = run(df, ApplySpec("eval", Map("expr" -> "cpu.user + cpu")),
+      Seq("cpu.user", "cpu"))
+    assert(values(out) === Seq(5.0))
+    // metric names inside other identifiers stay untouched ("ab" in "abs"),
+    // while a standalone reference — even as a function argument — is quoted
+    assert(ApplyNodes.quoteMetricRefs("abs(ab) + ab", Seq("ab"))
+      === "abs(`ab`) + `ab`")
+    assert(ApplyNodes.quoteMetricRefs("cpu.user + cpu", Seq("cpu.user", "cpu"))
+      === "`cpu.user` + `cpu`")
+  }
+
+  test("ewma on tuple stream passes null slots through without advancing state") {
+    // slot 'a' missing at ts=2: output keeps the null and the EWMA state for
+    // 'a' is unaffected (warm-up echo continues as if row 2 never happened)
+    val df = Seq[(String, Long, Option[Double], Option[Double])](
+      ("s", 1L, Some(1.0), Some(10.0)),
+      ("s", 2L, None, Some(20.0)),
+      ("s", 3L, Some(3.0), Some(30.0))
+    ).toDF("series", "ts", "a", "b")
+    val out = run(df, ApplySpec("ewma", Map("decay" -> 0.5)), Seq("a", "b"))
+      .orderBy("ts")
+    val rows = out.select("a", "b").collect()
+    assert(rows(0).getDouble(0) === 1.0 && rows(0).getDouble(1) === 10.0)
+    assert(rows(1).isNullAt(0) && rows(1).getDouble(1) === 20.0)
+    assert(rows(2).getDouble(0) === 3.0 && rows(2).getDouble(1) === 30.0)
+  }
+
   test("top: N series by time-weighted sum (top_test.cc)") {
     val df = Seq(
       ("a", 0L, 1.0), ("a", 2000000000L, 1.0), // a: 1.0 over 2s = 2.0
