@@ -14,12 +14,6 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       graft.entries.EntryUtil.engineFor(spark, sfDir).ctx.series.count()
-      // MLlib/breeze one-time class loading (IVF codebook training)
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val tiny = spark.range(8).selectExpr("array(cast(id as double)) a")
-        .select(array_to_vector(org.apache.spark.sql.functions.col("a")).as("features"))
-      new KMeans().setK(2).setSeed(1L).setMaxIter(1).setInitMode("random").fit(tiny)
     } catch { case _: Throwable => () }
     // best of 2 runs per query: steady-state engine cost, not scheduler /
     // first-compile noise (run-to-run totals varied ~2x on a busy host)

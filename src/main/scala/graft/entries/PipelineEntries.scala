@@ -77,8 +77,9 @@ object PipelineEntries {
         .orderBy("qid", "rank")
     }),
 
-    // IVF ANN: k-means codebook cells, nprobe probing. No SQL oracle (the
-    // codebook is not SQL-expressible) → driver records the rows-only check.
+    // IVF ANN: deterministic-Lloyd codebook cells, nprobe probing. The
+    // codebook fit (lowest-id init, 2 rounds, round-6 centroids) replays
+    // bit-identically in the generated SQL oracle below.
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = rp(s, dir, "embeddings")
       Similarity.knnIvf(
@@ -182,7 +183,53 @@ object PipelineEntries {
       + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
       + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)"""
 
+  /** SQL replay of [[graft.pipeline.Similarity.knnIvf]]: same lowest-id
+    * init, same x·x + c·c − 2·x·c distance (sequential list arithmetic =
+    * VecDot's fold order), same round-6 per-cell means, same nprobe probe
+    * and top-k. Unrolled one CTE pair per Lloyd round. */
+  private def ivfOracle(nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+    def dotSelf(a: String) = s"list_sum(list_transform($a, x -> x*x))"
+    def dotAB(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+    def dist(a: String, b: String) =
+      s"(${dotSelf(a)} + ${dotSelf(b)} - 2*${dotAB(a, b)})"
+    def assign(centersCte: String) =
+      s"""SELECT id, v, cell FROM (
+            SELECT e.id, e.v, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN $centersCte c) WHERE r = 1"""
+    def recenter(assignCte: String) =
+      s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT cell, i, round(avg(v[i]), 6) AS m
+            FROM $assignCte, UNNEST(generate_series(1, len(v))) AS t(i)
+            GROUP BY cell, i) GROUP BY cell"""
+    val iterCtes = (0 until iters).map { it =>
+      s"a$it AS (${assign(s"c$it")}),\n c${it + 1} AS (${recenter(s"a$it")})"
+    }.mkString(",\n ")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cell,
+                  v AS cv
+                FROM (SELECT id, v FROM e ORDER BY id LIMIT $nlist)),
+         $iterCtes,
+         cor AS (${assign(s"c$iters")}),
+         qry AS (SELECT id AS qid, v AS qv, cell FROM (
+            SELECT e.id, e.v, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN c$iters c WHERE e.id < 10) WHERE r <= $nprobe)
+       SELECT * FROM (
+         SELECT qid, cor.id AS id,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY list_cosine_similarity(qv, cor.v) DESC, cor.id) AS rank,
+           round(list_cosine_similarity(qv, cor.v), 6) AS cos
+         FROM qry JOIN cor ON qry.cell = cor.cell AND cor.id != qid)
+       WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "emb_knn_ivf" -> ivfOracle(nlist = 8, nprobe = 2, k = 3, iters = 2),
     "docs_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups

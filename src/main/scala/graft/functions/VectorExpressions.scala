@@ -23,12 +23,22 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
-  /** Σ aᵢ·bᵢ in double precision over two float arrays. */
+  /** Element accessors for float or double arrays — both expressions
+    * accept either, accumulating in double precision regardless. */
+  private def isFloatArr(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elem(x: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+  private def elemCode(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** Σ aᵢ·bᵢ in double precision over two float (or double) arrays. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
-    // inputs must be ArrayType(FloatType) — enforced by the Column API call sites
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    private lazy val lf = isFloatArr(left)
+    private lazy val rf = isFloatArr(right)
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -37,7 +47,7 @@ object VectorExpressions {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        acc += elem(x, i, lf) * elem(y, i, rf)
         i += 1
       }
       acc
@@ -52,7 +62,7 @@ object VectorExpressions {
           int $n = java.lang.Math.min($a.numElements(), $b.numElements());
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+            $acc += ${elemCode(a, i, lf)} * ${elemCode(b, i, rf)};
           }
           ${ev.value} = $acc;"""
       })
@@ -67,9 +77,10 @@ object VectorExpressions {
     * the three folds separately. */
   case class VecCosine(left: Expression, right: Expression)
       extends BinaryExpression {
-    // inputs must be ArrayType(FloatType) — enforced by the Column API call sites
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_cosine"
+    private lazy val lf = isFloatArr(left)
+    private lazy val rf = isFloatArr(right)
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -78,8 +89,8 @@ object VectorExpressions {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val xv = x.getFloat(i).toDouble
-        val yv = y.getFloat(i).toDouble
+        val xv = elem(x, i, lf)
+        val yv = elem(y, i, rf)
         dot += xv * yv; na += xv * xv; nb += yv * yv
         i += 1
       }
@@ -99,8 +110,8 @@ object VectorExpressions {
           int $n = java.lang.Math.min($a.numElements(), $b.numElements());
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            double $xv = (double) $a.getFloat($i);
-            double $yv = (double) $b.getFloat($i);
+            double $xv = ${elemCode(a, i, lf)};
+            double $yv = ${elemCode(b, i, rf)};
             $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
           }
           ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));"""

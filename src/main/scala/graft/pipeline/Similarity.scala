@@ -72,52 +72,89 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** IVF (inverted-file) ANN: a k-means codebook partitions the corpus
-    * into `nlist` cells; each query probes its `nprobe` nearest centroids
-    * and scores only those cells. Unlike SRP buckets the cells adapt to
-    * the data distribution, which is the standard recall/cost improvement
-    * at corpus scale.
+  /** Deterministic Lloyd's k-means codebook: init = the `nlist` lowest-id
+    * vectors, then `iters` rounds of (argmin assignment, per-cell
+    * element-wise mean). Centroid coordinates are rounded to 6 decimals
+    * after each round so the result is independent of partial-aggregation
+    * order — the whole fit replays bit-identically in plain SQL, which is
+    * what lets the IVF entry be oracle-checked. A cell that loses all
+    * members simply drops out (symmetric in the oracle).
     *
-    * Plan shape: codebook is tiny (nlist × dim, driver-side via MLlib
-    * KMeans, seeded/deterministic) → cell assignment is a broadcast map
-    * over the corpus (one pass) → candidate generation is a cell-key
-    * equi-join → same top-k as the exact variant. At 100 TB the corpus
-    * pass is the only full scan, and it happens once at index-build time
-    * (persist the cell column; queries touch nprobe/nlist of the data).
+    * Each round is one broadcast join (nlist × dim literals) + one
+    * (cell, dim) aggregation — at 100 TB this is the standard distributed
+    * k-means cost, paid once at index-build time.
+    */
+  def fitCodebook(
+      corpus: DataFrame, nlist: Int, iters: Int,
+      idCol: String = "id", embCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    val spark = corpus.sparkSession
+    val e = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("v"))
+    var centers: Seq[(Int, Seq[Double])] =
+      e.orderBy("id").limit(nlist).collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(centers).toDF("cell", "cv")
+      val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
+      val assigned = e.crossJoin(broadcast(cdf))
+        .withColumn("__d", sqDist(col("v"), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+      centers = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("cell").agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .collect().map { r =>
+          val cv = r.getSeq[Row](1).map(x => (x.getInt(0), x.getDouble(1)))
+            .sortBy(_._1).map(_._2)
+          (r.getInt(0), cv)
+        }.toSeq.sortBy(_._1)
+    }
+    centers
+  }
+
+  /** Squared L2 via the x·x + c·c − 2·x·c expansion — three sequential-fold
+    * [[dot]] calls, so the value is bit-identical to the oracle's
+    * list-arithmetic replay of the same expansion. */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+
+  /** IVF (inverted-file) ANN: the [[fitCodebook]] cells partition the
+    * corpus; each query probes its `nprobe` nearest centroids and scores
+    * only those cells. Unlike SRP buckets the cells adapt to the data
+    * distribution, which is the standard recall/cost improvement at
+    * corpus scale.
+    *
+    * Plan shape: codebook is tiny (nlist × dim literals, broadcast) →
+    * cell assignment is a broadcast map over the corpus (one pass) →
+    * candidate generation is a cell-key equi-join → same top-k as the
+    * exact variant. At 100 TB the corpus pass is the only full scan, and
+    * it happens once at index-build time (persist the cell column;
+    * queries touch nprobe/nlist of the data).
     */
   def knnIvf(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 2,
+      nlist: Int = 16, nprobe: Int = 2, iters: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
-      embCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(
-      col(embCol).cast("array<double>")).as("features"))
-    // random init + few iterations: the codebook only needs to partition
-    // space roughly (recall comes from nprobe), and k-means|| init alone
-    // costs several full passes
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random").fit(train)
-    val centers = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
+      embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(
-      centers.map { case (c, i) => (i, c) }.toSeq).toDF("cell", "center")
+    val centers = fitCodebook(corpus, nlist, iters, idCol, embCol)
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
 
     // nearest-centroid assignment for the corpus; nprobe nearest for queries
-    def cellsFor(df: DataFrame, vecCol: String, n: Int): DataFrame = {
+    def cellsFor(df: DataFrame, keyCol: String, vecCol: String, n: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val scored = df.crossJoin(broadcast(centersDf))
-        .withColumn("__d", dot(col(vecCol), col(vecCol)) +
-          dot(col("center"), col("center")) -
-          lit(2.0) * dot(col(vecCol), col("center")))
-      val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("__d"))
+        .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
+      val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
       scored.withColumn("__r", row_number().over(w)).where(col("__r") <= n)
         .drop("__d", "__r", "center")
     }
 
-    val c = cellsFor(corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "ce", 1)
-    val q = cellsFor(queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qe", nprobe)
+    val c = cellsFor(corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
+    val q = cellsFor(queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
