@@ -1,0 +1,164 @@
+package graft.entries
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.sources.Resp
+import EntryUtil._
+
+/** Round-2 entries: oracle proof for surfaces that were implemented but
+  * unproven in round 1 (VERDICT.md "What's missing" #1/#2) — backward
+  * group-aggregate, multi-metric aggregate with per-metric functions,
+  * select-events with where + group-by-tag, a RESP round-trip exercising
+  * the dictionary preamble and row protocol, and the reference's intended
+  * downsample→EWMA composition (sliding_window.cc REGULLAR contract).
+  */
+object Round2Entries {
+
+  private val dayNs = 86400000000000L
+
+  val queries: Map[String, QueryFn] = Map(
+    // backward group-aggregate: bins anchor at `from` (the high end) and
+    // descend (column_store_test.cc:668-762 exercises both scan orders)
+    "ts_group_aggregate_backward" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "7d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "$ToIso", "to": "$FromIso"}}"""),
+        valueCols = Seq("min", "max", "cnt"))),
+
+    // >=1 metric:func pairs in one aggregate statement
+    // (queryparser.cc:1453-1564); one scan per metric, funcs unfolded
+    "ts_agg_multi_metric" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"aggregate": {"click": ["max", "cnt"], "view": "mean"},
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""))),
+
+    // select-events + where + group-by-tag (queryparser.cc:1338-1425):
+    // tag filter restricts series, group-by-tag drops the tag from the
+    // output name, regex filter applies to the body
+    "ts_select_events_where_groupby" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where": {"user": ["1", "2", "3", "12"]},
+             "group-by-tag": ["user"],
+             "filter": "\\"k\\": [0-9]"}"""), valueCols = Nil)),
+
+    // RESP round-trip with dictionary preamble + row protocol
+    // (protocolparser.h:131-257): render one chunk per user — a *2
+    // dictionary entry binding "click|click2 user=N" to id N, then each
+    // point referenced BY ID with a *2 value array (row protocol fans it
+    // out into click and click2 samples) — parse back, compare to the
+    // directly-computed samples
+    "src_resp_roundtrip" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .withColumn("ts", col("ts").cast("long"))
+      val pts = ev.select(col("user_id"), concat(
+        lit(":"), col("user_id"), lit("\r\n:"), col("ts").cast("string"),
+        lit("\r\n*2\r\n+"), col("value").cast("string"),
+        lit("\r\n+"), (col("value") * 2).cast("string"), lit("\r\n")).as("pt"))
+      val chunks = pts.groupBy("user_id")
+        .agg(concat_ws("", collect_list(col("pt"))).as("body"))
+        .select(concat(
+          lit("*2\r\n+click|click2 user="), col("user_id"),
+          lit("\r\n:"), col("user_id"), lit("\r\n"), col("body")).as("chunk"))
+      Resp.toSamples(chunks.select("chunk").as(Encoders.STRING))
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "ts_us", "value")
+    }),
+
+    // the reference's intended EWMA input is RESAMPLED data (it errors
+    // with RegullarExpected on raw series, sliding_window.cc:7-103); this
+    // is that composition: group-aggregate mean downsample, then ewma
+    "ts_apply_downsample_ewma" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["mean"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "ewma", "decay": 0.3}]}"""),
+        valueCols = Seq("mean")))
+  )
+
+  /** bin start (µs) for a forward range anchored at FromNs. */
+  private def binUs(stepNs: Long): String =
+    s"($FromNs + ((epoch_ns(ts) - $FromNs) // $stepNs) * $stepNs) // 1000"
+
+  /** Replay of the engine's EWMA recursion (10-sample warm-up, decay 0.3)
+    * over a pre-binned CTE `f(user_id, ts_us, value, rn)` + list CTE
+    * `l(user_id, xs)` — same shape as ExtraEntries.ewmaSql. */
+  private val ewmaPred = """CASE WHEN rn <= 11 THEN value
+              ELSE list_reduce(
+                list_prepend(
+                  xs[11] * 0.3 + (list_reduce(xs[1:11], (a, b) -> a + b) / 11)
+                    * (1.0 - 0.3),
+                  xs[12:rn - 1]),
+                (v, x) -> x * 0.3 + v * (1.0 - 0.3)) END"""
+
+  private val weekNs = 7 * dayNs
+
+  val oracle: Map[String, String] = Map(
+    "ts_group_aggregate_backward" ->
+      s"""SELECT concat('purchase:min|purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            ($ToNs - ((($ToNs - epoch_ns(ts)) // $weekNs) * $weekNs)) // 1000
+              AS ts_us,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) <= $ToNs AND epoch_ns(ts) > $FromNs
+          GROUP BY user_id, ts_us ORDER BY series, ts_us DESC""",
+
+    "ts_agg_multi_metric" ->
+      s"""SELECT * FROM (
+            SELECT concat('click:max user=', CAST(user_id AS VARCHAR)) AS series,
+              min(epoch_us(ts)) AS ts_us, round(max(value), 6) AS value
+            ${oracleScan("click")} GROUP BY user_id
+            UNION ALL
+            SELECT concat('click:cnt user=', CAST(user_id AS VARCHAR)),
+              min(epoch_us(ts)), CAST(count(value) AS DOUBLE)
+            ${oracleScan("click")} GROUP BY user_id
+            UNION ALL
+            SELECT concat('view:mean user=', CAST(user_id AS VARCHAR)),
+              min(epoch_us(ts)), round(avg(value), 6)
+            ${oracleScan("view")} GROUP BY user_id)
+          ORDER BY series, ts_us""",
+
+    "ts_select_events_where_groupby" ->
+      s"""SELECT '!log' AS series, epoch_us(ts) AS ts_us, props AS body
+          FROM events
+          WHERE epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND user_id IN (1, 2, 3, 12)
+            AND regexp_matches(props, '"k": [0-9]')
+          ORDER BY series, ts_us""",
+
+    "src_resp_roundtrip" ->
+      """SELECT * FROM (
+           SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+             epoch_us(ts) AS ts_us, round(value, 6) AS value
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT concat('click2 user=', CAST(user_id AS VARCHAR)),
+             epoch_us(ts), round(value * 2, 6)
+           FROM events WHERE event_type = 'click')
+         ORDER BY name, ts_us, value""",
+
+    "ts_apply_downsample_ewma" ->
+      s"""WITH b AS (
+            SELECT user_id, ${binUs(dayNs)} AS ts_us, avg(value) AS value
+            ${oracleScan("purchase")}
+            GROUP BY user_id, ts_us),
+          f AS (
+            SELECT user_id, ts_us, value,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+            FROM b),
+          l AS (
+            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts_us) AS xs
+            FROM f GROUP BY user_id)
+          SELECT concat('purchase:mean user=', CAST(user_id AS VARCHAR)) AS series,
+            ts_us, round($ewmaPred, 6) AS mean
+          FROM f JOIN l USING (user_id) ORDER BY series, ts_us""")
+}
