@@ -94,12 +94,15 @@ object ExtraEntries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "divide", "ignore_missing": true}]}"""))),
 
+    // portion 0.0008: count share ~1/|users| shrinks with scale (max
+    // 0.104 / 0.0121 / 0.00129 at sf0.001/0.01/0.1) — the threshold must
+    // sit below the sf0.1 max so the entry verifies rows at every scale
     "ts_apply_frequent_items" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
         s"""{"select": "purchase",
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "frequent-items",
-                        "portion": 0.0068, "error": 0.0003}]}"""))),
+                        "portion": 0.0008, "error": 0.0002}]}"""))),
 
     "ts_apply_sma_error" -> ((s, dir) =>
       usView(engineFor(s, dir).execute(
@@ -304,7 +307,7 @@ object ExtraEntries {
           SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             max(epoch_us(ts)) AS ts_us, CAST(count(*) AS DOUBLE) AS value
           FROM f, tot GROUP BY user_id, t
-          HAVING count(*) > (0.0068 - 0.0003) * t
+          HAVING count(*) > (0.0008 - 0.0002) * t
           ORDER BY value DESC, series""",
 
     "ts_apply_sma_error" ->

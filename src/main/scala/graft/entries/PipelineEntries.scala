@@ -28,9 +28,12 @@ object PipelineEntries {
       Dedup.exact(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("text_hash")),
 
+    // cap 20 is live at sf0.1 (max shingle doc-freq 25 there) and inert at
+    // smaller sfs (max 9) — the oracle mirrors the same pruning
     "docs_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(rp(s, dir, "documents"),
-          "doc_id", "text", k = 3, threshold = 0.8)
+          "doc_id", "text", k = 3, threshold = 0.8,
+          maxShingleFreq = Some(20))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
@@ -160,9 +163,12 @@ object PipelineEntries {
   private val jaccardSql =
     s"""WITH $shinglesCte,
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+         shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
+                 WHERE df <= 20),
          inter AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-           FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id
+           FROM shp a JOIN shp b USING (g) WHERE a.doc_id < b.doc_id
            GROUP BY 1, 2)
        SELECT id_a, id_b,
          round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard

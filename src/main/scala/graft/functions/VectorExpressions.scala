@@ -122,6 +122,48 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sign-random-projection bucket: bit i = [arr[i] > 0] for the first
+    * `bits` dims, folded into a Long. Replaces the interpreted
+    * `aggregate(sequence(...))` higher-order composition — this sits on
+    * the candidate-generation hot path of bucketed ANN, where every row
+    * of the corpus is bucketed once per (re)index. */
+  case class VecSrpBucket(child: Expression, bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(bits > 0 && bits <= 62, "bits must be in [1, 62]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "vec_srp_bucket"
+    private lazy val cf = isFloatArr(child)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = math.min(bits, x.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (elem(x, i, cf) > 0.0) acc |= (1L << i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+          int $n = java.lang.Math.min($bits, $c.numElements());
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if (${elemCode(c, i, cf)} > 0.0) $acc |= (1L << $i);
+          }
+          ${ev.value} = $acc;"""
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): VecSrpBucket =
+      copy(child = newChild)
+  }
+
   /** Exact Long integer division by a positive constant. Spark's `/` on
     * Long columns is double division, which rounds above 2^53 — fatal for
     * ns-epoch arithmetic (1.7e18). Java long division, codegen'd. */
@@ -151,4 +193,7 @@ object VectorExpressions {
 
   def vecCosine(a: Column, b: Column): Column =
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  def vecSrpBucket(a: Column, bits: Int): Column =
+    Bridge.column(VecSrpBucket(Bridge.expression(a), bits))
 }

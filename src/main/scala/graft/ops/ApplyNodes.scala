@@ -130,10 +130,13 @@ object ApplyNodes {
         val error = num("error")
         val weight = if (spec.name == "heavy-hitters") col(cols.head) else lit(1.0)
         val counted = df.withColumn("__w", weight)
-        val total = counted.agg(sum(col("__w"))).first().getDouble(0)
+        // the grand total rides along as a broadcast scalar instead of a
+        // separate .first() action, which would scan the input twice
+        val total = counted.agg(sum(col("__w")).as("__total"))
         val out = counted.groupBy(col("series"))
           .agg(max(col("ts")).as("ts"), sum(col("__w")).as("value"))
-          .where(col("value") > (portion - error) * total)
+          .crossJoin(broadcast(total))
+          .where(col("value") > lit(portion - error) * col("__total"))
           .orderBy(col("value").desc, col("series"))
         (out.select("series", "ts", "value"), Seq("value"))
 

@@ -50,11 +50,14 @@ object Dedup {
   /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
     * `maxShingleFreq` drops shingles shared by more than that many docs
     * before the self-join — the standard guard against quadratic blow-up
-    * on boilerplate shingles (they contribute little to Jaccard anyway). */
+    * on boilerplate shingles (they contribute little to Jaccard anyway).
+    * ON by default: an unbounded shingle self-join is a scale-killer (one
+    * shingle shared by f docs fans out f² join rows); pass `None` only
+    * for corpora known to be boilerplate-free. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
+      maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, k).cache()
     val pruned = maxShingleFreq match {
       case None => sh

@@ -50,11 +50,11 @@ object Similarity {
   /** Sign-random-projection bucket: bit i = sign(embedding[i]) for the
     * first `bits` dims (a fixed axis-aligned projection — deterministic
     * and oracle-reproducible; random hyperplanes would broadcast a
-    * plane matrix and fold dot-product signs the same way). */
+    * plane matrix and fold dot-product signs the same way). Codegen'd
+    * ([[graft.functions.VectorExpressions.VecSrpBucket]]) — the previous
+    * `aggregate(sequence(...))` form ran as an interpreted HOF per row. */
   def srpBucket(emb: Column, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, i) => acc + when(element_at(emb, i + 1) > 0f,
-        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+    graft.functions.VectorExpressions.vecSrpBucket(emb, bits)
 
   /** ANN top-k restricted to the query's SRP bucket. Same output shape as
     * [[knnBrute]]; vectors in other buckets are never scored (recall<1). */
