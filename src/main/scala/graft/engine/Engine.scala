@@ -160,26 +160,52 @@ final class Engine(val ctx: TsdbContext) {
 
   /** Serve a group-aggregate from a materialized rollup (SURVEY §4
     * "aggregate pushdown": the reference answers these from SubtreeRef
-    * stats without touching leaves). Usable when some rollup's fine step
-    * divides the query step AND both range endpoints — then every fine
-    * bin lies wholly inside the range and inside one query bin, and the
-    * accumulator combination law gives bit-identical results to scanning
-    * raw samples. Group-by-tag re-keying composes (combining across
-    * source series is the same law). */
+    * stats without touching leaves; interior nodes + leaf edges,
+    * nbtree.h:457). Applicable whenever some rollup's fine step divides
+    * the query step (forward ranges). A fine bin is served from the
+    * rollup when it lies wholly inside the range AND inside one query bin
+    * (query bins anchor at `range.from`, so an unaligned `from` makes
+    * every fine bin that straddles a bin boundary an edge); the remaining
+    * edge samples are scanned raw, aggregated to the same accumulator
+    * shape, and combined under the accumulator combination law — exact
+    * for every function (sum is FP-reassociated, as any partial
+    * aggregation is). Fully-aligned ranges have no edges and skip the raw
+    * scan subtree entirely. Group-by-tag re-keying composes (combining
+    * across source series is the same law). */
   private def rollupGroupAggregate(q: GroupAggregateQuery, ids: DataFrame): Option[DataFrame] = {
     if (!q.range.forward) return None
+    val metric = q.metrics.head
     ctx.rollups.find { case (fine, _) =>
-      fine > 0 && q.step % fine == 0 &&
-        q.range.from % fine == 0 && q.range.to % fine == 0
-    }.map { case (_, rollup) =>
-      val anchored = rollup
-        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
-        .withColumn("bin",
-          lit(q.range.from) +
-            (col("bin") - q.range.from) -
-            pmod(col("bin") - q.range.from, lit(q.step)))
-      val combined = anchored
+      fine > 0 && q.step % fine == 0 && q.range.to - q.range.from >= 2 * fine
+    }.map { case (fine, rollup) =>
+      val from = q.range.from
+      def qbin(c: Column): Column = {
+        val d = c - from
+        lit(from) + (d - pmod(d, lit(q.step)))
+      }
+      val idsSel = broadcast(ids.select("series_id", "out_name"))
+      val interiorCond = col("bin") >= from && col("bin") + fine <= q.range.to &&
+        qbin(col("bin")) === qbin(col("bin") + (fine - 1))
+      val interior = rollup.where(interiorCond)
+        .join(idsSel, "series_id")
+        .select(col("out_name") +: qbin(col("bin")).as("bin") +:
+          Rollup.accNames.map(col): _*)
+      val aligned = from % fine == 0 && q.range.to % fine == 0
+      val acc =
+        if (aligned) interior
+        else {
+          val fineBin = col("ts") - pmod(col("ts"), lit(fine))
+          val edgeCond = !(fineBin >= from && fineBin + fine <= q.range.to &&
+            qbin(fineBin) === qbin(fineBin + (fine - 1)))
+          val rawEdges = scan(ids, q.range, Seq(metric))
+            .where(edgeCond)
+            .withColumn("bin", binColumn(q.range, q.step))
+            .groupBy(col("out_name"), col("bin"))
+            .agg(Rollup.buildAggs.head, Rollup.buildAggs.tail: _*)
+            .select(col("out_name") +: col("bin") +: Rollup.accNames.map(col): _*)
+          interior.unionByName(rawEdges)
+        }
+      val combined = acc
         .groupBy(col("out_name").as("series"), col("bin").as("ts"))
         .agg(Rollup.combineAggs.head, Rollup.combineAggs.tail: _*)
       combined.select(

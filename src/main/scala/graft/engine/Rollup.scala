@@ -23,6 +23,25 @@ import graft.query.Ast.AggFunc
   */
 object Rollup {
 
+  /** Accumulator column names, in canonical order. */
+  val accNames: Seq[String] = Seq("cnt", "sum", "vmin", "vmax", "first",
+    "last", "ts_of_min", "ts_of_max", "ts_min", "ts_max")
+
+  /** The accumulator aggregate columns over raw (ts, value) rows — used by
+    * [[build]] and by the engine's raw-edge aggregation when a query range
+    * is not aligned to the rollup's fine step. */
+  def buildAggs: Seq[Column] = Seq(
+    count(col("value")).as("cnt"),
+    sum(col("value")).as("sum"),
+    min(col("value")).as("vmin"),
+    max(col("value")).as("vmax"),
+    min(struct(col("ts"), col("value"))).getField("value").as("first"),
+    max(struct(col("ts"), col("value"))).getField("value").as("last"),
+    min(struct(col("value"), col("ts"))).getField("ts").as("ts_of_min"),
+    max(struct(col("value"), col("ts"))).getField("ts").as("ts_of_max"),
+    min(col("ts")).as("ts_min"),
+    max(col("ts")).as("ts_max"))
+
   /** The SubtreeRef-style accumulator per (series_id, bin). Bins are
     * epoch-aligned: bin = ts - ts % step (exact Long arithmetic). */
   def build(samples: DataFrame, stepNs: Long): DataFrame = {
@@ -30,17 +49,7 @@ object Rollup {
     samples
       .withColumn("bin", col("ts") - pmod(col("ts"), lit(stepNs)))
       .groupBy("series_id", "bin")
-      .agg(
-        count(col("value")).as("cnt"),
-        sum(col("value")).as("sum"),
-        min(col("value")).as("vmin"),
-        max(col("value")).as("vmax"),
-        min(struct(col("ts"), col("value"))).getField("value").as("first"),
-        max(struct(col("ts"), col("value"))).getField("value").as("last"),
-        min(struct(col("value"), col("ts"))).getField("ts").as("ts_of_min"),
-        max(struct(col("value"), col("ts"))).getField("ts").as("ts_of_max"),
-        min(col("ts")).as("ts_min"),
-        max(col("ts")).as("ts_max"))
+      .agg(buildAggs.head, buildAggs.tail: _*)
   }
 
   /** Persist a rollup next to the fact data. */

@@ -49,6 +49,19 @@ object EntryUtil {
           col("ts") - pmod(col("ts"), lit(1000L)))))
     })
 
+  /** Engine with an hourly materialized rollup over the testdata. Entries
+    * using it prove the rollup serving path (interior fine bins from the
+    * rollup, range-edge samples from raw) against the plain raw-scan
+    * oracle SQL — equality IS the accumulator combination law. */
+  def engineRollupFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#rollup"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600L * 1000000000L
+      val rollup = graft.engine.Rollup.build(ctx.samples, hourNs).cache()
+      new Engine(ctx.copy(series = ctx.series.cache(),
+        rollups = Seq(hourNs -> rollup)))
+    })
+
   /** µs view of the engine's Long-ns ts column, oracle-comparable.
     * `+ 0.0` maps IEEE -0.0 → 0.0 (DuckDB's round(-ε, 6) keeps the sign,
     * Spark's drops it); the oracle SQL applies the same normalization. */

@@ -70,6 +70,45 @@ object Round2Entries {
         .orderBy("name", "ts_us", "value")
     }),
 
+    // group-aggregate over an hourly rollup with a range unaligned to the
+    // hour (±30 min): interior fine bins answer from the rollup, the edge
+    // windows from raw samples (nbtree.h:457 interior+leaf combination);
+    // min/max/cnt combine exactly, so this hash-matches the raw oracle
+    "ts_group_aggregate_rollup" -> ((s, dir) =>
+      usView(engineRollupFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "20240101T003000", "to": "20240331T233000"}}"""),
+        valueCols = Seq("min", "max", "cnt"))),
+
+    // streaming dedup run on a batch frame (same code path as the
+    // watermarked stream): every click row injected twice, the dedup
+    // keeps exactly one — (name, ts) pairs are unique in the corpus, so
+    // the kept row is deterministic
+    "stream_dedup_batch" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+          col("ts").cast("long").as("ts"), col("value"))
+      graft.streaming.TsdbStream.dedup(ev.unionAll(ev), "10 minutes")
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"))
+        .orderBy("name", "ts_us")
+    }),
+
+    // streaming stateful EWMA on a batch frame (mapGroupsWithState path);
+    // the oracle replays the seeded recursion with list_reduce
+    "stream_ewma_batch" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+          col("ts").cast("long").as("ts"), col("value"))
+      graft.streaming.TsdbStream.ewma(ev, decay = 0.2)
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("name", "ts_us")
+    }),
+
     // the reference's intended EWMA input is RESAMPLED data (it errors
     // with RegullarExpected on raw series, sliding_window.cc:7-103); this
     // is that composition: group-aggregate mean downsample, then ewma
@@ -112,6 +151,21 @@ object Round2Entries {
             AND epoch_ns(ts) <= $ToNs AND epoch_ns(ts) > $FromNs
           GROUP BY user_id, ts_us ORDER BY series, ts_us DESC""",
 
+    "ts_group_aggregate_rollup" -> {
+      val from2 = FromNs + 1800L * 1000000000L
+      val to2 = ToNs - 1800L * 1000000000L
+      s"""SELECT concat('purchase:min|purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            ($from2 + ((epoch_ns(ts) - $from2) // $dayNs) * $dayNs) // 1000
+              AS ts_us,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $from2 AND epoch_ns(ts) < $to2
+          GROUP BY user_id, ts_us ORDER BY series, ts_us"""
+    },
+
     "ts_agg_multi_metric" ->
       s"""SELECT * FROM (
             SELECT concat('click:max user=', CAST(user_id AS VARCHAR)) AS series,
@@ -134,6 +188,28 @@ object Round2Entries {
             AND user_id IN (1, 2, 3, 12)
             AND regexp_matches(props, '"k": [0-9]')
           ORDER BY series, ts_us""",
+
+    "stream_dedup_batch" ->
+      """SELECT DISTINCT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+           epoch_us(ts) AS ts_us, round(value, 6) AS value
+         FROM events WHERE event_type = 'click'
+         ORDER BY name, ts_us""",
+
+    // seeded recursion: st_1 = x_1; st_n = d·x_n + (1−d)·st_{n−1};
+    // list_reduce folds the identical IEEE op sequence
+    "stream_ewma_batch" ->
+      s"""WITH f AS (
+            SELECT user_id, ts, value,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+            FROM events WHERE event_type = 'click'),
+          l AS (
+            SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts) AS xs
+            FROM f GROUP BY user_id)
+          SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value,
+            round(list_reduce(list_prepend(xs[1], xs[2:rn]),
+              (v, x) -> x * 0.2 + v * (1.0 - 0.2)), 6) AS ewma
+          FROM f JOIN l USING (user_id) ORDER BY name, ts_us""",
 
     "src_resp_roundtrip" ->
       """SELECT * FROM (

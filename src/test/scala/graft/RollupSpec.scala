@@ -74,12 +74,44 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(viaRollup.toSeq === direct.toSeq)
     assert(viaRollup.nonEmpty)
 
-    // misaligned range (from % fine != 0) must fall back to the raw scan
-    val misaligned = q.copy(range = TimeRange(105, 195))
-    val fallback = new Engine(ctx.copy(
-      samples = emptySamples, rollups = Seq(10L -> rollup)))
-      .groupAggregate(misaligned).collect()
-    assert(fallback.isEmpty) // poisoned samples prove the raw path was taken
+  }
+
+  test("unaligned ranges serve interior bins from the rollup, edges from raw") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt, AggFunc.Last),
+      step = 20, range = TimeRange(105, 195))
+
+    // hybrid result must equal the pure raw scan on the same data
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    val hybrid = new Engine(ctx.copy(rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(hybrid.toSeq === direct.toSeq)
+    assert(hybrid.nonEmpty)
+
+    // poison raw samples ONLY inside interior fine bins (the engine's own
+    // interior predicate): with the rollup present the result must still
+    // equal the unpoisoned direct answer — interior data came from the
+    // rollup; only edge samples were read raw
+    val fine = 10L; val from = 105L; val to = 195L; val step = 20L
+    def qbin(c: org.apache.spark.sql.Column) =
+      lit(from) + ((c - from) - pmod(c - from, lit(step)))
+    val fineBin = col("ts") - pmod(col("ts"), lit(fine))
+    val interior = fineBin >= from && fineBin + fine <= to &&
+      qbin(fineBin) === qbin(fineBin + (fine - 1))
+    val poisoned = ctx.samples.withColumn("value",
+      when(interior, lit(-1e18)).otherwise(col("value")))
+    val viaRollup = new Engine(ctx.copy(
+      samples = poisoned, rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+
+    // sanity: without the rollup the poison leaks into the result
+    val noRollup = new Engine(ctx.copy(samples = poisoned))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(noRollup.toSeq !== direct.toSeq)
   }
 
   test("rollup round-trips through parquet") {
