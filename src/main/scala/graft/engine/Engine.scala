@@ -40,6 +40,11 @@ final class Engine(val ctx: TsdbContext) {
 
   def execute(json: String): DataFrame = run(QueryParser.parse(json))
 
+  /** Execute and render through the `output` clause (RESP or CSV lines,
+    * the reference's sink-side formatting, queryparser.cc:933). */
+  def executeRendered(json: String): org.apache.spark.sql.Dataset[String] =
+    OutputFormat.render(execute(json), QueryParser.parseOutputSpec(json))
+
   def run(q: Query): DataFrame = q match {
     case s: SelectQuery             => select(s)
     case s: SelectEventsQuery       => selectEvents(s)

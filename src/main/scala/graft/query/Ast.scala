@@ -81,6 +81,12 @@ object Ast {
   /** One `apply` pipeline stage, e.g. {"name":"ewma","decay":0.9}. */
   final case class ApplySpec(name: String, params: Map[String, Any])
 
+  /** The `output` clause: sink-side rendering of the final frame
+    * (reference formats RESP or CSV at the output stage,
+    * queryparser.cc:933). `format`: "resp" | "csv"; `timestamp`:
+    * "raw" (ns long) | "iso" (ISO-8601 basic, ns precision). */
+  final case class OutputSpec(format: String = "resp", timestamp: String = "raw")
+
   sealed trait Query
 
   final case class SelectQuery(

@@ -27,8 +27,8 @@ object QueryParser {
       "join", "group-aggregate-join")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
-    * exactly one statement, only known clause keys; `output` accepted as a
-    * formatting hint with no engine semantics). */
+    * exactly one statement, only known clause keys; `output` drives the
+    * sink-side rendering, [[parseOutputSpec]] + engine executeRendered). */
   private val clauseKeys = Set(
     "range", "where", "filter", "order-by", "group-by", "group-by-tag",
     "pivot-by-tag", "limit", "offset", "apply", "output",
@@ -65,6 +65,18 @@ object QueryParser {
 
   def parseSuggestJson(json: String): SuggestQuery =
     parseSuggest(mapper.readTree(json), mapper.readTree(json).get("select").asText())
+
+  /** The `output` clause (validated; defaults resp/raw). */
+  def parseOutputSpec(json: String): OutputSpec =
+    Option(mapper.readTree(json).get("output")).map { o =>
+      val fmt = Option(o.get("format")).map(_.asText()).getOrElse("resp")
+      if (!Seq("resp", "csv").contains(fmt))
+        throw new BadQuery(s"bad output format: '$fmt'")
+      val tsf = Option(o.get("timestamp")).map(_.asText()).getOrElse("raw")
+      if (!Seq("raw", "iso").contains(tsf))
+        throw new BadQuery(s"bad output timestamp format: '$tsf'")
+      OutputSpec(fmt, tsf)
+    }.getOrElse(OutputSpec())
 
   // ---- per-kind ----
 
