@@ -294,10 +294,20 @@ final class Engine(val ctx: TsdbContext) {
   }
 
   /** Regex match over full series names — the reference's
-    * PlainSeriesMatcher::regex_match (plain_series_matcher.h:87-89);
-    * fuzzy/prefix match is the `suggest` starts-with path. */
+    * PlainSeriesMatcher::regex_match (plain_series_matcher.h:87-89). */
   def searchRegex(pattern: String): DataFrame =
     ctx.series.where(col("name").rlike(pattern))
+      .select(col("series_id"), col("name")).orderBy("name")
+
+  /** Fuzzy series resolution (SeriesRetreiver::fuzzy_match,
+    * queryparser.cc:210-275 — vestigial in the reference): the metric is
+    * matched as a PREFIX (`metric\S*`), and each where-tag must appear
+    * with one of its listed values anywhere in the tag list (the
+    * reference builds `(?:\s k=v1|\s k=v2)` alternations over the
+    * canonical name; here the catalog's tags map makes that a direct
+    * lookup — same result, no regex engine on the hot path). */
+  def searchFuzzy(metricPrefix: String, where: Where = Where.All): DataFrame =
+    whereCond(ctx.series.where(col("metric").startsWith(metricPrefix)), where)
       .select(col("series_id"), col("name")).orderBy("name")
 
   def suggest(q: SuggestQuery): DataFrame = {
@@ -326,8 +336,11 @@ final class Engine(val ctx: TsdbContext) {
   // ----------------------------------------------------------- primitives
 
   /** Catalog subset for the given metrics under the where clause. */
-  def seriesFor(metrics: Seq[String], where: Where): DataFrame = {
-    val base = ctx.series.where(col("metric").isin(metrics: _*))
+  def seriesFor(metrics: Seq[String], where: Where): DataFrame =
+    whereCond(ctx.series.where(col("metric").isin(metrics: _*)), where)
+
+  /** Apply a where clause to a catalog subset. */
+  private def whereCond(base: DataFrame, where: Where): DataFrame =
     where match {
       case Where.All => base
       case Where.TagsIn(tags) =>
@@ -339,7 +352,6 @@ final class Engine(val ctx: TsdbContext) {
           .reduceOption(_ && _).getOrElse(lit(true)))
         base.where(conds.reduceOption(_ || _).getOrElse(lit(true)))
     }
-  }
 
   /** Resolve metrics+where to (series_id, out_name) where out_name carries
     * the group-by-tag re-keying (GROUP drops tags, PIVOT keeps only listed;

@@ -81,6 +81,13 @@ object Round2Entries {
              "range": {"from": "20240101T003000", "to": "20240331T233000"}}"""),
         valueCols = Seq("min", "max", "cnt"))),
 
+    // fuzzy (metric-prefix) series resolution with tag constraints
+    // (SeriesRetreiver::fuzzy_match, queryparser.cc:210-275)
+    "ts_search_fuzzy" -> ((s, dir) =>
+      engineFor(s, dir).searchFuzzy("pur",
+        graft.query.Ast.Where.TagsIn(Map("user" -> Seq("2", "4", "11"))))
+        .select("name")),
+
     // streaming dedup run on a batch frame (same code path as the
     // watermarked stream): every click row injected twice, the dedup
     // keeps exactly one — (name, ts) pairs are unique in the corpus, so
@@ -188,6 +195,12 @@ object Round2Entries {
             AND user_id IN (1, 2, 3, 12)
             AND regexp_matches(props, '"k": [0-9]')
           ORDER BY series, ts_us""",
+
+    "ts_search_fuzzy" ->
+      """SELECT DISTINCT concat('purchase user=', CAST(user_id AS VARCHAR)) AS name
+         FROM events
+         WHERE event_type LIKE 'pur%' AND user_id IN (2, 4, 11)
+         ORDER BY name""",
 
     "stream_dedup_batch" ->
       """SELECT DISTINCT concat('click user=', CAST(user_id AS VARCHAR)) AS name,

@@ -199,6 +199,13 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Seq("test tag=T10"))
   }
 
+  test("fuzzy search: metric prefix + tag containment (queryparser.cc:210-275)") {
+    val names = engine.searchFuzzy("te", Where.TagsIn(Map("tag" -> Seq("T10", "T11"))))
+      .collect().map(_.getString(1)).toSeq
+    assert(names === Seq("test tag=T10", "test tag=T11"))
+    assert(engine.searchFuzzy("nope").collect().isEmpty)
+  }
+
   test("suggest metric names / tag names / tag values") {
     val e = engine
     assert(e.suggest(SuggestQuery(SuggestKind.MetricNames, startsWith = Some("te")))
