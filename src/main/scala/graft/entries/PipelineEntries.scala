@@ -47,6 +47,11 @@ object PipelineEntries {
       Dedup.simhash(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    "docs_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(rp(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3, bands = 4)
+        .orderBy("id_a", "id_b")),
+
     // threshold 0.45: the synthetic corpus has no true near-dups, so the
     // gate runs where the cosine tail actually is (7/14/144 pairs at
     // sf0.001/0.01/0.1) — a 0.9 cut returns 0 rows everywhere and
@@ -295,6 +300,35 @@ object PipelineEntries {
            CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
              AS BIGINT) AS simhash
          FROM perbit GROUP BY doc_id ORDER BY id""",
+
+    // same fingerprint CTE as docs_simhash + the 4×15-bit band join and
+    // xor/popcount verification (mirrors Dedup.simhashPairs exactly)
+    "docs_simhash_pairs" ->
+      s"""WITH words AS (
+             SELECT doc_id, ${h60("u.w")} AS h
+             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+           perbit AS (
+             SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+               count(*) AS total
+             FROM words, UNNEST(generate_series(0, 59)) AS t(b)
+             GROUP BY doc_id, b),
+           sh AS (
+             SELECT doc_id,
+               CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
+                 AS BIGINT) AS s
+             FROM perbit GROUP BY doc_id),
+           bands AS (
+             SELECT doc_id, b AS band, (s >> (b * 15)) & 32767 AS bk
+             FROM sh, UNNEST(generate_series(0, 3)) AS t(b)),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         SELECT id_a, id_b, bit_count(xor(a.s, b.s)) AS hamming
+         FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+         WHERE bit_count(xor(a.s, b.s)) <= 3
+         ORDER BY id_a, id_b""",
 
     "emb_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos

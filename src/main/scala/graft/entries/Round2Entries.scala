@@ -103,6 +103,22 @@ object Round2Entries {
         .orderBy("name", "ts_us")
     }),
 
+    // session windows on a batch frame (same session_window aggregation
+    // as the watermarked stream); the oracle replays the gaps-and-islands
+    // construction
+    "stream_sessions_batch" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+          col("ts").cast("long").as("ts"), col("value"))
+      graft.streaming.TsdbStream.sessionize(ev, "1 day", "1 hour")
+        .select(col("name"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n"), round(col("min"), 6).as("min"), round(col("max"), 6).as("max"))
+        .orderBy("name", "start_us")
+    }),
+
     // streaming stateful EWMA on a batch frame (mapGroupsWithState path);
     // the oracle replays the seeded recursion with list_reduce
     "stream_ewma_batch" -> ((s, dir) => {
@@ -207,6 +223,29 @@ object Round2Entries {
            epoch_us(ts) AS ts_us, round(value, 6) AS value
          FROM events WHERE event_type = 'click'
          ORDER BY name, ts_us""",
+
+    // gaps-and-islands replay of session_window: a session breaks where
+    // the gap to the previous event is >= 1 day; end = last event + gap
+    "stream_sessions_batch" ->
+      """WITH f AS (
+           SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+         g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 86400000000
+               THEN 1 ELSE 0 END AS brk
+           FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) + 86400000000 AS end_us,
+           count(*) AS n,
+           round(min(value), 6) AS "min", round(max(value), 6) AS "max"
+         FROM s GROUP BY user_id, sid ORDER BY name, start_us""",
 
     // seeded recursion: st_1 = x_1; st_n = d·x_n + (1−d)·st_{n−1};
     // list_reduce folds the identical IEEE op sequence

@@ -185,6 +185,41 @@ object Dedup {
       .groupBy("id").agg(sum("vote").as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: hamming(simhashₐ, simhash_b) <= maxDist.
+    *
+    * LSH banding over the 60-bit fingerprint: split into `bands` equal
+    * bit slices; by pigeonhole any pair within maxDist <= bands − 1
+    * differing bits shares at least one identical slice, so candidates
+    * come from a band-key equi-join — never an all-pairs join — and
+    * recall is EXACT (unlike MinHash LSH's probabilistic recall).
+    * Verification is one xor+popcount per candidate. */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, s"exact recall needs maxDist < bands")
+    require(60 % bands == 0, "bands must divide 60")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sh = simhash(df, idCol, textCol)
+    val bandStructs = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        expr(s"shiftright(simhash, ${i * width}) & $mask").as("bk"))
+    }
+    val b = sh.select(col("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("simhash"), col("x.band").as("band"),
+        col("x.bk").as("bk"))
+    val cand = b.as("p").join(b.as("q"),
+        col("p.band") === col("q.band") && col("p.bk") === col("q.bk") &&
+        col("p.id") < col("q.id"))
+      .select(col("p.id").as("id_a"), col("q.id").as("id_b"),
+        col("p.simhash").as("sa"), col("q.simhash").as("sb"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, brute-force
     * (quadratic — for the oracle-checkable baseline). The scale path is
     * [[Similarity.srpBucket]]-bucketed join: same verification, candidates

@@ -62,6 +62,24 @@ object TsdbStream {
       .select(col(keyCol) +: col("window.start").as("bin") +: funcs.map(f => col(f.token)): _*)
   }
 
+  /** Continuous sessionization: events closer than `gap` chain into one
+    * session per series (built-in `session_window` — one open-session
+    * state row per series on a stream, reclaimed past the watermark; runs
+    * identically on a batch frame). Session end = last event + gap. */
+  def sessionize(samples: DataFrame, gap: String, lateness: String): DataFrame = {
+    val keyCol = if (samples.columns.contains("name")) "name" else "series_id"
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col(keyCol), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min"), max(col("value")).as("max"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n"), col("min"), col("max"))
+  }
+
   /** Streaming exact dedup of samples on (series, ts) within the watermark
     * horizon — the ingestion-side guard the reference gets from its
     * tree-append idempotence. */
@@ -72,6 +90,32 @@ object TsdbStream {
       .withWatermark("event_time", lateness)
       .dropDuplicates(Seq(keyCol, "ts"))
       .drop("event_time")
+  }
+
+  /** Stream-stream interval join: left samples paired with same-series
+    * right samples whose event time lies in [left − window, left] — the
+    * streaming counterpart of [[graft.ops.TimeJoins.rangeJoin]] and the
+    * building block of a streaming as-of (keep the max right ts per left
+    * row downstream). Both sides are watermarked, so join state is
+    * bounded by window + lateness per series; on batch frames it planned
+    * as an ordinary range join. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      windowUs: Long, lateness: String): DataFrame = {
+    val l = left
+      .select(col("name"), col("ts").as("l_ts"), col("value").as("l_value"))
+      .withColumn("l_time", eventTime(col("l_ts")))
+      .withWatermark("l_time", lateness)
+    val r = right
+      .select(col("name").as("r_name"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withColumn("r_time", eventTime(col("r_ts")))
+      .withWatermark("r_time", lateness)
+    l.join(r,
+        col("name") === col("r_name") &&
+        col("r_time") >= col("l_time") - expr(s"INTERVAL $windowUs MICROSECOND") &&
+        col("r_time") <= col("l_time"))
+      .select(col("name"), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
   }
 
   case class EwmaRow(name: String, ts: Long, value: Double)

@@ -40,6 +40,23 @@ object ContractProbe {
     tryQ("where-no-match",
       """{"select": "purchase", "where": {"user_id": ["999999"]}}""")
 
+    def tryRendered(tag: String, json: String): Unit =
+      try {
+        val c = e.executeRendered(json).count()
+        println(s"PROBE $tag -> $c lines")
+      } catch {
+        case ex: Throwable =>
+          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+      }
+    tryRendered("output-csv",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240102T000000"},
+          "output": {"format": "csv", "timestamp": "iso"}}""")
+    tryRendered("output-bad-format",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240102T000000"},
+          "output": {"format": "xml"}}""")
+
     spark.stop()
   }
 }

@@ -98,6 +98,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(java.lang.Long.bitCount(h(0) ^ h(2)) < 20) // near dup: small hamming
   }
 
+  test("simhash pairs: banded candidates find every pair within maxDist") {
+    // identical docs 1,2 (hamming 0) must pair; the banding must equal the
+    // brute-force answer (pigeonhole: maxDist < bands => exact recall)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .select("id", "simhash").as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(banded === brute)
+    assert(banded.contains((1L, 2L)))
+  }
+
   test("winnowing: shared w+k-1 word runs guarantee a shared fingerprint") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 words = w+k-1 with k=3,w=4
     val docs2 = Seq(

@@ -56,6 +56,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       ("m t=a", 120L, 2.0, 2.0, 1.0)))
   }
 
+  test("streaming sessionize: gap splits sessions, end = last event + gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val df = in.toDF().toDF("name", "ts", "value")
+    val q = TsdbStream.sessionize(df, "1 minute", "5 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      val s = 1000000000L
+      in.addData(
+        ("m t=a", 60L * s, 1.0), ("m t=a", 90L * s, 3.0), // one session
+        ("m t=a", 400L * s, 2.0)) // gap > 1 min -> second session
+      q.processAllAvailable()
+      in.addData(("m t=a", 100000L * s, 9.0)) // push watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select(col("name"), unix_micros(col("session_start")),
+          unix_micros(col("session_end")), col("n"), col("min"), col("max"))
+        .as[(String, Long, Long, Long, Double, Double)].collect().sortBy(_._2)
+      assert(rows.take(2).toSeq === Seq(
+        ("m t=a", 60000000L, 150000000L, 2L, 1.0, 3.0),
+        ("m t=a", 400000000L, 460000000L, 1L, 2.0, 2.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize is batch/stream agnostic") {
+    val s = 1000000000L
+    val batch = Seq(
+      ("m t=a", 60L * s, 1.0), ("m t=a", 90L * s, 3.0),
+      ("m t=a", 400L * s, 2.0)).toDF("name", "ts", "value")
+    val out = TsdbStream.sessionize(batch, "1 minute", "5 minutes")
+      .select(col("name"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n"), col("min"), col("max"))
+      .as[(String, Long, Long, Long, Double, Double)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq(
+      ("m t=a", 60000000L, 150000000L, 2L, 1.0, 3.0),
+      ("m t=a", 400000000L, 460000000L, 1L, 2.0, 2.0)))
+  }
+
+  test("stream-stream interval join pairs right rows in [left-window, left]") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = 1000000000L
+    val lin = MemoryStream[(String, Long, Double)]
+    val rin = MemoryStream[(String, Long, Double)]
+    val joined = TsdbStream.intervalJoin(
+      lin.toDF().toDF("name", "ts", "value"),
+      rin.toDF().toDF("name", "ts", "value"),
+      windowUs = 60L * 1000000L, lateness = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      rin.addData(("m t=a", 30L * s, 7.0), ("m t=a", 200L * s, 8.0))
+      lin.addData(("m t=a", 60L * s, 1.0)) // window [0s, 60s] -> pairs with 30s
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select(col("name"), col("l_ts"), col("r_ts"), col("l_value"), col("r_value"))
+        .as[(String, Long, Long, Double, Double)].collect().toSeq
+      assert(rows === Seq(("m t=a", 60L * s, 30L * s, 1.0, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact (series, ts) duplicates in-horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
