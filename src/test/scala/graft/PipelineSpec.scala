@@ -148,6 +148,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(1L, 2L)) // 3 is in the opposite sign bucket
   }
 
+  test("knnIvf recall@5 vs brute force on a clustered corpus") {
+    // 4 deterministic clusters of 25 vectors in 4-d (LCG jitter); recall
+    // of the adaptive cells with nprobe=2 must stay high
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val jit = lcg(7L).map(s => ((s >>> 33).toFloat / (1L << 31).toFloat - 0.5f) * 0.2f)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val corpus = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + jit.next()))
+    }.toDF("id", "embedding")
+    val queries = (0 until 4).map(i =>
+      ((100 + i).toLong, centers(i).map(x => x + jit.next()))).toDF("qid", "embedding")
+    val brute = Similarity.knnBrute(corpus, queries, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvf(corpus, queries, k = 5, nlist = 4, nprobe = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@5 too low: $recall")
+  }
+
   test("knnIvf recalls the true neighbor when probing its cell") {
     // two well-separated clusters; the query sits in cluster A
     val corpus = (

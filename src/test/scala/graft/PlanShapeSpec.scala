@@ -93,4 +93,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(joins.last.left.toString.contains("RLIKE"),
       s"regex should evaluate below the join:\n$p")
   }
+
+  test("heavy-hitters planning runs no Spark job (total folded into the plan)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      val df = Seq(("a", 1L, 10.0), ("b", 2L, 1.0)).toDF("series", "ts", "value")
+      graft.ops.ApplyNodes.node(df,
+        ApplySpec("heavy-hitters", Map("portion" -> 0.1, "error" -> 0.01)),
+        Seq("value"))
+      Thread.sleep(300) // let any job-start event surface
+      assert(jobs.get === 0,
+        "building the heavy-hitters plan must not trigger an action (was a .first())")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
+    import spark.implicits._
+    // 150 docs sharing identical boilerplate + one unique word each: every
+    // boilerplate shingle is shared by all 150 docs (> default cap 128)
+    val boiler = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 150).map(i => (i.toLong, s"$boiler unique$i")).toDF("doc_id", "text")
+    val withDefault = graft.pipeline.Dedup
+      .jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+    assert(withDefault.count() === 0,
+      "default cap must drop boilerplate shingles before the self-join")
+    val uncapped = graft.pipeline.Dedup
+      .jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5,
+        maxShingleFreq = None)
+    assert(uncapped.count() > 0, "sanity: without the cap the pairs exist")
+  }
 }
