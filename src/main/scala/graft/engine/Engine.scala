@@ -246,9 +246,20 @@ final class Engine(val ctx: TsdbContext) {
       filters: Map[String, ValueFilter],
       transform: DataFrame => DataFrame): DataFrame = {
     require(metrics.size >= 2, "join requires at least 2 metrics")
-    val ids = seriesFor(metrics, where)
-      .select(col("series_id"), col("metric"), tagSuffix(col("tags")).as("tagkey"))
-    var f = facts(metrics).join(broadcast(ids), "series_id").where(rangeCond(range))
+    // when the layout carries the alignment key (TsdbLayout
+    // .writeBucketedByTagkey), use the fact table's own bucketed tagkey
+    // column: the groupBy(tagkey, ts) pivot then reads co-located buckets
+    // and plans with no hash exchange (guarded in LayoutSpec)
+    val factsHaveKey = ctx.samples.columns.contains("tagkey")
+    val ids0 = seriesFor(metrics, where)
+    val ids =
+      if (factsHaveKey) ids0.select(col("series_id"), col("metric"))
+      else ids0.select(col("series_id"), col("metric"),
+        tagSuffix(col("tags")).as("tagkey"))
+    val factCols = Seq("series_id", "ts", "value") ++
+      (if (factsHaveKey) Seq("tagkey") else Nil)
+    var f = facts(metrics).select(factCols.map(col): _*)
+      .join(broadcast(ids), "series_id").where(rangeCond(range))
     // per-metric value filters run during the scan, before tuple assembly
     // (reference replicates filters across the zig-zag id layout,
     // query_plan_builder.cc:178-203)

@@ -64,6 +64,33 @@ object TsdbLayout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Write the fact table pre-joined with its alignment key (`tagkey` =
+    * the canonical sorted tag suffix) and bucketed on it. Join-kind
+    * queries align metrics by `groupBy(tagkey, ts)` — the engine's one
+    * unavoidable shuffle on a plain layout; over this table the grouping
+    * reads co-located buckets and plans with NO hash exchange, moving
+    * that shuffle to write time (paid once, amortized over every join
+    * query). The engine uses the table's own `tagkey` column whenever
+    * `ctx.samples` carries one. */
+  def writeBucketedByTagkey(ctx: TsdbContext, table: String, path: String,
+      buckets: Int = 32): Unit = {
+    val tagkey = array_join(
+      transform(array_sort(map_entries(col("tags"))),
+        e => concat_ws("=", e.getField("key"), e.getField("value"))),
+      " ")
+    val keyed = ctx.samples.join(
+      broadcast(ctx.series.select(col("series_id"), col("metric"),
+        tagkey.as("tagkey"))),
+      "series_id")
+    keyed.select("series_id", "ts", "value", "metric", "tagkey")
+      .write
+      .option("path", path)
+      .bucketBy(buckets, "tagkey")
+      .sortBy("tagkey", "ts")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
   /** A TsdbContext whose fact scan goes through the partitioned layout.
     * The `metric` partition column stays on the samples DF: Engine scans
     * join on series_id only, and Catalyst prunes partitions when the

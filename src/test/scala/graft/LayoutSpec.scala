@@ -63,4 +63,31 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_bk_b")
     }
   }
+
+  test("tagkey-bucketed layout aligns join queries with no hash exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import spark.implicits._
+    // two metrics per tag so a JoinQuery has both sides
+    val rows = for (m <- Seq("m1", "m2"); i <- 1 to 3; ts <- 100L until 140L)
+      yield (m, s"T$i", ts, ts * 0.5 + i)
+    val wide = rows.toDF("metric", "tag", "ts", "value")
+    val flatCtx = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+    val base = java.nio.file.Files.createTempDirectory("graft_tagkey")
+    TsdbLayout.writeBucketedByTagkey(flatCtx, "graft_bk_tk", s"$base/tk", buckets = 4)
+    try {
+      val bucketedCtx = flatCtx.copy(samples = spark.table("graft_bk_tk"))
+      val q = JoinQuery(Seq("m1", "m2"), TimeRange(100, 140))
+      val viaBuckets = new Engine(bucketedCtx).join(q)
+      val hashShuffles = viaBuckets.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashShuffles.isEmpty,
+        s"tagkey-bucketed join must not hash-shuffle:\n${viaBuckets.queryExecution.executedPlan}")
+      // and the results are identical to the flat plan
+      val flat = new Engine(flatCtx).join(q).collect().map(_.toSeq)
+      assert(viaBuckets.collect().map(_.toSeq).toSeq === flat.toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bk_tk")
+  }
 }
