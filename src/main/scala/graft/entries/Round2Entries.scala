@@ -81,6 +81,23 @@ object Round2Entries {
              "range": {"from": "20240101T003000", "to": "20240331T233000"}}"""),
         valueCols = Seq("min", "max", "cnt"))),
 
+    // N-way join (the reference allows >=2 compound metrics; entries
+    // elsewhere only exercise 2)
+    "ts_join3" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view", "purchase"],
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
+        valueCols = Seq("click", "view", "purchase"))),
+
+    // multi-node apply chain in an order-sensitive composition
+    // (cusum . sma != sma . cusum): proves nodes execute in JSON order
+    "ts_apply_chain" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "sma", "window-width": 3},
+                       {"name": "cusum"}]}"""))),
+
     // fuzzy (metric-prefix) series resolution with tag constraints
     // (SeriesRetreiver::fuzzy_match, queryparser.cc:210-275)
     "ts_search_fuzzy" -> ((s, dir) =>
@@ -211,6 +228,30 @@ object Round2Entries {
             AND user_id IN (1, 2, 3, 12)
             AND regexp_matches(props, '"k": [0-9]')
           ORDER BY series, ts_us""",
+
+    "ts_join3" ->
+      s"""SELECT concat('click|view|purchase user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(max(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+            round(max(value) FILTER (WHERE event_type = 'view'), 6) AS "view",
+            round(max(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+          GROUP BY user_id, ts ORDER BY series, ts_us""",
+
+    "ts_apply_chain" ->
+      s"""WITH s1 AS (
+            SELECT user_id, ts,
+              coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0.0) / 3 AS sma
+            ${oracleScan("purchase")})
+          SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(sum(sma) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+          FROM s1 ORDER BY series, ts_us""",
 
     "ts_search_fuzzy" ->
       """SELECT DISTINCT concat('purchase user=', CAST(user_id AS VARCHAR)) AS name

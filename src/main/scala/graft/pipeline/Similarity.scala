@@ -138,9 +138,30 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 2, iters: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame =
+    knnIvfWith(fitCodebook(corpus, nlist, iters, idCol, embCol),
+      corpus, queries, k, nprobe, idCol, qidCol, embCol)
+
+  /** Persist a fitted codebook — at corpus scale the Lloyd fit runs once
+    * at index-build time and queries reuse the stored centers. */
+  def writeCodebook(spark: org.apache.spark.sql.SparkSession,
+      centers: Seq[(Int, Seq[Double])], path: String): Unit =
+    spark.createDataFrame(centers).toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
+  def knnIvfWith(
+      centers: Seq[(Int, Seq[Double])],
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 2,
+      idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val centers = fitCodebook(corpus, nlist, iters, idCol, embCol)
     val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
 
     // nearest-centroid assignment for the corpus; nprobe nearest for queries

@@ -171,6 +171,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, s"IVF recall@5 too low: $recall")
   }
 
+  test("IVF codebook persists and reproduces the inline-fit results") {
+    val corpus = (
+      (1 to 10).map(i => (i.toLong, Array(10f + i * 0.01f, 10f))) ++
+      (11 to 20).map(i => (i.toLong, Array(-10f - i * 0.01f, -10f)))
+    ).toDF("id", "embedding")
+    val queries = Seq((100L, Array(10.05f, 10f))).toDF("qid", "embedding")
+    val centers = Similarity.fitCodebook(corpus, nlist = 2, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_codebook").toString
+    Similarity.writeCodebook(spark, centers, s"$path/cb")
+    val back = Similarity.readCodebook(spark, s"$path/cb")
+    assert(back === centers)
+    val inline = Similarity.knnIvf(corpus, queries, k = 3, nlist = 2, nprobe = 1)
+      .collect().map(_.toSeq)
+    val prebuilt = Similarity.knnIvfWith(back, corpus, queries, k = 3, nprobe = 1)
+      .collect().map(_.toSeq)
+    assert(prebuilt.toSeq === inline.toSeq)
+  }
+
   test("knnIvf recalls the true neighbor when probing its cell") {
     // two well-separated clusters; the query sits in cluster A
     val corpus = (
