@@ -89,6 +89,14 @@ object Round2Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
         valueCols = Seq("click", "view", "purchase"))),
 
+    // the accumulate token (alias of cusum in the node registry) gets its
+    // own entry so both registered spellings are oracle-proven
+    "ts_apply_accumulate" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "accumulate"}]}"""))),
+
     // multi-node apply chain in an order-sensitive composition
     // (cusum . sma != sma . cusum): proves nodes execute in JSON order
     "ts_apply_chain" -> ((s, dir) =>
@@ -228,6 +236,13 @@ object Round2Entries {
             AND user_id IN (1, 2, 3, 12)
             AND regexp_matches(props, '"k": [0-9]')
           ORDER BY series, ts_us""",
+
+    "ts_apply_accumulate" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+          ${oracleScan("purchase")} ORDER BY series, ts_us""",
 
     "ts_join3" ->
       s"""SELECT concat('click|view|purchase user=',

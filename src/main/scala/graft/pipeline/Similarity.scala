@@ -90,12 +90,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.Row
     val spark = corpus.sparkSession
+    // cached for the fit: every iteration (and the init) re-reads this
+    // projection; at corpus scale persist it once instead of re-scanning
+    // and re-casting the raw table per Lloyd round
     val e = corpus.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("v"))
+      col(embCol).cast("array<double>").as("v")).cache()
     var centers: Seq[(Int, Seq[Double])] =
       e.orderBy("id").limit(nlist).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(centers).toDF("cell", "cv")
       val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
       val assigned = e.crossJoin(broadcast(cdf))
@@ -111,7 +114,7 @@ object Similarity {
             .sortBy(_._1).map(_._2)
           (r.getInt(0), cv)
         }.toSeq.sortBy(_._1)
-    }
+    } finally e.unpersist()
     centers
   }
 
