@@ -152,7 +152,28 @@ object PipelineEntries {
           rp(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes", stride = 2)
-        .toDF().orderBy("id", "frame_idx"))
+        .toDF().orderBy("id", "frame_idx")),
+
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeBinary(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", maxSide = 32)
+        .toDF()
+        .withColumn("scale", round(col("scale"), 6))
+        .orderBy("id")),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", dim = 4)
+        .select(col("id"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+        .orderBy("id"))
   )
 
   /** hash60 in DuckDB. */
@@ -451,5 +472,33 @@ object PipelineEntries {
            CAST(i * 1024 AS BIGINT) AS byte_offset
          FROM documents,
            UNNEST(generate_series(0, octet_length(encode(text)) % 5, 2)) AS t(i)
-         ORDER BY id, frame_idx""")
+         ORDER BY id, frame_idx""",
+
+    "mm_resize" ->
+      """WITH d AS (
+           SELECT doc_id AS id,
+             CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+             CAST(1 + unicode(substr(text, 1, 1)) % 64 AS INT) AS height
+           FROM documents)
+         SELECT id, width, height,
+           CAST(greatest(1, floor(width *
+             least(1.0, 32.0 / greatest(width, height)))) AS INT) AS out_width,
+           CAST(greatest(1, floor(height *
+             least(1.0, 32.0 / greatest(width, height)))) AS INT) AS out_height,
+           round(least(1.0, 32.0 / greatest(width, height)), 6) AS scale
+         FROM d ORDER BY id""",
+
+    // byte fold replay: ASCII corpus, so byte i of encode(text) is
+    // unicode(substr(text, i, 1)); Scala 0-based index -> j = (i-1) % 4
+    "mm_features" ->
+      """WITH b AS (
+           SELECT doc_id, (i - 1) % 4 AS j,
+             unicode(substr(text, i, 1)) / 255.0 AS v
+           FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))
+         SELECT doc_id AS id,
+           round(coalesce(sum(v) FILTER (WHERE j = 0), 0), 6) AS f0,
+           round(coalesce(sum(v) FILTER (WHERE j = 1), 0), 6) AS f1,
+           round(coalesce(sum(v) FILTER (WHERE j = 2), 0), 6) AS f2,
+           round(coalesce(sum(v) FILTER (WHERE j = 3), 0), 6) AS f3
+         FROM b GROUP BY doc_id ORDER BY id""")
 }

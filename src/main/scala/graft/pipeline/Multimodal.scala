@@ -66,4 +66,53 @@ object Multimodal {
         }
       }
   }
+
+  /** Resized-media metadata: target box + the scale applied. */
+  final case class ResizedMeta(
+      id: Long, width: Int, height: Int, out_width: Int, out_height: Int,
+      scale: Double)
+
+  /** Fit decoded media into a `maxSide`×`maxSide` box preserving aspect
+    * ratio (never upscales). The geometry is real; only the pixel
+    * resample inside a real decoder is stubbed away — the metadata math
+    * is exactly what a resize stage must emit for downstream batching. */
+  def resizeBinary(df: DataFrame, idCol: String, binCol: String,
+      maxSide: Int): Dataset[ResizedMeta] = {
+    require(maxSide > 0, "maxSide must be positive")
+    implicit val enc = Encoders.product[ResizedMeta]
+    decodeBinary(df, idCol, binCol).map { m =>
+      val s = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+      ResizedMeta(m.id, m.width, m.height,
+        math.max(1, math.floor(m.width * s).toInt),
+        math.max(1, math.floor(m.height * s).toInt), s)
+    }
+  }
+
+  /** Fixed-width feature vector per media blob, one "model" instance per
+    * partition (the mapPartitions shape a real embedding stage needs:
+    * load weights once, stream the batch through).
+    * ======== STUB ======== features are a deterministic fold of the raw
+    * bytes; a real implementation replaces only the inner function. */
+  final case class FeatureRow(id: Long, features: Seq[Double])
+
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String,
+      dim: Int = 8): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    implicit val enc = Encoders.product[FeatureRow]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        // real model weights would load here, once per partition
+        it.map { case (id, bytes) =>
+          val acc = new Array[Double](dim)
+          var i = 0
+          while (i < bytes.length) {
+            acc(i % dim) += (bytes(i) & 0xff) / 255.0
+            i += 1
+          }
+          FeatureRow(id, acc.toSeq)
+        }
+      }
+      .toDF("id", "features")
+  }
 }
