@@ -178,32 +178,47 @@ final class Engine(val ctx: TsdbContext) {
     * scan subtree entirely. Group-by-tag re-keying composes (combining
     * across source series is the same law). */
   private def rollupGroupAggregate(q: GroupAggregateQuery, ids: DataFrame): Option[DataFrame] = {
-    if (!q.range.forward) return None
     val metric = q.metrics.head
+    val span = if (q.range.forward) q.range.to - q.range.from
+               else q.range.from - q.range.to
     ctx.rollups.find { case (fine, _) =>
-      fine > 0 && q.step % fine == 0 && q.range.to - q.range.from >= 2 * fine
+      fine > 0 && q.step % fine == 0 && span >= 2 * fine
     }.map { case (fine, rollup) =>
       val from = q.range.from
-      def qbin(c: Column): Column = {
-        val d = c - from
-        lit(from) + (d - pmod(d, lit(q.step)))
+      // query-bin label of a point: forward bins anchor at `from` (the low
+      // end, label = lower boundary); backward bins anchor at `from` (the
+      // HIGH end, label = upper boundary, range closed at the top)
+      def qbin(c: Column): Column =
+        if (q.range.forward) {
+          val d = c - from
+          lit(from) + (d - pmod(d, lit(q.step)))
+        } else {
+          val d = lit(from) - c
+          lit(from) - (d - pmod(d, lit(q.step)))
+        }
+      // a fine bin [F, F+fine) is interior iff every point it can hold is
+      // inside the range and inside one query bin
+      def interiorOf(f: Column): Column = {
+        val inRange =
+          if (q.range.forward) f >= from && f + fine <= q.range.to
+          else f > q.range.to && f + (fine - 1) <= from
+        inRange && qbin(f) === qbin(f + (fine - 1))
       }
       val idsSel = broadcast(ids.select("series_id", "out_name"))
-      val interiorCond = col("bin") >= from && col("bin") + fine <= q.range.to &&
-        qbin(col("bin")) === qbin(col("bin") + (fine - 1))
-      val interior = rollup.where(interiorCond)
+      val interior = rollup.where(interiorOf(col("bin")))
         .join(idsSel, "series_id")
         .select(col("out_name") +: qbin(col("bin")).as("bin") +:
           Rollup.accNames.map(col): _*)
-      val aligned = from % fine == 0 && q.range.to % fine == 0
+      // fully-aligned forward ranges have no edges at all; backward ranges
+      // always leave the closed-top boundary point to the raw scan
+      val aligned = q.range.forward &&
+        from % fine == 0 && q.range.to % fine == 0
       val acc =
         if (aligned) interior
         else {
           val fineBin = col("ts") - pmod(col("ts"), lit(fine))
-          val edgeCond = !(fineBin >= from && fineBin + fine <= q.range.to &&
-            qbin(fineBin) === qbin(fineBin + (fine - 1)))
           val rawEdges = scan(ids, q.range, Seq(metric))
-            .where(edgeCond)
+            .where(!interiorOf(fineBin))
             .withColumn("bin", binColumn(q.range, q.step))
             .groupBy(col("out_name"), col("bin"))
             .agg(Rollup.buildAggs.head, Rollup.buildAggs.tail: _*)

@@ -157,6 +157,15 @@ object Round2Entries {
         .orderBy("name", "ts_us")
     }),
 
+    // backward group-aggregate over the hourly rollup: interior fine bins
+    // from the rollup, the closed-top boundary and straddles from raw
+    "ts_group_aggregate_rollup_backward" -> ((s, dir) =>
+      usView(engineRollupFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "$ToIso", "to": "$FromIso"}}"""),
+        valueCols = Seq("min", "max", "cnt"))),
+
     // the reference's intended EWMA input is RESAMPLED data (it errors
     // with RegullarExpected on raw series, sliding_window.cc:7-103); this
     // is that composition: group-aggregate mean downsample, then ewma
@@ -213,6 +222,18 @@ object Round2Entries {
             AND epoch_ns(ts) >= $from2 AND epoch_ns(ts) < $to2
           GROUP BY user_id, ts_us ORDER BY series, ts_us"""
     },
+
+    "ts_group_aggregate_rollup_backward" ->
+      s"""SELECT concat('purchase:min|purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            ($ToNs - ((($ToNs - epoch_ns(ts)) // $dayNs) * $dayNs)) // 1000
+              AS ts_us,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) <= $ToNs AND epoch_ns(ts) > $FromNs
+          GROUP BY user_id, ts_us ORDER BY series, ts_us DESC""",
 
     "ts_agg_multi_metric" ->
       s"""SELECT * FROM (

@@ -114,6 +114,35 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(noRollup.toSeq !== direct.toSeq)
   }
 
+  test("backward ranges also serve interior bins from the rollup") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt, AggFunc.Last),
+      step = 20, range = TimeRange(195, 105)) // backward: from > to
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    assert(direct.nonEmpty)
+    val hybrid = new Engine(ctx.copy(rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(hybrid.toSeq === direct.toSeq)
+
+    // poison interior fine bins (backward interior predicate): result must
+    // still equal direct — interior served from the rollup
+    val fine = 10L; val from = 195L; val to = 105L; val step = 20L
+    def qbinB(c: org.apache.spark.sql.Column) =
+      lit(from) - ((lit(from) - c) - pmod(lit(from) - c, lit(step)))
+    val fineBin = col("ts") - pmod(col("ts"), lit(fine))
+    val interior = fineBin > to && fineBin + (fine - 1) <= from &&
+      qbinB(fineBin) === qbinB(fineBin + (fine - 1))
+    val poisoned = ctx.samples.withColumn("value",
+      when(interior, lit(-1e18)).otherwise(col("value")))
+    val viaRollup = new Engine(ctx.copy(
+      samples = poisoned, rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+  }
+
   test("rollup round-trips through parquet") {
     val path = java.nio.file.Files.createTempDirectory("graft_rollup").toString
     Rollup.write(ctx.samples, path, stepNs = 10)
