@@ -89,6 +89,14 @@ object Round2Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
         valueCols = Seq("click", "view", "purchase"))),
 
+    // apply over AGGREGATE output (the parser accepts apply on every
+    // statement kind; only select/join chains were entry-tested)
+    "ts_agg_apply_scale" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"aggregate": {"purchase": "sum"},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "scale", "weights": [2]}]}"""))),
+
     // the accumulate token (alias of cusum in the node registry) gets its
     // own entry so both registered spellings are oracle-proven
     "ts_apply_accumulate" -> ((s, dir) =>
@@ -257,6 +265,12 @@ object Round2Entries {
             AND user_id IN (1, 2, 3, 12)
             AND regexp_matches(props, '"k": [0-9]')
           ORDER BY series, ts_us""",
+
+    "ts_agg_apply_scale" ->
+      s"""SELECT concat('purchase:sum user=', CAST(user_id AS VARCHAR)) AS series,
+            min(epoch_us(ts)) AS ts_us, round(sum(value) * 2, 6) AS value
+          ${oracleScan("purchase")}
+          GROUP BY user_id ORDER BY series""",
 
     "ts_apply_accumulate" ->
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
