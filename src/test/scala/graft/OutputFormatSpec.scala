@@ -55,6 +55,18 @@ class OutputFormatSpec extends AnyFunSuite with SparkTestBase {
       === Seq("+a|b u=1\r\n:5\r\n+1.0\r\n+\r\n"))
   }
 
+  test("rendered RESP re-parses through the RESP ingestion parser") {
+    // closed loop: output -> wire -> ingestion recovers the samples
+    val df = Seq(("cpu user=1", 5L, 42.5), ("cpu user=2", 7L, -1.25))
+      .toDF("series", "ts", "value")
+    val payload = OutputFormat.render(df, OutputSpec("resp", "raw"))
+      .collect().sorted.mkString
+    val records = graft.sources.Resp.parse(payload)
+    assert(records.toSet === Set(
+      graft.sources.Resp.Sample("cpu user=1", 5L, 42.5),
+      graft.sources.Resp.Sample("cpu user=2", 7L, -1.25)))
+  }
+
   test("output clause parses with defaults and rejects bad values") {
     assert(QueryParser.parseOutputSpec("""{"select": "m"}""")
       === OutputSpec("resp", "raw"))

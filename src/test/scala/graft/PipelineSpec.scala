@@ -138,6 +138,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, 1), (2L, 2)))
   }
 
+  test("codegen SRP bucket equals the sign-bit reference formula") {
+    val seeds = Iterator.iterate(99L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.fill(8)(((seeds.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f))
+    }
+    val out = vecs.toDF("id", "embedding")
+      .select($"id", Similarity.srpBucket($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val expected = (0 until 6).map(j => if (v(j) > 0f) 1L << j else 0L).sum
+      assert(out(id) === expected, s"vec $id: ${v.toSeq}")
+    }
+  }
+
   test("knnBucketed only scores same-SRP-bucket candidates") {
     val corpus = Seq(
       (1L, Array(1f, 1f)), (2L, Array(1f, 0.5f)),
