@@ -114,6 +114,23 @@ object Round2Entries {
              "apply": [{"name": "sma", "window-width": 3},
                        {"name": "cusum"}]}"""))),
 
+    // salted two-stage aggregation under the oracle gate: spreading a hot
+    // key over (key, salt) then combining partials must be value-identical
+    // to the direct aggregation the oracle computes (cnt/min/max are
+    // exactly associative, so the hash matches bit-for-bit)
+    "ts_salted_agg" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("long").as("ts"), col("value"))
+      graft.ops.Skew.saltedAgg(ev, Seq("user_id"), n = 8, partials = Seq(
+        ("cnt", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+        ("vmin", min(col("value")), (c: org.apache.spark.sql.Column) => min(c)),
+        ("vmax", max(col("value")), (c: org.apache.spark.sql.Column) => max(c))))
+        .select(col("user_id"), col("cnt"),
+          round(col("vmin"), 6).as("vmin"), round(col("vmax"), 6).as("vmax"))
+        .orderBy("user_id")
+    }),
+
     // fuzzy (metric-prefix) series resolution with tag constraints
     // (SeriesRetreiver::fuzzy_match, queryparser.cc:210-275)
     "ts_search_fuzzy" -> ((s, dir) =>
@@ -302,6 +319,12 @@ object Round2Entries {
             round(sum(sma) OVER (PARTITION BY user_id ORDER BY ts
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
           FROM s1 ORDER BY series, ts_us""",
+
+    "ts_salted_agg" ->
+      """SELECT user_id, count(*) AS cnt,
+           round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+         FROM events WHERE event_type = 'click'
+         GROUP BY user_id ORDER BY user_id""",
 
     "ts_search_fuzzy" ->
       """SELECT DISTINCT concat('purchase user=', CAST(user_id AS VARCHAR)) AS name
