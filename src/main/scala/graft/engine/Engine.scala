@@ -68,6 +68,12 @@ final class Engine(val ctx: TsdbContext) {
   }
 
   def selectEvents(q: SelectEventsQuery): DataFrame = {
+    // numeric apply nodes have no meaning on (series, ts, body) streams,
+    // and the reference never executes them for events either (its
+    // topology builder that would is test-only) — reject instead of
+    // silently dropping the clause
+    if (q.apply.nonEmpty)
+      throw new BadQuery("select-events does not support 'apply' (event streams carry string bodies)")
     val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
     var df = ctx.events
       .join(broadcast(ids.select("series_id", "out_name")), "series_id")

@@ -39,6 +39,10 @@ object ContractProbe {
           "range": {"from": "20240401T000000", "to": "20240101T000000"}}""")
     tryQ("where-no-match",
       """{"select": "purchase", "where": {"user_id": ["999999"]}}""")
+    tryQ("events-with-apply",
+      """{"select-events": "!log",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "apply": [{"name": "cusum"}]}""")
 
     def tryRendered(tag: String, json: String): Unit =
       try {

@@ -199,6 +199,13 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(names === Seq("test tag=T10"))
   }
 
+  test("select-events rejects apply chains instead of dropping them") {
+    intercept[BadQuery] {
+      engine.selectEvents(SelectEventsQuery("!test", TimeRange(100, 300),
+        apply = Seq(ApplySpec("cusum", Map.empty))))
+    }
+  }
+
   test("fuzzy search: metric prefix + tag containment (queryparser.cc:210-275)") {
     val names = engine.searchFuzzy("te", Where.TagsIn(Map("tag" -> Seq("T10", "T11"))))
       .collect().map(_.getString(1)).toSeq
