@@ -27,6 +27,22 @@ object Round2Entries {
              "range": {"from": "$ToIso", "to": "$FromIso"}}"""),
         valueCols = Seq("min", "max", "cnt"))),
 
+    // the remaining direction x order combos of the reference's scan
+    // matrix (column_store_test.cc:176-198: fwd/bwd x series/time)
+    "ts_select_backward_series" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$ToIso", "to": "$FromIso"},
+             "order-by": "series"}"""))),
+
+    "ts_group_aggregate_time_order" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "7d",
+                                 "func": ["cnt"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "order-by": "time"}"""),
+        valueCols = Seq("cnt"))),
+
     // >=1 metric:func pairs in one aggregate statement
     // (queryparser.cc:1453-1564); one scan per metric, funcs unfolded
     "ts_agg_multi_metric" -> ((s, dir) =>
@@ -246,6 +262,24 @@ object Round2Entries {
           WHERE event_type = 'purchase'
             AND epoch_ns(ts) >= $from2 AND epoch_ns(ts) < $to2
           GROUP BY user_id, ts_us ORDER BY series, ts_us"""
+    },
+
+    "ts_select_backward_series" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) <= $ToNs AND epoch_ns(ts) > $FromNs
+          ORDER BY series, ts_us DESC""",
+
+    "ts_group_aggregate_time_order" -> {
+      val stepNs = 7 * dayNs
+      s"""SELECT concat('purchase:cnt user=', CAST(user_id AS VARCHAR)) AS series,
+            ($FromNs + ((epoch_ns(ts) - $FromNs) // $stepNs) * $stepNs) // 1000
+              AS ts_us,
+            CAST(count(value) AS DOUBLE) AS cnt
+          ${oracleScan("purchase")}
+          GROUP BY user_id, ts_us ORDER BY ts_us, series"""
     },
 
     "ts_group_aggregate_rollup_backward" ->
