@@ -133,11 +133,22 @@ final class Engine(val ctx: TsdbContext) {
   def groupAggregate(q: GroupAggregateQuery): DataFrame = {
     require(q.metrics.nonEmpty, "group-aggregate requires >=1 metric")
     if (q.metrics.size > 1) {
-      // reference plans >1 column as a downsample+join (SURVEY §2.5)
+      // reference plans >1 column as a downsample+join (SURVEY §2.5);
+      // a filter here is keyed by the (single) func name and replicates
+      // across every metric column of the join layout, exactly like the
+      // reference's layout_aggregate_filters duplication loop
+      // (query_plan_builder.cc:205-233)
       require(q.funcs.size == 1,
         "group-aggregate over several metrics supports exactly one func")
+      val metricFilters = q.filters.map { case (name, f) =>
+        if (name.nonEmpty && name != q.funcs.head.token)
+          throw new BadQuery(
+            s"filter names unknown func '$name' (the query's func is '${q.funcs.head.token}')")
+        f
+      }.headOption.map(f => q.metrics.map(_ -> f).toMap).getOrElse(Map.empty)
       return groupAggregateJoin(GroupAggregateJoinQuery(q.metrics, q.funcs.head,
-        q.step, q.range, q.where, q.orderBy, q.limit, q.offset, q.apply))
+        q.step, q.range, q.where, metricFilters, q.combiner,
+        q.orderBy, q.limit, q.offset, q.apply))
     }
     val metric = q.metrics.head
     val outMetric = SeriesName.groupAggregateMetric(metric, q.funcs.map(_.token))
@@ -252,14 +263,49 @@ final class Engine(val ctx: TsdbContext) {
   }
 
   def groupAggregateJoin(q: GroupAggregateJoinQuery): DataFrame = {
+    if (q.filters.nonEmpty) {
+      // the reference converts each filter against the single downsampling
+      // func and only min/max/mean have a filterable aggregate component
+      // (convert_aggregate_filter, query_plan_builder.cc:58-107)
+      if (!Seq("min", "max", "mean").contains(q.func.token))
+        throw new BadQuery(
+          s"aggregate filter can't be used with func '${q.func.token}' (only min/max/mean)")
+      val unknown = q.filters.keys.filterNot(n => n.isEmpty || q.metrics.contains(n))
+      if (unknown.nonEmpty)
+        throw new BadQuery(s"filter names unknown metric(s): ${unknown.mkString(", ")}")
+    }
     val wide = alignedWide(q.metrics, q.where, q.range, Map.empty,
       df => df.withColumn("__bin", binColumn(q.range, q.step))
         .groupBy("series_id", "metric", "tagkey", "__bin")
         .agg(aggColumn(q.func).as("value"))
         .withColumnRenamed("__bin", "ts"))
-    val out = ApplyNodes.chain(wide, q.apply, q.metrics)
+    val filtered = applyAggregateJoinFilters(wide, q.metrics, q.filters, q.combiner)
+    val out = ApplyNodes.chain(filtered, q.apply, q.metrics)
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
   }
+
+  /** Post-aggregation per-metric filters for group-aggregate-join: a
+    * metric slot whose downsampled value fails its filter becomes absent
+    * (the reference's AggregateFilter drops the bin from that column's
+    * stream before tuple assembly), then the row survives when the
+    * ALL/ANY combiner holds over the filtered metrics' presence —
+    * mirroring [[applyJoinCombiner]] on the raw-join side. Form-2 (bare
+    * gt/lt) binds to the first metric, like the raw join. */
+  private def applyAggregateJoinFilters(
+      wide: DataFrame, metrics: Seq[String],
+      filters: Map[String, ValueFilter], combiner: FilterCombiner): DataFrame =
+    if (filters.isEmpty) wide
+    else {
+      val named = metrics.flatMap { m =>
+        filters.get(m).orElse(if (m == metrics.head) filters.get("") else None)
+          .map(m -> _)
+      }
+      val nulled = named.foldLeft(wide) { case (df, (m, f)) =>
+        df.withColumn(m, when(valueFilterCond(col(m), f), col(m)))
+      }
+      if (named.isEmpty) nulled
+      else nulled.where(combine(named.map { case (m, _) => col(m).isNotNull }, combiner))
+    }
 
   /** Shared scan→(optional transform)→pivot pipeline for the join kinds. */
   private def alignedWide(

@@ -160,6 +160,12 @@ object Ast {
       step: Long,
       range: TimeRange,
       where: Where = Where.All,
+      /** per-metric filters on the DOWNSAMPLED values (the reference
+        * converts each against the single func — min/max/mean only —
+        * and replicates them across the join layout,
+        * queryparser.cc:1869-1873, query_plan_builder.cc:235-273). */
+      filters: Map[String, ValueFilter] = Map.empty,
+      combiner: FilterCombiner = FilterCombiner.All,
       orderBy: OrderBy = OrderBy.Series,
       limit: Option[Long] = None,
       offset: Option[Long] = None,

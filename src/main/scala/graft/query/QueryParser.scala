@@ -143,8 +143,9 @@ object QueryParser {
     val funcs = strOrList(stmt.get("func"), "group-aggregate-join.func")
     if (funcs.size != 1) throw new BadQuery("group-aggregate-join requires exactly 1 func")
     val step = TimeUtil.parseDuration(stmt.get("step").asText())
+    val (filters, comb) = parseNamedFilters(root)
     GroupAggregateJoinQuery(metrics, AggFunc.fromToken(funcs.head), step,
-      parseRange(root), parseWhere(root), parseOrderBy(root),
+      parseRange(root), parseWhere(root), filters, comb, parseOrderBy(root),
       optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
   }
 

@@ -179,6 +179,74 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getDouble(3) === 218.0) // max of m2 in [100,110)
   }
 
+  test("group-aggregate-join filter: failing slots go absent, ANY keeps the row") {
+    import spark.implicits._
+    val rows1 = (100L until 120L).map(ts => ("m1", "T1", ts, 1.0 * ts))
+    val rows2 = (100L until 120L).map(ts => ("m2", "T1", ts, 2.0 * ts))
+    val wide = (rows1 ++ rows2).toDF("metric", "tag", "ts", "value")
+    val ctxJ = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("tag"), "ts", "value")
+    val eJ = new Engine(ctxJ)
+    // bins: [100,110) max m1=109 m2=218; [110,120) max m1=119 m2=238
+    val any = eJ.groupAggregateJoin(GroupAggregateJoinQuery(
+      Seq("m1", "m2"), AggFunc.Max, step = 10, TimeRange(100, 120),
+      filters = Map("m1" -> ValueFilter(gt = Some(110)), "m2" -> ValueFilter(le = Some(220))),
+      combiner = FilterCombiner.Any)).orderBy("ts").collect().toSeq
+    assert(any.size === 2)
+    assert(any.head.isNullAt(2) && any.head.getDouble(3) === 218.0) // m1 109 fails
+    assert(any(1).getDouble(2) === 119.0 && any(1).isNullAt(3))     // m2 238 fails
+    val all = eJ.groupAggregateJoin(GroupAggregateJoinQuery(
+      Seq("m1", "m2"), AggFunc.Max, step = 10, TimeRange(100, 120),
+      filters = Map("m1" -> ValueFilter(gt = Some(110)), "m2" -> ValueFilter(le = Some(220))),
+      combiner = FilterCombiner.All)).collect()
+    assert(all.isEmpty) // no bin passes both
+  }
+
+  test("group-aggregate-join filter validation: unknown metric / illegal func") {
+    import spark.implicits._
+    val wide = (100L until 110L).flatMap(ts =>
+      Seq(("m1", "T1", ts, 1.0), ("m2", "T1", ts, 2.0)))
+      .toDF("metric", "tag", "ts", "value")
+    val ctxJ = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("tag"), "ts", "value")
+    val eJ = new Engine(ctxJ)
+    intercept[BadQuery] {
+      eJ.execute("""{"group-aggregate-join": {"metric": ["m1", "m2"],
+        "step": "10", "func": "max"},
+        "range": {"from": 100, "to": 110},
+        "filter": {"nosuch": {"gt": 1}}}""")
+    }
+    // reference rejects filters against non-min/max/mean funcs
+    // (convert_aggregate_filter, query_plan_builder.cc:58-107)
+    intercept[BadQuery] {
+      eJ.execute("""{"group-aggregate-join": {"metric": ["m1", "m2"],
+        "step": "10", "func": "sum"},
+        "range": {"from": 100, "to": 110},
+        "filter": {"m1": {"gt": 1}}}""")
+    }
+  }
+
+  test("multi-metric group-aggregate keeps its filter through the join delegation") {
+    import spark.implicits._
+    val rows1 = (100L until 120L).map(ts => ("m1", "T1", ts, 1.0 * ts))
+    val rows2 = (100L until 120L).map(ts => ("m2", "T1", ts, 2.0 * ts))
+    val wide = (rows1 ++ rows2).toDF("metric", "tag", "ts", "value")
+    val ctxJ = graft.model.TsdbContext.fromWide(spark, wide, "metric", Seq("tag"), "ts", "value")
+    val eJ = new Engine(ctxJ)
+    // func-keyed filter replicates across both metric columns, ALL combine:
+    // only the [110,120) bin has max(m1)=119 > 110 AND max(m2)=238 > 110
+    val out = eJ.execute("""{"group-aggregate": {"metric": ["m1", "m2"],
+        "step": "10", "func": "max"},
+        "range": {"from": 100, "to": 120},
+        "filter": {"max": {"gt": 110}}}""").collect().toSeq
+    assert(out.size === 1)
+    assert(out.head.getLong(1) === 110L)
+    intercept[BadQuery] { // filter naming a func the query doesn't compute
+      eJ.execute("""{"group-aggregate": {"metric": ["m1", "m2"],
+        "step": "10", "func": "max"},
+        "range": {"from": 100, "to": 120},
+        "filter": {"min": {"gt": 110}}}""")
+    }
+  }
+
   test("pivot-by-tag keeps only listed tags") {
     import spark.implicits._
     val rows = for (h <- Seq("h1", "h2"); r <- Seq("eu", "us"); ts <- 100L until 110L)
