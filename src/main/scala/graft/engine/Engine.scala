@@ -36,6 +36,15 @@ import graft.series.SeriesName
   *   - group-aggregate-join: like join with ts = bin
   * `ts` is Long UTC ns throughout.
   */
+object Engine {
+  /** Minimum number of fine rollup bins a range must span before a
+    * group-aggregate is served from the rollup: below this the
+    * union+recombine plan costs more than the raw scan it replaces
+    * (measured at sf0.1; the crossover only moves further in the
+    * rollup's favor as raw density grows toward the 100 TB regime). */
+  val RollupMinServedBins = 8L
+}
+
 final class Engine(val ctx: TsdbContext) {
 
   def execute(json: String): DataFrame = run(QueryParser.parse(json))
@@ -199,7 +208,11 @@ final class Engine(val ctx: TsdbContext) {
     val span = if (q.range.forward) q.range.to - q.range.from
                else q.range.from - q.range.to
     ctx.rollups.find { case (fine, _) =>
-      fine > 0 && q.step % fine == 0 && span >= 2 * fine
+      // guard: below MinServedBins fine bins the union+recombine overhead
+      // exceeds what the rollup saves — short ranges scan raw (the
+      // reference has the same effect structurally: a subtree covering
+      // few leaves is read at the leaves, nbtree.h:457)
+      fine > 0 && q.step % fine == 0 && span >= Engine.RollupMinServedBins * fine
     }.map { case (fine, rollup) =>
       val from = q.range.from
       // query-bin label of a point: forward bins anchor at `from` (the low
@@ -233,13 +246,19 @@ final class Engine(val ctx: TsdbContext) {
       val acc =
         if (aligned) interior
         else {
+          // each raw edge sample becomes a singleton accumulator row and
+          // rides the ONE combine aggregation below — no separate edge
+          // pre-aggregation stage (one less shuffle, here and at 100 TB:
+          // singletons collapse map-side in the combine agg's partial)
           val fineBin = col("ts") - pmod(col("ts"), lit(fine))
           val rawEdges = scan(ids, q.range, Seq(metric))
             .where(!interiorOf(fineBin))
-            .withColumn("bin", binColumn(q.range, q.step))
-            .groupBy(col("out_name"), col("bin"))
-            .agg(Rollup.buildAggs.head, Rollup.buildAggs.tail: _*)
-            .select(col("out_name") +: col("bin") +: Rollup.accNames.map(col): _*)
+            .select(col("out_name"), binColumn(q.range, q.step).as("bin"),
+              lit(1L).as("cnt"), col("value").as("sum"),
+              col("value").as("vmin"), col("value").as("vmax"),
+              col("value").as("first"), col("value").as("last"),
+              col("ts").as("ts_of_min"), col("ts").as("ts_of_max"),
+              col("ts").as("ts_min"), col("ts").as("ts_max"))
           interior.unionByName(rawEdges)
         }
       val combined = acc

@@ -53,11 +53,18 @@ object PipelineEntries {
         .orderBy("id_a", "id_b")),
 
     // threshold 0.45: the synthetic corpus has no true near-dups, so the
-    // gate runs where the cosine tail actually is (7/14/144 pairs at
-    // sf0.001/0.01/0.1) — a 0.9 cut returns 0 rows everywhere and
-    // verifies nothing
+    // gate runs where the cosine tail actually is — a 0.9 cut returns 0
+    // rows everywhere and verifies nothing. Default = the SRP-bucketed
+    // scale path (candidates from a bucket equi-join; the oracle mirrors
+    // the bucket restriction), exact baseline gated separately below.
     "emb_dup_pairs" -> ((s, dir) =>
       Dedup.embeddingDupPairs(rp(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, bits = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "emb_dup_pairs_exact" -> ((s, dir) =>
+      Dedup.embeddingDupPairsExact(rp(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
@@ -352,6 +359,15 @@ object PipelineEntries {
          ORDER BY id_a, id_b""",
 
     "emb_dup_pairs" ->
+      s"""WITH c AS (SELECT vec_id, embedding, $srp6 AS bucket FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+         FROM c a JOIN c b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY id_a, id_b""",
+
+    "emb_dup_pairs_exact" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -220,11 +220,30 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold, brute-force
-    * (quadratic — for the oracle-checkable baseline). The scale path is
-    * [[Similarity.srpBucket]]-bucketed join: same verification, candidates
-    * restricted to matching sign-projection buckets. */
+  /** Embedding near-duplicate pairs: cosine >= threshold among candidates
+    * sharing a sign-random-projection bucket ([[Similarity.srpBucket]]).
+    * This is the scale default: candidates come from a bucket-key
+    * equi-join — never an all-pairs join — and verification is one
+    * codegen'd cosine per candidate. Recall misses cross-bucket pairs
+    * (lower `bits` → bigger buckets → higher recall/cost);
+    * [[embeddingDupPairsExact]] is the exact quadratic baseline. */
   def embeddingDupPairs(
+      df: DataFrame, idCol: String, embCol: String,
+      threshold: Double, bits: Int = 6): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(embCol).as("e"),
+      Similarity.srpBucket(col(embCol), bits).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Exact (full-recall) embedding near-dup pairs — the quadratic
+    * brute-force baseline the bucketed form is verified against. The
+    * `id_a < id_b` non-equi join plans as BroadcastNestedLoop: fine for
+    * oracle-scale corpora, a deliberate non-option at 100 TB. */
+  def embeddingDupPairsExact(
       df: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(embCol).as("ea"))

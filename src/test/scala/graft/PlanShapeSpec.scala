@@ -113,6 +113,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("embedding near-dup default plans as a bucket equi-join, never nested-loop") {
+    import spark.implicits._
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if ((i + d) % 2 == 0) 0.5f else -0.5f)))
+      .toDF("id", "embedding")
+    val p = plan(graft.pipeline.Dedup
+      .embeddingDupPairs(vecs, "id", "embedding", threshold = 0.9)).toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup must not plan an all-pairs join:\n$p")
+    // sanity: the exact baseline is the nested-loop form
+    val pe = plan(graft.pipeline.Dedup
+      .embeddingDupPairsExact(vecs, "id", "embedding", threshold = 0.9)).toString
+    assert(pe.contains("BroadcastNestedLoopJoin"), pe)
+  }
+
   test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
     import spark.implicits._
     // 150 docs sharing identical boilerplate + one unique word each: every

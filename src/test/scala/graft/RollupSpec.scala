@@ -114,6 +114,40 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(noRollup.toSeq !== direct.toSeq)
   }
 
+  test("group-by-tag composes with rollup serving (fan-in across source series)") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    // dropping the only tag merges both series into one output key, so
+    // interior rollup accumulators combine ACROSS series (the reference's
+    // FanInAggregateOperator, aggregate.h:48-68) under the same law
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt, AggFunc.Mean),
+      step = 20, range = TimeRange(105, 195),
+      groupBy = Some(GroupByTag(GroupByOp.Group, Seq("tag"))))
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    assert(direct.nonEmpty)
+    assert(direct.forall(_.head === "test:min|test:cnt|test:mean"))
+    val hybrid = new Engine(ctx.copy(rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(hybrid.toSeq === direct.toSeq)
+
+    // poison interior fine bins: equality with direct proves the interior
+    // of the merged aggregate was served by the rollup, per source series
+    val fine = 10L; val from = 105L; val to = 195L; val step = 20L
+    def qbin(c: org.apache.spark.sql.Column) =
+      lit(from) + ((c - from) - pmod(c - from, lit(step)))
+    val fineBin = col("ts") - pmod(col("ts"), lit(fine))
+    val interior = fineBin >= from && fineBin + fine <= to &&
+      qbin(fineBin) === qbin(fineBin + (fine - 1))
+    val poisoned = ctx.samples.withColumn("value",
+      when(interior, lit(-1e18)).otherwise(col("value")))
+    val viaRollup = new Engine(ctx.copy(
+      samples = poisoned, rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+  }
+
   test("backward ranges also serve interior bins from the rollup") {
     import graft.engine.Engine
     import graft.query.Ast._
@@ -141,6 +175,28 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
       samples = poisoned, rollups = Seq(10L -> rollup)))
       .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
     assert(viaRollup.toSeq === direct.toSeq)
+  }
+
+  test("short ranges skip the rollup probe (MinServedBins guard)") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    // poison the ROLLUP: any query it serves would return garbage
+    val poisonedRollup = rollup.withColumn("vmin", lit(-1e18))
+    // span 40 = 4 fine bins < RollupMinServedBins → raw scan, poison inert
+    val shortQ = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min),
+      step = 20, range = TimeRange(100, 140))
+    val direct = new Engine(ctx).groupAggregate(shortQ).collect().map(_.toSeq)
+    val guarded = new Engine(ctx.copy(rollups = Seq(10L -> poisonedRollup)))
+      .groupAggregate(shortQ).collect().map(_.toSeq)
+    assert(guarded.toSeq === direct.toSeq)
+    assert(guarded.nonEmpty)
+    // sanity: a wide range DOES read the (poisoned) rollup
+    val wideQ = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min),
+      step = 20, range = TimeRange(100, 200))
+    val viaPoisoned = new Engine(ctx.copy(rollups = Seq(10L -> poisonedRollup)))
+      .groupAggregate(wideQ).collect().map(_.toSeq)
+    assert(viaPoisoned.exists(_.contains(-1e18)))
   }
 
   test("rollup round-trips through parquet") {
