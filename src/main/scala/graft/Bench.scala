@@ -33,6 +33,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
+        // scoped working-set caches (Dedup signatures/shingles) are released
+        // after every run so (a) each timed run is a self-contained
+        // steady-state cost and (b) caches don't accumulate across the
+        // 90-entry sweep and skew later queries' memory budget
+        finally graft.pipeline.Dedup.releaseCaches()
       }
       val ok = Seq(once(), once()).flatten
       name -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -42,7 +47,11 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a bounded stdout tail, which has truncated the
+    // JSON mid-line two rounds running — the file is the durable artifact
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line)
     spark.stop()
   }
 }

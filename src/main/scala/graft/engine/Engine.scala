@@ -178,9 +178,11 @@ final class Engine(val ctx: TsdbContext) {
     if (q.filters.nonEmpty) {
       val conds = q.filters.toSeq.map { case (name, f) =>
         val target = if (name.isEmpty) q.funcs.head.token else name
-        require(Seq("min", "max", "mean").contains(target),
-          s"aggregate filter on '$target' is not supported (only min/max/mean)")
-        require(q.funcs.exists(_.token == target), s"filter names unknown func '$target'")
+        if (!Seq("min", "max", "mean").contains(target))
+          throw new BadQuery(
+            s"aggregate filter on '$target' is not supported (only min/max/mean)")
+        if (!q.funcs.exists(_.token == target))
+          throw new BadQuery(s"filter names unknown func '$target'")
         valueFilterCond(col(target), f)
       }
       df = df.where(combine(conds, q.combiner))
@@ -309,7 +311,18 @@ final class Engine(val ctx: TsdbContext) {
     * stream before tuple assembly), then the row survives when the
     * ALL/ANY combiner holds over the filtered metrics' presence —
     * mirroring [[applyJoinCombiner]] on the raw-join side. Form-2 (bare
-    * gt/lt) binds to the first metric, like the raw join. */
+    * gt/lt) binds to the first metric, like the raw join.
+    *
+    * DELIBERATE DEVIATION from the reference: there the `"="` mode applies
+    * WITHIN one column's AggregateFilter across that filter's components
+    * (queryparser.cc:792-829) — a no-op when a filter has a single
+    * component, which every JSON-expressible filter does — and rows with
+    * failing slots are emitted as partial tuples. Here the mode is given
+    * CROSS-column meaning (row survives iff ALL/ANY filtered slots are
+    * present), matching [[applyJoinCombiner]]; e.g. a single-metric filter
+    * under default ALL drops rows the reference would keep with an absent
+    * slot. Oracle-locked in `ts_group_aggregate_join_having` /
+    * `ts_group_aggregate_multi_having` / `_bare`. */
   private def applyAggregateJoinFilters(
       wide: DataFrame, metrics: Seq[String],
       filters: Map[String, ValueFilter], combiner: FilterCombiner): DataFrame =

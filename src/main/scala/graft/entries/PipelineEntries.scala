@@ -58,7 +58,7 @@ object PipelineEntries {
     // scale path (candidates from a bucket equi-join; the oracle mirrors
     // the bucket restriction), exact baseline gated separately below.
     "emb_dup_pairs" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(rp(s, dir, "embeddings"),
+      Dedup.embeddingDupPairsBucketed(rp(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.45, bits = 6)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
@@ -146,13 +146,16 @@ object PipelineEntries {
         "doc_id", "text")
         .orderBy("id")),
 
-    // ---- multimodal (decode stubbed; plumbing real) -----------------------
+    // ---- multimodal (real ImageIO decode; synthetic corpus bytes are not
+    // images, so every row takes the deterministic fallback → decoded = 0;
+    // the real-decode path is proven by PipelineSpec's generated PNG) ------
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeBinary(
           rp(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes")
-        .toDF().orderBy("id")),
+        .toDF().withColumn("decoded", col("decoded").cast("int"))
+        .orderBy("id")),
 
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -480,7 +483,8 @@ object PipelineEntries {
            CAST(1 + unicode(substr(text, 1, 1)) % 64 AS INT) AS height,
            3 AS channels,
            CAST((1 + octet_length(encode(text)) % 64)
-             * (1 + unicode(substr(text, 1, 1)) % 64) * 3 AS BIGINT) AS n_pixels
+             * (1 + unicode(substr(text, 1, 1)) % 64) * 3 AS BIGINT) AS n_pixels,
+           CAST(0 AS INT) AS decoded
          FROM documents ORDER BY id""",
 
     "mm_frames" ->

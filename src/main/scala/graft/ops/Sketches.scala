@@ -32,10 +32,16 @@ object Sketches {
       eps: Double = 0.0001, confidence: Double = 0.99,
       candidates: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
-    val total = df.count()
-    val sketchBytes = df
-      .select(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(42)).as("s"))
-      .head().getAs[Array[Byte]]("s")
+    // one action builds BOTH the total and the sketch: count(*) and the
+    // CMS are partial aggregates of the same scan, so the input is read
+    // once (at 100 TB a second full pass just for the denominator doubles
+    // the operator's I/O)
+    val totRow = df
+      .agg(count(lit(1)).as("total"),
+        count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(42)).as("s"))
+      .head()
+    val total = totRow.getAs[Long]("total")
+    val sketchBytes = totRow.getAs[Array[Byte]]("s")
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(sketchBytes))
     val bc = spark.sparkContext.broadcast(cms)
     val cand = candidates.getOrElse(df.select(col(keyCol)).distinct())

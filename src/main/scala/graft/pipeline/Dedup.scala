@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Working-set caches created by the pair operators, scoped so a driver
+    * program can release them once the consuming action finishes. A cache
+    * here serves multiple consumers within ONE query's DAG (column pruning
+    * specializes the aggregate per consumer, so ReuseExchange can't dedupe
+    * them) — it has no value after the action, and across a 90-entry
+    * Verify/Bench sweep unreleased caches accumulate into real memory
+    * pressure. Callers: [[releaseCaches]] after each materialized query. */
+  private val scopedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def scopedCache(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    scopedCaches.add(cached)
+    cached
+  }
+
+  /** Unpersist every cache created by Dedup operators since the last call
+    * (non-blocking). Safe to call at any time: released frames recompute. */
+  def releaseCaches(): Unit = {
+    var df = scopedCaches.poll()
+    while (df != null) { df.unpersist(false); df = scopedCaches.poll() }
+  }
+
   /** 60-bit cross-engine-stable hash (DuckDB:
     * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`). */
   def hash60(c: Column): Column =
@@ -58,7 +81,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, k).cache()
+    val sh = scopedCache(shingleHashes(df, idCol, textCol, k))
     val pruned = maxShingleFreq match {
       case None => sh
       case Some(cap) =>
@@ -124,7 +147,7 @@ object Dedup {
     val aggCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
     } :+ collect_set(col("h")).as("set")
-    val sig = hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*).cache()
+    val sig = scopedCache(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
     val rowsPerBand = numPerm / bands
     val bandStructs = (0 until bands).map { b =>
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
@@ -220,14 +243,18 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold among candidates
-    * sharing a sign-random-projection bucket ([[Similarity.srpBucket]]).
-    * This is the scale default: candidates come from a bucket-key
+  /** Embedding near-duplicate pairs, SRP-bucketed — the scale path:
+    * cosine >= threshold among candidates sharing a sign-random-projection
+    * bucket ([[Similarity.srpBucket]]). Candidates come from a bucket-key
     * equi-join — never an all-pairs join — and verification is one
-    * codegen'd cosine per candidate. Recall misses cross-bucket pairs
-    * (lower `bits` → bigger buckets → higher recall/cost);
-    * [[embeddingDupPairsExact]] is the exact quadratic baseline. */
-  def embeddingDupPairs(
+    * codegen'd cosine per candidate.
+    *
+    * RECALL < 1: pairs whose embeddings land in different buckets are
+    * missed (at sf0.001, 2 of the 14 exact pairs survive `bits = 6`);
+    * lower `bits` → bigger buckets → higher recall at higher join cost.
+    * The name carries the trade so call sites opt in explicitly;
+    * [[embeddingDupPairsExact]] is the full-recall quadratic baseline. */
+  def embeddingDupPairsBucketed(
       df: DataFrame, idCol: String, embCol: String,
       threshold: Double, bits: Int = 6): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(embCol).as("e"),

@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * sample run per partition over iterators (one codec instance per
   * partition, streaming — never materializing a partition in memory).
   *
-  * The decode itself is STUBBED: this container has no image/audio codecs,
-  * so [[decodeStub]] derives deterministic fake features from the raw
-  * bytes. The Spark-side shape — schema, encoders, partition iterator,
-  * per-partition "codec" lifecycle — is the real, tested part; swapping
-  * the stub for javax.imageio / ffmpeg bindings changes only the marked
-  * function body.
+  * Image decode is REAL: [[decodeBinary]] runs the JDK's javax.imageio
+  * readers (PNG/JPEG/GIF/BMP — no external dependency) per partition.
+  * Blobs no installed reader recognizes (this container's synthetic
+  * testdata, or genuinely un-decodable bytes at 100 TB — a pipeline must
+  * not die on one corrupt blob) fall back to [[decodeFallback]]'s
+  * deterministic byte-derived metadata, flagged `decoded = false`.
   *
   * Scale notes (100 TB): media rows are large → keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of
@@ -22,31 +22,50 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata (what a real image decode would yield). */
+  /** Decoded-media metadata. `decoded = true` means a real image codec
+    * produced the geometry; false means the deterministic fallback did. */
   final case class MediaMeta(
-      id: Long, width: Int, height: Int, channels: Int, n_pixels: Long)
+      id: Long, width: Int, height: Int, channels: Int, n_pixels: Long,
+      decoded: Boolean)
 
   /** One sampled frame reference of a (fake) video. */
   final case class Frame(id: Long, frame_idx: Int, byte_offset: Long)
 
-  /** ======== STUB ======== deterministic fake "decode" of a media blob.
-    * Real implementation: decode `bytes` with an image codec here
-    * (per-partition codec instance is set up in [[decodeBinary]]). */
-  private def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
+  /** Deterministic byte-derived metadata for blobs no codec recognizes:
+    * corrupt/unknown formats must yield a row (so downstream joins keep
+    * the document), not an exception or a dropped blob. */
+  private def decodeFallback(id: Long, bytes: Array[Byte]): MediaMeta = {
     val w = 1 + (bytes.length % 64)
     val h = 1 + ((if (bytes.nonEmpty) bytes(0) & 0xff else 0) % 64)
-    MediaMeta(id, w, h, 3, w.toLong * h * 3)
+    MediaMeta(id, w, h, 3, w.toLong * h * 3, decoded = false)
   }
 
-  /** Decode a binary column into media metadata, one codec per partition.
-    * Input: (id: Long, bytes: binary). */
+  /** Real image decode via the JDK's ImageIO registry. Returns None when
+    * no installed reader recognizes the bytes (ImageIO.read → null) or
+    * the reader throws on a truncated/corrupt stream. */
+  private def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val channels = img.getColorModel.getNumComponents
+          MediaMeta(id, img.getWidth, img.getHeight, channels,
+            img.getWidth.toLong * img.getHeight * channels, decoded = true)
+        }
+    } catch { case _: Exception => None }
+
+  /** Decode a binary column into media metadata, one codec setup per
+    * partition. Input: (id: Long, bytes: binary). */
   def decodeBinary(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
-        // real codec init would happen here, once per partition
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        // per-partition codec setup: ImageIO's default stream cache is a
+        // temp FILE per decode — in-memory cache only, once per partition
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          decodeImage(id, bytes).getOrElse(decodeFallback(id, bytes))
+        }
       }
   }
 

@@ -158,6 +158,30 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assert(!approx.contains("c"))
   }
 
+  test("CMS builder reads its input in ONE pass (total folded into sketch agg)") {
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        execs.incrementAndGet()
+      def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Seq.fill(40)("a").zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "i")
+      graft.ops.Sketches.frequentKeys(df, "k", portion = 0.3, error = 0.05)
+      // the build (count + sketch) must be one action; the returned probe
+      // frame is lazy, so nothing else has executed yet. Listener callbacks
+      // are async — poll until delivered.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (execs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(execs.get() === 1,
+        s"expected exactly 1 execution for the CMS build, saw ${execs.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("tsdb context registers SQL views") {
     val ctx = rampContext(Seq(1), 0, 10)
     ctx.registerViews("t_")

@@ -219,13 +219,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- multimodal plumbing -------------------------------------------------
 
-  test("multimodal decode/frames stubs stream through mapPartitions") {
+  test("multimodal decode/frames stream through mapPartitions; non-image bytes fall back") {
     val df = Seq((1L, "abcdef".getBytes), (2L, Array.empty[Byte]))
       .toDF("id", "bytes")
     val meta = Multimodal.decodeBinary(df, "id", "bytes").collect().sortBy(_.id)
     assert(meta.map(_.n_pixels).forall(_ > 0))
+    assert(meta.forall(!_.decoded), "text/empty bytes must take the fallback")
     val frames = Multimodal.sampleFrames(df, "id", "bytes", stride = 1).collect()
     assert(frames.nonEmpty && frames.forall(_.byte_offset % 1024 == 0))
+  }
+
+  /** Encode a w×h image of the given BufferedImage type to `format` bytes. */
+  private def imageBytes(w: Int, h: Int, imgType: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  test("multimodal decode is REAL for images: ImageIO yields exact geometry") {
+    import java.awt.image.BufferedImage._
+    val png = imageBytes(37, 23, TYPE_INT_RGB, "png")       // 3-channel RGB
+    val pngA = imageBytes(8, 5, TYPE_INT_ARGB, "png")       // 4-channel RGBA
+    val jpg = imageBytes(16, 9, TYPE_INT_RGB, "jpg")        // JPEG codec
+    val df = Seq((1L, png), (2L, pngA), (3L, jpg), (4L, "not an image".getBytes))
+      .toDF("id", "bytes")
+    val m = Multimodal.decodeBinary(df, "id", "bytes").collect()
+      .map(r => r.id -> r).toMap
+    assert(m(1L) == Multimodal.MediaMeta(1L, 37, 23, 3, 37L * 23 * 3, decoded = true))
+    assert(m(2L) == Multimodal.MediaMeta(2L, 8, 5, 4, 8L * 5 * 4, decoded = true))
+    assert(m(3L).decoded && m(3L).width == 16 && m(3L).height == 9)
+    assert(!m(4L).decoded, "unrecognized bytes fall back, flagged")
+    // resize consumes the real geometry: 37x23 into a 16-box -> 16x9
+    val rz = Multimodal.resizeBinary(df.where($"id" === 1L), "id", "bytes", maxSide = 16)
+      .collect().head
+    assert((rz.out_width, rz.out_height) == (16, 9) && rz.width == 37)
   }
 
   // ---- spatial -------------------------------------------------------------

@@ -119,7 +119,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       (i.toLong, Array.tabulate(8)(d => if ((i + d) % 2 == 0) 0.5f else -0.5f)))
       .toDF("id", "embedding")
     val p = plan(graft.pipeline.Dedup
-      .embeddingDupPairs(vecs, "id", "embedding", threshold = 0.9)).toString
+      .embeddingDupPairsBucketed(vecs, "id", "embedding", threshold = 0.9)).toString
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"bucketed near-dup must not plan an all-pairs join:\n$p")
     // sanity: the exact baseline is the nested-loop form
