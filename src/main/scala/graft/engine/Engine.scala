@@ -43,9 +43,32 @@ object Engine {
     * (measured at sf0.1; the crossover only moves further in the
     * rollup's favor as raw density grows toward the 100 TB regime). */
   val RollupMinServedBins = 8L
+
+  /** Minimum average samples per stored fine bin — the rollup's measured
+    * compression ratio (it stores only non-empty bins, so avg(cnt) =
+    * raw rows ÷ rollup rows) — before HYBRID serving (rollup interior +
+    * raw edges) is used. Below this the rollup is no smaller than the raw
+    * data, so the union+recombine plan only adds overhead over the plain
+    * one-pass aggregation (measured ~1.7× at sf0.1's ~1 sample/bin);
+    * above it the interior read shrinks by the ratio while the raw scan
+    * shrinks to the edge windows — the 100 TB regime (a 1-min rollup over
+    * 1 Hz data has ratio 60). Fully-aligned ranges (zero edge windows)
+    * are exempt: they read ONLY the rollup, never raw — a win at any
+    * density. */
+  val RollupMinDensity = 4.0
 }
 
 final class Engine(val ctx: TsdbContext) {
+
+  /** Measured compression ratio per registered rollup (avg samples per
+    * stored fine bin), driving the density guard. One tiny aggregation
+    * over the rollup itself per Engine lifetime — an index statistic, not
+    * a per-query action. */
+  private lazy val rollupDensities: Map[Long, Double] =
+    ctx.rollups.map { case (fine, r) =>
+      val row = r.agg(avg(col("cnt"))).head()
+      fine -> (if (row.isNullAt(0)) 0.0 else row.getDouble(0))
+    }.toMap
 
   def execute(json: String): DataFrame = run(QueryParser.parse(json))
 
@@ -215,7 +238,7 @@ final class Engine(val ctx: TsdbContext) {
       // reference has the same effect structurally: a subtree covering
       // few leaves is read at the leaves, nbtree.h:457)
       fine > 0 && q.step % fine == 0 && span >= Engine.RollupMinServedBins * fine
-    }.map { case (fine, rollup) =>
+    }.flatMap { case (fine, rollup) =>
       val from = q.range.from
       // query-bin label of a point: forward bins anchor at `from` (the low
       // end, label = lower boundary); backward bins anchor at `from` (the
@@ -236,38 +259,104 @@ final class Engine(val ctx: TsdbContext) {
           else f > q.range.to && f + (fine - 1) <= from
         inRange && qbin(f) === qbin(f + (fine - 1))
       }
-      val idsSel = broadcast(ids.select("series_id", "out_name"))
-      val interior = rollup.where(interiorOf(col("bin")))
-        .join(idsSel, "series_id")
-        .select(col("out_name") +: qbin(col("bin")).as("bin") +:
-          Rollup.accNames.map(col): _*)
-      // fully-aligned forward ranges have no edges at all; backward ranges
-      // always leave the closed-top boundary point to the raw scan
-      val aligned = q.range.forward &&
-        from % fine == 0 && q.range.to % fine == 0
-      val acc =
-        if (aligned) interior
+      // ---- driver-side Long replicas of qbin/interior, used to ENUMERATE
+      // the edge fine-bins up front (pure arithmetic on bin starts — no
+      // data is touched). Every non-interior bin that intersects the range
+      // must straddle the range start, the range end, or a query-bin
+      // boundary, so it contains one of the O(span/step) special points:
+      // candidates are the fine bins holding each such point.
+      def qbinL(x: Long): Long =
+        if (q.range.forward) from + Math.floorDiv(x - from, q.step) * q.step
+        else from - Math.floorDiv(from - x, q.step) * q.step
+      def interiorL(f: Long): Boolean = {
+        val inRange =
+          if (q.range.forward) f >= from && f + fine <= q.range.to
+          else f > q.range.to && f + (fine - 1) <= from
+        inRange && qbinL(f) == qbinL(f + fine - 1)
+      }
+      def intersectsL(f: Long): Boolean =
+        if (q.range.forward) f < q.range.to && f + fine > from
+        else f <= from && f + fine - 1 >= q.range.to + 1
+      val nBoundaries = span / q.step + 2
+      // merged [lo, hi) ts-windows covering exactly the edge fine-bins;
+      // None = too many query bins to enumerate (fall back to scanning the
+      // range with the per-row interior filter — correct, just unpruned)
+      val edgeWindows: Option[Seq[(Long, Long)]] =
+        if (nBoundaries > 100000) None
         else {
-          // each raw edge sample becomes a singleton accumulator row and
-          // rides the ONE combine aggregation below — no separate edge
-          // pre-aggregation stage (one less shuffle, here and at 100 TB:
-          // singletons collapse map-side in the combine agg's partial)
-          val fineBin = col("ts") - pmod(col("ts"), lit(fine))
-          val rawEdges = scan(ids, q.range, Seq(metric))
-            .where(!interiorOf(fineBin))
-            .select(col("out_name"), binColumn(q.range, q.step).as("bin"),
-              lit(1L).as("cnt"), col("value").as("sum"),
-              col("value").as("vmin"), col("value").as("vmax"),
-              col("value").as("first"), col("value").as("last"),
-              col("ts").as("ts_of_min"), col("ts").as("ts_of_max"),
-              col("ts").as("ts_min"), col("ts").as("ts_max"))
-          interior.unionByName(rawEdges)
+          val boundaries = (0L to nBoundaries).map { k =>
+            if (q.range.forward) from + k * q.step else from - k * q.step
+          }
+          val edges = (boundaries :+ q.range.to :+ from)
+            .map(p => p - Math.floorMod(p, fine)).distinct
+            .filter(f => intersectsL(f) && !interiorL(f)).sorted
+          val merged = edges.foldLeft(List.empty[(Long, Long)]) {
+            case ((lo, hi) :: rest, f) if f <= hi => (lo, math.max(hi, f + fine)) :: rest
+            case (acc, f) => (f, f + fine) :: acc
+          }.reverse
+          Some(merged)
         }
-      val combined = acc
-        .groupBy(col("out_name").as("series"), col("bin").as("ts"))
-        .agg(Rollup.combineAggs.head, Rollup.combineAggs.tail: _*)
-      combined.select(
-        col("series") +: col("ts") +: q.funcs.map(f => Rollup.extract(f).as(f.token)): _*)
+      // abstain when NO bin is interior (e.g. step == fine with an
+      // unaligned range makes every fine bin straddle a query boundary):
+      // the rollup would answer nothing and the whole range would rescan
+      // raw anyway, plus the recombine overhead — strictly worse than the
+      // plain one-pass aggregation
+      val noInterior = edgeWindows.exists { ws =>
+        val minTs = if (q.range.forward) from else q.range.to + 1
+        val maxTs = if (q.range.forward) q.range.to - 1 else from
+        val totalBins =
+          (maxTs - Math.floorMod(maxTs, fine) - (minTs - Math.floorMod(minTs, fine))) / fine + 1
+        totalBins <= ws.map { case (lo, hi) => (hi - lo) / fine }.sum
+      }
+      // density guard (Engine.RollupMinDensity): hybrid serving must still
+      // scan raw edges, so it only pays when the interior read is actually
+      // smaller than the raw rows it replaces. Fully-aligned ranges (zero
+      // edge windows) skip raw entirely and are served at any density.
+      val fullyAligned = edgeWindows.contains(Nil)
+      val tooSparse =
+        !fullyAligned && rollupDensities(fine) < Engine.RollupMinDensity
+      if (noInterior || tooSparse) None
+      else Some {
+        // only the accumulator columns the requested functions read travel
+        // through the union + combine (min/max/cnt → 3 plain columns, not
+        // the full 10-column struct-agg law)
+        val accs = Rollup.neededAccs(q.funcs)
+        val idsSel = broadcast(ids.select("series_id", "out_name"))
+        val interior = rollup.where(interiorOf(col("bin")))
+          .join(idsSel, "series_id")
+          .select(col("out_name") +: qbin(col("bin")).as("bin") +:
+            accs.map(col): _*)
+        val acc = edgeWindows match {
+          case Some(Nil) => interior // fully aligned: no edges at all
+          case windows =>
+            // each raw edge sample becomes a singleton accumulator row and
+            // rides the ONE combine aggregation below — no separate edge
+            // pre-aggregation stage (one less shuffle, here and at 100 TB:
+            // singletons collapse map-side in the combine agg's partial)
+            val raw = scan(ids, q.range, Seq(metric))
+            val rawEdges = windows match {
+              case Some(ws) if ws.size <= 128 =>
+                // the edge windows as a pushdown-able ts predicate: Parquet
+                // row-group/page stats prune the ~(step⁄fine)⁻¹ share of
+                // I/O the interior bins already answer, instead of reading
+                // everything and dropping rows post-scan
+                raw.where(ws.map { case (lo, hi) =>
+                  col("ts") >= lo && col("ts") < hi }.reduce(_ || _))
+              case _ =>
+                val fineBin = col("ts") - pmod(col("ts"), lit(fine))
+                raw.where(!interiorOf(fineBin))
+            }
+            interior.unionByName(rawEdges
+              .select(col("out_name") +: binColumn(q.range, q.step).as("bin") +:
+                accs.map(n => Rollup.singletonAcc(n).as(n)): _*))
+        }
+        val combineAggs = Rollup.combineAggsFor(accs)
+        val combined = acc
+          .groupBy(col("out_name").as("series"), col("bin").as("ts"))
+          .agg(combineAggs.head, combineAggs.tail: _*)
+        combined.select(
+          col("series") +: col("ts") +: q.funcs.map(f => Rollup.extract(f).as(f.token)): _*)
+      }
     }
   }
 

@@ -70,6 +70,47 @@ object Rollup {
     min(col("ts_min")).as("ts_min"),
     max(col("ts_max")).as("ts_max"))
 
+  /** Accumulator columns an extraction of `funcs` actually reads — closed
+    * under the combine law's own reads (e.g. combining `first` consults
+    * `ts_min`, combining `ts_of_min` consults `vmin`), so
+    * [[combineAggsFor]] of this set is self-contained. Serving a
+    * min/max/cnt query then combines 3 plain columns instead of all 10
+    * (4 of which are struct-ordering aggs) — on the hot path this is the
+    * difference between the rollup paying for itself and not. */
+  def neededAccs(funcs: Seq[AggFunc]): Seq[String] = {
+    val per: AggFunc => Seq[String] = {
+      case AggFunc.Min            => Seq("vmin")
+      case AggFunc.Max            => Seq("vmax")
+      case AggFunc.Sum            => Seq("sum")
+      case AggFunc.Cnt            => Seq("cnt")
+      case AggFunc.Mean           => Seq("sum", "cnt")
+      case AggFunc.First          => Seq("first", "ts_min")
+      case AggFunc.Last           => Seq("last", "ts_max")
+      case AggFunc.MinTimestamp   => Seq("ts_of_min", "vmin")
+      case AggFunc.MaxTimestamp   => Seq("ts_of_max", "vmax")
+      case AggFunc.FirstTimestamp => Seq("ts_min")
+      case AggFunc.LastTimestamp  => Seq("ts_max")
+    }
+    val wanted = funcs.flatMap(per).toSet
+    accNames.filter(wanted)
+  }
+
+  /** [[combineAggs]] restricted to `names` (use [[neededAccs]] so every
+    * column a kept agg reads is itself kept). */
+  def combineAggsFor(names: Seq[String]): Seq[Column] = {
+    val byName = accNames.zip(combineAggs).toMap
+    names.map(byName)
+  }
+
+  /** The accumulator value of a SINGLE raw sample (ts, value) — what a
+    * fine bin containing exactly that sample would store. Lets raw edge
+    * samples ride the combine aggregation as singleton rows. */
+  def singletonAcc(name: String): Column = name match {
+    case "cnt"                                        => lit(1L)
+    case "sum" | "vmin" | "vmax" | "first" | "last"   => col("value")
+    case _ /* ts_of_min ts_of_max ts_min ts_max */    => col("ts")
+  }
+
   /** Combine fine-bin accumulators into coarser bins (coarse step must be
     * a multiple of the rollup's fine step). `coarseStepNs = None` folds
     * the whole range into one accumulator per series. */

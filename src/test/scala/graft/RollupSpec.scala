@@ -114,6 +114,45 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(noRollup.toSeq !== direct.toSeq)
   }
 
+  test("sparse data abstains from hybrid rollup serving (density guard)") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    // ~1 sample per fine bin: the rollup is no smaller than the raw data
+    // (avg cnt = 1 < RollupMinDensity), so an UNALIGNED range must be
+    // served by the plain raw scan — proven by poisoning the ROLLUP:
+    // if the engine read it, the result would change
+    val sparse = ctx.copy(samples = ctx.samples.where(pmod(col("ts"), lit(10)) === 0))
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt),
+      step = 20, range = TimeRange(105, 195))
+    val direct = new Engine(sparse).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    val poisonedRollup = Rollup.build(sparse.samples, stepNs = 10)
+      .withColumn("vmin", lit(-1e18))
+    val viaGuard = new Engine(sparse.copy(rollups = Seq(10L -> poisonedRollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaGuard.toSeq === direct.toSeq)
+    assert(viaGuard.nonEmpty)
+  }
+
+  test("fully-aligned wide ranges read ONLY the rollup at any density") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    // same sparse data, but an aligned range has zero edge windows: the
+    // density guard is exempt and raw samples are never touched — proven
+    // with an empty samples table
+    val sparse = ctx.copy(samples = ctx.samples.where(pmod(col("ts"), lit(10)) === 0))
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt),
+      step = 20, range = TimeRange(100, 200))
+    val direct = new Engine(sparse).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    val rollup = Rollup.build(sparse.samples, stepNs = 10)
+    val viaRollup = new Engine(sparse.copy(
+      samples = sparse.samples.where(lit(false)), rollups = Seq(10L -> rollup)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+    assert(viaRollup.nonEmpty)
+  }
+
   test("group-by-tag composes with rollup serving (fan-in across source series)") {
     import graft.engine.Engine
     import graft.query.Ast._
