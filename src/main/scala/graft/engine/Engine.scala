@@ -91,7 +91,7 @@ final class Engine(val ctx: TsdbContext) {
   // ---------------------------------------------------------------- select
 
   def select(q: SelectQuery): DataFrame = {
-    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy, location = q.location)
     var df = scan(ids, q.range, Seq(q.metric))
     q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
     df = df.select(col("out_name").as("series"), col("ts"), col("value"))
@@ -106,7 +106,7 @@ final class Engine(val ctx: TsdbContext) {
     // silently dropping the clause
     if (q.apply.nonEmpty)
       throw new BadQuery("select-events does not support 'apply' (event streams carry string bodies)")
-    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy)
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy, location = q.location)
     var df = ctx.events
       .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(q.range))
@@ -129,7 +129,7 @@ final class Engine(val ctx: TsdbContext) {
   def aggregate(q: AggregateQuery): DataFrame = {
     val parts = q.funcs.groupBy(_._1).toSeq.sortBy(_._1).map { case (metric, mfs) =>
       val funcs = mfs.map(_._2)
-      val ids = resolvedIds(Seq(metric), q.where, q.groupBy)
+      val ids = resolvedIds(Seq(metric), q.where, q.groupBy, location = q.location)
       val in = q.range match {
         case Some(r) => scan(ids, r, Seq(metric))
         case None => facts(Seq(metric))
@@ -180,11 +180,12 @@ final class Engine(val ctx: TsdbContext) {
       }.headOption.map(f => q.metrics.map(_ -> f).toMap).getOrElse(Map.empty)
       return groupAggregateJoin(GroupAggregateJoinQuery(q.metrics, q.funcs.head,
         q.step, q.range, q.where, metricFilters, q.combiner,
-        q.orderBy, q.limit, q.offset, q.apply))
+        q.orderBy, q.limit, q.offset, q.apply, q.location))
     }
     val metric = q.metrics.head
     val outMetric = SeriesName.groupAggregateMetric(metric, q.funcs.map(_.token))
-    val ids = resolvedIds(Seq(metric), q.where, q.groupBy, renameMetric = Some(outMetric))
+    val ids = resolvedIds(Seq(metric), q.where, q.groupBy,
+      renameMetric = Some(outMetric), location = q.location)
     var df = rollupGroupAggregate(q, ids).getOrElse {
       // bin in a SEPARATE column: first/last/min_ts/max_ts aggregate over
       // the real per-sample ts; collapsing ts to the bin before the agg
@@ -366,7 +367,7 @@ final class Engine(val ctx: TsdbContext) {
     * per (tag set, ts) with one nullable column per metric (null = the
     * presence bitmap of the reference's tuple payload, tuples.h:26-50). */
   def join(q: JoinQuery): DataFrame = {
-    val wide = alignedWide(q.metrics, q.where, q.range, q.filters, identity)
+    val wide = alignedWide(q.metrics, q.where, q.range, q.filters, identity, q.location)
     val withFilters = applyJoinCombiner(wide, q.metrics, q.filters, q.combiner)
     val out = ApplyNodes.chain(withFilters, q.apply, q.metrics)
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
@@ -388,7 +389,7 @@ final class Engine(val ctx: TsdbContext) {
       df => df.withColumn("__bin", binColumn(q.range, q.step))
         .groupBy("series_id", "metric", "tagkey", "__bin")
         .agg(aggColumn(q.func).as("value"))
-        .withColumnRenamed("__bin", "ts"))
+        .withColumnRenamed("__bin", "ts"), q.location)
     val filtered = applyAggregateJoinFilters(wide, q.metrics, q.filters, q.combiner)
     val out = ApplyNodes.chain(filtered, q.apply, q.metrics)
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
@@ -432,14 +433,15 @@ final class Engine(val ctx: TsdbContext) {
   private def alignedWide(
       metrics: Seq[String], where: Where, range: TimeRange,
       filters: Map[String, ValueFilter],
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      location: Option[LocationFilter] = None): DataFrame = {
     require(metrics.size >= 2, "join requires at least 2 metrics")
     // when the layout carries the alignment key (TsdbLayout
     // .writeBucketedByTagkey), use the fact table's own bucketed tagkey
     // column: the groupBy(tagkey, ts) pivot then reads co-located buckets
     // and plans with no hash exchange (guarded in LayoutSpec)
     val factsHaveKey = ctx.samples.columns.contains("tagkey")
-    val ids0 = seriesFor(metrics, where)
+    val ids0 = locationFiltered(seriesFor(metrics, where), location)
     val ids =
       if (factsHaveKey) ids0.select(col("series_id"), col("metric"))
       else ids0.select(col("series_id"), col("metric"),
@@ -555,10 +557,23 @@ final class Engine(val ctx: TsdbContext) {
   /** Resolve metrics+where to (series_id, out_name) where out_name carries
     * the group-by-tag re-keying (GROUP drops tags, PIVOT keeps only listed;
     * seriesparser.cc:309-354) and optional metric rename. */
+  /** Apply a `where-location` clause to a catalog subset (after tag
+    * `where`, before name rendering): bbox → declarative range predicate;
+    * knn → TakeOrderedAndProject top-k over the located candidates. */
+  private def locationFiltered(base: DataFrame, loc: Option[LocationFilter]): DataFrame =
+    loc match {
+      case None => base
+      case Some(LocationFilter.Box(lonMin, lonMax, latMin, latMax)) =>
+        graft.spatial.Spatial.rangeQuery(base, lonMin, lonMax, latMin, latMax)
+      case Some(LocationFilter.Knn(lon, lat, k)) =>
+        graft.spatial.Spatial.knn(base, lon, lat, k).drop("dist2")
+    }
+
   private def resolvedIds(
       metrics: Seq[String], where: Where, groupBy: Option[GroupByTag],
-      renameMetric: Option[String] = None): DataFrame = {
-    val base = seriesFor(metrics, where)
+      renameMetric: Option[String] = None,
+      location: Option[LocationFilter] = None): DataFrame = {
+    val base = locationFiltered(seriesFor(metrics, where), location)
     val metricCol = renameMetric.map(lit).getOrElse(col("metric"))
     val tagsCol = groupBy match {
       case None => col("tags")

@@ -39,7 +39,24 @@ object Round4Entries {
         s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
                                  "func": ["min", "max", "cnt"]},
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""),
-        valueCols = Seq("min", "max", "cnt")))
+        valueCols = Seq("min", "max", "cnt"))),
+
+    // where-location bbox on select: the series universe is restricted
+    // geometrically BEFORE id resolution (beyond-reference surface over
+    // the R-tree analog; locations are the catalog's lon/lat columns)
+    "ts_select_location_box" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where-location": {"box": {"lon": [-60, 60], "lat": [-40, 40]}}}"""))),
+
+    // where-location knn on aggregate: only the 5 series nearest (10, 10)
+    // are aggregated (squared Euclidean, ties by series name)
+    "ts_agg_location_knn" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"aggregate": {"purchase": "sum"},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""")))
   )
 
   /** bin start (µs) for a forward range anchored at `fromNs`. */
@@ -78,5 +95,35 @@ object Round4Entries {
           FROM events
           WHERE event_type = 'purchase'
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
-          GROUP BY user_id, ts_us ORDER BY series, ts_us""")
+          GROUP BY user_id, ts_us ORDER BY series, ts_us""",
+
+    // the catalog's deterministic lon/lat derivation (Model.fromTestdata)
+    "ts_select_location_box" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) BETWEEN -60 AND 60
+            AND CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) BETWEEN -40 AND 40
+          ORDER BY series, ts_us""",
+
+    "ts_agg_location_knn" ->
+      s"""WITH se AS (
+            SELECT DISTINCT user_id,
+              CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) AS lon,
+              CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) AS lat
+            FROM events WHERE event_type = 'purchase'),
+          k AS (
+            SELECT user_id FROM se
+            ORDER BY (lon - 10.0) * (lon - 10.0) + (lat - 10.0) * (lat - 10.0),
+              concat('purchase user=', CAST(user_id AS VARCHAR))
+            LIMIT 5)
+          SELECT concat('purchase:sum user=', CAST(user_id AS VARCHAR)) AS series,
+            min(epoch_us(ts)) AS ts_us, round(sum(value), 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND user_id IN (SELECT user_id FROM k)
+          GROUP BY user_id ORDER BY series, ts_us""")
 }

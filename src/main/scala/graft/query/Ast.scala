@@ -61,6 +61,22 @@ object Ast {
     case object Any extends FilterCombiner
   }
 
+  /** `where-location` clause: restrict the series universe geometrically
+    * before id resolution — a beyond-reference capability (the reference
+    * maintains an R-tree over series locations, rtree.h:594-683, but
+    * exposes no query-language surface for it). Composes with `where`:
+    * tags narrow first, then geometry. */
+  sealed trait LocationFilter
+  object LocationFilter {
+    /** `{"box": {"lon": [min,max], "lat": [min,max]}}` — closed bbox
+      * (R-tree RangeQuery semantics, rtree.h:683). */
+    final case class Box(lonMin: Double, lonMax: Double,
+        latMin: Double, latMax: Double) extends LocationFilter
+    /** `{"knn": {"lon": x, "lat": y, "k": n}}` — the k nearest located
+      * series, squared-Euclidean, ties by name (KnnQuery, rtree.h:631). */
+    final case class Knn(lon: Double, lat: Double, k: Int) extends LocationFilter
+  }
+
   sealed trait OrderBy
   object OrderBy {
     /** (series, ts) lexicographic — the default. */
@@ -98,7 +114,8 @@ object Ast {
       groupBy: Option[GroupByTag] = None,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   final case class SelectEventsQuery(
       metric: String, // starts with '!'
@@ -109,7 +126,8 @@ object Ast {
       groupBy: Option[GroupByTag] = None,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   /** `{"aggregate": {"metric": "func", ...}}` — one value per series over
     * the whole (optional) range. Order-by is disallowed by the reference
@@ -121,7 +139,8 @@ object Ast {
       groupBy: Option[GroupByTag] = None,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   /** `{"group-aggregate": {"metric": m|[m...], "step": "30s", "func": f|[f...]}}`. */
   final case class GroupAggregateQuery(
@@ -137,7 +156,8 @@ object Ast {
       groupBy: Option[GroupByTag] = None,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   /** `{"join": ["m1","m2",...]}` — align metrics sharing the same tag set
     * on timestamp into tuples. */
@@ -150,7 +170,8 @@ object Ast {
       orderBy: OrderBy = OrderBy.Series,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   /** `{"group-aggregate-join": {"metric": [...], "step": s, "func": f}}` —
     * downsample each metric by step with a single func, then join. */
@@ -169,7 +190,8 @@ object Ast {
       orderBy: OrderBy = OrderBy.Series,
       limit: Option[Long] = None,
       offset: Option[Long] = None,
-      apply: Seq[ApplySpec] = Nil) extends Query
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
 
   // ---- metadata entry points ----
 

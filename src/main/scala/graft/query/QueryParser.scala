@@ -32,7 +32,7 @@ object QueryParser {
   private val clauseKeys = Set(
     "range", "where", "filter", "order-by", "group-by", "group-by-tag",
     "pivot-by-tag", "limit", "offset", "apply", "output",
-    "metric", "tag", "starts-with")
+    "metric", "tag", "starts-with", "where-location")
 
   def parseNode(root: JsonNode): Query = {
     require(root != null && root.isObject, "query must be a JSON object")
@@ -59,6 +59,7 @@ object QueryParser {
   /** `search()` entry point: same shape as select but only metadata returned. */
   def parseSearch(json: String): SearchQuery = {
     val root = mapper.readTree(json)
+    rejectLocation(root, "search query")
     SearchQuery(root.get("select").asText(), parseWhere(root),
       optLong(root, "limit"), optLong(root, "offset"))
   }
@@ -84,7 +85,8 @@ object QueryParser {
     val metric = root.get("select").asText()
     SelectQuery(metric, parseRange(root), parseWhere(root),
       parseSingleFilter(root), parseOrderBy(root), parseGroupBy(root),
-      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root),
+      parseLocation(root))
   }
 
   private def parseSelectEvents(root: JsonNode): SelectEventsQuery = {
@@ -94,7 +96,8 @@ object QueryParser {
     val regex = Option(root.get("filter")).map(_.asText())
     SelectEventsQuery(metric, parseRange(root), regex, parseWhere(root),
       parseOrderBy(root), parseGroupBy(root),
-      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root),
+      parseLocation(root))
   }
 
   private def parseAggregate(root: JsonNode): AggregateQuery = {
@@ -111,7 +114,8 @@ object QueryParser {
     val dups = funcs.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
     if (dups.nonEmpty) throw new BadQuery(s"duplicate aggregate entries: $dups")
     AggregateQuery(funcs, parseOptRange(root), parseWhere(root), parseGroupBy(root),
-      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root),
+      parseLocation(root))
   }
 
   private def parseGroupAggregate(root: JsonNode): GroupAggregateQuery = {
@@ -123,7 +127,8 @@ object QueryParser {
     val (filters, comb) = parseNamedFilters(root)
     GroupAggregateQuery(metrics, funcs, step, parseRange(root), parseWhere(root),
       filters, comb, parseOrderBy(root), parseGroupBy(root),
-      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root),
+      parseLocation(root))
   }
 
   private def parseJoin(root: JsonNode): JoinQuery = {
@@ -133,7 +138,8 @@ object QueryParser {
       throw new BadQuery("join doesn't support group-by")
     val (filters, comb) = parseNamedFilters(root)
     JoinQuery(metrics, parseRange(root), parseWhere(root), filters, comb,
-      parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
+      parseApply(root), parseLocation(root))
   }
 
   private def parseGroupAggregateJoin(root: JsonNode): GroupAggregateJoinQuery = {
@@ -146,10 +152,12 @@ object QueryParser {
     val (filters, comb) = parseNamedFilters(root)
     GroupAggregateJoinQuery(metrics, AggFunc.fromToken(funcs.head), step,
       parseRange(root), parseWhere(root), filters, comb, parseOrderBy(root),
-      optLong(root, "limit"), optLong(root, "offset"), parseApply(root))
+      optLong(root, "limit"), optLong(root, "offset"), parseApply(root),
+      parseLocation(root))
   }
 
   private def parseMeta(root: JsonNode, sel: String): SearchQuery = {
+    rejectLocation(root, "meta query")
     // deprecated `{"select": "meta:names[:metric]"}`
     val metric = sel.stripPrefix("meta:names") match {
       case "" => ""
@@ -160,6 +168,7 @@ object QueryParser {
   }
 
   private def parseSuggest(root: JsonNode, sel: String): SuggestQuery = {
+    rejectLocation(root, "suggest query")
     val kind = sel match {
       case "metric-names" => SuggestKind.MetricNames
       case "tag-names"    => SuggestKind.TagNames
@@ -236,6 +245,43 @@ object QueryParser {
           (m, comb)
         }
     }
+
+  /** The `where-location` clause (beyond-reference; see
+    * [[Ast.LocationFilter]]): exactly one of `box` / `knn`. */
+  private def parseLocation(root: JsonNode): Option[LocationFilter] =
+    Option(root.get("where-location")).map { n =>
+      if (!n.isObject) throw new BadQuery("where-location must be an object")
+      val unknown = n.fieldNames().asScala.filterNot(Seq("box", "knn").contains).toSeq
+      if (unknown.nonEmpty)
+        throw new BadQuery(s"bad where-location key(s): ${unknown.mkString(", ")}")
+      (Option(n.get("box")), Option(n.get("knn"))) match {
+        case (Some(b), None) =>
+          def bound(k: String): (Double, Double) = {
+            val a = Option(b.get(k)).filter(x => x.isArray && x.size == 2)
+              .getOrElse(throw new BadQuery(s"where-location.box.$k must be [min, max]"))
+            (a.get(0).asDouble(), a.get(1).asDouble())
+          }
+          val (lonMin, lonMax) = bound("lon")
+          val (latMin, latMax) = bound("lat")
+          if (lonMin > lonMax || latMin > latMax)
+            throw new BadQuery("where-location.box bounds must be min <= max")
+          LocationFilter.Box(lonMin, lonMax, latMin, latMax)
+        case (None, Some(kn)) =>
+          def num(k: String): Double = Option(kn.get(k)).filter(_.isNumber)
+            .getOrElse(throw new BadQuery(s"where-location.knn.$k required")).asDouble()
+          val k = num("k").toInt
+          if (k <= 0) throw new BadQuery("where-location.knn.k must be positive")
+          LocationFilter.Knn(num("lon"), num("lat"), k)
+        case _ =>
+          throw new BadQuery("where-location needs exactly one of 'box' or 'knn'")
+      }
+    }
+
+  /** Metadata entry points have no series-location semantics — reject
+    * rather than silently drop the clause. */
+  private def rejectLocation(root: JsonNode, kind: String): Unit =
+    if (root.has("where-location"))
+      throw new BadQuery(s"$kind doesn't support 'where-location'")
 
   private def parseValueFilter(n: JsonNode): ValueFilter = ValueFilter(
     gt = Option(n.get("gt")).map(_.asDouble()),

@@ -157,6 +157,52 @@ class QueryParserSpec extends AnyFunSuite {
     assert(q.startsWith === Some("cp"))
   }
 
+  test("where-location parses box and knn") {
+    val b = QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"box": {"lon": [-60, 60], "lat": [-40, 40]}}}""")
+      .asInstanceOf[SelectQuery]
+    assert(b.location === Some(LocationFilter.Box(-60, 60, -40, 40)))
+    val k = QueryParser.parse(
+      """{"aggregate": {"m": "sum"},
+         "where-location": {"knn": {"lon": 10.0, "lat": 5.0, "k": 3}}}""")
+      .asInstanceOf[AggregateQuery]
+    assert(k.location === Some(LocationFilter.Knn(10.0, 5.0, 3)))
+  }
+
+  test("where-location malformed variants are BadQuery") {
+    // box AND knn together
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"box": {"lon": [0, 1], "lat": [0, 1]},
+                            "knn": {"lon": 0, "lat": 0, "k": 1}}}"""))
+    // neither
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10}, "where-location": {}}"""))
+    // box bounds not a [min, max] pair
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"box": {"lon": [0], "lat": [0, 1]}}}"""))
+    // inverted bounds
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"box": {"lon": [10, -10], "lat": [0, 1]}}}"""))
+    // non-positive k
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"knn": {"lon": 0, "lat": 0, "k": 0}}}"""))
+    // unknown sub-key
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "m", "range": {"from": 0, "to": 10},
+         "where-location": {"circle": {"lon": 0, "lat": 0}}}"""))
+    // metadata kinds reject rather than silently drop
+    intercept[BadQuery](QueryParser.parse(
+      """{"select": "metric-names",
+         "where-location": {"knn": {"lon": 0, "lat": 0, "k": 1}}}"""))
+    intercept[BadQuery](QueryParser.parseSearch(
+      """{"select": "m", "where-location": {"box": {"lon": [0,1], "lat": [0,1]}}}"""))
+  }
+
   test("backward range detected") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 100, "to": 10}}""").asInstanceOf[SelectQuery]

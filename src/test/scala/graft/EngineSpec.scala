@@ -12,6 +12,30 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
   private lazy val ctx = rampContext(Seq(10, 11, 12), 100, 200)
   private lazy val engine = new Engine(ctx)
 
+  test("where-location restricts the series universe before id resolution") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val rows = for (u <- 0 until 10; t <- 0L until 20L) yield (s"$u", t, u * 100.0 + t)
+    val wide = rows.toDF("user", "ts", "value").withColumn("metric", lit("m"))
+    val locCtx = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("user"), "ts", "value",
+      lonExpr = Some("cast(user as double) * 10.0"),
+      latExpr = Some("cast(user as double) * 5.0"))
+    val eng = new Engine(locCtx)
+    val box = eng.execute(
+      """{"select": "m", "range": {"from": 0, "to": 20},
+         "where-location": {"box": {"lon": [0, 25], "lat": [0, 100]}}}""")
+    assert(box.select("series").distinct().as[String].collect().toSet ===
+      Set("m user=0", "m user=1", "m user=2"))
+    // nearest to (41, 20.5): user=4 at (40,20) d²=1.25, user=5 at (50,25)
+    // d²=101.25, user=3 at (30,15) d²=151.25 → k=2 keeps users 4 and 5
+    val knn = eng.execute(
+      """{"aggregate": {"m": "cnt"},
+         "where-location": {"knn": {"lon": 41.0, "lat": 20.5, "k": 2}}}""")
+    assert(knn.select("series").as[String].collect().toSet ===
+      Set("m:cnt user=4", "m:cnt user=5"))
+  }
+
   test("forward scan, series order") {
     val q = SelectQuery("test", TimeRange(100, 200))
     val rows = collectSeries(engine.select(q))

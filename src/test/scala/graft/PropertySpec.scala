@@ -82,3 +82,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Spark-backed properties tying independent engine code paths together. */
+class EnginePropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  /** group-aggregate-join over (m, m_copy) with a filter on m must equal
+    * single-metric group-aggregate with the same HAVING: the two filter
+    * code paths (Engine.groupAggregate's post-agg `where` vs
+    * applyAggregateJoinFilters' null-out + presence combiner) implement
+    * the same semantics and must stay tied together. */
+  test("GAJ filter on a duplicated metric ≡ group-aggregate HAVING") {
+    import graft.engine.Engine
+    import graft.model.TsdbContext
+    import graft.query.Ast._
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+
+    val caseGen: Gen[(Seq[(String, Long, Double)], Long, Double)] = for {
+      nRows <- Gen.chooseNum(10, 40)
+      users <- Gen.listOfN(nRows, Gen.chooseNum(1, 3))
+      tss <- Gen.listOfN(nRows, Gen.chooseNum(0L, 999L))
+      vs <- Gen.listOfN(nRows, Gen.chooseNum(-100, 100))
+      step <- Gen.chooseNum(1L, 300L)
+      threshold <- Gen.chooseNum(-50, 50)
+    } yield (users.lazyZip(tss).lazyZip(vs)
+        .map((u, t, v) => (s"$u", t, v.toDouble)).toSeq,
+      step, threshold.toDouble)
+
+    forAllN(caseGen, n = 5) { case (rows, step, threshold) =>
+      val wide = rows.toDF("user", "ts", "value")
+      val both = wide.withColumn("metric", lit("m"))
+        .unionByName(wide.withColumn("metric", lit("mc")))
+      val ctx = TsdbContext.fromWide(spark, both, "metric", Seq("user"), "ts", "value")
+      val eng = new Engine(ctx)
+      val range = TimeRange(0, 1000)
+      val having = eng.run(GroupAggregateQuery(Seq("m"), Seq(AggFunc.Max),
+          step, range, filters = Map("" -> ValueFilter(gt = Some(threshold)))))
+        .collect().map { r =>
+          // series "m:max user=U" → key on the tag suffix
+          (r.getString(0).dropWhile(_ != ' ').trim, r.getLong(1), r.getDouble(2))
+        }.toSet
+      val gaj = eng.run(GroupAggregateJoinQuery(Seq("m", "mc"), AggFunc.Max,
+          step, range, filters = Map("m" -> ValueFilter(gt = Some(threshold)))))
+        .collect()
+      val gajKeys = gaj.map { r =>
+        (r.getString(0).dropWhile(_ != ' ').trim, r.getLong(1), r.getDouble(2))
+      }.toSet
+      assert(gajKeys === having, s"step=$step threshold=$threshold")
+      // the unfiltered duplicate column carries the identical downsample
+      gaj.foreach(r => assert(r.getDouble(3) === r.getDouble(2)))
+    }
+  }
+}
