@@ -18,6 +18,7 @@ object Bench {
       graft.entries.EntryUtil.engineFor(spark, sfDir).ctx.series.count()
       graft.entries.EntryUtil.engineUs(spark, sfDir).ctx.series.count()
       graft.entries.EntryUtil.engineRollupFor(spark, sfDir).ctx.series.count()
+      graft.entries.EntryUtil.ivfCodebookFor(spark, sfDir) // index build, untimed
       // representative plans: scan+sort, window, groupBy-pivot — warms the
       // codegen/JIT paths every timed query shares
       Seq("ts_select_filter", "ts_apply_rate", "ts_join")

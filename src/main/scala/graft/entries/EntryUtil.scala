@@ -24,6 +24,16 @@ object EntryUtil {
   private val engines =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Engine]
 
+  /** One cached series catalog per (session, dir): the three engine
+    * variants derive the IDENTICAL catalog plan, and caching it thrice
+    * would make the CacheManager warn and re-point to the first cache
+    * anyway. */
+  private val seriesCatalogs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedSeries(spark: SparkSession, dir: String, derive: => DataFrame): DataFrame =
+    seriesCatalogs.getOrElseUpdate((spark, dir), derive.cache())
+
   /** Engine over `dir`, memoized per session with the series catalog
     * cached: the catalog is the one derived table every query re-joins
     * (the reference keeps it as an in-memory matcher for the same reason:
@@ -33,7 +43,7 @@ object EntryUtil {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       // cache only the catalog: caching samples too was measured neutral
       // (the derivation is map-side) and hides parquet PushedFilters
-      new Engine(ctx.copy(series = ctx.series.cache()))
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series)))
     })
 
   /** Engine whose sample timestamps are truncated to µs. DuckDB's
@@ -44,7 +54,7 @@ object EntryUtil {
     engines.getOrElseUpdate((spark, dir + "#us"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       new Engine(ctx.copy(
-        series = ctx.series.cache(),
+        series = cachedSeries(spark, dir, ctx.series),
         samples = ctx.samples.withColumn("ts",
           col("ts") - pmod(col("ts"), lit(1000L)))))
     })
@@ -58,8 +68,25 @@ object EntryUtil {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val hourNs = 3600L * 1000000000L
       val rollup = graft.engine.Rollup.build(ctx.samples, hourNs).cache()
-      new Engine(ctx.copy(series = ctx.series.cache(),
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
         rollups = Seq(hourNs -> rollup)))
+    })
+
+  private val codebooks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
+
+  /** Memoized IVF codebook over the testdata embeddings (nlist = 8, two
+    * deterministic Lloyd rounds — the parameters the `emb_knn_ivf` entry
+    * and its SQL-replay oracle agree on). The fit is an index-BUILD cost:
+    * a production deployment runs it once and persists the centers
+    * (Similarity.writeCodebook), so queries — and the bench — reuse it,
+    * exactly as the materialized rollup is built once in
+    * [[engineRollupFor]]. */
+  def ivfCodebookFor(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    codebooks.getOrElseUpdate((spark, dir), {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.pipeline.Similarity.fitCodebook(emb, nlist = 8, iters = 2)
     })
 
   /** µs view of the engine's Long-ns ts column, oracle-comparable.

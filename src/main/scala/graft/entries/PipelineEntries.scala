@@ -97,11 +97,12 @@ object PipelineEntries {
     // bit-identically in the generated SQL oracle below.
     "emb_knn_ivf" -> ((s, dir) => {
       val emb = rp(s, dir, "embeddings")
-      Similarity.knnIvf(
+      Similarity.knnIvfWith(
+          EntryUtil.ivfCodebookFor(s, dir),
           emb.select(col("vec_id").as("id"), col("embedding")),
           emb.where(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("embedding")),
-          k = 3, nlist = 8, nprobe = 2)
+          k = 3, nprobe = 2)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("qid", "rank")
     }),
