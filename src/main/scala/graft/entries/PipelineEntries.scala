@@ -163,7 +163,8 @@ object PipelineEntries {
           rp(s, dir, "documents")
             .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
           "doc_id", "bytes", stride = 2)
-        .toDF().orderBy("id", "frame_idx")),
+        .toDF().withColumn("decoded", col("decoded").cast("int"))
+        .orderBy("id", "frame_idx")),
 
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeBinary(
@@ -490,7 +491,9 @@ object PipelineEntries {
 
     "mm_frames" ->
       """SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
-           CAST(i * 1024 AS BIGINT) AS byte_offset
+           CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(1 + unicode(substr(text, 1, 1)) % 64 AS INT) AS height,
+           CAST(0 AS INT) AS decoded
          FROM documents,
            UNNEST(generate_series(0, octet_length(encode(text)) % 5, 2)) AS t(i)
          ORDER BY id, frame_idx""",

@@ -81,19 +81,28 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
-    val sh = scopedCache(shingleHashes(df, idCol, textCol, k))
+    // one groupBy turns the posting list of each shingle into a doc-id
+    // array; the hot-shingle cap is then a free `size(ids) <= cap` filter
+    // (no separate count + anti-join pass), and candidate pairs expand
+    // IN-ROW from each array (<= cap² per shingle) instead of a
+    // 1M×1M hash self-join — two shuffles fewer than the join form
+    val grouped = shingleHashes(df, idCol, textCol, k)
+      .groupBy("h").agg(collect_list(col("id")).as("ids"))
     val pruned = maxShingleFreq match {
-      case None => sh
-      case Some(cap) =>
-        val hot = sh.groupBy("h").count().where(col("count") > cap)
-        sh.join(hot, Seq("h"), "left_anti")
+      case None => grouped
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = pruned.as("a")
-      .join(pruned.as("b"), col("a.h") === col("b.h") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val inter = pruned
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
+    // the shingling kernel dedups within the document, so the per-doc
+    // distinct-shingle count is just the array length — map-side, no
+    // aggregation pass over the exploded rows
+    val sizes = df.select(col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("n"))
     inter
       .join(sizes.withColumnRenamed("n", "na").withColumnRenamed("id", "id_a"), "id_a")
       .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed("id", "id_b"), "id_b")

@@ -28,8 +28,11 @@ object Multimodal {
       id: Long, width: Int, height: Int, channels: Int, n_pixels: Long,
       decoded: Boolean)
 
-  /** One sampled frame reference of a (fake) video. */
-  final case class Frame(id: Long, frame_idx: Int, byte_offset: Long)
+  /** One sampled frame of a multi-frame media blob. `decoded = true`
+    * means a real codec produced the frame count and geometry (the JDK's
+    * GIF reader exposes both); false means the deterministic fallback. */
+  final case class Frame(
+      id: Long, frame_idx: Int, width: Int, height: Int, decoded: Boolean)
 
   /** Deterministic byte-derived metadata for blobs no codec recognizes:
     * corrupt/unknown formats must yield a row (so downstream joins keep
@@ -69,19 +72,47 @@ object Multimodal {
       }
   }
 
-  /** Sample every `stride`-th "frame" of a (fake) video blob: one output
-    * row per sampled frame, streamed from the partition iterator. */
+  /** Real frame enumeration via the ImageIO registry: readers for
+    * multi-image containers (the JDK ships GIF) report the frame count
+    * and per-frame geometry without decoding pixels we don't sample.
+    * Returns None when no reader recognizes the bytes. */
+  private def readFrames(id: Long, bytes: Array[Byte], stride: Int): Option[Seq[Frame]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true) // allowSearch: scan the container index
+          if (n <= 0) None
+          else Some((0 until n by stride).map(i =>
+            Frame(id, i, reader.getWidth(i), reader.getHeight(i), decoded = true)))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  /** Sample every `stride`-th frame of a media blob: one output row per
+    * sampled frame, streamed from the partition iterator. Blobs no codec
+    * recognizes fall back to a deterministic synthetic frame index
+    * (count = len % 5 + 1, geometry from [[decodeFallback]]) so corrupt
+    * inputs yield rows, not failures. */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, stride: Int): Dataset[Frame] = {
     require(stride > 0, "stride must be positive")
     implicit val enc = Encoders.product[Frame]
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
-          // STUB: frame count = len % 5 + 1; real impl reads container index
-          val frames = bytes.length % 5 + 1
-          (0 until frames by stride).iterator.map(i =>
-            Frame(id, i, i.toLong * 1024))
+          readFrames(id, bytes, stride).getOrElse {
+            val meta = decodeFallback(id, bytes)
+            val frames = bytes.length % 5 + 1
+            (0 until frames by stride).map(i =>
+              Frame(id, i, meta.width, meta.height, decoded = false))
+          }
         }
       }
   }

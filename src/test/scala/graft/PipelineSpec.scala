@@ -226,7 +226,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(meta.map(_.n_pixels).forall(_ > 0))
     assert(meta.forall(!_.decoded), "text/empty bytes must take the fallback")
     val frames = Multimodal.sampleFrames(df, "id", "bytes", stride = 1).collect()
-    assert(frames.nonEmpty && frames.forall(_.byte_offset % 1024 == 0))
+    assert(frames.nonEmpty && frames.forall(f => !f.decoded && f.width > 0))
+  }
+
+  test("frame sampling is REAL for multi-image containers (GIF via ImageIO)") {
+    import javax.imageio.ImageIO
+    // a 3-frame GIF written through the JDK's sequence writer
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 3).foreach { _ =>
+      val img = new java.awt.image.BufferedImage(11, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val df = Seq((1L, out.toByteArray), (2L, "plain text".getBytes))
+      .toDF("id", "bytes")
+    val frames = Multimodal.sampleFrames(df, "id", "bytes", stride = 2)
+      .collect().groupBy(_.id)
+    // stride 2 over 3 real frames -> indices 0 and 2, real 11x7 geometry
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(frames(1L).forall(f => f.decoded && f.width == 11 && f.height == 7))
+    assert(frames(2L).forall(!_.decoded))
   }
 
   /** Encode a w×h image of the given BufferedImage type to `format` bytes. */
