@@ -130,14 +130,32 @@ final class Engine(val ctx: TsdbContext) {
     val parts = q.funcs.groupBy(_._1).toSeq.sortBy(_._1).map { case (metric, mfs) =>
       val funcs = mfs.map(_._2)
       val ids = resolvedIds(Seq(metric), q.where, q.groupBy, location = q.location)
-      val in = q.range match {
-        case Some(r) => scan(ids, r, Seq(metric))
-        case None => facts(Seq(metric))
-          .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      val idsSel = broadcast(ids.select("series_id", "out_name"))
+      // whole-history aggregates are the canonical SubtreeRef answer: no
+      // range bounds → no edge bins → ANY registered rollup serves the
+      // entire query from interior accumulators, never touching raw
+      // samples (nbtree.h:457; the reference's whole-range AggregateQuery
+      // reads subtree stats the same way). Density is irrelevant here —
+      // the rollup is never larger than raw and replaces the full scan.
+      val agged = (q.range, ctx.rollups.headOption) match {
+        case (None, Some((_, rollup))) =>
+          val accs = (Rollup.neededAccs(funcs) :+ "ts_min").distinct
+          val combineAggs = Rollup.combineAggsFor(accs)
+          rollup.join(idsSel, "series_id")
+            .groupBy(col("out_name"))
+            .agg(combineAggs.head, combineAggs.tail: _*)
+            .select(col("out_name") +: col("ts_min").as("__ts") +:
+              funcs.zipWithIndex.map { case (f, i) =>
+                Rollup.extract(f).as(s"__v$i") }: _*)
+        case _ =>
+          val in = q.range match {
+            case Some(r) => scan(ids, r, Seq(metric))
+            case None => facts(Seq(metric)).join(idsSel, "series_id")
+          }
+          val aggCols = min(col("ts")).as("__ts") +:
+            funcs.zipWithIndex.map { case (f, i) => aggColumn(f).as(s"__v$i") }
+          in.groupBy(col("out_name")).agg(aggCols.head, aggCols.tail: _*)
       }
-      val aggCols = min(col("ts")).as("__ts") +:
-        funcs.zipWithIndex.map { case (f, i) => aggColumn(f).as(s"__v$i") }
-      val agged = in.groupBy(col("out_name")).agg(aggCols.head, aggCols.tail: _*)
       // out_name = "metric[ tags]"; rename to "metric:func[ tags]" per func
       val suffix = substring(col("out_name"), metric.length + 1, Int.MaxValue)
       val rows = funcs.zipWithIndex.map { case (f, i) =>

@@ -56,7 +56,14 @@ object Round4Entries {
       usView(engineFor(s, dir).execute(
         s"""{"aggregate": {"purchase": "sum"},
              "range": {"from": "$FromIso", "to": "$ToIso"},
-             "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""")))
+             "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}"""))),
+
+    // whole-history aggregate served ENTIRELY from the rollup (no range →
+    // no edge bins → the reference's canonical SubtreeRef answer,
+    // nbtree.h:457); min/max/cnt combine exactly against the raw oracle
+    "ts_agg_rollup" -> ((s, dir) =>
+      usView(engineRollupFor(s, dir).execute(
+        """{"aggregate": {"purchase": ["min", "max", "cnt"]}}""")))
   )
 
   /** bin start (µs) for a forward range anchored at `fromNs`. */
@@ -107,6 +114,22 @@ object Round4Entries {
             AND CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) BETWEEN -60 AND 60
             AND CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) BETWEEN -40 AND 40
           ORDER BY series, ts_us""",
+
+    "ts_agg_rollup" ->
+      """WITH s AS (
+           SELECT user_id, min(value) AS vmin, max(value) AS vmax,
+             CAST(count(value) AS DOUBLE) AS cnt, min(epoch_us(ts)) AS ts_us
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT * FROM (
+           SELECT concat('purchase:min user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(vmin, 6) AS value FROM s
+           UNION ALL
+           SELECT concat('purchase:max user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(vmax, 6) AS value FROM s
+           UNION ALL
+           SELECT concat('purchase:cnt user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(cnt, 6) AS value FROM s)
+         ORDER BY series, ts_us""",
 
     "ts_agg_location_knn" ->
       s"""WITH se AS (

@@ -114,6 +114,22 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(noRollup.toSeq !== direct.toSeq)
   }
 
+  test("whole-history AGGREGATE queries serve entirely from the rollup") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val q = AggregateQuery(Seq("test" -> AggFunc.Min, "test" -> AggFunc.Cnt,
+      "test" -> AggFunc.Last, "test" -> AggFunc.Mean))
+    val direct = new Engine(ctx).aggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    // no range → no edges → raw samples must never be read
+    val viaRollup = new Engine(ctx.copy(
+      samples = ctx.samples.where(lit(false)), rollups = Seq(10L -> rollup)))
+      .aggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+    assert(viaRollup.nonEmpty)
+  }
+
   test("sparse data abstains from hybrid rollup serving (density guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
