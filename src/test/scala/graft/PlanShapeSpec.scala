@@ -128,6 +128,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(pe.contains("BroadcastNestedLoopJoin"), pe)
   }
 
+  test("rollup serving plan shapes: aligned reads no parquet; sparse abstains to raw") {
+    // real testdata: the hourly rollup + cached catalog are in-memory, so
+    // the fully-aligned entry's plan must contain NO parquet scan at all,
+    // while the sparse (density-abstained) unaligned entry must read the
+    // raw fact parquet — the two regimes the density guard separates
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = "/root/testdata/sf0.001"
+    // collect does not descend into InMemoryRelation's cached BUILD plan,
+    // so a FileSourceScanExec hit means the query itself reads parquet
+    def shape(name: String): (Int, Int) = {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      (p.collect { case s: FileSourceScanExec => s }.size,
+        p.collect { case s: InMemoryTableScanExec => s }.size)
+    }
+    val (alignedPq, alignedMem) = shape("ts_group_aggregate_rollup_aligned")
+    assert(alignedPq === 0, "aligned rollup serving must not touch parquet")
+    assert(alignedMem >= 1, "aligned rollup serving must read the cached rollup")
+    val (abstainedPq, _) = shape("ts_group_aggregate_rollup")
+    assert(abstainedPq >= 1, "sparse data must abstain to the raw parquet scan")
+    val (aggPq, aggMem) = shape("ts_agg_rollup")
+    assert(aggPq === 0 && aggMem >= 1,
+      "whole-history aggregate must serve from the rollup alone")
+  }
+
   test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
     import spark.implicits._
     // 150 docs sharing identical boilerplate + one unique word each: every
