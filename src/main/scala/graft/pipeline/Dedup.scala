@@ -162,13 +162,17 @@ object Dedup {
       val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
       struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
     }
-    val b = sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val cand = b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // bucket posting lists instead of a band self-join: one groupBy per
+    // band bucket, candidate pairs expand in-row from each bucket's id
+    // array (LSH buckets are small by design — that is the point of the
+    // banding), then distinct across bands
+    val buckets = sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+    val cand = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
     val sets = sig.select(col("id"), col("set"))
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
@@ -237,15 +241,18 @@ object Dedup {
       struct(lit(i).as("band"),
         expr(s"shiftright(simhash, ${i * width}) & $mask").as("bk"))
     }
-    val b = sh.select(col("id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("x"))
-      .select(col("id"), col("simhash"), col("x.band").as("band"),
-        col("x.bk").as("bk"))
-    val cand = b.as("p").join(b.as("q"),
-        col("p.band") === col("q.band") && col("p.bk") === col("q.bk") &&
-        col("p.id") < col("q.id"))
-      .select(col("p.id").as("id_a"), col("q.id").as("id_b"),
-        col("p.simhash").as("sa"), col("q.simhash").as("sb"))
+    // bucket posting lists (see minhashPairs): pairs expand in-row from
+    // each band bucket's member array, carrying both fingerprints for the
+    // xor+popcount verification
+    val buckets = sh.select(explode(array(bandStructs: _*)).as("x"),
+        struct(col("id"), col("simhash")).as("m"))
+      .groupBy(col("x")).agg(collect_list(col("m")).as("ms"))
+    val cand = buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
     cand.select(col("id_a"), col("id_b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
