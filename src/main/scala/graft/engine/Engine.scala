@@ -583,8 +583,13 @@ final class Engine(val ctx: TsdbContext) {
       case None => base
       case Some(LocationFilter.Box(lonMin, lonMax, latMin, latMax)) =>
         graft.spatial.Spatial.rangeQuery(base, lonMin, lonMax, latMin, latMax)
-      case Some(LocationFilter.Knn(lon, lat, k)) =>
+      case Some(LocationFilter.Knn(lon, lat, k, None)) =>
         graft.spatial.Spatial.knn(base, lon, lat, k).drop("dist2")
+      case Some(LocationFilter.Knn(lon, lat, k, Some(radius))) =>
+        // "k nearest within radius": grid-pruned candidates, then top-k —
+        // the scale path (only cells intersecting the disc are scanned)
+        graft.spatial.Spatial.knnPruned(base, lon, lat, k,
+          radius, cellDeg = math.max(radius, 1.0)).drop("dist2")
     }
 
   private def resolvedIds(

@@ -58,6 +58,15 @@ object Round4Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}"""))),
 
+    // knn with a radius bound: grid-pruned candidates (Spatial.knnPruned)
+    // — "the 4 nearest within ±60°" — fewer than k when the box is sparse
+    "ts_agg_location_knn_radius" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"aggregate": {"purchase": "sum"},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 4,
+                                        "radius": 60.0}}}"""))),
+
     // whole-history aggregate served ENTIRELY from the rollup (no range →
     // no edge bins → the reference's canonical SubtreeRef answer,
     // nbtree.h:457); min/max/cnt combine exactly against the raw oracle
@@ -130,6 +139,26 @@ object Round4Entries {
            SELECT concat('purchase:cnt user=', CAST(user_id AS VARCHAR)) AS series,
              ts_us, round(cnt, 6) AS value FROM s)
          ORDER BY series, ts_us""",
+
+    "ts_agg_location_knn_radius" ->
+      s"""WITH se AS (
+            SELECT DISTINCT user_id,
+              CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) AS lon,
+              CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) AS lat
+            FROM events WHERE event_type = 'purchase'),
+          k AS (
+            SELECT user_id FROM se
+            WHERE lon BETWEEN -50.0 AND 70.0 AND lat BETWEEN -50.0 AND 70.0
+            ORDER BY (lon - 10.0) * (lon - 10.0) + (lat - 10.0) * (lat - 10.0),
+              concat('purchase user=', CAST(user_id AS VARCHAR))
+            LIMIT 4)
+          SELECT concat('purchase:sum user=', CAST(user_id AS VARCHAR)) AS series,
+            min(epoch_us(ts)) AS ts_us, round(sum(value), 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND user_id IN (SELECT user_id FROM k)
+          GROUP BY user_id ORDER BY series, ts_us""",
 
     "ts_agg_location_knn" ->
       s"""WITH se AS (

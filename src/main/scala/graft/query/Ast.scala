@@ -72,9 +72,14 @@ object Ast {
       * (R-tree RangeQuery semantics, rtree.h:683). */
     final case class Box(lonMin: Double, lonMax: Double,
         latMin: Double, latMax: Double) extends LocationFilter
-    /** `{"knn": {"lon": x, "lat": y, "k": n}}` — the k nearest located
-      * series, squared-Euclidean, ties by name (KnnQuery, rtree.h:631). */
-    final case class Knn(lon: Double, lat: Double, k: Int) extends LocationFilter
+    /** `{"knn": {"lon": x, "lat": y, "k": n[, "radius": r]}}` — the k
+      * nearest located series, squared-Euclidean, ties by name (KnnQuery,
+      * rtree.h:631). With `radius`, candidates are restricted to the
+      * ±radius box around the query point first (the grid-pruned scale
+      * path, [[graft.spatial.Spatial.knnPruned]]): "k nearest within
+      * radius" — fewer than k results when the box holds fewer series. */
+    final case class Knn(lon: Double, lat: Double, k: Int,
+        radius: Option[Double] = None) extends LocationFilter
   }
 
   sealed trait OrderBy

@@ -271,7 +271,12 @@ object QueryParser {
             .getOrElse(throw new BadQuery(s"where-location.knn.$k required")).asDouble()
           val k = num("k").toInt
           if (k <= 0) throw new BadQuery("where-location.knn.k must be positive")
-          LocationFilter.Knn(num("lon"), num("lat"), k)
+          val radius = Option(kn.get("radius")).map { r =>
+            if (!r.isNumber || r.asDouble() <= 0)
+              throw new BadQuery("where-location.knn.radius must be positive")
+            r.asDouble()
+          }
+          LocationFilter.Knn(num("lon"), num("lat"), k, radius)
         case _ =>
           throw new BadQuery("where-location needs exactly one of 'box' or 'knn'")
       }

@@ -168,6 +168,14 @@ class QueryParserSpec extends AnyFunSuite {
          "where-location": {"knn": {"lon": 10.0, "lat": 5.0, "k": 3}}}""")
       .asInstanceOf[AggregateQuery]
     assert(k.location === Some(LocationFilter.Knn(10.0, 5.0, 3)))
+    val kr = QueryParser.parse(
+      """{"aggregate": {"m": "sum"},
+         "where-location": {"knn": {"lon": 1.0, "lat": 2.0, "k": 3, "radius": 4.5}}}""")
+      .asInstanceOf[AggregateQuery]
+    assert(kr.location === Some(LocationFilter.Knn(1.0, 2.0, 3, Some(4.5))))
+    intercept[BadQuery](QueryParser.parse(
+      """{"aggregate": {"m": "sum"},
+         "where-location": {"knn": {"lon": 1, "lat": 2, "k": 3, "radius": 0}}}"""))
   }
 
   test("where-location malformed variants are BadQuery") {
