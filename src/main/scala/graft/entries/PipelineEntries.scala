@@ -43,6 +43,15 @@ object PipelineEntries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
+    // near-dup pairs -> connected components -> keep/drop groups (the
+    // min-reachable-id label; oracle = DuckDB recursive reachability CTE)
+    "docs_dup_groups" -> ((s, dir) =>
+      Dedup.dedupGroups(
+          Dedup.jaccardPairs(rp(s, dir, "documents"),
+            "doc_id", "text", k = 3, threshold = 0.8,
+            maxShingleFreq = Some(20)))
+        .orderBy("id")),
+
     "docs_simhash" -> ((s, dir) =>
       Dedup.simhash(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
@@ -280,6 +289,32 @@ object PipelineEntries {
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
 
     "docs_jaccard_pairs" -> jaccardSql,
+
+    // reachability closure over the jaccard pairs: group = min reachable id
+    "docs_dup_groups" ->
+      s"""WITH RECURSIVE $shinglesCte,
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+           shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
+                   WHERE df <= 20),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             FROM shp a JOIN shp b USING (g) WHERE a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT id_a, id_b FROM inter
+               JOIN sz sa ON sa.doc_id = id_a
+               JOIN sz sb ON sb.doc_id = id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+           edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+           r(src, dst) AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+         SELECT src AS id, least(src, min(dst)) AS group_id
+         FROM r GROUP BY src ORDER BY id""",
 
     // full MinHash+LSH mirror: one base hash per shingle + 32 affine perms
     // mod 2^31-1 -> 8 bands of 4 -> bucket self-join -> exact-Jaccard

@@ -259,6 +259,52 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise similarity into a KEEP/DROP decision: every document in a
+    * component gets the component's minimum id as `group_id`, so `id ==
+    * group_id` marks the canonical representative and everything else is
+    * a duplicate of it.
+    *
+    * Iterative min-label propagation to a fixpoint (each round: label ←
+    * min(label, neighbours' labels); converges in ≤ component-diameter
+    * rounds, capped by `maxIter`). This is the standard distributed CC
+    * shape — every round is one equi-join + one partial-aggregatable
+    * groupBy, no driver-side graph state; `localCheckpoint` truncates the
+    * growing lineage each round. At 100 TB the alternating
+    * large-star/small-star variant halves the round count, but the
+    * per-round plan is identical.
+    *
+    * Input: pair frame with `id_a < id_b` columns (any near-dup operator
+    * here). Output: (id, group_id) for every id appearing in a pair. */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nbr"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .where(col("label") =!= col("prev")).count()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   /** Embedding near-duplicate pairs, SRP-bucketed — the scale path:
     * cosine >= threshold among candidates sharing a sign-random-projection
     * bucket ([[Similarity.srpBucket]]). Candidates come from a bucket-key
