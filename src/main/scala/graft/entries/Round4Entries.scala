@@ -58,6 +58,17 @@ object Round4Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}"""))),
 
+    // rollup serving × group-by-tag on an ALIGNED range: zero edge windows
+    // → the FanInAggregateOperator analog (aggregate.h:48-68) combines
+    // interior accumulators ACROSS series reading ONLY the rollup
+    "ts_group_aggregate_rollup_groupby_aligned" -> ((s, dir) =>
+      usView(engineRollupFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "$FromIso", "to": "$AlignedToIso"},
+             "group-by-tag": ["user"]}"""),
+        valueCols = Seq("min", "max", "cnt"))),
+
     // knn with a radius bound: grid-pruned candidates (Spatial.knnPruned)
     // — "the 4 nearest within ±60°" — fewer than k when the box is sparse
     "ts_agg_location_knn_radius" -> ((s, dir) =>
@@ -112,6 +123,16 @@ object Round4Entries {
           WHERE event_type = 'purchase'
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
           GROUP BY user_id, ts_us ORDER BY series, ts_us""",
+
+    "ts_group_aggregate_rollup_groupby_aligned" ->
+      s"""SELECT 'purchase:min|purchase:max|purchase:cnt' AS series,
+            ${binUs(FromNs, dayNs)} AS ts_us,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
+          GROUP BY ts_us ORDER BY ts_us""",
 
     // the catalog's deterministic lon/lat derivation (Model.fromTestdata)
     "ts_select_location_box" ->

@@ -275,12 +275,48 @@ object Dedup {
     * per-round plan is identical.
     *
     * Input: pair frame with `id_a < id_b` columns (any near-dup operator
-    * here). Output: (id, group_id) for every id appearing in a pair. */
-  def dedupGroups(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * here). Output: (id, group_id) for every id appearing in a pair.
+    *
+    * Small-graph fast path: when the materialized edge list is under
+    * `driverMaxEdges`, union-find runs on the driver in one pass — the
+    * same bounded-collect principle as Spark's broadcast-join threshold
+    * (the near-dup graph is typically orders smaller than the corpus;
+    * 1M edges ≈ 16 MB). Larger graphs take the distributed rounds. */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 50,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
+    // materialize the edge list ONCE: every propagation round joins it,
+    // and without this the (possibly expensive) upstream pair computation
+    // would re-execute per round
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint()
+    if (edges.count() <= driverMaxEdges) return {
+      // path-compressing union-find with min-id roots (iterative find —
+      // no recursion-depth hazard on degenerate chains)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val verts = scala.collection.mutable.HashSet.empty[Long]
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val next = parent(y); parent(y) = root; y = next }
+        root
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        verts += a; verts += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      verts.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "group_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -291,15 +327,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nbr"))
-      val updated = labels
+      val propagated = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jump: label ← label(label). Labels only decrease, so the
+      // shortcut is safe, and composing it with the neighbour step makes
+      // label chains halve per round — O(log diameter) rounds instead of
+      // O(diameter) on long chain-shaped components
+      val updated = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), col("prev"),
+          coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint()
-      changed = updated
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .where(col("label") =!= col("prev")).count()
-      labels = updated
+      // the convergence probe reads the checkpointed blocks — no recompute
+      changed = updated.where(col("label") =!= col("prev")).count()
+      labels = updated.select(col("id"), col("label"))
       iter += 1
     }
     labels.select(col("id"), col("label").as("group_id"))

@@ -221,12 +221,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,9}, pair frame only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 9L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 9L -> 5L)
     val groups = Dedup.dedupGroups(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      5L -> 5L, 9L -> 5L))
+    assert(groups === expected)
     // keep/drop: representatives are exactly the component minima
     assert(groups.filter { case (id, g) => id == g }.keySet === Set(1L, 5L))
+    // the distributed propagation path (forced by a zero driver threshold)
+    // must agree with the driver union-find fast path
+    val distributed = Dedup.dedupGroups(pairs, driverMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed === expected)
   }
 
   // ---- multimodal plumbing -------------------------------------------------

@@ -148,6 +148,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(alignedMem >= 1, "aligned rollup serving must read the cached rollup")
     val (abstainedPq, _) = shape("ts_group_aggregate_rollup")
     assert(abstainedPq >= 1, "sparse data must abstain to the raw parquet scan")
+    val (fanInPq, fanInMem) = shape("ts_group_aggregate_rollup_groupby_aligned")
+    assert(fanInPq === 0 && fanInMem >= 1,
+      "aligned group-by-tag composition must also serve rollup-only")
     val (aggPq, aggMem) = shape("ts_agg_rollup")
     assert(aggPq === 0 && aggMem >= 1,
       "whole-history aggregate must serve from the rollup alone")
