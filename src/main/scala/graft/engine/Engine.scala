@@ -137,24 +137,44 @@ final class Engine(val ctx: TsdbContext) {
       // samples (nbtree.h:457; the reference's whole-range AggregateQuery
       // reads subtree stats the same way). Density is irrelevant here —
       // the rollup is never larger than raw and replaces the full scan.
-      val agged = (q.range, ctx.rollups.headOption) match {
+      // range-bounded aggregates are the single-bin case of the same
+      // machinery: synthesize a one-bin group-aggregate (step = span,
+      // FirstTimestamp added for the output ts) and let the rollup guards
+      // (span, density, aligned-exemption) decide whether it serves
+      def rangedFromRollup(r: TimeRange): Option[DataFrame] = {
+        val span = if (r.forward) r.to - r.from else r.from - r.to
+        if (span <= 0) None
+        else rollupGroupAggregate(
+            GroupAggregateQuery(Seq(metric), funcs, span, r), ids,
+            keepTsMin = true)
+          .map(_.select(col("series").as("out_name") +:
+            // __ts_min is the Long accumulator — the *_timestamp extract
+            // goes through double and would lose ns precision past 2^53
+            col("__ts_min").as("__ts") +:
+            funcs.zipWithIndex.map { case (f, i) =>
+              col(f.token).as(s"__v$i") }: _*))
+      }
+      val agged = ((q.range, ctx.rollups.headOption) match {
         case (None, Some((_, rollup))) =>
+          // whole-history: every bin is interior — serve unconditionally
           val accs = (Rollup.neededAccs(funcs) :+ "ts_min").distinct
           val combineAggs = Rollup.combineAggsFor(accs)
-          rollup.join(idsSel, "series_id")
+          Some(rollup.join(idsSel, "series_id")
             .groupBy(col("out_name"))
             .agg(combineAggs.head, combineAggs.tail: _*)
             .select(col("out_name") +: col("ts_min").as("__ts") +:
               funcs.zipWithIndex.map { case (f, i) =>
-                Rollup.extract(f).as(s"__v$i") }: _*)
-        case _ =>
-          val in = q.range match {
-            case Some(r) => scan(ids, r, Seq(metric))
-            case None => facts(Seq(metric)).join(idsSel, "series_id")
-          }
-          val aggCols = min(col("ts")).as("__ts") +:
-            funcs.zipWithIndex.map { case (f, i) => aggColumn(f).as(s"__v$i") }
-          in.groupBy(col("out_name")).agg(aggCols.head, aggCols.tail: _*)
+                Rollup.extract(f).as(s"__v$i") }: _*))
+        case (Some(r), Some(_)) => rangedFromRollup(r)
+        case _ => None
+      }).getOrElse {
+        val in = q.range match {
+          case Some(r) => scan(ids, r, Seq(metric))
+          case None => facts(Seq(metric)).join(idsSel, "series_id")
+        }
+        val aggCols = min(col("ts")).as("__ts") +:
+          funcs.zipWithIndex.map { case (f, i) => aggColumn(f).as(s"__v$i") }
+        in.groupBy(col("out_name")).agg(aggCols.head, aggCols.tail: _*)
       }
       // out_name = "metric[ tags]"; rename to "metric:func[ tags]" per func
       val suffix = substring(col("out_name"), metric.length + 1, Int.MaxValue)
@@ -247,7 +267,8 @@ final class Engine(val ctx: TsdbContext) {
     * aggregation is). Fully-aligned ranges have no edges and skip the raw
     * scan subtree entirely. Group-by-tag re-keying composes (combining
     * across source series is the same law). */
-  private def rollupGroupAggregate(q: GroupAggregateQuery, ids: DataFrame): Option[DataFrame] = {
+  private def rollupGroupAggregate(q: GroupAggregateQuery, ids: DataFrame,
+      keepTsMin: Boolean = false): Option[DataFrame] = {
     val metric = q.metrics.head
     val span = if (q.range.forward) q.range.to - q.range.from
                else q.range.from - q.range.to
@@ -339,7 +360,9 @@ final class Engine(val ctx: TsdbContext) {
         // only the accumulator columns the requested functions read travel
         // through the union + combine (min/max/cnt → 3 plain columns, not
         // the full 10-column struct-agg law)
-        val accs = Rollup.neededAccs(q.funcs)
+        val accs =
+          if (keepTsMin) (Rollup.neededAccs(q.funcs) :+ "ts_min").distinct
+          else Rollup.neededAccs(q.funcs)
         val idsSel = broadcast(ids.select("series_id", "out_name"))
         val interior = rollup.where(interiorOf(col("bin")))
           .join(idsSel, "series_id")
@@ -374,7 +397,8 @@ final class Engine(val ctx: TsdbContext) {
           .groupBy(col("out_name").as("series"), col("bin").as("ts"))
           .agg(combineAggs.head, combineAggs.tail: _*)
         combined.select(
-          col("series") +: col("ts") +: q.funcs.map(f => Rollup.extract(f).as(f.token)): _*)
+          col("series") +: col("ts") +: (q.funcs.map(f => Rollup.extract(f).as(f.token)) ++
+            (if (keepTsMin) Seq(col("ts_min").as("__ts_min")) else Nil)): _*)
       }
     }
   }

@@ -83,7 +83,14 @@ object Round4Entries {
     // nbtree.h:457); min/max/cnt combine exactly against the raw oracle
     "ts_agg_rollup" -> ((s, dir) =>
       usView(engineRollupFor(s, dir).execute(
-        """{"aggregate": {"purchase": ["min", "max", "cnt"]}}""")))
+        """{"aggregate": {"purchase": ["min", "max", "cnt"]}}"""))),
+
+    // range-bounded aggregate = the single-bin case of rollup serving
+    // (step = span); the aligned range reads the rollup alone
+    "ts_agg_rollup_range" -> ((s, dir) =>
+      usView(engineRollupFor(s, dir).execute(
+        s"""{"aggregate": {"purchase": ["min", "max", "cnt"]},
+             "range": {"from": "$FromIso", "to": "$AlignedToIso"}}""")))
   )
 
   /** bin start (µs) for a forward range anchored at `fromNs`. */
@@ -144,6 +151,25 @@ object Round4Entries {
             AND CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) BETWEEN -60 AND 60
             AND CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) BETWEEN -40 AND 40
           ORDER BY series, ts_us""",
+
+    "ts_agg_rollup_range" ->
+      s"""WITH s AS (
+           SELECT user_id, min(value) AS vmin, max(value) AS vmax,
+             CAST(count(value) AS DOUBLE) AS cnt, min(epoch_us(ts)) AS ts_us
+           FROM events
+           WHERE event_type = 'purchase'
+             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
+           GROUP BY user_id)
+         SELECT * FROM (
+           SELECT concat('purchase:min user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(vmin, 6) AS value FROM s
+           UNION ALL
+           SELECT concat('purchase:max user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(vmax, 6) AS value FROM s
+           UNION ALL
+           SELECT concat('purchase:cnt user=', CAST(user_id AS VARCHAR)) AS series,
+             ts_us, round(cnt, 6) AS value FROM s)
+         ORDER BY series, ts_us""",
 
     "ts_agg_rollup" ->
       """WITH s AS (

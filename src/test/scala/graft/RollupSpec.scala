@@ -130,6 +130,30 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(viaRollup.nonEmpty)
   }
 
+  test("range-bounded AGGREGATE serves from the rollup (single-bin case)") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    // aligned range → zero edges → rollup-only even at this density
+    val q = AggregateQuery(Seq("test" -> AggFunc.Min, "test" -> AggFunc.Cnt,
+      "test" -> AggFunc.Mean), range = Some(TimeRange(100, 200)))
+    val direct = new Engine(ctx).aggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    val viaRollup = new Engine(ctx.copy(
+      samples = ctx.samples.where(lit(false)), rollups = Seq(10L -> rollup)))
+      .aggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaRollup.toSeq === direct.toSeq)
+    assert(viaRollup.nonEmpty)
+    // unaligned range: hybrid (interior + raw edges) must equal direct
+    val q2 = AggregateQuery(Seq("test" -> AggFunc.Min, "test" -> AggFunc.Cnt),
+      range = Some(TimeRange(105, 195)))
+    val d2 = new Engine(ctx).aggregate(q2)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    val h2 = new Engine(ctx.copy(rollups = Seq(10L -> rollup)))
+      .aggregate(q2).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(h2.toSeq === d2.toSeq)
+  }
+
   test("sparse data abstains from hybrid rollup serving (density guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
