@@ -43,6 +43,22 @@ object ContractProbe {
       """{"select-events": "!log",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "apply": [{"name": "cusum"}]}""")
+    tryQ("location-empty-box",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "where-location": {"box": {"lon": [179, 180], "lat": [89, 90]}}}""")
+    tryQ("location-box-and-knn",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "where-location": {"box": {"lon": [0, 1], "lat": [0, 1]},
+                             "knn": {"lon": 0, "lat": 0, "k": 1}}}""")
+    tryQ("location-bad-k",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "where-location": {"knn": {"lon": 0, "lat": 0, "k": -3}}}""")
+    tryQ("location-on-suggest",
+      """{"select": "metric-names",
+          "where-location": {"knn": {"lon": 0, "lat": 0, "k": 1}}}""")
 
     def tryRendered(tag: String, json: String): Unit =
       try {
