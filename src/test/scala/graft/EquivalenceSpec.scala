@@ -39,7 +39,15 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
     "apply chain" ->
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
-          "apply": [{"name": "sma", "window-width": 3}, {"name": "cusum"}]}""")
+          "apply": [{"name": "sma", "window-width": 3}, {"name": "cusum"}]}""",
+    "where-location box" ->
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "where-location": {"box": {"lon": [-60, 60], "lat": [-40, 40]}}}""",
+    "where-location knn aggregate" ->
+      """{"aggregate": {"purchase": "sum"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""")
 
   /** Doubles rounded to 6 decimals — the two layouts feed sums in
     * different row orders, so sum/mean differ in the last ulp (FP
