@@ -42,6 +42,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming RESP ingest: protocol frames -> samples -> windowed downsample") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val samples = graft.sources.Resp.toSamples(in.toDS())
+    val down = TsdbStream.downsample(samples, "1 minute", "5 minutes",
+      Seq(AggFunc.Min, AggFunc.Max, AggFunc.Cnt))
+    val q = down.writeStream.format("memory").queryName("resp_down")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        "+m t=a\r\n:60000000000\r\n+1.0\r\n+m t=a\r\n:70000000000\r\n+5.0\r\n",
+        "+m t=a\r\n:125000000000\r\n+2.0\r\n")
+      q.processAllAvailable()
+      in.addData("+m t=a\r\n:100000000000000\r\n+9.0\r\n") // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("resp_down")
+        .select(col("name"), col("bin").cast("long"), col("min"), col("max"), col("cnt"))
+        .as[(String, Long, Double, Double, Double)].collect().sortBy(_._2)
+      assert(rows.take(2).toSeq === Seq(
+        ("m t=a", 60L, 1.0, 5.0, 2.0),
+        ("m t=a", 120L, 2.0, 2.0, 1.0)))
+    } finally q.stop()
+  }
+
   test("downsample is batch/stream agnostic") {
     val batch = Seq(
       ("m t=a", 60L * 1000000000L, 1.0),
