@@ -154,7 +154,8 @@ final class Engine(val ctx: TsdbContext) {
             funcs.zipWithIndex.map { case (f, i) =>
               col(f.token).as(s"__v$i") }: _*))
       }
-      val agged = ((q.range, ctx.rollups.headOption) match {
+      // whole-history: any rollup serves; the coarsest has fewest rows
+      val agged = ((q.range, ctx.rollups.sortBy(-_._1).headOption) match {
         case (None, Some((_, rollup))) =>
           // whole-history: every bin is interior — serve unconditionally
           val accs = (Rollup.neededAccs(funcs) :+ "ts_min").distinct
@@ -272,13 +273,18 @@ final class Engine(val ctx: TsdbContext) {
     val metric = q.metrics.head
     val span = if (q.range.forward) q.range.to - q.range.from
                else q.range.from - q.range.to
-    ctx.rollups.find { case (fine, _) =>
+    ctx.rollups.filter { case (fine, _) =>
       // guard: below MinServedBins fine bins the union+recombine overhead
       // exceeds what the rollup saves — short ranges scan raw (the
       // reference has the same effect structurally: a subtree covering
       // few leaves is read at the leaves, nbtree.h:457)
       fine > 0 && q.step % fine == 0 && span >= Engine.RollupMinServedBins * fine
-    }.flatMap { case (fine, rollup) =>
+    }
+      // coarsest eligible rollup wins: its interior row count shrinks by
+      // the fine-step ratio (the reference likewise answers from the
+      // highest subtree level that still covers the bins)
+      .sortBy { case (fine, _) => -fine }.headOption
+      .flatMap { case (fine, rollup) =>
       val from = q.range.from
       // query-bin label of a point: forward bins anchor at `from` (the low
       // end, label = lower boundary); backward bins anchor at `from` (the

@@ -154,6 +154,26 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(h2.toSeq === d2.toSeq)
   }
 
+  test("with several rollups registered the coarsest eligible serves") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    val fine = Rollup.build(ctx.samples, stepNs = 10)
+    val coarse = Rollup.build(ctx.samples, stepNs = 50)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt),
+      step = 50, range = TimeRange(100, 600))
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    // poison the FINE rollup: both are eligible (50 % 10 == 0), so an
+    // unchanged result proves the coarser one answered
+    val poisonedFine = fine.withColumn("vmin", lit(-1e18))
+    val served = new Engine(ctx.copy(
+      samples = ctx.samples.where(lit(false)),
+      rollups = Seq(10L -> poisonedFine, 50L -> coarse)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(served.toSeq === direct.toSeq)
+    assert(served.nonEmpty)
+  }
+
   test("sparse data abstains from hybrid rollup serving (density guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
