@@ -33,6 +33,34 @@ object TsdbStream {
   def eventTime(tsNs: Column): Column =
     timestamp_micros(graft.functions.VectorExpressions.longDiv(tsNs.cast("long"), 1000L))
 
+  /** Continuous rollup maintenance: the full SubtreeRef-style accumulator
+    * ([[graft.engine.Rollup.buildAggs]]) per (series, epoch-aligned fine
+    * bin), watermarked so a bin is emitted exactly once when it finalizes
+    * (append mode). Sinking this to the rollup's parquet path keeps the
+    * materialized rollup fresh as data arrives — the operational
+    * requirement behind the engine's rollup serving at 100 TB. Window
+    * starts equal the batch builder's `ts − ts % step` bins, so streamed
+    * and batch-built rollups are interchangeable (spec-pinned).
+    *
+    * `stepNs` must be a whole number of µs (the watermark clock is
+    * Spark's µs TimestampType; the engine's ns bin arithmetic stays
+    * exact because ns timestamps inside the accumulators are untouched). */
+  def rollupBuild(samples: DataFrame, stepNs: Long, lateness: String): DataFrame = {
+    require(stepNs > 0 && stepNs % 1000 == 0,
+      "rollup step must be positive whole microseconds")
+    val aggs = graft.engine.Rollup.buildAggs
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("series_id"),
+        window(col("event_time"), s"${stepNs / 1000} microseconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bin", unix_micros(col("window.start")) * 1000L)
+      .drop("window")
+      .select(col("series_id") +: col("bin") +:
+        graft.engine.Rollup.accNames.map(col): _*)
+  }
+
   /** Continuous group-aggregate: time-bucketed min/max/sum/cnt/mean per
     * series, watermarked so late data beyond `lateness` is dropped and
     * window state is reclaimed. Mirrors the batch GROUP_AGGREGATE kind

@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance equals the batch-built rollup bin-for-bin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stepNs = 60L * 1000000000L // 1 min fine bins
+    val rows = Seq(
+      (1L, 60000000001L * 1000L, 3.0), // deliberately non-µs-aligned ns
+      (1L, 70000000000000L, 1.0),
+      (1L, 119999999999999L, 5.0),     // last ns of bin 1
+      (1L, 125000000000000L, 2.0),     // bin 2
+      (2L, 65000000000000L, 7.0))
+    val in = MemoryStream[(Long, Long, Double)]
+    val streamed = TsdbStream.rollupBuild(
+      in.toDF().toDF("series_id", "ts", "value"), stepNs, "5 minutes")
+    val q = streamed.writeStream.format("memory").queryName("roll")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData((2L, 100000000000000000L, 0.0)) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("roll")
+        .where(col("bin") < 100000000000000000L)
+        .orderBy("series_id", "bin").collect().map(_.toSeq)
+      val want = graft.engine.Rollup
+        .build(rows.toDF("series_id", "ts", "value"), stepNs)
+        .select(col("series_id") +: col("bin") +:
+          graft.engine.Rollup.accNames.map(col): _*)
+        .orderBy("series_id", "bin").collect().map(_.toSeq)
+      assert(got.toSeq === want.toSeq)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("downsample is batch/stream agnostic") {
     val batch = Seq(
       ("m t=a", 60L * 1000000000L, 1.0),
