@@ -175,6 +175,16 @@ object PipelineEntries {
         .toDF().withColumn("decoded", col("decoded").cast("int"))
         .orderBy("id", "frame_idx")),
 
+    // audio header decode (real for WAV/AIFF via javax.sound.sampled,
+    // proven in PipelineSpec; corpus bytes take the fallback → decoded = 0)
+    "mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes")
+        .toDF().withColumn("decoded", col("decoded").cast("int"))
+        .orderBy("id")),
+
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeBinary(
           rp(s, dir, "documents")
@@ -532,6 +542,13 @@ object PipelineEntries {
          FROM documents,
            UNNEST(generate_series(0, octet_length(encode(text)) % 5, 2)) AS t(i)
          ORDER BY id, frame_idx""",
+
+    "mm_audio" ->
+      """SELECT doc_id AS id, 8000 AS sample_rate,
+           CAST(1 + octet_length(encode(text)) % 2 AS INT) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+           CAST(0 AS INT) AS decoded
+         FROM documents ORDER BY id""",
 
     "mm_resize" ->
       """WITH d AS (

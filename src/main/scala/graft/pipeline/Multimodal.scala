@@ -117,6 +117,44 @@ object Multimodal {
       }
   }
 
+  /** Decoded-audio metadata. `decoded = true` means a real audio codec
+    * (javax.sound.sampled — WAV/AIFF/AU ship with the JDK) parsed the
+    * container header; false means the deterministic fallback. */
+  final case class AudioMeta(
+      id: Long, sample_rate: Int, channels: Int, n_frames: Long,
+      decoded: Boolean)
+
+  private def audioFallback(id: Long, bytes: Array[Byte]): AudioMeta =
+    AudioMeta(id, 8000, 1 + bytes.length % 2, bytes.length.toLong,
+      decoded = false)
+
+  /** Real audio header decode: format + frame count without reading the
+    * PCM payload. None when no installed reader recognizes the bytes. */
+  private def decodeAudioReal(id: Long, bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        Some(AudioMeta(id, f.getSampleRate.toInt, f.getChannels,
+          in.getFrameLength, decoded = true))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode an audio binary column into (sample_rate, channels, n_frames),
+    * streamed per partition; unrecognized bytes take the deterministic
+    * fallback so corrupt blobs yield rows, not failures. */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudioReal(id, bytes).getOrElse(audioFallback(id, bytes))
+        }
+      }
+  }
+
   /** Resized-media metadata: target box + the scale applied. */
   final case class ResizedMeta(
       id: Long, width: Int, height: Int, out_width: Int, out_height: Int,

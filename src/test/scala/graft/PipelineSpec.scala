@@ -247,6 +247,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(frames.nonEmpty && frames.forall(f => !f.decoded && f.width > 0))
   }
 
+  test("audio decode is REAL for WAV (javax.sound.sampled header parse)") {
+    import javax.sound.sampled._
+    // 1000 stereo 16-bit frames at 44.1 kHz, little-endian PCM
+    val fmt = new AudioFormat(44100f, 16, 2, true, false)
+    val pcm = new Array[Byte](1000 * fmt.getFrameSize)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 1000),
+      AudioFileFormat.Type.WAVE, out)
+    val df = Seq((1L, out.toByteArray), (2L, "not audio".getBytes))
+      .toDF("id", "bytes")
+    val m = Multimodal.decodeAudio(df, "id", "bytes").collect()
+      .map(a => a.id -> a).toMap
+    assert(m(1L) == Multimodal.AudioMeta(1L, 44100, 2, 1000, decoded = true))
+    assert(!m(2L).decoded && m(2L).n_frames == 9L)
+  }
+
   test("frame sampling is REAL for multi-image containers (GIF via ImageIO)") {
     import javax.imageio.ImageIO
     // a 3-frame GIF written through the JDK's sequence writer
