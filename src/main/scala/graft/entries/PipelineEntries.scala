@@ -52,6 +52,27 @@ object PipelineEntries {
             maxShingleFreq = Some(20)))
         .orderBy("id")),
 
+    // the full curation funnel composed from the library's own operators:
+    // quality gate -> exact dedup -> near-dup groups -> keep set. Every
+    // stage is individually oracle-proven; this entry proves they COMPOSE
+    // (what a real corpus-curation user actually runs).
+    "docs_curation_funnel" -> ((s, dir) => {
+      val docs = rp(s, dir, "documents")
+      val good = TextOps.quality(docs, "doc_id", "text")
+        .where(col("quality") >= 0.25).select(col("id").as("doc_id"))
+      val s1 = docs.join(good, "doc_id")
+      val keepExact = Dedup.exact(s1, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val s2 = s1.join(keepExact, "doc_id")
+      val groups = Dedup.dedupGroups(
+        Dedup.jaccardPairs(s2, "doc_id", "text", k = 3, threshold = 0.8,
+          maxShingleFreq = Some(20)))
+      val nearDupDrops = groups.where(col("id") =!= col("group_id"))
+        .select(col("id").as("doc_id"))
+      s2.select("doc_id").join(nearDupDrops, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     "docs_simhash" -> ((s, dir) =>
       Dedup.simhash(rp(s, dir, "documents"), "doc_id", "text")
         .orderBy("id")),
@@ -299,6 +320,48 @@ object PipelineEntries {
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
 
     "docs_jaccard_pairs" -> jaccardSql,
+
+    // quality gate -> exact dedup -> near-dup reachability -> keep set
+    "docs_curation_funnel" ->
+      s"""WITH RECURSIVE fq AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+          s1 AS (
+            SELECT doc_id, text FROM fq
+            WHERE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+              (len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+               * 1.0 / len(list_distinct(ws))) * 0.5, 6) >= 0.25),
+          ex AS (SELECT min(doc_id) AS keep FROM s1 GROUP BY md5(text)),
+          s2 AS (SELECT doc_id, text FROM s1
+                 WHERE doc_id IN (SELECT keep FROM ex)),
+          w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s2),
+          sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                 FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+          shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
+                  WHERE df <= 20),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+            FROM shp a JOIN shp b USING (g) WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+          r(src, dst) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+          drops AS (
+            SELECT src FROM r GROUP BY src
+            HAVING least(src, min(dst)) <> src)
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT src FROM drops)
+        ORDER BY doc_id""",
 
     // reachability closure over the jaccard pairs: group = min reachable id
     "docs_dup_groups" ->
