@@ -63,7 +63,9 @@ object PipelineEntries {
       val s1 = docs.join(good, "doc_id")
       val keepExact = Dedup.exact(s1, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val s2 = s1.join(keepExact, "doc_id")
+      // the survivor set feeds shingling, pair sizes AND the final
+      // anti-join — scope-cache it for the query's duration
+      val s2 = Dedup.scopedCache(s1.join(keepExact, "doc_id"))
       val groups = Dedup.dedupGroups(
         Dedup.jaccardPairs(s2, "doc_id", "text", k = 3, threshold = 0.8,
           maxShingleFreq = Some(20)))

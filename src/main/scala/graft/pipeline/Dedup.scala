@@ -30,7 +30,11 @@ object Dedup {
   private val scopedCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def scopedCache(df: DataFrame): DataFrame = {
+  /** Cache `df` for the duration of the current query, registered for
+    * [[releaseCaches]]. Public so multi-stage compositions (e.g. the
+    * curation funnel) can scope their intermediate survivor sets the same
+    * way the pair operators scope theirs. */
+  def scopedCache(df: DataFrame): DataFrame = {
     val cached = df.cache()
     scopedCaches.add(cached)
     cached
