@@ -128,10 +128,22 @@ object Multimodal {
     AudioMeta(id, 8000, 1 + bytes.length % 2, bytes.length.toLong,
       decoded = false)
 
+  /** Container magic for the JDK's audio readers (WAV=RIFF, AIFF=FORM,
+    * AU=.snd): probing AudioSystem on arbitrary bytes costs a thrown
+    * UnsupportedAudioFileException per blob — at corpus scale that is
+    * real time, so non-candidates skip straight to the fallback. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && {
+      val m = (b(0) & 0xff) << 24 | (b(1) & 0xff) << 16 | (b(2) & 0xff) << 8 | (b(3) & 0xff)
+      m == 0x52494646 /* RIFF */ || m == 0x464f524d /* FORM */ ||
+        m == 0x2e736e64 /* .snd */
+    }
+
   /** Real audio header decode: format + frame count without reading the
     * PCM payload. None when no installed reader recognizes the bytes. */
   private def decodeAudioReal(id: Long, bytes: Array[Byte]): Option[AudioMeta] =
-    try {
+    if (!looksLikeAudio(bytes)) None
+    else try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
