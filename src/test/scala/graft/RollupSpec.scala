@@ -276,6 +276,43 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(viaRollup.toSeq === direct.toSeq)
   }
 
+  test("rollup-backed engine ≡ plain engine over random range/step geometry") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // dense ramp (1 sample per tick, density 10 per fine bin) so wide
+    // ranges actually serve from the rollup; equality must hold no matter
+    // which guard fires (hybrid, aligned-only, abstain) — this sweeps the
+    // edge-window enumeration over arbitrary alignment geometry. Exact
+    // funcs only (sum/mean are FP-reassociated by ANY partial agg).
+    val rollup = Rollup.build(ctx.samples, stepNs = 10)
+    val plain = new Engine(ctx)
+    val backed = new Engine(ctx.copy(rollups = Seq(10L -> rollup)))
+    val gen = for {
+      stepMult <- Gen.chooseNum(1, 6)
+      offFrom <- Gen.chooseNum(0L, 29L)
+      offTo <- Gen.chooseNum(0L, 29L)
+      backward <- Gen.oneOf(true, false)
+    } yield (stepMult, offFrom, offTo, backward)
+    (0 until 8).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (stepMult, offFrom, offTo, backward) =>
+          val (lo, hi) = (100L + offFrom, 200L - offTo)
+          val range = if (backward) TimeRange(hi, lo) else TimeRange(lo, hi)
+          val q = GroupAggregateQuery(Seq("test"),
+            Seq(AggFunc.Min, AggFunc.Cnt, AggFunc.Last, AggFunc.MaxTimestamp),
+            step = 10L * stepMult, range = range)
+          val d = plain.groupAggregate(q)
+            .orderBy("series", "ts").collect().map(_.toSeq)
+          val r = backed.groupAggregate(q)
+            .orderBy("series", "ts").collect().map(_.toSeq)
+          assert(r.toSeq === d.toSeq,
+            s"stepMult=$stepMult offFrom=$offFrom offTo=$offTo backward=$backward")
+      }
+    }
+  }
+
   test("short ranges skip the rollup probe (MinServedBins guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
