@@ -39,6 +39,30 @@ object SparkEntry {
             round(avg(col("l_discount")), 6).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+      // TPC-H Q3 shape: fact-fact join on the order key with the filtered
+      // customer dimension BROADCAST (the plan a 100 TB run needs — no
+      // shuffle of lineitem for a dimension lookup); top-10 by rounded
+      // revenue with full tie-break so the limit cut is deterministic
+      "q3_shipping_priority" -> ((s, dir) => {
+        val cust = s.read.parquet(s"$dir/customer.parquet")
+          .where(col("c_mktsegment") === "BUILDING")
+        val ord = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_orderdate") < "1997-01-01")
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_shipdate") > "1997-01-01")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("revenue"))
+          // parquet TIMESTAMP here reads as NTZ; session TZ is UTC, so the
+          // cast is the identity instant DuckDB's epoch_us sees
+          .select(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+            col("revenue"))
+          .orderBy(col("revenue").desc, col("o_date_us"), col("l_orderkey"))
+          .limit(10)
       }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +80,17 @@ object SparkEntry {
              count(*) AS count_order
            FROM lineitem
            GROUP BY l_returnflag, l_linestatus
-           ORDER BY l_returnflag, l_linestatus""")
+           ORDER BY l_returnflag, l_linestatus""",
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+             round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND l_shipdate > TIMESTAMP '1997-01-01'
+           GROUP BY l_orderkey, o_orderdate
+           ORDER BY revenue DESC, o_date_us, l_orderkey
+           LIMIT 10""")
 }
