@@ -63,6 +63,27 @@ object SparkEntry {
             col("revenue"))
           .orderBy(col("revenue").desc, col("o_date_us"), col("l_orderkey"))
           .limit(10)
+      }),
+      // TPC-H Q5 shape: local-supplier revenue by nation — lineitem joins
+      // orders on the fact key while customer/supplier/nation/region all
+      // BROADCAST (supplier carries the s_nationkey = c_nationkey local
+      // condition); one partial-aggregated rollup to 5 nation rows
+      "q5_local_supplier" -> ((s, dir) => {
+        def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+        val ord = t("orders").where(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        t("lineitem")
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
       }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +113,18 @@ object SparkEntry {
              AND l_shipdate > TIMESTAMP '1997-01-01'
            GROUP BY l_orderkey, o_orderdate
            ORDER BY revenue DESC, o_date_us, l_orderkey
-           LIMIT 10""")
+           LIMIT 10""",
+      "q5_local_supplier" ->
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name""")
 }
