@@ -84,6 +84,19 @@ object SparkEntry {
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
+      }),
+      // TPC-H Q14 shape: promo revenue share over one shipping month —
+      // conditional + total sums in ONE pass over the month's lineitems
+      // with the part dimension broadcast
+      "q14_promo_revenue" -> ((s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_shipdate") >= "1996-03-01" && col("l_shipdate") < "1996-04-01")
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        li.join(broadcast(s.read.parquet(s"$dir/part.parquet")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+            sum(rev), 6).as("promo_revenue_pct"))
       }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +139,13 @@ object SparkEntry {
              AND o_orderdate >= TIMESTAMP '1996-01-01'
              AND o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY n_name
-           ORDER BY revenue DESC, n_name""")
+           ORDER BY revenue DESC, n_name""",
+      "q14_promo_revenue" ->
+        """SELECT round(100.0 *
+             sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'""")
 }
