@@ -156,6 +156,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "whole-history aggregate must serve from the rollup alone")
   }
 
+  test("TPC-H shapes: dimensions broadcast; no shuffle below the dim joins") {
+    // Q5: four dimension joins must all be broadcast-hash; the only
+    // exchange allowed under them is none (lineitem-orders is the one
+    // shuffle, above), so dimension lookups never move the fact table
+    val p = SparkEntry.queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val bjoins = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bjoins.size >= 4, s"expected 4 broadcast dim joins:\n$p")
+    bjoins.foreach { j =>
+      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty ||
+        j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"a dimension join must stream the fact side unshuffled:\n$j")
+    }
+    val p3 = SparkEntry.queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    assert(p3.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"customer dimension must broadcast in Q3:\n$p3")
+  }
+
   test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
     import spark.implicits._
     // 150 docs sharing identical boilerplate + one unique word each: every
