@@ -17,7 +17,12 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       graft.entries.EntryUtil.engineFor(spark, sfDir).ctx.series.count()
       graft.entries.EntryUtil.engineUs(spark, sfDir).ctx.series.count()
-      graft.entries.EntryUtil.engineRollupFor(spark, sfDir).ctx.series.count()
+      val rollupEngine = graft.entries.EntryUtil.engineRollupFor(spark, sfDir)
+      rollupEngine.ctx.series.count()
+      // materialize the rollup cache: building it is an index-build cost
+      // (a deployment writes it once, Rollup.write), not query throughput —
+      // without this the first rollup-served entry absorbs the build
+      rollupEngine.ctx.rollups.foreach(_._2.count())
       graft.entries.EntryUtil.ivfCodebookFor(spark, sfDir) // index build, untimed
       // representative plans: scan+sort, window, groupBy-pivot — warms the
       // codegen/JIT paths every timed query shares
