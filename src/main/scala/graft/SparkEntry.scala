@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.entries.{ExtraEntries, PipelineEntries, Round2Entries, Round3Entries, Round4Entries, TsdbEntries}
+import graft.entries.{CurationEntries, ExtraEntries, PipelineEntries, Round2Entries, Round3Entries, Round4Entries, TsdbEntries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TsdbEntries.queries ++ PipelineEntries.queries ++ ExtraEntries.queries ++
       Round2Entries.queries ++ Round3Entries.queries ++ Round4Entries.queries ++
+      CurationEntries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       // TPC-H style aggregate over lineitem (flagship correctness + bench)
       "q1_pricing_summary" -> ((s, dir) => {
@@ -103,7 +104,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TsdbEntries.oracle ++ PipelineEntries.oracle ++ ExtraEntries.oracle ++
-      Round2Entries.oracle ++ Round3Entries.oracle ++ Round4Entries.oracle ++ Map(
+      Round2Entries.oracle ++ Round3Entries.oracle ++ Round4Entries.oracle ++
+      CurationEntries.oracle ++ Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 0) AS sum_qty,

@@ -1,0 +1,103 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryUtil.QueryFn
+import graft.pipeline.TextOps
+
+/** Dataset-curation entries added late in round 4: benchmark
+  * decontamination, repetition quality signals, deterministic splits and
+  * stratified sampling — the operators between "deduped corpus" and
+  * "training mixture" in a data pipeline. All DuckDB-oracle-checked; the
+  * oracle replays the identical shingling / md5-hash arithmetic.
+  */
+object CurationEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/documents.parquet")
+    df.repartition(s.sparkContext.defaultParallelism)
+  }
+
+  // deterministic per-lang mixture rates for the stratified-sample entry:
+  // exact binary fractions so rate*1e6 is the same double in both engines
+  private val SampleRates = Map("en" -> 0.25, "de" -> 0.5, "zh" -> 0.0)
+
+  val queries: Map[String, QueryFn] = Map(
+    // eval-set leakage scan: src0 plays the benchmark, the rest the corpus
+    "docs_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.contamination(
+          d.where(col("source") =!= "src0"), "doc_id", "text",
+          d.where(col("source") === "src0"), "text",
+          k = 3, threshold = 0.05)
+        .orderBy("id")
+    }),
+
+    "docs_repetition" -> ((s, dir) =>
+      TextOps.repetition(docs(s, dir), "doc_id", "text", k = 2)
+        .orderBy("id")),
+
+    "docs_split_assign" -> ((s, dir) =>
+      TextOps.assignSplits(docs(s, dir), "doc_id", "text",
+          valPct = 10, testPct = 10)
+        .orderBy("id")),
+
+    "docs_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "text", "lang",
+          SampleRates, defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"))
+  )
+
+  private val Hash60 = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "docs_contamination" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE source <> 'src0'),
+         bs AS (
+           SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE source = 'src0'),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         hits AS (
+           SELECT doc_id, count(*) AS c FROM sh
+           WHERE g IN (SELECT g FROM bs) GROUP BY doc_id)
+       SELECT sz.doc_id AS id, CAST(n AS INT) AS n_shingles,
+         CAST(coalesce(c, 0) AS BIGINT) AS n_overlap,
+         round(coalesce(c, 0) * 1.0 / n, 6) AS contamination,
+         coalesce(c, 0) * 1.0 / n >= 0.05 AS contaminated
+       FROM sz LEFT JOIN hits USING (doc_id) ORDER BY id""",
+
+    "docs_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         g AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+         c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+       SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_grams,
+         round(max(c) * 1.0 / sum(c), 6) AS top_ngram_frac,
+         round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+           AS dup_ngram_frac
+       FROM c GROUP BY doc_id ORDER BY id""",
+
+    "docs_split_assign" ->
+      s"""SELECT doc_id AS id, $Hash60 % 100 AS bucket,
+            CASE WHEN $Hash60 % 100 < 10 THEN 'test'
+                 WHEN $Hash60 % 100 < 20 THEN 'val'
+                 ELSE 'train' END AS split
+          FROM documents ORDER BY id""",
+
+    "docs_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+          WHERE $Hash60 % 1000000 <
+            (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                       WHEN 'zh' THEN 0.0 ELSE 1.0 END) * 1000000.0
+          ORDER BY doc_id"""
+  )
+}

@@ -113,6 +113,99 @@ object TextOps {
     "phones" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
     "ips" -> "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}")
 
+  /** Benchmark decontamination: per document, the fraction of its
+    * distinct k-shingles that appear anywhere in `bench` (the eval /
+    * benchmark corpus), plus a `contaminated` flag at `threshold`.
+    * The standard guard against test-set leakage into training data.
+    *
+    * Plan shape: the benchmark's distinct shingle hashes are explicitly
+    * [[broadcast]] — eval sets are MBs while the corpus is TBs, so the
+    * corpus side joins map-side with no shuffle; per-doc totals come from
+    * the shingling kernel's array length (map-side, no aggregation pass).
+    * The flag compares the UNROUNDED fraction (the reported `contamination`
+    * column is rounded for cross-engine display parity). */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 3,
+      threshold: Double = 0.05): DataFrame = {
+    val benchSh = bench
+      .select(explode(
+        graft.functions.TextExpressions.wordShingles(col(benchTextCol), k))
+        .as("shingle"))
+      .select(Dedup.hash60(col("shingle")).as("h")).distinct()
+    val hits = Dedup.shingleHashes(docs, idCol, textCol, k)
+      .join(broadcast(benchSh), Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k))
+        .as("n_shingles"))
+    val frac = col("n_overlap").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("id"), col("n_shingles"), col("n_overlap"),
+        round(frac, 6).as("contamination"),
+        (frac >= threshold).as("contaminated"))
+  }
+
+  /** Gopher-style repetition signals over positional (all-occurrence)
+    * k-grams: `top_ngram_frac` = share of gram occurrences taken by the
+    * most frequent gram; `dup_ngram_frac` = share of occurrences whose
+    * gram appears more than once. High values mark boilerplate / looping
+    * generations. Two partial-aggregatable groupBys, both keyed by doc —
+    * no cross-document shuffle at any scale. */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 2): DataFrame = {
+    val counts = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions.wordShinglesAll(col(textCol), k))
+          .as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+    counts.groupBy("id").agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("top"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+      .select(col("id"), col("n_grams"),
+        round(col("top").cast("double") / col("n_grams"), 6).as("top_ngram_frac"),
+        round(col("dup").cast("double") / col("n_grams"), 6).as("dup_ngram_frac"))
+  }
+
+  /** Deterministic train/val/test assignment by CONTENT hash: bucket =
+    * hash60(text) mod 100, test = [0, testPct), val = [testPct,
+    * testPct+valPct), train = the rest. Hashing the content (not the id or
+    * position) keeps byte-identical duplicates in one split — the property
+    * that stops train/test leakage surviving a later dedup pass — and the
+    * assignment is reproducible run-to-run with no stored split table. */
+  def assignSplits(df: DataFrame, idCol: String, textCol: String,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "split percentages must be non-negative and sum to <= 100")
+    df.select(col(idCol).as("id"),
+        pmod(Dedup.hash60(col(textCol)), lit(100L)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
+  /** Hash-deterministic stratified sampling: keep a document iff
+    * hash60(text) mod 1e6 < rate(stratum)·1e6. Per-stratum rates ride a
+    * broadcast-joined table rather than a literal CASE chain — at corpus
+    * scale the stratum map (per-domain mixture weights) can hold thousands
+    * of entries and change independently of the job. Unlisted strata get
+    * `defaultRate`; the sample is reproducible and composes with
+    * [[assignSplits]] (both key on content hash, independent moduli). */
+  def stratifiedSample(df: DataFrame, textCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF("__stratum", "__rate")
+    df.withColumn("__u", pmod(Dedup.hash60(col(textCol)), lit(1000000L)))
+      .join(broadcast(ratesDf), col(stratumCol) === col("__stratum"), "left")
+      .where(col("__u") <
+        coalesce(col("__rate"), lit(defaultRate)) * 1000000.0)
+      .drop("__stratum", "__rate", "__u")
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -340,4 +340,62 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("name").as[String].collect()
     assert(brute.toSeq === pruned.toSeq)
   }
+
+  // ---- curation: contamination / repetition / splits / sampling -----------
+
+  test("contamination: benchmark-identical doc is 1.0, disjoint doc is 0") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // identical to benchmark
+      (11L, "alpha beta gamma something else entirely new"), // partial
+      (12L, "one two three four five six")) // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps
+      .contamination(docs, "doc_id", "text", bench, "text", k = 3,
+        threshold = 0.5)
+      .orderBy("id")
+      .select("n_shingles", "n_overlap", "contamination", "contaminated")
+      .as[(Int, Long, Double, Boolean)].collect()
+    assert(out(0) === ((3, 3L, 1.0, true)))
+    assert(out(1)._2 === 1L) // "alpha beta gamma" only
+    assert(!out(1)._4) // 1/5 < 0.5
+    assert(out(2) === ((4, 0L, 0.0, false)))
+  }
+
+  test("repetition: looping text scores high, unique text scores zero dup") {
+    val docs = Seq(
+      (1L, "a b a b a b"), // grams: ab ba ab ba ab -> top 3/5, all dup
+      (2L, "v w x y z")) // 4 distinct grams, no repeats
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.repetition(docs, "doc_id", "text", k = 2)
+      .orderBy("id")
+      .select("n_grams", "top_ngram_frac", "dup_ngram_frac")
+      .as[(Long, Double, Double)].collect()
+    assert(out(0) === ((5L, 0.6, 1.0)))
+    assert(out(1) === ((4L, 0.25, 0.0)))
+  }
+
+  test("splits: content-hashed, so byte-identical docs share a split") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps
+      .assignSplits(docs, "doc_id", "text", valPct = 10, testPct = 10)
+      .orderBy("id").select("bucket", "split").as[(Long, String)].collect()
+    assert(out(0) === out(1)) // duplicates can never straddle a split
+    assert(out.forall { case (b, s) =>
+      b >= 0 && b < 100 &&
+        s == (if (b < 10) "test" else if (b < 20) "val" else "train")
+    })
+  }
+
+  test("stratified sample: rate 0 drops all, rate 1 keeps all, reproducible") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i text", if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "text", "lang")
+    def run() = graft.pipeline.TextOps
+      .stratifiedSample(docs, "text", "lang", Map("drop" -> 0.0), defaultRate = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = run()
+    assert(kept === (2L to 40L by 2).toSet) // rate-0 stratum gone, default=1 all kept
+    assert(kept === run()) // hash-deterministic, no RNG state
+  }
 }
