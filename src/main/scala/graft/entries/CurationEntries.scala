@@ -47,7 +47,16 @@ object CurationEntries {
       TextOps.stratifiedSample(docs(s, dir), "text", "lang",
           SampleRates, defaultRate = 1.0)
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "docs_tfidf_top3" -> ((s, dir) =>
+      TextOps.tfidf(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("id", "rank")),
+
+    "docs_chunks" -> ((s, dir) =>
+      TextOps.chunk(docs(s, dir), "doc_id", "text",
+          width = 40, overlap = 10)
+        .orderBy("id", "chunk_idx"))
   )
 
   private val Hash60 = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
@@ -98,6 +107,30 @@ object CurationEntries {
           WHERE $Hash60 % 1000000 <
             (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
                        WHEN 'zh' THEN 0.0 ELSE 1.0 END) * 1000000.0
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    "docs_tfidf_top3" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         r AS (
+           SELECT doc_id, term, round(tf * ln(n / df), 6) AS score,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln(n / df), 6) DESC, term) AS rank
+           FROM tf JOIN dfreq USING (term), n)
+       SELECT doc_id AS id, CAST(rank AS INT) AS rank, term, score
+       FROM r WHERE rank <= 3 ORDER BY id, rank""",
+
+    "docs_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+       SELECT doc_id AS id, CAST((i - 1) // 30 AS INT) AS chunk_idx,
+         array_to_string(ws[i:i+39], ' ') AS chunk_text,
+         CAST(least(len(ws) - i + 1, 40) AS INT) AS n_tokens
+       FROM w, UNNEST(generate_series(1, len(ws), 30)) AS t(i)
+       ORDER BY id, chunk_idx"""
   )
 }

@@ -206,6 +206,58 @@ object TextOps {
       .drop("__stratum", "__rate", "__u")
   }
 
+  /** Per-document top-k terms by tf-idf: tf = in-doc occurrence count,
+    * idf = ln(N / docfreq), rank by (rounded score desc, term asc) —
+    * rounding before the rank keeps the ordering identical across
+    * engines whose ln() may differ in the last ulp.
+    *
+    * Plan shape: one explode + two partial-aggregatable groupBys; the
+    * docfreq table is vocabulary-sized and joins the (doc, term) counts
+    * on the term key — at corpus scale that join shuffles by term, which
+    * is exactly the key both sides are already aggregated on. The final
+    * top-k is a per-doc window rank (doc-keyed, no global sort). */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus size as a broadcast 1-row frame, not a driver-side count():
+    // the operator stays a single declarative plan (one job at scale)
+    val nDf = df.agg(count(lit(1)).cast("double").as("n"))
+    val terms = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = round(col("tf") * log(col("n") / col("df")), 6)
+    val ranked = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
+      .select(col("id"), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id").orderBy(col("score").desc, col("term"))))
+    ranked.where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("score"))
+  }
+
+  /** Token-window chunking: each document's whitespace tokens cut into
+    * windows of `width` tokens advancing by `width - overlap` (the
+    * sequence preparation step before tokenization/packing in a training
+    * pipeline). Output one row per (doc, chunk): index, text, length;
+    * the final chunk may be short. All in-row array ops (sequence /
+    * slice / array_join) — a single codegen'd projection per document,
+    * no shuffle at any scale. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      width: Int, overlap: Int = 0): DataFrame = {
+    require(width > 0 && overlap >= 0 && overlap < width,
+      "need width > 0 and 0 <= overlap < width")
+    val step = width - overlap
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(step))).as(Seq("chunk_idx", "start")))
+      .select(col("id"), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(width)), " ")
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("start"), lit(width)).as("n_tokens"))
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

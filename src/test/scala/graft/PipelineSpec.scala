@@ -388,6 +388,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("tfidf: corpus-wide terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "shared rare1 shared shared"),
+      (2L, "shared midfreq"),
+      (3L, "shared midfreq other")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.tfidf(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank")
+      .select("id", "rank", "term", "score")
+      .as[(Long, Int, String, Double)].collect()
+    // doc 1: rare1 (df=1, tf=1) beats shared (df=3 -> idf=0, score 0)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq("rare1", "shared"))
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq ===
+      Seq(math.rint(math.log(3.0) * 1e6) / 1e6, 0.0))
+    // doc 2: midfreq (df=2) beats the zero-scored shared
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq("midfreq", "shared"))
+  }
+
+  test("chunk: overlapping windows cover all tokens, short tail kept") {
+    val docs = Seq((1L, (1 to 7).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.chunk(docs, "doc_id", "text",
+        width = 4, overlap = 2) // step 2: starts 0,2,4,6
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Int, String, Int)].collect()
+    assert(out.toSeq === Seq(
+      (0, "w1 w2 w3 w4", 4), (1, "w3 w4 w5 w6", 4),
+      (2, "w5 w6 w7", 3), (3, "w7", 1)))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TextOps.chunk(docs, "doc_id", "text", 4, overlap = 4)
+    }
+  }
+
   test("stratified sample: rate 0 drops all, rate 1 keeps all, reproducible") {
     val docs = (1L to 40L).map(i => (i, s"doc number $i text", if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "text", "lang")
