@@ -90,7 +90,28 @@ object Round4Entries {
     "ts_agg_rollup_range" -> ((s, dir) =>
       usView(engineRollupFor(s, dir).execute(
         s"""{"aggregate": {"purchase": ["min", "max", "cnt"]},
-             "range": {"from": "$FromIso", "to": "$AlignedToIso"}}""")))
+             "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""))),
+
+    // gap-fill onto the regular grid (beyond-reference `fill` node): the
+    // downsampled purchase stream is sparse (~0.4 rows/series/day), so
+    // fill inserts the empty bins and carries the last mean forward —
+    // materializing the REGULLAR series the reference's EWMA demands
+    "ts_apply_fill_ffill" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["mean"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "fill", "step": "1d", "method": "ffill"}]}"""),
+        valueCols = Seq("mean"))),
+
+    // same grid, linear interpolation between the surrounding present bins
+    "ts_apply_fill_linear" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["mean"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "fill", "step": "1d", "method": "linear"}]}"""),
+        valueCols = Seq("mean")))
   )
 
   /** bin start (µs) for a forward range anchored at `fromNs`. */
@@ -206,6 +227,58 @@ object Round4Entries {
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
             AND user_id IN (SELECT user_id FROM k)
           GROUP BY user_id ORDER BY series, ts_us""",
+
+    "ts_apply_fill_ffill" ->
+      s"""WITH b AS (
+            SELECT user_id, ${binUs(FromNs, dayNs)} AS ts_us, avg(value) AS value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY user_id, ts_us),
+          ext AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                  FROM b GROUP BY user_id),
+          grid AS (SELECT user_id, unnest(generate_series(mn, mx, ${dayNs / 1000}))
+                     AS ts_us FROM ext),
+          j AS (SELECT grid.user_id, grid.ts_us, b.value
+                FROM grid LEFT JOIN b USING (user_id, ts_us))
+          SELECT concat('purchase:mean user=', CAST(user_id AS VARCHAR)) AS series,
+            ts_us,
+            round(last_value(value IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS mean
+          FROM j ORDER BY series, ts_us""",
+
+    "ts_apply_fill_linear" ->
+      s"""WITH b AS (
+            SELECT user_id, ${binUs(FromNs, dayNs)} AS ts_us, avg(value) AS value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY user_id, ts_us),
+          ext AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                  FROM b GROUP BY user_id),
+          grid AS (SELECT user_id, unnest(generate_series(mn, mx, ${dayNs / 1000}))
+                     AS ts_us FROM ext),
+          j AS (SELECT grid.user_id, grid.ts_us, b.value
+                FROM grid LEFT JOIN b USING (user_id, ts_us)),
+          f AS (SELECT user_id, ts_us, value,
+            last_value(value IGNORE NULLS) OVER wprev AS vp,
+            last_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+              OVER wprev AS tp,
+            first_value(value IGNORE NULLS) OVER wnext AS vn,
+            first_value(CASE WHEN value IS NOT NULL THEN ts_us END IGNORE NULLS)
+              OVER wnext AS tn
+            FROM j
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wnext AS (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT concat('purchase:mean user=', CAST(user_id AS VARCHAR)) AS series,
+            ts_us,
+            round(CASE WHEN value IS NOT NULL THEN value
+              ELSE vp + (vn - vp) * ((ts_us - tp) * 1.0 / (tn - tp)) END, 6)
+              AS mean
+          FROM f ORDER BY series, ts_us""",
 
     "ts_agg_location_knn" ->
       s"""WITH se AS (

@@ -157,6 +157,23 @@ object ApplyNodes {
         (withOrd(df, cols).withColumn("word", word)
           .drop("__ord").drop(cols: _*), Seq.empty)
 
+      case "fill" =>
+        // beyond-reference: materialize the REGULLAR (regular-grid) series
+        // the reference's EWMA demands but nothing in its pipeline can
+        // produce (basic.h REGULLAR flag; sliding_window.cc RegullarExpected)
+        val stepStr = spec.params.get("step") match {
+          case Some(s: String) => s
+          case _ => throw new IllegalArgumentException(
+            "fill needs duration param 'step'")
+        }
+        val method = spec.params.get("method") match {
+          case Some(s: String) => s
+          case None => "ffill"
+          case other => throw new IllegalArgumentException(
+            s"fill: bad 'method' $other")
+        }
+        (fill(df, cols, graft.time.TimeUtil.parseDuration(stepStr), method), cols)
+
       case "limit" =>
         (df.limit(num("limit").toInt), cols)
       case "offset" =>
@@ -218,6 +235,52 @@ object ApplyNodes {
     cols.zipWithIndex.foldLeft(unpacked) { case (d, (c, i)) =>
       d.withColumn(c, col("vs").getItem(i))
     }.drop("vs")
+  }
+
+  /** Gap-fill onto a regular grid: per series, grid points run from its
+    * first to its last timestamp in `stepNs` strides; grid points with no
+    * existing row are inserted with null slots, then every null slot is
+    * filled — `ffill` carries the last present value forward, `linear`
+    * interpolates between the surrounding present values (leading /
+    * trailing gaps stay null = absent slot, and off-grid original rows
+    * pass through untouched, so fill composes with raw scans as well as
+    * downsampled streams).
+    *
+    * Scale shape: one groupBy for per-series extents, a sequence-explode
+    * bounded by span/step rows per series, an anti-join on (series, ts),
+    * and per-series window fills — everything keyed by series; no global
+    * shuffle. A year of 1s grid is 31M rows per series — pick `stepNs`
+    * for the grid you can afford, exactly as with group-aggregate. */
+  def fill(df: DataFrame, cols: Seq[String], stepNs: Long,
+      method: String): DataFrame = {
+    require(stepNs > 0, "fill step must be positive")
+    require(Seq("ffill", "linear").contains(method),
+      s"fill method must be ffill or linear, got '$method'")
+    val ext = df.groupBy(col("series"))
+      .agg(min(col("ts")).as("__mn"), max(col("ts")).as("__mx"))
+    val grid = ext.select(col("series"),
+      explode(sequence(col("__mn"), col("__mx"), lit(stepNs))).as("ts"))
+    val inserted = grid
+      .join(df.select("series", "ts"), Seq("series", "ts"), "left_anti")
+      .select(col("series") :: col("ts") ::
+        cols.map(c => lit(null).cast(DoubleType).as(c)).toList: _*)
+    val union = withOrd(df, cols).unionByName(withOrd(inserted, cols))
+    val wPrev = seriesWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = seriesWindow.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cols.foldLeft(union) { (d, c) =>
+      val filled = method match {
+        case "ffill" => last(col(c), ignoreNulls = true).over(wPrev)
+        case "linear" =>
+          val vp = last(col(c), ignoreNulls = true).over(wPrev)
+          val tp = last(when(col(c).isNotNull, col("ts")), ignoreNulls = true).over(wPrev)
+          val vn = first(col(c), ignoreNulls = true).over(wNext)
+          val tn = first(when(col(c).isNotNull, col("ts")), ignoreNulls = true).over(wNext)
+          when(col(c).isNotNull, col(c)).otherwise(
+            vp + (vn - vp) * ((col("ts") - tp).cast(DoubleType) /
+              (tn - tp).cast(DoubleType)))
+      }
+      d.withColumn(c, filled)
+    }.drop("__ord")
   }
 
   private final class EwmaState(decay: Double, warmupN: Int) {

@@ -201,4 +201,41 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](
       run(scalarDf(Seq(1.0)), ApplySpec("bogus", Map.empty)))
   }
+
+  test("fill ffill: grid gaps inserted and carried forward per series") {
+    // series s: ts 10,40 (grid step 10 -> inserted 20,30); series t: 10 only
+    val df = Seq(("s", 10L, 1.0), ("s", 40L, 4.0), ("t", 10L, 9.0))
+      .toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("fill", Map("step" -> "10n", "method" -> "ffill")))
+      .orderBy("series", "ts")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("s", 10L, 1.0), ("s", 20L, 1.0), ("s", 30L, 1.0),
+      ("s", 40L, 4.0), ("t", 10L, 9.0)))
+  }
+
+  test("fill linear: interpolates between surrounding present points") {
+    val df = Seq(("s", 10L, 1.0), ("s", 40L, 4.0)).toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("fill", Map("step" -> "10n", "method" -> "linear")))
+      .orderBy("ts").as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("s", 10L, 1.0), ("s", 20L, 2.0), ("s", 30L, 3.0),
+      ("s", 40L, 4.0)))
+  }
+
+  test("fill: off-grid originals pass through untouched") {
+    val df = Seq(("s", 10L, 1.0), ("s", 25L, 7.0), ("s", 30L, 3.0))
+      .toDF("series", "ts", "value")
+    val out = run(df, ApplySpec("fill", Map("step" -> "10n")))
+      .orderBy("ts").as[(String, Long, Double)].collect().toSeq
+    // grid 10,20,30: 20 inserted (ffill 1.0); off-grid 25 kept as-is
+    assert(out === Seq(("s", 10L, 1.0), ("s", 20L, 1.0), ("s", 25L, 7.0),
+      ("s", 30L, 3.0)))
+  }
+
+  test("fill rejects bad step/method") {
+    val df = scalarDf(Seq(1.0))
+    assertThrows[IllegalArgumentException](
+      run(df, ApplySpec("fill", Map.empty)))
+    assertThrows[IllegalArgumentException](
+      run(df, ApplySpec("fill", Map("step" -> "10n", "method" -> "cubic"))))
+  }
 }
