@@ -56,7 +56,23 @@ object CurationEntries {
     "docs_chunks" -> ((s, dir) =>
       TextOps.chunk(docs(s, dir), "doc_id", "text",
           width = 40, overlap = 10)
-        .orderBy("id", "chunk_idx"))
+        .orderBy("id", "chunk_idx")),
+
+    // the mixture manifest: stratified sample -> content-hash splits ->
+    // per (lang, split) doc and token counts — the "data recipe" summary a
+    // training run records; proves the curation ops COMPOSE
+    "docs_mixture_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sampled = TextOps.stratifiedSample(d, "text", "lang",
+        SampleRates, defaultRate = 1.0)
+      val withSplit = TextOps.assignSplits(sampled, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("split"))
+        .join(sampled.select("doc_id", "lang", "text"), "doc_id")
+      withSplit.groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .orderBy("lang", "split")
+    })
   )
 
   private val Hash60 = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
@@ -131,6 +147,23 @@ object CurationEntries {
          array_to_string(ws[i:i+39], ' ') AS chunk_text,
          CAST(least(len(ws) - i + 1, 40) AS INT) AS n_tokens
        FROM w, UNNEST(generate_series(1, len(ws), 30)) AS t(i)
-       ORDER BY id, chunk_idx"""
+       ORDER BY id, chunk_idx""",
+
+    "docs_mixture_manifest" ->
+      s"""WITH kept AS (
+            SELECT doc_id, lang, text FROM documents
+            WHERE $Hash60 % 1000000 <
+              (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                         WHEN 'zh' THEN 0.0 ELSE 1.0 END) * 1000000.0),
+          a AS (
+            SELECT lang,
+              CASE WHEN $Hash60 % 100 < 10 THEN 'test'
+                   WHEN $Hash60 % 100 < 20 THEN 'val'
+                   ELSE 'train' END AS split,
+              len(string_split(text, ' ')) AS nt
+            FROM kept)
+          SELECT lang, split, count(*) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM a GROUP BY lang, split ORDER BY lang, split"""
   )
 }

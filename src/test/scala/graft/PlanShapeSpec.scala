@@ -175,6 +175,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"customer dimension must broadcast in Q3:\n$p3")
   }
 
+  test("contamination: the benchmark side broadcasts (corpus never shuffles to meet it)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"doc $i words alpha beta gamma $i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val p = plan(graft.pipeline.TextOps
+      .contamination(docs, "doc_id", "text", bench, "text"))
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"benchmark shingle set must broadcast:\n$p")
+  }
+
+  test("chunking is one shuffle-free projection per document") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, (1 to 50).map(w => s"w$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = plan(graft.pipeline.TextOps.chunk(docs, "doc_id", "text", 16, 4))
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"chunking must not shuffle:\n$p")
+  }
+
+  test("stratified sample: rate table broadcasts; corpus side unshuffled") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"text $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "lang")
+    val p = plan(graft.pipeline.TextOps
+      .stratifiedSample(docs, "text", "lang", Map("a" -> 0.5)))
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"sampling is a map-side filter — no shuffle anywhere:\n$p")
+  }
+
   test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
     import spark.implicits._
     // 150 docs sharing identical boilerplate + one unique word each: every

