@@ -58,6 +58,12 @@ object CurationEntries {
           width = 40, overlap = 10)
         .orderBy("id", "chunk_idx")),
 
+    // exact-k per stratum: the 3 smallest-hash docs of every source
+    "docs_sample_k_per_source" -> ((s, dir) =>
+      TextOps.sampleKPerStratum(docs(s, dir), "doc_id", "text", "source", k = 3)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")),
+
     // the mixture manifest: stratified sample -> content-hash splits ->
     // per (lang, split) doc and token counts — the "data recipe" summary a
     // training run records; proves the curation ops COMPOSE
@@ -148,6 +154,14 @@ object CurationEntries {
          CAST(least(len(ws) - i + 1, 40) AS INT) AS n_tokens
        FROM w, UNNEST(generate_series(1, len(ws), 30)) AS t(i)
        ORDER BY id, chunk_idx""",
+
+    "docs_sample_k_per_source" ->
+      s"""SELECT source, CAST(rank AS INT) AS rank, doc_id FROM (
+            SELECT source, doc_id,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $Hash60, doc_id) AS rank
+            FROM documents)
+          WHERE rank <= 3 ORDER BY source, rank""",
 
     "docs_mixture_manifest" ->
       s"""WITH kept AS (

@@ -258,6 +258,27 @@ object TextOps {
         least(size(col("__toks")) - col("start"), lit(width)).as("n_tokens"))
   }
 
+  /** Exact-k deterministic sample per stratum: the k documents with the
+    * smallest (content hash, id) in each stratum — a reproducible
+    * fixed-SIZE counterpart to [[stratifiedSample]]'s fixed-RATE form
+    * (and like it, nested: raising k only adds documents). Output keeps
+    * the input columns plus `rank` (1..k by hash order).
+    *
+    * Scale shape: the rank-filtered window compiles to WindowGroupLimit
+    * in Spark 4 — each map task keeps only k rows per stratum BEFORE the
+    * shuffle, so a skewed stratum costs k rows per task, not its full
+    * size (pinned in PlanShapeSpec). */
+  def sampleKPerStratum(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    df.withColumn("__h", Dedup.hash60(col(textCol)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))))
+      .where(col("rank") <= k)
+      .drop("__h")
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -43,6 +43,14 @@ object ContractProbe {
       """{"select-events": "!log",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "apply": [{"name": "cusum"}]}""")
+    tryQ("fill-bad-step",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "apply": [{"name": "fill", "step": "sideways"}]}""")
+    tryQ("fill-bad-method",
+      """{"select": "purchase",
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "apply": [{"name": "fill", "step": "1d", "method": "cubic"}]}""")
     tryQ("location-empty-box",
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},

@@ -421,6 +421,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampleKPerStratum: exactly k per stratum, nested in k, id tiebreak") {
+    val docs = (1L to 30L).map(i => (i, s"body $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "stratum")
+    def ids(k: Int) = graft.pipeline.TextOps
+      .sampleKPerStratum(docs, "doc_id", "text", "stratum", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids(2).size === 6) // 3 strata x k=2
+    assert(ids(2).subsetOf(ids(4))) // nested: raising k only adds
+    // duplicate texts: identical hash, doc_id breaks the tie deterministically
+    val dup = Seq((1L, "same", "a"), (2L, "same", "a"), (3L, "same", "a"))
+      .toDF("doc_id", "text", "stratum")
+    val picked = graft.pipeline.TextOps
+      .sampleKPerStratum(dup, "doc_id", "text", "stratum", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked === Set(1L, 2L))
+  }
+
   test("stratified sample: rate 0 drops all, rate 1 keeps all, reproducible") {
     val docs = (1L to 40L).map(i => (i, s"doc number $i text", if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "text", "lang")

@@ -205,6 +205,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"sampling is a map-side filter — no shuffle anywhere:\n$p")
   }
 
+  test("exact-k per stratum pushes a map-side group limit below the shuffle") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"text body $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.pipeline.TextOps
+      .sampleKPerStratum(docs, "doc_id", "text", "source", k = 3)
+    // Spark 4 plans rank<=k as WindowGroupLimit: each map task keeps k rows
+    // per stratum BEFORE the exchange — the property that makes a skewed
+    // stratum cost k rows per task instead of its full size
+    val p = out.queryExecution.executedPlan
+    assert(p.toString.contains("WindowGroupLimit"),
+      s"expected a pushed window group limit:\n$p")
+    assert(out.count() === 12)
+  }
+
   test("jaccard default hot-shingle cap prunes boilerplate fan-out") {
     import spark.implicits._
     // 150 docs sharing identical boilerplate + one unique word each: every

@@ -138,4 +138,63 @@ class EnginePropertySpec extends AnyFunSuite with SparkTestBase {
       gaj.foreach(r => assert(r.getDouble(3) === r.getDouble(2)))
     }
   }
+
+  test("fill ffill: grid complete per series; every value = latest original at-or-before") {
+    import graft.ops.ApplyNodes
+    import spark.implicits._
+    val caseGen: Gen[(Seq[Long], Long)] = for {
+      n <- Gen.chooseNum(1, 12)
+      tss <- Gen.listOfN(n, Gen.chooseNum(0L, 400L))
+      step <- Gen.chooseNum(1L, 50L)
+    } yield (tss.distinct.sorted, step)
+    forAllN(caseGen, n = 8) { case (tss, step) =>
+      val rows = tss.map(t => ("s", t, t.toDouble)) // value = its own ts
+      val out = ApplyNodes.fill(rows.toDF("series", "ts", "value"),
+          Seq("value"), step, "ffill")
+        .as[(String, Long, Double)].collect().sortBy(_._2)
+      val expectGrid = (tss.min to tss.max by step).toSet ++ tss.toSet
+      assert(out.map(_._2).toSet === expectGrid, s"tss=$tss step=$step")
+      out.foreach { case (_, ts, v) =>
+        val latest = tss.filter(_ <= ts).max // exists: grid starts at min
+        assert(v === latest.toDouble, s"ts=$ts tss=$tss step=$step")
+      }
+    }
+  }
+
+  test("chunk with no overlap reassembles the document exactly") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val caseGen: Gen[(Seq[String], Int)] = for {
+      n <- Gen.chooseNum(1, 60)
+      words <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => "w" + s.take(4)))
+      width <- Gen.chooseNum(1, 20)
+    } yield (words, width)
+    forAllN(caseGen, n = 10) { case (words, width) =>
+      val text = words.mkString(" ")
+      val chunks = TextOps.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", width, overlap = 0)
+        .orderBy("chunk_idx")
+        .select("chunk_text", "n_tokens").as[(String, Int)].collect()
+      assert(chunks.map(_._1).mkString(" ") === text)
+      assert(chunks.map(_._2).sum === words.size)
+      assert(chunks.dropRight(1).forall(_._2 == width))
+    }
+  }
+
+  test("splits partition the corpus; sampling at rate r is a subset of rate r'") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"document body $i ${i % 7}", "x"))
+      .toDF("doc_id", "text", "lang")
+    val splits = TextOps.assignSplits(docs, "doc_id", "text", valPct = 15, testPct = 5)
+      .select("id", "split").as[(Long, String)].collect()
+    assert(splits.length === 300 && splits.map(_._1).distinct.length === 300)
+    assert(splits.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    // monotonicity: raising the rate only ADDS documents (nested samples —
+    // the property that makes hash sampling safe to re-run at a new rate)
+    def kept(r: Double) = TextOps.stratifiedSample(docs, "text", "lang",
+      Map("x" -> r)).select("doc_id").as[Long].collect().toSet
+    val (k25, k50) = (kept(0.25), kept(0.5))
+    assert(k25.subsetOf(k50) && k50.subsetOf(kept(1.0)) && kept(1.0).size === 300)
+  }
 }
