@@ -64,6 +64,17 @@ object CurationEntries {
         .select(col("source"), col("rank"), col("doc_id"))
         .orderBy("source", "rank")),
 
+    // concat-and-cut packing of whole docs into 2048-token sequences,
+    // per source shard in doc_id order
+    "docs_packed" -> ((s, dir) =>
+      TextOps.packSequences(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens")),
+          "source", Seq("doc_id"), "n_tokens", budget = 2048L)
+        .select(col("source"), col("seq_id"), col("seq_pos"),
+          col("doc_id"), col("n_tokens"))
+        .orderBy("source", "doc_id")),
+
     // the mixture manifest: stratified sample -> content-hash splits ->
     // per (lang, split) doc and token counts — the "data recipe" summary a
     // training run records; proves the curation ops COMPOSE
@@ -154,6 +165,19 @@ object CurationEntries {
          CAST(least(len(ws) - i + 1, 40) AS INT) AS n_tokens
        FROM w, UNNEST(generate_series(1, len(ws), 30)) AS t(i)
        ORDER BY id, chunk_idx""",
+
+    "docs_packed" ->
+      """SELECT source, CAST(start // 2048 AS BIGINT) AS seq_id,
+           CAST(start % 2048 AS BIGINT) AS seq_pos,
+           doc_id, nt AS n_tokens
+         FROM (
+           SELECT source, doc_id, nt,
+             coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           FROM (SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS nt
+                 FROM documents))
+         ORDER BY source, doc_id""",
 
     "docs_sample_k_per_source" ->
       s"""SELECT source, CAST(rank AS INT) AS rank, doc_id FROM (

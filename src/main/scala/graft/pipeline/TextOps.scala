@@ -279,6 +279,31 @@ object TextOps {
       .drop("__h")
   }
 
+  /** Sequential sequence packing: rows (docs or chunks) are laid out in
+    * `orderCols` order within each shard and cut into training sequences
+    * of `budget` tokens by START offset — row i goes to sequence
+    * floor(start_i / budget) where start_i is the running token total
+    * before it (concat-and-cut semantics; a row that straddles a cut
+    * belongs to the sequence it starts in, so sequences are
+    * approximately budget-sized without splitting rows).
+    *
+    * Packing is PER SHARD (source, split, worker...) — the layout real
+    * pipelines use, and what keeps this scale-correct: the running sum
+    * is a window within each shard, never a global single-partition
+    * cumsum. Deterministic given (shardCol, orderCols). */
+  def packSequences(df: DataFrame, shardCol: String, orderCols: Seq[String],
+      tokenCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__start",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__start div $budget"))
+      .withColumn("seq_pos", pmod(col("__start"), lit(budget)))
+      .drop("__start")
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -438,6 +438,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(picked === Set(1L, 2L))
   }
 
+  test("packSequences: start-offset cuts per shard, never a global cumsum") {
+    val rows = Seq(
+      ("a", 1L, 60), ("a", 2L, 50), ("a", 3L, 10), ("a", 4L, 30),
+      ("b", 9L, 250)).toDF("shard", "id", "n")
+    val out = graft.pipeline.TextOps
+      .packSequences(rows, "shard", Seq("id"), "n", budget = 100L)
+      .orderBy("shard", "id")
+      .select("shard", "id", "seq_id", "seq_pos")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // shard a starts: 0, 60, 110, 120 -> seqs 0,0,1,1; shard b independent
+    assert(out === Seq(("a", 1L, 0L, 0L), ("a", 2L, 0L, 60L),
+      ("a", 3L, 1L, 10L), ("a", 4L, 1L, 20L), ("b", 9L, 0L, 0L)))
+  }
+
   test("stratified sample: rate 0 drops all, rate 1 keeps all, reproducible") {
     val docs = (1L to 40L).map(i => (i, s"doc number $i text", if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "text", "lang")

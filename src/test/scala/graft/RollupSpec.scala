@@ -47,6 +47,28 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rollup hierarchy: coarse built FROM the fine rollup equals coarse from raw") {
+    // the hierarchical-compaction law (hour -> day -> month at a
+    // deployment): reaggregate is closed under composition because the
+    // accumulator combine law is associative
+    val fine = Rollup.build(ctx.samples, stepNs = 10)
+    val coarseFromFine = Rollup.reaggregate(fine, Some(50L))
+    val coarseFromRaw = Rollup.build(ctx.samples, stepNs = 50)
+    val a = coarseFromFine.orderBy("series_id", "bin").collect().map(_.toSeq)
+    val b = coarseFromRaw.orderBy("series_id", "bin").collect().map(_.toSeq)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      // 9 of 10 accumulator fields are exact (min/max/cnt/first/last/ts);
+      // sum is FP-reassociated by the two-level combine — tolerance only
+      val names = Seq("series_id", "bin") ++ Rollup.accNames
+      names.zip(x).zip(y).foreach {
+        case (("sum", xv: Double), yv: Double) =>
+          assert(math.abs(xv - yv) <= 1e-9 * math.max(1.0, math.abs(yv)))
+        case ((_, xv), yv) => assert(xv === yv)
+      }
+    }
+  }
+
   test("whole-range reaggregate answers aggregate queries from the rollup") {
     val rollup = Rollup.build(ctx.samples, stepNs = 10)
     val whole = Rollup.reaggregate(rollup, None)
