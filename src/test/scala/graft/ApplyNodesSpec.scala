@@ -231,6 +231,21 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
       ("s", 30L, 3.0)))
   }
 
+  test("fill on tuple streams: each slot fills independently, absent edges stay null") {
+    // two slots; slot b has no value until ts 30 -> its leading grid rows
+    // stay null (absent), slot a carries forward
+    val df = Seq(("s", 10L, Some(1.0), None: Option[Double]),
+        ("s", 30L, None: Option[Double], Some(5.0)))
+      .toDF("series", "ts", "a", "b")
+    val out = run(df, ApplySpec("fill", Map("step" -> "10n")), cols = Seq("a", "b"))
+      .orderBy("ts")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out === Seq(
+      ("s", 10L, Some(1.0), None),
+      ("s", 20L, Some(1.0), None),
+      ("s", 30L, Some(1.0), Some(5.0))))
+  }
+
   test("fill rejects bad step/method") {
     val df = scalarDf(Seq(1.0))
     assertThrows[IllegalArgumentException](
