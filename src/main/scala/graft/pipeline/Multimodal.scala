@@ -188,6 +188,57 @@ object Multimodal {
     }
   }
 
+  /** A really-resized media blob: the re-encoded PNG bytes plus output
+    * geometry. `decoded = false` rows carry the original bytes untouched
+    * (pass-through — a resize stage must not corrupt what it cannot
+    * decode). */
+  final case class ResizedImage(
+      id: Long, out_width: Int, out_height: Int, decoded: Boolean,
+      bytes: Array[Byte])
+
+  /** REAL pixel resize: decode via ImageIO, scale into a maxSide box with
+    * Graphics2D bilinear interpolation, re-encode as PNG — all JDK, no
+    * new dependency. Non-decodable blobs pass through with their original
+    * bytes and `decoded = false`. One codec setup per partition, streamed
+    * (the [[resizeBinary]] geometry op remains the metadata-only form for
+    * manifest building — this one produces the actual training asset). */
+  def resizePixels(df: DataFrame, idCol: String, binCol: String,
+      maxSide: Int): Dataset[ResizedImage] = {
+    require(maxSide > 0, "maxSide must be positive")
+    implicit val enc = Encoders.product[ResizedImage]
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case None => ResizedImage(id, 0, 0, decoded = false, bytes)
+            case Some(src) =>
+              val s = math.min(1.0,
+                maxSide.toDouble / math.max(src.getWidth, src.getHeight))
+              val (ow, oh) = (math.max(1, math.floor(src.getWidth * s).toInt),
+                math.max(1, math.floor(src.getHeight * s).toInt))
+              val dst = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(src, 0, 0, ow, oh, null)
+              } finally g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              ResizedImage(id, ow, oh, decoded = true, out.toByteArray)
+          }
+        }
+      }
+  }
+
   /** Fixed-width feature vector per media blob, one "model" instance per
     * partition (the mapPartitions shape a real embedding stage needs:
     * load weights once, stream the batch through).

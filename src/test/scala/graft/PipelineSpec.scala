@@ -317,6 +317,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert((rz.out_width, rz.out_height) == (16, 9) && rz.width == 37)
   }
 
+  test("pixel resize is REAL: output bytes re-decode at the target geometry") {
+    import java.awt.image.BufferedImage._
+    val png = imageBytes(37, 23, TYPE_INT_RGB, "png")
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.resizePixels(df, "id", "bytes", maxSide = 16)
+      .collect().map(r => r.id -> r).toMap
+    assert(out(1L).decoded && (out(1L).out_width, out(1L).out_height) == ((16, 9)))
+    // the produced asset is a real image: round-trip it through the codec
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).bytes))
+    assert(round.getWidth == 16 && round.getHeight == 9)
+    assert(out(1L).bytes.length < png.length, "downscale shrinks the asset")
+    // non-decodable blobs pass through byte-identical, flagged
+    assert(!out(2L).decoded && out(2L).bytes.sameElements("not an image".getBytes))
+  }
+
   // ---- spatial -------------------------------------------------------------
 
   private lazy val cat = Seq(
