@@ -90,4 +90,31 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(viaBuckets.collect().map(_.toSeq).toSeq === flat.toSeq)
     } finally spark.sql("DROP TABLE IF EXISTS graft_bk_tk")
   }
+
+  test("corpus layout: split readers prune partitions; manifest matches the data") {
+    import spark.implicits._
+    import graft.model.CorpusLayout
+    val docs = (1L to 40L).map { i =>
+      (i, s"doc $i body words here", s"src${i % 2}",
+        if (i % 4 == 0) "test" else "train")
+    }.toDF("doc_id", "text", "source", "split")
+    val path = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    CorpusLayout.writeDocuments(docs, path)
+
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("split=")), dirs.toSeq.toString)
+
+    val test = CorpusLayout.readSplit(spark, path, "test")
+    val plan = test.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split predicate must prune directories:\n$plan")
+    assert(test.count() === 10)
+
+    val m = CorpusLayout.manifest(spark.read.parquet(path))
+      .orderBy("split", "source")
+      .select("split", "source", "n_docs")
+      .as[(String, String, Long)].collect().toSeq
+    assert(m.map(_._3).sum === 40)
+    assert(m.filter(_._1 == "test").map(_._3).sum === 10)
+  }
 }
