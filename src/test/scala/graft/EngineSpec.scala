@@ -324,4 +324,25 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.size === 10)
     assert(rows.map(_._2) === (100L until 110L))
   }
+
+  test("fill composes with group-by-tag: the merged series fills as one grid") {
+    import spark.implicits._
+    // sparse points on two tags; dropping the tag merges them into ONE
+    // series, and fill grids the MERGED stream: 100..140 step 10
+    val wide = Seq(("T1", 100L, 1.0), ("T1", 140L, 5.0), ("T2", 120L, 3.0))
+      .toDF("tag", "ts", "value")
+      .withColumn("metric", org.apache.spark.sql.functions.lit("test"))
+    val sparseCtx = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+    val out = new Engine(sparseCtx).select(SelectQuery("test",
+        TimeRange(100, 200),
+        groupBy = Some(GroupByTag(GroupByOp.Group, Seq("tag"))),
+        apply = Seq(ApplySpec("fill",
+          Map("step" -> "10n", "method" -> "linear")))))
+    val rows = collectSeries(out)
+    assert(rows.map(_._1).distinct === Seq("test"))
+    assert(rows.map(_._2) === (100L to 140L by 10L))
+    // linear between the merged points (100,1) (120,3) (140,5)
+    assert(rows.map(_._3) === Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+  }
 }
