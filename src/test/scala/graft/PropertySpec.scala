@@ -57,6 +57,40 @@ class PropertySpec extends AnyFunSuite {
     vals <- Gen.listOfN(n, tagVal)
   } yield (metric, keys.distinct.zip(vals))
 
+  test("parser fuzz: arbitrary JSON either parses or raises the query-error class") {
+    import graft.query.QueryParser
+    // grammar-biased generator: statements/clauses with randomly wrong
+    // shapes (arrays where objects belong, bad enums, missing companions)
+    val key = Gen.oneOf("select", "select-events", "aggregate",
+      "group-aggregate", "group-aggregate-join", "join", "range", "where",
+      "filter", "order-by", "group-by-tag", "pivot-by-tag", "limit",
+      "offset", "apply", "output", "bogus-key", "step", "func", "metric")
+    val leaf: Gen[String] = Gen.oneOf(
+      Gen.const("\"purchase\""), Gen.const("\"20240101T000000\""),
+      Gen.const("\"1d\""), Gen.const("\"min\""), Gen.const("\"series\""),
+      Gen.chooseNum(-5, 100).map(_.toString), Gen.const("null"),
+      Gen.const("true"), Gen.const("[]"), Gen.const("{}"),
+      Gen.const("[\"click\", \"view\"]"))
+    def obj(depth: Int): Gen[String] =
+      for {
+        n <- Gen.chooseNum(0, 4)
+        ks <- Gen.listOfN(n, key)
+        vs <- Gen.listOfN(n, if (depth <= 0) leaf else Gen.frequency(
+          3 -> leaf, 1 -> Gen.lzy(obj(depth - 1))))
+      } yield ks.zip(vs).map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ", ", "}")
+    forAllN(obj(2), n = 400) { json =>
+      try { QueryParser.parse(json); () }
+      catch {
+        // the one sanctioned failure class (BadQuery / BadDateTimeFormat /
+        // require all extend it); anything else — NPE, MatchError,
+        // ClassCast — is a parser crash and fails the property
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"parser crash ${e.getClass} on: $json", e)
+      }
+    }
+  }
+
   test("series canonicalization is idempotent and sorts tags") {
     forAllN(seriesGen) { case (metric, tags) =>
       val messy = metric + "  " +
