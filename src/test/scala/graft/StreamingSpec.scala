@@ -248,6 +248,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(c, "benchmark-identical doc flagged")
   }
 
+  test("streaming exact dedup by content hash drops duplicate documents across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val deduped = in.toDF().toDF("doc_id", "text")
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+    val q = deduped.writeStream.format("memory").queryName("docdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      in.addData((3L, "alpha"), (4L, "gamma")) // 3 duplicates 1 ACROSS batches
+      q.processAllAvailable()
+      val ids = spark.table("docdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L), "cross-batch duplicate dropped by state")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
