@@ -602,25 +602,40 @@ final class Engine(val ctx: TsdbContext) {
         base.where(conds.reduceOption(_ || _).getOrElse(lit(true)))
     }
 
-  /** Resolve metrics+where to (series_id, out_name) where out_name carries
-    * the group-by-tag re-keying (GROUP drops tags, PIVOT keeps only listed;
-    * seriesparser.cc:309-354) and optional metric rename. */
   /** Apply a `where-location` clause to a catalog subset (after tag
     * `where`, before name rendering): bbox → declarative range predicate;
-    * knn → TakeOrderedAndProject top-k over the located candidates. */
+    * knn → TakeOrderedAndProject top-k over the located candidates.
+    *
+    * knn selects the k nearest LOCATIONS (tag sets), not catalog rows:
+    * a multi-metric statement (join / group-aggregate-join) must keep
+    * every metric's series at a selected location, or the k-cut could
+    * keep metric m1 but drop co-located m2 and fabricate absent tuple
+    * slots. For single-metric queries this is identical to a per-series
+    * top-k (the rendered-name tiebreak differs from the tag-suffix
+    * tiebreak only by a constant metric prefix). */
   private def locationFiltered(base: DataFrame, loc: Option[LocationFilter]): DataFrame =
     loc match {
       case None => base
       case Some(LocationFilter.Box(lonMin, lonMax, latMin, latMax)) =>
         graft.spatial.Spatial.rangeQuery(base, lonMin, lonMax, latMin, latMax)
-      case Some(LocationFilter.Knn(lon, lat, k, None)) =>
-        graft.spatial.Spatial.knn(base, lon, lat, k).drop("dist2")
-      case Some(LocationFilter.Knn(lon, lat, k, Some(radius))) =>
-        // "k nearest within radius": grid-pruned candidates, then top-k —
-        // the scale path (only cells intersecting the disc are scanned)
-        graft.spatial.Spatial.knnPruned(base, lon, lat, k,
-          radius, cellDeg = math.max(radius, 1.0)).drop("dist2")
+      case Some(LocationFilter.Knn(lon, lat, k, radiusOpt)) =>
+        val keyed = base.withColumn("__tk", tagSuffix(col("tags")))
+        val locs = keyed
+          .select(col("__tk").as("name"), col("lon"), col("lat")).distinct()
+        val sel = (radiusOpt match {
+          case None => graft.spatial.Spatial.knn(locs, lon, lat, k)
+          case Some(radius) =>
+            // "k nearest within radius": grid-pruned candidates, then
+            // top-k — only cells intersecting the disc are scanned
+            graft.spatial.Spatial.knnPruned(locs, lon, lat, k,
+              radius, cellDeg = math.max(radius, 1.0))
+        }).select(col("name").as("__tk"))
+        keyed.join(broadcast(sel), "__tk").drop("__tk")
     }
+
+  /** Resolve metrics+where to (series_id, out_name) where out_name carries
+    * the group-by-tag re-keying (GROUP drops tags, PIVOT keeps only listed;
+    * seriesparser.cc:309-354) and optional metric rename. */
 
   private def resolvedIds(
       metrics: Seq[String], where: Where, groupBy: Option[GroupByTag],

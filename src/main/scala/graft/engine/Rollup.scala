@@ -20,6 +20,15 @@ import graft.query.Ast.AggFunc
   * AggregationResult::combine. At 100 TB a 1-minute rollup is ~1/60th the
   * raw sample count per series: coarse dashboards and long-range
   * aggregates stop scanning raw data entirely.
+  *
+  * FRESHNESS CONTRACT: a rollup registered with the engine must be
+  * COMPLETE over every range it may serve — whole-history aggregates and
+  * fully-aligned ranges read the rollup INSTEAD of raw samples. A
+  * streaming-maintained rollup (TsdbStream.rollupBuild, append mode)
+  * finalizes a bin only after the watermark passes it, so it lags live
+  * ingest by up to lateness + one fine step: either bound queries to the
+  * finalized horizon, or rebuild batch-complete before serving
+  * whole-history answers from it.
   */
 object Rollup {
 

@@ -241,6 +241,21 @@ object PipelineEntries {
         .withColumn("scale", round(col("scale"), 6))
         .orderBy("id")),
 
+    // real pixel-resize operator over non-decodable blobs: the entry
+    // pins the PASS-THROUGH contract (byte-identical output, flagged) —
+    // the real decode->scale->re-encode path is spec-proven on generated
+    // PNGs (oracle engines can't replay a PNG encoder)
+    "mm_resize_pixels" -> ((s, dir) =>
+      Multimodal.resizePixels(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", maxSide = 16)
+        .toDF()
+        .select(col("id"), col("out_width"), col("out_height"),
+          col("decoded").cast("int").as("decoded"),
+          length(col("bytes")).as("n_bytes"))
+        .orderBy("id")),
+
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
           rp(s, dir, "documents")
@@ -691,6 +706,13 @@ object PipelineEntries {
              least(1.0, 32.0 / greatest(width, height)))) AS INT) AS out_height,
            round(least(1.0, 32.0 / greatest(width, height)), 6) AS scale
          FROM d ORDER BY id""",
+
+    // non-decodable blobs pass through byte-identical with zeroed geometry
+    "mm_resize_pixels" ->
+      """SELECT doc_id AS id, CAST(0 AS INT) AS out_width,
+           CAST(0 AS INT) AS out_height, CAST(0 AS INT) AS decoded,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         FROM documents ORDER BY id""",
 
     // byte fold replay: ASCII corpus, so byte i of encode(text) is
     // unicode(substr(text, i, 1)); Scala 0-based index -> j = (i-1) % 4

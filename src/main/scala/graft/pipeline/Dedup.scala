@@ -26,9 +26,15 @@ object Dedup {
     * specializes the aggregate per consumer, so ReuseExchange can't dedupe
     * them) — it has no value after the action, and across a 90-entry
     * Verify/Bench sweep unreleased caches accumulate into real memory
-    * pressure. Callers: [[releaseCaches]] after each materialized query. */
+    * pressure. Callers: [[releaseCaches]] after each materialized query.
+    *
+    * Thread-local: a multi-tenant driver running concurrent queries must
+    * not have one request's releaseCaches() unpersist another's
+    * still-in-flight cache (register and release happen on the caller's
+    * thread; Spark actions the frame fans out to don't touch this). */
   private val scopedCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    ThreadLocal.withInitial[java.util.ArrayDeque[DataFrame]](
+      () => new java.util.ArrayDeque[DataFrame]())
 
   /** Cache `df` for the duration of the current query, registered for
     * [[releaseCaches]]. Public so multi-stage compositions (e.g. the
@@ -36,15 +42,17 @@ object Dedup {
     * way the pair operators scope theirs. */
   def scopedCache(df: DataFrame): DataFrame = {
     val cached = df.cache()
-    scopedCaches.add(cached)
+    scopedCaches.get().add(cached)
     cached
   }
 
-  /** Unpersist every cache created by Dedup operators since the last call
-    * (non-blocking). Safe to call at any time: released frames recompute. */
+  /** Unpersist every cache created by Dedup operators ON THIS THREAD since
+    * the last call (non-blocking). Safe to call at any time: released
+    * frames recompute. */
   def releaseCaches(): Unit = {
-    var df = scopedCaches.poll()
-    while (df != null) { df.unpersist(false); df = scopedCaches.poll() }
+    val q = scopedCaches.get()
+    var df = q.poll()
+    while (df != null) { df.unpersist(false); df = q.poll() }
   }
 
   /** 60-bit cross-engine-stable hash (DuckDB:
@@ -296,7 +304,12 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    if (edges.count() <= driverMaxEdges) return {
+    // the driver fast path reads ids as longs (and would also change the
+    // output id type); any other id type — string doc keys, ints — takes
+    // the distributed rounds, which are type-agnostic
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverMaxEdges) return {
       // path-compressing union-find with min-id roots (iterative find —
       // no recursion-depth hazard on degenerate chains)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

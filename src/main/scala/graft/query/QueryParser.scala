@@ -257,7 +257,10 @@ object QueryParser {
       (Option(n.get("box")), Option(n.get("knn"))) match {
         case (Some(b), None) =>
           def bound(k: String): (Double, Double) = {
-            val a = Option(b.get(k)).filter(x => x.isArray && x.size == 2)
+            // require numeric elements: Jackson's asDouble() coerces
+            // non-numbers to 0.0, which would silently pin the box to 0
+            val a = Option(b.get(k)).filter(x => x.isArray && x.size == 2 &&
+                x.get(0).isNumber && x.get(1).isNumber)
               .getOrElse(throw new BadQuery(s"where-location.box.$k must be [min, max]"))
             (a.get(0).asDouble(), a.get(1).asDouble())
           }

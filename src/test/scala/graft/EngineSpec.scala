@@ -325,6 +325,44 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2) === (100L until 110L))
   }
 
+  test("where-location knn on a join keeps BOTH metrics at each selected location") {
+    import spark.implicits._
+    // two co-tagged metrics at three locations (tag drives lon/lat in
+    // fromWide's catalog derivation? no — build explicit): use fromWide and
+    // pick k below the location count; every kept location must carry both
+    // metric columns non-null at aligned timestamps
+    val rows = for {
+      m <- Seq("m1", "m2"); tag <- Seq("1", "2", "3"); ts <- 100L to 102L
+    } yield (m, tag, ts, ts * 1.0)
+    val wide = rows.toDF("metric", "tag", "ts", "value")
+    val ctx2 = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value",
+      lonExpr = Some("cast(tag as double) * 10.0"),
+      latExpr = Some("cast(tag as double) * 10.0"))
+    val eng = new Engine(ctx2)
+    val out = eng.join(JoinQuery(Seq("m1", "m2"), TimeRange(100, 200),
+      location = Some(LocationFilter.Knn(0.0, 0.0, k = 2))))
+    val cols = out.columns.toSeq
+    assert(cols.contains("m1") && cols.contains("m2"))
+    val rows2 = out.collect()
+    assert(rows2.nonEmpty)
+    // the k-cut selects LOCATIONS: no fabricated absent slots — every row
+    // has both metrics present (the data is fully aligned)
+    rows2.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("m1")) && !r.isNullAt(r.fieldIndex("m2")),
+        s"spurious absent slot in $r")
+    }
+    // exactly 2 of the 3 tag sets survive
+    assert(rows2.map(_.getString(0)).distinct.length === 2)
+  }
+
+  test("where-location box with non-numeric bounds is a BadQuery, not [0,0]") {
+    import graft.query.QueryParser
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"select": "test", "range": {"from": "20240101T000000", "to": "20240102T000000"},
+          "where-location": {"box": {"lon": ["a", "b"], "lat": [0, 10]}}}"""))
+  }
+
   test("fill composes with group-by-tag: the merged series fills as one grid") {
     import spark.implicits._
     // sparse points on two tags; dropping the tag merges them into ONE

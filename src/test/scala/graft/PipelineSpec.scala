@@ -217,6 +217,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf === brute) // cluster A's cell contains the true top-3
   }
 
+  test("dedupGroups with string ids takes the distributed path, min-string labels") {
+    val pairs = Seq(("docB", "docC"), ("docA", "docB"), ("docX", "docY"))
+      .toDF("id_a", "id_b")
+    val out = graft.pipeline.Dedup.dedupGroups(pairs)
+      .orderBy("id").as[(String, String)].collect().toSeq
+    assert(out === Seq(("docA", "docA"), ("docB", "docA"), ("docC", "docA"),
+      ("docX", "docX"), ("docY", "docX")))
+  }
+
   test("dedupGroups labels every component with its minimum id") {
     // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,9}, pair frame only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 9L))

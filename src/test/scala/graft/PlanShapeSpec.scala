@@ -165,8 +165,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val bjoins = p.collect { case j: BroadcastHashJoinExec => j }
     assert(bjoins.size >= 4, s"expected 4 broadcast dim joins:\n$p")
     bjoins.foreach { j =>
-      assert(j.right.collect { case e: ShuffleExchangeExec => e }.isEmpty ||
-        j.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      // assert on the STREAMED side specifically — the build side always
+      // holds a BroadcastExchange and never a shuffle, so an either-side
+      // disjunction would be vacuously true
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+      }
+      assert(streamed.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         s"a dimension join must stream the fact side unshuffled:\n$j")
     }
     val p3 = SparkEntry.queries("q3_shipping_priority")(spark, "/root/testdata/sf0.001")
