@@ -92,6 +92,16 @@ object Round4Entries {
         s"""{"aggregate": {"purchase": ["min", "max", "cnt"]},
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""))),
 
+    // knn composed with JOIN: the k-cut selects LOCATIONS (tag sets), so
+    // both metrics survive at every selected location — no fabricated
+    // absent slots (the review-found hazard, oracle-locked here)
+    "ts_join_location_knn" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}"""),
+        valueCols = Seq("click", "view"))),
+
     // gap-fill onto the regular grid (beyond-reference `fill` node): the
     // downsampled purchase stream is sparse (~0.4 rows/series/day), so
     // fill inserts the empty bins and carries the last mean forward —
@@ -227,6 +237,27 @@ object Round4Entries {
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
             AND user_id IN (SELECT user_id FROM k)
           GROUP BY user_id ORDER BY series, ts_us""",
+
+    "ts_join_location_knn" ->
+      s"""WITH se AS (
+            SELECT DISTINCT user_id,
+              CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) AS lon,
+              CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) AS lat
+            FROM events WHERE event_type IN ('click', 'view')),
+          k AS (
+            SELECT user_id FROM se
+            ORDER BY (lon - 10.0) * (lon - 10.0) + (lat - 10.0) * (lat - 10.0),
+              concat('user=', CAST(user_id AS VARCHAR))
+            LIMIT 5)
+          SELECT concat('click|view user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(max(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+            round(max(value) FILTER (WHERE event_type = 'view'), 6) AS "view"
+          FROM events
+          WHERE event_type IN ('click', 'view')
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND user_id IN (SELECT user_id FROM k)
+          GROUP BY user_id, ts ORDER BY series, ts_us""",
 
     "ts_apply_fill_ffill" ->
       s"""WITH b AS (
