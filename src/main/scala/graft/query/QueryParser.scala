@@ -18,7 +18,16 @@ object QueryParser {
 
   private val mapper = new ObjectMapper()
 
-  def parse(json: String): Query = parseNode(mapper.readTree(json))
+  def parse(json: String): Query = parseNode(readTree(json))
+
+  /** Malformed JSON is a BadQuery like every other malformed query — one
+    * exception type at the library boundary, not Jackson internals. */
+  private[query] def readTree(json: String) =
+    try mapper.readTree(json)
+    catch {
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        throw new BadQuery(s"malformed JSON: ${e.getOriginalMessage}")
+    }
 
   /** The six mutually-exclusive statement keys (validate_query,
     * queryparser.cc:920-971: exactly one must be present). */
@@ -58,18 +67,18 @@ object QueryParser {
 
   /** `search()` entry point: same shape as select but only metadata returned. */
   def parseSearch(json: String): SearchQuery = {
-    val root = mapper.readTree(json)
+    val root = readTree(json)
     rejectLocation(root, "search query")
     SearchQuery(root.get("select").asText(), parseWhere(root),
       optLong(root, "limit"), optLong(root, "offset"))
   }
 
   def parseSuggestJson(json: String): SuggestQuery =
-    parseSuggest(mapper.readTree(json), mapper.readTree(json).get("select").asText())
+    parseSuggest(readTree(json), readTree(json).get("select").asText())
 
   /** The `output` clause (validated; defaults resp/raw). */
   def parseOutputSpec(json: String): OutputSpec =
-    Option(mapper.readTree(json).get("output")).map { o =>
+    Option(readTree(json).get("output")).map { o =>
       val fmt = Option(o.get("format")).map(_.asText()).getOrElse("resp")
       if (!Seq("resp", "csv").contains(fmt))
         throw new BadQuery(s"bad output format: '$fmt'")
