@@ -226,7 +226,7 @@ object Round2Entries {
   /** Replay of the engine's EWMA recursion (10-sample warm-up, decay 0.3)
     * over a pre-binned CTE `f(user_id, ts_us, value, rn)` + list CTE
     * `l(user_id, xs)` — same shape as ExtraEntries.ewmaSql. */
-  private val ewmaPred = """CASE WHEN rn <= 11 THEN value
+  private[entries] val ewmaPred = """CASE WHEN rn <= 11 THEN value
               ELSE list_reduce(
                 list_prepend(
                   xs[11] * 0.3 + (list_reduce(xs[1:11], (a, b) -> a + b) / 11)

@@ -121,6 +121,18 @@ object Round4Entries {
                                  "func": ["mean"]},
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "apply": [{"name": "fill", "step": "1d", "method": "linear"}]}"""),
+        valueCols = Seq("mean"))),
+
+    // the canonical REGULLAR pipeline the reference documents but cannot
+    // run (its EWMA errors on gappy input and nothing fills): downsample
+    // -> fill -> smooth, one query, oracle-replayed end to end
+    "ts_apply_downsample_fill_ewma" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["mean"]},
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "apply": [{"name": "fill", "step": "1d", "method": "ffill"},
+                       {"name": "ewma", "decay": 0.3}]}"""),
         valueCols = Seq("mean")))
   )
 
@@ -217,6 +229,33 @@ object Round4Entries {
            SELECT concat('purchase:cnt user=', CAST(user_id AS VARCHAR)) AS series,
              ts_us, round(cnt, 6) AS value FROM s)
          ORDER BY series, ts_us""",
+
+    "ts_apply_downsample_fill_ewma" ->
+      s"""WITH b AS (
+            SELECT user_id, ${binUs(FromNs, dayNs)} AS ts_us, avg(value) AS value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY user_id, ts_us),
+          ext AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                  FROM b GROUP BY user_id),
+          grid AS (SELECT user_id, unnest(generate_series(mn, mx, ${dayNs / 1000}))
+                     AS ts_us FROM ext),
+          j AS (SELECT grid.user_id, grid.ts_us, b.value
+                FROM grid LEFT JOIN b USING (user_id, ts_us)),
+          f AS (SELECT user_id, ts_us,
+            last_value(value IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM j),
+          r AS (SELECT user_id, ts_us, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn
+            FROM f),
+          l AS (SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts_us) AS xs
+                FROM r GROUP BY user_id)
+          SELECT concat('purchase:mean user=', CAST(user_id AS VARCHAR)) AS series,
+            ts_us, round(${Round2Entries.ewmaPred}, 6) AS mean
+          FROM r JOIN l USING (user_id) ORDER BY series, ts_us""",
 
     "ts_agg_location_knn_radius" ->
       s"""WITH se AS (

@@ -73,8 +73,10 @@ object QueryParser {
       optLong(root, "limit"), optLong(root, "offset"))
   }
 
-  def parseSuggestJson(json: String): SuggestQuery =
-    parseSuggest(readTree(json), readTree(json).get("select").asText())
+  def parseSuggestJson(json: String): SuggestQuery = {
+    val root = readTree(json)
+    parseSuggest(root, root.get("select").asText())
+  }
 
   /** The `output` clause (validated; defaults resp/raw). */
   def parseOutputSpec(json: String): OutputSpec =
