@@ -620,8 +620,14 @@ final class Engine(val ctx: TsdbContext) {
         graft.spatial.Spatial.rangeQuery(base, lonMin, lonMax, latMin, latMax)
       case Some(LocationFilter.Knn(lon, lat, k, radiusOpt)) =>
         val keyed = base.withColumn("__tk", tagSuffix(col("tags")))
-        val locs = keyed
-          .select(col("__tk").as("name"), col("lon"), col("lat")).distinct()
+        // ONE candidate point per tag set (min-struct pick): location is a
+        // per-series catalog column, so if coordinates ever diverged across
+        // a tag set's metrics, a plain distinct would emit duplicate __tk
+        // rows — burning k slots and fanning out the join below
+        val locs = keyed.groupBy(col("__tk"))
+          .agg(min(struct(col("lon"), col("lat"))).as("__p"))
+          .select(col("__tk").as("name"),
+            col("__p.lon").as("lon"), col("__p.lat").as("lat"))
         val sel = (radiusOpt match {
           case None => graft.spatial.Spatial.knn(locs, lon, lat, k)
           case Some(radius) =>

@@ -21,20 +21,32 @@ import org.apache.spark.sql.functions._
 object CorpusLayout {
 
   /** Write documents (must carry `split` and `source` columns — compose
-    * with TextOps.assignSplits) as a partitioned, sorted corpus. */
-  def writeDocuments(docs: DataFrame, path: String): Unit =
+    * with TextOps.assignSplits) as a partitioned, sorted corpus.
+    *
+    * `tasksPerPartition` salts the shuffle so one (split, source)
+    * combination spreads over that many write tasks — repartitioning on
+    * the directory columns alone would collapse each combination (at
+    * corpus scale, terabytes) into a single task while the cluster
+    * idles. Files stay doc_id-sorted within each task's output. */
+  def writeDocuments(docs: DataFrame, path: String,
+      tasksPerPartition: Int = 16): Unit = {
+    require(tasksPerPartition > 0, "tasksPerPartition must be positive")
     docs
-      .repartition(col("split"), col("source"))
+      .repartition(col("split"), col("source"),
+        pmod(hash(col("doc_id")), lit(tasksPerPartition)))
       .sortWithinPartitions(col("split"), col("source"), col("doc_id"))
       .write.partitionBy("split", "source").mode("overwrite").parquet(path)
+  }
 
   /** Open one split; the predicate prunes to its directories. */
   def readSplit(spark: SparkSession, path: String, split: String): DataFrame =
     spark.read.parquet(path).where(col("split") === split)
 
-  /** Per-(split, source) doc and whitespace-token counts. */
+  /** Per-(split, source) doc and token counts — token definition shared
+    * with the curation operators (TextOps.tokenCountWs), so the shipped
+    * recipe numbers agree with what the pipeline reports. */
   def manifest(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), " "))).as("n_tokens"))
+        sum(graft.pipeline.TextOps.tokenCountWs(col(textCol))).as("n_tokens"))
 }

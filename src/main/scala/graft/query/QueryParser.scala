@@ -65,17 +65,22 @@ object QueryParser {
     } else throw new BadQuery("no statement found in query")
   }
 
+  /** Required-field access that errors as BadQuery, never NPE. */
+  private def reqField(root: JsonNode, key: String): JsonNode =
+    Option(root.get(key)).getOrElse(
+      throw new BadQuery(s"'$key' field required"))
+
   /** `search()` entry point: same shape as select but only metadata returned. */
   def parseSearch(json: String): SearchQuery = {
     val root = readTree(json)
     rejectLocation(root, "search query")
-    SearchQuery(root.get("select").asText(), parseWhere(root),
+    SearchQuery(reqField(root, "select").asText(), parseWhere(root),
       optLong(root, "limit"), optLong(root, "offset"))
   }
 
   def parseSuggestJson(json: String): SuggestQuery = {
     val root = readTree(json)
-    parseSuggest(root, root.get("select").asText())
+    parseSuggest(root, reqField(root, "select").asText())
   }
 
   /** The `output` clause (validated; defaults resp/raw). */

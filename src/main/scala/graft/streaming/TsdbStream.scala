@@ -120,6 +120,21 @@ object TsdbStream {
       .drop("event_time")
   }
 
+  /** Content-hash exact dedup for a DOCUMENT stream (ingest-time
+    * counterpart of Dedup.exact): drop any document whose text hash was
+    * already seen within the watermark horizon. State is bounded by the
+    * horizon (dropDuplicatesWithinWatermark evicts expired hashes) — the
+    * property that lets this run forever on a corpus firehose. `tsCol`
+    * is the document's event-time Long-ns column. */
+  def dedupDocumentsByContent(docs: DataFrame, textCol: String,
+      tsCol: String, lateness: String): DataFrame =
+    docs
+      .withColumn("__text_hash", org.apache.spark.sql.functions.md5(col(textCol)))
+      .withColumn("event_time", eventTime(col(tsCol)))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__text_hash"))
+      .drop("event_time", "__text_hash")
+
   /** Stream-stream interval join: left samples paired with same-series
     * right samples whose event time lies in [left − window, left] — the
     * streaming counterpart of [[graft.ops.TimeJoins.rangeJoin]] and the

@@ -327,10 +327,10 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
 
   test("where-location knn on a join keeps BOTH metrics at each selected location") {
     import spark.implicits._
-    // two co-tagged metrics at three locations (tag drives lon/lat in
-    // fromWide's catalog derivation? no — build explicit): use fromWide and
-    // pick k below the location count; every kept location must carry both
-    // metric columns non-null at aligned timestamps
+    // two co-tagged metrics at three explicit locations (lonExpr/latExpr
+    // derive coordinates from the tag); k below the location count, so
+    // every kept location must carry both metric columns non-null at
+    // aligned timestamps
     val rows = for {
       m <- Seq("m1", "m2"); tag <- Seq("1", "2", "3"); ts <- 100L to 102L
     } yield (m, tag, ts, ts * 1.0)

@@ -248,18 +248,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(c, "benchmark-identical doc flagged")
   }
 
-  test("streaming exact dedup by content hash drops duplicate documents across batches") {
+  test("streaming content dedup (bounded state) drops duplicate documents across batches") {
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, String)]
-    val deduped = in.toDF().toDF("doc_id", "text")
-      .withColumn("text_hash", md5(col("text")))
-      .dropDuplicates("text_hash")
+    val in = MemoryStream[(Long, Long, String)]
+    val deduped = TsdbStream.dedupDocumentsByContent(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      "text", "ts", lateness = "10 seconds")
     val q = deduped.writeStream.format("memory").queryName("docdedup")
       .outputMode("append").start()
     try {
-      in.addData((1L, "alpha"), (2L, "beta"))
+      val s = 1000000000L // ns per second
+      in.addData((1L, 1 * s, "alpha"), (2L, 2 * s, "beta"))
       q.processAllAvailable()
-      in.addData((3L, "alpha"), (4L, "gamma")) // 3 duplicates 1 ACROSS batches
+      in.addData((3L, 3 * s, "alpha"), (4L, 4 * s, "gamma")) // 3 dups 1 ACROSS batches
       q.processAllAvailable()
       val ids = spark.table("docdedup").select("doc_id")
         .as[Long].collect().toSet
