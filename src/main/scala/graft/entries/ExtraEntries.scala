@@ -210,10 +210,16 @@ object ExtraEntries {
   private val lonSql = "CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT)"
   private val latSql = "CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT)"
 
-  /** All metric (non-event) series with their locations. */
+  /** Every located series — metric series AND the `!log` event series
+    * (event series carry the same user-derived location in the catalog:
+    * where-location applies to every kind). */
   private val seriesCte =
     s"""se AS (SELECT DISTINCT concat(event_type, ' user=',
           CAST(user_id AS VARCHAR)) AS name,
+          $lonSql AS lon, $latSql AS lat
+        FROM events
+        UNION
+        SELECT DISTINCT concat('!log user=', CAST(user_id AS VARCHAR)) AS name,
           $lonSql AS lon, $latSql AS lat
         FROM events)"""
 

@@ -92,6 +92,16 @@ object Round4Entries {
         s"""{"aggregate": {"purchase": ["min", "max", "cnt"]},
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""))),
 
+    // where-location on SELECT-EVENTS: the geometric restriction applies
+    // to event series too (locations are catalog properties, independent
+    // of payload type) — closes the clause × kind matrix
+    "ts_select_events_location_box" -> ((s, dir) =>
+      usView(engineFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where-location": {"box": {"lon": [-60, 60], "lat": [-40, 40]}}}"""),
+        valueCols = Nil)),
+
     // knn composed with JOIN: the k-cut selects LOCATIONS (tag sets), so
     // both metrics survive at every selected location — no fabricated
     // absent slots (the review-found hazard, oracle-locked here)
@@ -276,6 +286,15 @@ object Round4Entries {
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
             AND user_id IN (SELECT user_id FROM k)
           GROUP BY user_id ORDER BY series, ts_us""",
+
+    "ts_select_events_location_box" ->
+      s"""SELECT concat('!log user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, props AS body
+          FROM events
+          WHERE epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            AND CAST(user_id % 36 * 10.0 - 180.0 + 0.5 AS FLOAT) BETWEEN -60 AND 60
+            AND CAST(user_id % 18 * 10.0 - 90.0 + 0.5 AS FLOAT) BETWEEN -40 AND 40
+          ORDER BY series, ts_us""",
 
     "ts_join_location_knn" ->
       s"""WITH se AS (

@@ -140,7 +140,12 @@ object TsdbContext {
       .select(xxhash64(col("name")).as("series_id"), col("name"),
         lit("!log").as("metric"),
         map_from_arrays(array(lit("user")), array(col("user"))).as("tags"),
-        lit(null).cast(FloatType).as("lon"), lit(null).cast(FloatType).as("lat"))
+        // event series carry the same deterministic user-derived location
+        // as the metric series: where-location applies to every kind
+        expr("cast(user % 36 as double) * 10.0 - 180.0 + 0.5")
+          .cast(FloatType).as("lon"),
+        expr("cast(user % 18 as double) * 10.0 - 90.0 + 0.5")
+          .cast(FloatType).as("lat"))
 
     base.copy(series = base.series.unionByName(evCatalog), events = events)
   }
