@@ -211,6 +211,12 @@ class QueryParserSpec extends AnyFunSuite {
       """{"select": "m", "where-location": {"box": {"lon": [0,1], "lat": [0,1]}}}"""))
   }
 
+  test("search/suggest entry points reject missing 'select' as BadQuery, not NPE") {
+    intercept[BadQuery](QueryParser.parseSearch("""{"limit": 5}"""))
+    intercept[BadQuery](QueryParser.parseSuggestJson("""{}"""))
+    intercept[BadQuery](QueryParser.parseSearch("""{"""))
+  }
+
   test("backward range detected") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 100, "to": 10}}""").asInstanceOf[SelectQuery]
