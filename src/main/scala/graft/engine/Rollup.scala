@@ -65,6 +65,20 @@ object Rollup {
   def write(samples: DataFrame, path: String, stepNs: Long): Unit =
     build(samples, stepNs).write.mode("overwrite").parquet(path)
 
+  /** Compact a persisted fine rollup into a coarser one (hour → day →
+    * month): [[reaggregate]] is closed under the associative combine law
+    * (RollupSpec pins it), so each level builds from the previous one and
+    * raw data is never rescanned — the compaction ladder that keeps
+    * decade-scale histories queryable. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String,
+      fineStepNs: Long, coarseStepNs: Long): Unit = {
+    require(fineStepNs > 0 && coarseStepNs % fineStepNs == 0,
+      "coarse step must be a positive multiple of the fine step")
+    reaggregate(spark.read.parquet(inPath), Some(coarseStepNs))
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** The accumulator-combination aggregate columns
     * (AggregationResult::combine as column algebra). */
   def combineAggs: Seq[Column] = Seq(

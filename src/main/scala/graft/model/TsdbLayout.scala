@@ -49,6 +49,28 @@ object TsdbLayout {
   def readSamples(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Time-based retention: drop every `ts_day` partition directory older
+    * than `cutoffNs`. Deleting whole directories is the point of the
+    * layout — expiry is a metadata operation (no file is opened, no data
+    * rewritten), the Parquet counterpart of the reference dropping aged
+    * volumes. Returns the number of partition directories removed. */
+  def expire(path: String, cutoffNs: Long): Int = {
+    val cutoffDay = cutoffNs / NsPerDay
+    val root = new java.io.File(path)
+    val metricDirs = Option(root.listFiles())
+      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("metric="))
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete()
+    }
+    metricDirs.flatMap { md =>
+      Option(md.listFiles()).getOrElse(Array.empty).filter { d =>
+        d.isDirectory && d.getName.startsWith("ts_day=") &&
+          d.getName.stripPrefix("ts_day=").toLongOption.exists(_ < cutoffDay)
+      }
+    }.map { d => deleteRec(d); 1 }.sum
+  }
+
   /** Write a DataFrame as a bucketed + sorted table on `series_id`: joins
     * and aggregations keyed on series then read co-located buckets and
     * plan with NO exchange — the Spark analog of the reference keeping

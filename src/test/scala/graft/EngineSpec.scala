@@ -325,6 +325,38 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2) === (100L until 110L))
   }
 
+  test("multi-tag series: GROUP drops listed tags, PIVOT keeps only listed") {
+    import spark.implicits._
+    // 2x2 tag grid (host x dc), one point per series — the first fixture
+    // where drop-vs-keep semantics actually diverge
+    val rows = for (h <- Seq("a", "b"); d <- Seq("x", "y"))
+      yield (h, d, 100L, 1.0)
+    val wide = rows.toDF("host", "dc", "ts", "value")
+      .withColumn("metric", org.apache.spark.sql.functions.lit("m"))
+    val eng = new Engine(graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("host", "dc"), "ts", "value"))
+    def seriesOf(q: SelectQuery): Seq[String] =
+      eng.select(q).select("series").distinct().as[String].collect().toSeq.sorted
+    val range = TimeRange(0, 200)
+    // GROUP drops host: series merge under the remaining dc tag
+    assert(seriesOf(SelectQuery("m", range,
+      groupBy = Some(GroupByTag(GroupByOp.Group, Seq("host"))))) ===
+      Seq("m dc=x", "m dc=y"))
+    // PIVOT keeps ONLY host: dc is dropped
+    assert(seriesOf(SelectQuery("m", range,
+      groupBy = Some(GroupByTag(GroupByOp.Pivot, Seq("host"))))) ===
+      Seq("m host=a", "m host=b"))
+    // canonical rendering sorts tag keys: no-op groupBy yields "dc" first
+    assert(seriesOf(SelectQuery("m", range)) ===
+      Seq("m dc=x host=a", "m dc=x host=b", "m dc=y host=a", "m dc=y host=b"))
+    // group-aggregate composes: dropping host merges 2 series per dc bin
+    val ga = eng.groupAggregate(GroupAggregateQuery(Seq("m"), Seq(AggFunc.Cnt),
+      step = 100, range = range,
+      groupBy = Some(GroupByTag(GroupByOp.Group, Seq("host")))))
+    val counts = ga.collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(counts === Map("m:cnt dc=x" -> 2.0, "m:cnt dc=y" -> 2.0))
+  }
+
   test("where-location knn on a join keeps BOTH metrics at each selected location") {
     import spark.implicits._
     // two co-tagged metrics at three explicit locations (lonExpr/latExpr

@@ -91,6 +91,42 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bk_tk")
   }
 
+  test("rollup compaction: persisted hour->day ladder equals day-from-raw") {
+    import graft.engine.Rollup
+    val ctx = rampContext(Seq(1, 2), 100, 200,
+      value = ts => ((ts * 31) % 17).toDouble)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Rollup.write(ctx.samples, s"$dir/fine", stepNs = 10)
+    Rollup.compact(spark, s"$dir/fine", s"$dir/coarse",
+      fineStepNs = 10, coarseStepNs = 50)
+    val ladder = spark.read.parquet(s"$dir/coarse")
+      .orderBy("series_id", "bin").collect().map(_.toSeq)
+    val direct = Rollup.build(ctx.samples, 50)
+      .orderBy("series_id", "bin").collect().map(_.toSeq)
+    // exact on every field here (sums are small integers)
+    assert(ladder.toSeq === direct.toSeq)
+    intercept[IllegalArgumentException](
+      Rollup.compact(spark, s"$dir/fine", s"$dir/bad", 10, 55))
+  }
+
+  test("retention: expire drops aged ts_day partition dirs without touching data") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // hand-build: 1 sample per day across 4 days
+    val wide = (0 until 4).map(d => ("t", d * dayNs + 5L, 1.0))
+      .toDF("tag", "ts", "value")
+      .withColumn("metric", org.apache.spark.sql.functions.lit("m"))
+    val lctx = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    graft.model.TsdbLayout.writeSamples(lctx, path)
+    val removed = graft.model.TsdbLayout.expire(path, cutoffNs = 2 * dayNs)
+    assert(removed === 2, "days 0 and 1 dropped")
+    val left = graft.model.TsdbLayout.readSamples(spark, path)
+      .select("ts_day").distinct().as[Int].collect().toSet
+    assert(left === Set(2, 3))
+  }
+
   test("corpus layout: split readers prune partitions; manifest matches the data") {
     import spark.implicits._
     import graft.model.CorpusLayout
