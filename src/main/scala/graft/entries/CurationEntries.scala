@@ -75,6 +75,21 @@ object CurationEntries {
           col("doc_id"), col("n_tokens"))
         .orderBy("source", "doc_id")),
 
+    // per-source token-length distribution (corpus monitoring): exact
+    // interpolated percentiles — Spark `percentile` and DuckDB
+    // quantile_cont share the linear-interpolation definition
+    "docs_length_quantiles" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          TextOps.tokenCountWs(col("text")).cast("double").as("nt"))
+        .groupBy("source")
+        .agg(
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.9)"), 6).as("p90"),
+          round(avg(col("nt")), 6).as("mean_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
     // the mixture manifest: stratified sample -> content-hash splits ->
     // per (lang, split) doc and token counts — the "data recipe" summary a
     // training run records; proves the curation ops COMPOSE
@@ -178,6 +193,18 @@ object CurationEntries {
                    CAST(len(string_split(text, ' ')) AS INT) AS nt
                  FROM documents))
          ORDER BY source, doc_id""",
+
+    "docs_length_quantiles" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+           FROM documents)
+         SELECT source,
+           round(quantile_cont(nt, 0.5), 6) AS p50,
+           round(quantile_cont(nt, 0.9), 6) AS p90,
+           round(avg(nt), 6) AS mean_tokens,
+           count(*) AS n_docs
+         FROM t GROUP BY source ORDER BY source""",
 
     "docs_sample_k_per_source" ->
       s"""SELECT source, CAST(rank AS INT) AS rank, doc_id FROM (
