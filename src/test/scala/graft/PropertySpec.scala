@@ -173,6 +173,59 @@ class EnginePropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("codegen shingle kernels equal naive reimplementations on random text") {
+    import graft.functions.TextExpressions
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val textGen: Gen[(String, Int)] = for {
+      n <- Gen.chooseNum(0, 15)
+      // include empty words (consecutive spaces) — split(" ", -1) keeps them
+      ws <- Gen.listOfN(n, Gen.oneOf(Gen.const(""), Gen.alphaLowerStr.map(_.take(3))))
+      k <- Gen.chooseNum(1, 4)
+    } yield (ws.mkString(" "), k)
+    forAllN(textGen, n = 30) { case (text, k) =>
+      def naiveAll = {
+        val words = text.split(" ", -1)
+        if (words.length < k) Seq.empty[String]
+        else words.sliding(k).map(_.mkString(" ")).toSeq
+      }
+      val df = Seq(Tuple1(text)).toDF("t")
+      val all = df.select(TextExpressions.wordShinglesAll(col("t"), k))
+        .as[Seq[String]].head()
+      val dedup = df.select(TextExpressions.wordShingles(col("t"), k))
+        .as[Seq[String]].head()
+      assert(all === naiveAll, s"text='$text' k=$k")
+      assert(dedup === naiveAll.distinct, s"text='$text' k=$k")
+    }
+  }
+
+  test("codegen vector kernels equal naive dot/cosine on random floats") {
+    import graft.functions.VectorExpressions
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vecGen: Gen[(Seq[Float], Seq[Float])] = for {
+      n <- Gen.chooseNum(1, 16)
+      a <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_ / 7.0f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_ / 7.0f))
+    } yield (a, b)
+    forAllN(vecGen, n = 30) { case (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val (dot, cos) = df.select(VectorExpressions.vecDot(col("a"), col("b")),
+        VectorExpressions.vecCosine(col("a"), col("b")))
+        .as[(Double, Double)].head()
+      // naive with the same accumulation order (left-to-right doubles)
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      a.zip(b).foreach { case (x, y) =>
+        d += x.toDouble * y.toDouble
+        na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+      }
+      assert(dot === d, s"a=$a b=$b")
+      val expected = if (na == 0.0 || nb == 0.0) cos // degenerate: just don't crash
+        else d / (math.sqrt(na) * math.sqrt(nb))
+      assert(cos === expected || (cos.isNaN && expected.isNaN), s"a=$a b=$b")
+    }
+  }
+
   test("fill ffill: grid complete per series; every value = latest original at-or-before") {
     import graft.ops.ApplyNodes
     import spark.implicits._
