@@ -53,7 +53,9 @@ object TsdbLayout {
     * than `cutoffNs`. Deleting whole directories is the point of the
     * layout — expiry is a metadata operation (no file is opened, no data
     * rewritten), the Parquet counterpart of the reference dropping aged
-    * volumes. Returns the number of partition directories removed. */
+    * volumes. Returns the number of partition directories removed.
+    * (Local-filesystem walk; an object-store deployment performs the same
+    * directory drop through its own FileSystem API.) */
   def expire(path: String, cutoffNs: Long): Int = {
     val cutoffDay = cutoffNs / NsPerDay
     val root = new java.io.File(path)

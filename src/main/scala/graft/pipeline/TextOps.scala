@@ -3,8 +3,12 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis operators for corpus curation: token counting, quality
-  * scoring, language identification, document fingerprinting.
+/** Text-analysis and curation operators for training corpora: token
+  * counting, quality scoring, language identification, fingerprinting
+  * (min-hash + winnowing), PII scanning, benchmark decontamination,
+  * repetition signals, deterministic splits (content-hash) and sampling
+  * (rate-stratified + exact-k), TF-IDF keyword extraction, token-window
+  * chunking, and per-shard sequence packing.
   *
   * All pure column expressions (codegen'd, no UDFs); regex patterns are
   * restricted to constructs with identical semantics in Java regex (Spark)
