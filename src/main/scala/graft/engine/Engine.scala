@@ -83,6 +83,7 @@ final class Engine(val ctx: TsdbContext) {
     case a: AggregateQuery          => aggregate(a)
     case g: GroupAggregateQuery     => groupAggregate(g)
     case j: JoinQuery               => join(j)
+    case a: AsofJoinQuery           => asofJoin(a)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -418,6 +419,33 @@ final class Engine(val ctx: TsdbContext) {
     val wide = alignedWide(q.metrics, q.where, q.range, q.filters, identity, q.location)
     val withFilters = applyJoinCombiner(wide, q.metrics, q.filters, q.combiner)
     val out = ApplyNodes.chain(withFilters, q.apply, q.metrics)
+    finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  /** Beyond-reference `asof-join`: each left-metric sample carries the
+    * most recent right-metric value at-or-before its timestamp within
+    * the same tag set (TimeJoins.asof — union/carry-forward, ONE shuffle
+    * on the tag key, no per-row probing). Output shape matches `join`
+    * (series "left|right tags", one column per metric); the right column
+    * is null when nothing qualifies or the match exceeds `tolerance`. */
+  def asofJoin(q: AsofJoinQuery): DataFrame = {
+    val cat = locationFiltered(seriesFor(Seq(q.left, q.right), q.where), q.location)
+    val withKey = cat.select(col("series_id"), col("metric"),
+      tagSuffix(col("tags")).as("__tk"))
+    val f = facts(Seq(q.left, q.right))
+      .select(col("series_id"), col("ts"), col("value"))
+      .join(broadcast(withKey), "series_id")
+      .where(rangeCond(q.range))
+    val l = f.where(col("metric") === q.left)
+      .select(col("__tk"), col("ts"), col("value").as(q.left))
+    val r = f.where(col("metric") === q.right)
+      .select(col("__tk"), col("ts"), col("value").as(q.right))
+    val joined = graft.ops.TimeJoins.asof(l, r, Seq("__tk"),
+      Seq(q.right), q.toleranceNs)
+    val named = joined.select(
+      concat(lit(q.left + "|" + q.right + " "), col("__tk")).as("series"),
+      col("ts"), col(q.left), col(q.right))
+    val out = ApplyNodes.chain(named, q.apply, Seq(q.left, q.right))
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)
   }
 

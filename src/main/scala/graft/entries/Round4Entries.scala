@@ -92,6 +92,16 @@ object Round4Entries {
         s"""{"aggregate": {"purchase": ["min", "max", "cnt"]},
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""))),
 
+    // asof-join through the JSON language (beyond-reference statement):
+    // each click carries the most recent view at-or-before it per user.
+    // engineUs: the asof comparison consumes ts, so both engines must see
+    // identical (µs-truncated) longs
+    "ts_asof_join_json" -> ((s, dir) =>
+      usView(engineUs(s, dir).execute(
+        s"""{"asof-join": {"left": "click", "right": "view"},
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
+        valueCols = Seq("click", "view"))),
+
     // where-location on SELECT-EVENTS: the geometric restriction applies
     // to event series too (locations are catalog properties, independent
     // of payload type) — closes the clause × kind matrix
@@ -286,6 +296,20 @@ object Round4Entries {
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
             AND user_id IN (SELECT user_id FROM k)
           GROUP BY user_id ORDER BY series, ts_us""",
+
+    "ts_asof_join_json" ->
+      s"""SELECT concat('click|view user=', CAST(l.user_id AS VARCHAR)) AS series,
+           epoch_us(l.ts) AS ts_us, round(l.value, 6) AS click,
+           round(r.value, 6) AS "view"
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'
+                 AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) l
+         ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'view'
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY series, ts_us, click""",
 
     "ts_select_events_location_box" ->
       s"""SELECT concat('!log user=', CAST(user_id AS VARCHAR)) AS series,

@@ -178,6 +178,25 @@ object Ast {
       apply: Seq[ApplySpec] = Nil,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"asof-join": {"left": "m1", "right": "m2", "tolerance": "1h"?}}` —
+    * beyond-reference: each left-metric sample carries the most recent
+    * right-metric value at-or-before its timestamp within the same tag
+    * set (null when nothing qualifies, or when the match is staler than
+    * the optional tolerance). The alignment rule TSDB users reach for
+    * when two metrics don't tick in lockstep — the reference's join only
+    * aligns EXACT timestamps. */
+  final case class AsofJoinQuery(
+      left: String,
+      right: String,
+      range: TimeRange,
+      toleranceNs: Option[Long] = None,
+      where: Where = Where.All,
+      orderBy: OrderBy = OrderBy.Series,
+      limit: Option[Long] = None,
+      offset: Option[Long] = None,
+      apply: Seq[ApplySpec] = Nil,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"group-aggregate-join": {"metric": [...], "step": s, "func": f}}` —
     * downsample each metric by step with a single func, then join. */
   final case class GroupAggregateJoinQuery(

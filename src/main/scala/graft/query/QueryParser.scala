@@ -33,7 +33,7 @@ object QueryParser {
     * queryparser.cc:920-971: exactly one must be present). */
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
-      "join", "group-aggregate-join")
+      "join", "group-aggregate-join", "asof-join")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -53,6 +53,7 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"unknown query field(s): ${unknown.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
+    else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
     else if (root.has("group-aggregate-join")) parseGroupAggregateJoin(root)
@@ -154,6 +155,31 @@ object QueryParser {
       throw new BadQuery("join doesn't support group-by")
     val (filters, comb) = parseNamedFilters(root)
     JoinQuery(metrics, parseRange(root), parseWhere(root), filters, comb,
+      parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
+      parseApply(root), parseLocation(root))
+  }
+
+  /** Beyond-reference `asof-join` (see [[Ast.AsofJoinQuery]]). */
+  private def parseAsofJoin(root: JsonNode): AsofJoinQuery = {
+    val stmt = root.get("asof-join")
+    if (!stmt.isObject)
+      throw new BadQuery("asof-join statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("left", "right", "tolerance").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad asof-join key(s): ${unknown.mkString(", ")}")
+    def metric(k: String): String = {
+      val n = Option(stmt.get(k)).filter(_.isTextual).getOrElse(
+        throw new BadQuery(s"asof-join.$k metric name required"))
+      n.asText()
+    }
+    val (l, r) = (metric("left"), metric("right"))
+    if (l == r) throw new BadQuery("asof-join metrics must differ")
+    if (root.has("group-by-tag") || root.has("group-by") || root.has("pivot-by-tag"))
+      throw new BadQuery("asof-join doesn't support group-by")
+    val tol = Option(stmt.get("tolerance"))
+      .map(t => TimeUtil.parseDuration(t.asText()))
+    AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root),
       parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
       parseApply(root), parseLocation(root))
   }

@@ -325,6 +325,46 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._2) === (100L until 110L))
   }
 
+  test("asof-join: left rows carry the latest right value; tolerance nulls stale matches") {
+    import spark.implicits._
+    val rows = Seq(
+      ("l", "T1", 100L, 1.0), ("l", "T1", 150L, 2.0), ("l", "T1", 90L, 0.5),
+      ("r", "T1", 95L, 10.0), ("r", "T1", 140L, 20.0),
+      ("l", "T2", 100L, 3.0)) // T2 has no right rows at all
+    val wide = rows.toDF("metric", "tag", "ts", "value")
+    val eng = new Engine(graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value"))
+    val out = eng.asofJoin(AsofJoinQuery("l", "r", TimeRange(0, 200)))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out === Seq(
+      ("l|r tag=T1", 90L, None), // before any right row
+      ("l|r tag=T1", 100L, Some(10.0)),
+      ("l|r tag=T1", 150L, Some(20.0)),
+      ("l|r tag=T2", 100L, None)))
+    // tolerance 5ns: the 150->140 match (staleness 10) is nulled
+    val tol = eng.asofJoin(AsofJoinQuery("l", "r", TimeRange(0, 200),
+        toleranceNs = Some(5L)))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(tol === Seq((90L, None), (100L, Some(10.0)), (150L, None), (100L, None)))
+  }
+
+  test("asof-join JSON validation: same metric, bad keys, group-by all rejected") {
+    import graft.query.QueryParser
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": {"left": "m", "right": "m"},
+          "range": {"from": 0, "to": 10}}"""))
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": {"left": "a", "right": "b", "lag": "1h"},
+          "range": {"from": 0, "to": 10}}"""))
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": {"left": "a", "right": "b"},
+          "range": {"from": 0, "to": 10}, "group-by-tag": ["x"]}"""))
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": ["a", "b"], "range": {"from": 0, "to": 10}}"""))
+  }
+
   test("multi-tag series: GROUP drops listed tags, PIVOT keeps only listed") {
     import spark.implicits._
     // 2x2 tag grid (host x dc), one point per series — the first fixture
