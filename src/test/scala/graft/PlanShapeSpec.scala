@@ -181,6 +181,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"customer dimension must broadcast in Q3:\n$p3")
   }
 
+  test("asof-join: ONE hash shuffle (the tag-key window), never a per-row probe join") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    val q = graft.query.Ast.AsofJoinQuery("test", "test2", TimeRange(100, 300))
+    val ctx2 = {
+      // second metric alongside the ramp fixture
+      val s = ctx.samples
+      val extra = s.withColumn("series_id", col("series_id") + 1000000L)
+      ctx.copy(
+        series = ctx.series.unionByName(ctx.series
+          .withColumn("series_id", col("series_id") + 1000000L)
+          .withColumn("metric", lit("test2"))
+          .withColumn("name", concat(lit("test2"), expr("substr(name, 5)")))),
+        // multi-partition input: a single-partition LocalRelation would
+        // satisfy the window's clustering trivially and hide the exchange
+        samples = s.unionByName(extra).repartition(4))
+    }
+    // executedPlan string: EnsureRequirements inserts the window's
+    // exchange only in the prepared plan, and AdaptiveSparkPlanExec hides
+    // its subtree from collect — match the rendered tree instead
+    val p = new Engine(ctx2).asofJoin(q).queryExecution.executedPlan.toString
+    // the ALIGNMENT itself costs exactly one hash exchange — the window's
+    // partitioning on the tag key (this fixture derives its catalog via
+    // aggregation, adding broadcast-sized catalog exchanges a real
+    // deployment's cached catalog doesn't have)
+    val alignShuffles = "hashpartitioning\\(__tk".r.findAllIn(p).size
+    assert(alignShuffles === 1,
+      s"asof alignment must cost exactly one tag-key exchange:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no per-row probe join:\n$p")
+  }
+
   test("contamination: the benchmark side broadcasts (corpus never shuffles to meet it)") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc $i words alpha beta gamma $i"))
