@@ -43,6 +43,12 @@ object ContractProbe {
       """{"select-events": "!log",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "apply": [{"name": "cusum"}]}""")
+    tryQ("asof-self-join",
+      """{"asof-join": {"left": "click", "right": "click"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("asof-bad-tolerance",
+      """{"asof-join": {"left": "click", "right": "view", "tolerance": "soon"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("fill-bad-step",
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
