@@ -430,20 +430,36 @@ final class Engine(val ctx: TsdbContext) {
     * is null when nothing qualifies or the match exceeds `tolerance`. */
   def asofJoin(q: AsofJoinQuery): DataFrame = {
     val cat = locationFiltered(seriesFor(Seq(q.left, q.right), q.where), q.location)
-    val withKey = cat.select(col("series_id"), col("metric"),
-      tagSuffix(col("tags")).as("__tk"))
-    val f = facts(Seq(q.left, q.right))
-      .select(col("series_id"), col("ts"), col("value"))
+    // the bucketed layout's own alignment key makes the tag-key exchange
+    // local, exactly as in join() (writeBucketedByTagkey)
+    val factsHaveKey = ctx.samples.columns.contains("tagkey")
+    val withKey =
+      if (factsHaveKey) cat.select(col("series_id"), col("metric"))
+      else cat.select(col("series_id"), col("metric"),
+        tagSuffix(col("tags")).as("__tk"))
+    val factCols = Seq("series_id", "ts", "value") ++
+      (if (factsHaveKey) Seq("tagkey") else Nil)
+    val f0 = facts(Seq(q.left, q.right))
+      .select(factCols.map(col): _*)
       .join(broadcast(withKey), "series_id")
       .where(rangeCond(q.range))
-    val l = f.where(col("metric") === q.left)
-      .select(col("__tk"), col("ts"), col("value").as(q.left))
-    val r = f.where(col("metric") === q.right)
-      .select(col("__tk"), col("ts"), col("value").as(q.right))
-    val joined = graft.ops.TimeJoins.asof(l, r, Seq("__tk"),
-      Seq(q.right), q.toleranceNs)
+    val f = if (factsHaveKey) f0.withColumnRenamed("tagkey", "__tk") else f0
+    // per-side value filters run during the scan, BEFORE alignment: a
+    // filtered-out right sample must not supply a carried value
+    def side(metric: String): DataFrame = {
+      val base = f.where(col("metric") === metric)
+      val filtered = q.filters.get(metric)
+        .orElse(if (metric == q.left) q.filters.get("") else None)
+        .map(vf => base.where(valueFilterCond(col("value"), vf)))
+        .getOrElse(base)
+      filtered.select(col("__tk"), col("ts"), col("value").as(metric))
+    }
+    val joined = graft.ops.TimeJoins.asof(side(q.left), side(q.right),
+      Seq("__tk"), Seq(q.right), q.toleranceNs)
+    val joinName = q.left + "|" + q.right
     val named = joined.select(
-      concat(lit(q.left + "|" + q.right + " "), col("__tk")).as("series"),
+      when(col("__tk") === "", lit(joinName))
+        .otherwise(concat(lit(joinName + " "), col("__tk"))).as("series"),
       col("ts"), col(q.left), col(q.right))
     val out = ApplyNodes.chain(named, q.apply, Seq(q.left, q.right))
     finish(out, q.orderBy, q.range.forward, q.limit, q.offset)

@@ -73,7 +73,8 @@ object Rollup {
   def compact(spark: org.apache.spark.sql.SparkSession,
       inPath: String, outPath: String,
       fineStepNs: Long, coarseStepNs: Long): Unit = {
-    require(fineStepNs > 0 && coarseStepNs % fineStepNs == 0,
+    require(fineStepNs > 0 && coarseStepNs > 0 &&
+      coarseStepNs % fineStepNs == 0,
       "coarse step must be a positive multiple of the fine step")
     reaggregate(spark.read.parquet(inPath), Some(coarseStepNs))
       .write.mode("overwrite").parquet(outPath)

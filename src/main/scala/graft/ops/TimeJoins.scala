@@ -63,34 +63,41 @@ object TimeJoins {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       valueCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    def rtsCol(c: String) = s"__rts_$c"
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__rts", lit(null).cast("long"))
       .select((leftCols.map(col) ++ valueCols.map(c => lit(null).cast(
-        right.schema(c).dataType).as(c)) ++ Seq(col("__side"), col("__rts"))): _*)
+        right.schema(c).dataType).as(c)) ++
+        valueCols.map(c => lit(null).cast("long").as(rtsCol(c))) :+
+        col("__side")): _*)
     val r = right
       .withColumn("__side", lit(0))
-      .withColumn("__rts", col("ts"))
       .select((leftCols.map(c => if (keys.contains(c) || c == "ts") col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col) ++ Seq(col("__side"), col("__rts"))): _*)
+        valueCols.map(col) ++
+        // staleness is PER value column: a right row with a null value in
+        // column c must not refresh c's match timestamp, or the tolerance
+        // gate would compare the carried value against a newer row's ts
+        valueCols.map(c => when(col(c).isNotNull, col("ts")).as(rtsCol(c))) :+
+        col("__side")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(
         (leftCols.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-          last(col("__rts"), ignoreNulls = true).over(w).as("__rts") :+
+          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
+          valueCols.map(c =>
+            last(col(rtsCol(c)), ignoreNulls = true).over(w).as(rtsCol(c))) :+
           col("__side")): _*)
       .where(col("__side") === 1)
     val out = toleranceNs match {
       case None => carried
       case Some(tol) =>
         valueCols.foldLeft(carried) { (d, c) =>
-          d.withColumn(c, when(col("ts") - col("__rts") <= tol, col(c)))
+          d.withColumn(c, when(col("ts") - col(rtsCol(c)) <= tol, col(c)))
         }
     }
-    out.drop("__side", "__rts")
+    out.drop("__side" +: valueCols.map(rtsCol): _*)
   }
 }

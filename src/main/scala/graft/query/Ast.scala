@@ -191,6 +191,10 @@ object Ast {
       range: TimeRange,
       toleranceNs: Option[Long] = None,
       where: Where = Where.All,
+      /** Per-side value filters (metric-keyed; form-2 "" binds to left),
+        * applied DURING each side's scan, before alignment — a filtered
+        * right sample never supplies a carried value. */
+      filters: Map[String, ValueFilter] = Map.empty,
       orderBy: OrderBy = OrderBy.Series,
       limit: Option[Long] = None,
       offset: Option[Long] = None,

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 /** JSON → [[Ast.Query]] front end for the reference TSDB query language.
   *
-  * Query kind = which of the six mutually-exclusive statement keys is present
+  * Query kind = which of the mutually-exclusive statement keys is present —
+ * the reference's six plus the beyond-reference `asof-join`
   * (reference queryparser.cc:887-918); shared clause grammar per SURVEY §2.2.
   * The two known reference bugs in limit/offset handling
   * (queryparser.cc:624 assigns offset into limit; limiter.cc never counts
@@ -29,8 +30,9 @@ object QueryParser {
         throw new BadQuery(s"malformed JSON: ${e.getOriginalMessage}")
     }
 
-  /** The six mutually-exclusive statement keys (validate_query,
-    * queryparser.cc:920-971: exactly one must be present). */
+  /** The mutually-exclusive statement keys: the reference's six
+    * (validate_query, queryparser.cc:920-971: exactly one must be
+    * present) plus the beyond-reference `asof-join`. */
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join")
@@ -179,7 +181,14 @@ object QueryParser {
       throw new BadQuery("asof-join doesn't support group-by")
     val tol = Option(stmt.get("tolerance"))
       .map(t => TimeUtil.parseDuration(t.asText()))
-    AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root),
+    // per-side filters run before alignment, so the cross-column ALL/ANY
+    // combiner has nothing to combine — reject rather than ignore it
+    val (filters, _) = parseNamedFilters(root)
+    if (Option(root.get("filter")).exists(_.has("=")))
+      throw new BadQuery("asof-join filters apply per side before alignment; '=' combiner is not supported")
+    filters.keys.filterNot(k => k.isEmpty || k == l || k == r).foreach(k =>
+      throw new BadQuery(s"filter names unknown metric '$k'"))
+    AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root), filters,
       parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
       parseApply(root), parseLocation(root))
   }

@@ -350,6 +350,52 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(tol === Seq((90L, None), (100L, Some(10.0)), (150L, None), (100L, None)))
   }
 
+  test("asof tolerance gates on the VALUE's row, not a later null-valued row") {
+    import spark.implicits._
+    // right: value 1.0 at ts 10, then a NULL value at ts 20; left at ts 25
+    // with tolerance 10 must NOT treat the null row as a fresh match for
+    // the carried 1.0 (staleness is 15, beyond tolerance)
+    val left = Seq(("k", 25L, 7.0)).toDF("key", "ts", "lv")
+    val right = Seq(("k", 10L, Some(1.0)), ("k", 20L, None: Option[Double]))
+      .toDF("key", "ts", "rv")
+    val out = graft.ops.TimeJoins.asof(left, right, Seq("key"), Seq("rv"),
+        toleranceNs = Some(10L))
+      .select("ts", "rv").as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq((25L, None)))
+    // without tolerance the stale value still carries (documented)
+    val noTol = graft.ops.TimeJoins.asof(left, right, Seq("key"), Seq("rv"))
+      .select("rv").as[Option[Double]].head()
+    assert(noTol === Some(1.0))
+  }
+
+  test("asof-join filter applies per side BEFORE alignment") {
+    import spark.implicits._
+    import graft.query.QueryParser
+    val rows = Seq(
+      ("l", "T1", 100L, 1.0), ("l", "T1", 150L, 2.0),
+      ("r", "T1", 95L, 10.0), ("r", "T1", 140L, 200.0))
+    val wide = rows.toDF("metric", "tag", "ts", "value")
+    val eng = new Engine(graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value"))
+    // filter r < 100: the 200.0 row is removed from the scan, so the
+    // left row at 150 falls back to the older 10.0 — NOT null
+    val out = eng.run(QueryParser.parse(
+      """{"asof-join": {"left": "l", "right": "r"},
+          "range": {"from": 0, "to": 200},
+          "filter": {"r": {"lt": 100}}}"""))
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(out === Seq((100L, 10.0), (150L, 10.0)))
+    // '=' combiner is rejected, not ignored
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": {"left": "l", "right": "r"},
+          "range": {"from": 0, "to": 200},
+          "filter": {"r": {"lt": 100}, "=": {"require": "any"}}}"""))
+    assertThrows[BadQuery](QueryParser.parse(
+      """{"asof-join": {"left": "l", "right": "r"},
+          "range": {"from": 0, "to": 200},
+          "filter": {"zzz": {"lt": 100}}}"""))
+  }
+
   test("asof-join JSON validation: same metric, bad keys, group-by all rejected") {
     import graft.query.QueryParser
     assertThrows[BadQuery](QueryParser.parse(
