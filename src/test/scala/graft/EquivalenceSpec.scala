@@ -47,7 +47,10 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
     "where-location knn aggregate" ->
       """{"aggregate": {"purchase": "sum"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
-          "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""")
+          "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""",
+    "asof-join" ->
+      """{"asof-join": {"left": "click", "right": "view"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
 
   /** Doubles rounded to 6 decimals — the two layouts feed sums in
     * different row orders, so sum/mean differ in the last ulp (FP
@@ -66,4 +69,37 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
       assert(flat.nonEmpty)
       assert(layered.toSeq === flat.toSeq)
     }
+
+  test("asof-join equals a brute-force reference on random duplicate-heavy data") {
+    import spark.implicits._
+    import graft.query.Ast._
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      // left rows may share (tag, ts); right (tag, ts) kept unique —
+      // duplicate right timestamps make the carried value ambiguous by
+      // construction (any implementation is free to pick either)
+      val tags = Seq("T0", "T1", "T2")
+      val lRows = Seq.fill(40)(("l", tags(rnd.nextInt(3)),
+        rnd.nextInt(30).toLong, rnd.nextInt(1000).toDouble))
+      val rRows = rnd.shuffle(
+        (for (t <- tags; ts <- 0L to 30L) yield (t, ts)).toList)
+        .take(25)
+        .map { case (t, ts) => ("r", t, ts, rnd.nextInt(1000).toDouble) }
+      val wide = (lRows ++ rRows).toDF("metric", "tag", "ts", "value")
+      val eng = new Engine(TsdbContext.fromWide(
+        spark, wide, "metric", Seq("tag"), "ts", "value"))
+      val got = eng.asofJoin(AsofJoinQuery("l", "r", TimeRange(0, 100)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .sortBy(_.toString).toSeq
+      val expect = lRows.map { case (_, t, ts, v) =>
+        val matches = rRows.filter(r => r._2 == t && r._3 <= ts)
+        val carried =
+          if (matches.isEmpty) None
+          else Some(matches.maxBy(_._3)._4)
+        (s"l|r tag=$t", ts, v, carried)
+      }.sortBy(_.toString)
+      assert(got === expect, s"round $round")
+    }
+  }
 }
