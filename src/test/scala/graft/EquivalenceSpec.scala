@@ -48,6 +48,10 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
       """{"aggregate": {"purchase": "sum"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}""",
+    // relies on the fixture having no duplicate (series, ts) on the right
+    // metric (true of the generated testdata): tied right rows make the
+    // carried value implementation-defined, as the brute-force test below
+    // documents by construction
     "asof-join" ->
       """{"asof-join": {"left": "click", "right": "view"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
