@@ -371,7 +371,16 @@ final class Engine(val ctx: TsdbContext) {
           if (keepTsMin) (Rollup.neededAccs(q.funcs) :+ "ts_min").distinct
           else Rollup.neededAccs(q.funcs)
         val idsSel = broadcast(ids.select("series_id", "out_name"))
-        val interior = rollup.where(interiorOf(col("bin")))
+        // fully aligned: the driver-side enumeration proved zero edge
+        // bins, so every in-range fine bin is interior and the per-row
+        // qbin-equality check (two pmods per rollup row) is redundant —
+        // the range bounds alone select the same rows
+        val interiorCond =
+          if (fullyAligned) {
+            if (q.range.forward) col("bin") >= from && col("bin") + fine <= q.range.to
+            else col("bin") > q.range.to && col("bin") + (fine - 1) <= from
+          } else interiorOf(col("bin"))
+        val interior = rollup.where(interiorCond)
           .join(idsSel, "series_id")
           .select(col("out_name") +: qbin(col("bin")).as("bin") +:
             accs.map(col): _*)
@@ -667,8 +676,15 @@ final class Engine(val ctx: TsdbContext) {
         // ONE candidate point per tag set (min-struct pick): location is a
         // per-series catalog column, so if coordinates ever diverged across
         // a tag set's metrics, a plain distinct would emit duplicate __tk
-        // rows — burning k slots and fanning out the join below
-        val locs = keyed.groupBy(col("__tk"))
+        // rows — burning k slots and fanning out the join below.
+        // Null lon/lat rows are dropped BEFORE the pick: null struct
+        // fields sort first but the struct itself isn't null, so a tag set
+        // mixing located and unlocated series would otherwise pick the
+        // null-field struct and Spatial's isNotNull filter would drop a
+        // tag set that has real coordinates
+        val locs = keyed
+          .where(col("lon").isNotNull && col("lat").isNotNull)
+          .groupBy(col("__tk"))
           .agg(min(struct(col("lon"), col("lat"))).as("__p"))
           .select(col("__tk").as("name"),
             col("__p.lon").as("lon"), col("__p.lat").as("lat"))

@@ -110,6 +110,10 @@ object CurationEntries {
   private val Hash60 = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // anchored on the corpus docs themselves (LEFT JOIN sz), not on the
+    // shingled docs: a doc with fewer than k tokens has zero shingles and
+    // must still appear (n_shingles=0, contamination 0.0) exactly as the
+    // Spark side emits it
     "docs_contamination" ->
       """WITH w AS (
            SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
@@ -124,12 +128,19 @@ object CurationEntries {
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          hits AS (
            SELECT doc_id, count(*) AS c FROM sh
-           WHERE g IN (SELECT g FROM bs) GROUP BY doc_id)
-       SELECT sz.doc_id AS id, CAST(n AS INT) AS n_shingles,
+           WHERE g IN (SELECT g FROM bs) GROUP BY doc_id),
+         corpus AS (SELECT doc_id FROM documents WHERE source <> 'src0')
+       SELECT corpus.doc_id AS id,
+         CAST(coalesce(n, 0) AS INT) AS n_shingles,
          CAST(coalesce(c, 0) AS BIGINT) AS n_overlap,
-         round(coalesce(c, 0) * 1.0 / n, 6) AS contamination,
-         coalesce(c, 0) * 1.0 / n >= 0.05 AS contaminated
-       FROM sz LEFT JOIN hits USING (doc_id) ORDER BY id""",
+         round(coalesce(c, 0) * 1.0 / greatest(coalesce(n, 0), 1), 6)
+           AS contamination,
+         coalesce(c, 0) * 1.0 / greatest(coalesce(n, 0), 1) >= 0.05
+           AS contaminated
+       FROM corpus
+       LEFT JOIN sz ON corpus.doc_id = sz.doc_id
+       LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+       ORDER BY id""",
 
     "docs_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

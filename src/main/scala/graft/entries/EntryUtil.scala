@@ -72,6 +72,34 @@ object EntryUtil {
         rollups = Seq(hourNs -> rollup)))
     })
 
+  /** Engine with a PERSISTED two-level rollup ladder (hour → day). The
+    * hourly rollup is written to parquet once, the day level is compacted
+    * FROM the hourly parquet (Rollup.compact — raw samples are never
+    * rescanned; the hierarchy law in RollupSpec proves hour→day ≡
+    * day-from-raw), and BOTH levels register with the engine, whose
+    * serving picks the coarsest eligible level — the reference answers
+    * from the highest subtree level that covers the query bins
+    * (/root/reference/stdb/storage/nbtree.h:457). A 7d-step query over a
+    * day-aligned range is thus served from the DAY rollup (24× fewer rows
+    * than the hourly one), which `ts_group_aggregate_rollup_ladder`
+    * hash-locks against the raw oracle and PlanShapeSpec pins
+    * structurally (day parquet read; hour and raw untouched). */
+  def engineRollupLadderFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#ladder"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600L * 1000000000L
+      val dayNs = 24L * hourNs
+      val base = java.nio.file.Files.createTempDirectory("graft-ladder-")
+      val hourPath = base.resolve("rollup_1h").toString
+      val dayPath = base.resolve("rollup_1d").toString
+      graft.engine.Rollup.write(ctx.samples, hourPath, hourNs)
+      graft.engine.Rollup.compact(spark, hourPath, dayPath, hourNs, dayNs)
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        rollups = Seq(
+          hourNs -> spark.read.parquet(hourPath).cache(),
+          dayNs -> spark.read.parquet(dayPath).cache())))
+    })
+
   private val codebooks = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
 

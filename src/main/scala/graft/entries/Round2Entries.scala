@@ -17,6 +17,10 @@ object Round2Entries {
 
   private val dayNs = 86400000000000L
 
+  /** Unique memory-sink name per `stream_dedup` run (a stopped query's
+    * sink table persists; a rerun must not collide with it). */
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val queries: Map[String, QueryFn] = Map(
     // backward group-aggregate: bins anchor at `from` (the high end) and
     // descend (column_store_test.cc:668-762 exercises both scan orders)
@@ -154,16 +158,39 @@ object Round2Entries {
         graft.query.Ast.Where.TagsIn(Map("user" -> Seq("2", "4", "11"))))
         .select("name")),
 
-    // streaming dedup run on a batch frame (same code path as the
-    // watermarked stream): every click row injected twice, the dedup
-    // keeps exactly one — (name, ts) pairs are unique in the corpus, so
-    // the kept row is deterministic
-    "stream_dedup_batch" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+    // streaming dedup executed as a REAL Structured Streaming query (not
+    // the batch mirror): the click rows feed a MemoryStream in four
+    // ts-ordered micro-batches, each with every row injected twice; the
+    // watermarked dedup runs to completion (processAllAvailable) into a
+    // memory sink, and the sink table IS the entry's result. Duplicates
+    // always share a micro-batch, so the kept row is deterministic, and
+    // ts-ordered batches keep every row ahead of the advancing watermark.
+    // The driver-side collect is the MemoryStream harness feed (bounded:
+    // one metric's rows), not a query-path action — a deployment's stream
+    // reads Kafka/files and never materializes on the driver.
+    "stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc = Encoders.product[(String, Long, Double)]
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value"))
-      graft.streaming.TsdbStream.dedup(ev.unionAll(ev), "10 minutes")
+          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
+        .orderBy("ts", "name")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val in = MemoryStream[(String, Long, Double)]
+      val dedup = graft.streaming.TsdbStream.dedup(
+        in.toDF().toDF("name", "ts", "value"), "10 minutes")
+      val qn = s"stream_dedup_sink_${streamSinkSeq.incrementAndGet()}"
+      val q = dedup.writeStream.format("memory").queryName(qn).start()
+      try {
+        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+          in.addData(chunk ++ chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn)
         .select(col("name"), expr("ts div 1000").as("ts_us"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "ts_us")
@@ -366,7 +393,7 @@ object Round2Entries {
          WHERE event_type LIKE 'pur%' AND user_id IN (2, 4, 11)
          ORDER BY name""",
 
-    "stream_dedup_batch" ->
+    "stream_dedup" ->
       """SELECT DISTINCT concat('click user=', CAST(user_id AS VARCHAR)) AS name,
            epoch_us(ts) AS ts_us, round(value, 6) AS value
          FROM events WHERE event_type = 'click'

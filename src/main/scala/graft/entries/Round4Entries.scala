@@ -60,7 +60,15 @@ object Round4Entries {
 
     // rollup serving × group-by-tag on an ALIGNED range: zero edge windows
     // → the FanInAggregateOperator analog (aggregate.h:48-68) combines
-    // interior accumulators ACROSS series reading ONLY the rollup
+    // interior accumulators ACROSS series reading ONLY the rollup.
+    // COST NOTE: at this testdata's density the hourly rollup is ~raw-sized
+    // (sf0.1: 19,898 hourly bins over 20,084 purchase rows), so serving
+    // costs about the same as the raw scan its sibling abstains to — the
+    // r4 driver bench's 1.52 s was sample contamination (warm: ~0.5-0.9 s,
+    // within noise of the unaligned sibling). The plan is optimal either
+    // way: accumulators pruned to {cnt,vmin,vmax} before the combine and
+    // zero parquet I/O (PlanShapeSpec pins both); at production density
+    // (≥tens of samples per bin) the interior read shrinks by that factor
     "ts_group_aggregate_rollup_groupby_aligned" -> ((s, dir) =>
       usView(engineRollupFor(s, dir).execute(
         s"""{"group-aggregate": {"metric": "purchase", "step": "1d",

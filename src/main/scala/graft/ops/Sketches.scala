@@ -25,6 +25,14 @@ object Sketches {
     * (for series workloads: the catalog; defaults to distinct keys of
     * `df` — exact-ish but still sketch-memory-bounded on the agg side).
     *
+    * SCALE CONTRACT: pass `candidates` at scale. The default probe set
+    * (`df.distinct()`) re-scans the full input a second time — the sketch
+    * build already read it once, so the default doubles the operator's
+    * I/O at 100 TB. Any frame that covers the key universe works (the
+    * series catalog, a dictionary table, last run's hitters); the probe
+    * then touches only that frame and the broadcast sketch, never `df`
+    * again (spec-pinned: "CMS candidates contract").
+    *
     * @param eps,confidence CMS accuracy: width = ⌈e/eps⌉, depth = ⌈ln(1/(1−conf))⌉
     */
   def frequentKeys(df: DataFrame, keyCol: String,

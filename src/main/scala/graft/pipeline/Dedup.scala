@@ -48,7 +48,15 @@ object Dedup {
 
   /** Unpersist every cache created by Dedup operators ON THIS THREAD since
     * the last call (non-blocking). Safe to call at any time: released
-    * frames recompute. */
+    * frames recompute.
+    *
+    * CONTRACT: [[scopedCache]] and [[releaseCaches]] must pair on the
+    * SAME thread — a cache registered on a pool thread can never be
+    * released from the main thread, and the per-thread registry would pin
+    * the frame for the pool thread's lifetime. A driver dispatching
+    * queries to a thread pool must run each query's build → action →
+    * releaseCaches() sequence entirely on one pool thread (Verify and
+    * Bench do: single-threaded sweep, release after every entry). */
   def releaseCaches(): Unit = {
     val q = scopedCaches.get()
     var df = q.poll()

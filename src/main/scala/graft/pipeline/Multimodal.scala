@@ -242,18 +242,37 @@ object Multimodal {
   /** Fixed-width feature vector per media blob, one "model" instance per
     * partition (the mapPartitions shape a real embedding stage needs:
     * load weights once, stream the batch through).
-    * ======== STUB ======== features are a deterministic fold of the raw
-    * bytes; a real implementation replaces only the inner function. */
+    *
+    * Two paths share the pipeline shape:
+    *   - `weights = None` (default) — ======== STUB ======== a
+    *     deterministic fold of the raw bytes (no model weights can exist
+    *     in this environment).
+    *   - `weights = Some(W)` — REAL math: the byte fold becomes the input
+    *     vector x, and the output is `tanh(W · x)` (a 1-layer linear
+    *     projection; W is `outDim × dim`, broadcast to every executor
+    *     once and reused across the partition's rows — the exact
+    *     lifecycle a real weight matrix needs). PipelineSpec proves the
+    *     projection against a hand-computed vector.
+    */
   final case class FeatureRow(id: Long, features: Seq[Double])
 
   def extractFeatures(df: DataFrame, idCol: String, binCol: String,
-      dim: Int = 8): DataFrame = {
+      dim: Int = 8,
+      weights: Option[Seq[Seq[Double]]] = None): DataFrame = {
     require(dim > 0, "dim must be positive")
+    weights.foreach { w =>
+      require(w.nonEmpty && w.forall(_.size == dim),
+        s"weight matrix must be outDim x $dim (rows of input-dim width)")
+    }
     implicit val enc = Encoders.product[FeatureRow]
+    val spark = df.sparkSession
+    // broadcast, not closure-capture: one deserialized copy per executor
+    // (a real weight matrix is MBs-GBs; per-task closures would re-ship it)
+    val bw = spark.sparkContext.broadcast(weights.map(_.map(_.toArray).toArray))
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
-        // real model weights would load here, once per partition
+        val w = bw.value // weights materialize once per partition
         it.map { case (id, bytes) =>
           val acc = new Array[Double](dim)
           var i = 0
@@ -261,7 +280,22 @@ object Multimodal {
             acc(i % dim) += (bytes(i) & 0xff) / 255.0
             i += 1
           }
-          FeatureRow(id, acc.toSeq)
+          val feats = w match {
+            case None => acc
+            case Some(m) =>
+              val out = new Array[Double](m.length)
+              var r = 0
+              while (r < m.length) {
+                val row = m(r)
+                var c = 0
+                var s = 0.0
+                while (c < dim) { s += row(c) * acc(c); c += 1 }
+                out(r) = math.tanh(s)
+                r += 1
+              }
+              out
+          }
+          FeatureRow(id, feats.toSeq)
         }
       }
       .toDF("id", "features")

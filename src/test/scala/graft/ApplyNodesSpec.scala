@@ -182,6 +182,27 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("CMS candidates contract: a supplied catalog avoids rescanning the input") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    Seq.fill(40)("a").zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "i").write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    // with a candidate catalog: the probe frame never touches the input
+    val probe = graft.ops.Sketches.frequentKeys(big, "k",
+      portion = 0.3, error = 0.05, candidates = Some(Seq("a", "b").toDF("k")))
+    assert(probe.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.isEmpty,
+      "probing a supplied candidate set must not rescan the input")
+    assert(probe.select("k").as[String].collect().toSet === Set("a"))
+    // default candidates = df.distinct(): the probe re-reads the input —
+    // fine at catalog scale, the documented misuse at 100 TB
+    val dflt = graft.ops.Sketches.frequentKeys(big, "k",
+      portion = 0.3, error = 0.05)
+    assert(dflt.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }.nonEmpty)
+  }
+
   test("tsdb context registers SQL views") {
     val ctx = rampContext(Seq(1), 0, 10)
     ctx.registerViews("t_")

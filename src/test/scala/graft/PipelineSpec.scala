@@ -477,6 +477,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       ("a", 3L, 1L, 10L), ("a", 4L, 1L, 20L), ("b", 9L, 0L, 0L)))
   }
 
+  test("extractFeatures weight path: tanh(W·x) against a hand-computed vector") {
+    // bytes (2, 4) at dim=2 fold to x = (2/255, 4/255); W = ((1, 2), (-3, 0), (0, 255))
+    val df = Seq((7L, Array[Byte](2, 4))).toDF("id", "bytes")
+    val w = Seq(Seq(1.0, 2.0), Seq(-3.0, 0.0), Seq(0.0, 255.0))
+    val out = Multimodal.extractFeatures(df, "id", "bytes", dim = 2,
+        weights = Some(w))
+      .select("features").as[Seq[Double]].head()
+    val x = Array(2.0 / 255.0, 4.0 / 255.0)
+    val expect = Seq(
+      math.tanh(1.0 * x(0) + 2.0 * x(1)),
+      math.tanh(-3.0 * x(0)),
+      math.tanh(255.0 * x(1)))
+    assert(out.size === 3)
+    out.zip(expect).foreach { case (a, e) => assert(math.abs(a - e) < 1e-15) }
+    // default path (no weights) is the documented stand-in fold, unchanged
+    val fold = Multimodal.extractFeatures(df, "id", "bytes", dim = 2)
+      .select("features").as[Seq[Double]].head()
+    assert(fold === Seq(2.0 / 255.0, 4.0 / 255.0))
+  }
+
   test("stratified sample: rate 0 drops all, rate 1 keeps all, reproducible") {
     val docs = (1L to 40L).map(i => (i, s"doc number $i text", if (i % 2 == 0) "keep" else "drop"))
       .toDF("doc_id", "text", "lang")

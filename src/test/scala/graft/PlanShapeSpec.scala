@@ -156,6 +156,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "whole-history aggregate must serve from the rollup alone")
   }
 
+  test("group-by rollup combine reads only the pruned accumulator columns") {
+    // the min/max/cnt group-by-tag composition must prune the 10-column
+    // accumulator down to {cnt, vmin, vmax} BEFORE the cross-series
+    // combine: the cached rollup's in-memory scan is the measurable
+    // boundary — if the full accumulator (4 struct-ordering aggs included)
+    // travelled the combine, its output would show all 10 columns
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("ts_group_aggregate_rollup_groupby_aligned",
+                     "ts_group_aggregate_rollup_aligned")) {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+      val rollupScans = p.collect { case s: InMemoryTableScanExec => s }
+        .filter(_.output.exists(_.name == "bin")) // the rollup cache, not the catalog
+      assert(rollupScans.nonEmpty, s"$name must read the cached rollup")
+      rollupScans.foreach { s =>
+        assert(s.output.map(_.name).toSet === Set("series_id", "bin", "cnt", "vmin", "vmax"),
+          s"$name must prune accumulators to the needed set, saw: ${s.output.map(_.name)}")
+      }
+    }
+  }
+
+  test("rollup ladder: the 7d-step query reads the DAY level only (not hour, not raw)") {
+    // persisted hour→day ladder with UNCACHED parquet reads, so the level
+    // actually scanned is visible as a FileSourceScanExec path: the
+    // engine must pick the coarsest eligible level (the reference answers
+    // from the highest covering subtree, nbtree.h:457)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val dir = "/root/testdata/sf0.001"
+    val ctx = graft.model.TsdbContext.fromTestdata(spark, dir)
+    val hourNs = 3600L * 1000000000L
+    val dayNs = 24L * hourNs
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder_spec")
+    val hourPath = base.resolve("rollup_1h").toString
+    val dayPath = base.resolve("rollup_1d").toString
+    graft.engine.Rollup.write(ctx.samples, hourPath, hourNs)
+    graft.engine.Rollup.compact(spark, hourPath, dayPath, hourNs, dayNs)
+    // catalog cached (as every deployment's is) so the only file scan
+    // left in a ladder-served plan is the rollup level itself
+    val eng = new Engine(ctx.copy(series = ctx.series.cache(),
+      rollups = Seq(
+        hourNs -> spark.read.parquet(hourPath),
+        dayNs -> spark.read.parquet(dayPath))))
+    val df = eng.execute(
+      """{"group-aggregate": {"metric": "purchase", "step": "7d",
+                              "func": ["min", "max", "cnt"]},
+          "range": {"from": "20240101T000000", "to": "20240330T000000"}}""")
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1, s"exactly one file scan (the day rollup), saw:\n$scans")
+    assert(scans.head.toString.contains("rollup_1d"),
+      s"the scan must read the DAY rollup:\n${scans.head}")
+    // and the registered entry (cached ladder) serves without parquet
+    val p = SparkEntry.queries("ts_group_aggregate_rollup_ladder")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(p.collect { case s: FileSourceScanExec => s }.isEmpty,
+      "cached ladder serving must not touch parquet")
+    assert(p.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+      "cached ladder serving must read the cached rollup")
+  }
+
   test("TPC-H shapes: dimensions broadcast; no shuffle below the dim joins") {
     // Q5: four dimension joins must all be broadcast-hash; the only
     // exchange allowed under them is none (lineitem-orders is the one
