@@ -283,8 +283,14 @@ final class Engine(val ctx: TsdbContext) {
     }
       // coarsest eligible rollup wins: its interior row count shrinks by
       // the fine-step ratio (the reference likewise answers from the
-      // highest subtree level that still covers the bins)
-      .sortBy { case (fine, _) => -fine }.headOption
+      // highest subtree level that still covers the bins). A level that
+      // ABSTAINS (no interior bin at its coarseness, or too sparse for
+      // hybrid serving) falls through to the next-finer one — on a
+      // (hour, day) ladder a 1d-step unaligned query has zero interior
+      // DAY bins but serves fine from the HOUR level; only when every
+      // level abstains does the query scan raw
+      .sortBy { case (fine, _) => -fine }
+      .to(LazyList)
       .flatMap { case (fine, rollup) =>
       val from = q.range.from
       // query-bin label of a point: forward bins anchor at `from` (the low
@@ -417,6 +423,7 @@ final class Engine(val ctx: TsdbContext) {
             (if (keepTsMin) Seq(col("ts_min").as("__ts_min")) else Nil)): _*)
       }
     }
+      .headOption
   }
 
   // ------------------------------------------------------------------ join

@@ -196,6 +196,38 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(served.nonEmpty)
   }
 
+  test("a coarse level that abstains falls through to the finer level, not raw") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    // ladder (5, 10) with step == coarse and an UNALIGNED range: every
+    // coarse bin straddles a query-bin boundary (noInterior → the coarse
+    // level abstains), but the fine level serves hybrid (density 5 ≥
+    // guard). The engine must fall through the ladder level by level —
+    // answering from the highest subtree that can actually serve
+    // (nbtree.h:457) — instead of scanning raw the moment the coarsest
+    // eligible level bows out.
+    val fine = Rollup.build(ctx.samples, stepNs = 5)
+    val coarse = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt),
+      step = 10, range = TimeRange(101, 199))
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    assert(direct.nonEmpty)
+    // poisoned COARSE level: unchanged result proves it was never read
+    val viaLadder = new Engine(ctx.copy(
+      rollups = Seq(5L -> fine, 10L -> coarse.withColumn("vmin", lit(-1e18)))))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaLadder.toSeq === direct.toSeq)
+    // poisoned FINE level: a changed result proves the fall-through landed
+    // on the fine rollup (pre-fix the engine would scan raw here and the
+    // poison would be inert)
+    val viaPoisonedFine = new Engine(ctx.copy(
+      rollups = Seq(5L -> fine.withColumn("vmin", lit(-1e18)), 10L -> coarse)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaPoisonedFine.exists(_.contains(-1e18)),
+      "the fine level must serve the interior once the coarse level abstains")
+  }
+
   test("sparse data abstains from hybrid rollup serving (density guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
