@@ -72,32 +72,40 @@ object EntryUtil {
         rollups = Seq(hourNs -> rollup)))
     })
 
-  /** Engine with a PERSISTED two-level rollup ladder (hour → day). The
-    * hourly rollup is written to parquet once, the day level is compacted
-    * FROM the hourly parquet (Rollup.compact — raw samples are never
-    * rescanned; the hierarchy law in RollupSpec proves hour→day ≡
-    * day-from-raw), and BOTH levels register with the engine, whose
-    * serving picks the coarsest eligible level — the reference answers
-    * from the highest subtree level that covers the query bins
-    * (/root/reference/stdb/storage/nbtree.h:457). A 7d-step query over a
-    * day-aligned range is thus served from the DAY rollup (24× fewer rows
-    * than the hourly one), which `ts_group_aggregate_rollup_ladder`
-    * hash-locks against the raw oracle and PlanShapeSpec pins
-    * structurally (day parquet read; hour and raw untouched). */
+  /** Engine with a PERSISTED three-level rollup ladder (hour → day →
+    * week). The hourly rollup is written to parquet once and each coarser
+    * level is compacted FROM the previous level's parquet (Rollup.compact
+    * — raw samples are never rescanned; the hierarchy law in RollupSpec
+    * proves compaction ≡ building from raw), and ALL levels register with
+    * the engine, whose serving tries levels coarsest-first and takes the
+    * first that can actually serve — the reference answers from the
+    * highest subtree level that covers the query bins
+    * (/root/reference/stdb/storage/nbtree.h:457). For the 7d-step
+    * day-aligned `ts_group_aggregate_rollup_ladder` query the WEEK level
+    * is eligible but abstains (epoch-week bins sit 4 days out of phase
+    * with the from-anchored 7d query bins — zero interior bins), so the
+    * engine falls through to the DAY rollup (24× fewer rows than the
+    * hourly one), which the entry hash-locks against the raw oracle and
+    * PlanShapeSpec pins structurally (day parquet read; week, hour and
+    * raw untouched). */
   def engineRollupLadderFor(spark: SparkSession, dir: String): Engine =
     engines.getOrElseUpdate((spark, dir + "#ladder"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val hourNs = 3600L * 1000000000L
       val dayNs = 24L * hourNs
+      val weekNs = 7L * dayNs
       val base = java.nio.file.Files.createTempDirectory("graft-ladder-")
       val hourPath = base.resolve("rollup_1h").toString
       val dayPath = base.resolve("rollup_1d").toString
+      val weekPath = base.resolve("rollup_1w").toString
       graft.engine.Rollup.write(ctx.samples, hourPath, hourNs)
       graft.engine.Rollup.compact(spark, hourPath, dayPath, hourNs, dayNs)
+      graft.engine.Rollup.compact(spark, dayPath, weekPath, dayNs, weekNs)
       new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
         rollups = Seq(
           hourNs -> spark.read.parquet(hourPath).cache(),
-          dayNs -> spark.read.parquet(dayPath).cache())))
+          dayNs -> spark.read.parquet(dayPath).cache(),
+          weekNs -> spark.read.parquet(weekPath).cache())))
     })
 
   private val codebooks = scala.collection.concurrent.TrieMap

@@ -1,18 +1,28 @@
 package graft.entries
 
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
 import EntryUtil._
 
 /** Round-5 entries: rollup-LADDER serving (the multi-level
   * highest-covering-subtree answer, /root/reference/stdb/storage/
   * nbtree.h:457 — here a persisted hour→day compaction ladder with the
-  * engine picking the coarsest eligible level), and the remaining
+  * engine picking the coarsest eligible level), the remaining
   * asof-join matrix (backward range; where-location × per-side filter
-  * composition), each hash-locked against a DuckDB oracle.
+  * composition; staleness tolerance), and the closed streaming loop
+  * (a STREAM-maintained rollup serving an engine query), each
+  * hash-locked against a DuckDB oracle.
   */
 object Round5Entries {
 
+  private val hourNs = 3600000000000L
   private val dayNs = 86400000000000L
   private val weekNs = 7 * dayNs
+
+  /** Unique memory-sink name per run (a stopped query's sink table
+    * persists; a rerun must not collide with it). */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // 2024-03-30T00:00Z — day-aligned (like FromIso), so every day-rollup
   // bin intersecting the range is interior: zero edge windows
@@ -20,11 +30,13 @@ object Round5Entries {
   private val AlignedToNs = ToNs - 2 * dayNs
 
   val queries: Map[String, QueryFn] = Map(
-    // rollup-ladder serving: the engine holds BOTH the hourly rollup and
-    // the day rollup compacted FROM it (Rollup.compact — raw never
-    // rescanned), and this 7d-step day-aligned query is answered from the
-    // DAY level alone (coarsest eligible; 24× fewer interior rows than
-    // the hourly level, zero raw I/O) — the multi-level SubtreeRef answer
+    // rollup-ladder serving: the engine holds the hour rollup plus day
+    // and week levels compacted up the ladder (Rollup.compact — raw never
+    // rescanned). For this 7d-step day-aligned query the WEEK level is
+    // eligible but abstains (epoch-week bins are 4 days out of phase with
+    // the from-anchored query bins — zero interior), so serving falls
+    // through to the DAY level alone (24× fewer interior rows than the
+    // hourly level, zero raw I/O) — the multi-level SubtreeRef answer
     "ts_group_aggregate_rollup_ladder" -> ((s, dir) =>
       usView(engineRollupLadderFor(s, dir).execute(
         s"""{"group-aggregate": {"metric": "purchase", "step": "7d",
@@ -54,7 +66,66 @@ object Round5Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "filter": {"click": {"ge": 10}, "view": {"gt": 30}},
              "where-location": {"knn": {"lon": 10.0, "lat": 10.0, "k": 5}}}"""),
-        valueCols = Seq("click", "view")))
+        valueCols = Seq("click", "view"))),
+
+    // asof-join staleness tolerance through the JSON surface: a carried
+    // view older than 24h at the click's timestamp is nulled out (the
+    // per-column tolerance gate, TimeJoins.asof rtsCol machinery) —
+    // testdata's median view gap is ~36h, so the gate genuinely fires.
+    // engineUs: the ts subtraction must see identical (µs) longs
+    "ts_asof_join_tolerance" -> ((s, dir) =>
+      usView(engineUs(s, dir).execute(
+        s"""{"asof-join": {"left": "click", "right": "view",
+                           "tolerance": "24h"},
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
+        valueCols = Seq("click", "view"))),
+
+    // the closed streaming loop: the rollup is maintained BY an executing
+    // Structured Streaming query (TsdbStream.rollupBuild — watermarked
+    // append, each hourly bin finalized exactly once), its memory sink is
+    // registered with the engine, and an aligned group-aggregate is
+    // served ENTIRELY from that stream-built rollup (aligned = zero edge
+    // windows = raw samples never read), hash-matched against the raw
+    // DuckDB oracle. Streamed and batch-built rollups being
+    // interchangeable is the operational contract behind keeping 100 TB
+    // rollups fresh as data arrives. The driver-side collect is the
+    // MemoryStream harness feed (bounded: one metric's rows); a
+    // deployment's stream reads Kafka/files. The final sentinel row sits
+    // past the query range and advances the watermark so every real bin
+    // finalizes; its own (out-of-range) bin stays in state, never emitted.
+    "stream_rollup_serve" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc = Encoders.product[(Long, Long, Double)]
+      implicit val sqlCtx = s.sqlContext
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ids = ctx.series.where(col("metric") === "purchase")
+        .select("series_id").collect().map(_.getLong(0))
+      val rows = ctx.samples
+        .where(col("series_id").isin(ids.toSeq: _*))
+        .orderBy("ts", "series_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val in = MemoryStream[(Long, Long, Double)]
+      val rollup = graft.streaming.TsdbStream.rollupBuild(
+        in.toDF().toDF("series_id", "ts", "value"), hourNs, "10 minutes")
+      val qn = s"stream_rollup_sink_${sinkSeq.incrementAndGet()}"
+      val q = rollup.writeStream.format("memory")
+        .outputMode("append").queryName(qn).start()
+      try {
+        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+          in.addData(chunk)
+          q.processAllAvailable()
+        }
+        in.addData((ids.head, ToNs + dayNs, 0.0)) // watermark past every real bin
+        q.processAllAvailable()
+      } finally q.stop()
+      val eng = new graft.engine.Engine(
+        ctx.copy(rollups = Seq(hourNs -> s.table(qn))))
+      usView(eng.execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""),
+        valueCols = Seq("min", "max", "cnt"))
+    })
   )
 
   /** bin start (µs) for a forward range anchored at `fromNs`. */
@@ -86,6 +157,38 @@ object Round5Entries {
               AND epoch_ns(ts) > $FromNs AND epoch_ns(ts) <= $ToNs) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY series, ts_us, click""",
+
+    // the 24h gate replayed on DuckDB's native ASOF match: the matched
+    // view value survives only when it is at most 24h older than the
+    // click (same µs longs on both sides via engineUs)
+    "ts_asof_join_tolerance" ->
+      s"""SELECT concat('click|view user=', CAST(l.user_id AS VARCHAR)) AS series,
+           epoch_us(l.ts) AS ts_us, round(l.value, 6) AS click,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= ${24 * 3600L * 1000000L}
+                THEN round(r.value, 6) END AS "view"
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click'
+                 AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) l
+         ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'view'
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY series, ts_us, click""",
+
+    // identical SQL to the aligned rollup entry: the STREAM-built rollup
+    // must reproduce the raw answer exactly (min/max/cnt are combine-law
+    // exact; the aligned range reads only finalized stream bins)
+    "stream_rollup_serve" ->
+      s"""SELECT concat('purchase:min|purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            ${binUs(FromNs, dayNs)} AS ts_us,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
+          GROUP BY user_id, ts_us ORDER BY series, ts_us""",
 
     "ts_asof_join_filtered_knn" ->
       s"""WITH se AS (

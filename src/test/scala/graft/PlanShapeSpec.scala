@@ -178,27 +178,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("rollup ladder: the 7d-step query reads the DAY level only (not hour, not raw)") {
-    // persisted hour→day ladder with UNCACHED parquet reads, so the level
-    // actually scanned is visible as a FileSourceScanExec path: the
-    // engine must pick the coarsest eligible level (the reference answers
-    // from the highest covering subtree, nbtree.h:457)
+    // persisted hour→day→week ladder with UNCACHED parquet reads, so the
+    // level actually scanned is visible as a FileSourceScanExec path: the
+    // engine tries levels coarsest-first (the reference answers from the
+    // highest covering subtree, nbtree.h:457) — the WEEK level is
+    // eligible for a 7d step but abstains (epoch-week bins sit 4 days out
+    // of phase with the from-anchored query bins: zero interior bins), so
+    // the plan must fall through to the DAY level, never week/hour/raw
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val dir = "/root/testdata/sf0.001"
     val ctx = graft.model.TsdbContext.fromTestdata(spark, dir)
     val hourNs = 3600L * 1000000000L
     val dayNs = 24L * hourNs
+    val weekNs = 7L * dayNs
     val base = java.nio.file.Files.createTempDirectory("graft_ladder_spec")
     val hourPath = base.resolve("rollup_1h").toString
     val dayPath = base.resolve("rollup_1d").toString
+    val weekPath = base.resolve("rollup_1w").toString
     graft.engine.Rollup.write(ctx.samples, hourPath, hourNs)
     graft.engine.Rollup.compact(spark, hourPath, dayPath, hourNs, dayNs)
+    graft.engine.Rollup.compact(spark, dayPath, weekPath, dayNs, weekNs)
     // catalog cached (as every deployment's is) so the only file scan
     // left in a ladder-served plan is the rollup level itself
     val eng = new Engine(ctx.copy(series = ctx.series.cache(),
       rollups = Seq(
         hourNs -> spark.read.parquet(hourPath),
-        dayNs -> spark.read.parquet(dayPath))))
+        dayNs -> spark.read.parquet(dayPath),
+        weekNs -> spark.read.parquet(weekPath))))
     val df = eng.execute(
       """{"group-aggregate": {"metric": "purchase", "step": "7d",
                               "func": ["min", "max", "cnt"]},
