@@ -366,7 +366,11 @@ final class Engine(val ctx: TsdbContext) {
       // smaller than the raw rows it replaces. Fully-aligned ranges (zero
       // edge windows) skip raw entirely and are served at any density.
       val fullyAligned = edgeWindows.contains(Nil)
-      val tooSparse =
+      // def, not val: when noInterior already decides abstention (the
+      // phase-misaligned ladder level), the density statistic — a Spark
+      // action over every registered rollup on first touch — is never
+      // forced during plan construction
+      def tooSparse =
         !fullyAligned && rollupDensities(fine) < Engine.RollupMinDensity
       if (noInterior || tooSparse) None
       else Some {

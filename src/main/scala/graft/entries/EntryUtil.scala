@@ -1,6 +1,6 @@
 package graft.entries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Engine
@@ -107,6 +107,57 @@ object EntryUtil {
           dayNs -> spark.read.parquet(dayPath).cache(),
           weekNs -> spark.read.parquet(weekPath).cache())))
     })
+
+  private val sinkSeqs = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  /** Execute a streaming entry for real: feed `rows` into a MemoryStream
+    * in `chunks` micro-batches (callers pre-sort by ts so the watermark
+    * only advances), run `mkStream`'s transformation to a memory sink in
+    * append mode until all input is processed, and return the sink table.
+    *
+    * Sink lifecycle: each run gets a fresh `<prefix>_<n>` table (a
+    * stopped query's sink persists, so a rerun must not collide with it)
+    * and DROPS the previous run's table — exactly one live sink per
+    * prefix, so repeated runs (Bench's two passes, Verify reruns) hold a
+    * bounded driver footprint instead of accumulating result sets.
+    *
+    * `mapChunk` transforms each fed batch (e.g. duplicate every row to
+    * exercise dedup); `sentinel` is an optional final row past every real
+    * event that advances the watermark so tail windows finalize — its own
+    * window never does and stays out of the sink.
+    *
+    * The driver-side `rows` materialization is the harness feed (bounded:
+    * one metric's rows); a deployment's stream reads Kafka/files and
+    * never materializes on the driver. */
+  def runStreamEntry[T <: Product](spark: SparkSession, prefix: String,
+      rows: Seq[T], chunks: Int, cols: Seq[String],
+      mkStream: DataFrame => DataFrame,
+      mapChunk: Seq[T] => Seq[T] = identity[Seq[T]] _,
+      sentinel: Option[T] = None)(implicit enc: Encoder[T]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val seq = sinkSeqs.getOrElseUpdate(prefix,
+      new java.util.concurrent.atomic.AtomicLong(0L))
+    val n = seq.incrementAndGet()
+    if (n > 1) spark.catalog.dropTempView(s"${prefix}_${n - 1}")
+    val in = MemoryStream[T]
+    val out = mkStream(in.toDF().toDF(cols: _*))
+    val qn = s"${prefix}_$n"
+    val q = out.writeStream.format("memory")
+      .outputMode("append").queryName(qn).start()
+    try {
+      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+        in.addData(mapChunk(c))
+        q.processAllAvailable()
+      }
+      sentinel.foreach { last =>
+        in.addData(last)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qn)
+  }
 
   private val codebooks = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]

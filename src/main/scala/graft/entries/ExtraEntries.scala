@@ -15,10 +15,6 @@ import EntryUtil._
   */
 object ExtraEntries {
 
-  /** Unique memory-sink name per `stream_downsample` run (a stopped
-    * query's sink table persists; a rerun must not collide with it). */
-  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   val queries: Map[String, QueryFn] = Map(
     // ---- spatial (SURVEY §2.9: R-tree range + kNN over series locations) --
     "ts_spatial_range" -> ((s, dir) =>
@@ -183,37 +179,21 @@ object ExtraEntries {
     // watermarked hourly aggregation runs in append mode (each window
     // emitted exactly once when the watermark finalizes it), and the
     // memory sink IS the entry's result, checked against an epoch-aligned
-    // hourly bucket in SQL. A sentinel row past every real window
-    // advances the watermark so the tail windows finalize; its own window
-    // never does and stays out of the sink. The driver-side collect is
-    // the MemoryStream harness feed (bounded: one metric's rows).
+    // hourly bucket in SQL. The sentinel (2h + lateness past the last
+    // real event) finalizes every real window.
     "stream_downsample" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val enc = Encoders.product[(String, Long, Double)]
-      implicit val sqlCtx = s.sqlContext
       val rows = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
           col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
         .orderBy("ts", "name")
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      val in = MemoryStream[(String, Long, Double)]
-      val down = graft.streaming.TsdbStream.downsample(
-        in.toDF().toDF("name", "ts", "value"), "1 hour", "10 minutes")
-      val qn = s"stream_downsample_sink_${streamSinkSeq.incrementAndGet()}"
-      val q = down.writeStream.format("memory")
-        .outputMode("append").queryName(qn).start()
-      try {
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-          in.addData(chunk)
-          q.processAllAvailable()
-        }
-        // 2h+lateness past the last real event: every real window finalizes
-        in.addData(("click user=0", rows.last._2 + 2L * 3600000000000L, 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(qn)
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      runStreamEntry(s, "stream_downsample_sink", rows, chunks = 3,
+        cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.downsample(_, "1 hour", "10 minutes"),
+        sentinel = Some(("click user=0", rows.last._2 + 2L * 3600000000000L, 0.0)))
         .select(col("name"), unix_micros(col("bin")).as("bin_us"),
           round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
           col("cnt"))

@@ -266,6 +266,22 @@ object PipelineEntries {
           round(element_at(col("features"), 2), 6).as("f1"),
           round(element_at(col("features"), 3), 6).as("f2"),
           round(element_at(col("features"), 4), 6).as("f3"))
+        .orderBy("id")),
+
+    // the REAL-math projection path: tanh(W·x) over the fold vector with
+    // a broadcast 2×4 weight matrix (exact binary-fraction weights; the
+    // oracle replays the identical left-associated dot product + tanh)
+    "mm_features_proj" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", dim = 4,
+          weights = Some(Seq(
+            Seq(0.5, -1.0, 0.25, 2.0),
+            Seq(-0.125, 1.5, -0.75, 0.0625))))
+        .select(col("id"),
+          round(element_at(col("features"), 1), 6).as("p0"),
+          round(element_at(col("features"), 2), 6).as("p1"))
         .orderBy("id"))
   )
 
@@ -726,5 +742,32 @@ object PipelineEntries {
            round(coalesce(sum(v) FILTER (WHERE j = 1), 0), 6) AS f1,
            round(coalesce(sum(v) FILTER (WHERE j = 2), 0), 6) AS f2,
            round(coalesce(sum(v) FILTER (WHERE j = 3), 0), 6) AS f3
-         FROM b GROUP BY doc_id ORDER BY id""")
+         FROM b GROUP BY doc_id ORDER BY id""",
+
+    // the projection replays the engine's exact op sequence: left-
+    // associated Σ w_j·f_j over the UNROUNDED fold vector, then tanh.
+    // This DuckDB build has no tanh — 1 − 2/(e²ˣ+1) is the saturation-
+    // safe identity (exp overflow → 1.0, underflow → −1.0, exactly like
+    // math.tanh; mid-range agrees within ulps, absorbed by round6)
+    "mm_features_proj" ->
+      """WITH b AS (
+           SELECT doc_id, (i - 1) % 4 AS j,
+             unicode(substr(text, i, 1)) / 255.0 AS v
+           FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+         f AS (
+           SELECT doc_id,
+             coalesce(sum(v) FILTER (WHERE j = 0), 0) AS f0,
+             coalesce(sum(v) FILTER (WHERE j = 1), 0) AS f1,
+             coalesce(sum(v) FILTER (WHERE j = 2), 0) AS f2,
+             coalesce(sum(v) FILTER (WHERE j = 3), 0) AS f3
+           FROM b GROUP BY doc_id),
+         x AS (
+           SELECT doc_id,
+             0.5 * f0 + -1.0 * f1 + 0.25 * f2 + 2.0 * f3 AS x0,
+             -0.125 * f0 + 1.5 * f1 + -0.75 * f2 + 0.0625 * f3 AS x1
+           FROM f)
+         SELECT doc_id AS id,
+           round(1.0 - 2.0 / (exp(2.0 * x0) + 1.0), 6) AS p0,
+           round(1.0 - 2.0 / (exp(2.0 * x1) + 1.0), 6) AS p1
+         FROM x ORDER BY id""")
 }

@@ -17,10 +17,6 @@ object Round2Entries {
 
   private val dayNs = 86400000000000L
 
-  /** Unique memory-sink name per `stream_dedup` run (a stopped query's
-    * sink table persists; a rerun must not collide with it). */
-  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   val queries: Map[String, QueryFn] = Map(
     // backward group-aggregate: bins anchor at `from` (the high end) and
     // descend (column_store_test.cc:668-762 exercises both scan orders)
@@ -165,32 +161,19 @@ object Round2Entries {
     // memory sink, and the sink table IS the entry's result. Duplicates
     // always share a micro-batch, so the kept row is deterministic, and
     // ts-ordered batches keep every row ahead of the advancing watermark.
-    // The driver-side collect is the MemoryStream harness feed (bounded:
-    // one metric's rows), not a query-path action — a deployment's stream
-    // reads Kafka/files and never materializes on the driver.
     "stream_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val enc = Encoders.product[(String, Long, Double)]
-      implicit val sqlCtx = s.sqlContext
       val rows = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
           col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
         .orderBy("ts", "name")
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      val in = MemoryStream[(String, Long, Double)]
-      val dedup = graft.streaming.TsdbStream.dedup(
-        in.toDF().toDF("name", "ts", "value"), "10 minutes")
-      val qn = s"stream_dedup_sink_${streamSinkSeq.incrementAndGet()}"
-      val q = dedup.writeStream.format("memory").queryName(qn).start()
-      try {
-        rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
-          in.addData(chunk ++ chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      s.table(qn)
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      runStreamEntry(s, "stream_dedup_sink", rows, chunks = 4,
+        cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.dedup(_, "10 minutes"),
+        mapChunk = (c: Seq[(String, Long, Double)]) => c ++ c)
         .select(col("name"), expr("ts div 1000").as("ts_us"),
           round(col("value"), 6).as("value"))
         .orderBy("name", "ts_us")

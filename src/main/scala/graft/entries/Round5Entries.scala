@@ -20,10 +20,6 @@ object Round5Entries {
   private val dayNs = 86400000000000L
   private val weekNs = 7 * dayNs
 
-  /** Unique memory-sink name per run (a stopped query's sink table
-    * persists; a rerun must not collide with it). */
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   // 2024-03-30T00:00Z — day-aligned (like FromIso), so every day-rollup
   // bin intersecting the range is interior: zero edge windows
   private val AlignedToIso = "20240330T000000"
@@ -85,41 +81,28 @@ object Round5Entries {
     // append, each hourly bin finalized exactly once), its memory sink is
     // registered with the engine, and an aligned group-aggregate is
     // served ENTIRELY from that stream-built rollup (aligned = zero edge
-    // windows = raw samples never read), hash-matched against the raw
-    // DuckDB oracle. Streamed and batch-built rollups being
-    // interchangeable is the operational contract behind keeping 100 TB
-    // rollups fresh as data arrives. The driver-side collect is the
-    // MemoryStream harness feed (bounded: one metric's rows); a
-    // deployment's stream reads Kafka/files. The final sentinel row sits
-    // past the query range and advances the watermark so every real bin
-    // finalizes; its own (out-of-range) bin stays in state, never emitted.
+    // windows = raw samples never read; PlanShapeSpec pins that no
+    // parquet scan in the served plan reads `value`), hash-matched
+    // against the raw DuckDB oracle. Streamed and batch-built rollups
+    // being interchangeable is the operational contract behind keeping
+    // 100 TB rollups fresh as data arrives. The sentinel sits past the
+    // query range and finalizes every real bin; its own (out-of-range)
+    // bin stays in state, never emitted.
     "stream_rollup_serve" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val enc = Encoders.product[(Long, Long, Double)]
-      implicit val sqlCtx = s.sqlContext
       val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
       val ids = ctx.series.where(col("metric") === "purchase")
         .select("series_id").collect().map(_.getLong(0))
       val rows = ctx.samples
         .where(col("series_id").isin(ids.toSeq: _*))
         .orderBy("ts", "series_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      val in = MemoryStream[(Long, Long, Double)]
-      val rollup = graft.streaming.TsdbStream.rollupBuild(
-        in.toDF().toDF("series_id", "ts", "value"), hourNs, "10 minutes")
-      val qn = s"stream_rollup_sink_${sinkSeq.incrementAndGet()}"
-      val q = rollup.writeStream.format("memory")
-        .outputMode("append").queryName(qn).start()
-      try {
-        rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-          in.addData(chunk)
-          q.processAllAvailable()
-        }
-        in.addData((ids.head, ToNs + dayNs, 0.0)) // watermark past every real bin
-        q.processAllAvailable()
-      } finally q.stop()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val sink = runStreamEntry(s, "stream_rollup_sink", rows, chunks = 3,
+        cols = Seq("series_id", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.rollupBuild(_, hourNs, "10 minutes"),
+        sentinel = Some((ids.head, ToNs + dayNs, 0.0)))
       val eng = new graft.engine.Engine(
-        ctx.copy(rollups = Seq(hourNs -> s.table(qn))))
+        ctx.copy(rollups = Seq(hourNs -> sink)))
       usView(eng.execute(
         s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
                                  "func": ["min", "max", "cnt"]},

@@ -267,12 +267,17 @@ object Multimodal {
     implicit val enc = Encoders.product[FeatureRow]
     val spark = df.sparkSession
     // broadcast, not closure-capture: one deserialized copy per executor
-    // (a real weight matrix is MBs-GBs; per-task closures would re-ship it)
-    val bw = spark.sparkContext.broadcast(weights.map(_.map(_.toArray).toArray))
+    // (a real weight matrix is MBs-GBs; per-task closures would re-ship
+    // it). Only created when weights exist — the default fold path must
+    // not pay a broadcast. The handle lives as long as the returned
+    // frame; callers looping over many matrices should reuse one frame
+    // per matrix (the ContextCleaner reclaims dropped broadcasts on GC).
+    val bw = weights.map(w =>
+      spark.sparkContext.broadcast(w.map(_.toArray).toArray))
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
-        val w = bw.value // weights materialize once per partition
+        val w = bw.map(_.value) // weights materialize once per partition
         it.map { case (id, bytes) =>
           val acc = new Array[Double](dim)
           var i = 0

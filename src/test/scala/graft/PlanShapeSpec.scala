@@ -156,6 +156,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "whole-history aggregate must serve from the rollup alone")
   }
 
+  test("stream-built rollup actually serves: no parquet scan reads sample values") {
+    // the closed-loop entry's oracle is the raw-scan answer, so a silent
+    // fallback to raw (schema drift in TsdbStream.rollupBuild, guard
+    // tweak, registration bug) would stay green while un-proving the
+    // feature. Pin it structurally: in the served plan the only parquet
+    // reads are catalog derivation (event_type/user_id columns) — a raw
+    // fallback would scan the fact columns, including `value`
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = SparkEntry.queries("stream_rollup_serve")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val valueScans = p.collect { case s: FileSourceScanExec => s }
+      .filter(_.output.exists(_.name == "value"))
+    assert(valueScans.isEmpty,
+      s"aligned serving from the stream-built rollup must not scan raw sample values:\n$valueScans")
+  }
+
   test("group-by rollup combine reads only the pruned accumulator columns") {
     // the min/max/cnt group-by-tag composition must prune the 10-column
     // accumulator down to {cnt, vmin, vmax} BEFORE the cross-series
