@@ -37,6 +37,10 @@ import graft.series.SeriesName
   * `ts` is Long UTC ns throughout.
   */
 object Engine {
+  /** One day in engine time units (Long UTC ns) — the granularity of the
+    * layout's ts_day partition column. */
+  val NsPerDay = 86400L * 1000000000L
+
   /** Minimum number of fine rollup bins a range must span before a
     * group-aggregate is served from the rollup: below this the
     * union+recombine plan costs more than the raw scan it replaces
@@ -459,7 +463,7 @@ final class Engine(val ctx: TsdbContext) {
         tagSuffix(col("tags")).as("__tk"))
     val factCols = Seq("series_id", "ts", "value") ++
       (if (factsHaveKey) Seq("tagkey") else Nil)
-    val f0 = facts(Seq(q.left, q.right))
+    val f0 = tsDayPruned(facts(Seq(q.left, q.right)), q.range)
       .select(factCols.map(col): _*)
       .join(broadcast(withKey), "series_id")
       .where(rangeCond(q.range))
@@ -560,7 +564,7 @@ final class Engine(val ctx: TsdbContext) {
         tagSuffix(col("tags")).as("tagkey"))
     val factCols = Seq("series_id", "ts", "value") ++
       (if (factsHaveKey) Seq("tagkey") else Nil)
-    var f = facts(metrics).select(factCols.map(col): _*)
+    var f = tsDayPruned(facts(metrics), range).select(factCols.map(col): _*)
       .join(broadcast(ids), "series_id").where(rangeCond(range))
     // per-metric value filters run during the scan, before tuple assembly
     // (reference replicates filters across the zig-zag id layout,
@@ -739,9 +743,25 @@ final class Engine(val ctx: TsdbContext) {
       ctx.samples.where(col("metric").isin(metrics: _*))
     else ctx.samples
 
+  /** Directory-level time pruning: when the fact table carries the
+    * layout's `ts_day` partition column (TsdbLayout.writeSamples), the
+    * query range also bounds it, so Catalyst prunes (metric, ts_day)
+    * directories before any I/O — the second level of the two-level
+    * pruning that makes a range query touch only its days at 100 TB
+    * (the reference's analog: the inverted index + per-volume ranges).
+    * Must run BEFORE any projection that drops the partition column.
+    * On a plain layout this is a no-op; `rangeCond` still filters rows. */
+  private def tsDayPruned(df: DataFrame, r: TimeRange): DataFrame =
+    if (!df.columns.contains("ts_day")) df
+    else {
+      val (lo, hi) = if (r.forward) (r.from, r.to - 1) else (r.to + 1, r.from)
+      df.where(col("ts_day") >= Math.floorDiv(lo, Engine.NsPerDay) &&
+        col("ts_day") <= Math.floorDiv(hi, Engine.NsPerDay))
+    }
+
   /** Broadcast-join facts to resolved ids and apply the time range. */
   private def scan(ids: DataFrame, range: TimeRange, metrics: Seq[String]): DataFrame =
-    facts(metrics)
+    tsDayPruned(facts(metrics), range)
       .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(range))
 

@@ -108,6 +108,64 @@ object EntryUtil {
           weekNs -> spark.read.parquet(weekPath).cache())))
     })
 
+  /** Engine whose fact scan goes through the PERSISTED partitioned +
+    * sorted layout (TsdbLayout.writeSamples: metric/ts_day directory
+    * partitioning, (series_id, ts)-sorted files): the entry-level proof
+    * that the storage design ANSWERS queries — partition pruning and
+    * row-group stats on the serving path — not just LayoutSpec's plan
+    * asserts. The write is a one-time index/storage build, like the
+    * rollup and IVF builds. */
+  def engineLayoutFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#layout"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-layout-").toString
+      graft.model.TsdbLayout.writeSamples(ctx, base)
+      val series = cachedSeries(spark, dir, ctx.series)
+      new Engine(graft.model.TsdbLayout.contextOver(
+        spark, base, series, ctx.events))
+    })
+
+  // 2024-01-15T00:00Z — the retention cutoff the expired-layout entry and
+  // its oracle agree on: an exact ts_day boundary (directory drop ≡ the
+  // predicate) INSIDE the data span (events cover Jan 1-30 at every SF),
+  // so the entry proves both that aged days vanish and that retained
+  // days survive
+  val ExpireCutoffNs = 1705276800000000000L
+
+  /** Engine over a PRIVATE layout copy with every ts_day directory before
+    * [[ExpireCutoffNs]] dropped via TsdbLayout.expire — retention as a
+    * metadata operation (no file opened or rewritten), proven end-to-end
+    * by `ts_layout_expire` whose oracle applies the cutoff as a raw-table
+    * predicate. */
+  def engineExpiredLayoutFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#expired"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-expired-").toString
+      graft.model.TsdbLayout.writeSamples(ctx, base)
+      graft.model.TsdbLayout.expire(base, ExpireCutoffNs)
+      val series = cachedSeries(spark, dir, ctx.series)
+      new Engine(graft.model.TsdbLayout.contextOver(
+        spark, base, series, ctx.events))
+    })
+
+  /** Engine over the tagkey-BUCKETED layout table
+    * (TsdbLayout.writeBucketedByTagkey): join-kind alignment — the
+    * engine's one unavoidable shuffle on a plain layout — reads
+    * co-located buckets and plans exchange-free; the write-time shuffle
+    * is paid once and amortized over every join query. */
+  def engineBucketedFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#bucketed"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val tbl = "graft_bucketed_" + math.abs(dir.hashCode.toLong).toString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucketed-").toString
+      graft.model.TsdbLayout.writeBucketedByTagkey(ctx, tbl, base)
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        samples = spark.table(tbl)))
+    })
+
   private val sinkSeqs = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicLong]
 

@@ -40,6 +40,37 @@ object Round5Entries {
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""),
         valueCols = Seq("min", "max", "cnt"))),
 
+    // SELECT served from the PERSISTED partitioned layout
+    // (metric/ts_day directory pruning + (series_id, ts) row-group
+    // stats): the storage design answering a real query under the
+    // oracle gate, with PlanShapeSpec pinning the partition filters
+    "ts_layout_select" -> ((s, dir) =>
+      usView(engineLayoutFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where": {"user": ["2", "4", "6", "8"]}}"""))),
+
+    // JOIN aligned on the bucketed layout's own tagkey column: the
+    // engine's one unavoidable shuffle vanishes (write-time bucketing),
+    // and the result still matches the plain raw-scan oracle
+    "ts_layout_join" -> ((s, dir) =>
+      usView(engineBucketedFor(s, dir).execute(
+        s"""{"join": ["click", "view"],
+             "range": {"from": "$FromIso", "to": "$ToIso"}}"""),
+        valueCols = Seq("click", "view"))),
+
+    // time-based retention end-to-end: a PRIVATE copy of the layout has
+    // every ts_day directory before Jan 15 dropped (TsdbLayout.expire — a
+    // metadata operation, no file rewritten; the analog of the reference
+    // dropping aged volumes), and the engine over the expired layout
+    // answers a WHOLE-range select with only the retained days — the
+    // oracle applies the cutoff as a predicate on the raw table
+    "ts_layout_expire" -> ((s, dir) =>
+      usView(engineExpiredLayoutFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where": {"user": ["2", "4", "6", "8"]}}"""))),
+
     // asof-join over a BACKWARD range (closed-top (to, from] window,
     // descending output): the carry-forward match itself is direction-
     // independent — each click still pairs with the latest view at-or-
@@ -126,6 +157,31 @@ object Round5Entries {
           WHERE event_type = 'purchase'
             AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $AlignedToNs
           GROUP BY user_id, ts_us ORDER BY series, ts_us""",
+
+    "ts_layout_select" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          ${oracleScan("purchase", "AND user_id IN (2, 4, 6, 8)")}
+          ORDER BY series, ts_us""",
+
+    "ts_layout_join" ->
+      s"""SELECT concat('click|view user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(max(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+            round(max(value) FILTER (WHERE event_type = 'view'), 6) AS "view"
+          FROM events
+          WHERE event_type IN ('click', 'view')
+            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+          GROUP BY user_id, ts ORDER BY series, ts_us""",
+
+    // retention replayed as a predicate: everything before the Jan 15
+    // cutoff is gone from the expired layout
+    "ts_layout_expire" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          ${oracleScan("purchase",
+              s"AND user_id IN (2, 4, 6, 8) AND epoch_ns(ts) >= $ExpireCutoffNs")}
+          ORDER BY series, ts_us""",
 
     "ts_asof_join_backward" ->
       s"""SELECT concat('click|view user=', CAST(l.user_id AS VARCHAR)) AS series,

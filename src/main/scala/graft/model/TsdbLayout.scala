@@ -33,7 +33,13 @@ object TsdbLayout {
     val withMetric = ctx.samples
       .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
         "series_id")
-      .withColumn("ts_day", (col("ts") / NsPerDay).cast("long"))
+      // exact Long division: `/` on Long columns is double division,
+      // which can misassign a sample within ~128 ns of midnight to the
+      // neighboring day past 2^53 — and the engine's ts_day partition
+      // pruning (Engine.tsDayPruned) would then wrongly skip its
+      // directory at a range boundary
+      .withColumn("ts_day",
+        graft.functions.VectorExpressions.longDiv(col("ts"), NsPerDay))
     withMetric
       .repartition(col("metric"), col("ts_day"))
       .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))

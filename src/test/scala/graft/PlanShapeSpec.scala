@@ -156,6 +156,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "whole-history aggregate must serve from the rollup alone")
   }
 
+  test("layout-served entries: partition pruning on select, no hash exchange on join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val dir = "/root/testdata/sf0.001"
+    // the persisted layout's metric directory partitioning must reach the
+    // scan as PartitionFilters (directories pruned before any I/O)
+    val sel = SparkEntry.queries("ts_layout_select")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sel.contains("PartitionFilters") && sel.contains("metric"),
+      s"layout select must prune metric partitions:\n$sel")
+    // the range must ALSO bound the ts_day partition column (two-level
+    // pruning: a range query touches only its days' directories)
+    assert(sel.contains("ts_day"),
+      s"layout select must derive ts_day partition bounds from the range:\n$sel")
+    // the bucketed table's tagkey bucketing makes join alignment
+    // exchange-free: the only shuffles left are the output sort's range
+    // exchanges, never a hash repartition
+    val join = SparkEntry.queries("ts_layout_join")(spark, dir)
+      .queryExecution.executedPlan
+    val hashEx = join.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty,
+      s"bucketed join alignment must plan without a hash exchange:\n$hashEx")
+  }
+
   test("stream-built rollup actually serves: no parquet scan reads sample values") {
     // the closed-loop entry's oracle is the raw-scan answer, so a silent
     // fallback to raw (schema drift in TsdbStream.rollupBuild, guard
