@@ -179,15 +179,27 @@ object Round2Entries {
         .orderBy("name", "ts_us")
     }),
 
-    // session windows on a batch frame (same session_window aggregation
-    // as the watermarked stream); the oracle replays the gaps-and-islands
-    // construction
-    "stream_sessions_batch" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+    // session windows executed as a REAL Structured Streaming query: the
+    // stateful session_window aggregation merges open sessions across
+    // ts-ordered micro-batches and append mode emits each session exactly
+    // once when the watermark passes its end. The ts-ordered feed makes
+    // stream splits ≡ the batch gaps-and-islands oracle: a session is
+    // only finalized once every event within `gap` of it has been seen
+    // (watermark lags chunk-max by 1h < the 1d gap). The sentinel (gap +
+    // lateness past the last event) finalizes the tail sessions.
+    "stream_sessions" -> ((s, dir) => {
+      implicit val enc = Encoders.product[(String, Long, Double)]
+      val rows = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value"))
-      graft.streaming.TsdbStream.sessionize(ev, "1 day", "1 hour")
+          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
+        .orderBy("ts", "name")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      runStreamEntry(s, "stream_sessions_sink", rows, chunks = 4,
+        cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.sessionize(_, "1 day", "1 hour"),
+        sentinel = Some(("click user=0", rows.last._2 + 2 * dayNs, 0.0)))
         .select(col("name"),
           unix_micros(col("session_start")).as("start_us"),
           unix_micros(col("session_end")).as("end_us"),
@@ -384,7 +396,7 @@ object Round2Entries {
 
     // gaps-and-islands replay of session_window: a session breaks where
     // the gap to the previous event is >= 1 day; end = last event + gap
-    "stream_sessions_batch" ->
+    "stream_sessions" ->
       """WITH f AS (
            SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
          g AS (
