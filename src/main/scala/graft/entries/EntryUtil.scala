@@ -171,8 +171,13 @@ object EntryUtil {
 
   /** Execute a streaming entry for real: feed `rows` into a MemoryStream
     * in `chunks` micro-batches (callers pre-sort by ts so the watermark
-    * only advances), run `mkStream`'s transformation to a memory sink in
-    * append mode until all input is processed, and return the sink table.
+    * only advances), run `mkStream`'s transformation to a memory sink
+    * until all input is processed, and return the sink table. Append
+    * mode for watermarked window aggregations; `outputMode = "update"`
+    * for mapGroupsWithState transforms (the memory sink appends each
+    * trigger's emitted rows, and a transform that emits every input row
+    * exactly once — e.g. EWMA — therefore accumulates its complete
+    * output in the sink).
     *
     * Sink lifecycle: each run gets a fresh `<prefix>_<n>` table (a
     * stopped query's sink persists, so a rerun must not collide with it)
@@ -192,7 +197,8 @@ object EntryUtil {
       rows: Seq[T], chunks: Int, cols: Seq[String],
       mkStream: DataFrame => DataFrame,
       mapChunk: Seq[T] => Seq[T] = identity[Seq[T]] _,
-      sentinel: Option[T] = None)(implicit enc: Encoder[T]): DataFrame = {
+      sentinel: Option[T] = None,
+      outputMode: String = "append")(implicit enc: Encoder[T]): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val seq = sinkSeqs.getOrElseUpdate(prefix,
@@ -203,7 +209,7 @@ object EntryUtil {
     val out = mkStream(in.toDF().toDF(cols: _*))
     val qn = s"${prefix}_$n"
     val q = out.writeStream.format("memory")
-      .outputMode("append").queryName(qn).start()
+      .outputMode(outputMode).queryName(qn).start()
     try {
       rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
         in.addData(mapChunk(c))

@@ -209,12 +209,27 @@ object Round2Entries {
 
     // streaming stateful EWMA on a batch frame (mapGroupsWithState path);
     // the oracle replays the seeded recursion with list_reduce
-    "stream_ewma_batch" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+    // per-series EWMA executed as a REAL Structured Streaming query:
+    // mapGroupsWithState carries the recursive (v, n) state across
+    // ts-ordered micro-batches, update-mode output lands in the memory
+    // sink (each input row's EWMA is emitted exactly once, in the trigger
+    // that consumed it, so the sink accumulates the complete series).
+    // The ts-ordered feed makes the stream fold ≡ the oracle's
+    // list_reduce replay; no watermark/sentinel — EWMA state never
+    // expires (the unbounded-lateness variant).
+    "stream_ewma" -> ((s, dir) => {
+      implicit val enc = Encoders.product[(String, Long, Double)]
+      val rows = s.read.parquet(s"$dir/events.parquet")
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value"))
-      graft.streaming.TsdbStream.ewma(ev, decay = 0.2)
+          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
+        .orderBy("ts", "name")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      runStreamEntry(s, "stream_ewma_sink", rows, chunks = 4,
+        cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.ewma(_, decay = 0.2),
+        outputMode = "update")
         .select(col("name"), expr("ts div 1000").as("ts_us"),
           round(col("value"), 6).as("value"), round(col("ewma"), 6).as("ewma"))
         .orderBy("name", "ts_us")
@@ -419,7 +434,7 @@ object Round2Entries {
 
     // seeded recursion: st_1 = x_1; st_n = d·x_n + (1−d)·st_{n−1};
     // list_reduce folds the identical IEEE op sequence
-    "stream_ewma_batch" ->
+    "stream_ewma" ->
       s"""WITH f AS (
             SELECT user_id, ts, value,
               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
