@@ -39,7 +39,7 @@ import graft.series.SeriesName
 object Engine {
   /** One day in engine time units (Long UTC ns) — the granularity of the
     * layout's ts_day partition column. */
-  val NsPerDay = 86400L * 1000000000L
+  val NsPerDay = graft.time.TimeUtil.NsPerDay
 
   /** Minimum number of fine rollup bins a range must span before a
     * group-aggregate is served from the rollup: below this the

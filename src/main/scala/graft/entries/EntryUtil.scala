@@ -193,6 +193,20 @@ object EntryUtil {
     * The driver-side `rows` materialization is the harness feed (bounded:
     * one metric's rows); a deployment's stream reads Kafka/files and
     * never materializes on the driver. */
+  /** The streaming entries' shared driver-side feed: the click metric's
+    * rows as (name, ts, value) tuples, ts-ordered so per-series arrival
+    * order IS the fold order and watermarks only ever advance. One place
+    * to change the feed — the dedup/sessions/EWMA entries must stay on
+    * identical input or their oracles silently diverge. */
+  def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
+    spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "click")
+      .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+        col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
+      .orderBy("ts", "name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
   def runStreamEntry[T <: Product](spark: SparkSession, prefix: String,
       rows: Seq[T], chunks: Int, cols: Seq[String],
       mkStream: DataFrame => DataFrame,

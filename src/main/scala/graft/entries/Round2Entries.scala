@@ -163,13 +163,7 @@ object Round2Entries {
     // ts-ordered batches keep every row ahead of the advancing watermark.
     "stream_dedup" -> ((s, dir) => {
       implicit val enc = Encoders.product[(String, Long, Double)]
-      val rows = s.read.parquet(s"$dir/events.parquet")
-        .where(col("event_type") === "click")
-        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
-        .orderBy("ts", "name")
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows = clickRows(s, dir)
       runStreamEntry(s, "stream_dedup_sink", rows, chunks = 4,
         cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.dedup(_, "10 minutes"),
@@ -189,13 +183,7 @@ object Round2Entries {
     // lateness past the last event) finalizes the tail sessions.
     "stream_sessions" -> ((s, dir) => {
       implicit val enc = Encoders.product[(String, Long, Double)]
-      val rows = s.read.parquet(s"$dir/events.parquet")
-        .where(col("event_type") === "click")
-        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
-        .orderBy("ts", "name")
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows = clickRows(s, dir)
       runStreamEntry(s, "stream_sessions_sink", rows, chunks = 4,
         cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.sessionize(_, "1 day", "1 hour"),
@@ -207,8 +195,6 @@ object Round2Entries {
         .orderBy("name", "start_us")
     }),
 
-    // streaming stateful EWMA on a batch frame (mapGroupsWithState path);
-    // the oracle replays the seeded recursion with list_reduce
     // per-series EWMA executed as a REAL Structured Streaming query:
     // mapGroupsWithState carries the recursive (v, n) state across
     // ts-ordered micro-batches, update-mode output lands in the memory
@@ -219,13 +205,7 @@ object Round2Entries {
     // expires (the unbounded-lateness variant).
     "stream_ewma" -> ((s, dir) => {
       implicit val enc = Encoders.product[(String, Long, Double)]
-      val rows = s.read.parquet(s"$dir/events.parquet")
-        .where(col("event_type") === "click")
-        .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
-          col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
-        .orderBy("ts", "name")
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val rows = clickRows(s, dir)
       runStreamEntry(s, "stream_ewma_sink", rows, chunks = 4,
         cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.ewma(_, decay = 0.2),

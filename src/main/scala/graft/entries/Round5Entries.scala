@@ -164,15 +164,10 @@ object Round5Entries {
           ${oracleScan("purchase", "AND user_id IN (2, 4, 6, 8)")}
           ORDER BY series, ts_us""",
 
+    // same answer as the plain engine's ts_join — reuse its oracle body so
+    // the two can never drift
     "ts_layout_join" ->
-      s"""SELECT concat('click|view user=', CAST(user_id AS VARCHAR)) AS series,
-            epoch_us(ts) AS ts_us,
-            round(max(value) FILTER (WHERE event_type = 'click'), 6) AS click,
-            round(max(value) FILTER (WHERE event_type = 'view'), 6) AS "view"
-          FROM events
-          WHERE event_type IN ('click', 'view')
-            AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
-          GROUP BY user_id, ts ORDER BY series, ts_us""",
+      (TsdbEntries.pivot2("click", "view") + " ORDER BY series, ts_us"),
 
     // retention replayed as a predicate: everything before the Jan 15
     // cutoff is gone from the expired layout

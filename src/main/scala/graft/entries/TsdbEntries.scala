@@ -206,7 +206,9 @@ object TsdbEntries {
   private def binUs(stepNs: Long): String =
     s"($FromNs + ((epoch_ns(ts) - $FromNs) // $stepNs) * $stepNs) // 1000"
 
-  private def pivot2(metric1: String, metric2: String): String =
+  /** The two-metric join oracle's shared body — ts_layout_join reuses it
+    * (the bucketed layout must answer identically to the plain engine). */
+  private[entries] def pivot2(metric1: String, metric2: String): String =
     s"""SELECT concat('$metric1|$metric2 user=', CAST(user_id AS VARCHAR)) AS series,
           epoch_us(ts) AS ts_us,
           round(max(value) FILTER (WHERE event_type = '$metric1'), 6) AS "$metric1",

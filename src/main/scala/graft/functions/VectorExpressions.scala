@@ -183,10 +183,34 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Exact Long FLOOR division by a positive constant (rounds toward
+    * negative infinity, like Math.floorDiv). Partition-key derivations
+    * (ts_day) must use this, not [[LongDiv]]: truncating division numbers
+    * pre-epoch timestamps into the wrong day, desynchronizing the stored
+    * directory from the engine's floorDiv-computed pruning bounds. */
+  case class LongFloorDiv(child: Expression, d: Long)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(d > 0, "divisor must be positive")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "long_floor_div"
+
+    override protected def nullSafeEval(input: Any): Any =
+      Math.floorDiv(input.asInstanceOf[Long], d)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = java.lang.Math.floorDiv($c, ${d}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): LongFloorDiv =
+      copy(child = newChild)
+  }
+
   // ---- Column API --------------------------------------------------------
 
   def longDiv(c: Column, d: Long): Column =
     Bridge.column(LongDiv(Bridge.expression(c), d))
+
+  def longFloorDiv(c: Column, d: Long): Column =
+    Bridge.column(LongFloorDiv(Bridge.expression(c), d))
 
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object TsdbLayout {
 
-  private val NsPerDay = 86400L * 1000000000L
+  private val NsPerDay = graft.time.TimeUtil.NsPerDay
 
   /** Write `ctx.samples` (joined to its catalog for the metric key) as a
     * partitioned, sorted Parquet dataset under `path`. */
@@ -33,13 +33,13 @@ object TsdbLayout {
     val withMetric = ctx.samples
       .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
         "series_id")
-      // exact Long division: `/` on Long columns is double division,
-      // which can misassign a sample within ~128 ns of midnight to the
-      // neighboring day past 2^53 — and the engine's ts_day partition
-      // pruning (Engine.tsDayPruned) would then wrongly skip its
-      // directory at a range boundary
+      // exact Long FLOOR division: `/` on Long columns is double division
+      // (misassigns samples within ~128 ns of midnight past 2^53), and
+      // truncating division numbers pre-epoch days differently from the
+      // Math.floorDiv bounds in Engine.tsDayPruned — either desync makes
+      // pruning wrongly skip a directory at a range boundary
       .withColumn("ts_day",
-        graft.functions.VectorExpressions.longDiv(col("ts"), NsPerDay))
+        graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
     withMetric
       .repartition(col("metric"), col("ts_day"))
       .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
@@ -63,7 +63,7 @@ object TsdbLayout {
     * (Local-filesystem walk; an object-store deployment performs the same
     * directory drop through its own FileSystem API.) */
   def expire(path: String, cutoffNs: Long): Int = {
-    val cutoffDay = cutoffNs / NsPerDay
+    val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val root = new java.io.File(path)
     val metricDirs = Option(root.listFiles())
       .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("metric="))

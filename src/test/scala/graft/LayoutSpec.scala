@@ -40,8 +40,31 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.nonEmpty)
   }
 
+  test("pre-epoch samples survive the layout round-trip (floor-div day numbering)") {
+    // ts_day assignment (write side) and tsDayPruned's bounds (read side)
+    // must agree on FLOOR division: truncating division puts ts = -1 ns in
+    // day 0 while the pruning bounds for a range ending at the epoch stop
+    // at day -1 — the directory is pruned and the row silently vanishes
+    import spark.implicits._
+    val day = graft.time.TimeUtil.NsPerDay
+    val rows = for (d <- -1 until 2; k <- 0 until 5)
+      yield ("T1", d * day + k * 1000L, d * 10.0 + k)
+    val wide = rows.toDF("tag", "ts", "value")
+      .withColumn("metric", org.apache.spark.sql.functions.lit("test"))
+    val flat = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft_layout_neg").toString
+    TsdbLayout.writeSamples(flat, path)
+    val laid = TsdbLayout.contextOver(spark, path, flat.series, flat.events)
+
+    val q = SelectQuery("test", TimeRange(-day, 0)) // the pre-epoch day only
+    val a = collectSeries(new Engine(flat).select(q))
+    val b = collectSeries(new Engine(laid).select(q))
+    assert(a === b)
+    assert(a.size === 5, s"all pre-epoch samples must survive pruning, got ${a.size}")
+  }
+
   test("bucketed-by-series tables join with no shuffle exchange") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val ctx = rampContext(Seq(1, 2, 3), 100, 200)
     val base = java.nio.file.Files.createTempDirectory("graft_buckets")
     TsdbLayout.writeBucketedBySeries(ctx.samples, "graft_bk_a", s"$base/a", buckets = 4)
@@ -51,11 +74,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       val joined = spark.table("graft_bk_a").as("a")
         .join(spark.table("graft_bk_b").as("b"), "series_id")
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(shuffles.isEmpty,
-        s"bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      // match the rendered tree, not collect: a regression that adds a
+      // shuffle also makes AQE wrap the plan in AdaptiveSparkPlanExec,
+      // whose subtree collect can't see — the collect form passes vacuously
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
@@ -65,8 +89,6 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("tagkey-bucketed layout aligns join queries with no hash exchange") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import spark.implicits._
     // two metrics per tag so a JoinQuery has both sides
     val rows = for (m <- Seq("m1", "m2"); i <- 1 to 3; ts <- 100L until 140L)
@@ -80,11 +102,14 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       val bucketedCtx = flatCtx.copy(samples = spark.table("graft_bk_tk"))
       val q = JoinQuery(Seq("m1", "m2"), TimeRange(100, 140))
       val viaBuckets = new Engine(bucketedCtx).join(q)
-      val hashShuffles = viaBuckets.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
-      }
-      assert(hashShuffles.isEmpty,
-        s"tagkey-bucketed join must not hash-shuffle:\n${viaBuckets.queryExecution.executedPlan}")
+      // rendered-tree match for the same AQE-wrapping reason as above.
+      // The pin targets the ALIGNMENT key: a bucketing regression inserts
+      // Exchange hashpartitioning(tagkey, ts) above the fact scan. The
+      // broadcast side's tiny catalog-derivation exchanges (series_id)
+      // are legitimate — bounded by catalog size, cached in production
+      val plan = viaBuckets.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(tagkey"),
+        s"tagkey-bucketed join must not hash-shuffle its alignment:\n$plan")
       // and the results are identical to the flat plan
       val flat = new Engine(flatCtx).join(q).collect().map(_.toSeq)
       assert(viaBuckets.collect().map(_.toSeq).toSeq === flat.toSeq)

@@ -157,30 +157,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("layout-served entries: partition pruning on select, no hash exchange on join") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val dir = "/root/testdata/sf0.001"
     // the persisted layout's metric directory partitioning must reach the
     // scan as PartitionFilters (directories pruned before any I/O)
     val sel = SparkEntry.queries("ts_layout_select")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(sel.contains("PartitionFilters") && sel.contains("metric"),
-      s"layout select must prune metric partitions:\n$sel")
-    // the range must ALSO bound the ts_day partition column (two-level
-    // pruning: a range query touches only its days' directories)
-    assert(sel.contains("ts_day"),
-      s"layout select must derive ts_day partition bounds from the range:\n$sel")
-    // the bucketed table's tagkey bucketing makes join alignment
-    // exchange-free: the only shuffles left are the output sort's range
-    // exchanges, never a hash repartition
+    // the range must ALSO bound the ts_day partition column INSIDE the
+    // PartitionFilters clause (two-level pruning: a range query touches
+    // only its days' directories) — a ts_day predicate that degrades to a
+    // post-scan row Filter would still contain the string but prune nothing
+    val partFilters = "PartitionFilters: \\[[^\\]]*".r.findAllIn(sel).toSeq
+    assert(partFilters.exists(f => f.contains("metric") && f.contains("ts_day")),
+      s"layout select must prune metric AND ts_day partitions at the scan:\n$sel")
+    // the bucketed table's tagkey bucketing makes join ALIGNMENT
+    // exchange-free: a bucketing regression inserts Exchange
+    // hashpartitioning(tagkey, ts) above the fact scan. The broadcast
+    // side's catalog-derivation exchanges (series_id/user) are bounded by
+    // catalog size and legitimate. AdaptiveSparkPlanExec hides its
+    // subtree from collect (same caveat as the asof pin) — match the
+    // rendered tree instead
     val join = SparkEntry.queries("ts_layout_join")(spark, dir)
-      .queryExecution.executedPlan
-    val hashEx = join.collect {
-      case e: ShuffleExchangeExec
-        if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
-    }
-    assert(hashEx.isEmpty,
-      s"bucketed join alignment must plan without a hash exchange:\n$hashEx")
+      .queryExecution.executedPlan.toString
+    assert(!join.contains("hashpartitioning(tagkey"),
+      s"bucketed join alignment must plan without a hash exchange:\n$join")
+    assert(join.contains("Exchange rangepartitioning"),
+      s"sanity: the rendered plan should still show the output sort's range exchange:\n$join")
   }
 
   test("stream-built rollup actually serves: no parquet scan reads sample values") {
