@@ -193,19 +193,23 @@ object EntryUtil {
     * The driver-side `rows` materialization is the harness feed (bounded:
     * one metric's rows); a deployment's stream reads Kafka/files and
     * never materializes on the driver. */
-  /** The streaming entries' shared driver-side feed: the click metric's
+  /** The streaming entries' shared driver-side feed: one event type's
     * rows as (name, ts, value) tuples, ts-ordered so per-series arrival
     * order IS the fold order and watermarks only ever advance. One place
-    * to change the feed — the dedup/sessions/EWMA entries must stay on
-    * identical input or their oracles silently diverge. */
-  def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
+    * to change the feed — the streaming entries must stay on identical
+    * input or their oracles silently diverge. */
+  def eventRows(spark: SparkSession, dir: String, eventType: String,
+      namePrefix: String): Seq[(String, Long, Double)] =
     spark.read.parquet(s"$dir/events.parquet")
-      .where(col("event_type") === "click")
-      .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
+      .where(col("event_type") === eventType)
+      .select(concat(lit(namePrefix), col("user_id").cast("string")).as("name"),
         col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
       .orderBy("ts", "name")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
+    eventRows(spark, dir, "click", "click user=")
 
   def runStreamEntry[T <: Product](spark: SparkSession, prefix: String,
       rows: Seq[T], chunks: Int, cols: Seq[String],
@@ -231,6 +235,40 @@ object EntryUtil {
       }
       sentinel.foreach { last =>
         in.addData(last)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(qn)
+  }
+
+  /** Two-input variant of [[runStreamEntry]] for stream-stream joins:
+    * feeds both MemoryStreams in ts-ordered LOCKSTEP chunks — the global
+    * watermark is the minimum across all inputs, so pacing the sides
+    * together keeps every row ahead of it (neither side can race the
+    * other's watermark past an unprocessed match). Same sink lifecycle
+    * as the single-input form. */
+  def runStreamEntry2[T <: Product](spark: SparkSession, prefix: String,
+      rowsL: Seq[T], rowsR: Seq[T], chunks: Int, cols: Seq[String],
+      mkStream: (DataFrame, DataFrame) => DataFrame)
+      (implicit enc: Encoder[T]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val seq = sinkSeqs.getOrElseUpdate(prefix,
+      new java.util.concurrent.atomic.AtomicLong(0L))
+    val n = seq.incrementAndGet()
+    if (n > 1) spark.catalog.dropTempView(s"${prefix}_${n - 1}")
+    val inL = MemoryStream[T]
+    val inR = MemoryStream[T]
+    val out = mkStream(inL.toDF().toDF(cols: _*), inR.toDF().toDF(cols: _*))
+    val qn = s"${prefix}_$n"
+    val q = out.writeStream.format("memory")
+      .outputMode("append").queryName(qn).start()
+    try {
+      val cl = rowsL.grouped(math.max(1, rowsL.length / chunks + 1)).toSeq
+      val cr = rowsR.grouped(math.max(1, rowsR.length / chunks + 1)).toSeq
+      (0 until math.max(cl.length, cr.length)).foreach { i =>
+        cl.lift(i).foreach(c => inL.addData(c))
+        cr.lift(i).foreach(c => inR.addData(c))
         q.processAllAvailable()
       }
     } finally q.stop()

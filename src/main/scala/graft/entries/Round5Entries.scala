@@ -139,6 +139,29 @@ object Round5Entries {
                                  "func": ["min", "max", "cnt"]},
              "range": {"from": "$FromIso", "to": "$AlignedToIso"}}"""),
         valueCols = Seq("min", "max", "cnt"))
+    }),
+
+    // stream-STREAM interval join executed as a real two-input Structured
+    // Streaming query (TsdbStream.intervalJoin — both sides watermarked,
+    // join state bounded by window + lateness per series): each click
+    // pairs with the same user's views in the preceding 6 hours. Inner
+    // join matches emit as they arrive (append mode never waits on the
+    // watermark to EMIT, only to evict state); the ts-ordered lockstep
+    // feed keeps both inputs ahead of the global (min) watermark, so no
+    // match is dropped as late. The oracle is the plain µs-precision
+    // range self-join — the batch form of the same operator.
+    "stream_interval_join" -> ((s, dir) => {
+      implicit val enc = Encoders.product[(String, Long, Double)]
+      val l = eventRows(s, dir, "click", "user=")
+      val r = eventRows(s, dir, "view", "user=")
+      runStreamEntry2(s, "stream_ij_sink", l, r, chunks = 4,
+        cols = Seq("name", "ts", "value"),
+        mkStream = (lf, rf) => graft.streaming.TsdbStream.intervalJoin(
+          lf, rf, windowUs = 6L * 3600L * 1000000L, lateness = "1 hour"))
+        .select(col("name"),
+          expr("l_ts div 1000").as("l_ts_us"), expr("r_ts div 1000").as("r_ts_us"),
+          round(col("l_value"), 6).as("l_value"), round(col("r_value"), 6).as("r_value"))
+        .orderBy("name", "l_ts_us", "r_ts_us")
     })
   )
 
@@ -209,6 +232,20 @@ object Round5Entries {
               AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY series, ts_us, click""",
+
+    // the same-user click←view pairing at µs precision (the stream
+    // compares timestamp_micros values, i.e. ns-truncated-to-µs longs —
+    // epoch_us applies the identical truncation)
+    "stream_interval_join" ->
+      """SELECT concat('user=', CAST(c.user_id AS VARCHAR)) AS name,
+            epoch_us(c.ts) AS l_ts_us, epoch_us(v.ts) AS r_ts_us,
+            round(c.value, 6) AS l_value, round(v.value, 6) AS r_value
+          FROM events c JOIN events v
+            ON c.user_id = v.user_id
+            AND c.event_type = 'click' AND v.event_type = 'view'
+            AND epoch_us(v.ts) >= epoch_us(c.ts) - 21600000000
+            AND epoch_us(v.ts) <= epoch_us(c.ts)
+          ORDER BY name, l_ts_us, r_ts_us""",
 
     // identical SQL to the aligned rollup entry: the STREAM-built rollup
     // must reproduce the raw answer exactly (min/max/cnt are combine-law
