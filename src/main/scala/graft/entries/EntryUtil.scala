@@ -226,8 +226,10 @@ object EntryUtil {
     val in = MemoryStream[T]
     val out = mkStream(in.toDF().toDF(cols: _*))
     val qn = s"${prefix}_$n"
-    val q = out.writeStream.format("memory")
-      .outputMode(outputMode).queryName(qn).start()
+    val q = withStatePartitions(spark) {
+      out.writeStream.format("memory")
+        .outputMode(outputMode).queryName(qn).start()
+    }
     try {
       rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
         in.addData(mapChunk(c))
@@ -239,6 +241,23 @@ object EntryUtil {
       }
     } finally q.stop()
     spark.table(qn)
+  }
+
+  /** A streaming query's stateful-operator partition count is fixed by
+    * `spark.sql.shuffle.partitions` at START (it becomes the state-store
+    * instance count, persisted in the checkpoint). Every micro-batch
+    * commits every instance, so the harness feed — a few thousand rows,
+    * 4-8 triggers — pays partitions × stores × triggers in store-commit
+    * overhead: at the session's batch sizing (32) the stream-stream join
+    * spends ~30 s committing near-empty stores; at 2 it runs in ~5 s with
+    * identical results. Scope the conf to the `start()` call: still
+    * genuinely multi-partition (hash-distributed state, the scale
+    * semantics). A deployment sizes the same knob to its throughput. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 2)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Two-input variant of [[runStreamEntry]] for stream-stream joins:
@@ -261,8 +280,10 @@ object EntryUtil {
     val inR = MemoryStream[T]
     val out = mkStream(inL.toDF().toDF(cols: _*), inR.toDF().toDF(cols: _*))
     val qn = s"${prefix}_$n"
-    val q = out.writeStream.format("memory")
-      .outputMode("append").queryName(qn).start()
+    val q = withStatePartitions(spark) {
+      out.writeStream.format("memory")
+        .outputMode("append").queryName(qn).start()
+    }
     try {
       val cl = rowsL.grouped(math.max(1, rowsL.length / chunks + 1)).toSeq
       val cr = rowsR.grouped(math.max(1, rowsR.length / chunks + 1)).toSeq

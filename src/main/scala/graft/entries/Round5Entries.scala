@@ -154,7 +154,11 @@ object Round5Entries {
       implicit val enc = Encoders.product[(String, Long, Double)]
       val l = eventRows(s, dir, "click", "user=")
       val r = eventRows(s, dir, "view", "user=")
-      runStreamEntry2(s, "stream_ij_sink", l, r, chunks = 4,
+      // 2 lockstep rounds, not 4: a two-input stateful join runs ~3
+      // micro-batches per round (one per input offset + the watermark
+      // commit), each paying >1 s of fixed trigger overhead regardless
+      // of data volume — two rounds still prove cross-batch join state
+      runStreamEntry2(s, "stream_ij_sink", l, r, chunks = 2,
         cols = Seq("name", "ts", "value"),
         mkStream = (lf, rf) => graft.streaming.TsdbStream.intervalJoin(
           lf, rf, windowUs = 6L * 3600L * 1000000L, lateness = "1 hour"))
