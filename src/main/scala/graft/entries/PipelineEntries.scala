@@ -163,6 +163,19 @@ object PipelineEntries {
         .orderBy("qid", "rank")
     }),
 
+    // SemDeDup: the same memoized codebook partitions the corpus into
+    // cells, and within each cell the keep-the-outlier dominance rule
+    // prunes cosine-near-duplicates — clustering turns the quadratic
+    // all-pairs search into per-cell equi-join candidates. The 0.4 cut
+    // sits where this corpus's cosine tail actually is (cf. the
+    // emb_dup_pairs 0.45 note above); kept=0 rows exist at every SF.
+    "emb_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+          rp(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+          EntryUtil.ivfCodebookFor(s, dir), threshold = 0.4)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")),
+
     // ---- text analysis ----------------------------------------------------
     "docs_langid" -> ((s, dir) =>
       TextOps.langId(rp(s, dir, "documents"), "doc_id", "text")
@@ -324,16 +337,19 @@ object PipelineEntries {
       + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
       + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)"""
 
-  /** SQL replay of [[graft.pipeline.Similarity.knnIvf]]: same lowest-id
-    * init, same x·x + c·c − 2·x·c distance (sequential list arithmetic =
-    * VecDot's fold order), same round-6 per-cell means, same nprobe probe
-    * and top-k. Unrolled one CTE pair per Lloyd round. */
-  private def ivfOracle(nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
-    def dotSelf(a: String) = s"list_sum(list_transform($a, x -> x*x))"
-    def dotAB(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
-    def dist(a: String, b: String) =
-      s"(${dotSelf(a)} + ${dotSelf(b)} - 2*${dotAB(a, b)})"
+  private def dotSelf(a: String) = s"list_sum(list_transform($a, x -> x*x))"
+  private def dotAB(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+  private def dist(a: String, b: String) =
+    s"(${dotSelf(a)} + ${dotSelf(b)} - 2*${dotAB(a, b)})"
+
+  /** Shared SQL replay of [[graft.pipeline.Similarity.fitCodebook]] —
+    * CTEs `e` (double-cast embeddings) through `c$iters` (the fitted
+    * centers): same lowest-id init, same x·x + c·c − 2·x·c distance
+    * (sequential list arithmetic = VecDot's fold order), same round-6
+    * per-cell means. Unrolled one CTE pair per Lloyd round; both the IVF
+    * and SemDeDup oracles build on it. */
+  private def kmeansCtes(nlist: Int, iters: Int): String = {
     def assign(centersCte: String) =
       s"""SELECT id, v, cell FROM (
             SELECT e.id, e.v, c.cell,
@@ -348,13 +364,23 @@ object PipelineEntries {
     val iterCtes = (0 until iters).map { it =>
       s"a$it AS (${assign(s"c$it")}),\n c${it + 1} AS (${recenter(s"a$it")})"
     }.mkString(",\n ")
-    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings),
          c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cell,
                   v AS cv
                 FROM (SELECT id, v FROM e ORDER BY id LIMIT $nlist)),
-         $iterCtes,
-         cor AS (${assign(s"c$iters")}),
+         $iterCtes"""
+  }
+
+  /** SQL replay of [[graft.pipeline.Similarity.knnIvf]] on the
+    * [[kmeansCtes]] codebook: same nprobe probe and top-k. */
+  private def ivfOracle(nlist: Int, nprobe: Int, k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+         cor AS (SELECT id, v, cell FROM (
+            SELECT e.id, e.v, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN c$iters c) WHERE r = 1),
          qry AS (SELECT id AS qid, v AS qv, cell FROM (
             SELECT e.id, e.v, c.cell,
               row_number() OVER (PARTITION BY e.id
@@ -367,10 +393,29 @@ object PipelineEntries {
            round(list_cosine_similarity(qv, cor.v), 6) AS cos
          FROM qry JOIN cor ON qry.cell = cor.cell AND cor.id != qid)
        WHERE rank <= $k ORDER BY qid, rank"""
-  }
+
+  /** SQL replay of [[graft.pipeline.Similarity.semDedup]] on the same
+    * codebook: final assignment with round-6 centroid distance, then the
+    * pairwise keep-the-outlier dominance rule inside each cell. */
+  private def semDedupOracle(nlist: Int, iters: Int, threshold: Double): String =
+    s"""WITH ${kmeansCtes(nlist, iters)},
+         cor AS (SELECT id, v, cell, round(d, 6) AS cdist FROM (
+            SELECT e.id, e.v, c.cell, ${dist("e.v", "c.cv")} AS d,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN c$iters c) WHERE r = 1),
+         dom AS (SELECT DISTINCT a.id FROM cor a
+            JOIN cor b ON a.cell = b.cell AND a.id != b.id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $threshold
+              AND (b.cdist > a.cdist OR (b.cdist = a.cdist AND b.id < a.id)))
+       SELECT cor.id AS vec_id, cell, cdist,
+         CASE WHEN dom.id IS NULL THEN 1 ELSE 0 END AS kept
+       FROM cor LEFT JOIN dom ON cor.id = dom.id
+       ORDER BY vec_id"""
 
   val oracle: Map[String, String] = Map(
     "emb_knn_ivf" -> ivfOracle(nlist = 8, nprobe = 2, k = 3, iters = 2),
+    "emb_semdedup" -> semDedupOracle(nlist = 8, iters = 2, threshold = 0.4),
     "docs_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups

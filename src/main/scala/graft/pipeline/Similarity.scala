@@ -191,4 +191,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank"), col("cos"))
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * corpus with a k-means codebook, then inside each cluster drop every
+    * vector that has a near-duplicate (cosine ≥ `threshold`) which sits
+    * FARTHER from the shared centroid — the paper's keep-the-outlier rule
+    * (the retained example of a duplicate pair is the one least typical
+    * of the cluster, preserving diversity). Ties in centroid distance
+    * break to the lower id.
+    *
+    * The rule here is the pairwise-dominance form, not the transitive
+    * closure over duplicate GROUPS: x survives iff no same-cell
+    * near-duplicate of x dominates it. A group {a,b,c} where only a–b and
+    * b–c are near-pairs therefore keeps the maximal non-dominated set
+    * rather than exactly one element; for the closure semantics compose
+    * with [[graft.pipeline.Dedup.dupGroups]] over the emitted pairs.
+    *
+    * Scale shape (100 TB): centroid assignment is a broadcast map over
+    * one corpus pass (the codebook is nlist × dim literals, fit once at
+    * index-build — [[fitCodebook]]); the near-dup search is a cell-key
+    * equi-join, so candidate pairs are bounded per cluster instead of
+    * corpus-quadratic. Cluster granularity is the knob: SemDeDup at web
+    * scale uses ~100k clusters so a cell is ~1/100k of the corpus; a
+    * pathologically hot cell would need the same salting/cap treatment
+    * as [[graft.pipeline.Dedup.jaccardDupPairs]]'s hot-shingle cap.
+    * Everything below is column expressions over two joins — no UDFs,
+    * no driver-side loops.
+    *
+    * Cosine and distance are rounded to 6 decimals BEFORE comparison so
+    * the decision replays bit-identically in the SQL oracle.
+    *
+    * @return one row per corpus vector: (id, cell, cdist, kept) with
+    *         cdist = round₆ squared-L2 to the assigned centroid and
+    *         kept ∈ {0, 1}. */
+  def semDedup(
+      corpus: DataFrame, centers: Seq[(Int, Seq[Double])], threshold: Double,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "cv")
+    val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__d", sqDist(col("v"), col("cv")))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("id"), col("cell"), round(col("__d"), 6).as("cdist"), col("v"))
+    val other = assigned.select(col("cell"), col("id").as("id_b"),
+      col("cdist").as("cdist_b"), col("v").as("v_b"))
+    val dominated = assigned.join(other, Seq("cell"))
+      .where(col("id") =!= col("id_b"))
+      .where(round(cosine(col("v"), col("v_b")), 6) >= threshold)
+      .where(col("cdist_b") > col("cdist") ||
+        (col("cdist_b") === col("cdist") && col("id_b") < col("id")))
+      .select("id").distinct()
+    assigned.join(dominated.withColumn("__dom", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("cdist"),
+        when(col("__dom").isNotNull, 0).otherwise(1).as("kept"))
+  }
 }

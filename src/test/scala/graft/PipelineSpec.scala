@@ -217,6 +217,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ivf === brute) // cluster A's cell contains the true top-3
   }
 
+  test("semDedup keeps the outlier of a near-dup cluster, ties to lower id") {
+    // one colinear cluster at (10,10) — every pair has cosine ≈ 1 — plus
+    // an isolated vector in the other cell. Explicit centers make the
+    // geometry exact: a,b,c → cell 0, d → cell 1.
+    val corpus = Seq(
+      (1L, Array(10.1f, 10.1f)), (2L, Array(10.3f, 10.3f)),
+      (3L, Array(9.9f, 9.9f)), (4L, Array(-10f, -10f)))
+      .toDF("id", "embedding")
+    val centers = Seq((0, Seq(10.0, 10.0)), (1, Seq(-10.0, -10.0)))
+    val out = Similarity.semDedup(corpus, centers, threshold = 0.99)
+      .orderBy("id").select("id", "cell", "kept")
+      .as[(Long, Int, Int)].collect().toSeq
+    // b (id 2) is farthest from the centroid → kept; a is dominated by b;
+    // c ties a on rounded distance and loses to the lower id; d has no
+    // same-cell near-dup
+    assert(out === Seq((1L, 0, 0), (2L, 0, 1), (3L, 0, 0), (4L, 1, 1)))
+  }
+
+  test("semDedup never compares near-dups that land in different cells") {
+    // x and y are exactly colinear (cos = 1) but each sits nearer a
+    // different centroid — cluster-scoped search must keep both
+    val corpus = Seq(
+      (1L, Array(1.04f, 0f)), (2L, Array(1.06f, 0f))).toDF("id", "embedding")
+    val centers = Seq((0, Seq(1.0, 0.0)), (1, Seq(1.1, 0.0)))
+    val out = Similarity.semDedup(corpus, centers, threshold = 0.9)
+      .orderBy("id").select("id", "cell", "kept")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out === Seq((1L, 0, 1), (2L, 1, 1)))
+  }
+
   test("dedupGroups with string ids takes the distributed path, min-string labels") {
     val pairs = Seq(("docB", "docC"), ("docA", "docB"), ("docX", "docY"))
       .toDF("id_a", "id_b")
