@@ -34,6 +34,20 @@ object CurationEntries {
         .orderBy("id")
     }),
 
+    // DSIR data selection (importance resampling weights): src0 plays
+    // the target domain, the rest the raw pool — positive logw marks a
+    // doc that looks more like src0 than like the pool average. k=2
+    // hashed-bigram buckets; the fixed-point per-bucket log-ratio makes
+    // the score an exact integer sum (aggregation-order independent)
+    "docs_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.dsirWeights(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0"),
+          "doc_id", "text", buckets = 64, k = 2)
+        .orderBy("id")
+    }),
+
     "docs_repetition" -> ((s, dir) =>
       TextOps.repetition(docs(s, dir), "doc_id", "text", k = 2)
         .orderBy("id")),
@@ -140,6 +154,44 @@ object CurationEntries {
        FROM corpus
        LEFT JOIN sz ON corpus.doc_id = sz.doc_id
        LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+       ORDER BY id""",
+
+    // replays dsirWeights exactly: same hashed-bigram buckets (hash60 %
+    // 64), same add-1 smoothing, same per-bucket micro-unit fixed-point
+    // log-ratio, so the per-doc sum is integer-exact on both engines
+    "docs_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         gb AS (
+           SELECT doc_id, source,
+             CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))
+               AS BIGINT) % 64 AS b
+           FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+         tm AS (SELECT b, count(*) AS tc FROM gb WHERE source = 'src0' GROUP BY b),
+         rm AS (SELECT b, count(*) AS rc FROM gb WHERE source <> 'src0' GROUP BY b),
+         tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS tt FROM tm),
+         rt AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rm),
+         lr AS (
+           SELECT bb.b,
+             CAST(round(ln(((coalesce(tc, 0) + 1.0) / (tt + 64.0)) /
+                           ((coalesce(rc, 0) + 1.0) / (rt + 64.0)))
+                  * 1000000.0) AS BIGINT) AS lr
+           FROM range(64) bb(b)
+           LEFT JOIN tm ON bb.b = tm.b
+           LEFT JOIN rm ON bb.b = rm.b
+           CROSS JOIN tt CROSS JOIN rt),
+         f AS (SELECT doc_id, b, count(*) AS f FROM gb
+               WHERE source <> 'src0' GROUP BY doc_id, b),
+         sc AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_grams,
+                  CAST(sum(f * lr) AS BIGINT) AS logw_micro
+                FROM f JOIN lr ON f.b = lr.b GROUP BY doc_id)
+       SELECT d.doc_id AS id,
+         coalesce(n_grams, 0) AS n_grams,
+         coalesce(logw_micro, 0) AS logw_micro,
+         round(coalesce(logw_micro, 0) / 1000000.0, 6) AS logw,
+         coalesce(logw_micro, 0) >= 0 AS selected
+       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       WHERE d.source <> 'src0'
        ORDER BY id""",
 
     "docs_repetition" ->

@@ -308,6 +308,74 @@ object TextOps {
       .drop("__start")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each raw
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET corpus's bucket-unigram model than under the raw
+    * corpus's own — log w(x) = Σ_grams [ln p̂_target(b(g)) − ln p̂_raw(b(g))]
+    * with hashed k-gram buckets b(g) = hash60(g) mod `buckets` and
+    * add-`alpha` smoothed bucket probabilities. Positive scores mark
+    * documents that look more like the target (e.g. curated/eval-domain
+    * text) than like the average of the raw pool — the paper then samples
+    * by weight; the deterministic counterpart here is a threshold flag
+    * (`selected` = logw_micro ≥ `minLogwMicro`), which stays map-side at
+    * any scale where a global weighted sample would need a shuffle.
+    *
+    * Cross-engine determinism: the per-bucket log-ratio is FIXED-POINT —
+    * rounded to integer micro-units once per bucket (`buckets` ln() calls
+    * total) — so each document's score is an exact integer sum whose
+    * value is independent of Spark's partial-aggregation order, and the
+    * DuckDB oracle replays it bit-identically. `logw` is just
+    * logw_micro/1e6 for human use.
+    *
+    * Plan shape (100 TB): one shingling pass over raw feeds BOTH the raw
+    * bucket model and the per-doc bucket counts (scoped-cached, released
+    * by [[graft.pipeline.Dedup.releaseCaches]]); the models collapse to
+    * `buckets` rows, the log-ratio table broadcasts, and scoring is a
+    * doc-keyed partial-aggregatable sum. The target side (an eval set /
+    * domain exemplar, MBs vs the corpus's TBs) is one small scan. At
+    * index-build time the lr table can be persisted and reused across
+    * corpus shards exactly like the IVF codebook.
+    *
+    * @return one row per raw document: (id, n_grams, logw_micro, logw,
+    *         selected); docs with fewer than k tokens appear with
+    *         n_grams=0 and logw_micro=0. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 64, k: Int = 2, alpha: Double = 1.0,
+      minLogwMicro: Long = 0L): DataFrame = {
+    require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
+    val b = pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
+    val aB = lit(alpha * buckets)
+    val targetModel = target
+      .select(explode(
+        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+      .select(b).groupBy("b").agg(count(lit(1)).as("tc"))
+    val docBuckets = Dedup.scopedCache(raw
+      .select(col(idCol).as("id"), explode(
+        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+      .select(col("id"), b).groupBy("id", "b").agg(count(lit(1)).as("f")))
+    val rawModel = docBuckets.groupBy("b").agg(sum("f").as("rc"))
+    val spark = raw.sparkSession
+    val allB = spark.range(0, buckets).select(col("id").as("b"))
+    val lr = allB.join(targetModel, Seq("b"), "left")
+      .join(rawModel, Seq("b"), "left")
+      .crossJoin(targetModel.agg(sum("tc").cast("double").as("tt")))
+      .crossJoin(rawModel.agg(sum("rc").cast("double").as("rt")))
+      .select(col("b"), round(log(
+          ((coalesce(col("tc"), lit(0L)) + alpha) / (col("tt") + aB)) /
+          ((coalesce(col("rc"), lit(0L)) + alpha) / (col("rt") + aB))) * 1e6)
+        .cast("long").as("lr"))
+    val scored = docBuckets.join(broadcast(lr), Seq("b"))
+      .groupBy("id").agg(sum("f").as("n_grams"),
+        sum(col("f") * col("lr")).as("logw_micro"))
+    raw.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+      .withColumn("logw", round(col("logw_micro") / 1e6, 6))
+      .withColumn("selected", col("logw_micro") >= minLogwMicro)
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -247,6 +247,44 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((1L, 0, 1), (2L, 1, 1)))
   }
 
+  test("dsirWeights scores target-like docs positive, pool-like negative") {
+    import graft.pipeline.TextOps
+    // target speaks "alpha beta"; raw doc 1 mimics it, docs 2-3 share
+    // grams the target never uses, doc 4 is too short to shingle. 4096
+    // buckets keep the four grams collision-free.
+    val target = Seq((100L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), (2L, "gamma delta gamma delta"),
+      (3L, "gamma delta gamma delta"), (4L, "x")).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(raw, target, "doc_id", "text",
+        buckets = 4096, k = 2)
+      .orderBy("id").select("id", "n_grams", "logw_micro", "selected")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 === 3L && out(0)._3 > 0 && out(0)._4) // target-like
+    assert(out(1)._3 < 0 && !out(1)._4)                    // pool-like
+    assert(out(1)._3 === out(2)._3)                        // same text, same score
+    assert(out(3) === ((4L, 0L, 0L, true)))                // shingle-free doc
+  }
+
+  test("dsirWeights fixed-point scores are partitioning-invariant") {
+    import graft.pipeline.TextOps
+    val target = Seq((9L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val raw = (1L to 20L).map(i =>
+      (i, s"doc $i the quick brown fox says ${"w" * (i % 3).toInt}"))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = TextOps.dsirWeights(df, target, "doc_id", "text")
+        .orderBy("id").select("id", "logw_micro")
+        .as[(Long, Long)].collect().toSeq
+      graft.pipeline.Dedup.releaseCaches()
+      r
+    }
+    assert(run(raw) === run(raw.repartition(7)))
+  }
+
   test("dedupGroups with string ids takes the distributed path, min-string labels") {
     val pairs = Seq(("docB", "docC"), ("docA", "docB"), ("docX", "docY"))
       .toDF("id_a", "id_b")
