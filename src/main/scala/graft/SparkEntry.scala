@@ -86,6 +86,42 @@ object SparkEntry {
             .as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       }),
+      // TPC-H Q17 shape: revenue lost to small-quantity orders — the
+      // correlated per-part average decorrelates to ONE pass: broadcast
+      // semi-join lineitem to the brand's parts (1/25 selectivity before
+      // any shuffle), then a window avg per part on the surviving subset
+      // (one hash shuffle of the reduced data; no second lineitem scan)
+      "q17_small_qty_revenue" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pBrand = s.read.parquet(s"$dir/part.parquet")
+          .where(col("p_brand") === "Brand#23").select("p_partkey")
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .join(broadcast(pBrand), col("l_partkey") === col("p_partkey"))
+        li.withColumn("__cut",
+            avg(col("l_quantity")).over(Window.partitionBy("p_partkey")) * 0.2)
+          .where(col("l_quantity") < col("__cut"))
+          // money sum ~1e8 at sf0.1: parallel order noise ~1e-5, so
+          // compare at cent precision (same rationale as q1's round(0))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      }),
+      // TPC-H Q18 shape: large-volume customers — the HAVING set from the
+      // one real shuffle (partial-aggregated lineitem rollup) is tiny and
+      // BROADCASTS twice, so neither orders nor customer ever shuffles
+      "q18_large_volume" -> ((s, dir) => {
+        val big = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 6).as("total_qty"))
+          .where(col("total_qty") > 300)
+        val ord = s.read.parquet(s"$dir/orders.parquet")
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        s.read.parquet(s"$dir/customer.parquet")
+          .join(broadcast(ord), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      }),
       // TPC-H Q14 shape: promo revenue share over one shipping month —
       // conditional + total sums in ONE pass over the month's lineitems
       // with the part dimension broadcast
@@ -142,6 +178,24 @@ object SparkEntry {
              AND o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY n_name
            ORDER BY revenue DESC, n_name""",
+      "q17_small_qty_revenue" ->
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+           FROM lineitem l JOIN part p ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#23'
+             AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)""",
+      "q18_large_volume" ->
+        """SELECT c_name, c_custkey, o_orderkey,
+             epoch_us(o_orderdate) AS o_date_us, o_totalprice, total_qty
+           FROM orders
+           JOIN (SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING round(sum(l_quantity), 6) > 300) b
+             ON o_orderkey = b.l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 20""",
       "q14_promo_revenue" ->
         """SELECT round(100.0 *
              sum(CASE WHEN p_type = 'PROMO'

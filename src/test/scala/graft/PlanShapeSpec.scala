@@ -291,6 +291,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.sparkPlan
     assert(p3.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
       s"customer dimension must broadcast in Q3:\n$p3")
+
+    // Q17: the correlated per-part avg decorrelates to a single lineitem
+    // pass — the brand filter broadcasts BELOW the one hash shuffle (the
+    // per-part window), so lineitem is cut 25x before any data moves
+    // executedPlan STRING for the exchange counts: EnsureRequirements
+    // only inserts exchanges into the prepared plan, and
+    // AdaptiveSparkPlanExec hides its subtree from collect
+    val p17 = SparkEntry.queries("q17_small_qty_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"),
+      s"the brand part filter must broadcast in Q17:\n$p17")
+    assert("hashpartitioning\\(".r.findAllIn(p17).size == 1,
+      s"Q17 must shuffle lineitem exactly once (the per-part window):\n$p17")
+    assert("lineitem\\.parquet".r.findAllIn(p17).size == 1,
+      s"Q17 must scan lineitem exactly once (decorrelated):\n$p17")
+
+    // Q18: the HAVING set (one partial-aggregated rollup = the only hash
+    // shuffle) broadcasts through both joins — orders and customer stream
+    // unshuffled — and the top-k is TakeOrdered, never a global sort
+    val p18 = SparkEntry.queries("q18_large_volume")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p18).size >= 2,
+      s"Q18 must broadcast the HAVING set through both joins:\n$p18")
+    assert("hashpartitioning\\(".r.findAllIn(p18).size == 1,
+      s"Q18's only hash shuffle is the lineitem rollup:\n$p18")
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"Q18 top-k must plan as TakeOrderedAndProject:\n$p18")
   }
 
   test("asof-join: ONE hash shuffle (the tag-key window), never a per-row probe join") {
