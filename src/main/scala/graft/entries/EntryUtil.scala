@@ -219,18 +219,9 @@ object EntryUtil {
       outputMode: String = "append")(implicit enc: Encoder[T]): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val seq = sinkSeqs.getOrElseUpdate(prefix,
-      new java.util.concurrent.atomic.AtomicLong(0L))
-    val n = seq.incrementAndGet()
-    if (n > 1) spark.catalog.dropTempView(s"${prefix}_${n - 1}")
     val in = MemoryStream[T]
     val out = mkStream(in.toDF().toDF(cols: _*))
-    val qn = s"${prefix}_$n"
-    val q = withStatePartitions(spark) {
-      out.writeStream.format("memory")
-        .outputMode(outputMode).queryName(qn).start()
-    }
-    try {
+    runSink(spark, prefix, out, outputMode) { q =>
       rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
         in.addData(mapChunk(c))
         q.processAllAvailable()
@@ -239,7 +230,27 @@ object EntryUtil {
         in.addData(last)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    }
+  }
+
+  /** The stream-entry harness's ONE memory-sink lifecycle (both the
+    * single- and two-input forms): allocate the next versioned sink name
+    * (dropping the previous run's view — one live sink per prefix),
+    * start the query under the state-store sizing, run `feed` to
+    * completion, stop, return the sink table. */
+  private def runSink(spark: SparkSession, prefix: String, out: DataFrame,
+      outputMode: String)(
+      feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val seq = sinkSeqs.getOrElseUpdate(prefix,
+      new java.util.concurrent.atomic.AtomicLong(0L))
+    val n = seq.incrementAndGet()
+    if (n > 1) spark.catalog.dropTempView(s"${prefix}_${n - 1}")
+    val qn = s"${prefix}_$n"
+    val q = withStatePartitions(spark) {
+      out.writeStream.format("memory")
+        .outputMode(outputMode).queryName(qn).start()
+    }
+    try feed(q) finally q.stop()
     spark.table(qn)
   }
 
@@ -272,19 +283,10 @@ object EntryUtil {
       (implicit enc: Encoder[T]): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val seq = sinkSeqs.getOrElseUpdate(prefix,
-      new java.util.concurrent.atomic.AtomicLong(0L))
-    val n = seq.incrementAndGet()
-    if (n > 1) spark.catalog.dropTempView(s"${prefix}_${n - 1}")
     val inL = MemoryStream[T]
     val inR = MemoryStream[T]
     val out = mkStream(inL.toDF().toDF(cols: _*), inR.toDF().toDF(cols: _*))
-    val qn = s"${prefix}_$n"
-    val q = withStatePartitions(spark) {
-      out.writeStream.format("memory")
-        .outputMode("append").queryName(qn).start()
-    }
-    try {
+    runSink(spark, prefix, out, "append") { q =>
       val cl = rowsL.grouped(math.max(1, rowsL.length / chunks + 1)).toSeq
       val cr = rowsR.grouped(math.max(1, rowsR.length / chunks + 1)).toSeq
       (0 until math.max(cl.length, cr.length)).foreach { i =>
@@ -292,8 +294,7 @@ object EntryUtil {
         cr.lift(i).foreach(c => inR.addData(c))
         q.processAllAvailable()
       }
-    } finally q.stop()
-    spark.table(qn)
+    }
   }
 
   private val codebooks = scala.collection.concurrent.TrieMap

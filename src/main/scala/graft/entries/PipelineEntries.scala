@@ -399,7 +399,7 @@ object PipelineEntries {
     * pairwise keep-the-outlier dominance rule inside each cell. */
   private def semDedupOracle(nlist: Int, iters: Int, threshold: Double): String =
     s"""WITH ${kmeansCtes(nlist, iters)},
-         cor AS (SELECT id, v, cell, round(d, 6) AS cdist FROM (
+         cor AS (SELECT id, v, cell, round(d, 6) + 0.0 AS cdist FROM (
             SELECT e.id, e.v, c.cell, ${dist("e.v", "c.cv")} AS d,
               row_number() OVER (PARTITION BY e.id
                 ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r

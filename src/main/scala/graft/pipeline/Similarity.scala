@@ -231,12 +231,18 @@ object Similarity {
     val spark = corpus.sparkSession
     val centersDf = spark.createDataFrame(centers).toDF("cell", "cv")
     val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
-    val assigned = corpus
+    // scoped-cached: the assignment subtree feeds the self-join's BOTH
+    // sides plus the final kept-flag join — uncached it would re-run the
+    // corpus pass three times (released per-query by Dedup.releaseCaches).
+    // `+ 0.0` maps an FP-cancellation -0.0 cdist to 0.0 (Spark's round
+    // drops the sign, DuckDB's keeps it; the oracle normalizes the same)
+    val assigned = Dedup.scopedCache(corpus
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .crossJoin(broadcast(centersDf))
       .withColumn("__d", sqDist(col("v"), col("cv")))
       .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .select(col("id"), col("cell"), round(col("__d"), 6).as("cdist"), col("v"))
+      .select(col("id"), col("cell"),
+        (round(col("__d"), 6) + lit(0.0)).as("cdist"), col("v")))
     val other = assigned.select(col("cell"), col("id").as("id_b"),
       col("cdist").as("cdist_b"), col("v").as("v_b"))
     val dominated = assigned.join(other, Seq("cell"))

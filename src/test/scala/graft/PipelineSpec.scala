@@ -229,6 +229,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val out = Similarity.semDedup(corpus, centers, threshold = 0.99)
       .orderBy("id").select("id", "cell", "kept")
       .as[(Long, Int, Int)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
     // b (id 2) is farthest from the centroid → kept; a is dominated by b;
     // c ties a on rounded distance and loses to the lower id; d has no
     // same-cell near-dup
@@ -244,6 +245,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val out = Similarity.semDedup(corpus, centers, threshold = 0.9)
       .orderBy("id").select("id", "cell", "kept")
       .as[(Long, Int, Int)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
     assert(out === Seq((1L, 0, 1), (2L, 1, 1)))
   }
 
