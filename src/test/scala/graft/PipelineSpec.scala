@@ -287,6 +287,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(run(raw) === run(raw.repartition(7)))
   }
 
+  test("semDedup with an unreachable threshold keeps every vector") {
+    // cosine ≤ 1 always, so threshold 1.5 can never mark a near-dup
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0.01f)), (3L, Array(0.9f, 0f)))
+      .toDF("id", "embedding")
+    val out = Similarity.semDedup(corpus, Seq((0, Seq(1.0, 0.0))), threshold = 1.5)
+      .select("kept").as[Int].collect()
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out.toSeq === Seq(1, 1, 1))
+  }
+
+  test("dsirWeights of a corpus against itself is exactly zero") {
+    import graft.pipeline.TextOps
+    // identical target and raw models → every bucket's log-ratio is
+    // ln(1) = 0 micro-units EXACTLY, so each doc's integer score is 0
+    // and everything clears the default threshold
+    val d = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "zeta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(d, d, "doc_id", "text")
+      .select("logw_micro", "selected").as[(Long, Boolean)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out === Seq((0L, true), (0L, true), (0L, true)))
+  }
+
   test("dedupGroups with string ids takes the distributed path, min-string labels") {
     val pairs = Seq(("docB", "docC"), ("docA", "docB"), ("docX", "docY"))
       .toDF("id_a", "id_b")

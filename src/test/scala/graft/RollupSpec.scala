@@ -228,6 +228,41 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
       "the fine level must serve the interior once the coarse level abstains")
   }
 
+  test("the coarse ladder level serves hybrid (interior + raw edges), finer level unread") {
+    import graft.engine.Engine
+    import graft.query.Ast._
+    // ladder (5, 10), step 10, range 100..197: query bins anchor at the
+    // range START, so bins 100..180 each coincide with one whole coarse
+    // bin (the coarse level is eligible and dense → serves them) while
+    // the ragged tail bin [190,197) is partial and comes from raw. The
+    // week-over-(hour,day) deployment shape in miniature: the coarsest
+    // level that can serve does, and the rest of the ladder is never
+    // read. (A range whose START is off the coarse grid instead makes
+    // every coarse bin straddle → coarse abstains and falls through —
+    // that scenario is the fall-through test above.)
+    val fine = Rollup.build(ctx.samples, stepNs = 5)
+    val coarse = Rollup.build(ctx.samples, stepNs = 10)
+    val q = GroupAggregateQuery(Seq("test"), Seq(AggFunc.Min, AggFunc.Cnt),
+      step = 10, range = TimeRange(100, 197))
+    val direct = new Engine(ctx).groupAggregate(q)
+      .orderBy("series", "ts").collect().map(_.toSeq)
+    assert(direct.nonEmpty)
+    // poisoned FINE level, clean coarse: unchanged result proves the
+    // hybrid (coarse interior + raw edges) never reads the finer level
+    val served = new Engine(ctx.copy(rollups = Seq(
+      5L -> fine.withColumn("vmin", lit(-1e18)), 10L -> coarse)))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(served.toSeq === direct.toSeq)
+    // poisoned COARSE level, clean fine: a changed result proves the
+    // interior really came from the coarse rollup (not raw, not fine —
+    // the coarsest eligible level wins under hybrid serving too)
+    val viaPoisonedCoarse = new Engine(ctx.copy(rollups = Seq(
+      5L -> fine, 10L -> coarse.withColumn("vmin", lit(-1e18)))))
+      .groupAggregate(q).orderBy("series", "ts").collect().map(_.toSeq)
+    assert(viaPoisonedCoarse.exists(_.contains(-1e18)),
+      "the coarse level must serve the hybrid interior")
+  }
+
   test("sparse data abstains from hybrid rollup serving (density guard)") {
     import graft.engine.Engine
     import graft.query.Ast._
