@@ -42,6 +42,62 @@ object CorpusLayout {
   def readSplit(spark: SparkSession, path: String, split: String): DataFrame =
     spark.read.parquet(path).where(col("split") === split)
 
+  /** Compact a corpus's small files: rewrite `srcPath` to `dstPath` with
+    * each (split, source) partition bin-packed toward `targetBytes` per
+    * output file — the OPTIMIZE step every long-lived 100 TB corpus
+    * needs, because incremental appends and salted writes accumulate
+    * files whose open/footer overhead eventually dominates scans.
+    *
+    * The packing plan comes from one driver-side file listing (one
+    * FileStatus per data file — metadata-bounded, the same cost a table
+    * format's OPTIMIZE pays) and broadcasts onto the rows; each
+    * partition then spreads over ceil(partitionBytes / targetBytes)
+    * write tasks via a doc_id-hash salt, so compaction of a skewed
+    * source engages the whole cluster instead of one task. Output files
+    * stay doc_id-sorted within partitions ([[writeDocuments]]'s
+    * contract, which keeps sequence packing reproducible post-compact).
+    *
+    * Writes to a DESTINATION path rather than in place: self-overwrite
+    * of a path being read is undefined in Spark; callers swap the
+    * directories (or flip a symlink/table pointer) once the write
+    * commits — the same publish step every compaction pipeline has.
+    *
+    * @return the packing plan (split, source, n_bytes, n_files_target)
+    *         for observability / the compaction log. */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+      targetBytes: Long = 512L << 20): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partVal(name: String) = name.substring(name.indexOf('=') + 1)
+    val bytesPerDir: Seq[(String, String, Long)] =
+      fs.globStatus(new Path(src, "split=*/source=*/part-*"))
+        .toSeq
+        .map { st =>
+          val sourceDir = st.getPath.getParent
+          (partVal(sourceDir.getParent.getName), partVal(sourceDir.getName),
+            st.getLen)
+        }
+        .groupBy { case (sp, so, _) => (sp, so) }
+        .map { case ((sp, so), files) => (sp, so, files.map(_._3).sum) }
+        .toSeq
+    val plan = bytesPerDir.map { case (sp, so, bytes) =>
+      (sp, so, bytes, math.max(1L, (bytes + targetBytes - 1) / targetBytes))
+    }
+    val planDf = spark.createDataFrame(plan)
+      .toDF("split", "source", "n_bytes", "n_files_target")
+    spark.read.parquet(srcPath)
+      .join(broadcast(planDf.select(col("split"), col("source"),
+        col("n_files_target").as("__files"))), Seq("split", "source"))
+      .repartition(col("split"), col("source"),
+        pmod(hash(col("doc_id")).cast("long"), col("__files")))
+      .sortWithinPartitions(col("split"), col("source"), col("doc_id"))
+      .drop("__files")
+      .write.partitionBy("split", "source").mode("overwrite").parquet(dstPath)
+    planDf
+  }
+
   /** Per-(split, source) doc and token counts — token definition shared
     * with the curation operators (TextOps.tokenCountWs), so the shipped
     * recipe numbers agree with what the pipeline reports. */

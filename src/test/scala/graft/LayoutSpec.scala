@@ -178,4 +178,51 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(m.map(_._3).sum === 40)
     assert(m.filter(_._1 == "test").map(_._3).sum === 10)
   }
+
+  test("corpus compact bin-packs each partition's files toward the target size") {
+    import spark.implicits._
+    import graft.model.CorpusLayout
+    val docs = (1L to 200L).map { i =>
+      (i, s"doc $i body words here", s"src${i % 2}",
+        if (i % 4 <= 1) "test" else "train")
+    }.toDF("doc_id", "text", "source", "split")
+    val path = java.nio.file.Files.createTempDirectory("graft_corpus_c").toString
+    // AQE's partition coalescing would merge this fixture's tiny shuffles
+    // back into one task (correct at scale, but it hides the very
+    // fragmentation this test exercises) — pin it off for the writes
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+    // salted write: every (split, source) partition lands in many files
+    CorpusLayout.writeDocuments(docs, path, tasksPerPartition = 8)
+    def filesPerDir(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.isDirectory).flatMap { sp =>
+        sp.listFiles().filter(_.isDirectory).map { so =>
+          s"${sp.getName}/${so.getName}" ->
+            so.listFiles().count(_.getName.startsWith("part-"))
+        }
+      }.toMap
+    val before = filesPerDir(path)
+    assert(before.values.forall(_ > 1), s"salted write must fragment: $before")
+
+    val dst = java.nio.file.Files.createTempDirectory("graft_corpus_d").toString
+    val plan = CorpusLayout.compact(spark, path, dst, targetBytes = 1L << 30)
+      .select("split", "source", "n_files_target")
+      .as[(String, String, Long)].collect().toSeq
+    assert(plan.nonEmpty && plan.forall(_._3 === 1L), plan.toString)
+    val after = filesPerDir(dst)
+    assert(after.keySet === before.keySet, "partition dirs must be preserved")
+    assert(after.values.forall(_ === 1), s"huge target => one file per dir: $after")
+    // content round-trips exactly
+    val a = spark.read.parquet(dst).select("doc_id", "text", "source", "split")
+      .orderBy("doc_id").collect().toSeq
+    val b = docs.orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // a tiny target spreads each partition over multiple files again
+    val dst2 = java.nio.file.Files.createTempDirectory("graft_corpus_e").toString
+    CorpusLayout.compact(spark, path, dst2, targetBytes = 512L)
+    assert(filesPerDir(dst2).values.forall(_ > 1))
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+  }
 }
