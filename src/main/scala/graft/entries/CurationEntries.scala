@@ -104,6 +104,35 @@ object CurationEntries {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // KMV approximate distinct (per-source 3-shingle vocabulary): the
+    // oracle-replayable sketch form — see Sketches.kmvDistinct. k=256 ≈
+    // 6% standard error; every source has >256 distinct shingles at
+    // every SF, so the sketch path (not the exact small-group fallback)
+    // is what the gate locks
+    "docs_distinct_shingles_kmv" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(
+          docs(s, dir).select(col("source"),
+            explode(graft.functions.TextExpressions.wordShingles(col("text"), 3))
+              .as("g")),
+          "source", "g", k = 256)
+        .orderBy("source")),
+
+    // quantiles over a hash-deterministic half sample: the scale path
+    // for percentile monitoring (the exact form buffers every value per
+    // group; the sample bounds that buffer by the rate and stays
+    // cross-engine replayable, unlike percentile_approx's GK sketch)
+    "docs_length_quantiles_sampled" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "text", "source",
+          Map.empty, defaultRate = 0.5)
+        .select(col("source"),
+          TextOps.tokenCountWs(col("text")).cast("double").as("nt"))
+        .groupBy("source")
+        .agg(
+          round(expr("percentile(nt, 0.5)"), 6).as("p50"),
+          round(expr("percentile(nt, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy("source")),
+
     // the mixture manifest: stratified sample -> content-hash splits ->
     // per (lang, split) doc and token counts — the "data recipe" summary a
     // training run records; proves the curation ops COMPOSE
@@ -219,6 +248,37 @@ object CurationEntries {
             (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
                        WHEN 'zh' THEN 0.0 ELSE 1.0 END) * 1000000.0
           ORDER BY doc_id""",
+
+    // replays kmvDistinct: distinct (source, shingle-hash60), k smallest
+    // per source, (k−1)·2^60/h_k — 255.0 * 2^60 is exactly representable
+    // (8 significant bits), so the arithmetic is engine-identical
+    "docs_distinct_shingles_kmv" ->
+      """WITH t AS (
+           SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+               1, 15)) AS BIGINT) AS h
+           FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+                UNNEST(generate_series(1, len(ws) - 2)) AS tt(i)),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS r
+               FROM t),
+         kk AS (SELECT source, max(h) AS hk, count(*) AS n
+                FROM r WHERE r <= 256 GROUP BY source)
+       SELECT source, CAST(n AS BIGINT) AS n_kept,
+         round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+               ELSE 255.0 * 1152921504606846976.0 / hk END, 6) AS est_distinct
+       FROM kk ORDER BY source""",
+
+    "docs_length_quantiles_sampled" ->
+      s"""SELECT source,
+            round(quantile_cont(nt, 0.5), 6) AS p50,
+            round(quantile_cont(nt, 0.9), 6) AS p90,
+            count(*) AS n_sampled
+          FROM (SELECT source,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+                FROM documents
+                WHERE $Hash60 % 1000000 < 0.5 * 1000000.0)
+          GROUP BY source ORDER BY source""",
 
     "docs_tfidf_top3" ->
       """WITH t AS (

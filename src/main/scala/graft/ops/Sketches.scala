@@ -35,6 +35,42 @@ object Sketches {
     *
     * @param eps,confidence CMS accuracy: width = ⌈e/eps⌉, depth = ⌈ln(1/(1−conf))⌉
     */
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002): keep each group's k smallest DISTINCT hash60 values;
+    * with the k-th smallest at h_k, the estimate is (k−1)·2⁶⁰/h_k
+    * (standard error ≈ 1/√(k−2)). Groups holding fewer than k distinct
+    * values report exactly (estimate = count). Everything is plain
+    * relational algebra over a deterministic hash — unlike HLL the
+    * DuckDB oracle replays it bit-identically, which is why this is the
+    * engine's oracle-gated approximate-distinct form; Spark's built-in
+    * `approx_count_distinct` (HLL++, partial-aggregatable, not
+    * cross-engine-deterministic) is the drop-in where replayability
+    * doesn't matter.
+    *
+    * Scale shape: the dedup shuffles DISTINCT (group, hash) pairs —
+    * vocabulary-sized, not corpus-sized — and the k-smallest filter
+    * compiles to WindowGroupLimit (each map task forwards at most k
+    * hashes per group, pinned in PlanShapeSpec), so no group ever
+    * materializes its full distinct set on one task after the local
+    * dedup. */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "kmv needs k >= 2")
+    val dedup = df
+      .select(col(groupCol), graft.pipeline.Dedup.hash60(col(valueCol)).as("__h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol).orderBy("__h")
+    dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
+      .select(col(groupCol), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("__hk")),
+          6).as("est_distinct"))
+  }
+
   def frequentKeys(df: DataFrame, keyCol: String,
       portion: Double, error: Double,
       eps: Double = 0.0001, confidence: Double = 0.99,

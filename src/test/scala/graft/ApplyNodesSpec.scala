@@ -158,6 +158,30 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assert(!approx.contains("c"))
   }
 
+  test("KMV distinct estimate lands within 3 standard errors; small groups exact") {
+    // group "big": 10k distinct values (k=256 → SE ≈ 6.3%); group
+    // "small": 9 distinct < k → must report exactly. Duplicates in the
+    // input must not shift either (the sketch sees DISTINCT hashes).
+    val rows = (1 to 10000).map(i => ("big", s"v$i")) ++
+      (1 to 9).flatMap(i => Seq.fill(3)(("small", s"w$i")))
+    val df = rows.toDF("g", "v")
+    val out = graft.ops.Sketches.kmvDistinct(df, "g", "v", k = 256)
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    val (bigN, bigEst) = (out(0)._2, out(0)._3)
+    assert(bigN === 256L)
+    assert(math.abs(bigEst - 10000.0) / 10000.0 < 3 * 0.063,
+      s"estimate $bigEst too far from 10000")
+    assert(out(1) === (("small", 9L, 9.0)))
+  }
+
+  test("KMV's k-smallest filter is map-side (WindowGroupLimit)") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val p = graft.ops.Sketches.kmvDistinct(df, "g", "v", k = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"k-smallest per group must push below the shuffle:\n$p")
+  }
+
   test("CMS builder reads its input in ONE pass (total folded into sketch agg)") {
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
