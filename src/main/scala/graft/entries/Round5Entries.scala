@@ -166,6 +166,34 @@ object Round5Entries {
           expr("l_ts div 1000").as("l_ts_us"), expr("r_ts div 1000").as("r_ts_us"),
           round(col("l_value"), 6).as("l_value"), round(col("r_value"), 6).as("r_value"))
         .orderBy("name", "l_ts_us", "r_ts_us")
+    }),
+
+    // streaming corpus ingest through a REAL parquet file sink: documents
+    // stream in, the quality gate filters in flight, and the entry result
+    // is read back from the COMMITTED output directory (exactly-once via
+    // the sink's _spark_metadata log — the streaming half of
+    // CorpusLayout's write path). Stateless, so no watermark/sentinel.
+    "stream_corpus_ingest" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(Long, String, String)]
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSeq
+      val in = MemoryStream[(Long, String, String)]
+      val out = graft.streaming.TsdbStream.corpusIngest(
+        in.toDF().toDF("doc_id", "source", "text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/corpus")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").start()
+      try docs.grouped(docs.length / 3 + 1).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$tmp/corpus").orderBy("id")
     })
   )
 
@@ -250,6 +278,27 @@ object Round5Entries {
             AND epoch_us(v.ts) >= epoch_us(c.ts) - 21600000000
             AND epoch_us(v.ts) <= epoch_us(c.ts)
           ORDER BY name, l_ts_us, r_ts_us""",
+
+    // the committed file-sink directory must equal the batch quality
+    // gate over the same documents (docs_quality's replay + threshold)
+    "stream_corpus_ingest" ->
+      """WITH f AS (
+           SELECT doc_id, source, length(text) AS n_chars,
+             string_split(text, ' ') AS ws
+           FROM documents)
+         SELECT doc_id AS id, source, n_chars, len(ws) AS n_tokens,
+           round(list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws), 6)
+             AS mean_token_len,
+           round(len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+             * 1.0 / len(list_distinct(ws)), 6) AS stopword_ratio,
+           round(least(len(ws) / 100.0, 1.0) * 0.5 +
+             (len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+              * 1.0 / len(list_distinct(ws))) * 0.5, 6) AS quality
+         FROM f
+         WHERE round(least(len(ws) / 100.0, 1.0) * 0.5 +
+             (len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+              * 1.0 / len(list_distinct(ws))) * 0.5, 6) >= 0.25
+         ORDER BY id""",
 
     // identical SQL to the aligned rollup entry: the STREAM-built rollup
     // must reproduce the raw answer exactly (min/max/cnt are combine-law

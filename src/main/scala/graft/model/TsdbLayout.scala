@@ -55,6 +55,71 @@ object TsdbLayout {
   def readSamples(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Merge late or corrected samples into a written layout, rewriting
+    * ONLY the (metric, ts_day) partition directories the late data
+    * touches — the TSDB's answer to out-of-order arrival after the
+    * initial load (the reference replays its WAL into the tree; the
+    * Parquet counterpart is a partition-scoped rewrite, never a table
+    * rewrite). Rule: one row per (series_id, ts), latest upsert wins
+    * over what's on disk.
+    *
+    * Mechanics, in 100 TB terms:
+    *   1. the affected (metric, day) set comes off the late batch — a
+    *      metadata-sized driver list (late batches touch hours-to-days,
+    *      not history);
+    *   2. the existing read is partition-pruned to exactly that set, so
+    *      the rewrite's input is the affected slice, not the table;
+    *   3. the merged slice materializes via localCheckpoint before the
+    *      write — bounded by the slice, and it severs the file-source
+    *      lineage so Spark permits (and the commit can't corrupt) the
+    *      overwrite of directories that were just read;
+    *   4. dynamic partition overwrite replaces only directories the
+    *      merged frame actually writes — untouched partitions' files are
+    *      never opened, rewritten, or dropped (spec-pinned by file
+    *      listing).
+    *
+    * `late` carries (series_id, ts, value); metric resolves from the
+    * broadcast catalog exactly as in [[writeSamples]], and files stay
+    * (series_id, ts)-sorted within partitions. Duplicate (series_id, ts)
+    * keys inside one late batch resolve by max value (deterministic; pre-
+    * aggregate the batch if another policy is needed).
+    *
+    * @return number of partition directories rewritten. */
+  def upsertSamples(spark: SparkSession, path: String, late: DataFrame,
+      series: DataFrame): Int = {
+    import org.apache.spark.sql.expressions.Window
+    val lateKeyed = late
+      .join(broadcast(series.select(col("series_id"), col("metric"))),
+        "series_id")
+      .withColumn("ts_day",
+        graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
+      .select("series_id", "ts", "value", "metric", "ts_day")
+    val affected = lateKeyed.select("metric", "ts_day").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (affected.isEmpty) return 0
+    val pred = affected
+      .map { case (m, d) => col("metric") === m && col("ts_day") === d }
+      .reduce(_ || _)
+    val existing = readSamples(spark, path).where(pred)
+      .select("series_id", "ts", "value", "metric", "ts_day")
+    val w = Window.partitionBy("series_id", "ts")
+      .orderBy(col("__new").desc, col("value").desc)
+    val merged = existing.withColumn("__new", lit(0))
+      .unionByName(lateKeyed.withColumn("__new", lit(1)))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .drop("__new", "__r")
+      .localCheckpoint()
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try merged
+      .repartition(col("metric"), col("ts_day"))
+      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
+      .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
+    finally spark.conf.set(key, prev)
+    affected.length
+  }
+
   /** Time-based retention: drop every `ts_day` partition directory older
     * than `cutoffNs`. Deleting whole directories is the point of the
     * layout — expiry is a metadata operation (no file is opened, no data

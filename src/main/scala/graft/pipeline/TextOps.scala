@@ -28,8 +28,12 @@ object TextOps {
 
   /** Quality-score features + composite score in [0, 1]:
     * short docs and stopword-free docs score low (heuristic curation
-    * signal, not a model). */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * signal, not a model). Pure projection — composes with streaming
+    * frames unchanged (see [[graft.streaming.TsdbStream.corpusIngest]]).
+    * `keep` passes extra input columns through (e.g. `source` for an
+    * ingest record). */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val words = split(col(textCol), " ")
     val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
     val nTokens = size(words)
@@ -37,15 +41,14 @@ object TextOps {
       size(array_distinct(words))
     val meanLen = aggregate(words, lit(0L),
       (acc, w) => acc + length(w)).cast("double") / nTokens
-    df.select(
-      col(idCol).as("id"),
+    df.select((col(idCol).as("id") +: keep.map(col)) ++ Seq(
       length(col(textCol)).as("n_chars"),
       nTokens.as("n_tokens"),
       round(meanLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(
         least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.5 +
-          stopRatio * 0.5, 6).as("quality"))
+          stopRatio * 0.5, 6).as("quality")): _*)
   }
 
   /** Marker-word sets per language (the n-gram-heuristic skeleton: score =

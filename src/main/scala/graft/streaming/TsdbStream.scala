@@ -126,6 +126,21 @@ object TsdbStream {
     * horizon (dropDuplicatesWithinWatermark evicts expired hashes) — the
     * property that lets this run forever on a corpus firehose. `tsCol`
     * is the document's event-time Long-ns column. */
+  /** Stateless streaming curation gate for corpus INGEST: per-document
+    * quality features + composite score ([[graft.pipeline.TextOps.quality]]
+    * is a pure projection, so it runs unchanged on a streaming frame)
+    * with sub-threshold documents dropped in flight. Point the result at
+    * a parquet file sink partitioned like [[graft.model.CorpusLayout]]:
+    * the sink's `_spark_metadata` commit log gives file-level
+    * exactly-once, so a crashed ingest resumes from its checkpoint
+    * without duplicating documents — the streaming half of the corpus
+    * write path (entry `stream_corpus_ingest` commits a real file sink
+    * and oracle-checks the committed directory). */
+  def corpusIngest(docs: DataFrame, minQuality: Double = 0.25): DataFrame =
+    graft.pipeline.TextOps.quality(docs, "doc_id", "text",
+        keep = Seq("source"))
+      .where(col("quality") >= minQuality)
+
   def dedupDocumentsByContent(docs: DataFrame, textCol: String,
       tsCol: String, lateness: String): DataFrame =
     docs

@@ -40,6 +40,46 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(dirs.nonEmpty)
   }
 
+  test("upsert rewrites only the touched partitions; late data wins on key collision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val day = graft.time.TimeUtil.NsPerDay
+    val rows = for (i <- 1 to 2; d <- 0 until 3; k <- 0 until 5)
+      yield (s"T$i", d * day + k * 1000L, i * 100.0 + d * 10 + k)
+    val wide = rows.toDF("tag", "ts", "value")
+      .withColumn("metric", lit("test"))
+    val flat = graft.model.TsdbContext.fromWide(
+      spark, wide, "metric", Seq("tag"), "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    TsdbLayout.writeSamples(flat, path)
+    def files(dayN: Long): Set[String] = {
+      val d = new java.io.File(s"$path/metric=test/ts_day=$dayN")
+      d.listFiles().map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val day0Before = files(0)
+    val day1Before = files(1)
+
+    // one correction (collides with an existing (series, ts)) and one
+    // genuinely late row, both inside day 1 only
+    val sid = flat.samples.where(col("ts") === day).select("series_id")
+      .as[Long].head()
+    val late = Seq((sid, day, -999.0), (sid, day + 7777L, -1.0))
+      .toDF("series_id", "ts", "value")
+    val n = TsdbLayout.upsertSamples(spark, path, late, flat.series)
+    assert(n === 1, "exactly one (metric, day) partition is affected")
+
+    // untouched day-0 directory: byte-identical file set; day 1 rewritten
+    assert(files(0) === day0Before, "day 0 must not be rewritten")
+    assert(files(1) !== day1Before, "day 1 must be rewritten")
+
+    val after = TsdbLayout.readSamples(spark, path)
+    assert(after.count() === rows.size + 1) // one new row, one replaced
+    val corrected = after.where(col("series_id") === sid && col("ts") === day)
+      .select("value").as[Double].collect().toSeq
+    assert(corrected === Seq(-999.0), "the late value must win")
+    assert(after.where(col("value") === -1.0).count() === 1)
+  }
+
   test("pre-epoch samples survive the layout round-trip (floor-div day numbering)") {
     // ts_day assignment (write side) and tsDayPruned's bounds (read side)
     // must agree on FLOOR division: truncating division puts ts = -1 ns in
