@@ -150,6 +150,38 @@ object EntryUtil {
         spark, base, series, ctx.events))
     })
 
+  // the correction window the upserted-layout entry and its oracle agree
+  // on: Jan 10-12 (inside the Jan 1-30 data span at every SF)
+  val UpsertLoNs = FromNs + 9L * 86400000000000L
+  val UpsertHiNs = FromNs + 11L * 86400000000000L
+
+  /** Engine over a PRIVATE layout copy into which a deterministic batch
+    * of corrections was upserted (TsdbLayout.upsertSamples — only the
+    * touched (metric, ts_day) directories rewritten): every purchase
+    * sample of users 2 and 4 inside [[UpsertLoNs]], [[UpsertHiNs]]) is
+    * re-sent with value + 1000. `ts_layout_upsert` proves the merged
+    * layout serves the corrected values (latest wins on key collision)
+    * while everything outside the window is untouched; the oracle
+    * replays the correction as a CASE over the raw table. */
+  def engineUpsertedLayoutFor(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate((spark, dir + "#upserted"), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-upserted-").toString
+      graft.model.TsdbLayout.writeSamples(ctx, base)
+      val late = ctx.samples
+        .join(ctx.series.where(col("metric") === "purchase" &&
+            element_at(col("tags"), "user").isin("2", "4"))
+          .select("series_id"), "series_id")
+        .where(col("ts") >= UpsertLoNs && col("ts") < UpsertHiNs)
+        .select(col("series_id"), col("ts"),
+          (col("value") + 1000.0).as("value"))
+      graft.model.TsdbLayout.upsertSamples(spark, base, late, ctx.series)
+      val series = cachedSeries(spark, dir, ctx.series)
+      new Engine(graft.model.TsdbLayout.contextOver(
+        spark, base, series, ctx.events))
+    })
+
   /** Engine over the tagkey-BUCKETED layout table
     * (TsdbLayout.writeBucketedByTagkey): join-kind alignment — the
     * engine's one unavoidable shuffle on a plain layout — reads

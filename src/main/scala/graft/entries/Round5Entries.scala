@@ -50,6 +50,17 @@ object Round5Entries {
              "range": {"from": "$FromIso", "to": "$ToIso"},
              "where": {"user": ["2", "4", "6", "8"]}}"""))),
 
+    // late-data upsert end-to-end: a PRIVATE layout copy absorbed a
+    // correction batch (users 2/4, Jan 10-12, value + 1000) via
+    // TsdbLayout.upsertSamples — only those days' directories were
+    // rewritten — and the engine over the merged layout must serve the
+    // corrected values (latest wins) with everything else untouched
+    "ts_layout_upsert" -> ((s, dir) =>
+      usView(engineUpsertedLayoutFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "$FromIso", "to": "$ToIso"},
+             "where": {"user": ["2", "4", "6", "8"]}}"""))),
+
     // JOIN aligned on the bucketed layout's own tagkey column: the
     // engine's one unavoidable shuffle vanishes (write-time bucketing),
     // and the result still matches the plain raw-scan oracle
@@ -216,6 +227,18 @@ object Round5Entries {
     "ts_layout_select" ->
       s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
             epoch_us(ts) AS ts_us, round(value, 6) AS value
+          ${oracleScan("purchase", "AND user_id IN (2, 4, 6, 8)")}
+          ORDER BY series, ts_us""",
+
+    // the correction replayed as a CASE on the raw table: users 2/4 in
+    // the Jan 10-12 window read value + 1000, everything else unchanged
+    "ts_layout_upsert" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us,
+            round(CASE WHEN user_id IN (2, 4)
+                    AND epoch_ns(ts) >= ${EntryUtil.UpsertLoNs}
+                    AND epoch_ns(ts) < ${EntryUtil.UpsertHiNs}
+                  THEN value + 1000.0 ELSE value END, 6) AS value
           ${oracleScan("purchase", "AND user_id IN (2, 4, 6, 8)")}
           ORDER BY series, ts_us""",
 
