@@ -104,6 +104,24 @@ object CurationEntries {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // write → compact → read round trip under the oracle: the corpus
+    // layout is written fragmented (salted tasks), bin-packed by
+    // CorpusLayout.compact, and the COMPACTED directory must still hold
+    // exactly the split-assigned corpus (oracle replays the content-hash
+    // split; any doc lost or duplicated by the rewrite hash-mismatches)
+    "docs_corpus_compact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val withSplit = TextOps.assignSplits(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("split"))
+        .join(d.select("doc_id", "source", "text"), "doc_id")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ccorp").toString
+      graft.model.CorpusLayout.writeDocuments(withSplit, s"$base/raw")
+      graft.model.CorpusLayout.compact(s, s"$base/raw", s"$base/opt")
+      s.read.parquet(s"$base/opt")
+        .select("doc_id", "split", "source").orderBy("doc_id")
+    }),
+
     // KMV approximate distinct (per-source 3-shingle vocabulary): the
     // oracle-replayable sketch form — see Sketches.kmvDistinct. k=256 ≈
     // 6% standard error; every source has >256 distinct shingles at
@@ -248,6 +266,15 @@ object CurationEntries {
             (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
                        WHEN 'zh' THEN 0.0 ELSE 1.0 END) * 1000000.0
           ORDER BY doc_id""",
+
+    // the compacted corpus must hold exactly the split-assigned docs
+    "docs_corpus_compact" ->
+      s"""SELECT doc_id,
+            CASE WHEN $Hash60 % 100 < 10 THEN 'test'
+                 WHEN $Hash60 % 100 < 20 THEN 'val'
+                 ELSE 'train' END AS split,
+            source
+          FROM documents ORDER BY doc_id""",
 
     // replays kmvDistinct: distinct (source, shingle-hash60), k smallest
     // per source, (k−1)·2^60/h_k — 255.0 * 2^60 is exactly representable

@@ -151,9 +151,13 @@ object EntryUtil {
     })
 
   // the correction window the upserted-layout entry and its oracle agree
-  // on: Jan 10-12 (inside the Jan 1-30 data span at every SF)
-  val UpsertLoNs = FromNs + 9L * 86400000000000L
-  val UpsertHiNs = FromNs + 11L * 86400000000000L
+  // on: Jan 10-12 2024 (inside the Jan 1-30 data span at every SF).
+  // LITERALS, not FromNs + offset: object vals initialize in textual
+  // order, and FromNs is declared BELOW — a forward reference here reads
+  // 0L and silently moves the window to 1970, making the entry vacuous
+  // (caught in review; spec-pinned against the Jan-2024 span below)
+  val UpsertLoNs = 1704844800000000000L // 2024-01-10T00:00Z
+  val UpsertHiNs = 1705017600000000000L // 2024-01-12T00:00Z
 
   /** Engine over a PRIVATE layout copy into which a deterministic batch
     * of corrections was upserted (TsdbLayout.upsertSamples — only the
@@ -254,16 +258,25 @@ object EntryUtil {
     val in = MemoryStream[T]
     val out = mkStream(in.toDF().toDF(cols: _*))
     runSink(spark, prefix, out, outputMode) { q =>
-      rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
-        in.addData(mapChunk(c))
-        q.processAllAvailable()
-      }
+      feedChunks(in, q, rows, chunks, mapChunk)
       sentinel.foreach { last =>
         in.addData(last)
         q.processAllAvailable()
       }
     }
   }
+
+  /** The ONE chunked MemoryStream feed protocol (single-input entries
+    * and the file-sink ingest entry share it): add each ts-ordered
+    * chunk, drain the query, repeat. */
+  def feedChunks[T](
+      in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T],
+      q: org.apache.spark.sql.streaming.StreamingQuery, rows: Seq[T],
+      chunks: Int, mapChunk: Seq[T] => Seq[T] = identity[Seq[T]] _): Unit =
+    rows.grouped(math.max(1, rows.length / chunks + 1)).foreach { c =>
+      in.addData(mapChunk(c))
+      q.processAllAvailable()
+    }
 
   /** The stream-entry harness's ONE memory-sink lifecycle (both the
     * single- and two-input forms): allocate the next versioned sink name

@@ -201,9 +201,8 @@ object Round5Entries {
         .option("path", s"$tmp/corpus")
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode("append").start()
-      try docs.grouped(docs.length / 3 + 1).foreach { c =>
-        in.addData(c); q.processAllAvailable()
-      } finally q.stop()
+      try EntryUtil.feedChunks(in, q, docs, chunks = 3)
+      finally q.stop()
       s.read.parquet(s"$tmp/corpus").orderBy("id")
     })
   )

@@ -70,7 +70,18 @@ object CorpusLayout {
     import org.apache.hadoop.fs.Path
     val src = new Path(srcPath)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partVal(name: String) = name.substring(name.indexOf('=') + 1)
+    // directory names carry Hive-ESCAPED partition values (":" →
+    // "%3A"...) while the scanned rows carry the decoded ones — the plan
+    // keys must be decoded or the join drops those partitions entirely.
+    // Null partition values (__HIVE_DEFAULT_PARTITION__) can't join
+    // back; refuse loudly rather than silently losing the directory.
+    def partVal(name: String): String = {
+      val raw = name.substring(name.indexOf('=') + 1)
+      require(raw != "__HIVE_DEFAULT_PARTITION__",
+        s"compact requires non-null split/source values (found $name)")
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(raw)
+    }
     val bytesPerDir: Seq[(String, String, Long)] =
       fs.globStatus(new Path(src, "split=*/source=*/part-*"))
         .toSeq

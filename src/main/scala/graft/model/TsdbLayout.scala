@@ -80,14 +80,15 @@ object TsdbLayout {
     *
     * `late` carries (series_id, ts, value); metric resolves from the
     * broadcast catalog exactly as in [[writeSamples]], and files stay
-    * (series_id, ts)-sorted within partitions. Duplicate (series_id, ts)
-    * keys inside one late batch resolve by max value (deterministic; pre-
-    * aggregate the batch if another policy is needed).
+    * (series_id, ts)-sorted within partitions. Only keys the late batch
+    * NAMES are replaced — pre-existing duplicate-ts rows on other keys
+    * survive the rewrite untouched (a whole-slice dedup would silently
+    * collapse them). Duplicate keys inside one late batch resolve by max
+    * value (deterministic; pre-aggregate the batch for another policy).
     *
     * @return number of partition directories rewritten. */
   def upsertSamples(spark: SparkSession, path: String, late: DataFrame,
       series: DataFrame): Int = {
-    import org.apache.spark.sql.expressions.Window
     val lateKeyed = late
       .join(broadcast(series.select(col("series_id"), col("metric"))),
         "series_id")
@@ -102,12 +103,19 @@ object TsdbLayout {
       .reduce(_ || _)
     val existing = readSamples(spark, path).where(pred)
       .select("series_id", "ts", "value", "metric", "ts_day")
-    val w = Window.partitionBy("series_id", "ts")
-      .orderBy(col("__new").desc, col("value").desc)
-    val merged = existing.withColumn("__new", lit(0))
-      .unionByName(lateKeyed.withColumn("__new", lit(1)))
-      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .drop("__new", "__r")
+    // replace ONLY keys the late batch names: an anti-join (late keys
+    // broadcast — the batch is small by definition) keeps every other
+    // on-disk row byte-for-byte, INCLUDING pre-existing duplicate-ts
+    // rows a whole-slice dedup would silently collapse. Duplicates
+    // inside the late batch itself resolve by max value.
+    val lateDedup = lateKeyed
+      .groupBy("series_id", "ts", "metric", "ts_day")
+      .agg(max(col("value")).as("value"))
+      .select("series_id", "ts", "value", "metric", "ts_day")
+    val merged = existing
+      .join(broadcast(lateDedup.select("series_id", "ts").distinct()),
+        Seq("series_id", "ts"), "left_anti")
+      .unionByName(lateDedup)
       .localCheckpoint()
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "static")

@@ -120,12 +120,6 @@ object TsdbStream {
       .drop("event_time")
   }
 
-  /** Content-hash exact dedup for a DOCUMENT stream (ingest-time
-    * counterpart of Dedup.exact): drop any document whose text hash was
-    * already seen within the watermark horizon. State is bounded by the
-    * horizon (dropDuplicatesWithinWatermark evicts expired hashes) — the
-    * property that lets this run forever on a corpus firehose. `tsCol`
-    * is the document's event-time Long-ns column. */
   /** Stateless streaming curation gate for corpus INGEST: per-document
     * quality features + composite score ([[graft.pipeline.TextOps.quality]]
     * is a pure projection, so it runs unchanged on a streaming frame)
@@ -141,6 +135,12 @@ object TsdbStream {
         keep = Seq("source"))
       .where(col("quality") >= minQuality)
 
+  /** Content-hash exact dedup for a DOCUMENT stream (ingest-time
+    * counterpart of Dedup.exact): drop any document whose text hash was
+    * already seen within the watermark horizon. State is bounded by the
+    * horizon (dropDuplicatesWithinWatermark evicts expired hashes) — the
+    * property that lets this run forever on a corpus firehose. `tsCol`
+    * is the document's event-time Long-ns column. */
   def dedupDocumentsByContent(docs: DataFrame, textCol: String,
       tsCol: String, lateness: String): DataFrame =
     docs

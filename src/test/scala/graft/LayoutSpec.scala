@@ -44,8 +44,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
     val day = graft.time.TimeUtil.NsPerDay
-    val rows = for (i <- 1 to 2; d <- 0 until 3; k <- 0 until 5)
-      yield (s"T$i", d * day + k * 1000L, i * 100.0 + d * 10 + k)
+    val rows = (for (i <- 1 to 2; d <- 0 until 3; k <- 0 until 5)
+      yield (s"T$i", d * day + k * 1000L, i * 100.0 + d * 10 + k)) :+
+      // a pre-existing duplicate-ts row in the TOUCHED day, on a key the
+      // late batch never names — the partition rewrite must keep BOTH
+      // copies (a whole-slice dedup would silently collapse them)
+      (("T2", day + 1000L, 4242.0))
     val wide = rows.toDF("tag", "ts", "value")
       .withColumn("metric", lit("test"))
     val flat = graft.model.TsdbContext.fromWide(
@@ -62,7 +66,7 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // one correction (collides with an existing (series, ts)) and one
     // genuinely late row, both inside day 1 only
     val sid = flat.samples.where(col("ts") === day).select("series_id")
-      .as[Long].head()
+      .orderBy("series_id").as[Long].head()
     val late = Seq((sid, day, -999.0), (sid, day + 7777L, -1.0))
       .toDF("series_id", "ts", "value")
     val n = TsdbLayout.upsertSamples(spark, path, late, flat.series)
@@ -78,6 +82,10 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       .select("value").as[Double].collect().toSeq
     assert(corrected === Seq(-999.0), "the late value must win")
     assert(after.where(col("value") === -1.0).count() === 1)
+    // the untouched duplicate-ts key keeps BOTH its copies
+    assert(after.where(col("ts") === day + 1000L && col("value") === 4242.0)
+      .count() === 1, "pre-existing duplicate must survive the rewrite")
+    assert(after.where(col("ts") === day + 1000L).count() === 3)
   }
 
   test("pre-epoch samples survive the layout round-trip (floor-div day numbering)") {
@@ -222,8 +230,12 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   test("corpus compact bin-packs each partition's files toward the target size") {
     import spark.implicits._
     import graft.model.CorpusLayout
+    // "web:news" needs Hive escaping in its directory name (source=
+    // web%3Anews) — the packing plan must decode it or the join silently
+    // drops the whole partition
     val docs = (1L to 200L).map { i =>
-      (i, s"doc $i body words here", s"src${i % 2}",
+      (i, s"doc $i body words here",
+        if (i % 5 == 0) "web:news" else s"src${i % 2}",
         if (i % 4 <= 1) "test" else "train")
     }.toDF("doc_id", "text", "source", "split")
     val path = java.nio.file.Files.createTempDirectory("graft_corpus_c").toString
