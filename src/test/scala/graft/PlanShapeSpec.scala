@@ -350,6 +350,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no per-row probe join:\n$p")
   }
 
+  test("semDedup: centers broadcast; the near-dup search is a cell equi-join, not NLJ") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map(i => (i, Array(i.toFloat, (i % 7).toFloat)))
+      .toDF("id", "embedding")
+    val centers = Seq((0, Seq(10.0, 3.0)), (1, Seq(50.0, 3.0)))
+    val p = plan(graft.pipeline.Similarity.semDedup(corpus, centers, threshold = 0.9))
+    graft.pipeline.Dedup.releaseCaches()
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty,
+      s"the candidate search must be the cell equi-join, never a per-row probe:\n$p")
+    assert(p.toString.contains("BroadcastExchange"),
+      s"the centroid table must broadcast:\n$p")
+  }
+
+  test("DSIR: the log-ratio table broadcasts onto doc buckets (no corpus re-shuffle)") {
+    import spark.implicits._
+    val raw = (1L to 40L).map(i => (i, s"alpha beta doc $i gamma")).toDF("doc_id", "text")
+    val target = Seq((99L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val p = plan(graft.pipeline.TextOps.dsirWeights(raw, target, "doc_id", "text"))
+    graft.pipeline.Dedup.releaseCaches()
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"the bucket log-ratio table must broadcast:\n$p")
+    assert(p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"no per-row probe join:\n$p")
+  }
+
   test("contamination: the benchmark side broadcasts (corpus never shuffles to meet it)") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, s"doc $i words alpha beta gamma $i"))
