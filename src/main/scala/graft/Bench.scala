@@ -73,9 +73,33 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // the driver captures a bounded stdout tail, which has truncated the
-    // JSON mid-line two rounds running — the file is the durable artifact
+    // durable artifacts: the driver's stdout tail is 2000 bytes, which has
+    // truncated the full JSON line mid-line every round so far — keep the
+    // complete map in /tmp and in the repo itself
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // compact FINAL line sized to survive the 2000-byte tail intact:
+    // slowest entries first (the informative ones) until a 1400-byte
+    // budget is spent; totals cover ALL queries regardless of omission
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val bySlowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val sb = new StringBuilder
+    var omitted = 0
+    bySlowest.foreach { case (k, v) =>
+      val piece = "\"" + k + "\":" + r3(v)
+      if (sb.length + piece.length + 1 <= 1200) {
+        if (sb.nonEmpty) sb.append(','); sb.append(piece)
+      } else omitted += 1
+    }
+    // the failed list is bounded too (a broken build can fail EVERY entry
+    // — the full list then blows the tail budget exactly when the signal
+    // matters most); the complete list is in the durable artifacts
+    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failedJson = failedNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":{$sb},"queries_omitted":$omitted,"failed_n":${failedNames.size},"failed":$failedJson,"full":"/tmp/bench.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

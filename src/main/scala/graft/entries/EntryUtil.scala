@@ -234,9 +234,17 @@ object EntryUtil {
     * order IS the fold order and watermarks only ever advance. One place
     * to change the feed — the streaming entries must stay on identical
     * input or their oracles silently diverge. */
+  /** The raw events table with ts normalized to Long ns — EVERY entry
+    * reading events.parquet directly must come through here (the driver
+    * has shipped the table as both timestamp[ns] and timestamp[us];
+    * TsdbContext.normalizeTsNs absorbs the difference). */
+  def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.model.TsdbContext.normalizeTsNs(
+      spark.read.parquet(s"$dir/events.parquet"))
+
   def eventRows(spark: SparkSession, dir: String, eventType: String,
       namePrefix: String): Seq[(String, Long, Double)] =
-    spark.read.parquet(s"$dir/events.parquet")
+    rawEvents(spark, dir)
       .where(col("event_type") === eventType)
       .select(concat(lit(namePrefix), col("user_id").cast("string")).as("name"),
         col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))

@@ -141,7 +141,7 @@ object ExtraEntries {
     // truncated ts so the <= boundary agrees with DuckDB's µs TIMESTAMP;
     // the oracle uses DuckDB's native ASOF JOIN)
     "ts_asof_join" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EntryUtil.rawEvents(s, dir)
         .withColumn("ts", col("ts").cast("long"))
         .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
       val clicks = ev.where(col("event_type") === "click")
@@ -159,7 +159,7 @@ object ExtraEntries {
     // contain it (bucketed equi-join; oracle is the plain inequality join)
     "ts_range_join" -> ((s, dir) => {
       val dayNs = 86400000000000L
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EntryUtil.rawEvents(s, dir)
         .withColumn("ts", col("ts").cast("long"))
         .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
       val clicks = ev.where(col("event_type") === "click")
@@ -183,7 +183,7 @@ object ExtraEntries {
     // real event) finalizes every real window.
     "stream_downsample" -> ((s, dir) => {
       implicit val enc = Encoders.product[(String, Long, Double)]
-      val rows = s.read.parquet(s"$dir/events.parquet")
+      val rows = EntryUtil.rawEvents(s, dir)
         .where(col("event_type") === "click")
         .select(concat(lit("click user="), col("user_id").cast("string")).as("name"),
           col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
@@ -205,7 +205,7 @@ object ExtraEntries {
     // the codegen line parser, and emit normalized samples; the oracle
     // computes the same samples directly — checking the parser end-to-end.
     "src_opentsdb_roundtrip" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EntryUtil.rawEvents(s, dir)
         .where(col("event_type") === "click")
       val lines = ev.select(concat(
         lit("put "), col("event_type"), lit(" "), col("ts").cast("string"),

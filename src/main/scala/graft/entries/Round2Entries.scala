@@ -68,7 +68,7 @@ object Round2Entries {
     // out into click and click2 samples) — parse back, compare to the
     // directly-computed samples
     "src_resp_roundtrip" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EntryUtil.rawEvents(s, dir)
         .where(col("event_type") === "click")
         .withColumn("ts", col("ts").cast("long"))
       val pts = ev.select(col("user_id"), concat(
@@ -135,7 +135,7 @@ object Round2Entries {
     // to the direct aggregation the oracle computes (cnt/min/max are
     // exactly associative, so the hash matches bit-for-bit)
     "ts_salted_agg" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EntryUtil.rawEvents(s, dir)
         .where(col("event_type") === "click")
         .select(col("user_id"), col("ts").cast("long").as("ts"), col("value"))
       graft.ops.Skew.saltedAgg(ev, Seq("user_id"), n = 8, partials = Seq(

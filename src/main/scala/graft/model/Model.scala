@@ -114,16 +114,40 @@ object TsdbContext {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TsdbSchema.events))
   }
 
+  /** Normalize a parquet-sourced timestamp column to the engine's Long
+    * UTC ns, whatever the file's physical encoding:
+    *   - `timestamp[ns]` arrives as LongType ns under
+    *     `spark.sql.legacy.parquet.nanosAsLong` — already canonical;
+    *   - `timestamp[us]` arrives as TimestampType (or TimestampNTZType
+    *     when the file is not UTC-adjusted; the session TZ is pinned UTC,
+    *     so the cast reads it as the same instant) — `unix_micros · 1000`.
+    * Without this, `cast(ts as long)` on a TIMESTAMP silently yields
+    * SECONDS and every ns-epoch range filter excludes all rows. The
+    * DuckDB oracle's `epoch_ns(ts)` computes the identical value for
+    * both encodings, so entries keep hash parity. */
+  def normalizeTsNs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType => df
+      case TimestampType =>
+        df.withColumn(tsCol, unix_micros(col(tsCol)) * lit(1000L))
+      case TimestampNTZType =>
+        df.withColumn(tsCol,
+          unix_micros(col(tsCol).cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"unsupported timestamp encoding for '$tsCol': $other")
+    }
+
   /** Map the driver testdata (`events.parquet`) onto the TSDB model:
-    * metric = event_type, one tag `user=<user_id>`, ts = Long ns (requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true`), value = value. The
+    * metric = event_type, one tag `user=<user_id>`, ts = Long ns
+    * (normalized from the file's encoding by [[normalizeTsNs]]), value =
+    * value. The
     * event-series facts reuse the same rows with the `props` JSON string as
     * body under the `!log` event metric. Locations are synthesized
     * deterministically from user_id so spatial operators are testable and
     * oracle-reproducible.
     */
   def fromTestdata(spark: SparkSession, sfDir: String): TsdbContext = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = normalizeTsNs(spark.read.parquet(s"$sfDir/events.parquet"))
     val base = fromWide(spark, ev.withColumnRenamed("user_id", "user"),
       metricCol = "event_type", tagCols = Seq("user"), tsCol = "ts", valueCol = "value",
       lonExpr = Some("cast(user % 36 as double) * 10.0 - 180.0 + 0.5"),

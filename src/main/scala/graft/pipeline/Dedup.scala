@@ -374,6 +374,80 @@ object Dedup {
     labels.select(col("id"), col("label").as("group_id"))
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the continuous-ingest form of
+    * near-dup removal: flag each document of an incoming `batch` that
+    * duplicates the EXISTING `corpus`, without ever comparing corpus docs
+    * to each other (that pass already ran when the corpus was curated).
+    *
+    * Output, one row per batch document:
+    * `(id, exact_dup_of, near_dup_of, status)` where `exact_dup_of` is the
+    * minimum corpus id with byte-identical text, `near_dup_of` the minimum
+    * corpus id whose exact n-gram Jaccard clears `threshold` among
+    * MinHash-LSH band candidates, and `status` one of
+    * `'exact' | 'near' | 'new'` (exact wins when both fire).
+    *
+    * Scale shape (the point of the operator): the corpus side — the 100 TB
+    * side — is NEVER shuffled. The batch's content hashes, band keys and
+    * shingle sets all broadcast (an ingest batch is bounded by design), so
+    * every corpus participation is a broadcast-hash-join probe on its scan:
+    *   - exact:   corpus md5 ⋈_bcast batch md5
+    *   - candidates: corpus band keys ⋈_bcast batch band keys
+    *   - verify:  corpus shingle rows ⋈_bcast candidate ids → per-pair
+    *              intersection counts (partial-aggregatable groupBy)
+    * In production the corpus band keys and per-doc shingle counts are
+    * persisted at curation time (they are exactly [[minhashBands]] /
+    * [[shingleHashes]] outputs), turning the first two probes into index
+    * lookups; recomputing them here keeps the entry self-contained. */
+  def dedupAgainstCorpus(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    // exact: min corpus id per batch content hash
+    val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("th"))
+    val ch = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
+    val exactDup = ch.join(broadcast(bh), "th")
+      .groupBy("id").agg(min(col("cid")).as("exact_dup_of"))
+    // near candidates: corpus band keys probe the broadcast batch bands
+    val cb = minhashBandsOf(shingleHashes(corpus, idCol, textCol, k), numPerm, bands)
+      .withColumnRenamed("id", "cid")
+    val bb = minhashBandsOf(shingleHashes(batch, idCol, textCol, k), numPerm, bands)
+      .withColumnRenamed("id", "bid")
+    val cand = cb.join(broadcast(bb), Seq("band", "band_key"))
+      .select(col("bid"), col("cid")).distinct()
+    // exact-Jaccard verify: only candidate corpus docs ship shingles, and
+    // the batch shingle sets ride along broadcast. Intersection counts come
+    // from one partial-aggregatable groupBy over the corpus shingle rows
+    // joined to the (broadcast) batch shingle rows on the hash.
+    val bsh = shingleHashes(batch, idCol, textCol, k)
+      .withColumnRenamed("id", "bid")
+    val csh = shingleHashes(corpus, idCol, textCol, k)
+      .withColumnRenamed("id", "cid")
+      .join(broadcast(cand.select("cid").distinct()), "cid")
+    val inter = csh.join(broadcast(bsh), "h")
+      .join(broadcast(cand), Seq("bid", "cid"), "left_semi")
+      .groupBy("bid", "cid").agg(count(lit(1)).as("c"))
+    val bsz = batch.select(col(idCol).as("bid"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("nb"))
+    // candidate-pruned corpus sizes: the broadcast semi-join keeps the
+    // corpus scan shuffle-free and the surviving frame candidate-sized
+    val csz = corpus.select(col(idCol).as("cid"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("nc"))
+      .join(broadcast(cand.select("cid").distinct()), Seq("cid"), "left_semi")
+    val nearDup = inter
+      .join(broadcast(bsz), "bid")
+      .join(csz, "cid")
+      .where(col("c").cast("double") / (col("nb") + col("nc") - col("c"))
+        >= threshold)
+      .groupBy(col("bid").as("id")).agg(min(col("cid")).as("near_dup_of"))
+    batch.select(col(idCol).as("id"))
+      .join(exactDup, Seq("id"), "left")
+      .join(nearDup, Seq("id"), "left")
+      .select(col("id"), col("exact_dup_of"), col("near_dup_of"),
+        when(col("exact_dup_of").isNotNull, lit("exact"))
+          .when(col("near_dup_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** Embedding near-duplicate pairs, SRP-bucketed — the scale path:
     * cosine >= threshold among candidates sharing a sign-random-projection
     * bucket ([[Similarity.srpBucket]]). Candidates come from a bucket-key

@@ -360,13 +360,20 @@ object TextOps {
     val rawModel = docBuckets.groupBy("b").agg(sum("f").as("rc"))
     val spark = raw.sparkSession
     val allB = spark.range(0, buckets).select(col("id").as("b"))
+    // model totals as unpartitioned window sums over the `buckets`-row
+    // joined table (every bucket of both models is present after the
+    // left joins, so the window total IS the model total) — same
+    // arithmetic as a scalar crossJoin but with no BroadcastNestedLoop
+    // node anywhere in the plan, and the single-partition window only
+    // ever sees `buckets` rows (an index-build cost, not corpus-sized)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tcF = coalesce(col("tc"), lit(0L))
+    val rcF = coalesce(col("rc"), lit(0L))
     val lr = allB.join(targetModel, Seq("b"), "left")
       .join(rawModel, Seq("b"), "left")
-      .crossJoin(targetModel.agg(sum("tc").cast("double").as("tt")))
-      .crossJoin(rawModel.agg(sum("rc").cast("double").as("rt")))
       .select(col("b"), round(log(
-          ((coalesce(col("tc"), lit(0L)) + alpha) / (col("tt") + aB)) /
-          ((coalesce(col("rc"), lit(0L)) + alpha) / (col("rt") + aB))) * 1e6)
+          ((tcF + alpha) / (sum(tcF).over(wAll).cast("double") + aB)) /
+          ((rcF + alpha) / (sum(rcF).over(wAll).cast("double") + aB))) * 1e6)
         .cast("long").as("lr"))
     val scored = docBuckets.join(broadcast(lr), Seq("b"))
       .groupBy("id").agg(sum("f").as("n_grams"),
