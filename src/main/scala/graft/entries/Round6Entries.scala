@@ -1,0 +1,195 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryUtil.QueryFn
+import graft.pipeline.{Dedup, TextOps}
+
+/** Round-6 entries: the continuous-ingest / retrieval side of corpus
+  * curation — incremental dedup of an ingest batch against an existing
+  * corpus (the batch-vs-100TB form, corpus side never shuffled),
+  * exact-substring duplicate spans (the shingle-hash form of
+  * suffix-array substring dedup), and BM25 batch retrieval (per-query
+  * top-k as one plan). All DuckDB-oracle-checked with the identical
+  * hash / minhash / scoring arithmetic replayed in SQL.
+  */
+object Round6Entries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/documents.parquet")
+    df.repartition(s.sparkContext.defaultParallelism)
+  }
+
+  // every 5th document plays the incoming ingest batch; the rest the
+  // already-curated corpus. A modulus split (not a range) so both sides
+  // span all sources and the batch genuinely contains exact and near
+  // duplicates of corpus documents at every sf.
+  private val BatchMod = 5
+
+  // BM25 query set for the entry: three 3-term queries over the synthetic
+  // vocabulary (all terms occur corpus-wide, so df/idf genuinely vary)
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("fast", "table", "scan"),
+    "q2" -> Seq("hash", "join", "merge"),
+    "q3" -> Seq("window", "group", "stream"))
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  val queries: Map[String, QueryFn] = Map(
+    // continuous-ingest dedup: flag each batch document that duplicates
+    // the EXISTING corpus (exact content hash, or ≥0.8 exact Jaccard
+    // among MinHash-LSH band candidates) without comparing corpus docs
+    // to each other — the corpus side never shuffles (all batch-derived
+    // frames broadcast), which is the shape that matters when the corpus
+    // is 100 TB and the batch is one crawl increment
+    "docs_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupAgainstCorpus(
+          corpus = d.where(col("doc_id") % BatchMod =!= 0),
+          batch = d.where(col("doc_id") % BatchMod === 0),
+          idCol = "doc_id", textCol = "text",
+          k = 3, numPerm = 32, bands = 8, threshold = 0.8)
+        .orderBy("id")
+    }),
+
+    // substring-level duplication signal: per document, the fraction of
+    // its 8-token span occurrences that appear anywhere else in the
+    // corpus (Lee et al. 2022's suffix-array dedup in fixed-k shingle
+    // form) — catches templated boilerplate document-level Jaccard misses
+    "docs_substring_spans" -> ((s, dir) =>
+      TextOps.substringSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("id")),
+
+    // BM25 batch retrieval: top-5 documents per query for a 3-query set,
+    // scored corpus-wide in one plan (broadcast query terms prune the
+    // token explosion; WindowGroupLimit keeps the per-query cut map-side)
+    "docs_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
+          Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
+        .orderBy("query_id", "rank"))
+  )
+
+  /** hash60 in DuckDB. */
+  private def h60(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** k-word positional span string ws[i]..ws[i+k-1], ' '-joined. */
+  private def spanExpr(k: Int): String =
+    (0 until k).map(j => if (j == 0) "ws[i]" else s"ws[i+$j]")
+      .mkString(" || ' ' || ")
+
+  // the same 32-perm/8-band MinHash mirror docs_minhash_pairs uses,
+  // restricted to corpus×batch candidate pairs (identical arithmetic to
+  // Dedup.dedupAgainstCorpus: base hash mod 2^31-1, affine perms, band
+  // keys as comma-joined minima)
+  private val incrementalDedupSql: String = {
+    val M = Dedup.MinhashPrime
+    val params = Dedup.permParams(32)
+    val minSelects = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hb + $b) % $M) AS m$i"
+    }.mkString(", ")
+    val bandKeys = (0 until 8).map { band =>
+      val ks = (band * 4 until band * 4 + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"WHEN $band THEN $ks"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ${spanExpr(3)} AS g
+                FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+         ex AS (
+           SELECT bt.doc_id AS id, min(ct.doc_id) AS exact_dup_of
+           FROM documents bt JOIN documents ct ON md5(bt.text) = md5(ct.text)
+           WHERE bt.doc_id % $BatchMod = 0 AND ct.doc_id % $BatchMod <> 0
+           GROUP BY bt.doc_id),
+         shb AS (SELECT doc_id, ${h60("g")} % $M AS hb FROM sh),
+         mh AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, b AS band, CASE b $bandKeys END AS band_key
+           FROM mh, UNNEST(generate_series(0, 7)) AS t(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS bid, y.doc_id AS cid
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.band_key = y.band_key
+           WHERE x.doc_id % $BatchMod = 0 AND y.doc_id % $BatchMod <> 0),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         ver AS (
+           SELECT bid, cid, count(*) AS c
+           FROM cand JOIN sh sa ON sa.doc_id = bid
+             JOIN sh sb ON sb.doc_id = cid AND sa.g = sb.g
+           GROUP BY bid, cid),
+         near AS (
+           SELECT bid AS id, min(cid) AS near_dup_of
+           FROM ver JOIN sz za ON za.doc_id = bid
+             JOIN sz zb ON zb.doc_id = cid
+           WHERE c * 1.0 / (za.n + zb.n - c) >= 0.8
+           GROUP BY bid)
+       SELECT d.doc_id AS id, ex.exact_dup_of, near.near_dup_of,
+         CASE WHEN ex.exact_dup_of IS NOT NULL THEN 'exact'
+              WHEN near.near_dup_of IS NOT NULL THEN 'near'
+              ELSE 'new' END AS status
+       FROM documents d
+       LEFT JOIN ex ON ex.id = d.doc_id
+       LEFT JOIN near ON near.id = d.doc_id
+       WHERE d.doc_id % $BatchMod = 0
+       ORDER BY id"""
+  }
+
+  private val bm25Sql: String = {
+    val qvals = Bm25Queries.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q', '$t')")
+    }.mkString(", ")
+    // literals stringified from the SAME Scala doubles the Spark plan
+    // uses (shortest round-trip repr), so both engines parse identical
+    // values: k1+1, k1, 1-b, b
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMinusB = (1.0 - Bm25B).toString
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+         w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         toks AS (SELECT doc_id, len(ws) AS dl, u.term
+                  FROM w, UNNEST(ws) AS u(term)),
+         tf AS (SELECT doc_id, term, dl, count(*) AS tf
+                FROM toks WHERE term IN (SELECT term FROM q)
+                GROUP BY doc_id, term, dl),
+         dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+         tot AS (SELECT count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM documents),
+         sc AS (
+           SELECT query_id, doc_id,
+             round(sum(
+               ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
+               (tf * $k1p1) / (tf + $Bm25K1 * ($oneMinusB +
+                 $Bm25B * dl * (CAST(n_docs AS DOUBLE) / n_tokens)))), 6)
+               AS score
+           FROM tf JOIN q USING (term) JOIN dfreq USING (term), tot
+           GROUP BY query_id, doc_id),
+         r AS (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+           FROM sc)
+       SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+       FROM r WHERE rank <= 5
+       ORDER BY query_id, rank"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "docs_incremental_dedup" -> incrementalDedupSql,
+
+    "docs_substring_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           sp AS (SELECT doc_id, ${h60(spanExpr(8))} AS h
+                  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+           pc AS (SELECT doc_id, h, count(*) AS c FROM sp GROUP BY doc_id, h),
+           gc AS (SELECT h, CAST(sum(c) AS BIGINT) AS n_occ FROM pc GROUP BY h)
+         SELECT doc_id AS id, CAST(sum(c) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN n_occ >= 2 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+             AS dup_fraction
+         FROM pc JOIN gc USING (h)
+         GROUP BY doc_id ORDER BY id""",
+
+    "docs_bm25_topk" -> bm25Sql)
+}

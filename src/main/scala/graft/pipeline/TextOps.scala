@@ -386,6 +386,99 @@ object TextOps {
       .withColumn("selected", col("logw_micro") >= minLogwMicro)
   }
 
+  /** Exact-substring duplicate spans — the shingle-hash form of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): a
+    * k-token span OCCURRENCE is duplicated when the identical span
+    * occurs anywhere else in the corpus (another document, or again in
+    * the same one). Output per document: total span occurrences
+    * (`n_spans` = tokens − k + 1), duplicated occurrences
+    * (`n_dup_spans`), and their ratio (`dup_fraction`) — the signal
+    * substring-level dedup cuts on, where document-level near-dup (which
+    * needs whole-doc Jaccard overlap) misses templated boilerplate pasted
+    * into otherwise-distinct documents. Documents shorter than k tokens
+    * have no spans and drop out.
+    *
+    * Scale shape: positional spans come from the codegen shingling
+    * kernel (one in-row array per doc, no cross-row work), collapse to
+    * per-(doc, span-hash) counts in one partial-aggregatable groupBy,
+    * and the global occurrence table derives from THOSE counts — so the
+    * span-keyed shuffle carries distinct (doc, span) rows, not every
+    * occurrence. The count join is hash-keyed on the same column both
+    * sides are already aggregated on. A true suffix array finds
+    * arbitrary-length repeats; fixed-k spans (k ≈ 50 tokens in the
+    * paper; smaller here for the synthetic corpus) are the standard
+    * scalable approximation — any repeat of length ≥ k is caught. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions.wordShinglesAll(col(textCol), k))
+          .as("g"))
+      .select(col("id"), Dedup.hash60(col("g")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val global = perDoc.groupBy("h").agg(sum(col("c")).as("n_occ"))
+    perDoc.join(global, "h")
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_spans"),
+        sum(when(col("n_occ") >= 2, col("c")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_fraction"))
+  }
+
+  /** BM25 batch retrieval: score every document against each query of a
+    * bounded query set and keep the top `k` per query — the retrieval
+    * step of data-selection / RAG-style pipelines run as ONE batch plan
+    * instead of per-query index probes. Uses the Lucene BM25 variant:
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (never negative), tf
+    * saturation tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Cross-engine determinism: avgdl enters as dl·(N/T) with N (docs)
+    * and T (total tokens) integer-derived scalars, so both engines
+    * compute identical doubles; scores round to 1e-6 BEFORE ranking so
+    * ln() ulp drift cannot reorder the top-k cut; ties break on doc id.
+    *
+    * Scale shape: doc tokens explode once and a broadcast semi-join to
+    * the query-term set prunes the explosion before the one
+    * (doc, term)-keyed partial-aggregatable groupBy; df and the corpus
+    * totals are term-count-sized frames that broadcast; per-query top-k
+    * is a rank filter Spark 4 plans as WindowGroupLimit (map-side k per
+    * query before the shuffle). Nothing corpus-sized is ever sorted. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(String, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    val totals = df.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
+      .select(col("id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+    val tf = toks
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") * (col("n_docs").cast("double") / col("n_tokens"))))
+    val scored = tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

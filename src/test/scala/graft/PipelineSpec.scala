@@ -601,4 +601,65 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(kept === (2L to 40L by 2).toSet) // rate-0 stratum gone, default=1 all kept
     assert(kept === run()) // hash-deterministic, no RNG state
   }
+
+  test("dedupAgainstCorpus: exact wins over near, near fires, batch-internal dups ignored") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, base),                               // exact target
+      (11L, base + " lambda"),                   // near target (9/11 shingles shared)
+      (12L, "totally different words here now yes")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                              // exact dup (also near of 11)
+      (101L, base + " mu"),                      // near dup of 10 and 11, no exact
+      (102L, "nothing like anything in the corpus at all"),
+      (103L, "nothing like anything in the corpus at all")) // batch-internal dup: NOT flagged
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text",
+        k = 3, numPerm = 32, bands = 8, threshold = 0.6)
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Long], String)].collect().toSeq
+    assert(out.map(r => (r._1, r._4)) ===
+      Seq((100L, "exact"), (101L, "near"), (102L, "new"), (103L, "new")))
+    assert(out.head._2 === Some(10L))     // exact_dup_of = min corpus id
+    assert(out.head._3 === Some(10L))     // near fired too; exact won the status
+    assert(out(1)._2 === None)
+    assert(out(1)._3 === Some(10L))       // min of the near targets {10, 11}
+  }
+
+  test("substringSpans: hand-computed duplicated-span fractions") {
+    // doc 1: "a b c d e" -> 3 spans of 3: (a b c), (b c d), (c d e)
+    // doc 2: "a b c x y" -> (a b c), (b c x), (c x y) — shares only (a b c)
+    // doc 3: "q q q q"   -> (q q q) twice: duplicated WITHIN the doc
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "q q q q"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.substringSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6),
+      (2L, 3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6),
+      (3L, 2L, 2L, 1.0)))                // 2-token doc 4 has no spans: absent
+  }
+
+  test("bm25TopK: hand-computed scores, rank ties break on doc id") {
+    // corpus: d1 = "x x y" (dl 3), d2 = "x z" (dl 2), d3 = "y y y y" (dl 4)
+    // N = 3, T = 9, avgdl = 3; query q = {x, y}
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.bm25TopK(docs, "doc_id", "text",
+        Seq("q" -> Seq("x", "y")), k1 = 1.2, b = 0.75, k = 3)
+      .orderBy("rank").as[(String, Int, Long, Double)].collect().toSeq
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, dl: Long) =
+      tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl * (3.0 / 9.0)))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val s1 = r6(idf(2) * tfn(2, 3) + idf(2) * tfn(1, 3)) // d1: x twice, y once
+    val s2 = r6(idf(2) * tfn(1, 2))                      // d2: x once
+    val s3 = r6(idf(2) * tfn(4, 4))                      // d3: y four times
+    val expect = Seq((1L, s1), (2L, s2), (3L, s3))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => ("q", i + 1, id, s) }
+    assert(out === expect)
+  }
 }
