@@ -80,7 +80,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
     catch { case _: Throwable => () }
     // compact FINAL line sized to survive the 2000-byte tail intact:
-    // slowest entries first (the informative ones) until a 1400-byte
+    // slowest entries first (the informative ones) until a 1200-byte
     // budget is spent; totals cover ALL queries regardless of omission
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val bySlowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)

@@ -14,10 +14,8 @@ import graft.pipeline.TextOps
   */
 object CurationEntries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/documents.parquet")
-    df.repartition(s.sparkContext.defaultParallelism)
-  }
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    EntryUtil.repartitioned(s, dir, "documents")
 
   // deterministic per-lang mixture rates for the stratified-sample entry:
   // exact binary fractions so rate*1e6 is the same double in both engines

@@ -21,6 +21,40 @@ object EntryUtil {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
+  /** Testdata tables arrive as one small parquet file = one input split,
+    * which would serialize every downstream map on a single core. Fan out
+    * to the session's parallelism first — on a real many-file corpus the
+    * scan already has enough splits and callers skip this. */
+  def repartitioned(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** hash60 in DuckDB ([[graft.pipeline.Dedup.hash60]]'s SQL mirror). */
+  def h60Sql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+
+  /** The MinHash oracle's shared SQL scaffolding, generated from the SAME
+    * [[graft.pipeline.Dedup.permParams]] the Spark plans use: per-perm
+    * min-selects over a column `hb` (base hash mod 2³¹−1), and the
+    * band-key CASE arms (comma-joined minima per band, keyed on a column
+    * `b`). One generator, so the two oracles that replay MinHash
+    * (docs_minhash_pairs, docs_incremental_dedup) can never drift from
+    * each other or from the engine arithmetic. */
+  def minhashSqlParts(numPerm: Int, bands: Int): (String, String) = {
+    val M = graft.pipeline.Dedup.MinhashPrime
+    val params = graft.pipeline.Dedup.permParams(numPerm)
+    val minSelects = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hb + $b) % $M) AS m$i"
+    }.mkString(", ")
+    val rows = numPerm / bands
+    val bandKeys = (0 until bands).map { band =>
+      val ks = (band * rows until (band + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"WHEN $band THEN $ks"
+    }.mkString(" ")
+    (minSelects, bandKeys)
+  }
+
   private val engines =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Engine]
 
@@ -205,6 +239,32 @@ object EntryUtil {
   private val sinkSeqs = scala.collection.concurrent.TrieMap
     .empty[String, java.util.concurrent.atomic.AtomicLong]
 
+  /** The raw events table with ts normalized to Long ns — EVERY entry
+    * reading events.parquet directly must come through here (the driver
+    * has shipped the table as both timestamp[ns] and timestamp[us];
+    * TsdbContext.normalizeTsNs absorbs the difference). */
+  def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.model.TsdbContext.normalizeTsNs(
+      spark.read.parquet(s"$dir/events.parquet"))
+
+  /** The streaming entries' shared driver-side feed: one event type's
+    * rows as (name, ts, value) tuples, ts-ordered so per-series arrival
+    * order IS the fold order and watermarks only ever advance. One place
+    * to change the feed — the streaming entries must stay on identical
+    * input or their oracles silently diverge. */
+  def eventRows(spark: SparkSession, dir: String, eventType: String,
+      namePrefix: String): Seq[(String, Long, Double)] =
+    rawEvents(spark, dir)
+      .where(col("event_type") === eventType)
+      .select(concat(lit(namePrefix), col("user_id").cast("string")).as("name"),
+        col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
+      .orderBy("ts", "name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
+    eventRows(spark, dir, "click", "click user=")
+
   /** Execute a streaming entry for real: feed `rows` into a MemoryStream
     * in `chunks` micro-batches (callers pre-sort by ts so the watermark
     * only advances), run `mkStream`'s transformation to a memory sink
@@ -229,32 +289,6 @@ object EntryUtil {
     * The driver-side `rows` materialization is the harness feed (bounded:
     * one metric's rows); a deployment's stream reads Kafka/files and
     * never materializes on the driver. */
-  /** The streaming entries' shared driver-side feed: one event type's
-    * rows as (name, ts, value) tuples, ts-ordered so per-series arrival
-    * order IS the fold order and watermarks only ever advance. One place
-    * to change the feed — the streaming entries must stay on identical
-    * input or their oracles silently diverge. */
-  /** The raw events table with ts normalized to Long ns — EVERY entry
-    * reading events.parquet directly must come through here (the driver
-    * has shipped the table as both timestamp[ns] and timestamp[us];
-    * TsdbContext.normalizeTsNs absorbs the difference). */
-  def rawEvents(spark: SparkSession, dir: String): DataFrame =
-    graft.model.TsdbContext.normalizeTsNs(
-      spark.read.parquet(s"$dir/events.parquet"))
-
-  def eventRows(spark: SparkSession, dir: String, eventType: String,
-      namePrefix: String): Seq[(String, Long, Double)] =
-    rawEvents(spark, dir)
-      .where(col("event_type") === eventType)
-      .select(concat(lit(namePrefix), col("user_id").cast("string")).as("name"),
-        col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
-      .orderBy("ts", "name")
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
-
-  def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
-    eventRows(spark, dir, "click", "click user=")
-
   def runStreamEntry[T <: Product](spark: SparkSession, prefix: String,
       rows: Seq[T], chunks: Int, cols: Seq[String],
       mkStream: DataFrame => DataFrame,

@@ -13,14 +13,8 @@ object PipelineEntries {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
 
-  /** Testdata tables arrive as one small parquet file = one input split,
-    * which would serialize every downstream map on a single core. Fan out
-    * to the session's parallelism first — on a real many-file corpus the
-    * scan already has enough splits and callers skip this. */
-  private def rp(s: SparkSession, dir: String, table: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$table.parquet")
-    df.repartition(s.sparkContext.defaultParallelism)
-  }
+  private def rp(s: SparkSession, dir: String, table: String): DataFrame =
+    EntryUtil.repartitioned(s, dir, table)
 
   val queries: Map[String, QueryFn] = Map(
     // ---- dedup ------------------------------------------------------------
@@ -299,8 +293,7 @@ object PipelineEntries {
   )
 
   /** hash60 in DuckDB. */
-  private def h60(s: String): String =
-    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+  private def h60(s: String): String = EntryUtil.h60Sql(s)
 
   /** Distinct word-3-shingles CTE over documents. */
   private val shinglesCte =
@@ -535,15 +528,7 @@ object PipelineEntries {
     // verification (identical arithmetic to the Spark plan)
     "docs_minhash_pairs" -> {
       val M = graft.pipeline.Dedup.MinhashPrime
-      val params = graft.pipeline.Dedup.permParams(32)
-      val minSelects = params.zipWithIndex.map { case ((a, b), i) =>
-        s"min(($a * hb + $b) % $M) AS m$i"
-      }.mkString(", ")
-      val bandKeys = (0 until 8).map { band =>
-        val ks = (band * 4 until band * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-        s"WHEN $band THEN $ks"
-      }.mkString(" ")
+      val (minSelects, bandKeys) = EntryUtil.minhashSqlParts(32, 8)
       s"""WITH $shinglesCte,
            shb AS (SELECT doc_id, ${h60("g")} % $M AS hb FROM sh),
            mh AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),

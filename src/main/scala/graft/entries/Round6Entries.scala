@@ -16,10 +16,8 @@ import graft.pipeline.{Dedup, TextOps}
   */
 object Round6Entries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/documents.parquet")
-    df.repartition(s.sparkContext.defaultParallelism)
-  }
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    EntryUtil.repartitioned(s, dir, "documents")
 
   // every 5th document plays the incoming ingest batch; the rest the
   // already-curated corpus. A modulus split (not a range) so both sides
@@ -70,9 +68,7 @@ object Round6Entries {
         .orderBy("query_id", "rank"))
   )
 
-  /** hash60 in DuckDB. */
-  private def h60(s: String): String =
-    s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+  private def h60(s: String): String = EntryUtil.h60Sql(s)
 
   /** k-word positional span string ws[i]..ws[i+k-1], ' '-joined. */
   private def spanExpr(k: Int): String =
@@ -85,15 +81,7 @@ object Round6Entries {
   // keys as comma-joined minima)
   private val incrementalDedupSql: String = {
     val M = Dedup.MinhashPrime
-    val params = Dedup.permParams(32)
-    val minSelects = params.zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * hb + $b) % $M) AS m$i"
-    }.mkString(", ")
-    val bandKeys = (0 until 8).map { band =>
-      val ks = (band * 4 until band * 4 + 4)
-        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-      s"WHEN $band THEN $ks"
-    }.mkString(" ")
+    val (minSelects, bandKeys) = EntryUtil.minhashSqlParts(32, 8)
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          sh AS (SELECT DISTINCT doc_id, ${spanExpr(3)} AS g
                 FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
@@ -102,7 +90,8 @@ object Round6Entries {
            FROM documents bt JOIN documents ct ON md5(bt.text) = md5(ct.text)
            WHERE bt.doc_id % $BatchMod = 0 AND ct.doc_id % $BatchMod <> 0
            GROUP BY bt.doc_id),
-         shb AS (SELECT doc_id, ${h60("g")} % $M AS hb FROM sh),
+         shh AS (SELECT doc_id, ${h60("g")} AS h FROM sh),
+         shb AS (SELECT doc_id, h % $M AS hb FROM shh),
          mh AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),
          bands AS (
            SELECT doc_id, b AS band, CASE b $bandKeys END AS band_key
@@ -113,10 +102,13 @@ object Round6Entries {
              ON x.band = y.band AND x.band_key = y.band_key
            WHERE x.doc_id % $BatchMod = 0 AND y.doc_id % $BatchMod <> 0),
          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         -- verify joins in HASH space like the Spark plan (Dedup
+         -- intersects on hash60), so a 60-bit collision is symmetric
+         -- across engines instead of inflating only the Spark count
          ver AS (
            SELECT bid, cid, count(*) AS c
-           FROM cand JOIN sh sa ON sa.doc_id = bid
-             JOIN sh sb ON sb.doc_id = cid AND sa.g = sb.g
+           FROM cand JOIN shh sa ON sa.doc_id = bid
+             JOIN shh sb ON sb.doc_id = cid AND sa.h = sb.h
            GROUP BY bid, cid),
          near AS (
            SELECT bid AS id, min(cid) AS near_dup_of
@@ -159,8 +151,8 @@ object Round6Entries {
            SELECT query_id, doc_id,
              round(sum(
                ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) *
-               (tf * $k1p1) / (tf + $Bm25K1 * ($oneMinusB +
-                 $Bm25B * dl * (CAST(n_docs AS DOUBLE) / n_tokens)))), 6)
+               ((tf * $k1p1) / (tf + $Bm25K1 * ($oneMinusB +
+                 $Bm25B * dl * (CAST(n_docs AS DOUBLE) / n_tokens))))), 6)
                AS score
            FROM tf JOIN q USING (term) JOIN dfreq USING (term), tot
            GROUP BY query_id, doc_id),

@@ -151,25 +151,79 @@ object Dedup {
     * as `numPerm` min-aggregate columns in a single groupBy — no per-perm
     * row explosion, one partial-aggregatable shuffle of |docs| skinny
     * rows regardless of corpus size. */
+  /** Per-document MinHash signature computed IN-ROW: `(id, set,
+    * m0..m{numPerm−1})` where `set` is the distinct-shingle hash array
+    * and each mᵢ = min over the array of (aᵢ·(h mod M) + bᵢ) mod M.
+    *
+    * The scale point: the shingle array never leaves its row, so
+    * signature construction is a pure codegen'd projection of the
+    * document scan — ZERO shuffle at any corpus size. (The exploded
+    * alternative — groupBy(id) with numPerm min-aggregates — shuffles
+    * |docs × shingles| skinny rows; partial aggregation thins it, but at
+    * 100 TB that exchange is still the dedup stack's dominant data
+    * movement. Same arithmetic, so the DuckDB oracle is unchanged.)
+    * Documents with fewer than k words have no shingles and are dropped,
+    * exactly as they produce no rows in the exploded form. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numPerm: Int): DataFrame = {
+    val params = permParams(numPerm)
+    val sh = graft.functions.TextExpressions.wordShingles(col(textCol), k)
+    df.select(col(idCol).as("id"), transform(sh, x => hash60(x)).as("set"))
+      .where(size(col("set")) > 0)
+      .withColumn("__hb",
+        transform(col("set"), h => pmod(h, lit(MinhashPrime))))
+      .select(Seq(col("id"), col("set")) ++
+        params.zipWithIndex.map { case ((a, b), i) =>
+          array_min(transform(col("__hb"),
+            h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$i")
+        }: _*)
+  }
+
+  /** Band structs `(band, band_key)` over a [[minhashSignature]] frame's
+    * m-columns: band_key = comma-joined minima of the band's perms. */
+  private def bandCols(numPerm: Int, bands: Int): Seq[Column] = {
+    require(numPerm % bands == 0, "numPerm must divide into bands")
+    val rowsPerBand = numPerm / bands
+    (0 until bands).map { b =>
+      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
+    }
+  }
+
+  /** MinHash signature bands per document: (id, band, band_key) — the
+    * persistable LSH index rows ([[dedupAgainstCorpus]]'s production
+    * corpus-side input). In-row signature, so this is projection-only. */
   def minhashBands(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, numPerm: Int, bands: Int): DataFrame =
-    minhashBandsOf(shingleHashes(df, idCol, textCol, k), numPerm, bands)
+    minhashSignature(df, idCol, textCol, k, numPerm)
+      .select(col("id"), explode(array(bandCols(numPerm, bands): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
   /** MinHash+LSH near-dup pairs: band-bucket candidates, then exact
     * Jaccard verification (so output has no LSH false positives; recall
-    * is governed by numPerm/bands vs threshold). */
+    * is governed by numPerm/bands vs threshold).
+    *
+    * Signature form: groupBy-over-exploded-shingles, NOT
+    * [[minhashSignature]]'s in-row array algebra. Same arithmetic, but
+    * min-aggregates are whole-stage-codegen'd while higher-order array
+    * lambdas are interpreted (measured ~2× on the self-dedup entry), and
+    * the exchange is harmless: a doc's exploded rows are co-partitioned
+    * by construction, so partial aggregation collapses them to ONE row
+    * per doc before any data moves. The in-row form wins where the
+    * signature must be a pure projection — the corpus side of
+    * [[dedupAgainstCorpus]] and the [[minhashBands]] index build. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
     // One groupBy computes the signature minima AND the shingle set, and
-    // the result (one skinny row per document) is cached: its four
-    // consumers (band explode ×2 sides of the self-join, verification
-    // sets ×2) would otherwise each re-run the shingling+hashing map side
-    // — column pruning specializes the aggregate per consumer, so
-    // ReuseExchange cannot dedupe them.
+    // the result (one skinny row per document) is cached: its three
+    // consumers (band explode, verification sets ×2 sides) would
+    // otherwise each re-run the shingling+hashing map side — column
+    // pruning specializes the aggregate per consumer, so ReuseExchange
+    // cannot dedupe them.
     val hashed = shingleHashes(df, idCol, textCol, k)
       .withColumn("hb", pmod(col("h"), lit(MinhashPrime)))
     val params = permParams(numPerm)
@@ -177,16 +231,11 @@ object Dedup {
       min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
     } :+ collect_set(col("h")).as("set")
     val sig = scopedCache(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
-    val rowsPerBand = numPerm / bands
-    val bandStructs = (0 until bands).map { b =>
-      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
-    }
     // bucket posting lists instead of a band self-join: one groupBy per
     // band bucket, candidate pairs expand in-row from each bucket's id
     // array (LSH buckets are small by design — that is the point of the
     // banding), then distinct across bands
-    val buckets = sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+    val buckets = sig.select(col("id"), explode(array(bandCols(numPerm, bands): _*)).as("bk"))
       .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
     val cand = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -201,24 +250,6 @@ object Dedup {
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
-
-  /** [[minhashBands]] over a prepared (id, h) hashed-shingle DataFrame. */
-  private def minhashBandsOf(sh: DataFrame, numPerm: Int, bands: Int): DataFrame = {
-    require(numPerm % bands == 0, "numPerm must divide into bands")
-    val hashed = sh.withColumn("hb", pmod(col("h"), lit(MinhashPrime)))
-    val params = permParams(numPerm)
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
-    }
-    val sig = hashed.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-    val rowsPerBand = numPerm / bands
-    val bandStructs = (0 until bands).map { b =>
-      val ks = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
-      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("band_key"))
-    }
-    sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** 60-bit SimHash per document: majority vote per bit over word hashes
@@ -387,17 +418,19 @@ object Dedup {
     * `'exact' | 'near' | 'new'` (exact wins when both fire).
     *
     * Scale shape (the point of the operator): the corpus side — the 100 TB
-    * side — is NEVER shuffled. The batch's content hashes, band keys and
-    * shingle sets all broadcast (an ingest batch is bounded by design), so
-    * every corpus participation is a broadcast-hash-join probe on its scan:
-    *   - exact:   corpus md5 ⋈_bcast batch md5
-    *   - candidates: corpus band keys ⋈_bcast batch band keys
-    *   - verify:  corpus shingle rows ⋈_bcast candidate ids → per-pair
-    *              intersection counts (partial-aggregatable groupBy)
-    * In production the corpus band keys and per-doc shingle counts are
-    * persisted at curation time (they are exactly [[minhashBands]] /
-    * [[shingleHashes]] outputs), turning the first two probes into index
-    * lookups; recomputing them here keeps the entry self-contained. */
+    * side — is NEVER shuffled at corpus size. Signatures are in-row
+    * projections ([[minhashSignature]]), the batch's content hashes, band
+    * keys and shingle-hash sets all broadcast (an ingest batch is bounded
+    * by design), so every corpus participation is a broadcast-hash-join
+    * probe on its own scan:
+    *   - exact:      corpus md5 ⋈_bcast batch md5
+    *   - candidates + verify: corpus (band key, set) rows ⋈_bcast batch
+    *     band keys — only band-matched rows survive, so the downstream
+    *     pair-dedup, set-Jaccard and min-reduction are candidate-sized
+    * In production the corpus band keys are persisted at curation time
+    * (they are exactly [[minhashBands]] output), turning the probe input
+    * into an index read; recomputing them here keeps the entry
+    * self-contained. */
   def dedupAgainstCorpus(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
@@ -407,41 +440,36 @@ object Dedup {
     val ch = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
     val exactDup = ch.join(broadcast(bh), "th")
       .groupBy("id").agg(min(col("cid")).as("exact_dup_of"))
-    // near candidates: corpus band keys probe the broadcast batch bands
-    val cb = minhashBandsOf(shingleHashes(corpus, idCol, textCol, k), numPerm, bands)
-      .withColumnRenamed("id", "cid")
-    val bb = minhashBandsOf(shingleHashes(batch, idCol, textCol, k), numPerm, bands)
-      .withColumnRenamed("id", "bid")
-    val cand = cb.join(broadcast(bb), Seq("band", "band_key"))
-      .select(col("bid"), col("cid")).distinct()
-    // exact-Jaccard verify: only candidate corpus docs ship shingles, and
-    // the batch shingle sets ride along broadcast. Intersection counts come
-    // from one partial-aggregatable groupBy over the corpus shingle rows
-    // joined to the (broadcast) batch shingle rows on the hash.
-    val bsh = shingleHashes(batch, idCol, textCol, k)
-      .withColumnRenamed("id", "bid")
-    val csh = shingleHashes(corpus, idCol, textCol, k)
-      .withColumnRenamed("id", "cid")
-      .join(broadcast(cand.select("cid").distinct()), "cid")
-    val inter = csh.join(broadcast(bsh), "h")
-      .join(broadcast(cand), Seq("bid", "cid"), "left_semi")
-      .groupBy("bid", "cid").agg(count(lit(1)).as("c"))
-    val bsz = batch.select(col(idCol).as("bid"),
-      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("nb"))
-    // candidate-pruned corpus sizes: the broadcast semi-join keeps the
-    // corpus scan shuffle-free and the surviving frame candidate-sized
-    val csz = corpus.select(col(idCol).as("cid"),
-      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("nc"))
-      .join(broadcast(cand.select("cid").distinct()), Seq("cid"), "left_semi")
-    val nearDup = inter
-      .join(broadcast(bsz), "bid")
-      .join(csz, "cid")
-      .where(col("c").cast("double") / (col("nb") + col("nc") - col("c"))
-        >= threshold)
+    // the batch signature (bounded by design) feeds two consumers — its
+    // band keys and its verification sets, both broadcast — so cache the
+    // skinny per-doc frame once
+    val bsig = scopedCache(minhashSignature(batch, idCol, textCol, k, numPerm))
+    val bc = bandCols(numPerm, bands)
+    val bb = bsig.select(col("id").as("bid"), explode(array(bc: _*)).as("bk"))
+    // the corpus signature is an IN-ROW projection of the corpus scan
+    // (minhashSignature — no shuffle), and its band rows carry the
+    // verification set along, so candidate discovery AND verification
+    // need this single corpus pass: scan → project → broadcast-probe.
+    // Only band-matched rows survive the probe, so everything downstream
+    // (the (bid, cid) dedup, Jaccard, min-reduction) is candidate-sized.
+    val cbands = minhashSignature(corpus, idCol, textCol, k, numPerm)
+      .select(col("id").as("cid"), col("set").as("cset"),
+        explode(array(bc: _*)).as("bk"))
+    val cand = cbands.join(broadcast(bb), "bk")
+      .groupBy("bid", "cid").agg(first(col("cset")).as("cset"))
+    // exact-Jaccard verify on the signature sets: |A∩B| / |A∪B| over the
+    // distinct-shingle hash arrays (≡ c/(na+nb−c), the oracle's form)
+    val nearDup = cand
+      .join(broadcast(bsig.select(col("id").as("bid"), col("set").as("bset"))),
+        "bid")
+      .where(size(array_intersect(col("bset"), col("cset"))).cast("double") /
+        size(array_union(col("bset"), col("cset"))) >= threshold)
       .groupBy(col("bid").as("id")).agg(min(col("cid")).as("near_dup_of"))
+    // result assembly: both dup maps are batch-bounded — broadcast them
+    // so the assembly never shuffles either
     batch.select(col(idCol).as("id"))
-      .join(exactDup, Seq("id"), "left")
-      .join(nearDup, Seq("id"), "left")
+      .join(broadcast(exactDup), Seq("id"), "left")
+      .join(broadcast(nearDup), Seq("id"), "left")
       .select(col("id"), col("exact_dup_of"), col("near_dup_of"),
         when(col("exact_dup_of").isNotNull, lit("exact"))
           .when(col("near_dup_of").isNotNull, lit("near"))

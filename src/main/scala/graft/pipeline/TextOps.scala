@@ -411,11 +411,15 @@ object TextOps {
     * scalable approximation — any repeat of length ≥ k is caught. */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val perDoc = df.select(col(idCol).as("id"),
+    // perDoc feeds both the global count and the join back onto itself;
+    // scope-cache it so the corpus-wide shingling pass runs once (column
+    // pruning specializes the two aggregate consumers — ReuseExchange
+    // cannot dedupe them, same trap Dedup.minhashPairs documents)
+    val perDoc = Dedup.scopedCache(df.select(col(idCol).as("id"),
         explode(graft.functions.TextExpressions.wordShinglesAll(col(textCol), k))
           .as("g"))
       .select(col("id"), Dedup.hash60(col("g")).as("h"))
-      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c")))
     val global = perDoc.groupBy("h").agg(sum(col("c")).as("n_occ"))
     perDoc.join(global, "h")
       .groupBy("id")

@@ -18,7 +18,8 @@ object BenchOne {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      val n = try fn(spark, sfDir).count()
+        finally graft.pipeline.Dedup.releaseCaches()
       println(f"BENCHONE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
     spark.stop()

@@ -438,4 +438,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         maxShingleFreq = None)
     assert(uncapped.count() > 0, "sanity: without the cap the pairs exist")
   }
+
+  test("minhash signatures are in-row: band construction shuffles nothing") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, (1 to 12).map(w => s"w${(i + w) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // the persistable LSH index rows are a pure projection of the scan —
+    // the |docs × shingles| signature exchange of the groupBy form is gone
+    val p = plan(graft.pipeline.Dedup.minhashBands(docs, "doc_id", "text",
+      k = 3, numPerm = 32, bands = 8))
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"in-row signature must not shuffle:\n$p")
+  }
+
+  test("incremental dedup: every corpus participation is a broadcast probe") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.dedupAgainstCorpus(
+      docs.where($"doc_id" % 5 =!= 0), docs.where($"doc_id" % 5 === 0),
+      "doc_id", "text")
+    // string-walk the plan: executedPlan is an AdaptiveSparkPlanExec
+    // wrapper whose inner tree collect() does not traverse
+    val p = out.queryExecution.executedPlan.toString
+    // no sort-merge join anywhere: the corpus side meets the (bounded,
+    // broadcast) batch only through broadcast hash joins, so no corpus-
+    // sized rows are ever exchanged to align with the batch
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must meet the batch via broadcast only:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"expected broadcast probes for exact/candidates/verify/result:\n$p")
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
+  test("bm25: per-query top-k pushes a map-side group limit below the shuffle") {
+    import spark.implicits._
+    val docs = (1L to 80L).map(i => (i, (1 to 10).map(w => s"w${(i + w) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("q1" -> Seq("w1", "w2")), k = 5)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      s"expected a pushed per-query group limit:\n${out.queryExecution.executedPlan}")
+  }
 }
