@@ -65,7 +65,36 @@ object Round6Entries {
     "docs_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(docs(s, dir), "doc_id", "text",
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // incremental dedup executed as a REAL Structured Streaming query:
+    // the batch documents stream in ts-ordered micro-batches (synthetic
+    // event time: 1 s per doc_id), each probing the static corpus hash
+    // index by broadcast anti-join, with in-stream repeats (mapChunk
+    // duplicates every fed row) dropped by watermarked state. The sink
+    // must hold exactly the batch docs that are new to the corpus —
+    // the continuous-ingest half of docs_incremental_dedup's contract.
+    "stream_incremental_dedup" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(Long, Long, String, String)]
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val corpusHashes = d.where(col("doc_id") % BatchMod =!= 0)
+        .select(md5(col("text")).as("text_hash")).distinct()
+      val batch = d.where(col("doc_id") % BatchMod === 0)
+        .select("doc_id", "source", "text").orderBy("doc_id")
+        .collect()
+        // day-one base: an event time of exactly epoch 0 (doc_id 0) sits
+        // on the initial watermark and is discarded as late
+        .map(r => (r.getLong(0), 86400000000000L + r.getLong(0) * 1000000000L,
+          r.getString(1), r.getString(2))).toSeq
+      EntryUtil.runStreamEntry(s, "stream_incr_dedup_sink", batch, chunks = 3,
+        cols = Seq("doc_id", "ts", "source", "text"),
+        mkStream = graft.streaming.TsdbStream.incrementalDedup(
+          _, corpusHashes, "text", "ts", "1 day"),
+        mapChunk = (c: Seq[(Long, Long, String, String)]) => c ++ c)
+        .select(col("doc_id").as("id"), col("source"))
+        .orderBy("id")
+    })
   )
 
   private def h60(s: String): String = EntryUtil.h60Sql(s)
@@ -183,5 +212,20 @@ object Round6Entries {
          FROM pc JOIN gc USING (h)
          GROUP BY doc_id ORDER BY id""",
 
-    "docs_bm25_topk" -> bm25Sql)
+    "docs_bm25_topk" -> bm25Sql,
+
+    // new-to-corpus batch docs, first arrival kept: the anti-join replays
+    // the corpus probe, min(doc_id) per hash the ts-ordered in-stream
+    // dedup (the feed's event time is monotone in doc_id)
+    "stream_incremental_dedup" ->
+      s"""WITH b AS (SELECT doc_id, source, md5(text) AS th
+                     FROM documents WHERE doc_id % $BatchMod = 0),
+           c AS (SELECT DISTINCT md5(text) AS th
+                 FROM documents WHERE doc_id % $BatchMod <> 0),
+           nb AS (SELECT doc_id, source, th FROM b
+                  WHERE th NOT IN (SELECT th FROM c)),
+           k AS (SELECT min(doc_id) AS id FROM nb GROUP BY th)
+         SELECT doc_id AS id, source FROM nb
+         WHERE doc_id IN (SELECT id FROM k)
+         ORDER BY id""")
 }

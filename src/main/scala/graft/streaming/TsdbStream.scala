@@ -150,6 +150,28 @@ object TsdbStream {
       .dropDuplicatesWithinWatermark(Seq("__text_hash"))
       .drop("event_time", "__text_hash")
 
+  /** Streaming incremental dedup — the continuous-ingest form of
+    * [[graft.pipeline.Dedup.dedupAgainstCorpus]]'s exact tier: drop any
+    * streamed document whose content hash already exists in the STATIC
+    * curated corpus, then drop in-stream repeats within the watermark
+    * horizon. The corpus index (`corpusHashes`, one md5 `text_hash`
+    * column — persisted at curation time; recomputing it per run is only
+    * for self-contained entries) broadcasts and each micro-batch probes
+    * it as a stream-static anti-join, so the corpus itself is never
+    * rescanned per trigger. In-stream state is one hash per unexpired
+    * document (dropDuplicatesWithinWatermark evicts at the horizon),
+    * which is what lets this run forever on a crawl firehose. */
+  def incrementalDedup(docs: DataFrame, corpusHashes: DataFrame,
+      textCol: String, tsCol: String, lateness: String): DataFrame =
+    docs
+      .withColumn("__text_hash", md5(col(textCol)))
+      .join(broadcast(corpusHashes),
+        col("__text_hash") === col("text_hash"), "left_anti")
+      .withColumn("event_time", eventTime(col(tsCol)))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark(Seq("__text_hash"))
+      .drop("event_time", "__text_hash")
+
   /** Stream-stream interval join: left samples paired with same-series
     * right samples whose event time lies in [left − window, left] — the
     * streaming counterpart of [[graft.ops.TimeJoins.rangeJoin]] and the
