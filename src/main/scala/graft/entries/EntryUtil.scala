@@ -33,6 +33,45 @@ object EntryUtil {
   def h60Sql(s: String): String =
     s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
 
+  /** DuckDB list-arithmetic mirrors of
+    * [[graft.functions.VectorExpressions]] — list_sum folds in list
+    * order, matching VecDot's sequential fold bit-for-bit. */
+  def sqlDotSelf(a: String): String = s"list_sum(list_transform($a, x -> x*x))"
+  def sqlDotAB(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+  def sqlDist(a: String, b: String): String =
+    s"(${sqlDotSelf(a)} + ${sqlDotSelf(b)} - 2*${sqlDotAB(a, b)})"
+
+  /** SQL replay of [[graft.pipeline.Similarity.fitCodebook]] over any
+    * (id, v) source: CTEs `${prefix}e` (the source) through
+    * `${prefix}c$iters` (the fitted centers) — same lowest-id init, same
+    * x·x + c·c − 2·x·c distance, same round-6 per-cell means, one CTE
+    * pair per unrolled Lloyd round. The prefix lets several independent
+    * fits coexist in one statement (the PQ oracle runs one per
+    * subspace); the IVF/SemDeDup oracles use prefix "". */
+  def kmeansCtes(prefix: String, srcSql: String, nlist: Int, iters: Int): String = {
+    val E = s"${prefix}e"
+    def assign(centersCte: String) =
+      s"""SELECT id, v, cell FROM (
+            SELECT e.id, e.v, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${sqlDist("e.v", "c.cv")}, c.cell) AS r
+            FROM $E e CROSS JOIN $centersCte c) WHERE r = 1"""
+    def recenter(assignCte: String) =
+      s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
+            SELECT cell, i, round(avg(v[i]), 6) AS m
+            FROM $assignCte, UNNEST(generate_series(1, len(v))) AS t(i)
+            GROUP BY cell, i) GROUP BY cell"""
+    val iterCtes = (0 until iters).map { it =>
+      s"${prefix}a$it AS (${assign(s"${prefix}c$it")}),\n ${prefix}c${it + 1} AS (${recenter(s"${prefix}a$it")})"
+    }.mkString(",\n ")
+    s"""$E AS ($srcSql),
+         ${prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cell,
+                  v AS cv
+                FROM (SELECT id, v FROM $E ORDER BY id LIMIT $nlist)),
+         $iterCtes"""
+  }
+
   /** The MinHash oracle's shared SQL scaffolding, generated from the SAME
     * [[graft.pipeline.Dedup.permParams]] the Spark plans use: per-perm
     * min-selects over a column `hb` (base hash mod 2³¹−1), and the
@@ -399,6 +438,20 @@ object EntryUtil {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding"))
       graft.pipeline.Similarity.fitCodebook(emb, nlist = 8, iters = 2)
+    })
+
+  private val pqBooks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Seq[(Int, Seq[Double])])]]
+
+  /** Memoized per-subspace PQ codebooks (same index-build-once rationale
+    * as [[ivfCodebookFor]]): dim 64 split m=2 × 8 centers, 2 Lloyd
+    * rounds — mirrored CTE-for-CTE by the emb_pq_adc oracle. */
+  def pqCodebooksFor(spark: SparkSession, dir: String): Seq[(Int, Seq[(Int, Seq[Double])])] =
+    pqBooks.getOrElseUpdate((spark, dir), {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding"))
+      graft.pipeline.Similarity.fitPqCodebooks(emb, dim = 64, m = 2,
+        ksub = 8, iters = 2)
     })
 
   /** µs view of the engine's Long-ns ts column, oracle-comparable.

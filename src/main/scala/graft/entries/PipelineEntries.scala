@@ -330,40 +330,15 @@ object PipelineEntries {
       + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
       + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)"""
 
-  private def dotSelf(a: String) = s"list_sum(list_transform($a, x -> x*x))"
-  private def dotAB(a: String, b: String) =
-    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
-  private def dist(a: String, b: String) =
-    s"(${dotSelf(a)} + ${dotSelf(b)} - 2*${dotAB(a, b)})"
+  private def dist(a: String, b: String) = EntryUtil.sqlDist(a, b)
 
-  /** Shared SQL replay of [[graft.pipeline.Similarity.fitCodebook]] —
-    * CTEs `e` (double-cast embeddings) through `c$iters` (the fitted
-    * centers): same lowest-id init, same x·x + c·c − 2·x·c distance
-    * (sequential list arithmetic = VecDot's fold order), same round-6
-    * per-cell means. Unrolled one CTE pair per Lloyd round; both the IVF
-    * and SemDeDup oracles build on it. */
-  private def kmeansCtes(nlist: Int, iters: Int): String = {
-    def assign(centersCte: String) =
-      s"""SELECT id, v, cell FROM (
-            SELECT e.id, e.v, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
-            FROM e CROSS JOIN $centersCte c) WHERE r = 1"""
-    def recenter(assignCte: String) =
-      s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
-            SELECT cell, i, round(avg(v[i]), 6) AS m
-            FROM $assignCte, UNNEST(generate_series(1, len(v))) AS t(i)
-            GROUP BY cell, i) GROUP BY cell"""
-    val iterCtes = (0 until iters).map { it =>
-      s"a$it AS (${assign(s"c$it")}),\n c${it + 1} AS (${recenter(s"a$it")})"
-    }.mkString(",\n ")
-    s"""e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings),
-         c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cell,
-                  v AS cv
-                FROM (SELECT id, v FROM e ORDER BY id LIMIT $nlist)),
-         $iterCtes"""
-  }
+  /** Shared SQL replay of [[graft.pipeline.Similarity.fitCodebook]]
+    * (delegates to [[EntryUtil.kmeansCtes]] with the whole-embedding
+    * source); both the IVF and SemDeDup oracles build on it. */
+  private def kmeansCtes(nlist: Int, iters: Int): String =
+    EntryUtil.kmeansCtes("",
+      "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      nlist, iters)
 
   /** SQL replay of [[graft.pipeline.Similarity.knnIvf]] on the
     * [[kmeansCtes]] codebook: same nprobe probe and top-k. */

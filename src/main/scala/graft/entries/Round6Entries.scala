@@ -67,6 +67,21 @@ object Round6Entries {
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
         .orderBy("query_id", "rank")),
 
+    // PQ + ADC nearest-neighbor: the corpus compresses to m=2 sub-centroid
+    // codes per vector (the index that makes 100 TB of embeddings
+    // searchable in memory) and each query scores the corpus by summing
+    // its broadcast per-subspace distance table at the codes — fit,
+    // encode, table and ranking all replayed CTE-for-CTE by the oracle
+    "emb_pq_adc" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.pqAdcTopK(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          EntryUtil.pqCodebooksFor(s, dir), k = 3)
+        .orderBy("qid", "rank")
+    }),
+
     // incremental dedup executed as a REAL Structured Streaming query:
     // the batch documents stream in ts-ordered micro-batches (synthetic
     // event time: 1 s per doc_id), each probing the static corpus hash
@@ -195,8 +210,51 @@ object Round6Entries {
        ORDER BY query_id, rank"""
   }
 
+  /** SQL replay of [[graft.pipeline.Similarity.fitPqCodebooks]] +
+    * [[graft.pipeline.Similarity.pqAdcTopK]]: one prefixed
+    * [[EntryUtil.kmeansCtes]] fit per subspace over the sliced
+    * embeddings, nearest-sub-centroid codes, per-query distance tables,
+    * ADC sum (m = 2: two-term IEEE addition is order-exact) rounded
+    * before the rank. */
+  private def pqOracle(dim: Int, m: Int, ksub: Int, iters: Int, k: Int): String = {
+    val d = dim / m
+    val fits = (0 until m).map { sub =>
+      EntryUtil.kmeansCtes(s"s${sub}_",
+        s"SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[${sub * d + 1}:${(sub + 1) * d}] AS v FROM embeddings",
+        ksub, iters)
+    }.mkString(",\n ")
+    val codesU = (0 until m).map { sub =>
+      s"""SELECT id, $sub AS sub, cell FROM (
+            SELECT e.id, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
+            FROM s${sub}_e e CROSS JOIN s${sub}_c$iters c) WHERE r = 1"""
+    }.mkString(" UNION ALL ")
+    val qtU = (0 until m).map { sub =>
+      s"""SELECT e.id AS qid, $sub AS sub, c.cell,
+            ${EntryUtil.sqlDist("e.v", "c.cv")} AS qd
+          FROM s${sub}_e e CROSS JOIN s${sub}_c$iters c WHERE e.id < 10"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $fits,
+         cd AS ($codesU),
+         qt AS ($qtU),
+         sc AS (
+           SELECT qt.qid, cd.id, round(sum(qt.qd), 6) AS adist
+           FROM cd JOIN qt ON cd.sub = qt.sub AND cd.cell = qt.cell
+           WHERE cd.id <> qt.qid
+           GROUP BY qt.qid, cd.id),
+         r AS (
+           SELECT qid, id, adist,
+             row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+           FROM sc)
+       SELECT qid, id, CAST(rank AS INT) AS rank, adist
+       FROM r WHERE rank <= $k ORDER BY qid, rank"""
+  }
+
   val oracle: Map[String, String] = Map(
     "docs_incremental_dedup" -> incrementalDedupSql,
+
+    "emb_pq_adc" -> pqOracle(dim = 64, m = 2, ksub = 8, iters = 2, k = 3),
 
     "docs_substring_spans" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -192,6 +192,81 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"), col("cos"))
   }
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the `dim` dimensions
+    * split into `m` contiguous subspaces of dim/m, each fitted with an
+    * independent deterministic-Lloyd codebook ([[fitCodebook]] over the
+    * corpus subvectors). m small k-means runs, paid once at index-build
+    * time; persist each like [[writeCodebook]]. */
+  def fitPqCodebooks(corpus: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int, idCol: String = "id", embCol: String = "embedding")
+      : Seq[(Int, Seq[(Int, Seq[Double])])] = {
+    require(m > 0 && dim % m == 0, "dim must split into m equal subspaces")
+    val d = dim / m
+    (0 until m).map { s =>
+      s -> fitCodebook(
+        corpus.select(col(idCol).as("id"),
+          slice(col(embCol).cast("array<double>"), s * d + 1, d).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** PQ encode + asymmetric-distance (ADC) top-k: each corpus vector is
+    * encoded as m sub-centroid codes — the compression that shrinks a
+    * 100 TB float corpus to m small ints per vector — and each query
+    * scores the whole corpus by summing, per subspace, its precomputed
+    * distance to the vector's assigned centroid.
+    *
+    * Plan shape: the codebook (m·ksub centers) broadcasts; encoding is a
+    * broadcast-probe + per-(vector, subspace) window min over the corpus
+    * scan — the one full pass, paid at INDEX-BUILD time (persist the
+    * codes column; compose with [[knnIvfWith]]'s cell column for
+    * IVF-PQ). The per-query distance TABLE (m·ksub doubles per query) is
+    * query-side-bounded and broadcasts; ADC is then a broadcast lookup
+    * join + one partial-aggregatable (qid, id) sum — no shuffle ever
+    * carries a float vector. Approximate distances round to 1e-6 BEFORE
+    * ranking (ties on id), so the oracle's sum order cannot flip the
+    * cut; keep m small-and-even-tempered (the entry uses m = 2, where
+    * two-term IEEE addition is order-exact). */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+      books: Seq[(Int, Seq[(Int, Seq[Double])])], k: Int,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    val m = books.size
+    val d = books.head._2.head._2.size
+    val flat = for ((s, cs) <- books; (cell, cv) <- cs) yield (s, cell, cv)
+    val cdf = spark.createDataFrame(flat).toDF("sub", "cell", "cv")
+    def subRows(df: DataFrame, key: String): DataFrame = {
+      val subs = (0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col(embCol).cast("array<double>"), s * d + 1, d).as("sv")))
+      df.select(col(key), explode(array(subs: _*)).as("x"))
+        .select(col(key), col("x.sub").as("sub"), col("x.sv").as("sv"))
+    }
+    val aw = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("__d"), col("cell"))
+    val codes = subRows(corpus.select(col(idCol).as("id"), col(embCol)), "id")
+      .join(broadcast(cdf), "sub")
+      .withColumn("__d", sqDist(col("sv"), col("cv")))
+      .withColumn("__r", row_number().over(aw))
+      .where(col("__r") === 1)
+      .select(col("id"), col("sub"), col("cell"))
+    val qt = subRows(queries.select(col(qidCol).as("qid"), col(embCol)), "qid")
+      .join(broadcast(cdf), "sub")
+      .select(col("qid"), col("sub"), col("cell"),
+        sqDist(col("sv"), col("cv")).as("qd"))
+    val scored = codes.join(broadcast(qt), Seq("sub", "cell"))
+      .where(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(round(sum(col("qd")), 6).as("adist"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("id"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank"), col("adist"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * corpus with a k-means codebook, then inside each cluster drop every
     * vector that has a near-duplicate (cosine ≥ `threshold`) which sits

@@ -642,6 +642,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (3L, 2L, 2L, 1.0)))                // 2-token doc 4 has no spans: absent
   }
 
+  test("pqAdc: with one centroid per vector ADC degenerates to exact L2 top-k") {
+    // iters = 0 and ksub = |corpus| make every subvector its own centroid,
+    // so each vector's code distance is 0 and the ADC sum equals the true
+    // squared L2 — PQ must then reproduce the exact ranking
+    val rnd = Iterator.iterate(7L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.fill(4)(((rnd.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f))
+    }
+    val corpus = vecs.toDF("id", "embedding")
+    val queries = vecs.take(2).map { case (i, v) => (i + 100L, v) }.toDF("qid", "embedding")
+    val books = Similarity.fitPqCodebooks(corpus, dim = 4, m = 2, ksub = 12, iters = 0)
+    val got = Similarity.pqAdcTopK(corpus, queries, books, k = 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSeq.sorted
+    def sq(q: Array[Float], v: Array[Float]) = {
+      def dot(a: Array[Float], b: Array[Float]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      dot(q, q) + dot(v, v) - 2.0 * dot(q, v)
+    }
+    val expect = (for ((qid, q) <- queries.as[(Long, Array[Float])].collect().toSeq) yield {
+      vecs.map { case (id, v) => (id, math.rint(sq(q, v) * 1e6) / 1e6) }
+        .sortBy { case (id, dd) => (dd, id) }.take(3)
+        .zipWithIndex.map { case ((id, _), r) => (qid, r + 1, id) }
+    }).flatten.sorted
+    assert(got === expect)
+  }
+
   test("bm25TopK: hand-computed scores, rank ties break on doc id") {
     // corpus: d1 = "x x y" (dl 3), d2 = "x z" (dl 2), d3 = "y y y y" (dl 4)
     // N = 3, T = 9, avgdl = 3; query q = {x, y}
