@@ -82,6 +82,22 @@ object Round6Entries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ: the production ANN layout — the memoized IVF codebook's
+    // cells prune candidates (nprobe=2 of 8), the memoized PQ codebooks
+    // score the survivors by ADC; both index columns are build-time
+    // artifacts and a query never touches a float vector of the corpus
+    "emb_knn_ivfpq" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnIvfPq(
+          EntryUtil.ivfCodebookFor(s, dir),
+          EntryUtil.pqCodebooksFor(s, dir),
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3, nprobe = 2)
+        .orderBy("qid", "rank")
+    }),
+
     // incremental dedup executed as a REAL Structured Streaming query:
     // the batch documents stream in ts-ordered micro-batches (synthetic
     // event time: 1 s per doc_id), each probing the static corpus hash
@@ -216,45 +232,93 @@ object Round6Entries {
     * embeddings, nearest-sub-centroid codes, per-query distance tables,
     * ADC sum (m = 2: two-term IEEE addition is order-exact) rounded
     * before the rank. */
-  private def pqOracle(dim: Int, m: Int, ksub: Int, iters: Int, k: Int): String = {
+  private def pqFitCtes(dim: Int, m: Int, ksub: Int, iters: Int): String = {
     val d = dim / m
-    val fits = (0 until m).map { sub =>
+    (0 until m).map { sub =>
       EntryUtil.kmeansCtes(s"s${sub}_",
         s"SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[${sub * d + 1}:${(sub + 1) * d}] AS v FROM embeddings",
         ksub, iters)
     }.mkString(",\n ")
-    val codesU = (0 until m).map { sub =>
+  }
+
+  private def pqCodesUnion(m: Int, iters: Int): String =
+    (0 until m).map { sub =>
       s"""SELECT id, $sub AS sub, cell FROM (
             SELECT e.id, c.cell,
               row_number() OVER (PARTITION BY e.id
                 ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
             FROM s${sub}_e e CROSS JOIN s${sub}_c$iters c) WHERE r = 1"""
     }.mkString(" UNION ALL ")
-    val qtU = (0 until m).map { sub =>
+
+  private def pqQtUnion(m: Int, iters: Int): String =
+    (0 until m).map { sub =>
       s"""SELECT e.id AS qid, $sub AS sub, c.cell,
             ${EntryUtil.sqlDist("e.v", "c.cv")} AS qd
           FROM s${sub}_e e CROSS JOIN s${sub}_c$iters c WHERE e.id < 10"""
     }.mkString(" UNION ALL ")
-    s"""WITH $fits,
-         cd AS ($codesU),
-         qt AS ($qtU),
+
+  private val pqRankTail =
+    """r AS (
+         SELECT qid, id, adist,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+         FROM sc)"""
+
+  private def pqOracle(dim: Int, m: Int, ksub: Int, iters: Int, k: Int): String =
+    s"""WITH ${pqFitCtes(dim, m, ksub, iters)},
+         cd AS (${pqCodesUnion(m, iters)}),
+         qt AS (${pqQtUnion(m, iters)}),
          sc AS (
            SELECT qt.qid, cd.id, round(sum(qt.qd), 6) AS adist
            FROM cd JOIN qt ON cd.sub = qt.sub AND cd.cell = qt.cell
            WHERE cd.id <> qt.qid
            GROUP BY qt.qid, cd.id),
-         r AS (
-           SELECT qid, id, adist,
-             row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
-           FROM sc)
+         $pqRankTail
        SELECT qid, id, CAST(rank AS INT) AS rank, adist
        FROM r WHERE rank <= $k ORDER BY qid, rank"""
-  }
+
+  /** SQL replay of [[graft.pipeline.Similarity.knnIvfPq]]: the plain IVF
+    * kmeans CTEs give coarse cells (corpus r = 1, queries r <= nprobe),
+    * the per-subspace PQ fits give codes and query tables, and ADC runs
+    * only over the cell-matched candidate pairs. */
+  private def ivfPqOracle(dim: Int, m: Int, ksub: Int, nlist: Int,
+      nprobe: Int, iters: Int, k: Int): String =
+    s"""WITH ${EntryUtil.kmeansCtes("",
+          "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+          nlist, iters)},
+         ${pqFitCtes(dim, m, ksub, iters)},
+         cor AS (SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN c$iters c) WHERE r = 1),
+         qry AS (SELECT id AS qid, cell FROM (
+            SELECT e.id, c.cell,
+              row_number() OVER (PARTITION BY e.id
+                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
+            FROM e CROSS JOIN c$iters c WHERE e.id < 10) WHERE r <= $nprobe),
+         cd AS (${pqCodesUnion(m, iters)}),
+         qt AS (${pqQtUnion(m, iters)}),
+         cand AS (
+           SELECT DISTINCT qry.qid, cor.id
+           FROM qry JOIN cor USING (cell)
+           WHERE cor.id <> qry.qid),
+         sc AS (
+           SELECT ca.qid, ca.id, round(sum(qt.qd), 6) AS adist
+           FROM cand ca JOIN cd ON cd.id = ca.id
+             JOIN qt ON qt.qid = ca.qid AND qt.sub = cd.sub
+               AND qt.cell = cd.cell
+           GROUP BY ca.qid, ca.id),
+         $pqRankTail
+       SELECT qid, id, CAST(rank AS INT) AS rank, adist
+       FROM r WHERE rank <= $k ORDER BY qid, rank"""
 
   val oracle: Map[String, String] = Map(
     "docs_incremental_dedup" -> incrementalDedupSql,
 
     "emb_pq_adc" -> pqOracle(dim = 64, m = 2, ksub = 8, iters = 2, k = 3),
+
+    "emb_knn_ivfpq" -> ivfPqOracle(dim = 64, m = 2, ksub = 8, nlist = 8,
+      nprobe = 2, iters = 2, k = 3),
 
     "docs_substring_spans" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

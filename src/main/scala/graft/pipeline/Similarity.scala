@@ -158,6 +158,18 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
   /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
+  /** n-nearest-centroid assignment against a broadcast centers frame
+    * (n = 1 for corpus cells, n = nprobe for query probes). */
+  private def cellsFor(centersDf: DataFrame, df: DataFrame,
+      keyCol: String, vecCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.crossJoin(broadcast(centersDf))
+      .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
+    val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") <= n)
+      .drop("__d", "__r", "center")
+  }
+
   def knnIvfWith(
       centers: Seq[(Int, Seq[Double])],
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -166,19 +178,10 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
-
-    // nearest-centroid assignment for the corpus; nprobe nearest for queries
-    def cellsFor(df: DataFrame, keyCol: String, vecCol: String, n: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val scored = df.crossJoin(broadcast(centersDf))
-        .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
-      val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
-      scored.withColumn("__r", row_number().over(w)).where(col("__r") <= n)
-        .drop("__d", "__r", "center")
-    }
-
-    val c = cellsFor(corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
-    val q = cellsFor(queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
+    val c = cellsFor(centersDf,
+      corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
+    val q = cellsFor(centersDf,
+      queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
@@ -228,43 +231,99 @@ object Similarity {
     * ranking (ties on id), so the oracle's sum order cannot flip the
     * cut; keep m small-and-even-tempered (the entry uses m = 2, where
     * two-term IEEE addition is order-exact). */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
-      books: Seq[(Int, Seq[(Int, Seq[Double])])], k: Int,
-      idCol: String = "id", qidCol: String = "qid",
-      embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    val m = books.size
-    val d = books.head._2.head._2.size
+  /** The flattened (sub, cell, cv) broadcast frame of a PQ codebook. */
+  private def pqCentersDf(corpus: DataFrame,
+      books: Seq[(Int, Seq[(Int, Seq[Double])])]): DataFrame = {
     val flat = for ((s, cs) <- books; (cell, cv) <- cs) yield (s, cell, cv)
-    val cdf = spark.createDataFrame(flat).toDF("sub", "cell", "cv")
-    def subRows(df: DataFrame, key: String): DataFrame = {
-      val subs = (0 until m).map(s =>
-        struct(lit(s).as("sub"),
-          slice(col(embCol).cast("array<double>"), s * d + 1, d).as("sv")))
-      df.select(col(key), explode(array(subs: _*)).as("x"))
-        .select(col(key), col("x.sub").as("sub"), col("x.sv").as("sv"))
-    }
+    corpus.sparkSession.createDataFrame(flat).toDF("sub", "cell", "cv")
+  }
+
+  /** One row per (key, subspace): the in-row sliced subvector. */
+  private def pqSubRows(df: DataFrame, key: String, embCol: String,
+      m: Int, d: Int): DataFrame = {
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"),
+        slice(col(embCol).cast("array<double>"), s * d + 1, d).as("sv")))
+    df.select(col(key), explode(array(subs: _*)).as("x"))
+      .select(col(key), col("x.sub").as("sub"), col("x.sv").as("sv"))
+  }
+
+  /** PQ codes — nearest sub-centroid per (vector, subspace): the m-int
+    * compressed index row (persist at build time). */
+  def pqCodes(corpus: DataFrame, books: Seq[(Int, Seq[(Int, Seq[Double])])],
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (m, d) = (books.size, books.head._2.head._2.size)
     val aw = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("__d"), col("cell"))
-    val codes = subRows(corpus.select(col(idCol).as("id"), col(embCol)), "id")
-      .join(broadcast(cdf), "sub")
+    pqSubRows(corpus.select(col(idCol).as("id"), col(embCol)), "id", embCol, m, d)
+      .join(broadcast(pqCentersDf(corpus, books)), "sub")
       .withColumn("__d", sqDist(col("sv"), col("cv")))
       .withColumn("__r", row_number().over(aw))
       .where(col("__r") === 1)
       .select(col("id"), col("sub"), col("cell"))
-    val qt = subRows(queries.select(col(qidCol).as("qid"), col(embCol)), "qid")
-      .join(broadcast(cdf), "sub")
+  }
+
+  /** Per-query ADC distance table: m·ksub rows (sub, cell, qd) per query. */
+  private def pqQueryTable(queries: DataFrame,
+      books: Seq[(Int, Seq[(Int, Seq[Double])])],
+      qidCol: String, embCol: String): DataFrame = {
+    val (m, d) = (books.size, books.head._2.head._2.size)
+    pqSubRows(queries.select(col(qidCol).as("qid"), col(embCol)), "qid", embCol, m, d)
+      .join(broadcast(pqCentersDf(queries, books)), "sub")
       .select(col("qid"), col("sub"), col("cell"),
         sqDist(col("sv"), col("cv")).as("qd"))
-    val scored = codes.join(broadcast(qt), Seq("sub", "cell"))
-      .where(col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("id"))
+  }
+
+  /** Rounded ADC sum per (qid, id) over (qid, id, qd) rows + the
+    * ascending rank-k cut (ties on id). */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.groupBy(col("qid"), col("id"))
       .agg(round(sum(col("qd")), 6).as("adist"))
-    scored.withColumn("rank", row_number().over(
+      .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist"), col("id"))))
       .where(col("rank") <= k)
       .select(col("qid"), col("id"), col("rank"), col("adist"))
+  }
+
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+      books: Seq[(Int, Seq[(Int, Seq[Double])])], k: Int,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val codes = pqCodes(corpus, books, idCol, embCol)
+    val qt = pqQueryTable(queries, books, qidCol, embCol)
+    // whole-corpus ADC: each code row looks up every query's (sub, cell)
+    // distance in the broadcast table; the (qid, id) pairs materialize
+    // only inside the partial-aggregatable sum
+    adcRank(codes.join(broadcast(qt), Seq("sub", "cell"))
+      .where(col("id") =!= col("qid")), k)
+  }
+
+  /** IVF-PQ: the production ANN layout (Jégou et al. 2011 §V) — IVF
+    * cells prune the candidate set (each query probes its nprobe nearest
+    * coarse centroids), PQ codes score the survivors by ADC. Both index
+    * columns (cell, codes) are build-time artifacts; a query touches
+    * ~nprobe/nlist of the corpus and never a float vector. */
+  def knnIvfPq(centers: Seq[(Int, Seq[Double])],
+      books: Seq[(Int, Seq[(Int, Seq[Double])])],
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val centersDf = corpus.sparkSession.createDataFrame(centers)
+      .toDF("cell", "center")
+    val c = cellsFor(centersDf,
+      corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
+    val q = cellsFor(centersDf,
+      queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
+    val cand = c.select(col("id"), col("cell"))
+      .join(broadcast(q.select(col("qid"), col("cell"))), "cell")
+      .where(col("id") =!= col("qid"))
+      .select("qid", "id").distinct()
+    val codes = pqCodes(corpus, books, idCol, embCol)
+    val qt = pqQueryTable(queries, books, qidCol, embCol)
+    adcRank(cand.join(codes, "id")
+      .join(broadcast(qt), Seq("qid", "sub", "cell")), k)
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the

@@ -668,6 +668,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got === expect)
   }
 
+  test("knnIvfPq with nprobe = nlist degenerates to whole-corpus PQ ADC") {
+    val rnd = Iterator.iterate(11L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.fill(4)(((rnd.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f))
+    }
+    val corpus = vecs.toDF("id", "embedding")
+    val queries = vecs.take(3).map { case (i, v) => (i + 100L, v) }.toDF("qid", "embedding")
+    val centers = Similarity.fitCodebook(corpus, nlist = 4, iters = 1)
+    val books = Similarity.fitPqCodebooks(corpus, dim = 4, m = 2, ksub = 4, iters = 1)
+    val full = Similarity.pqAdcTopK(corpus, queries, books, k = 3)
+      .collect().map(_.toSeq).toSet
+    // probing every coarse cell removes the pruning entirely — the
+    // IVF-PQ answer must then be exactly the whole-corpus ADC answer
+    val ivfpq = Similarity.knnIvfPq(centers, books, corpus, queries,
+        k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(ivfpq === full)
+  }
+
   test("bm25TopK: hand-computed scores, rank ties break on doc id") {
     // corpus: d1 = "x x y" (dl 3), d2 = "x z" (dl 2), d3 = "y y y y" (dl 4)
     // N = 3, T = 9, avgdl = 3; query q = {x, y}
