@@ -42,6 +42,20 @@ object EntryUtil {
   def sqlDist(a: String, b: String): String =
     s"(${sqlDotSelf(a)} + ${sqlDotSelf(b)} - 2*${sqlDotAB(a, b)})"
 
+  /** Ranked nearest-centroid assignment over an (id, v) CTE and a
+    * (cell, cv) centers CTE — the ONE place the assignment tie-break
+    * (distance, then cell) lives; every oracle that assigns cells
+    * (kmeans rounds, IVF cor/qry, PQ codes) builds on it, so a distance
+    * or tie-break fix cannot leave a sibling oracle behind. `where`
+    * filters the assigned side (e.g. " WHERE e.id < 10" for queries). */
+  def nearestCellsSql(eCte: String, cCte: String, n: Int,
+      where: String = ""): String =
+    s"""SELECT id, v, cell FROM (
+          SELECT e.id, e.v, c.cell,
+            row_number() OVER (PARTITION BY e.id
+              ORDER BY ${sqlDist("e.v", "c.cv")}, c.cell) AS r
+          FROM $eCte e CROSS JOIN $cCte c$where) WHERE r <= $n"""
+
   /** SQL replay of [[graft.pipeline.Similarity.fitCodebook]] over any
     * (id, v) source: CTEs `${prefix}e` (the source) through
     * `${prefix}c$iters` (the fitted centers) — same lowest-id init, same
@@ -51,12 +65,7 @@ object EntryUtil {
     * subspace); the IVF/SemDeDup oracles use prefix "". */
   def kmeansCtes(prefix: String, srcSql: String, nlist: Int, iters: Int): String = {
     val E = s"${prefix}e"
-    def assign(centersCte: String) =
-      s"""SELECT id, v, cell FROM (
-            SELECT e.id, e.v, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${sqlDist("e.v", "c.cv")}, c.cell) AS r
-            FROM $E e CROSS JOIN $centersCte c) WHERE r = 1"""
+    def assign(centersCte: String) = nearestCellsSql(E, centersCte, 1)
     def recenter(assignCte: String) =
       s"""SELECT cell, list(m ORDER BY i) AS cv FROM (
             SELECT cell, i, round(avg(v[i]), 6) AS m

@@ -344,16 +344,9 @@ object PipelineEntries {
     * [[kmeansCtes]] codebook: same nprobe probe and top-k. */
   private def ivfOracle(nlist: Int, nprobe: Int, k: Int, iters: Int): String =
     s"""WITH ${kmeansCtes(nlist, iters)},
-         cor AS (SELECT id, v, cell FROM (
-            SELECT e.id, e.v, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
-            FROM e CROSS JOIN c$iters c) WHERE r = 1),
+         cor AS (${EntryUtil.nearestCellsSql("e", s"c$iters", 1)}),
          qry AS (SELECT id AS qid, v AS qv, cell FROM (
-            SELECT e.id, e.v, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${dist("e.v", "c.cv")}, c.cell) AS r
-            FROM e CROSS JOIN c$iters c WHERE e.id < 10) WHERE r <= $nprobe)
+            ${EntryUtil.nearestCellsSql("e", s"c$iters", nprobe, " WHERE e.id < 10")}))
        SELECT * FROM (
          SELECT qid, cor.id AS id,
            row_number() OVER (PARTITION BY qid

@@ -101,30 +101,42 @@ object Round6Entries {
     // incremental dedup executed as a REAL Structured Streaming query:
     // the batch documents stream in ts-ordered micro-batches (synthetic
     // event time: 1 s per doc_id), each probing the static corpus hash
-    // index by broadcast anti-join, with in-stream repeats (mapChunk
-    // duplicates every fed row) dropped by watermarked state. The sink
-    // must hold exactly the batch docs that are new to the corpus —
-    // the continuous-ingest half of docs_incremental_dedup's contract.
+    // index by broadcast anti-join. In-stream repeats are exercised two
+    // ways — mapChunk re-sends every row within its micro-batch, and the
+    // feed appends copies of the first 50 docs at the end, so CROSS-batch
+    // dedup state is live too (a broken state store would re-emit them →
+    // ROWS mismatch). The watermark horizon is sized past the whole feed
+    // span, so in-horizon dedup ≡ the oracle's global min-per-hash at
+    // every sf (state eviction before end-of-feed would break that
+    // equivalence, not just shrink state). Sink = exactly the batch docs
+    // new to the corpus — docs_incremental_dedup's continuous half.
     "stream_incremental_dedup" -> ((s, dir) => {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(Long, Long, String, String)]
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // cache the index: a stream-static join re-executes the static
+      // subtree every micro-batch — without this the corpus scan +
+      // distinct shuffle would run once per trigger
       val corpusHashes = d.where(col("doc_id") % BatchMod =!= 0)
-        .select(md5(col("text")).as("text_hash")).distinct()
-      val batch = d.where(col("doc_id") % BatchMod === 0)
-        .select("doc_id", "source", "text").orderBy("doc_id")
-        .collect()
-        // day-one base: an event time of exactly epoch 0 (doc_id 0) sits
-        // on the initial watermark and is discarded as late
-        .map(r => (r.getLong(0), 86400000000000L + r.getLong(0) * 1000000000L,
-          r.getString(1), r.getString(2))).toSeq
-      EntryUtil.runStreamEntry(s, "stream_incr_dedup_sink", batch, chunks = 3,
-        cols = Seq("doc_id", "ts", "source", "text"),
-        mkStream = graft.streaming.TsdbStream.incrementalDedup(
-          _, corpusHashes, "text", "ts", "1 day"),
-        mapChunk = (c: Seq[(Long, Long, String, String)]) => c ++ c)
-        .select(col("doc_id").as("id"), col("source"))
-        .orderBy("id")
+        .select(md5(col("text")).as("text_hash")).distinct().cache()
+      try {
+        val batch = d.where(col("doc_id") % BatchMod === 0)
+          .select("doc_id", "source", "text").orderBy("doc_id")
+          .collect()
+          // day-one base: an event time of exactly epoch 0 (doc_id 0) sits
+          // on the initial watermark and is discarded as late
+          .map(r => (r.getLong(0), 86400000000000L + r.getLong(0) * 1000000000L,
+            r.getString(1), r.getString(2))).toSeq
+        val feed = batch ++ batch.take(50)
+        val horizon = s"${batch.map(_._1).max + 3600} seconds"
+        EntryUtil.runStreamEntry(s, "stream_incr_dedup_sink", feed, chunks = 3,
+          cols = Seq("doc_id", "ts", "source", "text"),
+          mkStream = graft.streaming.TsdbStream.incrementalDedup(
+            _, corpusHashes, "text", "ts", horizon),
+          mapChunk = (c: Seq[(Long, Long, String, String)]) => c ++ c)
+          .select(col("doc_id").as("id"), col("source"))
+          .orderBy("id")
+      } finally corpusHashes.unpersist(false)
     })
   )
 
@@ -244,10 +256,7 @@ object Round6Entries {
   private def pqCodesUnion(m: Int, iters: Int): String =
     (0 until m).map { sub =>
       s"""SELECT id, $sub AS sub, cell FROM (
-            SELECT e.id, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
-            FROM s${sub}_e e CROSS JOIN s${sub}_c$iters c) WHERE r = 1"""
+            ${EntryUtil.nearestCellsSql(s"s${sub}_e", s"s${sub}_c$iters", 1)})"""
     }.mkString(" UNION ALL ")
 
   private def pqQtUnion(m: Int, iters: Int): String =
@@ -287,15 +296,9 @@ object Round6Entries {
           nlist, iters)},
          ${pqFitCtes(dim, m, ksub, iters)},
          cor AS (SELECT id, cell FROM (
-            SELECT e.id, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
-            FROM e CROSS JOIN c$iters c) WHERE r = 1),
+            ${EntryUtil.nearestCellsSql("e", s"c$iters", 1)})),
          qry AS (SELECT id AS qid, cell FROM (
-            SELECT e.id, c.cell,
-              row_number() OVER (PARTITION BY e.id
-                ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
-            FROM e CROSS JOIN c$iters c WHERE e.id < 10) WHERE r <= $nprobe),
+            ${EntryUtil.nearestCellsSql("e", s"c$iters", nprobe, " WHERE e.id < 10")})),
          cd AS (${pqCodesUnion(m, iters)}),
          qt AS (${pqQtUnion(m, iters)}),
          cand AS (
@@ -337,15 +340,17 @@ object Round6Entries {
     "docs_bm25_topk" -> bm25Sql,
 
     // new-to-corpus batch docs, first arrival kept: the anti-join replays
-    // the corpus probe, min(doc_id) per hash the ts-ordered in-stream
-    // dedup (the feed's event time is monotone in doc_id)
+    // the corpus probe (NOT EXISTS, not NOT IN — one NULL corpus text
+    // would make NOT IN veto every row where the engine's null-unsafe
+    // left_anti keeps them), min(doc_id) per hash the ts-ordered
+    // in-stream dedup (the feed's event time is monotone in doc_id)
     "stream_incremental_dedup" ->
       s"""WITH b AS (SELECT doc_id, source, md5(text) AS th
                      FROM documents WHERE doc_id % $BatchMod = 0),
            c AS (SELECT DISTINCT md5(text) AS th
                  FROM documents WHERE doc_id % $BatchMod <> 0),
            nb AS (SELECT doc_id, source, th FROM b
-                  WHERE th NOT IN (SELECT th FROM c)),
+                  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.th = b.th)),
            k AS (SELECT min(doc_id) AS id FROM nb GROUP BY th)
          SELECT doc_id AS id, source FROM nb
          WHERE doc_id IN (SELECT id FROM k)

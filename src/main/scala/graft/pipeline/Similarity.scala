@@ -157,7 +157,6 @@ object Similarity {
     spark.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
-  /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
   /** n-nearest-centroid assignment against a broadcast centers frame
     * (n = 1 for corpus cells, n = nprobe for query probes). */
   private def cellsFor(centersDf: DataFrame, df: DataFrame,
@@ -170,6 +169,7 @@ object Similarity {
       .drop("__d", "__r", "center")
   }
 
+  /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
   def knnIvfWith(
       centers: Seq[(Int, Seq[Double])],
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -214,23 +214,6 @@ object Similarity {
     }
   }
 
-  /** PQ encode + asymmetric-distance (ADC) top-k: each corpus vector is
-    * encoded as m sub-centroid codes — the compression that shrinks a
-    * 100 TB float corpus to m small ints per vector — and each query
-    * scores the whole corpus by summing, per subspace, its precomputed
-    * distance to the vector's assigned centroid.
-    *
-    * Plan shape: the codebook (m·ksub centers) broadcasts; encoding is a
-    * broadcast-probe + per-(vector, subspace) window min over the corpus
-    * scan — the one full pass, paid at INDEX-BUILD time (persist the
-    * codes column; compose with [[knnIvfWith]]'s cell column for
-    * IVF-PQ). The per-query distance TABLE (m·ksub doubles per query) is
-    * query-side-bounded and broadcasts; ADC is then a broadcast lookup
-    * join + one partial-aggregatable (qid, id) sum — no shuffle ever
-    * carries a float vector. Approximate distances round to 1e-6 BEFORE
-    * ranking (ties on id), so the oracle's sum order cannot flip the
-    * cut; keep m small-and-even-tempered (the entry uses m = 2, where
-    * two-term IEEE addition is order-exact). */
   /** The flattened (sub, cell, cv) broadcast frame of a PQ codebook. */
   private def pqCentersDf(corpus: DataFrame,
       books: Seq[(Int, Seq[(Int, Seq[Double])])]): DataFrame = {
@@ -287,6 +270,23 @@ object Similarity {
       .select(col("qid"), col("id"), col("rank"), col("adist"))
   }
 
+  /** PQ encode + asymmetric-distance (ADC) top-k: each corpus vector is
+    * encoded as m sub-centroid codes — the compression that shrinks a
+    * 100 TB float corpus to m small ints per vector — and each query
+    * scores the whole corpus by summing, per subspace, its precomputed
+    * distance to the vector's assigned centroid.
+    *
+    * Plan shape: the codebook (m·ksub centers) broadcasts; encoding is a
+    * broadcast-probe + per-(vector, subspace) window min over the corpus
+    * scan — the one full pass, paid at INDEX-BUILD time (persist the
+    * codes column; [[knnIvfPq]] composes it with the IVF cell column).
+    * The per-query distance TABLE (m·ksub doubles per query) is
+    * query-side-bounded and broadcasts; ADC is then a broadcast lookup
+    * join + one partial-aggregatable (qid, id) sum — no shuffle ever
+    * carries a float vector. Approximate distances round to 1e-6 BEFORE
+    * ranking (ties on id), so the oracle's sum order cannot flip the
+    * cut; keep m small-and-even-tempered (the entry uses m = 2, where
+    * two-term IEEE addition is order-exact). */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
       books: Seq[(Int, Seq[(Int, Seq[Double])])], k: Int,
       idCol: String = "id", qidCol: String = "qid",

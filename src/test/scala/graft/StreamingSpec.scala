@@ -268,6 +268,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("incrementalDedup: corpus hashes veto, in-stream dups drop across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusHashes = Seq("known doc", "other known")
+      .toDF("t").select(md5($"t").as("text_hash"))
+    val in = MemoryStream[(Long, Long, String)]
+    val out = TsdbStream.incrementalDedup(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      corpusHashes, "text", "ts", lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("incr_dedup")
+      .outputMode("append").start()
+    try {
+      val s = 1000000000L
+      in.addData((1L, 1 * s, "known doc"),   // in corpus -> vetoed
+        (2L, 2 * s, "fresh one"),            // new -> kept
+        (3L, 3 * s, "fresh one"))            // in-batch repeat -> dropped
+      q.processAllAvailable()
+      in.addData((4L, 4 * s, "fresh one"),   // CROSS-batch repeat -> state drops it
+        (5L, 5 * s, "other known"),          // corpus veto again
+        (6L, 6 * s, "brand new"))            // kept
+      q.processAllAvailable()
+      val ids = spark.table("incr_dedup").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(2L, 6L))
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
