@@ -67,6 +67,15 @@ object Round6Entries {
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
         .orderBy("query_id", "rank")),
 
+    // CCNet-style perplexity filter: avg negative log-prob of each doc's
+    // hashed bigrams under the corpus bucket model, selection threshold
+    // 4.13 nats/gram (the corpus median — a genuine ~50/50 cut at every
+    // sf); fixed-point micro-nats make the scores exact integer sums
+    "docs_ngram_ppl" -> ((s, dir) =>
+      TextOps.ngramPerplexity(docs(s, dir), "doc_id", "text",
+          buckets = 64, k = 2, maxAvgNllMicro = 4130000L)
+        .orderBy("id")),
+
     // PQ + ADC nearest-neighbor: the corpus compresses to m=2 sub-centroid
     // codes per vector (the index that makes 100 TB of embeddings
     // searchable in memory) and each query scores the corpus by summing
@@ -317,6 +326,34 @@ object Round6Entries {
 
   val oracle: Map[String, String] = Map(
     "docs_incremental_dedup" -> incrementalDedupSql,
+
+    // same fixed-point idiom as docs_dsir_weights: per-bucket micro-nat
+    // log-probs as BIGINTs, integer doc sums, integer selection compare
+    "docs_ngram_ppl" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           gb AS (SELECT doc_id,
+               ${h60("ws[i] || ' ' || ws[i+1]")} % 64 AS b
+             FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+           m AS (SELECT b, count(*) AS c FROM gb GROUP BY b),
+           tt AS (SELECT CAST(sum(c) AS DOUBLE) AS tc FROM m),
+           nll AS (
+             SELECT bb.b,
+               CAST(round(-ln((coalesce(c, 0) + 1.0) / (tc + 64.0))
+                    * 1000000.0) AS BIGINT) AS nll
+             FROM range(64) bb(b) LEFT JOIN m ON bb.b = m.b CROSS JOIN tt),
+           f AS (SELECT doc_id, b, count(*) AS f FROM gb GROUP BY doc_id, b),
+           sc AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_grams,
+                    CAST(sum(f * nll) AS BIGINT) AS nll_micro
+                  FROM f JOIN nll USING (b) GROUP BY doc_id)
+         SELECT d.doc_id AS id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(nll_micro, 0) AS nll_micro,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN round(coalesce(nll_micro, 0) / 1000000.0 / n_grams, 6)
+           END AS avg_nll,
+           coalesce(nll_micro, 0) <= 4130000 * coalesce(n_grams, 0) AS selected
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY id""",
 
     "emb_pq_adc" -> pqOracle(dim = 64, m = 2, ksub = 8, iters = 2, k = 3),
 

@@ -386,6 +386,60 @@ object TextOps {
       .withColumn("selected", col("logw_micro") >= minLogwMicro)
   }
 
+  /** N-gram LM perplexity scoring — the CCNet-style quality filter
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): score each document by the average
+    * negative log-probability of its hashed k-gram buckets under an
+    * add-α-smoothed bucket model, and select documents under the
+    * threshold (improbable = boilerplate/garbage, the cut CCNet makes
+    * with a KenLM model). The model here is fitted on the input corpus
+    * itself to keep the entry self-contained; production fits once on a
+    * trusted corpus and reuses it (same convention as [[dsirWeights]],
+    * whose importance ratio is this operator's two-model sibling).
+    *
+    * Exactness contract (same trick as DSIR): the per-bucket negative
+    * log-prob is fixed-point micro-nats (round(−ln P · 1e6) as a long),
+    * so each document's total `nll_micro` is an exact integer sum —
+    * aggregation-order independent and oracle-replayable bit-for-bit —
+    * and `selected` compares integers (`nll_micro ≤ threshold · n_grams`)
+    * rather than a divided double. `avg_nll` is derived for reading.
+    *
+    * Scale shape: one doc-keyed partial-aggregatable groupBy for the
+    * per-doc bucket counts (scope-cached: model fit and scoring share
+    * it), a `buckets`-row model table that broadcasts, and unpartitioned
+    * window totals over that table only (no corpus-sized window). */
+  def ngramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64, k: Int = 2, alpha: Double = 1.0,
+      maxAvgNllMicro: Long = 4130000L): DataFrame = {
+    require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
+    val b = pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
+    val aB = lit(alpha * buckets)
+    val docBuckets = Dedup.scopedCache(df
+      .select(col(idCol).as("id"), explode(
+        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+      .select(col("id"), b).groupBy("id", "b").agg(count(lit(1)).as("f")))
+    val model = docBuckets.groupBy("b").agg(sum("f").as("c"))
+    val spark = df.sparkSession
+    val allB = spark.range(0, buckets).select(col("id").as("b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cF = coalesce(col("c"), lit(0L))
+    val nll = allB.join(model, Seq("b"), "left")
+      .select(col("b"), round(-log(
+          (cF + alpha) / (sum(cF).over(wAll).cast("double") + aB)) * 1e6)
+        .cast("long").as("nll"))
+    val scored = docBuckets.join(broadcast(nll), Seq("b"))
+      .groupBy("id").agg(sum("f").as("n_grams"),
+        sum(col("f") * col("nll")).as("nll_micro"))
+    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+      .withColumn("avg_nll", when(col("n_grams") > 0,
+        round(col("nll_micro") / 1e6 / col("n_grams"), 6)))
+      .withColumn("selected",
+        col("nll_micro") <= lit(maxAvgNllMicro) * col("n_grams"))
+  }
+
   /** Exact-substring duplicate spans — the shingle-hash form of
     * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", arXiv:2107.06499): a

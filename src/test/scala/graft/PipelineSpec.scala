@@ -687,6 +687,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ivfpq === full)
   }
 
+  test("ngramPerplexity: common-gram docs score below rare-gram docs; gramless doc is exact-zero") {
+    val docs = ((1L to 8L).map(i => (i, "a b a b a b a b")) ++ Seq(
+      (100L, "q w e r t y u i"),   // every bigram unique -> improbable
+      (50L, "solo"))               // one token: no grams
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps
+      .ngramPerplexity(docs, "doc_id", "text", buckets = 64, k = 2)
+      .select("id", "n_grams", "nll_micro", "avg_nll", "selected")
+      .as[(Long, Long, Long, Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4.get < out(100L)._4.get,
+      "repeated common bigrams must be more probable than unique ones")
+    assert(out(1L) === out(8L).copy(_1 = 1L), "identical docs score identically")
+    assert(out(50L) === ((50L, 0L, 0L, None, true)),
+      "no grams: zero sums, null avg, trivially under threshold")
+  }
+
   test("bm25TopK: hand-computed scores, rank ties break on doc id") {
     // corpus: d1 = "x x y" (dl 3), d2 = "x z" (dl 2), d3 = "y y y y" (dl 4)
     // N = 3, T = 9, avgdl = 3; query q = {x, y}
