@@ -349,7 +349,8 @@ object Round6Entries {
            coalesce(n_grams, 0) AS n_grams,
            coalesce(nll_micro, 0) AS nll_micro,
            CASE WHEN coalesce(n_grams, 0) > 0
-                THEN round(coalesce(nll_micro, 0) / 1000000.0 / n_grams, 6)
+                THEN CAST(round(nll_micro / CAST(n_grams AS DOUBLE)) AS BIGINT)
+                     / 1000000.0
            END AS avg_nll,
            coalesce(nll_micro, 0) <= 4130000 * coalesce(n_grams, 0) AS selected
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id

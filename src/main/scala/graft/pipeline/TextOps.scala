@@ -343,20 +343,31 @@ object TextOps {
     * @return one row per raw document: (id, n_grams, logw_micro, logw,
     *         selected); docs with fewer than k tokens appear with
     *         n_grams=0 and logw_micro=0. */
+  /** Hashed-k-gram bucket key over an exploded gram column `g`. */
+  private def gramBucket(buckets: Int): Column =
+    pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
+
+  /** Per-doc hashed-k-gram bucket counts (id, b, f), scoped-cached —
+    * the shared spine of the fixed-point bucket models ([[dsirWeights]],
+    * [[ngramPerplexity]]): model fit and doc scoring both consume it. */
+  private def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, k: Int): DataFrame =
+    Dedup.scopedCache(df
+      .select(col(idCol).as("id"), explode(
+        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+      .select(col("id"), gramBucket(buckets)).groupBy("id", "b")
+      .agg(count(lit(1)).as("f")))
+
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 64, k: Int = 2, alpha: Double = 1.0,
       minLogwMicro: Long = 0L): DataFrame = {
     require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
-    val b = pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
     val aB = lit(alpha * buckets)
     val targetModel = target
       .select(explode(
         graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
-      .select(b).groupBy("b").agg(count(lit(1)).as("tc"))
-    val docBuckets = Dedup.scopedCache(raw
-      .select(col(idCol).as("id"), explode(
-        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
-      .select(col("id"), b).groupBy("id", "b").agg(count(lit(1)).as("f")))
+      .select(gramBucket(buckets)).groupBy("b").agg(count(lit(1)).as("tc"))
+    val docBuckets = docBucketCounts(raw, idCol, textCol, buckets, k)
     val rawModel = docBuckets.groupBy("b").agg(sum("f").as("rc"))
     val spark = raw.sparkSession
     val allB = spark.range(0, buckets).select(col("id").as("b"))
@@ -412,12 +423,8 @@ object TextOps {
       buckets: Int = 64, k: Int = 2, alpha: Double = 1.0,
       maxAvgNllMicro: Long = 4130000L): DataFrame = {
     require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
-    val b = pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
     val aB = lit(alpha * buckets)
-    val docBuckets = Dedup.scopedCache(df
-      .select(col(idCol).as("id"), explode(
-        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
-      .select(col("id"), b).groupBy("id", "b").agg(count(lit(1)).as("f")))
+    val docBuckets = docBucketCounts(df, idCol, textCol, buckets, k)
     val model = docBuckets.groupBy("b").agg(sum("f").as("c"))
     val spark = df.sparkSession
     val allB = spark.range(0, buckets).select(col("id").as("b"))
@@ -434,8 +441,15 @@ object TextOps {
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+      // round the integer micro ratio FIRST: micro-halves (.5 on a ratio
+      // of longs) are exactly representable, so both engines round them
+      // identically — round(x/1e6/n, 6) is not cross-engine-stable when
+      // the extra division lands a value on a 7th-decimal half (Spark
+      // rounds the shortest decimal repr HALF_UP, DuckDB the binary
+      // double, and they disagree exactly there; measured at sf0.1)
       .withColumn("avg_nll", when(col("n_grams") > 0,
-        round(col("nll_micro") / 1e6 / col("n_grams"), 6)))
+        round(col("nll_micro") / col("n_grams").cast("double")).cast("long")
+          / lit(1e6)))
       .withColumn("selected",
         col("nll_micro") <= lit(maxAvgNllMicro) * col("n_grams"))
   }
