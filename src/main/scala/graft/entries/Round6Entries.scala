@@ -67,6 +67,14 @@ object Round6Entries {
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
         .orderBy("query_id", "rank")),
 
+    // real BPE: 6 merges learned on the word-type table (frequency-
+    // weighted, lexicographic tie-break), then every doc's subword count
+    // via a broadcast vocab-state join — the trainer the "BPE-ish regex"
+    // token count approximates, integer/string-exact end to end
+    "docs_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokenCounts(docs(s, dir), "doc_id", "text", rounds = 6)
+        .orderBy("id")),
+
     // CCNet-style perplexity filter: avg negative log-prob of each doc's
     // hashed bigrams under the corpus bucket model, selection threshold
     // 4.13 nats/gram (the corpus median — a genuine ~50/50 cut at every
@@ -324,8 +332,47 @@ object Round6Entries {
        SELECT qid, id, CAST(rank AS INT) AS rank, adist
        FROM r WHERE rank <= $k ORDER BY qid, rank"""
 
+  /** SQL replay of [[graft.pipeline.TextOps.bpeVocab]] +
+    * [[graft.pipeline.TextOps.bpeTokenCounts]]: one CTE pair per
+    * unrolled merge round (overlapping pair counts → lexicographic-tie
+    * argmax → leftmost non-overlapping replace on the sentinel-padded
+    * states; chr(1) is the never-matching no-op once every word is one
+    * symbol, mirroring the trainer's early stop), then the per-doc
+    * count via the word → final-state join. No floating point anywhere. */
+  private def bpeOracle(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""p$r AS (SELECT ss[i] || ' ' || ss[i+1] AS pair, sum(f) AS c
+             FROM (SELECT f, string_split(st, ' ') AS ss FROM v$r),
+               UNNEST(generate_series(1, len(ss) - 1)) AS t(i)
+             GROUP BY pair),
+           b$r AS (SELECT pair FROM p$r ORDER BY c DESC, pair LIMIT 1),
+           v${r + 1} AS (SELECT word, f, trim(replace(' ' || st || ' ',
+               ' ' || coalesce((SELECT pair FROM b$r), chr(1)) || ' ',
+               ' ' || replace(coalesce((SELECT pair FROM b$r), chr(1)), ' ', '')
+                 || ' ')) AS st
+             FROM v$r)"""
+    }.mkString(",\n ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         words AS (SELECT u.w AS word, count(*) AS f
+                   FROM w, UNNEST(ws) AS u(w) WHERE len(u.w) > 0
+                   GROUP BY u.w),
+         v0 AS (SELECT word, f,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS st
+                FROM words),
+         $roundCtes,
+         dtok AS (SELECT doc_id, u.w AS word FROM w, UNNEST(ws) AS u(w)
+                  WHERE len(u.w) > 0),
+         res AS (SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(len(string_split(v.st, ' '))) AS BIGINT)
+                     AS n_bpe_tokens
+                 FROM dtok JOIN v$rounds v USING (word) GROUP BY doc_id)
+       SELECT doc_id AS id, n_words, n_bpe_tokens FROM res ORDER BY id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "docs_incremental_dedup" -> incrementalDedupSql,
+
+    "docs_bpe_tokens" -> bpeOracle(rounds = 6),
 
     // same fixed-point idiom as docs_dsir_weights: per-bucket micro-nat
     // log-probs as BIGINTs, integer doc sums, integer selection compare

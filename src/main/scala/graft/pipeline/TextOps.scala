@@ -551,6 +551,69 @@ object TextOps {
       .select(col("query_id"), col("rank"), col("id").as("doc_id"), col("score"))
   }
 
+  /** Byte-pair-encoding trainer (Sennrich/Haddow/Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): learn
+    * `rounds` merges over the corpus WORD-TYPE table and return the
+    * final vocabulary states `(word, f, st)` where `st` is the word's
+    * space-joined subword symbols. Training operates on word types
+    * weighted by frequency (the type table is Zipf-small relative to
+    * the corpus — the classic trainer shape), so each round is one
+    * vocab-sized pair count + a 1-row argmax (a driver action, index
+    * build like [[graft.pipeline.Similarity.fitCodebook]]'s Lloyd
+    * rounds) + one string replace over the vocab.
+    *
+    * Determinism: merge ties break lexicographically; pair counting is
+    * overlapping 2-grams (the reference get_stats), merging is leftmost
+    * non-overlapping (both engines' `replace` scans left and continues
+    * after each replacement — the reference behavior); everything is
+    * integer/string arithmetic, so the oracle replay is exact with no
+    * FP anywhere. */
+  def bpeVocab(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    var vocab = words.select(col("word"), col("f"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("st"))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val best = vocab
+        .select(col("f"), explode(
+          graft.functions.TextExpressions.wordShinglesAll(col("st"), 2)).as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("c"))
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) done = true // every word is a single symbol
+      else {
+        val p = best(0).getString(0)
+        val merged = p.replace(" ", "")
+        vocab = vocab.withColumn("st",
+          trim(call_function("replace",
+            concat(lit(" "), col("st"), lit(" ")),
+            lit(s" $p "), lit(s" $merged "))))
+      }
+      r += 1
+    }
+    vocab
+  }
+
+  /** Tokenize with a trained BPE vocabulary: per-document word count and
+    * BPE token count. The corpus-scale step is one explode + a broadcast
+    * join against the (type-table-sized) vocabulary states — documents
+    * never re-run the merges; they look their words' final
+    * segmentations up. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val vocab = bpeVocab(df, textCol, rounds)
+      .select(col("word"), size(split(col("st"), " ")).as("nt"))
+    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(broadcast(vocab), "word")
+      .groupBy("id").agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).cast("long").as("n_bpe_tokens"))
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -704,6 +704,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "no grams: zero sums, null avg, trivially under threshold")
   }
 
+  test("bpe: merges learn by weighted frequency, counts follow the merge depth") {
+    // corpus words: "aa" (f=3), "ab" (f=2) -> round 1 merges 'a a' (c=3
+    // beats 'a b' c=2); round 2 merges 'a b'
+    val docs = Seq((1L, "aa ab aa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val v1 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 1)
+      .select("word", "st").as[(String, String)].collect().toMap
+    assert(v1 === Map("aa" -> "aa", "ab" -> "a b"))
+    val v2 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 2)
+      .select("word", "st").as[(String, String)].collect().toMap
+    assert(v2 === Map("aa" -> "aa", "ab" -> "ab"))
+    val counts = graft.pipeline.TextOps
+      .bpeTokenCounts(docs, "doc_id", "text", rounds = 1)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // rounds=1: "aa"->1 token, "ab"->2 tokens
+    assert(counts === Seq((1L, 3L, 4L), (2L, 2L, 3L)))
+    // extra rounds past exhaustion are no-ops, not errors
+    val v9 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 9)
+      .select("word", "st").as[(String, String)].collect().toMap
+    assert(v9 === Map("aa" -> "aa", "ab" -> "ab"))
+  }
+
   test("bm25TopK: hand-computed scores, rank ties break on doc id") {
     // corpus: d1 = "x x y" (dl 3), d2 = "x z" (dl 2), d3 = "y y y y" (dl 4)
     // N = 3, T = 9, avgdl = 3; query q = {x, y}
