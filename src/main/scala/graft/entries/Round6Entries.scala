@@ -341,32 +341,52 @@ object Round6Entries {
     * count via the word → final-state join. No floating point anywhere. */
   private def bpeOracle(rounds: Int): String = {
     val roundCtes = (0 until rounds).map { r =>
+      // pr: the round's winning pair split into (a, b, merged) — or the
+      // chr(1) never-matching no-op when every word is one symbol (the
+      // trainer's early stop). The merge is the same greedy left-to-right
+      // fold the engine runs: append each symbol unless the accumulator
+      // ends with " a" and the symbol is b, in which case the tail
+      // becomes " ab" (a token produced by this round's merge no longer
+      // equals a, so occurrences never overlap).
       s"""p$r AS (SELECT ss[i] || ' ' || ss[i+1] AS pair, sum(f) AS c
              FROM (SELECT f, string_split(st, ' ') AS ss FROM v$r),
                UNNEST(generate_series(1, len(ss) - 1)) AS t(i)
              GROUP BY pair),
-           b$r AS (SELECT pair FROM p$r ORDER BY c DESC, pair LIMIT 1),
-           v${r + 1} AS (SELECT word, f, trim(replace(' ' || st || ' ',
-               ' ' || coalesce((SELECT pair FROM b$r), chr(1)) || ' ',
-               ' ' || replace(coalesce((SELECT pair FROM b$r), chr(1)), ' ', '')
-                 || ' ')) AS st
-             FROM v$r)"""
+           b$r AS (
+             SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+               replace(pr, ' ', '') AS m
+             FROM (SELECT coalesce(
+               (SELECT pair FROM p$r ORDER BY c DESC, pair LIMIT 1),
+               chr(1) || ' ' || chr(1)) AS pr)),
+           v${r + 1} AS (
+             SELECT word, f, ltrim(list_reduce(
+               list_concat([' ' || ss[1]], ss[2:]),
+               (acc, x) -> CASE
+                 WHEN ends_with(acc, ' ' || b$r.a) AND x = b$r.b
+                 THEN substring(acc, 1, length(acc) - length(b$r.a) - 1)
+                   || ' ' || b$r.m
+                 ELSE acc || ' ' || x END)) AS st
+             FROM (SELECT word, f, string_split(st, ' ') AS ss FROM v$r), b$r)"""
     }.mkString(",\n ")
+    val roundsSql = if (roundCtes.isEmpty) "" else roundCtes + ",\n "
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          words AS (SELECT u.w AS word, count(*) AS f
                    FROM w, UNNEST(ws) AS u(w) WHERE len(u.w) > 0
                    GROUP BY u.w),
          v0 AS (SELECT word, f,
-                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS st
+                  array_to_string(string_split(word, ''), ' ') AS st
                 FROM words),
-         $roundCtes,
+         $roundsSql
          dtok AS (SELECT doc_id, u.w AS word FROM w, UNNEST(ws) AS u(w)
                   WHERE len(u.w) > 0),
          res AS (SELECT doc_id, count(*) AS n_words,
                    CAST(sum(len(string_split(v.st, ' '))) AS BIGINT)
                      AS n_bpe_tokens
                  FROM dtok JOIN v$rounds v USING (word) GROUP BY doc_id)
-       SELECT doc_id AS id, n_words, n_bpe_tokens FROM res ORDER BY id"""
+       SELECT d.doc_id AS id, coalesce(n_words, 0) AS n_words,
+         coalesce(n_bpe_tokens, 0) AS n_bpe_tokens
+       FROM documents d LEFT JOIN res ON res.doc_id = d.doc_id
+       ORDER BY id"""
   }
 
   val oracle: Map[String, String] = Map(

@@ -563,18 +563,26 @@ object TextOps {
     * rounds) + one string replace over the vocab.
     *
     * Determinism: merge ties break lexicographically; pair counting is
-    * overlapping 2-grams (the reference get_stats), merging is leftmost
-    * non-overlapping (both engines' `replace` scans left and continues
-    * after each replacement — the reference behavior); everything is
-    * integer/string arithmetic, so the oracle replay is exact with no
-    * FP anywhere. */
+    * overlapping 2-grams (the reference get_stats); merging is a
+    * left-to-right fold that greedily merges non-overlapping occurrences
+    * (the reference behavior — a last token produced by THIS round's
+    * merge can't merge again, because it no longer equals the pair's
+    * left symbol); everything is integer/string arithmetic, so the
+    * oracle replay is exact with no FP anywhere. */
   def bpeVocab(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
-    val words = df.select(explode(split(col(textCol), " ")).as("word"))
-      .where(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("f"))
+    // scope-cached: every round's argmax and the final tokenize join
+    // re-read this aggregation (same rationale as fitCodebook's cache)
+    val words = Dedup.scopedCache(
+      df.select(explode(split(col(textCol), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("f")))
+    // character split via split("") (not a '.' regex: Java and RE2
+    // disagree on which line separators '.' matches), empties dropped —
+    // Java's split keeps a trailing "" that DuckDB's does not
     var vocab = words.select(col("word"), col("f"),
-      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("st"))
+      array_join(filter(split(col("word"), ""), x => length(x) > 0), " ")
+        .as("st"))
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -587,11 +595,23 @@ object TextOps {
       if (best.isEmpty) done = true // every word is a single symbol
       else {
         val p = best(0).getString(0)
-        val merged = p.replace(" ", "")
-        vocab = vocab.withColumn("st",
-          trim(call_function("replace",
-            concat(lit(" "), col("st"), lit(" ")),
-            lit(s" $p "), lit(s" $merged "))))
+        val Array(pa, pb) = p.split(" ", 2)
+        val merged = pa + pb
+        // greedy leftmost merge as a fold over the symbol list: append
+        // each symbol, except when the accumulated string ends with
+        // " <pa>" and the incoming symbol is <pb> — then the tail
+        // becomes " <merged>". The leading-space seed makes the
+        // ends-with test uniform for the first symbol.
+        val ss = split(col("st"), " ")
+        val foldSeed = concat(lit(" "), element_at(ss, 1))
+        val folded = aggregate(
+          slice(ss, lit(2), greatest(size(ss) - 1, lit(0))), foldSeed,
+          (acc, x) => when(
+            call_function("endswith", acc, lit(s" $pa")) && x === lit(pb),
+            concat(call_function("substring", acc, lit(1),
+              length(acc) - lit(pa.length + 1)), lit(s" $merged")))
+            .otherwise(concat(acc, lit(" "), x)))
+        vocab = vocab.withColumn("st", ltrim(folded))
       }
       r += 1
     }
@@ -607,11 +627,17 @@ object TextOps {
       rounds: Int): DataFrame = {
     val vocab = bpeVocab(df, textCol, rounds)
       .select(col("word"), size(split(col("st"), " ")).as("nt"))
-    df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
+    val counts = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) > 0)
       .join(broadcast(vocab), "word")
       .groupBy("id").agg(count(lit(1)).as("n_words"),
         sum(col("nt")).cast("long").as("n_bpe_tokens"))
+    // keep empty/whitespace-only documents as (0, 0) rows — per-doc
+    // stats must cover every input id (the sibling curation ops do)
+    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
   /** Per-document PII counts + a redaction-needed flag. One scan, all

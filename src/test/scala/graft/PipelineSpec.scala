@@ -704,25 +704,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "no grams: zero sums, null avg, trivially under threshold")
   }
 
-  test("bpe: merges learn by weighted frequency, counts follow the merge depth") {
-    // corpus words: "aa" (f=3), "ab" (f=2) -> round 1 merges 'a a' (c=3
-    // beats 'a b' c=2); round 2 merges 'a b'
-    val docs = Seq((1L, "aa ab aa"), (2L, "aa ab")).toDF("doc_id", "text")
-    val v1 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 1)
+  test("bpe: weighted-frequency merges, greedy adjacent merging, empty docs kept") {
+    // word freqs: aa=3, ab=2, abab=2. Round-1 pair counts: 'a b' = 2 (ab)
+    // + 2·2 (abab positions 1,3) = 6 beats 'a a' = 3 and 'b a' = 2
+    val docs = Seq((1L, "aa ab aa"), (2L, "aa ab"), (3L, "abab abab"),
+      (4L, "")).toDF("doc_id", "text")
+    def vocab(r: Int) = graft.pipeline.TextOps.bpeVocab(docs, "text", r)
       .select("word", "st").as[(String, String)].collect().toMap
-    assert(v1 === Map("aa" -> "aa", "ab" -> "a b"))
-    val v2 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 2)
-      .select("word", "st").as[(String, String)].collect().toMap
-    assert(v2 === Map("aa" -> "aa", "ab" -> "ab"))
+    // BOTH back-to-back occurrences in 'a b a b' merge (greedy fold —
+    // a naive sentinel-space replace would leave 'ab a b')
+    assert(vocab(1) === Map("aa" -> "a a", "ab" -> "ab", "abab" -> "ab ab"))
+    assert(vocab(2) === Map("aa" -> "aa", "ab" -> "ab", "abab" -> "ab ab"))
     val counts = graft.pipeline.TextOps
       .bpeTokenCounts(docs, "doc_id", "text", rounds = 1)
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq
-    // rounds=1: "aa"->1 token, "ab"->2 tokens
-    assert(counts === Seq((1L, 3L, 4L), (2L, 2L, 3L)))
+    // rounds=1: aa->2 tokens, ab->1, abab->2; the wordless doc keeps a row
+    assert(counts === Seq((1L, 3L, 5L), (2L, 2L, 3L), (3L, 2L, 4L),
+      (4L, 0L, 0L)))
     // extra rounds past exhaustion are no-ops, not errors
-    val v9 = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds = 9)
-      .select("word", "st").as[(String, String)].collect().toMap
-    assert(v9 === Map("aa" -> "aa", "ab" -> "ab"))
+    assert(vocab(9) === Map("aa" -> "aa", "ab" -> "ab", "abab" -> "abab"))
   }
 
   test("bm25TopK: hand-computed scores, rank ties break on doc id") {
