@@ -74,6 +74,99 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
       assert(layered.toSeq === flat.toSeq)
     }
 
+  test("bpe fold equals a reference Sennrich trainer on random corpora") {
+    import spark.implicits._
+    // literal textbook BPE: overlapping pair counts, (freq desc, pair
+    // asc) argmax, left-to-right non-overlapping merge via index walk —
+    // an implementation shaped nothing like the engine's fold
+    def refBpe(words: Map[String, Long], rounds: Int): Map[String, Seq[String]] = {
+      var vocab: Map[String, Seq[String]] =
+        words.map { case (w, _) => w -> w.map(_.toString) }
+      for (_ <- 0 until rounds) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for ((w, f) <- words; s = vocab(w); i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) += f
+        if (counts.nonEmpty) {
+          val ((a, b), _) = counts.toSeq
+            .minBy { case ((x, y), c) => (-c, s"$x $y") }
+          vocab = vocab.map { case (w, s) =>
+            val out = scala.collection.mutable.Buffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            w -> out.toSeq
+          }
+        }
+      }
+      vocab
+    }
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 4) {
+      val alphabet = "ab c".filter(_ != ' ') // {a, b, c}: collisions likely
+      def word() = Seq.fill(1 + rnd.nextInt(5))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val docs = Seq.tabulate(8)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(5))(word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val freqs = docs.as[(Long, String)].collect()
+        .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val rounds = rnd.nextInt(5)
+      val got = graft.pipeline.TextOps.bpeVocab(docs, "text", rounds)
+        .select("word", "st").as[(String, String)].collect()
+        .map { case (w, st) => w -> st.split(" ").toSeq }.toMap
+      assert(got === refBpe(freqs, rounds), s"round $round (merges=$rounds)")
+    }
+  }
+
+  test("incremental dedup: exact tier equals brute force; near tier never lies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val vocabWords = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    def text() = Seq.fill(4 + rnd.nextInt(4))(
+      vocabWords(rnd.nextInt(vocabWords.length))).mkString(" ")
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    for (round <- 1 to 3) {
+      val corpus = Seq.tabulate(20)(i => (i.toLong, text()))
+      val batch = Seq.tabulate(10)(i => (100L + i,
+        if (rnd.nextBoolean()) corpus(rnd.nextInt(20))._2 else text()))
+      val out = graft.pipeline.Dedup.dedupAgainstCorpus(
+          corpus.toDF("doc_id", "text"), batch.toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, numPerm = 32, bands = 8, threshold = 0.7)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+      graft.pipeline.Dedup.releaseCaches()
+      assert(out.map(_._1).sorted.toSeq === batch.map(_._1).sorted,
+        "every batch doc gets exactly one verdict row")
+      val byId = batch.toMap
+      out.foreach { case (id, exact, near, status) =>
+        // exact tier: no LSH involved, must equal brute force precisely
+        val trueExact = corpus.filter(_._2 == byId(id)).map(_._1).sorted.headOption
+        assert(exact === trueExact, s"doc $id exact tier")
+        // near tier is LSH-recall-bounded, so it may MISS — but a
+        // reported match must be genuinely >= threshold (the exact
+        // verify step's no-false-positive guarantee), and the min-id
+        // claim must hold among all true matches <= the reported one
+        near.foreach { cid =>
+          val bs = shingleSet(byId(id))
+          val cs = shingleSet(corpus.toMap.apply(cid))
+          val inter = (bs & cs).size.toDouble
+          assert(inter / (bs.size + cs.size - inter) >= 0.7,
+            s"doc $id reported a sub-threshold near dup $cid")
+        }
+        assert(status === (if (exact.isDefined) "exact"
+          else if (near.isDefined) "near" else "new"), s"doc $id status")
+      }
+    }
+  }
+
   test("asof-join equals a brute-force reference on random duplicate-heavy data") {
     import spark.implicits._
     import graft.query.Ast._
