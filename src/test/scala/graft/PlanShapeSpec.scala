@@ -471,6 +471,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("pq adc: codebook and distance tables broadcast; no vector-bearing join shuffles") {
+    import spark.implicits._
+    val rnd = Iterator.iterate(17L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(8)(((rnd.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f))
+    }
+    val corpus = vecs.toDF("id", "embedding")
+    val queries = vecs.take(2).map { case (i, v) => (i + 100L, v) }.toDF("qid", "embedding")
+    val books = graft.pipeline.Similarity.fitPqCodebooks(corpus, dim = 8, m = 2,
+      ksub = 4, iters = 1)
+    val p = graft.pipeline.Similarity.pqAdcTopK(corpus, queries, books, k = 3)
+      .queryExecution.executedPlan.toString
+    // every join is a broadcast probe (codebook onto the scan, the ADC
+    // table onto the codes): a sort-merge join here would mean corpus
+    // rows — or worse, float vectors — moving through an exchange to
+    // meet the index
+    assert(!p.contains("SortMergeJoin"), s"ADC must probe by broadcast:\n$p")
+  }
+
   test("bm25: per-query top-k pushes a map-side group limit below the shuffle") {
     import spark.implicits._
     val docs = (1L to 80L).map(i => (i, (1 to 10).map(w => s"w${(i + w) % 7}").mkString(" ")))
