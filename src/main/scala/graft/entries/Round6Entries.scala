@@ -67,6 +67,23 @@ object Round6Entries {
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
         .orderBy("query_id", "rank")),
 
+    // detect -> REDACT: the same synthetic PII fixture as docs_pii, each
+    // match replaced by its typed placeholder; the entry compares the
+    // audit count and the md5 of the redacted text itself (the patterns
+    // are the RE2∩Java-identical set, so the rewritten bytes agree)
+    "docs_pii_redact" -> ((s, dir) =>
+      TextOps.piiRedact(
+          docs(s, dir).withColumn("text",
+            when(col("doc_id") % 3 === 0, concat(col("text"),
+              lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
+              format_string("%03d", col("doc_id") % 1000),
+              lit("-9876 at 10.0.0."), col("doc_id") % 256))
+              .otherwise(col("text"))),
+          "doc_id", "text")
+        .select(col("id"), col("n_redacted"),
+          md5(col("text_redacted")).as("redacted_hash"))
+        .orderBy("id")),
+
     // real BPE: 6 merges learned on the word-type table (frequency-
     // weighted, lexicographic tie-break), then every doc's subword count
     // via a broadcast vocab-state join — the trainer the "BPE-ish regex"
@@ -393,6 +410,27 @@ object Round6Entries {
     "docs_incremental_dedup" -> incrementalDedupSql,
 
     "docs_bpe_tokens" -> bpeOracle(rounds = 6),
+
+    "docs_pii_redact" -> {
+      val counts = TextOps.PiiPatterns
+        .map { case (_, re) => s"len(regexp_extract_all(text, '$re'))" }
+        .mkString(" + ")
+      val redacted = TextOps.PiiPatterns.foldLeft("text") {
+        case (expr, (name, re)) =>
+          s"regexp_replace($expr, '$re', '[${name.toUpperCase}]', 'g')"
+      }
+      s"""SELECT doc_id AS id, $counts AS n_redacted,
+            md5($redacted) AS redacted_hash
+          FROM (
+            SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN
+                text || ' contact u' || doc_id || '@example.com or 555-' ||
+                format('{:03d}', doc_id % 1000) || '-9876 at 10.0.0.' ||
+                (doc_id % 256)
+              ELSE text END AS text
+            FROM documents)
+          ORDER BY id"""
+    },
 
     // same fixed-point idiom as docs_dsir_weights: per-bucket micro-nat
     // log-probs as BIGINTs, integer doc sums, integer selection compare

@@ -640,6 +640,28 @@ object TextOps {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Redact PII in place — the write-path completion of [[piiScan]]:
+    * every [[PiiPatterns]] match is replaced by its typed placeholder
+    * (`[EMAILS]`, `[PHONES]`, `[IPS]`), with per-pattern replacement
+    * counts kept so the redaction is auditable. One chained
+    * regexp_replace projection per document — a single scan, no
+    * shuffle; the patterns are the RE2∩Java-compatible set piiScan
+    * already proves match-identical across engines, so the redacted
+    * text (and its hash) is cross-engine exact. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (name, re)) =>
+        regexp_replace(c, re, s"[${name.toUpperCase}]")
+    }
+    df.select(col(idCol).as("id") +: counts :+ redacted.as("text_redacted"): _*)
+      .withColumn("n_redacted",
+        PiiPatterns.map { case (name, _) => col(s"n_$name") }
+          .reduce(_ + _))
+  }
+
   /** Per-document PII counts + a redaction-needed flag. One scan, all
     * counts codegen'd column expressions. */
   def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {

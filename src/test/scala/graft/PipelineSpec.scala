@@ -45,6 +45,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) === ((0, 0, 0, false)))
   }
 
+  test("pii redact replaces matches with typed placeholders and counts them") {
+    val df = Seq(
+      (1L, "reach me at a.b@x.io or 555-123-4567 server 10.0.0.1"),
+      (2L, "no sensitive content here")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextOps.piiRedact(df, "doc_id", "text")
+      .orderBy("id").select("text_redacted", "n_redacted")
+      .as[(String, Int)].collect()
+    assert(out(0) === (("reach me at [EMAILS] or [PHONES] server [IPS]", 3)))
+    assert(out(1) === (("no sensitive content here", 0)))
+  }
+
   test("vec_cosine of identical vectors is 1") {
     val df = Seq((Array(0.5f, -2f), Array(0.5f, -2f))).toDF("a", "b")
     assert(df.select(VectorExpressions.vecCosine(col("a"), col("b")))
