@@ -33,6 +33,27 @@ object EntryUtil {
   def h60Sql(s: String): String =
     s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
 
+  /** The PII test fixture: synthetic email/phone/IP appended to every
+    * third document (the corpus itself contains none). One definition
+    * for both entries that use it (docs_pii, docs_pii_redact) — the
+    * Spark injection and its SQL mirror must never drift. */
+  def piiFixture(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      when(col("doc_id") % 3 === 0, concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
+        format_string("%03d", col("doc_id") % 1000),
+        lit("-9876 at 10.0.0."), col("doc_id") % 256))
+        .otherwise(col("text")))
+
+  val piiFixtureSql: String =
+    """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact u' || doc_id || '@example.com or 555-' ||
+           format('{:03d}', doc_id % 1000) || '-9876 at 10.0.0.' ||
+           (doc_id % 256)
+         ELSE text END AS text
+       FROM documents"""
+
   /** DuckDB list-arithmetic mirrors of
     * [[graft.functions.VectorExpressions]] — list_sum folds in list
     * order, matching VecDot's sequential fold bit-for-bit. */

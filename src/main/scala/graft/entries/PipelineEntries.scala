@@ -200,14 +200,8 @@ object PipelineEntries {
     // PII in a third of the docs (same construction in the oracle) —
     // otherwise the hash-match would be trivially all-zeros
     "docs_pii" -> ((s, dir) =>
-      TextOps.piiScan(
-        rp(s, dir, "documents").withColumn("text",
-          when(col("doc_id") % 3 === 0, concat(col("text"),
-            lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
-            format_string("%03d", col("doc_id") % 1000),
-            lit("-9876 at 10.0.0."), col("doc_id") % 256))
-            .otherwise(col("text"))),
-        "doc_id", "text")
+      TextOps.piiScan(EntryUtil.piiFixture(rp(s, dir, "documents")),
+          "doc_id", "text")
         .orderBy("id")),
 
     // ---- multimodal (real ImageIO decode; synthetic corpus bytes are not
@@ -670,14 +664,8 @@ object PipelineEntries {
       val flag = TextOps.PiiPatterns.map { case (name, _) => s"n_$name > 0" }
         .mkString(" OR ")
       s"""SELECT id, n_emails, n_phones, n_ips, ($flag) AS has_pii
-          FROM (SELECT doc_id AS id, $counts FROM (
-            SELECT doc_id,
-              CASE WHEN doc_id % 3 = 0 THEN
-                text || ' contact u' || doc_id || '@example.com or 555-' ||
-                format('{:03d}', doc_id % 1000) || '-9876 at 10.0.0.' ||
-                (doc_id % 256)
-              ELSE text END AS text
-            FROM documents))
+          FROM (SELECT doc_id AS id, $counts
+                FROM (${EntryUtil.piiFixtureSql}))
           ORDER BY id"""
     },
 

@@ -72,14 +72,7 @@ object Round6Entries {
     // audit count and the md5 of the redacted text itself (the patterns
     // are the RE2∩Java-identical set, so the rewritten bytes agree)
     "docs_pii_redact" -> ((s, dir) =>
-      TextOps.piiRedact(
-          docs(s, dir).withColumn("text",
-            when(col("doc_id") % 3 === 0, concat(col("text"),
-              lit(" contact u"), col("doc_id"), lit("@example.com or 555-"),
-              format_string("%03d", col("doc_id") % 1000),
-              lit("-9876 at 10.0.0."), col("doc_id") % 256))
-              .otherwise(col("text"))),
-          "doc_id", "text")
+      TextOps.piiRedact(EntryUtil.piiFixture(docs(s, dir)), "doc_id", "text")
         .select(col("id"), col("n_redacted"),
           md5(col("text_redacted")).as("redacted_hash"))
         .orderBy("id")),
@@ -421,14 +414,7 @@ object Round6Entries {
       }
       s"""SELECT doc_id AS id, $counts AS n_redacted,
             md5($redacted) AS redacted_hash
-          FROM (
-            SELECT doc_id,
-              CASE WHEN doc_id % 3 = 0 THEN
-                text || ' contact u' || doc_id || '@example.com or 555-' ||
-                format('{:03d}', doc_id % 1000) || '-9876 at 10.0.0.' ||
-                (doc_id % 256)
-              ELSE text END AS text
-            FROM documents)
+          FROM (${EntryUtil.piiFixtureSql})
           ORDER BY id"""
     },
 
