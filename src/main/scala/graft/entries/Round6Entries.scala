@@ -155,7 +155,10 @@ object Round6Entries {
           .map(r => (r.getLong(0), 86400000000000L + r.getLong(0) * 1000000000L,
             r.getString(1), r.getString(2))).toSeq
         val feed = batch ++ batch.take(50)
-        val horizon = s"${batch.map(_._1).max + 3600} seconds"
+        // foldLeft max: an empty batch must degrade to an empty result,
+        // not throw on Seq.max
+        val horizon =
+          s"${batch.map(_._1).foldLeft(0L)(math.max) + 3600} seconds"
         EntryUtil.runStreamEntry(s, "stream_incr_dedup_sink", feed, chunks = 3,
           cols = Seq("doc_id", "ts", "source", "text"),
           mkStream = graft.streaming.TsdbStream.incrementalDedup(
@@ -189,7 +192,7 @@ object Round6Entries {
            FROM documents bt JOIN documents ct ON md5(bt.text) = md5(ct.text)
            WHERE bt.doc_id % $BatchMod = 0 AND ct.doc_id % $BatchMod <> 0
            GROUP BY bt.doc_id),
-         shh AS (SELECT doc_id, ${h60("g")} AS h FROM sh),
+         shh AS (SELECT DISTINCT doc_id, ${h60("g")} AS h FROM sh),
          shb AS (SELECT doc_id, h % $M AS hb FROM shh),
          mh AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),
          bands AS (
@@ -200,10 +203,11 @@ object Round6Entries {
            FROM bands x JOIN bands y
              ON x.band = y.band AND x.band_key = y.band_key
            WHERE x.doc_id % $BatchMod = 0 AND y.doc_id % $BatchMod <> 0),
-         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         -- verify joins in HASH space like the Spark plan (Dedup
-         -- intersects on hash60), so a 60-bit collision is symmetric
-         -- across engines instead of inflating only the Spark count
+         -- sizes AND intersections over DISTINCT hashes (shh), exactly
+         -- the engine's set-Jaccard arithmetic: a 60-bit collision then
+         -- shrinks the union and dedupes the intersection identically
+         -- in both engines instead of inflating only one side
+         sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          ver AS (
            SELECT bid, cid, count(*) AS c
            FROM cand JOIN shh sa ON sa.doc_id = bid
@@ -443,7 +447,8 @@ object Round6Entries {
                 THEN CAST(round(nll_micro / CAST(n_grams AS DOUBLE)) AS BIGINT)
                      / 1000000.0
            END AS avg_nll,
-           coalesce(nll_micro, 0) <= 4130000 * coalesce(n_grams, 0) AS selected
+           coalesce(n_grams, 0) > 0 AND
+             coalesce(nll_micro, 0) <= 4130000 * coalesce(n_grams, 0) AS selected
          FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          ORDER BY id""",
 

@@ -450,7 +450,10 @@ object TextOps {
       .withColumn("avg_nll", when(col("n_grams") > 0,
         round(col("nll_micro") / col("n_grams").cast("double")).cast("long")
           / lit(1e6)))
-      .withColumn("selected",
+      // gramless documents (fewer than k tokens) are NOT selected: the
+      // filter exists to cut uninformative docs, and 0 <= 0 would give
+      // exactly those a free pass
+      .withColumn("selected", col("n_grams") > 0 &&
         col("nll_micro") <= lit(maxAvgNllMicro) * col("n_grams"))
   }
 
@@ -530,10 +533,14 @@ object TextOps {
     val toks = df.select(col(idCol).as("id"), split(col(textCol), " ").as("__t"))
       .select(col("id"), size(col("__t")).cast("long").as("dl"),
         explode(col("__t")).as("term"))
-    val tf = toks
+    // scope-cached: tf feeds both dfreq and the scoring join — column
+    // pruning specializes the two aggregate consumers, so without the
+    // cache the corpus-wide token explode would run twice (the
+    // minhashPairs trap this file documents)
+    val tf = Dedup.scopedCache(toks
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy(col("id"), col("term"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
@@ -611,7 +618,11 @@ object TextOps {
             concat(call_function("substring", acc, lit(1),
               length(acc) - lit(pa.length + 1)), lit(s" $merged")))
             .otherwise(concat(acc, lit(" "), x)))
-        vocab = vocab.withColumn("st", ltrim(folded))
+        // truncate the lineage: without this, round r's argmax (and the
+        // final tokenize) re-executes all r prior folds — O(rounds²)
+        // passes and an ever-deeper nested plan (same device as the
+        // connected-components rounds)
+        vocab = vocab.withColumn("st", ltrim(folded)).localCheckpoint(true)
       }
       r += 1
     }

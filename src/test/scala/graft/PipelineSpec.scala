@@ -711,8 +711,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._4.get < out(100L)._4.get,
       "repeated common bigrams must be more probable than unique ones")
     assert(out(1L) === out(8L).copy(_1 = 1L), "identical docs score identically")
-    assert(out(50L) === ((50L, 0L, 0L, None, true)),
-      "no grams: zero sums, null avg, trivially under threshold")
+    assert(out(50L) === ((50L, 0L, 0L, None, false)),
+      "no grams: zero sums, null avg, NOT selected (unscorable)")
   }
 
   test("bpe: weighted-frequency merges, greedy adjacent merging, empty docs kept") {
