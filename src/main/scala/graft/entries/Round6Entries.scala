@@ -67,6 +67,15 @@ object Round6Entries {
           Bm25Queries, k1 = Bm25K1, b = Bm25B, k = 5)
         .orderBy("query_id", "rank")),
 
+    // containment (|A∩B|/|A|, ordered): the snippet-inside-aggregator
+    // duplication symmetric Jaccard misses when the containing side is
+    // much larger; same capped posting-list shape as docs_jaccard_pairs
+    "docs_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", k = 3,
+          threshold = 0.8, maxShingleFreq = Some(20))
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("id_a", "id_b")),
+
     // detect -> REDACT: the same synthetic PII fixture as docs_pii, each
     // match replaced by its typed placeholder; the entry compares the
     // audit count and the md5 of the redacted text itself (the patterns
@@ -407,6 +416,25 @@ object Round6Entries {
     "docs_incremental_dedup" -> incrementalDedupSql,
 
     "docs_bpe_tokens" -> bpeOracle(rounds = 6),
+
+    // docs_jaccard_pairs' CTE chain with ordered pairs and the |A∩B|/|A|
+    // denominator (identical shingling, cap and rounding)
+    "docs_containment_pairs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           sh AS (SELECT DISTINCT doc_id, ${spanExpr(3)} AS g
+                  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+           shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
+                   WHERE df <= 20),
+           inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+             FROM shp a JOIN shp b USING (g) WHERE a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+         SELECT id_a, id_b, round(c * 1.0 / sa.n, 6) AS containment
+         FROM inter JOIN sz sa ON sa.doc_id = id_a
+         WHERE c * 1.0 / sa.n >= 0.8
+         ORDER BY id_a, id_b""",
 
     "docs_pii_redact" -> {
       val counts = TextOps.PiiPatterns

@@ -131,6 +131,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Containment pairs — |A∩B| / |A| per ORDERED pair (a, b), kept when
+    * it clears `threshold`: detects a document CONTAINED in another
+    * (quotes, snippets, a page embedded in a crawl of its aggregator),
+    * which symmetric Jaccard misses whenever the containing document is
+    * much larger (J = |A|/|B| stays small while containment is ~1).
+    * The asymmetric counterpart of [[jaccardPairs]] — Broder 1997's
+    * second resemblance measure. Output: (id_a, id_b, containment)
+    * with id_a the contained side; both directions of a pair can
+    * qualify (near-identical docs contain each other).
+    *
+    * Same scale shape as [[jaccardPairs]]: posting-list arrays with the
+    * hot-shingle cap, in-row candidate expansion, intersection counts
+    * from one partial-aggregatable groupBy, map-side sizes. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double,
+      maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
+    val grouped = shingleHashes(df, idCol, textCol, k)
+      .groupBy("h").agg(collect_list(col("id")).as("ids"))
+    val pruned = maxShingleFreq match {
+      case None => grouped
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
+    }
+    val inter = pruned
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") =!= col("id_b")) // ordered: both directions kept
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"))
+    val sizes = df.select(col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("n"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed("id", "id_a"), "id_a")
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") / col("na")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Modulus of the MinHash permutation family: the Mersenne prime 2³¹−1.
     * Affine products stay < 2⁶² so the identical BIGINT arithmetic runs in
     * both Spark and the DuckDB oracle without overflow. */

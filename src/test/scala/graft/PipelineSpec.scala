@@ -102,6 +102,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("containment finds the snippet-in-aggregator pair Jaccard misses") {
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d2 = Seq((1L, big), (2L, small),
+      (3L, "entirely unrelated words in this one here")).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(d2, "doc_id", "text", k = 3, threshold = 0.8)
+      .count()
+    assert(jac === 0, "Jaccard can't see the asymmetric overlap")
+    val cont = Dedup.containmentPairs(d2, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    // ordered: only the CONTAINED side (2: all 10 of its shingles appear
+    // in 1's 28) clears the bar; the containing side scores 10/28
+    assert(cont === Seq((2L, 1L, 1.0)))
+  }
+
   test("simhash of identical docs is identical, near docs are close") {
     val h = Dedup.simhash(docs, "doc_id", "text").orderBy("id")
       .select("simhash").as[Long].collect()

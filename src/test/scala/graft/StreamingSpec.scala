@@ -293,6 +293,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("incrementalDedup: beyond-horizon repeats ARE re-admitted (bounded state)") {
+    // the documented trade: dedup state evicts at the watermark horizon,
+    // which is what lets the stream run forever — a repeat arriving
+    // after its original's hash has expired is treated as new. Entries
+    // must size the horizon past their feed span for oracle equivalence;
+    // this pins the boundary the entry comment relies on.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val out = TsdbStream.incrementalDedup(
+      in.toDF().toDF("doc_id", "ts", "text"),
+      Seq.empty[String].toDF("t").select(md5($"t").as("text_hash")),
+      "text", "ts", lateness = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("incr_dedup_hz")
+      .outputMode("append").start()
+    try {
+      val s = 1000000000L
+      in.addData((1L, 100 * s, "repeated text"))
+      q.processAllAvailable()
+      in.addData((2L, 200 * s, "advance the watermark far past 110s"))
+      q.processAllAvailable() // watermark ~190s > 100s + 10s: hash 1 evicted
+      in.addData((3L, 201 * s, "repeated text"))
+      q.processAllAvailable()
+      val ids = spark.table("incr_dedup_hz").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 3L),
+        "doc 3's hash expired with doc 1's state — re-admitted by design")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
