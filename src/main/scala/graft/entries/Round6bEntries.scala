@@ -1,0 +1,216 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryUtil.QueryFn
+import graft.pipeline.TextOps
+
+/** Round-6 continuation entries: the mixture-design / corpus-hygiene
+  * operators a training-data owner runs between dedup and export —
+  * Gopher rule gates (hard boolean filters), temperature mixture
+  * reweighting (the sampling recipe), vocabulary OOV coverage,
+  * deterministic shard shuffle (training order), and segment-level
+  * corpus dedup (the RefinedWeb line-dedup rule as an EDIT, not a
+  * score). All DuckDB-oracle-checked with identical arithmetic.
+  */
+object Round6bEntries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    EntryUtil.repartitioned(s, dir, "documents")
+
+  // mixture target for the temperature entry: fixed across sf so the
+  // rate genuinely saturates (small strata hit rate = 1) at sf0.001 and
+  // genuinely subsamples at sf0.1
+  private val MixtureTargetTokens = 20000L
+  private val OovVocabSize = 32
+  private val ShuffleShards = 8
+  private val SegTokens = 10
+
+  val queries: Map[String, QueryFn] = Map(
+    // hard boolean quality gates (Gopher rule set): each rule is a flag
+    // column, keep = conjunction — the audit-friendly filter stage that
+    // runs before any model scoring; one codegen'd projection
+    "docs_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir), "doc_id", "text",
+          minWords = 50, maxWords = 100000, minStop = 2)
+        .orderBy("id")),
+
+    // temperature-scaled (α = 0.5) mixture recipe: per-source token
+    // counts → √-scaled weights → sampling rates; the table
+    // stratifiedSample consumes — derivation and application as two
+    // separately-oracled operators
+    "docs_mixture_temperature" -> ((s, dir) =>
+      TextOps.temperatureMixture(docs(s, dir), "source", "text",
+          targetTokens = MixtureTargetTokens)
+        .orderBy("stratum")),
+
+    // vocabulary coverage: top-32 word vocab by (count desc, word asc),
+    // per-doc OOV fraction via a broadcast membership join; the vocab
+    // cut plans as TakeOrderedAndProject (per-task heap, no full sort)
+    "docs_oov_rate" -> ((s, dir) =>
+      TextOps.oovRate(docs(s, dir), "doc_id", "text",
+          vocabSize = OovVocabSize)
+        .orderBy("id")),
+
+    // deterministic training-order shuffle: shard = salted content hash
+    // mod 8, seq = hash rank within the shard (per-shard windows — the
+    // sort is 8 independent shard sorts, never global)
+    "docs_shard_shuffle" -> ((s, dir) =>
+      TextOps.shardShuffle(docs(s, dir), "doc_id", "text",
+          nShards = ShuffleShards)
+        .orderBy("id")),
+
+    // segment-level corpus dedup: 10-token segments occurring in >= 2
+    // DISTINCT docs are REMOVED everywhere and the survivors reassembled
+    // — the md5 of the cleaned text itself is oracle-compared, so the
+    // edit (not just the count) is hash-locked
+    "docs_segment_dedup" -> ((s, dir) =>
+      TextOps.segmentDedup(docs(s, dir), "doc_id", "text",
+          segTokens = SegTokens, minDocs = 2)
+        .orderBy("id")),
+
+    // stream-static as-of join executed as a REAL streaming query: click
+    // samples stream in ts-ordered micro-batches and each picks up its
+    // user's latest view value at-or-before its own ts from the cached
+    // static asofIndex — statelessly (broadcast index probe, no
+    // watermark, no store). Both sides µs-truncated so the <= compare
+    // is the one DuckDB's native ASOF evaluates.
+    "stream_asof_join" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val idx = graft.streaming.TsdbStream.asofIndex(
+        EntryUtil.rawEvents(s, dir)
+          .where(col("event_type") === "view")
+          .select(concat(lit("u"), col("user_id").cast("string")).as("name"),
+            (col("ts") - pmod(col("ts"), lit(1000L))).as("ts"),
+            col("value").cast("double").as("value"))).cache()
+      try {
+        val clicks = EntryUtil.eventRows(s, dir, "click", "u")
+          .map { case (n, ts, v) => (n, ts - ts % 1000L, v) }
+        EntryUtil.runStreamEntry(s, "stream_asof_sink", clicks, chunks = 4,
+          cols = Seq("name", "ts", "value"),
+          mkStream = graft.streaming.TsdbStream.asofStatic(_, idx,
+            toleranceNs = None, asCol = "view_asof"))
+          .select(col("name"), expr("ts div 1000").as("ts_us"),
+            round(col("value"), 6).as("click"),
+            round(col("view_asof"), 6).as("view_asof"))
+          .orderBy("name", "ts_us", "click")
+      } finally idx.unpersist(false)
+    })
+  )
+
+  private def h60(s: String): String = EntryUtil.h60Sql(s)
+
+  private val stopList =
+    TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    // flags computed from the ROUNDED signal columns in both engines, so
+    // the threshold compare can never split on a sub-6dp difference
+    "docs_gopher_rules" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                     FROM documents),
+           s AS (SELECT doc_id,
+               len(ws) AS n_words,
+               round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+                 / len(ws), 6) AS mean_word_len,
+               round(len(regexp_extract_all(text, '#|[.][.][.]')) * 1.0
+                 / len(ws), 6) AS symbol_ratio,
+               round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                 * 1.0 / len(ws), 6) AS alpha_frac,
+               len(list_filter([$stopList], x -> list_contains(ws, x)))
+                 AS n_stop
+             FROM w)
+         SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio,
+           alpha_frac, n_stop,
+           n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS flag_mean_len,
+           symbol_ratio <= 0.1 AS flag_symbol,
+           alpha_frac >= 0.8 AS flag_alpha,
+           n_stop >= 2 AS flag_stop,
+           n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+             AND n_stop >= 2 AS keep
+         FROM s ORDER BY id""",
+
+    // same operand order as the engine: (sqrt(c)/z) * T / c, rate
+    // rounded BEFORE the expected-token product in both engines
+    "docs_mixture_temperature" ->
+      s"""WITH c AS (SELECT source AS stratum, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+           z AS (SELECT sum(sqrt(n_tokens)) AS z FROM c)
+         SELECT stratum, n_docs, n_tokens,
+           round(sqrt(n_tokens) / z, 6) AS weight,
+           round(least(1.0, sqrt(n_tokens) / z * $MixtureTargetTokens
+             / n_tokens), 6) AS rate,
+           CAST(round(round(least(1.0, sqrt(n_tokens) / z
+               * $MixtureTargetTokens / n_tokens), 6) * n_tokens, 0)
+             AS BIGINT) AS expected_tokens
+         FROM c, z ORDER BY stratum""",
+
+    "docs_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, u.w AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents), UNNEST(ws) AS u(w)),
+           vc AS (SELECT word, count(*) AS c FROM toks
+                  WHERE len(word) > 0 GROUP BY word),
+           vocab AS (SELECT word FROM vc ORDER BY c DESC, word
+                     LIMIT $OovVocabSize)
+         SELECT t.doc_id AS id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS oov_rate
+         FROM toks t LEFT JOIN vocab v ON t.word = v.word
+         GROUP BY t.doc_id ORDER BY id""",
+
+    "docs_shard_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+               ${h60("text || '#' || doc_id")} AS hh
+             FROM documents)
+         SELECT doc_id AS id, CAST(hh % $ShuffleShards AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % $ShuffleShards
+             ORDER BY hh, doc_id) AS INT) AS seq
+         FROM h ORDER BY id""",
+
+    // string_agg skips the CASE's NULLs exactly as collect_list skips
+    // them; coalesce('') matches array_join over an empty survivor set
+    "docs_segment_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+           segs AS (SELECT doc_id, i AS pos,
+               array_to_string(ws[i*$SegTokens+1 : i*$SegTokens+$SegTokens],
+                 ' ') AS seg
+             FROM w, UNNEST(generate_series(0,
+               CAST(floor((len(ws) + $SegTokens - 1) / $SegTokens.0)
+                 AS BIGINT) - 1)) AS t(i)),
+           sh AS (SELECT doc_id, pos, seg, ${h60("seg")} AS h FROM segs),
+           dup AS (SELECT h FROM (
+               SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h)
+             WHERE nd >= 2)
+         SELECT sh.doc_id AS id,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN d.h IS NULL THEN sh.seg END,
+             ' ' ORDER BY sh.pos), '')) AS clean_hash
+         FROM sh LEFT JOIN dup d ON sh.h = d.h
+         GROUP BY sh.doc_id ORDER BY id""",
+
+    // DuckDB's native ASOF LEFT JOIN is the semantic ground truth the
+    // streaming probe must reproduce row-for-row
+    "stream_asof_join" ->
+      """SELECT 'u' || CAST(l.user_id AS VARCHAR) AS name,
+           epoch_us(l.ts) AS ts_us,
+           round(l.value, 6) AS click, round(r.value, 6) AS view_asof
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+           (SELECT user_id, ts, value FROM events
+            WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY name, ts_us, click""")
+}

@@ -684,4 +684,175 @@ object TextOps {
     df.select(col(idCol).as("id") +: counts: _*)
       .withColumn("has_pii", flag)
   }
+
+  /** The Gopher rule-set stopword list (Rae et al. 2021 §A1.1 uses 8
+    * English function words; this corpus's function-word set) — a doc
+    * must contain at least [[gopherRules]]' `minStop` DISTINCT members. */
+  val GopherStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Gopher-style heuristic quality GATES (Rae et al. 2021, Appendix A):
+    * unlike [[quality]]'s soft score, each signal is a hard boolean rule
+    * and `keep` is their conjunction — the filter stage real corpora run
+    * before any model-based scoring. Signals: word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol-to-word
+    * ratio ('#' or '...') <= 0.1, fraction of words containing an
+    * alphabetic character >= 0.8, >= `minStop` distinct stopwords.
+    *
+    * One codegen'd projection per document — no shuffle at any corpus
+    * size; flags ride along so a rejected doc carries WHY it failed
+    * (the audit column downstream debugging needs). */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStop: Int = 2): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words)
+    val meanLen = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)).cast("double") / nWords
+    val nSymbols = size(regexp_extract_all(col(textCol),
+      lit("#|[.][.][.]"), lit(0)))
+    val alphaFrac = size(filter(words,
+      w => w.rlike("[a-zA-Z]"))).cast("double") / nWords
+    val nStop = size(array_intersect(array_distinct(words),
+      array(GopherStopwords.map(lit): _*)))
+    df.select(col(idCol).as("id"),
+        nWords.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"),
+        round(nSymbols.cast("double") / nWords, 6).as("symbol_ratio"),
+        round(alphaFrac, 6).as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("flag_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_mean_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("flag_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("flag_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("flag_stop", col("n_stop") >= minStop)
+      .withColumn("keep",
+        col("flag_word_count") && col("flag_mean_len") &&
+          col("flag_symbol") && col("flag_alpha") && col("flag_stop"))
+  }
+
+  /** Temperature-scaled mixture reweighting (the multilingual-sampling
+    * rule of Conneau/Lample 2019 §3.1 at α = 0.5): a stratum with cᵢ
+    * tokens gets weight wᵢ = √cᵢ / Σⱼ√cⱼ — up-weighting small strata
+    * relative to proportional sampling — and sampling rate
+    * min(1, targetTokens·wᵢ/cᵢ). The output table is the per-stratum
+    * recipe [[stratifiedSample]] consumes as its `rates` map: this
+    * operator DERIVES the mixture, that one applies it.
+    *
+    * Plan shape: one partial-aggregatable groupBy to stratum token
+    * counts (strata-sized, tiny), then a broadcast 1-row normalizer —
+    * the corpus is scanned exactly once. √ (not pow) keeps the
+    * arithmetic bit-identical across engines. */
+  def temperatureMixture(df: DataFrame, stratumCol: String, textCol: String,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
+    val norm = counts.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    val weight = sqrt(col("n_tokens")) / col("z")
+    val rate = least(lit(1.0), weight * targetTokens / col("n_tokens"))
+    counts.crossJoin(broadcast(norm))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(weight, 6).as("weight"),
+        round(rate, 6).as("rate"),
+        round(round(rate, 6) * col("n_tokens"), 0).cast("long")
+          .as("expected_tokens"))
+  }
+
+  /** Vocabulary coverage / OOV rate: learn the top-`vocabSize` word
+    * vocabulary (count desc, word asc — the deterministic cut) and score
+    * each document's fraction of tokens outside it. The readout that
+    * tells a tokenizer owner how much of a candidate corpus their vocab
+    * actually covers.
+    *
+    * Scale shape: the vocabulary cut is TakeOrderedAndProject (per-task
+    * top-V heap over the word counts, never a full sort) and the
+    * per-token membership test is a broadcast join — the corpus side
+    * carries one extra boolean per token, no shuffle beyond the
+    * vocabulary-sized word count. */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(true).as("in_vocab"))
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Deterministic global shuffle for training order: each document goes
+    * to shard hash(text#id) mod `nShards` at position = its hash rank
+    * within the shard. Salting the content hash with the id keeps
+    * byte-identical duplicates apart (a pure content hash would pin them
+    * to adjacent positions of one shard — the clumping a shuffle exists
+    * to destroy); the order is reproducible run-to-run with no stored
+    * permutation table.
+    *
+    * Scale shape: the rank is a window PER SHARD — thousands of
+    * independent shard sorts, never a global one; a training job reads
+    * shards in parallel and each is internally hash-ordered. */
+  def shardShuffle(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val h = Dedup.hash60(concat(col(textCol), lit("#"),
+      col(idCol).cast("string")))
+    df.select(col(idCol).as("id"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("seq", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__h"), col("id"))))
+      .select(col("id"), col("shard"), col("seq"))
+  }
+
+  /** Segment-level corpus dedup (the RefinedWeb/FineWeb line-dedup rule
+    * in fixed-width form — this corpus has no newlines, so a "line" is a
+    * `segTokens`-token segment): any segment whose exact text occurs in
+    * >= `minDocs` DISTINCT documents is removed from every document, and
+    * the survivors are reassembled in order. Unlike [[substringSpans]]
+    * (which only scores span duplication), this op performs the edit —
+    * the output carries the cleaned text and its hash. Within-doc
+    * repeats alone do not trigger removal (that is [[repetition]]'s
+    * signal): the rule targets cross-document boilerplate.
+    *
+    * Scale shape: segments collapse to a (hash → distinct-doc count)
+    * table (two partial-aggregatable groupBys keyed by the hash), the
+    * removal join is keyed on the column both sides are aggregated by,
+    * and reassembly is a doc-keyed sort_array over each doc's own
+    * segments — bounded by document length, no cross-doc shuffle. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(segTokens > 0 && minDocs >= 2,
+      "need segTokens > 0 and minDocs >= 2")
+    val ws = split(col(textCol), " ")
+    val k = lit(segTokens)
+    val segs = df.select(col(idCol).as("id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(ws) + segTokens - 1) / k).cast("int") - 1),
+        i => array_join(slice(ws, i * k + 1, k), " "))).as(Seq("pos", "seg")))
+      .withColumn("h", Dedup.hash60(col("seg")))
+    val dup = segs.select("h", "id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("h"), lit(true).as("dup"))
+    segs.join(dup, Seq("h"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), " ").as("text_clean"))
+      .select(col("id"), col("n_segments"), col("n_removed"),
+        md5(col("text_clean")).as("clean_hash"))
+  }
 }

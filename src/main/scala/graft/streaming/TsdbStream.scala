@@ -198,6 +198,47 @@ object TsdbStream {
         col("l_value"), col("r_value"))
   }
 
+  /** Per-series as-of probe index over a STATIC right side: each series'
+    * (ts, value) rows as ts-sorted parallel arrays. Built once at index
+    * time (one partial-aggregatable groupBy) and broadcast to every
+    * micro-batch by [[asofStatic]] — the array form is what makes the
+    * probe an in-row expression instead of a join fan-out. */
+  def asofIndex(right: DataFrame): DataFrame =
+    right.groupBy(col("name").as("__r_name"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value"))))
+        .as("__arr"))
+      .select(col("__r_name"),
+        transform(col("__arr"), s => s.getField("ts")).as("__r_ts"),
+        transform(col("__arr"), s => s.getField("value")).as("__r_val"))
+
+  /** Stream-static as-of join: each streamed left sample picks up the
+    * latest right value of its series at or before its own timestamp
+    * (within `toleranceNs` if set) from an [[asofIndex]] — STATELESSLY.
+    * The index broadcasts and the match is an in-row ordinal probe
+    * (count of index timestamps <= sample ts), so a micro-batch costs
+    * one broadcast-hash-join probe per row and the stream carries no
+    * state at all — the same probe-a-static-index shape as
+    * [[incrementalDedup]]'s hash index. Sized for a bounded right side
+    * (a reference feed / dimension history); when the static side is
+    * itself corpus-scale, run the batch [[graft.ops.TimeJoins.asof]]
+    * per micro-batch via foreachBatch instead. */
+  def asofStatic(left: DataFrame, rightIndex: DataFrame,
+      toleranceNs: Option[Long] = None,
+      asCol: String = "r_value"): DataFrame = {
+    val i = size(filter(col("__r_ts"), t => t <= col("ts")))
+    val matchTs = element_at(col("__r_ts"), col("__i"))
+    val tolOk = toleranceNs match {
+      case Some(tol) => col("ts") - matchTs <= tol
+      case None => lit(true)
+    }
+    left.join(broadcast(rightIndex),
+        col("name") === col("__r_name"), "left_outer")
+      .withColumn("__i", i)
+      .withColumn(asCol,
+        when(col("__i") > 0 && tolOk, element_at(col("__r_val"), col("__i"))))
+      .drop("__r_name", "__r_ts", "__r_val", "__i")
+  }
+
   case class EwmaRow(name: String, ts: Long, value: Double)
   case class EwmaOut(name: String, ts: Long, value: Double, ewma: Double)
   case class EwmaSt(v: Double, n: Long)

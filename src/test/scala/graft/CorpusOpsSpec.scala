@@ -1,0 +1,176 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextOps
+
+/** Mixture-design / corpus-hygiene operators added in the round-6
+  * continuation: Gopher rule gates, temperature mixture reweighting,
+  * OOV coverage, shard shuffle, segment-level corpus dedup. */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- gopher rules --------------------------------------------------------
+
+  test("gopherRules: each gate fails for exactly its designed violation") {
+    val df = Seq(
+      (1L, "the quick cat sat beside a warm mat in the bright sun today"), // passes all
+      (2L, "too short"),                                        // word count
+      (3L, "the extraordinarily magnificent incomprehensibilities " +
+        "of the antidisestablishmentarian bureaucratical " +
+        "internationalization proliferate in a"),               // mean len > 10
+      (4L, "the # fish # in # a # net # # # of # # #"),         // symbol ratio
+      (5L, "cats chase mice dogs chase cats birds fly high up")) // no stopwords
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text",
+        minWords = 10, maxWords = 100, minStop = 2)
+      .orderBy("id")
+      .select("id", "flag_word_count", "flag_mean_len", "flag_symbol",
+        "flag_alpha", "flag_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(out(0) === ((1L, true, true, true, true, true, true)))
+    assert(out(1)._2 === false && out(1)._7 === false) // word count gate
+    assert(out(2)._3 === false && out(2)._7 === false) // mean length gate
+    assert(out(3)._4 === false && out(3)._7 === false) // symbol gate
+    // the symbol doc also fails alpha (its '#' words have no letters)
+    assert(out(3)._5 === false)
+    assert(out(4)._6 === false && out(4)._7 === false) // stopword gate
+  }
+
+  test("gopherRules signals: mean length, symbol ratio, stop count") {
+    val df = Seq((1L, "aa bbbb # ... the a")).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_words") === 6)
+    // lens 2,4,1,3,3,1 = 14/6
+    assert(r.getAs[Double]("mean_word_len") === math.rint(14.0 / 6 * 1e6) / 1e6)
+    assert(r.getAs[Double]("symbol_ratio") ===
+      math.rint(2.0 / 6 * 1e6) / 1e6)
+    assert(r.getAs[Double]("alpha_frac") === math.rint(4.0 / 6 * 1e6) / 1e6)
+    assert(r.getAs[Int]("n_stop") === 2) // "the", "a"
+  }
+
+  // ---- temperature mixture -------------------------------------------------
+
+  test("temperatureMixture: sqrt weights, saturating rates, recipe rows") {
+    // strata with 100 and 400 tokens: weights 1/3 and 2/3 at alpha=0.5
+    val doc100 = Seq.fill(100)("w").mkString(" ")
+    val doc400 = Seq.fill(400)("w").mkString(" ")
+    val df = Seq(("a", doc100), ("b", doc400)).toDF("source", "text")
+    val out = TextOps.temperatureMixture(df, "source", "text",
+        targetTokens = 300L)
+      .orderBy("stratum")
+      .select("stratum", "n_docs", "n_tokens", "weight", "rate",
+        "expected_tokens")
+      .as[(String, Long, Long, Double, Double, Long)].collect()
+    assert(out(0) === (("a", 1L, 100L, 0.333333, 1.0, 100L)))
+    assert(out(1) === (("b", 1L, 400L, 0.666667, 0.5, 200L)))
+  }
+
+  test("temperatureMixture up-weights small strata vs proportional") {
+    val small = Seq.fill(10)("w").mkString(" ")
+    val large = Seq.fill(1000)("w").mkString(" ")
+    val out = TextOps.temperatureMixture(
+        Seq(("s", small), ("l", large)).toDF("source", "text"),
+        "source", "text", targetTokens = 500L)
+      .select("stratum", "weight").as[(String, Double)].collect().toMap
+    // proportional would give s ~1%; sqrt-scaling gives ~9%
+    assert(out("s") > 0.08 && out("s") < 0.1)
+    assert(math.abs(out("s") + out("l") - 1.0) < 1e-5)
+  }
+
+  // ---- oov rate ------------------------------------------------------------
+
+  test("oovRate: top-V vocab by (count desc, word asc); per-doc fraction") {
+    val df = Seq(
+      (1L, "a a a b b c"), // a:3 b:2 c:1 corpus-wide with doc 2
+      (2L, "a b c d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}
+    val out = TextOps.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").select("id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 6L, 1L, 0.166667)))
+    assert(out(1) === ((2L, 4L, 2L, 0.5)))
+  }
+
+  test("oovRate vocab tie-break is (count desc, word asc)") {
+    // b and c tie at 2; vocab(2) must be {a, b} not {a, c}
+    val df = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val out = TextOps.oovRate(df, "doc_id", "text", vocabSize = 2).head()
+    assert(out.getAs[Long]("n_oov") === 2L) // the two c's
+  }
+
+  // ---- shard shuffle -------------------------------------------------------
+
+  test("shardShuffle: deterministic, contiguous per-shard ranks, in range") {
+    val df = (0L until 64L).map(i => (i, s"doc number $i payload"))
+      .toDF("doc_id", "text")
+    val a = TextOps.shardShuffle(df, "doc_id", "text", nShards = 4)
+      .orderBy("id").as[(Long, Int, Int)].collect()
+    val b = TextOps.shardShuffle(df, "doc_id", "text", nShards = 4)
+      .orderBy("id").as[(Long, Int, Int)].collect()
+    assert(a.toSeq === b.toSeq) // reproducible
+    assert(a.forall { case (_, sh, _) => sh >= 0 && sh < 4 })
+    // ranks within each shard are exactly 1..size(shard)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    assert(a.map(r => (r._2, r._3)).distinct.length === 64) // (shard, seq) unique
+  }
+
+  test("shardShuffle separates byte-identical duplicates via the id salt") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "same text")).toDF("doc_id", "text")
+    val out = TextOps.shardShuffle(df, "doc_id", "text", nShards = 2)
+      .select("shard", "seq").as[(Int, Int)].collect()
+    // a pure content hash would give all four the same shard AND adjacent
+    // ranks; the salt must spread them over >1 (shard, seq) neighborhood
+    assert(out.distinct.length === 4)
+  }
+
+  // ---- segment dedup -------------------------------------------------------
+
+  test("segmentDedup removes cross-doc segments, keeps within-doc repeats") {
+    val df = Seq(
+      // docs 1+2 share segment "x y z"; doc 3 repeats "p q r" twice
+      // WITHIN itself only
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "p q r p q r")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(df, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .orderBy("id").select("id", "n_segments", "n_removed", "clean_hash")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 2L, 1L, md5Hex("a b c"))))
+    assert(out(1) === ((2L, 2L, 1L, md5Hex("d e f"))))
+    // within-doc repeat: 1 doc distinct -> kept, text unchanged
+    assert(out(2) === ((3L, 2L, 0L, md5Hex("p q r p q r"))))
+  }
+
+  test("segmentDedup: fully-removed doc hashes the empty string") {
+    val df = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(df, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .orderBy("id").select("n_removed", "clean_hash")
+      .as[(Long, String)].collect()
+    assert(out.forall(_ === ((1L, md5Hex("")))))
+  }
+
+  test("segmentDedup: ragged tail segment participates like any other") {
+    // 4 tokens at segTokens=3: segments "a b c" and "d"; the 1-token
+    // tail "d" is shared across both docs and must be removed
+    val df = Seq((1L, "a b c d"), (2L, "e f g d")).toDF("doc_id", "text")
+    val out = TextOps.segmentDedup(df, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .orderBy("id").select("id", "n_segments", "n_removed", "clean_hash")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 2L, 1L, md5Hex("a b c"))))
+    assert(out(1) === ((2L, 2L, 1L, md5Hex("e f g"))))
+  }
+}

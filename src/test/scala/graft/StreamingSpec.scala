@@ -173,6 +173,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static asof probes the broadcast index statelessly across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = 1000000000L
+    val idx = TsdbStream.asofIndex(Seq(
+      ("a", 10L * s, 1.0), ("a", 20L * s, 2.0), ("b", 5L * s, 9.0))
+      .toDF("name", "ts", "value"))
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.asofStatic(in.toDF().toDF("name", "ts", "value"), idx,
+        toleranceNs = Some(8L * s))
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 9L * s, 0.1)) // before any right row -> null
+      q.processAllAvailable()
+      in.addData(
+        ("a", 10L * s, 0.2), // exact-ts match (<= semantics) -> 1.0
+        ("a", 25L * s, 0.3), // latest at-or-before 25 -> 2.0, within tol
+        ("b", 20L * s, 0.4), // match is 15s stale -> tolerance nulls it
+        ("c", 7L * s, 0.5)) // series absent from the index -> null
+      q.processAllAvailable()
+      val rows = spark.table("asof_out")
+        .select(col("name"), col("ts"), col("r_value"))
+        .as[(String, Long, Option[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+      assert(rows === Seq(
+        ("a", 9L * s, None), ("a", 10L * s, Some(1.0)),
+        ("a", 25L * s, Some(2.0)), ("b", 20L * s, None),
+        ("c", 7L * s, None)))
+    } finally q.stop()
+  }
+
+  test("asofStatic equals the batch TimeJoins.asof on the same frames") {
+    val s = 1000000000L
+    val right = Seq(("a", 10L * s, 1.0), ("a", 20L * s, 2.0),
+      ("b", 5L * s, 9.0)).toDF("name", "ts", "value")
+    val left = Seq(("a", 9L * s, 0.1), ("a", 10L * s, 0.2),
+      ("a", 25L * s, 0.3), ("b", 20L * s, 0.4), ("c", 7L * s, 0.5))
+      .toDF("name", "ts", "value")
+    val probe = TsdbStream.asofStatic(left, TsdbStream.asofIndex(right))
+      .select("name", "ts", "value", "r_value")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq.sorted
+    val batch = graft.ops.TimeJoins.asof(left,
+        right.withColumnRenamed("value", "r_value"),
+        Seq("name"), Seq("r_value"))
+      .select("name", "ts", "value", "r_value")
+      .as[(String, Long, Double, Option[Double])].collect().toSeq.sorted
+    assert(probe === batch)
+  }
+
   test("streaming dedup drops exact (series, ts) duplicates in-horizon") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
