@@ -741,19 +741,22 @@ object TextOps {
     * operator DERIVES the mixture, that one applies it.
     *
     * Plan shape: one partial-aggregatable groupBy to stratum token
-    * counts (strata-sized, tiny), then a broadcast 1-row normalizer —
-    * the corpus is scanned exactly once. √ (not pow) keeps the
-    * arithmetic bit-identical across engines. */
+    * counts, then the normalizer as a global window over that
+    * STRATA-SIZED aggregate (thousands of rows at most — the single
+    * partition is the recipe table, not the corpus), so the corpus is
+    * scanned exactly once. √ (not pow) keeps the arithmetic
+    * bit-identical across engines. */
   def temperatureMixture(df: DataFrame, stratumCol: String, textCol: String,
       targetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(targetTokens > 0, "targetTokens must be positive")
     val counts = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCountWs(col(textCol)).cast("long")).as("n_tokens"))
-    val norm = counts.agg(sum(sqrt(col("n_tokens"))).as("z"))
+    val z = sum(sqrt(col("n_tokens"))).over(Window.partitionBy())
     val weight = sqrt(col("n_tokens")) / col("z")
     val rate = least(lit(1.0), weight * targetTokens / col("n_tokens"))
-    counts.crossJoin(broadcast(norm))
+    counts.withColumn("z", z)
       .select(col("stratum"), col("n_docs"), col("n_tokens"),
         round(weight, 6).as("weight"),
         round(rate, 6).as("rate"),
@@ -828,7 +831,11 @@ object TextOps {
     * table (two partial-aggregatable groupBys keyed by the hash), the
     * removal join is keyed on the column both sides are aggregated by,
     * and reassembly is a doc-keyed sort_array over each doc's own
-    * segments — bounded by document length, no cross-doc shuffle. */
+    * segments — bounded by document length, no cross-doc shuffle. The
+    * operator makes TWO corpus passes (hash-count, then edit) — the
+    * inherent structure of global substring dedup (Lee et al. 2022 pay
+    * the same in the suffix-array build); a deployment amortizes pass
+    * one by persisting the duplicate-hash table. */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 10, minDocs: Int = 2): DataFrame = {
     require(segTokens > 0 && minDocs >= 2,

@@ -499,4 +499,61 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
       s"expected a pushed per-query group limit:\n${out.queryExecution.executedPlan}")
   }
+
+  test("oov rate: vocab cut is a top-V heap; membership is a broadcast probe") {
+    import spark.implicits._
+    val docs = (1L to 80L).map(i => (i, (1 to 10).map(w => s"w${(i + w) % 7}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = graft.pipeline.TextOps.oovRate(docs, "doc_id", "text", vocabSize = 3)
+      .queryExecution.executedPlan.toString
+    // the vocabulary cut must never be a global sort: TakeOrderedAndProject
+    // keeps V rows per task; and the corpus meets the vocab only through a
+    // broadcast hash join (the vocab is V rows by construction)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut should plan as a top-V heap:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"membership must be a broadcast probe:\n$p")
+  }
+
+  test("temperature mixture scans the corpus exactly once") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"w$i body text", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val p = graft.pipeline.TextOps
+      .temperatureMixture(docs, "source", "text", targetTokens = 100L)
+      .queryExecution.executedPlan.toString
+    // the normalizer is a window over the STRATA-SIZED aggregate, not a
+    // second aggregation subtree over the input: one scan node only
+    assert("LocalTableScan".r.findAllIn(p).size === 1,
+      s"normalizer must not re-scan the corpus:\n$p")
+  }
+
+  test("segment dedup: hash-keyed joins only, never nested-loop or cartesian") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 12).map(w => s"w${(i * 3 + w) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = graft.pipeline.TextOps.segmentDedup(docs, "doc_id", "text",
+        segTokens = 3, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"removal join must stay hash-keyed on the segment hash:\n$p")
+  }
+
+  test("stream-static asof: one broadcast probe, probe side never shuffles") {
+    import spark.implicits._
+    val s = 1000000000L
+    val left = (1L to 50L).map(i => (s"u${i % 5}", i * s, i * 0.1))
+      .toDF("name", "ts", "value")
+    val right = (1L to 20L).map(i => (s"u${i % 5}", i * 2 * s, i * 1.0))
+      .toDF("name", "ts", "value")
+    val idx = graft.streaming.TsdbStream.asofIndex(right)
+    val p = plan(graft.streaming.TsdbStream.asofStatic(left, idx))
+    val joins = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.size === 1, s"expected exactly one broadcast probe:\n$p")
+    // the streamed (left) side must reach the probe with no exchange at
+    // all — that is what makes each micro-batch stateless and local
+    assert(joins.head.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"probe side must not shuffle:\n${joins.head.left}")
+  }
 }
