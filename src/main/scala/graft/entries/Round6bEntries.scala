@@ -26,6 +26,15 @@ object Round6bEntries {
   private val OovVocabSize = 32
   private val ShuffleShards = 8
   private val SegTokens = 10
+  // classifier hyperparameters, shared by the entry and its oracle; lr
+  // and the teacher threshold as STRINGS so both engines parse the
+  // identical double literals
+  private val ClsBuckets = 32
+  private val ClsRounds = 6
+  private val ClsLrStr = "0.2"
+  private val ClsLr = ClsLrStr.toDouble
+  private val ClsQualityThrStr = "0.31"
+  private val ClsQualityThr = ClsQualityThrStr.toDouble
 
   val queries: Map[String, QueryFn] = Map(
     // hard boolean quality gates (Gopher rule set): each rule is a flag
@@ -70,6 +79,27 @@ object Round6bEntries {
           segTokens = SegTokens, minDocs = 2)
         .orderBy("id")),
 
+    // learned quality classifier trained IN the engine: hashed
+    // bag-of-words -> mean-centering -> linear -> Elliott sigmoid, 6
+    // full-batch GD rounds distilling the heuristic quality RULE
+    // (quality >= 0.31, the corpus median — a genuine ~50/50 cut) into
+    // a parametric content model that then predicts it at ~96%.
+    // Gradients and feature means are exact integer micro-unit sums
+    // (order-independent), the link is algebraic (no exp), so the
+    // oracle replays the ENTIRE training run CTE-for-CTE and the
+    // scores hash-match bit-for-bit
+    "docs_quality_classifier" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val labels = TextOps.quality(d0, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          (col("quality") >= ClsQualityThr).cast("int").as("y"))
+      val d = d0.join(labels, "doc_id")
+      val model = TextOps.trainTextClassifier(d, "text", "y",
+        buckets = ClsBuckets, rounds = ClsRounds, lr = ClsLr)
+      TextOps.scoreTextClassifier(d, "doc_id", "text", "y", model)
+        .orderBy("id")
+    }),
+
     // stream-static as-of join executed as a REAL streaming query: click
     // samples stream in ts-ordered micro-batches and each picks up its
     // user's latest view value at-or-before its own ts from the cached
@@ -104,6 +134,74 @@ object Round6bEntries {
 
   private val stopList =
     TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** SQL replay of [[graft.pipeline.TextOps.trainTextClassifier]] +
+    * [[graft.pipeline.TextOps.scoreTextClassifier]]: the teacher label
+    * is docs_quality's exact quality expression thresholded on its
+    * rounded value; feature means are exact integer sums over exact
+    * division; one CTE block per unrolled GD round — margins as
+    * list-order zip-sums over CENTERED features (list_sum folds
+    * sequentially, matching the engine's aggregate() fold; list_zip
+    * carries xs, mu, ws in one pass), the Elliott link
+    * 0.5 + 0.5·m/(1+|m|) (algebraic, hence IEEE-identical), the
+    * per-(doc, bucket) gradient contributions quantized to BIGINT
+    * micro-units before their sums, and the weight update in the exact
+    * scalar op order the Scala loop uses. */
+  private def classifierOracle(b: Int, rounds: Int, lr: String,
+      thr: String): String = {
+    val zipSum = "list_sum(list_transform(list_zip(f.xs, u.mu, g.ws), " +
+      "z -> (z[1] - z[2]) * z[3]))"
+    val roundCtes = (0 until rounds).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT f.doc_id, f.y, f.xs, g.w0 + $zipSum AS m
+             FROM feats f CROSS JOIN mus u CROSS JOIN g$r g),
+           p$r AS MATERIALIZED (SELECT doc_id, y, xs,
+               0.5 + 0.5 * m / (1 + abs(m)) AS p FROM m$r),
+           gb$r AS MATERIALIZED (SELECT t.b,
+               sum(CAST(round((p - y) * (xs[t.b + 1] - u.mu[t.b + 1])
+                 * 1000000.0) AS BIGINT)) AS g
+             FROM p$r CROSS JOIN mus u,
+               UNNEST(generate_series(0, ${b - 1})) AS t(b)
+             GROUP BY t.b),
+           gz$r AS MATERIALIZED (SELECT sum(CAST(round((p - y) * 1000000.0) AS BIGINT))
+               AS g FROM p$r),
+           g${r + 1} AS MATERIALIZED (SELECT
+             (SELECT g.w0 - $lr * (z.g / 1000000.0) / nn.n
+              FROM g$r g, gz$r z, nn) AS w0,
+             (SELECT list(wb ORDER BY b) FROM (
+                SELECT q.b AS b,
+                  g.ws[q.b + 1] - $lr * (q.g / 1000000.0) / nn.n AS wb
+                FROM gb$r q, g$r g, nn)) AS ws)"""
+    }.mkString(",\n ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         lab AS (SELECT doc_id,
+             CASE WHEN round(least(len(ws) / 100.0, 1.0) * 0.5 +
+               (len(list_intersect(ws, ['the', 'a', 'of', 'and', 'to', 'in']))
+                * 1.0 / len(list_distinct(ws))) * 0.5, 6) >= $thr
+               THEN 1 ELSE 0 END AS y
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents)),
+         feats AS MATERIALIZED (SELECT d.doc_id, lab.y,
+             list_transform(range(0, $b), bb ->
+               CAST(len(list_filter(hs, h -> h = bb)) AS INT)) AS xs
+           FROM (SELECT doc_id,
+               list_transform(list_filter(string_split(text, ' '),
+                 w -> len(w) > 0), w -> ${h60("w")} % $b) AS hs
+             FROM documents) d JOIN lab ON lab.doc_id = d.doc_id),
+         bsum AS (SELECT t.b, CAST(sum(xs[t.b + 1]) AS BIGINT) AS s
+           FROM feats, UNNEST(generate_series(0, ${b - 1})) AS t(b)
+           GROUP BY t.b),
+         mus AS MATERIALIZED (SELECT list(s / nn.n ORDER BY b) AS mu
+           FROM bsum CROSS JOIN nn),
+         g0 AS MATERIALIZED (SELECT 0.0 AS w0,
+           list_transform(range(0, $b), bb -> 0.0) AS ws),
+         $roundCtes,
+         mf AS (SELECT f.doc_id, f.y, g.w0 + $zipSum AS m
+           FROM feats f CROSS JOIN mus u CROSS JOIN g$rounds g)
+       SELECT doc_id AS id, y AS label,
+         round(0.5 + 0.5 * m / (1 + abs(m)), 6) AS score,
+         round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5 AS pred
+       FROM mf ORDER BY id"""
+  }
 
   val oracle: Map[String, String] = Map(
     // flags computed from the ROUNDED signal columns in both engines, so
@@ -199,6 +297,9 @@ object Round6bEntries {
              ' ' ORDER BY sh.pos), '')) AS clean_hash
          FROM sh LEFT JOIN dup d ON sh.h = d.h
          GROUP BY sh.doc_id ORDER BY id""",
+
+    "docs_quality_classifier" ->
+      classifierOracle(ClsBuckets, ClsRounds, ClsLrStr, ClsQualityThrStr),
 
     // DuckDB's native ASOF LEFT JOIN is the semantic ground truth the
     // streaming probe must reproduce row-for-row

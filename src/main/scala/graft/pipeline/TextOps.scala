@@ -817,6 +817,107 @@ object TextOps {
       .select(col("id"), col("shard"), col("seq"))
   }
 
+  /** Hashed bag-of-words dense feature vector: token counts per 60-bit
+    * hash bucket — the fastText feature map (Joulin et al. 2016) in its
+    * hashed form. An in-row projection (no shuffle); O(buckets · tokens)
+    * per doc, sized for small bucket counts. */
+  def bowFeatures(textCol: Column, buckets: Int): Column = {
+    val hs = transform(filter(split(textCol, " "), w => length(w) > 0),
+      w => pmod(Dedup.hash60(w), lit(buckets.toLong)))
+    transform(sequence(lit(0), lit(buckets - 1)),
+      b => size(filter(hs, h => h === b.cast("long"))))
+  }
+
+  /** Elliott "fast sigmoid" 0.5 + 0.5·m/(1+|m|): the logistic link with
+    * ONLY +,·,/,abs — every op IEEE-identical across engines, unlike
+    * exp() whose last ulp is libm-specific. What makes the whole trainer
+    * below engine-exact instead of approximately reproducible. */
+  private def elliott(m: Column): Column =
+    lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+
+  /** A trained [[trainTextClassifier]] model: bias + per-bucket weights
+    * + the per-bucket feature MEANS the features were centered on
+    * (centering is what conditions full-batch GD on correlated count
+    * features — without it every margin moves together and the
+    * threshold direction never separates). */
+  case class TextClassifierModel(bias: Double, weights: Seq[Double],
+      means: Seq[Double])
+
+  /** Centered margin: w0 + Σ_b (x_b − μ_b)·w_b, folded in bucket order
+    * (the order the oracle's list_sum replays bit-for-bit). */
+  private def classifierMargin(xs: Column, m: TextClassifierModel): Column = {
+    val centered = zip_with(xs, array(m.means.map(lit): _*),
+      (x, mu) => x.cast("double") - mu)
+    lit(m.bias) + aggregate(
+      zip_with(centered, array(m.weights.map(lit): _*), (c, wc) => c * wc),
+      lit(0.0), (a, e) => a + e)
+  }
+
+  /** Train a linear text classifier (fastText shape: hashed
+    * bag-of-words → centering → linear → sigmoid link) by full-batch
+    * gradient descent INSIDE the engine. Determinism contract, the same
+    * idiom as [[dsirWeights]]: per-document gradient contributions
+    * quantize to integer micro-units before the cross-partition sum, so
+    * gradients are exact integer sums (aggregation-order independent)
+    * and the weight recursion — scalar double arithmetic on those
+    * integers — is bit-identical on any cluster layout and replayable
+    * CTE-for-CTE by a SQL oracle. The link is [[elliott]] and the
+    * feature means are exact integer sums over exact division, keeping
+    * every float op engine-exact.
+    *
+    * Scale shape: the mean pass and each GD round are ONE
+    * partial-aggregatable `agg` over the cached feature frame
+    * (buckets+1 integer sums — a driver-sized result, the index-build
+    * action pattern of [[Similarity.fitCodebook]]); the feature
+    * projection is in-row. Labels come from any column — the fastText
+    * quality-classifier recipe distills a teacher signal (a rule, a
+    * metadata flag) into a parametric content model.
+    *
+    * @return the model after `rounds` full-batch steps from zero init
+    *         at learning rate `lr` (per-example average gradient) */
+  def trainTextClassifier(df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int = 32, rounds: Int = 6, lr: Double = 0.2): TextClassifierModel = {
+    require(buckets > 0 && rounds >= 0, "need buckets > 0 and rounds >= 0")
+    val feats = df.select(col(labelCol).cast("int").as("y"),
+      bowFeatures(col(textCol), buckets).as("xs")).cache()
+    try {
+      val n = feats.count()
+      require(n > 0, "cannot train on an empty corpus")
+      val sums = feats.agg(
+        sum(element_at(col("xs"), 1).cast("long")).as("s0"),
+        (1 until buckets).map(b =>
+          sum(element_at(col("xs"), b + 1).cast("long")).as(s"s$b")): _*).head()
+      val mu = Vector.tabulate(buckets)(b => sums.getLong(b).toDouble / n)
+      var model = TextClassifierModel(0.0, Vector.fill(buckets)(0.0), mu)
+      for (_ <- 0 until rounds) {
+        val d = elliott(classifierMargin(col("xs"), model)) - col("y")
+        val aggs = (0 until buckets).map(b =>
+          sum(round(d * (element_at(col("xs"), b + 1).cast("double") - mu(b))
+            * 1e6).cast("long")).as(s"g$b")) :+
+          sum(round(d * 1e6).cast("long")).as("gz")
+        val row = feats.agg(aggs.head, aggs.tail: _*).head()
+        model = model.copy(
+          bias = model.bias - lr * (row.getLong(buckets) / 1e6) / n,
+          weights = Vector.tabulate(buckets)(b =>
+            model.weights(b) - lr * (row.getLong(b) / 1e6) / n))
+      }
+      model
+    } finally feats.unpersist(false)
+  }
+
+  /** Score documents under a [[trainTextClassifier]] model: per doc the
+    * (rounded) sigmoid score and the >= 0.5 prediction, with the label
+    * alongside for evaluation. One in-row projection — the model rides
+    * as plan literals, so inference is shuffle-free at any corpus size. */
+  def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, model: TextClassifierModel): DataFrame = {
+    val p = elliott(classifierMargin(
+      bowFeatures(col(textCol), model.weights.size), model))
+    df.select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
+        round(p, 6).as("score"))
+      .withColumn("pred", col("score") >= 0.5)
+  }
+
   /** Segment-level corpus dedup (the RefinedWeb/FineWeb line-dedup rule
     * in fixed-width form — this corpus has no newlines, so a "line" is a
     * `segTokens`-token segment): any segment whose exact text occurs in

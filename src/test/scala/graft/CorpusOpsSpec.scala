@@ -134,6 +134,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.distinct.length === 4)
   }
 
+  // ---- learned classifier --------------------------------------------------
+
+  test("trainTextClassifier separates a separable corpus perfectly") {
+    val pos = (1L to 20L).map(i => (i, "good clean prose " * 3 + s"x$i", 1))
+    val neg = (21L to 40L).map(i => (i, "spam junk noise " * 3 + s"x$i", 0))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val m = TextOps.trainTextClassifier(df, "text", "y",
+      buckets = 16, rounds = 10, lr = 2.0)
+    val out = TextOps.scoreTextClassifier(df, "doc_id", "text", "y", m)
+      .select("label", "pred").as[(Int, Boolean)].collect()
+    assert(out.forall { case (y, p) => p === (y == 1) },
+      s"separable data must classify perfectly: ${out.toSeq}")
+  }
+
+  test("training is invariant to input partitioning (integer-exact gradients)") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 12).map(w => s"w${(i * 5 + w) % 19}").mkString(" "),
+        if (i % 3 == 0) 1 else 0))
+    val a = TextOps.trainTextClassifier(
+      docs.toDF("doc_id", "text", "y").repartition(1), "text", "y",
+      buckets = 8, rounds = 4, lr = 0.5)
+    val b = TextOps.trainTextClassifier(
+      docs.toDF("doc_id", "text", "y").repartition(7), "text", "y",
+      buckets = 8, rounds = 4, lr = 0.5)
+    // micro-unit quantization before the sums makes the gradients exact
+    // integers, so weights are BIT-identical whatever the partitioning —
+    // the property that lets the oracle replay training at all
+    assert(a.bias === b.bias)
+    assert(a.weights === b.weights)
+    assert(a.means === b.means)
+  }
+
+  test("zero rounds yields the centered-zero model (all scores 0.5)") {
+    val df = Seq((1L, "a b c", 0), (2L, "d e f", 1)).toDF("doc_id", "text", "y")
+    val m = TextOps.trainTextClassifier(df, "text", "y",
+      buckets = 4, rounds = 0, lr = 0.5)
+    assert(m.bias === 0.0 && m.weights.forall(_ === 0.0))
+    val scores = TextOps.scoreTextClassifier(df, "doc_id", "text", "y", m)
+      .select("score").as[Double].collect()
+    assert(scores.forall(_ === 0.5))
+  }
+
   // ---- segment dedup -------------------------------------------------------
 
   test("segmentDedup removes cross-doc segments, keeps within-doc repeats") {
