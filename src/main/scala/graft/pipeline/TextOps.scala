@@ -311,6 +311,47 @@ object TextOps {
       .drop("__start")
   }
 
+  case class PackIn(shard: String, id: Long, tok: Long)
+  case class PackOut(shard: String, id: Long, n_tokens: Long,
+    bin_id: Long, bin_pos: Long)
+
+  /** Boundary-respecting greedy sequence packing: within each shard, in
+    * id order, rows accumulate into the current bin until the NEXT row
+    * would overflow `budget`, then a fresh bin opens — no row ever
+    * straddles two training sequences (the property
+    * [[packSequences]]' concat-and-cut trades away; this is the form
+    * for corpora where crossing a document boundary mid-sequence is not
+    * acceptable). A row larger than the whole budget gets a bin alone.
+    * Output: (shard, id, n_tokens, bin_id, bin_pos).
+    *
+    * The fold is inherently sequential (bin fill is running state), so
+    * it runs as one ordered pass per shard (`flatMapSortedGroups`, the
+    * EWMA-recursion idiom) — shards bound the state and the pass, never
+    * a global scan; integer arithmetic only, replayed by the oracle as
+    * a per-shard recursive CTE. */
+  def packGreedyBins(df: DataFrame, shardCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    require(budget > 0, "token budget must be positive")
+    implicit val inEnc: Encoder[PackIn] = Encoders.product[PackIn]
+    implicit val outEnc: Encoder[PackOut] = Encoders.product[PackOut]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    df.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("tok")).as[PackIn]
+      .groupByKey(_.shard)
+      .flatMapSortedGroups(col("id")) { (k: String, rows: Iterator[PackIn]) =>
+        var bin = 0L
+        var fill = 0L
+        rows.map { r =>
+          if (fill > 0 && fill + r.tok > budget) { bin += 1; fill = 0 }
+          val out = PackOut(k, r.id, r.tok, bin, fill)
+          fill += r.tok
+          out
+        }
+      }.toDF()
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score each raw
     * document by how much more likely its hashed n-gram features are
@@ -905,18 +946,21 @@ object TextOps {
     } finally feats.unpersist(false)
   }
 
+  /** The model's sigmoid score as a pure column expression — usable on
+    * batch AND streaming frames (stateless: the model rides as plan
+    * literals, features are in-row). */
+  def classifierScore(textCol: Column, model: TextClassifierModel): Column =
+    elliott(classifierMargin(bowFeatures(textCol, model.weights.size), model))
+
   /** Score documents under a [[trainTextClassifier]] model: per doc the
     * (rounded) sigmoid score and the >= 0.5 prediction, with the label
     * alongside for evaluation. One in-row projection — the model rides
     * as plan literals, so inference is shuffle-free at any corpus size. */
   def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
-      labelCol: String, model: TextClassifierModel): DataFrame = {
-    val p = elliott(classifierMargin(
-      bowFeatures(col(textCol), model.weights.size), model))
+      labelCol: String, model: TextClassifierModel): DataFrame =
     df.select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
-        round(p, 6).as("score"))
+        round(classifierScore(col(textCol), model), 6).as("score"))
       .withColumn("pred", col("score") >= 0.5)
-  }
 
   /** Segment-level corpus dedup (the RefinedWeb/FineWeb line-dedup rule
     * in fixed-width form — this corpus has no newlines, so a "line" is a

@@ -176,6 +176,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scores.forall(_ === 0.5))
   }
 
+  // ---- greedy packing ------------------------------------------------------
+
+  test("packGreedyBins: rows never straddle, oversized rows get their own bin") {
+    val df = Seq(
+      ("s", 1L, 4L), ("s", 2L, 3L), // bin 0: 4+3 = 7 <= 8
+      ("s", 3L, 2L),                // 7+2 > 8 -> bin 1
+      ("s", 4L, 9L),                // 2+9 > 8 -> bin 2 (alone: 9 > budget)
+      ("s", 5L, 1L),                // 9+1 > 8 -> bin 3
+      ("t", 6L, 8L), ("t", 7L, 8L)) // other shard: bins 0 and 1, exact fits
+      .toDF("source", "doc_id", "tok")
+    val out = TextOps.packGreedyBins(df, "source", "doc_id", "tok", budget = 8L)
+      .orderBy("id")
+      .select("shard", "id", "n_tokens", "bin_id", "bin_pos")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("s", 1L, 4L, 0L, 0L), ("s", 2L, 3L, 0L, 4L),
+      ("s", 3L, 2L, 1L, 0L), ("s", 4L, 9L, 2L, 0L),
+      ("s", 5L, 1L, 3L, 0L),
+      ("t", 6L, 8L, 0L, 0L), ("t", 7L, 8L, 1L, 0L)))
+  }
+
+  test("packGreedyBins invariants: contiguous bins, budget respected") {
+    val df = (1L to 100L).map(i => ("s" + (i % 3), i, 1L + (i * 7) % 20))
+      .toDF("source", "doc_id", "tok")
+    val out = TextOps.packGreedyBins(df, "source", "doc_id", "tok", budget = 30L)
+      .select("shard", "id", "n_tokens", "bin_id")
+      .as[(String, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins.toSeq === (0L until bins.length)) // contiguous from 0
+      rows.groupBy(_._4).foreach { case (_, binRows) =>
+        // a bin over budget can only be a single oversized row
+        assert(binRows.map(_._3).sum <= 30L || binRows.length == 1)
+      }
+    }
+  }
+
   // ---- segment dedup -------------------------------------------------------
 
   test("segmentDedup removes cross-doc segments, keeps within-doc repeats") {
