@@ -129,9 +129,8 @@ object Round6bEntries {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       EntryUtil.runStreamEntry(s, "stream_cls_gate_sink", feed, chunks = 3,
         cols = Seq("doc_id", "text"),
-        mkStream = df => df
-          .select(col("doc_id").as("id"),
-            round(TextOps.classifierScore(col("text"), model), 6).as("score"))
+        mkStream = df => TextOps.withClassifierScore(df, "text", model)
+          .select(col("doc_id").as("id"), col("score"))
           .where(col("score") >= 0.5))
         .orderBy("id")
     }),

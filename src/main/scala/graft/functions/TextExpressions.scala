@@ -40,6 +40,50 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** hash60 of one UTF-8 string: the first 15 hex nibbles of its md5 as
+    * a non-negative long — bit-identical to the composable form
+    * `conv(substring(md5(s), 1, 15), 16, 10)` ([[graft.pipeline.Dedup
+    * .hash60]]) and DuckDB's `CAST('0x' || substr(md5(s),1,15) AS
+    * BIGINT)`. */
+  def hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val nibble = if (i % 2 == 0) (d(i / 2) >> 4) & 0xF else d(i / 2) & 0xF
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  /** Hashed bag-of-words histogram: split on ' ', drop empty tokens,
+    * hash60 each token mod `buckets`, count per bucket — the whole
+    * feature map as ONE kernel call per document. The composable form
+    * (per-bucket `filter` over a `transform`ed hash array) evaluates
+    * O(buckets · tokens) interpreted lambdas per row and dominated the
+    * classifier's scoring cost ~3 ms/doc at 32 buckets. */
+  def bowCounts(text: UTF8String, buckets: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val counts = new Array[Int](buckets)
+    var i = 0
+    while (i < words.length) {
+      if (words(i).nonEmpty) {
+        val h = hash60(UTF8String.fromString(words(i)))
+        counts((h % buckets).toInt) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: java.lang.Integer).toArray[Any])
+  }
+
   /** ALL word k-shingles in positional order (duplicates kept) — the
     * sequence form required by positional algorithms (winnowing). */
   def wordShinglesAll(text: UTF8String, k: Int): ArrayData = {
@@ -108,6 +152,27 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
       copy(child = newChild)
   }
+
+  case class BowCounts(child: Expression, buckets: Int) extends UnaryExpression {
+    require(buckets >= 1, "bucket count must be >= 1")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bow_counts"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.bowCounts(input.asInstanceOf[UTF8String], buckets)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.bowCounts($c, $buckets);")
+
+    override protected def withNewChildInternal(newChild: Expression): BowCounts =
+      copy(child = newChild)
+  }
+
+  /** Hashed bag-of-words bucket counts of a string column (one compiled
+    * kernel call per document). */
+  def bowCounts(text: Column, buckets: Int): Column =
+    Bridge.column(BowCounts(Bridge.expression(text), buckets))
 
   /** Distinct word k-shingles (first-occurrence order) of a string column. */
   def wordShingles(text: Column, k: Int): Column =

@@ -858,16 +858,16 @@ object TextOps {
       .select(col("id"), col("shard"), col("seq"))
   }
 
-  /** Hashed bag-of-words dense feature vector: token counts per 60-bit
-    * hash bucket — the fastText feature map (Joulin et al. 2016) in its
-    * hashed form. An in-row projection (no shuffle); O(buckets · tokens)
-    * per doc, sized for small bucket counts. */
-  def bowFeatures(textCol: Column, buckets: Int): Column = {
-    val hs = transform(filter(split(textCol, " "), w => length(w) > 0),
-      w => pmod(Dedup.hash60(w), lit(buckets.toLong)))
-    transform(sequence(lit(0), lit(buckets - 1)),
-      b => size(filter(hs, h => h === b.cast("long"))))
-  }
+  /** Hashed bag-of-words feature vector — the fastText feature map
+    * (Joulin et al. 2016) in its hashed form: split on ' ', drop empty
+    * tokens, hash60 mod `buckets`, count per bucket. ONE compiled
+    * kernel call per document ([[graft.functions.TextExpressions
+    * .bowCounts]]); the composable HOF form (a `filter` per bucket
+    * over a `transform`ed hash array) evaluates O(buckets · tokens)
+    * interpreted lambdas per row and cost ~3 ms/doc at 32 buckets —
+    * spec-pinned value-identical to the kernel. */
+  def bowFeatures(textCol: Column, buckets: Int): Column =
+    graft.functions.TextExpressions.bowCounts(textCol, buckets)
 
   /** Elliott "fast sigmoid" 0.5 + 0.5·m/(1+|m|): the logistic link with
     * ONLY +,·,/,abs — every op IEEE-identical across engines, unlike
@@ -931,12 +931,15 @@ object TextOps {
       val mu = Vector.tabulate(buckets)(b => sums.getLong(b).toDouble / n)
       var model = TextClassifierModel(0.0, Vector.fill(buckets)(0.0), mu)
       for (_ <- 0 until rounds) {
-        val d = elliott(classifierMargin(col("xs"), model)) - col("y")
+        // the margin walks the 32-bucket fold once per ROW (staged as
+        // its own column), not once per gradient component
+        val scored = feats.withColumn("__d",
+          elliott(classifierMargin(col("xs"), model)) - col("y"))
         val aggs = (0 until buckets).map(b =>
-          sum(round(d * (element_at(col("xs"), b + 1).cast("double") - mu(b))
-            * 1e6).cast("long")).as(s"g$b")) :+
-          sum(round(d * 1e6).cast("long")).as("gz")
-        val row = feats.agg(aggs.head, aggs.tail: _*).head()
+          sum(round(col("__d") * (element_at(col("xs"), b + 1).cast("double")
+            - mu(b)) * 1e6).cast("long")).as(s"g$b")) :+
+          sum(round(col("__d") * 1e6).cast("long")).as("gz")
+        val row = scored.agg(aggs.head, aggs.tail: _*).head()
         model = model.copy(
           bias = model.bias - lr * (row.getLong(buckets) / 1e6) / n,
           weights = Vector.tabulate(buckets)(b =>
@@ -946,20 +949,25 @@ object TextOps {
     } finally feats.unpersist(false)
   }
 
-  /** The model's sigmoid score as a pure column expression — usable on
-    * batch AND streaming frames (stateless: the model rides as plan
-    * literals, features are in-row). */
-  def classifierScore(textCol: Column, model: TextClassifierModel): Column =
-    elliott(classifierMargin(bowFeatures(textCol, model.weights.size), model))
+  /** Append the model's (rounded) sigmoid score to any frame — batch or
+    * streaming (stateless: the model rides as plan literals, features
+    * are one compiled kernel call per row). */
+  def withClassifierScore(df: DataFrame, textCol: String,
+      model: TextClassifierModel, as: String = "score"): DataFrame =
+    df.withColumn("__xs", bowFeatures(col(textCol), model.weights.size))
+      .withColumn(as,
+        round(elliott(classifierMargin(col("__xs"), model)), 6))
+      .drop("__xs")
 
   /** Score documents under a [[trainTextClassifier]] model: per doc the
     * (rounded) sigmoid score and the >= 0.5 prediction, with the label
-    * alongside for evaluation. One in-row projection — the model rides
-    * as plan literals, so inference is shuffle-free at any corpus size. */
+    * alongside for evaluation. Shuffle-free in-row projections — the
+    * model rides as plan literals, at any corpus size. */
   def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, model: TextClassifierModel): DataFrame =
-    df.select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
-        round(classifierScore(col(textCol), model), 6).as("score"))
+    withClassifierScore(df, textCol, model)
+      .select(col(idCol).as("id"), col(labelCol).cast("int").as("label"),
+        col("score"))
       .withColumn("pred", col("score") >= 0.5)
 
   /** Segment-level corpus dedup (the RefinedWeb/FineWeb line-dedup rule

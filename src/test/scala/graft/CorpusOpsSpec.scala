@@ -136,6 +136,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- learned classifier --------------------------------------------------
 
+  test("bowCounts kernel equals the composable hash60 histogram") {
+    val df = Seq("the quick brown fox", "a a a  b", "", "x").toDF("text")
+    val b = 8
+    val hs = transform(filter(split(col("text"), " "), w => length(w) > 0),
+      w => pmod(graft.pipeline.Dedup.hash60(w), lit(b.toLong)))
+    val composable = df.select(transform(sequence(lit(0), lit(b - 1)),
+      bb => size(filter(hs, h => h === bb.cast("long")))).as("xs"))
+      .as[Seq[Int]].collect()
+    val kernel = df.select(
+      graft.functions.TextExpressions.bowCounts(col("text"), b).as("xs"))
+      .as[Seq[Int]].collect()
+    assert(kernel.toSeq === composable.toSeq)
+    assert(kernel.head.sum === 4) // token counts survive intact
+  }
+
   test("trainTextClassifier separates a separable corpus perfectly") {
     val pos = (1L to 20L).map(i => (i, "good clean prose " * 3 + s"x$i", 1))
     val neg = (21L to 40L).map(i => (i, "spam junk noise " * 3 + s"x$i", 0))
