@@ -35,7 +35,7 @@ object TextOps {
   def quality(df: DataFrame, idCol: String, textCol: String,
       keep: Seq[String] = Nil): DataFrame = {
     val words = split(col(textCol), " ")
-    val stop = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val stop = array(GopherStopwords.map(lit): _*)
     val nTokens = size(words)
     val stopRatio = size(array_intersect(words, stop)).cast("double") /
       size(array_distinct(words))

@@ -202,7 +202,14 @@ object TsdbStream {
     * (ts, value) rows as ts-sorted parallel arrays. Built once at index
     * time (one partial-aggregatable groupBy) and broadcast to every
     * micro-batch by [[asofStatic]] — the array form is what makes the
-    * probe an in-row expression instead of a join fan-out. */
+    * probe an in-row expression instead of a join fan-out.
+    *
+    * Equal-timestamp right rows sort by (ts, value), and the probe takes
+    * the LAST qualifying ordinal, so ties resolve to the LARGEST value —
+    * a deterministic choice where both the batch window form
+    * ([[graft.ops.TimeJoins.asof]]) and DuckDB's native ASOF are
+    * arbitrary (spec-pinned; an oracle-gated entry over tied data would
+    * need the tie resolved identically on both sides first). */
   def asofIndex(right: DataFrame): DataFrame =
     right.groupBy(col("name").as("__r_name"))
       .agg(array_sort(collect_list(struct(col("ts"), col("value"))))

@@ -548,12 +548,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val right = (1L to 20L).map(i => (s"u${i % 5}", i * 2 * s, i * 1.0))
       .toDF("name", "ts", "value")
     val idx = graft.streaming.TsdbStream.asofIndex(right)
-    val p = plan(graft.streaming.TsdbStream.asofStatic(left, idx))
-    val joins = p.collect { case j: BroadcastHashJoinExec => j }
-    assert(joins.size === 1, s"expected exactly one broadcast probe:\n$p")
-    // the streamed (left) side must reach the probe with no exchange at
-    // all — that is what makes each micro-batch stateless and local
-    assert(joins.head.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-      s"probe side must not shuffle:\n${joins.head.left}")
+    // inspect the EXECUTED plan (EnsureRequirements has inserted any
+    // required exchanges — sparkPlan would make the shuffle assert
+    // vacuous); AQE off so the tree is directly collectible
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val p = graft.streaming.TsdbStream.asofStatic(left, idx)
+        .queryExecution.executedPlan
+      val joins = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.size === 1, s"expected exactly one broadcast probe:\n$p")
+      // the streamed (left) side must reach the probe with no exchange at
+      // all — that is what makes each micro-batch stateless and local
+      // (the index side legitimately shuffles once at build time)
+      assert(joins.head.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"probe side must not shuffle:\n${joins.head.left}")
+    } finally spark.conf.set(key, prev)
   }
 }

@@ -203,6 +203,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofStatic resolves equal-ts right rows to the largest value, deterministically") {
+    val s = 1000000000L
+    // two right rows at the SAME ts with different values: the index
+    // sorts by (ts, value) and the probe takes the last ordinal
+    val right = Seq(("a", 10L * s, 3.0), ("a", 10L * s, 7.0))
+      .toDF("name", "ts", "value")
+    val left = Seq(("a", 10L * s, 0.1), ("a", 11L * s, 0.2))
+      .toDF("name", "ts", "value")
+    val out = TsdbStream.asofStatic(left, TsdbStream.asofIndex(right))
+      .select("ts", "r_value").as[(Long, Double)].collect().toSeq.sorted
+    assert(out === Seq((10L * s, 7.0), (11L * s, 7.0)))
+  }
+
   test("asofStatic equals the batch TimeJoins.asof on the same frames") {
     val s = 1000000000L
     val right = Seq(("a", 10L * s, 1.0), ("a", 20L * s, 2.0),
