@@ -36,6 +36,12 @@ object Round6bEntries {
   private val ClsQualityThrStr = "0.31"
   private val ClsQualityThr = ClsQualityThrStr.toDouble
   private val PackBudget = 512L
+  // 2024-01-25T00:00Z — inside the events' Jan 1-30 span at every sf,
+  // so staleness is a genuine split (some series last write earlier)
+  private val StaleCutoffNs = 1706140800000000000L
+  // the same every-5th-doc ingest-batch split Round6Entries' incremental
+  // dedup uses — drift is measured for the batch that dedup screens
+  private val BatchMod = 5
 
   /** Documents + the teacher label: quality >= threshold on the rounded
     * quality score (the heuristic rule the classifier distills). */
@@ -145,6 +151,38 @@ object Round6bEntries {
         TextOps.tokenCountWs(col("text")).cast("long"))
       TextOps.packGreedyBins(d, "source", "doc_id", "tok", budget = PackBudget)
         .orderBy("id")
+    }),
+
+    // ingest drift monitor: KL(batch || corpus) over hashed-bigram
+    // bucket models, per-bucket micro-nat terms (total = exact integer
+    // sum) — the distribution readout a crawl owner alerts on per batch
+    "docs_ingest_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.ingestDrift(
+          corpus = d.where(col("doc_id") % BatchMod =!= 0),
+          batch = d.where(col("doc_id") % BatchMod === 0),
+          "text", buckets = 64, k = 2)
+        .orderBy("b")
+    }),
+
+    // absence detection: series whose last sample predates the cutoff
+    // (heartbeat monitoring) — one partial-agg max per series joined to
+    // the broadcast catalog
+    "ts_stale_series" -> ((s, dir) => {
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      graft.ops.Monitoring.staleSeries(
+          ctx.series.where(col("metric") =!= "!log"), ctx.samples,
+          StaleCutoffNs)
+        .select(col("name"), expr("last_ts div 1000").as("last_ts_us"))
+        .orderBy("name")
+    }),
+
+    // cardinality monitoring: per (metric, tag key) distinct values +
+    // series count — the tag-explosion readout; catalog-only
+    "ts_tag_cardinality" -> ((s, dir) => {
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      graft.ops.Monitoring.tagCardinality(ctx.series)
+        .orderBy("metric", "tag_key")
     }),
 
     // stream-static as-of join executed as a REAL streaming query: click
@@ -358,6 +396,55 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // same add-1-smoothed bucket-model arithmetic as the DSIR oracle,
+    // KL form: p * ln(p/q) * 1e6 rounded to BIGINT per bucket
+    "docs_ingest_drift" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+           g AS (SELECT doc_id,
+               ${h60("ws[i] || ' ' || ws[i+1]")} % 64 AS b
+             FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)),
+           bm AS (SELECT b, count(*) AS bc FROM g
+                  WHERE doc_id % $BatchMod = 0 GROUP BY b),
+           cm AS (SELECT b, count(*) AS cc FROM g
+                  WHERE doc_id % $BatchMod <> 0 GROUP BY b),
+           tb AS (SELECT CAST(sum(bc) AS DOUBLE) AS tbc FROM bm),
+           tc AS (SELECT CAST(sum(cc) AS DOUBLE) AS tcc FROM cm),
+           j AS (SELECT bb.b,
+               coalesce(bc, 0) AS batch_n, coalesce(cc, 0) AS corpus_n,
+               (coalesce(bc, 0) + 1.0) / (tbc + 64.0) AS p,
+               (coalesce(cc, 0) + 1.0) / (tcc + 64.0) AS q
+             FROM range(64) bb(b)
+             LEFT JOIN bm ON bb.b = bm.b LEFT JOIN cm ON bb.b = cm.b
+             CROSS JOIN tb CROSS JOIN tc)
+         SELECT b, CAST(batch_n AS BIGINT) AS batch_n,
+           CAST(corpus_n AS BIGINT) AS corpus_n,
+           round(p, 6) AS p_batch, round(q, 6) AS q_corpus,
+           CAST(round(p * ln(p / q) * 1000000.0) AS BIGINT) AS kl_micro
+         FROM j ORDER BY b""",
+
+    // heartbeat oracle: last event per (metric, user) against the same
+    // cutoff instant (ts is µs-grained in both engines)
+    "ts_stale_series" ->
+      """SELECT event_type || ' user=' || CAST(user_id AS VARCHAR) AS name,
+           epoch_us(max(ts)) AS last_ts_us
+         FROM events GROUP BY event_type, user_id
+         HAVING max(ts) < TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY name""",
+
+    // catalog cardinality: the !log event series carry the same user
+    // tag as the five metric series
+    "ts_tag_cardinality" ->
+      """WITH s AS (
+           SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS v
+           FROM events
+           UNION ALL
+           SELECT '!log', CAST(user_id AS VARCHAR) FROM events)
+         SELECT metric, 'user' AS tag_key,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_values,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_series
+         FROM s GROUP BY metric ORDER BY metric, tag_key""",
 
     // the greedy fold replayed as a per-shard recursive CTE: one row
     // per (shard, rank) step, integer state (bin, pos, fill)

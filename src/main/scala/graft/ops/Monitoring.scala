@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Operational monitoring over the TSDB model — the queries a fleet
+  * operator runs against the catalog and facts to find silence and
+  * cardinality explosions. The reference exposes no such surface (its
+  * matcher/index would have to be walked by hand); here both are small
+  * catalog+fact compositions.
+  */
+object Monitoring {
+
+  /** Absence detection (heartbeat monitoring): series whose latest
+    * sample is older than `cutoffNs`, or that never wrote at all
+    * (`last_ts` null — a registered series with no facts). The query an
+    * alerting pipeline runs to find dead emitters.
+    *
+    * Scale shape: one partial-aggregatable max per series over the fact
+    * scan, then a join against the broadcast-sized catalog — the fact
+    * side aggregates before anything moves. */
+  def staleSeries(series: DataFrame, samples: DataFrame,
+      cutoffNs: Long): DataFrame =
+    series.join(
+        samples.groupBy("series_id").agg(max("ts").as("last_ts")),
+        Seq("series_id"), "left_outer")
+      .where(col("last_ts").isNull || col("last_ts") < cutoffNs)
+      .select(col("series_id"), col("name"), col("metric"), col("last_ts"))
+
+  /** Cardinality monitoring: per (metric, tag key), the distinct tag
+    * values and series count — the readout that catches tag-value
+    * explosions (the failure mode that melts every TSDB's index; the
+    * reference's inverted index grows a posting list per value,
+    * invertedindex.h:374, with nothing watching it). Catalog-only: one
+    * explode of the tag map + partial-aggregatable counts. */
+  def tagCardinality(series: DataFrame): DataFrame =
+    series.select(col("metric"),
+        explode(col("tags")).as(Seq("tag_key", "tag_value")))
+      .groupBy("metric", "tag_key")
+      .agg(countDistinct("tag_value").as("n_values"),
+        count(lit(1)).as("n_series"))
+}

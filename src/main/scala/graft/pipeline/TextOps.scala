@@ -438,6 +438,40 @@ object TextOps {
       .withColumn("selected", col("logw_micro") >= minLogwMicro)
   }
 
+  /** Distribution-drift monitor for continuous ingest: KL(batch ‖
+    * corpus) over add-α-smoothed hashed-k-gram bucket models, reported
+    * PER BUCKET so the drift localizes (which vocabulary region moved),
+    * with each term in fixed-point micro-nats — the total divergence is
+    * an exact integer sum of the `kl_micro` column. [[dsirWeights]]'
+    * two-model machinery pointed at monitoring instead of selection:
+    * the readout a crawl-pipeline owner alerts on per ingest batch.
+    *
+    * Scale shape: each side collapses to a `buckets`-row model (one
+    * partial-aggregatable groupBy per side); everything after joins
+    * `buckets`-row tables, with totals as unpartitioned window sums
+    * over those rows only. */
+  def ingestDrift(corpus: DataFrame, batch: DataFrame, textCol: String,
+      buckets: Int = 64, k: Int = 2, alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
+    val aB = lit(alpha * buckets)
+    def model(df: DataFrame, cName: String) = df
+      .select(explode(
+        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+      .select(gramBucket(buckets)).groupBy("b").agg(count(lit(1)).as(cName))
+    val spark = corpus.sparkSession
+    val allB = spark.range(0, buckets).select(col("id").as("b"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bc = coalesce(col("bc"), lit(0L))
+    val cc = coalesce(col("cc"), lit(0L))
+    val p = (bc + alpha) / (sum(bc).over(wAll).cast("double") + aB)
+    val q = (cc + alpha) / (sum(cc).over(wAll).cast("double") + aB)
+    allB.join(model(batch, "bc"), Seq("b"), "left")
+      .join(model(corpus, "cc"), Seq("b"), "left")
+      .select(col("b"), bc.as("batch_n"), cc.as("corpus_n"),
+        round(p, 6).as("p_batch"), round(q, 6).as("q_corpus"),
+        round(p * log(p / q) * 1e6).cast("long").as("kl_micro"))
+  }
+
   /** N-gram LM perplexity scoring — the CCNet-style quality filter
     * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
     * Datasets from Web Crawl Data"): score each document by the average

@@ -191,6 +191,47 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scores.forall(_ === 0.5))
   }
 
+  // ---- monitoring ----------------------------------------------------------
+
+  test("staleSeries: stale and never-wrote flagged; live series pass") {
+    val series = Seq(
+      (1L, "m user=1", "m"), (2L, "m user=2", "m"), (3L, "m user=3", "m"))
+      .toDF("series_id", "name", "metric")
+      .withColumn("tags", map(lit("user"), lit("x")))
+    val samples = Seq(
+      (1L, 100L, 1.0), (1L, 900L, 1.0), // live: last at 900 >= 500
+      (2L, 100L, 1.0), (2L, 400L, 1.0)) // stale: last at 400 < 500
+      .toDF("series_id", "ts", "value") // series 3 never wrote
+    val out = graft.ops.Monitoring.staleSeries(series, samples, cutoffNs = 500L)
+      .select("name", "last_ts").as[(String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(out === Seq(("m user=2", Some(400L)), ("m user=3", None)))
+  }
+
+  test("tagCardinality counts distinct values and series per (metric, key)") {
+    val series = Seq(
+      (1L, "m", Map("host" -> "a", "dc" -> "x")),
+      (2L, "m", Map("host" -> "b", "dc" -> "x")),
+      (3L, "m", Map("host" -> "b", "dc" -> "y")),
+      (4L, "n", Map("host" -> "a")))
+      .toDF("series_id", "metric", "tags")
+    val out = graft.ops.Monitoring.tagCardinality(series)
+      .orderBy("metric", "tag_key")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("m", "dc", 2L, 3L), ("m", "host", 2L, 3L), ("n", "host", 1L, 1L)))
+  }
+
+  test("ingestDrift: identical sides give zero KL everywhere; drift shows up") {
+    val same = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val zero = TextOps.ingestDrift(same, same, "text", buckets = 8, k = 2)
+      .select("kl_micro").as[Long].collect()
+    assert(zero.forall(_ === 0L)) // p == q per bucket -> p·ln(1) == 0 exactly
+    val drifted = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val kl = TextOps.ingestDrift(same, drifted, "text", buckets = 8, k = 2)
+      .agg(sum("kl_micro")).as[Long].head()
+    assert(kl > 0L, s"diverged batch must show positive total KL, got $kl")
+  }
+
   // ---- greedy packing ------------------------------------------------------
 
   test("packGreedyBins: rows never straddle, oversized rows get their own bin") {
