@@ -153,6 +153,17 @@ object Round6bEntries {
         .orderBy("id")
     }),
 
+    // per-cell embedding outliers: each IVF cell's 3 farthest members
+    // (rounded distance desc, ties to lower id) — SemDeDup's complement,
+    // the least cluster-typical vectors surfaced for triage
+    "emb_cell_outliers" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.cellOutliers(
+          EntryUtil.ivfCodebookFor(s, dir),
+          emb.select(col("vec_id").as("id"), col("embedding")), k = 3)
+        .orderBy("cell", "rank")
+    }),
+
     // ingest drift monitor: KL(batch || corpus) over hashed-bigram
     // bucket models, per-bucket micro-nat terms (total = exact integer
     // sum) — the distribution readout a crawl owner alerts on per batch
@@ -396,6 +407,24 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // the shared kmeans CTEs assign cells on the raw distance; the
+    // outlier rank cuts on the ROUNDED distance desc, id asc
+    "emb_cell_outliers" ->
+      s"""WITH ${EntryUtil.kmeansCtes("",
+            "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            8, 2)},
+           asg AS (SELECT cell, id, round(d, 6) AS dist FROM (
+               SELECT e.id, c.cell, ${EntryUtil.sqlDist("e.v", "c.cv")} AS d,
+                 row_number() OVER (PARTITION BY e.id
+                   ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
+               FROM e CROSS JOIN c2 c) WHERE r = 1),
+           rk AS (SELECT cell, id, dist,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY dist DESC, id) AS rank
+             FROM asg)
+         SELECT cell, CAST(rank AS INT) AS rank, id, dist
+         FROM rk WHERE rank <= 3 ORDER BY cell, rank""",
 
     // same add-1-smoothed bucket-model arithmetic as the DSIR oracle,
     // KL form: p * ln(p/q) * 1e6 rounded to BIGINT per bucket

@@ -145,6 +145,37 @@ object Similarity {
     knnIvfWith(fitCodebook(corpus, nlist, iters, idCol, embCol),
       corpus, queries, k, nprobe, idCol, qidCol, embCol)
 
+  /** Per-cell distance outliers: each IVF cell's `k` members FARTHEST
+    * from their centroid — the least cluster-typical examples, surfaced
+    * for triage. SemDeDup's complement: that operator drops the most
+    * typical of each near-dup pair; this one lists what no cluster
+    * explains (mislabeled/garbage embedding candidates). Ranking is on
+    * the ROUNDED distance (desc, ties to lower id) so the cut is
+    * cross-engine deterministic; assignment uses the raw distance like
+    * every cell assignment here.
+    *
+    * Plan shape: broadcast centers → one corpus pass for assignment →
+    * per-cell top-k window (WindowGroupLimit: k rows per cell per map
+    * task before the exchange). */
+  def cellOutliers(centers: Seq[(Int, Seq[Double])], corpus: DataFrame,
+      k: Int, idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
+    val wa = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
+    val asg = corpus.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__d", sqDist(col("__v"), col("center")))
+      .withColumn("__r", row_number().over(wa))
+      .where(col("__r") === 1)
+      .select(col("cell"), col("id"), round(col("__d"), 6).as("dist"))
+    val wo = Window.partitionBy("cell").orderBy(col("dist").desc, col("id"))
+    asg.withColumn("rank", row_number().over(wo)).where(col("rank") <= k)
+      .select(col("cell"), col("rank"), col("id"), col("dist"))
+  }
+
   /** Persist a fitted codebook — at corpus scale the Lloyd fit runs once
     * at index-build time and queries reuse the stored centers. */
   def writeCodebook(spark: org.apache.spark.sql.SparkSession,

@@ -983,6 +983,26 @@ object TextOps {
     } finally feats.unpersist(false)
   }
 
+  /** Persist a trained classifier (bias at index -1; weights and means
+    * by bucket index) — the train-once / score-everywhere split, same
+    * idiom as [[Similarity.writeCodebook]]. */
+  def writeClassifier(spark: org.apache.spark.sql.SparkSession,
+      model: TextClassifierModel, path: String): Unit = {
+    val rows = (-1, model.bias, 0.0) +:
+      model.weights.indices.map(b => (b, model.weights(b), model.means(b)))
+    spark.createDataFrame(rows).toDF("b", "w", "mu")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readClassifier(spark: org.apache.spark.sql.SparkSession,
+      path: String): TextClassifierModel = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val (biasRows, wRows) = rows.partition(_._1 == -1)
+    TextClassifierModel(biasRows.head._2,
+      wRows.map(_._2).toVector, wRows.map(_._3).toVector)
+  }
+
   /** Append the model's (rounded) sigmoid score to any frame — batch or
     * streaming (stateless: the model rides as plan literals, features
     * are one compiled kernel call per row). */

@@ -191,6 +191,32 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scores.forall(_ === 0.5))
   }
 
+  test("classifier model round-trips through parquet persistence") {
+    val df = Seq((1L, "good text here", 1), (2L, "bad stuff there", 0))
+      .toDF("doc_id", "text", "y")
+    val m = TextOps.trainTextClassifier(df, "text", "y",
+      buckets = 8, rounds = 3, lr = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cls").toString + "/model"
+    TextOps.writeClassifier(spark, m, path)
+    val m2 = TextOps.readClassifier(spark, path)
+    assert(m2 === m) // bias, weights AND means — scoring needs all three
+  }
+
+  test("cellOutliers ranks each cell's members by rounded distance desc") {
+    // two obvious clusters around (0,0) and (10,10); ids 3 and 6 sit
+    // farthest from their centroids
+    val vecs = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)), (3L, Array(3f, 3f)),
+      (4L, Array(10f, 10f)), (5L, Array(11f, 10f)), (6L, Array(7f, 7f)))
+      .toDF("id", "embedding")
+    val centers = graft.pipeline.Similarity.fitCodebook(vecs, nlist = 2, iters = 2)
+    val out = graft.pipeline.Similarity.cellOutliers(centers, vecs, k = 1)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq.sortBy(_._2)
+    assert(out.map(_._1).forall(_ === 1))
+    assert(out.map(_._2).toSet === Set(3L, 6L))
+  }
+
   // ---- monitoring ----------------------------------------------------------
 
   test("staleSeries: stale and never-wrote flagged; live series pass") {
