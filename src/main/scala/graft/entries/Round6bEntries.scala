@@ -153,6 +153,37 @@ object Round6bEntries {
         .orderBy("id")
     }),
 
+    // the EXPORT side composed end-to-end (the curation funnel's
+    // sibling): temperature mixture recipe -> stratified sample at the
+    // derived rates -> salted shard shuffle -> boundary-respecting
+    // greedy packing, emitted as the (shard, seq, doc, bin) manifest a
+    // training job reads. Every stage is the already-oracled operator;
+    // this entry proves they COMPOSE under one oracle. The recipe
+    // collect is driver-sized (one row per stratum).
+    "docs_export_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rates = TextOps.temperatureMixture(d, "source", "text",
+          MixtureTargetTokens)
+        .select("stratum", "rate").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sampled = TextOps.stratifiedSample(d, "text", "source", rates)
+      val sh = TextOps.shardShuffle(sampled, "doc_id", "text", nShards = 4)
+      val toks = sampled.select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("tok"))
+      val packIn = sh.withColumnRenamed("id", "doc_id").join(toks, "doc_id")
+        .select(col("doc_id"), col("shard").cast("string").as("shard"),
+          col("seq").cast("long").as("seq"), col("tok"))
+      val packed = TextOps.packGreedyBins(packIn, "shard", "seq", "tok",
+        budget = PackBudget)
+      packed
+        .join(packIn.select(col("shard"), col("seq").as("id"), col("doc_id")),
+          Seq("shard", "id"))
+        .select(col("shard").cast("int").as("shard"),
+          col("id").cast("int").as("seq"), col("doc_id"),
+          col("n_tokens"), col("bin_id"), col("bin_pos"))
+        .orderBy("shard", "seq")
+    }),
+
     // per-cell embedding outliers: each IVF cell's 3 farthest members
     // (rounded distance desc, ties to lower id) — SemDeDup's complement,
     // the least cluster-typical vectors surfaced for triage
@@ -407,6 +438,50 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // every stage's own oracle arithmetic chained: mixture rates
+    // (rounded 6 before application, as the engine applies the
+    // collected recipe), hash-rate sampling, salted shuffle, recursive
+    // greedy pack keyed by (shard, seq)
+    "docs_export_manifest" ->
+      s"""WITH RECURSIVE
+           c AS (SELECT source AS stratum,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+           z AS (SELECT sum(sqrt(n_tokens)) AS z FROM c),
+           rates AS (SELECT stratum,
+               round(least(1.0, sqrt(n_tokens) / z * $MixtureTargetTokens
+                 / n_tokens), 6) AS rate
+             FROM c, z),
+           samp AS (SELECT d.doc_id, d.text
+             FROM documents d JOIN rates r ON d.source = r.stratum
+             WHERE ${h60("d.text")} % 1000000 < r.rate * 1000000.0),
+           sha AS (SELECT doc_id,
+               CAST(hh % 4 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hh % 4
+                 ORDER BY hh, doc_id) AS INT) AS seq
+             FROM (SELECT doc_id, ${h60("text || '#' || doc_id")} AS hh
+                   FROM samp)),
+           o AS (SELECT sha.shard, sha.seq AS rk, sha.doc_id,
+               CAST(len(string_split(s.text, ' ')) AS BIGINT) AS tok
+             FROM sha JOIN samp s ON s.doc_id = sha.doc_id),
+           st AS (
+             SELECT shard, rk, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos,
+               tok AS fill
+             FROM o WHERE rk = 1
+             UNION ALL
+             SELECT o.shard, o.rk, o.doc_id, o.tok,
+               CASE WHEN st.fill > 0 AND st.fill + o.tok > $PackBudget
+                    THEN st.bin + 1 ELSE st.bin END,
+               CASE WHEN st.fill > 0 AND st.fill + o.tok > $PackBudget
+                    THEN CAST(0 AS BIGINT) ELSE st.fill END,
+               CASE WHEN st.fill > 0 AND st.fill + o.tok > $PackBudget
+                    THEN o.tok ELSE st.fill + o.tok END
+             FROM st JOIN o ON o.shard = st.shard AND o.rk = st.rk + 1)
+         SELECT shard, rk AS seq, doc_id, tok AS n_tokens,
+           bin AS bin_id, pos AS bin_pos
+         FROM st ORDER BY shard, seq""",
 
     // the shared kmeans CTEs assign cells on the raw distance; the
     // outlier rank cuts on the ROUNDED distance desc, id asc
