@@ -42,6 +42,9 @@ object Round6bEntries {
   // the same every-5th-doc ingest-batch split Round6Entries' incremental
   // dedup uses — drift is measured for the batch that dedup screens
   private val BatchMod = 5
+  // shard count of the export manifest's shuffle, interpolated into the
+  // oracle so the two sides cannot drift
+  private val ExportShards = 4
 
   /** Documents + the teacher label: quality >= threshold on the rounded
     * quality score (the heuristic rule the classifier distills). */
@@ -167,7 +170,8 @@ object Round6bEntries {
         .select("stratum", "rate").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       val sampled = TextOps.stratifiedSample(d, "text", "source", rates)
-      val sh = TextOps.shardShuffle(sampled, "doc_id", "text", nShards = 4)
+      val sh = TextOps.shardShuffle(sampled, "doc_id", "text",
+        nShards = ExportShards)
       val toks = sampled.select(col("doc_id"),
         TextOps.tokenCountWs(col("text")).cast("long").as("tok"))
       val packIn = sh.withColumnRenamed("id", "doc_id").join(toks, "doc_id")
@@ -457,8 +461,8 @@ object Round6bEntries {
              FROM documents d JOIN rates r ON d.source = r.stratum
              WHERE ${h60("d.text")} % 1000000 < r.rate * 1000000.0),
            sha AS (SELECT doc_id,
-               CAST(hh % 4 AS INT) AS shard,
-               CAST(row_number() OVER (PARTITION BY hh % 4
+               CAST(hh % $ExportShards AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY hh % $ExportShards
                  ORDER BY hh, doc_id) AS INT) AS seq
              FROM (SELECT doc_id, ${h60("text || '#' || doc_id")} AS hh
                    FROM samp)),

@@ -163,13 +163,11 @@ object Similarity {
     require(k > 0, "k must be positive")
     val spark = corpus.sparkSession
     val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
-    val wa = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
-    val asg = corpus.select(col(idCol).as("id"),
-        col(embCol).cast("array<double>").as("__v"))
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__d", sqDist(col("__v"), col("center")))
-      .withColumn("__r", row_number().over(wa))
-      .where(col("__r") === 1)
+    // the ONE shared assignment path (cellsFor) keeps the distance and
+    // tie-break identical to knnIvf/SemDeDup and the shared oracle CTEs
+    val asg = cellsFor(centersDf,
+        corpus.select(col(idCol).as("id"), col(embCol).as("__v")),
+        "id", "__v", 1, keepDist = true)
       .select(col("cell"), col("id"), round(col("__d"), 6).as("dist"))
     val wo = Window.partitionBy("cell").orderBy(col("dist").desc, col("id"))
     asg.withColumn("rank", row_number().over(wo)).where(col("rank") <= k)
@@ -189,15 +187,20 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
   /** n-nearest-centroid assignment against a broadcast centers frame
-    * (n = 1 for corpus cells, n = nprobe for query probes). */
+    * (n = 1 for corpus cells, n = nprobe for query probes) — the ONE
+    * place the assignment distance + (distance, cell) tie-break live;
+    * `keepDist` retains the raw `__d` for callers that rank by it
+    * (cellOutliers). */
   private def cellsFor(centersDf: DataFrame, df: DataFrame,
-      keyCol: String, vecCol: String, n: Int): DataFrame = {
+      keyCol: String, vecCol: String, n: Int,
+      keepDist: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = df.crossJoin(broadcast(centersDf))
       .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
     val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
-    scored.withColumn("__r", row_number().over(w)).where(col("__r") <= n)
-      .drop("__d", "__r", "center")
+    val picked = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= n)
+    picked.drop((if (keepDist) Seq("__r", "center") else Seq("__d", "__r", "center")): _*)
   }
 
   /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */

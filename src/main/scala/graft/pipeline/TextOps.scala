@@ -388,6 +388,16 @@ object TextOps {
   private def gramBucket(buckets: Int): Column =
     pmod(Dedup.hash60(col("g")), lit(buckets.toLong)).as("b")
 
+  /** Corpus-wide hashed-k-gram bucket model (b, count) — the shared
+    * construction of every bucket-model operator ([[dsirWeights]]'
+    * target model, [[ingestDrift]]'s two sides): one definition so
+    * their oracles can never drift apart. */
+  private def bucketModel(df: DataFrame, textCol: String, cName: String,
+      buckets: Int, k: Int): DataFrame = df
+    .select(explode(
+      graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
+    .select(gramBucket(buckets)).groupBy("b").agg(count(lit(1)).as(cName))
+
   /** Per-doc hashed-k-gram bucket counts (id, b, f), scoped-cached —
     * the shared spine of the fixed-point bucket models ([[dsirWeights]],
     * [[ngramPerplexity]]): model fit and doc scoring both consume it. */
@@ -404,10 +414,7 @@ object TextOps {
       minLogwMicro: Long = 0L): DataFrame = {
     require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
     val aB = lit(alpha * buckets)
-    val targetModel = target
-      .select(explode(
-        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
-      .select(gramBucket(buckets)).groupBy("b").agg(count(lit(1)).as("tc"))
+    val targetModel = bucketModel(target, textCol, "tc", buckets, k)
     val docBuckets = docBucketCounts(raw, idCol, textCol, buckets, k)
     val rawModel = docBuckets.groupBy("b").agg(sum("f").as("rc"))
     val spark = raw.sparkSession
@@ -454,10 +461,6 @@ object TextOps {
       buckets: Int = 64, k: Int = 2, alpha: Double = 1.0): DataFrame = {
     require(buckets > 0 && k > 0, "need buckets > 0 and k > 0")
     val aB = lit(alpha * buckets)
-    def model(df: DataFrame, cName: String) = df
-      .select(explode(
-        graft.functions.TextExpressions.wordShinglesAll(col(textCol), k)).as("g"))
-      .select(gramBucket(buckets)).groupBy("b").agg(count(lit(1)).as(cName))
     val spark = corpus.sparkSession
     val allB = spark.range(0, buckets).select(col("id").as("b"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -465,8 +468,8 @@ object TextOps {
     val cc = coalesce(col("cc"), lit(0L))
     val p = (bc + alpha) / (sum(bc).over(wAll).cast("double") + aB)
     val q = (cc + alpha) / (sum(cc).over(wAll).cast("double") + aB)
-    allB.join(model(batch, "bc"), Seq("b"), "left")
-      .join(model(corpus, "cc"), Seq("b"), "left")
+    allB.join(bucketModel(batch, textCol, "bc", buckets, k), Seq("b"), "left")
+      .join(bucketModel(corpus, textCol, "cc", buckets, k), Seq("b"), "left")
       .select(col("b"), bc.as("batch_n"), cc.as("corpus_n"),
         round(p, 6).as("p_batch"), round(q, 6).as("q_corpus"),
         round(p * log(p / q) * 1e6).cast("long").as("kl_micro"))
