@@ -188,6 +188,20 @@ object Round6bEntries {
         .orderBy("shard", "seq")
     }),
 
+    // the de-looping edit: consecutive duplicate tokens collapse to one
+    // (stutter artifacts); the cleaned text's md5 locks the edit
+    "docs_collapse_repeats" -> ((s, dir) =>
+      TextOps.collapseRepeats(docs(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
+    // catalog churn: new series per day + running total — the
+    // series-creation-rate monitor (each new series is an index entry
+    // forever)
+    "ts_catalog_growth" -> ((s, dir) => {
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      graft.ops.Monitoring.catalogGrowth(ctx.samples).orderBy("day_idx")
+    }),
+
     // per-cell embedding outliers: each IVF cell's 3 farthest members
     // (rounded distance desc, ties to lower id) — SemDeDup's complement,
     // the least cluster-typical vectors surfaced for triage
@@ -442,6 +456,32 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // 1-based list_filter index: i = 1 keeps the first token; ws[i-1]
+    // at i = 1 is NULL so the <> is NULL and OR short-circuits true —
+    // the same null algebra as the engine's 0-based get()
+    "docs_collapse_repeats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+           k AS (SELECT doc_id, len(ws) AS n_tokens,
+               list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+             FROM w)
+         SELECT doc_id AS id, n_tokens,
+           n_tokens - len(kept) AS n_collapsed,
+           md5(array_to_string(kept, ' ')) AS clean_hash
+         FROM k ORDER BY id""",
+
+    "ts_catalog_growth" ->
+      """WITH f AS (SELECT event_type, user_id, epoch_us(min(ts)) AS first_us
+                    FROM events GROUP BY event_type, user_id),
+           g AS (SELECT first_us // 86400000000 AS day_idx,
+                   count(*) AS new_series
+                 FROM f GROUP BY 1)
+         SELECT day_idx, new_series,
+           CAST(sum(new_series) OVER (ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS total_series
+         FROM g ORDER BY day_idx""",
 
     // every stage's own oracle arithmetic chained: mixture rates
     // (rounded 6 before application, as the engine applies the

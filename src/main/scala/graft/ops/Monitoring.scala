@@ -27,6 +27,23 @@ object Monitoring {
       .where(col("last_ts").isNull || col("last_ts") < cutoffNs)
       .select(col("series_id"), col("name"), col("metric"), col("last_ts"))
 
+  /** Catalog growth (churn monitoring): per day, how many series wrote
+    * their FIRST sample, plus the running total — the series-creation
+    * rate an operator watches for runaway registration (each new series
+    * is an index entry forever; the reference's matcher grows the same
+    * way, series_matcher.h). One partial-aggregatable min per series,
+    * then day-keyed counts with a cumulative window over the DAYS table
+    * (bounded by the retention span, never sample-sized). */
+  def catalogGrowth(samples: DataFrame, dayUs: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = samples.groupBy("series_id").agg(min("ts").as("first_ts"))
+      .select(expr(s"(first_ts div 1000) div $dayUs").as("day_idx"))
+    val w = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstDay.groupBy("day_idx").agg(count(lit(1)).as("new_series"))
+      .withColumn("total_series", sum(col("new_series")).over(w))
+  }
+
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value
     * explosions (the failure mode that melts every TSDB's index; the

@@ -311,6 +311,24 @@ object TextOps {
       .drop("__start")
   }
 
+  /** Collapse consecutive duplicate tokens ("the de-looping edit"):
+    * "a b b b c" → "a b c" — the cheap cleanup for stutter artifacts
+    * (generation loops, scraped marquee text). Keeps token i iff it
+    * differs from token i−1; only IMMEDIATE repeats collapse (repeated
+    * longer phrases are [[repetition]]'s signal and [[segmentDedup]]'s
+    * edit). One in-row projection; the cleaned text's hash rides out so
+    * the edit is verifiable. */
+  def collapseRepeats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    df.select(col(idCol).as("id"), ws.as("__ws"))
+      .select(col("id"), size(col("__ws")).as("n_tokens"),
+        filter(col("__ws"), (w, i) =>
+          i === 0 || w =!= get(col("__ws"), i - 1)).as("__kept"))
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).as("n_collapsed"),
+        md5(array_join(col("__kept"), " ")).as("clean_hash"))
+  }
+
   case class PackIn(shard: String, id: Long, tok: Long)
   case class PackOut(shard: String, id: Long, n_tokens: Long,
     bin_id: Long, bin_pos: Long)

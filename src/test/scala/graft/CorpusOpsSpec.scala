@@ -219,6 +219,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- monitoring ----------------------------------------------------------
 
+  test("collapseRepeats drops only IMMEDIATE duplicate tokens") {
+    val df = Seq(
+      (1L, "a b b b c b"), // -> "a b c b": non-adjacent repeat survives
+      (2L, "x x"),         // -> "x"
+      (3L, "no repeats here")).toDF("doc_id", "text")
+    val out = TextOps.collapseRepeats(df, "doc_id", "text")
+      .orderBy("id").select("n_tokens", "n_collapsed", "clean_hash")
+      .as[(Int, Int, String)].collect()
+    assert(out(0) === ((6, 2, md5Hex("a b c b"))))
+    assert(out(1) === ((2, 1, md5Hex("x"))))
+    assert(out(2) === ((3, 0, md5Hex("no repeats here"))))
+  }
+
+  test("catalogGrowth: first-write day counts and running total") {
+    val samples = Seq(
+      (1L, 0L), (1L, 200L),                  // series 1 first on day 0
+      (2L, 86400000000000L + 5L),            // series 2 first on day 1
+      (3L, 86400000000000L * 2),             // series 3 first on day 2
+      (4L, 86400000000000L * 2 + 7L))        // series 4 first on day 2
+      .toDF("series_id", "ts").withColumn("value", lit(1.0))
+    val out = graft.ops.Monitoring.catalogGrowth(samples)
+      .orderBy("day_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 4L)))
+  }
+
   test("staleSeries: stale and never-wrote flagged; live series pass") {
     val series = Seq(
       (1L, "m user=1", "m"), (2L, "m user=2", "m"), (3L, "m user=3", "m"))
