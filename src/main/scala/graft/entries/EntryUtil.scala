@@ -54,6 +54,14 @@ object EntryUtil {
          ELSE text END AS text
        FROM documents"""
 
+  /** SQL mirror of [[graft.pipeline.Similarity.srpBucket]]
+    * (VectorExpressions.VecSrpBucket): bit j set when embedding[j+1] > 0.
+    * One generator for every oracle that buckets by SRP sign. */
+  def srpSql(bits: Int, embExpr: String = "embedding"): String =
+    (0 until bits).map(j =>
+        s"CASE WHEN $embExpr[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString("(", "\n      + ", ")")
+
   /** DuckDB list-arithmetic mirrors of
     * [[graft.functions.VectorExpressions]] — list_sum folds in list
     * order, matching VecDot's sequential fold bit-for-bit. */

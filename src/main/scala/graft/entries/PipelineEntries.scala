@@ -316,13 +316,7 @@ object PipelineEntries {
   private val cosSql =
     "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)"
 
-  private val srp6 =
-    """(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
-      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
-      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)"""
+  private val srp6 = EntryUtil.srpSql(6)
 
   private def dist(a: String, b: String) = EntryUtil.sqlDist(a, b)
 

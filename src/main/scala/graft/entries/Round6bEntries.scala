@@ -188,6 +188,20 @@ object Round6bEntries {
         .orderBy("shard", "seq")
     }),
 
+    // multi-probe SRP kNN: each query also probes the 6 buckets one
+    // flipped sign bit away — recall approaches brute force while the
+    // scored fraction stays ~7/64 of the corpus; fan-out is query-side
+    "emb_knn_multiprobe" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnMultiprobe(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 1, bits = 6)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // the de-looping edit: consecutive duplicate tokens collapse to one
     // (stutter artifacts); the cleaned text's md5 locks the edit
     "docs_collapse_repeats" -> ((s, dir) =>
@@ -456,6 +470,26 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // query buckets expand via xor over [0, 1<<0 .. 1<<5]; corpus keeps
+    // one bucket per vector so the probe join needs no pair dedup
+    "emb_knn_multiprobe" -> {
+      val flipList = (0L +: (0 until 6).map(j => 1L << j)).mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT vec_id, embedding, ${EntryUtil.srpSql(6)} AS bucket
+                     FROM embeddings),
+           q0 AS (SELECT * FROM c WHERE vec_id < 10),
+           q AS (SELECT vec_id, embedding, xor(bucket, t.f) AS bucket
+                 FROM q0, UNNEST($flipList) AS t(f))
+         SELECT * FROM (
+           SELECT q.vec_id AS qid, b.vec_id AS id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+           FROM q JOIN c b ON q.bucket = b.bucket AND q.vec_id != b.vec_id)
+         WHERE rank <= 1 ORDER BY qid, rank"""
+    },
 
     // 1-based list_filter index: i = 1 keeps the first token; ws[i-1]
     // at i = 1 is NULL so the <> is NULL and OR short-circuits true —

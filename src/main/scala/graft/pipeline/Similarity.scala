@@ -72,6 +72,33 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-probe variant of [[knnBucketed]] (Lv et al. 2007,
+    * "Multi-Probe LSH"): each query probes its own SRP bucket plus every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall/cost lever: the scored fraction grows to ~(bits+1)/2^bits of
+    * the corpus while recall approaches brute force (a near neighbor on
+    * the far side of ONE projection boundary is found; [[knnBucketed]]
+    * misses it). The probe fan-out is QUERY-side only (bits+1 broadcast
+    * rows per query); each corpus vector keeps exactly one bucket, so
+    * probe buckets partition the corpus and no pair dedup is needed. */
+  def knnMultiprobe(
+      corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 6,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("ce"),
+      srpBucket(col(embCol), bits).as("bucket"))
+    val flips = array((lit(0L) +: (0 until bits).map(j => lit(1L << j))): _*)
+    val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"),
+        srpBucket(col(embCol), bits).as("__b0"))
+      .withColumn("__flip", explode(flips))
+      .withColumn("bucket", col("__b0").bitwiseXOR(col("__flip")))
+      .drop("__b0", "__flip")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
+    topK(scored, k)
+  }
+
   /** Deterministic Lloyd's k-means codebook: init = the `nlist` lowest-id
     * vectors, then `iters` rounds of (argmin assignment, per-cell
     * element-wise mean). Centroid coordinates are rounded to 6 decimals

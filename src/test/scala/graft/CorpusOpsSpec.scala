@@ -219,6 +219,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- monitoring ----------------------------------------------------------
 
+  test("multi-probe SRP finds the neighbor one sign-bit away that single-probe misses") {
+    // query q and its near neighbor n differ ONLY in dim 1's sign (one
+    // Hamming bit); decoy d shares q's bucket but is far away
+    val corpus = Seq(
+      (1L, Array(0.1f, 1f, 1f, 1f)),     // n: bucket flips bit 0
+      (2L, Array(-9f, 9f, 0.1f, 0.1f)))  // d: q's exact bucket, low cosine
+      .toDF("id", "embedding")
+    val q = Seq((10L, Array(-0.1f, 1f, 1f, 1f))).toDF("qid", "embedding")
+    val single = graft.pipeline.Similarity
+      .knnBucketed(corpus, q, k = 1, bits = 4)
+      .select("id").as[Long].collect()
+    val multi = graft.pipeline.Similarity
+      .knnMultiprobe(corpus, q, k = 1, bits = 4)
+      .select("id").as[Long].collect()
+    assert(single.toSeq === Seq(2L)) // stuck with the in-bucket decoy
+    assert(multi.toSeq === Seq(1L)) // the flipped-bit neighbor wins
+  }
+
   test("collapseRepeats drops only IMMEDIATE duplicate tokens") {
     val df = Seq(
       (1L, "a b b b c b"), // -> "a b c b": non-adjacent repeat survives
