@@ -217,6 +217,87 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._2).toSet === Set(3L, 6L))
   }
 
+  // ---- model-based randomized checks ---------------------------------------
+
+  private def rng(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  test("packGreedyBins matches the reference fold on randomized shards") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val r = rng(seed)
+      val rows = (1L to 80L).map(i =>
+        (s"s${math.floorMod(r.next(), 4)}", i, 1L + math.floorMod(r.next(), 40)))
+      val budget = 64L
+      val out = TextOps.packGreedyBins(
+          rows.toDF("source", "doc_id", "tok"), "source", "doc_id", "tok", budget)
+        .select("shard", "id", "bin_id", "bin_pos")
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+      // reference: per shard, in id order, the literal greedy fold
+      rows.groupBy(_._1).foreach { case (shard, rs) =>
+        var bin = 0L; var fill = 0L
+        rs.sortBy(_._2).foreach { case (_, id, tok) =>
+          if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0 }
+          assert(out((shard, id)) === ((bin, fill)),
+            s"seed=$seed shard=$shard id=$id")
+          fill += tok
+        }
+      }
+    }
+  }
+
+  test("segmentDedup matches the reference model on randomized corpora") {
+    for (seed <- Seq(7L, 8L)) {
+      val r = rng(seed)
+      // tiny vocabulary + short docs force genuine cross-doc segment hits
+      val docs = (1L to 40L).map { i =>
+        val n = 3 + math.floorMod(r.next(), 7).toInt
+        (i, (0 until n).map(_ => s"w${math.floorMod(r.next(), 5)}").mkString(" "))
+      }
+      val k = 3
+      def segsOf(t: String): Seq[String] =
+        t.split(" ", -1).grouped(k).map(_.mkString(" ")).toSeq
+      val dup = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = docs.map { case (id, t) =>
+        val segs = segsOf(t)
+        val kept = segs.filterNot(dup)
+        id -> ((segs.size.toLong, (segs.size - kept.size).toLong,
+          md5Hex(kept.mkString(" "))))
+      }.toMap
+      val out = TextOps.segmentDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", segTokens = k, minDocs = 2)
+        .select("id", "n_segments", "n_removed", "clean_hash")
+        .as[(Long, Long, Long, String)].collect()
+      out.foreach { case (id, n, rm, h) =>
+        assert(expected(id) === ((n, rm, h)), s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("collapseRepeats matches the reference fold on randomized texts") {
+    val r = rng(11L)
+    val docs = (1L to 60L).map { i =>
+      val n = 1 + math.floorMod(r.next(), 8).toInt
+      (i, (0 until n).map(_ => s"t${math.floorMod(r.next(), 3)}").mkString(" "))
+    }
+    def collapse(t: String): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq
+      ws.headOption.toSeq ++ ws.sliding(2).collect {
+        case Seq(a, b) if a != b => b
+      }
+    }
+    val expected = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> ((ws.length, ws.length - collapse(t).size,
+        md5Hex(collapse(t).mkString(" "))))
+    }.toMap
+    TextOps.collapseRepeats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "n_tokens", "n_collapsed", "clean_hash")
+      .as[(Long, Int, Int, String)].collect()
+      .foreach { case (id, n, c, h) => assert(expected(id) === ((n, c, h)), s"id=$id") }
+  }
+
   // ---- monitoring ----------------------------------------------------------
 
   test("multi-probe SRP finds the neighbor one sign-bit away that single-probe misses") {
