@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 import EntryUtil.QueryFn
 import graft.pipeline.TextOps
 
-/** Round-6 continuation entries: the mixture-design / corpus-hygiene
-  * operators a training-data owner runs between dedup and export —
-  * Gopher rule gates (hard boolean filters), temperature mixture
-  * reweighting (the sampling recipe), vocabulary OOV coverage,
-  * deterministic shard shuffle (training order), and segment-level
-  * corpus dedup (the RefinedWeb line-dedup rule as an EDIT, not a
-  * score). All DuckDB-oracle-checked with identical arithmetic.
+/** Round-6 continuation entries: the mixture-design / corpus-hygiene /
+  * export / monitoring operators a training-data owner runs around the
+  * dedup core — Gopher rule gates, temperature mixture reweighting,
+  * OOV coverage, shard shuffle, segment-level dedup and repeat-collapse
+  * EDITS (cleaned text md5-locked), an in-engine trained quality
+  * classifier (integer-exact GD, full training run replayed CTE-for-CTE)
+  * with a streaming gate, greedy boundary-respecting packing, the
+  * composed export manifest, multi-probe SRP kNN, per-cell embedding
+  * outliers, ingest drift, and TSDB operational monitoring (staleness,
+  * tag cardinality, catalog churn) plus a stateless stream-static asof.
+  * All DuckDB-oracle-checked with identical arithmetic.
   */
 object Round6bEntries {
 
