@@ -192,6 +192,14 @@ object Round6bEntries {
         .orderBy("shard", "seq")
     }),
 
+    // shared-winnowing-fingerprint pairs: the plagiarism detector —
+    // long shared passages surface even when whole-doc Jaccard is
+    // diluted; capped posting arrays, in-row pair expansion
+    "docs_winnow_pairs" -> ((s, dir) =>
+      graft.pipeline.Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+          k = 3, w = 4, minShared = 8, maxFpFreq = Some(128))
+        .orderBy("id_a", "id_b")),
+
     // multi-probe SRP kNN: each query also probes the 6 buckets one
     // flipped sign bit away — recall approaches brute force while the
     // scored fraction stays ~7/64 of the corpus; fan-out is query-side
@@ -474,6 +482,28 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // docs_winnow's selection CTE (k=3 shingles, w=4 window minima),
+    // then capped-frequency posting self-join and the shared count
+    "docs_winnow_pairs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                     FROM documents),
+           sh AS (SELECT doc_id, i - 1 AS pos,
+               ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
+             FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+           sel AS (SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+             FROM sh),
+           wn AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= 3),
+           freq AS (SELECT fp, count(*) AS df FROM wn GROUP BY fp),
+           wp AS (SELECT wn.doc_id, wn.fp FROM wn JOIN freq USING (fp)
+                  WHERE df <= 128)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared
+         FROM wp a JOIN wp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 8
+         ORDER BY id_a, id_b""",
 
     // query buckets expand via xor over [0, 1<<0 .. 1<<5]; corpus keeps
     // one bucket per vector so the probe join needs no pair dedup

@@ -131,6 +131,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Candidate near-dup pairs via shared WINNOWING fingerprints — the
+    * document-pair use Schleimer et al. 2003 built winnowing for
+    * (plagiarism / shared-passage detection): pairs of documents sharing
+    * >= `minShared` distinct selected fingerprints. Winnowing's
+    * guarantee — any shared run of w+k−1 words shares a fingerprint —
+    * makes this catch LONG LOCAL overlaps that whole-document Jaccard
+    * dilutes away when the rest of the documents differ.
+    *
+    * Same capped posting-array shape as [[jaccardPairs]] (in-row pair
+    * expansion per fingerprint, hot fingerprints dropped before any
+    * fan-out), over a fingerprint set ~1/w the size of the shingle
+    * set — proportionally cheaper at corpus scale. */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxFpFreq: Option[Int] = Some(128)): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val grouped = TextOps.winnow(df, idCol, textCol, k, w)
+      .groupBy("fingerprint").agg(collect_list(col("id")).as("ids"))
+    val pruned = maxFpFreq match {
+      case None => grouped
+      case Some(cap) => grouped.where(size(col("ids")) <= cap)
+    }
+    pruned
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Containment pairs — |A∩B| / |A| per ORDERED pair (a, b), kept when
     * it clears `threshold`: detects a document CONTAINED in another
     * (quotes, snippets, a page embedded in a crawl of its aggregator),

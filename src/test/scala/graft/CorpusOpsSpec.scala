@@ -300,6 +300,19 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- monitoring ----------------------------------------------------------
 
+  test("winnowPairs surfaces a shared run of w+k-1 words; disjoint docs stay apart") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 words
+    val df = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five six seven $shared eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.winnowPairs(df, "doc_id", "text",
+        k = 3, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L))) // the guarantee, and only the guarantee
+  }
+
   test("multi-probe SRP finds the neighbor one sign-bit away that single-probe misses") {
     // query q and its near neighbor n differ ONLY in dim 1's sign (one
     // Hamming bit); decoy d shares q's bucket but is far away
