@@ -54,6 +54,23 @@ object EntryUtil {
          ELSE text END AS text
        FROM documents"""
 
+  /** SQL replay of [[graft.pipeline.TextOps.winnow]]'s selection over
+    * the documents table: positional k-shingle hashes, per-doc w-window
+    * minima. Returns the CTE chain `w, sh, sel`; consumers take
+    * `SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= w-1` (full
+    * windows only). One generator for every winnowing oracle. */
+  def winnowSelSql(k: Int, w: Int): String = {
+    val shingle = (0 until k)
+      .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, i - 1 AS pos, ${h60Sql(shingle)} AS h
+                FROM w, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)),
+         sel AS (SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
+           FROM sh)"""
+  }
+
   /** SQL mirror of [[graft.pipeline.Similarity.srpBucket]]
     * (VectorExpressions.VecSrpBucket): bit j set when embedding[j+1] > 0.
     * One generator for every oracle that buckets by SRP sign. */

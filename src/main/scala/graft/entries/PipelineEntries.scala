@@ -640,14 +640,7 @@ object PipelineEntries {
          FROM sh GROUP BY doc_id ORDER BY id""",
 
     "docs_winnow" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-           sh AS (SELECT doc_id, i - 1 AS pos,
-               ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
-             FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-           sel AS (SELECT doc_id, pos,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-             FROM sh)
+      s"""WITH ${EntryUtil.winnowSelSql(3, 4)}
          SELECT DISTINCT doc_id AS id, fp AS fingerprint
          FROM sel WHERE pos >= 3 ORDER BY id, fingerprint""",
 

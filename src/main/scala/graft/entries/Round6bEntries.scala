@@ -483,18 +483,11 @@ object Round6bEntries {
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
 
-    // docs_winnow's selection CTE (k=3 shingles, w=4 window minima),
-    // then capped-frequency posting self-join and the shared count
+    // the SHARED winnowing-selection generator (k=3, w=4 — one
+    // definition with docs_winnow's oracle), then capped-frequency
+    // posting self-join and the shared count
     "docs_winnow_pairs" ->
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-                     FROM documents),
-           sh AS (SELECT doc_id, i - 1 AS pos,
-               ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")} AS h
-             FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
-           sel AS (SELECT doc_id, pos,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
-             FROM sh),
+      s"""WITH ${EntryUtil.winnowSelSql(3, 4)},
            wn AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= 3),
            freq AS (SELECT fp, count(*) AS df FROM wn GROUP BY fp),
            wp AS (SELECT wn.doc_id, wn.fp FROM wn JOIN freq USING (fp)

@@ -97,25 +97,33 @@ object Dedup {
     * ON by default: an unbounded shingle self-join is a scale-killer (one
     * shingle shared by f docs fans out f² join rows); pass `None` only
     * for corpora known to be boilerplate-free. */
+  /** In-row posting-list pair expansion — the ONE spine of every pair
+    * operator here ([[jaccardPairs]], [[containmentPairs]],
+    * [[winnowPairs]], the LSH candidate pass): group (key, id) rows into
+    * per-key id arrays, drop hot keys (`cap` — the quadratic-blow-up
+    * guard, a free `size(ids) <= cap` filter on the aggregated array),
+    * and expand candidate pairs in-row (<= cap² rows per key) instead of
+    * a corpus-scale hash self-join — two shuffles fewer than the join
+    * form. `ordered = true` keeps both directions (containment);
+    * otherwise id_a < id_b. Returns raw expanded pairs — callers
+    * aggregate (co-occurrence counts) or distinct (LSH candidates). */
+  private def postingPairs(src: DataFrame, keyCol: String,
+      cap: Option[Int], ordered: Boolean = false): DataFrame = {
+    val grouped = src.groupBy(keyCol).agg(collect_list(col("id")).as("ids"))
+    val pruned = cap.fold(grouped)(c => grouped.where(size(col("ids")) <= c))
+    pruned
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(if (ordered) col("id_a") =!= col("id_b")
+        else col("id_a") < col("id_b"))
+  }
+
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
-    // one groupBy turns the posting list of each shingle into a doc-id
-    // array; the hot-shingle cap is then a free `size(ids) <= cap` filter
-    // (no separate count + anti-join pass), and candidate pairs expand
-    // IN-ROW from each array (<= cap² per shingle) instead of a
-    // 1M×1M hash self-join — two shuffles fewer than the join form
-    val grouped = shingleHashes(df, idCol, textCol, k)
-      .groupBy("h").agg(collect_list(col("id")).as("ids"))
-    val pruned = maxShingleFreq match {
-      case None => grouped
-      case Some(cap) => grouped.where(size(col("ids")) <= cap)
-    }
-    val inter = pruned
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    val inter = postingPairs(shingleHashes(df, idCol, textCol, k), "h",
+        maxShingleFreq)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     // the shingling kernel dedups within the document, so the per-doc
@@ -142,22 +150,19 @@ object Dedup {
     * Same capped posting-array shape as [[jaccardPairs]] (in-row pair
     * expansion per fingerprint, hot fingerprints dropped before any
     * fan-out), over a fingerprint set ~1/w the size of the shingle
-    * set — proportionally cheaper at corpus scale. */
+    * set — proportionally cheaper at corpus scale.
+    *
+    * The default `minShared = 1` keeps the guarantee's minimal case (a
+    * single shared w+k−1 run yields exactly one shared fingerprint);
+    * raise it to demand longer/multiple overlaps when single-fingerprint
+    * coincidences are too noisy for the corpus. */
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      k: Int = 3, w: Int = 4, minShared: Int = 1,
       maxFpFreq: Option[Int] = Some(128)): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val grouped = TextOps.winnow(df, idCol, textCol, k, w)
-      .groupBy("fingerprint").agg(collect_list(col("id")).as("ids"))
-    val pruned = maxFpFreq match {
-      case None => grouped
-      case Some(cap) => grouped.where(size(col("ids")) <= cap)
-    }
-    pruned
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    postingPairs(TextOps.winnow(df, idCol, textCol, k, w), "fingerprint",
+        maxFpFreq)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
@@ -180,16 +185,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,
       maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
-    val grouped = shingleHashes(df, idCol, textCol, k)
-      .groupBy("h").agg(collect_list(col("id")).as("ids"))
-    val pruned = maxShingleFreq match {
-      case None => grouped
-      case Some(cap) => grouped.where(size(col("ids")) <= cap)
-    }
-    val inter = pruned
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") =!= col("id_b")) // ordered: both directions kept
+    val inter = postingPairs(shingleHashes(df, idCol, textCol, k), "h",
+        maxShingleFreq, ordered = true) // both directions kept
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"))
     val sizes = df.select(col(idCol).as("id"),
@@ -305,12 +302,10 @@ object Dedup {
     // band bucket, candidate pairs expand in-row from each bucket's id
     // array (LSH buckets are small by design — that is the point of the
     // banding), then distinct across bands
-    val buckets = sig.select(col("id"), explode(array(bandCols(numPerm, bands): _*)).as("bk"))
-      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
-    val cand = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    val cand = postingPairs(
+        sig.select(col("id"),
+          explode(array(bandCols(numPerm, bands): _*)).as("bk")),
+        "bk", cap = None)
       .distinct()
     val sets = sig.select(col("id"), col("set"))
     cand

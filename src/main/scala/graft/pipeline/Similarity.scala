@@ -57,20 +57,13 @@ object Similarity {
     graft.functions.VectorExpressions.vecSrpBucket(emb, bits)
 
   /** ANN top-k restricted to the query's SRP bucket. Same output shape as
-    * [[knnBrute]]; vectors in other buckets are never scored (recall<1). */
+    * [[knnBrute]]; vectors in other buckets are never scored (recall<1).
+    * The zero-flip case of [[knnMultiprobe]] — one probe path for both. */
   def knnBucketed(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 6,
       idCol: String = "id", qidCol: String = "qid",
-      embCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(embCol).as("ce"),
-      srpBucket(col(embCol), bits).as("bucket"))
-    val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"),
-      srpBucket(col(embCol), bits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
-    topK(scored, k)
-  }
+      embCol: String = "embedding"): DataFrame =
+    knnSrp(corpus, queries, k, bits, Seq(0L), idCol, qidCol, embCol)
 
   /** Multi-probe variant of [[knnBucketed]] (Lv et al. 2007,
     * "Multi-Probe LSH"): each query probes its own SRP bucket plus every
@@ -84,10 +77,21 @@ object Similarity {
   def knnMultiprobe(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 6,
       idCol: String = "id", qidCol: String = "qid",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    knnSrp(corpus, queries, k, bits,
+      0L +: (0 until bits).map(j => 1L << j), idCol, qidCol, embCol)
+
+  /** The one SRP probe path behind [[knnBucketed]] and [[knnMultiprobe]]:
+    * corpus keyed by its single bucket; queries expanded over
+    * `probeFlips` (bucket XOR flip — {0} = single probe); broadcast
+    * bucket equi-join, self-exclusion, cosine top-k. */
+  private def knnSrp(
+      corpus: DataFrame, queries: DataFrame, k: Int, bits: Int,
+      probeFlips: Seq[Long], idCol: String, qidCol: String,
+      embCol: String): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(embCol).as("ce"),
       srpBucket(col(embCol), bits).as("bucket"))
-    val flips = array((lit(0L) +: (0 until bits).map(j => lit(1L << j))): _*)
+    val flips = array(probeFlips.map(lit): _*)
     val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"),
         srpBucket(col(embCol), bits).as("__b0"))
       .withColumn("__flip", explode(flips))
