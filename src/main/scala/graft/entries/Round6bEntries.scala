@@ -192,6 +192,44 @@ object Round6bEntries {
         .orderBy("shard", "seq")
     }),
 
+    // robust anomaly detection: |x - median| > 3·MAD per series
+    // (Hampel's identifier) — exact percentiles, flags on the raw
+    // statistics, only the anomalous samples emitted
+    "ts_anomaly_mad" -> ((s, dir) => {
+      val clicks = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string"))
+          .as("name"), col("ts"), col("value"))
+      graft.ops.Monitoring.madAnomalies(clicks, keyCol = "name", c = 3.0)
+        .where(col("is_anomaly"))
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+        .orderBy("name", "ts_us", "value")
+    }),
+
+    // the same rule flagging ONLINE: a real streaming query joins each
+    // micro-batch against the broadcast med/MAD index (model offline,
+    // flag in-flight — stateless, like the classifier gate)
+    "stream_anomaly" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val hist = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("click user="), col("user_id").cast("string"))
+          .as("name"), col("value"))
+      val idx = graft.ops.Monitoring.madIndex(hist, keyCol = "name").cache()
+      try {
+        EntryUtil.runStreamEntry(s, "stream_anomaly_sink",
+          EntryUtil.clickRows(s, dir), chunks = 4,
+          cols = Seq("name", "ts", "value"),
+          mkStream = graft.streaming.TsdbStream.flagAnomalies(_, idx, c = 3.0))
+          .select(col("name"), expr("ts div 1000").as("ts_us"),
+            round(col("value"), 6).as("value"))
+          .orderBy("name", "ts_us", "value")
+      } finally idx.unpersist(false)
+    }),
+
     // shared-winnowing-fingerprint pairs: the plagiarism detector —
     // long shared passages surface even when whole-doc Jaccard is
     // diluted; capped posting arrays, in-row pair expansion
@@ -302,6 +340,23 @@ object Round6bEntries {
   )
 
   private def h60(s: String): String = EntryUtil.h60Sql(s)
+
+  /** The ONE med/MAD anomaly replay (batch and streaming entries differ
+    * only in their SELECT list): per-series exact medians, Hampel flag
+    * at 3·MAD on the raw statistics. */
+  private def AnomalySql(selectList: String): String =
+    s"""WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+             ts, value
+           FROM events WHERE event_type = 'click'),
+         med AS (SELECT name, quantile_cont(value, 0.5) AS med
+                 FROM s GROUP BY name),
+         mad AS (SELECT s.name, m.med,
+             quantile_cont(abs(s.value - m.med), 0.5) AS mad
+           FROM s JOIN med m USING (name) GROUP BY s.name, m.med)
+       $selectList
+       FROM s JOIN mad m USING (name)
+       WHERE abs(s.value - m.med) > 3 * m.mad
+       ORDER BY name, ts_us, value"""
 
   private val stopList =
     TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")
@@ -482,6 +537,16 @@ object Round6bEntries {
            FROM mf
            WHERE round(0.5 + 0.5 * m / (1 + abs(m)), 6) >= 0.5
            ORDER BY id"""),
+
+    // Spark percentile() and DuckDB quantile_cont share exact linear
+    // interpolation (docs_length_quantiles precedent); the flag
+    // compares the RAW statistics in both engines
+    "ts_anomaly_mad" -> AnomalySql(
+      """SELECT s.name, epoch_us(s.ts) AS ts_us, round(s.value, 6) AS value,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad"""),
+
+    "stream_anomaly" -> AnomalySql(
+      "SELECT s.name, epoch_us(s.ts) AS ts_us, round(s.value, 6) AS value"),
 
     // the SHARED winnowing-selection generator (k=3, w=4 — one
     // definition with docs_winnow's oracle), then capped-frequency

@@ -44,6 +44,33 @@ object Monitoring {
       .withColumn("total_series", sum(col("new_series")).over(w))
   }
 
+  /** Per-series robust statistics index: median and MAD (median absolute
+    * deviation) of each series' values — the outlier-immune location and
+    * scale estimates behind [[madAnomalies]] (a mean/σ index would be
+    * dragged by the very outliers it hunts). Two exact-percentile
+    * aggregation passes, both series-keyed and partial-aggregatable in
+    * the percentile buffer sense; the result is one row per series — an
+    * index-build artifact a deployment persists and the streaming flag
+    * path broadcasts ([[graft.streaming.TsdbStream.flagAnomalies]]). */
+  def madIndex(samples: DataFrame, keyCol: String = "series_id"): DataFrame = {
+    val med = samples.groupBy(keyCol)
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    samples.join(med, keyCol)
+      .groupBy(keyCol, "med")
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+  }
+
+  /** Robust anomaly flags: a sample is anomalous when
+    * |x − median| > c · MAD — the standard robust outlier rule
+    * (Hampel's identifier at c ≈ 3). Flags ride the raw (unrounded)
+    * statistics so the compare is cross-engine exact; the index join is
+    * keyed on the column both sides aggregate by. */
+  def madAnomalies(samples: DataFrame, keyCol: String = "series_id",
+      c: Double = 3.0): DataFrame =
+    samples.join(madIndex(samples, keyCol), Seq(keyCol))
+      .withColumn("is_anomaly",
+        abs(col("value") - col("med")) > col("mad") * c)
+
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value
     * explosions (the failure mode that melts every TSDB's index; the

@@ -246,6 +246,19 @@ object TsdbStream {
       .drop("__r_name", "__r_ts", "__r_val", "__i")
   }
 
+  /** Flag anomalous samples in-flight against a broadcast robust-stats
+    * index ([[graft.ops.Monitoring.madIndex]] rows: name, med, mad):
+    * keep samples with |x − med| > c·MAD. STATELESS — model offline,
+    * flag online, the same static-index-probe shape as [[asofStatic]]
+    * and [[incrementalDedup]]; series absent from the index pass
+    * through unflagged (no history → no baseline → dropped from the
+    * anomaly stream, not guessed at). */
+  def flagAnomalies(stream: DataFrame, index: DataFrame,
+      c: Double = 3.0): DataFrame =
+    stream.join(broadcast(index), Seq("name"))
+      .where(abs(col("value") - col("med")) > col("mad") * c)
+      .drop("med", "mad")
+
   case class EwmaRow(name: String, ts: Long, value: Double)
   case class EwmaOut(name: String, ts: Long, value: Double, ewma: Double)
   case class EwmaSt(v: Double, n: Long)

@@ -356,6 +356,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 2L, 4L)))
   }
 
+  test("madIndex/madAnomalies: robust stats flag the outlier, not the bulk") {
+    val df = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0),
+      (1L, 40L, 100.0)).toDF("series_id", "ts", "value")
+    val idx = graft.ops.Monitoring.madIndex(df)
+      .as[(Long, Double, Double)].head()
+    assert(idx === ((1L, 2.5, 1.0))) // med of [1,2,3,100]; mad of devs
+    val flagged = graft.ops.Monitoring.madAnomalies(df)
+      .where(col("is_anomaly")).select("value").as[Double].collect()
+    assert(flagged.toSeq === Seq(100.0)) // the mean/sigma rule would
+    // have been dragged toward the outlier; MAD is not
+  }
+
+  test("flagAnomalies streams statelessly against the broadcast index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val idx = graft.ops.Monitoring.madIndex(
+      Seq(("a", 0L, 1.0), ("a", 1L, 2.0), ("a", 2L, 3.0))
+        .toDF("name", "ts", "value"), keyCol = "name")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = graft.streaming.TsdbStream.flagAnomalies(
+        in.toDF().toDF("name", "ts", "value"), idx, c = 3.0)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", 10L, 2.5), ("a", 11L, 50.0), ("x", 12L, 1e9))
+      q.processAllAvailable()
+      val rows = spark.table("anom_out").select("name", "value")
+        .as[(String, Double)].collect().toSeq
+      // 2.5 is in-band; 50 flags; series x has no baseline -> dropped
+      assert(rows === Seq(("a", 50.0)))
+    } finally q.stop()
+  }
+
   test("staleSeries: stale and never-wrote flagged; live series pass") {
     val series = Seq(
       (1L, "m user=1", "m"), (2L, "m user=2", "m"), (3L, "m user=3", "m"))
