@@ -56,9 +56,10 @@ object EntryUtil {
 
   /** SQL replay of [[graft.pipeline.TextOps.winnow]]'s selection over
     * the documents table: positional k-shingle hashes, per-doc w-window
-    * minima. Returns the CTE chain `w, sh, sel`; consumers take
-    * `SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= w-1` (full
-    * windows only). One generator for every winnowing oracle. */
+    * minima, FULL windows only. Returns the CTE chain `w, sh, sel, wn`
+    * where `wn` is the distinct (doc_id, fp) fingerprint set — consumers
+    * read `wn` so the full-window filter (`pos >= w-1`) has exactly one
+    * definition. */
   def winnowSelSql(k: Int, w: Int): String = {
     val shingle = (0 until k)
       .map(j => if (j == 0) "ws[i]" else s"ws[i+$j]").mkString(" || ' ' || ")
@@ -68,7 +69,8 @@ object EntryUtil {
          sel AS (SELECT doc_id, pos,
              min(h) OVER (PARTITION BY doc_id ORDER BY pos
                ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS fp
-           FROM sh)"""
+           FROM sh),
+         wn AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= ${w - 1})"""
   }
 
   /** SQL mirror of [[graft.pipeline.Similarity.srpBucket]]

@@ -641,8 +641,8 @@ object PipelineEntries {
 
     "docs_winnow" ->
       s"""WITH ${EntryUtil.winnowSelSql(3, 4)}
-         SELECT DISTINCT doc_id AS id, fp AS fingerprint
-         FROM sel WHERE pos >= 3 ORDER BY id, fingerprint""",
+         SELECT doc_id AS id, fp AS fingerprint
+         FROM wn ORDER BY id, fingerprint""",
 
     "docs_pii" -> {
       val counts = TextOps.PiiPatterns.map { case (name, re) =>

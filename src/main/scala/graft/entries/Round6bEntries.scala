@@ -343,15 +343,18 @@ object Round6bEntries {
 
   /** The ONE med/MAD anomaly replay (batch and streaming entries differ
     * only in their SELECT list): per-series exact medians, Hampel flag
-    * at 3·MAD on the raw statistics. */
+    * at 3·MAD. Both statistics round to 6dp BEFORE any downstream use —
+    * quantile_cont and Spark's percentile interpolate in different IEEE
+    * op orders, so a raw-valued flag compare could split on the last
+    * ulp (mirrors Monitoring.madIndex exactly). */
   private def AnomalySql(selectList: String): String =
     s"""WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
              ts, value
            FROM events WHERE event_type = 'click'),
-         med AS (SELECT name, quantile_cont(value, 0.5) AS med
+         med AS (SELECT name, round(quantile_cont(value, 0.5), 6) AS med
                  FROM s GROUP BY name),
          mad AS (SELECT s.name, m.med,
-             quantile_cont(abs(s.value - m.med), 0.5) AS mad
+             round(quantile_cont(abs(s.value - m.med), 0.5), 6) AS mad
            FROM s JOIN med m USING (name) GROUP BY s.name, m.med)
        $selectList
        FROM s JOIN mad m USING (name)
@@ -553,7 +556,6 @@ object Round6bEntries {
     // posting self-join and the shared count
     "docs_winnow_pairs" ->
       s"""WITH ${EntryUtil.winnowSelSql(3, 4)},
-           wn AS (SELECT DISTINCT doc_id, fp FROM sel WHERE pos >= 3),
            freq AS (SELECT fp, count(*) AS df FROM wn GROUP BY fp),
            wp AS (SELECT wn.doc_id, wn.fp FROM wn JOIN freq USING (fp)
                   WHERE df <= 128)

@@ -48,23 +48,31 @@ object Monitoring {
     * deviation) of each series' values — the outlier-immune location and
     * scale estimates behind [[madAnomalies]] (a mean/σ index would be
     * dragged by the very outliers it hunts). Two exact-percentile
-    * aggregation passes, both series-keyed and partial-aggregatable in
-    * the percentile buffer sense; the result is one row per series — an
-    * index-build artifact a deployment persists and the streaming flag
-    * path broadcasts ([[graft.streaming.TsdbStream.flagAnomalies]]). */
+    * aggregation passes over a scope-cached projection (the fit and the
+    * deviation pass share one scan); the result is one row per series —
+    * an index-build artifact a deployment persists and the streaming
+    * flag path broadcasts ([[graft.streaming.TsdbStream.flagAnomalies]]).
+    *
+    * Both statistics are ROUNDED to 6 decimals: Spark's percentile and
+    * DuckDB's quantile_cont interpolate with different IEEE op orders,
+    * so a raw-valued threshold compare could flip on the last ulp —
+    * rounding before any downstream compare is the repo-wide convention
+    * (the gopher-rules / length-quantiles precedent). */
   def madIndex(samples: DataFrame, keyCol: String = "series_id"): DataFrame = {
-    val med = samples.groupBy(keyCol)
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    samples.join(med, keyCol)
+    val cached = graft.pipeline.Dedup.scopedCache(samples)
+    val med = cached.groupBy(keyCol)
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    cached.join(med, keyCol)
       .groupBy(keyCol, "med")
-      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
   }
 
   /** Robust anomaly flags: a sample is anomalous when
     * |x − median| > c · MAD — the standard robust outlier rule
-    * (Hampel's identifier at c ≈ 3). Flags ride the raw (unrounded)
-    * statistics so the compare is cross-engine exact; the index join is
-    * keyed on the column both sides aggregate by. */
+    * (Hampel's identifier at c ≈ 3), evaluated on [[madIndex]]'s rounded
+    * statistics so the compare cannot split on cross-engine percentile
+    * ulp; the index join is keyed on the column both sides aggregate
+    * by. */
   def madAnomalies(samples: DataFrame, keyCol: String = "series_id",
       c: Double = 3.0): DataFrame =
     samples.join(madIndex(samples, keyCol), Seq(keyCol))

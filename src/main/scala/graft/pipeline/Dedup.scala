@@ -90,13 +90,6 @@ object Dedup {
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     shingles(df, idCol, textCol, k).select(col("id"), hash60(col("shingle")).as("h"))
 
-  /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
-    * `maxShingleFreq` drops shingles shared by more than that many docs
-    * before the self-join — the standard guard against quadratic blow-up
-    * on boilerplate shingles (they contribute little to Jaccard anyway).
-    * ON by default: an unbounded shingle self-join is a scale-killer (one
-    * shingle shared by f docs fans out f² join rows); pass `None` only
-    * for corpora known to be boilerplate-free. */
   /** In-row posting-list pair expansion — the ONE spine of every pair
     * operator here ([[jaccardPairs]], [[containmentPairs]],
     * [[winnowPairs]], the LSH candidate pass): group (key, id) rows into
@@ -118,6 +111,13 @@ object Dedup {
         else col("id_a") < col("id_b"))
   }
 
+  /** Exact n-gram Jaccard similarity pairs (id_a < id_b, jac >= threshold).
+    * `maxShingleFreq` drops shingles shared by more than that many docs
+    * before the self-join — the standard guard against quadratic blow-up
+    * on boilerplate shingles (they contribute little to Jaccard anyway).
+    * ON by default: an unbounded shingle self-join is a scale-killer (one
+    * shingle shared by f docs fans out f² join rows); pass `None` only
+    * for corpora known to be boilerplate-free. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, threshold: Double,

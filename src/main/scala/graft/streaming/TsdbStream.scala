@@ -250,9 +250,9 @@ object TsdbStream {
     * index ([[graft.ops.Monitoring.madIndex]] rows: name, med, mad):
     * keep samples with |x − med| > c·MAD. STATELESS — model offline,
     * flag online, the same static-index-probe shape as [[asofStatic]]
-    * and [[incrementalDedup]]; series absent from the index pass
-    * through unflagged (no history → no baseline → dropped from the
-    * anomaly stream, not guessed at). */
+    * and [[incrementalDedup]]. Series absent from the index are DROPPED
+    * (no history → no baseline to judge against — the output is the
+    * anomaly stream only, not an annotate-and-forward of all samples). */
   def flagAnomalies(stream: DataFrame, index: DataFrame,
       c: Double = 3.0): DataFrame =
     stream.join(broadcast(index), Seq("name"))
