@@ -67,17 +67,47 @@ object Monitoring {
       .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
   }
 
-  /** Robust anomaly flags: a sample is anomalous when
-    * |x − median| > c · MAD — the standard robust outlier rule
-    * (Hampel's identifier at c ≈ 3), evaluated on [[madIndex]]'s rounded
-    * statistics so the compare cannot split on cross-engine percentile
-    * ulp; the index join is keyed on the column both sides aggregate
-    * by. */
-  def madAnomalies(samples: DataFrame, keyCol: String = "series_id",
-      c: Double = 3.0): DataFrame =
-    samples.join(madIndex(samples, keyCol), Seq(keyCol))
+  /** Bounded-memory twin of [[madIndex]]: the same two exact-percentile
+    * passes over a hash-deterministic row sample (keep a (key, ts) row
+    * when `hash60(key|ts) mod 1e6 < rate·1e6` — the
+    * `docs_length_quantiles_sampled` idiom). The exact form buffers
+    * EVERY value of a series in the percentile aggregation buffer; one
+    * hot series with billions of samples OOMs that buffer at 100 TB.
+    * The sample bounds it by `rate` while staying cross-engine
+    * replayable (unlike `percentile_approx`'s GK sketch, which has no
+    * DuckDB twin) — the reference's own stats never buffer a series
+    * either (block-local SubtreeRef aggregates, nbtree_def.h:47-84).
+    *
+    * Median and MAD are √n-consistent estimators, so the sampled
+    * statistics converge to the exact ones as series grow — exactly the
+    * regime where the exact form stops being runnable. Use the exact
+    * index for bounded series counts; switch to this one (or lower
+    * `rate`) when per-series sample counts are unbounded. */
+  def madIndexSampled(samples: DataFrame, keyCol: String = "series_id",
+      rate: Double = 0.5): DataFrame = {
+    val u = pmod(graft.pipeline.Dedup.hash60(
+        concat(col(keyCol).cast("string"), lit("|"), col("ts").cast("string"))),
+      lit(1000000L))
+    madIndex(samples.where(u < rate * 1000000.0), keyCol)
+  }
+
+  /** Robust anomaly flags against a PREBUILT med/MAD index (either
+    * [[madIndex]] or [[madIndexSampled]] — a deployment persists the
+    * index and scores against it): a sample is anomalous when
+    * |x − median| > c · MAD (Hampel's identifier at c ≈ 3), evaluated on
+    * the index's rounded statistics so the compare cannot split on
+    * cross-engine percentile ulp. Series absent from the index drop out
+    * (inner join): no baseline, no judgement. */
+  def madAnomaliesWith(samples: DataFrame, index: DataFrame,
+      keyCol: String = "series_id", c: Double = 3.0): DataFrame =
+    samples.join(index, Seq(keyCol))
       .withColumn("is_anomaly",
         abs(col("value") - col("med")) > col("mad") * c)
+
+  /** [[madAnomaliesWith]] over a freshly built exact [[madIndex]]. */
+  def madAnomalies(samples: DataFrame, keyCol: String = "series_id",
+      c: Double = 3.0): DataFrame =
+    madAnomaliesWith(samples, madIndex(samples, keyCol), keyCol, c)
 
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value

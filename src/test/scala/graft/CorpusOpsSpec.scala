@@ -493,6 +493,51 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_ === ((1L, md5Hex("")))))
   }
 
+  test("madIndexSampled: sampled stats converge to exact; outlier flags agree") {
+    // the regime the sampled index exists for: a LARGE series (the exact
+    // form's percentile buffer grows with n; the sample bounds it by the
+    // rate). Median/MAD are √n-consistent, so at n = 10k the half-sample
+    // statistics sit within a few percent of exact and both indexes flag
+    // exactly the planted gross outliers. (At the small per-series counts
+    // of the oracle testdata the two flag sets genuinely differ — the
+    // ts_anomaly_mad_sampled entry locks the sampled ARITHMETIC, this
+    // spec locks the convergence contract.)
+    val n = 10000
+    val bulk = (0 until n).map(i => ("s", i.toLong, (i * 37 % 1000) / 10.0))
+    val outliers = (0 until 5).map(i => ("s", (n + i).toLong, 1e6 + i))
+    val df = (bulk ++ outliers).toDF("name", "ts", "value")
+    val exact = graft.ops.Monitoring.madIndex(df, keyCol = "name")
+      .select("med", "mad").as[(Double, Double)].head()
+    val sampled = graft.ops.Monitoring.madIndexSampled(df, keyCol = "name",
+        rate = 0.5)
+      .select("med", "mad").as[(Double, Double)].head()
+    assert(math.abs(sampled._1 - exact._1) / exact._1 < 0.05,
+      s"sampled med ${sampled._1} vs exact ${exact._1}")
+    assert(math.abs(sampled._2 - exact._2) / exact._2 < 0.05,
+      s"sampled mad ${sampled._2} vs exact ${exact._2}")
+    // both indexes flag the 5 planted outliers and nothing else
+    def flags(idx: org.apache.spark.sql.DataFrame) =
+      graft.ops.Monitoring.madAnomaliesWith(df, idx, keyCol = "name", c = 3.0)
+        .where(col("is_anomaly")).select("ts").as[Long].collect().toSet
+    val fe = flags(graft.ops.Monitoring.madIndex(df, keyCol = "name"))
+    val fs = flags(graft.ops.Monitoring.madIndexSampled(df, keyCol = "name"))
+    val planted = (n until n + 5).map(_.toLong).toSet
+    assert(fe === planted)
+    assert(fs === planted)
+  }
+
+  test("madIndexSampled: a series sampled to extinction drops out") {
+    // one row at rate 0.5 either keeps or loses the row; rate 0 loses it
+    // deterministically — the series then has NO baseline and its
+    // samples are not judged (inner join in madAnomaliesWith)
+    val df = Seq(("a", 1L, 1.0)).toDF("name", "ts", "value")
+    val idx = graft.ops.Monitoring.madIndexSampled(df, keyCol = "name",
+      rate = 0.0)
+    assert(idx.count() === 0)
+    assert(graft.ops.Monitoring.madAnomaliesWith(df, idx, keyCol = "name")
+      .count() === 0)
+  }
+
   test("segmentDedup: ragged tail segment participates like any other") {
     // 4 tokens at segTokens=3: segments "a b c" and "d"; the 1-token
     // tail "d" is shared across both docs and must be removed
