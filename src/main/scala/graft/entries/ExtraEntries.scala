@@ -400,7 +400,12 @@ object ExtraEntries {
            round(l.value, 6) AS click, round(r.value, 6) AS view_asof
          FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN
-           (SELECT user_id, ts, value FROM events WHERE event_type = 'view') r
+           -- tie rule: one row per (user, µs-ts), MAX value — the
+           -- engine's pinned choice (TimeJoins.asof pre-aggregation);
+           -- native ASOF alone is arbitrary on tied timestamps
+           (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   max(value) AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY l.user_id, ts_us, click""",
 

@@ -313,9 +313,14 @@ object Round4Entries {
                WHERE event_type = 'click'
                  AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) l
          ASOF LEFT JOIN
-           (SELECT user_id, ts, value FROM events
+           -- tie rule: one row per (user, µs-ts), MAX value (the
+           -- engine's pinned TimeJoins.asof pre-aggregation)
+           (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   max(value) AS value
+            FROM events
             WHERE event_type = 'view'
-              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) r
+              AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs
+            GROUP BY 1, 2) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY series, ts_us, click""",
 

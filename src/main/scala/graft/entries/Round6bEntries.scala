@@ -756,8 +756,13 @@ object Round6bEntries {
          FROM (SELECT user_id, ts, value FROM events
                WHERE event_type = 'click') l
          ASOF LEFT JOIN
-           (SELECT user_id, ts, value FROM events
-            WHERE event_type = 'view') r
+           -- tie rule: one row per (user, µs-ts), MAX value — identical
+           -- by construction to asofIndex's pinned pre-aggregation, so
+           -- same-µs ties from distinct ns timestamps cannot split the
+           -- entry from its oracle on data luck
+           (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   max(value) AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY name, ts_us, click""")
 }

@@ -46,6 +46,32 @@ object Round7Entries {
           round(col("value"), 6).as("value"),
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
         .orderBy("name", "ts_us", "value")
+    }),
+
+    // as-of join over DELIBERATELY tied right timestamps: view ts
+    // truncated to day boundaries, so every user carries many equal-ts
+    // right rows. The entry locks the pinned tie rule (MAX value per
+    // (key, ts) — TimeJoins.asof's right pre-aggregation) against an
+    // oracle that applies the identical dedup before DuckDB's native
+    // ASOF, whose own tie choice is arbitrary. EquivalenceSpec pins
+    // batch ≡ streaming-probe on the same tied data
+    "ts_asof_join_ties" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val ev = EntryUtil.rawEvents(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"),
+          (col("ts") - pmod(col("ts"), lit(1000L))).as("ts"),
+          col("value").as("click"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"),
+          (col("ts") - pmod(col("ts"), lit(dayNs))).as("ts"),
+          col("value").as("view_asof"))
+      graft.ops.TimeJoins.asof(clicks, views, Seq("user_id"),
+          Seq("view_asof"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("click"), 6).as("click"),
+          round(col("view_asof"), 6).as("view_asof"))
+        .orderBy("user_id", "ts_us", "click")
     })
   )
 
@@ -74,6 +100,23 @@ object Round7Entries {
            round(m.med, 6) AS med, round(m.mad, 6) AS mad
          FROM s JOIN mad m USING (name)
          WHERE abs(s.value - m.med) > m.mad * 3.0
-         ORDER BY name, ts_us, value"""
+         ORDER BY name, ts_us, value""",
+
+    // day-truncated right timestamps make the ties; the dedup-to-MAX
+    // subquery resolves them identically to the engine BEFORE native
+    // ASOF runs (86400000000000 ns = 1 day; // is integer floor)
+    "ts_asof_join_ties" ->
+      s"""SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+           round(l.value, 6) AS click, round(r.value, 6) AS view_asof
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+           (SELECT user_id,
+              make_timestamp(((epoch_ns(ts) // 86400000000000)
+                * 86400000000000) // 1000) AS ts,
+              max(value) AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY user_id, ts_us, click"""
   )
 }

@@ -57,6 +57,16 @@ object TimeJoins {
     * same `keys` and `right.ts <= left.ts` (within `toleranceNs` if set).
     * Right columns come back as `valueCols` (null when nothing qualifies).
     *
+    * TIE RULE (pinned): equal-timestamp right rows resolve to the MAX of
+    * each value column — the right side is pre-aggregated to one row per
+    * (keys, ts) before the carry-forward, so the window's `last()` never
+    * sees a tie. One rule across the engine: the streaming probe
+    * ([[graft.streaming.TsdbStream.asofIndex]]) pins the same largest-
+    * value choice, where both a raw window carry and DuckDB's native
+    * ASOF are arbitrary. The pre-aggregation shuffles on (keys, ts) —
+    * the very keys the window shuffle needs — and is partial-aggregated
+    * map-side, so it adds no new exchange pattern at scale.
+    *
     * @param left  (keys..., ts, …left cols)
     * @param right (keys..., ts, valueCols...)
     */
@@ -64,13 +74,16 @@ object TimeJoins {
       valueCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     def rtsCol(c: String) = s"__rts_$c"
+    val rightDeduped = right.groupBy((keys :+ "ts").map(col): _*)
+      .agg(max(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => max(col(c)).as(c)): _*)
     val l = left
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) ++ valueCols.map(c => lit(null).cast(
         right.schema(c).dataType).as(c)) ++
         valueCols.map(c => lit(null).cast("long").as(rtsCol(c))) :+
         col("__side")): _*)
-    val r = right
+    val r = rightDeduped
       .withColumn("__side", lit(0))
       .select((leftCols.map(c => if (keys.contains(c) || c == "ts") col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -204,14 +204,17 @@ object TsdbStream {
     * micro-batch by [[asofStatic]] — the array form is what makes the
     * probe an in-row expression instead of a join fan-out.
     *
-    * Equal-timestamp right rows sort by (ts, value), and the probe takes
-    * the LAST qualifying ordinal, so ties resolve to the LARGEST value —
-    * a deterministic choice where both the batch window form
-    * ([[graft.ops.TimeJoins.asof]]) and DuckDB's native ASOF are
-    * arbitrary (spec-pinned; an oracle-gated entry over tied data would
-    * need the tie resolved identically on both sides first). */
+    * TIE RULE (pinned): equal-timestamp right rows pre-aggregate to
+    * MAX(value) per (name, ts) before the index is built — the same
+    * largest-value rule the batch form ([[graft.ops.TimeJoins.asof]])
+    * pins by pre-aggregating its right side, where both a raw window
+    * carry and DuckDB's native ASOF are arbitrary. One rule, both
+    * forms, so batch and stream agree row-for-row on tied data
+    * (EquivalenceSpec pins it; the ts_asof_join_ties entry oracle-locks
+    * it). Pre-aggregating here also shrinks the broadcast arrays. */
   def asofIndex(right: DataFrame): DataFrame =
-    right.groupBy(col("name").as("__r_name"))
+    right.groupBy("name", "ts").agg(max(col("value")).as("value"))
+      .groupBy(col("name").as("__r_name"))
       .agg(array_sort(collect_list(struct(col("ts"), col("value"))))
         .as("__arr"))
       .select(col("__r_name"),

@@ -172,16 +172,20 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
     import graft.query.Ast._
     val rnd = new scala.util.Random(7)
     for (round <- 1 to 3) {
-      // left rows may share (tag, ts); right (tag, ts) kept unique —
-      // duplicate right timestamps make the carried value ambiguous by
-      // construction (any implementation is free to pick either)
+      // left rows may share (tag, ts); right rows include deliberate
+      // equal-(tag, ts) TIES — the pinned rule (TimeJoins.asof right
+      // pre-aggregation) resolves them to the MAX value, so the model
+      // below is deterministic
       val tags = Seq("T0", "T1", "T2")
       val lRows = Seq.fill(40)(("l", tags(rnd.nextInt(3)),
         rnd.nextInt(30).toLong, rnd.nextInt(1000).toDouble))
       val rRows = rnd.shuffle(
         (for (t <- tags; ts <- 0L to 30L) yield (t, ts)).toList)
         .take(25)
-        .map { case (t, ts) => ("r", t, ts, rnd.nextInt(1000).toDouble) }
+        .flatMap { case (t, ts) =>
+          Seq.fill(1 + rnd.nextInt(2))(
+            ("r", t, ts, rnd.nextInt(1000).toDouble))
+        }
       val wide = (lRows ++ rRows).toDF("metric", "tag", "ts", "value")
       val eng = new Engine(TsdbContext.fromWide(
         spark, wide, "metric", Seq("tag"), "ts", "value"))
@@ -193,10 +197,37 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
         val matches = rRows.filter(r => r._2 == t && r._3 <= ts)
         val carried =
           if (matches.isEmpty) None
-          else Some(matches.maxBy(_._3)._4)
+          else {
+            val latest = matches.map(_._3).max
+            Some(matches.filter(_._3 == latest).map(_._4).max)
+          }
         (s"l|r tag=$t", ts, v, carried)
       }.sortBy(_.toString)
       assert(got === expect, s"round $round")
     }
+  }
+
+  test("asof tie rule: batch carry and streaming index probe agree on ties") {
+    import spark.implicits._
+    // three right rows tied at ts=100 for series a — both forms must
+    // resolve to the MAX value (5.0), never an arbitrary pick
+    val right = Seq(("a", 100L, 1.0), ("a", 100L, 5.0), ("a", 100L, 3.0),
+      ("a", 200L, 2.0), ("b", 100L, 7.0), ("b", 100L, 4.0))
+      .toDF("name", "ts", "value")
+    val left = Seq(("a", 99L, 10.0), ("a", 100L, 11.0), ("a", 250L, 12.0),
+      ("b", 150L, 13.0)).toDF("name", "ts", "value")
+    val batch = graft.ops.TimeJoins.asof(
+        left.withColumnRenamed("value", "lv"),
+        right.withColumnRenamed("value", "rv"), Seq("name"), Seq("rv"))
+      .select("name", "ts", "rv")
+      .as[(String, Long, Option[Double])].collect().toSeq.sorted
+    val streamed = graft.streaming.TsdbStream.asofStatic(left,
+        graft.streaming.TsdbStream.asofIndex(right))
+      .select("name", "ts", "r_value")
+      .as[(String, Long, Option[Double])].collect().toSeq.sorted
+    val expect = Seq(("a", 99L, None), ("a", 100L, Some(5.0)),
+      ("a", 250L, Some(2.0)), ("b", 150L, Some(7.0)))
+    assert(batch === expect)
+    assert(streamed === expect)
   }
 }
