@@ -84,6 +84,33 @@ object TextKernels {
     new GenericArrayData(counts.map(c => c: java.lang.Integer).toArray[Any])
   }
 
+  /** 60-bit SimHash of `text` as ONE kernel call: split on ' ' (empties
+    * kept — `split(" ", -1)`, matching `string_split`), hash60 each
+    * word, majority-vote per bit (ones·2 >= words). Bit-identical to
+    * the exploded groupBy form (words × 60 skinny rows + two
+    * aggregations) this replaces — same per-word hashes, same vote —
+    * but the whole fingerprint is a pure projection of the document
+    * scan: zero shuffle at any corpus size, and no 60× map-side row
+    * explosion feeding partial aggregation. */
+  def simhash60(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < words.length) {
+      val h = hash60(UTF8String.fromString(words(i)))
+      var b = 0
+      while (b < 60) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var v = 0L
+    var b = 0
+    while (b < 60) {
+      if (ones(b).toLong * 2 >= words.length) v |= 1L << b
+      b += 1
+    }
+    v
+  }
+
   /** ALL word k-shingles in positional order (duplicates kept) — the
     * sequence form required by positional algorithms (winnowing). */
   def wordShinglesAll(text: UTF8String, k: Int): ArrayData = {
@@ -168,6 +195,26 @@ object TextExpressions {
     override protected def withNewChildInternal(newChild: Expression): BowCounts =
       copy(child = newChild)
   }
+
+  case class Simhash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash60"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.simhash60(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.simhash60($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Simhash60 =
+      copy(child = newChild)
+  }
+
+  /** 60-bit SimHash fingerprint of a string column (one compiled kernel
+    * call per document — a pure projection, no per-bit row explosion). */
+  def simhash60(text: Column): Column =
+    Bridge.column(Simhash60(Bridge.expression(text)))
 
   /** Hashed bag-of-words bucket counts of a string column (one compiled
     * kernel call per document). */

@@ -318,24 +318,16 @@ object Dedup {
   }
 
   /** 60-bit SimHash per document: majority vote per bit over word hashes
-    * (ones*2 >= total → 1). The bit explosion (words × 60 rows) keeps the
-    * whole computation in partial-aggregatable groupBy form. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = 60
-    val words = df.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h", hash60(col("w")))
-    val perBit = words
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .withColumn("bit", expr("(h >> b) & 1"))
-      .groupBy("id", "b")
-      .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
-    perBit
-      .withColumn("vote", when(col("ones") * 2 >= col("total"),
-        expr("shiftleft(cast(1 as bigint), b)")).otherwise(lit(0L)))
-      .groupBy("id").agg(sum("vote").as("simhash"))
-  }
+    * (ones*2 >= total → 1), computed IN-ROW by one compiled kernel call
+    * ([[graft.functions.TextKernels.simhash60]]) — a pure projection of
+    * the document scan, like [[minhashSignature]]. (The exploded
+    * alternative — words × 60 skinny rows through two groupBys — is the
+    * same arithmetic but 60× the map-side volume before partial
+    * aggregation thins it; at corpus scale that explosion is pure
+    * waste.) */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextExpressions.simhash60(col(textCol)).as("simhash"))
 
   /** SimHash near-duplicate pairs: hamming(simhashₐ, simhash_b) <= maxDist.
     *

@@ -451,6 +451,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"in-row signature must not shuffle:\n$p")
   }
 
+  test("simhash fingerprints are in-row: one kernel call, no shuffle, no aggregate") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, (1 to 12).map(w => s"w${(i + w) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // the per-bit vote folds inside the compiled kernel — the exploded
+    // words × 60 rows + two-groupBy form is gone; the fingerprint is a
+    // pure projection of the document scan
+    val p = plan(graft.pipeline.Dedup.simhash(docs, "doc_id", "text"))
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"in-row simhash must not shuffle:\n$p")
+    assert(!p.toString.contains("HashAggregate"),
+      s"in-row simhash must not aggregate:\n$p")
+  }
+
   test("incremental dedup: every corpus participation is a broadcast probe") {
     import spark.implicits._
     val docs = (1L to 60L).map(i => (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
