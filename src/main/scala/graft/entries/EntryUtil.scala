@@ -106,8 +106,9 @@ object EntryUtil {
 
   /** SQL replay of [[graft.pipeline.Similarity.fitCodebook]] over any
     * (id, v) source: CTEs `${prefix}e` (the source) through
-    * `${prefix}c$iters` (the fitted centers) — same lowest-id init, same
-    * x·x + c·c − 2·x·c distance, same round-6 per-cell means, one CTE
+    * `${prefix}c$iters` (the fitted centers) — same minimal-hash60(id)
+    * spread init, same x·x + c·c − 2·x·c distance, same round-6
+    * per-cell means, one CTE
     * pair per unrolled Lloyd round. The prefix lets several independent
     * fits coexist in one statement (the PQ oracle runs one per
     * subspace); the IVF/SemDeDup oracles use prefix "". */
@@ -123,9 +124,11 @@ object EntryUtil {
       s"${prefix}a$it AS (${assign(s"${prefix}c$it")}),\n ${prefix}c${it + 1} AS (${recenter(s"${prefix}a$it")})"
     }.mkString(",\n ")
     s"""$E AS ($srcSql),
-         ${prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cell,
+         ${prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY hk, id) AS INT) - 1 AS cell,
                   v AS cv
-                FROM (SELECT id, v FROM $E ORDER BY id LIMIT $nlist)),
+                FROM (SELECT id, v,
+                        ${h60Sql("CAST(id AS VARCHAR)")} AS hk
+                      FROM $E ORDER BY hk, id LIMIT $nlist)),
          $iterCtes"""
   }
 

@@ -58,14 +58,18 @@ object TimeJoins {
     * Right columns come back as `valueCols` (null when nothing qualifies).
     *
     * TIE RULE (pinned): equal-timestamp right rows resolve to the MAX of
-    * each value column — the right side is pre-aggregated to one row per
-    * (keys, ts) before the carry-forward, so the window's `last()` never
-    * sees a tie. One rule across the engine: the streaming probe
-    * ([[graft.streaming.TsdbStream.asofIndex]]) pins the same largest-
-    * value choice, where both a raw window carry and DuckDB's native
-    * ASOF are arbitrary. The pre-aggregation shuffles on (keys, ts) —
-    * the very keys the window shuffle needs — and is partial-aggregated
-    * map-side, so it adds no new exchange pattern at scale.
+    * each value column (independently per column, ≡ a max-groupBy dedup
+    * of the right side per (keys, ts)) — implemented by including the
+    * column itself in its carry window's ordering (ts, side, value), so
+    * `last(…, ignoreNulls)` lands on the largest value of the latest
+    * qualifying timestamp instead of an arbitrary tied row. One rule
+    * across the engine: the streaming probe
+    * ([[graft.streaming.TsdbStream.asofIndex]]) pins the same
+    * largest-value choice, where both a raw window carry and DuckDB's
+    * native ASOF are arbitrary. Folding the tie-break into the window
+    * ordering (rather than a pre-aggregation) keeps the operator at ONE
+    * hash exchange — the tag-key window shuffle — which PlanShapeSpec
+    * pins.
     *
     * @param left  (keys..., ts, …left cols)
     * @param right (keys..., ts, valueCols...)
@@ -74,16 +78,13 @@ object TimeJoins {
       valueCols: Seq[String], toleranceNs: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     def rtsCol(c: String) = s"__rts_$c"
-    val rightDeduped = right.groupBy((keys :+ "ts").map(col): _*)
-      .agg(max(col(valueCols.head)).as(valueCols.head),
-        valueCols.tail.map(c => max(col(c)).as(c)): _*)
     val l = left
       .withColumn("__side", lit(1))
       .select((leftCols.map(col) ++ valueCols.map(c => lit(null).cast(
         right.schema(c).dataType).as(c)) ++
         valueCols.map(c => lit(null).cast("long").as(rtsCol(c))) :+
         col("__side")): _*)
-    val r = rightDeduped
+    val r = right
       .withColumn("__side", lit(0))
       .select((leftCols.map(c => if (keys.contains(c) || c == "ts") col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -93,15 +94,23 @@ object TimeJoins {
         // gate would compare the carried value against a newer row's ts
         valueCols.map(c => when(col(c).isNotNull, col("ts")).as(rtsCol(c))) :+
         col("__side")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("ts").asc, col("__side").asc)
+    // per-column carry window: ordering ends with the column itself
+    // (nulls first), so among right rows tied on (ts, side) the LAST —
+    // the carried one — is the max non-null value. ts stays the primary
+    // key, so the carry is still "latest qualifying timestamp"; all
+    // windows share the one keys-hash exchange (extra in-partition sort
+    // per column, no extra shuffle)
+    def wFor(c: String) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").asc, col("__side").asc, col(c).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(
         (leftCols.map(col) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) ++
           valueCols.map(c =>
-            last(col(rtsCol(c)), ignoreNulls = true).over(w).as(rtsCol(c))) :+
+            last(col(c), ignoreNulls = true).over(wFor(c)).as(c)) ++
+          valueCols.map(c =>
+            last(col(rtsCol(c)), ignoreNulls = true).over(wFor(c))
+              .as(rtsCol(c))) :+
           col("__side")): _*)
       .where(col("__side") === 1)
     val out = toleranceNs match {

@@ -103,13 +103,19 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Deterministic Lloyd's k-means codebook: init = the `nlist` lowest-id
-    * vectors, then `iters` rounds of (argmin assignment, per-cell
-    * element-wise mean). Centroid coordinates are rounded to 6 decimals
-    * after each round so the result is independent of partial-aggregation
-    * order — the whole fit replays bit-identically in plain SQL, which is
-    * what lets the IVF entry be oracle-checked. A cell that loses all
-    * members simply drops out (symmetric in the oracle).
+  /** Deterministic Lloyd's k-means codebook: init = the `nlist` vectors
+    * with the SMALLEST `hash60(id)` (ties to lower id), then `iters`
+    * rounds of (argmin assignment, per-cell element-wise mean). The
+    * hash-minimal seed is a uniform random draw from the corpus that is
+    * still fully deterministic and SQL-replayable — unlike lowest-id
+    * seeding, which inherits whatever spatial correlation id assignment
+    * carries (ingest order, shard order) and can seed every center in
+    * one corner of the space, costing IVF recall at scale. Centroid
+    * coordinates are rounded to 6 decimals after each round so the
+    * result is independent of partial-aggregation order — the whole fit
+    * replays bit-identically in plain SQL, which is what lets the IVF
+    * entry be oracle-checked. A cell that loses all members simply
+    * drops out (symmetric in the oracle).
     *
     * Each round is one broadcast join (nlist × dim literals) + one
     * (cell, dim) aggregation — at 100 TB this is the standard distributed
@@ -127,7 +133,9 @@ object Similarity {
     val e = corpus.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("v")).cache()
     var centers: Seq[(Int, Seq[Double])] =
-      e.orderBy("id").limit(nlist).collect().zipWithIndex
+      e.select(col("id"), col("v"),
+          graft.pipeline.Dedup.hash60(col("id").cast("string")).as("__hk"))
+        .orderBy("__hk", "id").limit(nlist).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     try for (_ <- 0 until iters) {
       val cdf = spark.createDataFrame(centers).toDF("cell", "cv")
