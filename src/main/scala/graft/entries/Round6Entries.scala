@@ -23,7 +23,7 @@ object Round6Entries {
   // already-curated corpus. A modulus split (not a range) so both sides
   // span all sources and the batch genuinely contains exact and near
   // duplicates of corpus documents at every sf.
-  private val BatchMod = 5
+  private[entries] val BatchMod = 5
 
   // BM25 query set for the entry: three 3-term queries over the synthetic
   // vocabulary (all terms occur corpus-wide, so df/idf genuinely vary)
@@ -190,7 +190,7 @@ object Round6Entries {
   // restricted to corpus×batch candidate pairs (identical arithmetic to
   // Dedup.dedupAgainstCorpus: base hash mod 2^31-1, affine perms, band
   // keys as comma-joined minima)
-  private val incrementalDedupSql: String = {
+  private[entries] val incrementalDedupSql: String = {
     val M = Dedup.MinhashPrime
     val (minSelects, bandKeys) = EntryUtil.minhashSqlParts(32, 8)
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -291,7 +291,11 @@ object Round6bEntries {
 
     // absence detection: series whose last sample predates the cutoff
     // (heartbeat monitoring) — one partial-agg max per series joined to
-    // the broadcast catalog
+    // the broadcast catalog. staleSeries also reports never-wrote series
+    // (null last_ts); the testdata catalog is DERIVED from events, so
+    // that branch is unreachable here by construction and the oracle
+    // (events-only) cannot diverge on it — CorpusOpsSpec covers the
+    // null branch with a synthetic catalog instead
     "ts_stale_series" -> ((s, dir) => {
       val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
       graft.ops.Monitoring.staleSeries(

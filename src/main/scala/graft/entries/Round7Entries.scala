@@ -72,6 +72,22 @@ object Round7Entries {
           round(col("click"), 6).as("click"),
           round(col("view_asof"), 6).as("view_asof"))
         .orderBy("user_id", "ts_us", "click")
+    }),
+
+    // incremental dedup probing the PERSISTED curation-time index
+    // (Dedup.writeCorpusIndex: content hashes + band rows carrying
+    // verify sets): identical result to docs_incremental_dedup — same
+    // oracle — but the corpus side is an index READ; the corpus text is
+    // never re-touched at ingest time (PlanShapeSpec pins that the only
+    // corpus-side file scans are the index paths)
+    "docs_incremental_dedup_indexed" -> ((s, dir) => {
+      val path = EntryUtil.corpusIndexFor(s, dir)
+      val batch = EntryUtil.repartitioned(s, dir, "documents")
+        .where(col("doc_id") % Round6Entries.BatchMod === 0)
+      graft.pipeline.Dedup.dedupAgainstIndex(
+          s.read.parquet(s"$path/hashes"), s.read.parquet(s"$path/bands"),
+          batch, "doc_id", "text")
+        .orderBy("id")
     })
   )
 
@@ -117,6 +133,10 @@ object Round7Entries {
               max(value) AS value
             FROM events WHERE event_type = 'view' GROUP BY 1, 2) r
            ON l.user_id = r.user_id AND r.ts <= l.ts
-         ORDER BY user_id, ts_us, click"""
+         ORDER BY user_id, ts_us, click""",
+
+    // probing the persisted index must yield exactly what the live-scan
+    // form yields — ONE oracle for both
+    "docs_incremental_dedup_indexed" -> Round6Entries.incrementalDedupSql
   )
 }

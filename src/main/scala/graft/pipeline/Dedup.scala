@@ -485,34 +485,88 @@ object Dedup {
     *     band keys — only band-matched rows survive, so the downstream
     *     pair-dedup, set-Jaccard and min-reduction are candidate-sized
     * In production the corpus band keys are persisted at curation time
-    * (they are exactly [[minhashBands]] output), turning the probe input
-    * into an index read; recomputing them here keeps the entry
-    * self-contained. */
+    * ([[writeCorpusIndex]]) and each batch probes the index parquet
+    * ([[dedupAgainstIndex]] — the corpus text is never re-read);
+    * recomputing them here keeps the one-shot form self-contained. */
   def dedupAgainstCorpus(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
+    // the corpus signature is an IN-ROW projection of the corpus scan
+    // (minhashSignature — no shuffle), and its band rows carry the
+    // verification set along, so candidate discovery AND verification
+    // need this single corpus pass: scan → project → broadcast-probe.
+    val ch = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
+    val cbands = minhashSignature(corpus, idCol, textCol, k, numPerm)
+      .select(col("id").as("cid"), col("set").as("cset"),
+        explode(array(bandCols(numPerm, bands): _*)).as("bk"))
+    probeCorpusSide(ch, cbands, batch, idCol, textCol, k, numPerm, bands,
+      threshold)
+  }
+
+  /** Persist the curation-time corpus dedup index at `path`: `hashes` =
+    * (cid, th) content hashes, `bands` = (cid, band, band_key, cset)
+    * LSH band rows carrying each document's verification set. Both are
+    * in-row projections of ONE corpus scan each (no shuffle) — the
+    * write that turns [[dedupAgainstIndex]]'s probe input into an index
+    * READ, so continuous ingest never touches the corpus text again.
+    * The band rows carry the set (×bands storage) precisely so the
+    * probe needs no second corpus-keyed join at query time. */
+  def writeCorpusIndex(corpus: DataFrame, path: String, idCol: String,
+      textCol: String, k: Int = 3, numPerm: Int = 32,
+      bands: Int = 8): Unit = {
+    corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    minhashSignature(corpus, idCol, textCol, k, numPerm)
+      .select(col("id").as("cid"), col("set").as("cset"),
+        explode(array(bandCols(numPerm, bands): _*)).as("bk"))
+      .select(col("cid"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"), col("cset"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** [[dedupAgainstCorpus]] probing a PERSISTED [[writeCorpusIndex]]
+    * index instead of recomputing corpus signatures per call — the
+    * production shape for continuous ingest: band keys and content
+    * hashes are written once at curation time; each arriving batch
+    * broadcast-probes the index parquet and the corpus text is never
+    * re-read (PlanShapeSpec pins that the only file scans are the index
+    * paths). `k`/`numPerm`/`bands` must match the index build. */
+  def dedupAgainstIndex(corpusHashes: DataFrame, corpusBands: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame =
+    probeCorpusSide(
+      corpusHashes.select(col("cid"), col("th")),
+      corpusBands.select(col("cid"), col("cset"),
+        struct(col("band").as("band"), col("band_key").as("band_key"))
+          .as("bk")),
+      batch, idCol, textCol, k, numPerm, bands, threshold)
+
+  /** The ONE incremental-dedup probe ([[dedupAgainstCorpus]] and
+    * [[dedupAgainstIndex]] differ only in where the corpus-side frames
+    * come from — a live scan or a persisted index). The corpus side is
+    * NEVER shuffled: the batch's content hashes, band keys and shingle
+    * sets all broadcast (an ingest batch is bounded by design), so every
+    * corpus participation is a broadcast-hash-join probe on its own
+    * scan. Only band-matched rows survive, so everything downstream (the
+    * (bid, cid) dedup, Jaccard, min-reduction) is candidate-sized. */
+  private def probeCorpusSide(
+      corpusHashes: DataFrame /* (cid, th) */,
+      corpusBandRows: DataFrame /* (cid, cset, bk) */,
+      batch: DataFrame, idCol: String, textCol: String,
+      k: Int, numPerm: Int, bands: Int, threshold: Double): DataFrame = {
     // exact: min corpus id per batch content hash
     val bh = batch.select(col(idCol).as("id"), md5(col(textCol)).as("th"))
-    val ch = corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
-    val exactDup = ch.join(broadcast(bh), "th")
+    val exactDup = corpusHashes.join(broadcast(bh), "th")
       .groupBy("id").agg(min(col("cid")).as("exact_dup_of"))
     // the batch signature (bounded by design) feeds two consumers — its
     // band keys and its verification sets, both broadcast — so cache the
     // skinny per-doc frame once
     val bsig = scopedCache(minhashSignature(batch, idCol, textCol, k, numPerm))
-    val bc = bandCols(numPerm, bands)
-    val bb = bsig.select(col("id").as("bid"), explode(array(bc: _*)).as("bk"))
-    // the corpus signature is an IN-ROW projection of the corpus scan
-    // (minhashSignature — no shuffle), and its band rows carry the
-    // verification set along, so candidate discovery AND verification
-    // need this single corpus pass: scan → project → broadcast-probe.
-    // Only band-matched rows survive the probe, so everything downstream
-    // (the (bid, cid) dedup, Jaccard, min-reduction) is candidate-sized.
-    val cbands = minhashSignature(corpus, idCol, textCol, k, numPerm)
-      .select(col("id").as("cid"), col("set").as("cset"),
-        explode(array(bc: _*)).as("bk"))
-    val cand = cbands.join(broadcast(bb), "bk")
+    val bb = bsig.select(col("id").as("bid"),
+      explode(array(bandCols(numPerm, bands): _*)).as("bk"))
+    val cand = corpusBandRows.join(broadcast(bb), "bk")
       .groupBy("bid", "cid").agg(first(col("cset")).as("cset"))
     // exact-Jaccard verify on the signature sets: |A∩B| / |A∪B| over the
     // distinct-shingle hash arrays (≡ c/(na+nb−c), the oracle's form)

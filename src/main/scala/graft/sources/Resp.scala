@@ -34,6 +34,10 @@ import graft.time.TimeUtil
   */
 object Resp {
 
+  /** Reference event-payload cap (STDB_LIMITS_MAX_EVENT_LEN,
+    * basic.h:32): a body of this many UTF-8 bytes or more is rejected. */
+  val MaxEventLen = 4096
+
   sealed trait Record { def name: String; def ts: Long }
   final case class Sample(name: String, ts: Long, value: Double) extends Record
   final case class Event(name: String, ts: Long, body: String) extends Record
@@ -117,7 +121,14 @@ object Resp {
           val sn = SeriesName.parse(name)
           if (sn.isEvent) {
             lex.next() match {
-              case S(body) => out += Event(name, ts, body)
+              case S(body) =>
+                // reference limit: an event payload of MAX_EVENT_LEN or
+                // more bytes is a protocol error ("event value is too
+                // big", protocolparser.cc:409-420; bytes >= 4096 rejects)
+                if (body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                    .length >= MaxEventLen)
+                  throw new BadResp("event value is too big")
+                out += Event(name, ts, body)
               case other => throw new BadResp(s"event body must be a string, got $other")
             }
           } else if (sn.metric.contains('|')) {

@@ -75,6 +75,29 @@ class SeriesNameSpec extends AnyFunSuite {
     assert(SeriesName.groupAggregateMetric("cpu", Seq("min", "max")) === "cpu:min|cpu:max")
     assert(SeriesName.joinMetric(Seq("a", "b")) === "a|b")
   }
+
+  test("reference length limit: names over LIMITS_MAX_SNAME rejected, at it pass") {
+    // mirrors Test_seriesparser_4 (seriesparser_test.cc:91): length
+    // LIMITS_MAX_SNAME + 1 is BadData; the check is strictly-greater
+    // (seriesparser.cc:124), so exactly 0x1000 chars still parses
+    val tag = " t=v"
+    val atLimit = "m" * (SeriesName.MaxNameLength - tag.length) + tag
+    assert(atLimit.length === SeriesName.MaxNameLength)
+    assert(SeriesName.parse(atLimit).tags === scala.collection.immutable.SortedMap("t" -> "v"))
+    intercept[SeriesName.BadSeriesName](SeriesName.parse("m" + atLimit))
+  }
+
+  test("reference tag limit: 32 tags pass, 33 rejected") {
+    // LIMITS_MAX_TAGS = 32 (basic.h:25). The reference parser silently
+    // STOPS collecting at 32 (seriesparser.cc:149 loop bound) — a
+    // silent truncation we deliberately do not copy: a library boundary
+    // errors loudly instead of dropping user data
+    val tags32 = (1 to 32).map(i => s"t$i=$i").mkString(" ")
+    assert(SeriesName.parse(s"m $tags32").tags.size === 32)
+    val e = intercept[SeriesName.BadSeriesName](
+      SeriesName.parse(s"m $tags32 t33=33"))
+    assert(e.getMessage.contains("too many tags"))
+  }
 }
 
 class QueryParserSpec extends AnyFunSuite {

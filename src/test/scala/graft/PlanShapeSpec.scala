@@ -485,6 +485,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("indexed incremental dedup: the only file scans are the index paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = (1L to 60L).map(i => (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_pin").toString
+    graft.pipeline.Dedup.writeCorpusIndex(
+      docs.where($"doc_id" % 5 =!= 0), dir, "doc_id", "text")
+    val out = graft.pipeline.Dedup.dedupAgainstIndex(
+      spark.read.parquet(s"$dir/hashes"), spark.read.parquet(s"$dir/bands"),
+      docs.where($"doc_id" % 5 === 0), "doc_id", "text")
+    // the batch is an in-memory frame here, so EVERY file scan in the
+    // probe plan must be an index read — the corpus text (a file in
+    // production) is never re-scanned at ingest time. sparkPlan, not
+    // executedPlan: the AdaptiveSparkPlanExec wrapper hides the inner
+    // tree from collect()
+    val scans = plan(out).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected index parquet scans in the probe plan")
+    assert(scans.forall(_.metadata("Location").contains("graft_idx_pin")),
+      s"probe must read only the persisted index:\n${scans.map(_.metadata("Location"))}")
+    // and the result matches the live-scan form on the same split
+    val live = graft.pipeline.Dedup.dedupAgainstCorpus(
+      docs.where($"doc_id" % 5 =!= 0), docs.where($"doc_id" % 5 === 0),
+      "doc_id", "text")
+    assert(out.orderBy("id").collect().toSeq ===
+      live.orderBy("id").collect().toSeq)
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("pq adc: codebook and distance tables broadcast; no vector-bearing join shuffles") {
     import spark.implicits._
     val rnd = Iterator.iterate(17L)(s => s * 6364136223846793005L + 1442695040888963407L)

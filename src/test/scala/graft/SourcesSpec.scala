@@ -40,6 +40,27 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(Resp.parse(payload) === Seq(Resp.Sample("mem host=B", 100L, 9.0)))
   }
 
+  test("RESP event body at the reference byte cap is rejected; below passes") {
+    // STDB_LIMITS_MAX_EVENT_LEN = 4096 (basic.h:32): the reference
+    // protocol errors when the payload reaches the cap
+    // (protocolparser.cc:409-420, bytes_read >= limit) — 4095 bytes is
+    // the largest accepted body
+    val ok = "x" * (Resp.MaxEventLen - 1)
+    val recs = Resp.parse(s"+!alarm host=C\r\n:55\r\n+$ok\r\n")
+    assert(recs === Seq(Resp.Event("!alarm host=C", 55L, ok)))
+    val big = "x" * Resp.MaxEventLen
+    val e = intercept[Resp.BadResp] {
+      Resp.parse(s"+!alarm host=C\r\n:55\r\n+$big\r\n")
+    }
+    assert(e.getMessage.contains("too big"))
+    // the cap is in BYTES: 2048 three-byte code points fit in 4095 chars
+    // but overflow 4096 bytes
+    val wide = "€" * 2048
+    intercept[Resp.BadResp] {
+      Resp.parse(s"+!alarm host=C\r\n:55\r\n+$wide\r\n")
+    }
+  }
+
   test("RESP event series (! prefix) carry string bodies") {
     val recs = Resp.parse("+!alarm host=C\r\n:55\r\n+disk full\r\n")
     assert(recs === Seq(Resp.Event("!alarm host=C", 55L, "disk full")))
