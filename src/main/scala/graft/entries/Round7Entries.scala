@@ -74,6 +74,35 @@ object Round7Entries {
         .orderBy("user_id", "ts_us", "click")
     }),
 
+    // the corpus-ingest stream fed by a REAL file source: the input is
+    // a written parquet directory consumed through readStream
+    // (FileStreamSource, one file per micro-batch under AvailableNow) —
+    // closing the input half of the streaming story; the MemoryStream
+    // twin (stream_corpus_ingest) feeds from driver-collected rows. No
+    // driver-side .collect() of the corpus anywhere: input lands via a
+    // Spark write job, flows through the same quality-gate transform,
+    // and exits through the exactly-once parquet sink. One oracle with
+    // the MemoryStream twin — the transform is the contract, the
+    // transport must not change it
+    "stream_corpus_ingest_file" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ingest_file").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")
+      docs.repartition(3).write.parquet(s"$tmp/in")
+      val in = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+      val out = graft.streaming.TsdbStream.corpusIngest(in)
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$tmp/corpus")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/corpus").orderBy("id")
+    }),
+
     // incremental dedup probing the PERSISTED curation-time index
     // (Dedup.writeCorpusIndex: content hashes + band rows carrying
     // verify sets): identical result to docs_incremental_dedup — same
@@ -137,6 +166,10 @@ object Round7Entries {
 
     // probing the persisted index must yield exactly what the live-scan
     // form yields — ONE oracle for both
-    "docs_incremental_dedup_indexed" -> Round6Entries.incrementalDedupSql
+    "docs_incremental_dedup_indexed" -> Round6Entries.incrementalDedupSql,
+
+    // transport must not change the transform: the file-source form
+    // shares the MemoryStream form's oracle verbatim
+    "stream_corpus_ingest_file" -> Round5Entries.oracle("stream_corpus_ingest")
   )
 }

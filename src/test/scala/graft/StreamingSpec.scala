@@ -382,6 +382,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("corpus ingest from a file source: FileStreamSource drives the query, no driver feed") {
+    // the input half of the streaming story: documents arrive as parquet
+    // FILES (readStream over a directory), not as driver-collected rows
+    // through a MemoryStream — the path a production ingest actually
+    // takes. maxFilesPerTrigger=1 forces multiple micro-batches so the
+    // source genuinely paces the stream
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs_src").toString
+    val docs = Seq(
+      (1L, "web", (1 to 120).map(i => Seq("the", "a", "of")(i % 3)).mkString(" ")),
+      (2L, "web", "zz"), // fails the quality gate
+      (3L, "books", (1 to 150).map(i => Seq("to", "in", "and")(i % 3)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    docs.repartition(3).write.parquet(s"$tmp/in")
+    val in = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = TsdbStream.corpusIngest(in)
+      .writeStream.format("parquet").option("path", s"$tmp/corpus")
+      .option("checkpointLocation", s"$tmp/ckpt").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress
+    assert(progress.nonEmpty &&
+      progress.flatMap(_.sources).forall(_.description.contains("FileStreamSource")),
+      s"expected a FileStreamSource-driven query:\n${progress.flatMap(_.sources).map(_.description).toSeq}")
+    assert(progress.count(_.numInputRows > 0) > 1,
+      "expected multiple file-paced micro-batches")
+    val out = spark.read.parquet(s"$tmp/corpus").select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 3L), "quality gate must drop doc 2 in-flight")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
