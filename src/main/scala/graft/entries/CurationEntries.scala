@@ -112,8 +112,7 @@ object CurationEntries {
       val withSplit = TextOps.assignSplits(d, "doc_id", "text")
         .select(col("id").as("doc_id"), col("split"))
         .join(d.select("doc_id", "source", "text"), "doc_id")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_ccorp").toString
+      val base = EntryUtil.scratchDir("graft_ccorp")
       graft.model.CorpusLayout.writeDocuments(withSplit, s"$base/raw")
       graft.model.CorpusLayout.compact(s, s"$base/raw", s"$base/opt")
       s.read.parquet(s"$base/opt")

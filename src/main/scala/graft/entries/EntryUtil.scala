@@ -227,7 +227,7 @@ object EntryUtil {
       val hourNs = 3600L * 1000000000L
       val dayNs = 24L * hourNs
       val weekNs = 7L * dayNs
-      val base = java.nio.file.Files.createTempDirectory("graft-ladder-")
+      val base = java.nio.file.Paths.get(scratchDir("graft-ladder-"))
       val hourPath = base.resolve("rollup_1h").toString
       val dayPath = base.resolve("rollup_1d").toString
       val weekPath = base.resolve("rollup_1w").toString
@@ -251,8 +251,7 @@ object EntryUtil {
   def engineLayoutFor(spark: SparkSession, dir: String): Engine =
     engines.getOrElseUpdate((spark, dir + "#layout"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-layout-").toString
+      val base = scratchDir("graft-layout-")
       graft.model.TsdbLayout.writeSamples(ctx, base)
       val series = cachedSeries(spark, dir, ctx.series)
       new Engine(graft.model.TsdbLayout.contextOver(
@@ -274,8 +273,7 @@ object EntryUtil {
   def engineExpiredLayoutFor(spark: SparkSession, dir: String): Engine =
     engines.getOrElseUpdate((spark, dir + "#expired"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-expired-").toString
+      val base = scratchDir("graft-expired-")
       graft.model.TsdbLayout.writeSamples(ctx, base)
       graft.model.TsdbLayout.expire(base, ExpireCutoffNs)
       val series = cachedSeries(spark, dir, ctx.series)
@@ -303,8 +301,7 @@ object EntryUtil {
   def engineUpsertedLayoutFor(spark: SparkSession, dir: String): Engine =
     engines.getOrElseUpdate((spark, dir + "#upserted"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-upserted-").toString
+      val base = scratchDir("graft-upserted-")
       graft.model.TsdbLayout.writeSamples(ctx, base)
       val late = ctx.samples
         .join(ctx.series.where(col("metric") === "purchase" &&
@@ -328,8 +325,7 @@ object EntryUtil {
     engines.getOrElseUpdate((spark, dir + "#bucketed"), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val tbl = "graft_bucketed_" + math.abs(dir.hashCode.toLong).toString
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-bucketed-").toString
+      val base = scratchDir("graft-bucketed-")
       graft.model.TsdbLayout.writeBucketedByTagkey(ctx, tbl, base)
       new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
         samples = spark.table(tbl)))
@@ -483,6 +479,28 @@ object EntryUtil {
     }
   }
 
+  /** Temp directory reclaimed at JVM exit (recursive delete via ONE
+    * shared shutdown hook) — entries that materialize layouts, indexes
+    * or stream inputs/sinks must come through here, or repeated
+    * Verify/Bench runs accumulate full table copies in /tmp forever. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchDirs.forEach { root =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }))
+
   private val corpusIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
@@ -493,8 +511,7 @@ object EntryUtil {
     * broadcast-probes the parquet and never re-reads the corpus text. */
   def corpusIndexFor(spark: SparkSession, dir: String): String =
     corpusIndexes.getOrElseUpdate((spark, dir), {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_dedup_index").toString
+      val path = scratchDir("graft_dedup_index")
       graft.pipeline.Dedup.writeCorpusIndex(
         repartitioned(spark, dir, "documents")
           .where(col("doc_id") % Round6Entries.BatchMod =!= 0),

@@ -401,7 +401,8 @@ object ExtraEntries {
          FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'click') l
          ASOF LEFT JOIN
            -- tie rule: one row per (user, µs-ts), MAX value — the
-           -- engine's pinned choice (TimeJoins.asof pre-aggregation);
+           -- SQL-expressible equivalent of the engine's pinned rule
+           -- (TimeJoins.asof carries the max via its window ordering);
            -- native ASOF alone is arbitrary on tied timestamps
            (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
                    max(value) AS value

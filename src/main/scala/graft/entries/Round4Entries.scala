@@ -313,8 +313,8 @@ object Round4Entries {
                WHERE event_type = 'click'
                  AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) l
          ASOF LEFT JOIN
-           -- tie rule: one row per (user, µs-ts), MAX value (the
-           -- engine's pinned TimeJoins.asof pre-aggregation)
+           -- tie rule: one row per (user, µs-ts), MAX value — the
+           -- SQL equivalent of TimeJoins.asof's window-ordering tie-break
            (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
                    max(value) AS value
             FROM events

@@ -196,7 +196,7 @@ object Round5Entries {
       val in = MemoryStream[(Long, String, String)]
       val out = graft.streaming.TsdbStream.corpusIngest(
         in.toDF().toDF("doc_id", "source", "text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      val tmp = EntryUtil.scratchDir("graft_ingest")
       val q = out.writeStream.format("parquet")
         .option("path", s"$tmp/corpus")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -263,8 +263,8 @@ object Round5Entries {
                WHERE event_type = 'click'
                  AND epoch_ns(ts) > $FromNs AND epoch_ns(ts) <= $ToNs) l
          ASOF LEFT JOIN
-           -- tie rule: one row per (user, µs-ts), MAX value (the
-           -- engine's pinned TimeJoins.asof pre-aggregation)
+           -- tie rule: one row per (user, µs-ts), MAX value — the
+           -- SQL equivalent of TimeJoins.asof's window-ordering tie-break
            (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
                    max(value) AS value
             FROM events
@@ -286,8 +286,8 @@ object Round5Entries {
                WHERE event_type = 'click'
                  AND epoch_ns(ts) >= $FromNs AND epoch_ns(ts) < $ToNs) l
          ASOF LEFT JOIN
-           -- tie rule: one row per (user, µs-ts), MAX value (the
-           -- engine's pinned TimeJoins.asof pre-aggregation)
+           -- tie rule: one row per (user, µs-ts), MAX value — the
+           -- SQL equivalent of TimeJoins.asof's window-ordering tie-break
            (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
                    max(value) AS value
             FROM events
@@ -366,10 +366,10 @@ object Round5Entries {
                   AND value >= 10
                   AND user_id IN (SELECT user_id FROM k)) l
           ASOF LEFT JOIN
-            -- tie rule: one row per (user, µs-ts), MAX value (the
-            -- engine's pinned TimeJoins.asof pre-aggregation); the value
-            -- filter runs BEFORE the dedup, like the engine's
-            -- pre-alignment filter
+            -- tie rule: one row per (user, µs-ts), MAX value — the
+            -- SQL equivalent of TimeJoins.asof's window-ordering
+            -- tie-break; the value filter runs BEFORE the dedup, like
+            -- the engine's pre-alignment filter
             (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
                     max(value) AS value
              FROM events

@@ -85,8 +85,7 @@ object Round7Entries {
     // the MemoryStream twin — the transform is the contract, the
     // transport must not change it
     "stream_corpus_ingest_file" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ingest_file").toString
+      val tmp = EntryUtil.scratchDir("graft_ingest_file")
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "source", "text")
       docs.repartition(3).write.parquet(s"$tmp/in")

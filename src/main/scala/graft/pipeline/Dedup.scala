@@ -324,10 +324,12 @@ object Dedup {
     * alternative — words × 60 skinny rows through two groupBys — is the
     * same arithmetic but 60× the map-side volume before partial
     * aggregation thins it; at corpus scale that explosion is pure
-    * waste.) */
+    * waste.) Null-text documents are dropped, as the exploded form
+    * dropped them (explode of a null array emits no rows). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
-      graft.functions.TextExpressions.simhash60(col(textCol)).as("simhash"))
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.simhash60(col(textCol)).as("simhash"))
 
   /** SimHash near-duplicate pairs: hamming(simhashₐ, simhash_b) <= maxDist.
     *

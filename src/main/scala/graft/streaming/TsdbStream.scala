@@ -204,19 +204,23 @@ object TsdbStream {
     * micro-batch by [[asofStatic]] — the array form is what makes the
     * probe an in-row expression instead of a join fan-out.
     *
-    * TIE RULE (pinned): equal-timestamp right rows pre-aggregate to
-    * MAX(value) per (name, ts) before the index is built — the same
-    * largest-value rule the batch form ([[graft.ops.TimeJoins.asof]])
-    * pins by pre-aggregating its right side, where both a raw window
-    * carry and DuckDB's native ASOF are arbitrary. One rule, both
-    * forms, so batch and stream agree row-for-row on tied data
-    * (EquivalenceSpec pins it; the ts_asof_join_ties entry oracle-locks
-    * it). Pre-aggregating here also shrinks the broadcast arrays. */
+    * TIE RULE (pinned): equal-timestamp right rows resolve to
+    * MAX(value) per (name, ts) — the same largest-value rule the batch
+    * form ([[graft.ops.TimeJoins.asof]]) pins via its carry-window
+    * ordering, where both a raw window carry and DuckDB's native ASOF
+    * are arbitrary. One rule, both forms, so batch and stream agree
+    * row-for-row on tied data (EquivalenceSpec pins it; the
+    * ts_asof_join_ties entry oracle-locks it). The dedup folds IN-ROW
+    * on the sorted struct array (keep the last struct of each ts run —
+    * array_sort orders by (ts, value), so that is the max), keeping the
+    * index build at its one name-keyed exchange instead of adding a
+    * (name, ts) pre-aggregation shuffle. */
   def asofIndex(right: DataFrame): DataFrame =
-    right.groupBy("name", "ts").agg(max(col("value")).as("value"))
-      .groupBy(col("name").as("__r_name"))
+    right.groupBy(col("name").as("__r_name"))
       .agg(array_sort(collect_list(struct(col("ts"), col("value"))))
-        .as("__arr"))
+        .as("__arr0"))
+      .withColumn("__arr", expr(
+        "filter(__arr0, (s, i) -> i = size(__arr0) - 1 OR __arr0[i + 1].ts != s.ts)"))
       .select(col("__r_name"),
         transform(col("__arr"), s => s.getField("ts")).as("__r_ts"),
         transform(col("__arr"), s => s.getField("value")).as("__r_val"))
