@@ -102,6 +102,71 @@ object Round7Entries {
       s.read.parquet(s"$tmp/corpus").orderBy("id")
     }),
 
+    // mergeable log-bucketed quantile rollup (DDSketch-family): per
+    // series, HOURLY histograms of bucket counts are built once, then
+    // MERGED (counts add — quantiles themselves don't) to serve
+    // p50/p95/p99 over the whole range. The bounded-memory percentile
+    // path: the exact form buffers every value per group; this keeps
+    // ≤ ~8·53 longs per (series, window) at any row count, with integer
+    // bit-bucketing that replays bit-identically in SQL. Answers are
+    // bucket lower edges — within 12.5% below the true order statistic
+    // (spec-pinned), never above
+    "ts_quantile_hist" -> ((s, dir) => {
+      val hourNs = 3600000000000L
+      val hourly = graft.ops.HistQuantiles.histogram(
+        clickSeries(s, dir)
+          .withColumn("hour", col("ts") - pmod(col("ts"), lit(hourNs))),
+        Seq("name", "hour"))
+      graft.ops.HistQuantiles.quantiles(
+          graft.ops.HistQuantiles.merge(hourly, Seq("name")),
+          Seq("name"), Seq("0.5", "0.95", "0.99"))
+        .orderBy("name", "p")
+    }),
+
+    // M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    // (series, day bucket) the first/last/min/max samples — the four
+    // points that draw the same line chart as all rows. Struct min/max
+    // aggregates: ties pinned lexicographically, partial aggregation
+    // reduces each map task to one struct per bucket before the
+    // exchange (the shuffle carries bucket counts, not sample counts)
+    "ts_m4_downsample" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val clicks = clickSeries(s, dir)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      graft.ops.Downsample.m4(clicks, Seq("name"), dayNs)
+        .select(col("name"), col("bucket"),
+          expr("first_ts div 1000").as("first_ts_us"),
+          round(col("first_v"), 6).as("first_v"),
+          expr("last_ts div 1000").as("last_ts_us"),
+          round(col("last_v"), 6).as("last_v"),
+          expr("min_ts div 1000").as("min_ts_us"),
+          round(col("min_v"), 6).as("min_v"),
+          expr("max_ts div 1000").as("max_ts_us"),
+          round(col("max_v"), 6).as("max_v"))
+        .orderBy("name", "bucket")
+    }),
+
+    // Prometheus-style counter increase over a reset-prone counter: a
+    // synthetic monotonic counter (running integer sum of rounded click
+    // values) wrapped mod 10000 provides genuine resets; the operator
+    // must credit a reset with the post-reset reading, not a huge
+    // negative delta (the plain rate node's failure mode on counter
+    // restarts). Weekly buckets; integer-exact end to end
+    "ts_counter_increase" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekNs = 7L * 86400000000000L
+      val clicks = clickSeries(s, dir)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val w = Window.partitionBy("name").orderBy("ts", "value")
+      val counter = clicks
+        .withColumn("value",
+          pmod(sum(round(col("value"), 0).cast("long")).over(w), lit(10000L))
+            .cast("double"))
+        .select("name", "ts", "value")
+      graft.ops.Downsample.counterIncrease(counter, Seq("name"), weekNs)
+        .orderBy("name", "bucket")
+    }),
+
     // incremental dedup probing the PERSISTED curation-time index
     // (Dedup.writeCorpusIndex: content hashes + band rows carrying
     // verify sets): identical result to docs_incremental_dedup — same
@@ -169,6 +234,92 @@ object Round7Entries {
 
     // transport must not change the transform: the file-source form
     // shares the MemoryStream form's oracle verbatim
-    "stream_corpus_ingest_file" -> Round5Entries.oracle("stream_corpus_ingest")
+    "stream_corpus_ingest_file" -> Round5Entries.oracle("stream_corpus_ingest"),
+
+    // the histogram replay: identical integer bucketing (micro-unit
+    // round, floor-log2 via bin()-string length, clear the low e−3
+    // bits), cumulative counts, first bucket at or past ⌈p·n⌉. The
+    // hourly build + merge on the Spark side collapses to one GROUP BY
+    // here — counts adding across windows is exactly the claim
+    "ts_quantile_hist" ->
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               value
+             FROM events WHERE event_type = 'click'),
+           bq AS (SELECT name, CAST(round(value * 1000000.0) AS BIGINT) AS q
+                  FROM s),
+           be AS (SELECT name, q,
+                    length(bin(greatest(q, 1))) - 1 AS e FROM bq),
+           bs AS (SELECT name, q,
+                    CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
+           b AS (SELECT name,
+                   CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
+                 FROM bs),
+           h AS (SELECT name, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+           c AS (SELECT name, lo,
+                   sum(cnt) OVER (PARTITION BY name ORDER BY lo) AS cum,
+                   sum(cnt) OVER (PARTITION BY name) AS n FROM h),
+           p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
+         SELECT c.name, p.p, round(min(lo) / 1000000.0, 6) AS q
+         FROM c, p WHERE cum >= ceil(n * pv)
+         GROUP BY c.name, p.p
+         ORDER BY name, p""",
+
+    // the four extremes via rank-1 window rows — tie orderings mirror
+    // the engine's lexicographic struct min/max exactly (first/last:
+    // (ts, value); min/max: (value, ts)); day bucket on raw ns is the
+    // µs-truncated bucket because the day width is µs-aligned
+    "ts_m4_downsample" ->
+      """WITH b AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_ns(ts) // 86400000000000 AS bucket,
+               epoch_us(ts) AS ts_us, value
+             FROM events WHERE event_type = 'click'),
+           r AS (SELECT *,
+               row_number() OVER (PARTITION BY name, bucket
+                 ORDER BY ts_us, value) AS rf,
+               row_number() OVER (PARTITION BY name, bucket
+                 ORDER BY ts_us DESC, value DESC) AS rl,
+               row_number() OVER (PARTITION BY name, bucket
+                 ORDER BY value, ts_us) AS rmin,
+               row_number() OVER (PARTITION BY name, bucket
+                 ORDER BY value DESC, ts_us DESC) AS rmax
+             FROM b)
+         SELECT name, bucket,
+           max(CASE WHEN rf = 1 THEN ts_us END) AS first_ts_us,
+           round(max(CASE WHEN rf = 1 THEN value END), 6) AS first_v,
+           max(CASE WHEN rl = 1 THEN ts_us END) AS last_ts_us,
+           round(max(CASE WHEN rl = 1 THEN value END), 6) AS last_v,
+           max(CASE WHEN rmin = 1 THEN ts_us END) AS min_ts_us,
+           round(max(CASE WHEN rmin = 1 THEN value END), 6) AS min_v,
+           max(CASE WHEN rmax = 1 THEN ts_us END) AS max_ts_us,
+           round(max(CASE WHEN rmax = 1 THEN value END), 6) AS max_v
+         FROM r GROUP BY name, bucket
+         ORDER BY name, bucket""",
+
+    // counter build (running integer sum mod 10000 — RANGE-frame window
+    // sum, so tied (ts, value) rows share a cumulative value in both
+    // engines), lag-based increase with the reset rule, micro-unit
+    // integer bucket sums (order-independent)
+    "ts_counter_increase" ->
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) AS ts_us, value
+             FROM events WHERE event_type = 'click'),
+           c AS (SELECT name, ts_us,
+               CAST(sum(CAST(round(value) AS BIGINT))
+                   OVER (PARTITION BY name ORDER BY ts_us, value)
+                 % 10000 AS DOUBLE) AS cv
+             FROM s),
+           l AS (SELECT name, ts_us, cv,
+               lag(cv) OVER (PARTITION BY name ORDER BY ts_us, cv) AS pv
+             FROM c),
+           i AS (SELECT name, ts_us // 604800000000 AS bucket,
+               CASE WHEN pv IS NULL THEN 0.0
+                    WHEN cv >= pv THEN cv - pv
+                    ELSE cv END AS inc
+             FROM l)
+         SELECT name, bucket,
+           round(sum(CAST(round(inc * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+             AS increase
+         FROM i GROUP BY name, bucket
+         ORDER BY name, bucket"""
   )
 }

@@ -526,6 +526,76 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(fs === planted)
   }
 
+  test("histogram quantiles: one-sided 12.5% bound vs exact; windows merge; buckets bounded") {
+    import graft.ops.HistQuantiles
+    // skewed positive data (squares) — the regime where a linear-bucket
+    // histogram would need unbounded range but log buckets stay ~8/octave
+    val n = 5000
+    val rows = (1 to n).map(i => ("s", i.toLong,
+      ((i * 131) % n).toDouble * ((i * 131) % n) / 100.0 + 0.01))
+    val df = rows.toDF("name", "ts", "value")
+    // build HOURLY-style windows (here: ts mod 5 windows), merge, serve —
+    // merged counts must equal the single-pass histogram exactly
+    val windowed = HistQuantiles.histogram(
+      df.withColumn("w", col("ts") % 5), Seq("name", "w"))
+    val merged = HistQuantiles.merge(windowed, Seq("name"))
+    val direct = HistQuantiles.histogram(df, Seq("name"))
+    assert(merged.orderBy("lo").collect().toSeq ===
+      direct.orderBy("lo").collect().toSeq, "window merge must be lossless")
+    // bounded memory: bucket count stays a few hundred at any row count
+    assert(direct.count() <= 8 * 53)
+    // accuracy: answer = bucket lower edge of the ceil(p*n)-th order
+    // statistic -> q <= exact and exact < q * (1 + 1/8) (+1 micro-unit
+    // for the underflow bucket edge case)
+    val sorted = rows.map(_._3).sorted
+    for (p <- Seq("0.5", "0.95", "0.99")) {
+      val q = HistQuantiles.quantiles(merged, Seq("name"), Seq(p))
+        .select("q").as[Double].head()
+      val exact = sorted(math.ceil(p.toDouble * n).toInt - 1)
+      assert(q <= exact + 1e-6, s"p=$p: $q above exact $exact")
+      assert(exact < q * 1.125 + 1e-6, s"p=$p: $q too far below exact $exact")
+    }
+  }
+
+  test("m4: four extremes per bucket, ties pinned lexicographically") {
+    val df = Seq(
+      ("a", 10L, 5.0), ("a", 20L, 1.0), ("a", 30L, 9.0), ("a", 40L, 3.0),
+      // bucket 1: value tie 7.0 at ts 110/120 -> max-value picks the
+      // LATER ts (lexicographic (value, ts) max); ts tie at 130 ->
+      // last takes the larger value
+      ("a", 110L, 7.0), ("a", 120L, 7.0), ("a", 130L, 2.0), ("a", 130L, 4.0))
+      .toDF("name", "ts", "value")
+    val out = graft.ops.Downsample.m4(df, Seq("name"), bucketNs = 100L)
+      .orderBy("bucket")
+      .select("bucket", "first_ts", "first_v", "last_ts", "last_v",
+        "min_ts", "min_v", "max_ts", "max_v")
+      .as[(Long, Long, Double, Long, Double, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(out(0) === ((0L, 10L, 5.0, 40L, 3.0, 20L, 1.0, 30L, 9.0)))
+    assert(out(1) === ((1L, 110L, 7.0, 130L, 4.0, 130L, 2.0, 120L, 7.0)))
+    // scale shape: struct min/max partial-aggregate — no window, no sort
+    // of sample rows before the exchange
+    val p = graft.ops.Downsample.m4(df, Seq("name"), 100L)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"), s"m4 must aggregate, not window:\n$p")
+  }
+
+  test("counterIncrease: resets credit the post-reset reading, first sample is zero") {
+    val df = Seq(
+      ("a", 10L, 1.0),   // first -> 0
+      ("a", 20L, 5.0),   // +4
+      ("a", 110L, 3.0),  // reset -> +3 (NOT -2)
+      ("a", 120L, 10.0), // +7
+      ("b", 10L, 100.0)) // first -> 0
+      .toDF("name", "ts", "value")
+    val out = graft.ops.Downsample.counterIncrease(df, Seq("name"),
+        bucketNs = 100L)
+      .orderBy("name", "bucket")
+      .select("name", "bucket", "increase")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 0L, 4.0), ("a", 1L, 10.0), ("b", 0L, 0.0)))
+  }
+
   test("madIndexSampled: a series sampled to extinction drops out") {
     // one row at rate 0.5 either keeps or loses the row; rate 0 loses it
     // deterministically — the series then has NO baseline and its
