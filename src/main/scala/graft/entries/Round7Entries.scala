@@ -123,6 +123,52 @@ object Round7Entries {
         .orderBy("name", "p")
     }),
 
+    // the histogram maintained BY an executing stream: hourly windows
+    // of bucket counts finalize exactly once (watermarked append), the
+    // sink rows merge by addition, and the served p50/p95/p99 must
+    // equal the batch build — streamed and batch-built percentile
+    // indexes are interchangeable, the same operational contract the
+    // stream-built rollup proves for min/max/sum/cnt
+    "stream_quantile_hist" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val hourNs = 3600000000000L
+      val rows = EntryUtil.clickRows(s, dir)
+      val maxTs = rows.iterator.map(_._2).max
+      val sink = EntryUtil.runStreamEntry(s, "stream_qhist_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.histBuild(_, hourNs,
+          "10 minutes"),
+        sentinel = Some((rows.head._1, maxTs + 86400000000000L, 0.0)))
+      graft.ops.HistQuantiles.quantiles(
+          graft.ops.HistQuantiles.merge(
+            sink.select("name", "lo", "cnt"), Seq("name")),
+          Seq("name"), Seq("0.5", "0.95", "0.99"))
+        .orderBy("name", "p")
+    }),
+
+    // linear-interpolation join: each click carries the view LEVEL at
+    // its instant — v0 + (v1−v0)·(ts−t0)/(t1−t0) between the bracketing
+    // view samples; null past either end (no extrapolation). The
+    // alignment mode beyond as-of for continuously-varying quantities;
+    // one union + two window passes over ONE key exchange. Oracle:
+    // chained backward+forward DuckDB ASOF over the max-deduped right
+    // side, identical IEEE op order
+    "ts_interp_join" -> ((s, dir) => {
+      val ev = EntryUtil.rawEvents(s, dir)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.TimeJoins.interpolationJoin(clicks, views, Seq("user_id"),
+          "value", asCol = "view_interp")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          round(col("click"), 6).as("click"),
+          round(col("view_interp"), 6).as("view_interp"))
+        .orderBy("user_id", "ts_us", "click")
+    }),
+
     // M4 visualization downsampling (Jugel et al., VLDB 2014): per
     // (series, day bucket) the first/last/min/max samples — the four
     // points that draw the same line chart as all rows. Struct min/max
@@ -241,28 +287,40 @@ object Round7Entries {
     // bits), cumulative counts, first bucket at or past ⌈p·n⌉. The
     // hourly build + merge on the Spark side collapses to one GROUP BY
     // here — counts adding across windows is exactly the claim
-    "ts_quantile_hist" ->
-      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
-               value
-             FROM events WHERE event_type = 'click'),
-           bq AS (SELECT name, CAST(round(value * 1000000.0) AS BIGINT) AS q
-                  FROM s),
-           be AS (SELECT name, q,
-                    length(bin(greatest(q, 1))) - 1 AS e FROM bq),
-           bs AS (SELECT name, q,
-                    CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT name,
-                   CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
-                 FROM bs),
-           h AS (SELECT name, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
-           c AS (SELECT name, lo,
-                   sum(cnt) OVER (PARTITION BY name ORDER BY lo) AS cum,
-                   sum(cnt) OVER (PARTITION BY name) AS n FROM h),
-           p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
-         SELECT c.name, p.p, round(min(lo) / 1000000.0, 6) AS q
-         FROM c, p WHERE cum >= ceil(n * pv)
-         GROUP BY c.name, p.p
-         ORDER BY name, p""",
+    "ts_quantile_hist" -> QuantileHistSql,
+
+    // the STREAM-built histogram must serve the same answers — counts
+    // merging across finalized windows is the whole claim; one oracle
+    "stream_quantile_hist" -> QuantileHistSql,
+
+    // backward + forward nearest via chained ASOF over the max-deduped
+    // right side (ties resolved before ASOF, both directions); the
+    // interpolation ratio uses µs integer diffs cast to double — the
+    // engine's ns diffs are the same ratio exactly (both scale by 1000,
+    // both products stay under 2^53)
+    "ts_interp_join" ->
+      """SELECT l.user_id AS user_id, epoch_us(l.ts) AS ts_us,
+           round(l.value, 6) AS click,
+           round(CASE
+               WHEN b.ts IS NULL OR f.ts IS NULL THEN NULL
+               WHEN f.ts = b.ts THEN b.value
+               ELSE b.value + (f.value - b.value) *
+                 (CAST(epoch_us(l.ts) - epoch_us(b.ts) AS DOUBLE) /
+                  CAST(epoch_us(f.ts) - epoch_us(b.ts) AS DOUBLE))
+             END, 6) AS view_interp
+         FROM (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+           (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   max(value) AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) b
+           ON l.user_id = b.user_id AND b.ts <= l.ts
+         ASOF LEFT JOIN
+           (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+                   max(value) AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2) f
+           ON l.user_id = f.user_id AND f.ts >= l.ts
+         ORDER BY user_id, ts_us, click""",
 
     // the four extremes via rank-1 window rows — tie orderings mirror
     // the engine's lexicographic struct min/max exactly (first/last:
@@ -322,4 +380,30 @@ object Round7Entries {
          FROM i GROUP BY name, bucket
          ORDER BY name, bucket"""
   )
+
+  /** One histogram replay for the batch entry and its streaming twin.
+    * `lazy`: the oracle map above initializes first and must not read
+    * this as null (object vals initialize in declaration order). */
+  private lazy val QuantileHistSql: String =
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               value
+             FROM events WHERE event_type = 'click'),
+           bq AS (SELECT name, CAST(round(value * 1000000.0) AS BIGINT) AS q
+                  FROM s),
+           be AS (SELECT name, q,
+                    length(bin(greatest(q, 1))) - 1 AS e FROM bq),
+           bs AS (SELECT name, q,
+                    CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
+           b AS (SELECT name,
+                   CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
+                 FROM bs),
+           h AS (SELECT name, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+           c AS (SELECT name, lo,
+                   sum(cnt) OVER (PARTITION BY name ORDER BY lo) AS cum,
+                   sum(cnt) OVER (PARTITION BY name) AS n FROM h),
+           p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
+         SELECT c.name, p.p, round(min(lo) / 1000000.0, 6) AS q
+         FROM c, p WHERE cum >= ceil(n * pv)
+         GROUP BY c.name, p.p
+         ORDER BY name, p"""
 }

@@ -122,4 +122,70 @@ object TimeJoins {
     }
     out.drop("__side" +: valueCols.map(rtsCol): _*)
   }
+
+  /** Linear-interpolation join: for each `left` row, `right`'s value
+    * linearly interpolated between its bracketing neighbors — the
+    * latest right sample at-or-before (t0, v0) and the earliest
+    * at-or-after (t1, v1):
+    * `v = v0 + (v1 − v0) · (ts − t0)/(t1 − t0)`; exactly-at-ts right
+    * rows give v0 directly (t0 = t1). Null when either neighbor is
+    * missing (no extrapolation past the series' ends — the honest
+    * boundary rule). The alignment mode beyond as-of: as-of answers
+    * "what was the last reading", interpolation answers "what was the
+    * level at this instant" for continuously-varying quantities.
+    *
+    * Same union/window composition as [[asof]] — ONE hash exchange on
+    * the keys; the backward carry and the forward lookahead are two
+    * window passes over that one exchange (an extra in-partition sort,
+    * no extra shuffle). Ties at equal right ts resolve to the MAX value
+    * in BOTH directions (the [[asof]] pin, ≡ a max-per-(keys, ts) dedup
+    * of the right side, which is how the oracle replays it).
+    *
+    * @param left  (keys..., ts, …left cols)
+    * @param right (keys..., ts, valueCol)
+    * @param asCol output column name for the interpolated value
+    */
+  def interpolationJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], valueCol: String,
+      asCol: String = "interp"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .select((leftCols.map(col) :+
+        lit(null).cast(right.schema(valueCol).dataType).as("__rv") :+
+        col("__side")): _*)
+    val r = right
+      .withColumn("__side", lit(0))
+      .select((leftCols.map(c => if (keys.contains(c) || c == "ts") col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col(valueCol).as("__rv") :+
+        col("__side")): _*)
+    // backward: right-before-left at equal ts (side asc), max value
+    // carried (value ends the ordering — the asof tie pin)
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").asc, col("__side").asc, col("__rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: left-before-right at equal ts (side DESC), max value
+    // first (value desc), so first() lands on the max of the earliest
+    // qualifying timestamp — the same tie rule mirrored
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").asc, col("__side").desc, col("__rv").desc_nulls_last)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val rts = when(col("__rv").isNotNull, col("ts"))
+    val t0 = col("__t0"); val v0 = col("__v0")
+    val t1 = col("__t1"); val v1 = col("__v1")
+    val interp = when(t0.isNull || t1.isNull, lit(null))
+      .when(t1 === t0, v0)
+      .otherwise(v0 + (v1 - v0) *
+        ((col("ts") - t0).cast("double") / (t1 - t0).cast("double")))
+    l.unionByName(r)
+      .withColumn("__rts", rts)
+      .withColumn("__v0", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__t0", last(col("__rts"), ignoreNulls = true).over(wb))
+      .withColumn("__v1", first(col("__rv"), ignoreNulls = true).over(wf))
+      .withColumn("__t1", first(col("__rts"), ignoreNulls = true).over(wf))
+      .where(col("__side") === 1)
+      .withColumn(asCol, interp)
+      .select(leftCols.map(col) :+ col(asCol): _*)
+  }
 }

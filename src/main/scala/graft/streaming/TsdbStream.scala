@@ -61,6 +61,33 @@ object TsdbStream {
         graft.engine.Rollup.accNames.map(col): _*)
   }
 
+  /** Continuous quantile-histogram maintenance: per (name, window,
+    * bucket lower edge) counts, watermarked append — the streaming
+    * builder of [[graft.ops.HistQuantiles]]' mergeable index. Each
+    * finalized window emits its bucket counts exactly once; because
+    * bucket counts MERGE BY ADDITION, the sink rows concatenated with
+    * any batch-built history serve p50/p99 over any range — keeping a
+    * 100 TB percentile index fresh as data arrives, the same
+    * operational contract as [[rollupBuild]] for min/max/sum/cnt. The
+    * bucketing is [[graft.ops.HistQuantiles.bucketLo]]'s integer bit
+    * arithmetic, so streamed and batch-built histograms are
+    * bit-identical (entry-gated). */
+  def histBuild(samples: DataFrame, stepNs: Long, lateness: String): DataFrame = {
+    require(stepNs > 0 && stepNs % 1000 == 0,
+      "histogram step must be positive whole microseconds")
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withColumn("lo", graft.ops.HistQuantiles.bucketLo(col("value")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("name"),
+        window(col("event_time"), s"${stepNs / 1000} microseconds"),
+        col("lo"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .withColumn("win", unix_micros(col("window.start")) * 1000L)
+      .drop("window")
+      .select(col("name"), col("win"), col("lo"), col("cnt"))
+  }
+
   /** Continuous group-aggregate: time-bucketed min/max/sum/cnt/mean per
     * series, watermarked so late data beyond `lateness` is dropped and
     * window state is reclaimed. Mirrors the batch GROUP_AGGREGATE kind

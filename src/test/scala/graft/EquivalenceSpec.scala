@@ -207,6 +207,24 @@ class EquivalenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("interpolationJoin: bracketing blend, exact hits, boundary nulls, tie max") {
+    import spark.implicits._
+    val right = Seq(("a", 100L, 10.0), ("a", 200L, 30.0), ("a", 200L, 20.0),
+      ("a", 400L, 50.0)).toDF("name", "ts", "value")
+    val left = Seq(
+      ("a", 50L, 0.0),  // before the first right sample -> null
+      ("a", 100L, 0.0), // exact hit -> v0 (t0 = t1 guard)
+      ("a", 150L, 0.0), // halfway 100..200 -> 10 + (30-10)*0.5 = 20
+      ("a", 300L, 0.0), // halfway 200..400, tie at 200 -> max 30 -> 40
+      ("a", 450L, 0.0)) // past the last right sample -> null
+      .toDF("name", "ts", "value")
+    val out = graft.ops.TimeJoins.interpolationJoin(left, right,
+        Seq("name"), "value", asCol = "vi")
+      .select("ts", "vi").as[(Long, Option[Double])].collect().toSeq.sorted
+    assert(out === Seq(50L -> None, 100L -> Some(10.0), 150L -> Some(20.0),
+      300L -> Some(40.0), 450L -> None))
+  }
+
   test("asof tie rule: batch carry and streaming index probe agree on ties") {
     import spark.implicits._
     // three right rows tied at ts=100 for series a — both forms must

@@ -485,6 +485,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("interpolation join: one hash exchange, both direction windows share it") {
+    import spark.implicits._
+    val right = (1L to 40L).map(i => ("a", i * 10L, i.toDouble)).toDF("name", "ts", "value")
+    val left = (1L to 40L).map(i => ("a", i * 10L + 5L, 0.0)).toDF("name", "ts", "value")
+    // executedPlan STRING: EnsureRequirements inserts the exchanges
+    // (sparkPlan predates them), and the AQE wrapper hides the tree
+    // from collect()
+    val p = graft.ops.TimeJoins.interpolationJoin(left, right,
+      Seq("name"), "value").queryExecution.executedPlan.toString
+    // the backward carry and forward lookahead are two sorts over ONE
+    // key-hash exchange — a second exchange would mean the lookahead
+    // reshuffled what the carry already partitioned
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one exchange:\n$p")
+  }
+
   test("indexed incremental dedup: the only file scans are the index paths") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -412,6 +412,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(1L, 3L), "quality gate must drop doc 2 in-flight")
   }
 
+  test("histBuild: streamed hourly histograms equal the batch build bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600000000000L
+    val rows = (0 until 200).map(i =>
+      ("s", i.toLong * 60000000000L, (i * 37 % 100) / 3.0 + 0.1))
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.histBuild(in.toDF().toDF("name", "ts", "value"),
+        hourNs, "10 minutes")
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("append").start()
+    try {
+      rows.grouped(50).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      // sentinel far past the data finalizes every real window
+      in.addData(("s", rows.last._2 + 10 * hourNs, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hist_out")
+        .groupBy("name", "lo").agg(sum("cnt").as("cnt"))
+        .orderBy("lo").collect().toSeq
+      val batch = graft.ops.HistQuantiles.histogram(
+          rows.toDF("name", "ts", "value"), Seq("name"))
+        .orderBy("lo").collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
