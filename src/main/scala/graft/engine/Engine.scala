@@ -88,6 +88,7 @@ final class Engine(val ctx: TsdbContext) {
     case g: GroupAggregateQuery     => groupAggregate(g)
     case j: JoinQuery               => join(j)
     case a: AsofJoinQuery           => asofJoin(a)
+    case q: QuantileQuery           => quantile(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -118,6 +119,25 @@ final class Engine(val ctx: TsdbContext) {
     q.regex.foreach(re => df = df.where(col("body").rlike(re)))
     df = df.select(col("out_name").as("series"), col("ts"), col("body"))
     finish(df, q.orderBy, q.range.forward, q.limit, q.offset)
+  }
+
+  /** Beyond-reference `quantile`: per-series percentiles of the ranged
+    * values, served from the mergeable log-bucketed histogram
+    * ([[graft.ops.HistQuantiles]]). The scan reduces to bucket COUNTS
+    * map-side (partial aggregation — the shuffle carries at most a few
+    * hundred buckets per series, never samples), so one hot series
+    * costs the same as a quiet one; answers are bucket lower edges,
+    * within 12.5% below the true order statistic. Output: one row per
+    * (series, p) — (series, p, q). */
+  def quantile(q: QuantileQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    val df = scan(ids, q.range, Seq(q.metric))
+    graft.ops.HistQuantiles.quantiles(
+        graft.ops.HistQuantiles.histogram(
+          df.select(col("out_name").as("series"), col("value")),
+          Seq("series")),
+        Seq("series"), q.ps)
+      .orderBy("series", "p")
   }
 
   // ------------------------------------------------------------- aggregate

@@ -147,6 +147,15 @@ object Round7Entries {
         .orderBy("name", "p")
     }),
 
+    // the same capability through the QUERY LANGUAGE: the beyond-
+    // reference `quantile` statement — per-series histogram-served
+    // percentiles over the range, with where/where-location composing
+    // like any other statement
+    "ts_quantile_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // linear-interpolation join: each click carries the view LEVEL at
     // its instant — v0 + (v1−v0)·(ts−t0)/(t1−t0) between the bracketing
     // view samples; null past either end (no extrapolation). The
@@ -293,6 +302,11 @@ object Round7Entries {
     // merging across finalized windows is the whole claim; one oracle
     "stream_quantile_hist" -> QuantileHistSql,
 
+    // the JSON `quantile` statement over purchase in the canonical
+    // window — same generator, range-filtered source, engine series
+    // naming
+    "ts_quantile_json" -> QuantileJsonSql,
+
     // backward + forward nearest via chained ASOF over the max-deduped
     // right side (ties resolved before ASOF, both directions); the
     // interpolation ratio uses µs integer diffs cast to double — the
@@ -381,29 +395,41 @@ object Round7Entries {
          ORDER BY name, bucket"""
   )
 
-  /** One histogram replay for the batch entry and its streaming twin.
-    * `lazy`: the oracle map above initializes first and must not read
-    * this as null (object vals initialize in declaration order). */
-  private lazy val QuantileHistSql: String =
-      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
-               value
-             FROM events WHERE event_type = 'click'),
-           bq AS (SELECT name, CAST(round(value * 1000000.0) AS BIGINT) AS q
+  /** ONE histogram replay generator — the batch entry, its streaming
+    * twin and the JSON `quantile` statement all mirror the identical
+    * integer bucketing over their own source CTE. `lazy` callers: the
+    * oracle map above initializes first and must not read these as null
+    * (object vals initialize in declaration order). */
+  private def histQuantileSql(srcSql: String, key: String): String =
+    s"""WITH s AS ($srcSql),
+           bq AS (SELECT $key, CAST(round(value * 1000000.0) AS BIGINT) AS q
                   FROM s),
-           be AS (SELECT name, q,
+           be AS (SELECT $key, q,
                     length(bin(greatest(q, 1))) - 1 AS e FROM bq),
-           bs AS (SELECT name, q,
+           bs AS (SELECT $key, q,
                     CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT name,
+           b AS (SELECT $key,
                    CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
                  FROM bs),
-           h AS (SELECT name, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
-           c AS (SELECT name, lo,
-                   sum(cnt) OVER (PARTITION BY name ORDER BY lo) AS cum,
-                   sum(cnt) OVER (PARTITION BY name) AS n FROM h),
+           h AS (SELECT $key, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
+           c AS (SELECT $key, lo,
+                   sum(cnt) OVER (PARTITION BY $key ORDER BY lo) AS cum,
+                   sum(cnt) OVER (PARTITION BY $key) AS n FROM h),
            p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
-         SELECT c.name, p.p, round(min(lo) / 1000000.0, 6) AS q
+         SELECT c.$key, p.p, round(min(lo) / 1000000.0, 6) AS q
          FROM c, p WHERE cum >= ceil(n * pv)
-         GROUP BY c.name, p.p
-         ORDER BY name, p"""
+         GROUP BY c.$key, p.p
+         ORDER BY $key, p"""
+
+  private lazy val QuantileHistSql: String = histQuantileSql(
+    """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value
+             FROM events WHERE event_type = 'click'""", "name")
+
+  private lazy val QuantileJsonSql: String = histQuantileSql(
+    s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+               value
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", "series")
 }

@@ -221,6 +221,21 @@ object Ast {
       apply: Seq[ApplySpec] = Nil,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"quantile": {"metric": "m", "p": [0.5, 0.99]}}` — beyond-
+    * reference: per-series quantiles of the values in the range, served
+    * from the mergeable log-bucketed histogram
+    * ([[graft.ops.HistQuantiles]] — bounded memory per series at any
+    * row count; answers within 12.5% below the true order statistic,
+    * never above). `ps` keep the caller's DECIMAL TEXT so the output
+    * `p` labels — and any oracle replay — see the identical literals.
+    * Output rows: (series, p, q). */
+  final case class QuantileQuery(
+      metric: String,
+      ps: Seq[String],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   // ---- metadata entry points ----
 
   final case class SearchQuery(

@@ -35,7 +35,7 @@ object QueryParser {
     * present) plus the beyond-reference `asof-join`. */
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
-      "join", "group-aggregate-join", "asof-join")
+      "join", "group-aggregate-join", "asof-join", "quantile")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -55,6 +55,7 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"unknown query field(s): ${unknown.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
+    else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -191,6 +192,44 @@ object QueryParser {
     AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root), filters,
       parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
       parseApply(root), parseLocation(root))
+  }
+
+  /** Beyond-reference `quantile` (see [[Ast.QuantileQuery]]). */
+  private def parseQuantile(root: JsonNode): QuantileQuery = {
+    val stmt = root.get("quantile")
+    if (!stmt.isObject)
+      throw new BadQuery("quantile statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "p").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad quantile key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("quantile.metric name required"))
+    val pNode = Option(stmt.get("p"))
+      .getOrElse(throw new BadQuery("quantile.p required"))
+    val pList = if (pNode.isArray) pNode.asScala.toSeq else Seq(pNode)
+    if (pList.isEmpty) throw new BadQuery("quantile.p must be non-empty")
+    // keep the caller's decimal TEXT: the output p labels must carry the
+    // literals the caller wrote (and an oracle replays)
+    val ps = pList.map { n =>
+      val txt = n.asText()
+      val v = try txt.toDouble catch {
+        case _: NumberFormatException =>
+          throw new BadQuery(s"bad quantile p '$txt'")
+      }
+      if (v.isNaN || v <= 0 || v > 1)
+        throw new BadQuery(s"quantile p out of (0, 1]: $txt")
+      txt
+    }
+    // histogram serving has no per-sample output to filter/order/page,
+    // and apply chains operate on sample streams — reject loudly
+    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
+        "pivot-by-tag", "limit", "offset")
+      .filter(root.has).foreach(k =>
+        throw new BadQuery(s"quantile doesn't support '$k'"))
+    QuantileQuery(metric, ps, parseRange(root), parseWhere(root),
+      parseLocation(root))
   }
 
   private def parseGroupAggregateJoin(root: JsonNode): GroupAggregateJoinQuery = {

@@ -264,6 +264,30 @@ class QueryParserSpec extends AnyFunSuite {
       """{"select": "m", "range": {"from": 1, "to": 2}, "output": {"format": "csv"}}""")
   }
 
+  test("quantile statement: parse, p validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": [0.5, 0.99]},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[QuantileQuery]
+    assert(q.metric === "m")
+    assert(q.ps === Seq("0.5", "0.99")) // caller's literals, verbatim
+    // scalar p accepted
+    assert(QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": 0.5},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[QuantileQuery].ps === Seq("0.5"))
+    intercept[BadQuery](QueryParser.parse( // p out of (0, 1]
+      """{"quantile": {"metric": "m", "p": [1.5]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // p required
+      """{"quantile": {"metric": "m"}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"quantile": {"metric": "m", "p": [0.5], "step": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // no per-sample output to page
+      """{"quantile": {"metric": "m", "p": [0.5]},
+         "range": {"from": 0, "to": 10}, "limit": 5}"""))
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},
