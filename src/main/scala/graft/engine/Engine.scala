@@ -132,12 +132,28 @@ final class Engine(val ctx: TsdbContext) {
   def quantile(q: QuantileQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
     val df = scan(ids, q.range, Seq(q.metric))
-    graft.ops.HistQuantiles.quantiles(
-        graft.ops.HistQuantiles.histogram(
-          df.select(col("out_name").as("series"), col("value")),
-          Seq("series")),
-        Seq("series"), q.ps)
-      .orderBy("series", "p")
+    q.stepNs match {
+      case None =>
+        graft.ops.HistQuantiles.quantiles(
+            graft.ops.HistQuantiles.histogram(
+              df.select(col("out_name").as("series"), col("value")),
+              Seq("series")),
+            Seq("series"), q.ps)
+          .orderBy("series", "p")
+      case Some(step) =>
+        // per-bin percentiles (bins anchored at range.from like
+        // group-aggregate) — "p99 per day". Same bounded per-group
+        // histogram; the bin is just another key
+        graft.ops.HistQuantiles.quantiles(
+            graft.ops.HistQuantiles.histogram(
+              df.select(col("out_name").as("series"),
+                binColumn(q.range, step).as("__bin"), col("value")),
+              Seq("series", "__bin")),
+            Seq("series", "__bin"), q.ps)
+          .select(col("series"), expr("__bin div 1000").as("ts_us"),
+            col("p"), col("q"))
+          .orderBy("series", "ts_us", "p")
+    }
   }
 
   // ------------------------------------------------------------- aggregate

@@ -156,6 +156,29 @@ object Round7Entries {
         s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the stepped form: per-(series, 7d bin) percentiles — "p99 per
+    // week", the dashboard query; bins anchor at range.from like
+    // group-aggregate, the bin is just another histogram key
+    "ts_quantile_step" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99],
+                          "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // silence-interval detection with a PER-SERIES adaptive threshold:
+    // gaps longer than 3x the series' own mean spacing — a dense and a
+    // sparse series each judged by its own cadence. Unit note: the op
+    // is unit-agnostic; feeding µs keeps the mean-spacing division on
+    // the same integers DuckDB sees
+    "ts_gaps" -> ((s, dir) => {
+      val clicks = clickSeries(s, dir).withColumn("ts", expr("ts div 1000"))
+      graft.ops.Monitoring.gapsRelative(clicks, factor = 3.0,
+          keyCol = "name")
+        .select(col("name"), col("gap_start").as("gap_start_us"),
+          col("gap_end").as("gap_end_us"), col("gap_ns").as("gap_us"))
+        .orderBy("name", "gap_start_us")
+    }),
+
     // linear-interpolation join: each click carries the view LEVEL at
     // its instant — v0 + (v1−v0)·(ts−t0)/(t1−t0) between the bracketing
     // view samples; null past either end (no extrapolation). The
@@ -307,6 +330,28 @@ object Round7Entries {
     // naming
     "ts_quantile_json" -> QuantileJsonSql,
 
+    "ts_quantile_step" -> QuantileStepSql,
+
+    // lag-window replay of the adaptive gap rule: identical mean-gap
+    // division (same integers, same IEEE divide), identical (ts, value)
+    // lag ordering
+    "ts_gaps" ->
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) AS ts, value
+             FROM events WHERE event_type = 'click'),
+           st AS (SELECT name,
+               CAST(max(ts) - min(ts) AS DOUBLE) /
+                 CAST(count(*) - 1 AS DOUBLE) AS mg
+             FROM s GROUP BY name HAVING count(*) >= 2),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
+             FROM s)
+         SELECT l.name, prev AS gap_start_us, ts AS gap_end_us,
+           ts - prev AS gap_us
+         FROM l JOIN st USING (name)
+         WHERE prev IS NOT NULL AND CAST(ts - prev AS DOUBLE) > mg * 3.0
+         ORDER BY name, gap_start_us""",
+
     // backward + forward nearest via chained ASOF over the max-deduped
     // right side (ties resolved before ASOF, both directions); the
     // interpolation ratio uses µs integer diffs cast to double — the
@@ -400,30 +445,34 @@ object Round7Entries {
     * integer bucketing over their own source CTE. `lazy` callers: the
     * oracle map above initializes first and must not read these as null
     * (object vals initialize in declaration order). */
-  private def histQuantileSql(srcSql: String, key: String): String =
+  private def histQuantileSql(srcSql: String, keys: Seq[String]): String = {
+    val k = keys.mkString(", ")
+    val ck = keys.map("c." + _).mkString(", ")
+    val nGroup = (1 to keys.size + 1).mkString(", ")
     s"""WITH s AS ($srcSql),
-           bq AS (SELECT $key, CAST(round(value * 1000000.0) AS BIGINT) AS q
+           bq AS (SELECT $k, CAST(round(value * 1000000.0) AS BIGINT) AS q
                   FROM s),
-           be AS (SELECT $key, q,
+           be AS (SELECT $k, q,
                     length(bin(greatest(q, 1))) - 1 AS e FROM bq),
-           bs AS (SELECT $key, q,
+           bs AS (SELECT $k, q,
                     CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT $key,
+           b AS (SELECT $k,
                    CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
                  FROM bs),
-           h AS (SELECT $key, lo, count(*) AS cnt FROM b GROUP BY 1, 2),
-           c AS (SELECT $key, lo,
-                   sum(cnt) OVER (PARTITION BY $key ORDER BY lo) AS cum,
-                   sum(cnt) OVER (PARTITION BY $key) AS n FROM h),
+           h AS (SELECT $k, lo, count(*) AS cnt FROM b GROUP BY $nGroup),
+           c AS (SELECT $k, lo,
+                   sum(cnt) OVER (PARTITION BY $k ORDER BY lo) AS cum,
+                   sum(cnt) OVER (PARTITION BY $k) AS n FROM h),
            p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
-         SELECT c.$key, p.p, round(min(lo) / 1000000.0, 6) AS q
+         SELECT $ck, p.p, round(min(lo) / 1000000.0, 6) AS q
          FROM c, p WHERE cum >= ceil(n * pv)
-         GROUP BY c.$key, p.p
-         ORDER BY $key, p"""
+         GROUP BY $ck, p.p
+         ORDER BY $k, p"""
+  }
 
   private lazy val QuantileHistSql: String = histQuantileSql(
     """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value
-             FROM events WHERE event_type = 'click'""", "name")
+             FROM events WHERE event_type = 'click'""", Seq("name"))
 
   private lazy val QuantileJsonSql: String = histQuantileSql(
     s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
@@ -431,5 +480,19 @@ object Round7Entries {
              FROM events
              WHERE event_type = 'purchase'
                AND epoch_ns(ts) >= ${EntryUtil.FromNs}
-               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", "series")
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", Seq("series"))
+
+  /** 7d-binned variant for the stepped statement (bins anchored at the
+    * range start — the group-aggregate rule; ts_us = bin start in µs). */
+  private lazy val QuantileStepSql: String = histQuantileSql(
+    s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+               (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+                  // ${7L * 86400000000000L}) * ${7L * 86400000000000L})
+                 // 1000 AS ts_us,
+               value
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""",
+    Seq("series", "ts_us"))
 }

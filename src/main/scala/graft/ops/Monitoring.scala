@@ -109,6 +109,60 @@ object Monitoring {
       c: Double = 3.0): DataFrame =
     madAnomaliesWith(samples, madIndex(samples, keyCol), keyCol, c)
 
+  /** Silence-interval detection: per series, every gap between
+    * consecutive samples longer than `minGapNs` as an explicit
+    * (gap_start, gap_end, gap_ns) interval — [[staleSeries]] answers
+    * "who is silent NOW"; this answers "when was anyone silent", the
+    * readout incident reviews run over history. One lag window per
+    * series (one key-hash exchange); emitted rows are gap-count-sized,
+    * never sample-sized. Ties on duplicate timestamps order by
+    * (ts, value) — a zero-length "gap" can never clear a positive
+    * threshold anyway. */
+  def gaps(samples: DataFrame, minGapNs: Long,
+      keyCol: String = "series_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minGapNs > 0, "gap threshold must be positive")
+    val w = Window.partitionBy(keyCol).orderBy("ts", "value")
+    samples
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .where(col("__prev").isNotNull &&
+        col("ts") - col("__prev") > minGapNs)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col("ts").as("gap_end"),
+        (col("ts") - col("__prev")).as("gap_ns"))
+  }
+
+  /** [[gaps]] with a PER-SERIES adaptive threshold: flag gaps longer
+    * than `factor` × the series' own mean spacing
+    * ((max ts − min ts)/(n − 1)) — a 10 Hz series and a daily series
+    * get judged each by its own cadence, so one fixed threshold doesn't
+    * drown one and blind the other. Series with fewer than two samples
+    * have no spacing and drop out. The stats frame is series-sized and
+    * broadcast; the lag window is the one key-hash exchange. Unit-
+    * agnostic: feed ns or µs consistently (the mean-spacing division is
+    * the only double op, computed from the same integers on any
+    * mirror). */
+  def gapsRelative(samples: DataFrame, factor: Double = 3.0,
+      keyCol: String = "series_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(factor > 0, "factor must be positive")
+    val w = Window.partitionBy(keyCol).orderBy("ts", "value")
+    val stats = samples.groupBy(keyCol)
+      .agg(((max(col("ts")) - min(col("ts"))).cast("double") /
+          (count(lit(1)) - 1).cast("double")).as("__mean_gap"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    samples
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .join(broadcast(stats), Seq(keyCol))
+      .where(col("__prev").isNotNull &&
+        (col("ts") - col("__prev")).cast("double") >
+          col("__mean_gap") * factor)
+      .select(col(keyCol), col("__prev").as("gap_start"),
+        col("ts").as("gap_end"),
+        (col("ts") - col("__prev")).as("gap_ns"))
+  }
+
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value
     * explosions (the failure mode that melts every TSDB's index; the

@@ -233,6 +233,10 @@ object Ast {
       metric: String,
       ps: Seq[String],
       range: TimeRange,
+      /** optional `step`: per-bin quantiles (bins anchored at
+        * `range.from`, the group-aggregate rule) — the "p99 per day"
+        * dashboard query; output gains a `ts_us` bin column. */
+      stepNs: Option[Long] = None,
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 

@@ -200,9 +200,11 @@ object QueryParser {
     if (!stmt.isObject)
       throw new BadQuery("quantile statement must be an object")
     val unknown = stmt.fieldNames().asScala
-      .filterNot(Seq("metric", "p").contains).toSeq
+      .filterNot(Seq("metric", "p", "step").contains).toSeq
     if (unknown.nonEmpty)
       throw new BadQuery(s"bad quantile key(s): ${unknown.mkString(", ")}")
+    val step = Option(stmt.get("step"))
+      .map(t => TimeUtil.parseDuration(t.asText()))
     val metric = Option(stmt.get("metric")).filter(_.isTextual)
       .map(_.asText())
       .getOrElse(throw new BadQuery("quantile.metric name required"))
@@ -228,7 +230,7 @@ object QueryParser {
         "pivot-by-tag", "limit", "offset")
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"quantile doesn't support '$k'"))
-    QuantileQuery(metric, ps, parseRange(root), parseWhere(root),
+    QuantileQuery(metric, ps, parseRange(root), step, parseWhere(root),
       parseLocation(root))
   }
 

@@ -281,11 +281,16 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[BadQuery](QueryParser.parse( // p required
       """{"quantile": {"metric": "m"}, "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // unknown statement key
-      """{"quantile": {"metric": "m", "p": [0.5], "step": "1h"},
+      """{"quantile": {"metric": "m", "p": [0.5], "by": "host"},
          "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // no per-sample output to page
       """{"quantile": {"metric": "m", "p": [0.5]},
          "range": {"from": 0, "to": 10}, "limit": 5}"""))
+    // stepped form: step parses through the shared duration grammar
+    assert(QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": [0.5], "step": "1h"},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[QuantileQuery].stepNs === Some(3600000000000L))
   }
 
   test("explicit series list in where") {

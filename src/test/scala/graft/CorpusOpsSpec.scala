@@ -596,6 +596,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq(("a", 0L, 4.0), ("a", 1L, 10.0), ("b", 0L, 0.0)))
   }
 
+  test("gaps: absolute threshold flags the silence, relative adapts per series") {
+    // series a ticks every 10 then falls silent for 170; series b ticks
+    // every 100 by design. The fixed threshold (50) flags b's NORMAL
+    // cadence too (the drowning failure mode); the relative rule
+    // (3x own mean spacing: a = 3x42 = 126, b = 3x100 = 300) flags only
+    // a's genuine outage
+    val df = (Seq(0L, 10L, 20L, 30L, 200L, 210L).map(("a", _, 1.0)) ++
+      Seq(0L, 100L, 200L, 300L).map(("b", _, 1.0)))
+      .toDF("name", "ts", "value")
+    val abs = graft.ops.Monitoring.gaps(df, minGapNs = 50L, keyCol = "name")
+      .select("name", "gap_start", "gap_end", "gap_ns")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(abs === Seq(("a", 30L, 200L, 170L), ("b", 0L, 100L, 100L),
+      ("b", 100L, 200L, 100L), ("b", 200L, 300L, 100L)))
+    val rel = graft.ops.Monitoring.gapsRelative(df, factor = 3.0,
+        keyCol = "name")
+      .select("name", "gap_start", "gap_end", "gap_ns")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(rel === Seq(("a", 30L, 200L, 170L)))
+    // a single-sample series has no cadence -> judged by neither form
+    val one = Seq(("c", 5L, 1.0)).toDF("name", "ts", "value")
+    assert(graft.ops.Monitoring.gapsRelative(one, 3.0, "name").count() === 0)
+  }
+
   test("madIndexSampled: a series sampled to extinction drops out") {
     // one row at rate 0.5 either keeps or loses the row; rate 0 loses it
     // deterministically — the series then has NO baseline and its
