@@ -179,6 +179,33 @@ object Round7Entries {
         .orderBy("name", "gap_start_us")
     }),
 
+    // the same gap rule flagging ONLINE: per-series cadence thresholds
+    // modeled offline (broadcast index), only the last-arrival ts
+    // carried as state (8 bytes/series) — a gap interval is emitted the
+    // moment the ending sample arrives. Same output as ts_gaps, same
+    // oracle: batch and streaming silence detection are interchangeable
+    "stream_gaps" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val clicksUs = clickSeries(s, dir).withColumn("ts", expr("ts div 1000"))
+      val idx = clicksUs.groupBy("name")
+        .agg((((max("ts") - min("ts")).cast("double") /
+            (count(lit(1)) - 1).cast("double")) * 3.0).as("thr"),
+          count(lit(1)).as("__n"))
+        .where(col("__n") >= 2).select("name", "thr").cache()
+      try {
+        val rows = EntryUtil.clickRows(s, dir)
+          .map { case (n, t, v) => (n, t / 1000L, v) }
+        EntryUtil.runStreamEntry(s, "stream_gaps_sink", rows, chunks = 4,
+            cols = Seq("name", "ts", "value"),
+            mkStream = graft.streaming.TsdbStream.flagGaps(_, idx),
+            outputMode = "update")
+          .select(col("name"), col("gap_start").as("gap_start_us"),
+            col("gap_end").as("gap_end_us"), col("gap_ns").as("gap_us"))
+          .orderBy("name", "gap_start_us")
+      } finally idx.unpersist(false)
+    }),
+
     // linear-interpolation join: each click carries the view LEVEL at
     // its instant — v0 + (v1−v0)·(ts−t0)/(t1−t0) between the bracketing
     // view samples; null past either end (no extrapolation). The
@@ -332,25 +359,16 @@ object Round7Entries {
 
     "ts_quantile_step" -> QuantileStepSql,
 
+    // batch and streaming silence detection are interchangeable — one
+    // oracle (the gap depends only on arrival timestamps, which both
+    // forms see identically)
+    "stream_gaps" -> GapsSql,
+
     // lag-window replay of the adaptive gap rule: identical mean-gap
     // division (same integers, same IEEE divide), identical (ts, value)
     // lag ordering
-    "ts_gaps" ->
-      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
-               epoch_us(ts) AS ts, value
-             FROM events WHERE event_type = 'click'),
-           st AS (SELECT name,
-               CAST(max(ts) - min(ts) AS DOUBLE) /
-                 CAST(count(*) - 1 AS DOUBLE) AS mg
-             FROM s GROUP BY name HAVING count(*) >= 2),
-           l AS (SELECT name, ts,
-               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
-             FROM s)
-         SELECT l.name, prev AS gap_start_us, ts AS gap_end_us,
-           ts - prev AS gap_us
-         FROM l JOIN st USING (name)
-         WHERE prev IS NOT NULL AND CAST(ts - prev AS DOUBLE) > mg * 3.0
-         ORDER BY name, gap_start_us""",
+    "ts_gaps" -> GapsSql,
+
 
     // backward + forward nearest via chained ASOF over the max-deduped
     // right side (ties resolved before ASOF, both directions); the
@@ -481,6 +499,26 @@ object Round7Entries {
              WHERE event_type = 'purchase'
                AND epoch_ns(ts) >= ${EntryUtil.FromNs}
                AND epoch_ns(ts) < ${EntryUtil.ToNs}""", Seq("series"))
+
+  /** The ONE adaptive-gap replay for the batch entry and its streaming
+    * twin: identical mean-gap division (same integers, same IEEE
+    * divide), identical (ts, value) lag ordering. */
+  private lazy val GapsSql: String =
+    """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) AS ts, value
+             FROM events WHERE event_type = 'click'),
+           st AS (SELECT name,
+               CAST(max(ts) - min(ts) AS DOUBLE) /
+                 CAST(count(*) - 1 AS DOUBLE) AS mg
+             FROM s GROUP BY name HAVING count(*) >= 2),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
+             FROM s)
+         SELECT l.name, prev AS gap_start_us, ts AS gap_end_us,
+           ts - prev AS gap_us
+         FROM l JOIN st USING (name)
+         WHERE prev IS NOT NULL AND CAST(ts - prev AS DOUBLE) > mg * 3.0
+         ORDER BY name, gap_start_us"""
 
   /** 7d-binned variant for the stepped statement (bins anchored at the
     * range start — the group-aggregate rule; ts_us = bin start in µs). */

@@ -325,4 +325,45 @@ object TsdbStream {
     implicit val flatEnc = Encoders.product[EwmaOut]
     listed.flatMap(identity).toDF("name", "ts", "value", "ewma")
   }
+
+  case class GapRow(name: String, ts: Long, thr: Double)
+  case class GapOut(name: String, gap_start: Long, gap_end: Long, gap_ns: Long)
+
+  /** Online silence detection: emit a gap interval the moment a sample
+    * arrives after a longer-than-threshold silence — the streaming twin
+    * of [[graft.ops.Monitoring.gapsRelative]], with the per-series
+    * threshold modeled OFFLINE (broadcast `index`: (name, thr) — e.g.
+    * 3× each series' historical mean spacing) and only the last-arrival
+    * timestamp carried as state (8 bytes per series; the same
+    * model-offline/flag-online split as [[flagAnomalies]]). Rows within
+    * a micro-batch fold in ts order. Series absent from the index are
+    * dropped — no cadence model, no judgement. Unit-agnostic like the
+    * batch form: feed ts and thresholds in the same unit. NOTE: a gap
+    * is only reported when the NEXT sample arrives — detecting "still
+    * silent now" needs a timeout clock ([[graft.ops.Monitoring
+    * .staleSeries]] batch-side, or GroupStateTimeout in a variant). */
+  def flagGaps(stream: DataFrame, index: DataFrame): DataFrame = {
+    implicit val rowEnc = Encoders.product[GapRow]
+    implicit val stEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.kryo[List[GapOut]]
+    val ds: Dataset[GapRow] = stream
+      .join(broadcast(index), Seq("name"))
+      .select(col("name"), col("ts"), col("thr").cast("double"))
+      .as[GapRow]
+    val listed = ds.groupByKey(_.name)(Encoders.STRING)
+      .mapGroupsWithState[Long, List[GapOut]](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[GapRow], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ListBuffer.empty[GapOut]
+          rows.toSeq.sortBy(r => (r.ts, r.name)).foreach { r =>
+            if (last != Long.MinValue && (r.ts - last).toDouble > r.thr)
+              out += GapOut(key, last, r.ts, r.ts - last)
+            last = math.max(last, r.ts)
+          }
+          state.update(last)
+          out.toList
+      }
+    implicit val flatEnc = Encoders.product[GapOut]
+    listed.flatMap(identity).toDF("name", "gap_start", "gap_end", "gap_ns")
+  }
 }

@@ -49,6 +49,22 @@ object ContractProbe {
     tryQ("asof-bad-tolerance",
       """{"asof-join": {"left": "click", "right": "view", "tolerance": "soon"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("quantile-bad-p",
+      """{"quantile": {"metric": "purchase", "p": [2.0]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("quantile-no-p",
+      """{"quantile": {"metric": "purchase"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("quantile-with-apply",
+      """{"quantile": {"metric": "purchase", "p": [0.5]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "apply": [{"name": "abs"}]}""")
+    tryQ("quantile-bad-step",
+      """{"quantile": {"metric": "purchase", "p": [0.5], "step": "later"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("quantile-unknown-metric",
+      """{"quantile": {"metric": "no_such_metric", "p": [0.5]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("fill-bad-step",
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},

@@ -439,6 +439,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("flagGaps: a silence spanning micro-batches is flagged on arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Seq(("a", 50.0)).toDF("name", "thr")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.flagGaps(in.toDF().toDF("name", "ts", "value"), idx)
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 10L, 1.0), ("a", 20L, 1.0))
+      q.processAllAvailable()
+      // batch 2 arrives 100 after the last batch-1 sample: the gap
+      // crosses the micro-batch boundary and must still be seen (the
+      // 8-byte last-ts state is the whole point)
+      in.addData(("a", 120L, 1.0), ("x", 200L, 1.0)) // x: no model -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("gaps_out")
+        .select("name", "gap_start", "gap_end", "gap_ns")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(rows === Seq(("a", 20L, 120L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
