@@ -519,6 +519,29 @@ object EntryUtil {
       path
     })
 
+  private val histIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized PERSISTED hourly quantile-histogram index over the click
+    * series (graft.ops.HistQuantiles.histogram written as parquet) —
+    * build once per (session, sf) like the IVF codebook; the persisted
+    * entry then serves percentiles from the parquet alone, never
+    * re-reading events. */
+  def histIndexFor(spark: SparkSession, dir: String): String =
+    histIndexes.getOrElseUpdate((spark, dir), {
+      val path = scratchDir("graft_hist_index")
+      val hourNs = 3600000000000L
+      graft.ops.HistQuantiles.histogram(
+          rawEvents(spark, dir).where(col("event_type") === "click")
+            .select(concat(lit("click user="),
+              col("user_id").cast("string")).as("name"),
+              (col("ts") - pmod(col("ts"), lit(hourNs))).as("hour"),
+              col("value")),
+          Seq("name", "hour"))
+        .write.parquet(s"$path/hist")
+      path
+    })
+
   private val codebooks = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
 

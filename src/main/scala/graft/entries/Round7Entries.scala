@@ -147,6 +147,20 @@ object Round7Entries {
         .orderBy("name", "p")
     }),
 
+    // the persisted index serving alone: the hourly histogram was
+    // written as parquet at build time (EntryUtil.histIndexFor, the
+    // ts_layout_select pattern) and percentiles are served from that
+    // parquet ONLY — PlanShapeSpec pins that no events scan appears in
+    // the served plan. Build once, persist, serve any range forever
+    "ts_quantile_persisted" -> ((s, dir) => {
+      val path = EntryUtil.histIndexFor(s, dir)
+      graft.ops.HistQuantiles.quantiles(
+          graft.ops.HistQuantiles.merge(
+            s.read.parquet(s"$path/hist"), Seq("name")),
+          Seq("name"), Seq("0.5", "0.95", "0.99"))
+        .orderBy("name", "p")
+    }),
+
     // the same capability through the QUERY LANGUAGE: the beyond-
     // reference `quantile` statement — per-series histogram-served
     // percentiles over the range, with where/where-location composing
@@ -358,6 +372,10 @@ object Round7Entries {
     "ts_quantile_json" -> QuantileJsonSql,
 
     "ts_quantile_step" -> QuantileStepSql,
+
+    // serving from the persisted parquet must answer exactly what the
+    // in-session build answers — one oracle
+    "ts_quantile_persisted" -> QuantileHistSql,
 
     // batch and streaming silence detection are interchangeable — one
     // oracle (the gap depends only on arrival timestamps, which both

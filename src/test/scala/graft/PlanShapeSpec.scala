@@ -485,6 +485,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("persisted quantile histogram: serving reads only the index parquet") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_pin").toString
+    val samples = (1 to 500).map(i => ("s", i.toLong, (i * 37 % 100) / 3.0))
+      .toDF("name", "ts", "value")
+    graft.ops.HistQuantiles.histogram(
+        samples.withColumn("w", $"ts" % 5), Seq("name", "w"))
+      .write.parquet(s"$dir/hist")
+    val served = graft.ops.HistQuantiles.quantiles(
+      graft.ops.HistQuantiles.merge(
+        spark.read.parquet(s"$dir/hist"), Seq("name")),
+      Seq("name"), Seq("0.5", "0.99"))
+    // the raw samples never appear: every file scan is the index parquet
+    val scans = plan(served).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty &&
+      scans.forall(_.metadata("Location").contains("graft_hist_pin")),
+      s"serving must read only the persisted histogram:\n$scans")
+    // and the served answers equal the in-session build's
+    val direct = graft.ops.HistQuantiles.quantiles(
+      graft.ops.HistQuantiles.histogram(samples, Seq("name")),
+      Seq("name"), Seq("0.5", "0.99"))
+    assert(served.orderBy("p").collect().toSeq ===
+      direct.orderBy("p").collect().toSeq)
+  }
+
   test("interpolation join: one hash exchange, both direction windows share it") {
     import spark.implicits._
     val right = (1L to 40L).map(i => ("a", i * 10L, i.toDouble)).toDF("name", "ts", "value")
