@@ -179,6 +179,21 @@ object Round7Entries {
                           "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the SIGNED domain under the gate: histogram percentiles over
+    // values straddling zero (clicks re-centered by their ~median 33)
+    // — negative magnitudes take mirrored log buckets keyed on MINUS
+    // their upper edge, so the never-above guarantee holds on both
+    // signs and the served p25 is genuinely negative, not the old
+    // underflow-bucket 0
+    "ts_quantile_hist_signed" -> ((s, dir) =>
+      graft.ops.HistQuantiles.quantiles(
+          graft.ops.HistQuantiles.histogram(
+            clickSeries(s, dir)
+              .withColumn("value", col("value") - lit(33.0)),
+            Seq("name")),
+          Seq("name"), Seq("0.25", "0.5", "0.75"))
+        .orderBy("name", "p")),
+
     // silence-interval detection with a PER-SERIES adaptive threshold:
     // gaps longer than 3x the series' own mean spacing — a dense and a
     // sparse series each judged by its own cadence. Unit note: the op
@@ -187,6 +202,18 @@ object Round7Entries {
     "ts_gaps" -> ((s, dir) => {
       val clicks = clickSeries(s, dir).withColumn("ts", expr("ts div 1000"))
       graft.ops.Monitoring.gapsRelative(clicks, factor = 3.0,
+          keyCol = "name")
+        .select(col("name"), col("gap_start").as("gap_start_us"),
+          col("gap_end").as("gap_end_us"), col("gap_ns").as("gap_us"))
+        .orderBy("name", "gap_start_us")
+    }),
+
+    // the ABSOLUTE-threshold form under the gate too ("any silence over
+    // 12 h"), the SLO-style rule the adaptive entry doesn't exercise —
+    // same lag window, fixed threshold, emitted rows gap-count-sized
+    "ts_gaps_abs" -> ((s, dir) => {
+      val clicks = clickSeries(s, dir).withColumn("ts", expr("ts div 1000"))
+      graft.ops.Monitoring.gaps(clicks, minGapNs = 43200000000L,
           keyCol = "name")
         .select(col("name"), col("gap_start").as("gap_start_us"),
           col("gap_end").as("gap_end_us"), col("gap_ns").as("gap_us"))
@@ -202,11 +229,8 @@ object Round7Entries {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(String, Long, Double)]
       val clicksUs = clickSeries(s, dir).withColumn("ts", expr("ts div 1000"))
-      val idx = clicksUs.groupBy("name")
-        .agg((((max("ts") - min("ts")).cast("double") /
-            (count(lit(1)) - 1).cast("double")) * 3.0).as("thr"),
-          count(lit(1)).as("__n"))
-        .where(col("__n") >= 2).select("name", "thr").cache()
+      val idx = graft.ops.Monitoring.gapThresholdIndex(clicksUs,
+        factor = 3.0, keyCol = "name").cache()
       try {
         val rows = EntryUtil.clickRows(s, dir)
           .map { case (n, t, v) => (n, t / 1000L, v) }
@@ -362,6 +386,10 @@ object Round7Entries {
     // here — counts adding across windows is exactly the claim
     "ts_quantile_hist" -> QuantileHistSql,
 
+    // the signed-domain twin: identical bucketing replay over the
+    // re-centered values (mirrored negative buckets)
+    "ts_quantile_hist_signed" -> QuantileHistSignedSql,
+
     // the STREAM-built histogram must serve the same answers — counts
     // merging across finalized windows is the whole claim; one oracle
     "stream_quantile_hist" -> QuantileHistSql,
@@ -386,6 +414,19 @@ object Round7Entries {
     // division (same integers, same IEEE divide), identical (ts, value)
     // lag ordering
     "ts_gaps" -> GapsSql,
+
+    // the fixed-threshold form: same lag replay, constant cutoff
+    "ts_gaps_abs" ->
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_us(ts) AS ts, value
+             FROM events WHERE event_type = 'click'),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
+             FROM s)
+         SELECT name, prev AS gap_start_us, ts AS gap_end_us,
+           ts - prev AS gap_us
+         FROM l WHERE prev IS NOT NULL AND ts - prev > 43200000000
+         ORDER BY name, gap_start_us""",
 
 
     // backward + forward nearest via chained ASOF over the max-deduped
@@ -457,9 +498,9 @@ object Round7Entries {
                epoch_us(ts) AS ts_us, value
              FROM events WHERE event_type = 'click'),
            c AS (SELECT name, ts_us,
-               CAST(sum(CAST(round(value) AS BIGINT))
+               CAST(((sum(CAST(round(value) AS BIGINT))
                    OVER (PARTITION BY name ORDER BY ts_us, value)
-                 % 10000 AS DOUBLE) AS cv
+                 % 10000) + 10000) % 10000 AS DOUBLE) AS cv
              FROM s),
            l AS (SELECT name, ts_us, cv,
                lag(cv) OVER (PARTITION BY name ORDER BY ts_us, cv) AS pv
@@ -481,25 +522,30 @@ object Round7Entries {
     * integer bucketing over their own source CTE. `lazy` callers: the
     * oracle map above initializes first and must not read these as null
     * (object vals initialize in declaration order). */
-  private def histQuantileSql(srcSql: String, keys: Seq[String]): String = {
+  private def histQuantileSql(srcSql: String, keys: Seq[String],
+      ps: Seq[String] = Seq("0.5", "0.95", "0.99")): String = {
     val k = keys.mkString(", ")
     val ck = keys.map("c." + _).mkString(", ")
     val nGroup = (1 to keys.size + 1).mkString(", ")
+    val pVals = ps.map(p => s"('$p', $p)").mkString(", ")
     s"""WITH s AS ($srcSql),
            bq AS (SELECT $k, CAST(round(value * 1000000.0) AS BIGINT) AS q
                   FROM s),
-           be AS (SELECT $k, q,
-                    length(bin(greatest(q, 1))) - 1 AS e FROM bq),
-           bs AS (SELECT $k, q,
+           be AS (SELECT $k, q, abs(q) AS m,
+                    length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
+           bs AS (SELECT $k, q, m,
                     CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
            b AS (SELECT $k,
-                   CASE WHEN q < 1 THEN 0 ELSE (q >> sh) << sh END AS lo
+                   CASE WHEN m < 1 THEN 0
+                        WHEN q > 0 THEN (m >> sh) << sh
+                        ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
+                   END AS lo
                  FROM bs),
            h AS (SELECT $k, lo, count(*) AS cnt FROM b GROUP BY $nGroup),
            c AS (SELECT $k, lo,
                    sum(cnt) OVER (PARTITION BY $k ORDER BY lo) AS cum,
                    sum(cnt) OVER (PARTITION BY $k) AS n FROM h),
-           p(p, pv) AS (VALUES ('0.5', 0.5), ('0.95', 0.95), ('0.99', 0.99))
+           p(p, pv) AS (VALUES $pVals)
          SELECT $ck, p.p, round(min(lo) / 1000000.0, 6) AS q
          FROM c, p WHERE cum >= ceil(n * pv)
          GROUP BY $ck, p.p
@@ -509,6 +555,12 @@ object Round7Entries {
   private lazy val QuantileHistSql: String = histQuantileSql(
     """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value
              FROM events WHERE event_type = 'click'""", Seq("name"))
+
+  private lazy val QuantileHistSignedSql: String = histQuantileSql(
+    """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               value - 33.0 AS value
+             FROM events WHERE event_type = 'click'""", Seq("name"),
+    ps = Seq("0.25", "0.5", "0.75"))
 
   private lazy val QuantileJsonSql: String = histQuantileSql(
     s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,

@@ -25,14 +25,16 @@ object Downsample {
     *
     * Feed µs-truncated timestamps when oracle-comparing (the repo-wide
     * convention: DuckDB's TIMESTAMP is µs, and the tie rules order by
-    * ts). */
+    * ts). Buckets use FLOOR division (Math.floorDiv codegen), matching
+    * DuckDB's `//` on pre-1970 (negative) timestamps — truncation would
+    * merge the (−bucket, 0) and [0, bucket) pixels. */
   def m4(samples: DataFrame, keyCols: Seq[String], bucketNs: Long,
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
-    import graft.functions.VectorExpressions.longDiv
+    import graft.functions.VectorExpressions.longFloorDiv
     val ts = col(tsCol); val v = col(valueCol)
     samples
-      .withColumn("bucket", longDiv(ts, bucketNs))
+      .withColumn("bucket", longFloorDiv(ts, bucketNs))
       .groupBy(keyCols.map(col) :+ col("bucket"): _*)
       .agg(
         min(struct(ts.as("t"), v.as("v"))).as("__f"),
@@ -67,7 +69,7 @@ object Downsample {
       valueCol: String = "value"): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorExpressions.longDiv
+    import graft.functions.VectorExpressions.longFloorDiv
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(valueCol))
     val contrib = samples
@@ -77,7 +79,7 @@ object Downsample {
           .when(col(valueCol) >= col("__prev"), col(valueCol) - col("__prev"))
           .otherwise(col(valueCol)))
     contrib
-      .withColumn("bucket", longDiv(col(tsCol), bucketNs))
+      .withColumn("bucket", longFloorDiv(col(tsCol), bucketNs))
       .withColumn("__incq", round(col("__inc") * lit(1000000.0), 0).cast("long"))
       .groupBy(keyCols.map(col) :+ col("bucket"): _*)
       .agg(round(sum(col("__incq")) / lit(1000000.0), 6).as("increase"))

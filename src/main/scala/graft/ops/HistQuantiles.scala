@@ -28,28 +28,39 @@ import org.apache.spark.sql.functions._
   * — the engine's oracle-gated approximate-percentile form, where a
   * float-log bucketing could split on the last ulp.
   *
-  * Domain: nonnegative values (latencies, sizes, counters — the sketch
-  * family's domain). Values rounding to < 1 micro-unit share one
-  * underflow bucket at 0.
+  * Domain: all finite doubles. Positive and negative magnitudes get
+  * mirrored log buckets (DDSketch's two-store design); values within
+  * 1 micro-unit of zero share one underflow bucket at 0 — the ONLY
+  * place the one-sided bound relaxes, to ≤ 1 µu absolute (a tiny
+  * negative reports 0, one micro-unit above it).
   */
 object HistQuantiles {
 
   /** Bucket LOWER EDGE in micro-units — the histogram's bucket key,
-    * unique per bucket and naturally ordered. q = round(v·1e6); the
-    * bucket clears q's low (⌊log2 q⌋ − 3) bits, i.e. keeps the leading
-    * 4 bits: values within a bucket agree to a 1/8 relative width. */
+    * unique per bucket and naturally ordered. q = round(v·1e6),
+    * m = |q|; the magnitude bucket clears m's low (⌊log2 m⌋ − 3) bits,
+    * keeping the leading 4 bits: values within a bucket agree to a 1/8
+    * relative width. Positive values key on the magnitude bucket's
+    * lower edge; negative values key on MINUS its UPPER edge — the
+    * more-negative side — so the reported edge stays at-or-below every
+    * value in the bucket on both sides of zero and negative keys sort
+    * before positive ones. */
   def bucketLo(value: Column): Column = {
     val q = round(value * lit(1000000.0), 0).cast("long")
+    val m = abs(q)
     // floor-log2 via the binary-string length (identical in DuckDB);
-    // greatest(q, 1) keeps bin() off nonpositive inputs — those take
-    // the underflow branch below
-    val e = length(bin(greatest(q, lit(1L)))) - lit(1)
+    // greatest(m, 1) keeps bin() off zero — that takes the underflow
+    // branch below
+    val e = length(bin(greatest(m, lit(1L)))) - lit(1)
     // call_function: the Scala shiftright/shiftleft wrappers only take a
     // literal Int shift; the SQL functions take a column
     val s = greatest(e - lit(3), lit(0))
-    when(q < 1, lit(0L))
-      .otherwise(call_function("shiftleft",
-        call_function("shiftright", q, s), s))
+    val base = call_function("shiftleft",
+      call_function("shiftright", m, s), s)
+    val width = call_function("shiftleft", lit(1L), s)
+    when(m < 1, lit(0L))
+      .when(q > 0, base)
+      .otherwise(-(base + width))
   }
 
   /** The histogram index: one count per (keyCols..., lo). With a time
@@ -73,9 +84,12 @@ object HistQuantiles {
 
   /** Quantile answers from a histogram: for each key and each p in
     * `ps`, the lower edge of the bucket holding the ⌈p·n⌉-th smallest
-    * value, as a value (`q`, 6dp) — within 12.5% BELOW the true order
-    * statistic, never above it. `ps` are decimal STRINGS so the entry
-    * and its oracle parse the identical literals (playbook rule).
+    * value, as a value (`q`, 6dp) — within 12.5% (relative) BELOW the
+    * true order statistic, never above it, on both signs (negative
+    * buckets key on their more-negative edge; only the ±1 µu underflow
+    * band around zero can report up to 1 µu high). `ps` are decimal
+    * STRINGS so the entry and its oracle parse the identical literals
+    * (playbook rule).
     *
     * Plan shape: one cumulative window over bucket-count rows (a few
     * hundred per key — index-sized, never row-sized), an in-row explode

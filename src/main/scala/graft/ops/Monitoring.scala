@@ -145,22 +145,34 @@ object Monitoring {
   def gapsRelative(samples: DataFrame, factor: Double = 3.0,
       keyCol: String = "series_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(factor > 0, "factor must be positive")
     val w = Window.partitionBy(keyCol).orderBy("ts", "value")
-    val stats = samples.groupBy(keyCol)
-      .agg(((max(col("ts")) - min(col("ts"))).cast("double") /
-          (count(lit(1)) - 1).cast("double")).as("__mean_gap"),
-        count(lit(1)).as("__n"))
-      .where(col("__n") >= 2)
+    val stats = gapThresholdIndex(samples, factor, keyCol)
     samples
       .withColumn("__prev", lag(col("ts"), 1).over(w))
       .join(broadcast(stats), Seq(keyCol))
       .where(col("__prev").isNotNull &&
-        (col("ts") - col("__prev")).cast("double") >
-          col("__mean_gap") * factor)
+        (col("ts") - col("__prev")).cast("double") > col("thr"))
       .select(col(keyCol), col("__prev").as("gap_start"),
         col("ts").as("gap_end"),
         (col("ts") - col("__prev")).as("gap_ns"))
+  }
+
+  /** The ONE cadence model behind the adaptive gap rule: per series,
+    * `thr` = factor × mean spacing ((max ts − min ts)/(n − 1));
+    * series with < 2 samples have no spacing and drop out. Shared by
+    * [[gapsRelative]] and the streaming flag path
+    * ([[graft.streaming.TsdbStream.flagGaps]]' offline model build) so
+    * batch and stream judge by bit-identical thresholds — the formula
+    * lives HERE once, not re-derived per call site. */
+  def gapThresholdIndex(samples: DataFrame, factor: Double = 3.0,
+      keyCol: String = "series_id"): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    samples.groupBy(keyCol)
+      .agg((((max(col("ts")) - min(col("ts"))).cast("double") /
+          (count(lit(1)) - 1).cast("double")) * factor).as("thr"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select(col(keyCol), col("thr"))
   }
 
   /** Cardinality monitoring: per (metric, tag key), the distinct tag

@@ -225,10 +225,12 @@ object Ast {
     * reference: per-series quantiles of the values in the range, served
     * from the mergeable log-bucketed histogram
     * ([[graft.ops.HistQuantiles]] — bounded memory per series at any
-    * row count; answers within 12.5% below the true order statistic,
-    * never above). `ps` keep the caller's DECIMAL TEXT so the output
-    * `p` labels — and any oracle replay — see the identical literals.
-    * Output rows: (series, p, q). */
+    * row count; answers within 12.5% relative below the true order
+    * statistic, never above, on both signs — only the ±1 µu underflow
+    * band around zero can report up to 1 µu high). `ps` keep the
+    * caller's DECIMAL TEXT so the output `p` labels — and any oracle
+    * replay — see the identical literals (string-typed `p` entries;
+    * JSON numbers are parser-normalized). Output rows: (series, p, q). */
   final case class QuantileQuery(
       metric: String,
       ps: Seq[String],

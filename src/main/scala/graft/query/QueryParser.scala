@@ -213,7 +213,11 @@ object QueryParser {
     val pList = if (pNode.isArray) pNode.asScala.toSeq else Seq(pNode)
     if (pList.isEmpty) throw new BadQuery("quantile.p must be non-empty")
     // keep the caller's decimal TEXT: the output p labels must carry the
-    // literals the caller wrote (and an oracle replays)
+    // literals the caller wrote (and an oracle replays). Holds exactly
+    // for STRING-typed p entries ("0.50" → "0.50"); JSON number nodes
+    // are normalized by the JSON parser before asText ([0.50] → "0.5",
+    // [1e-1] → "0.1") — callers who need a specific label write strings
+    // (documented in QUERYLANG.md)
     val ps = pList.map { n =>
       val txt = n.asText()
       val v = try txt.toDouble catch {
@@ -225,9 +229,11 @@ object QueryParser {
       txt
     }
     // histogram serving has no per-sample output to filter/order/page,
-    // and apply chains operate on sample streams — reject loudly
+    // apply chains operate on sample streams, and the RESP/CSV
+    // renderers emit sample rows (ts/value) the quantile schema
+    // doesn't have — reject loudly, never ignore
     Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
-        "pivot-by-tag", "limit", "offset")
+        "pivot-by-tag", "limit", "offset", "output")
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"quantile doesn't support '$k'"))
     QuantileQuery(metric, ps, parseRange(root), step, parseWhere(root),

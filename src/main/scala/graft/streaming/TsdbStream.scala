@@ -326,7 +326,7 @@ object TsdbStream {
     listed.flatMap(identity).toDF("name", "ts", "value", "ewma")
   }
 
-  case class GapRow(name: String, ts: Long, thr: Double)
+  case class GapRow(name: String, ts: Long, value: Double, thr: Double)
   case class GapOut(name: String, gap_start: Long, gap_end: Long, gap_ns: Long)
 
   /** Online silence detection: emit a gap interval the moment a sample
@@ -336,26 +336,40 @@ object TsdbStream {
     * 3× each series' historical mean spacing) and only the last-arrival
     * timestamp carried as state (8 bytes per series; the same
     * model-offline/flag-online split as [[flagAnomalies]]). Rows within
-    * a micro-batch fold in ts order. Series absent from the index are
-    * dropped — no cadence model, no judgement. Unit-agnostic like the
-    * batch form: feed ts and thresholds in the same unit. NOTE: a gap
-    * is only reported when the NEXT sample arrives — detecting "still
-    * silent now" needs a timeout clock ([[graft.ops.Monitoring
-    * .staleSeries]] batch-side, or GroupStateTimeout in a variant). */
+    * a micro-batch fold in (ts, value) order — the batch form's lag
+    * tiebreak. Series absent from the index are dropped — no cadence
+    * model, no judgement. Unit-agnostic like the batch form: feed ts
+    * and thresholds in the same unit.
+    *
+    * PRECONDITION — per-series ts order ACROSS micro-batches: a row
+    * older than the carried last-arrival timestamp is a late arrival
+    * this 8-byte state cannot re-open history for (it is skipped as a
+    * gap START, and the interval it would have split is already
+    * emitted), so the batch-form equivalence holds only for feeds that
+    * are per-series nondecreasing across batches (in-order brokers,
+    * file sources of time-partitioned data). Late data needs the batch
+    * form over the settled table — the same rule the watermark puts on
+    * every streaming aggregate here.
+    *
+    * NOTE: a gap is only reported when the NEXT sample arrives —
+    * detecting "still silent now" needs a timeout clock
+    * ([[graft.ops.Monitoring.staleSeries]] batch-side, or
+    * GroupStateTimeout in a variant). */
   def flagGaps(stream: DataFrame, index: DataFrame): DataFrame = {
     implicit val rowEnc = Encoders.product[GapRow]
     implicit val stEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.kryo[List[GapOut]]
     val ds: Dataset[GapRow] = stream
       .join(broadcast(index), Seq("name"))
-      .select(col("name"), col("ts"), col("thr").cast("double"))
+      .select(col("name"), col("ts"), col("value").cast("double"),
+        col("thr").cast("double"))
       .as[GapRow]
     val listed = ds.groupByKey(_.name)(Encoders.STRING)
       .mapGroupsWithState[Long, List[GapOut]](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[GapRow], state: GroupState[Long]) =>
           var last = state.getOption.getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ListBuffer.empty[GapOut]
-          rows.toSeq.sortBy(r => (r.ts, r.name)).foreach { r =>
+          rows.toSeq.sortBy(r => (r.ts, r.value)).foreach { r =>
             if (last != Long.MinValue && (r.ts - last).toDouble > r.thr)
               out += GapOut(key, last, r.ts, r.ts - last)
             last = math.max(last, r.ts)

@@ -286,6 +286,15 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[BadQuery](QueryParser.parse( // no per-sample output to page
       """{"quantile": {"metric": "m", "p": [0.5]},
          "range": {"from": 0, "to": 10}, "limit": 5}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"quantile": {"metric": "m", "p": [0.5]},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+    // string-typed p keeps the caller's exact literal; number nodes are
+    // parser-normalized (0.50 -> "0.5")
+    assert(QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": ["0.50"]},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[QuantileQuery].ps === Seq("0.50"))
     // stepped form: step parses through the shared duration grammar
     assert(QueryParser.parse(
       """{"quantile": {"metric": "m", "p": [0.5], "step": "1h"},

@@ -557,6 +557,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("histogram quantiles: signed domain — mirrored buckets keep the one-sided bound") {
+    import graft.ops.HistQuantiles
+    // values spanning negative..positive: negatives key on MINUS the
+    // magnitude bucket's upper edge, so the reported edge stays at or
+    // below every value in the bucket on both sides of zero
+    val n = 4001
+    val rows = (0 until n).map(i => ("s", i.toLong,
+      (((i * 131) % n) - n / 2).toDouble / 7.0))
+    val df = rows.toDF("name", "ts", "value")
+    val hist = HistQuantiles.histogram(df, Seq("name"))
+    // bounded: at most ~8/octave per sign
+    assert(hist.count() <= 2 * 8 * 53 + 1)
+    val sorted = rows.map(_._3).sorted
+    for (p <- Seq("0.1", "0.25", "0.5", "0.9")) {
+      val q = HistQuantiles.quantiles(hist, Seq("name"), Seq(p))
+        .select("q").as[Double].head()
+      val exact = sorted(math.ceil(p.toDouble * n).toInt - 1)
+      assert(q <= exact + 1e-6, s"p=$p: $q above exact $exact")
+      assert(exact <= q + math.abs(exact) / 8 + 2e-6,
+        s"p=$p: $q too far below exact $exact")
+    }
+  }
+
   test("m4: four extremes per bucket, ties pinned lexicographically") {
     val df = Seq(
       ("a", 10L, 5.0), ("a", 20L, 1.0), ("a", 30L, 9.0), ("a", 40L, 3.0),
