@@ -310,6 +310,38 @@ object Round7Entries {
         .orderBy("name", "bucket")
     }),
 
+    // cross-series Pearson correlation on aligned hourly buckets —
+    // "which metrics move together". Bucket means quantize to integer
+    // milli-units so every moment is an order-independent integer sum;
+    // the fact scan reduces to (keys x buckets) rows BEFORE the pair
+    // join ever runs (plan-pinned) and one double formula at the end
+    // replays with identical IEEE op order in the mirror
+    "ts_corr_matrix" -> ((s, dir) =>
+      graft.ops.Stats.corrAligned(
+          EntryUtil.rawEvents(s, dir)
+            .select(col("event_type").as("metric"), col("ts"), col("value")),
+          bucketNs = 3600000000000L)
+        .orderBy("key_a", "key_b")),
+
+    // mergeable distinct-count rollup: per (event_type, day) KMV index
+    // rows (the k minimal distinct user-id hashes), merged to serve the
+    // whole-range distinct-user estimate — the distinct-count analog of
+    // the histogram rollup (counts don't add across windows; k-min hash
+    // SETS merge exactly, spec-pinned against the direct sketch). Build
+    // once at ingest granularity, persist, serve any range
+    "ts_distinct_rollup" -> ((s, dir) => {
+      val dayNs = 86400000000000L
+      val idx = graft.ops.Sketches.kmvIndex(
+        EntryUtil.rawEvents(s, dir)
+          .select(col("event_type"),
+            graft.functions.VectorExpressions.longFloorDiv(col("ts"), dayNs)
+              .as("day"),
+            col("user_id").cast("string").as("uid")),
+        "event_type", "day", "uid", k = 256)
+      graft.ops.Sketches.kmvServe(idx, "event_type", k = 256)
+        .orderBy("event_type")
+    }),
+
     // incremental dedup probing the PERSISTED curation-time index
     // (Dedup.writeCorpusIndex: content hashes + band rows carrying
     // verify sets): identical result to docs_incremental_dedup — same
@@ -427,6 +459,50 @@ object Round7Entries {
            ts - prev AS gap_us
          FROM l WHERE prev IS NOT NULL AND ts - prev > 43200000000
          ORDER BY name, gap_start_us""",
+
+    // integer-moment replay of the aligned correlation: identical
+    // milli-quantized bucket means (same two divisions, same half-up
+    // round), integer moment sums, one identically-shaped double
+    // formula at the end
+    "ts_corr_matrix" ->
+      """WITH b AS (SELECT event_type AS k,
+               epoch_ns(ts) // 3600000000000 AS bk,
+               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   / count(*) / 1000.0) AS BIGINT) AS m
+             FROM events GROUP BY 1, 2),
+           p AS (SELECT l.k AS key_a, r.k AS key_b, l.m AS x, r.m AS y
+             FROM b l JOIN b r ON l.bk = r.bk AND l.k < r.k),
+           mo AS (SELECT key_a, key_b, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+             FROM p GROUP BY 1, 2)
+         SELECT key_a, key_b, CAST(n AS BIGINT) AS n_buckets,
+           round(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                           sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END, 6) AS corr
+         FROM mo ORDER BY key_a, key_b""",
+
+    // the merged KMV rollup equals the direct sketch over the union
+    // (k-min sets merge exactly), so the oracle replays the DIRECT
+    // form: distinct user hashes, k smallest, same estimator
+    "ts_distinct_rollup" ->
+      """WITH t AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+             FROM events),
+           r AS (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+             FROM t),
+           kk AS (SELECT event_type, max(h) AS hk, count(*) AS n
+             FROM r WHERE r <= 256 GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_kept,
+           round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                 ELSE 255.0 * 1152921504606846976.0 / hk END, 6)
+             AS est_distinct
+         FROM kk ORDER BY event_type""",
 
 
     // backward + forward nearest via chained ASOF over the max-deduped

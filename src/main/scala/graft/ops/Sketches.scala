@@ -71,6 +71,55 @@ object Sketches {
           6).as("est_distinct"))
   }
 
+  /** Mergeable KMV rollup INDEX: per (group, window) the k minimal
+    * distinct hash60 values as ROWS (group, window, h) — the
+    * distinct-count analog of the histogram rollup
+    * ([[graft.ops.HistQuantiles.histogram]]): build once at ingest
+    * granularity, persist, and serve ANY window range later by merging
+    * ([[kmvServe]]). Distinct counts don't add across windows (a user
+    * active every day is one user, not thirty) — k-min hash SETS merge
+    * exactly: the k minimal of a union are all among each window's k
+    * minimal, so the union of per-window indexes loses nothing the
+    * global sketch would keep (spec-pinned against [[kmvDistinct]]).
+    *
+    * Scale shape: distinct (group, window, h) dedup, then the k-smallest
+    * filter compiles to WindowGroupLimit — each map task forwards at
+    * most k hashes per (group, window); index size is
+    * groups × windows × k rows, never value-count-sized. */
+  def kmvIndex(df: DataFrame, groupCol: String, windowCol: String,
+      valueCol: String, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "kmv needs k >= 2")
+    val dedup = df
+      .select(col(groupCol), col(windowCol),
+        graft.pipeline.Dedup.hash60(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol, windowCol).orderBy("h")
+    dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .select(groupCol, windowCol, "h")
+  }
+
+  /** Serve a distinct-count estimate from a [[kmvIndex]] (optionally
+    * range-filtered by the caller first — any window subset is valid):
+    * union the retained hashes, keep the k smallest distinct, apply the
+    * same estimator as [[kmvDistinct]]. Output matches kmvDistinct
+    * column-for-column, and over the full window set value-for-value —
+    * the build-once/serve-any-range contract, oracle-gated. */
+  def kmvServe(index: DataFrame, groupCol: String,
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dedup = index.select(col(groupCol), col("h")).distinct()
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
+      .select(col(groupCol), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("__hk")),
+          6).as("est_distinct"))
+  }
+
   def frequentKeys(df: DataFrame, keyCol: String,
       portion: Double, error: Double,
       eps: Double = 0.0001, confidence: Double = 0.99,

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-series statistics — "which metrics move together", the
+  * fleet-analytics readout beyond any single series' history. The
+  * reference has no cross-series statistics at all (its operators are
+  * per-query-leaf pipelines, stdb/query/query_processing); here it is
+  * one rollup-sized composition.
+  */
+object Stats {
+
+  /** Pearson correlation matrix between series on ALIGNED time buckets:
+    * per (key, bucket) the bucket-mean value, then for every key pair
+    * sharing a bucket the correlation of their bucket-mean sequences.
+    * Bucket means (not sums) keep magnitudes sf-invariant; quantizing
+    * them to MILLI-units makes every moment (n, Σx, Σy, Σxy, Σx², Σy²)
+    * an INTEGER sum — aggregation-order independent, so the
+    * cross-partition reduce cannot put FP noise on the moments and the
+    * one final double formula replays with identical IEEE op order in
+    * any engine (the DSIR/ngram-ppl idiom, extended to second moments).
+    *
+    * Scale shape: the fact scan reduces to (keys × buckets) rows — a
+    * rollup-sized frame — BEFORE anything pairs; the pair join is
+    * bucket-keyed over that reduced frame (k² pairs per bucket, k =
+    * series under comparison, catalog-bounded) and the moments are one
+    * partial-aggregatable groupBy. Nothing pair-shaped ever touches the
+    * raw facts.
+    *
+    * Integer headroom: moments fit BIGINT while
+    * n_buckets · (1000·|mean|)² < 2⁶³ — e.g. |value| ≤ 10³ allows ~9M
+    * buckets (a decade of minutes). Coarsen `bucketNs` (or rescale
+    * values) beyond that; the op requires nothing else of the domain.
+    *
+    * Output: one row per unordered pair (key_a < key_b) with `corr`
+    * (6dp) and `n_buckets` (shared buckets; pairs with < 2 shared
+    * buckets or a zero-variance side yield null corr — no judgement,
+    * matching SQL corr semantics). */
+  def corrAligned(samples: DataFrame, bucketNs: Long,
+      keyCol: String = "metric", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(bucketNs > 0, "bucket width must be positive")
+    import graft.functions.VectorExpressions.longFloorDiv
+    // per (key, bucket): milli-quantized bucket mean. The µu sum and
+    // count are exact integers; their double ratio then rounds half-up
+    // to one milli-unit integer — bit-identical in any engine
+    val buckets = samples
+      .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .select(col(keyCol), col("__b"),
+        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+    val l = buckets.select(col(keyCol).as("key_a"), col("__b"),
+      col("__m").as("__x"))
+    val r = buckets.select(col(keyCol).as("key_b"), col("__b"),
+      col("__m").as("__y"))
+    val moments = l.join(r, Seq("__b"))
+      .where(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // one double formula over integer moments: identical shape on any
+    // mirror; a zero-variance side makes the denominator 0 -> null
+    val num = (col("n_buckets") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = sqrt((col("n_buckets") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double")) *
+      sqrt((col("n_buckets") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+    moments
+      .withColumn("corr",
+        round(when(den > 0.0, num / den), 6))
+      .select("key_a", "key_b", "n_buckets", "corr")
+  }
+}

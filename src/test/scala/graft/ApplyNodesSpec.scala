@@ -174,6 +174,27 @@ class ApplyNodesSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) === (("small", 9L, 9.0)))
   }
 
+  test("KMV rollup: per-window index merges to the direct sketch exactly") {
+    // k-min hash SETS merge losslessly: any hash among the union's k
+    // minimal is among its own window's k minimal — so serving from the
+    // per-window index must equal the direct sketch row-for-row, both
+    // over the full window set and over any window subset
+    val rows = (1 to 5000).map(i => (s"g${i % 2}", (i % 7).toLong, s"v${i % 900}"))
+    val df = rows.toDF("g", "w", "v")
+    val idx = graft.ops.Sketches.kmvIndex(df, "g", "w", "v", k = 64)
+    val served = graft.ops.Sketches.kmvServe(idx, "g", k = 64)
+      .orderBy("g").collect().toSeq
+    val direct = graft.ops.Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .orderBy("g").collect().toSeq
+    assert(served === direct)
+    val sub = graft.ops.Sketches.kmvServe(idx.where(idx("w") <= 3), "g", k = 64)
+      .orderBy("g").collect().toSeq
+    val directSub = graft.ops.Sketches.kmvDistinct(
+        df.where(df("w") <= 3), "g", "v", k = 64)
+      .orderBy("g").collect().toSeq
+    assert(sub === directSub)
+  }
+
   test("KMV's k-smallest filter is map-side (WindowGroupLimit)") {
     val df = (1 to 500).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
     val p = graft.ops.Sketches.kmvDistinct(df, "g", "v", k = 16)

@@ -580,6 +580,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("corrAligned: known correlations, bucket-mean alignment, zero-variance nulls") {
+    // four aligned buckets (width 10): b = 2a (corr 1), c = -2a + 10
+    // (corr -1), d constant (zero variance -> null); a's buckets carry
+    // TWO rows each so the bucket MEAN (not any single row) aligns
+    val rows =
+      (0 until 4).flatMap(i => Seq(
+        ("a", i * 10L + 2, (i + 1).toDouble - 0.5),
+        ("a", i * 10L + 7, (i + 1).toDouble + 0.5),
+        ("b", i * 10L + 5, 2.0 * (i + 1)),
+        ("c", i * 10L + 5, 10.0 - 2.0 * (i + 1)),
+        ("d", i * 10L + 5, 5.0)))
+    val out = graft.ops.Stats.corrAligned(
+        rows.toDF("metric", "ts", "value"), bucketNs = 10L)
+      .orderBy("key_a", "key_b")
+      .as[(String, String, Long, Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ===
+      Seq(("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")))
+    assert(out.forall(_._3 === 4L))
+    val byPair = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair(("a", "b")) === Some(1.0))
+    assert(byPair(("a", "c")) === Some(-1.0))
+    assert(byPair(("b", "c")) === Some(-1.0))
+    assert(byPair(("a", "d")) === None)
+    assert(byPair(("b", "d")) === None)
+    assert(byPair(("c", "d")) === None)
+  }
+
+  test("corrAligned: agrees with Spark's native corr to quantization tolerance") {
+    val rows = (0 until 500).map { i =>
+      val x = math.sin(i / 7.0) * 100 + i * 0.1
+      Seq(("x", i.toLong, x), ("y", i.toLong, 0.8 * x + 30 * math.cos(i / 3.0)))
+    }.flatten
+    val df = rows.toDF("metric", "ts", "value")
+    val ours = graft.ops.Stats.corrAligned(df, bucketNs = 1L)
+      .select("corr").as[Double].head()
+    val xs = df.groupBy("ts").pivot("metric").sum("value")
+    val native = xs.select(corr(col("x"), col("y"))).as[Double].head()
+    // milli-unit quantization of values ~1e2 -> ppm-level corr shift
+    assert(math.abs(ours - native) < 1e-4, s"$ours vs $native")
+  }
+
   test("m4: four extremes per bucket, ties pinned lexicographically") {
     val df = Seq(
       ("a", 10L, 5.0), ("a", 20L, 1.0), ("a", 30L, 9.0), ("a", 40L, 3.0),

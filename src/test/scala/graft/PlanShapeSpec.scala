@@ -651,4 +651,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         s"probe side must not shuffle:\n${joins.head.left}")
     } finally spark.conf.set(key, prev)
   }
+
+  test("corr matrix: facts reduce to bucket means before anything pairs") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"m${i % 3}", i.toLong, i.toDouble))
+      .toDF("metric", "ts", "value")
+    val p = plan(graft.ops.Stats.corrAligned(df, bucketNs = 10L))
+    // every join input must sit above an aggregate: the pair join runs
+    // over the (keys x buckets) rollup frame, never the raw facts
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty, s"expected a pair join:\n$p")
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collect { case a: BaseAggregateExec => a }.nonEmpty,
+          s"pair-join input must be pre-aggregated:\n$side")
+      }
+    }
+  }
 }
