@@ -542,6 +542,28 @@ object EntryUtil {
       path
     })
 
+  private val kmvIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized PERSISTED daily KMV distinct index over event users
+    * (graft.ops.Sketches.kmvIndex written as parquet) — build once per
+    * (session, sf) like the quantile-histogram index; the persisted
+    * entry serves distinct-count estimates from the parquet alone,
+    * never re-reading events. */
+  def kmvIndexFor(spark: SparkSession, dir: String): String =
+    kmvIndexes.getOrElseUpdate((spark, dir), {
+      val path = scratchDir("graft_kmv_index")
+      val dayNs = 86400000000000L
+      graft.ops.Sketches.kmvIndex(
+          rawEvents(spark, dir).select(col("event_type"),
+            graft.functions.VectorExpressions.longFloorDiv(col("ts"), dayNs)
+              .as("day"),
+            col("user_id").cast("string").as("uid")),
+          "event_type", "day", "uid", k = 256)
+        .write.parquet(s"$path/kmv")
+      path
+    })
+
   private val codebooks = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
 

@@ -342,6 +342,48 @@ object Round7Entries {
         .orderBy("event_type")
     }),
 
+    // the persisted KMV index serving alone: the daily index was
+    // written as parquet at build time (EntryUtil.kmvIndexFor, the
+    // ts_quantile_persisted pattern) and the estimate is served from
+    // that parquet ONLY — PlanShapeSpec pins that no events scan
+    // appears in the served plan. Same answers as ts_distinct_rollup,
+    // same oracle
+    "ts_distinct_persisted" -> ((s, dir) => {
+      val path = EntryUtil.kmvIndexFor(s, dir)
+      graft.ops.Sketches.kmvServe(
+          s.read.parquet(s"$path/kmv"), "event_type", k = 256)
+        .orderBy("event_type")
+    }),
+
+    // the KMV index maintained BY an executing stream (kmvBuild):
+    // per-(type, day) k-min sets fold in 8·k-byte state, each hash
+    // emitted the batch it is admitted (update mode); the sink is a
+    // superset of every window's final k-min set, and serving re-cuts
+    // to the k minimal — so the streamed estimate equals the batch
+    // sketch EXACTLY (the histBuild contract, for distinct counts).
+    // Click users only: the feed is one metric's rows, the harness
+    // convention
+    "stream_distinct_rollup" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, String)]
+      val dayNs = 86400000000000L
+      val rows = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("event_type"), col("ts").cast("long"),
+          col("user_id").cast("string"))
+        .orderBy("ts", "user_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .toSeq
+      val sink = EntryUtil.runStreamEntry(s, "stream_kmv_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.kmvBuild(_, dayNs, k = 256),
+        outputMode = "update")
+      graft.ops.Sketches.kmvServe(
+          sink.select(col("name").as("event_type"), col("h")),
+          "event_type", k = 256)
+        .orderBy("event_type")
+    }),
+
     // incremental dedup probing the PERSISTED curation-time index
     // (Dedup.writeCorpusIndex: content hashes + band rows carrying
     // verify sets): identical result to docs_incremental_dedup — same
@@ -488,21 +530,15 @@ object Round7Entries {
     // the merged KMV rollup equals the direct sketch over the union
     // (k-min sets merge exactly), so the oracle replays the DIRECT
     // form: distinct user hashes, k smallest, same estimator
-    "ts_distinct_rollup" ->
-      """WITH t AS (SELECT DISTINCT event_type,
-               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                 AS BIGINT) AS h
-             FROM events),
-           r AS (SELECT event_type, h,
-               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
-             FROM t),
-           kk AS (SELECT event_type, max(h) AS hk, count(*) AS n
-             FROM r WHERE r <= 256 GROUP BY event_type)
-         SELECT event_type, CAST(n AS BIGINT) AS n_kept,
-           round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
-                 ELSE 255.0 * 1152921504606846976.0 / hk END, 6)
-             AS est_distinct
-         FROM kk ORDER BY event_type""",
+    "ts_distinct_rollup" -> kmvUserSql(""),
+
+    // persisted-index serving: identical answers, one oracle
+    "ts_distinct_persisted" -> kmvUserSql(""),
+
+    // stream-built index re-cut at serve time = the direct sketch
+    // over the clicks feed
+    "stream_distinct_rollup" ->
+      kmvUserSql("WHERE event_type = 'click'"),
 
 
     // backward + forward nearest via chained ASOF over the max-deduped
@@ -627,6 +663,28 @@ object Round7Entries {
          GROUP BY $ck, p.p
          ORDER BY $k, p"""
   }
+
+  /** ONE KMV replay generator — the batch rollup, the persisted-index
+    * serve and the stream-built form all mirror the identical direct
+    * sketch (k-min sets merge exactly, so every serving path equals
+    * it): distinct user hash60s, k smallest, the (k−1)·2⁶⁰/h_k
+    * estimator. Declared as a def: the oracle map initializes before
+    * this object's lazy vals. */
+  private def kmvUserSql(where: String): String =
+    s"""WITH t AS (SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS h
+             FROM events $where),
+           r AS (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+             FROM t),
+           kk AS (SELECT event_type, max(h) AS hk, count(*) AS n
+             FROM r WHERE r <= 256 GROUP BY event_type)
+         SELECT event_type, CAST(n AS BIGINT) AS n_kept,
+           round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                 ELSE 255.0 * 1152921504606846976.0 / hk END, 6)
+             AS est_distinct
+         FROM kk ORDER BY event_type"""
 
   private lazy val QuantileHistSql: String = histQuantileSql(
     """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value

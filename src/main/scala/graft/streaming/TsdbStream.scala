@@ -326,6 +326,58 @@ object TsdbStream {
     listed.flatMap(identity).toDF("name", "ts", "value", "ewma")
   }
 
+  case class KmvRow(name: String, win: Long, h: Long)
+
+  /** Continuous KMV distinct-index maintenance: per (name, window) keep
+    * the k minimal distinct hash60 values and emit each hash the batch
+    * it is ADMITTED to that k-min set (update mode) — the streaming
+    * builder of [[graft.ops.Sketches.kmvIndex]]'s mergeable
+    * distinct-count rollup, the analog of [[histBuild]] for
+    * percentiles. State is ≤ 8·k bytes per (series, window); the hash
+    * is computed as a COLUMN before the stateful fold, so streamed and
+    * batch hashes are the same codegen'd expression.
+    *
+    * The sink accumulates every ever-admitted hash — a SUPERSET of each
+    * window's final k-min set (an evicted hash can never be readmitted:
+    * eviction means k smaller hashes exist forever). Serving re-cuts to
+    * the k minimal ([[graft.ops.Sketches.kmvServe]] does this by
+    * construction), and any globally-k-min hash is necessarily in its
+    * own window's k-min, so the served estimate equals the batch sketch
+    * EXACTLY (spec-pinned) — extra sink rows cost space, never
+    * correctness. */
+  def kmvBuild(stream: DataFrame, windowNs: Long, k: Int = 256): DataFrame = {
+    require(windowNs > 0, "window width must be positive")
+    require(k >= 2, "kmv needs k >= 2")
+    implicit val rowEnc = Encoders.product[KmvRow]
+    implicit val keyEnc = Encoders.product[(String, Long)]
+    implicit val stEnc = Encoders.kryo[Array[Long]]
+    implicit val outEnc = Encoders.kryo[List[KmvRow]]
+    val hashed: Dataset[KmvRow] = stream.select(col("name"),
+        graft.functions.VectorExpressions.longFloorDiv(col("ts"), windowNs)
+          .as("win"),
+        graft.pipeline.Dedup.hash60(col("value")).as("h"))
+      .as[KmvRow]
+    val listed = hashed.groupByKey(r => (r.name, r.win))
+      .mapGroupsWithState[Array[Long], List[KmvRow]](
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[KmvRow],
+            state: GroupState[Array[Long]]) =>
+          val init = state.getOption.getOrElse(Array.empty[Long])
+          val set = scala.collection.mutable.TreeSet.empty[Long] ++ init
+          rows.foreach { r =>
+            if (!set.contains(r.h)) {
+              if (set.size < k) set += r.h
+              else if (r.h < set.max) { set += r.h; set -= set.max }
+            }
+          }
+          val initSet = init.toSet
+          state.update(set.toArray)
+          set.iterator.filterNot(initSet).map(h =>
+            KmvRow(key._1, key._2, h)).toList
+      }
+    listed.flatMap(identity)(rowEnc).toDF("name", "win", "h")
+  }
+
   case class GapRow(name: String, ts: Long, value: Double, thr: Double)
   case class GapOut(name: String, gap_start: Long, gap_end: Long, gap_ns: Long)
 

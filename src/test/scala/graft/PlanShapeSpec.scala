@@ -652,6 +652,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("persisted KMV serve: reads the index parquet only; k-cut map-side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = (1 to 400).map(i => (s"g${i % 2}", (i % 5).toLong, s"v${i % 70}"))
+      .toDF("g", "w", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_pin").toString
+    graft.ops.Sketches.kmvIndex(df, "g", "w", "v", k = 32)
+      .write.parquet(s"$dir/kmv")
+    val out = graft.ops.Sketches.kmvServe(
+      spark.read.parquet(s"$dir/kmv"), "g", k = 32)
+    val p = plan(out)
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(
+        _.metadata("Location").contains("graft_kmv_pin")),
+      s"serve must read only the persisted index:\n$p")
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      s"k-smallest cut must push below the shuffle")
+  }
+
   test("corr matrix: facts reduce to bucket means before anything pairs") {
     import spark.implicits._
     val df = (1 to 300).map(i => (s"m${i % 3}", i.toLong, i.toDouble))

@@ -439,6 +439,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("kmvBuild: stream-admitted hashes re-cut to exactly the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dayNs = 100L
+    // 600 values over 6 windows with heavy cross-window repeats; k=16
+    // forces real evictions, so the sink is a strict superset of the
+    // final k-min sets and the serve-time re-cut is doing real work
+    val rows = (0 until 600).map(i =>
+      ("g", i.toLong, s"u${(i * 131) % 90}"))
+    val in = MemoryStream[(String, Long, String)]
+    val q = TsdbStream.kmvBuild(in.toDF().toDF("name", "ts", "value"),
+        dayNs, k = 16)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      rows.grouped(150).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val served = graft.ops.Sketches.kmvServe(
+          spark.table("kmv_out").select("name", "h"), "name", k = 16)
+        .collect().toSeq
+      val batch = graft.ops.Sketches.kmvDistinct(
+          rows.toDF("name", "ts", "value"), "name", "value", k = 16)
+        .collect().toSeq
+      assert(served === batch)
+      // ever-admitted ⊇ each window's final k-min (the lossless-merge
+      // lemma), and admissions genuinely exceeded the final sets
+      // (evictions occurred — the re-cut above did real work)
+      val sink = spark.table("kmv_out").select("name", "win", "h")
+        .as[(String, Long, Long)].collect().toSet
+      val batchIdx = graft.ops.Sketches.kmvIndex(
+          rows.toDF("name", "ts", "value")
+            .withColumn("win", expr(s"ts div $dayNs")),
+          "name", "win", "value", k = 16)
+        .as[(String, Long, Long)].collect().toSet
+      assert(batchIdx.subsetOf(sink))
+      assert(sink.size > batchIdx.size, "expected admissions beyond final sets")
+    } finally q.stop()
+  }
+
   test("flagGaps: a silence spanning micro-batches is flagged on arrival") {
     implicit val sqlCtx = spark.sqlContext
     val idx = Seq(("a", 50.0)).toDF("name", "thr")
