@@ -244,6 +244,32 @@ object Round7Entries {
       } finally idx.unpersist(false)
     }),
 
+    // silence ALERTING with a timeout clock (EventTimeTimeout): an
+    // alert fires when a series has been silent > 12 h — on the next
+    // arrival (inline) OR when other series' progress pushes the
+    // watermark past the deadline with NO sample arriving at all (the
+    // "still silent now" answer flagGaps can't give). For the ordered
+    // feed the alert set is deterministic: ns-exact gaps > thr plus
+    // terminally-silent series whose ms-floored deadline lies below the
+    // final watermark — both replayed in the oracle (the sentinel
+    // advances the clock but holds no threshold, so it never alerts)
+    "stream_stale" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val thrNs = 43200000000000L
+      val rows = EntryUtil.clickRows(s, dir)
+      val maxTs = rows.iterator.map(_._2).max
+      val idx = clickSeries(s, dir).select("name").distinct()
+        .withColumn("thr", lit(thrNs))
+      val sink = EntryUtil.runStreamEntry(s, "stream_stale_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.flagStale(_, idx,
+          "10 minutes"),
+        sentinel = Some(("__sentinel", maxTs + 86400000000000L, 0.0)))
+      sink.select(col("name"), expr("last_ts div 1000").as("last_ts_us"))
+        .orderBy("name", "last_ts_us")
+    }),
+
     // linear-interpolation join: each click carries the view LEVEL at
     // its instant — v0 + (v1−v0)·(ts−t0)/(t1−t0) between the bracketing
     // view samples; null past either end (no extrapolation). The
@@ -488,6 +514,27 @@ object Round7Entries {
     // division (same integers, same IEEE divide), identical (ts, value)
     // lag ordering
     "ts_gaps" -> GapsSql,
+
+    // silence alerts = ns-exact gap episodes UNION terminally-silent
+    // series whose ms-floored deadline precedes the final watermark
+    // (sentinel event-µs // 1000 minus the 10-minute lateness)
+    "stream_stale" ->
+      """WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_ns(ts) AS ts
+             FROM events WHERE event_type = 'click'),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts) AS prev
+             FROM s),
+           g AS (SELECT name, prev AS last_ts FROM l
+             WHERE prev IS NOT NULL AND ts - prev > 43200000000000),
+           w AS (SELECT ((max(ts) + 86400000000000) // 1000) // 1000
+                   - 600000 AS wm FROM s),
+           t AS (SELECT name, max(ts) AS last_ts FROM s GROUP BY name),
+           term AS (SELECT t.name, t.last_ts FROM t, w
+             WHERE (t.last_ts + 43200000000000) // 1000000 < w.wm)
+         SELECT name, last_ts // 1000 AS last_ts_us
+         FROM (SELECT * FROM g UNION ALL SELECT * FROM term)
+         ORDER BY name, last_ts_us""",
 
     // the fixed-threshold form: same lag replay, constant cutoff
     "ts_gaps_abs" ->

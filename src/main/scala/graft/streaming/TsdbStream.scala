@@ -326,6 +326,78 @@ object TsdbStream {
     listed.flatMap(identity).toDF("name", "ts", "value", "ewma")
   }
 
+  case class StaleIn(name: String, ts: Long, thr: Long,
+    event_time: java.sql.Timestamp)
+  case class StaleAlert(name: String, last_ts: Long)
+
+  /** Online silence ALERTING — the timeout-clock variant [[flagGaps]]'
+    * Scaladoc points at: emit (name, last-seen ts) the moment a series
+    * has been silent longer than its threshold, WITHOUT waiting for its
+    * next sample. Two triggers produce one deterministic alert set:
+    *
+    *  - arrival: a new sample after a longer-than-`thr` silence emits
+    *    the episode inline (the [[flagGaps]] rule, ns-exact);
+    *  - timeout: `EventTimeTimeout` at (last + thr) — when the
+    *    WATERMARK (other series' progress) passes a series' deadline
+    *    first, the alert fires with no sample arriving at all. The
+    *    timed-out state is removed; a later sample starts a fresh
+    *    episode, so each silence alerts exactly once whichever trigger
+    *    wins the race.
+    *
+    * For a globally ts-ordered feed (the harness convention — and any
+    * in-order broker) the two triggers emit the SAME tuple for a
+    * mid-stream episode, so the alert set equals: ns-exact gaps > thr,
+    * plus terminally-silent series whose ms-floored deadline
+    * ⌊(last+thr)/10⁶⌋ lies strictly below the final watermark — the
+    * oracle-replayable contract (entry-gated). State: 16 bytes per live
+    * series; alerted series hold NO state until they speak again.
+    * `index`: broadcast (name, thr) with thr in ns; series absent from
+    * the index are dropped (no threshold, no judgement). */
+  def flagStale(stream: DataFrame, index: DataFrame,
+      lateness: String): DataFrame = {
+    implicit val rowEnc = Encoders.product[StaleIn]
+    implicit val stEnc = Encoders.product[(Long, Long)]
+    implicit val outEnc = Encoders.product[StaleAlert]
+    // watermark BEFORE the index join: rows without a threshold (e.g. a
+    // harness sentinel) still advance the clock even though they carry
+    // no state of their own
+    val ds: Dataset[StaleIn] = stream
+      .withColumn("event_time", eventTime(col("ts")))
+      .withWatermark("event_time", lateness)
+      .join(broadcast(index), Seq("name"))
+      .select(col("name"), col("ts"), col("thr").cast("long"),
+        col("event_time"))
+      .as[StaleIn]
+    ds.groupByKey(_.name)(Encoders.STRING)
+      .flatMapGroupsWithState[(Long, Long), StaleAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[StaleIn],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (last, _) = state.get
+            state.remove()
+            Iterator(StaleAlert(key, last))
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[StaleAlert]
+            var (last, thr) = state.getOption.getOrElse((Long.MinValue, 0L))
+            rows.toSeq.sortBy(_.ts).foreach { r =>
+              if (last != Long.MinValue && r.ts - last > r.thr)
+                out += StaleAlert(key, last)
+              last = math.max(last, r.ts)
+              thr = r.thr
+            }
+            state.update((last, thr))
+            // deadline in the watermark's ms clock; an already-overdue
+            // series (unreachable on an ordered feed) defers one batch
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(last + thr, 1000000L),
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("name", "last_ts")
+  }
+
   case class KmvRow(name: String, win: Long, h: Long)
 
   /** Continuous KMV distinct-index maintenance: per (name, window) keep

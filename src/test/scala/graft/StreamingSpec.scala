@@ -478,6 +478,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("flagStale: the watermark fires an alert with NO arriving sample; arrivals reset") {
+    implicit val sqlCtx = spark.sqlContext
+    // base offset keeps every event time strictly above the initial
+    // watermark (0): a ts-0 row is "late" to an empty stream by the
+    // watermark's own definition
+    val T = 1000000000000L
+    val idx = Seq(("a", 5000000000L), ("b", 100000000000L),
+      ("c", 5000000000L)).toDF("name", "thr")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.flagStale(in.toDF().toDF("name", "ts", "value"),
+        idx, "1 second")
+      .writeStream.format("memory").queryName("stale_out")
+      .outputMode("append").start()
+    try {
+      in.addData(("c", T, 0.0), ("b", T + 5000000000L, 0.0))
+      q.processAllAvailable()
+      in.addData(("a", T + 10000000000L, 0.0))
+      q.processAllAvailable()
+      // c returns after a 20 s silence (> 5 s thr): inline alert (c, T)
+      in.addData(("c", T + 20000000000L, 0.0), ("b", T + 30000000000L, 0.0))
+      q.processAllAvailable()
+      // b's progress alone pushes the watermark past a's deadline
+      // (T+10+5 s) and c's new deadline (T+20+5 s): both fire by
+      // TIMEOUT — no a or c sample ever arrives again
+      in.addData(("b", T + 31000000000L, 0.0))
+      q.processAllAvailable()
+      in.addData(("b", T + 32000000000L, 0.0))
+      q.processAllAvailable()
+      val alerts = spark.table("stale_out")
+        .as[(String, Long)].collect().toSet
+      // b never alerts: its 100 s threshold outlives the stream
+      assert(alerts === Set(("a", T + 10000000000L), ("c", T),
+        ("c", T + 20000000000L)))
+    } finally q.stop()
+  }
+
   test("flagGaps: a silence spanning micro-batches is flagged on arrival") {
     implicit val sqlCtx = spark.sqlContext
     val idx = Seq(("a", 50.0)).toDF("name", "thr")
