@@ -349,6 +349,16 @@ object Round7Entries {
           bucketNs = 3600000000000L)
         .orderBy("key_a", "key_b")),
 
+    // the lead/lag form: corr of each type at hour b with each other
+    // type at hour b+24 — "does today's a predict tomorrow's b" (the
+    // direction matters; key_a < key_b with the day lag on key_b)
+    "ts_corr_lagged" -> ((s, dir) =>
+      graft.ops.Stats.corrAligned(
+          EntryUtil.rawEvents(s, dir)
+            .select(col("event_type").as("metric"), col("ts"), col("value")),
+          bucketNs = 3600000000000L, lagBuckets = 24L)
+        .orderBy("key_a", "key_b")),
+
     // mergeable distinct-count rollup: per (event_type, day) KMV index
     // rows (the k minimal distinct user-id hashes), merged to serve the
     // whole-range distinct-user estimate — the distinct-count analog of
@@ -553,26 +563,10 @@ object Round7Entries {
     // milli-quantized bucket means (same two divisions, same half-up
     // round), integer moment sums, one identically-shaped double
     // formula at the end
-    "ts_corr_matrix" ->
-      """WITH b AS (SELECT event_type AS k,
-               epoch_ns(ts) // 3600000000000 AS bk,
-               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
-                   / count(*) / 1000.0) AS BIGINT) AS m
-             FROM events GROUP BY 1, 2),
-           p AS (SELECT l.k AS key_a, r.k AS key_b, l.m AS x, r.m AS y
-             FROM b l JOIN b r ON l.bk = r.bk AND l.k < r.k),
-           mo AS (SELECT key_a, key_b, count(*) AS n,
-               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-               sum(x * x) AS sxx, sum(y * y) AS syy
-             FROM p GROUP BY 1, 2)
-         SELECT key_a, key_b, CAST(n AS BIGINT) AS n_buckets,
-           round(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                           sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
-                 THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-                      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-                 END, 6) AS corr
-         FROM mo ORDER BY key_a, key_b""",
+    "ts_corr_matrix" -> corrSql(0),
+
+    // same replay with key_b's hourly bucket led by a day
+    "ts_corr_lagged" -> corrSql(24),
 
     // the merged KMV rollup equals the direct sketch over the union
     // (k-min sets merge exactly), so the oracle replays the DIRECT
@@ -710,6 +704,30 @@ object Round7Entries {
          GROUP BY $ck, p.p
          ORDER BY $k, p"""
   }
+
+  /** ONE correlation replay generator — the aligned matrix and the
+    * lead/lag form differ only in the bucket join offset. Identical
+    * milli-quantized bucket means, integer moments, one double formula. */
+  private def corrSql(lag: Int): String =
+    s"""WITH b AS (SELECT event_type AS k,
+               epoch_ns(ts) // 3600000000000 AS bk,
+               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   / count(*) / 1000.0) AS BIGINT) AS m
+             FROM events GROUP BY 1, 2),
+           p AS (SELECT l.k AS key_a, r.k AS key_b, l.m AS x, r.m AS y
+             FROM b l JOIN b r ON l.bk = r.bk - $lag AND l.k < r.k),
+           mo AS (SELECT key_a, key_b, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+             FROM p GROUP BY 1, 2)
+         SELECT key_a, key_b, CAST(n AS BIGINT) AS n_buckets,
+           round(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                           sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END, 6) AS corr
+         FROM mo ORDER BY key_a, key_b"""
 
   /** ONE KMV replay generator — the batch rollup, the persisted-index
     * serve and the stream-built form all mirror the identical direct

@@ -36,10 +36,15 @@ object Stats {
     * Output: one row per unordered pair (key_a < key_b) with `corr`
     * (6dp) and `n_buckets` (shared buckets; pairs with < 2 shared
     * buckets or a zero-variance side yield null corr — no judgement,
-    * matching SQL corr semantics). */
+    * matching SQL corr semantics).
+    *
+    * `lagBuckets` shifts the alignment: corr of key_a at bucket b with
+    * key_b at bucket b + lag — "does a today predict b tomorrow", the
+    * lead/lag readout. Direction matters once lag ≠ 0 (pairs stay
+    * key_a < key_b; flip the lag's sign for the other direction). */
   def corrAligned(samples: DataFrame, bucketNs: Long,
       keyCol: String = "metric", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value", lagBuckets: Long = 0L): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
     import graft.functions.VectorExpressions.longFloorDiv
     // per (key, bucket): milli-quantized bucket mean. The µu sum and
@@ -54,8 +59,8 @@ object Stats {
         round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
     val l = buckets.select(col(keyCol).as("key_a"), col("__b"),
       col("__m").as("__x"))
-    val r = buckets.select(col(keyCol).as("key_b"), col("__b"),
-      col("__m").as("__y"))
+    val r = buckets.select(col(keyCol).as("key_b"),
+      (col("__b") - lit(lagBuckets)).as("__b"), col("__m").as("__y"))
     val moments = l.join(r, Seq("__b"))
       .where(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b")

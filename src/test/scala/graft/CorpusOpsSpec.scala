@@ -608,6 +608,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byPair(("c", "d")) === None)
   }
 
+  test("corrAligned lag: a leader correlates at its lag, weaker at zero") {
+    // y_t = x_{t-1} exactly: perfect correlation at lag 1, not at 0
+    val base = (0 until 40).map(i => ((i * 17) % 23).toDouble)
+    val rows = base.zipWithIndex.map { case (v, i) => ("x", i.toLong, v) } ++
+      base.zipWithIndex.map { case (v, i) => ("y", (i + 1).toLong, v) }
+    val df = rows.toDF("metric", "ts", "value")
+    val lag1 = graft.ops.Stats.corrAligned(df, bucketNs = 1L, lagBuckets = 1L)
+      .select("corr").as[Double].head()
+    assert(lag1 === 1.0)
+    val lag0 = graft.ops.Stats.corrAligned(df, bucketNs = 1L)
+      .select("corr").as[Double].head()
+    assert(math.abs(lag0) < 0.9, s"pseudo-random base should decorrelate: $lag0")
+  }
+
   test("corrAligned: agrees with Spark's native corr to quantization tolerance") {
     val rows = (0 until 500).map { i =>
       val x = math.sin(i / 7.0) * 100 + i * 0.1
