@@ -89,6 +89,7 @@ final class Engine(val ctx: TsdbContext) {
     case j: JoinQuery               => join(j)
     case a: AsofJoinQuery           => asofJoin(a)
     case q: QuantileQuery           => quantile(q)
+    case q: CorrelateQuery          => correlate(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -154,6 +155,22 @@ final class Engine(val ctx: TsdbContext) {
             col("p"), col("q"))
           .orderBy("series", "ts_us", "p")
     }
+  }
+
+  /** Beyond-reference `correlate`: Pearson correlation between the
+    * named metrics' bucket-mean series over the range
+    * ([[graft.ops.Stats.corrAligned]]). The fact scan reduces to a
+    * (metrics × buckets) frame before anything pairs; buckets are
+    * epoch-aligned so correlations from different ranges share one
+    * grid. Output: (key_a, key_b, n_buckets, corr), key_a < key_b. */
+  def correlate(q: CorrelateQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base.select(col("series_id"), col("metric").as("out_name"))
+    graft.ops.Stats.corrAligned(
+        scan(ids, q.range, q.metrics)
+          .select(col("out_name").as("metric"), col("ts"), col("value")),
+        q.stepNs, lagBuckets = q.lagNs / q.stepNs)
+      .orderBy("key_a", "key_b")
   }
 
   // ------------------------------------------------------------- aggregate

@@ -349,6 +349,17 @@ object Round7Entries {
           bucketNs = 3600000000000L)
         .orderBy("key_a", "key_b")),
 
+    // the same capability through the QUERY LANGUAGE: the beyond-
+    // reference `correlate` statement — metric-level bucket-mean
+    // correlation over the range, where/where-location composing like
+    // any statement (epoch-aligned buckets: the alignment grid is
+    // absolute, so different ranges' correlations are comparable)
+    "ts_corr_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"correlate": {"metric": ["click", "purchase", "view"],
+                           "step": "1h"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the lead/lag form: corr of each type at hour b with each other
     // type at hour b+24 — "does today's a predict tomorrow's b" (the
     // direction matters; key_a < key_b with the day lag on key_b)
@@ -568,6 +579,12 @@ object Round7Entries {
     // same replay with key_b's hourly bucket led by a day
     "ts_corr_lagged" -> corrSql(24),
 
+    // the statement form: three metrics, engine range
+    "ts_corr_json" -> corrSql(0,
+      s"""WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${graft.entries.EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${graft.entries.EntryUtil.ToNs}"""),
+
     // the merged KMV rollup equals the direct sketch over the union
     // (k-min sets merge exactly), so the oracle replays the DIRECT
     // form: distinct user hashes, k smallest, same estimator
@@ -708,12 +725,12 @@ object Round7Entries {
   /** ONE correlation replay generator — the aligned matrix and the
     * lead/lag form differ only in the bucket join offset. Identical
     * milli-quantized bucket means, integer moments, one double formula. */
-  private def corrSql(lag: Int): String =
+  private def corrSql(lag: Int, where: String = ""): String =
     s"""WITH b AS (SELECT event_type AS k,
                epoch_ns(ts) // 3600000000000 AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                    / count(*) / 1000.0) AS BIGINT) AS m
-             FROM events GROUP BY 1, 2),
+             FROM events $where GROUP BY 1, 2),
            p AS (SELECT l.k AS key_a, r.k AS key_b, l.m AS x, r.m AS y
              FROM b l JOIN b r ON l.bk = r.bk - $lag AND l.k < r.k),
            mo AS (SELECT key_a, key_b, count(*) AS n,

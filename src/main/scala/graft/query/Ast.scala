@@ -231,6 +231,25 @@ object Ast {
     * caller's DECIMAL TEXT so the output `p` labels — and any oracle
     * replay — see the identical literals (string-typed `p` entries;
     * JSON numbers are parser-normalized). Output rows: (series, p, q). */
+  /** `{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "1d"}}`
+    * — beyond-reference: Pearson correlation between the named metrics'
+    * bucket-mean series over the range
+    * ([[graft.ops.Stats.corrAligned]]: milli-quantized integer moments,
+    * the fact scan reduces to a metrics × buckets frame before anything
+    * pairs). Buckets are EPOCH-aligned, not range-anchored: the
+    * alignment grid is absolute, so correlations from different ranges
+    * are comparable. Optional `lag` (a whole number of steps) leads the
+    * second metric of each pair: corr of a at bucket b with b at
+    * bucket b + lag. Output rows: (key_a, key_b, n_buckets, corr),
+    * key_a < key_b. */
+  final case class CorrelateQuery(
+      metrics: Seq[String],
+      stepNs: Long,
+      lagNs: Long,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   final case class QuantileQuery(
       metric: String,
       ps: Seq[String],

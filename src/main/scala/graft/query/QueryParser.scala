@@ -35,7 +35,7 @@ object QueryParser {
     * present) plus the beyond-reference `asof-join`. */
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
-      "join", "group-aggregate-join", "asof-join", "quantile")
+      "join", "group-aggregate-join", "asof-join", "quantile", "correlate")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -56,6 +56,7 @@ object QueryParser {
       throw new BadQuery(s"unknown query field(s): ${unknown.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
     else if (root.has("quantile")) parseQuantile(root)
+    else if (root.has("correlate")) parseCorrelate(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -192,6 +193,37 @@ object QueryParser {
     AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root), filters,
       parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
       parseApply(root), parseLocation(root))
+  }
+
+  /** Beyond-reference `correlate` (see [[Ast.CorrelateQuery]]). */
+  private def parseCorrelate(root: JsonNode): CorrelateQuery = {
+    val stmt = root.get("correlate")
+    if (!stmt.isObject)
+      throw new BadQuery("correlate statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "step", "lag").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad correlate key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "correlate.metric")
+    if (metrics.size < 2)
+      throw new BadQuery("correlate requires >= 2 metrics")
+    if (metrics.distinct.size != metrics.size)
+      throw new BadQuery("correlate metrics must be distinct")
+    val step = TimeUtil.parseDuration(Option(stmt.get("step"))
+      .getOrElse(throw new BadQuery("correlate.step required")).asText())
+    val lag = Option(stmt.get("lag"))
+      .map(t => TimeUtil.parseDuration(t.asText())).getOrElse(0L)
+    if (lag % step != 0)
+      throw new BadQuery(
+        s"correlate.lag must be a whole number of steps (lag $lag, step $step)")
+    // correlation output has no per-sample rows to filter/order/page/
+    // render — reject loudly, never ignore
+    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
+        "pivot-by-tag", "limit", "offset", "output")
+      .filter(root.has).foreach(k =>
+        throw new BadQuery(s"correlate doesn't support '$k'"))
+    CorrelateQuery(metrics, step, lag, parseRange(root), parseWhere(root),
+      parseLocation(root))
   }
 
   /** Beyond-reference `quantile` (see [[Ast.QuantileQuery]]). */

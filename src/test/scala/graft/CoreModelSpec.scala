@@ -302,6 +302,36 @@ class QueryParserSpec extends AnyFunSuite {
       .asInstanceOf[QuantileQuery].stepNs === Some(3600000000000L))
   }
 
+  test("correlate statement: parse, lag validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "1d"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[CorrelateQuery]
+    assert(q.metrics === Seq("a", "b"))
+    assert(q.stepNs === 3600000000000L)
+    assert(q.lagNs === 86400000000000L)
+    intercept[BadQuery](QueryParser.parse( // one metric is no pair
+      """{"correlate": {"metric": ["a"], "step": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // duplicate metrics
+      """{"correlate": {"metric": ["a", "a"], "step": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // step required
+      """{"correlate": {"metric": ["a", "b"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // lag not a whole step count
+      """{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "90m"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"correlate": {"metric": ["a", "b"], "step": "1h", "by": "x"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // no per-sample output to page
+      """{"correlate": {"metric": ["a", "b"], "step": "1h"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"correlate": {"metric": ["a", "b"], "step": "1h"},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},
