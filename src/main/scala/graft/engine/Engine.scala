@@ -132,15 +132,16 @@ final class Engine(val ctx: TsdbContext) {
     * (series, p) — (series, p, q). */
   def quantile(q: QuantileQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    val df = scan(ids, q.range, Seq(q.metric))
+    lazy val df = scan(ids, q.range, Seq(q.metric))
     q.stepNs match {
       case None =>
-        graft.ops.HistQuantiles.quantiles(
-            graft.ops.HistQuantiles.histogram(
-              df.select(col("out_name").as("series"), col("value")),
-              Seq("series")),
-            Seq("series"), q.ps)
-          .orderBy("series", "p")
+        servedQuantile(q, ids).getOrElse(
+          graft.ops.HistQuantiles.quantiles(
+              graft.ops.HistQuantiles.histogram(
+                df.select(col("out_name").as("series"), col("value")),
+                Seq("series")),
+              Seq("series"), q.ps)
+            .orderBy("series", "p"))
       case Some(step) =>
         // per-bin percentiles (bins anchored at range.from like
         // group-aggregate) — "p99 per day". Same bounded per-group
@@ -154,6 +155,34 @@ final class Engine(val ctx: TsdbContext) {
           .select(col("series"), expr("__bin div 1000").as("ts_us"),
             col("p"), col("q"))
           .orderBy("series", "ts_us", "p")
+    }
+  }
+
+  /** Quantile serving from a REGISTERED histogram index
+    * (ctx.histograms: window step → (series_id, win, lo, cnt)) — the
+    * percentile analog of rollup-served aggregation: when the forward
+    * range covers WHOLE windows (from and to both aligned to the window
+    * step), the answer is the merge of the covered windows' bucket
+    * counts, EXACTLY equal to the scan-built histogram (counts are
+    * exact; only the bucketing approximates) — so serving never changes
+    * the answer, only removes the fact scan (plan-pinned: no samples
+    * read). Misaligned or backward ranges abstain and fall back to the
+    * scan — a partially-covered window's counts cannot be split. */
+  private def servedQuantile(q: QuantileQuery,
+      ids: DataFrame): Option[DataFrame] = {
+    if (!q.range.forward) return None
+    ctx.histograms.collectFirst { case (win, hist)
+        if Math.floorMod(q.range.from, win) == 0 &&
+          Math.floorMod(q.range.to, win) == 0 =>
+      graft.ops.HistQuantiles.quantiles(
+          graft.ops.HistQuantiles.merge(
+            hist.where(col("win") >= q.range.from && col("win") < q.range.to)
+              .join(broadcast(ids.select("series_id", "out_name")),
+                "series_id")
+              .select(col("out_name").as("series"), col("lo"), col("cnt")),
+            Seq("series")),
+          Seq("series"), q.ps)
+        .orderBy("series", "p")
     }
   }
 

@@ -542,6 +542,30 @@ object EntryUtil {
       path
     })
 
+  private val histEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine whose ctx REGISTERS a persisted hourly quantile-
+    * histogram index (series_id-keyed parquet, the ctx.rollups pattern
+    * for percentiles): aligned whole-range `quantile` statements serve
+    * from the index with NO fact scan (plan-pinned), and the answers
+    * are EXACTLY the scan-built ones — bucket counts are exact, so
+    * serving changes the plan, never the result (one oracle with the
+    * scan-built statement entry). */
+  def engineHistFor(spark: SparkSession, dir: String): Engine =
+    histEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val path = scratchDir("graft_hist_engine")
+      graft.ops.HistQuantiles.histogram(
+          ctx.samples.withColumn("win",
+            col("ts") - pmod(col("ts"), lit(hourNs))),
+          Seq("series_id", "win"))
+        .write.parquet(s"$path/hist")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        histograms = Seq(hourNs -> spark.read.parquet(s"$path/hist"))))
+    })
+
   private val kmvIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

@@ -170,6 +170,18 @@ object Round7Entries {
         s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the statement SERVED from a registered persisted index — the
+    // rollup-serving pattern for percentiles: the engine's ctx carries
+    // the hourly histogram parquet, the aligned whole-range quantile
+    // statement merges covered windows instead of scanning facts
+    // (PlanShapeSpec pins no samples read + misaligned fallback), and
+    // the answer is EXACTLY the scan-built one — same oracle as
+    // ts_quantile_json
+    "ts_quantile_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineHistFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the stepped form: per-(series, 7d bin) percentiles — "p99 per
     // week", the dashboard query; bins anchor at range.from like
     // group-aggregate, the bin is just another histogram key
@@ -519,6 +531,9 @@ object Round7Entries {
     // window — same generator, range-filtered source, engine series
     // naming
     "ts_quantile_json" -> QuantileJsonSql,
+
+    // index-served = scan-built exactly (counts are exact) — one oracle
+    "ts_quantile_json_indexed" -> QuantileJsonSql,
 
     "ts_quantile_step" -> QuantileStepSql,
 

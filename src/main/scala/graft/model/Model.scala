@@ -50,13 +50,18 @@ object TsdbSchema {
 /** The engine's handle on one "database": catalog + fact tables +
   * optional materialized rollups (fine-step → accumulator DataFrame, see
   * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
-  * raw samples when step/range alignment allows. */
+  * raw samples when step/range alignment allows, + optional materialized
+  * quantile-histogram indexes (window-step → (series_id, win, lo, cnt)
+  * DataFrame, see [[graft.ops.HistQuantiles]]) that `quantile`
+  * statements serve from instead of scanning facts when the range
+  * aligns to whole windows. */
 final case class TsdbContext(
     spark: SparkSession,
     series: DataFrame,
     samples: DataFrame,
     events: DataFrame,
-    rollups: Seq[(Long, DataFrame)] = Nil) {
+    rollups: Seq[(Long, DataFrame)] = Nil,
+    histograms: Seq[(Long, DataFrame)] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

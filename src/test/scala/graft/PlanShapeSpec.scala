@@ -671,6 +671,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"k-smallest cut must push below the shuffle")
   }
 
+  test("quantile statement: aligned range serves from the registered histogram index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qserve").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.HistQuantiles.histogram(
+        base.samples.withColumn("win",
+          col("ts") - pmod(col("ts"), lit(100L))),
+        Seq("series_id", "win"))
+      .write.parquet(s"$dir/hist")
+    val eng = new Engine(base.copy(
+      histograms = Seq(100L -> spark.read.parquet(s"$dir/hist"))))
+    val q =
+      """{"quantile": {"metric": "test", "p": [0.5, 0.9]},
+         "range": {"from": 100, "to": 300}}"""
+    val served = eng.execute(q)
+    val scans = plan(served).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall { f =>
+      val loc = f.metadata("Location")
+      loc.contains("/hist") || loc.contains("/series")
+    }, s"aligned quantile must not scan facts:\n${scans.map(_.metadata("Location"))}")
+    // serving changes the plan, never the answer
+    assert(served.collect().toSeq ===
+      new Engine(base).execute(q).collect().toSeq)
+    // a misaligned range cannot split a window's counts -> fact scan
+    val mis = eng.execute(
+      """{"quantile": {"metric": "test", "p": [0.5]},
+         "range": {"from": 150, "to": 300}}""")
+    assert(plan(mis).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "misaligned range must fall back to the scan")
+  }
+
   test("corr matrix: facts reduce to bucket means before anything pairs") {
     import spark.implicits._
     val df = (1 to 300).map(i => (s"m${i % 3}", i.toLong, i.toDouble))
