@@ -90,6 +90,7 @@ final class Engine(val ctx: TsdbContext) {
     case a: AsofJoinQuery           => asofJoin(a)
     case q: QuantileQuery           => quantile(q)
     case q: CorrelateQuery          => correlate(q)
+    case q: ActiveQuery             => active(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -183,6 +184,31 @@ final class Engine(val ctx: TsdbContext) {
             Seq("series")),
           Seq("series"), q.ps)
         .orderBy("series", "p")
+    }
+  }
+
+  /** Beyond-reference `active`: per-metric count of DISTINCT series
+    * with at least one sample in the range, optionally per `step` bin
+    * (bins anchored at range.from, the group-aggregate rule) — "how
+    * many emitters are alive", the churn dashboard readout. The scan
+    * reduces to distinct (metric, bin, series_id) triples before the
+    * count — catalog × bins, never sample-sized. */
+  def active(q: ActiveQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base.select(col("series_id"), col("metric").as("out_name"))
+    val df = scan(ids, q.range, q.metrics)
+    q.stepNs match {
+      case None =>
+        df.groupBy(col("out_name").as("metric"))
+          .agg(countDistinct(col("series_id")).as("n_series"))
+          .orderBy("metric")
+      case Some(step) =>
+        df.groupBy(col("out_name").as("metric"),
+            binColumn(q.range, step).as("__bin"))
+          .agg(countDistinct(col("series_id")).as("n_series"))
+          .select(col("metric"), expr("__bin div 1000").as("ts_us"),
+            col("n_series"))
+          .orderBy("metric", "ts_us")
     }
   }
 

@@ -372,6 +372,24 @@ object Round7Entries {
                            "step": "1h"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // active-series counts through the query language: per metric, the
+    // DISTINCT series with data in the range — "how many emitters are
+    // alive", the churn dashboard readout; the scan reduces to distinct
+    // (metric, series) pairs before counting (catalog-sized, never
+    // sample-sized)
+    "ts_active_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"active": {"metric": ["click", "purchase", "view"]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the stepped form: active series per 7d bin (bins anchored at
+    // range.from, the group-aggregate rule)
+    "ts_active_step_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"active": {"metric": ["click", "purchase", "view"],
+                        "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the lead/lag form: corr of each type at hour b with each other
     // type at hour b+24 — "does today's a predict tomorrow's b" (the
     // direction matters; key_a < key_b with the day lag on key_b)
@@ -593,6 +611,30 @@ object Round7Entries {
 
     // same replay with key_b's hourly bucket led by a day
     "ts_corr_lagged" -> corrSql(24),
+
+    // distinct-user counts per metric = distinct series (series =
+    // (metric, user) in the engine model)
+    "ts_active_json" ->
+      s"""SELECT event_type AS metric,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_series
+          FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+          GROUP BY 1 ORDER BY 1""",
+
+    // per-7d-bin active counts; bins anchored at range.from
+    "ts_active_step_json" ->
+      s"""SELECT event_type AS metric,
+            (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+               // ${7L * 86400000000000L}) * ${7L * 86400000000000L})
+              // 1000 AS ts_us,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_series
+          FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the statement form: three metrics, engine range
     "ts_corr_json" -> corrSql(0,

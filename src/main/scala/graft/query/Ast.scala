@@ -231,6 +231,21 @@ object Ast {
     * caller's DECIMAL TEXT so the output `p` labels — and any oracle
     * replay — see the identical literals (string-typed `p` entries;
     * JSON numbers are parser-normalized). Output rows: (series, p, q). */
+  /** `{"active": {"metric": ["a", "b"], "step": "1d"}}` — beyond-
+    * reference: per-metric count of DISTINCT series with at least one
+    * sample in the range ("how many emitters are alive"), optionally
+    * per `step` bin (bins anchored at `range.from`, the group-aggregate
+    * rule) — the dashboard readout behind churn/cardinality monitoring.
+    * The scan reduces to distinct (metric, bin, series_id) triples —
+    * catalog × bins, never sample-sized. Output rows:
+    * (metric, n_series) or (metric, ts_us, n_series). */
+  final case class ActiveQuery(
+      metrics: Seq[String],
+      stepNs: Option[Long],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "1d"}}`
     * — beyond-reference: Pearson correlation between the named metrics'
     * bucket-mean series over the range

@@ -35,7 +35,8 @@ object QueryParser {
     * present) plus the beyond-reference `asof-join`. */
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
-      "join", "group-aggregate-join", "asof-join", "quantile", "correlate")
+      "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
+      "active")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -57,6 +58,7 @@ object QueryParser {
     if (root.has("select-events")) parseSelectEvents(root)
     else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("correlate")) parseCorrelate(root)
+    else if (root.has("active")) parseActive(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -193,6 +195,27 @@ object QueryParser {
     AsofJoinQuery(l, r, parseRange(root), tol, parseWhere(root), filters,
       parseOrderBy(root), optLong(root, "limit"), optLong(root, "offset"),
       parseApply(root), parseLocation(root))
+  }
+
+  /** Beyond-reference `active` (see [[Ast.ActiveQuery]]). */
+  private def parseActive(root: JsonNode): ActiveQuery = {
+    val stmt = root.get("active")
+    if (!stmt.isObject)
+      throw new BadQuery("active statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "step").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad active key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "active.metric")
+    val step = Option(stmt.get("step"))
+      .map(t => TimeUtil.parseDuration(t.asText()))
+    // counts have no per-sample rows to filter/order/page/render
+    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
+        "pivot-by-tag", "limit", "offset", "output")
+      .filter(root.has).foreach(k =>
+        throw new BadQuery(s"active doesn't support '$k'"))
+    ActiveQuery(metrics, step, parseRange(root), parseWhere(root),
+      parseLocation(root))
   }
 
   /** Beyond-reference `correlate` (see [[Ast.CorrelateQuery]]). */

@@ -332,6 +332,26 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("active statement: parse, clause rejection") {
+    val q = QueryParser.parse(
+      """{"active": {"metric": ["a", "b"], "step": "1d"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[ActiveQuery]
+    assert(q.metrics === Seq("a", "b"))
+    assert(q.stepNs === Some(86400000000000L))
+    assert(QueryParser.parse(
+      """{"active": {"metric": "a"}, "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[ActiveQuery].stepNs === None)
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"active": {"metric": ["a"], "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // counts have no rows to page
+      """{"active": {"metric": ["a"]},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"active": {"metric": ["a"]},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},
