@@ -793,15 +793,20 @@ object Round7Entries {
            mo AS (SELECT key_a, key_b, count(*) AS n,
                sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
                sum(x * x) AS sxx, sum(y * y) AS syy
-             FROM p GROUP BY 1, 2)
+             FROM p GROUP BY 1, 2),
+           md AS (SELECT key_a, key_b, n,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+             FROM mo)
          SELECT key_a, key_b, CAST(n AS BIGINT) AS n_buckets,
-           round(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                           sqrt(CAST(n * syy - sy * sy AS DOUBLE)) > 0
-                 THEN CAST(n * sxy - sx * sy AS DOUBLE) /
-                      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           round(CASE WHEN sqrt(nd * sxxd - sxd * sxd) *
+                           sqrt(nd * syyd - syd * syd) > 0
+                 THEN (nd * sxyd - sxd * syd) /
+                      (sqrt(nd * sxxd - sxd * sxd) *
+                       sqrt(nd * syyd - syd * syd))
                  END, 6) AS corr
-         FROM mo ORDER BY key_a, key_b"""
+         FROM md ORDER BY key_a, key_b"""
 
   /** ONE KMV replay generator — the batch rollup, the persisted-index
     * serve and the stream-built form all mirror the identical direct

@@ -84,12 +84,13 @@ object HistQuantiles {
 
   /** Quantile answers from a histogram: for each key and each p in
     * `ps`, the lower edge of the bucket holding the ⌈p·n⌉-th smallest
-    * value, as a value (`q`, 6dp) — within 12.5% (relative) BELOW the
-    * true order statistic, never above it, on both signs (negative
-    * buckets key on their more-negative edge; only the ±1 µu underflow
-    * band around zero can report up to 1 µu high). `ps` are decimal
-    * STRINGS so the entry and its oracle parse the identical literals
-    * (playbook rule).
+    * value, as a value (`q`, 6dp) — within 12.5% relative PLUS one
+    * micro-unit BELOW the true order statistic, never above it, on
+    * both signs (negative buckets key on their more-negative edge, so
+    * the extra 1 µu bucket-width floor is what dominates at micro-unit
+    * magnitudes; only the ±1 µu underflow band around zero can report
+    * above, by up to 1 µu). `ps` are decimal STRINGS so the entry and
+    * its oracle parse the identical literals (playbook rule).
     *
     * Plan shape: one cumulative window over bucket-count rows (a few
     * hundred per key — index-sized, never row-sized), an in-row explode

@@ -54,22 +54,14 @@ object Sketches {
     * materializes its full distinct set on one task after the local
     * dedup. */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 2, "kmv needs k >= 2")
-    val dedup = df
-      .select(col(groupCol), graft.pipeline.Dedup.hash60(col(valueCol)).as("__h"))
-      .distinct()
-    val w = Window.partitionBy(groupCol).orderBy("__h")
-    dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
-      .select(col(groupCol), col("n_kept"),
-        round(when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(
-            lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("__hk")),
-          6).as("est_distinct"))
-  }
+      k: Int = 256): DataFrame =
+    // the direct sketch IS one serve over the hashed values — one
+    // estimator definition ([[kmvServe]]), so the spec-pinned
+    // "served == direct" contract cannot de-synchronize
+    kmvServe(
+      df.select(col(groupCol),
+        graft.pipeline.Dedup.hash60(col(valueCol)).as("h")),
+      groupCol, k)
 
   /** Mergeable KMV rollup INDEX: per (group, window) the k minimal
     * distinct hash60 values as ROWS (group, window, h) — the
@@ -108,6 +100,7 @@ object Sketches {
   def kmvServe(index: DataFrame, groupCol: String,
       k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(k >= 2, "kmv needs k >= 2")
     val dedup = index.select(col(groupCol), col("h")).distinct()
     val w = Window.partitionBy(groupCol).orderBy("h")
     dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)

@@ -28,10 +28,15 @@ object Stats {
     * partial-aggregatable groupBy. Nothing pair-shaped ever touches the
     * raw facts.
     *
-    * Integer headroom: moments fit BIGINT while
+    * Integer headroom: each MOMENT fits BIGINT while
     * n_buckets · (1000·|mean|)² < 2⁶³ — e.g. |value| ≤ 10³ allows ~9M
     * buckets (a decade of minutes). Coarsen `bucketNs` (or rescale
     * values) beyond that; the op requires nothing else of the domain.
+    * The final formula casts each moment to double BEFORE combining
+    * (n·Σxx and Σx·Σx would need n²·(1000·|mean|)² headroom as
+    * integers — 3k buckets at |value| ≤ 10³, a silent-wrap trap);
+    * both engines run the identical double ops, so the mirror cannot
+    * split on it.
     *
     * Output: one row per unordered pair (key_a < key_b) with `corr`
     * (6dp) and `n_buckets` (shared buckets; pairs with < 2 shared
@@ -69,14 +74,14 @@ object Stats {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-    // one double formula over integer moments: identical shape on any
-    // mirror; a zero-variance side makes the denominator 0 -> null
-    val num = (col("n_buckets") * col("__sxy") - col("__sx") * col("__sy"))
-      .cast("double")
-    val den = sqrt((col("n_buckets") * col("__sxx") -
-        col("__sx") * col("__sx")).cast("double")) *
-      sqrt((col("n_buckets") * col("__syy") -
-        col("__sy") * col("__sy")).cast("double"))
+    // one double formula over integer moments — each moment cast to
+    // double BEFORE combining (integer n·Σxx / Σx·Σx would wrap at a
+    // few thousand buckets); identical op shape on any mirror; a
+    // zero-variance side makes the denominator 0 -> null
+    def d(name: String) = col(name).cast("double")
+    val num = d("n_buckets") * d("__sxy") - d("__sx") * d("__sy")
+    val den = sqrt(d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")) *
+      sqrt(d("n_buckets") * d("__syy") - d("__sy") * d("__sy"))
     moments
       .withColumn("corr",
         round(when(den > 0.0, num / den), 6))

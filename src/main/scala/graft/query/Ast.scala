@@ -221,16 +221,6 @@ object Ast {
       apply: Seq[ApplySpec] = Nil,
       location: Option[LocationFilter] = None) extends Query
 
-  /** `{"quantile": {"metric": "m", "p": [0.5, 0.99]}}` — beyond-
-    * reference: per-series quantiles of the values in the range, served
-    * from the mergeable log-bucketed histogram
-    * ([[graft.ops.HistQuantiles]] — bounded memory per series at any
-    * row count; answers within 12.5% relative below the true order
-    * statistic, never above, on both signs — only the ±1 µu underflow
-    * band around zero can report up to 1 µu high). `ps` keep the
-    * caller's DECIMAL TEXT so the output `p` labels — and any oracle
-    * replay — see the identical literals (string-typed `p` entries;
-    * JSON numbers are parser-normalized). Output rows: (series, p, q). */
   /** `{"active": {"metric": ["a", "b"], "step": "1d"}}` — beyond-
     * reference: per-metric count of DISTINCT series with at least one
     * sample in the range ("how many emitters are alive"), optionally
@@ -265,6 +255,18 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"quantile": {"metric": "m", "p": [0.5, 0.99]}}` — beyond-
+    * reference: per-series quantiles of the values in the range, served
+    * from the mergeable log-bucketed histogram
+    * ([[graft.ops.HistQuantiles]] — bounded memory per series at any
+    * row count; answers within 12.5% relative PLUS one micro-unit
+    * below the true order statistic, never above, on both signs — the
+    * 1 µu term is the bucket-width floor, dominant only at micro-unit
+    * magnitudes; only the ±1 µu underflow band around zero can report
+    * above, by up to 1 µu). `ps` keep the caller's DECIMAL TEXT so the
+    * output `p` labels — and any oracle replay — see the identical
+    * literals (string-typed `p` entries; JSON numbers are
+    * parser-normalized). Output rows: (series, p, q). */
   final case class QuantileQuery(
       metric: String,
       ps: Seq[String],

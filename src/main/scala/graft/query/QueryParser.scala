@@ -197,6 +197,15 @@ object QueryParser {
       parseApply(root), parseLocation(root))
   }
 
+  /** Statements whose output has no per-sample rows reject the
+    * sample-stream clauses (and the RESP/CSV renderers) loudly —
+    * never ignore a clause. */
+  private def rejectSampleClauses(root: JsonNode, stmt: String): Unit =
+    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
+        "pivot-by-tag", "limit", "offset", "output")
+      .filter(root.has).foreach(k =>
+        throw new BadQuery(s"$stmt doesn't support '$k'"))
+
   /** Beyond-reference `active` (see [[Ast.ActiveQuery]]). */
   private def parseActive(root: JsonNode): ActiveQuery = {
     val stmt = root.get("active")
@@ -207,13 +216,11 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"bad active key(s): ${unknown.mkString(", ")}")
     val metrics = strOrList(stmt.get("metric"), "active.metric")
+    if (metrics.isEmpty)
+      throw new BadQuery("active requires at least one metric")
     val step = Option(stmt.get("step"))
       .map(t => TimeUtil.parseDuration(t.asText()))
-    // counts have no per-sample rows to filter/order/page/render
-    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
-        "pivot-by-tag", "limit", "offset", "output")
-      .filter(root.has).foreach(k =>
-        throw new BadQuery(s"active doesn't support '$k'"))
+    rejectSampleClauses(root, "active")
     ActiveQuery(metrics, step, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
@@ -239,12 +246,7 @@ object QueryParser {
     if (lag % step != 0)
       throw new BadQuery(
         s"correlate.lag must be a whole number of steps (lag $lag, step $step)")
-    // correlation output has no per-sample rows to filter/order/page/
-    // render — reject loudly, never ignore
-    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
-        "pivot-by-tag", "limit", "offset", "output")
-      .filter(root.has).foreach(k =>
-        throw new BadQuery(s"correlate doesn't support '$k'"))
+    rejectSampleClauses(root, "correlate")
     CorrelateQuery(metrics, step, lag, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
@@ -283,14 +285,7 @@ object QueryParser {
         throw new BadQuery(s"quantile p out of (0, 1]: $txt")
       txt
     }
-    // histogram serving has no per-sample output to filter/order/page,
-    // apply chains operate on sample streams, and the RESP/CSV
-    // renderers emit sample rows (ts/value) the quantile schema
-    // doesn't have — reject loudly, never ignore
-    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
-        "pivot-by-tag", "limit", "offset", "output")
-      .filter(root.has).foreach(k =>
-        throw new BadQuery(s"quantile doesn't support '$k'"))
+    rejectSampleClauses(root, "quantile")
     QuantileQuery(metric, ps, parseRange(root), step, parseWhere(root),
       parseLocation(root))
   }

@@ -344,6 +344,8 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[BadQuery](QueryParser.parse( // unknown statement key
       """{"active": {"metric": ["a"], "by": "host"},
          "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // empty metric list
+      """{"active": {"metric": []}, "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // counts have no rows to page
       """{"active": {"metric": ["a"]},
          "range": {"from": 0, "to": 10}, "limit": 3}"""))
