@@ -65,6 +65,30 @@ object ContractProbe {
     tryQ("quantile-unknown-metric",
       """{"quantile": {"metric": "no_such_metric", "p": [0.5]},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("correlate-one-metric",
+      """{"correlate": {"metric": ["click"], "step": "1h"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("correlate-ragged-lag",
+      """{"correlate": {"metric": ["click", "view"], "step": "1h",
+                        "lag": "90m"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("correlate-unknown-metric",
+      """{"correlate": {"metric": ["click", "no_such_metric"], "step": "1h"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("correlate-with-limit",
+      """{"correlate": {"metric": ["click", "view"], "step": "1h"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "limit": 5}""")
+    tryQ("active-no-metric",
+      """{"active": {"metric": []},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("active-bad-step",
+      """{"active": {"metric": ["click"], "step": "whenever"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("active-with-output",
+      """{"active": {"metric": ["click"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"},
+          "output": {"format": "csv"}}""")
     tryQ("fill-bad-step",
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
