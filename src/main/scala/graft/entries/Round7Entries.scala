@@ -256,6 +256,27 @@ object Round7Entries {
       } finally idx.unpersist(false)
     }),
 
+    // seasonal (phase-of-period) outlier detection: per (metric,
+    // hour-of-day) histogram-served interquartile HULL bands, flags
+    // judged against the sample's OWN phase — "unusual for 3am", where
+    // the global MAD index would call every rush hour an anomaly. The
+    // hull (pLo bucket's lower edge .. pHi bucket's UPPER edge) means
+    // a flagged value lies outside every value the quartile buckets
+    // ever saw; bounded fit (log-bucket counts, no value buffer),
+    // replayed band-for-band in the oracle
+    "ts_seasonal_outliers" -> ((s, dir) => {
+      val dayNs = 86400000000000L; val hourNs = 3600000000000L
+      val clicks = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type") === "click")
+        .select(lit("click").as("name"), col("ts"), col("value"))
+      graft.ops.Monitoring.seasonalOutliers(clicks, dayNs, hourNs,
+          keyCol = "name", pLo = "0.25", pHi = "0.75")
+        .select(col("name"), expr("ts div 1000").as("ts_us"),
+          round(col("value"), 6).as("value"), col("phase"),
+          col("lo"), col("hi"))
+        .orderBy("name", "ts_us", "value")
+    }),
+
     // silence ALERTING with a timeout clock (EventTimeTimeout): an
     // alert fires when a series has been silent > 12 h — on the next
     // arrival (inline) OR when other series' progress pushes the
@@ -568,6 +589,54 @@ object Round7Entries {
     // division (same integers, same IEEE divide), identical (ts, value)
     // lag ordering
     "ts_gaps" -> GapsSql,
+
+    // phase-banded replay: identical bit-bucketing per (name, hour-of-
+    // day), identical band pivot, identical raw-value compares
+    "ts_seasonal_outliers" ->
+      """WITH s AS (SELECT 'click' AS name,
+               epoch_ns(ts) AS ts, value,
+               (epoch_ns(ts) % 86400000000000) // 3600000000000 AS phase
+             FROM events WHERE event_type = 'click'),
+           bq AS (SELECT name, phase,
+               CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
+           be AS (SELECT name, phase, q, abs(q) AS m,
+               length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
+           bs AS (SELECT name, phase, q, m,
+               CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
+           b AS (SELECT name, phase,
+               CASE WHEN m < 1 THEN 0
+                    WHEN q > 0 THEN (m >> sh) << sh
+                    ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
+               END AS lo
+             FROM bs),
+           h AS (SELECT name, phase, lo, count(*) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+           c AS (SELECT name, phase, lo,
+               sum(cnt) OVER (PARTITION BY name, phase ORDER BY lo) AS cum,
+               sum(cnt) OVER (PARTITION BY name, phase) AS n FROM h),
+           p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
+           qr AS (SELECT c.name, c.phase, p.p, min(lo) AS lo_key
+             FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
+           bk AS (SELECT name, phase,
+               min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
+               min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
+             FROM qr GROUP BY 1, 2),
+           bands AS (SELECT name, phase,
+               round(lok / 1000000.0, 6) AS lo,
+               round((CASE WHEN hik = 0 THEN 1
+                      WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
+                        greatest(length(bin(hik)) - 4, 0))
+                      ELSE hik + (CAST(1 AS BIGINT) <<
+                        (CASE WHEN ((-hik) & ((-hik) - 1)) = 0
+                         THEN greatest(length(bin(-hik)) - 5, 0)
+                         ELSE greatest(length(bin(-hik)) - 4, 0) END))
+                      END) / 1000000.0, 6) AS hi
+             FROM bk)
+         SELECT s.name, s.ts // 1000 AS ts_us, round(s.value, 6) AS value,
+           CAST(s.phase AS BIGINT) AS phase, bands.lo, bands.hi
+         FROM s JOIN bands USING (name, phase)
+         WHERE s.value < bands.lo OR s.value > bands.hi
+         ORDER BY name, ts_us, value""",
 
     // silence alerts = ns-exact gap episodes UNION terminally-silent
     // series whose ms-floored deadline precedes the final watermark

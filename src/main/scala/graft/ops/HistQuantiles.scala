@@ -96,6 +96,17 @@ object HistQuantiles {
     * hundred per key — index-sized, never row-sized), an in-row explode
     * of the p list, and a per-(key, p) min. */
   def quantiles(hist: DataFrame, keyCols: Seq[String],
+      ps: Seq[String]): DataFrame =
+    quantileKeys(hist, keyCols, ps)
+      .withColumn("q", round(col("lo_key") / lit(1000000.0), 6))
+      .drop("lo_key")
+
+  /** The integer core of [[quantiles]]: for each key and p, the µu
+    * bucket KEY (`lo_key`) of the bucket holding the ⌈p·n⌉-th smallest
+    * value — callers that need bucket geometry (e.g. the hull bound
+    * [[bucketHiKey]]) consume this; [[quantiles]] is the value-facing
+    * wrapper. */
+  def quantileKeys(hist: DataFrame, keyCols: Seq[String],
       ps: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy("lo")
@@ -112,8 +123,31 @@ object HistQuantiles {
         col("__p.p").as("p"), col("__p.__pv").as("__pv")): _*)
       .where(col("__cum") >= ceil(col("__n") * col("__pv")))
       .groupBy(keyCols.map(col) :+ col("p"): _*)
-      .agg(min(col("lo")).as("__lo"))
-      .withColumn("q", round(col("__lo") / lit(1000000.0), 6))
-      .drop("__lo")
+      .agg(min(col("lo")).as("lo_key"))
+  }
+
+  /** Value UPPER edge (µu, exclusive for positive buckets) of the
+    * bucket keyed `loKey` — with [[bucketLo]] this gives the bucket's
+    * value HULL, the tight outlier bound (a value outside
+    * [lo_key, bucketHiKey) lies outside every value the bucket ever
+    * saw). Pure integer bit arithmetic, replayable:
+    *  - key 0 (underflow): covers (−1, 1) µu → upper edge 1;
+    *  - key > 0: magnitude bucket [key, key + 2^s), s from the key's
+    *    own floor-log2 (the key keeps the leading 4 bits, so its
+    *    exponent IS the bucket's);
+    *  - key < 0: key = −(base + w) covering values (key, −base]; |key|
+    *    = base + w may cross a power of two (base = 15·2^s → |key| =
+    *    16·2^s), exactly when |key| is a power of two — the one case
+    *    the exponent must step down. */
+  def bucketHiKey(loKey: Column): Column = {
+    val negL = -loKey
+    val sPos = greatest(length(bin(loKey)) - lit(4), lit(0))
+    val sNeg = when(negL.bitwiseAND(negL - lit(1L)) === 0,
+        greatest(length(bin(negL)) - lit(5), lit(0)))
+      .otherwise(greatest(length(bin(negL)) - lit(4), lit(0)))
+    when(loKey === 0, lit(1L))
+      .when(loKey > 0,
+        loKey + call_function("shiftleft", lit(1L), sPos))
+      .otherwise(loKey + call_function("shiftleft", lit(1L), sNeg))
   }
 }

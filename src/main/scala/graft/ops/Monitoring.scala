@@ -175,6 +175,65 @@ object Monitoring {
       .select(col(keyCol), col("thr"))
   }
 
+  /** Seasonal (phase-of-period) robust bands: per (series, phase bin)
+    * the histogram-served [pLo, pHi] value band — the baseline behind
+    * "is this value unusual FOR 3am" (a global MAD index
+    * ([[madIndex]]) calls every rush hour an anomaly; a per-phase band
+    * judges each sample against its own time-of-day/day-of-week
+    * regime). `phase` = (ts mod periodNs) / binNs — e.g. period 1d,
+    * bin 1h → 24 hourly phases.
+    *
+    * Served from [[HistQuantiles]] log-bucket counts, so the fit is
+    * bounded (≤ ~8·53 longs per (series, phase) at ANY row count — no
+    * exact-percentile value buffer) and SQL-replayable. The band is
+    * the bucket HULL: `lo` = the pLo bucket's LOWER value edge, `hi` =
+    * the pHi bucket's UPPER value edge ([[HistQuantiles.bucketHiKey]])
+    * — a flag means the value lies outside every value those
+    * percentile buckets ever saw, so a tight in-band spread never
+    * self-flags no matter how coarse the log buckets are at its
+    * magnitude. */
+  def seasonalBands(samples: DataFrame, periodNs: Long, binNs: Long,
+      keyCol: String = "series_id",
+      pLo: String = "0.05", pHi: String = "0.95"): DataFrame = {
+    require(periodNs > 0 && binNs > 0 && periodNs % binNs == 0,
+      "period must be a positive whole number of bins")
+    val qk = HistQuantiles.quantileKeys(
+      HistQuantiles.histogram(
+        samples.withColumn("phase",
+          expr(s"pmod(ts, ${periodNs}L) div ${binNs}L")),
+        Seq(keyCol, "phase")),
+      Seq(keyCol, "phase"), Seq(pLo, pHi))
+    qk.groupBy(keyCol, "phase").agg(
+        min(when(col("p") === pLo, col("lo_key"))).as("__lok"),
+        min(when(col("p") === pHi, col("lo_key"))).as("__hik"))
+      .select(col(keyCol), col("phase"),
+        round(col("__lok") / lit(1000000.0), 6).as("lo"),
+        round(HistQuantiles.bucketHiKey(col("__hik")) / lit(1000000.0), 6)
+          .as("hi"))
+  }
+
+  /** Samples outside their phase's [lo, hi] band, against a PREBUILT
+    * [[seasonalBands]] index (persist the bands, judge any batch or
+    * stream against them — the model-offline/flag-online split). The
+    * bands frame is (series × phases)-sized and broadcast; the fact
+    * side stays map-local. Series/phases absent from the index drop
+    * out: no baseline, no judgement. */
+  def seasonalOutliersWith(samples: DataFrame, bands: DataFrame,
+      periodNs: Long, binNs: Long,
+      keyCol: String = "series_id"): DataFrame =
+    samples
+      .withColumn("phase", expr(s"pmod(ts, ${periodNs}L) div ${binNs}L"))
+      .join(broadcast(bands), Seq(keyCol, "phase"))
+      .where(col("value") < col("lo") || col("value") > col("hi"))
+
+  /** [[seasonalOutliersWith]] over freshly fit bands on the same data. */
+  def seasonalOutliers(samples: DataFrame, periodNs: Long, binNs: Long,
+      keyCol: String = "series_id",
+      pLo: String = "0.05", pHi: String = "0.95"): DataFrame =
+    seasonalOutliersWith(samples,
+      seasonalBands(samples, periodNs, binNs, keyCol, pLo, pHi),
+      periodNs, binNs, keyCol)
+
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value
     * explosions (the failure mode that melts every TSDB's index; the

@@ -608,6 +608,50 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(byPair(("c", "d")) === None)
   }
 
+  test("seasonal bands: spikes flagged against their own phase, not the global spread") {
+    val hourNs = 3600L; val dayNs = 24 * hourNs // scaled-down ns
+    // 60 days x 4 phases; each phase has its own level (phase*100) with
+    // a +-2 within-phase spread — globally the levels span 0..300, so a
+    // global band would never flag anything; phase-relative judgement
+    // must flag the two planted spikes and little else
+    val rows = (0 until 60).flatMap { day =>
+      (0 until 4).map { ph =>
+        val ts = day * dayNs + ph * hourNs
+        val v =
+          if (day == 30 && ph == 1) 999.0        // planted high spike
+          else if (day == 40 && ph == 2) -50.0   // planted low spike
+          else ph * 100.0 + (day % 5).toDouble - 2.0
+        ("s", ts, v)
+      }
+    }
+    val df = rows.toDF("name", "ts", "value")
+    val out = graft.ops.Monitoring.seasonalOutliers(df, dayNs, hourNs,
+        keyCol = "name")
+      .select("ts", "value").as[(Long, Double)].collect().toSeq
+    // the band is the bucket HULL, so the tight in-band spread never
+    // self-flags — exactly the two planted spikes come back
+    assert(out.map(_._2).toSet === Set(999.0, -50.0),
+      s"expected exactly the spikes, got ${out.map(_._2).sorted}")
+  }
+
+  test("bucketHiKey: every value lies inside its bucket's [lo, hi] hull") {
+    import graft.ops.HistQuantiles
+    val vals = (-3000 to 3000).map(_ / 7.0) ++
+      Seq(-1e-6, 1e-6, 0.0, 123456.789, -98765.4321, 16.0, -16.0,
+        15.999999, -15.999999)
+    val rows = vals.map(Tuple1(_)).toDF("value")
+      .select(col("value"), HistQuantiles.bucketLo(col("value")).as("lo"),
+        HistQuantiles.bucketHiKey(HistQuantiles.bucketLo(col("value")))
+          .as("hi"))
+      .collect()
+    rows.foreach { r =>
+      val q = math.round(r.getDouble(0) * 1e6)
+      val lo = r.getLong(1); val hi = r.getLong(2)
+      assert(lo <= q && q <= hi, s"${r.getDouble(0)}: q=$q outside [$lo, $hi]")
+      assert(hi > lo)
+    }
+  }
+
   test("corrAligned lag: a leader correlates at its lag, weaker at zero") {
     // y_t = x_{t-1} exactly: perfect correlation at lag 1, not at 0
     val base = (0 until 40).map(i => ((i * 17) % 23).toDouble)
