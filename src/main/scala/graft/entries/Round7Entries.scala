@@ -277,6 +277,34 @@ object Round7Entries {
         .orderBy("name", "ts_us", "value")
     }),
 
+    // the seasonal band gate flagging ONLINE: the SAME stateless op
+    // (seasonalOutliersWith is a projection + broadcast band join) runs
+    // unchanged on the executing stream — bands modeled offline, each
+    // micro-batch judged in flight; one code path and one oracle with
+    // the batch entry
+    "stream_seasonal" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val dayNs = 86400000000000L; val hourNs = 3600000000000L
+      val hist = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type") === "click")
+        .select(lit("click").as("name"), col("ts"), col("value"))
+      val bands = graft.ops.Monitoring.seasonalBands(hist, dayNs, hourNs,
+        keyCol = "name", pLo = "0.25", pHi = "0.75").cache()
+      try {
+        val rows = EntryUtil.clickRows(s, dir)
+          .map { case (_, t, v) => ("click", t, v) }
+        EntryUtil.runStreamEntry(s, "stream_seasonal_sink", rows,
+          chunks = 4, cols = Seq("name", "ts", "value"),
+          mkStream = graft.ops.Monitoring.seasonalOutliersWith(_, bands,
+            dayNs, hourNs, keyCol = "name"))
+          .select(col("name"), expr("ts div 1000").as("ts_us"),
+            round(col("value"), 6).as("value"), col("phase"),
+            col("lo"), col("hi"))
+          .orderBy("name", "ts_us", "value")
+      } finally bands.unpersist(false)
+    }),
+
     // silence ALERTING with a timeout clock (EventTimeTimeout): an
     // alert fires when a series has been silent > 12 h — on the next
     // arrival (inline) OR when other series' progress pushes the
@@ -592,51 +620,11 @@ object Round7Entries {
 
     // phase-banded replay: identical bit-bucketing per (name, hour-of-
     // day), identical band pivot, identical raw-value compares
-    "ts_seasonal_outliers" ->
-      """WITH s AS (SELECT 'click' AS name,
-               epoch_ns(ts) AS ts, value,
-               (epoch_ns(ts) % 86400000000000) // 3600000000000 AS phase
-             FROM events WHERE event_type = 'click'),
-           bq AS (SELECT name, phase,
-               CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
-           be AS (SELECT name, phase, q, abs(q) AS m,
-               length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
-           bs AS (SELECT name, phase, q, m,
-               CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT name, phase,
-               CASE WHEN m < 1 THEN 0
-                    WHEN q > 0 THEN (m >> sh) << sh
-                    ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
-               END AS lo
-             FROM bs),
-           h AS (SELECT name, phase, lo, count(*) AS cnt
-             FROM b GROUP BY 1, 2, 3),
-           c AS (SELECT name, phase, lo,
-               sum(cnt) OVER (PARTITION BY name, phase ORDER BY lo) AS cum,
-               sum(cnt) OVER (PARTITION BY name, phase) AS n FROM h),
-           p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
-           qr AS (SELECT c.name, c.phase, p.p, min(lo) AS lo_key
-             FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
-           bk AS (SELECT name, phase,
-               min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
-               min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
-             FROM qr GROUP BY 1, 2),
-           bands AS (SELECT name, phase,
-               round(lok / 1000000.0, 6) AS lo,
-               round((CASE WHEN hik = 0 THEN 1
-                      WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
-                        greatest(length(bin(hik)) - 4, 0))
-                      ELSE hik + (CAST(1 AS BIGINT) <<
-                        (CASE WHEN ((-hik) & ((-hik) - 1)) = 0
-                         THEN greatest(length(bin(-hik)) - 5, 0)
-                         ELSE greatest(length(bin(-hik)) - 4, 0) END))
-                      END) / 1000000.0, 6) AS hi
-             FROM bk)
-         SELECT s.name, s.ts // 1000 AS ts_us, round(s.value, 6) AS value,
-           CAST(s.phase AS BIGINT) AS phase, bands.lo, bands.hi
-         FROM s JOIN bands USING (name, phase)
-         WHERE s.value < bands.lo OR s.value > bands.hi
-         ORDER BY name, ts_us, value""",
+    "ts_seasonal_outliers" -> SeasonalSql,
+
+    // batch and streaming seasonal gates are interchangeable (the op
+    // is stateless) — one oracle
+    "stream_seasonal" -> SeasonalSql,
 
     // silence alerts = ns-exact gap episodes UNION terminally-silent
     // series whose ms-floored deadline precedes the final watermark
@@ -898,6 +886,54 @@ object Round7Entries {
                  ELSE 255.0 * 1152921504606846976.0 / hk END, 6)
              AS est_distinct
          FROM kk ORDER BY event_type"""
+
+  /** ONE phase-band replay for the batch entry and its streaming
+    * twin (the op is stateless, so transport cannot change it). */
+  private lazy val SeasonalSql: String =
+    """WITH s AS (SELECT 'click' AS name,
+               epoch_ns(ts) AS ts, value,
+               (epoch_ns(ts) % 86400000000000) // 3600000000000 AS phase
+             FROM events WHERE event_type = 'click'),
+           bq AS (SELECT name, phase,
+               CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
+           be AS (SELECT name, phase, q, abs(q) AS m,
+               length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
+           bs AS (SELECT name, phase, q, m,
+               CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
+           b AS (SELECT name, phase,
+               CASE WHEN m < 1 THEN 0
+                    WHEN q > 0 THEN (m >> sh) << sh
+                    ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
+               END AS lo
+             FROM bs),
+           h AS (SELECT name, phase, lo, count(*) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+           c AS (SELECT name, phase, lo,
+               sum(cnt) OVER (PARTITION BY name, phase ORDER BY lo) AS cum,
+               sum(cnt) OVER (PARTITION BY name, phase) AS n FROM h),
+           p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
+           qr AS (SELECT c.name, c.phase, p.p, min(lo) AS lo_key
+             FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
+           bk AS (SELECT name, phase,
+               min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
+               min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
+             FROM qr GROUP BY 1, 2),
+           bands AS (SELECT name, phase,
+               round(lok / 1000000.0, 6) AS lo,
+               round((CASE WHEN hik = 0 THEN 1
+                      WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
+                        greatest(length(bin(hik)) - 4, 0))
+                      ELSE hik + (CAST(1 AS BIGINT) <<
+                        (CASE WHEN ((-hik) & ((-hik) - 1)) = 0
+                         THEN greatest(length(bin(-hik)) - 5, 0)
+                         ELSE greatest(length(bin(-hik)) - 4, 0) END))
+                      END) / 1000000.0, 6) AS hi
+             FROM bk)
+         SELECT s.name, s.ts // 1000 AS ts_us, round(s.value, 6) AS value,
+           CAST(s.phase AS BIGINT) AS phase, bands.lo, bands.hi
+         FROM s JOIN bands USING (name, phase)
+         WHERE s.value < bands.lo OR s.value > bands.hi
+         ORDER BY name, ts_us, value"""
 
   private lazy val QuantileHistSql: String = histQuantileSql(
     """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value
