@@ -439,6 +439,14 @@ object Round7Entries {
                         "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the statement's lag path end-to-end: day-lag hourly correlation
+    // through JSON (lag must be a whole number of steps)
+    "ts_corr_json_lagged" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"correlate": {"metric": ["click", "purchase", "view"],
+                           "step": "1h", "lag": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the lead/lag form: corr of each type at hour b with each other
     // type at hour b+24 — "does today's a predict tomorrow's b" (the
     // direction matters; key_a < key_b with the day lag on key_b)
@@ -692,6 +700,12 @@ object Round7Entries {
             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
             AND epoch_ns(ts) < ${EntryUtil.ToNs}
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the statement's day-lag form over the same range
+    "ts_corr_json_lagged" -> corrSql(24,
+      s"""WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${graft.entries.EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${graft.entries.EntryUtil.ToNs}"""),
 
     // the statement form: three metrics, engine range
     "ts_corr_json" -> corrSql(0,
