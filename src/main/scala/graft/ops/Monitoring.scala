@@ -226,13 +226,17 @@ object Monitoring {
       .join(broadcast(bands), Seq(keyCol, "phase"))
       .where(col("value") < col("lo") || col("value") > col("hi"))
 
-  /** [[seasonalOutliersWith]] over freshly fit bands on the same data. */
+  /** [[seasonalOutliersWith]] over freshly fit bands on the same data.
+    * The fit and the flag pass share one scope-cached scan (the
+    * [[madIndex]] idiom — the caller's releaseCaches() frees it). */
   def seasonalOutliers(samples: DataFrame, periodNs: Long, binNs: Long,
       keyCol: String = "series_id",
-      pLo: String = "0.05", pHi: String = "0.95"): DataFrame =
-    seasonalOutliersWith(samples,
-      seasonalBands(samples, periodNs, binNs, keyCol, pLo, pHi),
+      pLo: String = "0.05", pHi: String = "0.95"): DataFrame = {
+    val cached = graft.pipeline.Dedup.scopedCache(samples)
+    seasonalOutliersWith(cached,
+      seasonalBands(cached, periodNs, binNs, keyCol, pLo, pHi),
       periodNs, binNs, keyCol)
+  }
 
   /** Cardinality monitoring: per (metric, tag key), the distinct tag
     * values and series count — the readout that catches tag-value
