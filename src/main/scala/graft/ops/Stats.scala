@@ -87,4 +87,53 @@ object Stats {
         round(when(den > 0.0, num / den), 6))
       .select("key_a", "key_b", "n_buckets", "corr")
   }
+
+  /** Autocorrelation at chosen lags: per key, corr of the bucket-mean
+    * series with ITSELF shifted by each lag — the periodicity detector
+    * ("does this metric breathe daily?"; a peak at lag 24 on hourly
+    * buckets is daily seasonality — the readout that justifies a
+    * [[graft.ops.Monitoring.seasonalBands]] period choice). Same
+    * integer-moment machinery as [[corrAligned]] ([[corrAligned]]'s
+    * key_a < key_b pairing excludes self-pairs, so the ACF is its own
+    * op): the fact scan reduces to (keys × buckets) ONCE, the lag list
+    * explodes in-row on that rollup frame, and each (key, lag) pair's
+    * moments partial-aggregate. Output: (key, lag, n_buckets, corr) —
+    * n_buckets = overlapping bucket pairs; zero-variance or < 2
+    * overlaps yield null. */
+  def autocorr(samples: DataFrame, bucketNs: Long, lags: Seq[Long],
+      keyCol: String = "metric", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(bucketNs > 0, "bucket width must be positive")
+    require(lags.nonEmpty, "at least one lag required")
+    import graft.functions.VectorExpressions.longFloorDiv
+    val buckets = samples
+      .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .select(col(keyCol), col("__b"),
+        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+    val l = buckets.select(col(keyCol).as("key"), col("__b"),
+      col("__m").as("__x"))
+    val r = buckets
+      .select(col(keyCol).as("key"),
+        explode(array(lags.map(lit): _*)).as("lag"), col("__b"),
+        col("__m").as("__y"))
+      .select(col("key"), col("lag"), (col("__b") - col("lag")).as("__b"),
+        col("__y"))
+    val moments = l.join(r, Seq("key", "__b"))
+      .groupBy("key", "lag")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    def d(name: String) = col(name).cast("double")
+    val num = d("n_buckets") * d("__sxy") - d("__sx") * d("__sy")
+    val den = sqrt(d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")) *
+      sqrt(d("n_buckets") * d("__syy") - d("__sy") * d("__sy"))
+    moments
+      .withColumn("corr", round(when(den > 0.0, num / den), 6))
+      .select("key", "lag", "n_buckets", "corr")
+  }
 }

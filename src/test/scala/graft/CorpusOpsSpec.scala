@@ -652,6 +652,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("autocorr: a period-4 signal peaks at exactly its own lag") {
+    val pattern = Seq(10.0, 20.0, 5.0, 15.0)
+    val rows = (0 until 200).map(i => ("m", i.toLong, pattern(i % 4)))
+    val out = graft.ops.Stats.autocorr(
+        rows.toDF("metric", "ts", "value"), bucketNs = 1L,
+        lags = Seq(1L, 2L, 4L))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(out(4L) === 1.0, s"period lag must be perfect: $out")
+    // the pattern is not orthogonal at every off-lag (lag 2 pairs
+    // (10,5)/(20,15)... at corr 0.6) — what matters is that ONLY the
+    // true period is perfect
+    assert(out(1L) < 0.99 && out(2L) < 0.99,
+      s"off-period lags must not be perfect: $out")
+  }
+
   test("corrAligned lag: a leader correlates at its lag, weaker at zero") {
     // y_t = x_{t-1} exactly: perfect correlation at lag 1, not at 0
     val base = (0 until 40).map(i => ((i * 17) % 23).toDouble)
