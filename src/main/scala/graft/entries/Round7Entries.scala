@@ -975,7 +975,8 @@ object Round7Entries {
                min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
              FROM qr GROUP BY 1, 2),
            bands AS (SELECT name, phase,
-               round(lok / 1000000.0, 6) AS lo,
+               round((CASE WHEN lok = 0 THEN -1 ELSE lok END)
+                 / 1000000.0, 6) AS lo,
                round((CASE WHEN hik = 0 THEN 1
                       WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
                         greatest(length(bin(hik)) - 4, 0))

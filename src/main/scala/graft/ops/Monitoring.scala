@@ -186,12 +186,12 @@ object Monitoring {
     * Served from [[HistQuantiles]] log-bucket counts, so the fit is
     * bounded (≤ ~8·53 longs per (series, phase) at ANY row count — no
     * exact-percentile value buffer) and SQL-replayable. The band is
-    * the bucket HULL: `lo` = the pLo bucket's LOWER value edge, `hi` =
-    * the pHi bucket's UPPER value edge ([[HistQuantiles.bucketHiKey]])
-    * — a flag means the value lies outside every value those
-    * percentile buckets ever saw, so a tight in-band spread never
-    * self-flags no matter how coarse the log buckets are at its
-    * magnitude. */
+    * the bucket HULL: `lo` = the pLo bucket's LOWER value edge (−1 µu
+    * for the underflow bucket, whose hull is (−1, 1) µu), `hi` = the
+    * pHi bucket's UPPER value edge ([[HistQuantiles.bucketHiKey]]) — a
+    * flag means the value lies outside every value those percentile
+    * buckets ever saw, so a tight in-band spread never self-flags no
+    * matter how coarse the log buckets are at its magnitude. */
   def seasonalBands(samples: DataFrame, periodNs: Long, binNs: Long,
       keyCol: String = "series_id",
       pLo: String = "0.05", pHi: String = "0.95"): DataFrame = {
@@ -207,7 +207,11 @@ object Monitoring {
         min(when(col("p") === pLo, col("lo_key"))).as("__lok"),
         min(when(col("p") === pHi, col("lo_key"))).as("__hik"))
       .select(col(keyCol), col("phase"),
-        round(col("__lok") / lit(1000000.0), 6).as("lo"),
+        // the underflow bucket (key 0) covers (−1, 1) µu, so its HULL
+        // lower edge is −1 µu — using the key itself (0) would self-
+        // flag negative near-zero values the bucket saw
+        round(when(col("__lok") === 0, lit(-1L)).otherwise(col("__lok"))
+          / lit(1000000.0), 6).as("lo"),
         round(HistQuantiles.bucketHiKey(col("__hik")) / lit(1000000.0), 6)
           .as("hi"))
   }

@@ -50,18 +50,7 @@ object Stats {
   def corrAligned(samples: DataFrame, bucketNs: Long,
       keyCol: String = "metric", tsCol: String = "ts",
       valueCol: String = "value", lagBuckets: Long = 0L): DataFrame = {
-    require(bucketNs > 0, "bucket width must be positive")
-    import graft.functions.VectorExpressions.longFloorDiv
-    // per (key, bucket): milli-quantized bucket mean. The µu sum and
-    // count are exact integers; their double ratio then rounds half-up
-    // to one milli-unit integer — bit-identical in any engine
-    val buckets = samples
-      .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
-      .groupBy(col(keyCol), col("__b"))
-      .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
-        count(lit(1)).as("__c"))
-      .select(col(keyCol), col("__b"),
-        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
     val l = buckets.select(col(keyCol).as("key_a"), col("__b"),
       col("__m").as("__x"))
     val r = buckets.select(col(keyCol).as("key_b"),
@@ -74,18 +63,38 @@ object Stats {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-    // one double formula over integer moments — each moment cast to
-    // double BEFORE combining (integer n·Σxx / Σx·Σx would wrap at a
-    // few thousand buckets); identical op shape on any mirror; a
-    // zero-variance side makes the denominator 0 -> null
+    pearson(moments).select("key_a", "key_b", "n_buckets", "corr")
+  }
+
+  /** Per (key, bucket) milli-quantized bucket MEAN — the ONE rollup
+    * reduction both [[corrAligned]] and [[autocorr]] (and their
+    * mirrors) must replay bit-identically: µu sum and count are exact
+    * integers, their double ratio rounds half-up to one milli-unit
+    * integer. */
+  private def bucketMeans(samples: DataFrame, bucketNs: Long,
+      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+    require(bucketNs > 0, "bucket width must be positive")
+    import graft.functions.VectorExpressions.longFloorDiv
+    samples
+      .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+      .select(col(keyCol), col("__b"),
+        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+  }
+
+  /** The ONE Pearson formula over integer moment columns (n_buckets,
+    * __sx, __sy, __sxy, __sxx, __syy): each moment cast to double
+    * BEFORE combining (integer n·Σxx / Σx·Σx would wrap at a few
+    * thousand buckets); identical op shape on any mirror; a
+    * zero-variance side makes the denominator 0 → null `corr`. */
+  private def pearson(moments: DataFrame): DataFrame = {
     def d(name: String) = col(name).cast("double")
     val num = d("n_buckets") * d("__sxy") - d("__sx") * d("__sy")
     val den = sqrt(d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")) *
       sqrt(d("n_buckets") * d("__syy") - d("__sy") * d("__sy"))
-    moments
-      .withColumn("corr",
-        round(when(den > 0.0, num / den), 6))
-      .select("key_a", "key_b", "n_buckets", "corr")
+    moments.withColumn("corr", round(when(den > 0.0, num / den), 6))
   }
 
   /** Autocorrelation at chosen lags: per key, corr of the bucket-mean
@@ -103,16 +112,8 @@ object Stats {
   def autocorr(samples: DataFrame, bucketNs: Long, lags: Seq[Long],
       keyCol: String = "metric", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    require(bucketNs > 0, "bucket width must be positive")
     require(lags.nonEmpty, "at least one lag required")
-    import graft.functions.VectorExpressions.longFloorDiv
-    val buckets = samples
-      .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
-      .groupBy(col(keyCol), col("__b"))
-      .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
-        count(lit(1)).as("__c"))
-      .select(col(keyCol), col("__b"),
-        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
     val l = buckets.select(col(keyCol).as("key"), col("__b"),
       col("__m").as("__x"))
     val r = buckets
@@ -128,12 +129,6 @@ object Stats {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-    def d(name: String) = col(name).cast("double")
-    val num = d("n_buckets") * d("__sxy") - d("__sx") * d("__sy")
-    val den = sqrt(d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")) *
-      sqrt(d("n_buckets") * d("__syy") - d("__sy") * d("__sy"))
-    moments
-      .withColumn("corr", round(when(den > 0.0, num / den), 6))
-      .select("key", "lag", "n_buckets", "corr")
+    pearson(moments).select("key", "lag", "n_buckets", "corr")
   }
 }

@@ -634,6 +634,18 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected exactly the spikes, got ${out.map(_._2).sorted}")
   }
 
+  test("seasonal bands: underflow-bucket hull does not self-flag near-zero noise") {
+    // all values round to the underflow bucket (±0.2 µu): its hull is
+    // (−1, 1) µu, so NOTHING self-flags — the band's lower edge must be
+    // −1 µu, not the bucket key 0 (which would flag every negative)
+    val rows = (0 until 80).map(i =>
+      ("s", i.toLong, if (i % 2 == 0) 2e-7 else -2e-7))
+    val out = graft.ops.Monitoring.seasonalOutliers(
+      rows.toDF("name", "ts", "value"), periodNs = 4L, binNs = 1L,
+      keyCol = "name")
+    assert(out.count() === 0)
+  }
+
   test("bucketHiKey: every value lies inside its bucket's [lo, hi] hull") {
     import graft.ops.HistQuantiles
     val vals = (-3000 to 3000).map(_ / 7.0) ++
