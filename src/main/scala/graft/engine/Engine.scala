@@ -91,6 +91,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: QuantileQuery           => quantile(q)
     case q: CorrelateQuery          => correlate(q)
     case q: ActiveQuery             => active(q)
+    case q: SeasonalQuery           => seasonal(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -185,6 +186,22 @@ final class Engine(val ctx: TsdbContext) {
           Seq("series"), q.ps)
         .orderBy("series", "p")
     }
+  }
+
+  /** Beyond-reference `seasonal`: per-series phase-of-period value
+    * bands over the range ([[graft.ops.Monitoring.seasonalBands]] —
+    * the [pLo, pHi] bucket HULL per (series, phase), served from the
+    * bounded log-bucket histogram). The scan reduces to bucket counts
+    * map-side; output is (series × phases)-sized — an index a caller
+    * persists and judges batches or streams against. Output:
+    * (series, phase, lo, hi). */
+  def seasonal(q: SeasonalQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    graft.ops.Monitoring.seasonalBands(
+        scan(ids, q.range, Seq(q.metric))
+          .select(col("out_name").as("series"), col("ts"), col("value")),
+        q.periodNs, q.binNs, keyCol = "series", pLo = q.pLo, pHi = q.pHi)
+      .orderBy("series", "phase")
   }
 
   /** Beyond-reference `active`: per-metric count of DISTINCT series

@@ -277,6 +277,16 @@ object Round7Entries {
         .orderBy("name", "ts_us", "value")
     }),
 
+    // the band INDEX through the query language: the beyond-reference
+    // `seasonal` statement — per-series phase bands over the range, the
+    // persistable baseline behind "unusual for 3am" (6h phases here:
+    // users x 4 band rows)
+    "ts_seasonal_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"seasonal": {"metric": "purchase", "period": "1d",
+                          "bin": "6h"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the seasonal band gate flagging ONLINE: the SAME stateless op
     // (seasonalOutliersWith is a projection + broadcast band join) runs
     // unchanged on the executing stream — bands modeled offline, each
@@ -637,6 +647,9 @@ object Round7Entries {
     // lag ordering
     "ts_gaps" -> GapsSql,
 
+    // bands-only replay for the statement form
+    "ts_seasonal_json" -> SeasonalJsonSql,
+
     // phase-banded replay: identical bit-bucketing per (name, hour-of-
     // day), identical band pivot, identical raw-value compares
     "ts_seasonal_outliers" -> SeasonalSql,
@@ -942,6 +955,53 @@ object Round7Entries {
                  ELSE 255.0 * 1152921504606846976.0 / hk END, 6)
              AS est_distinct
          FROM kk ORDER BY event_type"""
+
+  /** Bands-only replay for the `seasonal` statement: per (series,
+    * 6h phase) [p25, p75] bucket hulls over the ranged purchases. */
+  private lazy val SeasonalJsonSql: String =
+    s"""WITH s AS (SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
+                 AS series, value,
+               (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}),
+           bq AS (SELECT series, phase,
+               CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
+           be AS (SELECT series, phase, q, abs(q) AS m,
+               length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
+           bs AS (SELECT series, phase, q, m,
+               CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
+           b AS (SELECT series, phase,
+               CASE WHEN m < 1 THEN 0
+                    WHEN q > 0 THEN (m >> sh) << sh
+                    ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
+               END AS lo
+             FROM bs),
+           h AS (SELECT series, phase, lo, count(*) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+           c AS (SELECT series, phase, lo,
+               sum(cnt) OVER (PARTITION BY series, phase ORDER BY lo) AS cum,
+               sum(cnt) OVER (PARTITION BY series, phase) AS n FROM h),
+           p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
+           qr AS (SELECT c.series, c.phase, p.p, min(lo) AS lo_key
+             FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
+           bk AS (SELECT series, phase,
+               min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
+               min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
+             FROM qr GROUP BY 1, 2)
+         SELECT series, CAST(phase AS BIGINT) AS phase,
+           round((CASE WHEN lok = 0 THEN -1 ELSE lok END)
+             / 1000000.0, 6) AS lo,
+           round((CASE WHEN hik = 0 THEN 1
+                  WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
+                    greatest(length(bin(hik)) - 4, 0))
+                  ELSE hik + (CAST(1 AS BIGINT) <<
+                    (CASE WHEN ((-hik) & ((-hik) - 1)) = 0
+                     THEN greatest(length(bin(-hik)) - 5, 0)
+                     ELSE greatest(length(bin(-hik)) - 4, 0) END))
+                  END) / 1000000.0, 6) AS hi
+         FROM bk ORDER BY series, phase"""
 
   /** ONE phase-band replay for the batch entry and its streaming
     * twin (the op is stateless, so transport cannot change it). */

@@ -221,6 +221,25 @@ object Ast {
       apply: Seq[ApplySpec] = Nil,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+    * "p": ["0.25", "0.75"]}}` — beyond-reference: per-series seasonal
+    * value bands — for each phase-of-period bin, the [pLo, pHi] bucket
+    * HULL of the ranged values ([[graft.ops.Monitoring.seasonalBands]]
+    * over the log-bucket histogram: bounded fit, SQL-replayable) — the
+    * baseline index behind "is this value unusual FOR 3am". `bin` must
+    * divide `period`; `p` is exactly two ascending quantile literals
+    * (default ["0.25", "0.75"]). Output rows: (series, phase, lo, hi),
+    * phase = ⌊(ts mod period)/bin⌋. */
+  final case class SeasonalQuery(
+      metric: String,
+      periodNs: Long,
+      binNs: Long,
+      pLo: String,
+      pHi: String,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"active": {"metric": ["a", "b"], "step": "1d"}}` — beyond-
     * reference: per-metric count of DISTINCT series with at least one
     * sample in the range ("how many emitters are alive"), optionally

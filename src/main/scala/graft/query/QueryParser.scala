@@ -36,7 +36,7 @@ object QueryParser {
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
-      "active")
+      "active", "seasonal")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -59,6 +59,7 @@ object QueryParser {
     else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("correlate")) parseCorrelate(root)
     else if (root.has("active")) parseActive(root)
+    else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -205,6 +206,48 @@ object QueryParser {
         "pivot-by-tag", "limit", "offset", "output")
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"$stmt doesn't support '$k'"))
+
+  /** Beyond-reference `seasonal` (see [[Ast.SeasonalQuery]]). */
+  private def parseSeasonal(root: JsonNode): SeasonalQuery = {
+    val stmt = root.get("seasonal")
+    if (!stmt.isObject)
+      throw new BadQuery("seasonal statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "period", "bin", "p").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad seasonal key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("seasonal.metric name required"))
+    val period = TimeUtil.parseDuration(Option(stmt.get("period"))
+      .getOrElse(throw new BadQuery("seasonal.period required")).asText())
+    val bin = TimeUtil.parseDuration(Option(stmt.get("bin"))
+      .getOrElse(throw new BadQuery("seasonal.bin required")).asText())
+    if (period % bin != 0)
+      throw new BadQuery(
+        s"seasonal.bin must divide the period (period $period, bin $bin)")
+    // exactly two ascending quantile literals, the quantile statement's
+    // text-preservation rule
+    val ps = Option(stmt.get("p")).map { n =>
+      if (!n.isArray || n.size != 2)
+        throw new BadQuery("seasonal.p must be a two-element array")
+      n.asScala.toSeq.map { t =>
+        val txt = t.asText()
+        val v = try txt.toDouble catch {
+          case _: NumberFormatException =>
+            throw new BadQuery(s"bad seasonal p '$txt'")
+        }
+        if (v.isNaN || v <= 0 || v >= 1)
+          throw new BadQuery(s"seasonal p out of (0, 1): $txt")
+        txt
+      }
+    }.getOrElse(Seq("0.25", "0.75"))
+    if (ps(0).toDouble >= ps(1).toDouble)
+      throw new BadQuery("seasonal.p must be ascending")
+    rejectSampleClauses(root, "seasonal")
+    SeasonalQuery(metric, period, bin, ps(0), ps(1), parseRange(root),
+      parseWhere(root), parseLocation(root))
+  }
 
   /** Beyond-reference `active` (see [[Ast.ActiveQuery]]). */
   private def parseActive(root: JsonNode): ActiveQuery = {

@@ -354,6 +354,39 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("seasonal statement: parse, p/bin validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "6h"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[SeasonalQuery]
+    assert(q.periodNs === 86400000000000L && q.binNs === 21600000000000L)
+    assert(q.pLo === "0.25" && q.pHi === "0.75") // defaults
+    assert(QueryParser.parse(
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+                       "p": ["0.10", "0.90"]},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[SeasonalQuery].pLo === "0.10") // caller's literal
+    intercept[BadQuery](QueryParser.parse( // bin must divide period
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "7h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // p must be two elements
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+                       "p": ["0.5"]}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // p must be ascending
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+                       "p": ["0.9", "0.1"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // p in open (0, 1)
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+                       "p": ["0.5", "1.0"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h",
+                       "by": "host"}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // bands have no rows to page
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "1h"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},
