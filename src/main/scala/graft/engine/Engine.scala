@@ -90,6 +90,7 @@ final class Engine(val ctx: TsdbContext) {
     case a: AsofJoinQuery           => asofJoin(a)
     case q: QuantileQuery           => quantile(q)
     case q: CorrelateQuery          => correlate(q)
+    case q: TrendQuery              => trend(q)
     case q: ActiveQuery             => active(q)
     case q: SeasonalQuery           => seasonal(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
@@ -243,6 +244,22 @@ final class Engine(val ctx: TsdbContext) {
           .select(col("out_name").as("metric"), col("ts"), col("value")),
         q.stepNs, lagBuckets = q.lagNs / q.stepNs)
       .orderBy("key_a", "key_b")
+  }
+
+  /** Beyond-reference `trend`: per-metric OLS trend of the bucket-mean
+    * series over the range plus the extrapolated value `horizon` past
+    * the last observed bucket ([[graft.ops.Stats.trend]] — the
+    * predict_linear analog). Buckets are epoch-aligned like
+    * `correlate`. Output: (metric, n_buckets, slope, forecast, ts_us),
+    * slope in units per step. */
+  def trend(q: TrendQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base.select(col("series_id"), col("metric").as("out_name"))
+    graft.ops.Stats.trend(
+        scan(ids, q.range, q.metrics)
+          .select(col("out_name").as("metric"), col("ts"), col("value")),
+        q.stepNs, horizonBuckets = q.horizonNs / q.stepNs)
+      .orderBy("metric")
   }
 
   // ------------------------------------------------------------- aggregate

@@ -97,6 +97,63 @@ object Stats {
     moments.withColumn("corr", round(when(den > 0.0, num / den), 6))
   }
 
+  /** Per-key ordinary-least-squares trend of the bucket-mean series
+    * against the bucket INDEX, plus the line's value `horizonBuckets`
+    * past the key's last observed bucket — the capacity-planning
+    * readout ("is this ramping, and where will it be tomorrow"; the
+    * predict_linear analog, computed batch-side). The reference has no
+    * regression operator at all; this is the [[corrAligned]] moment
+    * machinery pointed at time itself.
+    *
+    * Same exactness discipline as the correlation ops: bucket means
+    * quantize to integer MILLI-units ([[bucketMeans]]), the x axis is
+    * the bucket index REBASED per key to its first observed bucket
+    * (small integers — Σx² needs only n³ headroom instead of the
+    * epoch-bucket's ~10¹¹ square), so every moment (n, Σx, Σy, Σxy,
+    * Σx²) is an order-independent integer sum and the one final double
+    * formula replays with identical IEEE op order in any engine.
+    *
+    * Scale shape: the fact scan reduces to (keys × buckets) rows in one
+    * partial-aggregatable groupBy BEFORE the per-key window rebase ever
+    * runs; the window and the moment groupBy share the key hash
+    * partitioning. Nothing beyond rollup size is ever shuffled.
+    *
+    * Output: one row per key — `n_buckets`, `slope` (units per bucket,
+    * 6dp), `forecast` (units, 6dp — the OLS line at last + horizon),
+    * `ts_us` (the µs timestamp of the forecast bucket's lower edge).
+    * Keys with < 2 buckets (or all samples in one bucket) have no
+    * defined line → null slope/forecast, matching SQL regr_slope. */
+  def trend(samples: DataFrame, bucketNs: Long, horizonBuckets: Long,
+      keyCol: String = "metric", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(horizonBuckets >= 0, "horizon must be >= 0 buckets")
+    require(bucketNs % 1000 == 0, "bucket width must be whole µs")
+    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val xb = buckets
+      .withColumn("__b0", min(col("__b")).over(w))
+      .select(col(keyCol), (col("__b") - col("__b0")).as("__x"),
+        col("__m").as("__y"), col("__b0"))
+    val moments = xb.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        max(col("__x")).as("__lx"), min(col("__b0")).as("__b0"))
+    def d(name: String) = col(name).cast("double")
+    val den = d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")
+    val slopeMu = when(den > 0.0,
+      (d("n_buckets") * d("__sxy") - d("__sx") * d("__sy")) / den)
+    val interceptMu = (d("__sy") - slopeMu * d("__sx")) / d("n_buckets")
+    val forecastMu = interceptMu +
+      slopeMu * (col("__lx") + lit(horizonBuckets)).cast("double")
+    moments.select(col(keyCol), col("n_buckets"),
+      round(slopeMu / lit(1000.0), 6).as("slope"),
+      round(forecastMu / lit(1000.0), 6).as("forecast"),
+      ((col("__b0") + col("__lx") + lit(horizonBuckets)) *
+        lit(bucketNs / 1000L)).as("ts_us"))
+  }
+
   /** Autocorrelation at chosen lags: per key, corr of the bucket-mean
     * series with ITSELF shifted by each lag — the periodicity detector
     * ("does this metric breathe daily?"; a peak at lag 24 on hourly

@@ -274,6 +274,26 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"trend": {"metric": ["a"], "step": "1h", "horizon": "1d"}}` —
+    * beyond-reference: per-metric ordinary-least-squares trend of the
+    * bucket-mean series over the range and the line's value `horizon`
+    * past the metric's last observed bucket
+    * ([[graft.ops.Stats.trend]]: milli-quantized integer moments, the
+    * fact scan reduces to a metrics × buckets frame before the window
+    * rebase; the predict_linear analog). `horizon` must be a whole
+    * number of steps (default 0 = the line AT the last bucket).
+    * Buckets are EPOCH-aligned like `correlate`. Output rows:
+    * (metric, n_buckets, slope, forecast, ts_us) — slope in units per
+    * step; metrics with < 2 occupied buckets yield null slope and
+    * forecast. */
+  final case class TrendQuery(
+      metrics: Seq[String],
+      stepNs: Long,
+      horizonNs: Long,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"quantile": {"metric": "m", "p": [0.5, 0.99]}}` — beyond-
     * reference: per-series quantiles of the values in the range, served
     * from the mergeable log-bucketed histogram

@@ -36,6 +36,7 @@ object QueryParser {
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
+      "trend",
       "active", "seasonal")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
@@ -58,6 +59,7 @@ object QueryParser {
     if (root.has("select-events")) parseSelectEvents(root)
     else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("correlate")) parseCorrelate(root)
+    else if (root.has("trend")) parseTrend(root)
     else if (root.has("active")) parseActive(root)
     else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
@@ -291,6 +293,32 @@ object QueryParser {
         s"correlate.lag must be a whole number of steps (lag $lag, step $step)")
     rejectSampleClauses(root, "correlate")
     CorrelateQuery(metrics, step, lag, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
+  /** Beyond-reference `trend` (see [[Ast.TrendQuery]]). */
+  private def parseTrend(root: JsonNode): TrendQuery = {
+    val stmt = root.get("trend")
+    if (!stmt.isObject)
+      throw new BadQuery("trend statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "step", "horizon").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad trend key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "trend.metric")
+    if (metrics.isEmpty)
+      throw new BadQuery("trend requires at least one metric")
+    if (metrics.distinct.size != metrics.size)
+      throw new BadQuery("trend metrics must be distinct")
+    val step = TimeUtil.parseDuration(Option(stmt.get("step"))
+      .getOrElse(throw new BadQuery("trend.step required")).asText())
+    val horizon = Option(stmt.get("horizon"))
+      .map(t => TimeUtil.parseDuration(t.asText())).getOrElse(0L)
+    if (horizon % step != 0)
+      throw new BadQuery(
+        s"trend.horizon must be a whole number of steps (horizon $horizon, step $step)")
+    rejectSampleClauses(root, "trend")
+    TrendQuery(metrics, step, horizon, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
 
