@@ -64,6 +64,32 @@ object Engine {
 
 final class Engine(val ctx: TsdbContext) {
 
+  // Registered-index surface validation — the engine trusts ctx.rollups /
+  // ctx.histograms to be well-formed when it serves from them, so a
+  // malformed registration (non-positive step, missing accumulator or
+  // bucket columns) must fail LOUDLY at construction, never surface as a
+  // wrong served answer or a mid-query AnalysisException. Semantic
+  // poisoning the schema can't reveal (an index whose rows were built at
+  // a different window than registered) is the registrar's contract —
+  // the same trust the reference places in its own materialized subtree
+  // stats. Alignment/density guards at serve time still abstain per
+  // query; this checks the shapes those guards assume.
+  ctx.rollups.foreach { case (fine, r) =>
+    require(fine > 0, s"registered rollup step must be positive (got $fine)")
+    val missing = (Seq("series_id", "bin") ++ Rollup.accNames)
+      .filterNot(r.columns.contains)
+    require(missing.isEmpty,
+      s"registered rollup (step $fine) lacks column(s): ${missing.mkString(", ")}")
+  }
+  ctx.histograms.foreach { case (win, h) =>
+    require(win > 0,
+      s"registered histogram window must be positive (got $win)")
+    val missing = Seq("series_id", "win", "lo", "cnt")
+      .filterNot(h.columns.contains)
+    require(missing.isEmpty,
+      s"registered histogram (window $win) lacks column(s): ${missing.mkString(", ")}")
+  }
+
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
     * over the rollup itself per Engine lifetime — an index statistic, not
@@ -149,15 +175,16 @@ final class Engine(val ctx: TsdbContext) {
         // per-bin percentiles (bins anchored at range.from like
         // group-aggregate) — "p99 per day". Same bounded per-group
         // histogram; the bin is just another key
-        graft.ops.HistQuantiles.quantiles(
-            graft.ops.HistQuantiles.histogram(
-              df.select(col("out_name").as("series"),
-                binColumn(q.range, step).as("__bin"), col("value")),
-              Seq("series", "__bin")),
-            Seq("series", "__bin"), q.ps)
-          .select(col("series"), expr("__bin div 1000").as("ts_us"),
-            col("p"), col("q"))
-          .orderBy("series", "ts_us", "p")
+        servedQuantile(q, ids).getOrElse(
+          graft.ops.HistQuantiles.quantiles(
+              graft.ops.HistQuantiles.histogram(
+                df.select(col("out_name").as("series"),
+                  binColumn(q.range, step).as("__bin"), col("value")),
+                Seq("series", "__bin")),
+              Seq("series", "__bin"), q.ps)
+            .select(col("series"), expr("__bin div 1000").as("ts_us"),
+              col("p"), col("q"))
+            .orderBy("series", "ts_us", "p"))
     }
   }
 
@@ -169,23 +196,46 @@ final class Engine(val ctx: TsdbContext) {
     * counts, EXACTLY equal to the scan-built histogram (counts are
     * exact; only the bucketing approximates) — so serving never changes
     * the answer, only removes the fact scan (plan-pinned: no samples
-    * read). Misaligned or backward ranges abstain and fall back to the
-    * scan — a partially-covered window's counts cannot be split. */
+    * read). The STEPPED form additionally needs `step` to be a whole
+    * number of windows: each window then lies inside exactly one query
+    * bin (bins anchor at the aligned `from`), so window counts re-key
+    * to bins by addition — the rollupGroupAggregate qbin re-binning for
+    * percentiles; "p99 per day over last month" never rescans raw.
+    * Misaligned or backward ranges abstain and fall back to the scan —
+    * a partially-covered window's counts cannot be split. */
   private def servedQuantile(q: QuantileQuery,
       ids: DataFrame): Option[DataFrame] = {
     if (!q.range.forward) return None
     ctx.histograms.collectFirst { case (win, hist)
         if Math.floorMod(q.range.from, win) == 0 &&
-          Math.floorMod(q.range.to, win) == 0 =>
-      graft.ops.HistQuantiles.quantiles(
-          graft.ops.HistQuantiles.merge(
-            hist.where(col("win") >= q.range.from && col("win") < q.range.to)
-              .join(broadcast(ids.select("series_id", "out_name")),
-                "series_id")
-              .select(col("out_name").as("series"), col("lo"), col("cnt")),
-            Seq("series")),
-          Seq("series"), q.ps)
-        .orderBy("series", "p")
+          Math.floorMod(q.range.to, win) == 0 &&
+          q.stepNs.forall(_ % win == 0) =>
+      val covered = hist
+        .where(col("win") >= q.range.from && col("win") < q.range.to)
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      q.stepNs match {
+        case None =>
+          graft.ops.HistQuantiles.quantiles(
+              graft.ops.HistQuantiles.merge(
+                covered.select(col("out_name").as("series"), col("lo"),
+                  col("cnt")),
+                Seq("series")),
+              Seq("series"), q.ps)
+            .orderBy("series", "p")
+        case Some(step) =>
+          // window → query bin: pure Long arithmetic on aligned starts
+          // (w − from ≥ 0, so the pmod is a plain remainder)
+          val d = col("win") - q.range.from
+          val binned = covered.select(col("out_name").as("series"),
+            (lit(q.range.from) + (d - pmod(d, lit(step)))).as("__bin"),
+            col("lo"), col("cnt"))
+          graft.ops.HistQuantiles.quantiles(
+              graft.ops.HistQuantiles.merge(binned, Seq("series", "__bin")),
+              Seq("series", "__bin"), q.ps)
+            .select(col("series"), expr("__bin div 1000").as("ts_us"),
+              col("p"), col("q"))
+            .orderBy("series", "ts_us", "p")
+      }
     }
   }
 
@@ -198,11 +248,43 @@ final class Engine(val ctx: TsdbContext) {
     * (series, phase, lo, hi). */
   def seasonal(q: SeasonalQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    graft.ops.Monitoring.seasonalBands(
-        scan(ids, q.range, Seq(q.metric))
-          .select(col("out_name").as("series"), col("ts"), col("value")),
-        q.periodNs, q.binNs, keyCol = "series", pLo = q.pLo, pHi = q.pHi)
-      .orderBy("series", "phase")
+    servedSeasonal(q, ids).getOrElse(
+      graft.ops.Monitoring.seasonalBands(
+          scan(ids, q.range, Seq(q.metric))
+            .select(col("out_name").as("series"), col("ts"), col("value")),
+          q.periodNs, q.binNs, keyCol = "series", pLo = q.pLo, pHi = q.pHi)
+        .orderBy("series", "phase"))
+  }
+
+  /** Seasonal-band serving from the SAME registered histogram index the
+    * quantile statement uses (ctx.histograms — one index, two
+    * statements): when the forward range covers whole windows AND the
+    * window divides both the phase bin and the period, every sample in
+    * a window shares one phase (the window sits inside one bin of one
+    * period cycle), so window counts re-key to (series, phase) by
+    * addition and the band fit ([[graft.ops.Monitoring.bandsFromHist]])
+    * runs on exactly the counts the scan would build — served bands
+    * equal scan-built bands bit-for-bit, with no fact scan
+    * (plan-pinned). Misaligned ranges or a window that doesn't divide
+    * the bin/period abstain to the scan. */
+  private def servedSeasonal(q: SeasonalQuery,
+      ids: DataFrame): Option[DataFrame] = {
+    if (!q.range.forward) return None
+    ctx.histograms.collectFirst { case (win, hist)
+        if Math.floorMod(q.range.from, win) == 0 &&
+          Math.floorMod(q.range.to, win) == 0 &&
+          q.periodNs % win == 0 && q.binNs % win == 0 =>
+      val phased = hist
+        .where(col("win") >= q.range.from && col("win") < q.range.to)
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .select(col("out_name").as("series"),
+          expr(s"pmod(win, ${q.periodNs}L) div ${q.binNs}L").as("phase"),
+          col("lo"), col("cnt"))
+      graft.ops.Monitoring.bandsFromHist(
+          graft.ops.HistQuantiles.merge(phased, Seq("series", "phase")),
+          "series", q.pLo, q.pHi)
+        .orderBy("series", "phase")
+    }
   }
 
   /** Beyond-reference `active`: per-metric count of DISTINCT series

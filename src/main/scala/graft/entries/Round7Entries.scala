@@ -957,8 +957,10 @@ object Round7Entries {
          FROM kk ORDER BY event_type"""
 
   /** Bands-only replay for the `seasonal` statement: per (series,
-    * 6h phase) [p25, p75] bucket hulls over the ranged purchases. */
-  private lazy val SeasonalJsonSql: String =
+    * 6h phase) [p25, p75] bucket hulls over the ranged purchases.
+    * Shared with Round8's index-served twin (served bands equal
+    * scan-built bands exactly — counts are exact). */
+  lazy val SeasonalJsonSql: String =
     s"""WITH s AS (SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
                  AS series, value,
                (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
@@ -1049,7 +1051,10 @@ object Round7Entries {
          SELECT s.name, s.ts // 1000 AS ts_us, round(s.value, 6) AS value,
            CAST(s.phase AS BIGINT) AS phase, bands.lo, bands.hi
          FROM s JOIN bands USING (name, phase)
-         WHERE s.value < bands.lo OR s.value > bands.hi
+         WHERE CAST(round(s.value * 1000000.0) AS BIGINT)
+                 < CAST(round(bands.lo * 1000000.0) AS BIGINT)
+            OR CAST(round(s.value * 1000000.0) AS BIGINT)
+                 > CAST(round(bands.hi * 1000000.0) AS BIGINT)
          ORDER BY name, ts_us, value"""
 
   private lazy val QuantileHistSql: String = histQuantileSql(
@@ -1091,8 +1096,9 @@ object Round7Entries {
          ORDER BY name, gap_start_us"""
 
   /** 7d-binned variant for the stepped statement (bins anchored at the
-    * range start — the group-aggregate rule; ts_us = bin start in µs). */
-  private lazy val QuantileStepSql: String = histQuantileSql(
+    * range start — the group-aggregate rule; ts_us = bin start in µs).
+    * Shared with Round8's index-served twin — one oracle, two plans. */
+  lazy val QuantileStepSql: String = histQuantileSql(
     s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
                (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
                   // ${7L * 86400000000000L}) * ${7L * 86400000000000L})

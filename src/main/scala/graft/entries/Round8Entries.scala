@@ -1,0 +1,116 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import EntryUtil.QueryFn
+
+/** Round-8 entries: the round-7 verdict closures — the `trend`
+  * statement's oracle gate (the one executable surface that shipped
+  * ungated), and the registered-histogram serving extensions (stepped
+  * quantile + seasonal bands served from the SAME persisted index, no
+  * fact scan). All DuckDB-oracle-checked with identical arithmetic.
+  */
+object Round8Entries {
+
+  val queries: Map[String, QueryFn] = Map(
+
+    // the beyond-reference `trend` statement under the gate: per-metric
+    // OLS slope of the day-bucket means plus the line's value at the
+    // last observed bucket (horizon 0) — "is this ramping". Bucket
+    // means quantize to integer milli-units and the x axis REBASES per
+    // key to its first bucket (small integers — Σx² needs n³ headroom,
+    // not the epoch-bucket's ~10²² square), so every moment is an
+    // order-independent integer sum and one final double formula
+    // replays with identical IEEE op order in the mirror
+    "ts_trend_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"trend": {"metric": ["click", "purchase", "view"],
+                       "step": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the forecast path: the OLS line extrapolated 7 steps past each
+    // metric's last observed bucket (the predict_linear analog), with
+    // ts_us carrying the forecast bucket's lower edge
+    "ts_trend_json_horizon" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"trend": {"metric": ["click", "purchase", "view"],
+                       "step": "1d", "horizon": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the stepped quantile statement SERVED from the registered hourly
+    // histogram index: step 7d is a whole number of index windows and
+    // the range is window-aligned, so each window's counts re-key to
+    // their query bin by addition (the rollup qbin re-binning for
+    // percentiles) — "p99 per week" with NO fact scan (plan-pinned),
+    // answers EXACTLY equal to the scan-built stepped form (counts are
+    // exact); one oracle with ts_quantile_step
+    "ts_quantile_step_indexed" -> ((s, dir) =>
+      EntryUtil.engineHistFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99],
+                          "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the seasonal statement SERVED from the SAME registered histogram
+    // index (one index, two statements): the hourly window divides both
+    // the 6h phase bin and the 1d period, so every window's counts
+    // belong to exactly one phase and the band fit runs on the merged
+    // counts the scan would build — served bands equal scan-built bands
+    // bit-for-bit, no fact scan (plan-pinned); one oracle with
+    // ts_seasonal_json
+    "ts_seasonal_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineHistFor(s, dir).execute(
+        s"""{"seasonal": {"metric": "purchase", "period": "1d",
+                          "bin": "6h"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}"""))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ts_trend_json" -> trendSql(0),
+    "ts_trend_json_horizon" -> trendSql(7),
+    // index-served = scan-built exactly — one oracle each
+    "ts_quantile_step_indexed" -> Round7Entries.QuantileStepSql,
+    "ts_seasonal_json_indexed" -> Round7Entries.SeasonalJsonSql
+  )
+
+  /** ONE trend replay generator (the corrSql pattern): identical
+    * milli-quantized day-bucket means, per-key REBASED x (bk − min bk),
+    * integer moment sums, and the engine's exact double op order for
+    * slope/intercept/forecast (each moment cast to double BEFORE
+    * combining — graft.ops.Stats.trend). `h` = horizon in buckets. */
+  private def trendSql(h: Int): String =
+    s"""WITH b AS (SELECT event_type AS k,
+               epoch_ns(ts) // 86400000000000 AS bk,
+               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   / count(*) / 1000.0) AS BIGINT) AS m
+             FROM events
+             WHERE event_type IN ('click', 'purchase', 'view')
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}
+             GROUP BY 1, 2),
+           xb AS (SELECT k, bk - min(bk) OVER (PARTITION BY k) AS x, m,
+               min(bk) OVER (PARTITION BY k) AS b0
+             FROM b),
+           mo AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(m) AS sy,
+               sum(x * m) AS sxy, sum(x * x) AS sxx,
+               max(x) AS lx, min(b0) AS b0
+             FROM xb GROUP BY 1),
+           md AS (SELECT k, n, lx, b0,
+               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+               CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+               CAST(sxx AS DOUBLE) AS sxxd
+             FROM mo),
+           sl AS (SELECT k, n, lx, b0, nd, sxd, syd,
+               CASE WHEN nd * sxxd - sxd * sxd > 0
+                    THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+               END AS slope_mu
+             FROM md),
+           fo AS (SELECT k, n, lx, b0, slope_mu,
+               (syd - slope_mu * sxd) / nd AS icept_mu
+             FROM sl)
+         SELECT k AS metric, CAST(n AS BIGINT) AS n_buckets,
+           round(slope_mu / 1000.0, 6) AS slope,
+           round((icept_mu + slope_mu * CAST(lx + $h AS DOUBLE)) / 1000.0, 6)
+             AS forecast,
+           (b0 + lx + $h) * 86400000000 AS ts_us
+         FROM fo ORDER BY metric"""
+}

@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * — the engine's oracle-gated approximate-percentile form, where a
   * float-log bucketing could split on the last ulp.
   *
-  * Domain: all finite doubles. Positive and negative magnitudes get
+  * Domain: |value| < 2⁶³/10⁶ ≈ 9.22·10¹² (the micro-unit long's
+  * headroom — the [[graft.ops.Stats.corrAligned]] integer-headroom
+  * discipline; beyond it Spark's non-ANSI cast would saturate silently
+  * while an oracle's CAST raises, so out-of-range series are the
+  * caller's contract to rescale, exactly as with the correlation
+  * moments). Positive and negative magnitudes get
   * mirrored log buckets (DDSketch's two-store design); values within
   * 1 micro-unit of zero share one underflow bucket at 0 — the ONLY
   * place the one-sided bound relaxes, to ≤ 1 µu absolute (a tiny

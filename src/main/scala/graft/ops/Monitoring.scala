@@ -197,11 +197,24 @@ object Monitoring {
       pLo: String = "0.05", pHi: String = "0.95"): DataFrame = {
     require(periodNs > 0 && binNs > 0 && periodNs % binNs == 0,
       "period must be a positive whole number of bins")
-    val qk = HistQuantiles.quantileKeys(
+    bandsFromHist(
       HistQuantiles.histogram(
         samples.withColumn("phase",
           expr(s"pmod(ts, ${periodNs}L) div ${binNs}L")),
         Seq(keyCol, "phase")),
+      keyCol, pLo, pHi)
+  }
+
+  /** The band computation from an ALREADY-BUILT phase histogram
+    * (`(keyCol, phase, lo, cnt)` rows, [[HistQuantiles.histogram]]
+    * shape) — shared by [[seasonalBands]] (fresh scan) and index-served
+    * statements ([[graft.engine.Engine]] merges a registered
+    * window-keyed histogram's counts to phases and calls this): bucket
+    * counts are exact, so a served band equals the scan-built one
+    * bit-for-bit. */
+  def bandsFromHist(hist: DataFrame, keyCol: String,
+      pLo: String, pHi: String): DataFrame = {
+    val qk = HistQuantiles.quantileKeys(hist,
       Seq(keyCol, "phase"), Seq(pLo, pHi))
     qk.groupBy(keyCol, "phase").agg(
         min(when(col("p") === pLo, col("lo_key"))).as("__lok"),
@@ -221,14 +234,26 @@ object Monitoring {
     * stream against them — the model-offline/flag-online split). The
     * bands frame is (series × phases)-sized and broadcast; the fact
     * side stays map-local. Series/phases absent from the index drop
-    * out: no baseline, no judgement. */
+    * out: no baseline, no judgement.
+    *
+    * The compare runs on the µu-QUANTIZED value — the same round(v·1e6)
+    * the band was fit on — so the hull guarantee is exact: a value
+    * whose quantized form landed in the band's buckets can never flag
+    * (a raw-value compare admits a ±0.5 µu sliver at the band edges
+    * where the raw value sits outside the rounded edge yet quantized
+    * INTO a fitted bucket). Band edges are 6dp values of exact µu keys,
+    * so round(edge·1e6) recovers the key in both engines. */
   def seasonalOutliersWith(samples: DataFrame, bands: DataFrame,
       periodNs: Long, binNs: Long,
-      keyCol: String = "series_id"): DataFrame =
+      keyCol: String = "series_id"): DataFrame = {
+    def qu(c: org.apache.spark.sql.Column) =
+      round(c * lit(1000000.0), 0).cast("long")
     samples
       .withColumn("phase", expr(s"pmod(ts, ${periodNs}L) div ${binNs}L"))
       .join(broadcast(bands), Seq(keyCol, "phase"))
-      .where(col("value") < col("lo") || col("value") > col("hi"))
+      .where(qu(col("value")) < qu(col("lo")) ||
+        qu(col("value")) > qu(col("hi")))
+  }
 
   /** [[seasonalOutliersWith]] over freshly fit bands on the same data.
     * The fit and the flag pass share one scope-cached scan (the

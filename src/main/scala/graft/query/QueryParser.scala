@@ -80,6 +80,16 @@ object QueryParser {
     Option(root.get(key)).getOrElse(
       throw new BadQuery(s"'$key' field required"))
 
+  /** Duration clauses that size bins must be positive — the grammar
+    * admits "0s", which would reach plan construction as a divide/modulo
+    * by zero (an ArithmeticException or require, not the BadQuery
+    * taxonomy every other malformed clause gets). Checked HERE, before
+    * any arithmetic uses the value. */
+  private def positiveDuration(v: Long, what: String): Long = {
+    if (v <= 0) throw new BadQuery(s"$what must be positive")
+    v
+  }
+
   /** `search()` entry point: same shape as select but only metadata returned. */
   def parseSearch(json: String): SearchQuery = {
     val root = readTree(json)
@@ -149,7 +159,8 @@ object QueryParser {
     val metrics = strOrList(stmt.get("metric"), "group-aggregate.metric")
     val funcs = strOrList(stmt.get("func"), "group-aggregate.func").map(AggFunc.fromToken)
     if (funcs.isEmpty) throw new BadQuery("at least one aggregate function required")
-    val step = TimeUtil.parseDuration(stmt.get("step").asText())
+    val step = positiveDuration(
+      TimeUtil.parseDuration(stmt.get("step").asText()), "group-aggregate.step")
     val (filters, comb) = parseNamedFilters(root)
     GroupAggregateQuery(metrics, funcs, step, parseRange(root), parseWhere(root),
       filters, comb, parseOrderBy(root), parseGroupBy(root),
@@ -221,10 +232,14 @@ object QueryParser {
     val metric = Option(stmt.get("metric")).filter(_.isTextual)
       .map(_.asText())
       .getOrElse(throw new BadQuery("seasonal.metric name required"))
-    val period = TimeUtil.parseDuration(Option(stmt.get("period"))
-      .getOrElse(throw new BadQuery("seasonal.period required")).asText())
-    val bin = TimeUtil.parseDuration(Option(stmt.get("bin"))
-      .getOrElse(throw new BadQuery("seasonal.bin required")).asText())
+    val period = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("period"))
+        .getOrElse(throw new BadQuery("seasonal.period required")).asText()),
+      "seasonal.period")
+    val bin = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("bin"))
+        .getOrElse(throw new BadQuery("seasonal.bin required")).asText()),
+      "seasonal.bin")
     if (period % bin != 0)
       throw new BadQuery(
         s"seasonal.bin must divide the period (period $period, bin $bin)")
@@ -264,7 +279,8 @@ object QueryParser {
     if (metrics.isEmpty)
       throw new BadQuery("active requires at least one metric")
     val step = Option(stmt.get("step"))
-      .map(t => TimeUtil.parseDuration(t.asText()))
+      .map(t => positiveDuration(TimeUtil.parseDuration(t.asText()),
+        "active.step"))
     rejectSampleClauses(root, "active")
     ActiveQuery(metrics, step, parseRange(root), parseWhere(root),
       parseLocation(root))
@@ -284,8 +300,10 @@ object QueryParser {
       throw new BadQuery("correlate requires >= 2 metrics")
     if (metrics.distinct.size != metrics.size)
       throw new BadQuery("correlate metrics must be distinct")
-    val step = TimeUtil.parseDuration(Option(stmt.get("step"))
-      .getOrElse(throw new BadQuery("correlate.step required")).asText())
+    val step = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("step"))
+        .getOrElse(throw new BadQuery("correlate.step required")).asText()),
+      "correlate.step")
     val lag = Option(stmt.get("lag"))
       .map(t => TimeUtil.parseDuration(t.asText())).getOrElse(0L)
     if (lag % step != 0)
@@ -310,8 +328,17 @@ object QueryParser {
       throw new BadQuery("trend requires at least one metric")
     if (metrics.distinct.size != metrics.size)
       throw new BadQuery("trend metrics must be distinct")
-    val step = TimeUtil.parseDuration(Option(stmt.get("step"))
-      .getOrElse(throw new BadQuery("trend.step required")).asText())
+    val step = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("step"))
+        .getOrElse(throw new BadQuery("trend.step required")).asText()),
+      "trend.step")
+    // the trend output carries a µs forecast timestamp (ts_us = forecast
+    // bucket start / 1000), so a sub-µs step has no representable output
+    // grid — reject at parse time, the taxonomy every malformed clause
+    // gets (Stats.trend's require is the library-level backstop)
+    if (step % 1000 != 0)
+      throw new BadQuery(
+        s"trend.step must be a whole number of microseconds (got $step ns)")
     val horizon = Option(stmt.get("horizon"))
       .map(t => TimeUtil.parseDuration(t.asText())).getOrElse(0L)
     if (horizon % step != 0)
@@ -332,7 +359,8 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"bad quantile key(s): ${unknown.mkString(", ")}")
     val step = Option(stmt.get("step"))
-      .map(t => TimeUtil.parseDuration(t.asText()))
+      .map(t => positiveDuration(TimeUtil.parseDuration(t.asText()),
+        "quantile.step"))
     val metric = Option(stmt.get("metric")).filter(_.isTextual)
       .map(_.asText())
       .getOrElse(throw new BadQuery("quantile.metric name required"))
@@ -367,7 +395,9 @@ object QueryParser {
     if (metrics.size < 2) throw new BadQuery("group-aggregate-join requires >=2 metrics")
     val funcs = strOrList(stmt.get("func"), "group-aggregate-join.func")
     if (funcs.size != 1) throw new BadQuery("group-aggregate-join requires exactly 1 func")
-    val step = TimeUtil.parseDuration(stmt.get("step").asText())
+    val step = positiveDuration(
+      TimeUtil.parseDuration(stmt.get("step").asText()),
+      "group-aggregate-join.step")
     val (filters, comb) = parseNamedFilters(root)
     GroupAggregateJoinQuery(metrics, AggFunc.fromToken(funcs.head), step,
       parseRange(root), parseWhere(root), filters, comb, parseOrderBy(root),

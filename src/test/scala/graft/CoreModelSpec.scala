@@ -387,6 +387,73 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "limit": 3}"""))
   }
 
+  test("trend statement: parse, horizon/step validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"trend": {"metric": ["a", "b"], "step": "1d", "horizon": "7d"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[TrendQuery]
+    assert(q.metrics === Seq("a", "b"))
+    assert(q.stepNs === 86400000000000L)
+    assert(q.horizonNs === 7L * 86400000000000L)
+    assert(QueryParser.parse(
+      """{"trend": {"metric": "a", "step": "1h"},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[TrendQuery].horizonNs === 0L) // horizon defaults to 0
+    intercept[BadQuery](QueryParser.parse( // step required
+      """{"trend": {"metric": ["a"]}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // empty metric list
+      """{"trend": {"metric": [], "step": "1d"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // duplicate metrics
+      """{"trend": {"metric": ["a", "a"], "step": "1d"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // horizon not a whole step count
+      """{"trend": {"metric": ["a"], "step": "1d", "horizon": "36h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"trend": {"metric": ["a"], "step": "1d", "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // sub-µs step: no µs output grid
+      """{"trend": {"metric": ["a"], "step": "500n"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // no per-sample output to page
+      """{"trend": {"metric": ["a"], "step": "1d"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"trend": {"metric": ["a"], "step": "1d"},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
+  test("zero-width duration clauses are BadQuery at parse time, not plan-time arithmetic") {
+    // the duration grammar admits "0s"; each bin-sizing clause must
+    // surface it in the BadQuery taxonomy, never as an
+    // ArithmeticException (lag % 0) or a plan-construction require
+    intercept[BadQuery](QueryParser.parse(
+      """{"group-aggregate": {"metric": "m", "func": "mean", "step": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse(
+      """{"group-aggregate-join": {"metric": ["a", "b"], "func": "mean",
+                                   "step": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": [0.5], "step": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse(
+      """{"active": {"metric": ["a"], "step": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // would be lag % 0 in the parser
+      """{"correlate": {"metric": ["a", "b"], "step": "0s", "lag": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // would be horizon % 0
+      """{"trend": {"metric": ["a"], "step": "0s", "horizon": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // would be period % 0
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse(
+      """{"seasonal": {"metric": "m", "period": "0s", "bin": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+  }
+
   test("explicit series list in where") {
     val q = QueryParser.parse(
       """{"select": "m", "range": {"from": 0, "to": 10},

@@ -664,6 +664,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("trend: perfect line -> exact slope/forecast; single bucket -> null line") {
+    // value = 2·bucket + 3 over buckets 5..14 of width 1 µs: rebased
+    // x ∈ 0..9, milli-quantized means are exact integers, so the OLS
+    // recovers slope 2 and the horizon-3 forecast 2·(5+9+3)+3 = 37
+    // EXACTLY (not approximately); 'one' has a single bucket — no line,
+    // null slope AND null forecast, but the row still reports its
+    // forecast-bucket timestamp
+    val rows = (5 until 15).map(i => ("up", i * 1000L + 300, 2.0 * i + 3.0)) ++
+      Seq(("one", 700L, 5.0))
+    val out = graft.ops.Stats.trend(rows.toDF("metric", "ts", "value"),
+        bucketNs = 1000L, horizonBuckets = 3L)
+      .orderBy("metric")
+      .as[(String, Long, Option[Double], Option[Double], Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("one", 1L, None, None, 3L),
+      ("up", 10L, Some(2.0), Some(37.0), 17L)))
+  }
+
+  test("trend: two buckets draw the exact line through them; sub-µs step rejected") {
+    val rows = Seq(("m", 0L, 10.0), ("m", 1000L, 14.0))
+    val out = graft.ops.Stats.trend(rows.toDF("metric", "ts", "value"),
+        bucketNs = 1000L, horizonBuckets = 0L)
+      .as[(String, Long, Option[Double], Option[Double], Long)].head()
+    assert(out === (("m", 2L, Some(4.0), Some(14.0), 1L)))
+    intercept[IllegalArgumentException](graft.ops.Stats.trend(
+      rows.toDF("metric", "ts", "value"), bucketNs = 500L,
+      horizonBuckets = 0L))
+  }
+
   test("autocorr: a period-4 signal peaks at exactly its own lag") {
     val pattern = Seq(10.0, 20.0, 5.0, 15.0)
     val rows = (0 until 200).map(i => ("m", i.toLong, pattern(i % 4)))

@@ -712,6 +712,91 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "misaligned range must fall back to the scan")
   }
 
+  test("stepped quantile + seasonal statements serve from the registered histogram index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qserve2").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.HistQuantiles.histogram(
+        base.samples.withColumn("win",
+          col("ts") - pmod(col("ts"), lit(100L))),
+        Seq("series_id", "win"))
+      .write.parquet(s"$dir/hist")
+    val eng = new Engine(base.copy(
+      histograms = Seq(100L -> spark.read.parquet(s"$dir/hist"))))
+    def onlyIndexScans(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val scans = plan(df).collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall { f =>
+        val loc = f.metadata("Location")
+        loc.contains("/hist") || loc.contains("/series")
+      }, s"$what must not scan facts:\n${scans.map(_.metadata("Location"))}")
+    }
+    // stepped: step = 2 windows, aligned range -> windows re-key to bins
+    val stepQ =
+      """{"quantile": {"metric": "test", "p": [0.5, 0.9], "step": "200n"},
+         "range": {"from": 100, "to": 300}}"""
+    val stepServed = eng.execute(stepQ)
+    onlyIndexScans(stepServed, "aligned stepped quantile")
+    assert(stepServed.collect().toSeq ===
+      new Engine(base).execute(stepQ).collect().toSeq,
+      "serving changes the plan, never the answer")
+    // a step that is not a whole number of windows cannot split counts
+    val misStep = eng.execute(
+      """{"quantile": {"metric": "test", "p": [0.5], "step": "150n"},
+         "range": {"from": 100, "to": 300}}""")
+    assert(plan(misStep).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "non-window-multiple step must fall back to the scan")
+    // seasonal: window divides bin and period -> one phase per window
+    val seasQ =
+      """{"seasonal": {"metric": "test", "period": "200n", "bin": "100n"},
+         "range": {"from": 100, "to": 300}}"""
+    val seasServed = eng.execute(seasQ)
+    onlyIndexScans(seasServed, "aligned seasonal")
+    assert(seasServed.collect().toSeq ===
+      new Engine(base).execute(seasQ).collect().toSeq,
+      "served bands equal scan-built bands")
+    // a bin the window does not divide would split a window across
+    // phases -> fall back to the scan
+    val misSeas = eng.execute(
+      """{"seasonal": {"metric": "test", "period": "200n", "bin": "50n"},
+         "range": {"from": 100, "to": 300}}""")
+    assert(plan(misSeas).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "window-splitting bin must fall back to the scan")
+  }
+
+  test("malformed registered indexes fail loudly at engine construction") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val hist = graft.ops.HistQuantiles.histogram(
+      ctx.samples.withColumn("win",
+        col("ts") - pmod(col("ts"), lit(100L))),
+      Seq("series_id", "win"))
+    // well-formed registration constructs fine
+    new Engine(ctx.copy(histograms = Seq(100L -> hist)))
+    // non-positive window step: would floorMod-by-zero at serve time
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(histograms = Seq(0L -> hist))))
+    // missing bucket column: would mid-query AnalysisException
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(histograms = Seq(100L -> hist.drop("cnt")))))
+    // rollup registrations get the same shape gate
+    val rollup = graft.engine.Rollup.build(ctx.samples, 100L)
+    new Engine(ctx.copy(rollups = Seq(100L -> rollup)))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(rollups = Seq(-100L -> rollup))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(rollups = Seq(100L -> rollup.drop("ts_min")))))
+  }
+
   test("corr matrix: facts reduce to bucket means before anything pairs") {
     import spark.implicits._
     val df = (1 to 300).map(i => (s"m${i % 3}", i.toLong, i.toDouble))
