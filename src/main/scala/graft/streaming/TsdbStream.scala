@@ -473,7 +473,11 @@ object TsdbStream {
     * are per-series nondecreasing across batches (in-order brokers,
     * file sources of time-partitioned data). Late data needs the batch
     * form over the settled table — the same rule the watermark puts on
-    * every streaming aggregate here.
+    * every streaming aggregate here. The degradation itself is a
+    * TESTED contract, not prose (StreamingSpec "late rows never
+    * re-open emitted intervals"): a late row emits nothing, moves no
+    * cursor, and the next real gap measures from the true latest
+    * arrival.
     *
     * NOTE: a gap is only reported when the NEXT sample arrives —
     * detecting "still silent now" needs a timeout clock

@@ -536,6 +536,82 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("flagGaps: late (out-of-order) rows never re-open emitted intervals or shift the cursor") {
+    implicit val sqlCtx = spark.sqlContext
+    // the documented degradation contract (TsdbStream.flagGaps
+    // PRECONDITION): a row older than the carried last-arrival ts is
+    // skipped as a gap START (its delta is negative) and cannot move
+    // the cursor backward — so an already-emitted interval is never
+    // re-opened, split retroactively, or duplicated, and the next real
+    // gap measures from the true latest arrival, not the late row
+    val idx = Seq(("a", 50.0)).toDF("name", "thr")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.flagGaps(in.toDF().toDF("name", "ts", "value"), idx)
+      .writeStream.format("memory").queryName("gaps_ooo")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 10L, 1.0), ("a", 20L, 1.0))
+      q.processAllAvailable()
+      in.addData(("a", 120L, 1.0)) // gap (20, 120) emitted
+      q.processAllAvailable()
+      in.addData(("a", 60L, 1.0)) // LATE: inside the emitted interval
+      q.processAllAvailable()
+      val afterLate = spark.table("gaps_ooo")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(afterLate === Seq(("a", 20L, 120L, 100L)),
+        "a late row must not re-open, split, or duplicate the emitted interval")
+      in.addData(("a", 200L, 1.0)) // 200−120 = 80 > 50: a NEW gap —
+      q.processAllAvailable()      // measured from 120, not the late 60
+      val rows = spark.table("gaps_ooo")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(rows === Set(("a", 20L, 120L, 100L), ("a", 120L, 200L, 80L)))
+    } finally q.stop()
+  }
+
+  test("flagStale: arrival after a timeout alert does not duplicate it; late rows are inert") {
+    implicit val sqlCtx = spark.sqlContext
+    // the arrival-vs-timeout race pin: a timed-out episode removes its
+    // state, so the series' NEXT arrival — however long after the
+    // alerted silence — starts a fresh episode instead of re-alerting
+    // the old one inline. Each silence alerts exactly once, whichever
+    // trigger wins; a below-watermark straggler is dropped before the
+    // state fold and can neither alert nor move the cursor
+    val T = 1000000000000L; val s = 1000000000L
+    val idx = Seq(("a", 5 * s), ("b", 1000 * s)).toDF("name", "thr")
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.flagStale(in.toDF().toDF("name", "ts", "value"),
+        idx, "1 second")
+      .writeStream.format("memory").queryName("stale_ooo")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", T, 0.0), ("b", T + 1 * s, 0.0))
+      q.processAllAvailable()
+      in.addData(("b", T + 30 * s, 0.0)) // watermark → T+29s > a's deadline
+      q.processAllAvailable()
+      in.addData(("b", T + 31 * s, 0.0)) // lets the timeout fire
+      q.processAllAvailable()
+      assert(spark.table("stale_ooo").as[(String, Long)].collect().toSet ===
+        Set(("a", T)), "the watermark-clock alert for a's silence")
+      // a returns 40 s after the alerted silence began: NO inline
+      // re-alert (state was removed at timeout) — a fresh episode opens
+      in.addData(("a", T + 40 * s, 0.0))
+      q.processAllAvailable()
+      // a LATE a-row below the watermark: dropped, cursor unmoved
+      in.addData(("a", T + 35 * s, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("stale_ooo").as[(String, Long)].collect().toSet ===
+        Set(("a", T)), "return arrival and late straggler must not re-alert")
+      // the fresh episode times out on its own deadline (T+45s)
+      in.addData(("b", T + 60 * s, 0.0))
+      q.processAllAvailable()
+      in.addData(("b", T + 61 * s, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("stale_ooo").as[(String, Long)].collect().toSet ===
+        Set(("a", T), ("a", T + 40 * s)),
+        "each silence episode alerts exactly once")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
