@@ -75,10 +75,13 @@ object Bench {
     // cost (~1s+ per trigger) that is harness, not operator, throughput —
     // reported separately so round-over-round drift in REAL operator cost
     // stays visible under it (stream_* is a third of wall time otherwise)
-    val streamNames = results.keys.filter(_.startsWith("stream_")).toSeq
-    val streamingS = streamNames.map(results).filter(_ >= 0).sum
+    // failed entries (-1) are excluded from BOTH the sum and the count,
+    // so the two fields always describe the same entry set
+    val streamOk = results.toSeq
+      .filter { case (k, v) => k.startsWith("stream_") && v >= 0 }
+    val streamingS = streamOk.map(_._2).sum
     val streamMeta =
-      s""""streaming_overhead_s":$streamingS,"streaming_n":${streamNames.size},"batch_s":${total - streamingS}"""
+      s""""streaming_overhead_s":$streamingS,"streaming_n":${streamOk.size},"batch_s":${total - streamingS}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$streamMeta,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // durable artifacts: the driver's stdout tail is 2000 bytes, which has

@@ -84,8 +84,9 @@ final class Engine(val ctx: TsdbContext) {
   ctx.histograms.foreach { case (win, h) =>
     require(win > 0,
       s"registered histogram window must be positive (got $win)")
-    val missing = Seq("series_id", "win", "lo", "cnt")
-      .filterNot(h.columns.contains)
+    val missing =
+      (Seq("series_id", "win") ++ graft.ops.HistQuantiles.histCols)
+        .filterNot(h.columns.contains)
     require(missing.isEmpty,
       s"registered histogram (window $win) lacks column(s): ${missing.mkString(", ")}")
   }
@@ -161,21 +162,20 @@ final class Engine(val ctx: TsdbContext) {
     * (series, p) — (series, p, q). */
   def quantile(q: QuantileQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    lazy val df = scan(ids, q.range, Seq(q.metric))
-    q.stepNs match {
-      case None =>
-        servedQuantile(q, ids).getOrElse(
+    servedQuantile(q, ids).getOrElse {
+      val df = scan(ids, q.range, Seq(q.metric))
+      q.stepNs match {
+        case None =>
           graft.ops.HistQuantiles.quantiles(
               graft.ops.HistQuantiles.histogram(
                 df.select(col("out_name").as("series"), col("value")),
                 Seq("series")),
               Seq("series"), q.ps)
-            .orderBy("series", "p"))
-      case Some(step) =>
-        // per-bin percentiles (bins anchored at range.from like
-        // group-aggregate) — "p99 per day". Same bounded per-group
-        // histogram; the bin is just another key
-        servedQuantile(q, ids).getOrElse(
+            .orderBy("series", "p")
+        case Some(step) =>
+          // per-bin percentiles (bins anchored at range.from like
+          // group-aggregate) — "p99 per day". Same bounded per-group
+          // histogram; the bin is just another key
           graft.ops.HistQuantiles.quantiles(
               graft.ops.HistQuantiles.histogram(
                 df.select(col("out_name").as("series"),
@@ -184,7 +184,8 @@ final class Engine(val ctx: TsdbContext) {
               Seq("series", "__bin"), q.ps)
             .select(col("series"), expr("__bin div 1000").as("ts_us"),
               col("p"), col("q"))
-            .orderBy("series", "ts_us", "p"))
+            .orderBy("series", "ts_us", "p")
+      }
     }
   }
 

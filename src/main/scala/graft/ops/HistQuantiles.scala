@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   */
 object HistQuantiles {
 
+  /** The non-key columns every [[histogram]] emits — the schema half
+    * that belongs to THIS module (callers add their own key columns);
+    * consumers validating an index's shape (e.g. the engine's
+    * registration gate) derive from here, never restate the names. */
+  val histCols: Seq[String] = Seq("lo", "cnt")
+
   /** Bucket LOWER EDGE in micro-units — the histogram's bucket key,
     * unique per bucket and naturally ordered. q = round(v·1e6),
     * m = |q|; the magnitude bucket clears m's low (⌊log2 m⌋ − 3) bits,

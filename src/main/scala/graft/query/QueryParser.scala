@@ -90,6 +90,17 @@ object QueryParser {
     v
   }
 
+  /** Bin-sizing steps whose output rows carry a µs bin timestamp
+    * (`ts_us`) additionally need the step to be a whole number of µs —
+    * a sub-µs step would collapse distinct bins onto one `ts_us` label
+    * (duplicate output keys in nondeterministic order), so there is no
+    * representable output grid to reject lazily. */
+  private def wholeMicrosStep(v: Long, what: String): Long = {
+    if (v % 1000 != 0) throw new BadQuery(
+      s"$what must be a whole number of microseconds (got $v ns)")
+    v
+  }
+
   /** `search()` entry point: same shape as select but only metadata returned. */
   def parseSearch(json: String): SearchQuery = {
     val root = readTree(json)
@@ -279,8 +290,9 @@ object QueryParser {
     if (metrics.isEmpty)
       throw new BadQuery("active requires at least one metric")
     val step = Option(stmt.get("step"))
-      .map(t => positiveDuration(TimeUtil.parseDuration(t.asText()),
-        "active.step"))
+      .map(t => wholeMicrosStep(
+        positiveDuration(TimeUtil.parseDuration(t.asText()),
+          "active.step"), "active.step"))
     rejectSampleClauses(root, "active")
     ActiveQuery(metrics, step, parseRange(root), parseWhere(root),
       parseLocation(root))
@@ -328,17 +340,13 @@ object QueryParser {
       throw new BadQuery("trend requires at least one metric")
     if (metrics.distinct.size != metrics.size)
       throw new BadQuery("trend metrics must be distinct")
-    val step = positiveDuration(
+    // the trend output carries a µs forecast timestamp, so the step must
+    // be a whole number of µs ([[wholeMicrosStep]]; Stats.trend's
+    // require is the library-level backstop)
+    val step = wholeMicrosStep(positiveDuration(
       TimeUtil.parseDuration(Option(stmt.get("step"))
         .getOrElse(throw new BadQuery("trend.step required")).asText()),
-      "trend.step")
-    // the trend output carries a µs forecast timestamp (ts_us = forecast
-    // bucket start / 1000), so a sub-µs step has no representable output
-    // grid — reject at parse time, the taxonomy every malformed clause
-    // gets (Stats.trend's require is the library-level backstop)
-    if (step % 1000 != 0)
-      throw new BadQuery(
-        s"trend.step must be a whole number of microseconds (got $step ns)")
+      "trend.step"), "trend.step")
     val horizon = Option(stmt.get("horizon"))
       .map(t => TimeUtil.parseDuration(t.asText())).getOrElse(0L)
     if (horizon % step != 0)
@@ -359,8 +367,9 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"bad quantile key(s): ${unknown.mkString(", ")}")
     val step = Option(stmt.get("step"))
-      .map(t => positiveDuration(TimeUtil.parseDuration(t.asText()),
-        "quantile.step"))
+      .map(t => wholeMicrosStep(
+        positiveDuration(TimeUtil.parseDuration(t.asText()),
+          "quantile.step"), "quantile.step"))
     val metric = Option(stmt.get("metric")).filter(_.isTextual)
       .map(_.asText())
       .getOrElse(throw new BadQuery("quantile.metric name required"))

@@ -415,6 +415,12 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[BadQuery](QueryParser.parse( // sub-µs step: no µs output grid
       """{"trend": {"metric": ["a"], "step": "500n"},
          "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // same rule for stepped quantile
+      """{"quantile": {"metric": "m", "p": [0.5], "step": "500n"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // and stepped active
+      """{"active": {"metric": ["a"], "step": "500n"},
+         "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // no per-sample output to page
       """{"trend": {"metric": ["a"], "step": "1d"},
          "range": {"from": 0, "to": 10}, "limit": 3}"""))

@@ -727,11 +727,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$dir/events"))
     graft.ops.HistQuantiles.histogram(
         base.samples.withColumn("win",
-          col("ts") - pmod(col("ts"), lit(100L))),
+          col("ts") - pmod(col("ts"), lit(400L))),
         Seq("series_id", "win"))
       .write.parquet(s"$dir/hist")
     val eng = new Engine(base.copy(
-      histograms = Seq(100L -> spark.read.parquet(s"$dir/hist"))))
+      histograms = Seq(400L -> spark.read.parquet(s"$dir/hist"))))
     def onlyIndexScans(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
       val scans = plan(df).collect { case f: FileSourceScanExec => f }
       assert(scans.nonEmpty && scans.forall { f =>
@@ -739,10 +739,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         loc.contains("/hist") || loc.contains("/series")
       }, s"$what must not scan facts:\n${scans.map(_.metadata("Location"))}")
     }
-    // stepped: step = 2 windows, aligned range -> windows re-key to bins
+    // stepped: step = 5 windows (and whole-µs, the parser's grid rule),
+    // aligned range -> windows re-key to bins
     val stepQ =
-      """{"quantile": {"metric": "test", "p": [0.5, 0.9], "step": "200n"},
-         "range": {"from": 100, "to": 300}}"""
+      """{"quantile": {"metric": "test", "p": [0.5, 0.9], "step": "2us"},
+         "range": {"from": 0, "to": 400}}"""
     val stepServed = eng.execute(stepQ)
     onlyIndexScans(stepServed, "aligned stepped quantile")
     assert(stepServed.collect().toSeq ===
@@ -750,15 +751,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "serving changes the plan, never the answer")
     // a step that is not a whole number of windows cannot split counts
     val misStep = eng.execute(
-      """{"quantile": {"metric": "test", "p": [0.5], "step": "150n"},
-         "range": {"from": 100, "to": 300}}""")
+      """{"quantile": {"metric": "test", "p": [0.5], "step": "1us"},
+         "range": {"from": 0, "to": 400}}""")
     assert(plan(misStep).collect { case f: FileSourceScanExec => f }
       .exists(_.metadata("Location").contains("/samples")),
       "non-window-multiple step must fall back to the scan")
     // seasonal: window divides bin and period -> one phase per window
     val seasQ =
-      """{"seasonal": {"metric": "test", "period": "200n", "bin": "100n"},
-         "range": {"from": 100, "to": 300}}"""
+      """{"seasonal": {"metric": "test", "period": "800n", "bin": "400n"},
+         "range": {"from": 0, "to": 400}}"""
     val seasServed = eng.execute(seasQ)
     onlyIndexScans(seasServed, "aligned seasonal")
     assert(seasServed.collect().toSeq ===
@@ -767,8 +768,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // a bin the window does not divide would split a window across
     // phases -> fall back to the scan
     val misSeas = eng.execute(
-      """{"seasonal": {"metric": "test", "period": "200n", "bin": "50n"},
-         "range": {"from": 100, "to": 300}}""")
+      """{"seasonal": {"metric": "test", "period": "800n", "bin": "200n"},
+         "range": {"from": 0, "to": 400}}""")
     assert(plan(misSeas).collect { case f: FileSourceScanExec => f }
       .exists(_.metadata("Location").contains("/samples")),
       "window-splitting bin must fall back to the scan")
