@@ -120,6 +120,8 @@ final class Engine(val ctx: TsdbContext) {
     case q: TrendQuery              => trend(q)
     case q: ActiveQuery             => active(q)
     case q: SeasonalQuery           => seasonal(q)
+    case q: GapsQuery               => gaps(q)
+    case q: StaleQuery              => stale(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -286,6 +288,50 @@ final class Engine(val ctx: TsdbContext) {
           "series", q.pLo, q.pHi)
         .orderBy("series", "phase")
     }
+  }
+
+  /** Beyond-reference `gaps`: per-series silence intervals within the
+    * range ([[graft.ops.Monitoring.gaps]] absolute /
+    * [[graft.ops.Monitoring.gapsRelative]] adaptive, through the query
+    * language) — the incident-review readout ("when was anyone
+    * silent"). One lag window per series over the pruned scan; emitted
+    * rows are gap-count-sized. Output:
+    * (series, gap_start_us, gap_end_us, gap_us). */
+  def gaps(q: GapsQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    val s = scan(ids, q.range, Seq(q.metric))
+      .select(col("out_name").as("series"), col("ts"), col("value"))
+    val flagged = q.minGapNs match {
+      case Some(thr) => graft.ops.Monitoring.gaps(s, thr, keyCol = "series")
+      case None =>
+        graft.ops.Monitoring.gapsRelative(s, q.factor.get, keyCol = "series")
+    }
+    flagged.select(col("series"),
+        expr("gap_start div 1000").as("gap_start_us"),
+        expr("gap_end div 1000").as("gap_end_us"),
+        expr("gap_ns div 1000").as("gap_us"))
+      .orderBy("series", "gap_start_us")
+  }
+
+  /** Beyond-reference `stale`: registered series of the metric whose
+    * last in-range sample is older than `range.to − older-than` — with
+    * `range.to` as "now", the heartbeat readout
+    * ([[graft.ops.Monitoring.staleSeries]] through the query
+    * language). Series that never wrote in the range at all surface
+    * with null last_ts (left join from the broadcast-sized catalog —
+    * absence is exactly what this statement must not silently drop).
+    * Output: (series, last_ts_us nullable). */
+  def stale(q: StaleQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    val last = scan(ids, q.range, Seq(q.metric))
+      .groupBy(col("out_name").as("series"))
+      .agg(max(col("ts")).as("__last"))
+    ids.select(col("out_name").as("series"))
+      .join(last, Seq("series"), "left_outer")
+      .where(col("__last").isNull ||
+        col("__last") < q.range.to - q.olderThanNs)
+      .select(col("series"), expr("__last div 1000").as("last_ts_us"))
+      .orderBy("series")
   }
 
   /** Beyond-reference `active`: per-metric count of DISTINCT series

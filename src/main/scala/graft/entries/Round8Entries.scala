@@ -50,6 +50,33 @@ object Round8Entries {
                           "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the monitoring ops through the QUERY LANGUAGE: absolute-threshold
+    // silence intervals — every in-range gap over 12h per click series,
+    // with where/where-location composing like any statement; one lag
+    // window per series, emitted rows gap-count-sized
+    "ts_gaps_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"gaps": {"metric": "click", "min-gap": "12h"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the adaptive form: gaps over 3x each series' own in-range mean
+    // spacing — dense and sparse series each judged by their own
+    // cadence (the gapsRelative rule, statement-reachable)
+    "ts_gaps_json_factor" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"gaps": {"metric": "click", "factor": 3.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // heartbeat monitoring through the query language: purchase series
+    // whose last in-range sample is older than 30d before range.to
+    // ("who is silent NOW", now = range.to); series with no in-range
+    // samples at all surface with null last_ts — the left join from
+    // the catalog is the point (absence must not silently drop)
+    "ts_stale_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"stale": {"metric": "purchase", "older-than": "30d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the seasonal statement SERVED from the SAME registered histogram
     // index (one index, two statements): the hourly window divides both
     // the 6h phase bin and the 1d period, so every window's counts
@@ -67,6 +94,63 @@ object Round8Entries {
   val oracle: Map[String, String] = Map(
     "ts_trend_json" -> trendSql(0),
     "ts_trend_json_horizon" -> trendSql(7),
+
+    // absolute-threshold gap replay over the ranged scan: identical
+    // (ts, value) lag ordering, ns-exact compare, µs-floored outputs
+    "ts_gaps_json" ->
+      s"""WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_ns(ts) AS ts, value
+             FROM events WHERE event_type = 'click'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
+             FROM s)
+         SELECT name AS series, prev // 1000 AS gap_start_us,
+           ts // 1000 AS gap_end_us, (ts - prev) // 1000 AS gap_us
+         FROM l WHERE prev IS NOT NULL AND ts - prev > 43200000000000
+         ORDER BY series, gap_start_us""",
+
+    // adaptive replay: the same mean-gap division on the same ns
+    // integers (thr = (span/(n−1))·3.0 — identical IEEE op order), same
+    // lag ordering
+    "ts_gaps_json_factor" ->
+      s"""WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+               epoch_ns(ts) AS ts, value
+             FROM events WHERE event_type = 'click'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}),
+           st AS (SELECT name,
+               CAST(max(ts) - min(ts) AS DOUBLE) /
+                 CAST(count(*) - 1 AS DOUBLE) * 3.0 AS thr
+             FROM s GROUP BY name HAVING count(*) >= 2),
+           l AS (SELECT name, ts,
+               lag(ts) OVER (PARTITION BY name ORDER BY ts, value) AS prev
+             FROM s)
+         SELECT l.name AS series, prev // 1000 AS gap_start_us,
+           ts // 1000 AS gap_end_us, (ts - prev) // 1000 AS gap_us
+         FROM l JOIN st USING (name)
+         WHERE prev IS NOT NULL AND CAST(ts - prev AS DOUBLE) > thr
+         ORDER BY series, gap_start_us""",
+
+    // catalog (every series that EVER wrote the metric) left-joined to
+    // the ranged last-arrival; null last_ts = never wrote in range
+    "ts_stale_json" ->
+      s"""WITH cat AS (SELECT DISTINCT
+               'purchase user=' || CAST(user_id AS VARCHAR) AS series
+             FROM events WHERE event_type = 'purchase'),
+           l AS (SELECT 'purchase user=' || CAST(user_id AS VARCHAR)
+                   AS series,
+               max(epoch_ns(ts)) AS last
+             FROM events WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}
+             GROUP BY 1)
+         SELECT cat.series, l.last // 1000 AS last_ts_us
+         FROM cat LEFT JOIN l USING (series)
+         WHERE l.last IS NULL
+            OR l.last < ${EntryUtil.ToNs} - ${30L * 86400000000000L}
+         ORDER BY series""",
     // index-served = scan-built exactly — one oracle each
     "ts_quantile_step_indexed" -> Round7Entries.QuantileStepSql,
     "ts_seasonal_json_indexed" -> Round7Entries.SeasonalJsonSql

@@ -240,6 +240,39 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"gaps": {"metric": "m", "min-gap": "12h"}}` or
+    * `{"gaps": {"metric": "m", "factor": 3.0}}` — beyond-reference:
+    * per-series silence intervals within the range
+    * ([[graft.ops.Monitoring.gaps]]/[[graft.ops.Monitoring.gapsRelative]]
+    * through the query language) — every gap between consecutive
+    * in-range samples longer than the absolute `min-gap`, or (adaptive
+    * form) longer than `factor` × the series' own in-range mean
+    * spacing. Exactly one of the two thresholds must be given. Output
+    * rows: (series, gap_start_us, gap_end_us, gap_us) — gap-count-
+    * sized, never sample-sized. */
+  final case class GapsQuery(
+      metric: String,
+      minGapNs: Option[Long],
+      factor: Option[Double],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
+  /** `{"stale": {"metric": "m", "older-than": "12h"}}` — beyond-
+    * reference: registered series of the metric whose LAST in-range
+    * sample is older than `range.to − older-than`, including series
+    * that never wrote in the range at all (null last_ts) — "who is
+    * silent NOW", with `range.to` as now
+    * ([[graft.ops.Monitoring.staleSeries]] through the query
+    * language; forward ranges only — a backward range has no single
+    * "now" end). Output rows: (series, last_ts_us nullable). */
+  final case class StaleQuery(
+      metric: String,
+      olderThanNs: Long,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"active": {"metric": ["a", "b"], "step": "1d"}}` — beyond-
     * reference: per-metric count of DISTINCT series with at least one
     * sample in the range ("how many emitters are alive"), optionally

@@ -37,7 +37,7 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend",
-      "active", "seasonal")
+      "active", "seasonal", "gaps", "stale")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -62,6 +62,8 @@ object QueryParser {
     else if (root.has("trend")) parseTrend(root)
     else if (root.has("active")) parseActive(root)
     else if (root.has("seasonal")) parseSeasonal(root)
+    else if (root.has("gaps")) parseGaps(root)
+    else if (root.has("stale")) parseStale(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -275,6 +277,63 @@ object QueryParser {
     rejectSampleClauses(root, "seasonal")
     SeasonalQuery(metric, period, bin, ps(0), ps(1), parseRange(root),
       parseWhere(root), parseLocation(root))
+  }
+
+  /** Beyond-reference `gaps` (see [[Ast.GapsQuery]]). */
+  private def parseGaps(root: JsonNode): GapsQuery = {
+    val stmt = root.get("gaps")
+    if (!stmt.isObject)
+      throw new BadQuery("gaps statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "min-gap", "factor").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad gaps key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("gaps.metric name required"))
+    val minGap = Option(stmt.get("min-gap"))
+      .map(t => positiveDuration(TimeUtil.parseDuration(t.asText()),
+        "gaps.min-gap"))
+    val factor = Option(stmt.get("factor")).map { n =>
+      if (!n.isNumber) throw new BadQuery("gaps.factor must be a number")
+      val v = n.asDouble()
+      if (v.isNaN || v <= 0)
+        throw new BadQuery(s"gaps.factor must be positive (got ${n.asText()})")
+      v
+    }
+    if (minGap.isDefined == factor.isDefined)
+      throw new BadQuery(
+        "gaps requires exactly one of 'min-gap' (absolute) or 'factor' (adaptive)")
+    rejectSampleClauses(root, "gaps")
+    GapsQuery(metric, minGap, factor, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
+  /** Beyond-reference `stale` (see [[Ast.StaleQuery]]). */
+  private def parseStale(root: JsonNode): StaleQuery = {
+    val stmt = root.get("stale")
+    if (!stmt.isObject)
+      throw new BadQuery("stale statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "older-than").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad stale key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("stale.metric name required"))
+    val olderThan = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("older-than"))
+        .getOrElse(throw new BadQuery("stale.older-than required")).asText()),
+      "stale.older-than")
+    val range = parseRange(root)
+    // staleness is judged against the range's HIGH end as "now"; a
+    // backward range has the same samples but reads as a window ending
+    // at `from` — reject rather than guess which end the caller meant
+    if (!range.forward)
+      throw new BadQuery("stale requires a forward range (to = now)")
+    rejectSampleClauses(root, "stale")
+    StaleQuery(metric, olderThan, range, parseWhere(root),
+      parseLocation(root))
   }
 
   /** Beyond-reference `active` (see [[Ast.ActiveQuery]]). */

@@ -429,6 +429,56 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("gaps statement: parse, threshold exclusivity, clause rejection") {
+    val q = QueryParser.parse(
+      """{"gaps": {"metric": "m", "min-gap": "12h"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[GapsQuery]
+    assert(q.metric === "m" && q.minGapNs === Some(43200000000000L) &&
+      q.factor === None)
+    val qf = QueryParser.parse(
+      """{"gaps": {"metric": "m", "factor": 2.5},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[GapsQuery]
+    assert(qf.minGapNs === None && qf.factor === Some(2.5))
+    intercept[BadQuery](QueryParser.parse( // exactly one threshold: neither
+      """{"gaps": {"metric": "m"}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // exactly one threshold: both
+      """{"gaps": {"metric": "m", "min-gap": "1h", "factor": 3.0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // factor must be positive
+      """{"gaps": {"metric": "m", "factor": 0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // min-gap must be positive
+      """{"gaps": {"metric": "m", "min-gap": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"gaps": {"metric": "m", "min-gap": "1h", "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // intervals have no rows to page
+      """{"gaps": {"metric": "m", "min-gap": "1h"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+  }
+
+  test("stale statement: parse, forward-range rule, clause rejection") {
+    val q = QueryParser.parse(
+      """{"stale": {"metric": "m", "older-than": "12h"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[StaleQuery]
+    assert(q.metric === "m" && q.olderThanNs === 43200000000000L)
+    intercept[BadQuery](QueryParser.parse( // older-than required
+      """{"stale": {"metric": "m"}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // older-than must be positive
+      """{"stale": {"metric": "m", "older-than": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // backward range has no "now"
+      """{"stale": {"metric": "m", "older-than": "1h"},
+         "range": {"from": 10, "to": 0}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"stale": {"metric": "m", "older-than": "1h", "by": "x"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"stale": {"metric": "m", "older-than": "1h"},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("zero-width duration clauses are BadQuery at parse time, not plan-time arithmetic") {
     // the duration grammar admits "0s"; each bin-sizing clause must
     // surface it in the BadQuery taxonomy, never as an
