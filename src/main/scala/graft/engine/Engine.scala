@@ -205,7 +205,14 @@ final class Engine(val ctx: TsdbContext) {
     * to bins by addition — the rollupGroupAggregate qbin re-binning for
     * percentiles; "p99 per day over last month" never rescans raw.
     * Misaligned or backward ranges abstain and fall back to the scan —
-    * a partially-covered window's counts cannot be split. */
+    * a partially-covered window's counts cannot be split.
+    *
+    * Registration ORDER is preference order (collectFirst): register
+    * coarsest first, so a compaction ladder
+    * ([[graft.ops.HistQuantiles.compact]] — e.g. Seq(day, hour))
+    * serves day-aligned ranges from the small level and falls through
+    * to the fine level for hour-aligned ones (PlanShapeSpec pins the
+    * level selection). */
   private def servedQuantile(q: QuantileQuery,
       ids: DataFrame): Option[DataFrame] = {
     if (!q.range.forward) return None

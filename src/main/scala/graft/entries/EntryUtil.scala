@@ -566,6 +566,36 @@ object EntryUtil {
         histograms = Seq(hourNs -> spark.read.parquet(s"$path/hist"))))
     })
 
+  private val histLadderEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine registering a TWO-LEVEL histogram ladder: the
+    * hourly index plus its DAY compaction
+    * ([[graft.ops.HistQuantiles.compact]] — built FROM the hour
+    * parquet; raw samples are scanned exactly once, at the hour build).
+    * Registered coarsest-first, so day-aligned statements serve from
+    * the day level (1/24th the index rows) and hour-aligned ones fall
+    * through to the hour level — the rollup compaction ladder
+    * ([[engineRollupLadderFor]]) for percentiles. */
+  def engineHistLadderFor(spark: SparkSession, dir: String): Engine =
+    histLadderEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L; val dayNs = 86400000000000L
+      val path = scratchDir("graft_hist_ladder")
+      graft.ops.HistQuantiles.histogram(
+          ctx.samples.withColumn("win",
+            col("ts") - pmod(col("ts"), lit(hourNs))),
+          Seq("series_id", "win"))
+        .write.parquet(s"$path/hour")
+      graft.ops.HistQuantiles.compact(
+          spark.read.parquet(s"$path/hour"), Seq("series_id"), "win", dayNs)
+        .write.parquet(s"$path/day")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        histograms = Seq(
+          dayNs -> spark.read.parquet(s"$path/day"),
+          hourNs -> spark.read.parquet(s"$path/hour"))))
+    })
+
   private val kmvIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

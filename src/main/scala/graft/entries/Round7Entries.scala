@@ -940,7 +940,7 @@ object Round7Entries {
     * it): distinct user hash60s, k smallest, the (k−1)·2⁶⁰/h_k
     * estimator. Declared as a def: the oracle map initializes before
     * this object's lazy vals. */
-  private def kmvUserSql(where: String): String =
+  def kmvUserSql(where: String): String =
     s"""WITH t AS (SELECT DISTINCT event_type,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                  AS BIGINT) AS h
@@ -1067,7 +1067,7 @@ object Round7Entries {
              FROM events WHERE event_type = 'click'""", Seq("name"),
     ps = Seq("0.25", "0.5", "0.75"))
 
-  private lazy val QuantileJsonSql: String = histQuantileSql(
+  lazy val QuantileJsonSql: String = histQuantileSql(
     s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
                value
              FROM events

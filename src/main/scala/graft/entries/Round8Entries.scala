@@ -77,6 +77,35 @@ object Round8Entries {
         s"""{"stale": {"metric": "purchase", "older-than": "30d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the histogram COMPACTION LADDER serving: the day-level index is
+    // built FROM the hour parquet (HistQuantiles.compact — counts add,
+    // raw samples scanned exactly once) and registered coarsest-first,
+    // so this day-aligned whole-range statement serves from 1/24th the
+    // index rows; hour-aligned ranges fall through to the hour level
+    // (plan-pinned in PlanShapeSpec). Same answers as the scan — and
+    // as every other serving path; one oracle with ts_quantile_json
+    "ts_quantile_ladder" -> ((s, dir) =>
+      EntryUtil.engineHistLadderFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the KMV index compacted day -> 30-day (Sketches.kmvCompact: per
+    // coarse window the k-min of the fine k-min union, which IS the
+    // direct coarse index — eviction from a fine window implies
+    // eviction from the coarse one) and served whole-range: identical
+    // estimates to the uncompacted rollup, same oracle — the index
+    // lifecycle story for distinct counts (build daily, compact
+    // monthly, serve forever)
+    "ts_distinct_compacted" -> ((s, dir) => {
+      val path = EntryUtil.kmvIndexFor(s, dir)
+      graft.ops.Sketches.kmvServe(
+          graft.ops.Sketches.kmvCompact(
+            s.read.parquet(s"$path/kmv"), "event_type", "day",
+            ratio = 30L, k = 256),
+          "event_type", k = 256)
+        .orderBy("event_type")
+    }),
+
     // the seasonal statement SERVED from the SAME registered histogram
     // index (one index, two statements): the hourly window divides both
     // the 6h phase bin and the 1d period, so every window's counts
@@ -153,7 +182,13 @@ object Round8Entries {
          ORDER BY series""",
     // index-served = scan-built exactly — one oracle each
     "ts_quantile_step_indexed" -> Round7Entries.QuantileStepSql,
-    "ts_seasonal_json_indexed" -> Round7Entries.SeasonalJsonSql
+    "ts_seasonal_json_indexed" -> Round7Entries.SeasonalJsonSql,
+    // ladder-served = scan-built exactly (counts add through the
+    // compaction) — one oracle with the statement entry
+    "ts_quantile_ladder" -> Round7Entries.QuantileJsonSql,
+    // compacted index = direct index (k-min union law) — one oracle
+    // with the uncompacted rollup
+    "ts_distinct_compacted" -> Round7Entries.kmvUserSql("")
   )
 
   /** ONE trend replay generator (the corrSql pattern): identical

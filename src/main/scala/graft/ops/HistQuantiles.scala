@@ -93,6 +93,25 @@ object HistQuantiles {
     hist.groupBy(keyCols.map(col) :+ col("lo"): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Compact a window-keyed histogram index to a coarser window (hour →
+    * day → month): counts add, so each level builds from the PREVIOUS
+    * one and raw data is never rescanned —
+    * [[graft.engine.Rollup.compact]]'s ladder for percentiles. Window
+    * labels are starts (ts − ts mod win), so re-windowing is one
+    * modulo; `coarseWinNs` must be a whole number of fine windows for
+    * the result to equal a direct coarse build (it does then, BIT-FOR-
+    * BIT — counts are exact; spec-pinned). At decade scale the ladder
+    * keeps the serving index rows ∝ series × coarse windows while the
+    * fine level keeps serving recent, finer-aligned ranges. */
+  def compact(hist: DataFrame, keyCols: Seq[String], winCol: String,
+      coarseWinNs: Long): DataFrame = {
+    require(coarseWinNs > 0, "coarse window must be positive")
+    merge(
+      hist.withColumn(winCol,
+        col(winCol) - pmod(col(winCol), lit(coarseWinNs))),
+      keyCols :+ winCol)
+  }
+
   /** Quantile answers from a histogram: for each key and each p in
     * `ps`, the lower edge of the bucket holding the ⌈p·n⌉-th smallest
     * value, as a value (`q`, 6dp) — within 12.5% relative PLUS one

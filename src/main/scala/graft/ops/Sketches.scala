@@ -91,6 +91,34 @@ object Sketches {
       .select(groupCol, windowCol, "h")
   }
 
+  /** Compact a [[kmvIndex]] to coarser windows (day → month): per
+    * (group, coarse window) keep the k minimal distinct hashes of the
+    * union of its fine windows' k-min sets. EXACTLY the direct coarse
+    * index (spec-pinned): any hash in the coarse k-min is in its own
+    * fine window's k-min (eviction there needs k smaller hashes, which
+    * would evict it from the coarse set too), so compaction loses
+    * nothing — the distinct-count analog of
+    * [[graft.ops.HistQuantiles.compact]]. `ratio` floor-divides the
+    * window labels (fine window INDEXES → coarse indexes; a ladder
+    * built at day granularity compacts to 30-day with ratio 30 without
+    * touching raw data). Index shrinks to groups × coarse-windows × k
+    * rows; the k-cut is the same map-side WindowGroupLimit shape as the
+    * build. */
+  def kmvCompact(index: DataFrame, groupCol: String, windowCol: String,
+      ratio: Long, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ratio > 0, "window ratio must be positive")
+    require(k >= 2, "kmv needs k >= 2")
+    val re = index.select(col(groupCol),
+        graft.functions.VectorExpressions.longFloorDiv(col(windowCol), ratio)
+          .as(windowCol),
+        col("h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol, windowCol).orderBy("h")
+    re.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .select(groupCol, windowCol, "h")
+  }
+
   /** Serve a distinct-count estimate from a [[kmvIndex]] (optionally
     * range-filtered by the caller first — any window subset is valid):
     * union the retained hashes, keep the k smallest distinct, apply the

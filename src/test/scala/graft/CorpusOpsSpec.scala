@@ -664,6 +664,41 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("histogram compaction: hour->day equals the direct day build bit-for-bit") {
+    import graft.ops.HistQuantiles
+    val hourNs = 3600L; val dayNs = 24 * hourNs // scaled-down ns
+    val df = (0 until 600).map(i =>
+        ("s" + i % 3, (i.toLong * 137) % (5 * dayNs), (i * 37 % 100) / 3.0))
+      .toDF("name", "ts", "value")
+    def winAt(w: Long) = df.withColumn("win",
+      col("ts") - pmod(col("ts"), lit(w)))
+    val hourly = HistQuantiles.histogram(winAt(hourNs), Seq("name", "win"))
+    val compacted = HistQuantiles
+      .compact(hourly, Seq("name"), "win", dayNs)
+      .select("name", "win", "lo", "cnt")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = HistQuantiles.histogram(winAt(dayNs), Seq("name", "win"))
+      .select("name", "win", "lo", "cnt")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(compacted === direct,
+      "counts must add through the ladder — compacted == built-at-coarse")
+  }
+
+  test("kmv compaction: day->30d equals the direct coarse index") {
+    import graft.ops.Sketches
+    val df = (0 until 3000).map(i =>
+        ("g" + i % 2, (i % 90).toLong, "v" + (i * 7 % 500)))
+      .toDF("g", "day", "v")
+    val fine = Sketches.kmvIndex(df, "g", "day", "v", k = 16)
+    val compacted = Sketches.kmvCompact(fine, "g", "day", ratio = 30L, k = 16)
+      .as[(String, Long, Long)].collect().toSet
+    val direct = Sketches.kmvIndex(
+        df.withColumn("day", expr("day div 30")), "g", "day", "v", k = 16)
+      .as[(String, Long, Long)].collect().toSet
+    assert(compacted === direct,
+      "a coarse k-min hash is in its fine window's k-min — compaction loses nothing")
+  }
+
   test("trend: perfect line -> exact slope/forecast; single bucket -> null line") {
     // value = 2·bucket + 3 over buckets 5..14 of width 1 µs: rebased
     // x ∈ 0..9, milli-quantized means are exact integers, so the OLS

@@ -775,6 +775,60 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "window-splitting bin must fall back to the scan")
   }
 
+  test("histogram ladder: coarsest aligned level serves; finer level catches misaligned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qladder").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.HistQuantiles.histogram(
+        base.samples.withColumn("win",
+          col("ts") - pmod(col("ts"), lit(100L))),
+        Seq("series_id", "win"))
+      .write.parquet(s"$dir/fine")
+    graft.ops.HistQuantiles.compact(
+        spark.read.parquet(s"$dir/fine"), Seq("series_id"), "win", 400L)
+      .write.parquet(s"$dir/coarse")
+    // coarsest FIRST: registration order is preference order
+    val eng = new Engine(base.copy(histograms = Seq(
+      400L -> spark.read.parquet(s"$dir/coarse"),
+      100L -> spark.read.parquet(s"$dir/fine"))))
+    def scanDirs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      plan(df).collect { case f: FileSourceScanExec => f.metadata("Location") }
+    // 400-aligned range: the coarse level serves (1/4 the index rows)
+    val qCoarse = eng.execute(
+      """{"quantile": {"metric": "test", "p": [0.5, 0.9]},
+         "range": {"from": 0, "to": 400}}""")
+    val coarseDirs = scanDirs(qCoarse)
+    assert(coarseDirs.exists(_.contains("/coarse")) &&
+      !coarseDirs.exists(l => l.contains("/fine") || l.contains("/samples")),
+      s"day-aligned query must read the coarse level only: $coarseDirs")
+    assert(qCoarse.collect().toSeq ===
+      new Engine(base).execute(
+        """{"quantile": {"metric": "test", "p": [0.5, 0.9]},
+           "range": {"from": 0, "to": 400}}""").collect().toSeq)
+    // 100-aligned-but-not-400 range: falls THROUGH to the fine level,
+    // never to the raw scan
+    val qFine = eng.execute(
+      """{"quantile": {"metric": "test", "p": [0.5, 0.9]},
+         "range": {"from": 100, "to": 300}}""")
+    val fineDirs = scanDirs(qFine)
+    assert(fineDirs.exists(_.contains("/fine")) &&
+      !fineDirs.exists(l => l.contains("/coarse") || l.contains("/samples")),
+      s"hour-aligned query must fall to the fine level: $fineDirs")
+    assert(qFine.collect().toSeq ===
+      new Engine(base).execute(
+        """{"quantile": {"metric": "test", "p": [0.5, 0.9]},
+           "range": {"from": 100, "to": 300}}""").collect().toSeq)
+  }
+
   test("malformed registered indexes fail loudly at engine construction") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val hist = graft.ops.HistQuantiles.histogram(
