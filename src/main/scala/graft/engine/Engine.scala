@@ -163,7 +163,11 @@ final class Engine(val ctx: TsdbContext) {
     * within 12.5% below the true order statistic. Output: one row per
     * (series, p) — (series, p, q). */
   def quantile(q: QuantileQuery): DataFrame = {
-    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    // group-by-tag re-keying composes exactly: series merged under one
+    // out_name pool bucket COUNTS (the histogram is mergeable), both
+    // on the scan path and through every index-serving path
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy,
+      location = q.location)
     servedQuantile(q, ids).getOrElse {
       val df = scan(ids, q.range, Seq(q.metric))
       q.stepNs match {
@@ -257,7 +261,8 @@ final class Engine(val ctx: TsdbContext) {
     * persists and judges batches or streams against. Output:
     * (series, phase, lo, hi). */
   def seasonal(q: SeasonalQuery): DataFrame = {
-    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy,
+      location = q.location)
     servedSeasonal(q, ids).getOrElse(
       graft.ops.Monitoring.seasonalBands(
           scan(ids, q.range, Seq(q.metric))

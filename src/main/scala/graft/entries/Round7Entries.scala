@@ -875,7 +875,7 @@ object Round7Entries {
     * integer bucketing over their own source CTE. `lazy` callers: the
     * oracle map above initializes first and must not read these as null
     * (object vals initialize in declaration order). */
-  private def histQuantileSql(srcSql: String, keys: Seq[String],
+  def histQuantileSql(srcSql: String, keys: Seq[String],
       ps: Seq[String] = Seq("0.5", "0.95", "0.99")): String = {
     val k = keys.mkString(", ")
     val ck = keys.map("c." + _).mkString(", ")
@@ -956,87 +956,40 @@ object Round7Entries {
              AS est_distinct
          FROM kk ORDER BY event_type"""
 
-  /** Bands-only replay for the `seasonal` statement: per (series,
-    * 6h phase) [p25, p75] bucket hulls over the ranged purchases.
-    * Shared with Round8's index-served twin (served bands equal
-    * scan-built bands exactly — counts are exact). */
-  lazy val SeasonalJsonSql: String =
-    s"""WITH s AS (SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
-                 AS series, value,
-               (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
-             FROM events
-             WHERE event_type = 'purchase'
-               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
-               AND epoch_ns(ts) < ${EntryUtil.ToNs}),
-           bq AS (SELECT series, phase,
+  /** ONE seasonal-band CTE generator: given a source CTE producing at
+    * least ($key, phase, value), emit the WITH chain ending in a
+    * `bands($key, phase, lo, hi)` CTE — identical integer bucketing,
+    * band quantiles and hull edges for every seasonal oracle (the JSON
+    * statement, its indexed and group-by twins, and the outlier
+    * replays), which append their own final SELECT. The playbook rule:
+    * one arithmetic mirror, never hand-copied. */
+  def seasonalBandCtes(srcSql: String, key: String): String =
+    s"""WITH s AS ($srcSql),
+           bq AS (SELECT $key, phase,
                CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
-           be AS (SELECT series, phase, q, abs(q) AS m,
+           be AS (SELECT $key, phase, q, abs(q) AS m,
                length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
-           bs AS (SELECT series, phase, q, m,
+           bs AS (SELECT $key, phase, q, m,
                CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT series, phase,
+           b AS (SELECT $key, phase,
                CASE WHEN m < 1 THEN 0
                     WHEN q > 0 THEN (m >> sh) << sh
                     ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
                END AS lo
              FROM bs),
-           h AS (SELECT series, phase, lo, count(*) AS cnt
+           h AS (SELECT $key, phase, lo, count(*) AS cnt
              FROM b GROUP BY 1, 2, 3),
-           c AS (SELECT series, phase, lo,
-               sum(cnt) OVER (PARTITION BY series, phase ORDER BY lo) AS cum,
-               sum(cnt) OVER (PARTITION BY series, phase) AS n FROM h),
+           c AS (SELECT $key, phase, lo,
+               sum(cnt) OVER (PARTITION BY $key, phase ORDER BY lo) AS cum,
+               sum(cnt) OVER (PARTITION BY $key, phase) AS n FROM h),
            p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
-           qr AS (SELECT c.series, c.phase, p.p, min(lo) AS lo_key
+           qr AS (SELECT c.$key, c.phase, p.p, min(lo) AS lo_key
              FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
-           bk AS (SELECT series, phase,
-               min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
-               min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
-             FROM qr GROUP BY 1, 2)
-         SELECT series, CAST(phase AS BIGINT) AS phase,
-           round((CASE WHEN lok = 0 THEN -1 ELSE lok END)
-             / 1000000.0, 6) AS lo,
-           round((CASE WHEN hik = 0 THEN 1
-                  WHEN hik > 0 THEN hik + (CAST(1 AS BIGINT) <<
-                    greatest(length(bin(hik)) - 4, 0))
-                  ELSE hik + (CAST(1 AS BIGINT) <<
-                    (CASE WHEN ((-hik) & ((-hik) - 1)) = 0
-                     THEN greatest(length(bin(-hik)) - 5, 0)
-                     ELSE greatest(length(bin(-hik)) - 4, 0) END))
-                  END) / 1000000.0, 6) AS hi
-         FROM bk ORDER BY series, phase"""
-
-  /** ONE phase-band replay for the batch entry and its streaming
-    * twin (the op is stateless, so transport cannot change it). */
-  private lazy val SeasonalSql: String =
-    """WITH s AS (SELECT 'click' AS name,
-               epoch_ns(ts) AS ts, value,
-               (epoch_ns(ts) % 86400000000000) // 3600000000000 AS phase
-             FROM events WHERE event_type = 'click'),
-           bq AS (SELECT name, phase,
-               CAST(round(value * 1000000.0) AS BIGINT) AS q FROM s),
-           be AS (SELECT name, phase, q, abs(q) AS m,
-               length(bin(greatest(abs(q), 1))) - 1 AS e FROM bq),
-           bs AS (SELECT name, phase, q, m,
-               CASE WHEN e - 3 > 0 THEN e - 3 ELSE 0 END AS sh FROM be),
-           b AS (SELECT name, phase,
-               CASE WHEN m < 1 THEN 0
-                    WHEN q > 0 THEN (m >> sh) << sh
-                    ELSE -(((m >> sh) << sh) + (CAST(1 AS BIGINT) << sh))
-               END AS lo
-             FROM bs),
-           h AS (SELECT name, phase, lo, count(*) AS cnt
-             FROM b GROUP BY 1, 2, 3),
-           c AS (SELECT name, phase, lo,
-               sum(cnt) OVER (PARTITION BY name, phase ORDER BY lo) AS cum,
-               sum(cnt) OVER (PARTITION BY name, phase) AS n FROM h),
-           p(p, pv) AS (VALUES ('0.25', 0.25), ('0.75', 0.75)),
-           qr AS (SELECT c.name, c.phase, p.p, min(lo) AS lo_key
-             FROM c, p WHERE cum >= ceil(n * pv) GROUP BY 1, 2, 3),
-           bk AS (SELECT name, phase,
+           bk AS (SELECT $key, phase,
                min(CASE WHEN p = '0.25' THEN lo_key END) AS lok,
                min(CASE WHEN p = '0.75' THEN lo_key END) AS hik
              FROM qr GROUP BY 1, 2),
-           bands AS (SELECT name, phase,
+           bands AS (SELECT $key, phase,
                round((CASE WHEN lok = 0 THEN -1 ELSE lok END)
                  / 1000000.0, 6) AS lo,
                round((CASE WHEN hik = 0 THEN 1
@@ -1047,7 +1000,34 @@ object Round7Entries {
                          THEN greatest(length(bin(-hik)) - 5, 0)
                          ELSE greatest(length(bin(-hik)) - 4, 0) END))
                       END) / 1000000.0, 6) AS hi
-             FROM bk)
+             FROM bk)"""
+
+  /** Bands-only replay for the `seasonal` statement: per (series,
+    * 6h phase) [p25, p75] bucket hulls over the ranged purchases.
+    * Shared with Round8's index-served twin (served bands equal
+    * scan-built bands exactly — counts are exact). */
+  lazy val SeasonalJsonSql: String =
+    seasonalBandCtes(
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
+                 AS series, value,
+               (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", "series") +
+    """
+         SELECT series, CAST(phase AS BIGINT) AS phase, lo, hi
+         FROM bands ORDER BY series, phase"""
+
+  /** ONE phase-band replay for the batch entry and its streaming
+    * twin (the op is stateless, so transport cannot change it). */
+  private lazy val SeasonalSql: String =
+    seasonalBandCtes(
+      """SELECT 'click' AS name,
+               epoch_ns(ts) AS ts, value,
+               (epoch_ns(ts) % 86400000000000) // 3600000000000 AS phase
+             FROM events WHERE event_type = 'click'""", "name") +
+    """
          SELECT s.name, s.ts // 1000 AS ts_us, round(s.value, 6) AS value,
            CAST(s.phase AS BIGINT) AS phase, bands.lo, bands.hi
          FROM s JOIN bands USING (name, phase)

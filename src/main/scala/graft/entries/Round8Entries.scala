@@ -77,6 +77,27 @@ object Round8Entries {
         s"""{"stale": {"metric": "purchase", "older-than": "30d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // group-by-tag composes with quantile: dropping the user tag
+    // merges every purchase series under out_name "purchase", and the
+    // merged series' bucket COUNTS pool exactly (the histogram is
+    // mergeable) — "p99 across the fleet" is the per-series machinery
+    // re-keyed, one groupBy either way
+    "ts_quantile_json_groupby" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "group-by-tag": ["user"],
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // and with seasonal: fleet-wide phase bands — per (phase) hull of
+    // ALL users' ranged purchases, the merged-count twin of
+    // ts_seasonal_json
+    "ts_seasonal_json_groupby" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"seasonal": {"metric": "purchase", "period": "1d",
+                          "bin": "6h"},
+             "group-by-tag": ["user"],
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the histogram COMPACTION LADDER serving: the day-level index is
     // built FROM the hour parquet (HistQuantiles.compact — counts add,
     // raw samples scanned exactly once) and registered coarsest-first,
@@ -188,7 +209,28 @@ object Round8Entries {
     "ts_quantile_ladder" -> Round7Entries.QuantileJsonSql,
     // compacted index = direct index (k-min union law) — one oracle
     // with the uncompacted rollup
-    "ts_distinct_compacted" -> Round7Entries.kmvUserSql("")
+    "ts_distinct_compacted" -> Round7Entries.kmvUserSql(""),
+
+    // merged-series replay: the same histogram generator over ONE
+    // constant series label — pooling counts is the whole claim
+    "ts_quantile_json_groupby" -> Round7Entries.histQuantileSql(
+      s"""SELECT 'purchase' AS series, value
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", Seq("series")),
+
+    // merged-series band replay: one generator, constant series label
+    "ts_seasonal_json_groupby" -> (Round7Entries.seasonalBandCtes(
+      s"""SELECT 'purchase' AS series, value,
+               (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}""", "series") +
+      """
+         SELECT series, CAST(phase AS BIGINT) AS phase, lo, hi
+         FROM bands ORDER BY series, phase""")
   )
 
   /** ONE trend replay generator (the corrSql pattern): identical

@@ -238,6 +238,10 @@ object Ast {
       pHi: String,
       range: TimeRange,
       where: Where = Where.All,
+      /** group-by-tag re-keying composes exactly like [[QuantileQuery]]
+        * — merged series pool phase-histogram counts, so fleet-wide
+        * phase bands are the per-series machinery re-keyed. */
+      groupBy: Option[GroupByTag] = None,
       location: Option[LocationFilter] = None) extends Query
 
   /** `{"gaps": {"metric": "m", "min-gap": "12h"}}` or
@@ -348,6 +352,11 @@ object Ast {
         * dashboard query; output gains a `ts_us` bin column. */
       stepNs: Option[Long] = None,
       where: Where = Where.All,
+      /** group-by-tag / pivot-by-tag re-keying composes: series merged
+        * under one output name pool their bucket COUNTS (exact — the
+        * histogram is mergeable), so "p99 across the fleet" is the
+        * same machinery as per-series percentiles. */
+      groupBy: Option[GroupByTag] = None,
       location: Option[LocationFilter] = None) extends Query
 
   // ---- metadata entry points ----

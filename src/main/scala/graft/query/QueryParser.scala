@@ -226,12 +226,19 @@ object QueryParser {
 
   /** Statements whose output has no per-sample rows reject the
     * sample-stream clauses (and the RESP/CSV renderers) loudly —
-    * never ignore a clause. */
-  private def rejectSampleClauses(root: JsonNode, stmt: String): Unit =
-    Seq("filter", "apply", "order-by", "group-by", "group-by-tag",
-        "pivot-by-tag", "limit", "offset", "output")
+    * never ignore a clause. `allowGroupBy` admits the group-by-tag
+    * re-keying for statements whose per-series state merges exactly
+    * under it (histogram counts — quantile, seasonal). */
+  private def rejectSampleClauses(root: JsonNode, stmt: String,
+      allowGroupBy: Boolean = false): Unit = {
+    val groupKeys =
+      if (allowGroupBy) Nil
+      else Seq("group-by", "group-by-tag", "pivot-by-tag")
+    (Seq("filter", "apply", "order-by", "limit", "offset", "output") ++
+        groupKeys)
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"$stmt doesn't support '$k'"))
+  }
 
   /** Beyond-reference `seasonal` (see [[Ast.SeasonalQuery]]). */
   private def parseSeasonal(root: JsonNode): SeasonalQuery = {
@@ -274,9 +281,9 @@ object QueryParser {
     }.getOrElse(Seq("0.25", "0.75"))
     if (ps(0).toDouble >= ps(1).toDouble)
       throw new BadQuery("seasonal.p must be ascending")
-    rejectSampleClauses(root, "seasonal")
+    rejectSampleClauses(root, "seasonal", allowGroupBy = true)
     SeasonalQuery(metric, period, bin, ps(0), ps(1), parseRange(root),
-      parseWhere(root), parseLocation(root))
+      parseWhere(root), parseGroupBy(root), parseLocation(root))
   }
 
   /** Beyond-reference `gaps` (see [[Ast.GapsQuery]]). */
@@ -452,9 +459,9 @@ object QueryParser {
         throw new BadQuery(s"quantile p out of (0, 1]: $txt")
       txt
     }
-    rejectSampleClauses(root, "quantile")
+    rejectSampleClauses(root, "quantile", allowGroupBy = true)
     QuantileQuery(metric, ps, parseRange(root), step, parseWhere(root),
-      parseLocation(root))
+      parseGroupBy(root), parseLocation(root))
   }
 
   private def parseGroupAggregateJoin(root: JsonNode): GroupAggregateJoinQuery = {

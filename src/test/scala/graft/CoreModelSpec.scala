@@ -300,6 +300,22 @@ class QueryParserSpec extends AnyFunSuite {
       """{"quantile": {"metric": "m", "p": [0.5], "step": "1h"},
          "range": {"from": 0, "to": 10}}""")
       .asInstanceOf[QuantileQuery].stepNs === Some(3600000000000L))
+    // group-by-tag composes (merged series pool exact bucket counts);
+    // pivot-by-tag is the other re-keying, same clause family
+    assert(QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": [0.5]},
+         "group-by-tag": ["host"], "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[QuantileQuery].groupBy ===
+      Some(GroupByTag(GroupByOp.Group, Seq("host"))))
+    assert(QueryParser.parse(
+      """{"seasonal": {"metric": "m", "period": "1d", "bin": "6h"},
+         "pivot-by-tag": ["dc"], "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[SeasonalQuery].groupBy ===
+      Some(GroupByTag(GroupByOp.Pivot, Seq("dc"))))
+    // the per-series-semantics statements still reject the re-keying
+    intercept[BadQuery](QueryParser.parse(
+      """{"gaps": {"metric": "m", "min-gap": "1h"},
+         "group-by-tag": ["host"], "range": {"from": 0, "to": 10}}"""))
   }
 
   test("correlate statement: parse, lag validation, clause rejection") {
