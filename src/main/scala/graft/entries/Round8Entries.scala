@@ -1,6 +1,7 @@
 package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import EntryUtil.QueryFn
 
@@ -76,6 +77,58 @@ object Round8Entries {
       EntryUtil.engineFor(s, dir).execute(
         s"""{"stale": {"metric": "purchase", "older-than": "30d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the OLS trend maintained BY an executing stream: ~80 bytes of
+    // integer moment state per series (TsdbStream.trendBuild), each
+    // batch re-emitting the key's latest moments; feeding the final
+    // moments to the SAME formula (Stats.trendFromMoments) yields the
+    // batch trend over the accumulated feed EXACTLY — the capacity
+    // forecast kept fresh online, history never re-scanned
+    "stream_trend" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      import org.apache.spark.sql.expressions.Window
+      val dayNs = 86400000000000L
+      val rows = EntryUtil.clickRows(s, dir)
+      val sink = EntryUtil.runStreamEntry(s, "stream_trend_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.trendBuild(_, dayNs),
+        outputMode = "update")
+      val w = Window.partitionBy("name").orderBy(col("seq").desc)
+      val latest = sink.withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1).drop("__r", "seq")
+      graft.ops.Stats.trendFromMoments(latest, "name", dayNs,
+          horizonBuckets = 0L)
+        .orderBy("name")
+    }),
+
+    // seasonal bands served from the STREAM-built histogram index: the
+    // hourly window sink (histBuild — the stream_quantile_hist feed)
+    // re-keys to 6h phases exactly as the engine's index serving does
+    // (hour divides both bin and period), and the band fit runs on the
+    // same merged counts the batch scan would build — the streamed and
+    // batch-built index power seasonal interchangeably
+    "stream_seasonal_hist" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val hourNs = 3600000000000L
+      val dayNs = 86400000000000L
+      val rows = EntryUtil.clickRows(s, dir)
+      val maxTs = rows.iterator.map(_._2).max
+      val sink = EntryUtil.runStreamEntry(s, "stream_shist_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.histBuild(_, hourNs,
+          "10 minutes"),
+        sentinel = Some((rows.head._1, maxTs + dayNs, 0.0)))
+      graft.ops.Monitoring.bandsFromHist(
+          graft.ops.HistQuantiles.merge(
+            sink.select(col("name"),
+              expr(s"pmod(win, ${dayNs}L) div ${6 * hourNs}L").as("phase"),
+              col("lo"), col("cnt")),
+            Seq("name", "phase")),
+          "name", "0.25", "0.75")
+        .orderBy("name", "phase")
+    }),
 
     // group-by-tag composes with quantile: dropping the user tag
     // merges every purchase series under out_name "purchase", and the
@@ -211,6 +264,28 @@ object Round8Entries {
     // with the uncompacted rollup
     "ts_distinct_compacted" -> Round7Entries.kmvUserSql(""),
 
+    // streamed moments + the shared formula = the batch trend over the
+    // same feed — one generator, name-keyed, no range (the whole click
+    // history is the feed)
+    "stream_trend" -> trendMomentsSql(0,
+      """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS k,
+               epoch_ns(ts) // 86400000000000 AS bk,
+               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   / count(*) / 1000.0) AS BIGINT) AS m
+             FROM events WHERE event_type = 'click'
+             GROUP BY 1, 2""", "name"),
+
+    // stream-built index serves bands = scan-fit bands (counts are
+    // exact through the windowed build and the phase re-key) — the
+    // seasonalBandCtes generator over the same clicks
+    "stream_seasonal_hist" -> (Round7Entries.seasonalBandCtes(
+      """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name, value,
+               (epoch_ns(ts) % 86400000000000) // 21600000000000 AS phase
+             FROM events WHERE event_type = 'click'""", "name") +
+      """
+         SELECT name, CAST(phase AS BIGINT) AS phase, lo, hi
+         FROM bands ORDER BY name, phase"""),
+
     // merged-series replay: the same histogram generator over ONE
     // constant series label — pooling counts is the whole claim
     "ts_quantile_json_groupby" -> Round7Entries.histQuantileSql(
@@ -237,9 +312,12 @@ object Round8Entries {
     * milli-quantized day-bucket means, per-key REBASED x (bk − min bk),
     * integer moment sums, and the engine's exact double op order for
     * slope/intercept/forecast (each moment cast to double BEFORE
-    * combining — graft.ops.Stats.trend). `h` = horizon in buckets. */
-  private def trendSql(h: Int): String =
-    s"""WITH b AS (SELECT event_type AS k,
+    * combining — graft.ops.Stats.trend / trendFromMoments). `h` =
+    * horizon in buckets; `bCte` produces (k, bk, m); `outKey` names
+    * the output key column. The statement entries and the streaming
+    * moment-maintainer entry all derive from here. */
+  private def trendSql(h: Int): String = trendMomentsSql(h,
+    s"""SELECT event_type AS k,
                epoch_ns(ts) // 86400000000000 AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                    / count(*) / 1000.0) AS BIGINT) AS m
@@ -247,7 +325,10 @@ object Round8Entries {
              WHERE event_type IN ('click', 'purchase', 'view')
                AND epoch_ns(ts) >= ${EntryUtil.FromNs}
                AND epoch_ns(ts) < ${EntryUtil.ToNs}
-             GROUP BY 1, 2),
+             GROUP BY 1, 2""", "metric")
+
+  private def trendMomentsSql(h: Int, bCte: String, outKey: String): String =
+    s"""WITH b AS ($bCte),
            xb AS (SELECT k, bk - min(bk) OVER (PARTITION BY k) AS x, m,
                min(bk) OVER (PARTITION BY k) AS b0
              FROM b),
@@ -268,10 +349,10 @@ object Round8Entries {
            fo AS (SELECT k, n, lx, b0, slope_mu,
                (syd - slope_mu * sxd) / nd AS icept_mu
              FROM sl)
-         SELECT k AS metric, CAST(n AS BIGINT) AS n_buckets,
+         SELECT k AS $outKey, CAST(n AS BIGINT) AS n_buckets,
            round(slope_mu / 1000.0, 6) AS slope,
            round((icept_mu + slope_mu * CAST(lx + $h AS DOUBLE)) / 1000.0, 6)
              AS forecast,
            (b0 + lx + $h) * 86400000000 AS ts_us
-         FROM fo ORDER BY metric"""
+         FROM fo ORDER BY $outKey"""
 }

@@ -126,7 +126,6 @@ object Stats {
   def trend(samples: DataFrame, bucketNs: Long, horizonBuckets: Long,
       keyCol: String = "metric", tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
-    require(horizonBuckets >= 0, "horizon must be >= 0 buckets")
     require(bucketNs % 1000 == 0, "bucket width must be whole µs")
     val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
@@ -140,6 +139,20 @@ object Stats {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         max(col("__x")).as("__lx"), min(col("__b0")).as("__b0"))
+    trendFromMoments(moments, keyCol, bucketNs, horizonBuckets)
+  }
+
+  /** The ONE line-fit readout over integer OLS moment columns
+    * (n_buckets, __sx, __sy, __sxy, __sxx, __lx, __b0 — rebased-x
+    * milli-unit moments, [[trend]]'s shape) — shared by the batch
+    * builder and the streaming moment maintainer
+    * ([[graft.streaming.TsdbStream.trendBuild]]) so both emit
+    * bit-identical slopes/forecasts: each moment casts to double
+    * BEFORE combining and one formula owns the IEEE op order. */
+  def trendFromMoments(moments: DataFrame, keyCol: String,
+      bucketNs: Long, horizonBuckets: Long): DataFrame = {
+    require(horizonBuckets >= 0, "horizon must be >= 0 buckets")
+    require(bucketNs % 1000 == 0, "bucket width must be whole µs")
     def d(name: String) = col(name).cast("double")
     val den = d("n_buckets") * d("__sxx") - d("__sx") * d("__sx")
     val slopeMu = when(den > 0.0,

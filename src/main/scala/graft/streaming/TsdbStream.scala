@@ -25,7 +25,9 @@ import graft.query.Ast.AggFunc
   * Ingestion parsing is stateless and scales linearly with input partitions
   * (= Kafka partitions).
   */
-object TsdbStream {
+// Serializable: stateful-fold lambdas that call the object's helper
+// methods (trendBuild's rounding) capture the object in their closure
+object TsdbStream extends Serializable {
 
   /** ns → µs TimestampType column (event time for watermarking).
     * Integer division — `/` on Long columns is double division and loses
@@ -396,6 +398,89 @@ object TsdbStream {
           }
       }
       .toDF("name", "last_ts")
+  }
+
+  case class TrendIn(name: String, ts: Long, value: Double)
+  case class TrendMoments(name: String, seq: Long, n_buckets: Long,
+      __sx: Long, __sy: Long, __sxy: Long, __sxx: Long,
+      __lx: Long, __b0: Long)
+  // public like every state case class here: the state encoder's
+  // generated code constructs/reads it reflectively
+  case class TrendSt(b0: Long, cur: Long, curSum: Long,
+      curCnt: Long, n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long,
+      seq: Long)
+
+  /** Spark's `round(double, 0)` semantics exactly
+    * (BigDecimal.valueOf → HALF_UP, the catalyst Round expression's
+    * double path): the streamed moment maintainer must quantize values
+    * and bucket means bit-identically to the batch
+    * [[graft.ops.Stats]] bucketMeans columns. */
+  private def sparkRoundLong(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** Continuous OLS-trend maintenance: per series, the integer moment
+    * set of [[graft.ops.Stats.trend]] (rebased-x milli-unit moments —
+    * n, Σx, Σy, Σxy, Σx², last x, first bucket) kept as ~80 bytes of
+    * state and re-emitted each batch (update mode; `seq` picks a key's
+    * latest row at read time). Feeding the latest moments to
+    * [[graft.ops.Stats.trendFromMoments]] yields the SAME slope and
+    * forecast as the batch op over the accumulated feed (entry-gated +
+    * spec-pinned equivalence) — the capacity-planning readout
+    * maintained online, without ever re-scanning history.
+    *
+    * Bucket means quantize with the identical HALF_UP double rounding
+    * as the batch columns ([[sparkRoundLong]]); a bucket CLOSES when a
+    * later bucket's first row arrives, and the still-open bucket is
+    * folded into each emission as if closed — so after the final batch
+    * of an ordered feed the emitted moments ARE the batch moments.
+    *
+    * PRECONDITION — per-series ts order ACROSS micro-batches (the
+    * [[flagGaps]] contract): a row for an already-closed bucket cannot
+    * be re-opened by 80 bytes of state and is skipped (spec-pinned);
+    * late data needs the batch form over the settled table. */
+  def trendBuild(stream: DataFrame, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0 && bucketNs % 1000 == 0,
+      "trend bucket must be positive whole microseconds")
+    implicit val rowEnc = Encoders.product[TrendIn]
+    implicit val stEnc = Encoders.product[TrendSt]
+    implicit val outEnc = Encoders.product[TrendMoments]
+    val ds: Dataset[TrendIn] = stream
+      .select(col("name"), col("ts").cast("long"),
+        col("value").cast("double"))
+      .as[TrendIn]
+    def bucketMean(sum: Long, cnt: Long): Long =
+      sparkRoundLong(sum.toDouble / cnt.toDouble / 1000.0)
+    ds.groupByKey(_.name)(Encoders.STRING)
+      .mapGroupsWithState[TrendSt, TrendMoments](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[TrendIn], state: GroupState[TrendSt]) =>
+          var st = state.getOption.getOrElse(
+            TrendSt(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.ts).foreach { r =>
+            val b = Math.floorDiv(r.ts, bucketNs)
+            val q = sparkRoundLong(r.value * 1000000.0)
+            if (st.cur == Long.MinValue)
+              st = st.copy(b0 = b, cur = b, curSum = q, curCnt = 1L)
+            else if (b == st.cur)
+              st = st.copy(curSum = st.curSum + q, curCnt = st.curCnt + 1L)
+            else if (b > st.cur) {
+              // close the current bucket into the moments, open the new one
+              val x = st.cur - st.b0
+              val m = bucketMean(st.curSum, st.curCnt)
+              st = st.copy(cur = b, curSum = q, curCnt = 1L,
+                n = st.n + 1L, sx = st.sx + x, sy = st.sy + m,
+                sxy = st.sxy + x * m, sxx = st.sxx + x * x)
+            } // b < cur: late row for a closed bucket — skipped (see above)
+          }
+          st = st.copy(seq = st.seq + 1L)
+          state.update(st)
+          // emission folds the OPEN bucket as if closed
+          val x = st.cur - st.b0
+          val m = bucketMean(st.curSum, st.curCnt)
+          TrendMoments(key, st.seq, st.n + 1L, st.sx + x, st.sy + m,
+            st.sxy + x * m, st.sxx + x * x, x, st.b0)
+      }
+      .toDF()
   }
 
   case class KmvRow(name: String, win: Long, h: Long)

@@ -612,6 +612,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("trendBuild: streamed moments equal the batch trend bit-for-bit; late buckets skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val bucket = 1000L // 1 µs buckets (whole-µs rule)
+    // two series: a clean ramp and a noisy one with multi-row buckets —
+    // the bucket-mean quantization must match the batch column exactly
+    val rows = (0 until 60).flatMap { i =>
+      Seq(("up", i * 1000L + 137, 2.0 * i + 3.0),
+        ("noisy", i * 1000L + 211, (i * 37 % 100) / 7.0),
+        ("noisy", i * 1000L + 613, (i * 53 % 90) / 11.0))
+    }.sortBy(_._2)
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.trendBuild(in.toDF().toDF("name", "ts", "value"),
+        bucket)
+      .writeStream.format("memory").queryName("trend_sink")
+      .outputMode("update").start()
+    try {
+      rows.grouped(45).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      // a late row for a long-closed bucket: skipped, moments unmoved
+      in.addData(("up", 5L * 1000L + 1, 999999.0))
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("name").orderBy(col("seq").desc)
+      val latest = spark.table("trend_sink")
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1).drop("__r", "seq")
+      val streamed = graft.ops.Stats.trendFromMoments(latest, "name",
+          bucket, horizonBuckets = 2L)
+        .orderBy("name").collect().toSeq
+      val batch = graft.ops.Stats.trend(
+          rows.toDF("name", "ts", "value"), bucket, horizonBuckets = 2L,
+          keyCol = "name")
+        .orderBy("name").collect().toSeq
+      assert(streamed === batch,
+        "streamed moments + shared formula must equal the batch op exactly")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
