@@ -355,19 +355,61 @@ final class Engine(val ctx: TsdbContext) {
   def active(q: ActiveQuery): DataFrame = {
     val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
     val ids = base.select(col("series_id"), col("metric").as("out_name"))
-    val df = scan(ids, q.range, q.metrics)
-    q.stepNs match {
-      case None =>
-        df.groupBy(col("out_name").as("metric"))
-          .agg(countDistinct(col("series_id")).as("n_series"))
-          .orderBy("metric")
-      case Some(step) =>
-        df.groupBy(col("out_name").as("metric"),
-            binColumn(q.range, step).as("__bin"))
-          .agg(countDistinct(col("series_id")).as("n_series"))
-          .select(col("metric"), expr("__bin div 1000").as("ts_us"),
-            col("n_series"))
-          .orderBy("metric", "ts_us")
+    servedActive(q, ids).getOrElse {
+      val df = scan(ids, q.range, q.metrics)
+      q.stepNs match {
+        case None =>
+          df.groupBy(col("out_name").as("metric"))
+            .agg(countDistinct(col("series_id")).as("n_series"))
+            .orderBy("metric")
+        case Some(step) =>
+          df.groupBy(col("out_name").as("metric"),
+              binColumn(q.range, step).as("__bin"))
+            .agg(countDistinct(col("series_id")).as("n_series"))
+            .select(col("metric"), expr("__bin div 1000").as("ts_us"),
+              col("n_series"))
+            .orderBy("metric", "ts_us")
+      }
+    }
+  }
+
+  /** Active-series serving from a REGISTERED rollup: a rollup stores a
+    * bin row ONLY where samples exist, so "has a sample in the range" ≡
+    * "has a rollup bin in the range" whenever the forward range (and
+    * each query bin, for the stepped form) covers whole fine bins —
+    * the distinct count then reads index rows, never raw facts (at
+    * 100 TB "how many emitters this month" touches series × bins
+    * rows). Coarsest eligible level wins (fewest rows, same answer —
+    * the answer is EXACT at any eligible level); misaligned or
+    * backward ranges abstain to the scan, since a partial fine bin
+    * could contain a series' only sample outside the range. */
+  private def servedActive(q: ActiveQuery, ids: DataFrame): Option[DataFrame] = {
+    if (!q.range.forward) return None
+    ctx.rollups.filter { case (fine, _) =>
+      fine > 0 && Math.floorMod(q.range.from, fine) == 0 &&
+        Math.floorMod(q.range.to, fine) == 0 &&
+        q.stepNs.forall(_ % fine == 0)
+    }.sortBy { case (fine, _) => -fine }.headOption.map { case (_, rollup) =>
+      val covered = rollup
+        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      q.stepNs match {
+        case None =>
+          covered.groupBy(col("out_name").as("metric"))
+            .agg(countDistinct(col("series_id")).as("n_series"))
+            .orderBy("metric")
+        case Some(step) =>
+          val d = col("bin") - q.range.from
+          covered
+            .select(col("out_name"),
+              (lit(q.range.from) + (d - pmod(d, lit(step)))).as("__bin"),
+              col("series_id"))
+            .groupBy(col("out_name").as("metric"), col("__bin"))
+            .agg(countDistinct(col("series_id")).as("n_series"))
+            .select(col("metric"), expr("__bin div 1000").as("ts_us"),
+              col("n_series"))
+            .orderBy("metric", "ts_us")
+      }
     }
   }
 

@@ -78,6 +78,27 @@ object Round8Entries {
         s"""{"stale": {"metric": "purchase", "older-than": "30d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // active-series counts served from the ROLLUP: a rollup stores a
+    // bin row only where samples exist, so "has a sample in range" is
+    // "has a rollup bin in range" for aligned ranges — the distinct
+    // count reads index rows (series x bins), never raw facts. The
+    // ladder picks the coarsest aligned level: the day level here (the
+    // canonical range is day- but not epoch-week-aligned). Same oracle
+    // as the scan-built statement — serving changes the plan, never
+    // the answer
+    "ts_active_rollup" -> ((s, dir) =>
+      EntryUtil.engineRollupLadderFor(s, dir).execute(
+        s"""{"active": {"metric": ["click", "purchase", "view"]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the stepped form from the ladder: per-7d-bin active counts, each
+    // query bin a whole number of day bins
+    "ts_active_step_rollup" -> ((s, dir) =>
+      EntryUtil.engineRollupLadderFor(s, dir).execute(
+        s"""{"active": {"metric": ["click", "purchase", "view"],
+                        "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the OLS trend maintained BY an executing stream: ~80 bytes of
     // integer moment state per series (TsdbStream.trendBuild), each
     // batch re-emitting the key's latest moments; feeding the final
@@ -263,6 +284,11 @@ object Round8Entries {
     // compacted index = direct index (k-min union law) — one oracle
     // with the uncompacted rollup
     "ts_distinct_compacted" -> Round7Entries.kmvUserSql(""),
+
+    // rollup-served = scan-built exactly — one oracle each with the
+    // scan-built statement entries
+    "ts_active_rollup" -> Round7Entries.oracle("ts_active_json"),
+    "ts_active_step_rollup" -> Round7Entries.oracle("ts_active_step_json"),
 
     // streamed moments + the shared formula = the batch trend over the
     // same feed — one generator, name-keyed, no range (the whole click

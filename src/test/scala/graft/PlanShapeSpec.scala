@@ -775,6 +775,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "window-splitting bin must fall back to the scan")
   }
 
+  test("active statement: aligned range serves from the rollup, not raw facts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_active").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.engine.Rollup.write(base.samples, s"$dir/rollup", 100L)
+    val eng = new Engine(base.copy(
+      rollups = Seq(100L -> spark.read.parquet(s"$dir/rollup"))))
+    val q = """{"active": {"metric": "test"},
+                "range": {"from": 0, "to": 400}}"""
+    val served = eng.execute(q)
+    val dirs = plan(served)
+      .collect { case f: FileSourceScanExec => f.metadata("Location") }
+    assert(dirs.exists(_.contains("/rollup")) &&
+      !dirs.exists(_.contains("/samples")),
+      s"aligned active must count from rollup bins, not facts: $dirs")
+    assert(served.collect().toSeq ===
+      new Engine(base).execute(q).collect().toSeq,
+      "serving changes the plan, never the answer")
+    // a misaligned range could hide a series' only sample in a partial
+    // bin — must fall back to the scan
+    val mis = eng.execute(
+      """{"active": {"metric": "test"}, "range": {"from": 50, "to": 400}}""")
+    assert(plan(mis).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "misaligned range must fall back to the scan")
+  }
+
   test("histogram ladder: coarsest aligned level serves; finer level catches misaligned") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, lit, pmod}
