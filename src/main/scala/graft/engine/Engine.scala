@@ -169,7 +169,10 @@ final class Engine(val ctx: TsdbContext) {
     val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy,
       location = q.location)
     servedQuantile(q, ids).getOrElse {
-      val df = scan(ids, q.range, Seq(q.metric))
+      // value filter runs during the scan, BEFORE bucketing — "p99 of
+      // the values above the floor"; a pushdown-able predicate
+      var df = scan(ids, q.range, Seq(q.metric))
+      q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
       q.stepNs match {
         case None =>
           graft.ops.HistQuantiles.quantiles(
@@ -220,6 +223,10 @@ final class Engine(val ctx: TsdbContext) {
   private def servedQuantile(q: QuantileQuery,
       ids: DataFrame): Option[DataFrame] = {
     if (!q.range.forward) return None
+    // the index stores unfiltered bucket counts — an arbitrary value
+    // threshold cannot be applied at bucket granularity; filtered
+    // statements always scan
+    if (q.filter.nonEmpty) return None
     ctx.histograms.collectFirst { case (win, hist)
         if Math.floorMod(q.range.from, win) == 0 &&
           Math.floorMod(q.range.to, win) == 0 &&

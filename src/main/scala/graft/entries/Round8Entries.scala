@@ -151,6 +151,16 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // the value filter composes with quantile: "p99 of the purchases
+    // above 50" — the filter runs during the scan (pushdown-able),
+    // BEFORE bucketing; index serving abstains (the index stores
+    // unfiltered counts), so this always reflects the filtered values
+    "ts_quantile_json_filtered" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "filter": {"gt": 50},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // group-by-tag composes with quantile: dropping the user tag
     // merges every purchase series under out_name "purchase", and the
     // merged series' bucket COUNTS pool exactly (the histogram is
@@ -311,6 +321,17 @@ object Round8Entries {
       """
          SELECT name, CAST(phase AS BIGINT) AS phase, lo, hi
          FROM bands ORDER BY name, phase"""),
+
+    // filtered replay: the same generator over the value-filtered
+    // ranged source (both engines compare the one literal 50)
+    "ts_quantile_json_filtered" -> Round7Entries.histQuantileSql(
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
+                 AS series, value
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}
+               AND value > 50.0""", Seq("series")),
 
     // merged-series replay: the same histogram generator over ONE
     // constant series label — pooling counts is the whole claim

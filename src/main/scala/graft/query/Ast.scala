@@ -357,6 +357,12 @@ object Ast {
         * histogram is mergeable), so "p99 across the fleet" is the
         * same machinery as per-series percentiles. */
       groupBy: Option[GroupByTag] = None,
+      /** optional value filter applied to the scan BEFORE the histogram
+        * ("p99 of the values above zero" — SLO floors, error codes).
+        * A registered index stores unfiltered bucket counts and cannot
+        * apply an arbitrary threshold, so index serving abstains when
+        * a filter is present. */
+      filter: Option[ValueFilter] = None,
       location: Option[LocationFilter] = None) extends Query
 
   // ---- metadata entry points ----

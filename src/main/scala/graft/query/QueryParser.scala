@@ -230,12 +230,13 @@ object QueryParser {
     * re-keying for statements whose per-series state merges exactly
     * under it (histogram counts — quantile, seasonal). */
   private def rejectSampleClauses(root: JsonNode, stmt: String,
-      allowGroupBy: Boolean = false): Unit = {
+      allowGroupBy: Boolean = false, allowFilter: Boolean = false): Unit = {
     val groupKeys =
       if (allowGroupBy) Nil
       else Seq("group-by", "group-by-tag", "pivot-by-tag")
-    (Seq("filter", "apply", "order-by", "limit", "offset", "output") ++
-        groupKeys)
+    val filterKeys = if (allowFilter) Nil else Seq("filter")
+    (Seq("apply", "order-by", "limit", "offset", "output") ++
+        filterKeys ++ groupKeys)
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"$stmt doesn't support '$k'"))
   }
@@ -459,9 +460,10 @@ object QueryParser {
         throw new BadQuery(s"quantile p out of (0, 1]: $txt")
       txt
     }
-    rejectSampleClauses(root, "quantile", allowGroupBy = true)
+    rejectSampleClauses(root, "quantile", allowGroupBy = true,
+      allowFilter = true)
     QuantileQuery(metric, ps, parseRange(root), step, parseWhere(root),
-      parseGroupBy(root), parseLocation(root))
+      parseGroupBy(root), parseSingleFilter(root), parseLocation(root))
   }
 
   private def parseGroupAggregateJoin(root: JsonNode): GroupAggregateJoinQuery = {

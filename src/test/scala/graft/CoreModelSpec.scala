@@ -307,6 +307,12 @@ class QueryParserSpec extends AnyFunSuite {
          "group-by-tag": ["host"], "range": {"from": 0, "to": 10}}""")
       .asInstanceOf[QuantileQuery].groupBy ===
       Some(GroupByTag(GroupByOp.Group, Seq("host"))))
+    // the value filter composes (applied to the scan before bucketing)
+    assert(QueryParser.parse(
+      """{"quantile": {"metric": "m", "p": [0.5]},
+         "filter": {"gt": 50}, "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[QuantileQuery].filter ===
+      Some(ValueFilter(gt = Some(50.0))))
     assert(QueryParser.parse(
       """{"seasonal": {"metric": "m", "period": "1d", "bin": "6h"},
          "pivot-by-tag": ["dc"], "range": {"from": 0, "to": 10}}""")

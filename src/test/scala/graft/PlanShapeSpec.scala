@@ -773,6 +773,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(misSeas).collect { case f: FileSourceScanExec => f }
       .exists(_.metadata("Location").contains("/samples")),
       "window-splitting bin must fall back to the scan")
+    // a value filter cannot be applied to unfiltered bucket counts ->
+    // the otherwise-aligned statement must scan
+    val filtered = eng.execute(
+      """{"quantile": {"metric": "test", "p": [0.5]},
+         "filter": {"gt": 1.5}, "range": {"from": 0, "to": 400}}""")
+    assert(plan(filtered).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "filtered quantile must abstain from index serving")
   }
 
   test("active statement: aligned range serves from the rollup, not raw facts") {
