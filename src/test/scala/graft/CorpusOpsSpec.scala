@@ -664,6 +664,59 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("histogram quantiles: the target order statistic lies in the reported bucket's hull") {
+    // randomized pin of the one-sided bound across magnitudes 1e-3..1e4
+    // on BOTH signs: the reported bucket key is <= the true ceil(p·n)-th
+    // order statistic (µu-quantized), and the statistic sits inside the
+    // bucket's value hull — the negative-mirror and underflow edge
+    // arithmetic cannot regress without this tripping
+    import graft.ops.HistQuantiles
+    val rnd = new scala.util.Random(42)
+    val vals = (0 until 4000).map { i =>
+      (rnd.nextDouble() - 0.4) * math.pow(10.0, rnd.nextInt(7) - 2) }
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("k" + i % 3, v) }.toDF("k", "value")
+    val ps = Seq("0.01", "0.1", "0.25", "0.5", "0.75", "0.9", "0.99")
+    val qk = HistQuantiles.quantileKeys(
+        HistQuantiles.histogram(df, Seq("k")), Seq("k"), ps)
+      .select("k", "p", "lo_key").as[(String, String, Long)].collect()
+    val hulls = qk.map(_._3).distinct.toSeq.toDF("lo")
+      .select(col("lo"), HistQuantiles.bucketHiKey(col("lo")).as("hi"))
+      .as[(Long, Long)].collect().toMap
+    val byKey = vals.zipWithIndex.groupBy { case (_, i) => "k" + i % 3 }
+      .view.mapValues(_.map(_._1).sorted).toMap
+    def qu(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    qk.foreach { case (k, p, loKey) =>
+      val sorted = byKey(k)
+      val stat = sorted(math.ceil(p.toDouble * sorted.size).toInt - 1)
+      val qStat = qu(stat * 1000000.0)
+      assert(loKey <= qStat && qStat <= hulls(loKey),
+        s"$k p=$p: stat $stat (µu $qStat) outside bucket [$loKey, ${hulls(loKey)}]")
+    }
+  }
+
+  test("trend: a constant shift leaves the slope bit-identical, moves the forecast by the shift") {
+    // shift-invariance on milli-grid data (µu quantization exact under
+    // an integer shift): slope moments change algebraically cancelling,
+    // and with integer products far under 2^53 the double formula
+    // reproduces the slope EXACTLY; the forecast moves by the shift up
+    // to one 6dp rounding step
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map(i =>
+      ("s", i.toLong * 1000L, rnd.nextInt(10000) / 1000.0))
+    val shifted = rows.map { case (n, t, v) => (n, t, v + 7.0) }
+    def fit(r: Seq[(String, Long, Double)]) =
+      graft.ops.Stats.trend(r.toDF("metric", "ts", "value"),
+          bucketNs = 1000L, horizonBuckets = 5L)
+        .select("slope", "forecast").as[(Double, Double)].head()
+    val (s0, f0) = fit(rows)
+    val (s1, f1) = fit(shifted)
+    assert(s1 === s0, "slope must be invariant under a constant shift")
+    assert(math.abs(f1 - (f0 + 7.0)) <= 2e-6,
+      s"forecast must move by the shift: $f0 -> $f1")
+  }
+
   test("histogram compaction: hour->day equals the direct day build bit-for-bit") {
     import graft.ops.HistQuantiles
     val hourNs = 3600L; val dayNs = 24 * hourNs // scaled-down ns
