@@ -244,11 +244,10 @@ final class Engine(val ctx: TsdbContext) {
               Seq("series"), q.ps)
             .orderBy("series", "p")
         case Some(step) =>
-          // window → query bin: pure Long arithmetic on aligned starts
-          // (w − from ≥ 0, so the pmod is a plain remainder)
-          val d = col("win") - q.range.from
+          // window → query bin: the same anchored-bin rule as the scan
+          // path, applied to window starts
           val binned = covered.select(col("out_name").as("series"),
-            (lit(q.range.from) + (d - pmod(d, lit(step)))).as("__bin"),
+            binOf(col("win"), q.range, step).as("__bin"),
             col("lo"), col("cnt"))
           graft.ops.HistQuantiles.quantiles(
               graft.ops.HistQuantiles.merge(binned, Seq("series", "__bin")),
@@ -320,10 +319,16 @@ final class Engine(val ctx: TsdbContext) {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
     val s = scan(ids, q.range, Seq(q.metric))
       .select(col("out_name").as("series"), col("ts"), col("value"))
-    val flagged = q.minGapNs match {
-      case Some(thr) => graft.ops.Monitoring.gaps(s, thr, keyCol = "series")
-      case None =>
-        graft.ops.Monitoring.gapsRelative(s, q.factor.get, keyCol = "series")
+    val flagged = (q.minGapNs, q.factor) match {
+      case (Some(thr), _) =>
+        graft.ops.Monitoring.gaps(s, thr, keyCol = "series")
+      case (None, Some(f)) =>
+        graft.ops.Monitoring.gapsRelative(s, f, keyCol = "series")
+      case (None, None) =>
+        // the parser enforces exactly-one; a hand-built AST must fail
+        // at the same altitude, not as a NoSuchElementException
+        throw new BadQuery(
+          "gaps requires exactly one of 'min-gap' or 'factor'")
     }
     flagged.select(col("series"),
         expr("gap_start div 1000").as("gap_start_us"),
@@ -392,8 +397,9 @@ final class Engine(val ctx: TsdbContext) {
     * could contain a series' only sample outside the range. */
   private def servedActive(q: ActiveQuery, ids: DataFrame): Option[DataFrame] = {
     if (!q.range.forward) return None
+    // fine > 0 is the constructor gate's invariant — not re-checked here
     ctx.rollups.filter { case (fine, _) =>
-      fine > 0 && Math.floorMod(q.range.from, fine) == 0 &&
+      Math.floorMod(q.range.from, fine) == 0 &&
         Math.floorMod(q.range.to, fine) == 0 &&
         q.stepNs.forall(_ % fine == 0)
     }.sortBy { case (fine, _) => -fine }.headOption.map { case (_, rollup) =>
@@ -406,10 +412,9 @@ final class Engine(val ctx: TsdbContext) {
             .agg(countDistinct(col("series_id")).as("n_series"))
             .orderBy("metric")
         case Some(step) =>
-          val d = col("bin") - q.range.from
           covered
             .select(col("out_name"),
-              (lit(q.range.from) + (d - pmod(d, lit(step)))).as("__bin"),
+              binOf(col("bin"), q.range, step).as("__bin"),
               col("series_id"))
             .groupBy(col("out_name").as("metric"), col("__bin"))
             .agg(countDistinct(col("series_id")).as("n_series"))
@@ -1115,19 +1120,26 @@ final class Engine(val ctx: TsdbContext) {
     case FilterCombiner.Any => conds.reduce(_ || _)
   }
 
-  /** bin start for a ts: anchored at range.from, descending for backward.
-    * Pure Long arithmetic (d − d % step) — `/` on Long columns is double
-    * division in Spark and loses ns precision past 2^53. */
-  private def binColumn(range: TimeRange, step: Long): Column = {
+  /** bin start for a point column: anchored at range.from, descending
+    * for backward. Pure Long arithmetic (d − d % step) — `/` on Long
+    * columns is double division in Spark and loses ns precision past
+    * 2^53. The ONE anchored-bin rule: the scan paths bin `ts` through
+    * [[binColumn]] and the index-serving paths bin window/bin starts
+    * through this directly — a fix to the anchoring applies to all of
+    * them or the serve-equals-scan pins break. */
+  private def binOf(c: Column, range: TimeRange, step: Long): Column = {
     require(step > 0, "step must be positive")
     if (range.forward) {
-      val d = col("ts") - range.from
+      val d = c - range.from
       lit(range.from) + (d - pmod(d, lit(step)))
     } else {
-      val d = lit(range.from) - col("ts")
+      val d = lit(range.from) - c
       lit(range.from) - (d - pmod(d, lit(step)))
     }
   }
+
+  private def binColumn(range: TimeRange, step: Long): Column =
+    binOf(col("ts"), range, step)
 
   /** The 11 aggregation functions over (ts, value) groups (SURVEY §2.3).
     * All outputs are DoubleType like the reference's float64 payload —

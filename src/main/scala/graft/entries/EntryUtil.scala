@@ -588,7 +588,8 @@ object EntryUtil {
           Seq("series_id", "win"))
         .write.parquet(s"$path/hour")
       graft.ops.HistQuantiles.compact(
-          spark.read.parquet(s"$path/hour"), Seq("series_id"), "win", dayNs)
+          spark.read.parquet(s"$path/hour"), Seq("series_id"), "win",
+          hourNs, dayNs)
         .write.parquet(s"$path/day")
       new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
         histograms = Seq(

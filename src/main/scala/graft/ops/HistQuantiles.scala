@@ -104,8 +104,15 @@ object HistQuantiles {
     * keeps the serving index rows ∝ series × coarse windows while the
     * fine level keeps serving recent, finer-aligned ranges. */
   def compact(hist: DataFrame, keyCols: Seq[String], winCol: String,
-      coarseWinNs: Long): DataFrame = {
-    require(coarseWinNs > 0, "coarse window must be positive")
+      fineWinNs: Long, coarseWinNs: Long): DataFrame = {
+    // the statically-checkable half of the compaction contract
+    // (Rollup.compact's rule): a coarse window that is not a whole
+    // number of fine windows would relabel straddling windows' counts
+    // wholesale — an index silently unequal to a direct coarse build,
+    // which the engine would then serve as truth
+    require(fineWinNs > 0 && coarseWinNs > 0 &&
+      coarseWinNs % fineWinNs == 0,
+      s"coarse window ($coarseWinNs) must be a whole number of fine windows ($fineWinNs)")
     merge(
       hist.withColumn(winCol,
         col(winCol) - pmod(col(winCol), lit(coarseWinNs))),

@@ -103,7 +103,17 @@ object Sketches {
     * built at day granularity compacts to 30-day with ratio 30 without
     * touching raw data). Index shrinks to groups × coarse-windows × k
     * rows; the k-cut is the same map-side WindowGroupLimit shape as the
-    * build. */
+    * build.
+    *
+    * CONTRACT: `k` must not exceed the k the FINE index was built with
+    * — a larger k cannot be reconstructed from k-min sets (the fine
+    * build already discarded the hashes beyond its k), and the
+    * under-full coarse sets would make [[kmvServe]] take its exact
+    * n_kept < k branch and report the retained-hash count as a true
+    * distinct count. Compact with the build k (or smaller); this is
+    * the k-analog of [[HistQuantiles.compact]]'s
+    * whole-number-of-fine-windows rule (not statically checkable here
+    * — the index rows don't carry their build k). */
   def kmvCompact(index: DataFrame, groupCol: String, windowCol: String,
       ratio: Long, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -416,7 +416,14 @@ object TsdbStream extends Serializable {
     * and bucket means bit-identically to the batch
     * [[graft.ops.Stats]] bucketMeans columns. */
   private def sparkRoundLong(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
+    // non-finite inputs follow the batch path exactly: Spark's round()
+    // passes NaN/±Inf through and the non-ANSI double→long cast maps
+    // NaN → 0, ±Inf → Long.Min/Max — BigDecimal.valueOf would THROW on
+    // them instead, turning one bad sample into a dead StreamingQuery
+    if (x.isNaN) 0L
+    else if (x == Double.PositiveInfinity) Long.MaxValue
+    else if (x == Double.NegativeInfinity) Long.MinValue
+    else java.math.BigDecimal.valueOf(x)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   /** Continuous OLS-trend maintenance: per series, the integer moment

@@ -727,7 +727,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       col("ts") - pmod(col("ts"), lit(w)))
     val hourly = HistQuantiles.histogram(winAt(hourNs), Seq("name", "win"))
     val compacted = HistQuantiles
-      .compact(hourly, Seq("name"), "win", dayNs)
+      .compact(hourly, Seq("name"), "win", hourNs, dayNs)
       .select("name", "win", "lo", "cnt")
       .as[(String, Long, Long, Long)].collect().toSet
     val direct = HistQuantiles.histogram(winAt(dayNs), Seq("name", "win"))

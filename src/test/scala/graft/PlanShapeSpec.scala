@@ -837,7 +837,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         Seq("series_id", "win"))
       .write.parquet(s"$dir/fine")
     graft.ops.HistQuantiles.compact(
-        spark.read.parquet(s"$dir/fine"), Seq("series_id"), "win", 400L)
+        spark.read.parquet(s"$dir/fine"), Seq("series_id"), "win",
+        100L, 400L)
       .write.parquet(s"$dir/coarse")
     // coarsest FIRST: registration order is preference order
     val eng = new Engine(base.copy(histograms = Seq(
