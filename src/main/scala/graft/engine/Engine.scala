@@ -122,6 +122,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: SeasonalQuery           => seasonal(q)
     case q: GapsQuery               => gaps(q)
     case q: StaleQuery              => stale(q)
+    case q: AnomalyQuery            => anomaly(q)
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
@@ -335,6 +336,31 @@ final class Engine(val ctx: TsdbContext) {
         expr("gap_end div 1000").as("gap_end_us"),
         expr("gap_ns div 1000").as("gap_us"))
       .orderBy("series", "gap_start_us")
+  }
+
+  /** Beyond-reference `anomaly`: per-series robust outliers — ranged
+    * samples with |x − median| > c · MAD
+    * ([[graft.ops.Monitoring.madAnomalies]] through the query
+    * language; Hampel's identifier). The fit and flag passes share one
+    * scope-cached scan; with `rate`, the med/MAD index fits on a
+    * hash-deterministic row sample instead (the bounded-memory form —
+    * flags still judge every ranged sample). Output:
+    * (series, ts_us, value, med, mad), flagged rows only. */
+  def anomaly(q: AnomalyQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    val s = scan(ids, q.range, Seq(q.metric))
+      .select(col("out_name").as("series"), col("ts"), col("value"))
+    val flagged = q.rate match {
+      case None => graft.ops.Monitoring.madAnomalies(s, "series", q.c)
+      case Some(r) =>
+        graft.ops.Monitoring.madAnomaliesWith(s,
+          graft.ops.Monitoring.madIndexSampled(s, "series", r), "series", q.c)
+    }
+    flagged.where(col("is_anomaly"))
+      .select(col("series"), expr("ts div 1000").as("ts_us"),
+        round(col("value"), 6).as("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+      .orderBy("series", "ts_us", "value")
   }
 
   /** Beyond-reference `stale`: registered series of the metric whose

@@ -351,19 +351,32 @@ object Round6bEntries {
     * quantile_cont and Spark's percentile interpolate in different IEEE
     * op orders, so a raw-valued flag compare could split on the last
     * ulp (mirrors Monitoring.madIndex exactly). */
-  private def AnomalySql(selectList: String): String =
-    s"""WITH s AS (SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
-             ts, value
-           FROM events WHERE event_type = 'click'),
-         med AS (SELECT name, round(quantile_cont(value, 0.5), 6) AS med
-                 FROM s GROUP BY name),
-         mad AS (SELECT s.name, m.med,
-             round(quantile_cont(abs(s.value - m.med), 0.5), 6) AS mad
-           FROM s JOIN med m USING (name) GROUP BY s.name, m.med)
+  /** ONE med/MAD replay generator (src must yield ($key, ts, value)):
+    * the batch entry, its streaming twin and the `anomaly` JSON
+    * statement (+ its sampled form, via `fitWhere` restricting the FIT
+    * source while flags judge all of `s`) share the identical
+    * quantile_cont chain — rounded statistics, raw-value compare. */
+  def anomalySql(selectList: String, srcSql: String, key: String = "name",
+      cLit: String = "3", fitWhere: String = ""): String =
+    s"""WITH s AS ($srcSql),
+         sm AS (SELECT * FROM s $fitWhere),
+         med AS (SELECT $key, round(quantile_cont(value, 0.5), 6) AS med
+                 FROM sm GROUP BY $key),
+         mad AS (SELECT sm.$key, m.med,
+             round(quantile_cont(abs(sm.value - m.med), 0.5), 6) AS mad
+           FROM sm JOIN med m USING ($key) GROUP BY sm.$key, m.med)
        $selectList
-       FROM s JOIN mad m USING (name)
-       WHERE abs(s.value - m.med) > 3 * m.mad
-       ORDER BY name, ts_us, value"""
+       FROM s JOIN mad m USING ($key)
+       WHERE abs(s.value - m.med) > $cLit * m.mad
+       ORDER BY $key, ts_us, value"""
+
+  private val ClickAnomalySrc =
+    """SELECT 'click user=' || CAST(user_id AS VARCHAR) AS name,
+             ts, value
+           FROM events WHERE event_type = 'click'"""
+
+  private def AnomalySql(selectList: String): String =
+    anomalySql(selectList, ClickAnomalySrc)
 
   private val stopList =
     TextOps.GopherStopwords.map(w => s"'$w'").mkString(", ")

@@ -151,6 +151,24 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // robust anomaly detection through the QUERY LANGUAGE: ranged
+    // purchases with |x − median| > 3·MAD per series (Hampel), fit and
+    // flag sharing one scope-cached scan — the monitoring statement
+    // family's outlier member (gaps/stale/seasonal/anomaly)
+    "ts_anomaly_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"anomaly": {"metric": "purchase", "c": 3.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the bounded-memory form: the med/MAD index fits on a
+    // hash-deterministic half-sample (rate 0.5) while flags judge
+    // every ranged sample — the madIndexSampled twin, statement-
+    // reachable (c defaults to 3)
+    "ts_anomaly_json_sampled" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"anomaly": {"metric": "purchase", "rate": 0.5},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the value filter composes with quantile: "p99 of the purchases
     // above 50" — the filter runs during the scan (pushdown-able),
     // BEFORE bucketing; index serving abstains (the index stores
@@ -322,6 +340,25 @@ object Round8Entries {
          SELECT name, CAST(phase AS BIGINT) AS phase, lo, hi
          FROM bands ORDER BY name, phase"""),
 
+    // the med/MAD replay (Round6b's ONE generator) over the ranged
+    // purchase source with the statement's series key and c literal
+    "ts_anomaly_json" -> Round6bEntries.anomalySql(
+      """SELECT s.series, epoch_us(s.ts) AS ts_us,
+           round(s.value, 6) AS value,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad""",
+      AnomalyJsonSrc, key = "series", cLit = "3.0"),
+
+    // the sampled form: identical hash-sample predicate restricts the
+    // FIT source; flags still judge every ranged sample
+    "ts_anomaly_json_sampled" -> Round6bEntries.anomalySql(
+      """SELECT s.series, epoch_us(s.ts) AS ts_us,
+           round(s.value, 6) AS value,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad""",
+      AnomalyJsonSrc, key = "series", cLit = "3.0",
+      fitWhere = s"""WHERE ${EntryUtil.h60Sql(
+          "series || '|' || CAST(epoch_ns(ts) AS VARCHAR)")}
+          % 1000000 < 0.5 * 1000000.0"""),
+
     // filtered replay: the same generator over the value-filtered
     // ranged source (both engines compare the one literal 50)
     "ts_quantile_json_filtered" -> Round7Entries.histQuantileSql(
@@ -354,6 +391,16 @@ object Round8Entries {
          SELECT series, CAST(phase AS BIGINT) AS phase, lo, hi
          FROM bands ORDER BY series, phase""")
   )
+
+  /** Ranged purchase source for the anomaly statement oracles
+    * (series-keyed, raw ts kept for epoch_ns/epoch_us). */
+  private lazy val AnomalyJsonSrc: String =
+    s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
+                 AS series, ts, value
+             FROM events
+             WHERE event_type = 'purchase'
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
 
   /** ONE trend replay generator (the corrSql pattern): identical
     * milli-quantized day-bucket means, per-key REBASED x (bk − min bk),

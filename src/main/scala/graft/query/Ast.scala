@@ -277,6 +277,24 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"anomaly": {"metric": "m", "c": 3.0, "rate": 0.5}}` — beyond-
+    * reference: per-series robust outliers of the ranged values —
+    * samples with |x − median| > c · MAD (Hampel's identifier,
+    * [[graft.ops.Monitoring.madAnomalies]] through the query
+    * language). The med/MAD index fits on the ranged values; optional
+    * `rate` fits it on a hash-deterministic row sample instead
+    * ([[graft.ops.Monitoring.madIndexSampled]] — the bounded-memory
+    * form for unbounded per-series counts; flags still judge EVERY
+    * ranged sample). `c` defaults to 3. Output rows:
+    * (series, ts_us, value, med, mad), flagged samples only. */
+  final case class AnomalyQuery(
+      metric: String,
+      c: Double,
+      rate: Option[Double],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"active": {"metric": ["a", "b"], "step": "1d"}}` — beyond-
     * reference: per-metric count of DISTINCT series with at least one
     * sample in the range ("how many emitters are alive"), optionally

@@ -37,7 +37,7 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend",
-      "active", "seasonal", "gaps", "stale")
+      "active", "seasonal", "gaps", "stale", "anomaly")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -64,6 +64,7 @@ object QueryParser {
     else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("gaps")) parseGaps(root)
     else if (root.has("stale")) parseStale(root)
+    else if (root.has("anomaly")) parseAnomaly(root)
     else if (root.has("asof-join")) parseAsofJoin(root)
     else if (root.has("aggregate")) parseAggregate(root)
     else if (root.has("group-aggregate")) parseGroupAggregate(root)
@@ -314,6 +315,37 @@ object QueryParser {
         "gaps requires exactly one of 'min-gap' (absolute) or 'factor' (adaptive)")
     rejectSampleClauses(root, "gaps")
     GapsQuery(metric, minGap, factor, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
+  /** Beyond-reference `anomaly` (see [[Ast.AnomalyQuery]]). */
+  private def parseAnomaly(root: JsonNode): AnomalyQuery = {
+    val stmt = root.get("anomaly")
+    if (!stmt.isObject)
+      throw new BadQuery("anomaly statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "c", "rate").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad anomaly key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("anomaly.metric name required"))
+    val c = Option(stmt.get("c")).map { n =>
+      if (!n.isNumber) throw new BadQuery("anomaly.c must be a number")
+      val v = n.asDouble()
+      if (v.isNaN || v <= 0)
+        throw new BadQuery(s"anomaly.c must be positive (got ${n.asText()})")
+      v
+    }.getOrElse(3.0)
+    val rate = Option(stmt.get("rate")).map { n =>
+      if (!n.isNumber) throw new BadQuery("anomaly.rate must be a number")
+      val v = n.asDouble()
+      if (v.isNaN || v <= 0 || v > 1)
+        throw new BadQuery(s"anomaly.rate out of (0, 1]: ${n.asText()}")
+      v
+    }
+    rejectSampleClauses(root, "anomaly")
+    AnomalyQuery(metric, c, rate, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
 

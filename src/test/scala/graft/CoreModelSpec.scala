@@ -501,6 +501,34 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("anomaly statement: parse, c/rate validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"anomaly": {"metric": "m", "c": 2.5, "rate": 0.5},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[AnomalyQuery]
+    assert(q.metric === "m" && q.c === 2.5 && q.rate === Some(0.5))
+    assert(QueryParser.parse(
+      """{"anomaly": {"metric": "m"}, "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[AnomalyQuery].c === 3.0) // c defaults to Hampel's 3
+    intercept[BadQuery](QueryParser.parse( // c must be positive
+      """{"anomaly": {"metric": "m", "c": 0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // rate in (0, 1]
+      """{"anomaly": {"metric": "m", "rate": 1.5},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // rate must be a number
+      """{"anomaly": {"metric": "m", "rate": "half"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"anomaly": {"metric": "m", "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // flags have no rows to page
+      """{"anomaly": {"metric": "m"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"anomaly": {"metric": "m"},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("zero-width duration clauses are BadQuery at parse time, not plan-time arithmetic") {
     // the duration grammar admits "0s"; each bin-sizing clause must
     // surface it in the BadQuery taxonomy, never as an
