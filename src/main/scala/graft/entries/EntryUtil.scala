@@ -597,6 +597,24 @@ object EntryUtil {
           hourNs -> spark.read.parquet(s"$path/hour"))))
     })
 
+  private val simhashIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized PERSISTED SimHash fingerprint index over the NON-batch
+    * documents (doc_id % BatchMod != 0 — the docs_incremental_dedup
+    * corpus split): 8 bytes per doc, written once
+    * (Dedup.writeSimhashIndex); the incremental probe entry reads it
+    * and never touches corpus text. */
+  def simhashIndexFor(spark: SparkSession, dir: String): String =
+    simhashIndexes.getOrElseUpdate((spark, dir), {
+      val path = scratchDir("graft_simhash_index")
+      graft.pipeline.Dedup.writeSimhashIndex(
+        repartitioned(spark, dir, "documents")
+          .where(col("doc_id") % Round6Entries.BatchMod =!= 0),
+        path, "doc_id", "text")
+      path
+    })
+
   private val kmvIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

@@ -289,6 +289,27 @@ object PipelineEntries {
   /** hash60 in DuckDB. */
   private def h60(s: String): String = EntryUtil.h60Sql(s)
 
+  /** ONE SimHash fingerprint CTE chain over `documents` — words →
+    * per-bit majority votes → `sh(doc_id, s)` — the replay of
+    * TextKernels.simhash60 the simhash oracles here mirror inline;
+    * downstream oracles (the incremental probe) compose on top of it
+    * rather than re-copying the arithmetic. */
+  def simhashShCtes: String =
+    s"""words AS (
+             SELECT doc_id, ${h60("u.w")} AS h
+             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
+           perbit AS (
+             SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+               count(*) AS total
+             FROM words, UNNEST(generate_series(0, 59)) AS t(b)
+             GROUP BY doc_id, b),
+           sh AS (
+             SELECT doc_id,
+               CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
+                 AS BIGINT) AS s
+             FROM perbit GROUP BY doc_id)"""
+
   /** Distinct word-3-shingles CTE over documents. */
   private val shinglesCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -151,6 +151,22 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // incremental SimHash dedup probing a PERSISTED fingerprint index
+    // (8 bytes/doc, Dedup.writeSimhashIndex): each batch doc checked
+    // for a corpus fingerprint within 3 bits via the exact-recall
+    // pigeonhole banding — the SimHash face of the minhash
+    // incremental-dedup probe; corpus text never re-read, the index
+    // never shuffled (batch band keys broadcast onto in-row-derived
+    // index band rows), ties to the MIN corpus id
+    "docs_incremental_simhash" -> ((s, dir) => {
+      val path = EntryUtil.simhashIndexFor(s, dir)
+      val batch = EntryUtil.repartitioned(s, dir, "documents")
+        .where(col("doc_id") % Round6Entries.BatchMod === 0)
+      graft.pipeline.Dedup.simhashAgainstIndex(
+          s.read.parquet(s"$path/simhash"), batch, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // robust anomaly detection through the QUERY LANGUAGE: ranged
     // purchases with |x − median| > 3·MAD per series (Hampel), fit and
     // flag sharing one scope-cached scan — the monitoring statement
@@ -339,6 +355,34 @@ object Round8Entries {
       """
          SELECT name, CAST(phase AS BIGINT) AS phase, lo, hi
          FROM bands ORDER BY name, phase"""),
+
+    // the shared fingerprint chain (PipelineEntries.simhashShCtes) +
+    // the corpus/batch split, band equi-join, xor/popcount verify and
+    // min-cid choice — the chosen pair's hamming recomputed from the
+    // two fingerprints exactly as the engine does
+    "docs_incremental_simhash" ->
+      s"""WITH ${PipelineEntries.simhashShCtes},
+           corpus AS (SELECT doc_id AS cid, s AS cs FROM sh
+             WHERE doc_id % ${Round6Entries.BatchMod} <> 0),
+           batch AS (SELECT doc_id AS bid, s AS bs FROM sh
+             WHERE doc_id % ${Round6Entries.BatchMod} = 0),
+           cb AS (SELECT cid, b AS band, (cs >> (b * 15)) & 32767 AS bk
+             FROM corpus, UNNEST(generate_series(0, 3)) AS t(b)),
+           bb AS (SELECT bid, b AS band, (bs >> (b * 15)) & 32767 AS bk
+             FROM batch, UNNEST(generate_series(0, 3)) AS t(b)),
+           cand AS (SELECT DISTINCT bid, cid
+             FROM cb JOIN bb USING (band, bk)),
+           near AS (SELECT bid, min(cid) AS dup_of
+             FROM cand JOIN corpus USING (cid) JOIN batch USING (bid)
+             WHERE bit_count(xor(bs, cs)) <= 3
+             GROUP BY bid)
+         SELECT b.bid AS id, n.dup_of,
+           CASE WHEN n.dup_of IS NULL THEN NULL
+                ELSE bit_count(xor(b.bs, c.cs)) END AS hamming,
+           CASE WHEN n.dup_of IS NULL THEN 'new' ELSE 'near' END AS status
+         FROM batch b LEFT JOIN near n USING (bid)
+           LEFT JOIN corpus c ON c.cid = n.dup_of
+         ORDER BY id""",
 
     // the med/MAD replay (Round6b's ONE generator) over the ranged
     // purchase source with the statement's series key and c literal

@@ -369,6 +369,72 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Persist the SimHash fingerprint index: one (cid, simhash) row per
+    * corpus document — 8 bytes of index per doc, written once at
+    * curation time. Band keys are NOT materialized: they are a pure
+    * in-row bit-slice of the fingerprint, re-derived at probe time
+    * ([[simhashAgainstIndex]]) for whatever banding the probe uses —
+    * one index serves every (maxDist, bands) policy, unlike the
+    * MinHash index whose band keys depend on build parameters. */
+  def writeSimhashIndex(corpus: DataFrame, path: String, idCol: String,
+      textCol: String): Unit =
+    simhash(corpus, idCol, textCol)
+      .select(col("id").as("cid"), col("simhash").as("cs"))
+      .write.mode("overwrite").parquet(s"$path/simhash")
+
+  /** Incremental SimHash near-dup: each batch document checked against
+    * a PERSISTED fingerprint index ([[writeSimhashIndex]]) for a
+    * corpus fingerprint within `maxDist` bits — the SimHash face of
+    * [[dedupAgainstIndex]], with [[simhashPairs]]' exact-recall
+    * pigeonhole banding (maxDist < bands). The corpus text is never
+    * re-read and the index is never shuffled: the batch's band keys
+    * broadcast onto the index's in-row-derived band rows, so every
+    * corpus participation is a broadcast probe on the index scan;
+    * candidates verify with one xor+popcount; ties resolve to the MIN
+    * corpus id and the reported hamming is recomputed from the chosen
+    * pair's fingerprints (deterministic, mirror-replayable). Output:
+    * one row per batch doc — (id, dup_of, hamming, status
+    * "near"|"new"). */
+  def simhashAgainstIndex(indexSh: DataFrame /* (cid, cs) */,
+      batch: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxDist < bands, s"exact recall needs maxDist < bands")
+    require(60 % bands == 0, "bands must divide 60")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    def bandRows(df: DataFrame, id: String, sh: String): DataFrame =
+      df.select(col(id), posexplode(array((0 until bands).map(i =>
+          expr(s"shiftright($sh, ${i * width}) & $mask")): _*))
+        .as(Seq("band", "bk")))
+    val bsh = scopedCache(simhash(batch, idCol, textCol))
+    val cand = bandRows(indexSh, "cid", "cs")
+      .join(broadcast(bandRows(bsh, "id", "simhash")
+        .withColumnRenamed("id", "bid")), Seq("band", "bk"))
+      .select("bid", "cid").distinct()
+    val near = cand
+      .join(broadcast(bsh.select(col("id").as("bid"),
+        col("simhash").as("bs"))), "bid")
+      .join(indexSh, "cid")
+      .where(bit_count(col("bs").bitwiseXOR(col("cs"))) <= maxDist)
+      .groupBy("bid").agg(min(col("cid")).as("dup_of"))
+    // result assembly: batch-bounded frames broadcast, and the chosen
+    // corpus fingerprints are fetched by one candidate-filtered probe
+    // of the index (batch-sized — the corpus-sized index itself never
+    // shuffles); the hamming of the CHOSEN pair recomputes from the
+    // two fingerprints
+    val chosen = indexSh
+      .join(broadcast(near.select(col("dup_of").as("cid")).distinct()), "cid")
+      .select(col("cid").as("dup_of"), col("cs"))
+    bsh.select(col("id"), col("simhash").as("bs"))
+      .join(broadcast(near.withColumnRenamed("bid", "id")), Seq("id"), "left")
+      .join(broadcast(chosen), Seq("dup_of"), "left")
+      .select(col("id"), col("dup_of"),
+        when(col("dup_of").isNotNull,
+          bit_count(col("bs").bitwiseXOR(col("cs")))).as("hamming"),
+        when(col("dup_of").isNotNull, lit("near")).otherwise(lit("new"))
+          .as("status"))
+  }
+
   /** Connected components over near-duplicate pairs — the step that turns
     * pairwise similarity into a KEEP/DROP decision: every document in a
     * component gets the component's minimum id as `group_id`, so `id ==

@@ -664,6 +664,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simhashAgainstIndex: exact repeats flag near with the MIN corpus id; fresh text is new") {
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (4L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "alpha beta gamma delta epsilon zeta"), // same text as 4
+      (7L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_sem").toString
+    Dedup.writeSimhashIndex(corpus, dir, "doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // dup of 4 AND 10
+      (101L, "totally unrelated words qq ww ee rr tt yy uu"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashAgainstIndex(
+        spark.read.parquet(s"$dir/simhash"), batch, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Option[Long], Option[Int], String)].collect().toSeq
+    assert(out.head === ((100L, Some(4L), Some(0), "near")),
+      s"identical text must flag near with the MIN matching corpus id: $out")
+    assert(out(1)._4 === "new" && out(1)._2 === None,
+      s"unrelated text must come back new: $out")
+    Dedup.releaseCaches()
+  }
+
   test("histogram quantiles: the target order statistic lies in the reported bucket's hull") {
     // randomized pin of the one-sided bound across magnitudes 1e-3..1e4
     // on BOTH signs: the reported bucket key is <= the true ceil(p·n)-th

@@ -485,6 +485,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("incremental simhash: the index meets the batch via broadcast only") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = (1L to 60L).map(i =>
+        (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString
+    graft.pipeline.Dedup.writeSimhashIndex(
+      docs.where($"doc_id" % 5 =!= 0), dir, "doc_id", "text")
+    val out = graft.pipeline.Dedup.simhashAgainstIndex(
+      spark.read.parquet(s"$dir/simhash"),
+      docs.where($"doc_id" % 5 === 0), "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    // the corpus-sized index side is only ever STREAMED through
+    // broadcast probes of the (bounded) batch — no shuffle aligns it
+    assert(!p.contains("SortMergeJoin"),
+      s"index must meet the batch via broadcast only:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected broadcast probes for candidates/verify/result:\n$p")
+    // and the only file scans are the index parquet (the batch is an
+    // in-memory frame here) — corpus text is never re-read
+    val scans = out.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.forall(_.metadata("Location").contains("graft_sh_idx")),
+      s"only the fingerprint index may be scanned:\n$scans")
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("persisted quantile histogram: serving reads only the index parquet") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
