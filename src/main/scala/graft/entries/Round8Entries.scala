@@ -151,6 +151,17 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // the quantile statement over the PERSISTED partitioned layout
+    // (metric/ts_day directories, (series_id, ts)-sorted files): the
+    // statement's scan rides the same two-level pruning as select —
+    // the (metric, ts_day) predicate prunes directories before any
+    // I/O. Same oracle as the plain-context statement: the layout
+    // changes the plan, never the answer
+    "ts_layout_quantile" -> ((s, dir) =>
+      EntryUtil.engineLayoutFor(s, dir).execute(
+        s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // incremental SimHash dedup probing a PERSISTED fingerprint index
     // (8 bytes/doc, Dedup.writeSimhashIndex): each batch doc checked
     // for a corpus fingerprint within 3 bits via the exact-recall
@@ -355,6 +366,9 @@ object Round8Entries {
       """
          SELECT name, CAST(phase AS BIGINT) AS phase, lo, hi
          FROM bands ORDER BY name, phase"""),
+
+    // layout-scanned = plain-scanned exactly — one oracle
+    "ts_layout_quantile" -> Round7Entries.QuantileJsonSql,
 
     // the shared fingerprint chain (PipelineEntries.simhashShCtes) +
     // the corpus/batch split, band equi-join, xor/popcount verify and
