@@ -89,6 +89,31 @@ object ContractProbe {
       """{"active": {"metric": ["click"]},
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "output": {"format": "csv"}}""")
+    tryQ("trend-sub-us-step",
+      """{"trend": {"metric": ["click"], "step": "500n"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("trend-ragged-horizon",
+      """{"trend": {"metric": ["click"], "step": "1d", "horizon": "36h"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("gaps-both-thresholds",
+      """{"gaps": {"metric": "click", "min-gap": "1h", "factor": 3.0},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("gaps-zero-threshold",
+      """{"gaps": {"metric": "click", "min-gap": "0s"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("stale-backward-range",
+      """{"stale": {"metric": "click", "older-than": "12h"},
+          "range": {"from": "20240401T000000", "to": "20240101T000000"}}""")
+    tryQ("anomaly-bad-rate",
+      """{"anomaly": {"metric": "click", "rate": 2.0},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("anomaly-unknown-metric",
+      """{"anomaly": {"metric": "no_such_metric"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("group-aggregate-zero-step",
+      """{"group-aggregate": {"metric": "purchase", "func": "mean",
+                              "step": "0s"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("fill-bad-step",
       """{"select": "purchase",
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
