@@ -348,8 +348,12 @@ final class Engine(val ctx: TsdbContext) {
     * (series, ts_us, value, med, mad), flagged rows only. */
   def anomaly(q: AnomalyQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    val s = scan(ids, q.range, Seq(q.metric))
-      .select(col("out_name").as("series"), col("ts"), col("value"))
+    // scope-cache HERE so both paths share one fact scan: the sampled
+    // path's index otherwise caches only the hash-FILTERED subtree and
+    // the flag pass re-scans the facts in full
+    val s = graft.pipeline.Dedup.scopedCache(
+      scan(ids, q.range, Seq(q.metric))
+        .select(col("out_name").as("series"), col("ts"), col("value")))
     val flagged = q.rate match {
       case None => graft.ops.Monitoring.madAnomalies(s, "series", q.c)
       case Some(r) =>

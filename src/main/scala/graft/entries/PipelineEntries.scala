@@ -530,38 +530,17 @@ object PipelineEntries {
          ORDER BY id_a, id_b"""
     },
 
+    // the ONE fingerprint chain ([[simhashShCtes]]) with a rename-only
+    // final select
     "docs_simhash" ->
-      s"""WITH words AS (
-             SELECT doc_id, ${h60("u.w")} AS h
-             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
-           perbit AS (
-             SELECT doc_id, b,
-               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-               count(*) AS total
-             FROM words, UNNEST(generate_series(0, 59)) AS t(b)
-             GROUP BY doc_id, b)
-         SELECT doc_id AS id,
-           CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
-             AS BIGINT) AS simhash
-         FROM perbit GROUP BY doc_id ORDER BY id""",
+      s"""WITH ${simhashShCtes}
+         SELECT doc_id AS id, s AS simhash
+         FROM sh ORDER BY id""",
 
-    // same fingerprint CTE as docs_simhash + the 4×15-bit band join and
+    // same fingerprint CTE chain + the 4×15-bit band join and
     // xor/popcount verification (mirrors Dedup.simhashPairs exactly)
     "docs_simhash_pairs" ->
-      s"""WITH words AS (
-             SELECT doc_id, ${h60("u.w")} AS h
-             FROM documents, UNNEST(string_split(text, ' ')) AS u(w)),
-           perbit AS (
-             SELECT doc_id, b,
-               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-               count(*) AS total
-             FROM words, UNNEST(generate_series(0, 59)) AS t(b)
-             GROUP BY doc_id, b),
-           sh AS (
-             SELECT doc_id,
-               CAST(sum(CASE WHEN ones * 2 >= total THEN 1::BIGINT << b ELSE 0 END)
-                 AS BIGINT) AS s
-             FROM perbit GROUP BY doc_id),
+      s"""WITH ${simhashShCtes},
            bands AS (
              SELECT doc_id, b AS band, (s >> (b * 15)) & 32767 AS bk
              FROM sh, UNNEST(generate_series(0, 3)) AS t(b)),

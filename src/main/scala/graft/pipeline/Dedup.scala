@@ -411,10 +411,14 @@ object Dedup {
       .join(broadcast(bandRows(bsh, "id", "simhash")
         .withColumnRenamed("id", "bid")), Seq("band", "bk"))
       .select("bid", "cid").distinct()
-    val near = cand
-      .join(broadcast(bsh.select(col("id").as("bid"),
-        col("simhash").as("bs"))), "bid")
-      .join(indexSh, "cid")
+    // verify probes the INDEX side too (the candidate list is
+    // batch-bounded and broadcast) — without the hint a corpus-sized
+    // index above the auto-broadcast threshold would sort-merge-shuffle
+    // here, exactly what this operator exists to avoid
+    val near = indexSh
+      .join(broadcast(cand.join(
+        broadcast(bsh.select(col("id").as("bid"),
+          col("simhash").as("bs"))), "bid")), "cid")
       .where(bit_count(col("bs").bitwiseXOR(col("cs"))) <= maxDist)
       .groupBy("bid").agg(min(col("cid")).as("dup_of"))
     // result assembly: batch-bounded frames broadcast, and the chosen

@@ -284,8 +284,10 @@ object Ast {
     * language). The med/MAD index fits on the ranged values; optional
     * `rate` fits it on a hash-deterministic row sample instead
     * ([[graft.ops.Monitoring.madIndexSampled]] — the bounded-memory
-    * form for unbounded per-series counts; flags still judge EVERY
-    * ranged sample). `c` defaults to 3. Output rows:
+    * form for unbounded per-series counts; flags judge every ranged
+    * sample of the INDEXED series — a series whose rows are all
+    * sampled out has no baseline and drops out, the
+    * no-baseline/no-judgement rule). `c` defaults to 3. Output rows:
     * (series, ts_us, value, med, mad), flagged samples only. */
   final case class AnomalyQuery(
       metric: String,

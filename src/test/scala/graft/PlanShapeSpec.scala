@@ -182,6 +182,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"bucketed join alignment must plan without a hash exchange:\n$join")
     assert(join.contains("Exchange rangepartitioning"),
       s"sanity: the rendered plan should still show the output sort's range exchange:\n$join")
+    // statements ride the same two-level pruning: the quantile
+    // statement's fact scan must carry metric AND ts_day inside
+    // PartitionFilters (its oracle checks only the answer, which is
+    // identical whether pruning happened or degraded to a row filter)
+    val quant = SparkEntry.queries("ts_layout_quantile")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val qFilters = "PartitionFilters: \\[[^\\]]*".r.findAllIn(quant).toSeq
+    assert(qFilters.exists(f => f.contains("metric") && f.contains("ts_day")),
+      s"layout quantile must prune metric AND ts_day partitions at the scan:\n$quant")
   }
 
   test("stream-built rollup actually serves: no parquet scan reads sample values") {
