@@ -36,6 +36,54 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       Set("m:cnt user=4", "m:cnt user=5"))
   }
 
+  test("gaps statement: planted silences flagged, thresholds respected") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // series a: regular ticks 0..9 then a 50-tick hole then 60..64;
+    // series b: dense, no hole — only a's silence may flag
+    val rows = ((0L to 9L) ++ (60L to 64L)).map(t => ("a", t, 1.0)) ++
+      (0L to 64L).map(t => ("b", t, 1.0))
+    val wide = rows.toDF("tag", "ts", "value").withColumn("metric", lit("m"))
+    val eng = new Engine(graft.model.TsdbContext.fromWide(spark, wide,
+      "metric", Seq("tag"), "ts", "value"))
+    val abs = eng.execute(
+      """{"gaps": {"metric": "m", "min-gap": "10n"},
+         "range": {"from": 0, "to": 100}}""")
+      .select("series", "gap_start_us", "gap_end_us")
+      .as[(String, Long, Long)].collect().toSeq
+    // µs-floored outputs of the ns-exact (9, 60) interval
+    assert(abs === Seq(("m tag=a", 0L, 0L)),
+      s"exactly a's planted silence: $abs")
+    val rel = eng.execute(
+      """{"gaps": {"metric": "m", "factor": 3.0},
+         "range": {"from": 0, "to": 100}}""")
+      .select("series").as[String].collect().toSeq
+    assert(rel === Seq("m tag=a"),
+      "adaptive: only a's gap exceeds 3x its own mean spacing")
+  }
+
+  test("stale statement: never-wrote series surface with null last_ts") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // series a last writes at t=10; b at t=99; c exists only BEFORE the
+    // queried range (so it has a catalog row but no in-range samples)
+    val rows = (0L to 10L).map(t => ("a", t, 1.0)) ++
+      (0L to 99L).map(t => ("b", t, 1.0)) ++
+      Seq(("c", -50L, 1.0))
+    val wide = rows.toDF("tag", "ts", "value").withColumn("metric", lit("m"))
+    val eng = new Engine(graft.model.TsdbContext.fromWide(spark, wide,
+      "metric", Seq("tag"), "ts", "value"))
+    // now = 100; older-than 50n -> cutoff 50: a (last 10) and c (null)
+    // are stale, b (last 99) is alive
+    val out = eng.execute(
+      """{"stale": {"metric": "m", "older-than": "50n"},
+         "range": {"from": 0, "to": 100}}""")
+      .select("series", "last_ts_us")
+      .as[(String, Option[Long])].collect().toSeq
+    assert(out === Seq(("m tag=a", Some(0L)), ("m tag=c", None)),
+      s"a stale by age, c stale by absence, b alive: $out")
+  }
+
   test("forward scan, series order") {
     val q = SelectQuery("test", TimeRange(100, 200))
     val rows = collectSeries(engine.select(q))
