@@ -908,7 +908,7 @@ object Round7Entries {
   /** ONE correlation replay generator — the aligned matrix and the
     * lead/lag form differ only in the bucket join offset. Identical
     * milli-quantized bucket means, integer moments, one double formula. */
-  private def corrSql(lag: Int, where: String = ""): String =
+  def corrSql(lag: Int, where: String = ""): String =
     s"""WITH b AS (SELECT event_type AS k,
                epoch_ns(ts) // 3600000000000 AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))

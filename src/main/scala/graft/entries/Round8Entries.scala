@@ -151,6 +151,38 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // cross-metric correlation served from a STREAM-maintained
+    // bucket-mean index (TsdbStream.bucketMeansBuild: per (series,
+    // hourly bucket) the exact µu sum + count, finalized once by the
+    // watermark): the sink's integer ingredients reduce through the
+    // SAME mean formula and pair machinery as the batch scan
+    // (Stats.meansFromSums + corrFromBucketMeans), so the streamed
+    // correlation equals the batch matrix bit-for-bit — the dashboard
+    // correlation kept fresh online; one oracle with the batch form
+    "stream_corr" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val hourNs = 3600000000000L
+      // feed keyed by EVENT TYPE (the correlation's metric key), ts-
+      // ordered so the watermark only advances
+      val rows = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("ts").cast("long"),
+          col("value").cast("double"))
+        .orderBy("ts", "event_type", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val maxTs = rows.iterator.map(_._2).max
+      val sink = EntryUtil.runStreamEntry(s, "stream_corr_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.bucketMeansBuild(_, hourNs,
+          "10 minutes"),
+        sentinel = Some((rows.head._1, maxTs + 86400000000000L, 0.0)))
+      graft.ops.Stats.corrFromBucketMeans(
+          graft.ops.Stats.meansFromSums(sink, "name"), "name")
+        .orderBy("key_a", "key_b")
+    }),
+
     // the quantile statement over the PERSISTED partitioned layout
     // (metric/ts_day directories, (series_id, ts)-sorted files): the
     // statement's scan rides the same two-level pruning as select —
@@ -369,6 +401,12 @@ object Round8Entries {
 
     // layout-scanned = plain-scanned exactly — one oracle
     "ts_layout_quantile" -> Round7Entries.QuantileJsonSql,
+
+    // stream-maintained bucket means + the shared mean/pair formulas =
+    // the batch correlation over the same feed — corrSql restricted to
+    // the two fed types
+    "stream_corr" -> Round7Entries.corrSql(0,
+      "WHERE event_type IN ('click', 'view')"),
 
     // the shared fingerprint chain (PipelineEntries.simhashShCtes) +
     // the corpus/batch split, band equi-join, xor/popcount verify and

@@ -49,8 +49,21 @@ object Stats {
     * key_a < key_b; flip the lag's sign for the other direction). */
   def corrAligned(samples: DataFrame, bucketNs: Long,
       keyCol: String = "metric", tsCol: String = "ts",
-      valueCol: String = "value", lagBuckets: Long = 0L): DataFrame = {
-    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
+      valueCol: String = "value", lagBuckets: Long = 0L): DataFrame =
+    corrFromBucketMeans(
+      bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol),
+      keyCol, lagBuckets)
+
+  /** The pair/moments half of [[corrAligned]] over an ALREADY-REDUCED
+    * bucket-mean frame (keyCol, __b bucket index, __m milli-quantized
+    * mean) — shared with the streaming bucket-mean maintainer
+    * ([[graft.streaming.TsdbStream.bucketMeansBuild]] sinks exactly
+    * this frame's integer ingredients), so a stream-maintained index
+    * serves correlations bit-identically to the batch scan: the
+    * moments are integer sums of the same integers and the one double
+    * formula is shared. */
+  def corrFromBucketMeans(buckets: DataFrame, keyCol: String,
+      lagBuckets: Long = 0L): DataFrame = {
     val l = buckets.select(col(keyCol).as("key_a"), col("__b"),
       col("__m").as("__x"))
     val r = buckets.select(col(keyCol).as("key_b"),
@@ -75,14 +88,24 @@ object Stats {
       keyCol: String, tsCol: String, valueCol: String): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
     import graft.functions.VectorExpressions.longFloorDiv
-    samples
+    meansFromSums(samples
       .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
       .groupBy(col(keyCol), col("__b"))
       .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
-        count(lit(1)).as("__c"))
-      .select(col(keyCol), col("__b"),
-        round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
+        count(lit(1)).as("__c")),
+      keyCol)
   }
+
+  /** The ONE exact sum/count → milli-unit mean reduction: integer µu
+    * sum and count divide as doubles, round half-up to one milli-unit
+    * integer — applied by the batch [[bucketMeans]] and by callers
+    * serving a stream-maintained (keyCol, __b, __s, __c) sink
+    * ([[graft.streaming.TsdbStream.bucketMeansBuild]]); identical
+    * integer ingredients → identical means, whichever side built
+    * them. */
+  def meansFromSums(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol), col("__b"),
+      round(col("__s") / col("__c") / lit(1000.0), 0).cast("long").as("__m"))
 
   /** The ONE Pearson formula over integer moment columns (n_buckets,
     * __sx, __sy, __sxy, __sxx, __syy): each moment cast to double

@@ -400,6 +400,37 @@ object TsdbStream extends Serializable {
       .toDF("name", "last_ts")
   }
 
+  /** Continuous bucket-mean maintenance — the streaming builder of the
+    * [[graft.ops.Stats]] correlation machinery's reduced frame: per
+    * (series, epoch-aligned bucket) the EXACT integer ingredients of
+    * the milli-quantized bucket mean (µu sum + count), watermarked so
+    * each bucket finalizes exactly once (append mode). Serving runs
+    * [[graft.ops.Stats.meansFromSums]] +
+    * [[graft.ops.Stats.corrFromBucketMeans]] over the sink — the
+    * streamed correlation equals the batch scan's bit-for-bit (integer
+    * sums add; the double formula is shared). State is one (sum, cnt)
+    * pair per open (series, bucket); sink rows are series × buckets —
+    * the same bounded contract as [[rollupBuild]], carrying the
+    * quantized sums the correlation ops need (a raw-double rollup sum
+    * would NOT replay the µu-per-row quantization). */
+  def bucketMeansBuild(samples: DataFrame, bucketNs: Long,
+      lateness: String): DataFrame = {
+    require(bucketNs > 0 && bucketNs % 1000 == 0,
+      "bucket width must be positive whole microseconds")
+    samples
+      .withColumn("event_time", eventTime(col("ts")))
+      .withColumn("__q", round(col("value") * lit(1000000.0), 0).cast("long"))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("name"),
+        window(col("event_time"), s"${bucketNs / 1000} microseconds"))
+      .agg(sum(col("__q")).as("__s"),
+        count(org.apache.spark.sql.functions.lit(1)).as("__c"))
+      .select(col("name"),
+        graft.functions.VectorExpressions.longDiv(
+          unix_micros(col("window.start")) * 1000L, bucketNs).as("__b"),
+        col("__s"), col("__c"))
+  }
+
   case class TrendIn(name: String, ts: Long, value: Double)
   case class TrendMoments(name: String, seq: Long, n_buckets: Long,
       __sx: Long, __sy: Long, __sxy: Long, __sxx: Long,

@@ -649,6 +649,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("bucketMeansBuild: streamed bucket means serve the batch correlation bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = 1000000000L // ns per second
+    val bucket = 10 * s
+    // x ramps, y = 2x + noise-free offset on the same buckets, plus a
+    // third series to make the matrix non-trivial; multi-row buckets so
+    // the µu-sum/count ingredients actually matter
+    val rows = (0 until 120).flatMap { i =>
+      val t = i.toLong * s
+      Seq(("x", t, i / 7.0), ("x", t + 1, i / 7.0 + 0.1),
+        ("y", t, 2 * i / 7.0 + 3.0), ("z", t, ((i * 13) % 29) / 3.0))
+    }.sortBy(_._2)
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.bucketMeansBuild(
+        in.toDF().toDF("name", "ts", "value"), bucket, "5 seconds")
+      .writeStream.format("memory").queryName("bmeans_sink")
+      .outputMode("append").start()
+    try {
+      rows.grouped(160).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      in.addData(("x", 1000L * s, 0.0)) // sentinel: finalize tail buckets
+      q.processAllAvailable()
+      val sink = spark.table("bmeans_sink")
+        .where(col("__b") < lit(120L * s / bucket)) // drop the sentinel bucket
+      val streamed = graft.ops.Stats.corrFromBucketMeans(
+          graft.ops.Stats.meansFromSums(sink, "name"), "name")
+        .orderBy("key_a", "key_b").collect().toSeq
+      val batch = graft.ops.Stats.corrAligned(
+          rows.toDF("name", "ts", "value"), bucket, keyCol = "name")
+        .orderBy("key_a", "key_b").collect().toSeq
+      assert(streamed === batch,
+        "streamed integer ingredients + shared formulas must equal the batch matrix")
+      assert(streamed.exists(r => r.getAs[Double]("corr") == 1.0),
+        s"sanity: the planted linear pair must correlate perfectly: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
