@@ -90,6 +90,14 @@ final class Engine(val ctx: TsdbContext) {
     require(missing.isEmpty,
       s"registered histogram (window $win) lacks column(s): ${missing.mkString(", ")}")
   }
+  ctx.bucketSums.foreach { case (step, b) =>
+    require(step > 0,
+      s"registered bucket-sums step must be positive (got $step)")
+    val missing = Seq("series_id", "__b", "__s", "__c")
+      .filterNot(b.columns.contains)
+    require(missing.isEmpty,
+      s"registered bucket-sums index (step $step) lacks column(s): ${missing.mkString(", ")}")
+  }
 
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
@@ -464,11 +472,45 @@ final class Engine(val ctx: TsdbContext) {
   def correlate(q: CorrelateQuery): DataFrame = {
     val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
     val ids = base.select(col("series_id"), col("metric").as("out_name"))
-    graft.ops.Stats.corrAligned(
-        scan(ids, q.range, q.metrics)
-          .select(col("out_name").as("metric"), col("ts"), col("value")),
-        q.stepNs, lagBuckets = q.lagNs / q.stepNs)
-      .orderBy("key_a", "key_b")
+    servedBucketMeans(q.range, q.stepNs, ids)
+      .map(buckets => graft.ops.Stats.corrFromBucketMeans(buckets,
+          "metric", lagBuckets = q.lagNs / q.stepNs)
+        .orderBy("key_a", "key_b"))
+      .getOrElse(
+        graft.ops.Stats.corrAligned(
+            scan(ids, q.range, q.metrics)
+              .select(col("out_name").as("metric"), col("ts"), col("value")),
+            q.stepNs, lagBuckets = q.lagNs / q.stepNs)
+          .orderBy("key_a", "key_b"))
+  }
+
+  /** The correlate/trend serving core over a REGISTERED bucket-sums
+    * index (ctx.bucketSums: fine step → (series_id, __b, __s, __c),
+    * [[graft.ops.Stats.bucketSums]]): when the forward range covers
+    * whole fine buckets and the query step is a whole number of them,
+    * fine sums and counts re-bin to query buckets (and merge across a
+    * metric's series) by ADDITION — the reduced (metric, __b, __m)
+    * frame is then EXACTLY the scan path's, so serving changes the
+    * plan, never the answer. Misaligned or backward ranges abstain —
+    * a partial fine bucket's sums cannot be split. */
+  private def servedBucketMeans(range: TimeRange, stepNs: Long,
+      ids: DataFrame): Option[DataFrame] = {
+    if (!range.forward) return None
+    ctx.bucketSums.collectFirst { case (fine, bs)
+        if stepNs % fine == 0 &&
+          Math.floorMod(range.from, fine) == 0 &&
+          Math.floorMod(range.to, fine) == 0 =>
+      import graft.functions.VectorExpressions.longFloorDiv
+      val ratio = stepNs / fine
+      val covered = bs
+        .where(col("__b") >= range.from / fine &&
+          col("__b") < range.to / fine)
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .groupBy(col("out_name").as("metric"),
+          longFloorDiv(col("__b"), ratio).as("__b"))
+        .agg(sum(col("__s")).as("__s"), sum(col("__c")).as("__c"))
+      graft.ops.Stats.meansFromSums(covered, "metric")
+    }
   }
 
   /** Beyond-reference `trend`: per-metric OLS trend of the bucket-mean
@@ -480,11 +522,16 @@ final class Engine(val ctx: TsdbContext) {
   def trend(q: TrendQuery): DataFrame = {
     val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
     val ids = base.select(col("series_id"), col("metric").as("out_name"))
-    graft.ops.Stats.trend(
-        scan(ids, q.range, q.metrics)
-          .select(col("out_name").as("metric"), col("ts"), col("value")),
-        q.stepNs, horizonBuckets = q.horizonNs / q.stepNs)
-      .orderBy("metric")
+    servedBucketMeans(q.range, q.stepNs, ids)
+      .map(buckets => graft.ops.Stats.trendFromBucketMeans(buckets,
+          "metric", q.stepNs, horizonBuckets = q.horizonNs / q.stepNs)
+        .orderBy("metric"))
+      .getOrElse(
+        graft.ops.Stats.trend(
+            scan(ids, q.range, q.metrics)
+              .select(col("out_name").as("metric"), col("ts"), col("value")),
+            q.stepNs, horizonBuckets = q.horizonNs / q.stepNs)
+          .orderBy("metric"))
   }
 
   // ------------------------------------------------------------- aggregate

@@ -597,6 +597,28 @@ object EntryUtil {
           hourNs -> spark.read.parquet(s"$path/hour"))))
     })
 
+  private val bucketSumEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine whose ctx REGISTERS a persisted HOURLY bucket-sums
+    * index (series_id-keyed parquet, Stats.bucketSums — the exact µu
+    * sum + count per (series, hour)): aligned `correlate` and `trend`
+    * statements whose step is a whole number of hours reduce the index
+    * instead of scanning facts, with answers EXACTLY equal to the scan
+    * (sums add; plan-pinned no-facts). The ctx.histograms pattern for
+    * the integer-moment statements. */
+  def engineBucketSumsFor(spark: SparkSession, dir: String): Engine =
+    bucketSumEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val path = scratchDir("graft_bsums_engine")
+      graft.ops.Stats.bucketSums(ctx.samples, hourNs,
+          keyCol = "series_id")
+        .write.parquet(s"$path/bsums")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        bucketSums = Seq(hourNs -> spark.read.parquet(s"$path/bsums"))))
+    })
+
   private val simhashIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

@@ -151,6 +151,28 @@ object Round8Entries {
         .orderBy("name", "phase")
     }),
 
+    // the correlate statement SERVED from a registered bucket-sums
+    // index (Stats.bucketSums parquet: exact µu sum + count per
+    // (series, hour)): the hourly statement over the aligned range
+    // reduces index rows — merged across each metric's series and
+    // re-binned by addition — instead of scanning facts; answers
+    // EXACTLY equal the scan (one oracle with ts_corr_json,
+    // PlanShapeSpec pins no-facts + misaligned fallback)
+    "ts_corr_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsFor(s, dir).execute(
+        s"""{"correlate": {"metric": ["click", "purchase", "view"],
+                           "step": "1h"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the trend statement from the SAME index (one bucket-sums build
+    // serves both integer-moment statements, at any step that is a
+    // whole number of index buckets — 1d here over the hourly build)
+    "ts_trend_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsFor(s, dir).execute(
+        s"""{"trend": {"metric": ["click", "purchase", "view"],
+                       "step": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // cross-metric correlation served from a STREAM-maintained
     // bucket-mean index (TsdbStream.bucketMeansBuild: per (series,
     // hourly bucket) the exact µu sum + count, finalized once by the
@@ -407,6 +429,14 @@ object Round8Entries {
     // the two fed types
     "stream_corr" -> Round7Entries.corrSql(0,
       "WHERE event_type IN ('click', 'view')"),
+
+    // index-served = scan-built exactly — one oracle each with the
+    // scan-path statement entries
+    "ts_corr_json_indexed" -> Round7Entries.corrSql(0,
+      s"""WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}"""),
+    "ts_trend_json_indexed" -> trendSql(0),
 
     // the shared fingerprint chain (PipelineEntries.simhashShCtes) +
     // the corpus/batch split, band equi-join, xor/popcount verify and

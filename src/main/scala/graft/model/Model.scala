@@ -61,7 +61,14 @@ final case class TsdbContext(
     samples: DataFrame,
     events: DataFrame,
     rollups: Seq[(Long, DataFrame)] = Nil,
-    histograms: Seq[(Long, DataFrame)] = Nil) {
+    histograms: Seq[(Long, DataFrame)] = Nil,
+    /** optional materialized bucket-sum indexes (bucket step →
+      * (series_id, __b, __s, __c), [[graft.ops.Stats.bucketSums]])
+      * that `correlate`/`trend` statements reduce instead of scanning
+      * facts when the range and step align to whole index buckets —
+      * sums and counts add across time and across merged series, so
+      * one fine build serves every coarser statement exactly. */
+    bucketSums: Seq[(Long, DataFrame)] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

@@ -85,15 +85,28 @@ object Stats {
     * integers, their double ratio rounds half-up to one milli-unit
     * integer. */
   private def bucketMeans(samples: DataFrame, bucketNs: Long,
-      keyCol: String, tsCol: String, valueCol: String): DataFrame = {
+      keyCol: String, tsCol: String, valueCol: String): DataFrame =
+    meansFromSums(bucketSums(samples, bucketNs, keyCol, tsCol, valueCol),
+      keyCol)
+
+  /** The PERSISTABLE half of [[bucketMeans]]: per (key, epoch bucket)
+    * the exact integer ingredients (µu sum `__s`, count `__c`) of the
+    * milli-quantized bucket mean. Sums and counts ADD — across time
+    * (coarser steps re-bin exactly) and across series merged under one
+    * key — so one build at fine granularity serves every coarser
+    * correlation/trend later ([[graft.engine.Engine]] registers this
+    * frame as the `TsdbContext.bucketSums` index; the streaming twin
+    * is [[graft.streaming.TsdbStream.bucketMeansBuild]]). */
+  def bucketSums(samples: DataFrame, bucketNs: Long,
+      keyCol: String = "metric", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
     require(bucketNs > 0, "bucket width must be positive")
     import graft.functions.VectorExpressions.longFloorDiv
-    meansFromSums(samples
+    samples
       .withColumn("__b", longFloorDiv(col(tsCol), bucketNs))
       .groupBy(col(keyCol), col("__b"))
       .agg(sum(round(col(valueCol) * lit(1000000.0), 0).cast("long")).as("__s"),
-        count(lit(1)).as("__c")),
-      keyCol)
+        count(lit(1)).as("__c"))
   }
 
   /** The ONE exact sum/count → milli-unit mean reduction: integer µu
@@ -148,9 +161,19 @@ object Stats {
     * defined line → null slope/forecast, matching SQL regr_slope. */
   def trend(samples: DataFrame, bucketNs: Long, horizonBuckets: Long,
       keyCol: String = "metric", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    trendFromBucketMeans(
+      bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol),
+      keyCol, bucketNs, horizonBuckets)
+
+  /** The rebase/moments half of [[trend]] over an already-reduced
+    * bucket-mean frame (keyCol, __b, __m) — shared with index serving
+    * ([[graft.engine.Engine]]'s registered bucket-sums index reduces
+    * to exactly this frame), so a served trend equals the scan-built
+    * one bit-for-bit. */
+  def trendFromBucketMeans(buckets: DataFrame, keyCol: String,
+      bucketNs: Long, horizonBuckets: Long): DataFrame = {
     require(bucketNs % 1000 == 0, "bucket width must be whole µs")
-    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
     val xb = buckets
       .withColumn("__b0", min(col("__b")).over(w))
