@@ -412,7 +412,13 @@ object TsdbStream extends Serializable {
     * pair per open (series, bucket); sink rows are series × buckets —
     * the same bounded contract as [[rollupBuild]], carrying the
     * quantized sums the correlation ops need (a raw-double rollup sum
-    * would NOT replay the µu-per-row quantization). */
+    * would NOT replay the µu-per-row quantization).
+    *
+    * PRECONDITION — non-negative timestamps: the µs event-time clock
+    * truncates toward zero, so a pre-epoch ns timestamp would land one
+    * window above the batch builder's floorDiv bucket (the same
+    * epoch-clock convention as every watermarked op here; the engine's
+    * data model is UTC-ns since epoch, where this is vacuous). */
   def bucketMeansBuild(samples: DataFrame, bucketNs: Long,
       lateness: String): DataFrame = {
     require(bucketNs > 0 && bucketNs % 1000 == 0,

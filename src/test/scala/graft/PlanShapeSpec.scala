@@ -911,48 +911,65 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("correlate/trend statements serve from the registered bucket-sums index") {
+    import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.lit
+    // TWO metrics at µs scale with real structure (m2 tracks 2·m1 +
+    // multi-row buckets), so BOTH statements serve non-degenerately:
+    // 40 one-µs fine buckets, correlate at step 1us (ratio 1), trend
+    // at 2us (ratio 2, 20 buckets — a genuine slope, not a null line)
+    val rows = (0 until 40).flatMap { i =>
+      val t = i.toLong * 1000L
+      Seq(("m1", "a", t, i / 3.0), ("m1", "a", t + 7, i / 3.0 + 0.2),
+        ("m2", "a", t, 2 * i / 3.0 + 1.0))
+    }
+    val wide = rows.toDF("metric", "tag", "ts", "value")
     val dir = java.nio.file.Files.createTempDirectory("graft_bsums").toString
-    ctx.samples.write.parquet(s"$dir/samples")
-    ctx.series.write.parquet(s"$dir/series")
-    ctx.samples.limit(0)
+    val mem = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("tag"), "ts", "value")
+    mem.samples.write.parquet(s"$dir/samples")
+    mem.series.write.parquet(s"$dir/series")
+    mem.samples.limit(0)
       .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
       .write.parquet(s"$dir/events")
-    val base = graft.model.TsdbContext(spark,
-      spark.read.parquet(s"$dir/series"),
-      spark.read.parquet(s"$dir/samples"),
-      spark.read.parquet(s"$dir/events"))
-    graft.ops.Stats.bucketSums(base.samples, 100L, keyCol = "series_id")
+    val base = mem.copy(
+      series = spark.read.parquet(s"$dir/series"),
+      samples = spark.read.parquet(s"$dir/samples"),
+      events = spark.read.parquet(s"$dir/events"))
+    graft.ops.Stats.bucketSums(base.samples, 1000L, keyCol = "series_id")
       .write.parquet(s"$dir/bsums")
     val eng = new Engine(base.copy(
-      bucketSums = Seq(100L -> spark.read.parquet(s"$dir/bsums"))))
-    def onlyIndex(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
-      val dirs = plan(df)
+      bucketSums = Seq(1000L -> spark.read.parquet(s"$dir/bsums"))))
+    def servedEqualsScan(q: String, what: String): Unit = {
+      val served = eng.execute(q)
+      val dirs = plan(served)
         .collect { case f: FileSourceScanExec => f.metadata("Location") }
       assert(dirs.exists(_.contains("/bsums")) &&
         !dirs.exists(_.contains("/samples")),
         s"$what must reduce the index, not scan facts: $dirs")
+      val rows = served.collect().toSeq
+      assert(rows === new Engine(base).execute(q).collect().toSeq,
+        s"$what: serving changes the plan, never the answer")
+      assert(rows.nonEmpty && !rows.head.anyNull,
+        s"$what must exercise real served arithmetic, not a null row: $rows")
     }
-    // the ramp context has ONE metric; trend exercises the single-key
-    // path and correlate needs a second metric — rename half the
-    // catalog? simpler: trend only here, correlate equality via the
-    // oracle-gated entry (3 metrics at sf0.001)
-    val tq = """{"trend": {"metric": ["test"], "step": "1us"},
-                "range": {"from": 0, "to": 400}}"""
-    val served = eng.execute(tq)
-    onlyIndex(served, "aligned trend")
-    assert(served.collect().toSeq ===
-      new Engine(base).execute(tq).collect().toSeq,
-      "serving changes the plan, never the answer")
-    // a step that is not a whole number of index buckets abstains
-    // (1us step would need 10 buckets of 100ns: OK; 2500n is 25 fine
-    // buckets: also OK — use a misaligned RANGE instead)
-    val mis = eng.execute(
-      """{"trend": {"metric": ["test"], "step": "1us"},
-         "range": {"from": 50, "to": 400}}""")
-    assert(plan(mis).collect { case f: FileSourceScanExec => f }
-      .exists(_.metadata("Location").contains("/samples")),
-      "misaligned range must fall back to the scan")
+    servedEqualsScan(
+      """{"correlate": {"metric": ["m1", "m2"], "step": "1us"},
+         "range": {"from": 0, "to": 40000}}""", "aligned correlate")
+    servedEqualsScan(
+      """{"trend": {"metric": ["m1", "m2"], "step": "2us"},
+         "range": {"from": 0, "to": 40000}}""", "aligned trend")
+    // a misaligned range could split a fine bucket's sums -> both
+    // statements fall back to the scan
+    Seq(
+      """{"correlate": {"metric": ["m1", "m2"], "step": "1us"},
+         "range": {"from": 500, "to": 40000}}""",
+      """{"trend": {"metric": ["m1"], "step": "2us"},
+         "range": {"from": 500, "to": 40000}}""").foreach { q =>
+      assert(plan(eng.execute(q)).collect { case f: FileSourceScanExec => f }
+        .exists(_.metadata("Location").contains("/samples")),
+        "misaligned range must fall back to the scan")
+    }
   }
 
   test("malformed registered indexes fail loudly at engine construction") {
