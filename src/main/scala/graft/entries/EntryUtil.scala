@@ -519,6 +519,32 @@ object EntryUtil {
       path
     })
 
+  /** The docs_contamination_bloom sizing: m small enough that sf0.1's
+    * ~13k benchmark shingles produce REAL false positives for the
+    * oracle to lock (the bloom arithmetic is only proven if FPs
+    * replay), large enough that they stay rare. One definition — the
+    * entry, its SQL mirror, and the spec must never drift. */
+  val BloomMBits: Int = 1 << 17
+  val BloomHashes: Int = 4
+
+  private val bloomIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized PERSISTED Bloom decontamination index over the src0
+    * "benchmark" split (TextOps.bloomBits written as parquet) — built
+    * once at benchmark-release time; probing entries read the ≤ mBits
+    * position rows alone and never re-touch benchmark text. */
+  def bloomIndexFor(spark: SparkSession, dir: String): String =
+    bloomIndexes.getOrElseUpdate((spark, dir), {
+      val path = scratchDir("graft_bloom_index")
+      graft.pipeline.TextOps.bloomBits(
+          repartitioned(spark, dir, "documents")
+            .where(col("source") === "src0"),
+          "text", k = 3, mBits = BloomMBits, numHashes = BloomHashes)
+        .write.parquet(s"$path/bloom")
+      path
+    })
+
   private val histIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

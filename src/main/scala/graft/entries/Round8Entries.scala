@@ -321,12 +321,80 @@ object Round8Entries {
       EntryUtil.engineHistFor(s, dir).execute(
         s"""{"seasonal": {"metric": "purchase", "period": "1d",
                           "bin": "6h"},
-             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}"""))
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // decontamination against a PERSISTED Bloom index of the benchmark
+    // shingle set (TextOps.bloomBits — Bloom 1970): the broadcast side
+    // is the <= mBits set-position rows, FIXED as benchmark suites grow
+    // (docs_contamination's shingle-set broadcast scales with them),
+    // and benchmark text is never re-read at probe time. Deliberately
+    // small m so sf0.1 produces real false positives — the oracle
+    // replays the salted md5 probe hashing bit-for-bit, FPs included;
+    // flags are a superset of the exact form's (spec-pinned: the safe
+    // direction for decontamination)
+    "docs_contamination_bloom" -> ((s, dir) => {
+      val path = EntryUtil.bloomIndexFor(s, dir)
+      graft.pipeline.TextOps.contaminationBloom(
+          EntryUtil.repartitioned(s, dir, "documents")
+            .where(col("source") =!= "src0"), "doc_id", "text",
+          s.read.parquet(s"$path/bloom"), k = 3,
+          mBits = EntryUtil.BloomMBits, numHashes = EntryUtil.BloomHashes,
+          threshold = 0.05)
+        .orderBy("id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
     "ts_trend_json" -> trendSql(0),
     "ts_trend_json_horizon" -> trendSql(7),
+
+    // replays the Bloom probe exactly: same hash60 shingle hashes, same
+    // salted probe positions (hash60(h ':' i) mod m), same all-k-set
+    // membership rule — false positives are deterministic md5
+    // arithmetic, so they replay too (identical sizing via
+    // EntryUtil.BloomMBits/BloomHashes)
+    "docs_contamination_bloom" -> {
+      val m = EntryUtil.BloomMBits
+      val kH = EntryUtil.BloomHashes
+      val hProbe = EntryUtil.h60Sql(
+        "CAST(h AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+      s"""WITH w AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE source <> 'src0'),
+         bs AS (
+           SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+           FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+           WHERE source = 'src0'),
+         bh AS (SELECT DISTINCT ${EntryUtil.h60Sql("g")} AS h FROM bs),
+         bloom AS (
+           SELECT DISTINCT $hProbe % $m AS pos
+           FROM bh, UNNEST(generate_series(0, ${kH - 1})) AS t(i)),
+         dh AS (SELECT doc_id, ${EntryUtil.h60Sql("g")} AS h FROM sh),
+         probes AS (
+           SELECT doc_id, h, $hProbe % $m AS pos
+           FROM dh, UNNEST(generate_series(0, ${kH - 1})) AS t(i)),
+         hm AS (
+           SELECT doc_id, h, count(*) AS n_set FROM probes
+           WHERE pos IN (SELECT pos FROM bloom) GROUP BY 1, 2),
+         hits AS (
+           SELECT doc_id, count(*) AS c FROM hm WHERE n_set = $kH GROUP BY 1),
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         corpus AS (SELECT doc_id FROM documents WHERE source <> 'src0')
+       SELECT corpus.doc_id AS id,
+         CAST(coalesce(n, 0) AS INT) AS n_shingles,
+         CAST(coalesce(c, 0) AS BIGINT) AS n_overlap,
+         round(coalesce(c, 0) * 1.0 / greatest(coalesce(n, 0), 1), 6)
+           AS contamination,
+         coalesce(c, 0) * 1.0 / greatest(coalesce(n, 0), 1) >= 0.05
+           AS contaminated
+       FROM corpus
+       LEFT JOIN sz ON corpus.doc_id = sz.doc_id
+       LEFT JOIN hits ON corpus.doc_id = hits.doc_id
+       ORDER BY id"""
+    },
 
     // absolute-threshold gap replay over the ranged scan: identical
     // (ts, value) lag ordering, ns-exact compare, µs-floored outputs

@@ -155,6 +155,77 @@ object TextOps {
         (frac >= threshold).as("contaminated"))
   }
 
+  /** Bloom-filter bit positions for a benchmark shingle set (Bloom
+    * 1970): each distinct k-shingle hash sets `numHashes` positions in
+    * an `mBits`-slot table, probe i of hash h at
+    * hash60(h ':' i) mod mBits — salted re-hashing instead of
+    * Kirsch–Mitzenmacher double hashing because it replays as plain
+    * md5 arithmetic in SQL. Returned as the DISTINCT set-position
+    * table (`pos`), which is what bounds it: **≤ mBits rows no matter
+    * how many shingles the benchmark suite holds** — the
+    * [[contamination]] broadcast side grows with the eval corpora,
+    * this one is capped at m/8 bytes forever (the sampled-quantile /
+    * KMV "bounded twin" discipline applied to set membership).
+    *
+    * Persist the result as parquet and ingest batches probe the index
+    * alone — benchmark text is never re-read (the
+    * [[graft.pipeline.Dedup.writeCorpusIndex]] lifecycle). */
+  def bloomBits(bench: DataFrame, benchTextCol: String, k: Int = 3,
+      mBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    require(mBits > 0 && numHashes > 0, "mBits and numHashes must be positive")
+    bench
+      .select(explode(
+        graft.functions.TextExpressions.wordShingles(col(benchTextCol), k))
+        .as("shingle"))
+      .select(Dedup.hash60(col("shingle")).as("h")).distinct()
+      .select(explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("h"))
+      .select((Dedup.hash60(
+          concat_ws(":", col("h").cast("string"), col("i").cast("string")))
+        % mBits).as("pos"))
+      .distinct()
+  }
+
+  /** [[contamination]] with the benchmark side compressed to a Bloom
+    * filter ([[bloomBits]]): a shingle counts as overlapping iff ALL
+    * `numHashes` of its probe positions are set. Same output schema and
+    * threshold rule as the exact form; false positives only, so per-doc
+    * `n_overlap` and `contamination` are ≥ the exact form's and the
+    * flagged set is a superset (spec-pinned) — the safe direction for
+    * decontamination (never under-flags). FP rate ≈ (1−e^(−kn/m))^k,
+    * deterministic: the probe hashing is the same md5 arithmetic on
+    * both engines, so an oracle replays bit-for-bit, FPs included.
+    *
+    * Plan shape: the bloom table broadcasts (≤ mBits rows — FIXED as
+    * benchmarks grow, where [[contamination]]'s shingle-set broadcast
+    * scales with them); probes expand in-row per (doc, shingle, i) and
+    * meet it map-side; both aggregations are doc-keyed. The corpus
+    * side never shuffles wider than its (doc, shingle) frame. */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      bloom: DataFrame, k: Int = 3, mBits: Int = 1 << 20,
+      numHashes: Int = 5, threshold: Double = 0.05): DataFrame = {
+    val hits = Dedup.shingleHashes(docs, idCol, textCol, k)
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .select(col("id"), col("h"), (Dedup.hash60(
+          concat_ws(":", col("h").cast("string"), col("i").cast("string")))
+        % mBits).as("pos"))
+      .join(broadcast(bloom), Seq("pos")) // bloom pos distinct: no fanout
+      .groupBy("id", "h").agg(count(lit(1)).as("n_set"))
+      .where(col("n_set") === numHashes)
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k))
+        .as("n_shingles"))
+    val frac = col("n_overlap").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .select(col("id"), col("n_shingles"), col("n_overlap"),
+        round(frac, 6).as("contamination"),
+        (frac >= threshold).as("contaminated"))
+  }
+
   /** Gopher-style repetition signals over positional (all-occurrence)
     * k-grams: `top_ngram_frac` = share of gram occurrences taken by the
     * most frequent gram; `dup_ngram_frac` = share of occurrences whose

@@ -508,6 +508,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2) === ((4, 0L, 0.0, false)))
   }
 
+  test("contaminationBloom: large m has no FPs (= exact); small m only ever over-flags") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma something else entirely new"),
+      (12L, "one two three four five six"),
+      (13L, "p q r s t u v w x y z")) // extra disjoint doc: FP fodder
+      .toDF("doc_id", "text")
+    def exact = graft.pipeline.TextOps
+      .contamination(docs, "doc_id", "text", bench, "text", k = 3, threshold = 0.5)
+      .orderBy("id").select("id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    def bloomed(m: Int, nh: Int) = {
+      val bits = graft.pipeline.TextOps.bloomBits(bench, "text", k = 3,
+        mBits = m, numHashes = nh)
+      graft.pipeline.TextOps.contaminationBloom(docs, "doc_id", "text", bits,
+        k = 3, mBits = m, numHashes = nh, threshold = 0.5)
+        .orderBy("id").select("id", "n_overlap", "contaminated")
+        .as[(Long, Long, Boolean)].collect()
+    }
+    // m >> n·numHashes: FP odds ~ (3·5/2^20)^5 — bit-identical to exact
+    assert(bloomed(1 << 20, 5).toSeq === exact.toSeq)
+    // m = 4 slots: every probe collides, ALL shingles read as overlapping —
+    // the documented degradation is one-sided (n_overlap >= exact per doc,
+    // flagged set a superset; never an under-flag / false negative)
+    val tiny = bloomed(4, 2)
+    assert(tiny.zip(exact).forall { case ((i1, o1, c1), (i2, o2, c2)) =>
+      i1 == i2 && o1 >= o2 && (c1 || !c2)
+    })
+    assert(tiny.exists { case (i, o, _) => // real FPs exercised
+      exact.find(_._1 == i).exists(_._2 < o)
+    })
+  }
+
+  test("bloomBits: index is bounded by mBits no matter the benchmark size") {
+    val bench = (0 until 200).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val m = 64
+    val bits = graft.pipeline.TextOps.bloomBits(bench, "text", k = 3,
+      mBits = m, numHashes = 5).as[Long].collect()
+    // 200 docs x 3 shingles x 5 probes = 3000 set ops, but the DISTINCT
+    // position table can never exceed the m slots (here it saturates)
+    assert(bits.length <= m)
+    assert(bits.forall(p => p >= 0 && p < m))
+    assert(bits.distinct.length === bits.length)
+  }
+
   test("repetition: looping text scores high, unique text scores zero dup") {
     val docs = Seq(
       (1L, "a b a b a b"), // grams: ab ba ab ba ab -> top 3/5, all dup
