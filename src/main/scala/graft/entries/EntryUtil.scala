@@ -545,6 +545,17 @@ object EntryUtil {
       path
     })
 
+  private val bloomPacked = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Byte]]
+
+  /** The [[bloomIndexFor]] index loaded into its packed 16 KiB bitset
+    * form (TextOps.packBloom) — what the in-row probe kernel and the
+    * streaming gate ship to executors. */
+  def bloomPackedFor(spark: SparkSession, dir: String): Array[Byte] =
+    bloomPacked.getOrElseUpdate((spark, dir),
+      graft.pipeline.TextOps.packBloom(
+        spark.read.parquet(s"${bloomIndexFor(spark, dir)}/bloom"), BloomMBits))
+
   private val histIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

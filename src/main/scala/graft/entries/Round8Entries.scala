@@ -341,19 +341,52 @@ object Round8Entries {
           mBits = EntryUtil.BloomMBits, numHashes = EntryUtil.BloomHashes,
           threshold = 0.05)
         .orderBy("id")
+    }),
+
+    // the same probe folded IN-ROW against the packed 16 KiB bitset
+    // (TextExpressions.bloomOverlap): identical arithmetic to the join
+    // form above — shared oracle — but the plan is a pure projection of
+    // the corpus scan, zero shuffle at any corpus size (the production
+    // shape; the simhash in-row fold discipline applied to membership)
+    "docs_contamination_bloom_packed" -> ((s, dir) =>
+      graft.pipeline.TextOps.contaminationBloomPacked(
+          EntryUtil.repartitioned(s, dir, "documents")
+            .where(col("source") =!= "src0"), "doc_id", "text",
+          EntryUtil.bloomPackedFor(s, dir), k = 3,
+          mBits = EntryUtil.BloomMBits, numHashes = EntryUtil.BloomHashes,
+          threshold = 0.05)
+        .orderBy("id")),
+
+    // decontamination on an EXECUTING stream: arriving documents flag
+    // against the packed index inside their own micro-batch — stateless
+    // (no watermark, no state store, no aggregation), because the
+    // in-row fold makes the whole probe a projection. Chunked feed
+    // proves batch-boundary invariance; same oracle as the batch forms.
+    "stream_contamination_bloom" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(Long, String)]
+      val bits = EntryUtil.bloomPackedFor(s, dir)
+      val feed = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("source") =!= "src0")
+        .select("doc_id", "text").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      EntryUtil.runStreamEntry(s, "stream_contam_sink", feed, chunks = 3,
+        cols = Seq("doc_id", "text"),
+        mkStream = graft.pipeline.TextOps.contaminationBloomPacked(
+          _, "doc_id", "text", bits, k = 3,
+          mBits = EntryUtil.BloomMBits, numHashes = EntryUtil.BloomHashes,
+          threshold = 0.05))
+        .orderBy("id")
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "ts_trend_json" -> trendSql(0),
-    "ts_trend_json_horizon" -> trendSql(7),
-
-    // replays the Bloom probe exactly: same hash60 shingle hashes, same
-    // salted probe positions (hash60(h ':' i) mod m), same all-k-set
-    // membership rule — false positives are deterministic md5
-    // arithmetic, so they replay too (identical sizing via
-    // EntryUtil.BloomMBits/BloomHashes)
-    "docs_contamination_bloom" -> {
+  // replays the Bloom probe exactly: same hash60 shingle hashes, same
+  // salted probe positions (hash60(h ':' i) mod m), same all-k-set
+  // membership rule — false positives are deterministic md5 arithmetic,
+  // so they replay too (identical sizing via EntryUtil.BloomMBits/
+  // BloomHashes). ONE mirror shared by the join, packed-in-row and
+  // streaming forms: all three must agree bit-for-bit.
+  private val bloomSql: String = {
       val m = EntryUtil.BloomMBits
       val kH = EntryUtil.BloomHashes
       val hProbe = EntryUtil.h60Sql(
@@ -394,7 +427,14 @@ object Round8Entries {
        LEFT JOIN sz ON corpus.doc_id = sz.doc_id
        LEFT JOIN hits ON corpus.doc_id = hits.doc_id
        ORDER BY id"""
-    },
+  }
+
+  val oracle: Map[String, String] = Map(
+    "ts_trend_json" -> trendSql(0),
+    "ts_trend_json_horizon" -> trendSql(7),
+    "docs_contamination_bloom" -> bloomSql,
+    "docs_contamination_bloom_packed" -> bloomSql,
+    "stream_contamination_bloom" -> bloomSql,
 
     // absolute-threshold gap replay over the ranged scan: identical
     // (ts, value) lag ordering, ns-exact compare, µs-floored outputs

@@ -111,6 +111,38 @@ object TextKernels {
     v
   }
 
+  /** Bloom contamination counters of one document as ONE kernel call:
+    * `[n_shingles, n_overlap]` where n_overlap counts the distinct
+    * k-shingles whose `numHashes` salted probe positions
+    * (hash60(h ':' i) mod mBits — [[graft.pipeline.TextOps.bloomBits]]'
+    * arithmetic exactly) are ALL set in the packed `bits` table
+    * (LSB-first within each byte, position p at byte p>>3 bit p&7 —
+    * [[graft.pipeline.TextOps.packBloom]]'s layout). A pure projection:
+    * the join form's per-(doc, shingle, probe) row explosion, broadcast
+    * probe join and two doc-keyed aggregations collapse into a
+    * zero-shuffle map over the corpus scan. */
+  def bloomOverlap(text: UTF8String, k: Int, bits: Array[Byte],
+      mBits: Int, numHashes: Int): ArrayData = {
+    val sh = wordShingles(text, k)
+    val n = sh.numElements()
+    var overlap = 0
+    var idx = 0
+    while (idx < n) {
+      val h = hash60(sh.getUTF8String(idx))
+      var all = true
+      var i = 0
+      while (all && i < numHashes) {
+        val p = (hash60(UTF8String.fromString(
+          java.lang.Long.toString(h) + ":" + i)) % mBits).toInt
+        all = (bits(p >> 3) & (1 << (p & 7))) != 0
+        i += 1
+      }
+      if (all) overlap += 1
+      idx += 1
+    }
+    new GenericArrayData(Array[Any](n, overlap))
+  }
+
   /** ALL word k-shingles in positional order (duplicates kept) — the
     * sequence form required by positional algorithms (winnowing). */
   def wordShinglesAll(text: UTF8String, k: Int): ArrayData = {
@@ -211,10 +243,42 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class BloomOverlap(child: Expression, k: Int, bits: Array[Byte],
+      mBits: Int, numHashes: Int) extends UnaryExpression {
+    require(k >= 1 && mBits > 0 && numHashes > 0,
+      "shingle size, mBits and numHashes must be positive")
+    require(bits.length == (mBits + 7) >> 3,
+      s"packed bloom table must hold exactly mBits=$mBits bits")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "bloom_overlap"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.bloomOverlap(input.asInstanceOf[UTF8String], k, bits,
+        mBits, numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bitsRef = ctx.addReferenceObj("bloomBits", bits, "byte[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.TextKernels.bloomOverlap(
+              $c, $k, $bitsRef, $mBits, $numHashes);""")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomOverlap =
+      copy(child = newChild)
+  }
+
   /** 60-bit SimHash fingerprint of a string column (one compiled kernel
     * call per document — a pure projection, no per-bit row explosion). */
   def simhash60(text: Column): Column =
     Bridge.column(Simhash60(Bridge.expression(text)))
+
+  /** `[n_shingles, n_overlap]` of a document against a packed Bloom
+    * table (one compiled kernel call — the whole contamination probe as
+    * a zero-shuffle projection). */
+  def bloomOverlap(text: Column, k: Int, bits: Array[Byte], mBits: Int,
+      numHashes: Int): Column =
+    Bridge.column(BloomOverlap(Bridge.expression(text), k, bits, mBits,
+      numHashes))
 
   /** Hashed bag-of-words bucket counts of a string column (one compiled
     * kernel call per document). */

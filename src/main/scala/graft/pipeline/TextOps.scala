@@ -226,6 +226,48 @@ object TextOps {
         (frac >= threshold).as("contaminated"))
   }
 
+  /** Packs a [[bloomBits]] set-position table into the literal bitset
+    * (LSB-first within each byte) the in-row probe kernel reads. A
+    * driver-side index LOAD, not a data pass: the input is the ≤ mBits
+    * distinct-position table (m/8 bytes packed — 16 KiB at m = 2¹⁷),
+    * the same size class as a broadcast codebook. */
+  def packBloom(bloom: DataFrame, mBits: Int): Array[Byte] = {
+    val bits = new Array[Byte]((mBits + 7) >> 3)
+    bloom.select(col("pos").cast("long")).collect().foreach { r =>
+      val p = r.getLong(0)
+      require(p >= 0 && p < mBits, s"bloom position $p outside mBits=$mBits")
+      bits((p >> 3).toInt) = (bits((p >> 3).toInt) | (1 << (p & 7).toInt)).toByte
+    }
+    bits
+  }
+
+  /** [[contaminationBloom]] with the probe folded in-row against the
+    * [[packBloom]]-packed table: identical arithmetic (same shingling,
+    * same salted hash60 probes, same all-`numHashes`-set rule — the two
+    * forms and the oracle agree bit-for-bit, false positives included),
+    * but the plan is a PURE PROJECTION of the corpus scan — the join
+    * form's (doc × shingle × probe) row explosion, broadcast join and
+    * two doc-keyed aggregations disappear; zero shuffle at any corpus
+    * size. Also the streaming form: with no aggregation or state, the
+    * same call gates an executing stream stateless (no watermark, no
+    * state store — each arriving document flags in its own micro-batch).
+    */
+  def contaminationBloomPacked(docs: DataFrame, idCol: String,
+      textCol: String, bits: Array[Byte], k: Int = 3, mBits: Int = 1 << 20,
+      numHashes: Int = 5, threshold: Double = 0.05): DataFrame = {
+    val frac = col("n_overlap").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.TextExpressions.bloomOverlap(col(textCol), k, bits,
+          mBits, numHashes).as("__bo"))
+      .select(col("id"), col("__bo").getItem(0).as("n_shingles"),
+        col("__bo").getItem(1).cast("long").as("n_overlap"))
+      .select(col("id"), col("n_shingles"), col("n_overlap"),
+        round(frac, 6).as("contamination"),
+        (frac >= threshold).as("contaminated"))
+  }
+
   /** Gopher-style repetition signals over positional (all-occurrence)
     * k-grams: `top_ngram_frac` = share of gram occurrences taken by the
     * most frequent gram; `dup_ngram_frac` = share of occurrences whose

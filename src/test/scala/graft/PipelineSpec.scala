@@ -542,6 +542,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  test("contaminationBloomPacked: in-row fold == join form, FPs included") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "alpha beta gamma something else entirely new"),
+      (12L, "one two three four five six"),
+      (13L, "p q r s t u v w x y z"),
+      (14L, "ab")) // < k words: n_shingles 0 on both paths
+      .toDF("doc_id", "text")
+    // m = 8: heavy collisions, so the equality covers real FP arithmetic
+    for ((m, nh) <- Seq((1 << 16, 4), (8, 2))) {
+      val bits = graft.pipeline.TextOps.bloomBits(bench, "text", k = 3,
+        mBits = m, numHashes = nh)
+      val joined = graft.pipeline.TextOps.contaminationBloom(docs, "doc_id",
+        "text", bits, k = 3, mBits = m, numHashes = nh, threshold = 0.5)
+        .orderBy("id").collect().toSeq
+      val packed = graft.pipeline.TextOps.contaminationBloomPacked(docs,
+        "doc_id", "text", graft.pipeline.TextOps.packBloom(bits, m), k = 3,
+        mBits = m, numHashes = nh, threshold = 0.5)
+        .orderBy("id").collect().toSeq
+      assert(packed === joined, s"m=$m nh=$nh")
+    }
+  }
+
   test("bloomBits: index is bounded by mBits no matter the benchmark size") {
     val bench = (0 until 200).map(i =>
       (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")

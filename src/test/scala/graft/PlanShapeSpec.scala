@@ -460,6 +460,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"in-row signature must not shuffle:\n$p")
   }
 
+  test("packed bloom contamination is in-row: no shuffle, no join, no aggregate") {
+    import spark.implicits._
+    val bench = Seq((1L, (1 to 10).map(w => s"b$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to 12).map(w => s"w${(i + w) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = 1 << 12
+    val bits = graft.pipeline.TextOps.packBloom(
+      graft.pipeline.TextOps.bloomBits(bench, "text", k = 3, mBits = m,
+        numHashes = 4), m)
+    // the join form's (doc × shingle × probe) explosion, broadcast join
+    // and two doc-keyed aggregations fold into one kernel call against
+    // the 16 KiB literal bitset — the probe is a pure projection of the
+    // corpus scan (and therefore stateless on a stream)
+    val p = plan(graft.pipeline.TextOps.contaminationBloomPacked(docs,
+      "doc_id", "text", bits, k = 3, mBits = m, numHashes = 4))
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"packed bloom probe must not shuffle:\n$p")
+    assert(!p.toString.contains("Join"),
+      s"packed bloom probe must not join:\n$p")
+    assert(!p.toString.contains("HashAggregate"),
+      s"packed bloom probe must not aggregate:\n$p")
+  }
+
   test("simhash fingerprints are in-row: one kernel call, no shuffle, no aggregate") {
     import spark.implicits._
     val docs = (1L to 30L).map(i => (i, (1 to 12).map(w => s"w${(i + w) % 9}").mkString(" ")))
