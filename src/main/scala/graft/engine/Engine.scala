@@ -127,6 +127,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: CorrelateQuery          => correlate(q)
     case q: TrendQuery              => trend(q)
     case q: ActiveQuery             => active(q)
+    case q: DistinctQuery           => distinct(q)
     case q: SeasonalQuery           => seasonal(q)
     case q: GapsQuery               => gaps(q)
     case q: StaleQuery              => stale(q)
@@ -462,6 +463,80 @@ final class Engine(val ctx: TsdbContext) {
       }
     }
   }
+
+  /** Beyond-reference `distinct`: per-metric ESTIMATED distinct values
+    * of a tag among series active in the range ([[Ast.DistinctQuery]]),
+    * optionally per `step` bin — `active`'s high-cardinality twin,
+    * backed by the KMV sketch ([[graft.ops.Sketches.kmvServeKeys]]).
+    * Exact distinct counting shuffles every distinct key; here at most
+    * `k` hashes per (metric, bin) survive the map-side WindowGroupLimit
+    * cut, whatever the tag universe's size, and groups holding < k
+    * distinct values report exactly. Series lacking the tag are dropped
+    * from the catalog side on BOTH paths (scan and served), so index
+    * serving never changes the answer. Output:
+    * (metric, n_kept, est_distinct) [, ts_us]. */
+  def distinct(q: DistinctQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base
+      .where(col("tags").getItem(q.tag).isNotNull)
+      .select(col("series_id"), col("metric").as("out_name"),
+        graft.pipeline.Dedup.hash60(col("tags").getItem(q.tag)).as("__h"))
+    servedDistinct(q, ids).getOrElse {
+      // the scan's only job is (series, bin) ACTIVITY: it reduces to
+      // distinct (metric, bin, series-hash) triples inside kmvServeKeys'
+      // dedup — catalog × bins sized, never sample-sized
+      val df = tsDayPruned(facts(q.metrics), q.range)
+        .join(broadcast(ids), "series_id")
+        .where(rangeCond(q.range))
+      finishDistinct(q, df.withColumn("__t", col("ts")))
+    }
+  }
+
+  /** Distinct-estimate serving from a REGISTERED rollup — the
+    * [[servedActive]] rule carried to KMV: under whole-fine-bin
+    * alignment "has a sample in the range/bin" ≡ "has a rollup bin
+    * there", and each series contributes one CONSTANT tag-value hash,
+    * so the distinct (metric, bin, hash) set — and therefore the k-min
+    * cut and the estimate — is IDENTICAL to the scan's (spec-pinned).
+    * Coarsest eligible level wins; misaligned or backward ranges
+    * abstain to the scan. At 100 TB "distinct users this month" then
+    * reads series × bins index rows, never raw samples. */
+  private def servedDistinct(q: DistinctQuery,
+      ids: DataFrame): Option[DataFrame] = {
+    if (!q.range.forward) return None
+    ctx.rollups.filter { case (fine, _) =>
+      Math.floorMod(q.range.from, fine) == 0 &&
+        Math.floorMod(q.range.to, fine) == 0 &&
+        q.stepNs.forall(_ % fine == 0)
+    }.sortBy { case (fine, _) => -fine }.headOption.map { case (_, rollup) =>
+      finishDistinct(q, rollup
+        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
+        .join(broadcast(ids), "series_id")
+        .withColumn("__t", col("bin")))
+    }
+  }
+
+  /** The ONE estimator tail both distinct paths share: `__t` carries
+    * each row's bin-able instant (sample ts on the scan path, rollup
+    * bin start on the served path — same query bin under the serving
+    * guard). */
+  private def finishDistinct(q: DistinctQuery, df: DataFrame): DataFrame =
+    q.stepNs match {
+      case None =>
+        graft.ops.Sketches.kmvServeKeys(
+            df.select(col("out_name").as("metric"), col("__h").as("h")),
+            Seq("metric"), q.k)
+          .orderBy("metric")
+      case Some(step) =>
+        graft.ops.Sketches.kmvServeKeys(
+            df.select(col("out_name").as("metric"),
+              binOf(col("__t"), q.range, step).as("__bin"),
+              col("__h").as("h")),
+            Seq("metric", "__bin"), q.k)
+          .select(col("metric"), expr("__bin div 1000").as("ts_us"),
+            col("n_kept"), col("est_distinct"))
+          .orderBy("metric", "ts_us")
+    }
 
   /** Beyond-reference `correlate`: Pearson correlation between the
     * named metrics' bucket-mean series over the range

@@ -323,6 +323,35 @@ object Round8Entries {
                           "bin": "6h"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the distinct statement (KMV-estimated tag cardinality — active's
+    // high-cardinality twin): k = 64 sits below the 150/1500 distinct
+    // users at sf0.01/sf0.1 so the (k-1)·2^60/h_k estimator branch is
+    // what the oracle locks there, while sf0.001's 15 users prove the
+    // exact (< k) branch — both branches gated across the sf ladder
+    "ts_distinct_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // per-7d-bin estimates (bins anchored at range.from)
+    "ts_distinct_step_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64, "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the same stepped statement on the rollup-registered engine: the
+    // aligned range serves from hourly rollup ACTIVITY rows (servedActive
+    // carried to KMV — a series' tag hash is constant, so the distinct
+    // (metric, bin, hash) set is the scan's exactly); same oracle, and
+    // PlanShapeSpec pins that no samples scan appears in the served plan
+    "ts_distinct_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineRollupFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64, "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // decontamination against a PERSISTED Bloom index of the benchmark
     // shingle set (TextOps.bloomBits — Bloom 1970): the broadcast side
     // is the <= mBits set-position rows, FIXED as benchmark suites grow
@@ -429,9 +458,54 @@ object Round8Entries {
        ORDER BY id"""
   }
 
+  /** KMV tag-cardinality replay for the distinct statement: same hash60
+    * of the tag value (= CAST(user_id AS VARCHAR) under fromTestdata's
+    * catalog), same per-(metric[, bin]) k-cut by hash order, same
+    * (k−1)·2⁶⁰/h_k estimator — the kmvUserSql discipline with the
+    * statement's range and anchored bins. */
+  private def kmvTagSql(k: Int, stepNs: Option[Long]): String = {
+    val h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    val src =
+      s"""FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
+    val est =
+      s"""CAST(n AS BIGINT) AS n_kept,
+          round(CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+                ELSE ${k - 1}.0 * 1152921504606846976.0 / hk END, 6)
+            AS est_distinct"""
+    stepNs match {
+      case None =>
+        s"""WITH t AS (SELECT DISTINCT event_type AS metric, $h AS h $src),
+             r AS (SELECT metric, h,
+                 row_number() OVER (PARTITION BY metric ORDER BY h) AS r
+               FROM t),
+             kk AS (SELECT metric, max(h) AS hk, count(*) AS n
+               FROM r WHERE r <= $k GROUP BY metric)
+           SELECT metric, $est FROM kk ORDER BY metric"""
+      case Some(step) =>
+        val bin = s"""(${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+               // $step) * $step) // 1000"""
+        s"""WITH t AS (SELECT DISTINCT event_type AS metric, $bin AS ts_us,
+                 $h AS h $src),
+             r AS (SELECT metric, ts_us, h,
+                 row_number() OVER (PARTITION BY metric, ts_us ORDER BY h) AS r
+               FROM t),
+             kk AS (SELECT metric, ts_us, max(h) AS hk, count(*) AS n
+               FROM r WHERE r <= $k GROUP BY metric, ts_us)
+           SELECT metric, ts_us, $est FROM kk ORDER BY metric, ts_us"""
+    }
+  }
+
   val oracle: Map[String, String] = Map(
     "ts_trend_json" -> trendSql(0),
     "ts_trend_json_horizon" -> trendSql(7),
+
+    "ts_distinct_json" -> kmvTagSql(64, None),
+    "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
+    // rollup-served == scan: one oracle
+    "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     "docs_contamination_bloom" -> bloomSql,
     "docs_contamination_bloom_packed" -> bloomSql,
     "stream_contamination_bloom" -> bloomSql,

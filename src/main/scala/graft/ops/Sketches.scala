@@ -136,19 +136,26 @@ object Sketches {
     * column-for-column, and over the full window set value-for-value —
     * the build-once/serve-any-range contract, oracle-gated. */
   def kmvServe(index: DataFrame, groupCol: String,
+      k: Int = 256): DataFrame = kmvServeKeys(index, Seq(groupCol), k)
+
+  /** [[kmvServe]] over a COMPOSITE group key (e.g. (metric, bin) for the
+    * stepped `distinct` statement) — same dedup, k-cut and estimator,
+    * one definition. */
+  def kmvServeKeys(index: DataFrame, groupCols: Seq[String],
       k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, "kmv needs k >= 2")
-    val dedup = index.select(col(groupCol), col("h")).distinct()
-    val w = Window.partitionBy(groupCol).orderBy("h")
+    val keys = groupCols.map(col)
+    val dedup = index.select(keys :+ col("h"): _*).distinct()
+    val w = Window.partitionBy(keys: _*).orderBy("h")
     dedup.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
-      .groupBy(groupCol)
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("__hk"))
-      .select(col(groupCol), col("n_kept"),
+      .select(keys ++ Seq(col("n_kept"),
         round(when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(
             lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("__hk")),
-          6).as("est_distinct"))
+          6).as("est_distinct")): _*)
   }
 
   def frequentKeys(df: DataFrame, keyCol: String,

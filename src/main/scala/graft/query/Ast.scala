@@ -312,6 +312,30 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"distinct": {"metric": ["m"], "tag": "user", "k": 256,
+    * "step": "1d"}}` — beyond-reference: per-metric ESTIMATED count of
+    * distinct values of `tag` among series with at least one sample in
+    * the range, optionally per `step` bin — [[ActiveQuery]]'s
+    * high-cardinality twin. `active` counts distinct series exactly
+    * (right while the per-bin active set is catalog-bounded); when the
+    * tag universe itself explodes (user/session/request tags), the KMV
+    * sketch ([[graft.ops.Sketches]]) bounds what crosses the wire: at
+    * most `k` hashes per (metric, bin) survive the map-side
+    * WindowGroupLimit cut, whatever the true cardinality. Estimates are
+    * deterministic hash arithmetic (oracle-replayable, unlike HLL);
+    * groups holding < k distinct values report exactly. Series lacking
+    * the tag contribute nothing. Output rows:
+    * (metric, n_kept, est_distinct) or
+    * (metric, ts_us, n_kept, est_distinct). */
+  final case class DistinctQuery(
+      metrics: Seq[String],
+      tag: String,
+      k: Int,
+      stepNs: Option[Long],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "1d"}}`
     * — beyond-reference: Pearson correlation between the named metrics'
     * bucket-mean series over the range

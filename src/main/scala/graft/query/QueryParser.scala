@@ -37,7 +37,7 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend",
-      "active", "seasonal", "gaps", "stale", "anomaly")
+      "active", "distinct", "seasonal", "gaps", "stale", "anomaly")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -61,6 +61,7 @@ object QueryParser {
     else if (root.has("correlate")) parseCorrelate(root)
     else if (root.has("trend")) parseTrend(root)
     else if (root.has("active")) parseActive(root)
+    else if (root.has("distinct")) parseDistinct(root)
     else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("gaps")) parseGaps(root)
     else if (root.has("stale")) parseStale(root)
@@ -394,6 +395,41 @@ object QueryParser {
           "active.step"), "active.step"))
     rejectSampleClauses(root, "active")
     ActiveQuery(metrics, step, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
+  /** Beyond-reference `distinct` (see [[Ast.DistinctQuery]]). */
+  private def parseDistinct(root: JsonNode): DistinctQuery = {
+    val stmt = root.get("distinct")
+    if (!stmt.isObject)
+      throw new BadQuery("distinct statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "tag", "k", "step").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad distinct key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "distinct.metric")
+    if (metrics.isEmpty)
+      throw new BadQuery("distinct requires at least one metric")
+    val tag = Option(stmt.get("tag")).map(_.asText()).getOrElse(
+      throw new BadQuery("'distinct.tag' field required"))
+    if (tag.isEmpty) throw new BadQuery("distinct.tag must be non-empty")
+    val k = Option(stmt.get("k")).map { t =>
+      // canConvertToInt alone admits 2.5 (it checks range, not
+      // integrality) and asInt would silently truncate it
+      if (!t.isIntegralNumber || !t.canConvertToInt)
+        throw new BadQuery("distinct.k must be an integer")
+      t.asInt()
+    }.getOrElse(256)
+    // k = 1 has no k-th minimum to estimate from; huge k defeats the
+    // sketch's point and the 8k-byte-per-group bound the docs promise
+    if (k < 2 || k > 65536)
+      throw new BadQuery(s"distinct.k must be in [2, 65536] (got $k)")
+    val step = Option(stmt.get("step"))
+      .map(t => wholeMicrosStep(
+        positiveDuration(TimeUtil.parseDuration(t.asText()),
+          "distinct.step"), "distinct.step"))
+    rejectSampleClauses(root, "distinct")
+    DistinctQuery(metrics, tag, k, step, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
 

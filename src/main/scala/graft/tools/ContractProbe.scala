@@ -89,6 +89,18 @@ object ContractProbe {
       """{"active": {"metric": ["click"]},
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "output": {"format": "csv"}}""")
+    tryQ("distinct-no-tag",
+      """{"distinct": {"metric": ["click"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("distinct-k-too-small",
+      """{"distinct": {"metric": ["click"], "tag": "user", "k": 1},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("distinct-fractional-k",
+      """{"distinct": {"metric": ["click"], "tag": "user", "k": 2.5},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("distinct-unknown-tag", // parses fine: no series carries it -> 0 rows
+      """{"distinct": {"metric": ["click"], "tag": "no_such_tag"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("trend-sub-us-step",
       """{"trend": {"metric": ["click"], "step": "500n"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")

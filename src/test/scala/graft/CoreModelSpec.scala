@@ -451,6 +451,53 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("distinct statement: parse, k/tag/step validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"distinct": {"metric": ["a", "b"], "tag": "user", "k": 128,
+                       "step": "1d"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[DistinctQuery]
+    assert(q.metrics === Seq("a", "b"))
+    assert(q.tag === "user")
+    assert(q.k === 128)
+    assert(q.stepNs === Some(86400000000000L))
+    assert(QueryParser.parse( // k defaults to 256; step optional
+      """{"distinct": {"metric": "a", "tag": "user"},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[DistinctQuery].k === 256)
+    intercept[BadQuery](QueryParser.parse( // tag required
+      """{"distinct": {"metric": ["a"]}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // empty tag
+      """{"distinct": {"metric": ["a"], "tag": ""},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // empty metric list
+      """{"distinct": {"metric": [], "tag": "user"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // k = 1 has no k-th minimum
+      """{"distinct": {"metric": ["a"], "tag": "user", "k": 1},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // k past the sketch-size bound
+      """{"distinct": {"metric": ["a"], "tag": "user", "k": 100000},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // non-integer k
+      """{"distinct": {"metric": ["a"], "tag": "user", "k": 2.5},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // zero step
+      """{"distinct": {"metric": ["a"], "tag": "user", "step": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // sub-µs step: no µs grid
+      """{"distinct": {"metric": ["a"], "tag": "user", "step": "500n"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"distinct": {"metric": ["a"], "tag": "user", "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // estimates have no rows to page
+      """{"distinct": {"metric": ["a"], "tag": "user"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"distinct": {"metric": ["a"], "tag": "user"},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("gaps statement: parse, threshold exclusivity, clause rejection") {
     val q = QueryParser.parse(
       """{"gaps": {"metric": "m", "min-gap": "12h"},

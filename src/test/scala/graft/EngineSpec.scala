@@ -36,6 +36,44 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       Set("m:cnt user=4", "m:cnt user=5"))
   }
 
+  test("distinct statement: exact under k, estimator above, tagless series dropped") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // 5 users on metric m, each sampled twice (dup hashes must not count
+    // twice); metric n's one ACTIVE series has no 'user' tag at all
+    val m = (1 to 5).flatMap(u => Seq((s"u$u", 10L), (s"u$u", 20L)))
+      .toDF("user", "ts")
+      .withColumn("metric", lit("m")).withColumn("value", lit(1.0))
+    val base = graft.model.TsdbContext.fromWide(spark, m, "metric",
+      Seq("user"), "ts", "value")
+    val nCat = Seq((42L, "n", "n", Map.empty[String, String]))
+      .toDF("series_id", "name", "metric", "tags")
+      .withColumn("lon", lit(null).cast("float"))
+      .withColumn("lat", lit(null).cast("float"))
+    val nSamples = Seq((42L, 10L, 1.0)).toDF("series_id", "ts", "value")
+    val eng = new Engine(base.copy(
+      series = base.series.unionByName(nCat),
+      samples = base.samples.unionByName(nSamples)))
+    def run(k: Int, range: String = """{"from": 0, "to": 100}""") =
+      eng.execute(s"""{"distinct": {"metric": ["m", "n"], "tag": "user",
+                                    "k": $k},
+                       "range": $range""" + "}")
+        .select("metric", "n_kept", "est_distinct")
+        .as[(String, Long, Double)].collect().toSeq
+    // k > universe: n_kept = est = exact 5. Metric n is ACTIVE in range
+    // but its series lacks the tag -> catalog-side isNotNull drop, no row
+    assert(run(64) === Seq(("m", 5L, 5.0)))
+    // k = 2 < 5: estimator branch — (k-1)*2^60/h2 for the 2nd-smallest
+    // distinct user-hash; replay the arithmetic directly
+    val hs = (1 to 5).map(u => graft.functions.TextKernels.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"u$u"))).sorted
+    val expect = BigDecimal(1.0 * 1152921504606846976.0 / hs(1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(run(2) === Seq(("m", 2L, expect)))
+    // range excluding every sample: no active series, zero rows
+    assert(run(64, """{"from": 50, "to": 60}""") === Seq())
+  }
+
   test("gaps statement: planted silences flagged, thresholds respected") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._

@@ -733,6 +733,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"k-smallest cut must push below the shuffle")
   }
 
+  test("distinct statement: aligned range serves from the registered rollup") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_dserve").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.engine.Rollup.build(base.samples, 100L)
+      .write.parquet(s"$dir/rollup")
+    val eng = new Engine(base.copy(
+      rollups = Seq(100L -> spark.read.parquet(s"$dir/rollup"))))
+    val q =
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2},
+         "range": {"from": 100, "to": 300}}"""
+    val served = eng.execute(q)
+    val scans = plan(served).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall { f =>
+      val loc = f.metadata("Location")
+      loc.contains("/rollup") || loc.contains("/series")
+    }, s"aligned distinct must not scan facts:\n${scans.map(_.metadata("Location"))}")
+    // a series' tag hash is constant, so rollup ACTIVITY rows produce the
+    // scan's exact (metric, hash) set: serving never changes the answer —
+    // k = 2 < 3 tags keeps the ESTIMATOR branch under the equality too
+    assert(served.collect().toSeq ===
+      new Engine(base).execute(q).collect().toSeq)
+    // the k-min cut must stay map-side bounded
+    assert(served.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"), "k-smallest cut must push map-side")
+    // misaligned range: a partial fine bin could hide a series' only
+    // in-range sample -> fall back to the fact scan
+    val mis = eng.execute(
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2},
+         "range": {"from": 150, "to": 300}}""")
+    assert(plan(mis).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "misaligned range must fall back to the scan")
+  }
+
   test("quantile statement: aligned range serves from the registered histogram index") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, lit, pmod}
