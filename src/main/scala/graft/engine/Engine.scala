@@ -128,6 +128,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: TrendQuery              => trend(q)
     case q: ActiveQuery             => active(q)
     case q: DistinctQuery           => distinct(q)
+    case q: ChangepointsQuery       => changepoints(q)
     case q: SeasonalQuery           => seasonal(q)
     case q: GapsQuery               => gaps(q)
     case q: StaleQuery              => stale(q)
@@ -586,6 +587,28 @@ final class Engine(val ctx: TsdbContext) {
         .agg(sum(col("__s")).as("__s"), sum(col("__c")).as("__c"))
       graft.ops.Stats.meansFromSums(covered, "metric")
     }
+  }
+
+  /** Beyond-reference `changepoints`: per-metric level shifts of the
+    * bucket-mean series over the range
+    * ([[graft.ops.Stats.levelShifts]] — the two-window mean-shift
+    * detector; "when did this metric move"). Buckets are epoch-aligned
+    * like `correlate`/`trend`, and the SAME registered bucket-sums
+    * index serves aligned statements — the detector consumes exactly
+    * the (metric, __b, __m) frame [[servedBucketMeans]] reduces, so
+    * serving changes the plan, never the flags. Output:
+    * (metric, ts_us, before_mean, after_mean, shift). */
+  def changepoints(q: ChangepointsQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base.select(col("series_id"), col("metric").as("out_name"))
+    val buckets = servedBucketMeans(q.range, q.stepNs, ids).getOrElse(
+      graft.ops.Stats.bucketMeans(
+        scan(ids, q.range, q.metrics)
+          .select(col("out_name").as("metric"), col("ts"), col("value")),
+        q.stepNs, "metric", "ts", "value"))
+    graft.ops.Stats.levelShifts(buckets, "metric", q.stepNs, q.window,
+        q.minShift)
+      .orderBy("metric", "ts_us")
   }
 
   /** Beyond-reference `trend`: per-metric OLS trend of the bucket-mean

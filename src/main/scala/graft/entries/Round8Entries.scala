@@ -352,6 +352,29 @@ object Round8Entries {
                           "tag": "user", "k": 64, "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the changepoints statement (two-window mean-shift over day-bucket
+    // means): min-shift 1.0 flags a strict nonzero subset of the 51
+    // full-window boundaries at every sf (the day means' noise shrinks
+    // as samples per bucket grow), so the oracle locks real flag/no-flag
+    // decisions, not an all-or-nothing set
+    "ts_changepoints_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"changepoints": {"metric": ["click", "purchase", "view"],
+                              "step": "1d", "window": 7,
+                              "min-shift": 1.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the same statement on the bucket-sums-registered engine: the
+    // day step re-bins the hourly index by addition (servedBucketMeans
+    // — the correlate/trend serving core), so the detector sees the
+    // scan's exact bucket means with no fact scan; same oracle
+    "ts_changepoints_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsFor(s, dir).execute(
+        s"""{"changepoints": {"metric": ["click", "purchase", "view"],
+                              "step": "1d", "window": 7,
+                              "min-shift": 1.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // decontamination against a PERSISTED Bloom index of the benchmark
     // shingle set (TextOps.bloomBits — Bloom 1970): the broadcast side
     // is the <= mBits set-position rows, FIXED as benchmark suites grow
@@ -501,6 +524,10 @@ object Round8Entries {
   val oracle: Map[String, String] = Map(
     "ts_trend_json" -> trendSql(0),
     "ts_trend_json_horizon" -> trendSql(7),
+
+    "ts_changepoints_json" -> changepointsSql,
+    // bucket-sums-served == scan: one oracle
+    "ts_changepoints_json_indexed" -> changepointsSql,
 
     "ts_distinct_json" -> kmvTagSql(64, None),
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
@@ -728,6 +755,43 @@ object Round8Entries {
                AND epoch_ns(ts) >= ${EntryUtil.FromNs}
                AND epoch_ns(ts) < ${EntryUtil.ToNs}
              GROUP BY 1, 2""", "metric")
+
+  /** Changepoint replay: trendSql's exact day-bucket-mean CTE, two
+    * ROWS-frame window sums over occupied buckets (integers), the
+    * integer-difference shift, and the threshold compare on the
+    * ROUNDED shift — Stats.levelShifts op-for-op. */
+  private def changepointsSql: String = {
+    val w = 7
+    s"""WITH b AS (
+           SELECT event_type AS k,
+               epoch_ns(ts) // 86400000000000 AS bk,
+               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   / count(*) / 1000.0) AS BIGINT) AS m
+             FROM events
+             WHERE event_type IN ('click', 'purchase', 'view')
+               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}
+             GROUP BY 1, 2),
+         wnd AS (
+           SELECT k, bk,
+               count(*) OVER lw AS nl, count(*) OVER rw AS nr,
+               sum(m) OVER lw AS sl, sum(m) OVER rw AS sr
+             FROM b
+             WINDOW lw AS (PARTITION BY k ORDER BY bk
+                 ROWS BETWEEN $w PRECEDING AND 1 PRECEDING),
+               rw AS (PARTITION BY k ORDER BY bk
+                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)),
+         f AS (
+           SELECT k, bk, sl, sr,
+               round(CAST(sr - sl AS DOUBLE) / $w / 1000.0, 6) AS shift
+             FROM wnd WHERE nl = $w AND nr = $w)
+       SELECT k AS metric, bk * 86400000000 AS ts_us,
+         round(CAST(sl AS DOUBLE) / $w / 1000.0, 6) AS before_mean,
+         round(CAST(sr AS DOUBLE) / $w / 1000.0, 6) AS after_mean,
+         shift
+       FROM f WHERE abs(shift) >= 1.0
+       ORDER BY metric, ts_us"""
+  }
 
   private def trendMomentsSql(h: Int, bCte: String, outKey: String): String =
     s"""WITH b AS ($bCte),

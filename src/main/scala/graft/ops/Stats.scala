@@ -84,7 +84,7 @@ object Stats {
     * mirrors) must replay bit-identically: µu sum and count are exact
     * integers, their double ratio rounds half-up to one milli-unit
     * integer. */
-  private def bucketMeans(samples: DataFrame, bucketNs: Long,
+  def bucketMeans(samples: DataFrame, bucketNs: Long,
       keyCol: String, tsCol: String, valueCol: String): DataFrame =
     meansFromSums(bucketSums(samples, bucketNs, keyCol, tsCol, valueCol),
       keyCol)
@@ -246,5 +246,54 @@ object Stats {
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
     pearson(moments).select("key", "lag", "n_buckets", "corr")
+  }
+
+  /** Level-shift (changepoint) detection over a [[bucketMeans]] frame
+    * (keyCol, __b, __m): at each occupied bucket b, compare the
+    * UNWEIGHTED mean of the `w` occupied buckets before b against the
+    * `w` starting at b, and flag boundaries where |shift| ≥ `minShift`
+    * (the two-window mean-shift detector — Page 1954's mean-change
+    * question answered offline on the bucket grid, the machinery
+    * behind "when did this metric move"). Integer discipline end to
+    * end: window sums of the milli-quantized bucket means are exact
+    * integers; each reported mean (and the shift, computed from the
+    * integer DIFFERENCE, not from the two rounded means — they can
+    * disagree in the 6th decimal) is one double division rounded to
+    * 6dp, and the threshold compares the ROUNDED shift, so any SQL
+    * mirror replays flag-for-flag.
+    *
+    * Windows are the w occupied buckets each side — sparse series
+    * compare across silences (pair with the `gaps` statement when
+    * silence itself is the event); boundaries with fewer than w
+    * buckets on either side abstain. A step change flags up to w
+    * consecutive boundaries as the windows slide across it — the
+    * extremum of a flagged run is the change's best estimate; emitting
+    * the run keeps the op a pure per-boundary readout.
+    *
+    * Scale shape: rides the (keys × buckets) reduced frame — two
+    * window passes over ONE per-key sort, never sample-sized rows;
+    * output is flagged-boundary-sized. */
+  def levelShifts(buckets: DataFrame, keyCol: String, stepNs: Long,
+      w: Int, minShift: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1, "window must be >= 1 bucket")
+    require(stepNs > 0 && stepNs % 1000 == 0,
+      "step must be a positive whole number of microseconds")
+    val ord = Window.partitionBy(keyCol).orderBy("__b")
+    val left = ord.rowsBetween(-w, -1)
+    val right = ord.rowsBetween(0, w - 1)
+    buckets
+      .withColumn("__nl", count(lit(1)).over(left))
+      .withColumn("__nr", count(lit(1)).over(right))
+      .withColumn("__sl", sum(col("__m")).over(left))
+      .withColumn("__sr", sum(col("__m")).over(right))
+      .where(col("__nl") === w && col("__nr") === w)
+      .select(col(keyCol),
+        (col("__b") * lit(stepNs / 1000)).as("ts_us"),
+        round(col("__sl").cast("double") / w / 1000.0, 6).as("before_mean"),
+        round(col("__sr").cast("double") / w / 1000.0, 6).as("after_mean"),
+        round((col("__sr") - col("__sl")).cast("double") / w / 1000.0, 6)
+          .as("shift"))
+      .where(abs(col("shift")) >= minShift)
   }
 }

@@ -312,6 +312,27 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"changepoints": {"metric": ["m"], "step": "1d", "window": 7,
+    * "min-shift": 1.0}}` — beyond-reference: per-metric level shifts of
+    * the bucket-mean series over the range
+    * ([[graft.ops.Stats.levelShifts]] — the two-window mean-shift
+    * detector): at each occupied bucket, the unweighted means of the
+    * `window` occupied buckets before and from it, flagged when
+    * |shift| ≥ `min-shift` (rounded-6dp compare; a step change flags
+    * up to `window` consecutive boundaries — the run's extremum is the
+    * change's best estimate). Buckets are EPOCH-aligned like
+    * `correlate`/`trend`, and the same registered bucket-sums index
+    * serves aligned statements. Output rows:
+    * (metric, ts_us, before_mean, after_mean, shift). */
+  final case class ChangepointsQuery(
+      metrics: Seq[String],
+      stepNs: Long,
+      window: Int,
+      minShift: Double,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"distinct": {"metric": ["m"], "tag": "user", "k": 256,
     * "step": "1d"}}` — beyond-reference: per-metric ESTIMATED count of
     * distinct values of `tag` among series with at least one sample in

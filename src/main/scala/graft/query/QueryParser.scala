@@ -37,7 +37,8 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend",
-      "active", "distinct", "seasonal", "gaps", "stale", "anomaly")
+      "active", "distinct", "changepoints", "seasonal", "gaps", "stale",
+      "anomaly")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -62,6 +63,7 @@ object QueryParser {
     else if (root.has("trend")) parseTrend(root)
     else if (root.has("active")) parseActive(root)
     else if (root.has("distinct")) parseDistinct(root)
+    else if (root.has("changepoints")) parseChangepoints(root)
     else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("gaps")) parseGaps(root)
     else if (root.has("stale")) parseStale(root)
@@ -431,6 +433,43 @@ object QueryParser {
     rejectSampleClauses(root, "distinct")
     DistinctQuery(metrics, tag, k, step, parseRange(root), parseWhere(root),
       parseLocation(root))
+  }
+
+  /** Beyond-reference `changepoints` (see [[Ast.ChangepointsQuery]]). */
+  private def parseChangepoints(root: JsonNode): ChangepointsQuery = {
+    val stmt = root.get("changepoints")
+    if (!stmt.isObject)
+      throw new BadQuery("changepoints statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "step", "window", "min-shift").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad changepoints key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "changepoints.metric")
+    if (metrics.isEmpty)
+      throw new BadQuery("changepoints requires at least one metric")
+    val step = wholeMicrosStep(positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("step"))
+        .getOrElse(throw new BadQuery("changepoints.step required")).asText()),
+      "changepoints.step"), "changepoints.step")
+    val w = Option(stmt.get("window")).map { t =>
+      if (!t.isIntegralNumber || !t.canConvertToInt)
+        throw new BadQuery("changepoints.window must be an integer")
+      t.asInt()
+    }.getOrElse(7)
+    // 1-bucket windows compare single noisy means; the upper bound keeps
+    // the per-key window state a few KB (the w-bucket running sums)
+    if (w < 1 || w > 4096)
+      throw new BadQuery(s"changepoints.window must be in [1, 4096] (got $w)")
+    val minShift = Option(stmt.get("min-shift")).map { t =>
+      if (!t.isNumber)
+        throw new BadQuery("changepoints.min-shift must be a number")
+      t.asDouble()
+    }.getOrElse(throw new BadQuery("'changepoints.min-shift' field required"))
+    if (!(minShift > 0))
+      throw new BadQuery("changepoints.min-shift must be positive")
+    rejectSampleClauses(root, "changepoints")
+    ChangepointsQuery(metrics, step, w, minShift, parseRange(root),
+      parseWhere(root), parseLocation(root))
   }
 
   /** Beyond-reference `correlate` (see [[Ast.CorrelateQuery]]). */

@@ -101,6 +101,13 @@ object ContractProbe {
     tryQ("distinct-unknown-tag", // parses fine: no series carries it -> 0 rows
       """{"distinct": {"metric": ["click"], "tag": "no_such_tag"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("changepoints-no-threshold",
+      """{"changepoints": {"metric": ["click"], "step": "1d"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("changepoints-zero-window",
+      """{"changepoints": {"metric": ["click"], "step": "1d", "window": 0,
+                           "min-shift": 1.0},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("trend-sub-us-step",
       """{"trend": {"metric": ["click"], "step": "500n"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")

@@ -498,6 +498,49 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("changepoints statement: parse, window/min-shift validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"changepoints": {"metric": ["a"], "step": "1d", "window": 14,
+                           "min-shift": 0.5},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[ChangepointsQuery]
+    assert(q.metrics === Seq("a"))
+    assert(q.stepNs === 86400000000000L)
+    assert(q.window === 14)
+    assert(q.minShift === 0.5)
+    assert(QueryParser.parse( // window defaults to 7
+      """{"changepoints": {"metric": "a", "step": "1h", "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[ChangepointsQuery].window === 7)
+    intercept[BadQuery](QueryParser.parse( // step required
+      """{"changepoints": {"metric": ["a"], "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // min-shift required
+      """{"changepoints": {"metric": ["a"], "step": "1d"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // zero min-shift flags everything
+      """{"changepoints": {"metric": ["a"], "step": "1d", "min-shift": 0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // fractional window
+      """{"changepoints": {"metric": ["a"], "step": "1d", "window": 2.5,
+                           "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // zero-bucket window
+      """{"changepoints": {"metric": ["a"], "step": "1d", "window": 0,
+                           "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // sub-µs step: no µs grid
+      """{"changepoints": {"metric": ["a"], "step": "500n",
+                           "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"changepoints": {"metric": ["a"], "step": "1d", "min-shift": 1.0,
+                           "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // no per-sample rows to page
+      """{"changepoints": {"metric": ["a"], "step": "1d", "min-shift": 1.0},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+  }
+
   test("gaps statement: parse, threshold exclusivity, clause rejection") {
     val q = QueryParser.parse(
       """{"gaps": {"metric": "m", "min-gap": "12h"},

@@ -74,6 +74,30 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assert(run(64, """{"from": 50, "to": 60}""") === Seq())
   }
 
+  test("changepoints statement: a planted step flags exactly the sliding boundaries") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // one sample per µs-bucket: value 1.0 at buckets 0..9, 5.0 at 10..19
+    val rows = (0 until 20).map(i =>
+      ("a", i * 1000L, if (i < 10) 1.0 else 5.0))
+    val wide = rows.toDF("tag", "ts", "value").withColumn("metric", lit("m"))
+    val eng = new Engine(graft.model.TsdbContext.fromWide(spark, wide,
+      "metric", Seq("tag"), "ts", "value"))
+    val out = eng.execute(
+      """{"changepoints": {"metric": "m", "step": "1us", "window": 3,
+                           "min-shift": 2.0},
+         "range": {"from": 0, "to": 100000}}""")
+      .select("ts_us", "before_mean", "after_mean", "shift")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // the step between buckets 9 and 10 flags the three boundaries whose
+    // windows straddle it; the run's extremum (b=10: full 1->5 contrast)
+    // is the change's best estimate — boundaries 8 and 12 stay under 2.0
+    assert(out === Seq(
+      (9L, 1.0, 3.666667, 2.666667),
+      (10L, 1.0, 5.0, 4.0),
+      (11L, 2.333333, 5.0, 2.666667)))
+  }
+
   test("gaps statement: planted silences flagged, thresholds respected") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._

@@ -1027,12 +1027,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     servedEqualsScan(
       """{"trend": {"metric": ["m1", "m2"], "step": "2us"},
          "range": {"from": 0, "to": 40000}}""", "aligned trend")
-    // a misaligned range could split a fine bucket's sums -> both
+    // changepoints consumes the same served bucket-mean frame: the m1
+    // ramp's window means differ by w·slope ≈ 4/3 > 1.0 at every full
+    // boundary, so the served flags are real arithmetic, scan-equal
+    servedEqualsScan(
+      """{"changepoints": {"metric": ["m1"], "step": "1us", "window": 4,
+                           "min-shift": 1.0},
+         "range": {"from": 0, "to": 40000}}""", "aligned changepoints")
+    // a misaligned range could split a fine bucket's sums -> all three
     // statements fall back to the scan
     Seq(
       """{"correlate": {"metric": ["m1", "m2"], "step": "1us"},
          "range": {"from": 500, "to": 40000}}""",
       """{"trend": {"metric": ["m1"], "step": "2us"},
+         "range": {"from": 500, "to": 40000}}""",
+      """{"changepoints": {"metric": ["m1"], "step": "1us", "window": 4,
+                           "min-shift": 1.0},
          "range": {"from": 500, "to": 40000}}""").foreach { q =>
       assert(plan(eng.execute(q)).collect { case f: FileSourceScanExec => f }
         .exists(_.metadata("Location").contains("/samples")),
