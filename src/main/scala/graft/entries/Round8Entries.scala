@@ -205,6 +205,38 @@ object Round8Entries {
         .orderBy("key_a", "key_b")
     }),
 
+    // changepoints over the STREAM-maintained bucket-sums index: the
+    // executing stream folds day buckets (bucketMeansBuild — the
+    // stream_corr machinery), the sentinel's watermark push finalizes
+    // every real bucket (its own never flushes), and the sink reduces
+    // through the SAME Stats.levelShifts — streamed flags equal the
+    // batch scan's bit-for-bit, one oracle. The level-shift monitor
+    // kept fresh online without re-scanning history.
+    "stream_changepoints" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val dayNs = 86400000000000L
+      val rows = EntryUtil.rawEvents(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("ts").cast("long"),
+          col("value").cast("double"))
+        .orderBy("ts", "event_type", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val maxTs = rows.iterator.map(_._2).max
+      val sink = EntryUtil.runStreamEntry(s, "stream_cp_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.bucketMeansBuild(_, dayNs,
+          "10 minutes"),
+        sentinel = Some((rows.head._1, maxTs + dayNs, 0.0)))
+      graft.ops.Stats.levelShifts(
+          graft.ops.Stats.meansFromSums(sink, "name"), "name", dayNs,
+          w = 7, minShift = 1.0)
+        .select(col("name").as("metric"), col("ts_us"),
+          col("before_mean"), col("after_mean"), col("shift"))
+        .orderBy("metric", "ts_us")
+    }),
+
     // the quantile statement over the PERSISTED partitioned layout
     // (metric/ts_day directories, (series_id, ts)-sorted files): the
     // statement's scan rides the same two-level pruning as select —
@@ -525,9 +557,13 @@ object Round8Entries {
     "ts_trend_json" -> trendSql(0),
     "ts_trend_json_horizon" -> trendSql(7),
 
-    "ts_changepoints_json" -> changepointsSql,
+    "ts_changepoints_json" ->
+      changepointsSql(Seq("click", "purchase", "view")),
     // bucket-sums-served == scan: one oracle
-    "ts_changepoints_json_indexed" -> changepointsSql,
+    "ts_changepoints_json_indexed" ->
+      changepointsSql(Seq("click", "purchase", "view")),
+    // stream-maintained bucket sums reduce through the same detector
+    "stream_changepoints" -> changepointsSql(Seq("click", "view")),
 
     "ts_distinct_json" -> kmvTagSql(64, None),
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
@@ -760,15 +796,16 @@ object Round8Entries {
     * ROWS-frame window sums over occupied buckets (integers), the
     * integer-difference shift, and the threshold compare on the
     * ROUNDED shift — Stats.levelShifts op-for-op. */
-  private def changepointsSql: String = {
+  private def changepointsSql(types: Seq[String]): String = {
     val w = 7
+    val in = types.map(t => s"'$t'").mkString(", ")
     s"""WITH b AS (
            SELECT event_type AS k,
                epoch_ns(ts) // 86400000000000 AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                    / count(*) / 1000.0) AS BIGINT) AS m
              FROM events
-             WHERE event_type IN ('click', 'purchase', 'view')
+             WHERE event_type IN ($in)
                AND epoch_ns(ts) >= ${EntryUtil.FromNs}
                AND epoch_ns(ts) < ${EntryUtil.ToNs}
              GROUP BY 1, 2),

@@ -685,6 +685,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("bucketMeansBuild: streamed bucket means flag the batch level shifts bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val s = 1000000000L
+    val bucket = 10 * s
+    // a planted 1->5 step at bucket 10, two rows per bucket so the
+    // µu-sum/count fold matters; the step spans a chunk boundary
+    val rows = (0 until 20).flatMap { i =>
+      val t = i.toLong * 10 * s
+      val v = if (i < 10) 1.0 else 5.0
+      Seq(("a", t, v), ("a", t + 1, v + 0.2))
+    }.sortBy(_._2)
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.bucketMeansBuild(
+        in.toDF().toDF("name", "ts", "value"), bucket, "5 seconds")
+      .writeStream.format("memory").queryName("cp_bmeans_sink")
+      .outputMode("append").start()
+    try {
+      rows.grouped(13).foreach { c => in.addData(c: _*); q.processAllAvailable() }
+      in.addData(("a", 1000L * s, 0.0)) // sentinel: finalize tail buckets
+      q.processAllAvailable()
+      val sink = spark.table("cp_bmeans_sink")
+        .where(col("__b") < lit(20L)) // drop the sentinel bucket
+      def run(buckets: org.apache.spark.sql.DataFrame) =
+        graft.ops.Stats.levelShifts(buckets, "name", bucket, w = 3,
+          minShift = 2.0).orderBy("ts_us").collect().toSeq
+      val streamed = run(graft.ops.Stats.meansFromSums(sink, "name"))
+      val batch = run(graft.ops.Stats.bucketMeans(
+        rows.toDF("name", "ts", "value"), bucket, "name", "ts", "value"))
+      assert(streamed === batch,
+        "streamed integer ingredients + the shared detector must equal batch flags")
+      assert(streamed.size === 3, // the three boundaries straddling the step
+        s"sanity: the planted step must flag its sliding boundaries: $streamed")
+    } finally q.stop()
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
