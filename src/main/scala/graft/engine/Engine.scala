@@ -434,17 +434,30 @@ final class Engine(val ctx: TsdbContext) {
     * rows). Coarsest eligible level wins (fewest rows, same answer —
     * the answer is EXACT at any eligible level); misaligned or
     * backward ranges abstain to the scan, since a partial fine bin
-    * could contain a series' only sample outside the range. */
-  private def servedActive(q: ActiveQuery, ids: DataFrame): Option[DataFrame] = {
-    if (!q.range.forward) return None
-    // fine > 0 is the constructor gate's invariant — not re-checked here
+    * could contain a series' only sample outside the range.
+    *
+    * The ONE activity-serving eligibility rule ([[servedActive]] and
+    * [[servedDistinct]] share it — a future boundary fix must not
+    * diverge the two statements' guards): the COARSEST registered
+    * rollup whose fine bin divides the forward range's both ends (and
+    * the query step, if any), its rows restricted to the range.
+    * fine > 0 is the constructor gate's invariant — not re-checked
+    * here. */
+  private def eligibleActivityRollup(range: TimeRange,
+      stepNs: Option[Long]): Option[DataFrame] = {
+    if (!range.forward) return None
     ctx.rollups.filter { case (fine, _) =>
-      Math.floorMod(q.range.from, fine) == 0 &&
-        Math.floorMod(q.range.to, fine) == 0 &&
-        q.stepNs.forall(_ % fine == 0)
+      Math.floorMod(range.from, fine) == 0 &&
+        Math.floorMod(range.to, fine) == 0 &&
+        stepNs.forall(_ % fine == 0)
     }.sortBy { case (fine, _) => -fine }.headOption.map { case (_, rollup) =>
-      val covered = rollup
-        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
+      rollup.where(col("bin") >= range.from && col("bin") < range.to)
+    }
+  }
+
+  private def servedActive(q: ActiveQuery, ids: DataFrame): Option[DataFrame] =
+    eligibleActivityRollup(q.range, q.stepNs).map { inRange =>
+      val covered = inRange
         .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       q.stepNs match {
         case None =>
@@ -463,7 +476,6 @@ final class Engine(val ctx: TsdbContext) {
             .orderBy("metric", "ts_us")
       }
     }
-  }
 
   /** Beyond-reference `distinct`: per-metric ESTIMATED distinct values
     * of a tag among series active in the range ([[Ast.DistinctQuery]]),
@@ -503,19 +515,11 @@ final class Engine(val ctx: TsdbContext) {
     * abstain to the scan. At 100 TB "distinct users this month" then
     * reads series × bins index rows, never raw samples. */
   private def servedDistinct(q: DistinctQuery,
-      ids: DataFrame): Option[DataFrame] = {
-    if (!q.range.forward) return None
-    ctx.rollups.filter { case (fine, _) =>
-      Math.floorMod(q.range.from, fine) == 0 &&
-        Math.floorMod(q.range.to, fine) == 0 &&
-        q.stepNs.forall(_ % fine == 0)
-    }.sortBy { case (fine, _) => -fine }.headOption.map { case (_, rollup) =>
-      finishDistinct(q, rollup
-        .where(col("bin") >= q.range.from && col("bin") < q.range.to)
+      ids: DataFrame): Option[DataFrame] =
+    eligibleActivityRollup(q.range, q.stepNs).map(inRange =>
+      finishDistinct(q, inRange
         .join(broadcast(ids), "series_id")
-        .withColumn("__t", col("bin")))
-    }
-  }
+        .withColumn("__t", col("bin"))))
 
   /** The ONE estimator tail both distinct paths share: `__t` carries
     * each row's bin-able instant (sample ts on the scan path, rollup

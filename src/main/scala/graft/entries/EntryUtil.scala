@@ -360,6 +360,21 @@ object EntryUtil {
   def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
     eventRows(spark, dir, "click", "click user=")
 
+  /** The multi-metric streaming feed keyed by EVENT TYPE (stream_corr /
+    * stream_changepoints share it): the named types' rows as
+    * (type, ts, value), ts-ordered with a (type, value) tiebreak. The
+    * eventRows rule applies — ONE definition, or the entries' oracles
+    * silently diverge from each other's input. */
+  def typedEventRows(spark: SparkSession, dir: String,
+      types: Seq[String]): Seq[(String, Long, Double)] =
+    rawEvents(spark, dir)
+      .where(col("event_type").isin(types: _*))
+      .select(col("event_type"), col("ts").cast("long"),
+        col("value").cast("double"))
+      .orderBy("ts", "event_type", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
   /** Execute a streaming entry for real: feed `rows` into a MemoryStream
     * in `chunks` micro-batches (callers pre-sort by ts so the watermark
     * only advances), run `mkStream`'s transformation to a memory sink

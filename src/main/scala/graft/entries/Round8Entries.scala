@@ -187,13 +187,7 @@ object Round8Entries {
       val hourNs = 3600000000000L
       // feed keyed by EVENT TYPE (the correlation's metric key), ts-
       // ordered so the watermark only advances
-      val rows = EntryUtil.rawEvents(s, dir)
-        .where(col("event_type").isin("click", "view"))
-        .select(col("event_type"), col("ts").cast("long"),
-          col("value").cast("double"))
-        .orderBy("ts", "event_type", "value")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-        .toSeq
+      val rows = EntryUtil.typedEventRows(s, dir, Seq("click", "view"))
       val maxTs = rows.iterator.map(_._2).max
       val sink = EntryUtil.runStreamEntry(s, "stream_corr_sink", rows,
         chunks = 4, cols = Seq("name", "ts", "value"),
@@ -216,13 +210,7 @@ object Round8Entries {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(String, Long, Double)]
       val dayNs = 86400000000000L
-      val rows = EntryUtil.rawEvents(s, dir)
-        .where(col("event_type").isin("click", "view"))
-        .select(col("event_type"), col("ts").cast("long"),
-          col("value").cast("double"))
-        .orderBy("ts", "event_type", "value")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-        .toSeq
+      val rows = EntryUtil.typedEventRows(s, dir, Seq("click", "view"))
       val maxTs = rows.iterator.map(_._2).max
       val sink = EntryUtil.runStreamEntry(s, "stream_cp_sink", rows,
         chunks = 4, cols = Seq("name", "ts", "value"),
@@ -562,8 +550,10 @@ object Round8Entries {
     // bucket-sums-served == scan: one oracle
     "ts_changepoints_json_indexed" ->
       changepointsSql(Seq("click", "purchase", "view")),
-    // stream-maintained bucket sums reduce through the same detector
-    "stream_changepoints" -> changepointsSql(Seq("click", "view")),
+    // stream-maintained bucket sums reduce through the same detector;
+    // UNRANGED like its feed (the stream_corr mirror convention)
+    "stream_changepoints" ->
+      changepointsSql(Seq("click", "view"), ranged = false),
 
     "ts_distinct_json" -> kmvTagSql(64, None),
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
@@ -796,9 +786,18 @@ object Round8Entries {
     * ROWS-frame window sums over occupied buckets (integers), the
     * integer-difference shift, and the threshold compare on the
     * ROUNDED shift — Stats.levelShifts op-for-op. */
-  private def changepointsSql(types: Seq[String]): String = {
+  /** `ranged = false` is the streaming-entry convention (stream_corr's
+    * corrSql precedent): the stream feeds UNRANGED rawEvents, so its
+    * mirror must not carry the canonical window — they only coincide
+    * while the testdata happens to lie inside it. */
+  private def changepointsSql(types: Seq[String],
+      ranged: Boolean = true): String = {
     val w = 7
     val in = types.map(t => s"'$t'").mkString(", ")
+    val rangePred = if (ranged)
+      s"""AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+               AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
+    else ""
     s"""WITH b AS (
            SELECT event_type AS k,
                epoch_ns(ts) // 86400000000000 AS bk,
@@ -806,8 +805,7 @@ object Round8Entries {
                    / count(*) / 1000.0) AS BIGINT) AS m
              FROM events
              WHERE event_type IN ($in)
-               AND epoch_ns(ts) >= ${EntryUtil.FromNs}
-               AND epoch_ns(ts) < ${EntryUtil.ToNs}
+               $rangePred
              GROUP BY 1, 2),
          wnd AS (
            SELECT k, bk,

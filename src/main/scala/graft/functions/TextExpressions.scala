@@ -120,25 +120,44 @@ object TextKernels {
     * [[graft.pipeline.TextOps.packBloom]]'s layout). A pure projection:
     * the join form's per-(doc, shingle, probe) row explosion, broadcast
     * probe join and two doc-keyed aggregations collapse into a
-    * zero-shuffle map over the corpus scan. */
+    * zero-shuffle map over the corpus scan.
+    *
+    * Counted per DISTINCT HASH, replaying the join form's group
+    * arithmetic exactly — the (id, h) group there accumulates one
+    * joined row per (duplicate shingle × set probe), so a hash shared
+    * by m distinct shingles with s set probes passes its
+    * `n_set == numHashes` gate iff m·s == numHashes (m = 1 is the
+    * ordinary case; a hash60 collision inside one document makes the
+    * join form count the GROUP, or at the right m·s even a
+    * partially-set one). Astronomically rare at ~n²/2⁶¹, but the three
+    * Bloom forms are pinned bit-identical under one oracle, so the
+    * kernel reproduces the rule rather than approximating it. */
   def bloomOverlap(text: UTF8String, k: Int, bits: Array[Byte],
       mBits: Int, numHashes: Int): ArrayData = {
     val sh = wordShingles(text, k)
     val n = sh.numElements()
-    var overlap = 0
+    val mult = new java.util.LinkedHashMap[java.lang.Long, Integer](n * 2)
     var idx = 0
     while (idx < n) {
       val h = hash60(sh.getUTF8String(idx))
-      var all = true
+      val prev = mult.get(h)
+      mult.put(h, if (prev == null) 1 else prev + 1)
+      idx += 1
+    }
+    var overlap = 0
+    val it = mult.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h: Long = e.getKey
+      var setProbes = 0
       var i = 0
-      while (all && i < numHashes) {
+      while (i < numHashes) {
         val p = (hash60(UTF8String.fromString(
           java.lang.Long.toString(h) + ":" + i)) % mBits).toInt
-        all = (bits(p >> 3) & (1 << (p & 7))) != 0
+        if ((bits(p >> 3) & (1 << (p & 7))) != 0) setProbes += 1
         i += 1
       }
-      if (all) overlap += 1
-      idx += 1
+      if (e.getValue * setProbes == numHashes) overlap += 1
     }
     new GenericArrayData(Array[Any](n, overlap))
   }

@@ -412,8 +412,11 @@ object QueryParser {
     val metrics = strOrList(stmt.get("metric"), "distinct.metric")
     if (metrics.isEmpty)
       throw new BadQuery("distinct requires at least one metric")
-    val tag = Option(stmt.get("tag")).map(_.asText()).getOrElse(
-      throw new BadQuery("'distinct.tag' field required"))
+    // filter(isTextual): a null or numeric node would asText()-coerce to
+    // "null"/"5" and silently return 0 rows instead of erring
+    val tag = Option(stmt.get("tag")).filter(_.isTextual).map(_.asText())
+      .getOrElse(
+        throw new BadQuery("'distinct.tag' field required (a string)"))
     if (tag.isEmpty) throw new BadQuery("distinct.tag must be non-empty")
     val k = Option(stmt.get("k")).map { t =>
       // canConvertToInt alone admits 2.5 (it checks range, not

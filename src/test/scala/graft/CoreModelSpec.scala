@@ -469,6 +469,12 @@ class QueryParserSpec extends AnyFunSuite {
     intercept[BadQuery](QueryParser.parse( // empty tag
       """{"distinct": {"metric": ["a"], "tag": ""},
          "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // null tag: asText would say "null"
+      """{"distinct": {"metric": ["a"], "tag": null},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // numeric tag: no "5" coercion
+      """{"distinct": {"metric": ["a"], "tag": 5},
+         "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // empty metric list
       """{"distinct": {"metric": [], "tag": "user"},
          "range": {"from": 0, "to": 10}}"""))
