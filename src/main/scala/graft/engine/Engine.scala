@@ -497,10 +497,13 @@ final class Engine(val ctx: TsdbContext) {
     servedDistinct(q, ids).getOrElse {
       // the scan's only job is (series, bin) ACTIVITY: it reduces to
       // distinct (metric, bin, series-hash) triples inside kmvServeKeys'
-      // dedup — catalog × bins sized, never sample-sized
-      val df = tsDayPruned(facts(q.metrics), q.range)
+      // dedup — catalog × bins sized, never sample-sized. A value
+      // filter narrows what counts as activity ("distinct users with a
+      // purchase over 150") as a pushdown-able scan predicate
+      var df = tsDayPruned(facts(q.metrics), q.range)
         .join(broadcast(ids), "series_id")
         .where(rangeCond(q.range))
+      q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
       finishDistinct(q, df.withColumn("__t", col("ts")))
     }
   }
@@ -515,11 +518,15 @@ final class Engine(val ctx: TsdbContext) {
     * abstain to the scan. At 100 TB "distinct users this month" then
     * reads series × bins index rows, never raw samples. */
   private def servedDistinct(q: DistinctQuery,
-      ids: DataFrame): Option[DataFrame] =
+      ids: DataFrame): Option[DataFrame] = {
+    // a rollup stores no values — "active under this value filter"
+    // cannot be answered from activity rows (the quantile rule)
+    if (q.filter.nonEmpty) return None
     eligibleActivityRollup(q.range, q.stepNs).map(inRange =>
       finishDistinct(q, inRange
         .join(broadcast(ids), "series_id")
         .withColumn("__t", col("bin"))))
+  }
 
   /** The ONE estimator tail both distinct paths share: `__t` carries
     * each row's bin-able instant (sample ts on the scan path, rollup

@@ -361,6 +361,17 @@ object Round8Entries {
                           "tag": "user", "k": 64, "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the value-filtered form — "distinct users with an event over 150"
+    // (the qualifying-population question); the filter narrows what
+    // counts as activity on the scan, and a registered rollup would
+    // abstain (it stores no values — the quantile rule, plan-pinned)
+    "ts_distinct_json_filtered" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64},
+             "filter": {"gt": 150.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the same stepped statement on the rollup-registered engine: the
     // aligned range serves from hourly rollup ACTIVITY rows (servedActive
     // carried to KMV — a series' tag hash is constant, so the distinct
@@ -506,13 +517,14 @@ object Round8Entries {
     * catalog), same per-(metric[, bin]) k-cut by hash order, same
     * (k−1)·2⁶⁰/h_k estimator — the kmvUserSql discipline with the
     * statement's range and anchored bins. */
-  private def kmvTagSql(k: Int, stepNs: Option[Long]): String = {
+  private def kmvTagSql(k: Int, stepNs: Option[Long],
+      extra: String = ""): String = {
     val h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     val src =
       s"""FROM events
           WHERE event_type IN ('click', 'purchase', 'view')
             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
-            AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
+            AND epoch_ns(ts) < ${EntryUtil.ToNs} $extra"""
     val est =
       s"""CAST(n AS BIGINT) AS n_kept,
           round(CASE WHEN n < $k THEN CAST(n AS DOUBLE)
@@ -559,6 +571,8 @@ object Round8Entries {
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // rollup-served == scan: one oracle
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
+    // value-filtered activity: the qualifying-population estimate
+    "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
     "docs_contamination_bloom" -> bloomSql,
     "docs_contamination_bloom_packed" -> bloomSql,
     "stream_contamination_bloom" -> bloomSql,

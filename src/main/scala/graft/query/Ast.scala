@@ -355,6 +355,12 @@ object Ast {
       stepNs: Option[Long],
       range: TimeRange,
       where: Where = Where.All,
+      /** optional value filter on the samples that count as activity
+        * ("distinct users with a purchase over 150" — the qualifying-
+        * population question). A registered rollup stores no values, so
+        * index serving abstains when a filter is present (the quantile
+        * statement's rule). */
+      filter: Option[ValueFilter] = None,
       location: Option[LocationFilter] = None) extends Query
 
   /** `{"correlate": {"metric": ["a", "b"], "step": "1h", "lag": "1d"}}`

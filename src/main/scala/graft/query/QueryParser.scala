@@ -433,9 +433,9 @@ object QueryParser {
       .map(t => wholeMicrosStep(
         positiveDuration(TimeUtil.parseDuration(t.asText()),
           "distinct.step"), "distinct.step"))
-    rejectSampleClauses(root, "distinct")
+    rejectSampleClauses(root, "distinct", allowFilter = true)
     DistinctQuery(metrics, tag, k, step, parseRange(root), parseWhere(root),
-      parseLocation(root))
+      parseSingleFilter(root), parseLocation(root))
   }
 
   /** Beyond-reference `changepoints` (see [[Ast.ChangepointsQuery]]). */

@@ -464,6 +464,10 @@ class QueryParserSpec extends AnyFunSuite {
       """{"distinct": {"metric": "a", "tag": "user"},
          "range": {"from": 0, "to": 10}}""")
       .asInstanceOf[DistinctQuery].k === 256)
+    assert(QueryParser.parse( // a value filter composes (form 2)
+      """{"distinct": {"metric": "a", "tag": "user"},
+         "filter": {"gt": 150.0}, "range": {"from": 0, "to": 10}}""")
+      .asInstanceOf[DistinctQuery].filter.exists(_.gt === Some(150.0)))
     intercept[BadQuery](QueryParser.parse( // tag required
       """{"distinct": {"metric": ["a"]}, "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // empty tag

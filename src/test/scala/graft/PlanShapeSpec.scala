@@ -774,6 +774,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(mis).collect { case f: FileSourceScanExec => f }
       .exists(_.metadata("Location").contains("/samples")),
       "misaligned range must fall back to the scan")
+    // a value filter narrows what counts as activity, and the rollup
+    // stores no values -> filtered statements always scan
+    val filtered = eng.execute(
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2},
+         "filter": {"gt": 15.0},
+         "range": {"from": 100, "to": 300}}""")
+    assert(plan(filtered).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "filtered statement must abstain from rollup serving")
   }
 
   test("quantile statement: aligned range serves from the registered histogram index") {
