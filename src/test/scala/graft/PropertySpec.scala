@@ -284,4 +284,67 @@ class EnginePropertySpec extends AnyFunSuite with SparkTestBase {
     val (k25, k50) = (kept(0.25), kept(0.5))
     assert(k25.subsetOf(k50) && k50.subsetOf(kept(1.0)) && kept(1.0).size === 300)
   }
+
+  /** Adding an integer constant to every sample shifts the window means
+    * by exactly that constant but leaves every shift — an integer
+    * DIFFERENCE of milli-quantized window sums — untouched, so the
+    * flagged boundary set is invariant. Ties the detector's integer
+    * discipline down: a refactor that computed shifts from the two
+    * ROUNDED means (or from raw doubles) would break this exactness on
+    * random data. */
+  test("levelShifts is translation-invariant on random milli-exact series") {
+    import spark.implicits._
+    import graft.ops.Stats
+    val gen: Gen[(Seq[(Long, Int)], Int)] = for {
+      n <- Gen.chooseNum(12, 30)
+      // occupied bucket ids with gaps; milli-exact values
+      bs <- Gen.listOfN(n, Gen.chooseNum(0L, 50L))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-20000, 20000))
+      c <- Gen.chooseNum(1, 5)
+    } yield (bs.distinct.zip(vs), c)
+    forAllN(gen, n = 12) { case (pts, c) =>
+      def run(offset: Int) = {
+        val samples = pts.map { case (b, mv) =>
+          ("s", b * 1000L, mv / 1000.0 + offset) }
+          .toDF("name", "ts", "value")
+        Stats.levelShifts(
+            Stats.bucketMeans(samples, 1000L, "name", "ts", "value"),
+            "name", 1000L, w = 3, minShift = 0.75)
+          .orderBy("ts_us")
+          .select("ts_us", "before_mean", "after_mean", "shift")
+          .as[(Long, Double, Double, Double)].collect().toSeq
+      }
+      val base = run(0)
+      val shifted = run(c)
+      assert(shifted.map(r => (r._1, r._4)) === base.map(r => (r._1, r._4)),
+        s"flags and shifts must survive +$c exactly")
+      base.zip(shifted).foreach { case ((_, b1, a1, _), (_, b2, a2, _)) =>
+        assert(math.abs(b2 - b1 - c) < 1e-9 && math.abs(a2 - a1 - c) < 1e-9)
+      }
+    }
+  }
+
+  /** Deterministic-hash regression bound: the KMV estimate at k = 64
+    * lands within 3 standard errors (~38%) of the true cardinality on
+    * seeded random universes well above k. hash60 is deterministic, so
+    * this is a fixed regression pin, not a flaky statistical test — it
+    * catches an estimator or k-cut regression (wrong h_k, off-by-one
+    * rank, double-counted duplicates), each of which moves the estimate
+    * far outside the band. */
+  test("kmvServeKeys estimate stays within the 3-sigma band of the truth") {
+    import spark.implicits._
+    val gen: Gen[(Int, Int)] = for {
+      n <- Gen.chooseNum(300, 2000)
+      salt <- Gen.chooseNum(0, 1000000)
+    } yield (n, salt)
+    forAllN(gen, n = 5) { case (n, salt) =>
+      val vals = (1 to n).map(i => ("g", s"user-$salt-$i")) ++
+        (1 to n).map(i => ("g", s"user-$salt-$i")) // duplicates: no effect
+      val est = graft.ops.Sketches.kmvDistinct(
+          vals.toDF("g", "v"), "g", "v", k = 64)
+        .select("est_distinct").as[Double].head()
+      assert(math.abs(est / n - 1.0) < 0.38,
+        s"n=$n salt=$salt est=$est — outside the 3-sigma band")
+    }
+  }
 }
