@@ -406,6 +406,75 @@ object Round8Entries {
                               "min-shift": 1.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // ---- the SQL surface (SURVEY §2.8): the relational features the
+    // reference explicitly lacks — ranking windows, anti joins,
+    // grouping sets — work over the SAME data via registerViews +
+    // spark.sql, each oracle-gated against DuckDB running the
+    // equivalent relational query. The "generic engine" half of the
+    // parity story: a reference user gains these for free.
+
+    // rank(): top-3 samples per purchase series by value (ties share a
+    // rank on both engines, so the row SET is deterministic)
+    "ts_sql_rank" -> ((s, dir) => {
+      EntryUtil.engineFor(s, dir).ctx.registerViews()
+      s.sql(
+        s"""WITH p AS (
+              SELECT se.name AS series, sa.ts, sa.value
+              FROM tsdb_samples sa JOIN tsdb_series se
+                ON sa.series_id = se.series_id
+              WHERE se.metric = 'purchase'
+                AND sa.ts >= ${EntryUtil.FromNs} AND sa.ts < ${EntryUtil.ToNs}),
+            r AS (
+              SELECT series, ts, value,
+                rank() OVER (PARTITION BY series ORDER BY value DESC) AS rnk
+              FROM p)
+            SELECT series, ts div 1000 AS ts_us, round(value, 6) AS value,
+              CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3
+            ORDER BY series, rnk, ts_us""")
+    }),
+
+    // LEFT ANTI JOIN: users who clicked on day one but never purchased
+    // that day — the "active here, absent there" cohort question the
+    // reference's ts-alignment joins cannot ask
+    "ts_sql_anti_join" -> ((s, dir) => {
+      EntryUtil.engineFor(s, dir).ctx.registerViews()
+      val dayEnd = EntryUtil.FromNs + 86400000000000L
+      s.sql(
+        s"""WITH act AS (
+              SELECT DISTINCT se.metric, se.tags['user'] AS user
+              FROM tsdb_samples sa JOIN tsdb_series se
+                ON sa.series_id = se.series_id
+              WHERE se.metric IN ('click', 'purchase')
+                AND sa.ts >= ${EntryUtil.FromNs} AND sa.ts < $dayEnd)
+            SELECT c.user
+            FROM (SELECT user FROM act WHERE metric = 'click') c
+            LEFT ANTI JOIN (SELECT user FROM act WHERE metric = 'purchase') p
+              ON c.user = p.user
+            ORDER BY c.user""")
+    }),
+
+    // GROUPING SETS: per-(metric, week) exact µu sums with per-metric
+    // subtotals and a grand total in ONE pass — integer sums, so the
+    // cross-engine hash is exact at every grouping level
+    "ts_sql_grouping_sets" -> ((s, dir) => {
+      EntryUtil.engineFor(s, dir).ctx.registerViews()
+      val weekNs = 7L * 86400000000000L
+      s.sql(
+        s"""SELECT metric, week_us, count(*) AS cnt, sum(mu) AS sum_mu
+            FROM (
+              SELECT se.metric AS metric,
+                (${EntryUtil.FromNs} + ((sa.ts - ${EntryUtil.FromNs})
+                   div $weekNs) * $weekNs) div 1000 AS week_us,
+                CAST(round(sa.value * 1000000.0) AS BIGINT) AS mu
+              FROM tsdb_samples sa JOIN tsdb_series se
+                ON sa.series_id = se.series_id
+              WHERE se.metric IN ('click', 'purchase', 'view')
+                AND sa.ts >= ${EntryUtil.FromNs} AND sa.ts < ${EntryUtil.ToNs})
+            GROUP BY GROUPING SETS ((metric, week_us), (metric), ())
+            ORDER BY metric ASC NULLS FIRST, week_us ASC NULLS FIRST""")
+    }),
+
     // decontamination against a PERSISTED Bloom index of the benchmark
     // shingle set (TextOps.bloomBits — Bloom 1970): the broadcast side
     // is the <= mBits set-position rows, FIXED as benchmark suites grow
@@ -573,6 +642,53 @@ object Round8Entries {
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
+
+    // the SQL-surface mirrors: DuckDB runs the same relational query
+    "ts_sql_rank" ->
+      s"""WITH p AS (
+            SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
+                AS series, ts, value
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+              AND epoch_ns(ts) < ${EntryUtil.ToNs}),
+          r AS (
+            SELECT series, ts, value,
+              rank() OVER (PARTITION BY series ORDER BY value DESC) AS rnk
+            FROM p)
+          SELECT series, epoch_us(ts) AS ts_us, round(value, 6) AS value, rnk
+          FROM r WHERE rnk <= 3
+          ORDER BY series, rnk, ts_us""",
+
+    "ts_sql_anti_join" ->
+      s"""WITH act AS (
+            SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+              AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+              AND epoch_ns(ts) < ${EntryUtil.FromNs + 86400000000000L})
+          SELECT user FROM act c
+          WHERE event_type = 'click'
+            AND NOT EXISTS (SELECT 1 FROM act p
+                            WHERE p.event_type = 'purchase'
+                              AND p.user = c.user)
+          ORDER BY user""",
+
+    "ts_sql_grouping_sets" ->
+      s"""SELECT metric, week_us, CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(mu) AS BIGINT) AS sum_mu
+          FROM (
+            SELECT event_type AS metric,
+              (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+                 // ${7L * 86400000000000L}) * ${7L * 86400000000000L})
+                // 1000 AS week_us,
+              CAST(round(value * 1000000.0) AS BIGINT) AS mu
+            FROM events
+            WHERE event_type IN ('click', 'purchase', 'view')
+              AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+              AND epoch_ns(ts) < ${EntryUtil.ToNs})
+          GROUP BY GROUPING SETS ((metric, week_us), (metric), ())
+          ORDER BY metric ASC NULLS FIRST, week_us ASC NULLS FIRST""",
     "docs_contamination_bloom" -> bloomSql,
     "docs_contamination_bloom_packed" -> bloomSql,
     "stream_contamination_bloom" -> bloomSql,
