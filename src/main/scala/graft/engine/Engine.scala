@@ -129,6 +129,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: ActiveQuery             => active(q)
     case q: DistinctQuery           => distinct(q)
     case q: ChangepointsQuery       => changepoints(q)
+    case q: SessionsQuery           => sessions(q)
     case q: SeasonalQuery           => seasonal(q)
     case q: GapsQuery               => gaps(q)
     case q: StaleQuery              => stale(q)
@@ -317,6 +318,21 @@ final class Engine(val ctx: TsdbContext) {
           "series", q.pLo, q.pHi)
         .orderBy("series", "phase")
     }
+  }
+
+  /** Beyond-reference `sessions`: per-series activity sessions within
+    * the range ([[graft.ops.Monitoring.sessions]] — the complement of
+    * `gaps`: maximal sample runs whose spacings stay under `gap`). One
+    * lag window + cumulative sum over the pruned scan's per-series
+    * sort; output is session-count-sized. Output:
+    * (series, start_us, end_us, n, min, max). */
+  def sessions(q: SessionsQuery): DataFrame = {
+    val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
+    graft.ops.Monitoring.sessions(
+        scan(ids, q.range, Seq(q.metric))
+          .select(col("out_name").as("series"), col("ts"), col("value")),
+        q.gapNs, keyCol = "series")
+      .orderBy("series", "start_us")
   }
 
   /** Beyond-reference `gaps`: per-series silence intervals within the

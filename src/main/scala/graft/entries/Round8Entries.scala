@@ -406,6 +406,16 @@ object Round8Entries {
                               "min-shift": 1.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the sessions statement (gaps' complement): per-series activity
+    // runs under a 1d spacing — the batch twin of stream_sessions
+    // (same membership rule; the stream's session windows label
+    // end = last + gap by that API's convention, this reports the
+    // observed [first, last])
+    "ts_sessions_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"sessions": {"metric": "click", "gap": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // ---- the SQL surface (SURVEY §2.8): the relational features the
     // reference explicitly lacks — ranking windows, anti joins,
     // grouping sets — work over the SAME data via registerViews +
@@ -642,6 +652,34 @@ object Round8Entries {
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
+
+    // sessions replay: same lag/break/cumulative-sid windows as the
+    // stream_sessions mirror, ns-exact spacings, ranged, observed-
+    // interval end labels
+    "ts_sessions_json" ->
+      s"""WITH f AS (
+            SELECT concat('click user=', CAST(user_id AS VARCHAR)) AS series,
+                ts, value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+              AND epoch_ns(ts) < ${EntryUtil.ToNs}),
+          g AS (
+            SELECT series, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w)
+                        >= 86400000000000
+                THEN 1 ELSE 0 END AS brk
+            FROM f WINDOW w AS (PARTITION BY series ORDER BY ts, value)),
+          s AS (
+            SELECT series, ts, value,
+              sum(brk) OVER (PARTITION BY series ORDER BY ts, value
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+          SELECT series, min(epoch_us(ts)) AS start_us,
+            max(epoch_us(ts)) AS end_us, count(*) AS n,
+            round(min(value), 6) AS "min", round(max(value), 6) AS "max"
+          FROM s GROUP BY series, sid ORDER BY series, start_us""",
 
     // the SQL-surface mirrors: DuckDB runs the same relational query
     "ts_sql_rank" ->

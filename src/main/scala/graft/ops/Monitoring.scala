@@ -132,6 +132,42 @@ object Monitoring {
         (col("ts") - col("__prev")).as("gap_ns"))
   }
 
+  /** The complement of [[gaps]]: per-series ACTIVITY sessions — maximal
+    * runs of samples where consecutive spacings stay under `gapNs`
+    * (a spacing ≥ gapNs starts a new session). Reported as the observed
+    * interval [first sample, last sample] with count and value extrema;
+    * the streaming twin ([[graft.streaming.TsdbStream.sessionize]] via
+    * Spark session windows) reports end = last + gap by that API's
+    * convention — same session MEMBERSHIP, different end label
+    * (documented in QUERYLANG.md). Session membership depends only on
+    * the ts multiset (duplicate-ts rows have spacing 0 and can never
+    * split), so results are deterministic under Spark's unordered
+    * shuffle. One lag window + one cumulative sum over the per-series
+    * sort gaps already pays; output is session-count-sized. */
+  def sessions(samples: DataFrame, gapNs: Long,
+      keyCol: String = "series_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapNs > 0, "session gap must be positive")
+    val w = Window.partitionBy(keyCol).orderBy("ts", "value")
+    samples
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          col("ts") - col("__prev") >= gapNs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(min(col("ts")).as("__s"), max(col("ts")).as("__e"),
+        count(lit(1)).as("n"),
+        min(col("value")).as("__min"), max(col("value")).as("__max"))
+      .select(col(keyCol),
+        expr("__s div 1000").as("start_us"),
+        expr("__e div 1000").as("end_us"),
+        col("n"),
+        round(col("__min"), 6).as("min"),
+        round(col("__max"), 6).as("max"))
+  }
+
   /** [[gaps]] with a PER-SERIES adaptive threshold: flag gaps longer
     * than `factor` × the series' own mean spacing
     * ((max ts − min ts)/(n − 1)) — a 10 Hz series and a daily series

@@ -312,6 +312,20 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"sessions": {"metric": "m", "gap": "1d"}}` — beyond-reference:
+    * per-series ACTIVITY sessions over the range — maximal sample runs
+    * whose consecutive spacings stay under `gap` (a spacing ≥ gap
+    * starts a new session; the complement of [[GapsQuery]], and the
+    * batch twin of the streaming session windows). Output rows:
+    * (series, start_us, end_us, n, min, max) — the observed interval
+    * [first, last], its sample count, and value extrema. */
+  final case class SessionsQuery(
+      metric: String,
+      gapNs: Long,
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"changepoints": {"metric": ["m"], "step": "1d", "window": 7,
     * "min-shift": 1.0}}` — beyond-reference: per-metric level shifts of
     * the bucket-mean series over the range

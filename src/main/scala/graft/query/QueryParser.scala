@@ -37,8 +37,8 @@ object QueryParser {
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend",
-      "active", "distinct", "changepoints", "seasonal", "gaps", "stale",
-      "anomaly")
+      "active", "distinct", "changepoints", "sessions", "seasonal", "gaps",
+      "stale", "anomaly")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -64,6 +64,7 @@ object QueryParser {
     else if (root.has("active")) parseActive(root)
     else if (root.has("distinct")) parseDistinct(root)
     else if (root.has("changepoints")) parseChangepoints(root)
+    else if (root.has("sessions")) parseSessions(root)
     else if (root.has("seasonal")) parseSeasonal(root)
     else if (root.has("gaps")) parseGaps(root)
     else if (root.has("stale")) parseStale(root)
@@ -292,6 +293,27 @@ object QueryParser {
   }
 
   /** Beyond-reference `gaps` (see [[Ast.GapsQuery]]). */
+  /** Beyond-reference `sessions` (see [[Ast.SessionsQuery]]). */
+  private def parseSessions(root: JsonNode): SessionsQuery = {
+    val stmt = root.get("sessions")
+    if (!stmt.isObject)
+      throw new BadQuery("sessions statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "gap").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad sessions key(s): ${unknown.mkString(", ")}")
+    val metric = Option(stmt.get("metric")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("sessions.metric name required"))
+    val gap = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("gap"))
+        .getOrElse(throw new BadQuery("sessions.gap required")).asText()),
+      "sessions.gap")
+    rejectSampleClauses(root, "sessions")
+    SessionsQuery(metric, gap, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
   private def parseGaps(root: JsonNode): GapsQuery = {
     val stmt = root.get("gaps")
     if (!stmt.isObject)

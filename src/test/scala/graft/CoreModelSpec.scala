@@ -551,6 +551,28 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "limit": 3}"""))
   }
 
+  test("sessions statement: parse, gap validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"sessions": {"metric": "m", "gap": "30min"},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[SessionsQuery]
+    assert(q.metric === "m")
+    assert(q.gapNs === 1800000000000L)
+    intercept[BadQuery](QueryParser.parse( // gap required
+      """{"sessions": {"metric": "m"}, "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // zero gap
+      """{"sessions": {"metric": "m", "gap": "0s"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // non-textual metric
+      """{"sessions": {"metric": 5, "gap": "1d"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"sessions": {"metric": "m", "gap": "1d", "by": "host"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // interval rows aren't pageable
+      """{"sessions": {"metric": "m", "gap": "1d"},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+  }
+
   test("gaps statement: parse, threshold exclusivity, clause rejection") {
     val q = QueryParser.parse(
       """{"gaps": {"metric": "m", "min-gap": "12h"},

@@ -98,6 +98,29 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       (11L, 2.333333, 5.0, 2.666667)))
   }
 
+  test("sessions statement: a planted silence splits exactly two sessions") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // run of 5 (spacing 1 µs), a 95 µs hole, run of 3; boundary rule is
+    // >= gap: spacing exactly 10000 ns would ALSO split (third series c)
+    val rows = ((0L to 4L) ++ Seq(100L, 101L, 102L)).map(t =>
+      ("a", t * 1000, t.toDouble)) ++
+      Seq(("c", 0L, 1.0), ("c", 10000L, 2.0)) // spacing == gap exactly
+    val wide = rows.toDF("tag", "ts", "value").withColumn("metric", lit("m"))
+    val eng = new Engine(graft.model.TsdbContext.fromWide(spark, wide,
+      "metric", Seq("tag"), "ts", "value"))
+    val out = eng.execute(
+      """{"sessions": {"metric": "m", "gap": "10us"},
+         "range": {"from": 0, "to": 1000000}}""")
+      .select("series", "start_us", "end_us", "n", "min", "max")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("m tag=a", 0L, 4L, 5L, 0.0, 4.0),
+      ("m tag=a", 100L, 102L, 3L, 100.0, 102.0),
+      ("m tag=c", 0L, 0L, 1L, 1.0, 1.0),
+      ("m tag=c", 10L, 10L, 1L, 2.0, 2.0)))
+  }
+
   test("gaps statement: planted silences flagged, thresholds respected") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._
