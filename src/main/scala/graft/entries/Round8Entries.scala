@@ -406,6 +406,20 @@ object Round8Entries {
                               "min-shift": 1.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // cluster-balanced diversity sample: 5 embeddings per IVF cell in
+    // deterministic hash order — caps each mode's share of a capped
+    // corpus (SemDeDup trims within-cell redundancy, this bounds the
+    // cell's budget); same codebook + assignment arithmetic as
+    // emb_knn_ivf/emb_cell_outliers, so the oracle reuses the shared
+    // kmeans CTEs and replays the hash draw exactly
+    "emb_cluster_sample" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.clusterSample(
+          EntryUtil.ivfCodebookFor(s, dir),
+          emb.select(col("vec_id").as("id"), col("embedding")), k = 5)
+        .orderBy("cell", "rank")
+    }),
+
     // the sessions statement (gaps' complement): per-series activity
     // runs under a 1d spacing — the batch twin of stream_sessions
     // (same membership rule; the stream's session windows label
@@ -652,6 +666,25 @@ object Round8Entries {
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
+
+    // shared kmeans CTEs assign cells; the per-cell cut replays the
+    // hash60 draw (md5 of the id as text) and the (hash, id) tiebreak
+    "emb_cluster_sample" ->
+      s"""WITH ${EntryUtil.kmeansCtes("",
+            "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            8, 2)},
+           asg AS (SELECT cell, id FROM (
+               SELECT e.id, c.cell,
+                 row_number() OVER (PARTITION BY e.id
+                   ORDER BY ${EntryUtil.sqlDist("e.v", "c.cv")}, c.cell) AS r
+               FROM e CROSS JOIN c2 c) WHERE r = 1),
+           rk AS (SELECT cell, id,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY ${EntryUtil.h60Sql("CAST(id AS VARCHAR)")}, id)
+                 AS rank
+             FROM asg)
+         SELECT cell, CAST(rank AS INT) AS rank, id
+         FROM rk WHERE rank <= 5 ORDER BY cell, rank""",
 
     // sessions replay: same lag/break/cumulative-sid windows as the
     // stream_sessions mirror, ns-exact spacings, ranged, observed-

@@ -213,6 +213,36 @@ object Similarity {
       .select(col("cell"), col("rank"), col("id"), col("dist"))
   }
 
+  /** Cluster-balanced diversity sample: `k` members per IVF cell,
+    * picked by deterministic hash order within the cell — the
+    * curation move that keeps a capped corpus COVERING the embedding
+    * space instead of letting dominant modes crowd it out (the
+    * cluster-then-sample half of SemDeDup-style diversity pipelines:
+    * dedup trims redundancy inside a cell, this caps the cell's
+    * share). Hash order ≡ a uniform draw within each cell that any
+    * engine replays exactly (the stratified-sampling determinism
+    * rule, keyed by cell instead of source). Dense cells contribute
+    * exactly k, sparse cells all they have — output ≤ cells × k rows.
+    *
+    * Plan shape: one broadcast-centroid assignment pass (no vector
+    * ever shuffles) + a per-cell WindowGroupLimit cut — each map task
+    * forwards at most k rows per cell. */
+  def clusterSample(centers: Seq[(Int, Seq[Double])], corpus: DataFrame,
+      k: Int, idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val spark = corpus.sparkSession
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
+    val asg = cellsFor(centersDf,
+        corpus.select(col(idCol).as("id"), col(embCol).as("__v")),
+        "id", "__v", 1)
+      .select(col("cell"), col("id"),
+        graft.pipeline.Dedup.hash60(col("id").cast("string")).as("__h"))
+    val wo = Window.partitionBy("cell").orderBy(col("__h"), col("id"))
+    asg.withColumn("rank", row_number().over(wo)).where(col("rank") <= k)
+      .select(col("cell"), col("rank"), col("id"))
+  }
+
   /** Persist a fitted codebook — at corpus scale the Lloyd fit runs once
     * at index-build time and queries reuse the stored centers. */
   def writeCodebook(spark: org.apache.spark.sql.SparkSession,

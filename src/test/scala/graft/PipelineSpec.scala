@@ -579,6 +579,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(bits.distinct.length === bits.length)
   }
 
+  test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
+    // two far-apart centers; 8 points near center 0, 2 near center 1
+    val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))
+    val pts = (1 to 8).map(i => (i.toLong, Array(0.1f * i, 0.0f))) ++
+      Seq((100L, Array(100.0f, 100.1f)), (101L, Array(99.9f, 100.0f)))
+    def run(rows: Seq[(Long, Array[Float])]) =
+      graft.pipeline.Similarity.clusterSample(centers,
+          rows.toDF("id", "embedding"), k = 3)
+        .orderBy("cell", "rank")
+        .select("cell", "rank", "id").as[(Int, Int, Long)].collect().toSeq
+    val out = run(pts)
+    assert(out.count(_._1 == 0) === 3, "dense cell capped at k")
+    assert(out.count(_._1 == 1) === 2, "sparse cell keeps all it has")
+    assert(out.groupBy(_._1).values.forall(g =>
+      g.map(_._2).sorted == (1 to g.size)), "ranks are dense 1..n per cell")
+    // the hash draw is a function of ids alone: input order is irrelevant
+    assert(run(scala.util.Random.shuffle(pts)) === out)
+  }
+
   test("repetition: looping text scores high, unique text scores zero dup") {
     val docs = Seq(
       (1L, "a b a b a b"), // grams: ab ba ab ba ab -> top 3/5, all dup
