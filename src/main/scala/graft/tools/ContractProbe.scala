@@ -101,6 +101,12 @@ object ContractProbe {
     tryQ("distinct-unknown-tag", // parses fine: no series carries it -> 0 rows
       """{"distinct": {"metric": ["click"], "tag": "no_such_tag"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("sessions-no-gap",
+      """{"sessions": {"metric": "click"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("sessions-zero-gap",
+      """{"sessions": {"metric": "click", "gap": "0s"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("changepoints-no-threshold",
       """{"changepoints": {"metric": ["click"], "step": "1d"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
