@@ -98,6 +98,15 @@ final class Engine(val ctx: TsdbContext) {
     require(missing.isEmpty,
       s"registered bucket-sums index (step $step) lacks column(s): ${missing.mkString(", ")}")
   }
+  ctx.kmvIndexes.foreach { reg =>
+    require(reg.windowNs > 0,
+      s"registered kmv window must be positive (got ${reg.windowNs})")
+    require(reg.tag.nonEmpty, "registered kmv index needs a tag key")
+    require(reg.k >= 2, s"registered kmv k must be >= 2 (got ${reg.k})")
+    val missing = Seq("metric", "win", "h").filterNot(reg.index.columns.contains)
+    require(missing.isEmpty,
+      s"registered kmv index (tag ${reg.tag}, window ${reg.windowNs}) lacks column(s): ${missing.mkString(", ")}")
+  }
 
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
@@ -510,7 +519,7 @@ final class Engine(val ctx: TsdbContext) {
       .where(col("tags").getItem(q.tag).isNotNull)
       .select(col("series_id"), col("metric").as("out_name"),
         graft.pipeline.Dedup.hash60(col("tags").getItem(q.tag)).as("__h"))
-    servedDistinct(q, ids).getOrElse {
+    servedDistinctKmv(q).orElse(servedDistinct(q, ids)).getOrElse {
       // the scan's only job is (series, bin) ACTIVITY: it reduces to
       // distinct (metric, bin, series-hash) triples inside kmvServeKeys'
       // dedup — catalog × bins sized, never sample-sized. A value
@@ -533,6 +542,35 @@ final class Engine(val ctx: TsdbContext) {
     * Coarsest eligible level wins; misaligned or backward ranges
     * abstain to the scan. At 100 TB "distinct users this month" then
     * reads series × bins index rows, never raw samples. */
+  /** `distinct` serving from a REGISTERED KMV index (ctx.kmvIndexes —
+    * the statement's PRODUCTION path at scale: metric × windows × k
+    * rows where the rollup-activity path below reads series × bins).
+    * k-min sets merge exactly — the k minimal of a union are all among
+    * each window's k minimal — so whenever the statement's k ≤ the
+    * build k, the re-cut over covered windows equals the scan's k-cut
+    * over the full hash set BIT-FOR-BIT (n_kept and h_k included), not
+    * just approximately. The index pools ALL of a metric's series and
+    * stores no values, so it abstains for where/location/filter'd
+    * statements and for a different tag; misaligned ranges or a
+    * statement k above the build k abstain too (a larger k cannot be
+    * reconstructed from k-min sets — [[graft.ops.Sketches.kmvCompact]]'s
+    * rule). Registration order is preference order. */
+  private def servedDistinctKmv(q: DistinctQuery): Option[DataFrame] = {
+    if (!q.range.forward || q.filter.nonEmpty || q.location.nonEmpty ||
+      q.where != Where.All) return None
+    ctx.kmvIndexes.collectFirst { case reg
+        if reg.tag == q.tag && q.k <= reg.k &&
+          Math.floorMod(q.range.from, reg.windowNs) == 0 &&
+          Math.floorMod(q.range.to, reg.windowNs) == 0 &&
+          q.stepNs.forall(_ % reg.windowNs == 0) =>
+      finishDistinct(q, reg.index
+        .where(col("metric").isin(q.metrics: _*))
+        .where(col("win") >= q.range.from && col("win") < q.range.to)
+        .select(col("metric").as("out_name"), col("win").as("__t"),
+          col("h").as("__h")))
+    }
+  }
+
   private def servedDistinct(q: DistinctQuery,
       ids: DataFrame): Option[DataFrame] = {
     // a rollup stores no values — "active under this value filter"

@@ -671,6 +671,36 @@ object EntryUtil {
         bucketSums = Seq(hourNs -> spark.read.parquet(s"$path/bsums"))))
     })
 
+  private val kmvStmtEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine registering a PERSISTED day-window KMV
+    * tag-cardinality index over the 'user' tag
+    * (Sketches.kmvIndex over samples joined to the catalog's tag
+    * values, written as parquet): aligned unfiltered `distinct`
+    * statements with k ≤ 64 serve from metric × days × 64 rows and
+    * never touch samples or rollups — the statement's production
+    * shape. */
+  def engineKmvFor(spark: SparkSession, dir: String): Engine =
+    kmvStmtEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val dayNs = 86400000000000L
+      val path = scratchDir("graft_kmvstmt_engine")
+      graft.ops.Sketches.kmvIndex(
+          ctx.samples
+            .join(ctx.series.select(col("series_id"), col("metric"),
+              col("tags").getItem("user").as("__tv")), "series_id")
+            .where(col("__tv").isNotNull)
+            .select(col("metric"),
+              (col("ts") - pmod(col("ts"), lit(dayNs))).as("win"),
+              col("__tv")),
+          "metric", "win", "__tv", k = 64)
+        .write.parquet(s"$path/kmv")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        kmvIndexes = Seq(graft.model.KmvIndexDef("user", dayNs, 64,
+          spark.read.parquet(s"$path/kmv")))))
+    })
+
   private val simhashIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

@@ -361,6 +361,18 @@ object Round8Entries {
                           "tag": "user", "k": 64, "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the statement served from a PERSISTED day-window KMV index
+    // (metric × days × 64 rows — the production shape at scale, where
+    // the rollup-activity path reads series × bins): k-min sets merge
+    // exactly, so the re-cut over covered windows equals the scan's
+    // k-cut bit-for-bit; same oracle as the scan-path statement, and
+    // PlanShapeSpec pins that neither samples nor rollups are read
+    "ts_distinct_json_kmv" -> ((s, dir) =>
+      EntryUtil.engineKmvFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the value-filtered form — "distinct users with an event over 150"
     // (the qualifying-population question); the filter narrows what
     // counts as activity on the scan, and a registered rollup would
@@ -664,6 +676,8 @@ object Round8Entries {
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // rollup-served == scan: one oracle
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
+    // kmv-index-served == scan: one oracle
+    "ts_distinct_json_kmv" -> kmvTagSql(64, None),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
 

@@ -55,6 +55,15 @@ object TsdbSchema {
   * DataFrame, see [[graft.ops.HistQuantiles]]) that `quantile`
   * statements serve from instead of scanning facts when the range
   * aligns to whole windows. */
+/** One registered KMV tag-cardinality index: `index` holds
+  * (metric, win, h) rows — per (metric, `windowNs`-aligned window
+  * start) the `k` minimal distinct hash60 values of `tag`'s values
+  * among series active in that window. The registrar's contract: rows
+  * really were built at this window/tag/k ([[graft.ops.Sketches
+  * .kmvIndex]] over samples joined to the catalog's tag values). */
+final case class KmvIndexDef(tag: String, windowNs: Long, k: Int,
+    index: DataFrame)
+
 final case class TsdbContext(
     spark: SparkSession,
     series: DataFrame,
@@ -68,7 +77,16 @@ final case class TsdbContext(
       * facts when the range and step align to whole index buckets —
       * sums and counts add across time and across merged series, so
       * one fine build serves every coarser statement exactly. */
-    bucketSums: Seq[(Long, DataFrame)] = Nil) {
+    bucketSums: Seq[(Long, DataFrame)] = Nil,
+    /** optional materialized KMV tag-cardinality indexes
+      * ([[KmvIndexDef]]: per (metric, window) the k minimal distinct
+      * hash60 values of a tag's values among active series —
+      * [[graft.ops.Sketches.kmvIndex]]) that unfiltered, un-where'd
+      * `distinct` statements serve from: metric × windows × k rows
+      * where the rollup-activity path reads series × bins. k-min sets
+      * merge exactly, so the served output equals the scan's
+      * bit-for-bit whenever the statement's k ≤ the build k. */
+    kmvIndexes: Seq[KmvIndexDef] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

@@ -785,6 +785,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "filtered statement must abstain from rollup serving")
   }
 
+  test("distinct statement: the registered KMV index outranks rollup and scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kserve").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.Sketches.kmvIndex(
+        base.samples
+          .join(base.series.select(col("series_id"), col("metric"),
+            col("tags").getItem("tag").as("__tv")), "series_id")
+          .where(col("__tv").isNotNull)
+          .select(col("metric"),
+            (col("ts") - pmod(col("ts"), lit(100L))).as("win"), col("__tv")),
+        "metric", "win", "__tv", k = 4)
+      .write.parquet(s"$dir/kmv")
+    val eng = new Engine(base.copy(
+      kmvIndexes = Seq(graft.model.KmvIndexDef("tag", 100L, 4,
+        spark.read.parquet(s"$dir/kmv")))))
+    def scansOf(q: String) = plan(eng.execute(q))
+      .collect { case f: FileSourceScanExec => f.metadata("Location") }
+    val aligned =
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2},
+         "range": {"from": 100, "to": 300}}"""
+    val dirs = scansOf(aligned)
+    assert(dirs.nonEmpty && dirs.forall(_.contains("/kmv")),
+      s"aligned unfiltered distinct must read ONLY the kmv index: $dirs")
+    // k-min sets merge exactly: served output == scan engine's output
+    assert(eng.execute(aligned).collect().toSeq ===
+      new Engine(base).execute(aligned).collect().toSeq)
+    // a where clause narrows the series set — the metric-pooled index
+    // cannot answer it; a k above the build k cannot be reconstructed
+    for (q <- Seq(
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2},
+         "where": {"tag": ["T1"]}, "range": {"from": 100, "to": 300}}""",
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 8},
+         "range": {"from": 100, "to": 300}}""",
+      """{"distinct": {"metric": "test", "tag": "other", "k": 2},
+         "range": {"from": 100, "to": 300}}"""))
+      assert(scansOf(q).exists(_.contains("/samples")),
+        s"must abstain to the scan for: $q")
+  }
+
   test("quantile statement: aligned range serves from the registered histogram index") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{col, lit, pmod}
@@ -1088,6 +1137,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       new Engine(ctx.copy(bucketSums = Seq(0L -> bsums))))
     intercept[IllegalArgumentException](
       new Engine(ctx.copy(bucketSums = Seq(100L -> bsums.drop("__c")))))
+    // and kmv registrations
+    import org.apache.spark.sql.functions.{col => c}
+    val kmv = ctx.samples.limit(0)
+      .select(c("series_id").cast("string").as("metric"),
+        c("ts").as("win"), c("series_id").as("h"))
+    def reg(d: graft.model.KmvIndexDef) =
+      new Engine(ctx.copy(kmvIndexes = Seq(d)))
+    reg(graft.model.KmvIndexDef("tag", 100L, 4, kmv))
+    intercept[IllegalArgumentException](
+      reg(graft.model.KmvIndexDef("tag", 0L, 4, kmv)))
+    intercept[IllegalArgumentException](
+      reg(graft.model.KmvIndexDef("", 100L, 4, kmv)))
+    intercept[IllegalArgumentException](
+      reg(graft.model.KmvIndexDef("tag", 100L, 1, kmv)))
+    intercept[IllegalArgumentException](
+      reg(graft.model.KmvIndexDef("tag", 100L, 4, kmv.drop("h"))))
   }
 
   test("corr matrix: facts reduce to bucket means before anything pairs") {
