@@ -360,6 +360,21 @@ object EntryUtil {
   def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
     eventRows(spark, dir, "click", "click user=")
 
+  /** The KMV-build streaming feed (stream_distinct_rollup /
+    * stream_distinct_serve share it): click rows as
+    * (event_type, ts, user_id-as-string) — the tag VALUE is the
+    * streamed value column, hashed inside kmvBuild. The eventRows
+    * rule applies: ONE definition. */
+  def clickUserRows(spark: SparkSession,
+      dir: String): Seq[(String, Long, String)] =
+    rawEvents(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("event_type"), col("ts").cast("long"),
+        col("user_id").cast("string"))
+      .orderBy("ts", "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq
+
   /** The multi-metric streaming feed keyed by EVENT TYPE (stream_corr /
     * stream_changepoints share it): the named types' rows as
     * (type, ts, value), ts-ordered with a (type, value) tiebreak. The

@@ -522,13 +522,7 @@ object Round7Entries {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(String, Long, String)]
       val dayNs = 86400000000000L
-      val rows = EntryUtil.rawEvents(s, dir)
-        .where(col("event_type") === "click")
-        .select(col("event_type"), col("ts").cast("long"),
-          col("user_id").cast("string"))
-        .orderBy("ts", "user_id")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-        .toSeq
+      val rows = EntryUtil.clickUserRows(s, dir)
       val sink = EntryUtil.runStreamEntry(s, "stream_kmv_sink", rows,
         chunks = 4, cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.kmvBuild(_, dayNs, k = 256),

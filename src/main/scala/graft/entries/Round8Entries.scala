@@ -373,6 +373,34 @@ object Round8Entries {
                           "tag": "user", "k": 64},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the statement served from the STREAM-maintained KMV index: the
+    // executing stream folds per-(metric, day) k-min sets (kmvBuild —
+    // 8·k-byte state, admission-time emission) and the registered sink
+    // serves the statement with no fact scan. The sink is a SUPERSET
+    // of each window's final k-min (ever-admitted; eviction is
+    // permanent), and every admitted hash is a real tag-value hash, so
+    // the serve-time re-cut equals the batch scan's k-cut exactly —
+    // one oracle. kmvBuild's win is a bucket INDEX; registration
+    // rescales it to the aligned window START the serving guard binds
+    "stream_distinct_serve" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, String)]
+      val dayNs = 86400000000000L
+      val rows = EntryUtil.clickUserRows(s, dir)
+      val sink = EntryUtil.runStreamEntry(s, "stream_kmvserve_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.kmvBuild(_, dayNs, k = 256),
+        outputMode = "update")
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      new graft.engine.Engine(ctx.copy(kmvIndexes = Seq(
+          graft.model.KmvIndexDef("user", dayNs, 256,
+            sink.select(col("name").as("metric"),
+              (col("win") * dayNs).as("win"), col("h"))))))
+        .execute(
+          s"""{"distinct": {"metric": "click", "tag": "user", "k": 64},
+               "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")
+    }),
+
     // the value-filtered form — "distinct users with an event over 150"
     // (the qualifying-population question); the filter narrows what
     // counts as activity on the scan, and a registered rollup would
@@ -622,12 +650,12 @@ object Round8Entries {
     * catalog), same per-(metric[, bin]) k-cut by hash order, same
     * (k−1)·2⁶⁰/h_k estimator — the kmvUserSql discipline with the
     * statement's range and anchored bins. */
-  private def kmvTagSql(k: Int, stepNs: Option[Long],
-      extra: String = ""): String = {
+  private def kmvTagSql(k: Int, stepNs: Option[Long], extra: String = "",
+      types: Seq[String] = Seq("click", "purchase", "view")): String = {
     val h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     val src =
       s"""FROM events
-          WHERE event_type IN ('click', 'purchase', 'view')
+          WHERE event_type IN (${types.map(t => s"'$t'").mkString(", ")})
             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
             AND epoch_ns(ts) < ${EntryUtil.ToNs} $extra"""
     val est =
@@ -678,6 +706,9 @@ object Round8Entries {
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // kmv-index-served == scan: one oracle
     "ts_distinct_json_kmv" -> kmvTagSql(64, None),
+    // stream-built index re-cut at statement time == the batch scan
+    "stream_distinct_serve" ->
+      kmvTagSql(64, None, types = Seq("click")),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
 

@@ -209,6 +209,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"aligned serving from the stream-built rollup must not scan raw sample values:\n$valueScans")
   }
 
+  test("stream-built kmv index actually serves: no parquet scan reads sample values") {
+    // same discipline as the stream-rollup pin: the entry shares the
+    // batch scan's oracle, so a silent fallback to the scan (win-rescale
+    // drift, guard tweak, registration bug) would stay green while
+    // un-proving the serving path. A raw fallback would scan `value`.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = SparkEntry.queries("stream_distinct_serve")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val valueScans = p.collect { case s: FileSourceScanExec => s }
+      .filter(_.output.exists(_.name == "value"))
+    assert(valueScans.isEmpty,
+      s"the statement must serve from the stream-built kmv index, not rescan:\n$valueScans")
+  }
+
   test("group-by rollup combine reads only the pruned accumulator columns") {
     // the min/max/cnt group-by-tag composition must prune the 10-column
     // accumulator down to {cnt, vmin, vmax} BEFORE the cross-series
