@@ -373,6 +373,17 @@ object Round8Entries {
                           "tag": "user", "k": 64},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the STEPPED statement from the same registered KMV index: 7d
+    // query bins re-group whole day windows (step % win == 0), each
+    // bin's k-min re-cut from its windows' merged sets — "distinct
+    // users per week" never rescans raw (the stepped-quantile serving
+    // discipline applied to cardinality); same oracle as the scan form
+    "ts_distinct_step_kmv" -> ((s, dir) =>
+      EntryUtil.engineKmvFor(s, dir).execute(
+        s"""{"distinct": {"metric": ["click", "purchase", "view"],
+                          "tag": "user", "k": 64, "step": "7d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the statement served from the STREAM-maintained KMV index: the
     // executing stream folds per-(metric, day) k-min sets (kmvBuild —
     // 8·k-byte state, admission-time emission) and the registered sink
@@ -704,8 +715,9 @@ object Round8Entries {
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // rollup-served == scan: one oracle
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
-    // kmv-index-served == scan: one oracle
+    // kmv-index-served == scan: one oracle (whole-range and stepped)
     "ts_distinct_json_kmv" -> kmvTagSql(64, None),
+    "ts_distinct_step_kmv" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // stream-built index re-cut at statement time == the batch scan
     "stream_distinct_serve" ->
       kmvTagSql(64, None, types = Seq("click")),

@@ -835,6 +835,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // k-min sets merge exactly: served output == scan engine's output
     assert(eng.execute(aligned).collect().toSeq ===
       new Engine(base).execute(aligned).collect().toSeq)
+    // the stepped form serves too (1 µs bins — the smallest the µs
+    // output grid admits — re-group whole 100 ns windows; the range is
+    // narrower than the step, so one from-anchored bin results)
+    val stepped =
+      """{"distinct": {"metric": "test", "tag": "tag", "k": 2,
+                       "step": "1us"},
+         "range": {"from": 100, "to": 300}}"""
+    assert(scansOf(stepped).forall(_.contains("/kmv")),
+      "aligned stepped distinct must also serve from the kmv index")
+    assert(eng.execute(stepped).collect().toSeq ===
+      new Engine(base).execute(stepped).collect().toSeq)
     // a where clause narrows the series set — the metric-pooled index
     // cannot answer it; a k above the build k cannot be reconstructed
     for (q <- Seq(
