@@ -533,15 +533,6 @@ final class Engine(val ctx: TsdbContext) {
     }
   }
 
-  /** Distinct-estimate serving from a REGISTERED rollup — the
-    * [[servedActive]] rule carried to KMV: under whole-fine-bin
-    * alignment "has a sample in the range/bin" ≡ "has a rollup bin
-    * there", and each series contributes one CONSTANT tag-value hash,
-    * so the distinct (metric, bin, hash) set — and therefore the k-min
-    * cut and the estimate — is IDENTICAL to the scan's (spec-pinned).
-    * Coarsest eligible level wins; misaligned or backward ranges
-    * abstain to the scan. At 100 TB "distinct users this month" then
-    * reads series × bins index rows, never raw samples. */
   /** `distinct` serving from a REGISTERED KMV index (ctx.kmvIndexes —
     * the statement's PRODUCTION path at scale: metric × windows × k
     * rows where the rollup-activity path below reads series × bins).
@@ -571,6 +562,15 @@ final class Engine(val ctx: TsdbContext) {
     }
   }
 
+  /** Distinct-estimate serving from a REGISTERED rollup — the
+    * [[servedActive]] rule carried to KMV: under whole-fine-bin
+    * alignment "has a sample in the range/bin" ≡ "has a rollup bin
+    * there", and each series contributes one CONSTANT tag-value hash,
+    * so the distinct (metric, bin, hash) set — and therefore the k-min
+    * cut and the estimate — is IDENTICAL to the scan's (spec-pinned).
+    * Coarsest eligible level wins; misaligned or backward ranges
+    * abstain to the scan. At 100 TB "distinct users this month" then
+    * reads series × bins index rows, never raw samples. */
   private def servedDistinct(q: DistinctQuery,
       ids: DataFrame): Option[DataFrame] = {
     // a rollup stores no values — "active under this value filter"

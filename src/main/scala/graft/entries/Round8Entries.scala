@@ -366,7 +366,8 @@ object Round8Entries {
     // the rollup-activity path reads series × bins): k-min sets merge
     // exactly, so the re-cut over covered windows equals the scan's
     // k-cut bit-for-bit; same oracle as the scan-path statement, and
-    // PlanShapeSpec pins that neither samples nor rollups are read
+    // PlanShapeSpec pins THIS ENTRY's plan never scans sample values
+    // (a silent abstention-fallback would stay oracle-green)
     "ts_distinct_json_kmv" -> ((s, dir) =>
       EntryUtil.engineKmvFor(s, dir).execute(
         s"""{"distinct": {"metric": ["click", "purchase", "view"],

@@ -47,14 +47,6 @@ object TsdbSchema {
     StructField("body", StringType, nullable = false)))
 }
 
-/** The engine's handle on one "database": catalog + fact tables +
-  * optional materialized rollups (fine-step → accumulator DataFrame, see
-  * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
-  * raw samples when step/range alignment allows, + optional materialized
-  * quantile-histogram indexes (window-step → (series_id, win, lo, cnt)
-  * DataFrame, see [[graft.ops.HistQuantiles]]) that `quantile`
-  * statements serve from instead of scanning facts when the range
-  * aligns to whole windows. */
 /** One registered KMV tag-cardinality index: `index` holds
   * (metric, win, h) rows — per (metric, `windowNs`-aligned window
   * start) the `k` minimal distinct hash60 values of `tag`'s values
@@ -64,6 +56,14 @@ object TsdbSchema {
 final case class KmvIndexDef(tag: String, windowNs: Long, k: Int,
     index: DataFrame)
 
+/** The engine's handle on one "database": catalog + fact tables +
+  * optional materialized rollups (fine-step → accumulator DataFrame, see
+  * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
+  * raw samples when step/range alignment allows, + optional materialized
+  * quantile-histogram indexes (window-step → (series_id, win, lo, cnt)
+  * DataFrame, see [[graft.ops.HistQuantiles]]) that `quantile`
+  * statements serve from instead of scanning facts when the range
+  * aligns to whole windows. */
 final case class TsdbContext(
     spark: SparkSession,
     series: DataFrame,

@@ -292,7 +292,6 @@ object QueryParser {
       parseWhere(root), parseGroupBy(root), parseLocation(root))
   }
 
-  /** Beyond-reference `gaps` (see [[Ast.GapsQuery]]). */
   /** Beyond-reference `sessions` (see [[Ast.SessionsQuery]]). */
   private def parseSessions(root: JsonNode): SessionsQuery = {
     val stmt = root.get("sessions")
@@ -314,6 +313,7 @@ object QueryParser {
       parseLocation(root))
   }
 
+  /** Beyond-reference `gaps` (see [[Ast.GapsQuery]]). */
   private def parseGaps(root: JsonNode): GapsQuery = {
     val stmt = root.get("gaps")
     if (!stmt.isObject)
@@ -456,8 +456,18 @@ object QueryParser {
         positiveDuration(TimeUtil.parseDuration(t.asText()),
           "distinct.step"), "distinct.step"))
     rejectSampleClauses(root, "distinct", allowFilter = true)
+    // BARE form only ({"gt": x, ...}): the named form has per-metric
+    // semantics this multi-metric statement doesn't implement —
+    // parseSingleFilter would silently take names.head and apply that
+    // one predicate to EVERY metric (wrong answers, no error)
+    val filter = Option(root.get("filter")).map { f =>
+      if (!Seq("gt", "ge", "lt", "le").exists(f.has))
+        throw new BadQuery(
+          "distinct supports only the bare filter form {\"gt\"/\"ge\"/\"lt\"/\"le\": x}")
+      parseValueFilter(f)
+    }.filter(!_.isEmpty)
     DistinctQuery(metrics, tag, k, step, parseRange(root), parseWhere(root),
-      parseSingleFilter(root), parseLocation(root))
+      filter, parseLocation(root))
   }
 
   /** Beyond-reference `changepoints` (see [[Ast.ChangepointsQuery]]). */

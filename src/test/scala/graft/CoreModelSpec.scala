@@ -468,6 +468,12 @@ class QueryParserSpec extends AnyFunSuite {
       """{"distinct": {"metric": "a", "tag": "user"},
          "filter": {"gt": 150.0}, "range": {"from": 0, "to": 10}}""")
       .asInstanceOf[DistinctQuery].filter.exists(_.gt === Some(150.0)))
+    intercept[BadQuery](QueryParser.parse( // named filter form: the
+      // per-metric semantics aren't implemented — reject, never take
+      // names.head and silently apply it to every metric
+      """{"distinct": {"metric": ["a", "b"], "tag": "user"},
+         "filter": {"a": {"gt": 150.0}, "b": {"lt": 5.0}},
+         "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // tag required
       """{"distinct": {"metric": ["a"]}, "range": {"from": 0, "to": 10}}"""))
     intercept[BadQuery](QueryParser.parse( // empty tag

@@ -209,6 +209,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"aligned serving from the stream-built rollup must not scan raw sample values:\n$valueScans")
   }
 
+  test("persisted-kmv distinct entries actually serve: no scan reads sample values") {
+    // the engineKmvFor entries share the scan path's oracle, so a guard
+    // tweak or registration drift that made servedDistinctKmv abstain
+    // would silently fall back to the full fact scan and stay green —
+    // the same failure mode the stream-rollup pin guards against
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    for (name <- Seq("ts_distinct_json_kmv", "ts_distinct_step_kmv")) {
+      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      val valueScans = p.collect { case s: FileSourceScanExec => s }
+        .filter(_.output.exists(_.name == "value"))
+      assert(valueScans.isEmpty,
+        s"$name must serve from the registered kmv index, not rescan:\n$valueScans")
+    }
+  }
+
   test("stream-built kmv index actually serves: no parquet scan reads sample values") {
     // same discipline as the stream-rollup pin: the entry shares the
     // batch scan's oracle, so a silent fallback to the scan (win-rescale
