@@ -458,6 +458,22 @@ object Round8Entries {
                               "min-shift": 1.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // kNN weak labeling: every 5th embedding plays unlabeled and takes
+    // the majority label of its 5 nearest labeled seeds (cosine; vote
+    // ties to the smallest label) — the seed-set-to-corpus label
+    // bootstrap, deterministic end to end so the oracle replays the
+    // neighbor cut AND the vote
+    "emb_knn_label" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnLabel(
+          emb.where(col("vec_id") % 5 =!= 0)
+            .select(col("vec_id").as("id"), col("embedding"), col("label")),
+          emb.where(col("vec_id") % 5 === 0)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 5)
+        .orderBy("qid")
+    }),
+
     // cluster-balanced diversity sample: 5 embeddings per IVF cell in
     // deterministic hash order — caps each mode's share of a capped
     // corpus (SemDeDup trims within-cell redundancy, this bounds the
@@ -724,6 +740,28 @@ object Round8Entries {
       kmvTagSql(64, None, types = Seq("click")),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
+
+    // the brute-knn tie rules (raw cosine desc, id asc) pick the
+    // neighbor set; the vote replays (votes desc, label asc)
+    "emb_knn_label" ->
+      s"""WITH s AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+                label FROM embeddings WHERE vec_id % 5 <> 0),
+           q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 5 = 0),
+           nn AS (SELECT * FROM (
+               SELECT q.qid, s.id, s.label,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(q.v, s.v) DESC, s.id)
+                   AS rank
+               FROM q JOIN s ON s.id != q.qid)
+             WHERE rank <= 5),
+           v AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2),
+           p AS (SELECT qid, label, votes,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY votes DESC, label) AS r
+             FROM v)
+         SELECT qid, label, CAST(votes AS BIGINT) AS votes
+         FROM p WHERE r = 1 ORDER BY qid""",
 
     // shared kmeans CTEs assign cells; the per-cell cut replays the
     // hash60 draw (md5 of the id as text) and the (hash, id) tiebreak

@@ -213,6 +213,37 @@ object Similarity {
       .select(col("cell"), col("rank"), col("id"), col("dist"))
   }
 
+  /** kNN weak labeling / label propagation: each query takes the
+    * MAJORITY label of its `k` nearest labeled seeds by cosine — the
+    * bootstrap move that turns a small hand-labeled seed set into
+    * corpus-scale labels (quality tiers, domains, toxicity) without a
+    * trained model. Rides [[knnBrute]], so the neighbor tie rules
+    * (cosine desc, id asc) are the oracle-pinned ones; the vote is
+    * deterministic too — most votes wins, count ties to the SMALLEST
+    * label. Output: (qid, label, votes).
+    *
+    * Scale shape: queries broadcast against the seed side (the seed
+    * set is the small, hand-labeled one by construction); the
+    * (queries × k) neighbor frame broadcasts back for the label join;
+    * the vote groups queries × ≤ k rows. For corpus-scale query sides
+    * swap the broadcast or use the bucketed/IVF kNN variants upstream
+    * — the vote half is reusable on any (qid, id)-shaped neighbor
+    * frame. */
+  def knnLabel(seeds: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nn = knnBrute(seeds, queries, k, idCol, qidCol, embCol)
+    val labeled = seeds
+      .select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(broadcast(nn.select("qid", "id")), "id")
+    val votes = labeled.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col("qid"), col("label"), col("votes"))
+  }
+
   /** Cluster-balanced diversity sample: `k` members per IVF cell,
     * picked by deterministic hash order within the cell — the
     * curation move that keeps a capped corpus COVERING the embedding

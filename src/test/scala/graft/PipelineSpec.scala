@@ -579,6 +579,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(bits.distinct.length === bits.length)
   }
 
+  test("knnLabel: majority wins; vote count ties resolve to the smallest label") {
+    // seeds: three label-1 vectors near +x, two label-2 near +y; a +x
+    // query's 3-NN are all label 1; an equidistant diagonal query with
+    // k = 2 draws one of each -> tie -> label 1 (the smaller) wins
+    val seeds = Seq(
+      (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(1.0f, 0.1f), 1),
+      (4L, Array(0.0f, 1.0f), 2), (5L, Array(0.1f, 0.9f), 2))
+      .toDF("id", "embedding", "label")
+    val qs = Seq((10L, Array(1.0f, 0.05f)), (11L, Array(1.0f, 1.0f)))
+      .toDF("qid", "embedding")
+    val k3 = graft.pipeline.Similarity.knnLabel(seeds, qs, k = 3)
+      .orderBy("qid").select("qid", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(k3.head === ((10L, 1, 3L)), s"+x query: unanimous label 1: $k3")
+    // diagonal at k = 2: nearest per pole -> 1 vote each -> smallest label
+    val k2 = graft.pipeline.Similarity.knnLabel(seeds, qs.where($"qid" === 11L), k = 2)
+      .select("qid", "label", "votes").as[(Long, Int, Long)].collect().toSeq
+    assert(k2 === Seq((11L, 1, 1L)), s"vote tie must resolve to label 1: $k2")
+  }
+
   test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
     // two far-apart centers; 8 points near center 0, 2 near center 1
     val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))
