@@ -458,6 +458,25 @@ object Round8Entries {
                               "min-shift": 1.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // recall@3 of the IVF index (nprobe 2) against the brute top-3 on
+    // the same queries — the readout that makes the ANN index
+    // trustable; both pipelines are deterministic, so per-query recall
+    // is oracle-replayable (the mirror composes the two existing
+    // pipelines' SQL verbatim)
+    "emb_ivf_recall" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.knnIvfWith(
+            EntryUtil.ivfCodebookFor(s, dir), corpus, queries,
+            k = 3, nprobe = 2),
+          graft.pipeline.Similarity.knnBrute(corpus, queries, k = 3),
+          k = 3)
+        .orderBy("qid")
+    }),
+
     // kNN weak labeling: every 5th embedding plays unlabeled and takes
     // the majority label of its 5 nearest labeled seeds (cosine; vote
     // ties to the smallest label) — the seed-set-to-corpus label
@@ -740,6 +759,19 @@ object Round8Entries {
       kmvTagSql(64, None, types = Seq("click")),
     // value-filtered activity: the qualifying-population estimate
     "ts_distinct_json_filtered" -> kmvTagSql(64, None, "AND value > 150.0"),
+
+    // one mirror composed from the TWO existing pipelines' SQL (the
+    // playbook rule — never hand-copy): exact side left-joins the ivf
+    // side, per-qid hit count over k
+    "emb_ivf_recall" ->
+      s"""SELECT b.qid, CAST(sum(CASE WHEN i.id IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_hit,
+            round(sum(CASE WHEN i.id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
+              AS recall
+          FROM (${PipelineEntries.oracle("emb_knn_brute")}) b
+          LEFT JOIN (${PipelineEntries.oracle("emb_knn_ivf")}) i
+            ON b.qid = i.qid AND b.id = i.id
+          GROUP BY b.qid ORDER BY b.qid""",
 
     // the brute-knn tie rules (raw cosine desc, id asc) pick the
     // neighbor set; the vote replays (votes desc, label asc)

@@ -213,6 +213,25 @@ object Similarity {
       .select(col("cell"), col("rank"), col("id"), col("dist"))
   }
 
+  /** Recall@k of an ANN result against the exact top-k (both as
+    * (qid, id, …) frames): per query, the fraction of the exact
+    * neighbors the approximate index found — the readout that makes an
+    * ANN index TRUSTABLE (tune nprobe/buckets against it before
+    * trading the brute scan away; an index without a recall number is
+    * a guess). Pure relational — a left join on the exact side and a
+    * per-qid count — so any engine replays it over the two pipelines'
+    * mirrors. Queries missing from `approx` entirely score 0. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id"))
+        .withColumn("__hit", lit(1)), Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** kNN weak labeling / label propagation: each query takes the
     * MAJORITY label of its `k` nearest labeled seeds by cosine — the
     * bootstrap move that turns a small hand-labeled seed set into

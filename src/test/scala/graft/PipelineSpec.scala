@@ -579,6 +579,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(bits.distinct.length === bits.length)
   }
 
+  test("recallAtK: per-query hit fraction; absent queries score zero") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("qid", "id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("qid", "id")
+    val out = graft.pipeline.Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy("qid").select("qid", "n_hit", "recall")
+      .as[(Long, Long, Double)].collect().toSeq
+    // q1: found 2 of 3 (the 99 is a miss against exact, not a hit);
+    // q2: the index returned nothing -> recall 0, still reported
+    assert(out === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
+
   test("knnLabel: majority wins; vote count ties resolve to the smallest label") {
     // seeds: three label-1 vectors near +x, two label-2 near +y; a +x
     // query's 3-NN are all label 1; an equidistant diagonal query with
