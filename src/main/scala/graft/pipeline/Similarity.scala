@@ -220,11 +220,13 @@ object Similarity {
     * trading the brute scan away; an index without a recall number is
     * a guess). Pure relational — a left join on the exact side and a
     * per-qid count — so any engine replays it over the two pipelines'
-    * mirrors. Queries missing from `approx` entirely score 0. */
+    * mirrors. Queries missing from `approx` entirely score 0; `approx`
+    * is deduped on (qid, id) first, so an ANN variant with overlapping
+    * probe buckets can't fan the join out and report recall > 1. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     exact.select(col("qid"), col("id"))
-      .join(approx.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id")).distinct()
         .withColumn("__hit", lit(1)), Seq("qid", "id"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
@@ -252,8 +254,12 @@ object Similarity {
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nn = knnBrute(seeds, queries, k, idCol, qidCol, embCol)
-    val labeled = seeds
+    // a seed without a label isn't a labeled seed — and a NULL that
+    // survived to the vote would win ties under Spark's asc-NULLS-FIRST
+    // while a SQL mirror's default NULLS LAST picks the real label
+    val labeledSeeds = seeds.where(col(labelCol).isNotNull)
+    val nn = knnBrute(labeledSeeds, queries, k, idCol, qidCol, embCol)
+    val labeled = labeledSeeds
       .select(col(idCol).as("id"), col(labelCol).as("label"))
       .join(broadcast(nn.select("qid", "id")), "id")
     val votes = labeled.groupBy("qid", "label")

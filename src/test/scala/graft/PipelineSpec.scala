@@ -582,7 +582,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   test("recallAtK: per-query hit fraction; absent queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
       (2L, 20L), (2L, 21L), (2L, 22L)).toDF("qid", "id")
-    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("qid", "id")
+    // the duplicate (1, 10) row models overlapping probe buckets: it
+    // must not double-count a hit (recall stays in [0, 1])
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 12L), (1L, 99L))
+      .toDF("qid", "id")
     val out = graft.pipeline.Similarity.recallAtK(approx, exact, k = 3)
       .orderBy("qid").select("qid", "n_hit", "recall")
       .as[(Long, Long, Double)].collect().toSeq
