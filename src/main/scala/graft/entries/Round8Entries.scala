@@ -385,6 +385,38 @@ object Round8Entries {
                           "tag": "user", "k": 64, "step": "7d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the quantile statement served from the STREAM-maintained
+    // histogram: the executing stream folds hourly bucket counts
+    // (histBuild — bit-identical integer bucketing to the batch form),
+    // the watermark-finalized sink registers as ctx.histograms, and
+    // the aligned whole-range statement merges covered windows with no
+    // fact scan — same oracle as the scan-path statement (the
+    // stream_rollup_serve closed loop, for percentiles)
+    "stream_quantile_serve" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
+      val hourNs = 3600000000000L
+      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ids = ctx.series.where(col("metric") === "purchase")
+        .select("series_id").collect().map(_.getLong(0))
+      val rows = ctx.samples
+        .where(col("series_id").isin(ids.toSeq: _*))
+        .orderBy("ts", "series_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      val sink = EntryUtil.runStreamEntry(s, "stream_qserve_sink", rows,
+        chunks = 3, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.histBuild(_, hourNs,
+          "10 minutes"),
+        sentinel = Some((ids.head, EntryUtil.ToNs + 86400000000000L, 0.0)))
+      new graft.engine.Engine(ctx.copy(histograms = Seq(hourNs ->
+          sink.select(col("name").as("series_id"), col("win"), col("lo"),
+            col("cnt")))))
+        .execute(
+          s"""{"quantile": {"metric": "purchase", "p": [0.5, 0.95, 0.99]},
+               "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")
+    }),
+
     // the statement served from the STREAM-maintained KMV index: the
     // executing stream folds per-(metric, day) k-min sets (kmvBuild —
     // 8·k-byte state, admission-time emission) and the registered sink
@@ -751,6 +783,8 @@ object Round8Entries {
     "ts_distinct_step_json" -> kmvTagSql(64, Some(7L * 86400000000000L)),
     // rollup-served == scan: one oracle
     "ts_distinct_json_indexed" -> kmvTagSql(64, Some(7L * 86400000000000L)),
+    // stream-built histogram served at statement time == the scan
+    "stream_quantile_serve" -> Round7Entries.oracle("ts_quantile_json"),
     // kmv-index-served == scan: one oracle (whole-range and stepped)
     "ts_distinct_json_kmv" -> kmvTagSql(64, None),
     "ts_distinct_step_kmv" -> kmvTagSql(64, Some(7L * 86400000000000L)),

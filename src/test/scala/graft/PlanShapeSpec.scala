@@ -225,6 +225,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream-built histogram actually serves the quantile statement: no value scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = SparkEntry.queries("stream_quantile_serve")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    val valueScans = p.collect { case s: FileSourceScanExec => s }
+      .filter(_.output.exists(_.name == "value"))
+    assert(valueScans.isEmpty,
+      s"the statement must serve from the stream-built histogram, not rescan:\n$valueScans")
+  }
+
   test("stream-built kmv index actually serves: no parquet scan reads sample values") {
     // same discipline as the stream-rollup pin: the entry shares the
     // batch scan's oracle, so a silent fallback to the scan (win-rescale
