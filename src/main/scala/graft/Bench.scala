@@ -71,17 +71,19 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    // streaming entries pay a volume-invariant state-store/trigger fixed
-    // cost (~1s+ per trigger) that is harness, not operator, throughput —
-    // reported separately so round-over-round drift in REAL operator cost
-    // stays visible under it (stream_* is a third of wall time otherwise)
+    // stream_* entries' TOTAL wall time (operator throughput INCLUDED,
+    // dominated by the volume-invariant state-store/trigger fixed cost of
+    // ~1s+ per trigger) — reported separately so round-over-round drift in
+    // batch operator cost stays visible under it (stream_* is a third of
+    // wall time otherwise). Named for what it sums, not "overhead": the
+    // per-trigger fixed cost alone is not isolated here.
     // failed entries (-1) are excluded from BOTH the sum and the count,
     // so the two fields always describe the same entry set
     val streamOk = results.toSeq
       .filter { case (k, v) => k.startsWith("stream_") && v >= 0 }
     val streamingS = streamOk.map(_._2).sum
     val streamMeta =
-      s""""streaming_overhead_s":$streamingS,"streaming_n":${streamOk.size},"batch_s":${total - streamingS}"""
+      s""""stream_entries_s":$streamingS,"streaming_n":${streamOk.size},"batch_s":${total - streamingS}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$streamMeta,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // durable artifacts: the driver's stdout tail is 2000 bytes, which has
@@ -109,7 +111,7 @@ object Bench {
     val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failedJson = failedNames.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"streaming_overhead_s":${r3(streamingS)},"batch_s":${r3(total - streamingS)},"queries":{$sb},"queries_omitted":$omitted,"failed_n":${failedNames.size},"failed":$failedJson,"full":"/tmp/bench.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"stream_entries_s":${r3(streamingS)},"batch_s":${r3(total - streamingS)},"queries":{$sb},"queries_omitted":$omitted,"failed_n":${failedNames.size},"failed":$failedJson,"full":"/tmp/bench.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

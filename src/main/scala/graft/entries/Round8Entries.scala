@@ -325,7 +325,7 @@ object Round8Entries {
       graft.ops.Sketches.kmvServe(
           graft.ops.Sketches.kmvCompact(
             s.read.parquet(s"$path/kmv"), "event_type", "day",
-            ratio = 30L, k = 256),
+            fineWin = 1L, coarseWin = 30L, k = 256),
           "event_type", k = 256)
         .orderBy("event_type")
     }),
@@ -796,12 +796,13 @@ object Round8Entries {
 
     // one mirror composed from the TWO existing pipelines' SQL (the
     // playbook rule — never hand-copy): exact side left-joins the ivf
-    // side, per-qid hit count over k
+    // side, per-qid hit count over the per-qid EXACT row count (not the
+    // nominal k — mirrors recallAtK's denominator)
     "emb_ivf_recall" ->
       s"""SELECT b.qid, CAST(sum(CASE WHEN i.id IS NULL THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_hit,
-            round(sum(CASE WHEN i.id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
-              AS recall
+            round(sum(CASE WHEN i.id IS NULL THEN 0 ELSE 1 END)
+              / count(*), 6) AS recall
           FROM (${PipelineEntries.oracle("emb_knn_brute")}) b
           LEFT JOIN (${PipelineEntries.oracle("emb_knn_ivf")}) i
             ON b.qid = i.qid AND b.id = i.id

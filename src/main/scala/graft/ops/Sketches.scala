@@ -98,12 +98,16 @@ object Sketches {
     * fine window's k-min (eviction there needs k smaller hashes, which
     * would evict it from the coarse set too), so compaction loses
     * nothing — the distinct-count analog of
-    * [[graft.ops.HistQuantiles.compact]]. `ratio` floor-divides the
-    * window labels (fine window INDEXES → coarse indexes; a ladder
-    * built at day granularity compacts to 30-day with ratio 30 without
-    * touching raw data). Index shrinks to groups × coarse-windows × k
-    * rows; the k-cut is the same map-side WindowGroupLimit shape as the
-    * build.
+    * [[graft.ops.HistQuantiles.compact]], and it shares that ladder's
+    * ONE window-unit convention: labels are window STARTS in whatever
+    * unit the index was built with (ns starts for the engine-registered
+    * indexes, plain bucket indexes with `fineWin = 1` for index-labeled
+    * ladders), re-keyed via `win − (win mod coarseWin)` — so a
+    * ns-labeled index compacts without the silent label corruption a
+    * floor-division would cause. `coarseWin` must be a whole number of
+    * fine windows (same require as the histogram ladder). Index shrinks
+    * to groups × coarse-windows × k rows; the k-cut is the same
+    * map-side WindowGroupLimit shape as the build.
     *
     * CONTRACT: `k` must not exceed the k the FINE index was built with
     * — a larger k cannot be reconstructed from k-min sets (the fine
@@ -115,12 +119,13 @@ object Sketches {
     * whole-number-of-fine-windows rule (not statically checkable here
     * — the index rows don't carry their build k). */
   def kmvCompact(index: DataFrame, groupCol: String, windowCol: String,
-      ratio: Long, k: Int = 256): DataFrame = {
+      fineWin: Long, coarseWin: Long, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(ratio > 0, "window ratio must be positive")
+    require(fineWin > 0 && coarseWin > 0 && coarseWin % fineWin == 0,
+      s"coarse window ($coarseWin) must be a whole number of fine windows ($fineWin)")
     require(k >= 2, "kmv needs k >= 2")
     val re = index.select(col(groupCol),
-        graft.functions.VectorExpressions.longFloorDiv(col(windowCol), ratio)
+        (col(windowCol) - pmod(col(windowCol), lit(coarseWin)))
           .as(windowCol),
         col("h"))
       .distinct()

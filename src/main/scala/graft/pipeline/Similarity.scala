@@ -222,16 +222,21 @@ object Similarity {
     * per-qid count — so any engine replays it over the two pipelines'
     * mirrors. Queries missing from `approx` entirely score 0; `approx`
     * is deduped on (qid, id) first, so an ANN variant with overlapping
-    * probe buckets can't fan the join out and report recall > 1. */
+    * probe buckets can't fan the join out and report recall > 1. The
+    * denominator is each query's ACTUAL exact-neighbor count, not the
+    * nominal k — when the exact side yields fewer than k neighbors
+    * (corpus smaller than k, filtered query sets), a perfect index
+    * still reads recall 1 instead of being capped at n/k. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     exact.select(col("qid"), col("id"))
       .join(approx.select(col("qid"), col("id")).distinct()
         .withColumn("__hit", lit(1)), Seq("qid", "id"), "left")
       .groupBy("qid")
-      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hit"),
+        count(lit(1)).as("__n"))
       .select(col("qid"), col("n_hit"),
-        round(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+        round(col("n_hit") / col("__n"), 6).as("recall"))
   }
 
   /** kNN weak labeling / label propagation: each query takes the

@@ -440,12 +440,12 @@ object TsdbStream extends Serializable {
   case class TrendIn(name: String, ts: Long, value: Double)
   case class TrendMoments(name: String, seq: Long, n_buckets: Long,
       __sx: Long, __sy: Long, __sxy: Long, __sxx: Long,
-      __lx: Long, __b0: Long)
+      __lx: Long, __b0: Long, late_n: Long)
   // public like every state case class here: the state encoder's
   // generated code constructs/reads it reflectively
   case class TrendSt(b0: Long, cur: Long, curSum: Long,
       curCnt: Long, n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long,
-      seq: Long)
+      seq: Long, late: Long)
 
   /** Spark's `round(double, 0)` semantics exactly
     * (BigDecimal.valueOf → HALF_UP, the catalyst Round expression's
@@ -482,7 +482,12 @@ object TsdbStream extends Serializable {
     * PRECONDITION — per-series ts order ACROSS micro-batches (the
     * [[flagGaps]] contract): a row for an already-closed bucket cannot
     * be re-opened by 80 bytes of state and is skipped (spec-pinned);
-    * late data needs the batch form over the settled table. */
+    * late data needs the batch form over the settled table. Skips are
+    * OBSERVABLE, not silent: each emitted moments row carries the
+    * series' cumulative skipped-late-row count as `late_n`, so an
+    * operator whose feed violated the ordering contract sees the
+    * degradation in the sink instead of a quietly diverged trend
+    * (`late_n` > 0 ⇒ the moments describe the feed MINUS those rows). */
   def trendBuild(stream: DataFrame, bucketNs: Long): DataFrame = {
     require(bucketNs > 0 && bucketNs % 1000 == 0,
       "trend bucket must be positive whole microseconds")
@@ -499,7 +504,7 @@ object TsdbStream extends Serializable {
       .mapGroupsWithState[TrendSt, TrendMoments](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[TrendIn], state: GroupState[TrendSt]) =>
           var st = state.getOption.getOrElse(
-            TrendSt(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+            TrendSt(Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
           rows.toSeq.sortBy(_.ts).foreach { r =>
             val b = Math.floorDiv(r.ts, bucketNs)
             val q = sparkRoundLong(r.value * 1000000.0)
@@ -514,7 +519,9 @@ object TsdbStream extends Serializable {
               st = st.copy(cur = b, curSum = q, curCnt = 1L,
                 n = st.n + 1L, sx = st.sx + x, sy = st.sy + m,
                 sxy = st.sxy + x * m, sxx = st.sxx + x * x)
-            } // b < cur: late row for a closed bucket — skipped (see above)
+            } else
+              // b < cur: late row for a closed bucket — skipped, COUNTED
+              st = st.copy(late = st.late + 1L)
           }
           st = st.copy(seq = st.seq + 1L)
           state.update(st)
@@ -522,7 +529,7 @@ object TsdbStream extends Serializable {
           val x = st.cur - st.b0
           val m = bucketMean(st.curSum, st.curCnt)
           TrendMoments(key, st.seq, st.n + 1L, st.sx + x, st.sy + m,
-            st.sxy + x * m, st.sxx + x * x, x, st.b0)
+            st.sxy + x * m, st.sxx + x * x, x, st.b0, st.late)
       }
       .toDF()
   }

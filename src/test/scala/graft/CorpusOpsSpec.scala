@@ -767,10 +767,11 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
         ("g" + i % 2, (i % 90).toLong, "v" + (i * 7 % 500)))
       .toDF("g", "day", "v")
     val fine = Sketches.kmvIndex(df, "g", "day", "v", k = 16)
-    val compacted = Sketches.kmvCompact(fine, "g", "day", ratio = 30L, k = 16)
+    val compacted = Sketches.kmvCompact(fine, "g", "day",
+        fineWin = 1L, coarseWin = 30L, k = 16)
       .as[(String, Long, Long)].collect().toSet
     val direct = Sketches.kmvIndex(
-        df.withColumn("day", expr("day div 30")), "g", "day", "v", k = 16)
+        df.withColumn("day", expr("day - day % 30")), "g", "day", "v", k = 16)
       .as[(String, Long, Long)].collect().toSet
     assert(compacted === direct,
       "a coarse k-min hash is in its fine window's k-min — compaction loses nothing")

@@ -581,17 +581,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   test("recallAtK: per-query hit fraction; absent queries score zero") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
-      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("qid", "id")
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L)).toDF("qid", "id")
     // the duplicate (1, 10) row models overlapping probe buckets: it
     // must not double-count a hit (recall stays in [0, 1])
-    val approx = Seq((1L, 10L), (1L, 10L), (1L, 12L), (1L, 99L))
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 12L), (1L, 99L),
+      (3L, 30L), (3L, 31L))
       .toDF("qid", "id")
     val out = graft.pipeline.Similarity.recallAtK(approx, exact, k = 3)
       .orderBy("qid").select("qid", "n_hit", "recall")
       .as[(Long, Long, Double)].collect().toSeq
     // q1: found 2 of 3 (the 99 is a miss against exact, not a hit);
-    // q2: the index returned nothing -> recall 0, still reported
-    assert(out === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+    // q2: the index returned nothing -> recall 0, still reported;
+    // q3: the exact side has only 2 neighbors (corpus smaller than k) —
+    // the denominator is the per-qid EXACT count, so a perfect index
+    // reads 1.0, not 2/3
+    assert(out === Seq((1L, 2L, 0.666667), (2L, 0L, 0.0), (3L, 2L, 1.0)))
   }
 
   test("knnLabel: majority wins; vote count ties resolve to the smallest label") {

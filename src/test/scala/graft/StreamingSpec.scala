@@ -637,6 +637,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val latest = spark.table("trend_sink")
         .withColumn("__r", row_number().over(w))
         .where(col("__r") === 1).drop("__r", "seq")
+      // the violated ordering precondition is OBSERVABLE, not silent:
+      // the skipped late row shows up as late_n = 1 on its series
+      assert(latest.select("name", "late_n").as[(String, Long)]
+        .collect().toMap === Map("up" -> 1L, "noisy" -> 0L),
+        "each emitted moments row carries the cumulative skipped-late count")
       val streamed = graft.ops.Stats.trendFromMoments(latest, "name",
           bucket, horizonBuckets = 2L)
         .orderBy("name").collect().toSeq
