@@ -1,0 +1,69 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 driver entries: corpus-scale weak labeling, the bucket-sums
+  * compaction ladder, SQL set ops, the registered MAD index — the
+  * round-8 verdict's asks, each with its DuckDB mirror.
+  */
+object Round9Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // corpus-scale kNN weak labeling: the SEED side (20 hand-labeled
+    // vectors) broadcasts and the corpus-sized query side streams
+    // through — codebook fit on the seeds, in-row probe-cell
+    // assignment (no shuffle ever carries a corpus vector,
+    // plan-pinned), broadcast cell join, (qid, id, cos) top-k,
+    // broadcast label join, qid-keyed vote. The production direction
+    // of emb_knn_label: labels for the WHOLE corpus from a seed set,
+    // deterministic end to end so the oracle replays codebook, probes,
+    // neighbor cut AND vote
+    "emb_knn_label_ivf" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.knnLabelIvf(
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("id"), col("embedding"), col("label")),
+          emb.where(col("vec_id") >= 20)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3, nlist = 4, nprobe = 2, iters = 2)
+        .orderBy("qid")
+    }))
+
+  private val labeledSeedSrc =
+    """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL"""
+
+  val oracle: Map[String, String] = Map(
+
+    // the same shared kmeans CTEs fit the seed codebook; seed cells and
+    // query probe cells replay the one (distance, cell) assignment
+    // tie-break; the neighbor cut and the vote replay emb_knn_label's
+    // (cosine desc, id asc) / (votes desc, label asc) rules
+    "emb_knn_label_ivf" ->
+      s"""WITH ${EntryUtil.kmeansCtes("s", labeledSeedSrc, 4, 2)},
+           scells AS (${EntryUtil.nearestCellsSql("se", "sc2", 1)}),
+           qq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id >= 20),
+           qcells AS (SELECT id AS qid, v AS qv, cell FROM
+             (${EntryUtil.nearestCellsSql("qq", "sc2", 2)})),
+           nn AS (SELECT * FROM (
+               SELECT qid, sc.id AS id,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY list_cosine_similarity(qv, sc.v) DESC, sc.id)
+                   AS rank
+               FROM qcells q JOIN scells sc
+                 ON q.cell = sc.cell AND sc.id != q.qid)
+             WHERE rank <= 3),
+           lbl AS (SELECT vec_id AS id, label FROM embeddings
+                   WHERE vec_id < 20 AND label IS NOT NULL),
+           v AS (SELECT qid, l.label, count(*) AS votes
+                 FROM nn JOIN lbl l ON nn.id = l.id GROUP BY 1, 2),
+           p AS (SELECT qid, label, votes,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY votes DESC, label) AS r
+             FROM v)
+         SELECT qid, label, CAST(votes AS BIGINT) AS votes
+         FROM p WHERE r = 1 ORDER BY qid""")
+}

@@ -244,34 +244,116 @@ object Similarity {
     * bootstrap move that turns a small hand-labeled seed set into
     * corpus-scale labels (quality tiers, domains, toxicity) without a
     * trained model. Rides [[knnBrute]], so the neighbor tie rules
-    * (cosine desc, id asc) are the oracle-pinned ones; the vote is
-    * deterministic too — most votes wins, count ties to the SMALLEST
-    * label. Output: (qid, label, votes).
+    * (cosine desc, id asc) are the oracle-pinned ones; the vote half
+    * is the shared [[labelVotes]] (most votes wins, count ties to the
+    * SMALLEST label). Output: (qid, label, votes).
     *
-    * Scale shape: queries broadcast against the seed side (the seed
-    * set is the small, hand-labeled one by construction); the
-    * (queries × k) neighbor frame broadcasts back for the label join;
-    * the vote groups queries × ≤ k rows. For corpus-scale query sides
-    * swap the broadcast or use the bucketed/IVF kNN variants upstream
-    * — the vote half is reusable on any (qid, id)-shaped neighbor
-    * frame. */
+    * Scale shape: this form broadcasts the QUERY side ([[knnBrute]]) —
+    * right when the query batch is the small side (label a fresh batch
+    * from a large settled seed pool). For the other direction — a
+    * corpus-sized query side labeled from a SMALL seed set — use
+    * [[knnLabelIvf]], which broadcasts only the seeds. */
   def knnLabel(seeds: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val labeledSeeds = labeledOnly(seeds, labelCol)
+    labelVotes(labeledSeeds,
+      knnBrute(labeledSeeds, queries, k, idCol, qidCol, embCol),
+      idCol, labelCol)
+  }
+
+  /** The majority-vote tail of kNN labeling as a public op over ANY
+    * (qid, id)-shaped neighbor frame — compose it with whichever
+    * neighbor search fits the scale ([[knnBrute]], [[knnBucketed]],
+    * [[knnIvfWith]], [[knnSeedProbe]], or a persisted neighbor table).
+    * Per qid: join the neighbors' labels, count votes per label, most
+    * votes wins, count ties to the SMALLEST label. Output:
+    * (qid, label, votes).
+    *
+    * Scale shape: the seed-label table is the small hand-labeled side
+    * by construction, so it BROADCASTS onto the neighbor frame (never
+    * the reverse — a corpus-sized nn frame is left partitioned); the
+    * vote groupBy and the winner window both key on qid, one shuffle
+    * of (qid, label)-sized rows. Null-labeled seeds are dropped here
+    * too, so a pre-filtered caller and a raw one vote identically. */
+  def labelVotes(seedLabels: DataFrame, nn: DataFrame,
+      idCol: String = "id", labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // a seed without a label isn't a labeled seed — and a NULL that
-    // survived to the vote would win ties under Spark's asc-NULLS-FIRST
-    // while a SQL mirror's default NULLS LAST picks the real label
-    val labeledSeeds = seeds.where(col(labelCol).isNotNull)
-    val nn = knnBrute(labeledSeeds, queries, k, idCol, qidCol, embCol)
-    val labeled = labeledSeeds
-      .select(col(idCol).as("id"), col(labelCol).as("label"))
-      .join(broadcast(nn.select("qid", "id")), "id")
+    val labeled = nn.select(col("qid"), col("id"))
+      .join(broadcast(labeledOnly(seedLabels, labelCol)
+        .select(col(idCol).as("id"), col(labelCol).as("label"))), "id")
     val votes = labeled.groupBy("qid", "label")
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
     votes.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
       .select(col("qid"), col("label"), col("votes"))
+  }
+
+  // a seed without a label isn't a labeled seed — and a NULL that
+  // survived to the vote would win ties under Spark's asc-NULLS-FIRST
+  // while a SQL mirror's default NULLS LAST picks the real label
+  private def labeledOnly(seeds: DataFrame, labelCol: String): DataFrame =
+    seeds.where(col(labelCol).isNotNull)
+
+  /** IVF kNN oriented for a CORPUS-SIZED query side against a SMALL
+    * searched set (the seeds): the seed set and its cell assignment
+    * broadcast; each query row computes its `nprobe` nearest centroids
+    * IN-ROW (the centers are plan literals — no per-qid window, so no
+    * shuffle ever carries a query vector) and meets the seeds through a
+    * broadcast cell equi-join. Only (qid, id, cos) rows reach the top-k
+    * shuffle. Same candidate rule and tie-breaks as [[knnIvfWith]]
+    * (assignment: distance then cell; top-k: cosine desc then id), so
+    * the two orientations agree wherever both apply — which side
+    * broadcasts is a plan choice, never a semantics choice. */
+  def knnSeedProbe(
+      centers: Seq[(Int, Seq[Double])],
+      seeds: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    val centersDf = seeds.sparkSession.createDataFrame(centers)
+      .toDF("cell", "center")
+    val s = cellsFor(centersDf,
+      seeds.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
+    // in-row probe assignment: an array of (distance, cell) structs over
+    // the literal centers, sorted lexicographically — the same
+    // (distance, cell) ascending tie-break as cellsFor's window — then
+    // cut to nprobe and exploded; map-side only
+    val scoredCells = array(centers.map { case (cell, cv) =>
+      struct(sqDist(col("qe").cast("array<double>"), typedLit(cv)).as("d"),
+        lit(cell).as("cell"))
+    }: _*)
+    val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
+      .withColumn("cell",
+        explode(transform(slice(sort_array(scoredCells), 1, nprobe),
+          x => x.getField("cell"))))
+    val scored = q.join(broadcast(s), Seq("cell"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
+    topK(scored, k)
+  }
+
+  /** Corpus-scale kNN weak labeling: [[knnSeedProbe]] + [[labelVotes]]
+    * — the direction that turns a small hand-labeled seed set into
+    * labels for the WHOLE corpus. The codebook fits on the labeled
+    * seeds (tiny — driver-side Lloyd, [[fitCodebook]]), the seeds and
+    * their cells broadcast, and the corpus streams through: probe
+    * cells in-row, broadcast cell join, top-k of (qid, id, cos) rows,
+    * broadcast label join, qid-keyed vote. No corpus-sized frame is
+    * ever broadcast and no shuffle carries a corpus vector
+    * (plan-pinned). Recall follows the IVF geometry — measure it with
+    * [[recallAtK]] against [[knnLabel]] on a sample before trusting
+    * the labels, exactly as with any ANN index. */
+  def knnLabelIvf(seeds: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, iters: Int = 2,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val labeledSeeds = labeledOnly(seeds, labelCol)
+    val centers = fitCodebook(labeledSeeds, nlist, iters, idCol, embCol)
+    labelVotes(labeledSeeds,
+      knnSeedProbe(centers, labeledSeeds, queries, k, nprobe,
+        idCol, qidCol, embCol),
+      idCol, labelCol)
   }
 
   /** Cluster-balanced diversity sample: `k` members per IVF cell,

@@ -620,6 +620,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(k2 === Seq((11L, 1, 1L)), s"vote tie must resolve to label 1: $k2")
   }
 
+  test("knnLabelIvf: probing every cell equals the brute knnLabel; null seeds dropped") {
+    // deterministic spread in 4-d; 12 seeds across 3 labels (plus one
+    // null-labeled decoy), 30 corpus-side queries
+    val rnd = Iterator.iterate(41L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    def vec() = Array.fill(4)(((rnd.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f)
+    val seeds = (0L until 12L).map(i =>
+        (i, vec(), if (i == 5L) None else Some((i % 3).toInt)))
+      .toDF("id", "embedding", "label")
+    val qs = (100L until 130L).map(i => (i, vec())).toDF("qid", "embedding")
+    // nprobe = nlist: every cell probed -> the IVF candidate set IS the
+    // whole seed set, so the two orientations must agree row-for-row
+    // (the broadcast direction is a plan choice, never semantics)
+    val ivf = graft.pipeline.Similarity.knnLabelIvf(seeds, qs, k = 3,
+        nlist = 2, nprobe = 2, iters = 1)
+      .orderBy("qid").select("qid", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSeq
+    val brute = graft.pipeline.Similarity.knnLabel(seeds, qs, k = 3)
+      .orderBy("qid").select("qid", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(ivf === brute, "full-probe IVF labeling must equal the brute path")
+    assert(ivf.size === 30, "every query labeled")
+  }
+
+  test("labelVotes: composes with any (qid, id) neighbor frame") {
+    val seedLabels = Seq((1L, Some(7)), (2L, Some(7)), (3L, Some(9)), (4L, None))
+      .toDF("id", "label")
+    // a hand-built neighbor frame (as a persisted neighbor table would
+    // be): q10 sees 1,2,3 -> label 7 by 2 votes; q11 sees 3,4 -> the
+    // null-labeled seed 4 is dropped, label 9 wins with 1 vote
+    val nn = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 3L), (11L, 4L))
+      .toDF("qid", "id")
+    val out = graft.pipeline.Similarity.labelVotes(seedLabels, nn)
+      .orderBy("qid").select("qid", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out === Seq((10L, 7, 2L), (11L, 9, 1L)))
+  }
+
   test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
     // two far-apart centers; 8 points near center 0, 2 near center 1
     val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))

@@ -677,6 +677,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"ADC must probe by broadcast:\n$p")
   }
 
+  test("knnLabelIvf: seeds broadcast; the corpus-sized query side never does, and no vector shuffles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val rnd = Iterator.iterate(23L)(s => s * 6364136223846793005L + 1442695040888963407L)
+    def vec() = Array.fill(6)(((rnd.next() >>> 33).toFloat / (1L << 30).toFloat) - 1f)
+    // corpus from parquet (the identifiable BIG side), seeds in-memory
+    val dir = java.nio.file.Files.createTempDirectory("graft_knnlbl").toString
+    (100L until 160L).map(i => (i, vec())).toDF("qid", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    val seeds = (0L until 10L).map(i => (i, vec(), (i % 3).toInt))
+      .toDF("id", "embedding", "label")
+    val out = graft.pipeline.Similarity.knnLabelIvf(
+      seeds, spark.read.parquet(s"$dir/corpus"),
+      k = 3, nlist = 2, nprobe = 1, iters = 1)
+    val p = out.queryExecution.sparkPlan
+    // the corpus parquet scan must never sit under a broadcast exchange —
+    // only seed-derived (in-memory) frames may broadcast
+    val bcScans = p.collect { case b: BroadcastExchangeExec => b }
+      .flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(bcScans.isEmpty,
+      s"no corpus-sized frame may broadcast:\n$p")
+    // and no shuffle ever carries an embedding: every exchange moves
+    // scalar (qid, id, cos / label, votes) rows only
+    val vecShuffles = p.collect { case e: ShuffleExchangeExec => e }
+      .filter(_.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(vecShuffles.isEmpty,
+      s"no shuffle may carry a vector column:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"the corpus must meet the seeds via broadcast only:\n$p")
+  }
+
   test("bm25: per-query top-k pushes a map-side group limit below the shuffle") {
     import spark.implicits._
     val docs = (1L to 80L).map(i => (i, (1 to 10).map(w => s"w${(i + w) % 7}").mkString(" ")))
