@@ -686,6 +686,35 @@ object EntryUtil {
         bucketSums = Seq(hourNs -> spark.read.parquet(s"$path/bsums"))))
     })
 
+  private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine registering a TWO-LEVEL bucket-sums ladder: the
+    * hourly index plus its DAY compaction
+    * ([[graft.ops.Stats.bucketSumsCompact]] — built FROM the hour
+    * parquet; raw samples are scanned exactly once, at the hour
+    * build). Registered coarsest-first, so day-aligned integer-moment
+    * statements (correlate/trend/changepoints) serve from the day
+    * level — 1/24th the index rows — and hour-aligned ones fall
+    * through to the hour level: the [[engineHistLadderFor]] ladder for
+    * the moment statements. */
+  def engineBucketSumsLadderFor(spark: SparkSession, dir: String): Engine =
+    bucketSumLadderEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L; val dayNs = 86400000000000L
+      val path = scratchDir("graft_bsums_ladder")
+      graft.ops.Stats.bucketSums(ctx.samples, hourNs,
+          keyCol = "series_id")
+        .write.parquet(s"$path/hour")
+      graft.ops.Stats.bucketSumsCompact(
+          spark.read.parquet(s"$path/hour"), "series_id", hourNs, dayNs)
+        .write.parquet(s"$path/day")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        bucketSums = Seq(
+          dayNs -> spark.read.parquet(s"$path/day"),
+          hourNs -> spark.read.parquet(s"$path/hour"))))
+    })
+
   private val kmvStmtEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

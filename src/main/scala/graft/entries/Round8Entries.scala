@@ -1135,7 +1135,7 @@ object Round8Entries {
     * horizon in buckets; `bCte` produces (k, bk, m); `outKey` names
     * the output key column. The statement entries and the streaming
     * moment-maintainer entry all derive from here. */
-  private def trendSql(h: Int): String = trendMomentsSql(h,
+  private[entries] def trendSql(h: Int): String = trendMomentsSql(h,
     s"""SELECT event_type AS k,
                epoch_ns(ts) // 86400000000000 AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))

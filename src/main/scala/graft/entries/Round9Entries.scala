@@ -29,7 +29,21 @@ object Round9Entries {
             .select(col("vec_id").as("qid"), col("embedding")),
           k = 3, nlist = 4, nprobe = 2, iters = 2)
         .orderBy("qid")
-    }))
+    }),
+
+    // the bucket-sums COMPACTION LADDER serving: the day-level index is
+    // built FROM the hour parquet (Stats.bucketSumsCompact — µu sums
+    // and counts add, raw samples scanned exactly once) and registered
+    // coarsest-first, so this day-step whole-range trend serves from
+    // 1/24th the index rows; hour-aligned statements fall through to
+    // the hour level (plan-pinned). Same answers as the scan — one
+    // oracle with ts_trend_json_indexed (trendSql); the histogram
+    // ladder (ts_quantile_ladder) for the integer-moment statements
+    "ts_trend_ladder" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsLadderFor(s, dir).execute(
+        s"""{"trend": {"metric": ["click", "purchase", "view"],
+                       "step": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
 
   private val labeledSeedSrc =
     """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -65,5 +79,9 @@ object Round9Entries {
                  ORDER BY votes DESC, label) AS r
              FROM v)
          SELECT qid, label, CAST(votes AS BIGINT) AS votes
-         FROM p WHERE r = 1 ORDER BY qid""")
+         FROM p WHERE r = 1 ORDER BY qid""",
+
+    // ladder-served = hour-served = scan-built exactly — one oracle
+    // with ts_trend_json_indexed / ts_trend_json
+    "ts_trend_ladder" -> Round8Entries.trendSql(0))
 }

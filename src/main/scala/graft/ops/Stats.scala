@@ -109,6 +109,31 @@ object Stats {
         count(lit(1)).as("__c"))
   }
 
+  /** Compact a [[bucketSums]] index to a coarser step (hour → day →
+    * month): sums and counts re-bin by ADDITION, so each level builds
+    * from the PREVIOUS one and raw samples are never rescanned — the
+    * [[graft.ops.HistQuantiles.compact]] ladder for the integer-moment
+    * statements (correlate/trend/changepoints serving). `__b` labels
+    * are bucket INDEXES (ts floor-divided by the step —
+    * [[bucketSums]]'s convention, unlike the histogram ladder's
+    * ns-start labels), so re-binning is one floor division;
+    * `coarseStepNs` must be a whole number of fine steps for the
+    * result to equal a direct coarse build (it does then, BIT-FOR-BIT
+    * — µu sums and counts are exact integers; spec-pinned). At decade
+    * scale the ladder keeps a year-long trend reading ∝ series ×
+    * coarse buckets (365 day rows) instead of the fine level's 525k
+    * minute rows. */
+  def bucketSumsCompact(index: DataFrame, keyCol: String,
+      fineStepNs: Long, coarseStepNs: Long): DataFrame = {
+    require(fineStepNs > 0 && coarseStepNs > 0 &&
+      coarseStepNs % fineStepNs == 0,
+      s"coarse step ($coarseStepNs) must be a whole number of fine steps ($fineStepNs)")
+    import graft.functions.VectorExpressions.longFloorDiv
+    index.groupBy(col(keyCol),
+        longFloorDiv(col("__b"), coarseStepNs / fineStepNs).as("__b"))
+      .agg(sum(col("__s")).as("__s"), sum(col("__c")).as("__c"))
+  }
+
   /** The ONE exact sum/count → milli-unit mean reduction: integer µu
     * sum and count divide as doubles, round half-up to one milli-unit
     * integer — applied by the batch [[bucketMeans]] and by callers

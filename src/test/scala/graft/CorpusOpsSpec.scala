@@ -777,6 +777,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       "a coarse k-min hash is in its fine window's k-min — compaction loses nothing")
   }
 
+  test("bucket-sums compaction: hour->day equals the direct coarse build") {
+    // multi-row buckets with negative and fractional values so the µu
+    // sums are non-trivial; 90 fine buckets of width 1000 compact 4:1
+    val rows = (0 until 900).map(i =>
+      ("s" + i % 3, i.toLong * 100, (i * 37 % 200 - 100) / 7.0))
+      .toDF("k", "ts", "value")
+    val fine = graft.ops.Stats.bucketSums(rows, 1000L, keyCol = "k")
+    val compacted = graft.ops.Stats
+      .bucketSumsCompact(fine, "k", 1000L, 4000L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val direct = graft.ops.Stats.bucketSums(rows, 4000L, keyCol = "k")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(compacted === direct,
+      "µu sums and counts add through the ladder — compacted == built-at-coarse")
+    intercept[IllegalArgumentException] {
+      graft.ops.Stats.bucketSumsCompact(fine, "k", 1000L, 2500L)
+    }
+  }
+
   test("trend: perfect line -> exact slope/forecast; single bucket -> null line") {
     // value = 2·bucket + 3 over buckets 5..14 of width 1 µs: rebased
     // x ∈ 0..9, milli-quantized means are exact integers, so the OLS

@@ -1192,6 +1192,67 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bucket-sums ladder: coarsest aligned level serves; finer level catches misaligned") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the correlate/trend fixture, laddered: 1µs fine buckets compacted
+    // 4:1; registration order (coarsest FIRST) is preference order
+    val rows = (0 until 40).flatMap { i =>
+      val t = i.toLong * 1000L
+      Seq(("m1", "a", t, i / 3.0), ("m1", "a", t + 7, i / 3.0 + 0.2),
+        ("m2", "a", t, 2 * i / 3.0 + 1.0))
+    }
+    val wide = rows.toDF("metric", "tag", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsladder").toString
+    val mem = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("tag"), "ts", "value")
+    mem.samples.write.parquet(s"$dir/samples")
+    mem.series.write.parquet(s"$dir/series")
+    mem.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = mem.copy(
+      series = spark.read.parquet(s"$dir/series"),
+      samples = spark.read.parquet(s"$dir/samples"),
+      events = spark.read.parquet(s"$dir/events"))
+    graft.ops.Stats.bucketSums(base.samples, 1000L, keyCol = "series_id")
+      .write.parquet(s"$dir/fine")
+    graft.ops.Stats.bucketSumsCompact(
+        spark.read.parquet(s"$dir/fine"), "series_id", 1000L, 4000L)
+      .write.parquet(s"$dir/coarse")
+    val eng = new Engine(base.copy(bucketSums = Seq(
+      4000L -> spark.read.parquet(s"$dir/coarse"),
+      1000L -> spark.read.parquet(s"$dir/fine"))))
+    def scanDirs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      plan(df).collect { case f: FileSourceScanExec => f.metadata("Location") }
+    // 4µs-aligned range at a 4µs step: the coarse level serves (1/4 the
+    // index rows), same answer as the raw scan
+    val qCoarse = eng.execute(
+      """{"trend": {"metric": ["m1", "m2"], "step": "4us"},
+         "range": {"from": 0, "to": 40000}}""")
+    val coarseDirs = scanDirs(qCoarse)
+    assert(coarseDirs.exists(_.contains("/coarse")) &&
+      !coarseDirs.exists(l => l.contains("/fine") || l.contains("/samples")),
+      s"coarse-aligned trend must read the coarse level only: $coarseDirs")
+    assert(qCoarse.collect().toSeq ===
+      new Engine(base).execute(
+        """{"trend": {"metric": ["m1", "m2"], "step": "4us"},
+           "range": {"from": 0, "to": 40000}}""").collect().toSeq)
+    // 1µs-aligned-but-not-4µs range: falls THROUGH to the fine level,
+    // never to the raw scan
+    val qFine = eng.execute(
+      """{"trend": {"metric": ["m1", "m2"], "step": "2us"},
+         "range": {"from": 1000, "to": 39000}}""")
+    val fineDirs = scanDirs(qFine)
+    assert(fineDirs.exists(_.contains("/fine")) &&
+      !fineDirs.exists(l => l.contains("/coarse") || l.contains("/samples")),
+      s"fine-aligned trend must fall to the fine level: $fineDirs")
+    assert(qFine.collect().toSeq ===
+      new Engine(base).execute(
+        """{"trend": {"metric": ["m1", "m2"], "step": "2us"},
+           "range": {"from": 1000, "to": 39000}}""").collect().toSeq)
+  }
+
   test("malformed registered indexes fail loudly at engine construction") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val hist = graft.ops.HistQuantiles.histogram(
