@@ -43,7 +43,43 @@ object Round9Entries {
       EntryUtil.engineBucketSumsLadderFor(s, dir).execute(
         s"""{"trend": {"metric": ["click", "purchase", "view"],
                        "step": "1d"},
-             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // SQL SET OPS (the last named SURVEY §2.8 item): retention cohorts
+    // via INTERSECT / EXCEPT over registerViews — purchasers active in
+    // both of the range's first two weeks, lapsed after week one, and
+    // new in week two. The reference's ts-alignment joins cannot ask
+    // set-membership questions across ranges; the relational surface
+    // answers them in one statement, oracle-gated like the rest of the
+    // ts_sql_* trio
+    "ts_sql_set_ops" -> ((s, dir) => {
+      EntryUtil.engineFor(s, dir).ctx.registerViews()
+      val wk = 7L * 86400000000000L
+      val (w0, w1, w2) =
+        (EntryUtil.FromNs, EntryUtil.FromNs + wk, EntryUtil.FromNs + 2 * wk)
+      s.sql(
+        s"""WITH a AS (
+              SELECT DISTINCT se.tags['user'] AS user
+              FROM tsdb_samples sa JOIN tsdb_series se
+                ON sa.series_id = se.series_id
+              WHERE se.metric = 'purchase'
+                AND sa.ts >= $w0 AND sa.ts < $w1),
+            b AS (
+              SELECT DISTINCT se.tags['user'] AS user
+              FROM tsdb_samples sa JOIN tsdb_series se
+                ON sa.series_id = se.series_id
+              WHERE se.metric = 'purchase'
+                AND sa.ts >= $w1 AND sa.ts < $w2)
+            SELECT 'both_weeks' AS cohort, user
+            FROM (SELECT user FROM a INTERSECT SELECT user FROM b)
+            UNION ALL
+            SELECT 'lapsed' AS cohort, user
+            FROM (SELECT user FROM a EXCEPT SELECT user FROM b)
+            UNION ALL
+            SELECT 'new' AS cohort, user
+            FROM (SELECT user FROM b EXCEPT SELECT user FROM a)
+            ORDER BY cohort, user""")
+    }))
 
   private val labeledSeedSrc =
     """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -83,5 +119,31 @@ object Round9Entries {
 
     // ladder-served = hour-served = scan-built exactly — one oracle
     // with ts_trend_json_indexed / ts_trend_json
-    "ts_trend_ladder" -> Round8Entries.trendSql(0))
+    "ts_trend_ladder" -> Round8Entries.trendSql(0),
+
+    // DuckDB runs the same relational set-op query over the raw events
+    "ts_sql_set_ops" -> {
+      val wk = 7L * 86400000000000L
+      val (w0, w1, w2) =
+        (EntryUtil.FromNs, EntryUtil.FromNs + wk, EntryUtil.FromNs + 2 * wk)
+      s"""WITH a AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS user
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= $w0 AND epoch_ns(ts) < $w1),
+          b AS (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS user
+            FROM events
+            WHERE event_type = 'purchase'
+              AND epoch_ns(ts) >= $w1 AND epoch_ns(ts) < $w2)
+          SELECT 'both_weeks' AS cohort, user
+          FROM (SELECT user FROM a INTERSECT SELECT user FROM b)
+          UNION ALL
+          SELECT 'lapsed' AS cohort, user
+          FROM (SELECT user FROM a EXCEPT SELECT user FROM b)
+          UNION ALL
+          SELECT 'new' AS cohort, user
+          FROM (SELECT user FROM b EXCEPT SELECT user FROM a)
+          ORDER BY cohort, user"""
+    })
 }
