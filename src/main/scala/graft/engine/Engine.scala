@@ -107,6 +107,13 @@ final class Engine(val ctx: TsdbContext) {
     require(missing.isEmpty,
       s"registered kmv index (tag ${reg.tag}, window ${reg.windowNs}) lacks column(s): ${missing.mkString(", ")}")
   }
+  ctx.madIndexes.foreach { reg =>
+    require(reg.fromNs < reg.toNs,
+      s"registered mad index range must be non-empty (got [${reg.fromNs}, ${reg.toNs}))")
+    val missing = Seq("name", "med", "mad").filterNot(reg.index.columns.contains)
+    require(missing.isEmpty,
+      s"registered mad index ([${reg.fromNs}, ${reg.toNs})) lacks column(s): ${missing.mkString(", ")}")
+  }
 
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
@@ -383,17 +390,35 @@ final class Engine(val ctx: TsdbContext) {
     * (series, ts_us, value, med, mad), flagged rows only. */
   def anomaly(q: AnomalyQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    // scope-cache HERE so both paths share one fact scan: the sampled
-    // path's index otherwise caches only the hash-FILTERED subtree and
-    // the flag pass re-scans the facts in full
-    val s = graft.pipeline.Dedup.scopedCache(
-      scan(ids, q.range, Seq(q.metric))
-        .select(col("out_name").as("series"), col("ts"), col("value")))
-    val flagged = q.rate match {
-      case None => graft.ops.Monitoring.madAnomalies(s, "series", q.c)
-      case Some(r) =>
-        graft.ops.Monitoring.madAnomaliesWith(s,
-          graft.ops.Monitoring.madIndexSampled(s, "series", r), "series", q.c)
+    val rows = scan(ids, q.range, Seq(q.metric))
+      .select(col("out_name").as("series"), col("ts"), col("value"))
+    // a REGISTERED med/MAD index whose build range matches the
+    // statement's exactly serves the fit: the ranged samples are judged
+    // against the broadcast index rows in ONE fact pass — no percentile
+    // aggregation, no cache. Medians don't restrict to sub-ranges, so
+    // anything but an exact range match abstains (the loudly-never-
+    // wrongly rule); the sampled form keeps its own fit by definition.
+    val served: Option[DataFrame] =
+      if (q.rate.isEmpty && q.range.forward)
+        ctx.madIndexes.collectFirst {
+          case d if d.fromNs == q.range.from && d.toNs == q.range.to =>
+            graft.ops.Monitoring.madAnomaliesWith(rows,
+              broadcast(d.index.select(col("name").as("series"),
+                col("med"), col("mad"))),
+              "series", q.c)
+        }
+      else None
+    val flagged = served.getOrElse {
+      // scope-cache HERE so both fit-and-flag paths share one fact scan:
+      // the sampled path's index otherwise caches only the hash-FILTERED
+      // subtree and the flag pass re-scans the facts in full
+      val s = graft.pipeline.Dedup.scopedCache(rows)
+      q.rate match {
+        case None => graft.ops.Monitoring.madAnomalies(s, "series", q.c)
+        case Some(r) =>
+          graft.ops.Monitoring.madAnomaliesWith(s,
+            graft.ops.Monitoring.madIndexSampled(s, "series", r), "series", q.c)
+      }
     }
     flagged.where(col("is_anomaly"))
       .select(col("series"), expr("ts div 1000").as("ts_us"),

@@ -686,6 +686,32 @@ object EntryUtil {
         bucketSums = Seq(hourNs -> spark.read.parquet(s"$path/bsums"))))
     })
 
+  private val madEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine whose ctx REGISTERS a persisted med/MAD index over
+    * the canonical range ([[graft.ops.Monitoring.madIndex]] of every
+    * series' ranged values, keyed by series NAME — one row per series,
+    * broadcast-sized): `anomaly` statements over exactly that range
+    * skip both percentile fit passes and judge the ranged samples
+    * against the parquet rows — identical flags (one oracle with
+    * ts_anomaly_json), no percentile buffering, plan-pinned. */
+  def engineMadFor(spark: SparkSession, dir: String): Engine =
+    madEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val path = scratchDir("graft_mad_engine")
+      graft.ops.Monitoring.madIndex(
+          ctx.samples.where(col("ts") >= FromNs && col("ts") < ToNs)
+            .join(ctx.series.select(col("series_id"), col("name")),
+              "series_id")
+            .select(col("name"), col("value")),
+          "name")
+        .write.parquet(s"$path/mad")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        madIndexes = Seq(graft.model.MadIndexDef(FromNs, ToNs,
+          spark.read.parquet(s"$path/mad")))))
+    })
+
   private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -1119,7 +1119,7 @@ object Round8Entries {
 
   /** Ranged purchase source for the anomaly statement oracles
     * (series-keyed, raw ts kept for epoch_ns/epoch_us). */
-  private lazy val AnomalyJsonSrc: String =
+  private[entries] lazy val AnomalyJsonSrc: String =
     s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR))
                  AS series, ts, value
              FROM events

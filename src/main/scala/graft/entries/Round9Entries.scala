@@ -79,7 +79,19 @@ object Round9Entries {
             SELECT 'new' AS cohort, user
             FROM (SELECT user FROM b EXCEPT SELECT user FROM a)
             ORDER BY cohort, user""")
-    }))
+    }),
+
+    // the anomaly statement SERVED from a REGISTERED med/MAD index
+    // (Monitoring.madIndex persisted over the canonical range, the
+    // ctx.histograms pattern for robust statistics): the exact-range
+    // statement skips both percentile fit passes — the per-series-
+    // buffering half — and judges the one ranged fact pass against the
+    // broadcast index rows; flags identical to the scan fit (one
+    // oracle with ts_anomaly_json), no-percentile plan-pinned
+    "ts_anomaly_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineMadFor(s, dir).execute(
+        s"""{"anomaly": {"metric": "purchase", "c": 3.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
 
   private val labeledSeedSrc =
     """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -145,5 +157,12 @@ object Round9Entries {
           SELECT 'new' AS cohort, user
           FROM (SELECT user FROM b EXCEPT SELECT user FROM a)
           ORDER BY cohort, user"""
-    })
+    },
+
+    // index-served = scan-fit exactly — one replay with ts_anomaly_json
+    "ts_anomaly_json_indexed" -> Round6bEntries.anomalySql(
+      """SELECT s.series, epoch_us(s.ts) AS ts_us,
+           round(s.value, 6) AS value,
+           round(m.med, 6) AS med, round(m.mad, 6) AS mad""",
+      Round8Entries.AnomalyJsonSrc, key = "series", cLit = "3.0"))
 }

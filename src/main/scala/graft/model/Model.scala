@@ -56,6 +56,17 @@ object TsdbSchema {
 final case class KmvIndexDef(tag: String, windowNs: Long, k: Int,
     index: DataFrame)
 
+/** One registered med/MAD robust-statistics index: `index` holds
+  * (name, med, mad) rows — per series name the 6dp-rounded median and
+  * median-absolute-deviation of its values over EXACTLY
+  * [`fromNs`, `toNs`) ([[graft.ops.Monitoring.madIndex]] over the
+  * ranged samples joined to the catalog). Unlike counts and sums,
+  * medians neither add across windows nor restrict to sub-ranges, so
+  * the serving contract is exact-range match — the registrar persists
+  * one index per curated range (typically "the settled history"),
+  * and only statements over that range serve from it. */
+final case class MadIndexDef(fromNs: Long, toNs: Long, index: DataFrame)
+
 /** The engine's handle on one "database": catalog + fact tables +
   * optional materialized rollups (fine-step → accumulator DataFrame, see
   * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
@@ -86,7 +97,16 @@ final case class TsdbContext(
       * where the rollup-activity path reads series × bins. k-min sets
       * merge exactly, so the served output equals the scan's
       * bit-for-bit whenever the statement's k ≤ the build k. */
-    kmvIndexes: Seq[KmvIndexDef] = Nil) {
+    kmvIndexes: Seq[KmvIndexDef] = Nil,
+    /** optional materialized med/MAD robust-statistics indexes
+      * ([[MadIndexDef]]): `anomaly` statements whose range matches a
+      * registered index's build range exactly skip the two
+      * percentile fit passes — the expensive, per-series-buffering
+      * half of the statement — and judge the ranged samples against
+      * the broadcast index rows instead (one fact pass, no
+      * percentile aggregation; identical flags — the index stores
+      * the same 6dp statistics the scan path fits). */
+    madIndexes: Seq[MadIndexDef] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

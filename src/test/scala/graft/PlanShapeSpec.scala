@@ -1253,6 +1253,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
            "range": {"from": 1000, "to": 39000}}""").collect().toSeq)
   }
 
+  test("anomaly serves from the registered mad index: one fact pass, no percentile fit") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_madidx").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.Monitoring.madIndex(
+        base.samples.where(col("ts") >= 100L && col("ts") < 300L)
+          .join(base.series.select(col("series_id"), col("name")), "series_id")
+          .select(col("name"), col("value")),
+        "name")
+      .write.parquet(s"$dir/mad")
+    val eng = new Engine(base.copy(madIndexes = Seq(
+      graft.model.MadIndexDef(100L, 300L,
+        spark.read.parquet(s"$dir/mad")))))
+    val q = """{"anomaly": {"metric": "test", "c": 0.5},
+               "range": {"from": 100, "to": 300}}"""
+    val served = eng.execute(q)
+    val p = plan(served)
+    val dirs = p.collect { case f: FileSourceScanExec => f.metadata("Location") }
+    assert(dirs.exists(_.contains("/mad")),
+      s"exact-range anomaly must read the mad index: $dirs")
+    assert(dirs.count(_.contains("/samples")) === 1,
+      s"served anomaly judges the facts in ONE pass: $dirs")
+    assert(!p.toString.toLowerCase.contains("percentile"),
+      s"the fit must come from the index, not a percentile aggregation:\n$p")
+    // identical flags to the scan fit (the index stores the same
+    // rounded statistics)
+    assert(served.collect().toSeq ===
+      new Engine(base).execute(q).collect().toSeq,
+      "serving changes the plan, never the flags")
+    // any other range abstains: medians don't restrict to sub-ranges
+    val mis = eng.execute(
+      """{"anomaly": {"metric": "test", "c": 0.5},
+         "range": {"from": 100, "to": 250}}""")
+    assert(plan(mis).toString.toLowerCase.contains("percentile"),
+      "a non-matching range must fall back to the scan fit")
+  }
+
   test("malformed registered indexes fail loudly at engine construction") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val hist = graft.ops.HistQuantiles.histogram(
@@ -1298,6 +1344,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       reg(graft.model.KmvIndexDef("tag", 100L, 1, kmv)))
     intercept[IllegalArgumentException](
       reg(graft.model.KmvIndexDef("tag", 100L, 4, kmv.drop("h"))))
+    // and mad registrations
+    val mad = ctx.samples.limit(0)
+      .select(c("series_id").cast("string").as("name"),
+        c("value").as("med"), c("value").as("mad"))
+    new Engine(ctx.copy(madIndexes = Seq(
+      graft.model.MadIndexDef(100L, 300L, mad))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(madIndexes = Seq(
+        graft.model.MadIndexDef(300L, 100L, mad)))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(madIndexes = Seq(
+        graft.model.MadIndexDef(100L, 300L, mad.drop("mad"))))))
   }
 
   test("corr matrix: facts reduce to bucket means before anything pairs") {
