@@ -278,6 +278,120 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.select(sum(col("value"))).head().getDouble(0) === 6.0)
   }
 
+  test("kmvBuild: kill mid-stream, restart from checkpoint — the recovered sink serves the statement batch-exactly") {
+    // the statement-serving stream indexes must be durable END-TO-END,
+    // not just converged-when-lucky: kill the query mid-window, restart
+    // from the checkpoint, REGISTER the recovered sink, and the served
+    // distinct statement must equal the batch engine's bit-for-bit
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv_restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val winNs = 1000L
+    // 18 distinct users across 4 windows; the split at row 30 kills the
+    // query with window 2 OPEN (its k-min state recovers from the
+    // checkpoint, not from reprocessing file A)
+    val all = (0 until 48).map(i => ("m", (i * 80).toLong, "u" + (i * 7 % 18)))
+    def writeLines(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (m, ts, u) => s"$m,$ts,$u" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .selectExpr("split(value, ',')[0] AS name",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "split(value, ',')[2] AS value")
+      TsdbStream.kmvBuild(parsed, winNs, k = 4)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(out); () }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+    }
+    writeLines("a.txt", all.take(30))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeLines("b.txt", all.drop(30))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sink = spark.read.parquet(out)
+    // the engine fixture: same rows as a settled table, user as the tag
+    val wide = all.toDF("metric", "ts", "user")
+      .withColumn("value", lit(1.0))
+    val ctx = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("user"), "ts", "value")
+    val stmt = """{"distinct": {"metric": "m", "tag": "user", "k": 4},
+                  "range": {"from": 0, "to": 4000}}"""
+    val served = new graft.engine.Engine(ctx.copy(kmvIndexes = Seq(
+        graft.model.KmvIndexDef("user", winNs, 4,
+          sink.select(col("name").as("metric"),
+            (col("win") * winNs).as("win"), col("h"))))))
+      .execute(stmt)
+    // really the served path (registration accepted, not the scan)
+    assert(served.queryExecution.executedPlan.toString.contains("parquet"),
+      "the recovered sink must serve the statement")
+    assert(served.collect().toSeq ===
+      new graft.engine.Engine(ctx).execute(stmt).collect().toSeq,
+      "recovered-sink serving must equal the batch statement bit-for-bit")
+  }
+
+  test("bucketMeansBuild: kill mid-bucket, restart from checkpoint — the recovered sink serves trend batch-exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bm_restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val s = 1000000000L; val bucket = 10 * s
+    // two structured series, one row per second for 120 s; the split at
+    // row index 55·2 kills the query with bucket [50 s, 60 s) OPEN on
+    // both series — its partial (sum, cnt) recovers from the checkpoint
+    val all = (0 until 120).flatMap { i =>
+      val t = i.toLong * s
+      Seq(("x", t, i / 7.0), ("y", t, 2 * i / 7.0 + 3.0))
+    }
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (n, ts, v) => s"$n,$ts,$v" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .selectExpr("split(value, ',')[0] AS name",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+      TsdbStream.bucketMeansBuild(parsed, bucket, "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    writeLines("a.txt", all.take(110))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase B: the rest plus a far-future sentinel that flushes the
+    // watermark past every real bucket
+    writeLines("b.txt", all.drop(110) :+ (("zz", 1000L * s, 0.0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sink = spark.read.parquet(out).where(col("name") =!= "zz")
+    // the recovered sink IS the batch reduction, bit-for-bit
+    assert(sink.select("name", "__b", "__s", "__c")
+      .as[(String, Long, Long, Long)].collect().toSet ===
+      graft.ops.Stats.bucketSums(all.toDF("name", "ts", "value"),
+          bucket, keyCol = "name")
+        .as[(String, Long, Long, Long)].collect().toSet,
+      "restarted sink must equal the batch bucket sums exactly")
+    // and the statement readout served from it equals the batch op
+    val servedTrend = graft.ops.Stats.trendFromBucketMeans(
+        graft.ops.Stats.meansFromSums(sink, "name"), "name",
+        bucket, horizonBuckets = 2L)
+      .orderBy("name").collect().toSeq
+    val batchTrend = graft.ops.Stats.trend(
+        all.toDF("name", "ts", "value"), bucket, horizonBuckets = 2L,
+        keyCol = "name")
+      .orderBy("name").collect().toSeq
+    assert(servedTrend === batchTrend,
+      "trend served from the recovered sink must equal the batch trend")
+  }
+
   test("curation ops run unchanged on a document stream (stream-static broadcast)") {
     // contamination joins a STATIC broadcast benchmark against a STREAMING
     // corpus; sampling/splits are stateless filters/projections — the same
