@@ -504,8 +504,7 @@ object Round8Entries {
           graft.pipeline.Similarity.knnIvfWith(
             EntryUtil.ivfCodebookFor(s, dir), corpus, queries,
             k = 3, nprobe = 2),
-          graft.pipeline.Similarity.knnBrute(corpus, queries, k = 3),
-          k = 3)
+          graft.pipeline.Similarity.knnBrute(corpus, queries, k = 3))
         .orderBy("qid")
     }),
 

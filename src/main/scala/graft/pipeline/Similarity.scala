@@ -223,12 +223,14 @@ object Similarity {
     * mirrors. Queries missing from `approx` entirely score 0; `approx`
     * is deduped on (qid, id) first, so an ANN variant with overlapping
     * probe buckets can't fan the join out and report recall > 1. The
-    * denominator is each query's ACTUAL exact-neighbor count, not the
-    * nominal k — when the exact side yields fewer than k neighbors
+    * denominator is each query's ACTUAL exact-neighbor count — "k" is
+    * whatever cut the caller's `exact` frame carries (the usual exact
+    * top-k), so when the exact side yields fewer than k neighbors
     * (corpus smaller than k, filtered query sets), a perfect index
-    * still reads recall 1 instead of being capped at n/k. */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
-    require(k > 0, "k must be positive")
+    * still reads recall 1 instead of being capped at n/k. There is
+    * deliberately no k parameter: it would not affect the result, and
+    * a dead parameter misleads callers about what is measured. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
     exact.select(col("qid"), col("id"))
       .join(approx.select(col("qid"), col("id")).distinct()
         .withColumn("__hit", lit(1)), Seq("qid", "id"), "left")
@@ -311,6 +313,14 @@ object Similarity {
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding"): DataFrame = {
     require(nprobe > 0, "nprobe must be positive")
+    // no centers (an empty or all-null-labeled seed set) degrades to an
+    // empty result like every other kNN path — a zero-arg array() of
+    // probe structs would otherwise fail ANALYSIS as an unextractable
+    // string-typed array
+    if (centers.isEmpty)
+      return topK(queries.limit(0).select(col(qidCol).as("qid"))
+        .crossJoin(seeds.limit(0).select(col(idCol).as("id")))
+        .withColumn("cos", lit(0.0)), k)
     val centersDf = seeds.sparkSession.createDataFrame(centers)
       .toDF("cell", "center")
     val s = cellsFor(centersDf,

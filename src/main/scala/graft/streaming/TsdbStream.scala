@@ -487,7 +487,14 @@ object TsdbStream extends Serializable {
     * series' cumulative skipped-late-row count as `late_n`, so an
     * operator whose feed violated the ordering contract sees the
     * degradation in the sink instead of a quietly diverged trend
-    * (`late_n` > 0 ⇒ the moments describe the feed MINUS those rows). */
+    * (`late_n` > 0 ⇒ the moments describe the feed MINUS those rows).
+    *
+    * STATE-SCHEMA VERSION: adding the late counter changed the
+    * [[TrendSt]] product encoder (10 → 11 fields), so a checkpoint
+    * written by the pre-late_n trendBuild fails Spark's state-store
+    * schema check at restart (StateSchemaNotCompatible) — discard the
+    * old checkpoint and rebuild from the settled table when
+    * upgrading; the checkpoint cannot be migrated in place. */
   def trendBuild(stream: DataFrame, bucketNs: Long): DataFrame = {
     require(bucketNs > 0 && bucketNs % 1000 == 0,
       "trend bucket must be positive whole microseconds")

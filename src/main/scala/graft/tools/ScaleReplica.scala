@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   *
   * Replica k shifts doc_ids by k·10⁹ and suffixes every TOKEN with a
   * replica marker, so the copies model "N× more data of the same
-  * character": per-replica structure (lengths, shingle statistics,
-  * duplicate clusters) is identical to the source, while vocabularies
+  * character": per-replica TOKEN structure (token counts, shingle
+  * statistics, duplicate clusters) is identical to the source — though
+  * character lengths inflate ~3 chars/token, a conservative bias for
+  * character-level ops — while vocabularies
   * are disjoint ACROSS replicas — no cross-replica near-dup pairs, so a
   * pair-producing operator's true work scales ×N, not ×N² (ten literal
   * copies of one corpus would near-dup-match each other and measure a
@@ -31,11 +33,16 @@ object ScaleReplica {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val reps = (0 until copies).map { k =>
       if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"_r$k"))), " ").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      else docs
+        .select(
+          (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"_r$k"))), " ").as("text"),
+          col("lang"), col("source"))
+        // the suffixes inflate character counts (~3 chars/token), so
+        // n_chars must be recomputed from the NEW text — a stale copy
+        // would disagree with length(text) for every replica row
+        .withColumn("n_chars", length(col("text")))
     }
     reps.reduce(_ unionByName _)
       .repartition(spark.sparkContext.defaultParallelism)

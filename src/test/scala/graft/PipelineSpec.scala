@@ -588,7 +588,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val approx = Seq((1L, 10L), (1L, 10L), (1L, 12L), (1L, 99L),
       (3L, 30L), (3L, 31L))
       .toDF("qid", "id")
-    val out = graft.pipeline.Similarity.recallAtK(approx, exact, k = 3)
+    val out = graft.pipeline.Similarity.recallAtK(approx, exact)
       .orderBy("qid").select("qid", "n_hit", "recall")
       .as[(Long, Long, Double)].collect().toSeq
     // q1: found 2 of 3 (the 99 is a miss against exact, not a hit);
@@ -641,6 +641,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int, Long)].collect().toSeq
     assert(ivf === brute, "full-probe IVF labeling must equal the brute path")
     assert(ivf.size === 30, "every query labeled")
+    // an all-null-labeled seed set -> no centers: degrade to an empty
+    // result like every other kNN path, never an analysis-time crash
+    val none = graft.pipeline.Similarity.knnLabelIvf(
+      seeds.withColumn("label", lit(null).cast("int")), qs, k = 3,
+      nlist = 2, nprobe = 2, iters = 1)
+    assert(none.count() === 0, "no labeled seeds -> empty labeling")
   }
 
   test("labelVotes: composes with any (qid, id) neighbor frame") {
