@@ -142,6 +142,7 @@ final class Engine(val ctx: TsdbContext) {
     case q: QuantileQuery           => quantile(q)
     case q: CorrelateQuery          => correlate(q)
     case q: TrendQuery              => trend(q)
+    case q: AutocorrQuery           => autocorr(q)
     case q: ActiveQuery             => active(q)
     case q: DistinctQuery           => distinct(q)
     case q: ChangepointsQuery       => changepoints(q)
@@ -677,6 +678,29 @@ final class Engine(val ctx: TsdbContext) {
         .agg(sum(col("__s")).as("__s"), sum(col("__c")).as("__c"))
       graft.ops.Stats.meansFromSums(covered, "metric")
     }
+  }
+
+  /** Beyond-reference `autocorr`: per-metric autocorrelation of the
+    * bucket-mean series at the requested lags
+    * ([[graft.ops.Stats.autocorrFromBucketMeans]]) — the periodicity
+    * readout that justifies a `seasonal` period choice, through the
+    * query language. Buckets are epoch-aligned like `correlate`, and
+    * the SAME registered bucket-sums index (including its compaction
+    * ladder) serves aligned statements — the ACF consumes exactly the
+    * (metric, __b, __m) frame [[servedBucketMeans]] reduces, so
+    * serving changes the plan, never the coefficients. Output:
+    * (metric, lag, n_buckets, corr), lag in steps. */
+  def autocorr(q: AutocorrQuery): DataFrame = {
+    val base = locationFiltered(seriesFor(q.metrics, q.where), q.location)
+    val ids = base.select(col("series_id"), col("metric").as("out_name"))
+    val lags = q.lagsNs.map(_ / q.stepNs)
+    val buckets = servedBucketMeans(q.range, q.stepNs, ids).getOrElse(
+      graft.ops.Stats.bucketMeans(
+        scan(ids, q.range, q.metrics)
+          .select(col("out_name").as("metric"), col("ts"), col("value")),
+        q.stepNs, "metric", "ts", "value"))
+    graft.ops.Stats.autocorrFromBucketMeans(buckets, "metric", lags)
+      .orderBy("metric", "lag")
   }
 
   /** Beyond-reference `changepoints`: per-metric level shifts of the

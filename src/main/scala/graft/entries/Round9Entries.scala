@@ -91,6 +91,26 @@ object Round9Entries {
     "ts_anomaly_json_indexed" -> ((s, dir) =>
       EntryUtil.engineMadFor(s, dir).execute(
         s"""{"anomaly": {"metric": "purchase", "c": 3.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the autocorr STATEMENT (the ts_autocorr library op promoted to
+    // the query language): per-metric ACF of hourly bucket means at
+    // 1h/1d/7d lags — the periodicity readout that justifies a
+    // seasonal period choice, now where/range/location-composable
+    "ts_autocorr_json" -> ((s, dir) =>
+      EntryUtil.engineFor(s, dir).execute(
+        s"""{"autocorr": {"metric": ["click", "purchase", "view"],
+                          "step": "1h", "lags": ["1h", "1d", "7d"]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the same statement SERVED from the registered bucket-sums index
+    // (the correlate/trend serving core — the ACF consumes exactly the
+    // (metric, bucket, mean) frame the index reduces to): no fact
+    // scan, same coefficients, one oracle with the scan form
+    "ts_autocorr_json_indexed" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsFor(s, dir).execute(
+        s"""{"autocorr": {"metric": ["click", "purchase", "view"],
+                          "step": "1h", "lags": ["1h", "1d", "7d"]},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
 
   private val labeledSeedSrc =
@@ -164,5 +184,47 @@ object Round9Entries {
       """SELECT s.series, epoch_us(s.ts) AS ts_us,
            round(s.value, 6) AS value,
            round(m.med, 6) AS med, round(m.mad, 6) AS mad""",
-      Round8Entries.AnomalyJsonSrc, key = "series", cLit = "3.0"))
+      Round8Entries.AnomalyJsonSrc, key = "series", cLit = "3.0"),
+
+    // the ranged ACF replay (the ts_autocorr mirror, statement-ranged
+    // and metric-named); served = scan exactly — one mirror for both
+    "ts_autocorr_json" -> autocorrJsonSql,
+    "ts_autocorr_json_indexed" -> autocorrJsonSql)
+
+  /** Ranged statement-form ACF mirror: one bucket CTE (identical
+    * milli-quantized hourly means), a lags VALUES table, the shared
+    * double formula per (metric, lag) — the ts_autocorr replay with the
+    * statement's range and key name. */
+  private lazy val autocorrJsonSql: String =
+    s"""WITH b AS (SELECT event_type AS k,
+             epoch_ns(ts) // 3600000000000 AS bk,
+             CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                 / count(*) / 1000.0) AS BIGINT) AS m
+           FROM events
+           WHERE event_type IN ('click', 'purchase', 'view')
+             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+             AND epoch_ns(ts) < ${EntryUtil.ToNs}
+           GROUP BY 1, 2),
+         lg(lag) AS (VALUES (1), (24), (168)),
+         p AS (SELECT l.k AS metric, lg.lag, l.m AS x, r.m AS y
+           FROM b l JOIN lg ON true
+                JOIN b r ON l.k = r.k AND l.bk = r.bk - lg.lag),
+         mo AS (SELECT metric, lag, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM p GROUP BY 1, 2),
+         md AS (SELECT metric, lag, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+           FROM mo)
+       SELECT metric, CAST(lag AS BIGINT) AS lag,
+         CAST(n AS BIGINT) AS n_buckets,
+         round(CASE WHEN sqrt(nd * sxxd - sxd * sxd) *
+                         sqrt(nd * syyd - syd * syd) > 0
+               THEN (nd * sxyd - sxd * syd) /
+                    (sqrt(nd * sxxd - sxd * sxd) *
+                     sqrt(nd * syyd - syd * syd))
+               END, 6) AS corr
+       FROM md ORDER BY metric, lag"""
 }

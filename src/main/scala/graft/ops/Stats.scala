@@ -252,25 +252,35 @@ object Stats {
     * overlaps yield null. */
   def autocorr(samples: DataFrame, bucketNs: Long, lags: Seq[Long],
       keyCol: String = "metric", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    autocorrFromBucketMeans(
+      bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
+        .withColumnRenamed(keyCol, "key"),
+      "key", lags)
+
+  /** The lag/moments half of [[autocorr]] over an already-reduced
+    * bucket-mean frame (keyCol, __b, __m) — shared with index serving
+    * ([[graft.engine.Engine]]'s registered bucket-sums index reduces
+    * to exactly this frame), so a served ACF equals the scan-built one
+    * bit-for-bit; the output key column keeps `keyCol`'s name. */
+  def autocorrFromBucketMeans(buckets: DataFrame, keyCol: String,
+      lags: Seq[Long]): DataFrame = {
     require(lags.nonEmpty, "at least one lag required")
-    val buckets = bucketMeans(samples, bucketNs, keyCol, tsCol, valueCol)
-    val l = buckets.select(col(keyCol).as("key"), col("__b"),
-      col("__m").as("__x"))
+    val l = buckets.select(col(keyCol), col("__b"), col("__m").as("__x"))
     val r = buckets
-      .select(col(keyCol).as("key"),
+      .select(col(keyCol),
         explode(array(lags.map(lit): _*)).as("lag"), col("__b"),
         col("__m").as("__y"))
-      .select(col("key"), col("lag"), (col("__b") - col("lag")).as("__b"),
+      .select(col(keyCol), col("lag"), (col("__b") - col("lag")).as("__b"),
         col("__y"))
-    val moments = l.join(r, Seq("key", "__b"))
-      .groupBy("key", "lag")
+    val moments = l.join(r, Seq(keyCol, "__b"))
+      .groupBy(keyCol, "lag")
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-    pearson(moments).select("key", "lag", "n_buckets", "corr")
+    pearson(moments).select(keyCol, "lag", "n_buckets", "corr")
   }
 
   /** Level-shift (changepoint) detection over a [[bucketMeans]] frame

@@ -416,6 +416,26 @@ object Ast {
       where: Where = Where.All,
       location: Option[LocationFilter] = None) extends Query
 
+  /** `{"autocorr": {"metric": ["a"], "step": "1h",
+    * "lags": ["1h", "1d", "1w"]}}` — beyond-reference: per-metric
+    * autocorrelation of the bucket-mean series at the requested lags —
+    * the periodicity readout ("does this metric breathe daily?") that
+    * justifies a `seasonal` period choice, through the query language
+    * ([[graft.ops.Stats.autocorr]]'s machinery; corr of the series
+    * with itself shifted by each lag). Each lag is a duration that
+    * must be a positive whole number of steps; buckets are
+    * EPOCH-aligned like `correlate`, and the same registered
+    * bucket-sums index serves aligned statements. Output rows:
+    * (metric, lag, n_buckets, corr) — lag in steps; lags with < 2
+    * overlapping buckets or a zero-variance side yield null corr. */
+  final case class AutocorrQuery(
+      metrics: Seq[String],
+      stepNs: Long,
+      lagsNs: Seq[Long],
+      range: TimeRange,
+      where: Where = Where.All,
+      location: Option[LocationFilter] = None) extends Query
+
   /** `{"quantile": {"metric": "m", "p": [0.5, 0.99]}}` — beyond-
     * reference: per-series quantiles of the values in the range, served
     * from the mergeable log-bucketed histogram

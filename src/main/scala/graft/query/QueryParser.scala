@@ -36,7 +36,7 @@ object QueryParser {
   private val statementKeys =
     Seq("select", "select-events", "aggregate", "group-aggregate",
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
-      "trend",
+      "trend", "autocorr",
       "active", "distinct", "changepoints", "sessions", "seasonal", "gaps",
       "stale", "anomaly")
 
@@ -61,6 +61,7 @@ object QueryParser {
     else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("correlate")) parseCorrelate(root)
     else if (root.has("trend")) parseTrend(root)
+    else if (root.has("autocorr")) parseAutocorr(root)
     else if (root.has("active")) parseActive(root)
     else if (root.has("distinct")) parseDistinct(root)
     else if (root.has("changepoints")) parseChangepoints(root)
@@ -532,6 +533,44 @@ object QueryParser {
         s"correlate.lag must be a whole number of steps (lag $lag, step $step)")
     rejectSampleClauses(root, "correlate")
     CorrelateQuery(metrics, step, lag, parseRange(root), parseWhere(root),
+      parseLocation(root))
+  }
+
+  /** Beyond-reference `autocorr` (see [[Ast.AutocorrQuery]]). */
+  private def parseAutocorr(root: JsonNode): AutocorrQuery = {
+    val stmt = root.get("autocorr")
+    if (!stmt.isObject)
+      throw new BadQuery("autocorr statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("metric", "step", "lags").contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad autocorr key(s): ${unknown.mkString(", ")}")
+    val metrics = strOrList(stmt.get("metric"), "autocorr.metric")
+    if (metrics.isEmpty)
+      throw new BadQuery("autocorr requires at least one metric")
+    if (metrics.distinct.size != metrics.size)
+      throw new BadQuery("autocorr metrics must be distinct")
+    val step = positiveDuration(
+      TimeUtil.parseDuration(Option(stmt.get("step"))
+        .getOrElse(throw new BadQuery("autocorr.step required")).asText()),
+      "autocorr.step")
+    val lagsNode = Option(stmt.get("lags"))
+      .getOrElse(throw new BadQuery("autocorr.lags required"))
+    if (!lagsNode.isArray || lagsNode.size == 0)
+      throw new BadQuery("autocorr.lags must be a non-empty array of durations")
+    val lags = lagsNode.elements().asScala.map { t =>
+      val lag = TimeUtil.parseDuration(t.asText())
+      if (lag <= 0)
+        throw new BadQuery(s"autocorr lag must be positive (got ${t.asText()})")
+      if (lag % step != 0)
+        throw new BadQuery(
+          s"autocorr lag must be a whole number of steps (lag $lag, step $step)")
+      lag
+    }.toSeq
+    if (lags.distinct.size != lags.size)
+      throw new BadQuery("autocorr lags must be distinct")
+    rejectSampleClauses(root, "autocorr")
+    AutocorrQuery(metrics, step, lags, parseRange(root), parseWhere(root),
       parseLocation(root))
   }
 

@@ -354,6 +354,46 @@ class QueryParserSpec extends AnyFunSuite {
          "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
   }
 
+  test("autocorr statement: parse, lag validation, clause rejection") {
+    val q = QueryParser.parse(
+      """{"autocorr": {"metric": ["a", "b"], "step": "1h",
+                       "lags": ["1h", "1d"]},
+         "range": {"from": 0, "to": 10}}""").asInstanceOf[AutocorrQuery]
+    assert(q.metrics === Seq("a", "b"))
+    assert(q.stepNs === 3600000000000L)
+    assert(q.lagsNs === Seq(3600000000000L, 86400000000000L))
+    intercept[BadQuery](QueryParser.parse( // lags required
+      """{"autocorr": {"metric": ["a"], "step": "1h"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // empty lags
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": []},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // lag not a whole step count
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["90m"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // non-positive lag
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["0s"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // duplicate lags
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["1h", "1h"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // duplicate metrics
+      """{"autocorr": {"metric": ["a", "a"], "step": "1h", "lags": ["1h"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // step required
+      """{"autocorr": {"metric": ["a"], "lags": ["1h"]},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // unknown statement key
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["1h"], "by": "x"},
+         "range": {"from": 0, "to": 10}}"""))
+    intercept[BadQuery](QueryParser.parse( // no per-sample output to page
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["1h"]},
+         "range": {"from": 0, "to": 10}, "limit": 3}"""))
+    intercept[BadQuery](QueryParser.parse( // renderers emit sample rows
+      """{"autocorr": {"metric": ["a"], "step": "1h", "lags": ["1h"]},
+         "range": {"from": 0, "to": 10}, "output": {"format": "csv"}}"""))
+  }
+
   test("active statement: parse, clause rejection") {
     val q = QueryParser.parse(
       """{"active": {"metric": ["a", "b"], "step": "1d"},

@@ -1176,12 +1176,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       """{"changepoints": {"metric": ["m1"], "step": "1us", "window": 4,
                            "min-shift": 1.0},
          "range": {"from": 0, "to": 40000}}""", "aligned changepoints")
-    // a misaligned range could split a fine bucket's sums -> all three
+    // autocorr consumes it too: the m1 ramp's ACF at short lags is a
+    // real near-1 coefficient, scan-equal
+    servedEqualsScan(
+      """{"autocorr": {"metric": ["m1", "m2"], "step": "1us",
+                       "lags": ["1us", "2us"]},
+         "range": {"from": 0, "to": 40000}}""", "aligned autocorr")
+    // a misaligned range could split a fine bucket's sums -> all four
     // statements fall back to the scan
     Seq(
       """{"correlate": {"metric": ["m1", "m2"], "step": "1us"},
          "range": {"from": 500, "to": 40000}}""",
       """{"trend": {"metric": ["m1"], "step": "2us"},
+         "range": {"from": 500, "to": 40000}}""",
+      """{"autocorr": {"metric": ["m1"], "step": "1us", "lags": ["1us"]},
          "range": {"from": 500, "to": 40000}}""",
       """{"changepoints": {"metric": ["m1"], "step": "1us", "window": 4,
                            "min-shift": 1.0},
