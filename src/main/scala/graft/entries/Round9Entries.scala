@@ -111,33 +111,58 @@ object Round9Entries {
       EntryUtil.engineBucketSumsFor(s, dir).execute(
         s"""{"autocorr": {"metric": ["click", "purchase", "view"],
                           "step": "1h", "lags": ["1h", "1d", "7d"]},
-             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // recall@3 of the seed-probe path against the brute neighbors on
+    // the same seeds — the emb_ivf_recall readout for the corpus-query
+    // direction: before trusting knnLabelIvf's labels, measure what
+    // fraction of each query's true nearest seeds the probed cells
+    // actually contain (tune nlist/nprobe against it)
+    "emb_seed_recall" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      val seeds = emb.where(col("vec_id") < 20 && col("label").isNotNull)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val queries = emb.where(col("vec_id") >= 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.pipeline.Similarity.recallAtK(
+          graft.pipeline.Similarity.knnSeedProbe(
+            graft.pipeline.Similarity.fitCodebook(seeds, nlist = 4, iters = 2),
+            seeds, queries, k = 3, nprobe = 2),
+          graft.pipeline.Similarity.knnBrute(seeds, queries, k = 3))
+        .orderBy("qid")
+    }))
 
   private val labeledSeedSrc =
     """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL"""
 
+  /** The seed-probe CTE chain shared by the labeling and recall
+    * mirrors (one definition — the playbook rule): seed codebook fit
+    * (shared kmeans CTEs, prefix "s"), seed cells and query probe
+    * cells through the one (distance, cell) assignment tie-break, and
+    * the rank-3 ANN neighbor cut `nn` (cosine desc, id asc). */
+  private lazy val seedProbeCtes: String =
+    s"""${EntryUtil.kmeansCtes("s", labeledSeedSrc, 4, 2)},
+         scells AS (${EntryUtil.nearestCellsSql("se", "sc2", 1)}),
+         qq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id >= 20),
+         qcells AS (SELECT id AS qid, v AS qv, cell FROM
+           (${EntryUtil.nearestCellsSql("qq", "sc2", 2)})),
+         nn AS (SELECT * FROM (
+             SELECT qid, sc.id AS id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY list_cosine_similarity(qv, sc.v) DESC, sc.id)
+                 AS rank
+             FROM qcells q JOIN scells sc
+               ON q.cell = sc.cell AND sc.id != q.qid)
+           WHERE rank <= 3)"""
+
   val oracle: Map[String, String] = Map(
 
-    // the same shared kmeans CTEs fit the seed codebook; seed cells and
-    // query probe cells replay the one (distance, cell) assignment
-    // tie-break; the neighbor cut and the vote replay emb_knn_label's
-    // (cosine desc, id asc) / (votes desc, label asc) rules
+    // the shared probe chain's neighbor cut + the vote replaying
+    // emb_knn_label's (votes desc, label asc) rule
     "emb_knn_label_ivf" ->
-      s"""WITH ${EntryUtil.kmeansCtes("s", labeledSeedSrc, 4, 2)},
-           scells AS (${EntryUtil.nearestCellsSql("se", "sc2", 1)}),
-           qq AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings WHERE vec_id >= 20),
-           qcells AS (SELECT id AS qid, v AS qv, cell FROM
-             (${EntryUtil.nearestCellsSql("qq", "sc2", 2)})),
-           nn AS (SELECT * FROM (
-               SELECT qid, sc.id AS id,
-                 row_number() OVER (PARTITION BY qid
-                   ORDER BY list_cosine_similarity(qv, sc.v) DESC, sc.id)
-                   AS rank
-               FROM qcells q JOIN scells sc
-                 ON q.cell = sc.cell AND sc.id != q.qid)
-             WHERE rank <= 3),
+      s"""WITH $seedProbeCtes,
            lbl AS (SELECT vec_id AS id, label FROM embeddings
                    WHERE vec_id < 20 AND label IS NOT NULL),
            v AS (SELECT qid, l.label, count(*) AS votes
@@ -189,7 +214,29 @@ object Round9Entries {
     // the ranged ACF replay (the ts_autocorr mirror, statement-ranged
     // and metric-named); served = scan exactly — one mirror for both
     "ts_autocorr_json" -> autocorrJsonSql,
-    "ts_autocorr_json_indexed" -> autocorrJsonSql)
+    "ts_autocorr_json_indexed" -> autocorrJsonSql,
+
+    // the shared probe chain's ANN cut left-joined from the brute
+    // top-3 over the same seeds — the emb_ivf_recall composition for
+    // the corpus-query direction (per-qid exact-count denominator)
+    "emb_seed_recall" ->
+      s"""WITH $seedProbeCtes,
+           brute AS (SELECT * FROM (
+               SELECT q.id AS qid, sc.id AS id,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY list_cosine_similarity(q.v, sc.v) DESC, sc.id)
+                   AS rank
+               FROM qq q JOIN se sc ON sc.id != q.id)
+             WHERE rank <= 3)
+         SELECT b.qid,
+           CAST(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN a.id IS NULL THEN 0 ELSE 1 END)
+             / count(*), 6) AS recall
+         FROM brute b
+         LEFT JOIN (SELECT DISTINCT qid, id FROM nn) a
+           ON b.qid = a.qid AND b.id = a.id
+         GROUP BY b.qid ORDER BY b.qid""")
 
   /** Ranged statement-form ACF mirror: one bucket CTE (identical
     * milli-quantized hourly means), a lags VALUES table, the shared
