@@ -130,6 +130,34 @@ object Round9Entries {
             seeds, queries, k = 3, nprobe = 2),
           graft.pipeline.Similarity.knnBrute(seeds, queries, k = 3))
         .orderBy("qid")
+    }),
+
+    // the ACF over the STREAM-maintained bucket-mean index (the
+    // stream_corr machinery pointed at periodicity): the sink's
+    // integer ingredients reduce through the SAME mean formula and lag
+    // machinery as the batch scan, so the streamed ACF equals the
+    // batch bit-for-bit — one oracle. Unlike correlate, the lag join
+    // WOULD pair a sentinel bucket with real history (sentinel_b − lag
+    // lands on the last real bucket), so the watermark push rides a
+    // fake series name that is filtered from the served sink
+    "stream_autocorr" -> ((s, dir) => {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+      val hourNs = 3600000000000L
+      val rows = EntryUtil.typedEventRows(s, dir, Seq("click", "view"))
+      val maxTs = rows.iterator.map(_._2).max
+      val sink = EntryUtil.runStreamEntry(s, "stream_acf_sink", rows,
+        chunks = 4, cols = Seq("name", "ts", "value"),
+        mkStream = graft.streaming.TsdbStream.bucketMeansBuild(_, hourNs,
+          "10 minutes"),
+        sentinel = Some(("__wm", maxTs + 86400000000000L, 0.0)))
+      graft.ops.Stats.autocorrFromBucketMeans(
+          graft.ops.Stats.meansFromSums(
+            sink.where(col("name") =!= "__wm"), "name"),
+          "name", lags = Seq(1L, 24L))
+        .select(col("name").as("metric"), col("lag"),
+          col("n_buckets"), col("corr"))
+        .orderBy("metric", "lag")
     }))
 
   private val labeledSeedSrc =
@@ -213,8 +241,15 @@ object Round9Entries {
 
     // the ranged ACF replay (the ts_autocorr mirror, statement-ranged
     // and metric-named); served = scan exactly — one mirror for both
-    "ts_autocorr_json" -> autocorrJsonSql,
-    "ts_autocorr_json_indexed" -> autocorrJsonSql,
+    "ts_autocorr_json" ->
+      autocorrSql(Seq("click", "purchase", "view"), Seq(1, 24, 168)),
+    "ts_autocorr_json_indexed" ->
+      autocorrSql(Seq("click", "purchase", "view"), Seq(1, 24, 168)),
+    // stream-maintained bucket means + the shared mean/lag formulas =
+    // the batch ACF over the same feed — unranged like its feed (the
+    // stream-mirror convention), restricted to the two fed types
+    "stream_autocorr" ->
+      autocorrSql(Seq("click", "view"), Seq(1, 24), ranged = false),
 
     // the shared probe chain's ANN cut left-joined from the brute
     // top-3 over the same seeds — the emb_ivf_recall composition for
@@ -238,21 +273,28 @@ object Round9Entries {
            ON b.qid = a.qid AND b.id = a.id
          GROUP BY b.qid ORDER BY b.qid""")
 
-  /** Ranged statement-form ACF mirror: one bucket CTE (identical
-    * milli-quantized hourly means), a lags VALUES table, the shared
-    * double formula per (metric, lag) — the ts_autocorr replay with the
-    * statement's range and key name. */
-  private lazy val autocorrJsonSql: String =
+  /** ONE statement-form ACF mirror generator (the corrSql pattern):
+    * one bucket CTE (identical milli-quantized hourly means), a lags
+    * VALUES table, the shared double formula per (metric, lag) — the
+    * ts_autocorr replay with the statement's key name; `ranged = false`
+    * is the stream-entry convention (unranged like the feed). */
+  private def autocorrSql(types: Seq[String], lags: Seq[Int],
+      ranged: Boolean = true): String = {
+    val in = types.map(t => s"'$t'").mkString(", ")
+    val rangePred = if (ranged)
+      s"""AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+             AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
+    else ""
+    val lagRows = lags.map(l => s"($l)").mkString(", ")
     s"""WITH b AS (SELECT event_type AS k,
              epoch_ns(ts) // 3600000000000 AS bk,
              CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                  / count(*) / 1000.0) AS BIGINT) AS m
            FROM events
-           WHERE event_type IN ('click', 'purchase', 'view')
-             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
-             AND epoch_ns(ts) < ${EntryUtil.ToNs}
+           WHERE event_type IN ($in)
+             $rangePred
            GROUP BY 1, 2),
-         lg(lag) AS (VALUES (1), (24), (168)),
+         lg(lag) AS (VALUES $lagRows),
          p AS (SELECT l.k AS metric, lg.lag, l.m AS x, r.m AS y
            FROM b l JOIN lg ON true
                 JOIN b r ON l.k = r.k AND l.bk = r.bk - lg.lag),
@@ -274,4 +316,5 @@ object Round9Entries {
                      sqrt(nd * syyd - syd * syd))
                END, 6) AS corr
        FROM md ORDER BY metric, lag"""
+  }
 }

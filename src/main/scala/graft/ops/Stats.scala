@@ -262,18 +262,34 @@ object Stats {
     * bucket-mean frame (keyCol, __b, __m) — shared with index serving
     * ([[graft.engine.Engine]]'s registered bucket-sums index reduces
     * to exactly this frame), so a served ACF equals the scan-built one
-    * bit-for-bit; the output key column keeps `keyCol`'s name. */
+    * bit-for-bit; the output key column keeps `keyCol`'s name.
+    *
+    * Pairing is a UNION + one groupBy, not a self-join: each bucket
+    * contributes its mean as the `x` role at its own grid position and
+    * as the `y` role shifted back by each lag, and positions holding
+    * both roles are the overlapping pairs. One shuffle over the
+    * rollup-sized frame (a self-join costs two), and — the practical
+    * trigger — a self-join whose lagged side passes through a Generate
+    * breaks Spark's relation deduplication when `buckets` is a memory-
+    * sink VIEW (the stream-maintained index), where this shape is
+    * analyzer-safe on any input. (key, __b) must be unique, which
+    * every [[bucketMeans]]-shaped frame guarantees. */
   def autocorrFromBucketMeans(buckets: DataFrame, keyCol: String,
       lags: Seq[Long]): DataFrame = {
     require(lags.nonEmpty, "at least one lag required")
-    val l = buckets.select(col(keyCol), col("__b"), col("__m").as("__x"))
-    val r = buckets
-      .select(col(keyCol),
-        explode(array(lags.map(lit): _*)).as("lag"), col("__b"),
-        col("__m").as("__y"))
-      .select(col(keyCol), col("lag"), (col("__b") - col("lag")).as("__b"),
-        col("__y"))
-    val moments = l.join(r, Seq(keyCol, "__b"))
+    val withLag = buckets.select(col(keyCol),
+      explode(array(lags.map(lit): _*)).as("lag"), col("__b"), col("__m"))
+    val nullM = lit(null).cast("long")
+    val xs = withLag.select(col(keyCol), col("lag"), col("__b"),
+      col("__m").as("__x"), nullM.as("__y"))
+    val ys = withLag.select(col(keyCol), col("lag"),
+      (col("__b") - col("lag")).as("__b"), nullM.as("__x"),
+      col("__m").as("__y"))
+    val pairs = xs.unionByName(ys)
+      .groupBy(keyCol, "lag", "__b")
+      .agg(max(col("__x")).as("__x"), max(col("__y")).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val moments = pairs
       .groupBy(keyCol, "lag")
       .agg(count(lit(1)).as("n_buckets"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
