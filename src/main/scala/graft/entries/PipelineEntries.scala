@@ -269,6 +269,24 @@ object PipelineEntries {
           round(element_at(col("features"), 4), 6).as("f3"))
         .orderBy("id")),
 
+    // REAL image features (grid-pooled BT.601 luma — the perceptual-
+    // hash front half, no model weights needed): corpus bytes are not
+    // images, so every row pins the byte-fold FALLBACK contract at the
+    // same grid² width (decoded = 0); the real decode path is
+    // spec-proven exact on a generated quadrant PNG (oracle engines
+    // can't decode PNGs)
+    "mm_image_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(
+          rp(s, dir, "documents")
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes")),
+          "doc_id", "bytes", grid = 2)
+        .select(col("id"), col("decoded").cast("int").as("decoded"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"),
+          round(element_at(col("features"), 4), 6).as("f3"))
+        .orderBy("id")),
+
     // the REAL-math projection path: tanh(W·x) over the fold vector with
     // a broadcast 2×4 weight matrix (exact binary-fraction weights; the
     // oracle replays the identical left-associated dot product + tanh)
@@ -288,6 +306,16 @@ object PipelineEntries {
 
   /** hash60 in DuckDB. */
   private def h60(s: String): String = EntryUtil.h60Sql(s)
+
+  /** The dim-4 byte-fold CTE `b` shared by every extractFeatures-family
+    * mirror (mm_features, mm_features_proj, mm_image_features' fallback
+    * contract): ASCII corpus, so byte i of encode(text) is
+    * unicode(substr(text, i, 1)); Scala 0-based index → j = (i−1) % 4. */
+  private val foldBSql: String =
+    """b AS (
+         SELECT doc_id, (i - 1) % 4 AS j,
+           unicode(substr(text, i, 1)) / 255.0 AS v
+         FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))"""
 
   /** ONE SimHash fingerprint CTE chain over `documents` — words →
     * per-bit majority votes → `sh(doc_id, s)` — the replay of
@@ -706,11 +734,19 @@ object PipelineEntries {
     // byte fold replay: ASCII corpus, so byte i of encode(text) is
     // unicode(substr(text, i, 1)); Scala 0-based index -> j = (i-1) % 4
     "mm_features" ->
-      """WITH b AS (
-           SELECT doc_id, (i - 1) % 4 AS j,
-             unicode(substr(text, i, 1)) / 255.0 AS v
-           FROM documents, UNNEST(generate_series(1, length(text))) AS t(i))
+      s"""WITH $foldBSql
          SELECT doc_id AS id,
+           round(coalesce(sum(v) FILTER (WHERE j = 0), 0), 6) AS f0,
+           round(coalesce(sum(v) FILTER (WHERE j = 1), 0), 6) AS f1,
+           round(coalesce(sum(v) FILTER (WHERE j = 2), 0), 6) AS f2,
+           round(coalesce(sum(v) FILTER (WHERE j = 3), 0), 6) AS f3
+         FROM b GROUP BY doc_id ORDER BY id""",
+
+    // the image-features FALLBACK contract over non-image bytes: the
+    // same dim-4 fold, decoded pinned 0 (real decode is spec-proven)
+    "mm_image_features" ->
+      s"""WITH $foldBSql
+         SELECT doc_id AS id, CAST(0 AS INT) AS decoded,
            round(coalesce(sum(v) FILTER (WHERE j = 0), 0), 6) AS f0,
            round(coalesce(sum(v) FILTER (WHERE j = 1), 0), 6) AS f1,
            round(coalesce(sum(v) FILTER (WHERE j = 2), 0), 6) AS f2,
@@ -723,10 +759,7 @@ object PipelineEntries {
     // safe identity (exp overflow → 1.0, underflow → −1.0, exactly like
     // math.tanh; mid-range agrees within ulps, absorbed by round6)
     "mm_features_proj" ->
-      """WITH b AS (
-           SELECT doc_id, (i - 1) % 4 AS j,
-             unicode(substr(text, i, 1)) / 255.0 AS v
-           FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+      s"""WITH $foldBSql,
          f AS (
            SELECT doc_id,
              coalesce(sum(v) FILTER (WHERE j = 0), 0) AS f0,

@@ -239,6 +239,77 @@ object Multimodal {
       }
   }
 
+  final case class ImageFeatureRow(id: Long, decoded: Boolean,
+      features: Seq[Double])
+
+  /** REAL image features with no model weights: decode
+    * (javax.imageio), mean-pool the BT.601 luma
+    * ((299·r + 587·g + 114·b)/255000 ∈ [0, 1]) over a `grid`×`grid`
+    * raster — the perceptual-hash family's feature front half (pHash/
+    * aHash pool exactly this grid before thresholding), useful as-is
+    * for near-duplicate screening, brightness/structure clustering, or
+    * as input to [[extractFeatures]]'s projection path. Pixel (x, y)
+    * belongs to cell (x·grid/w, y·grid/h) — the standard integer
+    * pooling partition; images smaller than the grid leave empty cells
+    * at 0.0. Non-decodable blobs fall back to [[extractFeatures]]'s
+    * byte fold at the same grid²-width (flagged `decoded = false`), so
+    * mixed corpora keep one schema.
+    *
+    * Scale shape: one codec setup per partition, rows streamed; output
+    * is grid² doubles per blob regardless of resolution — the fixed-
+    * width index row a 100 TB media corpus persists next to its bytes. */
+  def imageFeatures(df: DataFrame, idCol: String, binCol: String,
+      grid: Int = 8): DataFrame = {
+    require(grid > 0, "grid must be positive")
+    implicit val enc = Encoders.product[ImageFeatureRow]
+    val dim = grid * grid
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => None }
+          img match {
+            case None =>
+              val acc = new Array[Double](dim)
+              var i = 0
+              while (i < bytes.length) {
+                acc(i % dim) += (bytes(i) & 0xff) / 255.0
+                i += 1
+              }
+              ImageFeatureRow(id, decoded = false, acc.toSeq)
+            case Some(src) =>
+              val (w, h) = (src.getWidth, src.getHeight)
+              val sums = new Array[Double](dim)
+              val counts = new Array[Long](dim)
+              var y = 0
+              while (y < h) {
+                val gy = math.min(grid - 1, y * grid / h)
+                var x = 0
+                while (x < w) {
+                  val gx = math.min(grid - 1, x * grid / w)
+                  val rgb = src.getRGB(x, y)
+                  val lum = 299L * ((rgb >> 16) & 0xff) +
+                    587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                  val cell = gy * grid + gx
+                  sums(cell) += lum / 255000.0
+                  counts(cell) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              val feats = Array.tabulate(dim)(i =>
+                if (counts(i) == 0L) 0.0 else sums(i) / counts(i))
+              ImageFeatureRow(id, decoded = true, feats.toSeq)
+          }
+        }
+      }
+      .toDF("id", "decoded", "features")
+  }
+
   /** Fixed-width feature vector per media blob, one "model" instance per
     * partition (the mapPartitions shape a real embedding stage needs:
     * load weights once, stream the batch through).

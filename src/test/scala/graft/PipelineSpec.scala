@@ -447,6 +447,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert((rz.out_width, rz.out_height) == (16, 9) && rz.width == 37)
   }
 
+  test("image features are REAL: grid-pooled luma recovers known quadrants") {
+    import java.awt.image.BufferedImage._
+    // 4x4 image of four solid 2x2 gray quadrants: v, v, v pixels have
+    // BT.601 luma exactly v/255, so each 2x2 pooling cell's mean is the
+    // quadrant's gray level — the real-decode path is exact, not fuzzy
+    val img = new java.awt.image.BufferedImage(4, 4, TYPE_INT_RGB)
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val v = (if (y < 2) 0 else 2) + (if (x < 2) 0 else 1) match {
+        case 0 => 0; case 1 => 51; case 2 => 102; case 3 => 255
+      }
+      img.setRGB(x, y, gray(v))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val df = Seq((1L, out.toByteArray), (2L, "not an image".getBytes))
+      .toDF("id", "bytes")
+    val rows = Multimodal.imageFeatures(df, "id", "bytes", grid = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getSeq[Double](2))).toMap
+    val (dec, feats) = rows(1L)
+    assert(dec, "a real PNG decodes")
+    // cells in (gy·grid + gx) order: tl, tr, bl, br
+    val expect = Seq(0.0, 51 / 255.0, 102 / 255.0, 1.0)
+    feats.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9, s"grid luma: $feats vs $expect")
+    }
+    // non-decodable bytes take the byte fold at the same width, flagged
+    val (dec2, feats2) = rows(2L)
+    assert(!dec2 && feats2.size === 4 && feats2.sum > 0)
+  }
+
   test("pixel resize is REAL: output bytes re-decode at the target geometry") {
     import java.awt.image.BufferedImage._
     val png = imageBytes(37, 23, TYPE_INT_RGB, "png")
