@@ -132,6 +132,23 @@ object Round9Entries {
         .orderBy("qid")
     }),
 
+    // embedding-distribution drift, localized per IVF cell (the
+    // ingest-drift monitor pointed at embedding space): every 5th
+    // embedding plays the incoming batch and each codebook cell
+    // reports its share of batch vs corpus — the readout that catches
+    // "this crawl is suddenly 3x heavier in one mode" before it skews
+    // training mixes. Same memoized codebook + assignment arithmetic
+    // as emb_knn_ivf, so the oracle reuses the shared kmeans CTEs
+    "emb_cell_drift" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.cellDrift(
+          EntryUtil.ivfCodebookFor(s, dir),
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") % 5 === 0)
+            .select(col("vec_id").as("id"), col("embedding")))
+        .orderBy("cell")
+    }),
+
     // the ACF over the STREAM-maintained bucket-mean index (the
     // stream_corr machinery pointed at periodicity): the sink's
     // integer ingredients reduce through the SAME mean formula and lag
@@ -250,6 +267,32 @@ object Round9Entries {
     // stream-mirror convention), restricted to the two fed types
     "stream_autocorr" ->
       autocorrSql(Seq("click", "view"), Seq(1, 24), ranged = false),
+
+    // shared kmeans CTEs assign both populations; counts are exact
+    // integers and each share/delta is one raw-ratio op sequence
+    // rounded once — replayed verbatim
+    "emb_cell_drift" ->
+      s"""WITH ${EntryUtil.kmeansCtes("",
+            "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+            8, 2)},
+           corc AS (SELECT cell, count(*) AS nc FROM
+             (${EntryUtil.nearestCellsSql("e", "c2", 1)}) GROUP BY 1),
+           qb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id % 5 = 0),
+           batc AS (SELECT cell, count(*) AS nb FROM
+             (${EntryUtil.nearestCellsSql("qb", "c2", 1)}) GROUP BY 1),
+           base AS (SELECT c2.cell AS cell,
+               coalesce(nc, 0) AS n_corpus, coalesce(nb, 0) AS n_batch
+             FROM c2 LEFT JOIN corc ON c2.cell = corc.cell
+                     LEFT JOIN batc ON c2.cell = batc.cell),
+           tot AS (SELECT sum(n_corpus) AS tc, sum(n_batch) AS tb
+                   FROM base)
+         SELECT cell, CAST(n_corpus AS BIGINT) AS n_corpus,
+           CAST(n_batch AS BIGINT) AS n_batch,
+           round(n_corpus / tc, 6) AS share_corpus,
+           round(n_batch / tb, 6) AS share_batch,
+           round(n_batch / tb - n_corpus / tc, 6) AS share_delta
+         FROM base CROSS JOIN tot ORDER BY cell""",
 
     // the shared probe chain's ANN cut left-joined from the brute
     // top-3 over the same seeds — the emb_ivf_recall composition for

@@ -396,6 +396,58 @@ object Similarity {
       .select(col("cell"), col("rank"), col("id"))
   }
 
+  /** Embedding-distribution drift between a new BATCH and the settled
+    * CORPUS, localized per IVF cell — [[graft.pipeline.TextOps]]'
+    * ingest-drift monitor pointed at embedding space: assign both
+    * frames to the shared codebook's cells and compare each cell's
+    * SHARE of its population ("crawl 57 is suddenly 3× heavier in the
+    * code-like cluster"). A global distance statistic would hide
+    * exactly this localization; per-cell share deltas name the mode
+    * that moved. Non-empty corpus and batch are the caller's contract
+    * (a share against an empty population is no comparison).
+    *
+    * Determinism: counts are exact integers; each share (and the
+    * delta, computed from the RAW ratios before its one rounding) is
+    * a fixed IEEE op sequence any engine replays. Cells the Lloyd fit
+    * dropped are absent on both sides; cells with no members in one
+    * frame report 0 counts/shares.
+    *
+    * Scale shape: two broadcast-centroid assignment passes (no vector
+    * ever shuffles) reducing straight to cell counts; everything after
+    * is codebook-sized (nlist rows). Output:
+    * (cell, n_corpus, n_batch, share_corpus, share_batch, share_delta),
+    * shares/delta 6dp. */
+  def cellDrift(centers: Seq[(Int, Seq[Double])],
+      corpus: DataFrame, batch: DataFrame,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
+    def cellCounts(df: DataFrame, as: String): DataFrame =
+      cellsFor(centersDf,
+          df.select(col(idCol).as("id"), col(embCol).as("__v")),
+          "id", "__v", 1)
+        .groupBy("cell").agg(count(lit(1)).as(as))
+    val cells = spark.createDataFrame(centers.map(c => Tuple1(c._1)))
+      .toDF("cell")
+    // scoped-cached: the nlist-row counts frame feeds both the totals
+    // and the final select — uncached, the two corpus assignment
+    // passes would run twice (released by Dedup.releaseCaches)
+    val counts = Dedup.scopedCache(cells
+      .join(cellCounts(corpus, "n_corpus"), Seq("cell"), "left")
+      .join(cellCounts(batch, "n_batch"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch")))
+    val tot = counts.agg(sum(col("n_corpus")).as("__tc"),
+      sum(col("n_batch")).as("__tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_corpus"), col("n_batch"),
+        round(col("n_corpus") / col("__tc"), 6).as("share_corpus"),
+        round(col("n_batch") / col("__tb"), 6).as("share_batch"),
+        round(col("n_batch") / col("__tb") - col("n_corpus") / col("__tc"), 6)
+          .as("share_delta"))
+  }
+
   /** Persist a fitted codebook — at corpus scale the Lloyd fit runs once
     * at index-build time and queries reuse the stored centers. */
   def writeCodebook(spark: org.apache.spark.sql.SparkSession,

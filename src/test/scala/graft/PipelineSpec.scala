@@ -695,6 +695,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((10L, 7, 2L), (11L, 9, 1L)))
   }
 
+  test("cellDrift: per-cell share shift between batch and corpus, zeros kept") {
+    // two far-apart centers; corpus = 8 points near cell 0 + 2 near
+    // cell 1; the batch over-samples cell 1 (1 of cell 0, both of
+    // cell 1) -> corpus shares 0.8/0.2, batch shares 1/3 / 2/3
+    val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))
+    val corpus = ((1 to 8).map(i => (i.toLong, Array(0.1f * i, 0.0f))) ++
+      Seq((100L, Array(100.0f, 100.1f)), (101L, Array(99.9f, 100.0f))))
+      .toDF("id", "embedding")
+    val batch = Seq((1L, Array(0.1f, 0.0f)),
+      (100L, Array(100.0f, 100.1f)), (101L, Array(99.9f, 100.0f)))
+      .toDF("id", "embedding")
+    val out = graft.pipeline.Similarity.cellDrift(centers, corpus, batch)
+      .orderBy("cell")
+      .select("cell", "n_corpus", "n_batch", "share_corpus", "share_batch",
+        "share_delta")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out === Seq(
+      (0, 8L, 1L, 0.8, 0.333333, -0.466667),
+      (1, 2L, 2L, 0.2, 0.666667, 0.466667)))
+  }
+
   test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
     // two far-apart centers; 8 points near center 0, 2 near center 1
     val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))
