@@ -902,9 +902,10 @@ object Round7Entries {
   /** ONE correlation replay generator — the aligned matrix and the
     * lead/lag form differ only in the bucket join offset. Identical
     * milli-quantized bucket means, integer moments, one double formula. */
-  def corrSql(lag: Int, where: String = ""): String =
+  def corrSql(lag: Int, where: String = "",
+      bucketNs: Long = 3600000000000L): String =
     s"""WITH b AS (SELECT event_type AS k,
-               epoch_ns(ts) // 3600000000000 AS bk,
+               epoch_ns(ts) // $bucketNs AS bk,
                CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                    / count(*) / 1000.0) AS BIGINT) AS m
              FROM events $where GROUP BY 1, 2),

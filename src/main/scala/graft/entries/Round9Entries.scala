@@ -45,6 +45,16 @@ object Round9Entries {
                        "step": "1d"},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // correlate rides the same ladder rung: the day-step matrix reads
+    // the day-level index rows (1/24th of the hour level; sums add),
+    // same answers as the scan — the ladder witness for the pair
+    // statement (trend's is ts_trend_ladder; the serving core is one)
+    "ts_corr_ladder" -> ((s, dir) =>
+      EntryUtil.engineBucketSumsLadderFor(s, dir).execute(
+        s"""{"correlate": {"metric": ["click", "purchase", "view"],
+                           "step": "1d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // SQL SET OPS (the last named SURVEY §2.8 item): retention cohorts
     // via INTERSECT / EXCEPT over registerViews — purchasers active in
     // both of the range's first two weeks, lapsed after week one, and
@@ -222,6 +232,13 @@ object Round9Entries {
     // ladder-served = hour-served = scan-built exactly — one oracle
     // with ts_trend_json_indexed / ts_trend_json
     "ts_trend_ladder" -> Round8Entries.trendSql(0),
+
+    // the day-bucket correlate replay (corrSql with the day width)
+    "ts_corr_ladder" -> Round7Entries.corrSql(0,
+      s"""WHERE event_type IN ('click', 'purchase', 'view')
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}""",
+      bucketNs = 86400000000000L),
 
     // DuckDB runs the same relational set-op query over the raw events
     "ts_sql_set_ops" -> {
