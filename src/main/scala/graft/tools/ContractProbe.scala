@@ -79,6 +79,19 @@ object ContractProbe {
       """{"correlate": {"metric": ["click", "view"], "step": "1h"},
           "range": {"from": "20240101T000000", "to": "20240401T000000"},
           "limit": 5}""")
+    tryQ("autocorr-no-lags",
+      """{"autocorr": {"metric": ["click"], "step": "1h"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("autocorr-ragged-lag",
+      """{"autocorr": {"metric": ["click"], "step": "1h", "lags": ["90m"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("autocorr-zero-lag",
+      """{"autocorr": {"metric": ["click"], "step": "1h", "lags": ["0s"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("autocorr-unknown-metric",
+      """{"autocorr": {"metric": ["no_such_metric"], "step": "1h",
+                       "lags": ["1h"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
     tryQ("active-no-metric",
       """{"active": {"metric": []},
           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
