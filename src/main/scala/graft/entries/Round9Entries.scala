@@ -142,6 +142,28 @@ object Round9Entries {
         .orderBy("qid")
     }),
 
+    // label-driven corpus filtering — the weak labels put to WORK: the
+    // corpus-scale labeler assigns every non-seed embedding a tier
+    // from the 20 hand-labeled seeds, and documents whose embedding
+    // drew a low tier (< 5) survive — the "filter by weakly-labeled
+    // quality tier" curation stage, composing the embeddings and
+    // documents tables by shared id. Broadcast-seed labeling + one
+    // id equi-join; no corpus-sized broadcast anywhere
+    "docs_label_filter" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      val labels = graft.pipeline.Similarity.knnLabelIvf(
+        emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("id"), col("embedding"), col("label")),
+        emb.where(col("vec_id") >= 20)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 3, nlist = 4, nprobe = 2, iters = 2)
+      labels.where(col("label") < 5)
+        .join(EntryUtil.repartitioned(s, dir, "documents"),
+          col("qid") === col("doc_id"))
+        .select(col("doc_id"), col("label"), col("votes"))
+        .orderBy("doc_id")
+    }),
+
     // embedding-distribution drift, localized per IVF cell (the
     // ingest-drift monitor pointed at embedding space): every 5th
     // embedding plays the incoming batch and each codebook cell
@@ -212,12 +234,12 @@ object Round9Entries {
                ON q.cell = sc.cell AND sc.id != q.qid)
            WHERE rank <= 3)"""
 
-  val oracle: Map[String, String] = Map(
-
-    // the shared probe chain's neighbor cut + the vote replaying
-    // emb_knn_label's (votes desc, label asc) rule
-    "emb_knn_label_ivf" ->
-      s"""WITH $seedProbeCtes,
+  /** The full corpus-scale labeling replay — the shared probe chain's
+    * neighbor cut + the vote replaying emb_knn_label's
+    * (votes desc, label asc) rule; the labeling entry's mirror AND the
+    * label-filter entry's subquery (one definition). */
+  private lazy val seedLabelSql: String =
+    s"""WITH $seedProbeCtes,
            lbl AS (SELECT vec_id AS id, label FROM embeddings
                    WHERE vec_id < 20 AND label IS NOT NULL),
            v AS (SELECT qid, l.label, count(*) AS votes
@@ -227,7 +249,22 @@ object Round9Entries {
                  ORDER BY votes DESC, label) AS r
              FROM v)
          SELECT qid, label, CAST(votes AS BIGINT) AS votes
-         FROM p WHERE r = 1 ORDER BY qid""",
+         FROM p WHERE r = 1 ORDER BY qid"""
+
+  val oracle: Map[String, String] = Map(
+
+    // the shared probe chain's neighbor cut + the vote replaying
+    // emb_knn_label's (votes desc, label asc) rule
+    "emb_knn_label_ivf" -> seedLabelSql,
+
+    // the labeling statement reused as a subquery (one definition),
+    // low tiers joined onto documents by shared id
+    "docs_label_filter" ->
+      s"""SELECT d.doc_id AS doc_id, l.label, l.votes
+         FROM ($seedLabelSql) l
+         JOIN documents d ON l.qid = d.doc_id
+         WHERE l.label < 5
+         ORDER BY doc_id""",
 
     // ladder-served = hour-served = scan-built exactly — one oracle
     // with ts_trend_json_indexed / ts_trend_json
