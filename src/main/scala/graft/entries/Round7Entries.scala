@@ -719,36 +719,10 @@ object Round7Entries {
             AND epoch_ns(ts) < ${EntryUtil.ToNs}
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // the ACF replay: one bucket CTE, a lags VALUES table, the same
-    // double formula per (type, lag)
-    "ts_autocorr" ->
-      """WITH b AS (SELECT event_type AS k,
-               epoch_ns(ts) // 3600000000000 AS bk,
-               CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
-                   / count(*) / 1000.0) AS BIGINT) AS m
-             FROM events GROUP BY 1, 2),
-           lg(lag) AS (VALUES (1), (24), (168)),
-           p AS (SELECT l.k AS key, lg.lag, l.m AS x, r.m AS y
-             FROM b l JOIN lg ON true
-                  JOIN b r ON l.k = r.k AND l.bk = r.bk - lg.lag),
-           mo AS (SELECT key, lag, count(*) AS n,
-               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-               sum(x * x) AS sxx, sum(y * y) AS syy
-             FROM p GROUP BY 1, 2),
-           md AS (SELECT key, lag, n,
-               CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-               CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-               CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
-             FROM mo)
-         SELECT key, CAST(lag AS BIGINT) AS lag,
-           CAST(n AS BIGINT) AS n_buckets,
-           round(CASE WHEN sqrt(nd * sxxd - sxd * sxd) *
-                           sqrt(nd * syyd - syd * syd) > 0
-                 THEN (nd * sxyd - sxd * syd) /
-                      (sqrt(nd * sxxd - sxd * sxd) *
-                       sqrt(nd * syyd - syd * syd))
-                 END, 6) AS corr
-         FROM md ORDER BY key, lag""",
+    // the ACF replay — the ONE generator (Round9Entries.autocorrSql):
+    // all types, unranged like the library entry, library key name
+    "ts_autocorr" -> Round9Entries.autocorrSql(Nil, Seq(1, 24, 168),
+      ranged = false, keyName = "key"),
 
     // the statement's day-lag form over the same range
     "ts_corr_json_lagged" -> corrSql(24,

@@ -185,10 +185,10 @@ object Round9Entries {
     // stream_corr machinery pointed at periodicity): the sink's
     // integer ingredients reduce through the SAME mean formula and lag
     // machinery as the batch scan, so the streamed ACF equals the
-    // batch bit-for-bit — one oracle. Unlike correlate, the lag join
-    // WOULD pair a sentinel bucket with real history (sentinel_b − lag
-    // lands on the last real bucket), so the watermark push rides a
-    // fake series name that is filtered from the served sink
+    // batch bit-for-bit — one oracle. The sentinel only pushes the
+    // watermark: its own far-future bucket never finalizes and stays
+    // out of the sink (the runStreamEntry contract), so nothing can
+    // pair with real history through the lag join
     "stream_autocorr" -> ((s, dir) => {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(String, Long, Double)]
@@ -199,10 +199,9 @@ object Round9Entries {
         chunks = 4, cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.bucketMeansBuild(_, hourNs,
           "10 minutes"),
-        sentinel = Some(("__wm", maxTs + 86400000000000L, 0.0)))
+        sentinel = Some((rows.head._1, maxTs + 86400000000000L, 0.0)))
       graft.ops.Stats.autocorrFromBucketMeans(
-          graft.ops.Stats.meansFromSums(
-            sink.where(col("name") =!= "__wm"), "name"),
+          graft.ops.Stats.meansFromSums(sink, "name"),
           "name", lags = Seq(1L, 24L))
         .select(col("name").as("metric"), col("lag"),
           col("n_buckets"), col("corr"))
@@ -251,7 +250,11 @@ object Round9Entries {
          SELECT qid, label, CAST(votes AS BIGINT) AS votes
          FROM p WHERE r = 1 ORDER BY qid"""
 
-  val oracle: Map[String, String] = Map(
+  // lazy: Round7's oracle map reaches back here for autocorrSql at its
+  // own class init, while THIS map reaches forward into Round8 (whose
+  // init reads Round7.oracle) — an eager val would close that cycle
+  // into a null map at JVM clinit time
+  lazy val oracle: Map[String, String] = Map(
 
     // the shared probe chain's neighbor cut + the vote replaying
     // emb_knn_label's (votes desc, label asc) rule
@@ -370,41 +373,47 @@ object Round9Entries {
            ON b.qid = a.qid AND b.id = a.id
          GROUP BY b.qid ORDER BY b.qid""")
 
-  /** ONE statement-form ACF mirror generator (the corrSql pattern):
-    * one bucket CTE (identical milli-quantized hourly means), a lags
-    * VALUES table, the shared double formula per (metric, lag) — the
-    * ts_autocorr replay with the statement's key name; `ranged = false`
-    * is the stream-entry convention (unranged like the feed). */
-  private def autocorrSql(types: Seq[String], lags: Seq[Int],
-      ranged: Boolean = true): String = {
-    val in = types.map(t => s"'$t'").mkString(", ")
+  /** THE ACF mirror generator (the corrSql pattern — one arithmetic
+    * mirror, never hand-copied): one bucket CTE (identical
+    * milli-quantized hourly means), a lags VALUES table, the shared
+    * double formula per (key, lag). `types` empty = all event types;
+    * `ranged = false` is the stream/library-entry convention (unranged
+    * like the feed); `keyName` names the output key column (the
+    * library op emits `key`, the statement emits `metric`). The
+    * ts_autocorr library mirror (Round7Entries) derives from here
+    * too. */
+  private[entries] def autocorrSql(types: Seq[String], lags: Seq[Int],
+      ranged: Boolean = true, keyName: String = "metric"): String = {
+    val typePred = if (types.isEmpty) ""
+      else s"event_type IN (${types.map(t => s"'$t'").mkString(", ")})"
     val rangePred = if (ranged)
-      s"""AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+      s"""epoch_ns(ts) >= ${EntryUtil.FromNs}
              AND epoch_ns(ts) < ${EntryUtil.ToNs}"""
     else ""
+    val preds = Seq(typePred, rangePred).filter(_.nonEmpty)
+    val where = if (preds.isEmpty) "" else preds.mkString("WHERE ", "\n             AND ", "")
     val lagRows = lags.map(l => s"($l)").mkString(", ")
     s"""WITH b AS (SELECT event_type AS k,
              epoch_ns(ts) // 3600000000000 AS bk,
              CAST(round(sum(CAST(round(value * 1000000.0) AS BIGINT))
                  / count(*) / 1000.0) AS BIGINT) AS m
            FROM events
-           WHERE event_type IN ($in)
-             $rangePred
+           $where
            GROUP BY 1, 2),
          lg(lag) AS (VALUES $lagRows),
-         p AS (SELECT l.k AS metric, lg.lag, l.m AS x, r.m AS y
+         p AS (SELECT l.k AS $keyName, lg.lag, l.m AS x, r.m AS y
            FROM b l JOIN lg ON true
                 JOIN b r ON l.k = r.k AND l.bk = r.bk - lg.lag),
-         mo AS (SELECT metric, lag, count(*) AS n,
+         mo AS (SELECT $keyName, lag, count(*) AS n,
              sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
              sum(x * x) AS sxx, sum(y * y) AS syy
            FROM p GROUP BY 1, 2),
-         md AS (SELECT metric, lag, n,
+         md AS (SELECT $keyName, lag, n,
              CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
              CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
              CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
            FROM mo)
-       SELECT metric, CAST(lag AS BIGINT) AS lag,
+       SELECT $keyName, CAST(lag AS BIGINT) AS lag,
          CAST(n AS BIGINT) AS n_buckets,
          round(CASE WHEN sqrt(nd * sxxd - sxd * sxd) *
                          sqrt(nd * syyd - syd * syd) > 0
@@ -412,6 +421,6 @@ object Round9Entries {
                     (sqrt(nd * sxxd - sxd * sxd) *
                      sqrt(nd * syyd - syd * syd))
                END, 6) AS corr
-       FROM md ORDER BY metric, lag"""
+       FROM md ORDER BY $keyName, lag"""
   }
 }

@@ -239,6 +239,34 @@ object Multimodal {
       }
   }
 
+  /** Pixel ceiling for [[boundedDecode]] (8192×8192): above it a raster
+    * allocation is a decode bomb, not training data. */
+  val MaxDecodePixels: Long = 8192L * 8192L
+
+  /** Header-first decode: geometry is read WITHOUT allocating pixels,
+    * oversized or unrecognized blobs yield None, and only then does the
+    * full raster decode run — the guard that keeps a malicious header
+    * from OOM-killing a task (an Error, which no Exception catch
+    * stops). */
+  private def boundedDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (iis == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val (w, h) = (r.getWidth(0), r.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+
   final case class ImageFeatureRow(id: Long, decoded: Boolean,
       features: Seq[Double])
 
@@ -257,7 +285,15 @@ object Multimodal {
     *
     * Scale shape: one codec setup per partition, rows streamed; output
     * is grid² doubles per blob regardless of resolution — the fixed-
-    * width index row a 100 TB media corpus persists next to its bytes. */
+    * width index row a 100 TB media corpus persists next to its bytes.
+    *
+    * Decode-bomb guard: the header is read FIRST (no pixel
+    * allocation) and blobs declaring more than [[MaxDecodePixels]]
+    * pixels take the fallback — a few-hundred-byte file claiming
+    * 60000×60000 would otherwise make ImageIO allocate a multi-GB
+    * raster and throw an OutOfMemoryError past any Exception guard,
+    * killing the task instead of degrading the row. An arbitrary
+    * corpus is exactly where such blobs occur. */
   def imageFeatures(df: DataFrame, idCol: String, binCol: String,
       grid: Int = 8): DataFrame = {
     require(grid > 0, "grid must be positive")
@@ -268,10 +304,7 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img =
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: Exception => None }
+          val img = boundedDecode(bytes)
           img match {
             case None =>
               val acc = new Array[Double](dim)
