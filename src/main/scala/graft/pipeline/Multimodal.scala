@@ -43,18 +43,17 @@ object Multimodal {
     MediaMeta(id, w, h, 3, w.toLong * h * 3, decoded = false)
   }
 
-  /** Real image decode via the JDK's ImageIO registry. Returns None when
-    * no installed reader recognizes the bytes (ImageIO.read → null) or
-    * the reader throws on a truncated/corrupt stream. */
+  /** Real image decode via the JDK's ImageIO registry — header-first
+    * and dimension-bounded ([[boundedDecode]]). Returns None when no
+    * installed reader recognizes the bytes, the reader throws on a
+    * truncated/corrupt stream, or the header declares a decode-bomb
+    * raster. */
   private def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
-    try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
-          val channels = img.getColorModel.getNumComponents
-          MediaMeta(id, img.getWidth, img.getHeight, channels,
-            img.getWidth.toLong * img.getHeight * channels, decoded = true)
-        }
-    } catch { case _: Exception => None }
+    boundedDecode(bytes).map { img =>
+      val channels = img.getColorModel.getNumComponents
+      MediaMeta(id, img.getWidth, img.getHeight, channels,
+        img.getWidth.toLong * img.getHeight * channels, decoded = true)
+    }
 
   /** Decode a binary column into media metadata, one codec setup per
     * partition. Input: (id: Long, bytes: binary). */
@@ -211,11 +210,9 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
-          val img =
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: Exception => None }
-          img match {
+          // header-first + dimension-bounded: a decode-bomb header must
+          // take the pass-through, not OOM the task
+          boundedDecode(bytes) match {
             case None => ResizedImage(id, 0, 0, decoded = false, bytes)
             case Some(src) =>
               val s = math.min(1.0,
