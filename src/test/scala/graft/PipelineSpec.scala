@@ -479,6 +479,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!dec2 && feats2.size === 4 && feats2.sum > 0)
   }
 
+  test("decode bomb: a 60000x60000 header takes the fallback, never a raster allocation") {
+    // a VALID 54-byte BMP header declaring a 60000x60000 24bpp raster
+    // (~10.8 GB decoded) with no pixel data: ImageIO recognizes it and
+    // would try the allocation — the header-first dimension gate must
+    // route it to the fallback instead of an OutOfMemoryError
+    val b = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+      .putInt(54).putInt(0).putInt(54) // file size, reserved, data offset
+      .putInt(40).putInt(60000).putInt(60000) // info size, w, h
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    val bomb = b.array()
+    val df = Seq((1L, bomb)).toDF("id", "bytes")
+    val feat = Multimodal.imageFeatures(df, "id", "bytes", grid = 2)
+      .select("decoded").as[Boolean].head()
+    assert(!feat, "decode bomb must take the byte-fold fallback")
+    val rz = Multimodal.resizePixels(df, "id", "bytes", maxSide = 16)
+      .collect().head
+    assert(!rz.decoded && rz.bytes.sameElements(bomb),
+      "decode bomb must pass through byte-identical")
+    val meta = Multimodal.decodeBinary(df, "id", "bytes").collect().head
+    assert(!meta.decoded, "decode bomb must take the metadata fallback")
+  }
+
   test("pixel resize is REAL: output bytes re-decode at the target geometry") {
     import java.awt.image.BufferedImage._
     val png = imageBytes(37, 23, TYPE_INT_RGB, "png")
