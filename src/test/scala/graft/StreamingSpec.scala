@@ -392,6 +392,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "trend served from the recovered sink must equal the batch trend")
   }
 
+  test("histBuild: kill mid-window, restart from checkpoint — the recovered sink serves quantiles batch-exactly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val s = 1000000000L; val win = 10 * s
+    // two series with real value spread; the split at row 110 kills the
+    // query with window [50 s, 60 s) OPEN — its partial bucket counts
+    // recover from the checkpoint, not from reprocessing file A
+    val all = (0 until 120).flatMap { i =>
+      val t = i.toLong * s
+      Seq(("x", t, (i * 37 % 100) / 7.0), ("y", t, 2 * i / 7.0 + 3.0))
+    }
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (n, ts, v) => s"$n,$ts,$v" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .selectExpr("split(value, ',')[0] AS name",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+      TsdbStream.histBuild(parsed, win, "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    writeLines("a.txt", all.take(110))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeLines("b.txt", all.drop(110) :+ (("x", 1000L * s, 0.0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    // the sentinel's own window never finalizes: the recovered sink IS
+    // the batch histogram, bit-for-bit
+    val sink = spark.read.parquet(out)
+    val batchHist = graft.ops.HistQuantiles.histogram(
+      all.toDF("name", "ts", "value")
+        .withColumn("win", col("ts") - pmod(col("ts"), lit(win))),
+      Seq("name", "win"))
+    assert(sink.select("name", "win", "lo", "cnt")
+      .as[(String, Long, Long, Long)].collect().toSet ===
+      batchHist.as[(String, Long, Long, Long)].collect().toSet,
+      "restarted sink must equal the batch histogram exactly")
+    // and the percentile readout served from it equals the batch one
+    val served = graft.ops.HistQuantiles.quantiles(
+        sink, Seq("name"), Seq("0.5", "0.99"))
+      .orderBy("name", "p").collect().toSeq
+    val batch = graft.ops.HistQuantiles.quantiles(
+        batchHist, Seq("name"), Seq("0.5", "0.99"))
+      .orderBy("name", "p").collect().toSeq
+    assert(served === batch,
+      "quantiles served from the recovered sink must equal the batch index")
+  }
+
   test("curation ops run unchanged on a document stream (stream-static broadcast)") {
     // contamination joins a STATIC broadcast benchmark against a STREAMING
     // corpus; sampling/splits are stateless filters/projections — the same
