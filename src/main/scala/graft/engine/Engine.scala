@@ -114,6 +114,15 @@ final class Engine(val ctx: TsdbContext) {
     require(missing.isEmpty,
       s"registered mad index ([${reg.fromNs}, ${reg.toNs})) lacks column(s): ${missing.mkString(", ")}")
   }
+  ctx.gapIndexes.foreach { reg =>
+    require(reg.fromNs < reg.toNs,
+      s"registered gap index range must be non-empty (got [${reg.fromNs}, ${reg.toNs}))")
+    require(reg.factor > 0,
+      s"registered gap index factor must be positive (got ${reg.factor})")
+    val missing = Seq("name", "thr").filterNot(reg.index.columns.contains)
+    require(missing.isEmpty,
+      s"registered gap index ([${reg.fromNs}, ${reg.toNs})) lacks column(s): ${missing.mkString(", ")}")
+  }
 
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
@@ -367,7 +376,21 @@ final class Engine(val ctx: TsdbContext) {
       case (Some(thr), _) =>
         graft.ops.Monitoring.gaps(s, thr, keyCol = "series")
       case (None, Some(f)) =>
-        graft.ops.Monitoring.gapsRelative(s, f, keyCol = "series")
+        // a REGISTERED cadence index whose (range, factor) match the
+        // statement's exactly serves the model pass: one ranged fact
+        // pass flagged against broadcast thresholds (mean spacings
+        // neither add nor restrict across ranges — exact match or
+        // abstain, the MadIndexDef rule)
+        (if (q.range.forward)
+          ctx.gapIndexes.collectFirst {
+            case d if d.fromNs == q.range.from && d.toNs == q.range.to &&
+                d.factor == f =>
+              graft.ops.Monitoring.gapsRelativeWith(s,
+                d.index.select(col("name").as("series"), col("thr")),
+                "series")
+          }
+        else None)
+          .getOrElse(graft.ops.Monitoring.gapsRelative(s, f, keyCol = "series"))
       case (None, None) =>
         // the parser enforces exactly-one; a hand-built AST must fail
         // at the same altitude, not as a NoSuchElementException

@@ -712,6 +712,33 @@ object EntryUtil {
           spark.read.parquet(s"$path/mad")))))
     })
 
+  private val gapEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine whose ctx REGISTERS a persisted gap-cadence index
+    * over the canonical range at factor 3
+    * ([[graft.ops.Monitoring.gapThresholdIndex]] of every series'
+    * ranged spacings, keyed by series NAME — one row per series,
+    * broadcast-sized): matching `gaps` factor statements skip the
+    * cadence-model aggregation and flag the one ranged fact pass
+    * against the parquet thresholds — identical intervals (one oracle
+    * with ts_gaps_json_factor), plan-pinned. */
+  def engineGapFor(spark: SparkSession, dir: String): Engine =
+    gapEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val path = scratchDir("graft_gap_engine")
+      graft.ops.Monitoring.gapThresholdIndex(
+          ctx.samples.where(col("ts") >= FromNs && col("ts") < ToNs)
+            .join(ctx.series.select(col("series_id"), col("name")),
+              "series_id")
+            .select(col("name"), col("ts"), col("value")),
+          factor = 3.0, keyCol = "name")
+        .write.parquet(s"$path/gapthr")
+      new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),
+        gapIndexes = Seq(graft.model.GapIndexDef(FromNs, ToNs, 3.0,
+          spark.read.parquet(s"$path/gapthr")))))
+    })
+
   private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

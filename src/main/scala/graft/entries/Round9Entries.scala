@@ -103,6 +103,18 @@ object Round9Entries {
         s"""{"anomaly": {"metric": "purchase", "c": 3.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the gaps factor statement SERVED from a REGISTERED gap-cadence
+    // index (Monitoring.gapThresholdIndex persisted over the canonical
+    // range at factor 3 — the MadIndexDef pattern for the adaptive gap
+    // rule): the matching statement skips the cadence-model
+    // aggregation and flags one ranged fact pass against the broadcast
+    // parquet thresholds; identical intervals (one oracle with
+    // ts_gaps_json_factor), plan-pinned
+    "ts_gaps_factor_indexed" -> ((s, dir) =>
+      EntryUtil.engineGapFor(s, dir).execute(
+        s"""{"gaps": {"metric": "click", "factor": 3.0},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the autocorr STATEMENT (the ts_autocorr library op promoted to
     // the query language): per-metric ACF of hourly bucket means at
     // 1h/1d/7d lags — the periodicity readout that justifies a
@@ -305,6 +317,11 @@ object Round9Entries {
           FROM (SELECT user FROM b EXCEPT SELECT user FROM a)
           ORDER BY cohort, user"""
     },
+
+    // index-served = scan-modeled exactly — one replay with
+    // ts_gaps_json_factor (lazy map: Round8's oracle val is
+    // initialized by access time)
+    "ts_gaps_factor_indexed" -> Round8Entries.oracle("ts_gaps_json_factor"),
 
     // index-served = scan-fit exactly — one replay with ts_anomaly_json
     "ts_anomaly_json_indexed" -> Round6bEntries.anomalySql(

@@ -67,6 +67,16 @@ final case class KmvIndexDef(tag: String, windowNs: Long, k: Int,
   * and only statements over that range serve from it. */
 final case class MadIndexDef(fromNs: Long, toNs: Long, index: DataFrame)
 
+/** One registered gap-cadence index: `index` holds (name, thr) rows —
+  * per series name `factor` × its mean sample spacing over EXACTLY
+  * [`fromNs`, `toNs`) ([[graft.ops.Monitoring.gapThresholdIndex]] over
+  * the ranged samples joined to the catalog, thresholds in ns). Mean
+  * spacings neither add nor restrict across ranges, so the serving
+  * contract is exact (range, factor) match — the [[MadIndexDef]] rule
+  * for the adaptive gap statement. */
+final case class GapIndexDef(fromNs: Long, toNs: Long, factor: Double,
+    index: DataFrame)
+
 /** The engine's handle on one "database": catalog + fact tables +
   * optional materialized rollups (fine-step → accumulator DataFrame, see
   * [[graft.engine.Rollup]]) that group-aggregate queries use instead of
@@ -106,7 +116,14 @@ final case class TsdbContext(
       * the broadcast index rows instead (one fact pass, no
       * percentile aggregation; identical flags — the index stores
       * the same 6dp statistics the scan path fits). */
-    madIndexes: Seq[MadIndexDef] = Nil) {
+    madIndexes: Seq[MadIndexDef] = Nil,
+    /** optional materialized gap-cadence indexes ([[GapIndexDef]]):
+      * `gaps` statements with a `factor` whose range AND factor match
+      * a registered index exactly skip the cadence-model aggregation
+      * pass and flag the one ranged fact pass against the broadcast
+      * thresholds — identical intervals (the model stores the same
+      * thresholds the scan path derives). */
+    gapIndexes: Seq[GapIndexDef] = Nil) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

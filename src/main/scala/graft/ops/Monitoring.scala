@@ -179,13 +179,23 @@ object Monitoring {
     * the only double op, computed from the same integers on any
     * mirror). */
   def gapsRelative(samples: DataFrame, factor: Double = 3.0,
+      keyCol: String = "series_id"): DataFrame =
+    gapsRelativeWith(samples, gapThresholdIndex(samples, factor, keyCol),
+      keyCol)
+
+  /** The flag half of [[gapsRelative]] against a PREBUILT cadence
+    * index ((keyCol, thr) rows — [[gapThresholdIndex]] persisted, or
+    * the engine's registered [[graft.model.GapIndexDef]]): one lag
+    * window over one fact pass, thresholds broadcast. Series absent
+    * from the index drop out (inner join): no cadence model, no
+    * judgement — the [[madAnomaliesWith]] contract for gaps. */
+  def gapsRelativeWith(samples: DataFrame, index: DataFrame,
       keyCol: String = "series_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy("ts", "value")
-    val stats = gapThresholdIndex(samples, factor, keyCol)
     samples
       .withColumn("__prev", lag(col("ts"), 1).over(w))
-      .join(broadcast(stats), Seq(keyCol))
+      .join(broadcast(index), Seq(keyCol))
       .where(col("__prev").isNotNull &&
         (col("ts") - col("__prev")).cast("double") > col("thr"))
       .select(col(keyCol), col("__prev").as("gap_start"),

@@ -1307,6 +1307,50 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "a non-matching range must fall back to the scan fit")
   }
 
+  test("gaps factor serves from the registered cadence index: one fact pass, no model aggregation") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_gapidx").toString
+    ctx.samples.write.parquet(s"$dir/samples")
+    ctx.series.write.parquet(s"$dir/series")
+    ctx.samples.limit(0)
+      .selectExpr("series_id", "ts", "CAST(value AS STRING) AS body")
+      .write.parquet(s"$dir/events")
+    val base = graft.model.TsdbContext(spark,
+      spark.read.parquet(s"$dir/series"),
+      spark.read.parquet(s"$dir/samples"),
+      spark.read.parquet(s"$dir/events"))
+    graft.ops.Monitoring.gapThresholdIndex(
+        base.samples.where(col("ts") >= 100L && col("ts") < 300L)
+          .join(base.series.select(col("series_id"), col("name")), "series_id")
+          .select(col("name"), col("ts")),
+        factor = 2.0, keyCol = "name")
+      .write.parquet(s"$dir/gapthr")
+    val eng = new Engine(base.copy(gapIndexes = Seq(
+      graft.model.GapIndexDef(100L, 300L, 2.0,
+        spark.read.parquet(s"$dir/gapthr")))))
+    val q = """{"gaps": {"metric": "test", "factor": 2.0},
+               "range": {"from": 100, "to": 300}}"""
+    val served = eng.execute(q)
+    val dirs = plan(served)
+      .collect { case f: FileSourceScanExec => f.metadata("Location") }
+    assert(dirs.exists(_.contains("/gapthr")),
+      s"matching gaps statement must read the cadence index: $dirs")
+    assert(dirs.count(_.contains("/samples")) === 1,
+      s"served gaps flags the facts in ONE pass: $dirs")
+    assert(served.collect().toSeq ===
+      new Engine(base).execute(q).collect().toSeq,
+      "serving changes the plan, never the intervals")
+    // a different factor (or range) abstains: mean spacings neither
+    // add nor restrict
+    val mis = eng.execute(
+      """{"gaps": {"metric": "test", "factor": 3.0},
+         "range": {"from": 100, "to": 300}}""")
+    assert(!plan(mis).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/gapthr")),
+      "a non-matching factor must fall back to the scan model")
+  }
+
   test("malformed registered indexes fail loudly at engine construction") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val hist = graft.ops.HistQuantiles.histogram(
@@ -1364,6 +1408,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       new Engine(ctx.copy(madIndexes = Seq(
         graft.model.MadIndexDef(100L, 300L, mad.drop("mad"))))))
+    // and gap-cadence registrations
+    val gap = ctx.samples.limit(0)
+      .select(c("series_id").cast("string").as("name"),
+        c("value").as("thr"))
+    new Engine(ctx.copy(gapIndexes = Seq(
+      graft.model.GapIndexDef(100L, 300L, 3.0, gap))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(gapIndexes = Seq(
+        graft.model.GapIndexDef(300L, 100L, 3.0, gap)))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(gapIndexes = Seq(
+        graft.model.GapIndexDef(100L, 300L, 0.0, gap)))))
+    intercept[IllegalArgumentException](
+      new Engine(ctx.copy(gapIndexes = Seq(
+        graft.model.GapIndexDef(100L, 300L, 3.0, gap.drop("thr"))))))
   }
 
   test("corr matrix: facts reduce to bucket means before anything pairs") {
