@@ -380,17 +380,19 @@ final class Engine(val ctx: TsdbContext) {
         // statement's exactly serves the model pass: one ranged fact
         // pass flagged against broadcast thresholds (mean spacings
         // neither add nor restrict across ranges — exact match or
-        // abstain, the MadIndexDef rule)
-        (if (q.range.forward)
-          ctx.gapIndexes.collectFirst {
-            case d if d.fromNs == q.range.from && d.toNs == q.range.to &&
-                d.factor == f =>
-              graft.ops.Monitoring.gapsRelativeWith(s,
-                d.index.select(col("name").as("series"), col("thr")),
-                "series")
-          }
-        else None)
-          .getOrElse(graft.ops.Monitoring.gapsRelative(s, f, keyCol = "series"))
+        // abstain, the MadIndexDef rule; same serving idiom as anomaly)
+        val served: Option[DataFrame] =
+          if (q.range.forward)
+            ctx.gapIndexes.collectFirst {
+              case d if d.fromNs == q.range.from && d.toNs == q.range.to &&
+                  d.factor == f =>
+                graft.ops.Monitoring.gapsRelativeWith(s,
+                  d.index.select(col("name").as("series"), col("thr")),
+                  "series")
+            }
+          else None
+        served.getOrElse(
+          graft.ops.Monitoring.gapsRelative(s, f, keyCol = "series"))
       case (None, None) =>
         // the parser enforces exactly-one; a hand-built AST must fail
         // at the same altitude, not as a NoSuchElementException

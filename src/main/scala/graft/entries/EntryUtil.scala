@@ -731,7 +731,7 @@ object EntryUtil {
           ctx.samples.where(col("ts") >= FromNs && col("ts") < ToNs)
             .join(ctx.series.select(col("series_id"), col("name")),
               "series_id")
-            .select(col("name"), col("ts"), col("value")),
+            .select(col("name"), col("ts")),
           factor = 3.0, keyCol = "name")
         .write.parquet(s"$path/gapthr")
       new Engine(ctx.copy(series = cachedSeries(spark, dir, ctx.series),

@@ -43,17 +43,36 @@ object Multimodal {
     MediaMeta(id, w, h, 3, w.toLong * h * 3, decoded = false)
   }
 
-  /** Real image decode via the JDK's ImageIO registry — header-first
-    * and dimension-bounded ([[boundedDecode]]). Returns None when no
-    * installed reader recognizes the bytes, the reader throws on a
-    * truncated/corrupt stream, or the header declares a decode-bomb
-    * raster. */
+  /** Real image METADATA via the JDK's ImageIO registry — header-only:
+    * geometry and channel count come from the reader's header and
+    * declared image type with NO raster allocation, so a 12000×8000
+    * image reports its true geometry (the metadata path needs no
+    * decode-bomb ceiling — there is nothing to bomb) and a malicious
+    * header costs nothing. Returns None when no installed reader
+    * recognizes the bytes or the header is corrupt. */
   private def decodeImage(id: Long, bytes: Array[Byte]): Option[MediaMeta] =
-    boundedDecode(bytes).map { img =>
-      val channels = img.getColorModel.getNumComponents
-      MediaMeta(id, img.getWidth, img.getHeight, channels,
-        img.getWidth.toLong * img.getHeight * channels, decoded = true)
-    }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (iis == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val (w, h) = (r.getWidth(0), r.getHeight(0))
+            val types = r.getImageTypes(0)
+            if (w <= 0 || h <= 0 || types == null || !types.hasNext) None
+            else {
+              val channels = types.next().getColorModel.getNumComponents
+              Some(MediaMeta(id, w, h, channels,
+                w.toLong * h * channels, decoded = true))
+            }
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
 
   /** Decode a binary column into media metadata, one codec setup per
     * partition. Input: (id: Long, bytes: binary). */
