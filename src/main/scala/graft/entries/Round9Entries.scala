@@ -176,6 +176,21 @@ object Round9Entries {
         .orderBy("doc_id")
     }),
 
+    // hard-negative mining for contrastive training pairs: per query,
+    // the 3 most similar embeddings inside the cosine band [0.2, 0.5)
+    // — informative negatives above random, below the near-dup cut
+    // (the emb_dup_pairs threshold region). knnBrute's plan with a
+    // rounded-band cut before the top-k
+    "emb_hard_negatives" -> ((s, dir) => {
+      val emb = EntryUtil.repartitioned(s, dir, "embeddings")
+      graft.pipeline.Similarity.hardNegatives(
+          emb.select(col("vec_id").as("id"), col("embedding")),
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          k = 3, loCos = 0.2, hiCos = 0.5)
+        .orderBy("qid", "rank")
+    }),
+
     // embedding-distribution drift, localized per IVF cell (the
     // ingest-drift monitor pointed at embedding space): every 5th
     // embedding plays the incoming batch and each codebook cell
@@ -341,6 +356,22 @@ object Round9Entries {
     // stream-mirror convention), restricted to the two fed types
     "stream_autocorr" ->
       autocorrSql(Seq("click", "view"), Seq(1, 24), ranged = false),
+
+    // the brute scoring replay with the band cut on the ROUNDED cosine
+    // before the rank — the knn_brute mirror's shape, banded
+    "emb_hard_negatives" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+           q AS (SELECT id AS qid, v AS qv FROM e WHERE id < 10),
+           sc AS (SELECT qid, e.id,
+               round(list_cosine_similarity(qv, e.v), 6) AS cos
+             FROM q JOIN e ON e.id != q.qid),
+           b AS (SELECT qid, id, cos,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, id) AS rank
+             FROM sc WHERE cos >= 0.2 AND cos < 0.5)
+         SELECT qid, id, CAST(rank AS INT) AS rank, cos
+         FROM b WHERE rank <= 3 ORDER BY qid, rank""",
 
     // shared kmeans CTEs assign both populations; counts are exact
     // integers and each share/delta is one raw-ratio op sequence

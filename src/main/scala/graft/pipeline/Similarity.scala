@@ -396,6 +396,31 @@ object Similarity {
       .select(col("cell"), col("rank"), col("id"))
   }
 
+  /** Hard-negative mining for contrastive training data: per query,
+    * the `k` MOST similar corpus vectors inside a cosine band
+    * [`loCos`, `hiCos`) — similar enough to be informative negatives,
+    * below the near-duplicate cut so they aren't false negatives (the
+    * ANCE/contrastive-curriculum selection rule: random negatives are
+    * too easy, near-dups are secretly positives; the band is where the
+    * training signal lives). Same scoring, broadcast orientation and
+    * (cos desc, id asc) tie rules as [[knnBrute]], with the band
+    * applied to the 6dp-ROUNDED cosine BEFORE the top-k so the cut
+    * replays cross-engine (the round-before-compare playbook rule).
+    * Output: (qid, id, rank, cos) with cos rounded. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      loCos: Double, hiCos: Double,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    require(loCos < hiCos, "need loCos < hiCos")
+    val c = corpus.select(col(idCol).as("id"), col(embCol).as("ce"))
+    val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
+    val scored = c.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+      .where(col("cos") >= loCos && col("cos") < hiCos)
+    topK(scored, k)
+  }
+
   /** Embedding-distribution drift between a new BATCH and the settled
     * CORPUS, localized per IVF cell — [[graft.pipeline.TextOps]]'
     * ingest-drift monitor pointed at embedding space: assign both

@@ -720,6 +720,22 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((10L, 7, 2L), (11L, 9, 1L)))
   }
 
+  test("hardNegatives: band excludes dups and dissimilar, top-k ranks inside it") {
+    // query +x; corpus at known cosines: 1.0 (a near-dup — excluded
+    // above the band), ~0.45 and ~0.30 (informative negatives, kept in
+    // rank order), ~0.10 (too easy — excluded below)
+    def at(c: Double) = Array(c.toFloat, math.sqrt(1 - c * c).toFloat)
+    val corpus = Seq((1L, at(1.0)), (2L, at(0.45)), (3L, at(0.30)),
+      (4L, at(0.10))).toDF("id", "embedding")
+    val qs = Seq((10L, Array(1.0f, 0.0f))).toDF("qid", "embedding")
+    val out = graft.pipeline.Similarity.hardNegatives(
+        corpus, qs, k = 2, loCos = 0.2, hiCos = 0.5)
+      .orderBy("rank").select("id", "rank", "cos")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(2L, 3L), s"band + rank order: $out")
+    assert(out.forall { case (_, _, c) => c >= 0.2 && c < 0.5 })
+  }
+
   test("cellDrift: per-cell share shift between batch and corpus, zeros kept") {
     // two far-apart centers; corpus = 8 points near cell 0 + 2 near
     // cell 1; the batch over-samples cell 1 (1 of cell 0, both of
