@@ -51,24 +51,10 @@ object PipelineEntries {
     // content-hash splits alone cannot co-locate — they differ by a byte)
     // can never straddle train/test. The leakage guard a real pipeline
     // composes from dedup + splits.
-    "docs_group_safe_splits" -> ((s, dir) => {
-      val d = rp(s, dir, "documents")
-      val groups = Dedup.dedupGroups(
-        Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.8,
-          maxShingleFreq = Some(20)))
-      val rep = d.join(groups.withColumnRenamed("id", "doc_id"),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("group_id"), col("doc_id")).as("rep"))
-      val repText = d.select(col("doc_id").as("rep"),
-        col("text").as("rep_text"))
-      graft.pipeline.TextOps.assignSplits(
-          rep.join(repText, "rep"), "doc_id", "rep_text")
-        .select(col("id").as("doc_id"), col("split"))
-        .join(rep, "doc_id")
+    "docs_group_safe_splits" -> ((s, dir) =>
+      groupSafeSplitsFor(s, dir)._2
         .select(col("doc_id"), col("rep"), col("split"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // the full curation funnel composed from the library's own operators:
     // quality gate -> exact dedup -> near-dup groups -> keep set. Every
@@ -307,6 +293,70 @@ object PipelineEntries {
   /** hash60 in DuckDB. */
   private def h60(s: String): String = EntryUtil.h60Sql(s)
 
+  /** The near-dup pairs + GROUP-SAFE split assignment shared by
+    * docs_group_safe_splits and the leakage audit (one construction):
+    * every document takes the split of its near-dup group
+    * representative's content, so near-duplicates can never straddle
+    * train/test. Returns (pairs, splits(doc_id, rep, split)). */
+  private[entries] def groupSafeSplitsFor(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = rp(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3,
+      threshold = 0.8, maxShingleFreq = Some(20))
+    val groups = Dedup.dedupGroups(pairs)
+    val rep = d.join(groups.withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("rep"))
+    val repText = d.select(col("doc_id").as("rep"),
+      col("text").as("rep_text"))
+    val splits = graft.pipeline.TextOps.assignSplits(
+        rep.join(repText, "rep"), "doc_id", "rep_text")
+      .select(col("id").as("doc_id"), col("split"))
+      .join(rep, "doc_id")
+    (pairs, splits)
+  }
+
+  /** The jaccard-pair → reachability-group → representative CTE chain
+    * (defines `pairs(id_a, id_b)` and `rep(doc_id, rep)`) shared by the
+    * split mirrors (docs_group_safe_splits, the leakage audit) — embed
+    * inside a WITH RECURSIVE. */
+  private[entries] lazy val groupSafeCtes: String =
+    s"""$shinglesCte,
+         sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+         shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
+                 WHERE df <= 20),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+           FROM shp a JOIN shp b USING (g) WHERE a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+             JOIN sz sa ON sa.doc_id = id_a
+             JOIN sz sb ON sb.doc_id = id_b
+           WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         r(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+         grp AS (SELECT src AS id, least(src, min(dst)) AS group_id
+                 FROM r GROUP BY src),
+         rep AS (
+           SELECT d.doc_id, coalesce(grp.group_id, d.doc_id) AS rep
+           FROM documents d LEFT JOIN grp ON grp.id = d.doc_id)"""
+
+  /** The bucket → split CASE of [[graft.pipeline.TextOps.assignSplits]]
+    * at the default 10/10 percentages — one definition for every split
+    * mirror. */
+  private[entries] val splitCaseSql: String =
+    """CASE WHEN bucket < 10 THEN 'test'
+          WHEN bucket < 20 THEN 'val'
+          ELSE 'train' END"""
+
   /** The dim-4 byte-fold CTE `b` shared by every extractFeatures-family
     * mirror (mm_features, mm_features_proj, mm_image_features' fallback
     * contract): ASCII corpus, so byte i of encode(text) is
@@ -490,42 +540,15 @@ object PipelineEntries {
          FROM r GROUP BY src ORDER BY id""",
 
     // reachability groups -> representative's content hash -> split
+    // (the groupSafeCtes chain shared with the leakage audit)
     "docs_group_safe_splits" ->
-      s"""WITH RECURSIVE $shinglesCte,
-           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-           freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
-           shp AS (SELECT sh.doc_id, sh.g FROM sh JOIN freq USING (g)
-                   WHERE df <= 20),
-           inter AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-             FROM shp a JOIN shp b USING (g) WHERE a.doc_id < b.doc_id
-             GROUP BY 1, 2),
-           pairs AS (
-             SELECT id_a, id_b FROM inter
-               JOIN sz sa ON sa.doc_id = id_a
-               JOIN sz sb ON sb.doc_id = id_b
-             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
-           edges AS (
-             SELECT id_a AS src, id_b AS dst FROM pairs
-             UNION SELECT id_b, id_a FROM pairs),
-           r(src, dst) AS (
-             SELECT src, dst FROM edges
-             UNION
-             SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
-           grp AS (SELECT src AS id, least(src, min(dst)) AS group_id
-                   FROM r GROUP BY src),
-           rep AS (
-             SELECT d.doc_id, coalesce(grp.group_id, d.doc_id) AS rep
-             FROM documents d LEFT JOIN grp ON grp.id = d.doc_id),
+      s"""WITH RECURSIVE $groupSafeCtes,
            h AS (
              SELECT rep.doc_id, rep.rep,
                CAST(('0x' || substr(md5(rd.text), 1, 15)) AS BIGINT) % 100
                  AS bucket
              FROM rep JOIN documents rd ON rd.doc_id = rep.rep)
-         SELECT doc_id, rep,
-           CASE WHEN bucket < 10 THEN 'test'
-                WHEN bucket < 20 THEN 'val'
-                ELSE 'train' END AS split
+         SELECT doc_id, rep, $splitCaseSql AS split
          FROM h ORDER BY doc_id""",
 
     // full MinHash+LSH mirror: one base hash per shingle + 32 affine perms

@@ -176,6 +176,29 @@ object Round9Entries {
         .orderBy("doc_id")
     }),
 
+    // split-leakage AUDIT (the verification half of group-safe
+    // splitting): the matrix of near-dup pair counts per split
+    // combination, under the NAIVE per-doc content-hash assignment
+    // AND the group-safe one — off-diagonal cells are train/test
+    // leakage, zero by construction for the group-safe scheme. The
+    // number a release pipeline gates on, measured rather than assumed
+    "docs_split_leakage" -> ((s, dir) => {
+      val (pairs, safe) = PipelineEntries.groupSafeSplitsFor(s, dir)
+      // the pair spine feeds both matrices — scoped-cached like every
+      // multi-consumer dedup spine
+      val p = graft.pipeline.Dedup.scopedCache(pairs.select("id_a", "id_b"))
+      val naive = graft.pipeline.TextOps.assignSplits(
+        EntryUtil.repartitioned(s, dir, "documents"), "doc_id", "text")
+      def m(splits: org.apache.spark.sql.DataFrame, scheme: String) =
+        graft.pipeline.TextOps.splitLeakage(p, splits)
+          .select(lit(scheme).as("scheme"), col("split_a"),
+            col("split_b"), col("n_pairs"))
+      m(naive, "naive")
+        .unionByName(m(safe.select(col("doc_id").as("id"), col("split")),
+          "group_safe"))
+        .orderBy("scheme", "split_a", "split_b")
+    }),
+
     // hard-negative mining for contrastive training pairs: per query,
     // the 3 most similar embeddings inside the cosine band [0.2, 0.5)
     // — informative negatives above random, below the near-dup cut
@@ -356,6 +379,34 @@ object Round9Entries {
     // stream-mirror convention), restricted to the two fed types
     "stream_autocorr" ->
       autocorrSql(Seq("click", "view"), Seq(1, 24), ranged = false),
+
+    // the shared pair/group/rep chain feeds both split schemes; the
+    // matrix is two inner joins + a count per unordered combination
+    "docs_split_leakage" ->
+      s"""WITH RECURSIVE ${PipelineEntries.groupSafeCtes},
+           safeh AS (SELECT rep.doc_id,
+               ${EntryUtil.h60Sql("rd.text")} % 100 AS bucket
+             FROM rep JOIN documents rd ON rd.doc_id = rep.rep),
+           safes AS (SELECT doc_id,
+               ${PipelineEntries.splitCaseSql} AS split FROM safeh),
+           naiveh AS (SELECT doc_id,
+               ${EntryUtil.h60Sql("text")} % 100 AS bucket
+             FROM documents),
+           naives AS (SELECT doc_id,
+               ${PipelineEntries.splitCaseSql} AS split FROM naiveh),
+           m AS (
+             SELECT 'group_safe' AS scheme,
+               least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b
+             FROM pairs p JOIN safes sa ON sa.doc_id = p.id_a
+                          JOIN safes sb ON sb.doc_id = p.id_b
+             UNION ALL
+             SELECT 'naive',
+               least(na.split, nb.split), greatest(na.split, nb.split)
+             FROM pairs p JOIN naives na ON na.doc_id = p.id_a
+                          JOIN naives nb ON nb.doc_id = p.id_b)
+         SELECT scheme, split_a, split_b, count(*) AS n_pairs
+         FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     // the brute scoring replay with the band cut on the ROUNDED cosine
     // before the rank — the knn_brute mirror's shape, banded

@@ -307,6 +307,33 @@ object TextOps {
           .otherwise("train"))
   }
 
+  /** Split-leakage AUDIT: given a near-duplicate pair frame and a
+    * split assignment, the matrix of pair counts per unordered split
+    * combination — off-diagonal cells are train/test leakage (a
+    * near-dup pair straddling splits lets the model memorize its way
+    * to the eval score). The verification half of [[assignSplits]] +
+    * group-safe splitting: prevention assigns by group, this MEASURES
+    * what any assignment actually leaked, so a pipeline can gate a
+    * release on `n_pairs = 0` off the diagonal. Split names order
+    * lexicographically within a cell (split_a ≤ split_b — pairs are
+    * unordered). Pairs with a side missing from `splits` drop out
+    * (inner joins): no assignment, no judgement.
+    *
+    * Scale shape: two broadcast-able joins of the (small) split table
+    * onto the pair frame — pair-count-sized, never corpus-sized —
+    * and one tiny groupBy (≤ splits² rows out). */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b",
+      idCol: String = "id", splitCol: String = "split"): DataFrame =
+    pairs
+      .join(splits.select(col(idCol).as(idACol), col(splitCol).as("__sa")),
+        idACol)
+      .join(splits.select(col(idCol).as(idBCol), col(splitCol).as("__sb")),
+        idBCol)
+      .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+
   /** Hash-deterministic stratified sampling: keep a document iff
     * hash60(text) mod 1e6 < rate(stratum)·1e6. Per-stratum rates ride a
     * broadcast-joined table rather than a literal CASE chain — at corpus

@@ -720,6 +720,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((10L, 7, 2L), (11L, 9, 1L)))
   }
 
+  test("splitLeakage: off-diagonal counts cross-split pairs; group-safe reads zero") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    // a leaky assignment: pair (1,2) straddles train/test, (3,4)
+    // train/val; (5,6) co-located
+    val leaky = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "val"), (5L, "train"), (6L, "train")).toDF("id", "split")
+    val out = graft.pipeline.TextOps.splitLeakage(pairs, leaky)
+      .orderBy("split_a", "split_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("test", "train", 1L), ("train", "train", 1L),
+      ("train", "val", 1L)))
+    // the group-safe property: co-locate every pair -> one diagonal cell
+    val safe = Seq((1L, "train"), (2L, "train"), (3L, "val"),
+      (4L, "val"), (5L, "train"), (6L, "train")).toDF("id", "split")
+    val safeOut = graft.pipeline.TextOps.splitLeakage(pairs, safe)
+      .as[(String, String, Long)].collect().toSet
+    assert(safeOut === Set(("train", "train", 2L), ("val", "val", 1L)),
+      "no off-diagonal cells under a group-safe assignment")
+  }
+
   test("hardNegatives: band excludes dups and dissimilar, top-k ranks inside it") {
     // query +x; corpus at known cosines: 1.0 (a near-dup — excluded
     // above the band), ~0.45 and ~0.30 (informative negatives, kept in
