@@ -301,8 +301,12 @@ object PipelineEntries {
   private[entries] def groupSafeSplitsFor(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = rp(s, dir, "documents")
-    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3,
-      threshold = 0.8, maxShingleFreq = Some(20))
+    // scoped-cached: the pair spine feeds the group pass here AND both
+    // of the leakage audit's matrices — uncached it would re-run the
+    // shingle/posting machinery per consumer
+    val pairs = Dedup.scopedCache(
+      Dedup.jaccardPairs(d, "doc_id", "text", k = 3,
+        threshold = 0.8, maxShingleFreq = Some(20)))
     val groups = Dedup.dedupGroups(pairs)
     val rep = d.join(groups.withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left")

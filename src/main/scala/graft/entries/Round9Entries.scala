@@ -183,10 +183,10 @@ object Round9Entries {
     // leakage, zero by construction for the group-safe scheme. The
     // number a release pipeline gates on, measured rather than assumed
     "docs_split_leakage" -> ((s, dir) => {
+      // the pair spine is scoped-cached inside groupSafeSplitsFor —
+      // the group pass and both matrices share one jaccard run
       val (pairs, safe) = PipelineEntries.groupSafeSplitsFor(s, dir)
-      // the pair spine feeds both matrices — scoped-cached like every
-      // multi-consumer dedup spine
-      val p = graft.pipeline.Dedup.scopedCache(pairs.select("id_a", "id_b"))
+      val p = pairs.select("id_a", "id_b")
       val naive = graft.pipeline.TextOps.assignSplits(
         EntryUtil.repartitioned(s, dir, "documents"), "doc_id", "text")
       def m(splits: org.apache.spark.sql.DataFrame, scheme: String) =
