@@ -319,9 +319,12 @@ object TextOps {
     * unordered). Pairs with a side missing from `splits` drop out
     * (inner joins): no assignment, no judgement.
     *
-    * Scale shape: two broadcast-able joins of the (small) split table
-    * onto the pair frame — pair-count-sized, never corpus-sized —
-    * and one tiny groupBy (≤ splits² rows out). */
+    * Scale shape: the split table is one row per DOCUMENT (corpus-
+    * sized), so the two joins are ordinary key equi-joins of the pair
+    * frame against it — Catalyst broadcasts only while the split
+    * table fits the threshold; beyond that they shuffle on the pair
+    * ids, which is still pair-bounded work per join. The groupBy
+    * output is tiny (≤ splits² rows) either way. */
   def splitLeakage(pairs: DataFrame, splits: DataFrame,
       idACol: String = "id_a", idBCol: String = "id_b",
       idCol: String = "id", splitCol: String = "split"): DataFrame =
