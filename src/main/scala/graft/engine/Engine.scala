@@ -463,9 +463,20 @@ final class Engine(val ctx: TsdbContext) {
     * Output: (series, last_ts_us nullable). */
   def stale(q: StaleQuery): DataFrame = {
     val ids = resolvedIds(Seq(q.metric), q.where, None, location = q.location)
-    val last = scan(ids, q.range, Seq(q.metric))
-      .groupBy(col("out_name").as("series"))
-      .agg(max(col("ts")).as("__last"))
+    // a REGISTERED rollup serves the last-arrival scan under whole-bin
+    // alignment (the servedActive rule pointed at ts_max): per-series
+    // max over covered bins' ts_max accumulators IS the max raw ts in
+    // the range, so the heartbeat readout — an operational query run
+    // constantly — reads series × bins index rows, never raw samples.
+    // Misaligned or backward ranges abstain to the scan.
+    val last = eligibleActivityRollup(q.range, None)
+      .map(inRange => inRange
+        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .groupBy(col("out_name").as("series"))
+        .agg(max(col("ts_max")).as("__last")))
+      .getOrElse(scan(ids, q.range, Seq(q.metric))
+        .groupBy(col("out_name").as("series"))
+        .agg(max(col("ts")).as("__last")))
     ids.select(col("out_name").as("series"))
       .join(last, Seq("series"), "left_outer")
       .where(col("__last").isNull ||

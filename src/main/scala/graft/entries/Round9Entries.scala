@@ -103,6 +103,17 @@ object Round9Entries {
         s"""{"anomaly": {"metric": "purchase", "c": 3.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
 
+    // the stale statement SERVED from the registered rollup (the
+    // servedActive rule pointed at the ts_max accumulator): per-series
+    // max over covered bins' ts_max IS the max raw ts under whole-bin
+    // alignment, so the heartbeat readout — an operational query run
+    // constantly — reads series x bins index rows, never raw samples;
+    // same oracle as ts_stale_json, no-facts plan-pinned
+    "ts_stale_rollup" -> ((s, dir) =>
+      EntryUtil.engineRollupFor(s, dir).execute(
+        s"""{"stale": {"metric": "purchase", "older-than": "30d"},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
     // the gaps factor statement SERVED from a REGISTERED gap-cadence
     // index (Monitoring.gapThresholdIndex persisted over the canonical
     // range at factor 3 — the MadIndexDef pattern for the adaptive gap
@@ -360,6 +371,9 @@ object Round9Entries {
     // ts_gaps_json_factor (lazy map: Round8's oracle val is
     // initialized by access time)
     "ts_gaps_factor_indexed" -> Round8Entries.oracle("ts_gaps_json_factor"),
+
+    // rollup-served = scan exactly — one replay with ts_stale_json
+    "ts_stale_rollup" -> Round8Entries.oracle("ts_stale_json"),
 
     // index-served = scan-fit exactly — one replay with ts_anomaly_json
     "ts_anomaly_json_indexed" -> Round6bEntries.anomalySql(

@@ -1063,6 +1063,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan(mis).collect { case f: FileSourceScanExec => f }
       .exists(_.metadata("Location").contains("/samples")),
       "misaligned range must fall back to the scan")
+    // stale rides the same rollup under the same rule: per-series max
+    // over covered bins' ts_max accumulators == the scan's max raw ts
+    val qs = """{"stale": {"metric": "test", "older-than": "50"},
+                "range": {"from": 0, "to": 400}}"""
+    val staleServed = eng.execute(qs)
+    val sDirs = plan(staleServed)
+      .collect { case f: FileSourceScanExec => f.metadata("Location") }
+    assert(sDirs.exists(_.contains("/rollup")) &&
+      !sDirs.exists(_.contains("/samples")),
+      s"aligned stale must read last-arrivals from rollup bins: $sDirs")
+    assert(staleServed.collect().toSeq ===
+      new Engine(base).execute(qs).collect().toSeq,
+      "stale serving changes the plan, never the answer")
+    val staleMis = eng.execute(
+      """{"stale": {"metric": "test", "older-than": "50"},
+         "range": {"from": 50, "to": 400}}""")
+    assert(plan(staleMis).collect { case f: FileSourceScanExec => f }
+      .exists(_.metadata("Location").contains("/samples")),
+      "misaligned stale must fall back to the scan")
   }
 
   test("histogram ladder: coarsest aligned level serves; finer level catches misaligned") {
