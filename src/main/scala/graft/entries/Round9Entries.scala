@@ -187,6 +187,21 @@ object Round9Entries {
         .orderBy("doc_id")
     }),
 
+    // LSH trust readout (the emb_ivf_recall discipline for dedup):
+    // recall/precision of the MinHash-banded verified pairs against
+    // the exact capped-jaccard baseline on the same corpus — the
+    // number to tune bands/permutations against before trading the
+    // exact pass away. Both sides are the library's own named
+    // baselines (docs_minhash_pairs / docs_jaccard_pairs parameters)
+    "docs_minhash_eval" -> ((s, dir) => {
+      val d = EntryUtil.repartitioned(s, dir, "documents")
+      graft.pipeline.Dedup.pairEval(
+        graft.pipeline.Dedup.minhashPairs(d, "doc_id", "text",
+          k = 3, numPerm = 32, bands = 8, threshold = 0.8),
+        graft.pipeline.Dedup.jaccardPairs(d, "doc_id", "text",
+          k = 3, threshold = 0.8, maxShingleFreq = Some(20)))
+    }),
+
     // split-leakage AUDIT (the verification half of group-safe
     // splitting): the matrix of near-dup pair counts per split
     // combination, under the NAIVE per-doc content-hash assignment
@@ -393,6 +408,25 @@ object Round9Entries {
     // stream-mirror convention), restricted to the two fed types
     "stream_autocorr" ->
       autocorrSql(Seq("click", "view"), Seq(1, 24), ranged = false),
+
+    // one mirror composed from the TWO existing pipelines' SQL (the
+    // emb_ivf_recall rule): exact side joins the minhash side on the
+    // unordered pair key, three counts, two rounded ratios
+    "docs_minhash_eval" ->
+      s"""WITH a AS (SELECT DISTINCT id_a, id_b
+             FROM (${PipelineEntries.oracle("docs_minhash_pairs")})),
+           e AS (SELECT DISTINCT id_a, id_b
+             FROM (${PipelineEntries.oracle("docs_jaccard_pairs")})),
+           h AS (SELECT count(*) AS n_hit
+             FROM e JOIN a USING (id_a, id_b)),
+           ne AS (SELECT count(*) AS n_exact FROM e),
+           na AS (SELECT count(*) AS n_approx FROM a)
+         SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_approx AS BIGINT) AS n_approx,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(n_hit / n_approx, 6) AS precision,
+           round(n_hit / n_exact, 6) AS recall
+         FROM ne, na, h""",
 
     // the shared pair/group/rep chain feeds both split schemes; the
     // matrix is two inner joins + a count per unordered combination

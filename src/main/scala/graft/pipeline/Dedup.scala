@@ -280,6 +280,34 @@ object Dedup {
     * per doc before any data moves. The in-row form wins where the
     * signature must be a pure projection — the corpus side of
     * [[dedupAgainstCorpus]] and the [[minhashBands]] index build. */
+  /** Pair-set recall/precision: compare an APPROXIMATE near-dup pair
+    * set (e.g. [[minhashPairs]]' LSH-verified pairs, or a SimHash
+    * band's) against an exact baseline — the readout that makes a
+    * candidate-generation index TRUSTABLE before trading the exact
+    * pass away (the [[graft.pipeline.Similarity.recallAtK]] discipline
+    * for dedup: tune bands/permutations against a measured recall, not
+    * a hope). Both sides dedup on the unordered (id_a, id_b) key
+    * first, so overlapping bands can't inflate a hit. Output: ONE row
+    * (n_exact, n_approx, n_hit, precision, recall), ratios 6dp; with
+    * an empty exact side the ratios are null — no baseline, no
+    * judgement.
+    *
+    * Scale shape: both inputs are pair-sized (never corpus-sized); the
+    * hit count is one equi-join of the two, and the three counts meet
+    * through single-row cross joins. */
+  def pairEval(approx: DataFrame, exact: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val a = approx.select(col(idACol), col(idBCol)).distinct()
+    val e = exact.select(col(idACol), col(idBCol)).distinct()
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(e.join(a, Seq(idACol, idBCol))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        round(col("n_hit") / col("n_approx"), 6).as("precision"),
+        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+  }
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,

@@ -720,6 +720,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((10L, 7, 2L), (11L, 9, 1L)))
   }
 
+  test("pairEval: recall/precision over unordered pair keys, dedup first") {
+    val exact = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    // the duplicate (1,2) models overlapping bands — it must not
+    // double-count; (9,10) is a spurious approx pair (precision < 1)
+    val approx = Seq((1L, 2L), (1L, 2L), (3L, 4L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val out = graft.pipeline.Dedup.pairEval(approx, exact)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(out === ((4L, 3L, 2L, 0.666667, 0.5)))
+  }
+
   test("splitLeakage: off-diagonal counts cross-split pairs; group-safe reads zero") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     // a leaky assignment: pair (1,2) straddles train/test, (3,4)
