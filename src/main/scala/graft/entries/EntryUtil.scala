@@ -739,6 +739,38 @@ object EntryUtil {
           spark.read.parquet(s"$path/gapthr")))))
     })
 
+  private val catalogEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine whose ENTIRE index registration travels through a
+    * persisted [[graft.model.IndexCatalog]] round-trip: the hourly
+    * rollup and the canonical-range med/MAD index are built once,
+    * SAVED (index parquet + one JSON manifest recording kind/path/
+    * params), and the engine constructs over `IndexCatalog.load` of a
+    * fresh base context — registration survives restart as storage,
+    * not Scala wiring, and the constructor shape guards re-validate
+    * the LOADED frames (the reference's sqlite metastorage analog,
+    * meta_storage.h:44+). Entries over this engine share oracles with
+    * their hand-wired twins (ts_group_aggregate_rollup /
+    * ts_anomaly_json_indexed): the catalog hop must change nothing. */
+  def engineCatalogFor(spark: SparkSession, dir: String): Engine =
+    catalogEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val catDir = scratchDir("graft_index_catalog")
+      graft.model.IndexCatalog.save(ctx.copy(
+        rollups = Seq(hourNs -> graft.engine.Rollup.build(ctx.samples, hourNs)),
+        madIndexes = Seq(graft.model.MadIndexDef(FromNs, ToNs,
+          graft.ops.Monitoring.madIndex(
+            ctx.samples.where(col("ts") >= FromNs && col("ts") < ToNs)
+              .join(ctx.series.select(col("series_id"), col("name")),
+                "series_id")
+              .select(col("name"), col("value")),
+            "name")))), catDir)
+      new Engine(graft.model.IndexCatalog.load(spark, catDir,
+        ctx.copy(series = cachedSeries(spark, dir, ctx.series))))
+    })
+
   private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Engine, Rollup}
+import graft.model.{GapIndexDef, IndexCatalog, KmvIndexDef, MadIndexDef, TsdbContext}
+
+/** The persisted index catalog: save → load round-trips every
+  * registered index family bit-for-bit, the loaded registration serves
+  * statements exactly like the hand-wired one, and every way a
+  * manifest can be wrong fails LOUDLY at load (or at engine
+  * construction, for data-half poisoning the manifest can't see) —
+  * the reference's restartable metastorage contract
+  * (meta_storage.h:44+) re-expressed as parquet + one manifest. */
+class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val hourNs = 3600000000000L
+  private val dayNs = 86400000000000L
+  private val FromNs = graft.entries.EntryUtil.FromNs
+  private val ToNs = graft.entries.EntryUtil.ToNs
+
+  private lazy val ctx = TsdbContext.fromTestdata(spark, dir)
+
+  /** Catalog cached, as every deployment's is — keeps the series
+    * derivation's events.parquet scan out of served-plan assertions. */
+  private lazy val cachedCtx = ctx.copy(series = ctx.series.cache())
+
+  private lazy val namedRanged = ctx.samples
+    .where(col("ts") >= FromNs && col("ts") < ToNs)
+    .join(ctx.series.select(col("series_id"), col("name")), "series_id")
+
+  /** One registered index of EVERY family over the testdata. */
+  private lazy val fullCtx = ctx.copy(
+    rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs)),
+    histograms = Seq(hourNs -> graft.ops.HistQuantiles.histogram(
+      ctx.samples.withColumn("win",
+        col("ts") - pmod(col("ts"), lit(hourNs))),
+      Seq("series_id", "win"))),
+    bucketSums = Seq(hourNs ->
+      graft.ops.Stats.bucketSums(ctx.samples, hourNs, keyCol = "series_id")),
+    kmvIndexes = Seq(KmvIndexDef("user", dayNs, 64,
+      graft.ops.Sketches.kmvIndex(
+        ctx.samples.join(ctx.series.select(col("series_id"), col("metric"),
+            col("tags").getItem("user").as("__tv")), "series_id")
+          .where(col("__tv").isNotNull)
+          .select(col("metric"),
+            (col("ts") - pmod(col("ts"), lit(dayNs))).as("win"), col("__tv")),
+        "metric", "win", "__tv", k = 64))),
+    madIndexes = Seq(MadIndexDef(FromNs, ToNs,
+      graft.ops.Monitoring.madIndex(
+        namedRanged.select(col("name"), col("value")), "name"))),
+    gapIndexes = Seq(GapIndexDef(FromNs, ToNs, 3.0,
+      graft.ops.Monitoring.gapThresholdIndex(
+        namedRanged.select(col("name"), col("ts")),
+        factor = 3.0, keyCol = "name"))))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_catalog_spec").toString
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def manifestLines(root: String): Seq[String] =
+    Files.readAllLines(Paths.get(root, IndexCatalog.ManifestName),
+      StandardCharsets.UTF_8).asScala.toSeq
+
+  private def rewrite(root: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(root, IndexCatalog.ManifestName),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  test("save → load round-trips all six index families exactly") {
+    val root = tmp()
+    IndexCatalog.save(fullCtx, root)
+    val loaded = IndexCatalog.load(spark, root, ctx)
+
+    assert(loaded.rollups.map(_._1) === Seq(hourNs))
+    assert(loaded.histograms.map(_._1) === Seq(hourNs))
+    assert(loaded.bucketSums.map(_._1) === Seq(hourNs))
+    assert(loaded.kmvIndexes.map(d => (d.tag, d.windowNs, d.k)) ===
+      Seq(("user", dayNs, 64)))
+    assert(loaded.madIndexes.map(d => (d.fromNs, d.toNs)) ===
+      Seq((FromNs, ToNs)))
+    // factor must survive the JSON hop BIT-exactly: gap serving matches
+    // the statement factor with Double == (Engine's abstain-never-wrong
+    // rule), so a lossy round-trip would silently de-register the index
+    assert(loaded.gapIndexes.map(d => (d.fromNs, d.toNs, d.factor)) ===
+      Seq((FromNs, ToNs, 3.0)))
+
+    assert(rowsOf(loaded.rollups.head._2) === rowsOf(fullCtx.rollups.head._2))
+    assert(rowsOf(loaded.histograms.head._2) ===
+      rowsOf(fullCtx.histograms.head._2))
+    assert(rowsOf(loaded.bucketSums.head._2) ===
+      rowsOf(fullCtx.bucketSums.head._2))
+    assert(rowsOf(loaded.kmvIndexes.head.index) ===
+      rowsOf(fullCtx.kmvIndexes.head.index))
+    assert(rowsOf(loaded.madIndexes.head.index) ===
+      rowsOf(fullCtx.madIndexes.head.index))
+    assert(rowsOf(loaded.gapIndexes.head.index) ===
+      rowsOf(fullCtx.gapIndexes.head.index))
+  }
+
+  test("a LOADED registration serves statements bit-equal to the hand-wired one") {
+    val root = tmp()
+    IndexCatalog.save(fullCtx, root)
+    val handWired = new Engine(fullCtx.copy(series = cachedCtx.series))
+    // Engine construction over the loaded context re-runs the shape
+    // guards on every loaded frame — this not throwing IS an assertion
+    val loadedEng = new Engine(IndexCatalog.load(spark, root, cachedCtx))
+
+    // fully-aligned group-aggregate (rollup-served, rollup-only read),
+    // exact-range anomaly (mad-served), exact-(range,factor) gaps
+    // (gap-served): three families exercised through serving paths
+    val ga = """{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                     "func": ["min", "max", "cnt"]},
+                 "range": {"from": "20240101T000000", "to": "20240401T000000"}}"""
+    val an = """{"anomaly": {"metric": "purchase", "c": 3.0},
+                 "range": {"from": "20240101T000000", "to": "20240401T000000"}}"""
+    val gp = """{"gaps": {"metric": "purchase", "factor": 3.0},
+                 "range": {"from": "20240101T000000", "to": "20240401T000000"}}"""
+    for (q <- Seq(ga, an, gp))
+      assert(rowsOf(loadedEng.execute(q)) === rowsOf(handWired.execute(q)),
+        s"loaded catalog must answer exactly like hand-wired wiring for $q")
+
+    // and the loaded indexes actually SERVE: the plans read the catalog
+    // directory's parquet, and the rollup-served aggregate never touches
+    // the fact table
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan
+        .collect { case f: FileSourceScanExec => f.metadata("Location") }
+    val gaPaths = scanPaths(loadedEng.execute(ga))
+    assert(gaPaths.exists(_.contains("idx_0_rollup")),
+      s"aligned group-aggregate must read the loaded rollup, saw: $gaPaths")
+    assert(!gaPaths.exists(_.contains("events.parquet")),
+      s"rollup-served aggregate must not scan facts, saw: $gaPaths")
+    assert(scanPaths(loadedEng.execute(an)).exists(_.contains("_mad")),
+      "exact-range anomaly must read the loaded mad index")
+    assert(scanPaths(loadedEng.execute(gp)).exists(_.contains("_gap")),
+      "exact-(range,factor) gaps must read the loaded gap index")
+  }
+
+  /** Save a minimal one-rollup catalog and return its directory. */
+  private def savedSmall(): String = {
+    val root = tmp()
+    IndexCatalog.save(ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs))), root)
+    root
+  }
+
+  test("poisoned manifests fail loudly at load") {
+    val root = savedSmall()
+    val lines = manifestLines(root)
+
+    // unknown kind
+    rewrite(root, lines.map(_.replace("\"kind\":\"rollup\"", "\"kind\":\"bogus\"")))
+    val e1 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e1.getMessage.contains("unknown kind"))
+
+    // version skew
+    rewrite(root, lines.map(_.replace("\"catalog_version\":1", "\"catalog_version\":7")))
+    val e2 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e2.getMessage.contains("version mismatch"))
+
+    // truncation (header declares more entries than the file holds)
+    rewrite(root, lines.init)
+    val e3 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e3.getMessage.contains("truncated"))
+
+    // a line that is not JSON at all
+    rewrite(root, lines.init :+ "{this is not json")
+    val e4 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e4.getMessage.contains("not valid JSON"))
+
+    // a missing required parameter
+    rewrite(root, lines.map(_.replace("\"windowNs\":" + hourNs, "\"note\":1")))
+    val e5 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e5.getMessage.contains("windowNs"))
+
+    // no manifest at all
+    val e6 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, tmp(), ctx))
+    assert(e6.getMessage.contains("manifest not found"))
+  }
+
+  test("missing index data and wrong-schema index data fail loudly") {
+    // manifest intact but the parquet directory is gone → Spark's own
+    // loud path error at load, never a silently smaller registration
+    val root = savedSmall()
+    def rm(p: Path): Unit = {
+      Files.walk(p).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+        .foreach(f => Files.deleteIfExists(f))
+    }
+    rm(Paths.get(root, "idx_0_rollup"))
+    intercept[Exception](IndexCatalog.load(spark, root, ctx))
+
+    // data-half poisoning the manifest can't see: the recorded parquet
+    // holds the WRONG frame (a mad index registered as a rollup). Load
+    // succeeds — the manifest is structurally fine — and the Engine
+    // constructor's existing shape guards catch it
+    val root2 = tmp()
+    IndexCatalog.save(ctx.copy(rollups = Seq(hourNs ->
+      graft.ops.Monitoring.madIndex(
+        namedRanged.select(col("name"), col("value")), "name"))), root2)
+    val loaded = IndexCatalog.load(spark, root2, ctx)
+    val e = intercept[IllegalArgumentException](new Engine(loaded))
+    assert(e.getMessage.contains("lacks column"))
+  }
+}
