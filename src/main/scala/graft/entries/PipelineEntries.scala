@@ -392,8 +392,9 @@ object PipelineEntries {
                  AS BIGINT) AS s
              FROM perbit GROUP BY doc_id)"""
 
-  /** Distinct word-3-shingles CTE over documents. */
-  private val shinglesCte =
+  /** Distinct word-3-shingles CTE over documents (shared with the
+    * round-10 banding-sweep mirror). */
+  private[entries] val shinglesCte =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
               FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i))"""

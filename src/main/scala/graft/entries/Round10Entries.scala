@@ -6,11 +6,46 @@ import org.apache.spark.sql.functions._
 /** Round-10 driver entries: the persisted index catalog — statements
   * served through a registration LOADED from storage
   * ([[graft.model.IndexCatalog]]), sharing one oracle each with their
-  * hand-wired twins because the catalog hop must change nothing.
+  * hand-wired twins because the catalog hop must change nothing — and
+  * the MinHash banding sweep, the tuning table the round-9 trust
+  * readout promised.
   */
 object Round10Entries {
 
+  /** The banding grid the sweep measures: (numPerm, bands). Contiguous
+    * row-block banding makes the candidate sets NESTED at fixed
+    * numPerm — a pair matching a coarse band (all 8 minima equal)
+    * matches every constituent finer band — so recall is monotone in
+    * bands down the 32-perm rows, and the 16-perm row isolates the
+    * permutation-count effect at the same rows-per-band as (32, 8). */
+  val SweepConfigs: Seq[(Int, Int)] =
+    Seq((16, 4), (32, 4), (32, 8), (32, 16))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the LSH TUNING TABLE the round-9 trust readout promised: pairEval
+    // over the (bands × permutations) grid against ONE scope-cached
+    // exact capped-jaccard baseline — recall/precision per banding in a
+    // single frame, the artifact an operator reads to pick a banding
+    // BEFORE trading the exact pass away at corpus scale. Every side is
+    // pair-sized; the corpus is scanned once per signature config and
+    // never self-joined (the minhashPairs posting-pair spine)
+    "docs_minhash_sweep" -> ((s, dir) => {
+      val d = EntryUtil.repartitioned(s, dir, "documents")
+      val exact = graft.pipeline.Dedup.scopedCache(
+        graft.pipeline.Dedup.jaccardPairs(d, "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleFreq = Some(20))
+          .select(col("id_a"), col("id_b")).distinct())
+      SweepConfigs.map { case (np, b) =>
+        graft.pipeline.Dedup.pairEval(
+            graft.pipeline.Dedup.minhashPairs(d, "doc_id", "text",
+              k = 3, numPerm = np, bands = b, threshold = 0.8),
+            exact)
+          .select(lit(np).as("num_perm"), lit(b).as("bands"),
+            col("n_exact"), col("n_approx"), col("n_hit"),
+            col("precision"), col("recall"))
+      }.reduce(_ unionByName _).orderBy("num_perm", "bands")
+    }),
 
     // group-aggregate served through a LOADED index catalog: the hourly
     // rollup was built, SAVED (parquet + manifest) and re-registered by
@@ -34,9 +69,69 @@ object Round10Entries {
         s"""{"anomaly": {"metric": "purchase", "c": 3.0},
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
 
+  /** One sweep config's mirror CTEs + metrics row: the SAME
+    * [[EntryUtil.minhashSqlParts]] generator the docs_minhash_pairs
+    * oracle replays, parameterized per (numPerm, bands) and reading
+    * the SHARED materialized shingle/base-hash/size CTEs (DuckDB would
+    * otherwise inline the shingle chain once per reference —
+    * 4 configs × 3 reads — and blow up). */
+  private def sweepConfigSql(np: Int, b: Int): (String, String) = {
+    val (minSelects, bandKeys) = EntryUtil.minhashSqlParts(np, b)
+    val p = s"${np}_$b"
+    val ctes =
+      s"""mh_$p AS (SELECT doc_id, $minSelects FROM shb GROUP BY doc_id),
+          bd_$p AS (SELECT doc_id, b AS band, CASE b $bandKeys END AS band_key
+            FROM mh_$p, UNNEST(generate_series(0, ${b - 1})) AS t(b)),
+          cd_$p AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bd_$p x JOIN bd_$p y ON x.band = y.band
+              AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+          vr_$p AS (SELECT id_a, id_b, count(*) AS c
+            FROM cd_$p JOIN shm sa ON sa.doc_id = id_a
+              JOIN shm sb ON sb.doc_id = id_b AND sa.g = sb.g
+            GROUP BY id_a, id_b),
+          ap_$p AS (SELECT id_a, id_b FROM vr_$p
+            JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+            WHERE c * 1.0 / (za.n + zb.n - c) >= 0.8)"""
+    val row =
+      s"""SELECT $np AS num_perm, $b AS bands,
+            (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact,
+            (SELECT CAST(count(*) AS BIGINT) FROM ap_$p) AS n_approx,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM e JOIN ap_$p USING (id_a, id_b)) AS n_hit"""
+    (ctes, row)
+  }
+
   // lazy: references sibling entry objects' oracle maps, and cross-object
   // initialization order at JVM clinit is otherwise circular
   lazy val oracle: Map[String, String] = Map(
+
+    // the grid mirror: shared shingles/base-hashes/sizes/exact-baseline,
+    // then per config the docs_minhash_pairs CTE chain via the one
+    // shared generator and a three-count metrics row; ratios
+    // zero-guarded like pairEval. NOT materialized: AS MATERIALIZED
+    // anywhere in this nested-WITH + scalar-subquery shape trips a
+    // DuckDB INTERNAL error ("Recursive CTE scan found without
+    // recursive CTE node"); the fully-inlined chain is ~2 s at sf0.01
+    "docs_minhash_sweep" -> {
+      val per = SweepConfigs.map { case (np, b) => sweepConfigSql(np, b) }
+      s"""WITH ${PipelineEntries.shinglesCte},
+           shm AS (SELECT doc_id, g FROM sh),
+           shb AS (SELECT doc_id,
+             ${EntryUtil.h60Sql("g")} % ${graft.pipeline.Dedup.MinhashPrime}
+               AS hb FROM shm),
+           sz AS (SELECT doc_id, count(*) AS n
+             FROM shm GROUP BY doc_id),
+           e AS (SELECT DISTINCT id_a, id_b
+             FROM (${PipelineEntries.oracle("docs_jaccard_pairs")})),
+           ${per.map(_._1).mkString(",\n")}
+         SELECT num_perm, bands, n_exact, n_approx, n_hit,
+           CASE WHEN n_approx > 0 THEN round(n_hit / n_approx, 6) END
+             AS precision,
+           CASE WHEN n_exact > 0 THEN round(n_hit / n_exact, 6) END
+             AS recall
+         FROM (${per.map(_._2).mkString(" UNION ALL ")})
+         ORDER BY num_perm, bands"""
+    },
     // catalog-loaded = hand-wired exactly — one replay each
     "ts_group_aggregate_catalog" ->
       Round2Entries.oracle("ts_group_aggregate_rollup"),

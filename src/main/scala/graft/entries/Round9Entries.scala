@@ -424,8 +424,10 @@ object Round9Entries {
          SELECT CAST(n_exact AS BIGINT) AS n_exact,
            CAST(n_approx AS BIGINT) AS n_approx,
            CAST(n_hit AS BIGINT) AS n_hit,
-           round(n_hit / n_approx, 6) AS precision,
-           round(n_hit / n_exact, 6) AS recall
+           CASE WHEN n_approx > 0 THEN round(n_hit / n_approx, 6) END
+             AS precision,
+           CASE WHEN n_exact > 0 THEN round(n_hit / n_exact, 6) END
+             AS recall
          FROM ne, na, h""",
 
     // the shared pair/group/rep chain feeds both split schemes; the

@@ -289,8 +289,11 @@ object Dedup {
     * a hope). Both sides dedup on the unordered (id_a, id_b) key
     * first, so overlapping bands can't inflate a hit. Output: ONE row
     * (n_exact, n_approx, n_hit, precision, recall), ratios 6dp; with
-    * an empty exact side the ratios are null — no baseline, no
-    * judgement.
+    * an empty exact (or approx) side the corresponding ratio is null —
+    * no baseline, no judgement — guarded EXPLICITLY rather than via
+    * Spark's non-ANSI divide-by-zero-null, so the contract holds under
+    * any session ANSI setting and mirrors can replay it with CASE WHEN
+    * (DuckDB's float division would otherwise yield inf/nan here).
     *
     * Scale shape: both inputs are pair-sized (never corpus-sized); the
     * hit count is one equi-join of the two, and the three counts meet
@@ -304,8 +307,10 @@ object Dedup {
       .crossJoin(e.join(a, Seq(idACol, idBCol))
         .agg(count(lit(1)).as("n_hit")))
       .select(col("n_exact"), col("n_approx"), col("n_hit"),
-        round(col("n_hit") / col("n_approx"), 6).as("precision"),
-        round(col("n_hit") / col("n_exact"), 6).as("recall"))
+        when(col("n_approx") > 0,
+          round(col("n_hit") / col("n_approx"), 6)).as("precision"),
+        when(col("n_exact") > 0,
+          round(col("n_hit") / col("n_exact"), 6)).as("recall"))
   }
 
   def minhashPairs(

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Ceiling on the number of centers [[knnSeedProbe]] inlines as plan
+    * literals for its in-row probe assignment — generous for
+    * seed-fitted codebooks (tens to a few hundred cells) while
+    * refusing the regime where an O(nlist)-struct array per query row
+    * and an O(nlist × dim)-literal plan would degrade codegen
+    * silently. */
+  val MaxInRowProbeCenters = 1024
+
   /** Elementwise dot product in double precision — a native codegen'd
     * Catalyst expression ([[graft.functions.VectorExpressions.VecDot]]);
     * sequential fold order, bit-identical to the oracle's list arithmetic. */
@@ -306,13 +314,30 @@ object Similarity {
     * shuffle. Same candidate rule and tie-breaks as [[knnIvfWith]]
     * (assignment: distance then cell; top-k: cosine desc then id), so
     * the two orientations agree wherever both apply — which side
-    * broadcasts is a plan choice, never a semantics choice. */
+    * broadcasts is a plan choice, never a semantics choice.
+    *
+    * nlist ceiling: the in-row probe builds an O(nlist) array of
+    * (distance, cell) structs per query row from PLAN-LITERAL centers
+    * — right for seed-fitted codebooks (nlist ≤ a few hundred), but at
+    * nlist ~10⁴ the literal plan and its codegen would degrade
+    * silently, so centers.size > [[MaxInRowProbeCenters]] fails
+    * LOUDLY here. There is deliberately no auto-fallback: the
+    * alternative assignment ([[cellsFor]]'s window) shuffles query
+    * rows WITH their vectors, which would silently break this
+    * orientation's no-vector-shuffle contract — a corpus needing that
+    * many cells should use the [[knnIvfWith]] orientation, where the
+    * corpus side is the partitioned one by design. */
   def knnSeedProbe(
       centers: Seq[(Int, Seq[Double])],
       seeds: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding"): DataFrame = {
     require(nprobe > 0, "nprobe must be positive")
+    require(centers.size <= MaxInRowProbeCenters,
+      s"knnSeedProbe inlines centers as plan literals and probes them " +
+        s"in-row per query row; ${centers.size} centers exceeds the " +
+        s"$MaxInRowProbeCenters ceiling — use the knnIvfWith orientation " +
+        s"for large codebooks")
     // no centers (an empty or all-null-labeled seed set) degrades to an
     // empty result like every other kNN path — a zero-arg array() of
     // probe structs would otherwise fail ANALYSIS as an unextractable

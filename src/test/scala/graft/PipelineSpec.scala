@@ -732,6 +732,62 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === ((4L, 3L, 2L, 0.666667, 0.5)))
   }
 
+  test("knnSeedProbe: a codebook past the in-row literal ceiling fails loudly") {
+    // the in-row probe inlines centers as plan literals (that is what
+    // keeps query vectors out of every shuffle); past the documented
+    // ceiling it must refuse — silently degrading codegen at nlist ~10⁴
+    // is exactly the failure the contract exists to prevent, and the
+    // cellsFor fallback would shuffle vectors, so there is none
+    val big = (0 to graft.pipeline.Similarity.MaxInRowProbeCenters)
+      .map(i => (i, Seq(i.toDouble, 1.0)))
+    val tiny = Seq((1L, Array(0.1f, 0.9f))).toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.pipeline.Similarity.knnSeedProbe(big, tiny,
+        tiny.toDF("qid", "embedding"), k = 1))
+    assert(e.getMessage.contains("ceiling") &&
+      e.getMessage.contains("knnIvfWith"))
+    // and at the ceiling itself the call still PLANS cleanly (the
+    // require is the only gate — no hidden analysis failure below it)
+    val atCeiling = big.take(4)
+    graft.pipeline.Similarity.knnSeedProbe(atCeiling, tiny,
+      tiny.toDF("qid", "embedding"), k = 1).queryExecution.sparkPlan
+  }
+
+  test("pairEval: an empty baseline or approx side nulls its ratio explicitly") {
+    // the zero-pair edge the sf fixtures never hit: the guard is an
+    // explicit when(), not Spark's non-ANSI divide-null, so the null
+    // contract survives any session ANSI setting and DuckDB mirrors
+    // replay it with CASE WHEN
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val none = pairs.where(lit(false))
+    val noBaseline = graft.pipeline.Dedup.pairEval(pairs, none).collect().head
+    assert(noBaseline.getLong(0) === 0L && noBaseline.getLong(1) === 1L)
+    assert(noBaseline.isNullAt(4), "recall must be null with no baseline")
+    assert(noBaseline.getDouble(3) === 0.0, "precision is 0/1 = 0 here")
+    val noApprox = graft.pipeline.Dedup.pairEval(none, pairs).collect().head
+    assert(noApprox.isNullAt(3), "precision must be null with no approx pairs")
+    assert(noApprox.getDouble(4) === 0.0, "recall is 0/1 = 0 here")
+  }
+
+  test("minhash banding grid: coarse-band verified pairs nest inside finer bandings") {
+    // contiguous row-block banding: an 8-row band collides only if all
+    // 8 minima agree, which implies each constituent 2-row band of the
+    // finer config also collides — so candidates(32, 4) ⊆
+    // candidates(32, 16), and with one shared verification threshold
+    // the VERIFIED pair sets nest too. This is what makes the sweep's
+    // recall column monotone down the 32-perm rows (the property the
+    // docs_minhash_sweep tuning table relies on to be readable).
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairsAt(bands: Int): Set[(Long, Long)] =
+      graft.pipeline.Dedup.minhashPairs(d, "doc_id", "text",
+          k = 3, numPerm = 32, bands = bands, threshold = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val coarse = pairsAt(4)
+    val fine = pairsAt(16)
+    assert(coarse.subsetOf(fine),
+      s"coarse-band pairs must nest: missing ${coarse -- fine}")
+  }
+
   test("splitLeakage: off-diagonal counts cross-split pairs; group-safe reads zero") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     // a leaky assignment: pair (1,2) straddles train/test, (3,4)
