@@ -73,7 +73,17 @@ final case class MadIndexDef(fromNs: Long, toNs: Long, index: DataFrame)
   * the ranged samples joined to the catalog, thresholds in ns). Mean
   * spacings neither add nor restrict across ranges, so the serving
   * contract is exact (range, factor) match — the [[MadIndexDef]] rule
-  * for the adaptive gap statement. */
+  * for the adaptive gap statement.
+  *
+  * `factor` matches the statement's factor with Double `==` — i.e.
+  * BIT-exact: register the same double the query grammar parses (the
+  * query path parses the JSON literal, so "0.1" at build time and
+  * "0.1" in the statement are the identical IEEE value; a factor
+  * computed through different arithmetic may differ in the last ulp
+  * and silently abstain to the scan — correct, never wrong, but the
+  * index goes unused). The [[graft.model.IndexCatalog]] manifest
+  * round-trips the double through shortest-decimal JSON, which is
+  * bit-exact, so persistence never perturbs the match. */
 final case class GapIndexDef(fromNs: Long, toNs: Long, factor: Double,
     index: DataFrame)
 

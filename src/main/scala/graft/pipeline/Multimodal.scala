@@ -54,9 +54,13 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
+      // null check BEFORE getImageReaders: a null stream makes it throw
+      // IllegalArgumentException, which the broad guard would swallow —
+      // the check must gate the call, not trail it
+      if (iis == null) None
+      else try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (iis == null || !readers.hasNext) None
+        if (!readers.hasNext) None
         else {
           val r = readers.next()
           r.setInput(iis)
@@ -71,7 +75,7 @@ object Multimodal {
             }
           } finally r.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** Decode a binary column into media metadata, one codec setup per
@@ -268,9 +272,11 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
+      // null gates the reader call (see decodeImage)
+      if (iis == null) None
+      else try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (iis == null || !readers.hasNext) None
+        if (!readers.hasNext) None
         else {
           val r = readers.next()
           r.setInput(iis)
@@ -280,7 +286,7 @@ object Multimodal {
             else Option(r.read(0))
           } finally r.dispose()
         }
-      } finally if (iis != null) iis.close()
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   final case class ImageFeatureRow(id: Long, decoded: Boolean,

@@ -335,6 +335,78 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "recovered-sink serving must equal the batch statement bit-for-bit")
   }
 
+  test("rollupBuild: kill mid-bin, restart from checkpoint — the recovered sink serves group-aggregate batch-exactly") {
+    // the FOURTH statement-serving stream index gets the same durability
+    // pin as kmv/bucketMeans/hist: kill the maintainer with a bin open,
+    // restart from the checkpoint, REGISTER the recovered sink as the
+    // engine's rollup, and the served group-aggregate must equal the
+    // raw-scan engine bit-for-bit
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup_restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val s = 1000000000L; val step = 10 * s
+    // two tag series of metric m, one row per second for 120 s; the cut
+    // at row 110 (55 s × 2 series) kills the query with bin [50 s, 60 s)
+    // OPEN on both series — its partial accumulator recovers from the
+    // checkpoint, not from reprocessing file A
+    val all = (0 until 120).flatMap { i =>
+      val t = i.toLong * s
+      Seq(("x", t, i / 7.0), ("y", t, 2 * i / 7.0 + 3.0))
+    }
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (u, ts, v) => s"$u,$ts,$v" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      // series_id derived exactly as TsdbContext.fromWide derives it
+      // (xxhash64 of the canonical name), so the streamed rollup keys
+      // match the settled catalog's
+      val parsed = spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+      TsdbStream.rollupBuild(parsed, step, "10 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    writeLines("a.txt", all.take(110))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // phase B: the rest plus a far-future sentinel that flushes the
+    // watermark past every real bin (the sentinel's own bin never
+    // finalizes, so it cannot reach the sink)
+    writeLines("b.txt", all.drop(110) :+ (("zz", 1000L * s, 0.0)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sink = spark.read.parquet(out)
+    // the recovered sink IS the batch rollup, bit-for-bit
+    val wide = all.toDF("user", "ts", "value")
+      .withColumn("metric", lit("m"))
+    val ctx = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("user"), "ts", "value")
+    assert(sink.orderBy("series_id", "bin").collect().toSeq ===
+      graft.engine.Rollup.build(ctx.samples, step)
+        .select(sink.columns.map(col).toSeq: _*)
+        .orderBy("series_id", "bin").collect().toSeq,
+      "restarted sink must equal the batch rollup exactly")
+    // and the engine SERVES from the registered recovery: aligned range,
+    // 12 fine bins (≥ RollupMinServedBins), fully-aligned → rollup-only
+    val stmt = """{"group-aggregate": {"metric": "m", "step": "20s",
+                                       "func": ["min", "max", "cnt"]},
+                   "range": {"from": 0, "to": 120000000000}}"""
+    val served = new graft.engine.Engine(ctx.copy(rollups = Seq(step -> sink)))
+      .execute(stmt)
+    assert(served.queryExecution.executedPlan.toString.contains("parquet"),
+      "the recovered sink must serve the statement")
+    assert(served.collect().toSeq ===
+      new graft.engine.Engine(ctx).execute(stmt).collect().toSeq,
+      "recovered-sink serving must equal the raw-scan statement bit-for-bit")
+  }
+
   test("bucketMeansBuild: kill mid-bucket, restart from checkpoint — the recovered sink serves trend batch-exactly") {
     val base = java.nio.file.Files.createTempDirectory("graft_bm_restart")
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
