@@ -771,6 +771,30 @@ object EntryUtil {
         ctx.copy(series = cachedSeries(spark, dir, ctx.series))))
     })
 
+  private val openedDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a FULLY OPENED database directory: the
+    * testdata context plus its hourly rollup written ONCE through
+    * `TsdbLayout.writeDatabase` (catalog + events parquet, the
+    * partitioned/sorted samples layout, the persisted index catalog),
+    * then the engine constructs over `TsdbLayout.openDatabase` — the
+    * complete restart story in one call: pruned fact scans AND
+    * index-served statements from storage alone, zero Scala wiring
+    * re-derived. The strongest form of the [[engineCatalogFor]] and
+    * [[engineLayoutFor]] proofs, composed. */
+  def engineOpenedDbFor(spark: SparkSession, dir: String): Engine =
+    openedDbEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val dbDir = scratchDir("graft_opened_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        rollups = Seq(hourNs -> graft.engine.Rollup.build(ctx.samples, hourNs))),
+        dbDir)
+      val opened = graft.model.TsdbLayout.openDatabase(spark, dbDir)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
   private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -67,7 +67,22 @@ object Round10Entries {
     "ts_anomaly_catalog" -> ((s, dir) =>
       EntryUtil.engineCatalogFor(s, dir).execute(
         s"""{"anomaly": {"metric": "purchase", "c": 3.0},
-             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")))
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}""")),
+
+    // the FULL restart story: TsdbLayout.writeDatabase persists
+    // catalog + events + the partitioned/sorted samples layout + the
+    // index catalog as ONE directory; openDatabase reconstructs the
+    // whole context from storage and this statement serves through it
+    // — rollup interior from the loaded index, range edges from the
+    // PRUNED layout scan, nothing re-derived from code (the
+    // reference's volumes + metastorage restart unit). Same statement
+    // and oracle as ts_group_aggregate_rollup
+    "ts_group_aggregate_opened_db" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineOpenedDbFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["min", "max", "cnt"]},
+             "range": {"from": "20240101T003000", "to": "20240331T233000"}}"""),
+        valueCols = Seq("min", "max", "cnt"))))
 
   /** One sweep config's mirror CTEs + metrics row: the SAME
     * [[EntryUtil.minhashSqlParts]] generator the docs_minhash_pairs
@@ -135,5 +150,7 @@ object Round10Entries {
     // catalog-loaded = hand-wired exactly — one replay each
     "ts_group_aggregate_catalog" ->
       Round2Entries.oracle("ts_group_aggregate_rollup"),
-    "ts_anomaly_catalog" -> Round9Entries.oracle("ts_anomaly_json_indexed"))
+    "ts_anomaly_catalog" -> Round9Entries.oracle("ts_anomaly_json_indexed"),
+    "ts_group_aggregate_opened_db" ->
+      Round2Entries.oracle("ts_group_aggregate_rollup"))
 }

@@ -8,9 +8,24 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Persisted index catalog — the save/load half of index registration.
+/** One decoded index-catalog manifest row: which index exists, where
+  * its parquet lives (relative to the catalog directory), and its
+  * registration parameters — the fields populated depend on `kind`
+  * (rollup/histogram/bucket_sums carry `windowNs`; kmv carries
+  * `tag`/`windowNs`/`k`; mad carries `fromNs`/`toNs`; gap adds
+  * `factor`). `pos` is the entry's IDENTITY (stable across retires,
+  * used to address it), not its list index. */
+final case class IndexCatalogEntry(
+    pos: Int, kind: String, path: String,
+    windowNs: Option[Long] = None,
+    fromNs: Option[Long] = None, toNs: Option[Long] = None,
+    factor: Option[Double] = None,
+    tag: Option[String] = None, k: Option[Int] = None)
+
+/** Persisted index catalog — the save/load half of index registration,
+  * plus the operator surface (list / add / retire without a redeploy).
   *
   * Six index families serve statements ([[TsdbContext]].rollups /
   * histograms / bucketSums / kmvIndexes / madIndexes / gapIndexes), but
@@ -21,9 +36,11 @@ import org.apache.spark.sql.SparkSession
   * (kind, path, params); [[load]] reconstructs the registration onto a
   * base context, after which [[graft.engine.Engine]]'s constructor
   * shape guards re-validate every frame exactly as they do for
-  * hand-wired registration. A restarted engine no longer re-derives
-  * its registration from code, and an operator can list / add / retire
-  * indexes by editing storage, not redeploying.
+  * hand-wired registration. [[describe]] lists the registration
+  * without touching Spark, [[append]] adds indexes to a live catalog,
+  * [[retire]] de-registers one and reclaims its storage — a restarted
+  * engine no longer re-derives its registration from code, and an
+  * operator manages indexes by editing storage, not redeploying.
   *
   * The reference persists exactly this kind of state in its sqlite
   * metastorage (/root/reference/stdb/metastorage/meta_storage.h:44+ —
@@ -34,10 +51,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Failure contract mirrors engine construction: a manifest that is
   * malformed, truncated, version-skewed, of unknown kind, or missing a
-  * required parameter fails LOUDLY at load — never a silently smaller
+  * required parameter fails LOUDLY at read — never a silently smaller
   * registration. Parameters round-trip exactly: longs verbatim,
   * doubles via shortest-round-trip decimal (so [[GapIndexDef.factor]]'s
   * bit-exact serve-time match survives the catalog hop).
+  *
+  * Registration ORDER is the manifest's entry order and is preserved
+  * by load — ladders register coarsest-first and statement serving
+  * takes the first eligible level, so [[append]]ed entries (which land
+  * last within their family) should be FINER levels; to place a
+  * coarser level ahead, retire and re-save in the intended order.
   *
   * 100 TB notes: the manifest is O(#indexes) — tens of lines — and
   * lives beside index parquet that executors read directly; load does
@@ -52,69 +75,142 @@ object IndexCatalog {
   /** Manifest format version this code writes and accepts. */
   val Version = 1
 
+  /** The manifest kinds, in the order [[save]] emits the families. */
+  val Kinds: Seq[String] =
+    Seq("rollup", "histogram", "bucket_sums", "kmv", "mad", "gap")
+
   private val mapper = new ObjectMapper
+
+  // ------------------------------------------------------------- write
+
+  private def entryNode(e: IndexCatalogEntry): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("pos", e.pos); n.put("kind", e.kind); n.put("path", e.path)
+    e.windowNs.foreach(n.put("windowNs", _))
+    e.fromNs.foreach(n.put("fromNs", _))
+    e.toNs.foreach(n.put("toNs", _))
+    e.factor.foreach(n.put("factor", _))
+    e.tag.foreach(n.put("tag", _))
+    e.k.foreach(n.put("k", _))
+    n
+  }
+
+  /** Rewrite the manifest atomically-enough for a single-writer
+    * operator flow: temp file in the same directory, then move. */
+  private def writeManifest(dir: String, entries: Seq[IndexCatalogEntry]): Unit = {
+    val header = mapper.createObjectNode()
+    header.put("catalog_version", Version)
+    header.put("entries", entries.size)
+    val lines = (header +: entries.map(entryNode))
+      .map(mapper.writeValueAsString)
+    val root = Paths.get(dir)
+    val tmp = root.resolve(ManifestName + ".tmp")
+    Files.write(tmp,
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(ManifestName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The (entry, frame) list a context's registration flattens to, in
+    * family order — shared by [[save]] and [[append]]. `startPos`
+    * offsets the positions (append continues after the existing max). */
+  private def flatten(ctx: TsdbContext, startPos: Int): Seq[(IndexCatalogEntry, DataFrame)] = {
+    var pos = startPos - 1
+    def next(kind: String): (Int, String) = {
+      pos += 1; (pos, s"idx_${pos}_$kind")
+    }
+    ctx.rollups.map { case (step, r) =>
+      val (p, rel) = next("rollup")
+      (IndexCatalogEntry(p, "rollup", rel, windowNs = Some(step)), r)
+    } ++ ctx.histograms.map { case (win, h) =>
+      val (p, rel) = next("histogram")
+      (IndexCatalogEntry(p, "histogram", rel, windowNs = Some(win)), h)
+    } ++ ctx.bucketSums.map { case (step, b) =>
+      val (p, rel) = next("bucket_sums")
+      (IndexCatalogEntry(p, "bucket_sums", rel, windowNs = Some(step)), b)
+    } ++ ctx.kmvIndexes.map { d =>
+      val (p, rel) = next("kmv")
+      (IndexCatalogEntry(p, "kmv", rel, windowNs = Some(d.windowNs),
+        tag = Some(d.tag), k = Some(d.k)), d.index)
+    } ++ ctx.madIndexes.map { d =>
+      val (p, rel) = next("mad")
+      (IndexCatalogEntry(p, "mad", rel,
+        fromNs = Some(d.fromNs), toNs = Some(d.toNs)), d.index)
+    } ++ ctx.gapIndexes.map { d =>
+      val (p, rel) = next("gap")
+      (IndexCatalogEntry(p, "gap", rel, fromNs = Some(d.fromNs),
+        toNs = Some(d.toNs), factor = Some(d.factor)), d.index)
+    }
+  }
+
+  private def writeFrames(dir: String,
+      staged: Seq[(IndexCatalogEntry, DataFrame)]): Unit =
+    staged.foreach { case (e, frame) =>
+      frame.write.mode("overwrite")
+        .parquet(Paths.get(dir).resolve(e.path).toString)
+    }
 
   /** Write `ctx`'s full index registration (all six families) under
     * `dir`: one parquet directory per index (`idx_<pos>_<kind>`) and
     * one JSON-lines manifest — a header line
     * `{"catalog_version":1,"entries":N}` followed by one entry object
     * per index in registration order (order matters: ladders register
-    * coarsest-first and serving takes the first eligible level). */
+    * coarsest-first and serving takes the first eligible level). The
+    * manifest is written LAST, so a crashed save leaves no readable
+    * catalog rather than a partial one. */
   def save(ctx: TsdbContext, dir: String): Unit = {
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
-
-    var pos = 0
-    val entries = Seq.newBuilder[ObjectNode]
-    def add(kind: String, frame: org.apache.spark.sql.DataFrame)(
-        fill: ObjectNode => Unit): Unit = {
-      val rel = s"idx_${pos}_$kind"
-      frame.write.mode("overwrite").parquet(root.resolve(rel).toString)
-      val n = mapper.createObjectNode()
-      n.put("pos", pos); n.put("kind", kind); n.put("path", rel)
-      fill(n)
-      entries += n
-      pos += 1
-    }
-
-    ctx.rollups.foreach { case (step, r) =>
-      add("rollup", r)(_.put("windowNs", step)) }
-    ctx.histograms.foreach { case (win, h) =>
-      add("histogram", h)(_.put("windowNs", win)) }
-    ctx.bucketSums.foreach { case (step, b) =>
-      add("bucket_sums", b)(_.put("windowNs", step)) }
-    ctx.kmvIndexes.foreach { d =>
-      add("kmv", d.index) { n =>
-        n.put("tag", d.tag); n.put("windowNs", d.windowNs); n.put("k", d.k) } }
-    ctx.madIndexes.foreach { d =>
-      add("mad", d.index) { n =>
-        n.put("fromNs", d.fromNs); n.put("toNs", d.toNs) } }
-    ctx.gapIndexes.foreach { d =>
-      add("gap", d.index) { n =>
-        n.put("fromNs", d.fromNs); n.put("toNs", d.toNs)
-        n.put("factor", d.factor) } }
-
-    val header = mapper.createObjectNode()
-    header.put("catalog_version", Version)
-    header.put("entries", pos)
-    val lines = (header +: entries.result()).map(mapper.writeValueAsString)
-    Files.write(root.resolve(ManifestName),
-      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.createDirectories(Paths.get(dir))
+    val staged = flatten(ctx, startPos = 0)
+    writeFrames(dir, staged)
+    writeManifest(dir, staged.map(_._1))
   }
 
-  /** Reconstruct a saved registration onto `base` (whose catalog/fact
-    * frames are supplied by the caller — the manifest records indexes,
-    * not the data they index). Frames load lazily from the recorded
-    * parquet paths; registration order is the manifest's entry order.
-    * Any structural problem — unreadable or truncated manifest,
-    * version skew, unknown kind, missing parameter — throws
-    * IllegalArgumentException naming the offending line; a missing
-    * parquet directory surfaces as Spark's own loud path error.
-    * Build an [[graft.engine.Engine]] over the result to re-run the
-    * constructor shape guards on every loaded frame. */
-  def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
-    val root = Paths.get(dir)
-    val manifest = root.resolve(ManifestName)
+  /** Add `extra`'s registered indexes to an EXISTING catalog at `dir`
+    * without touching the live entries: new parquet directories at
+    * positions after the current maximum, manifest rewritten once
+    * (frames first, manifest last — the [[save]] crash rule). `extra`
+    * is a parameter-carrier: only its index fields are read, so build
+    * it as `emptyCarrier.copy(rollups = …)` over any context. Within
+    * each family the new entries land AFTER the existing ones on load
+    * — append finer ladder levels; re-save to reorder. */
+  def append(extra: TsdbContext, dir: String): Unit = {
+    val existing = parseManifest(dir)
+    val startPos = existing.map(_.pos).maxOption.getOrElse(-1) + 1
+    val staged = flatten(extra, startPos)
+    require(staged.nonEmpty, "append needs at least one index to add")
+    writeFrames(dir, staged)
+    writeManifest(dir, existing ++ staged.map(_._1))
+  }
+
+  /** De-register entry `pos` from the catalog at `dir` and delete its
+    * parquet directory (nothing references it once the manifest drops
+    * it). Unknown positions fail loudly — a retire that silently
+    * no-ops would let an operator believe an index is gone while every
+    * restart keeps serving from it. */
+  def retire(dir: String, pos: Int): Unit = {
+    val existing = parseManifest(dir)
+    val (hit, rest) = existing.partition(_.pos == pos)
+    require(hit.nonEmpty,
+      s"index catalog at $dir has no entry at pos $pos " +
+        s"(present: ${existing.map(_.pos).mkString(", ")})")
+    writeManifest(dir, rest)
+    val idxDir = Paths.get(dir).resolve(hit.head.path)
+    if (Files.exists(idxDir)) {
+      Files.walk(idxDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  // -------------------------------------------------------------- read
+
+  /** List the catalog's registration — manifest parse only, no Spark,
+    * no frame reads: the operator's `ls`. Fails loudly on every
+    * malformation [[load]] would refuse. */
+  def describe(dir: String): Seq[IndexCatalogEntry] = parseManifest(dir)
+
+  private def parseManifest(dir: String): Seq[IndexCatalogEntry] = {
+    val manifest = Paths.get(dir).resolve(ManifestName)
     require(Files.isRegularFile(manifest),
       s"index catalog manifest not found: $manifest")
     val lines = Files.readAllLines(manifest, StandardCharsets.UTF_8)
@@ -155,37 +251,66 @@ object IndexCatalog {
       v.asText
     }
 
-    var out = base
-    lines.tail.zipWithIndex.foreach { case (line, i) =>
+    lines.tail.zipWithIndex.map { case (line, i) =>
       val n = parse(line, s"entry ${i + 1}")
       val kind = textOf(n, "kind", "<any>")
-      val frame = spark.read.parquet(
-        root.resolve(textOf(n, "path", kind)).toString)
+      val pos = longOf(n, "pos", kind).toInt
+      val path = textOf(n, "path", kind)
       kind match {
-        case "rollup" =>
-          out = out.copy(rollups =
-            out.rollups :+ (longOf(n, "windowNs", kind) -> frame))
-        case "histogram" =>
-          out = out.copy(histograms =
-            out.histograms :+ (longOf(n, "windowNs", kind) -> frame))
-        case "bucket_sums" =>
-          out = out.copy(bucketSums =
-            out.bucketSums :+ (longOf(n, "windowNs", kind) -> frame))
+        case "rollup" | "histogram" | "bucket_sums" =>
+          IndexCatalogEntry(pos, kind, path,
+            windowNs = Some(longOf(n, "windowNs", kind)))
         case "kmv" =>
-          out = out.copy(kmvIndexes = out.kmvIndexes :+ KmvIndexDef(
-            textOf(n, "tag", kind), longOf(n, "windowNs", kind),
-            longOf(n, "k", kind).toInt, frame))
+          IndexCatalogEntry(pos, kind, path,
+            windowNs = Some(longOf(n, "windowNs", kind)),
+            tag = Some(textOf(n, "tag", kind)),
+            k = Some(longOf(n, "k", kind).toInt))
         case "mad" =>
-          out = out.copy(madIndexes = out.madIndexes :+ MadIndexDef(
-            longOf(n, "fromNs", kind), longOf(n, "toNs", kind), frame))
+          IndexCatalogEntry(pos, kind, path,
+            fromNs = Some(longOf(n, "fromNs", kind)),
+            toNs = Some(longOf(n, "toNs", kind)))
         case "gap" =>
-          out = out.copy(gapIndexes = out.gapIndexes :+ GapIndexDef(
-            longOf(n, "fromNs", kind), longOf(n, "toNs", kind),
-            doubleOf(n, "factor", kind), frame))
+          IndexCatalogEntry(pos, kind, path,
+            fromNs = Some(longOf(n, "fromNs", kind)),
+            toNs = Some(longOf(n, "toNs", kind)),
+            factor = Some(doubleOf(n, "factor", kind)))
         case other => throw new IllegalArgumentException(
           s"index catalog entry ${i + 1} has unknown kind '$other'")
       }
     }
-    out
+  }
+
+  /** Reconstruct a saved registration onto `base` (whose catalog/fact
+    * frames are supplied by the caller — the manifest records indexes,
+    * not the data they index). Frames load lazily from the recorded
+    * parquet paths; registration order is the manifest's entry order.
+    * Any structural problem — unreadable or truncated manifest,
+    * version skew, unknown kind, missing parameter — throws
+    * IllegalArgumentException naming the offending line; a missing
+    * parquet directory surfaces as Spark's own loud path error.
+    * Build an [[graft.engine.Engine]] over the result to re-run the
+    * constructor shape guards on every loaded frame. */
+  def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
+    val root = Paths.get(dir)
+    parseManifest(dir).foldLeft(base) { (out, e) =>
+      val frame = spark.read.parquet(root.resolve(e.path).toString)
+      e.kind match {
+        case "rollup" =>
+          out.copy(rollups = out.rollups :+ (e.windowNs.get -> frame))
+        case "histogram" =>
+          out.copy(histograms = out.histograms :+ (e.windowNs.get -> frame))
+        case "bucket_sums" =>
+          out.copy(bucketSums = out.bucketSums :+ (e.windowNs.get -> frame))
+        case "kmv" =>
+          out.copy(kmvIndexes = out.kmvIndexes :+
+            KmvIndexDef(e.tag.get, e.windowNs.get, e.k.get, frame))
+        case "mad" =>
+          out.copy(madIndexes = out.madIndexes :+
+            MadIndexDef(e.fromNs.get, e.toNs.get, frame))
+        case "gap" =>
+          out.copy(gapIndexes = out.gapIndexes :+
+            GapIndexDef(e.fromNs.get, e.toNs.get, e.factor.get, frame))
+      }
+    }
   }
 }

@@ -203,4 +203,33 @@ object TsdbLayout {
     TsdbContext(spark, series,
       readSamples(spark, path).select("series_id", "ts", "value", "metric", "ts_day"),
       events)
+
+  /** Persist a context as a complete, self-describing DATABASE
+    * directory: the series catalog and events as parquet, the samples
+    * through the partitioned + sorted layout ([[writeSamples]]), and
+    * every registered index through the persisted catalog
+    * ([[IndexCatalog.save]]) — the reference's full restart unit
+    * (volumes + sqlite metastorage, meta_storage.h:44+) as one
+    * directory tree. [[openDatabase]] round-trips it: a restarted
+    * deployment serves pruned scans AND index-served statements with
+    * ZERO re-derivation from code. */
+  def writeDatabase(ctx: TsdbContext, dir: String): Unit = {
+    ctx.series.write.mode("overwrite").parquet(s"$dir/series")
+    ctx.events.write.mode("overwrite").parquet(s"$dir/events")
+    writeSamples(ctx, s"$dir/samples")
+    IndexCatalog.save(ctx, s"$dir/indexes")
+  }
+
+  /** Open a [[writeDatabase]] directory: catalog + events from their
+    * parquet, samples through the layout reader (metric/ts_day pruning
+    * live), indexes re-registered from the persisted manifest. Build
+    * an Engine over the result to re-run the registration shape
+    * guards. All frames are lazy — opening is a driver-side metadata
+    * operation at any volume. */
+  def openDatabase(spark: SparkSession, dir: String): TsdbContext = {
+    val series = spark.read.parquet(s"$dir/series")
+    val events = spark.read.parquet(s"$dir/events")
+    IndexCatalog.load(spark, s"$dir/indexes",
+      contextOver(spark, s"$dir/samples", series, events))
+  }
 }

@@ -195,6 +195,79 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(e6.getMessage.contains("manifest not found"))
   }
 
+  test("describe / append / retire: the operator cycle without a redeploy") {
+    val root = savedSmall()
+    // describe: the ls — manifest only, no Spark
+    val d0 = IndexCatalog.describe(root)
+    assert(d0.map(e => (e.pos, e.kind, e.windowNs)) ===
+      Seq((0, "rollup", Some(hourNs))))
+
+    // append: a mad index joins the live catalog at the next position
+    val carrier = ctx.copy(rollups = Nil, madIndexes = Seq(MadIndexDef(
+      FromNs, ToNs, graft.ops.Monitoring.madIndex(
+        namedRanged.select(col("name"), col("value")), "name"))))
+    IndexCatalog.append(carrier, root)
+    val d1 = IndexCatalog.describe(root)
+    assert(d1.map(e => (e.pos, e.kind)) ===
+      Seq((0, "rollup"), (1, "mad")))
+    val loaded1 = IndexCatalog.load(spark, root, ctx)
+    assert(loaded1.rollups.size === 1 && loaded1.madIndexes.size === 1)
+    assert(loaded1.madIndexes.head.fromNs === FromNs)
+
+    // retire: de-register the rollup; its parquet is reclaimed, the
+    // mad index keeps its position (pos is identity, not list index)
+    IndexCatalog.retire(root, 0)
+    assert(IndexCatalog.describe(root).map(e => (e.pos, e.kind)) ===
+      Seq((1, "mad")))
+    assert(!Files.exists(Paths.get(root, "idx_0_rollup")),
+      "a retired index's storage must be reclaimed")
+    val loaded2 = IndexCatalog.load(spark, root, ctx)
+    assert(loaded2.rollups.isEmpty && loaded2.madIndexes.size === 1)
+    new Engine(loaded2) // guards still pass over the survivor
+
+    // retiring a position that does not exist fails loudly
+    val e = intercept[IllegalArgumentException](IndexCatalog.retire(root, 7))
+    assert(e.getMessage.contains("no entry at pos 7"))
+    // appending nothing is a mistake, not a no-op
+    intercept[IllegalArgumentException](
+      IndexCatalog.append(ctx.copy(rollups = Nil), root))
+  }
+
+  test("writeDatabase / openDatabase: the full restart unit round-trips") {
+    // one directory = catalog + events + partitioned/sorted samples
+    // layout + index catalog; openDatabase reconstructs the whole
+    // context from storage and the engine serves identically to the
+    // hand-wired in-memory wiring — pruned scans AND index serving,
+    // nothing re-derived from code
+    val dbDir = tmp()
+    val withRollup = ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs)))
+    graft.model.TsdbLayout.writeDatabase(withRollup, dbDir)
+    val opened = graft.model.TsdbLayout.openDatabase(spark, dbDir)
+    assert(opened.rollups.map(_._1) === Seq(hourNs))
+    val openedEng = new Engine(opened)
+    val handWired = new Engine(withRollup)
+    val stmts = Seq(
+      // fully-aligned group-aggregate: rollup-served
+      """{"group-aggregate": {"metric": "purchase", "step": "1d",
+                              "func": ["min", "max", "cnt"]},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""",
+      // plain select: the layout's pruned fact scan must read the same
+      // rows the derived in-memory samples frame holds
+      """{"select": "click",
+          "range": {"from": "20240110T000000", "to": "20240112T000000"}}""")
+    for (q <- stmts)
+      assert(rowsOf(openedEng.execute(q)) === rowsOf(handWired.execute(q)),
+        s"opened database must answer exactly like hand-wired wiring for $q")
+    // the ranged select's scan is partition-pruned: the metric and
+    // ts_day predicates must reach PartitionFilters on the layout scan
+    // (the layout's own pruning law — LayoutSpec proves the day-window
+    // arithmetic; here we pin that an OPENED database keeps it)
+    val plan = openedEng.execute(stmts(1)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ts_day"),
+      s"the opened layout scan must carry partition filters:\n$plan")
+  }
+
   test("missing index data and wrong-schema index data fail loudly") {
     // manifest intact but the parquet directory is gone → Spark's own
     // loud path error at load, never a silently smaller registration
