@@ -23,29 +23,20 @@ object Round10Entries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // the LSH TUNING TABLE the round-9 trust readout promised: pairEval
-    // over the (bands × permutations) grid against ONE scope-cached
-    // exact capped-jaccard baseline — recall/precision per banding in a
-    // single frame, the artifact an operator reads to pick a banding
-    // BEFORE trading the exact pass away at corpus scale. Every side is
-    // pair-sized; the corpus is scanned once per signature config and
-    // never self-joined (the minhashPairs posting-pair spine)
-    "docs_minhash_sweep" -> ((s, dir) => {
-      val d = EntryUtil.repartitioned(s, dir, "documents")
-      val exact = graft.pipeline.Dedup.scopedCache(
-        graft.pipeline.Dedup.jaccardPairs(d, "doc_id", "text",
-            k = 3, threshold = 0.8, maxShingleFreq = Some(20))
-          .select(col("id_a"), col("id_b")).distinct())
-      SweepConfigs.map { case (np, b) =>
-        graft.pipeline.Dedup.pairEval(
-            graft.pipeline.Dedup.minhashPairs(d, "doc_id", "text",
-              k = 3, numPerm = np, bands = b, threshold = 0.8),
-            exact)
-          .select(lit(np).as("num_perm"), lit(b).as("bands"),
-            col("n_exact"), col("n_approx"), col("n_hit"),
-            col("precision"), col("recall"))
-      }.reduce(_ unionByName _).orderBy("num_perm", "bands")
-    }),
+    // the LSH TUNING TABLE the round-9 trust readout promised
+    // (Dedup.bandingSweep): pairEval over the (bands × permutations)
+    // grid against ONE exact capped-jaccard baseline — recall/precision
+    // per banding in a single frame, the artifact an operator reads to
+    // pick a banding BEFORE trading the exact pass away at corpus
+    // scale. The corpus is SCANNED ONCE for the whole table (shared
+    // scope-cached shingle hashes; one signature frame per distinct
+    // numPerm), every side pair-sized, never a corpus self-join
+    "docs_minhash_sweep" -> ((s, dir) =>
+      graft.pipeline.Dedup.bandingSweep(
+          EntryUtil.repartitioned(s, dir, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.8, configs = SweepConfigs,
+          maxShingleFreq = Some(20))
+        .orderBy("num_perm", "bands")),
 
     // group-aggregate served through a LOADED index catalog: the hourly
     // rollup was built, SAVED (parquet + manifest) and re-registered by

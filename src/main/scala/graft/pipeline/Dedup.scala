@@ -313,6 +313,79 @@ object Dedup {
           round(col("n_hit") / col("n_exact"), 6)).as("recall"))
   }
 
+  /** The LSH banding TUNING TABLE: [[pairEval]] of every (numPerm,
+    * bands) config against ONE exact [[jaccardPairs]] baseline — a
+    * (num_perm, bands, n_exact, n_approx, n_hit, precision, recall)
+    * row per config, the artifact an operator reads to pick a banding
+    * BEFORE trading the exact pass away at corpus scale.
+    *
+    * Same pair sets as running [[minhashPairs]]/[[jaccardPairs]] per
+    * config, but the CORPUS IS SCANNED ONCE: the shingle-hash frame is
+    * scope-cached and feeds the exact posting spine, every signature
+    * build, and both verification sides; configs sharing a numPerm
+    * also share one cached signature frame (three 32-perm bandings =
+    * one signature aggregation). Measured 7.0 → ~5.0 s warm at sf0.1
+    * over the per-config re-scan form; the remaining cost is the four
+    * set-array verification joins, which are the table's actual work.
+    * `maxShingleFreq` caps the exact
+    * spine only (the [[jaccardPairs]] parameter); LSH candidates stay
+    * uncapped, as in [[minhashPairs]].
+    *
+    * Contiguous row-block banding makes the verified pair sets NEST at
+    * fixed numPerm (a coarse band collides only if every constituent
+    * finer band does), so the recall column is monotone in `bands`
+    * down each numPerm group — the property that makes the table
+    * readable as a dial. */
+  def bandingSweep(df: DataFrame, idCol: String, textCol: String,
+      k: Int, threshold: Double, configs: Seq[(Int, Int)],
+      maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
+    require(configs.nonEmpty, "need at least one (numPerm, bands) config")
+    val hashed = scopedCache(
+      shingleHashes(df, idCol, textCol, k)
+        .withColumn("hb", pmod(col("h"), lit(MinhashPrime))))
+    // exact sizes exactly as jaccardPairs derives them: the in-row
+    // shingle-array length (hash-collision-proof), map-side
+    val sizes = df.select(col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("n"))
+    // pair-sized and consumed 2× per config by pairEval (hit join +
+    // count) — cache or the posting spine re-runs once per consumer
+    val exact = scopedCache(
+      postingPairs(hashed.select("id", "h"), "h", maxShingleFreq)
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+        .join(sizes.toDF("id_a", "na"), "id_a")
+        .join(sizes.toDF("id_b", "nb"), "id_b")
+        .where(col("c").cast("double") / (col("na") + col("nb") - col("c"))
+          >= threshold)
+        .select("id_a", "id_b"))
+    // one signature frame per DISTINCT numPerm, shared by its bandings
+    val sigByPerm = configs.map(_._1).distinct.map { np =>
+      val aggs = permParams(np).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
+      } :+ collect_set(col("h")).as("set")
+      np -> scopedCache(hashed.groupBy(col("id"))
+        .agg(aggs.head, aggs.tail: _*))
+    }.toMap
+    configs.map { case (np, b) =>
+      val sig = sigByPerm(np)
+      val cand = postingPairs(
+          sig.select(col("id"),
+            explode(array(bandCols(np, b): _*)).as("bk")),
+          "bk", cap = None)
+        .distinct()
+      val sets = sig.select(col("id"), col("set"))
+      val verified = scopedCache(cand
+        .join(sets.toDF("id_a", "sa"), "id_a")
+        .join(sets.toDF("id_b", "sb"), "id_b")
+        .where((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))) >= threshold)
+        .select("id_a", "id_b"))
+      pairEval(verified, exact)
+        .select(lit(np).as("num_perm"), lit(b).as("bands"),
+          col("n_exact"), col("n_approx"), col("n_hit"),
+          col("precision"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
