@@ -95,12 +95,21 @@ object IndexCatalog {
     n
   }
 
+  /** Parsed manifest: the entries plus the next position to issue.
+    * `nextPos` only grows — positions are never reissued, even after
+    * every entry is retired, so a runbook's retire-by-pos can never
+    * alias onto a later index. */
+  private final case class Manifest(entries: Seq[IndexCatalogEntry],
+      nextPos: Int)
+
   /** Rewrite the manifest atomically-enough for a single-writer
     * operator flow: temp file in the same directory, then move. */
-  private def writeManifest(dir: String, entries: Seq[IndexCatalogEntry]): Unit = {
+  private def writeManifest(dir: String, entries: Seq[IndexCatalogEntry],
+      nextPos: Int): Unit = {
     val header = mapper.createObjectNode()
     header.put("catalog_version", Version)
     header.put("entries", entries.size)
+    header.put("next_pos", nextPos)
     val lines = (header +: entries.map(entryNode))
       .map(mapper.writeValueAsString)
     val root = Paths.get(dir)
@@ -162,7 +171,7 @@ object IndexCatalog {
     Files.createDirectories(Paths.get(dir))
     val staged = flatten(ctx, startPos = 0)
     writeFrames(dir, staged)
-    writeManifest(dir, staged.map(_._1))
+    writeManifest(dir, staged.map(_._1), nextPos = staged.size)
   }
 
   /** Add `extra`'s registered indexes to an EXISTING catalog at `dir`
@@ -174,12 +183,15 @@ object IndexCatalog {
     * each family the new entries land AFTER the existing ones on load
     * — append finer ladder levels; re-save to reorder. */
   def append(extra: TsdbContext, dir: String): Unit = {
-    val existing = parseManifest(dir)
-    val startPos = existing.map(_.pos).maxOption.getOrElse(-1) + 1
-    val staged = flatten(extra, startPos)
+    val m = parseManifest(dir)
+    // positions issue from the header's high-water mark, NEVER from the
+    // surviving entries' max: reusing a retired entry's pos would let an
+    // operator's earlier retire-by-pos silently address a later index
+    val staged = flatten(extra, m.nextPos)
     require(staged.nonEmpty, "append needs at least one index to add")
     writeFrames(dir, staged)
-    writeManifest(dir, existing ++ staged.map(_._1))
+    writeManifest(dir, m.entries ++ staged.map(_._1),
+      nextPos = m.nextPos + staged.size)
   }
 
   /** De-register entry `pos` from the catalog at `dir` and delete its
@@ -188,17 +200,18 @@ object IndexCatalog {
     * no-ops would let an operator believe an index is gone while every
     * restart keeps serving from it. */
   def retire(dir: String, pos: Int): Unit = {
-    val existing = parseManifest(dir)
-    val (hit, rest) = existing.partition(_.pos == pos)
+    val m = parseManifest(dir)
+    val (hit, rest) = m.entries.partition(_.pos == pos)
     require(hit.nonEmpty,
       s"index catalog at $dir has no entry at pos $pos " +
-        s"(present: ${existing.map(_.pos).mkString(", ")})")
-    writeManifest(dir, rest)
+        s"(present: ${m.entries.map(_.pos).mkString(", ")})")
+    writeManifest(dir, rest, m.nextPos)
     val idxDir = Paths.get(dir).resolve(hit.head.path)
     if (Files.exists(idxDir)) {
-      Files.walk(idxDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+      val walk = Files.walk(idxDir)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
   }
 
@@ -207,9 +220,10 @@ object IndexCatalog {
   /** List the catalog's registration — manifest parse only, no Spark,
     * no frame reads: the operator's `ls`. Fails loudly on every
     * malformation [[load]] would refuse. */
-  def describe(dir: String): Seq[IndexCatalogEntry] = parseManifest(dir)
+  def describe(dir: String): Seq[IndexCatalogEntry] =
+    parseManifest(dir).entries
 
-  private def parseManifest(dir: String): Seq[IndexCatalogEntry] = {
+  private def parseManifest(dir: String): Manifest = {
     val manifest = Paths.get(dir).resolve(ManifestName)
     require(Files.isRegularFile(manifest),
       s"index catalog manifest not found: $manifest")
@@ -251,7 +265,7 @@ object IndexCatalog {
       v.asText
     }
 
-    lines.tail.zipWithIndex.map { case (line, i) =>
+    val entries = lines.tail.zipWithIndex.map { case (line, i) =>
       val n = parse(line, s"entry ${i + 1}")
       val kind = textOf(n, "kind", "<any>")
       val pos = longOf(n, "pos", kind).toInt
@@ -278,6 +292,22 @@ object IndexCatalog {
           s"index catalog entry ${i + 1} has unknown kind '$other'")
       }
     }
+    // pos is each entry's identity: duplicates would make retire-by-pos
+    // de-register BOTH while reclaiming one parquet — refuse the
+    // manifest (the fail-LOUDLY-at-read rule for hand-edited files)
+    val dupPos = entries.groupBy(_.pos).collect {
+      case (p, es) if es.size > 1 => p }
+    require(dupPos.isEmpty,
+      s"index catalog manifest has duplicate pos value(s): ${dupPos.mkString(", ")}")
+    // next_pos is the position high-water mark (older manifests lack
+    // it: fall back to max+1 — correct until the first retire)
+    val np = header.path("next_pos")
+    val nextPos =
+      if (np.isInt) np.asInt
+      else entries.map(_.pos).maxOption.getOrElse(-1) + 1
+    require(entries.forall(_.pos < nextPos),
+      s"index catalog next_pos ($nextPos) must exceed every entry pos")
+    Manifest(entries, nextPos)
   }
 
   /** Reconstruct a saved registration onto `base` (whose catalog/fact
@@ -292,7 +322,7 @@ object IndexCatalog {
     * constructor shape guards on every loaded frame. */
   def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
     val root = Paths.get(dir)
-    parseManifest(dir).foldLeft(base) { (out, e) =>
+    parseManifest(dir).entries.foldLeft(base) { (out, e) =>
       val frame = spark.read.parquet(root.resolve(e.path).toString)
       e.kind match {
         case "rollup" =>

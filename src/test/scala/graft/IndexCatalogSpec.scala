@@ -189,10 +189,18 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
       IndexCatalog.load(spark, root, ctx))
     assert(e5.getMessage.contains("windowNs"))
 
-    // no manifest at all
+    // duplicate pos values (a hand-edited or merge-mangled manifest):
+    // retire-by-pos would de-register both while reclaiming one parquet
+    rewrite(root, lines.head.replace("\"entries\":1", "\"entries\":2")
+      +: Seq(lines(1), lines(1)))
     val e6 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(e6.getMessage.contains("duplicate pos"))
+
+    // no manifest at all
+    val e7 = intercept[IllegalArgumentException](
       IndexCatalog.load(spark, tmp(), ctx))
-    assert(e6.getMessage.contains("manifest not found"))
+    assert(e7.getMessage.contains("manifest not found"))
   }
 
   test("describe / append / retire: the operator cycle without a redeploy") {
@@ -224,6 +232,16 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     val loaded2 = IndexCatalog.load(spark, root, ctx)
     assert(loaded2.rollups.isEmpty && loaded2.madIndexes.size === 1)
     new Engine(loaded2) // guards still pass over the survivor
+
+    // positions are IDENTITIES, never reissued: appending after the
+    // retire must issue pos 2, not recycle the retired 0 — otherwise a
+    // runbook's earlier retire-by-pos could silently address the new
+    // index
+    IndexCatalog.append(ctx.copy(rollups =
+      Seq(hourNs -> Rollup.build(ctx.samples, hourNs))), root)
+    assert(IndexCatalog.describe(root).map(e => (e.pos, e.kind)) ===
+      Seq((1, "mad"), (2, "rollup")),
+      "a retired pos must never be reissued")
 
     // retiring a position that does not exist fails loudly
     val e = intercept[IllegalArgumentException](IndexCatalog.retire(root, 7))
@@ -273,8 +291,10 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     // loud path error at load, never a silently smaller registration
     val root = savedSmall()
     def rm(p: Path): Unit = {
-      Files.walk(p).iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
     rm(Paths.get(root, "idx_0_rollup"))
     intercept[Exception](IndexCatalog.load(spark, root, ctx))

@@ -746,11 +746,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         tiny.toDF("qid", "embedding"), k = 1))
     assert(e.getMessage.contains("ceiling") &&
       e.getMessage.contains("knnIvfWith"))
-    // and at the ceiling itself the call still PLANS cleanly (the
-    // require is the only gate — no hidden analysis failure below it)
-    val atCeiling = big.take(4)
+    // and at the ceiling ITSELF (1024 literal centers) the call still
+    // PLANS cleanly — the require is the only gate, with no hidden
+    // analysis/codegen failure lurking below it
+    val atCeiling = big.take(graft.pipeline.Similarity.MaxInRowProbeCenters)
     graft.pipeline.Similarity.knnSeedProbe(atCeiling, tiny,
       tiny.toDF("qid", "embedding"), k = 1).queryExecution.sparkPlan
+  }
+
+  test("bandingSweep: one shared scan equals the per-config minhash/jaccard composition") {
+    // a tiny corpus with one exact near-dup pair (1, 2), one sub-
+    // threshold pair and singletons; the operator's shared-scan rows
+    // must equal composing pairEval(minhashPairs, jaccardPairs) per
+    // config — the refactor is a plan change, never a result change
+    // 30 tokens differing only in the tail token: 3-shingle jaccard
+    // (n−5)/(n+1) = 25/31 ≈ 0.81 ≥ 0.8 — one exact pair (1, 2)
+    val base = (1 to 29).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base end"),
+      (2L, s"$base tail"),
+      (3L, (1 to 30).map(i => s"q$i").mkString(" ")), // disjoint
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val configs = Seq((16, 4), (32, 8), (32, 16))
+    // Row-wise compare (precision can be LEGITIMATELY null on a config
+    // whose banding finds no pairs at all — the pairEval empty-side
+    // contract surfacing in the sweep; a typed Double tuple would
+    // refuse the row)
+    val sweptRows = graft.pipeline.Dedup.bandingSweep(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, configs = configs, maxShingleFreq = Some(20))
+      .orderBy("num_perm", "bands").collect().toSeq
+    val swept = sweptRows.map(_.toString)
+    val composed = configs.map { case (np, b) =>
+      graft.pipeline.Dedup.pairEval(
+          graft.pipeline.Dedup.minhashPairs(docs, "doc_id", "text",
+            k = 3, numPerm = np, bands = b, threshold = 0.8),
+          graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text",
+            k = 3, threshold = 0.8, maxShingleFreq = Some(20)))
+        .select(lit(np).as("num_perm"), lit(b).as("bands"),
+          col("n_exact"), col("n_approx"), col("n_hit"),
+          col("precision"), col("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("num_perm", "bands").collect().toSeq.map(_.toString)
+    assert(swept === composed,
+      "shared-scan sweep must equal the per-config composition exactly")
+    // the fixture really exercises the interesting cells
+    assert(sweptRows.forall(_.getLong(2) === 1L),
+      "the fixture's one exact pair must reach n_exact in every row")
   }
 
   test("pairEval: an empty baseline or approx side nulls its ratio explicitly") {
