@@ -771,6 +771,40 @@ object EntryUtil {
         ctx.copy(series = cachedSeries(spark, dir, ctx.series))))
     })
 
+  private val streamLayouts = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized samples-layout directory POPULATED BY A REAL STREAM: the
+    * purchase rows feed a MemoryStream in ts-ordered chunks and
+    * [[graft.streaming.TsdbStream.layoutIngest]] sinks them through
+    * Spark's transactional file sink into the metric/ts_day layout —
+    * the live-ingest half of the database story. Built once per
+    * (session, sf) like every index build; the entry then queries the
+    * directory through the ordinary layout reader. */
+  def streamIngestedLayoutFor(spark: SparkSession, dir: String): String =
+    streamLayouts.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc: Encoder[(Long, Long, Double)] =
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
+      implicit val sqlCtx = spark.sqlContext
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val rows = ctx.samples
+        .join(ctx.series.where(col("metric") === "purchase")
+          .select("series_id"), "series_id")
+        .orderBy("ts", "series_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val base = scratchDir("graft_stream_layout")
+      val in = MemoryStream[(Long, Long, Double)]
+      val q = graft.streaming.TsdbStream.layoutIngest(
+        in.toDF().toDF("series_id", "ts", "value")
+          .withColumn("metric", lit("purchase")),
+        s"$base/samples", s"$base/ckpt")
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      s"$base/samples"
+    })
+
   private val openedDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -73,7 +73,27 @@ object Round10Entries {
         s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
                                  "func": ["min", "max", "cnt"]},
              "range": {"from": "20240101T003000", "to": "20240331T233000"}}"""),
-        valueCols = Seq("min", "max", "cnt"))))
+        valueCols = Seq("min", "max", "cnt"))),
+
+    // LIVE ingest into the queryable layout: a REAL Structured
+    // Streaming query (TsdbStream.layoutIngest) sank the purchase
+    // rows through Spark's transactional file sink into the
+    // metric/ts_day-partitioned layout — exactly-once files,
+    // kill/restart pinned in StreamingSpec — and this SELECT reads
+    // the directory through the ordinary layout path: streamed-in
+    // data is immediately queryable with pruning intact, no batch
+    // rewrite in between. Same statement and oracle as
+    // ts_layout_select (the batch-written layout twin)
+    "stream_layout_ingest" -> ((s, dir) => {
+      val path = EntryUtil.streamIngestedLayoutFor(s, dir)
+      val base = EntryUtil.engineFor(s, dir).ctx
+      EntryUtil.usView(new graft.engine.Engine(
+        graft.model.TsdbLayout.contextOver(s, path, base.series, base.events))
+        .execute(
+          s"""{"select": "purchase",
+               "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+               "where": {"user": ["2", "4", "6", "8"]}}"""))
+    }))
 
   /** One sweep config's mirror CTEs + metrics row: the SAME
     * [[EntryUtil.minhashSqlParts]] generator the docs_minhash_pairs
@@ -143,5 +163,7 @@ object Round10Entries {
       Round2Entries.oracle("ts_group_aggregate_rollup"),
     "ts_anomaly_catalog" -> Round9Entries.oracle("ts_anomaly_json_indexed"),
     "ts_group_aggregate_opened_db" ->
-      Round2Entries.oracle("ts_group_aggregate_rollup"))
+      Round2Entries.oracle("ts_group_aggregate_rollup"),
+    // stream-ingested layout = batch-written layout exactly
+    "stream_layout_ingest" -> Round5Entries.oracle("ts_layout_select"))
 }

@@ -651,4 +651,35 @@ object TsdbStream extends Serializable {
     implicit val flatEnc = Encoders.product[GapOut]
     listed.flatMap(identity).toDF("name", "gap_start", "gap_end", "gap_ns")
   }
+
+  /** Streaming ingest INTO the queryable samples layout: sinks a
+    * (series_id, ts, value, metric) stream as the same metric/ts_day-
+    * partitioned parquet [[graft.model.TsdbLayout.writeSamples]] lays
+    * down, through Spark's transactional FILE sink — each micro-batch
+    * commits to the sink's `_spark_metadata` log, so a crash-replayed
+    * batch is skipped, never duplicated (exactly-once files), and a
+    * reader of the directory root sees only committed files
+    * (spec-pinned by a mid-stream kill/restart). The LIVE half of
+    * [[graft.model.TsdbLayout.writeDatabase]]: the directory an Engine
+    * opens keeps growing as data arrives, metric/ts_day partition
+    * pruning intact, no window of unqueryable data.
+    *
+    * Micro-batches append files unsorted within a partition — the
+    * batch writer's (series_id, ts) within-file sort is a COMPACTION
+    * concern, not correctness: re-run `writeSamples` over a settled
+    * window to restore row-group-stat tightness, exactly as LSM stores
+    * compact their L0. Pure projection, no state, no watermark —
+    * throughput scales with input partitions. */
+  def layoutIngest(samples: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples
+      .select(col("series_id"), col("ts"), col("value"), col("metric"))
+      .withColumn("ts_day", graft.functions.VectorExpressions
+        .longFloorDiv(col("ts"), graft.time.TimeUtil.NsPerDay))
+      .writeStream.format("parquet")
+      .partitionBy("metric", "ts_day")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

@@ -335,6 +335,69 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "recovered-sink serving must equal the batch statement bit-for-bit")
   }
 
+  test("layoutIngest: kill mid-stream, restart — exactly-once files; the layout serves select batch-exactly") {
+    // the live-ingest half of the database story: the file sink's
+    // _spark_metadata log must make a restart append-only (file A is
+    // never reprocessed, no duplicate rows), and the resulting
+    // metric/ts_day directory must answer queries EXACTLY like the
+    // in-memory context over the same rows — streamed-in data is
+    // queryable with pruning intact, no batch rewrite in between
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_layout")
+    val in = s"$base/in"; val out = s"$base/samples"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    val h = 3600L * 1000000000L
+    // two tag series, hourly for 72 h → three ts_day directories
+    val all = (0 until 72).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$base/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (u, ts, v) => s"$u,$ts,$v" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startQuery() = {
+      val parsed = spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+        .withColumn("metric", lit("m"))
+      TsdbStream.layoutIngest(parsed, out, ckpt)
+    }
+    writeLines("a.txt", all.take(100))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    writeLines("b.txt", all.drop(100))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val wide = all.toDF("user", "ts", "value")
+      .withColumn("metric", lit("m"))
+    val ctx = graft.model.TsdbContext.fromWide(spark, wide, "metric",
+      Seq("user"), "ts", "value")
+    // exactly once: every row present, none twice (a.txt not replayed)
+    val laidRows = spark.read.parquet(out)
+      .select("series_id", "ts", "value")
+      .orderBy("series_id", "ts").collect().toSeq
+    assert(laidRows.size === all.size, "each streamed row lands exactly once")
+    assert(laidRows === ctx.samples.select("series_id", "ts", "value")
+      .orderBy("series_id", "ts").collect().toSeq)
+    // and the directory answers like the in-memory context, with the
+    // layout's partition pruning live on the scan
+    val laid = graft.model.TsdbLayout.contextOver(spark, out,
+      ctx.series, ctx.events)
+    val stmt = s"""{"select": "m",
+                    "range": {"from": ${24 * h}, "to": ${48 * h}}}"""
+    val served = new graft.engine.Engine(laid).execute(stmt)
+    assert(served.collect().toSeq ===
+      new graft.engine.Engine(ctx).execute(stmt).collect().toSeq,
+      "stream-ingested layout must serve the select bit-for-bit")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ts_day"),
+      s"the ingested layout scan must carry partition filters:\n$plan")
+  }
+
   test("rollupBuild: kill mid-bin, restart from checkpoint — the recovered sink serves group-aggregate batch-exactly") {
     // the FOURTH statement-serving stream index gets the same durability
     // pin as kmv/bucketMeans/hist: kill the maintainer with a bin open,
