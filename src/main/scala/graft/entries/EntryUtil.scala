@@ -805,6 +805,49 @@ object EntryUtil {
       s"$base/samples"
     })
 
+  private val l0DbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a TWO-TIER database: the batch layout owns
+    * the window's first 19 days (TsdbLayout.writeDatabase), a REAL
+    * layoutIngest stream delivered the rest (the testdata spans
+    * January) into the `samples_l0` tier, and
+    * [[graft.model.TsdbLayout.compactL0]] claimed days 20-24 into the
+    * batch layout (watermark Jan 25). A query over the canonical
+    * window therefore reads THREE provenances — batch days,
+    * compacted-from-stream days, live L0 days — through one opened
+    * context; entries over this engine prove the tier flip changes
+    * nothing (one oracle with the plain scans). */
+  def engineL0DbFor(spark: SparkSession, dir: String): Engine =
+    l0DbEngines.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc: Encoder[(Long, Long, Double, String)] =
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double, String)]
+      implicit val sqlCtx = spark.sqlContext
+      val splitNs = 1705708800000000000L   // 2024-01-20T00Z: L0 takes over
+      val compactNs = 1706140800000000000L // 2024-01-25T00Z: compaction wm
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val db = scratchDir("graft_l0db_engine")
+      graft.model.TsdbLayout.writeDatabase(
+        ctx.copy(samples = ctx.samples.where(col("ts") < splitNs)), db)
+      val rows = ctx.samples.where(col("ts") >= splitNs)
+        .join(ctx.series.select(col("series_id"), col("metric")), "series_id")
+        .orderBy("ts", "series_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSeq
+      val in = MemoryStream[(Long, Long, Double, String)]
+      val q = graft.streaming.TsdbStream.layoutIngest(
+        in.toDF().toDF("series_id", "ts", "value", "metric"),
+        s"$db/samples_l0", s"$db/ingest_ckpt")
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      graft.model.TsdbLayout.compactL0(spark, db, compactNs)
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
+    })
+
   private val openedDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

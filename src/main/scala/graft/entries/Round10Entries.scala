@@ -93,7 +93,20 @@ object Round10Entries {
           s"""{"select": "purchase",
                "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
                "where": {"user": ["2", "4", "6", "8"]}}"""))
-    }))
+    }),
+
+    // the TWO-TIER database end-to-end: batch layout owns Jan-Feb, a
+    // real stream delivered March into the L0 tier, compactL0 claimed
+    // early March into the batch layout (watermark mid-month) — this
+    // select reads THREE provenances (batch, compacted-from-stream,
+    // live L0) through one opened context and must equal the plain
+    // scan exactly: tier flips change plans, never answers. Oracle
+    // shared with ts_layout_select
+    "ts_select_l0_db" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineL0DbFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "where": {"user": ["2", "4", "6", "8"]}}"""))))
 
   /** One sweep config's mirror CTEs + metrics row: the SAME
     * [[EntryUtil.minhashSqlParts]] generator the docs_minhash_pairs
@@ -165,5 +178,7 @@ object Round10Entries {
     "ts_group_aggregate_opened_db" ->
       Round2Entries.oracle("ts_group_aggregate_rollup"),
     // stream-ingested layout = batch-written layout exactly
-    "stream_layout_ingest" -> Round5Entries.oracle("ts_layout_select"))
+    "stream_layout_ingest" -> Round5Entries.oracle("ts_layout_select"),
+    // three-provenance read = the plain scan exactly
+    "ts_select_l0_db" -> Round5Entries.oracle("ts_layout_select"))
 }

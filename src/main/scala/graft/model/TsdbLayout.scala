@@ -225,11 +225,126 @@ object TsdbLayout {
     * live), indexes re-registered from the persisted manifest. Build
     * an Engine over the result to re-run the registration shape
     * guards. All frames are lazy — opening is a driver-side metadata
-    * operation at any volume. */
+    * operation at any volume.
+    *
+    * If the database has a live ingest tier (`samples_l0`, fed by
+    * [[graft.streaming.TsdbStream.layoutIngest]]), the fact frame is
+    * the UNION of the compacted batch layout and the L0 days the
+    * compaction watermark has not claimed yet ([[compactL0]]) — both
+    * sides keep their own partition pruning, so a range query reads
+    * each day from exactly one tier. */
   def openDatabase(spark: SparkSession, dir: String): TsdbContext = {
     val series = spark.read.parquet(s"$dir/series")
     val events = spark.read.parquet(s"$dir/events")
+    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
+    val batch = readSamples(spark, s"$dir/samples")
+      .select(cols.map(col): _*)
+    val samples = readL0(spark, dir) match {
+      case Some(l0) => batch.unionByName(
+        l0.select(cols.map(col): _*)
+          .where(col("ts_day") >= l0Watermark(dir)))
+      case None => batch
+    }
     IndexCatalog.load(spark, s"$dir/indexes",
-      contextOver(spark, s"$dir/samples", series, events))
+      TsdbContext(spark, series, samples, events))
+  }
+
+  /** The L0 ingest tier's frame, or None when the tier is absent or
+    * has no COMMITTED data yet — a freshly-started [[graft.streaming
+    * .TsdbStream.layoutIngest]] creates the sink's `_spark_metadata`
+    * log before the first batch commits, and a reader opening the
+    * database in that window must see the batch tier, not an
+    * "unable to infer schema" failure. Only the empty-sink condition
+    * is swallowed; any other read problem stays loud. */
+  private def readL0(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = s"$dir/samples_l0"
+    if (!new java.io.File(path).exists()) return None
+    try Some(readSamples(spark, path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") => None
+    }
+  }
+
+  /** First ts_day still owned by the L0 ingest tier (everything below
+    * it has been [[compactL0]]-moved into the batch layout);
+    * Long.MinValue when no compaction has run. */
+  def l0Watermark(dir: String): Long = {
+    val f = java.nio.file.Paths.get(dir, "l0_watermark")
+    if (java.nio.file.Files.isRegularFile(f))
+      new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+    else Long.MinValue
+  }
+
+  private def writeL0Watermark(dir: String, day: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "l0_watermark.tmp")
+    java.nio.file.Files.write(tmp, day.toString.getBytes)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "l0_watermark"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** L0 → batch compaction: MOVE every settled ingest day (ts_day in
+    * [watermark, cutoff)) from the stream-sink tier into the batch
+    * layout, rewritten (series_id, ts)-sorted one file per partition —
+    * restoring the row-group-stat tightness [[graft.streaming
+    * .TsdbStream.layoutIngest]]'s unsorted micro-batch appends give up
+    * (the LSM L0→L1 rule). Readers flip tiers through the watermark:
+    * [[openDatabase]] serves compacted days from the batch layout and
+    * newer days from L0, so answers never change — compaction reorders
+    * bytes, never rows' visibility.
+    *
+    * Day exclusivity is REQUIRED and checked: the batch layout must
+    * hold no rows in the days being claimed (normal operation — the
+    * batch load ends before ingest begins; a violation fails loudly
+    * rather than double-writing a day). That makes the rewrite
+    * IDEMPOTENT: a crash between the partition overwrite committing
+    * and the watermark advancing double-reads the slice until
+    * compactL0 re-runs, and the re-run overwrites the same partitions
+    * with identical content before advancing the watermark — the
+    * recovery is the operation itself.
+    *
+    * Physical reclamation of compacted L0 files rides the sink's own
+    * lifecycle: the file-sink transaction log pins them, so a
+    * deployment rotates ingest roots (new sink dir + checkpoint per
+    * epoch) and drops fully-compacted old roots whole — the watermark
+    * already guarantees readers never look at them.
+    *
+    * @return number of (metric, day) partitions moved. */
+  def compactL0(spark: SparkSession, dir: String, cutoffNs: Long): Int = {
+    val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
+    val wm = l0Watermark(dir)
+    if (cutoffDay <= wm) return 0
+    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
+    val l0 = readL0(spark, dir) match {
+      case Some(f) => f
+      case None => writeL0Watermark(dir, cutoffDay); return 0
+    }
+    val settled = l0
+      .select(cols.map(col): _*)
+      .where(col("ts_day") >= wm && col("ts_day") < cutoffDay)
+    // ts_day is a directory-inferred partition column (IntegerType on
+    // read, LongType when carried through a write) — accept either
+    val affected = settled.select("metric", "ts_day").distinct()
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    if (affected.isEmpty) { writeL0Watermark(dir, cutoffDay); return 0 }
+    val pred = affected
+      .map { case (m, d) => col("metric") === m && col("ts_day") === d }
+      .reduce(_ || _)
+    val alreadyThere = readSamples(spark, s"$dir/samples").where(pred)
+    require(alreadyThere.isEmpty,
+      s"compactL0: batch layout already holds rows in the days being " +
+        s"claimed (${affected.take(5).mkString(", ")}…) — day ownership " +
+        s"must be exclusive between tiers")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try settled
+      .repartition(col("metric"), col("ts_day"))
+      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
+      .write.partitionBy("metric", "ts_day").mode("overwrite")
+      .parquet(s"$dir/samples")
+    finally spark.conf.set(key, prev)
+    writeL0Watermark(dir, cutoffDay)
+    affected.length
   }
 }

@@ -666,10 +666,10 @@ object TsdbStream extends Serializable {
     *
     * Micro-batches append files unsorted within a partition — the
     * batch writer's (series_id, ts) within-file sort is a COMPACTION
-    * concern, not correctness: re-run `writeSamples` over a settled
-    * window to restore row-group-stat tightness, exactly as LSM stores
-    * compact their L0. Pure projection, no state, no watermark —
-    * throughput scales with input partitions. */
+    * concern, not correctness: [[graft.model.TsdbLayout.compactL0]]
+    * moves settled days into the batch tier sorted, exactly as LSM
+    * stores compact their L0. Pure projection, no state, no watermark
+    * — throughput scales with input partitions. */
   def layoutIngest(samples: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     samples

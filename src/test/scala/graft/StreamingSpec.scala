@@ -398,6 +398,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       s"the ingested layout scan must carry partition filters:\n$plan")
   }
 
+  test("compactL0: settled ingest days move into the batch layout; answers never change") {
+    // the LSM L0→L1 rule over the two-tier database: batch layout owns
+    // days [0, 2), the live ingest tier owns [2, 5); compaction claims
+    // the settled days and flips the reader's tier through the
+    // watermark — same answers before, after, and on idempotent re-run
+    val db = java.nio.file.Files.createTempDirectory("graft_l0_db").toString
+    val h = 3600L * 1000000000L
+    val all = (0 until 120).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db)
+
+    // live tier: a REAL layoutIngest run over days 2-4
+    val in = s"$db/ingest_in"; new java.io.File(in).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.txt"),
+      all.filter(_._2 >= 48 * h)
+        .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    val parsed = spark.readStream.format("text").load(in)
+      .selectExpr(
+        "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+        "CAST(split(value, ',')[1] AS LONG) AS ts",
+        "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+      .withColumn("metric", lit("m"))
+    val q = TsdbStream.layoutIngest(parsed, s"$db/samples_l0", s"$db/ingest_ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val full = ctxOf(all)
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${120 * h}}}"""
+    def servedRows() = new graft.engine.Engine(
+      graft.model.TsdbLayout.openDatabase(spark, db)).execute(stmt)
+      .collect().toSeq
+    val oracle = new graft.engine.Engine(full).execute(stmt).collect().toSeq
+    assert(servedRows() === oracle,
+      "two-tier read (batch ∪ L0) must equal the in-memory context")
+
+    // claim days 2-3 (cutoff = start of day 4)
+    assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 2)
+    assert(graft.model.TsdbLayout.l0Watermark(db) === 4L)
+    for (d <- Seq(2, 3))
+      assert(new java.io.File(s"$db/samples/metric=m/ts_day=$d").isDirectory,
+        s"day $d must now live in the batch layout")
+    assert(servedRows() === oracle, "compaction must not change answers")
+
+    // idempotent re-run: nothing to move, watermark stays, answers hold
+    assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 0)
+    assert(servedRows() === oracle)
+
+    // day-exclusivity guard: an ingest tier holding a day the batch
+    // layout already owns must refuse to compact, loudly
+    val db2 = java.nio.file.Files.createTempDirectory("graft_l0_db2").toString
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db2)
+    val in2 = s"$db2/ingest_in"; new java.io.File(in2).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/a.txt"),
+      all.filter(_._2 < 24 * h) // day 0 — already owned by batch
+        .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    val q2 = TsdbStream.layoutIngest(
+      spark.readStream.format("text").load(in2)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+        .withColumn("metric", lit("m")),
+      s"$db2/samples_l0", s"$db2/ingest_ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    val e = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.compactL0(spark, db2, 24 * h))
+    assert(e.getMessage.contains("exclusive"))
+  }
+
   test("rollupBuild: kill mid-bin, restart from checkpoint — the recovered sink serves group-aggregate batch-exactly") {
     // the FOURTH statement-serving stream index gets the same durability
     // pin as kmv/bucketMeans/hist: kill the maintainer with a bin open,
