@@ -266,6 +266,54 @@ object TsdbLayout {
     }
   }
 
+  /** Below-watermark L0 content the batch tier does NOT hold —
+    * (metric, ts_day, n), one row per affected partition. Compacted
+    * days leave their files in the L0 root (the sink log pins them),
+    * so "below the watermark" alone is residue, not a problem; a
+    * PROBLEM row is one whose (series_id, ts, value) never reached the
+    * batch tier: a late arrival routed through the stream instead of
+    * [[upsertSamples]] (which [[openDatabase]] deliberately excludes —
+    * its day is batch-owned), or an L0 copy a later correction
+    * superseded. This is the alert a deployment polls; routing a
+    * reported row through [[upsertSamples]] clears it. Exact-duplicate
+    * multiplicities are not distinguished (an alert, not an audit).
+    *
+    * Scale shape: the below-watermark day set is collected first
+    * (driver-sized — bounded by this sink root's compacted span,
+    * which rotation keeps epoch-sized) and the batch read is pruned
+    * to exactly those days before the anti-join; never a full-history
+    * scan. Empty frame when the tier is absent or nothing straggles. */
+  def l0Stragglers(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_day",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    readL0(spark, dir) match {
+      case Some(l0) =>
+        val below = l0.select(cols.map(col): _*)
+          .where(col("ts_day") < l0Watermark(dir))
+        val days = below.select("metric", "ts_day").distinct()
+          .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+        if (days.isEmpty) return empty
+        val pred = days
+          .map { case (m, d) => col("metric") === m && col("ts_day") === d }
+          .reduce(_ || _)
+        below.join(
+            readSamples(spark, s"$dir/samples").where(pred)
+              .select(cols.map(col): _*),
+            Seq("series_id", "ts", "value", "metric"), "left_anti")
+          .groupBy("metric", "ts_day")
+          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      case None => empty
+    }
+  }
+
   /** First ts_day still owned by the L0 ingest tier (everything below
     * it has been [[compactL0]]-moved into the batch layout);
     * Long.MinValue when no compaction has run. */
@@ -308,6 +356,12 @@ object TsdbLayout {
     * deployment rotates ingest roots (new sink dir + checkpoint per
     * epoch) and drops fully-compacted old roots whole — the watermark
     * already guarantees readers never look at them.
+    *
+    * LATE DATA below the watermark must go through [[upsertSamples]],
+    * not the ingest stream: a stream row landing in a claimed day is
+    * excluded by the reader (its day is batch-owned). Poll
+    * [[l0Stragglers]] to catch and re-route any that slipped through
+    * (spec-pinned end to end in StreamingSpec).
     *
     * @return number of (metric, day) partitions moved. */
   def compactL0(spark: SparkSession, dir: String, cutoffNs: Long): Int = {

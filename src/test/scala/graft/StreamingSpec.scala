@@ -419,13 +419,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.txt"),
       all.filter(_._2 >= 48 * h)
         .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
-    val parsed = spark.readStream.format("text").load(in)
-      .selectExpr(
-        "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
-        "CAST(split(value, ',')[1] AS LONG) AS ts",
-        "CAST(split(value, ',')[2] AS DOUBLE) AS value")
-      .withColumn("metric", lit("m"))
-    val q = TsdbStream.layoutIngest(parsed, s"$db/samples_l0", s"$db/ingest_ckpt")
+    def startIngest() = TsdbStream.layoutIngest(
+      spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+        .withColumn("metric", lit("m")),
+      s"$db/samples_l0", s"$db/ingest_ckpt")
+    val q = startIngest()
     try q.processAllAvailable() finally q.stop()
 
     val full = ctxOf(all)
@@ -448,6 +450,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // idempotent re-run: nothing to move, watermark stays, answers hold
     assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 0)
     assert(servedRows() === oracle)
+
+    // LATE DATA below the watermark: a straggler streamed into a
+    // claimed day is reader-invisible (its day is batch-owned), the
+    // l0Stragglers alert reports it, and routing it through
+    // upsertSamples — the documented late path — makes it visible
+    val late = ("x", 30 * h + 1L, 99.0) // day 1: batch-owned, wm = 4
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/late.txt"),
+      s"${late._1},${late._2},${late._3}".getBytes)
+    val q3 = startIngest() // resumes from the checkpoint; a.txt skipped
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.model.TsdbLayout.l0Stragglers(spark, db)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("m", 1L, 1L)),
+      "the straggler alert must name the claimed day")
+    assert(servedRows() === oracle,
+      "a straggler must be reader-invisible, not double- or mis-read")
+    val xId = Seq("m user=x").toDF("name")
+      .select(xxhash64(col("name"))).head().getLong(0)
+    graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+      Seq((xId, late._2, late._3)).toDF("series_id", "ts", "value"),
+      ctxOf(all).series)
+    val withLate = ctxOf(all :+ late)
+    assert(servedRows() === new graft.engine.Engine(withLate)
+      .execute(stmt).collect().toSeq,
+      "after the upsert route, the late row reads exactly once")
+    assert(graft.model.TsdbLayout.l0Stragglers(spark, db).isEmpty,
+      "routing the straggler through upsert must clear the alert")
 
     // day-exclusivity guard: an ingest tier holding a day the batch
     // layout already owns must refuse to compact, loudly
