@@ -22,7 +22,12 @@ final case class IndexCatalogEntry(
     windowNs: Option[Long] = None,
     fromNs: Option[Long] = None, toNs: Option[Long] = None,
     factor: Option[Double] = None,
-    tag: Option[String] = None, k: Option[Int] = None)
+    tag: Option[String] = None, k: Option[Int] = None,
+    /** true = the catalog wrote (and on retire deletes) this parquet;
+      * false = [[IndexCatalog.adopt]]ed storage someone else owns —
+      * typically a streaming maintainer's live sink — which retire
+      * only de-registers, never deletes. */
+    owned: Boolean = true)
 
 /** Persisted index catalog — the save/load half of index registration,
   * plus the operator surface (list / add / retire without a redeploy).
@@ -92,6 +97,7 @@ object IndexCatalog {
     e.factor.foreach(n.put("factor", _))
     e.tag.foreach(n.put("tag", _))
     e.k.foreach(n.put("k", _))
+    if (!e.owned) n.put("owned", false)
     n
   }
 
@@ -194,11 +200,14 @@ object IndexCatalog {
       nextPos = m.nextPos + staged.size)
   }
 
-  /** De-register entry `pos` from the catalog at `dir` and delete its
-    * parquet directory (nothing references it once the manifest drops
-    * it). Unknown positions fail loudly — a retire that silently
-    * no-ops would let an operator believe an index is gone while every
-    * restart keeps serving from it. */
+  /** De-register entry `pos` from the catalog at `dir`; if the catalog
+    * OWNS the entry's parquet (it came through [[save]]/[[append]]),
+    * delete it too — nothing references it once the manifest drops it.
+    * [[adopt]]ed entries only de-register: their storage belongs to
+    * whoever maintains it (usually a live stream sink). Unknown
+    * positions fail loudly — a retire that silently no-ops would let
+    * an operator believe an index is gone while every restart keeps
+    * serving from it. */
   def retire(dir: String, pos: Int): Unit = {
     val m = parseManifest(dir)
     val (hit, rest) = m.entries.partition(_.pos == pos)
@@ -207,12 +216,58 @@ object IndexCatalog {
         s"(present: ${m.entries.map(_.pos).mkString(", ")})")
     writeManifest(dir, rest, m.nextPos)
     val idxDir = Paths.get(dir).resolve(hit.head.path)
-    if (Files.exists(idxDir)) {
+    if (hit.head.owned && Files.exists(idxDir)) {
       val walk = Files.walk(idxDir)
       try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
         .foreach(f => Files.deleteIfExists(f))
       finally walk.close()
     }
+  }
+
+  /** Register an EXISTING index parquet without copying it — typically
+    * a directory a streaming maintainer keeps fresh
+    * ([[graft.streaming.TsdbStream]]'s rollupBuild / histBuild /
+    * kmvBuild / bucketMeansBuild sinks, whose schemas are the
+    * registered-index schemas by construction). The manifest entry
+    * records the ABSOLUTE data path; [[load]] resolves it directly, so
+    * restarts keep serving from the live directory while the stream
+    * keeps appending (subject to the maintainer's own freshness
+    * contract — see [[graft.engine.Rollup]]'s). [[save]]/[[append]]
+    * WRITE frames the catalog owns; adopt POINTS at storage someone
+    * else owns, and [[retire]] respects the difference. Parameters are
+    * validated per kind exactly like a parsed manifest entry.
+    *
+    * @return the assigned position (the handle [[retire]] takes). */
+  def adopt(dir: String, kind: String, dataPath: String,
+      windowNs: Option[Long] = None,
+      fromNs: Option[Long] = None, toNs: Option[Long] = None,
+      factor: Option[Double] = None,
+      tag: Option[String] = None, k: Option[Int] = None): Int = {
+    val missing: Seq[String] = kind match {
+      case "rollup" | "histogram" | "bucket_sums" =>
+        if (windowNs.isEmpty) Seq("windowNs") else Nil
+      case "kmv" =>
+        Seq("windowNs" -> windowNs, "tag" -> tag, "k" -> k)
+          .collect { case (f, o) if o.isEmpty => f }
+      case "mad" =>
+        Seq("fromNs" -> fromNs, "toNs" -> toNs)
+          .collect { case (f, o) if o.isEmpty => f }
+      case "gap" =>
+        Seq("fromNs" -> fromNs, "toNs" -> toNs, "factor" -> factor)
+          .collect { case (f, o) if o.isEmpty => f }
+      case other => throw new IllegalArgumentException(
+        s"adopt: unknown index kind '$other'")
+    }
+    require(missing.isEmpty,
+      s"adopt (kind $kind) lacks required parameter(s): ${missing.mkString(", ")}")
+    val abs = Paths.get(dataPath).toAbsolutePath
+    require(Files.isDirectory(abs),
+      s"adopt: no index data directory at $abs")
+    val m = parseManifest(dir)
+    writeManifest(dir, m.entries :+ IndexCatalogEntry(m.nextPos, kind,
+      abs.toString, windowNs, fromNs, toNs, factor, tag, k, owned = false),
+      m.nextPos + 1)
+    m.nextPos
   }
 
   // -------------------------------------------------------------- read
@@ -270,7 +325,9 @@ object IndexCatalog {
       val kind = textOf(n, "kind", "<any>")
       val pos = longOf(n, "pos", kind).toInt
       val path = textOf(n, "path", kind)
-      kind match {
+      // absent = owned (the pre-adopt manifest form)
+      val owned = !(n.path("owned").isBoolean && !n.path("owned").asBoolean)
+      (kind match {
         case "rollup" | "histogram" | "bucket_sums" =>
           IndexCatalogEntry(pos, kind, path,
             windowNs = Some(longOf(n, "windowNs", kind)))
@@ -290,7 +347,7 @@ object IndexCatalog {
             factor = Some(doubleOf(n, "factor", kind)))
         case other => throw new IllegalArgumentException(
           s"index catalog entry ${i + 1} has unknown kind '$other'")
-      }
+      }).copy(owned = owned)
     }
     // pos is each entry's identity: duplicates would make retire-by-pos
     // de-register BOTH while reclaiming one parquet — refuse the

@@ -251,6 +251,47 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
       IndexCatalog.append(ctx.copy(rollups = Nil), root))
   }
 
+  test("adopt: externally-owned index storage registers by pointer, not copy") {
+    // the stream-maintainer case: the rollup parquet lives where its
+    // maintainer writes it; adopt records the ABSOLUTE path, load
+    // serves from it directly, and retire de-registers WITHOUT
+    // deleting storage the catalog does not own
+    val data = tmp() + "/live_rollup"
+    Rollup.write(ctx.samples, data, hourNs)
+    val root = tmp()
+    IndexCatalog.save(ctx, root) // empty catalog (no indexes) — valid
+    val pos = IndexCatalog.adopt(root, "rollup", data,
+      windowNs = Some(hourNs))
+    val d = IndexCatalog.describe(root)
+    assert(d.map(e => (e.pos, e.kind, e.windowNs, e.owned)) ===
+      Seq((pos, "rollup", Some(hourNs), false)))
+    val ls = Files.list(Paths.get(root))
+    try assert(!ls.iterator().asScala
+      .exists(_.getFileName.toString.startsWith("idx_")),
+      "adopt must not copy the data into the catalog directory")
+    finally ls.close()
+    // serves exactly like owned registration
+    val loaded = new Engine(IndexCatalog.load(spark, root, cachedCtx))
+    val handWired = new Engine(cachedCtx.copy(
+      rollups = Seq(hourNs -> spark.read.parquet(data))))
+    val ga = """{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                     "func": ["min", "max", "cnt"]},
+                 "range": {"from": "20240101T000000", "to": "20240401T000000"}}"""
+    assert(rowsOf(loaded.execute(ga)) === rowsOf(handWired.execute(ga)))
+    // retire de-registers but the maintainer's storage survives
+    IndexCatalog.retire(root, pos)
+    assert(IndexCatalog.describe(root).isEmpty)
+    assert(Files.isDirectory(Paths.get(data)),
+      "retiring an adopted entry must not delete externally-owned data")
+    // parameter validation is per kind, loud
+    val e = intercept[IllegalArgumentException](
+      IndexCatalog.adopt(root, "gap", data, fromNs = Some(0L)))
+    assert(e.getMessage.contains("toNs") && e.getMessage.contains("factor"))
+    intercept[IllegalArgumentException](
+      IndexCatalog.adopt(root, "rollup", tmp() + "/absent",
+        windowNs = Some(hourNs)))
+  }
+
   test("writeDatabase / openDatabase: the full restart unit round-trips") {
     // one directory = catalog + events + partitioned/sorted samples
     // layout + index catalog; openDatabase reconstructs the whole

@@ -569,6 +569,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(served.collect().toSeq ===
       new graft.engine.Engine(ctx).execute(stmt).collect().toSeq,
       "recovered-sink serving must equal the raw-scan statement bit-for-bit")
+
+    // and the LIVING-database composition: the stream-maintained sink
+    // ADOPTS into a persisted catalog (pointer, not copy), so a
+    // catalog-loaded restart serves from the directory the stream
+    // keeps appending to
+    val catDir = java.nio.file.Files
+      .createTempDirectory("graft_rollup_adopt").toString
+    graft.model.IndexCatalog.save(ctx, catDir)
+    graft.model.IndexCatalog.adopt(catDir, "rollup", out,
+      windowNs = Some(step))
+    val viaCatalog = new graft.engine.Engine(
+      graft.model.IndexCatalog.load(spark, catDir, ctx)).execute(stmt)
+    assert(viaCatalog.collect().toSeq === served.collect().toSeq,
+      "catalog-adopted stream sink must serve identically")
   }
 
   test("bucketMeansBuild: kill mid-bucket, restart from checkpoint — the recovered sink serves trend batch-exactly") {
