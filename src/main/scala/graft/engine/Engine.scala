@@ -48,6 +48,15 @@ object Engine {
     * rollup's favor as raw density grows toward the 100 TB regime). */
   val RollupMinServedBins = 8L
 
+  /** Open a [[graft.model.TsdbLayout.writeDatabase]] directory and
+    * build the engine over it — the one-call restart path: catalog,
+    * events, the pruned samples layout (two-tier when a live ingest
+    * sink is present) and every cataloged index re-register from
+    * storage, and this constructor's shape guards re-validate the
+    * loaded frames before anything serves. */
+  def open(spark: org.apache.spark.sql.SparkSession, dir: String): Engine =
+    new Engine(graft.model.TsdbLayout.openDatabase(spark, dir))
+
   /** Minimum average samples per stored fine bin — the rollup's measured
     * compression ratio (it stores only non-empty bins, so avg(cnt) =
     * raw rows ÷ rollup rows) — before HYBRID serving (rollup interior +

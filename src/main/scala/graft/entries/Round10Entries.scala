@@ -95,13 +95,14 @@ object Round10Entries {
                "where": {"user": ["2", "4", "6", "8"]}}"""))
     }),
 
-    // the TWO-TIER database end-to-end: batch layout owns Jan-Feb, a
-    // real stream delivered March into the L0 tier, compactL0 claimed
-    // early March into the batch layout (watermark mid-month) — this
-    // select reads THREE provenances (batch, compacted-from-stream,
-    // live L0) through one opened context and must equal the plain
-    // scan exactly: tier flips change plans, never answers. Oracle
-    // shared with ts_layout_select
+    // the TWO-TIER database end-to-end: the batch layout owns the
+    // window's first 19 days (the testdata spans January), a real
+    // stream delivered Jan 20-30 into the L0 tier, and compactL0
+    // claimed days 20-24 into the batch layout (watermark Jan 25) —
+    // this select reads THREE provenances (batch, compacted-from-
+    // stream, live L0) through one opened context and must equal the
+    // plain scan exactly: tier flips change plans, never answers.
+    // Oracle shared with ts_layout_select
     "ts_select_l0_db" -> ((s, dir) =>
       EntryUtil.usView(EntryUtil.engineL0DbFor(s, dir).execute(
         s"""{"select": "purchase",

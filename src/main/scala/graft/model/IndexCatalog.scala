@@ -325,8 +325,14 @@ object IndexCatalog {
       val kind = textOf(n, "kind", "<any>")
       val pos = longOf(n, "pos", kind).toInt
       val path = textOf(n, "path", kind)
-      // absent = owned (the pre-adopt manifest form)
-      val owned = !(n.path("owned").isBoolean && !n.path("owned").asBoolean)
+      // absent = owned (the pre-adopt manifest form); if present it
+      // must be a JSON boolean — a lenient parse here could read a
+      // hand-edited "false" string as owned and let retire delete a
+      // live maintainer's storage
+      val ownedNode = n.path("owned")
+      require(ownedNode.isMissingNode || ownedNode.isBoolean,
+        s"index catalog entry (kind $kind) has non-boolean 'owned'")
+      val owned = ownedNode.isMissingNode || ownedNode.asBoolean
       (kind match {
         case "rollup" | "histogram" | "bucket_sums" =>
           IndexCatalogEntry(pos, kind, path,

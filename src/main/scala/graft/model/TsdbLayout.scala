@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical layout of the samples fact table at scale.
@@ -94,15 +94,26 @@ object TsdbLayout {
         "series_id")
       .withColumn("ts_day",
         graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
-      .select("series_id", "ts", "value", "metric", "ts_day")
+      .select(SampleCols.map(col): _*)
     val affected = lateKeyed.select("metric", "ts_day").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
     if (affected.isEmpty) return 0
-    val pred = affected
-      .map { case (m, d) => col("metric") === m && col("ts_day") === d }
-      .reduce(_ || _)
-    val existing = readSamples(spark, path).where(pred)
-      .select("series_id", "ts", "value", "metric", "ts_day")
+    // two-tier boundary: in a database with a live ingest tier, a day
+    // at or above the compaction watermark is L0-OWNED — an upsert
+    // into it would double-read immediately (the reader unions both
+    // tiers for that day) and brick the next compactL0's exclusivity
+    // check. Correct such days after compaction claims them.
+    val parent = new java.io.File(path).getParentFile
+    if (parent != null && new java.io.File(parent, "samples_l0").exists()) {
+      val wm = l0Watermark(parent.toString)
+      val owned = affected.filter(_._2 >= wm)
+      require(owned.isEmpty,
+        s"upsertSamples: day(s) ${owned.map(_._2).distinct.mkString(", ")} " +
+          s"are still owned by the live ingest tier (watermark $wm) — " +
+          s"correct them after compactL0 claims the day")
+    }
+    val existing = readSamples(spark, path).where(dayPred(affected))
+      .select(SampleCols.map(col): _*)
     // replace ONLY keys the late batch names: an anti-join (late keys
     // broadcast — the batch is small by definition) keeps every other
     // on-disk row byte-for-byte, INCLUDING pre-existing duplicate-ts
@@ -111,21 +122,42 @@ object TsdbLayout {
     val lateDedup = lateKeyed
       .groupBy("series_id", "ts", "metric", "ts_day")
       .agg(max(col("value")).as("value"))
-      .select("series_id", "ts", "value", "metric", "ts_day")
+      .select(SampleCols.map(col): _*)
     val merged = existing
       .join(broadcast(lateDedup.select("series_id", "ts").distinct()),
         Seq("series_id", "ts"), "left_anti")
       .unionByName(lateDedup)
       .localCheckpoint()
+    writeSortedPartitions(spark, merged, path)
+    affected.length
+  }
+
+  /** The canonical laid-out samples column set. */
+  private val SampleCols = Seq("series_id", "ts", "value", "metric", "ts_day")
+
+  /** (metric, ts_day) membership predicate over a collected day list —
+    * the partition-pruning shape every slice-scoped rewrite/read here
+    * shares. */
+  private def dayPred(affected: Seq[(String, Long)]): Column =
+    affected
+      .map { case (m, d) => col("metric") === m && col("ts_day") === d }
+      .reduce(_ || _)
+
+  /** The layout's one partition-rewrite protocol: repartition to one
+    * task per (metric, day), restore the within-file (series_id, ts)
+    * sort, dynamic-partition-overwrite ONLY the directories the frame
+    * writes. Shared by [[upsertSamples]] and [[compactL0]] so the sort
+    * key and overwrite mode can never drift between them. */
+  private def writeSortedPartitions(spark: SparkSession, df: DataFrame,
+      path: String): Unit = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")
-    try merged
+    try df
       .repartition(col("metric"), col("ts_day"))
       .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
       .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
     finally spark.conf.set(key, prev)
-    affected.length
   }
 
   /** Time-based retention: drop every `ts_day` partition directory older
@@ -284,7 +316,6 @@ object TsdbLayout {
     * to exactly those days before the anti-join; never a full-history
     * scan. Empty frame when the tier is absent or nothing straggles. */
   def l0Stragglers(spark: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -296,19 +327,19 @@ object TsdbLayout {
           org.apache.spark.sql.types.LongType))))
     readL0(spark, dir) match {
       case Some(l0) =>
-        val below = l0.select(cols.map(col): _*)
+        val below = l0.select(SampleCols.map(col): _*)
           .where(col("ts_day") < l0Watermark(dir))
         val days = below.select("metric", "ts_day").distinct()
           .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
         if (days.isEmpty) return empty
-        val pred = days
-          .map { case (m, d) => col("metric") === m && col("ts_day") === d }
-          .reduce(_ || _)
         below.join(
-            readSamples(spark, s"$dir/samples").where(pred)
-              .select(cols.map(col): _*),
+            readSamples(spark, s"$dir/samples").where(dayPred(days))
+              .select(SampleCols.map(col): _*),
             Seq("series_id", "ts", "value", "metric"), "left_anti")
-          .groupBy("metric", "ts_day")
+          // partition-inferred ts_day reads as Int; pin the Long the
+          // empty branch declares so pollers can append/union frames
+          // across calls without a schema-merge surprise
+          .groupBy(col("metric"), col("ts_day").cast("long").as("ts_day"))
           .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
       case None => empty
     }
@@ -343,13 +374,15 @@ object TsdbLayout {
     *
     * Day exclusivity is REQUIRED and checked: the batch layout must
     * hold no rows in the days being claimed (normal operation — the
-    * batch load ends before ingest begins; a violation fails loudly
-    * rather than double-writing a day). That makes the rewrite
-    * IDEMPOTENT: a crash between the partition overwrite committing
-    * and the watermark advancing double-reads the slice until
-    * compactL0 re-runs, and the re-run overwrites the same partitions
-    * with identical content before advancing the watermark — the
-    * recovery is the operation itself.
+    * batch load ends before ingest begins), with ONE tolerated
+    * exception: when the claimed days' batch content already EQUALS
+    * the settled L0 slice (verified multiset-exactly, pruned to those
+    * days), the run recognizes a prior overwrite that committed
+    * without its watermark — the crash window — and recovers by
+    * advancing the watermark alone. Anything else fails loudly rather
+    * than double-writing a day. A crash between overwrite-commit and
+    * watermark-advance therefore double-reads the slice only until
+    * compactL0 re-runs; the re-run IS the recovery.
     *
     * Physical reclamation of compacted L0 files rides the sink's own
     * lifecycle: the file-sink transaction log pins them, so a
@@ -368,36 +401,38 @@ object TsdbLayout {
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val wm = l0Watermark(dir)
     if (cutoffDay <= wm) return 0
-    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
     val l0 = readL0(spark, dir) match {
       case Some(f) => f
       case None => writeL0Watermark(dir, cutoffDay); return 0
     }
     val settled = l0
-      .select(cols.map(col): _*)
+      .select(SampleCols.map(col): _*)
       .where(col("ts_day") >= wm && col("ts_day") < cutoffDay)
     // ts_day is a directory-inferred partition column (IntegerType on
     // read, LongType when carried through a write) — accept either
     val affected = settled.select("metric", "ts_day").distinct()
       .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
     if (affected.isEmpty) { writeL0Watermark(dir, cutoffDay); return 0 }
-    val pred = affected
-      .map { case (m, d) => col("metric") === m && col("ts_day") === d }
-      .reduce(_ || _)
-    val alreadyThere = readSamples(spark, s"$dir/samples").where(pred)
-    require(alreadyThere.isEmpty,
-      s"compactL0: batch layout already holds rows in the days being " +
-        s"claimed (${affected.take(5).mkString(", ")}…) — day ownership " +
-        s"must be exclusive between tiers")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try settled
-      .repartition(col("metric"), col("ts_day"))
-      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
-      .write.partitionBy("metric", "ts_day").mode("overwrite")
-      .parquet(s"$dir/samples")
-    finally spark.conf.set(key, prev)
+    val alreadyThere = readSamples(spark, s"$dir/samples")
+      .where(dayPred(affected)).select(SampleCols.map(col): _*)
+    if (!alreadyThere.isEmpty) {
+      // distinguish the crash state (a prior run's overwrite committed
+      // but its watermark never advanced: the claimed days' batch
+      // content ALREADY equals the settled slice — recovery = advance
+      // the watermark, nothing to rewrite) from a genuine ownership
+      // violation (anything else — loud, never a double-written day).
+      // Both exceptAll reads stay pruned to the claimed days.
+      val equal = alreadyThere.exceptAll(settled).isEmpty &&
+        settled.exceptAll(alreadyThere).isEmpty
+      require(equal,
+        s"compactL0: batch layout already holds rows in the days being " +
+          s"claimed (${affected.take(5).mkString(", ")}…) that do not " +
+          s"match the settled L0 slice — day ownership must be " +
+          s"exclusive between tiers")
+      writeL0Watermark(dir, cutoffDay)
+      return affected.length
+    }
+    writeSortedPartitions(spark, settled, s"$dir/samples")
     writeL0Watermark(dir, cutoffDay)
     affected.length
   }

@@ -189,6 +189,14 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
       IndexCatalog.load(spark, root, ctx))
     assert(e5.getMessage.contains("windowNs"))
 
+    // a non-boolean 'owned' (hand-edited): lenient parsing here could
+    // read "false" as owned and let retire delete a live sink
+    rewrite(root, lines.map(_.replace("\"path\":\"idx_0_rollup\"",
+      "\"path\":\"idx_0_rollup\",\"owned\":\"nope\"")))
+    val eOwned = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, root, ctx))
+    assert(eOwned.getMessage.contains("non-boolean 'owned'"))
+
     // duplicate pos values (a hand-edited or merge-mangled manifest):
     // retire-by-pos would de-register both while reclaiming one parquet
     rewrite(root, lines.head.replace("\"entries\":1", "\"entries\":2")
@@ -304,7 +312,8 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     graft.model.TsdbLayout.writeDatabase(withRollup, dbDir)
     val opened = graft.model.TsdbLayout.openDatabase(spark, dbDir)
     assert(opened.rollups.map(_._1) === Seq(hourNs))
-    val openedEng = new Engine(opened)
+    // the one-call restart path is the same thing
+    val openedEng = Engine.open(spark, dbDir)
     val handWired = new Engine(withRollup)
     val stmts = Seq(
       // fully-aligned group-aggregate: rollup-served

@@ -451,6 +451,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 0)
     assert(servedRows() === oracle)
 
+    // CRASH RECOVERY: simulate the window where the overwrite
+    // committed but the watermark never advanced (delete the watermark
+    // file — the claimed days now sit in BOTH tiers and double-read);
+    // the re-run must recognize batch == settled slice, advance the
+    // watermark, and restore single-read answers — never throw
+    java.nio.file.Files.delete(java.nio.file.Paths.get(db, "l0_watermark"))
+    assert(servedRows() !== oracle,
+      "the simulated crash window must actually double-read (else this " +
+        "test proves nothing)")
+    assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 2,
+      "the re-run must recover, not throw")
+    assert(graft.model.TsdbLayout.l0Watermark(db) === 4L)
+    assert(servedRows() === oracle, "recovery restores single-read answers")
+
     // LATE DATA below the watermark: a straggler streamed into a
     // claimed day is reader-invisible (its day is batch-owned), the
     // l0Stragglers alert reports it, and routing it through
@@ -477,14 +491,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.model.TsdbLayout.l0Stragglers(spark, db).isEmpty,
       "routing the straggler through upsert must clear the alert")
 
+    // the upsert BOUNDARY: a correction into a day the L0 tier still
+    // owns (ts_day >= watermark) must refuse loudly — writing it would
+    // double-read the day immediately and brick the next compaction
+    val eUp = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+        Seq((xId, 100 * h, 1.0)).toDF("series_id", "ts", "value"),
+        ctxOf(all).series))
+    assert(eUp.getMessage.contains("owned by the live ingest tier"))
+
     // day-exclusivity guard: an ingest tier holding a day the batch
-    // layout already owns must refuse to compact, loudly
+    // layout already owns WITH DIFFERENT CONTENT must refuse to
+    // compact, loudly (identical content is the tolerated crash state)
     val db2 = java.nio.file.Files.createTempDirectory("graft_l0_db2").toString
     graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db2)
     val in2 = s"$db2/ingest_in"; new java.io.File(in2).mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/a.txt"),
-      all.filter(_._2 < 24 * h) // day 0 — already owned by batch
-        .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+      all.filter(_._2 < 24 * h) // day 0 — already owned by batch...
+        .map { case (u, ts, v) => s"$u,$ts,${v + 1.0}" } // ...and conflicting
+        .mkString("\n").getBytes)
     val q2 = TsdbStream.layoutIngest(
       spark.readStream.format("text").load(in2)
         .selectExpr(
