@@ -193,7 +193,15 @@ final class Engine(val ctx: TsdbContext) {
     if (q.apply.nonEmpty)
       throw new BadQuery("select-events does not support 'apply' (event streams carry string bodies)")
     val ids = resolvedIds(Seq(q.metric), q.where, q.groupBy, location = q.location)
-    var df = ctx.events
+    // a laid-out events table (TsdbLayout.writeEvents) carries metric
+    // and ts_day partition columns: push both so the scan prunes to
+    // exactly this metric's ranged days — the samples path's two-level
+    // pruning for the log half; plain frames skip both (no-ops)
+    val evBase =
+      if (ctx.events.columns.contains("metric"))
+        ctx.events.where(col("metric") === q.metric)
+      else ctx.events
+    var df = tsDayPruned(evBase, q.range)
       .join(broadcast(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(q.range))
     q.regex.foreach(re => df = df.where(col("body").rlike(re)))

@@ -107,7 +107,19 @@ object Round10Entries {
       EntryUtil.usView(EntryUtil.engineL0DbFor(s, dir).execute(
         s"""{"select": "purchase",
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
-             "where": {"user": ["2", "4", "6", "8"]}}"""))))
+             "where": {"user": ["2", "4", "6", "8"]}}"""))),
+
+    // the LOG half of the database directory: writeDatabase lays out
+    // events partitioned by (metric, ts_day) exactly like samples, and
+    // select-events through the OPENED database pushes both partition
+    // predicates (plan-pinned in LayoutSpec) — the reference's event
+    // series get the same two-level pruning as metrics at 100 TB.
+    // Same statement and oracle as ts_select_events_regex
+    "ts_select_events_opened_db" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineOpenedDbFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)))
 
   /** One sweep config's mirror CTEs + metrics row: the SAME
     * [[EntryUtil.minhashSqlParts]] generator the docs_minhash_pairs
@@ -181,5 +193,8 @@ object Round10Entries {
     // stream-ingested layout = batch-written layout exactly
     "stream_layout_ingest" -> Round5Entries.oracle("ts_layout_select"),
     // three-provenance read = the plain scan exactly
-    "ts_select_l0_db" -> Round5Entries.oracle("ts_layout_select"))
+    "ts_select_l0_db" -> Round5Entries.oracle("ts_layout_select"),
+    // laid-out events = the flat events frame exactly
+    "ts_select_events_opened_db" ->
+      TsdbEntries.oracle("ts_select_events_regex"))
 }

@@ -132,6 +132,24 @@ object TsdbLayout {
     affected.length
   }
 
+  /** Write `ctx.events` (joined to its catalog for the metric key) the
+    * same way [[writeSamples]] lays out the metric facts: partitioned
+    * by (metric, ts_day), (series_id, ts)-sorted within files. Event
+    * streams are the LOG half of the model — at 100 TB usually the
+    * bulkier half — and get the identical two-level pruning: a
+    * select-events over one event metric and a few days touches only
+    * those directories ([[graft.engine.Engine.selectEvents]] pushes
+    * both predicates when the columns are present). */
+  def writeEvents(ctx: TsdbContext, path: String): Unit =
+    ctx.events
+      .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
+        "series_id")
+      .withColumn("ts_day",
+        graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
+      .repartition(col("metric"), col("ts_day"))
+      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
+      .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
+
   /** The canonical laid-out samples column set. */
   private val SampleCols = Seq("series_id", "ts", "value", "metric", "ts_day")
 
@@ -247,7 +265,12 @@ object TsdbLayout {
     * ZERO re-derivation from code. */
   def writeDatabase(ctx: TsdbContext, dir: String): Unit = {
     ctx.series.write.mode("overwrite").parquet(s"$dir/series")
-    ctx.events.write.mode("overwrite").parquet(s"$dir/events")
+    // events get the partitioned layout too (the log half is usually
+    // the bulkier one); an EMPTY events frame writes flat — a
+    // zero-row partitionBy write produces no readable footer at all
+    if (ctx.events.isEmpty)
+      ctx.events.write.mode("overwrite").parquet(s"$dir/events")
+    else writeEvents(ctx, s"$dir/events")
     writeSamples(ctx, s"$dir/samples")
     IndexCatalog.save(ctx, s"$dir/indexes")
   }

@@ -10,6 +10,29 @@ import graft.query.Ast._
   * metric predicates become partition pruning. */
 class LayoutSpec extends AnyFunSuite with SparkTestBase {
 
+  test("events layout: round-trip preserves select-events and prunes (metric, ts_day)") {
+    // the log half gets the samples treatment: writeEvents partitions
+    // by (metric, ts_day); selectEvents over the laid-out frame pushes
+    // both predicates and answers exactly like the flat events frame
+    val ctx = graft.model.TsdbContext.fromTestdata(
+      spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_events_layout").toString
+    TsdbLayout.writeEvents(ctx, path)
+    val laid = ctx.copy(events = spark.read.parquet(path))
+    val q = s"""{"select-events": "!log",
+                 "range": {"from": "20240105T000000", "to": "20240110T000000"},
+                 "filter": "\\"k\\": 4[0-9]"}"""
+    val a = new Engine(ctx).execute(q).collect().toSeq
+    val b = new Engine(laid).execute(q).collect().toSeq
+    assert(a.nonEmpty && a === b,
+      "laid-out events must answer exactly like the flat frame")
+    val plan = new Engine(laid).execute(q).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ts_day") &&
+      plan.contains("metric"),
+      s"select-events must push metric + ts_day partition filters:\n$plan")
+  }
+
   test("layout round-trip preserves query results and prunes partitions") {
     // compact fixture: 3 series, samples across 3 distinct days
     import spark.implicits._
