@@ -27,11 +27,27 @@ object TsdbLayout {
   private val NsPerDay = graft.time.TimeUtil.NsPerDay
 
   /** Write `ctx.samples` (joined to its catalog for the metric key) as a
-    * partitioned, sorted Parquet dataset under `path`. */
+    * partitioned, sorted Parquet dataset under `path`. A frame that
+    * already carries the layout keys (one read back from a layout —
+    * the re-save/rotation case) skips the derivation instead of
+    * producing ambiguous columns. Rows whose series_id is not in the
+    * catalog are dropped: the catalog is the registration authority
+    * (registration-on-write derives it FROM the data, so uncataloged
+    * facts cannot arise in the supported flow) — register before
+    * persisting. */
   def writeSamples(ctx: TsdbContext, path: String,
-      filesPerPartition: Int = 1): Unit = {
-    val withMetric = ctx.samples
-      .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
+      filesPerPartition: Int = 1): Unit =
+    sortedPartitionWrite(keyed(ctx.samples, ctx.series), path,
+      replaceOnlyWritten = false)
+
+  /** Join facts to the broadcast catalog for the metric key and derive
+    * the exact-floor ts_day — or pass a frame through untouched when it
+    * already carries both layout keys. */
+  private def keyed(facts: DataFrame, series: DataFrame): DataFrame =
+    if (facts.columns.contains("metric") && facts.columns.contains("ts_day"))
+      facts
+    else facts
+      .join(broadcast(series.select(col("series_id"), col("metric"))),
         "series_id")
       // exact Long FLOOR division: `/` on Long columns is double division
       // (misassigns samples within ~128 ns of midnight past 2^53), and
@@ -40,14 +56,6 @@ object TsdbLayout {
       // pruning wrongly skip a directory at a range boundary
       .withColumn("ts_day",
         graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
-    withMetric
-      .repartition(col("metric"), col("ts_day"))
-      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
-      .write
-      .partitionBy("metric", "ts_day")
-      .mode("overwrite")
-      .parquet(path)
-  }
 
   /** Read a layout written by [[writeSamples]]: (series_id, ts, value,
     * metric, ts_day) with metric/ts_day as partition columns — predicates
@@ -102,15 +110,31 @@ object TsdbLayout {
     // at or above the compaction watermark is L0-OWNED — an upsert
     // into it would double-read immediately (the reader unions both
     // tiers for that day) and brick the next compactL0's exclusivity
-    // check. Correct such days after compaction claims them.
+    // check. Correct such days after compaction claims them. Before
+    // the FIRST compaction no watermark exists and ">= Long.MinValue"
+    // would refuse every day, including purely batch-owned history L0
+    // will never hold — so in that window the guard checks the days
+    // the L0 tier ACTUALLY shows rows for (all of L0 is
+    // reader-visible then, so those and only those would double-read).
     val parent = new java.io.File(path).getParentFile
     if (parent != null && new java.io.File(parent, "samples_l0").exists()) {
-      val wm = l0Watermark(parent.toString)
-      val owned = affected.filter(_._2 >= wm)
+      val db = parent.toString
+      val hasWm = java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(db, "l0_watermark"))
+      val owned: Seq[(String, Long)] =
+        if (hasWm) {
+          val wm = l0Watermark(db)
+          affected.filter(_._2 >= wm).toSeq
+        } else readL0(spark, db) match {
+          case Some(l0) => l0.where(dayPred(affected))
+            .select("metric", "ts_day").distinct().collect()
+            .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq
+          case None => Nil
+        }
       require(owned.isEmpty,
         s"upsertSamples: day(s) ${owned.map(_._2).distinct.mkString(", ")} " +
-          s"are still owned by the live ingest tier (watermark $wm) — " +
-          s"correct them after compactL0 claims the day")
+          s"are still owned by the live ingest tier — correct them " +
+          s"after compactL0 claims the day")
     }
     val existing = readSamples(spark, path).where(dayPred(affected))
       .select(SampleCols.map(col): _*)
@@ -128,7 +152,7 @@ object TsdbLayout {
         Seq("series_id", "ts"), "left_anti")
       .unionByName(lateDedup)
       .localCheckpoint()
-    writeSortedPartitions(spark, merged, path)
+    sortedPartitionWrite(merged, path, replaceOnlyWritten = true)
     affected.length
   }
 
@@ -139,16 +163,11 @@ object TsdbLayout {
     * bulkier half — and get the identical two-level pruning: a
     * select-events over one event metric and a few days touches only
     * those directories ([[graft.engine.Engine.selectEvents]] pushes
-    * both predicates when the columns are present). */
+    * both predicates when the columns are present). Same already-keyed
+    * pass-through and uncataloged-rows contract as [[writeSamples]]. */
   def writeEvents(ctx: TsdbContext, path: String): Unit =
-    ctx.events
-      .join(broadcast(ctx.series.select(col("series_id"), col("metric"))),
-        "series_id")
-      .withColumn("ts_day",
-        graft.functions.VectorExpressions.longFloorDiv(col("ts"), NsPerDay))
-      .repartition(col("metric"), col("ts_day"))
-      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
-      .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
+    sortedPartitionWrite(keyed(ctx.events, ctx.series), path,
+      replaceOnlyWritten = false)
 
   /** The canonical laid-out samples column set. */
   private val SampleCols = Seq("series_id", "ts", "value", "metric", "ts_day")
@@ -161,21 +180,27 @@ object TsdbLayout {
       .map { case (m, d) => col("metric") === m && col("ts_day") === d }
       .reduce(_ || _)
 
-  /** The layout's one partition-rewrite protocol: repartition to one
+  /** The layout's ONE partitioned-write protocol: repartition to one
     * task per (metric, day), restore the within-file (series_id, ts)
-    * sort, dynamic-partition-overwrite ONLY the directories the frame
-    * writes. Shared by [[upsertSamples]] and [[compactL0]] so the sort
-    * key and overwrite mode can never drift between them. */
-  private def writeSortedPartitions(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try df
+    * sort, overwrite. `replaceOnlyWritten = true` scopes the overwrite
+    * to the directories the frame writes (the [[upsertSamples]]/
+    * [[compactL0]] slice rewrites); false replaces the whole dataset
+    * (the full [[writeSamples]]/[[writeEvents]] loads). One helper so
+    * the sort key and overwrite mode can never drift between callers. */
+  private def sortedPartitionWrite(df: DataFrame, path: String,
+      replaceOnlyWritten: Boolean): Unit = {
+    def write(): Unit = df
       .repartition(col("metric"), col("ts_day"))
       .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
       .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
-    finally spark.conf.set(key, prev)
+    if (!replaceOnlyWritten) write()
+    else {
+      val spark = df.sparkSession
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "static")
+      spark.conf.set(key, "dynamic")
+      try write() finally spark.conf.set(key, prev)
+    }
   }
 
   /** Time-based retention: drop every `ts_day` partition directory older
@@ -438,24 +463,31 @@ object TsdbLayout {
     if (affected.isEmpty) { writeL0Watermark(dir, cutoffDay); return 0 }
     val alreadyThere = readSamples(spark, s"$dir/samples")
       .where(dayPred(affected)).select(SampleCols.map(col): _*)
-    if (!alreadyThere.isEmpty) {
-      // distinguish the crash state (a prior run's overwrite committed
-      // but its watermark never advanced: the claimed days' batch
-      // content ALREADY equals the settled slice — recovery = advance
-      // the watermark, nothing to rewrite) from a genuine ownership
-      // violation (anything else — loud, never a double-written day).
-      // Both exceptAll reads stay pruned to the claimed days.
-      val equal = alreadyThere.exceptAll(settled).isEmpty &&
-        settled.exceptAll(alreadyThere).isEmpty
+    // PER-DAY split so recovery composes with a LATER cutoff (cutoffs
+    // track wall clock; a re-run after a crash rarely replays the
+    // crashed run's exact cutoff): days the batch already holds must
+    // multiset-equal their settled slice — the recognized crash state,
+    // nothing to rewrite — while days absent from the batch are the
+    // new work. Any content mismatch on an occupied day stays loud.
+    // One action decides equality (both exceptAll sides pruned to the
+    // occupied days).
+    val occupiedDays = alreadyThere.select("metric", "ts_day").distinct()
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+      .toSet
+    if (occupiedDays.nonEmpty) {
+      val settledOccupied = settled.where(dayPred(occupiedDays.toSeq))
+      val equal = alreadyThere.exceptAll(settledOccupied)
+        .union(settledOccupied.exceptAll(alreadyThere)).isEmpty
       require(equal,
-        s"compactL0: batch layout already holds rows in the days being " +
-          s"claimed (${affected.take(5).mkString(", ")}…) that do not " +
+        s"compactL0: batch layout already holds rows in claimed day(s) " +
+          s"(${occupiedDays.take(5).mkString(", ")}…) that do not " +
           s"match the settled L0 slice — day ownership must be " +
           s"exclusive between tiers")
-      writeL0Watermark(dir, cutoffDay)
-      return affected.length
     }
-    writeSortedPartitions(spark, settled, s"$dir/samples")
+    val toWrite = affected.filterNot(occupiedDays)
+    if (toWrite.nonEmpty)
+      sortedPartitionWrite(settled.where(dayPred(toWrite)),
+        s"$dir/samples", replaceOnlyWritten = true)
     writeL0Watermark(dir, cutoffDay)
     affected.length
   }

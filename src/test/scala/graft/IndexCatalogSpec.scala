@@ -327,13 +327,25 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     for (q <- stmts)
       assert(rowsOf(openedEng.execute(q)) === rowsOf(handWired.execute(q)),
         s"opened database must answer exactly like hand-wired wiring for $q")
+    // RE-SAVE: a context read back from a database (facts already
+    // carrying the layout keys) writes a second database without
+    // ambiguous-column failures and serves identically — the
+    // rotation/copy path
+    val dbDir2 = tmp()
+    graft.model.TsdbLayout.writeDatabase(opened, dbDir2)
+    assert(rowsOf(Engine.open(spark, dbDir2).execute(stmts.head)) ===
+      rowsOf(handWired.execute(stmts.head)),
+      "a re-saved database must serve exactly like the original")
+
     // the ranged select's scan is partition-pruned: the metric and
     // ts_day predicates must reach PartitionFilters on the layout scan
     // (the layout's own pruning law — LayoutSpec proves the day-window
     // arithmetic; here we pin that an OPENED database keeps it)
     val plan = openedEng.execute(stmts(1)).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("ts_day"),
-      s"the opened layout scan must carry partition filters:\n$plan")
+    // assert on the bracket CONTENT: "PartitionFilters: []" plus ts_day
+    // appearing elsewhere (ReadSchema, data filters) must not pass
+    assert("PartitionFilters: \\[[^\\]]*ts_day".r.findFirstIn(plan).isDefined,
+      s"the opened layout scan must carry a ts_day partition filter:\n$plan")
   }
 
   test("missing index data and wrong-schema index data fail loudly") {

@@ -28,8 +28,10 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty && a === b,
       "laid-out events must answer exactly like the flat frame")
     val plan = new Engine(laid).execute(q).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("ts_day") &&
-      plan.contains("metric"),
+    // assert on the bracket CONTENT: "PartitionFilters: []" plus the
+    // column names appearing elsewhere in the plan must not pass
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan)
+    assert(pf.exists(f => f.contains("ts_day") && f.contains("metric")),
       s"select-events must push metric + ts_day partition filters:\n$plan")
   }
 

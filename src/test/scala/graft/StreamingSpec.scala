@@ -394,8 +394,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       new graft.engine.Engine(ctx).execute(stmt).collect().toSeq,
       "stream-ingested layout must serve the select bit-for-bit")
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("ts_day"),
-      s"the ingested layout scan must carry partition filters:\n$plan")
+    // bracket-content assert: an empty PartitionFilters list must fail
+    assert("PartitionFilters: \\[[^\\]]*ts_day".r.findFirstIn(plan).isDefined,
+      s"the ingested layout scan must carry a ts_day partition filter:\n$plan")
   }
 
   test("compactL0: settled ingest days move into the batch layout; answers never change") {
@@ -451,19 +452,22 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 0)
     assert(servedRows() === oracle)
 
-    // CRASH RECOVERY: simulate the window where the overwrite
-    // committed but the watermark never advanced (delete the watermark
-    // file — the claimed days now sit in BOTH tiers and double-read);
-    // the re-run must recognize batch == settled slice, advance the
-    // watermark, and restore single-read answers — never throw
+    // CRASH RECOVERY, with a LATER cutoff: simulate the window where
+    // the overwrite committed but the watermark never advanced (delete
+    // the watermark file — the claimed days now sit in BOTH tiers and
+    // double-read), then recover with tomorrow's scheduled cutoff, not
+    // the crashed run's: occupied days verify multiset-equal per day,
+    // the newly-settled day 4 is genuinely moved, and answers heal
     java.nio.file.Files.delete(java.nio.file.Paths.get(db, "l0_watermark"))
     assert(servedRows() !== oracle,
       "the simulated crash window must actually double-read (else this " +
         "test proves nothing)")
-    assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 2,
-      "the re-run must recover, not throw")
-    assert(graft.model.TsdbLayout.l0Watermark(db) === 4L)
+    assert(graft.model.TsdbLayout.compactL0(spark, db, 120 * h) === 3,
+      "the later-cutoff re-run must recover days 2-3 AND move day 4")
+    assert(graft.model.TsdbLayout.l0Watermark(db) === 5L)
+    assert(new java.io.File(s"$db/samples/metric=m/ts_day=4").isDirectory)
     assert(servedRows() === oracle, "recovery restores single-read answers")
+    assert(graft.model.TsdbLayout.compactL0(spark, db, 120 * h) === 0)
 
     // LATE DATA below the watermark: a straggler streamed into a
     // claimed day is reader-invisible (its day is batch-owned), the
@@ -492,11 +496,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "routing the straggler through upsert must clear the alert")
 
     // the upsert BOUNDARY: a correction into a day the L0 tier still
-    // owns (ts_day >= watermark) must refuse loudly — writing it would
-    // double-read the day immediately and brick the next compaction
+    // owns (ts_day >= watermark, = 5 after the later-cutoff recovery)
+    // must refuse loudly — writing it would double-read the day
+    // immediately and brick the next compaction
     val eUp = intercept[IllegalArgumentException](
       graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
-        Seq((xId, 100 * h, 1.0)).toDF("series_id", "ts", "value"),
+        Seq((xId, 121 * h, 1.0)).toDF("series_id", "ts", "value"),
         ctxOf(all).series))
     assert(eUp.getMessage.contains("owned by the live ingest tier"))
 
@@ -522,6 +527,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       graft.model.TsdbLayout.compactL0(spark, db2, 24 * h))
     assert(e.getMessage.contains("exclusive"))
+
+    // BEFORE the first compaction (no watermark file) the upsert guard
+    // scopes to the days L0 actually shows rows for: a correction to a
+    // batch-only day must pass (refusing ">= Long.MinValue" would
+    // block all maintenance until the first compaction), while a day
+    // L0 holds refuses — its copies would double-read immediately
+    graft.model.TsdbLayout.upsertSamples(spark, s"$db2/samples",
+      Seq((xId, 30 * h, 7.7)).toDF("series_id", "ts", "value"),
+      ctxOf(all).series) // day 1: batch-only, allowed
+    val ePre = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.upsertSamples(spark, s"$db2/samples",
+        Seq((xId, 2 * h, 7.7)).toDF("series_id", "ts", "value"),
+        ctxOf(all).series)) // day 0: L0 shows rows, refused
+    assert(ePre.getMessage.contains("owned by the live ingest tier"))
   }
 
   test("rollupBuild: kill mid-bin, restart from checkpoint — the recovered sink serves group-aggregate batch-exactly") {
