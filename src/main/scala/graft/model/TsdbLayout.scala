@@ -21,10 +21,101 @@ import org.apache.spark.sql.functions._
   * touching only the (metric, day) directories a query ranges over — the
   * same two-level pruning the reference does with its inverted index +
   * SubtreeRef stats.
+  *
+  * BOTH fact halves get the identical treatment: the metric samples AND
+  * the event log are laid out, live-ingested ([[graft.streaming
+  * .TsdbStream.layoutIngest]] / [[graft.streaming.TsdbStream
+  * .eventsIngest]]), two-tier-read, compacted ([[compactL0]] /
+  * [[compactEventsL0]]) and rotated ([[retireIngestRoot]] /
+  * [[retireEventsIngestRoot]]) through one shared tier protocol — the
+  * reference ingests events through the exact same WAL/append path as
+  * metrics (stdb/storage/column_store.cc:139-143,
+  * stdb/protocol/protocolparser.h:131-257), so the Spark layout gives
+  * the log half the same lifecycle, not just the same directory shape.
+  *
+  * Tier METADATA (the `samples_l0`/`events_l0` existence checks and the
+  * watermark files) goes through the Hadoop FileSystem of the database
+  * path — the same filesystem the data itself uses — so a database on
+  * HDFS/S3A resolves its tiers exactly like a local one instead of
+  * silently serving only the batch tier.
   */
 object TsdbLayout {
 
   private val NsPerDay = graft.time.TimeUtil.NsPerDay
+
+  // ------------------------------------------------------------- tiers
+
+  /** One two-tier fact half: the live ingest root (`l0Sub`, a streaming
+    * file-sink directory), the settled batch layout (`batchSub`), the
+    * compaction watermark file (`wmFile` — first day still L0-owned)
+    * and the half's canonical column set (`payload` = the one
+    * non-key fact column: samples carry `value`, events carry `body`).
+    * Everything below that takes a Tier works identically on both
+    * halves — one protocol, two instantiations. */
+  private final case class Tier(l0Sub: String, batchSub: String,
+      wmFile: String, payload: String) {
+    /** The half's canonical laid-out column set. */
+    val cols: Seq[String] = Seq("series_id", "ts", payload, "metric", "ts_day")
+    /** Row-identity columns for cross-tier content comparison. `metric`
+      * is functionally dependent on series_id (ids hash the canonical
+      * name, which embeds the metric), so the identity is (series, ts,
+      * payload). */
+    val rowKey: Seq[String] = Seq("series_id", "ts", payload)
+  }
+
+  private val SamplesTier = Tier("samples_l0", "samples", "l0_watermark", "value")
+  private val EventsTier = Tier("events_l0", "events", "events_l0_watermark", "body")
+
+  /** The canonical laid-out samples column set. */
+  private val SampleCols = SamplesTier.cols
+
+  // ------------------------------------------- tier metadata (Hadoop FS)
+
+  private def hfs(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val (f, hp) = hfs(spark, p); f.exists(hp)
+  }
+
+  private def deleteRecursive(spark: SparkSession, p: String): Unit = {
+    val (f, hp) = hfs(spark, p); f.delete(hp, true)
+  }
+
+  private def tierWatermark(spark: SparkSession, dir: String, tier: Tier): Long = {
+    val (f, hp) = hfs(spark, s"$dir/${tier.wmFile}")
+    if (!f.exists(hp)) Long.MinValue
+    else {
+      val in = f.open(hp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def tierHasWatermark(spark: SparkSession, dir: String, tier: Tier): Boolean =
+    pathExists(spark, s"$dir/${tier.wmFile}")
+
+  /** Single-writer watermark advance: write a temp file, swing it into
+    * place. Hadoop rename does not replace on every filesystem, so the
+    * old file is deleted first — a crash in that window loses the
+    * watermark, which is exactly the double-read crash state the next
+    * [[compactL0]] run recognizes and heals (verify-and-advance per
+    * day), so the non-atomicity costs one recovery run, never data. */
+  private def writeTierWatermark(spark: SparkSession, dir: String, tier: Tier,
+      day: Long): Unit = {
+    val (f, tmp) = hfs(spark, s"$dir/${tier.wmFile}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(day.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/${tier.wmFile}")
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"failed to move watermark into place at $dst")
+  }
+
+  // ------------------------------------------------------------- writes
 
   /** Write `ctx.samples` (joined to its catalog for the metric key) as a
     * partitioned, sorted Parquet dataset under `path`. A frame that
@@ -116,16 +207,15 @@ object TsdbLayout {
     // will never hold — so in that window the guard checks the days
     // the L0 tier ACTUALLY shows rows for (all of L0 is
     // reader-visible then, so those and only those would double-read).
-    val parent = new java.io.File(path).getParentFile
-    if (parent != null && new java.io.File(parent, "samples_l0").exists()) {
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    if (parent != null &&
+        pathExists(spark, s"$parent/${SamplesTier.l0Sub}")) {
       val db = parent.toString
-      val hasWm = java.nio.file.Files.isRegularFile(
-        java.nio.file.Paths.get(db, "l0_watermark"))
       val owned: Seq[(String, Long)] =
-        if (hasWm) {
-          val wm = l0Watermark(db)
+        if (tierHasWatermark(spark, db, SamplesTier)) {
+          val wm = tierWatermark(spark, db, SamplesTier)
           affected.filter(_._2 >= wm).toSeq
-        } else readL0(spark, db) match {
+        } else readTierL0(spark, db, SamplesTier) match {
           case Some(l0) => l0.where(dayPred(affected))
             .select("metric", "ts_day").distinct().collect()
             .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq
@@ -168,9 +258,6 @@ object TsdbLayout {
   def writeEvents(ctx: TsdbContext, path: String): Unit =
     sortedPartitionWrite(keyed(ctx.events, ctx.series), path,
       replaceOnlyWritten = false)
-
-  /** The canonical laid-out samples column set. */
-  private val SampleCols = Seq("series_id", "ts", "value", "metric", "ts_day")
 
   /** (metric, ts_day) membership predicate over a collected day list —
     * the partition-pruning shape every slice-scoped rewrite/read here
@@ -308,25 +395,43 @@ object TsdbLayout {
     * operation at any volume.
     *
     * If the database has a live ingest tier (`samples_l0`, fed by
-    * [[graft.streaming.TsdbStream.layoutIngest]]), the fact frame is
-    * the UNION of the compacted batch layout and the L0 days the
-    * compaction watermark has not claimed yet ([[compactL0]]) — both
-    * sides keep their own partition pruning, so a range query reads
-    * each day from exactly one tier. */
+    * [[graft.streaming.TsdbStream.layoutIngest]], and/or `events_l0`,
+    * fed by [[graft.streaming.TsdbStream.eventsIngest]]), that half's
+    * fact frame is the UNION of the compacted batch layout and the L0
+    * days the half's compaction watermark has not claimed yet
+    * ([[compactL0]] / [[compactEventsL0]]) — both sides keep their own
+    * partition pruning, so a range query reads each day from exactly
+    * one tier. A batch events directory in the FLAT form (the
+    * empty-events write, or a pre-layout database) re-keys through the
+    * broadcast catalog so the union still lines up — row-level
+    * filtering instead of pruning on that (small or empty) side. */
   def openDatabase(spark: SparkSession, dir: String): TsdbContext = {
     val series = spark.read.parquet(s"$dir/series")
-    val events = spark.read.parquet(s"$dir/events")
-    val cols = Seq("series_id", "ts", "value", "metric", "ts_day")
-    val batch = readSamples(spark, s"$dir/samples")
-      .select(cols.map(col): _*)
-    val samples = readL0(spark, dir) match {
-      case Some(l0) => batch.unionByName(
-        l0.select(cols.map(col): _*)
-          .where(col("ts_day") >= l0Watermark(dir)))
-      case None => batch
-    }
+    val samples = twoTierRead(spark, dir, SamplesTier, series)
+    val events = twoTierRead(spark, dir, EventsTier, series)
     IndexCatalog.load(spark, s"$dir/indexes",
       TsdbContext(spark, series, samples, events))
+  }
+
+  /** One fact half's read: the batch layout, unioned with the
+    * above-watermark L0 slice when the half has a live ingest tier.
+    * Flat batch directories (no layout columns) re-key lazily through
+    * the catalog so the two shapes always union. An events batch in
+    * the flat EMPTY form with no L0 tier stays flat (the round-9
+    * behavior — nothing to union, nothing to prune). */
+  private def twoTierRead(spark: SparkSession, dir: String, tier: Tier,
+      series: DataFrame): DataFrame = {
+    val batchRaw = spark.read.parquet(s"$dir/${tier.batchSub}")
+    readTierL0(spark, dir, tier) match {
+      case None => batchRaw
+      case Some(l0) =>
+        val batch =
+          if (batchRaw.columns.contains("ts_day")) batchRaw
+          else keyed(batchRaw, series)
+        batch.select(tier.cols.map(col): _*).unionByName(
+          l0.select(tier.cols.map(col): _*)
+            .where(col("ts_day") >= tierWatermark(spark, dir, tier)))
+    }
   }
 
   /** The L0 ingest tier's frame, or None when the tier is absent or
@@ -336,10 +441,11 @@ object TsdbLayout {
     * database in that window must see the batch tier, not an
     * "unable to infer schema" failure. Only the empty-sink condition
     * is swallowed; any other read problem stays loud. */
-  private def readL0(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val path = s"$dir/samples_l0"
-    if (!new java.io.File(path).exists()) return None
-    try Some(readSamples(spark, path))
+  private def readTierL0(spark: SparkSession, dir: String,
+      tier: Tier): Option[DataFrame] = {
+    val path = s"$dir/${tier.l0Sub}"
+    if (!pathExists(spark, path)) return None
+    try Some(spark.read.parquet(path))
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("Unable to infer schema") => None
@@ -358,12 +464,32 @@ object TsdbLayout {
     * reported row through [[upsertSamples]] clears it. Exact-duplicate
     * multiplicities are not distinguished (an alert, not an audit).
     *
+    * BEFORE the first compaction (no watermark) the two-tier reader
+    * unions ALL of L0 with the batch layout, so the misuse to detect
+    * is different: a (metric, day) present in BOTH tiers double-reads
+    * until the first [[compactL0]]. In that window this alert reports
+    * exactly those overlap partitions (their L0 row counts) — the
+    * load-then-ingest flow keeps it empty, and the first compaction
+    * replaces it with the straggler contract above.
+    *
     * Scale shape: the below-watermark day set is collected first
     * (driver-sized — bounded by this sink root's compacted span,
-    * which rotation keeps epoch-sized) and the batch read is pruned
-    * to exactly those days before the anti-join; never a full-history
-    * scan. Empty frame when the tier is absent or nothing straggles. */
-  def l0Stragglers(spark: SparkSession, dir: String): DataFrame = {
+    * which [[retireIngestRoot]] rotation keeps epoch-sized) and the
+    * batch read is pruned to exactly those days before the anti-join;
+    * never a full-history scan. Empty frame when the tier is absent
+    * or nothing straggles. */
+  def l0Stragglers(spark: SparkSession, dir: String): DataFrame =
+    tierStragglers(spark, dir, SamplesTier)
+
+  /** [[l0Stragglers]] for the event-log half: below-watermark
+    * `events_l0` content (series_id, ts, body) the batch events layout
+    * does not hold, as (metric, ts_day, n) — or, pre-watermark, the
+    * tier-overlap partitions. Same contracts and scale shape. */
+  def eventsL0Stragglers(spark: SparkSession, dir: String): DataFrame =
+    tierStragglers(spark, dir, EventsTier)
+
+  private def tierStragglers(spark: SparkSession, dir: String,
+      tier: Tier): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -373,42 +499,72 @@ object TsdbLayout {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("n",
           org.apache.spark.sql.types.LongType))))
-    readL0(spark, dir) match {
-      case Some(l0) =>
-        val below = l0.select(SampleCols.map(col): _*)
-          .where(col("ts_day") < l0Watermark(dir))
-        val days = below.select("metric", "ts_day").distinct()
-          .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
-        if (days.isEmpty) return empty
-        below.join(
-            readSamples(spark, s"$dir/samples").where(dayPred(days))
-              .select(SampleCols.map(col): _*),
-            Seq("series_id", "ts", "value", "metric"), "left_anti")
-          // partition-inferred ts_day reads as Int; pin the Long the
-          // empty branch declares so pollers can append/union frames
-          // across calls without a schema-merge surprise
-          .groupBy(col("metric"), col("ts_day").cast("long").as("ts_day"))
-          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    def counted(df: DataFrame): DataFrame = df
+      // partition-inferred ts_day reads as Int; pin the Long the
+      // empty branch declares so pollers can append/union frames
+      // across calls without a schema-merge surprise
+      .groupBy(col("metric"), col("ts_day").cast("long").as("ts_day"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    readTierL0(spark, dir, tier) match {
       case None => empty
+      case Some(l0) =>
+        val l0c = l0.select(tier.cols.map(col): _*)
+        val batchRaw = spark.read.parquet(s"$dir/${tier.batchSub}")
+        val batchLaid = batchRaw.columns.contains("ts_day")
+        if (tierHasWatermark(spark, dir, tier)) {
+          val below = l0c.where(col("ts_day") <
+            tierWatermark(spark, dir, tier))
+          val days = below.select("metric", "ts_day").distinct()
+            .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+          if (days.isEmpty) return empty
+          // the anti-join right side: day-pruned on a laid-out batch;
+          // a FLAT batch (the empty-events write form) has no
+          // partitions to prune but carries the row-key columns
+          val batchRows =
+            if (batchLaid) batchRaw.where(dayPred(days))
+              .select(tier.rowKey.map(col): _*)
+            else batchRaw.select(tier.rowKey.map(col): _*)
+          counted(below.join(batchRows, tier.rowKey, "left_anti"))
+        } else {
+          // pre-first-compaction overlap detector: any (metric, day)
+          // both tiers hold double-reads in the union until the first
+          // compaction. Day-level on a laid-out batch; a flat batch
+          // matches on the day number alone (conservative — it has no
+          // metric column to compare).
+          val days = l0c.select("metric", "ts_day").distinct()
+            .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+          if (days.isEmpty) return empty
+          val overlap: Seq[(String, Long)] =
+            if (batchLaid) {
+              val held = batchRaw.where(dayPred(days))
+                .select("metric", "ts_day").distinct().collect()
+                .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSet
+              days.filter(held).toSeq
+            } else {
+              val dayNums = days.map(_._2).distinct
+              val held = batchRaw.withColumn("ts_day",
+                  graft.functions.VectorExpressions.longFloorDiv(col("ts"),
+                    NsPerDay))
+                .where(col("ts_day").isin(dayNums: _*))
+                .select("ts_day").distinct().collect()
+                .map(_.getAs[Number](0).longValue).toSet
+              days.filter(d => held(d._2)).toSeq
+            }
+          if (overlap.isEmpty) empty
+          else counted(l0c.where(dayPred(overlap)))
+        }
     }
   }
 
-  /** First ts_day still owned by the L0 ingest tier (everything below
-    * it has been [[compactL0]]-moved into the batch layout);
+  /** First ts_day still owned by the samples L0 ingest tier (everything
+    * below it has been [[compactL0]]-moved into the batch layout);
     * Long.MinValue when no compaction has run. */
-  def l0Watermark(dir: String): Long = {
-    val f = java.nio.file.Paths.get(dir, "l0_watermark")
-    if (java.nio.file.Files.isRegularFile(f))
-      new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
-    else Long.MinValue
-  }
+  def l0Watermark(spark: SparkSession, dir: String): Long =
+    tierWatermark(spark, dir, SamplesTier)
 
-  private def writeL0Watermark(dir: String, day: Long): Unit = {
-    val tmp = java.nio.file.Paths.get(dir, "l0_watermark.tmp")
-    java.nio.file.Files.write(tmp, day.toString.getBytes)
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, "l0_watermark"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** [[l0Watermark]] for the event-log half ([[compactEventsL0]]). */
+  def eventsL0Watermark(spark: SparkSession, dir: String): Long =
+    tierWatermark(spark, dir, EventsTier)
 
   /** L0 → batch compaction: MOVE every settled ingest day (ts_day in
     * [watermark, cutoff)) from the stream-sink tier into the batch
@@ -434,9 +590,10 @@ object TsdbLayout {
     *
     * Physical reclamation of compacted L0 files rides the sink's own
     * lifecycle: the file-sink transaction log pins them, so a
-    * deployment rotates ingest roots (new sink dir + checkpoint per
-    * epoch) and drops fully-compacted old roots whole — the watermark
-    * already guarantees readers never look at them.
+    * deployment rotates ingest roots per epoch — when every day this
+    * root holds is compacted, [[retireIngestRoot]] verifies that and
+    * drops the root (and optionally its checkpoint) whole, and the
+    * next epoch's stream starts a fresh sink at the path.
     *
     * LATE DATA below the watermark must go through [[upsertSamples]],
     * not the ingest stream: a stream row landing in a claimed day is
@@ -445,24 +602,57 @@ object TsdbLayout {
     * (spec-pinned end to end in StreamingSpec).
     *
     * @return number of (metric, day) partitions moved. */
-  def compactL0(spark: SparkSession, dir: String, cutoffNs: Long): Int = {
+  def compactL0(spark: SparkSession, dir: String, cutoffNs: Long): Int =
+    compactTier(spark, dir, SamplesTier, cutoffNs)
+
+  /** [[compactL0]] for the event-log half: move settled `events_l0`
+    * days into the batch events layout — identical protocol, watermark
+    * file `events_l0_watermark`, same crash recovery and exclusivity
+    * contract (late event data has no upsert path; a below-watermark
+    * event straggler needs a partition-scoped batch rewrite). A batch
+    * events directory still in the flat EMPTY form (a database written
+    * before any events arrived) is replaced wholesale by the first
+    * compaction — the flat file would otherwise make the root
+    * unreadable next to partition directories. */
+  def compactEventsL0(spark: SparkSession, dir: String, cutoffNs: Long): Int =
+    compactTier(spark, dir, EventsTier, cutoffNs)
+
+  private def compactTier(spark: SparkSession, dir: String, tier: Tier,
+      cutoffNs: Long): Int = {
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
-    val wm = l0Watermark(dir)
+    val wm = tierWatermark(spark, dir, tier)
     if (cutoffDay <= wm) return 0
-    val l0 = readL0(spark, dir) match {
+    val l0 = readTierL0(spark, dir, tier) match {
       case Some(f) => f
-      case None => writeL0Watermark(dir, cutoffDay); return 0
+      case None => writeTierWatermark(spark, dir, tier, cutoffDay); return 0
     }
     val settled = l0
-      .select(SampleCols.map(col): _*)
+      .select(tier.cols.map(col): _*)
       .where(col("ts_day") >= wm && col("ts_day") < cutoffDay)
     // ts_day is a directory-inferred partition column (IntegerType on
     // read, LongType when carried through a write) — accept either
     val affected = settled.select("metric", "ts_day").distinct()
       .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
-    if (affected.isEmpty) { writeL0Watermark(dir, cutoffDay); return 0 }
-    val alreadyThere = readSamples(spark, s"$dir/samples")
-      .where(dayPred(affected)).select(SampleCols.map(col): _*)
+    if (affected.isEmpty) {
+      writeTierWatermark(spark, dir, tier, cutoffDay); return 0
+    }
+    val batchPath = s"$dir/${tier.batchSub}"
+    val batchRaw = spark.read.parquet(batchPath)
+    if (!batchRaw.columns.contains("ts_day")) {
+      // flat batch: only the EMPTY write form is compactable — the
+      // whole-directory overwrite clears the flat file so partition
+      // directories can take over; a flat NON-empty batch cannot join
+      // the two-tier protocol (nothing recorded which days it owns)
+      require(batchRaw.isEmpty,
+        s"compact: batch tier at $batchPath is flat and non-empty — " +
+          s"two-tier compaction needs the laid-out batch " +
+          s"(rewrite it through the layout writer first)")
+      sortedPartitionWrite(settled, batchPath, replaceOnlyWritten = false)
+      writeTierWatermark(spark, dir, tier, cutoffDay)
+      return affected.length
+    }
+    val alreadyThere = batchRaw
+      .where(dayPred(affected)).select(tier.cols.map(col): _*)
     // PER-DAY split so recovery composes with a LATER cutoff (cutoffs
     // track wall clock; a re-run after a crash rarely replays the
     // crashed run's exact cutoff): days the batch already holds must
@@ -479,16 +669,81 @@ object TsdbLayout {
       val equal = alreadyThere.exceptAll(settledOccupied)
         .union(settledOccupied.exceptAll(alreadyThere)).isEmpty
       require(equal,
-        s"compactL0: batch layout already holds rows in claimed day(s) " +
-          s"(${occupiedDays.take(5).mkString(", ")}…) that do not " +
-          s"match the settled L0 slice — day ownership must be " +
+        s"compact (${tier.batchSub}): batch layout already holds rows in " +
+          s"claimed day(s) (${occupiedDays.take(5).mkString(", ")}…) that " +
+          s"do not match the settled L0 slice — day ownership must be " +
           s"exclusive between tiers")
     }
     val toWrite = affected.filterNot(occupiedDays)
     if (toWrite.nonEmpty)
       sortedPartitionWrite(settled.where(dayPred(toWrite)),
-        s"$dir/samples", replaceOnlyWritten = true)
-    writeL0Watermark(dir, cutoffDay)
+        batchPath, replaceOnlyWritten = true)
+    writeTierWatermark(spark, dir, tier, cutoffDay)
     affected.length
+  }
+
+  /** Retire a FULLY-COMPACTED samples ingest root — the one
+    * destructive step of the two-tier lifecycle, as an operator with
+    * the checks a runbook would forget. The streaming file sink's
+    * transaction log pins every file it ever committed, so compacted
+    * days' bytes stay in the L0 root until the whole root is dropped;
+    * this verifies the drop is safe and performs it:
+    *
+    *   1. every day the root shows rows for lies BELOW the compaction
+    *      watermark (fully claimed into the batch layout — readers
+    *      already never look at this root); a pre-first-compaction
+    *      root (no watermark) always refuses;
+    *   2. [[l0Stragglers]] is empty — a straggler row's ONLY copy
+    *      lives in this root, and deleting it would destroy data the
+    *      alert says to re-route first.
+    *
+    * Then the root directory (and, when given, the stream's
+    * checkpoint directory — the next epoch's sink must start fresh,
+    * or it would believe old batches committed) is deleted whole.
+    * Refusals are loud requires; answers are unchanged by
+    * construction (spec-pinned): the watermark file REMAINS, so the
+    * late-data guard and the next epoch's union read keep working.
+    *
+    * @return true when a root was deleted (false only if absent —
+    *         idempotent re-run). */
+  def retireIngestRoot(spark: SparkSession, dir: String,
+      checkpoint: Option[String] = None): Boolean =
+    retireTier(spark, dir, SamplesTier, checkpoint)
+
+  /** [[retireIngestRoot]] for the event-log half (`events_l0`). */
+  def retireEventsIngestRoot(spark: SparkSession, dir: String,
+      checkpoint: Option[String] = None): Boolean =
+    retireTier(spark, dir, EventsTier, checkpoint)
+
+  private def retireTier(spark: SparkSession, dir: String, tier: Tier,
+      checkpoint: Option[String]): Boolean = {
+    val l0Path = s"$dir/${tier.l0Sub}"
+    if (!pathExists(spark, l0Path)) {
+      checkpoint.foreach(deleteRecursive(spark, _))
+      return false
+    }
+    readTierL0(spark, dir, tier).foreach { l0 =>
+      // no watermark ⇒ wm = Long.MinValue ⇒ every held day is "live"
+      // and a non-empty root refuses — a pre-first-compaction root is
+      // never safe to drop
+      val wm = tierWatermark(spark, dir, tier)
+      val live = l0.select("metric", "ts_day")
+        .where(col("ts_day") >= wm).distinct().limit(6).collect()
+        .map(_.getAs[Number](1).longValue).distinct
+      require(live.isEmpty,
+        s"retire: ingest root $l0Path still owns uncompacted day(s) " +
+          s"${live.mkString(", ")} — run compaction with a cutoff past " +
+          s"them first")
+      val strag = tierStragglers(spark, dir, tier)
+        .select("ts_day").limit(6).collect()
+        .map(_.getAs[Number](0).longValue).distinct
+      require(strag.isEmpty,
+        s"retire: ingest root $l0Path holds straggler rows in day(s) " +
+          s"${strag.mkString(", ")} whose only copy lives here — " +
+          s"re-route them (upsert / partition rewrite) before retiring")
+    }
+    deleteRecursive(spark, l0Path)
+    checkpoint.foreach(deleteRecursive(spark, _))
+    true
   }
 }

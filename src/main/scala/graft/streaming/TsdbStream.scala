@@ -672,8 +672,32 @@ object TsdbStream extends Serializable {
     * — throughput scales with input partitions. */
   def layoutIngest(samples: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    samples
-      .select(col("series_id"), col("ts"), col("value"), col("metric"))
+    ingestTo(samples, "value", path, checkpoint)
+
+  /** [[layoutIngest]] for the EVENT-LOG half: sinks a (series_id, ts,
+    * body, metric) stream into the same (metric, ts_day)-partitioned
+    * shape [[graft.model.TsdbLayout.writeEvents]] lays down, through
+    * the identical transactional file sink — the reference ingests
+    * events through the exact same WAL/append path as metrics
+    * (stdb/storage/column_store.cc:139-143, stdb/protocol/
+    * protocolparser.h:131-257), so the log half gets the same
+    * live-ingest story: `events_l0` joins [[graft.model.TsdbLayout
+    * .openDatabase]]'s two-tier union read, [[graft.model.TsdbLayout
+    * .compactEventsL0]] moves settled days, [[graft.model.TsdbLayout
+    * .retireEventsIngestRoot]] rotates the root. Same exactly-once and
+    * compaction-restores-sort contracts as the samples form. */
+  def eventsIngest(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    ingestTo(events, "body", path, checkpoint)
+
+  /** The one file-sink ingest shape both fact halves share: project to
+    * the half's canonical columns, derive the exact-floor ts_day, sink
+    * partitioned append. Pure projection, no state, no watermark —
+    * throughput scales with input partitions. */
+  private def ingestTo(facts: DataFrame, payload: String, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts
+      .select(col("series_id"), col("ts"), col(payload), col("metric"))
       .withColumn("ts_day", graft.functions.VectorExpressions
         .longFloorDiv(col("ts"), graft.time.TimeUtil.NsPerDay))
       .writeStream.format("parquet")

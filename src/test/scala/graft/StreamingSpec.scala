@@ -442,7 +442,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
     // claim days 2-3 (cutoff = start of day 4)
     assert(graft.model.TsdbLayout.compactL0(spark, db, 96 * h) === 2)
-    assert(graft.model.TsdbLayout.l0Watermark(db) === 4L)
+    assert(graft.model.TsdbLayout.l0Watermark(spark, db) === 4L)
     for (d <- Seq(2, 3))
       assert(new java.io.File(s"$db/samples/metric=m/ts_day=$d").isDirectory,
         s"day $d must now live in the batch layout")
@@ -464,7 +464,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         "test proves nothing)")
     assert(graft.model.TsdbLayout.compactL0(spark, db, 120 * h) === 3,
       "the later-cutoff re-run must recover days 2-3 AND move day 4")
-    assert(graft.model.TsdbLayout.l0Watermark(db) === 5L)
+    assert(graft.model.TsdbLayout.l0Watermark(spark, db) === 5L)
     assert(new java.io.File(s"$db/samples/metric=m/ts_day=4").isDirectory)
     assert(servedRows() === oracle, "recovery restores single-read answers")
     assert(graft.model.TsdbLayout.compactL0(spark, db, 120 * h) === 0)
@@ -1187,6 +1187,266 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed.size === 3, // the three boundaries straddling the step
         s"sanity: the planted step must flag its sliding boundaries: $streamed")
     } finally q.stop()
+  }
+
+  // ---- the events living-database arc (round 11) ------------------------
+
+  /** Synthetic event-log context: metric `e`, two user series, one body
+    * per hour tick — plus a mirror samples half so writeDatabase's
+    * samples layout has rows (an all-empty samples write leaves no
+    * readable footer). */
+  private def eventsCtxOf(rows: Seq[(String, Long, String)]): graft.model.TsdbContext = {
+    val series = Seq("x", "y").toDF("user")
+      .select(xxhash64(concat(lit("!e user="), col("user"))).as("series_id"),
+        concat(lit("!e user="), col("user")).as("name"),
+        lit("!e").as("metric"),
+        map_from_arrays(array(lit("user")), array(col("user"))).as("tags"),
+        lit(null).cast("float").as("lon"), lit(null).cast("float").as("lat"))
+    val df = rows.toDF("user", "ts", "body")
+      .select(xxhash64(concat(lit("!e user="), col("user"))).as("series_id"),
+        col("ts"), col("body"))
+    graft.model.TsdbContext(spark, series,
+      df.select(col("series_id"), col("ts"),
+        (col("ts") / 1e9).as("value")),
+      df)
+  }
+
+  test("eventsIngest + compactEventsL0: the log half gets the two-tier lifecycle — exactly-once, settled days move, answers never change") {
+    // the samples arc (layoutIngest → L0 union read → compactL0),
+    // instantiated on the EVENT half: the reference ingests events
+    // through the same WAL/append path as metrics
+    // (stdb/storage/column_store.cc:139-143), so the Spark layout gives
+    // the log the same live tier, watermark flip, and crash recovery
+    val db = java.nio.file.Files.createTempDirectory("graft_ev_l0_db").toString
+    val h = 3600L * 1000000000L
+    val all = (0 until 120).flatMap { i =>
+      Seq(("x", i.toLong * h, s"k=${i % 50} x"), ("y", i.toLong * h, s"k=${i % 50} y"))
+    }
+    graft.model.TsdbLayout.writeDatabase(
+      eventsCtxOf(all.filter(_._2 < 48 * h)), db)
+
+    // live tier via a text source so the restart half is real: file A,
+    // kill, file B, restart — the sink log must skip A on replay
+    val in = s"$db/ingest_in"; new java.io.File(in).mkdirs()
+    def writeLines(name: String, rows: Seq[(String, Long, String)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$db/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (u, ts, b) => s"$u,$ts,$b" }
+        .mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def startIngest() = TsdbStream.eventsIngest(
+      spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('!e user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "split(value, ',')[2] AS body")
+        .withColumn("metric", lit("!e")),
+      s"$db/events_l0", s"$db/ev_ckpt")
+    val live = all.filter(_._2 >= 48 * h)
+    writeLines("a.txt", live.take(40))
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()
+    writeLines("b.txt", live.drop(40))
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$db/events_l0").count() === live.size,
+      "each streamed event lands exactly once across the restart")
+
+    val full = eventsCtxOf(all)
+    val stmt = s"""{"select-events": "!e",
+                    "range": {"from": 0, "to": ${120 * h}},
+                    "filter": "k=1[0-9] "}"""
+    def servedRows() = new graft.engine.Engine(
+      graft.model.TsdbLayout.openDatabase(spark, db)).execute(stmt)
+      .collect().toSeq
+    val oracle = new graft.engine.Engine(full).execute(stmt).collect().toSeq
+    assert(oracle.nonEmpty, "sanity: the regex must select something")
+    assert(servedRows() === oracle,
+      "two-tier events read (batch ∪ events_l0) must equal the flat context")
+
+    // claim days 2-3; the watermark flips the reader's tier
+    assert(graft.model.TsdbLayout.compactEventsL0(spark, db, 96 * h) === 2)
+    assert(graft.model.TsdbLayout.eventsL0Watermark(spark, db) === 4L)
+    for (d <- Seq(2, 3))
+      assert(new java.io.File(s"$db/events/metric=!e/ts_day=$d").isDirectory,
+        s"event day $d must now live in the batch layout")
+    assert(servedRows() === oracle, "event compaction must not change answers")
+    assert(graft.model.TsdbLayout.compactEventsL0(spark, db, 96 * h) === 0)
+
+    // crash window: watermark lost after the overwrite committed —
+    // double-read until the re-run recovers (verify-and-advance per day)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(db, "events_l0_watermark"))
+    assert(servedRows() !== oracle,
+      "the simulated crash window must actually double-read")
+    assert(graft.model.TsdbLayout.compactEventsL0(spark, db, 120 * h) === 3,
+      "the later-cutoff re-run must recover days 2-3 AND move day 4")
+    assert(servedRows() === oracle, "recovery restores single-read answers")
+
+    // day exclusivity: an events_l0 holding a batch-owned day with
+    // DIFFERENT bodies must refuse to compact
+    val db2 = java.nio.file.Files.createTempDirectory("graft_ev_l0_db2").toString
+    graft.model.TsdbLayout.writeDatabase(
+      eventsCtxOf(all.filter(_._2 < 48 * h)), db2)
+    val in2 = s"$db2/ingest_in"; new java.io.File(in2).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in2/a.txt"),
+      all.filter(_._2 < 24 * h)
+        .map { case (u, ts, b) => s"$u,$ts,$b CONFLICT" }
+        .mkString("\n").getBytes)
+    val qc = TsdbStream.eventsIngest(
+      spark.readStream.format("text").load(in2)
+        .selectExpr(
+          "xxhash64(concat('!e user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "split(value, ',')[2] AS body")
+        .withColumn("metric", lit("!e")),
+      s"$db2/events_l0", s"$db2/ev_ckpt")
+    try qc.processAllAvailable() finally qc.stop()
+    val e = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.compactEventsL0(spark, db2, 24 * h))
+    assert(e.getMessage.contains("exclusive"))
+  }
+
+  test("retireIngestRoot: refuses while the root is live or holds stragglers; rotation drops it with answers unchanged") {
+    // the one destructive step of the two-tier lifecycle, as an operator:
+    // the runbook sentence ("drop fully-compacted roots whole") with the
+    // two checks that make it safe performed, loudly
+    val db = java.nio.file.Files.createTempDirectory("graft_rotate_db").toString
+    val h = 3600L * 1000000000L
+    val all = (0 until 120).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db)
+    val in = s"$db/ingest_in"; new java.io.File(in).mkdirs()
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    def startIngest() = TsdbStream.layoutIngest(
+      spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+        .withColumn("metric", lit("m")),
+      s"$db/samples_l0", s"$db/ingest_ckpt")
+    writeLines("a.txt", all.filter(_._2 >= 48 * h))
+    val q = startIngest()
+    try q.processAllAvailable() finally q.stop()
+
+    // pre-first-compaction: no watermark ⇒ every held day is live ⇒ refuse
+    val ePre = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireIngestRoot(spark, db))
+    assert(ePre.getMessage.contains("uncompacted"))
+
+    // compact only part of the span: still-live days keep refusing
+    graft.model.TsdbLayout.compactL0(spark, db, 96 * h)
+    val eLive = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireIngestRoot(spark, db))
+    assert(eLive.getMessage.contains("uncompacted"))
+
+    // fully compacted, but a straggler slips in below the watermark:
+    // its ONLY copy lives in the root — retiring would destroy it
+    graft.model.TsdbLayout.compactL0(spark, db, 120 * h)
+    val late = ("x", 30 * h + 1L, 99.0)
+    writeLines("late.txt", Seq(late))
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    val eStrag = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireIngestRoot(spark, db))
+    assert(eStrag.getMessage.contains("straggler"))
+
+    // re-route the straggler (the documented late path), then rotate
+    val xId = Seq("m user=x").toDF("name")
+      .select(xxhash64(col("name"))).head().getLong(0)
+    graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+      Seq((xId, late._2, late._3)).toDF("series_id", "ts", "value"),
+      ctxOf(all).series)
+    assert(graft.model.TsdbLayout.retireIngestRoot(spark, db,
+      checkpoint = Some(s"$db/ingest_ckpt")))
+    assert(!new java.io.File(s"$db/samples_l0").exists(),
+      "rotation must drop the root whole")
+    assert(!new java.io.File(s"$db/ingest_ckpt").exists(),
+      "rotation must drop the stream checkpoint with it")
+    assert(new java.io.File(s"$db/l0_watermark").isFile,
+      "the watermark must SURVIVE rotation — the late-data guard and the " +
+        "next epoch's union read depend on it")
+
+    // answers unchanged: the opened database now serves batch-only
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${120 * h}}}"""
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, db)).execute(stmt)
+        .collect().toSeq ===
+      new graft.engine.Engine(ctxOf(all :+ late)).execute(stmt)
+        .collect().toSeq,
+      "rotation must not change answers")
+
+    // idempotent re-run: nothing to drop
+    assert(!graft.model.TsdbLayout.retireIngestRoot(spark, db))
+
+    // and the NEXT EPOCH starts clean at the same path: a fresh sink +
+    // checkpoint ingests a new day and the union read serves it
+    writeLines("c.txt", Seq(("x", 121 * h, 5.0)))
+    val q3 = startIngest()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, db))
+        .execute(s"""{"select": "m", "range": {"from": 0, "to": ${122 * h}}}""")
+        .collect().toSeq ===
+      new graft.engine.Engine(ctxOf(all ++ Seq(late, ("x", 121 * h, 5.0))))
+        .execute(s"""{"select": "m", "range": {"from": 0, "to": ${122 * h}}}""")
+        .collect().toSeq,
+      "the next epoch's root must serve through the same union read")
+  }
+
+  test("l0Stragglers pre-watermark: tier-overlap days are reported before the first compaction") {
+    // before the first compactL0 no watermark exists and the reader
+    // unions ALL of L0 with the batch layout — a day both tiers hold
+    // double-reads SILENTLY (the old contract only inspected
+    // below-watermark days). The alert must name exactly the overlap
+    val db = java.nio.file.Files.createTempDirectory("graft_overlap_db").toString
+    val h = 3600L * 1000000000L
+    val all = (0 until 72).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db)
+    val in = s"$db/ingest_in"; new java.io.File(in).mkdirs()
+    def startIngest() = TsdbStream.layoutIngest(
+      spark.readStream.format("text").load(in)
+        .selectExpr(
+          "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+          "CAST(split(value, ',')[1] AS LONG) AS ts",
+          "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+        .withColumn("metric", lit("m")),
+      s"$db/samples_l0", s"$db/ingest_ckpt")
+
+    // clean load-then-ingest: L0 takes day 2 only — no overlap, no alert
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.txt"),
+      all.filter(_._2 >= 48 * h)
+        .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    val q1 = startIngest()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(graft.model.TsdbLayout.l0Stragglers(spark, db).isEmpty,
+      "disjoint tiers must not alert")
+
+    // misuse: the stream re-delivers 3 batch-owned day-1 rows (content
+    // identical — overlap double-reads regardless of content)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b.txt"),
+      all.filter(r => r._2 >= 24 * h && r._2 < 24 * h + 3 * h)
+        .map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    val q2 = startIngest()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(graft.model.TsdbLayout.l0Stragglers(spark, db)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("m", 1L, 6L)),
+      "the pre-watermark alert must name the overlapping day with its " +
+        "L0 row count (3 ticks × 2 series)")
   }
 
   test("streaming EWMA carries per-series state across micro-batches") {
