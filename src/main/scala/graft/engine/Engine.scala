@@ -41,6 +41,23 @@ object Engine {
     * layout's ts_day partition column. */
   val NsPerDay = graft.time.TimeUtil.NsPerDay
 
+  /** Ceiling on the series-catalog size below which resolved-id sets
+    * are BROADCAST to fact scans. Every statement resolves its series
+    * through the catalog and joins the (series_id, out_name) result to
+    * the facts; the resolved set is a subset of the catalog, so ONE
+    * catalog count bounds every statement's broadcast. At ~50 B/row
+    * (id + rendered name) the ceiling is a ~100 MB broadcast — the top
+    * of the comfortable executor-memory range. ABOVE it the engine
+    * flips every resolved-id join to an ordinary shuffle join (correct
+    * at any catalog size, one extra exchange of the REDUCED fact side)
+    * instead of degrading silently — the uniform loud-contract rule
+    * (knnSeedProbe's MaxInRowProbeCenters) applied to the engine's one
+    * remaining unguarded broadcast. The reference holds its whole
+    * series matcher in RAM (series_matcher.h) and simply cannot exceed
+    * this regime; a 10⁸-series fleet on Spark can. Override per Engine
+    * via the constructor for tests or tighter executors. */
+  val MaxBroadcastSeries = 2000000L
+
   /** Minimum number of fine rollup bins a range must span before a
     * group-aggregate is served from the rollup: below this the
     * union+recombine plan costs more than the raw scan it replaces
@@ -71,7 +88,8 @@ object Engine {
   val RollupMinDensity = 4.0
 }
 
-final class Engine(val ctx: TsdbContext) {
+final class Engine(val ctx: TsdbContext,
+    maxBroadcastSeries: Long = Engine.MaxBroadcastSeries) {
 
   // Registered-index surface validation — the engine trusts ctx.rollups /
   // ctx.histograms to be well-formed when it serves from them, so a
@@ -132,6 +150,20 @@ final class Engine(val ctx: TsdbContext) {
     require(missing.isEmpty,
       s"registered gap index ([${reg.fromNs}, ${reg.toNs})) lacks column(s): ${missing.mkString(", ")}")
   }
+
+  /** One catalog count per Engine lifetime decides the resolved-id
+    * join strategy everywhere ([[Engine.MaxBroadcastSeries]]): a
+    * catalog that fits broadcasts (the 15 statement paths' default —
+    * no fact shuffle), one that does not flips them all to shuffle
+    * joins. An index statistic like [[rollupDensities]], not a
+    * per-query action. */
+  private lazy val seriesBroadcastable: Boolean =
+    ctx.series.count() <= maxBroadcastSeries
+
+  /** The one way a resolved-id frame meets a fact scan: broadcast below
+    * the catalog ceiling, plain (shuffle) join above it. */
+  private def idsHint(ids: DataFrame): DataFrame =
+    if (seriesBroadcastable) broadcast(ids) else ids
 
   /** Measured compression ratio per registered rollup (avg samples per
     * stored fine bin), driving the density guard. One tiny aggregation
@@ -202,7 +234,7 @@ final class Engine(val ctx: TsdbContext) {
         ctx.events.where(col("metric") === q.metric)
       else ctx.events
     var df = tsDayPruned(evBase, q.range)
-      .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      .join(idsHint(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(q.range))
     q.regex.foreach(re => df = df.where(col("body").rlike(re)))
     df = df.select(col("out_name").as("series"), col("ts"), col("body"))
@@ -288,7 +320,7 @@ final class Engine(val ctx: TsdbContext) {
           q.stepNs.forall(_ % win == 0) =>
       val covered = hist
         .where(col("win") >= q.range.from && col("win") < q.range.to)
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .join(idsHint(ids.select("series_id", "out_name")), "series_id")
       q.stepNs match {
         case None =>
           graft.ops.HistQuantiles.quantiles(
@@ -352,7 +384,7 @@ final class Engine(val ctx: TsdbContext) {
           q.periodNs % win == 0 && q.binNs % win == 0 =>
       val phased = hist
         .where(col("win") >= q.range.from && col("win") < q.range.to)
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .join(idsHint(ids.select("series_id", "out_name")), "series_id")
         .select(col("out_name").as("series"),
           expr(s"pmod(win, ${q.periodNs}L) div ${q.binNs}L").as("phase"),
           col("lo"), col("cnt"))
@@ -488,7 +520,7 @@ final class Engine(val ctx: TsdbContext) {
     // Misaligned or backward ranges abstain to the scan.
     val last = eligibleActivityRollup(q.range, None)
       .map(inRange => inRange
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .join(idsHint(ids.select("series_id", "out_name")), "series_id")
         .groupBy(col("out_name").as("series"))
         .agg(max(col("ts_max")).as("__last")))
       .getOrElse(scan(ids, q.range, Seq(q.metric))
@@ -562,7 +594,7 @@ final class Engine(val ctx: TsdbContext) {
   private def servedActive(q: ActiveQuery, ids: DataFrame): Option[DataFrame] =
     eligibleActivityRollup(q.range, q.stepNs).map { inRange =>
       val covered = inRange
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .join(idsHint(ids.select("series_id", "out_name")), "series_id")
       q.stepNs match {
         case None =>
           covered.groupBy(col("out_name").as("metric"))
@@ -605,7 +637,7 @@ final class Engine(val ctx: TsdbContext) {
       // filter narrows what counts as activity ("distinct users with a
       // purchase over 150") as a pushdown-able scan predicate
       var df = tsDayPruned(facts(q.metrics), q.range)
-        .join(broadcast(ids), "series_id")
+        .join(idsHint(ids), "series_id")
         .where(rangeCond(q.range))
       q.filter.foreach(f => df = df.where(valueFilterCond(col("value"), f)))
       finishDistinct(q, df.withColumn("__t", col("ts")))
@@ -657,7 +689,7 @@ final class Engine(val ctx: TsdbContext) {
     if (q.filter.nonEmpty) return None
     eligibleActivityRollup(q.range, q.stepNs).map(inRange =>
       finishDistinct(q, inRange
-        .join(broadcast(ids), "series_id")
+        .join(idsHint(ids), "series_id")
         .withColumn("__t", col("bin"))))
   }
 
@@ -725,7 +757,7 @@ final class Engine(val ctx: TsdbContext) {
       val covered = bs
         .where(col("__b") >= range.from / fine &&
           col("__b") < range.to / fine)
-        .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+        .join(idsHint(ids.select("series_id", "out_name")), "series_id")
         .groupBy(col("out_name").as("metric"),
           longFloorDiv(col("__b"), ratio).as("__b"))
         .agg(sum(col("__s")).as("__s"), sum(col("__c")).as("__c"))
@@ -814,7 +846,7 @@ final class Engine(val ctx: TsdbContext) {
     val parts = q.funcs.groupBy(_._1).toSeq.sortBy(_._1).map { case (metric, mfs) =>
       val funcs = mfs.map(_._2)
       val ids = resolvedIds(Seq(metric), q.where, q.groupBy, location = q.location)
-      val idsSel = broadcast(ids.select("series_id", "out_name"))
+      val idsSel = idsHint(ids.select("series_id", "out_name"))
       // whole-history aggregates are the canonical SubtreeRef answer: no
       // range bounds → no edge bins → ANY registered rollup serves the
       // entire query from interior accumulators, never touching raw
@@ -1063,7 +1095,7 @@ final class Engine(val ctx: TsdbContext) {
         val accs =
           if (keepTsMin) (Rollup.neededAccs(q.funcs) :+ "ts_min").distinct
           else Rollup.neededAccs(q.funcs)
-        val idsSel = broadcast(ids.select("series_id", "out_name"))
+        val idsSel = idsHint(ids.select("series_id", "out_name"))
         // fully aligned: the driver-side enumeration proved zero edge
         // bins, so every in-range fine bin is interior and the per-row
         // qbin-equality check (two pmods per rollup row) is redundant —
@@ -1144,7 +1176,7 @@ final class Engine(val ctx: TsdbContext) {
       (if (factsHaveKey) Seq("tagkey") else Nil)
     val f0 = tsDayPruned(facts(Seq(q.left, q.right)), q.range)
       .select(factCols.map(col): _*)
-      .join(broadcast(withKey), "series_id")
+      .join(idsHint(withKey), "series_id")
       .where(rangeCond(q.range))
     val f = if (factsHaveKey) f0.withColumnRenamed("tagkey", "__tk") else f0
     // per-side value filters run during the scan, BEFORE alignment: a
@@ -1244,7 +1276,7 @@ final class Engine(val ctx: TsdbContext) {
     val factCols = Seq("series_id", "ts", "value") ++
       (if (factsHaveKey) Seq("tagkey") else Nil)
     var f = tsDayPruned(facts(metrics), range).select(factCols.map(col): _*)
-      .join(broadcast(ids), "series_id").where(rangeCond(range))
+      .join(idsHint(ids), "series_id").where(rangeCond(range))
     // per-metric value filters run during the scan, before tuple assembly
     // (reference replicates filters across the zig-zag id layout,
     // query_plan_builder.cc:178-203)
@@ -1441,7 +1473,7 @@ final class Engine(val ctx: TsdbContext) {
   /** Broadcast-join facts to resolved ids and apply the time range. */
   private def scan(ids: DataFrame, range: TimeRange, metrics: Seq[String]): DataFrame =
     tsDayPruned(facts(metrics), range)
-      .join(broadcast(ids.select("series_id", "out_name")), "series_id")
+      .join(idsHint(ids.select("series_id", "out_name")), "series_id")
       .where(rangeCond(range))
 
   /** Semi-open [from, to) forward; (to, from] backward (reference

@@ -872,6 +872,116 @@ object EntryUtil {
       new Engine(opened.copy(series = opened.series.cache()))
     })
 
+  private val eventsL0DbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a TWO-TIER EVENTS database — the
+    * [[engineL0DbFor]] story instantiated on the LOG half: the batch
+    * events layout owns the window's first 19 days
+    * (TsdbLayout.writeDatabase), a REAL
+    * [[graft.streaming.TsdbStream.eventsIngest]] stream delivered
+    * Jan 20-30 into the `events_l0` tier, and
+    * [[graft.model.TsdbLayout.compactEventsL0]] claimed days 20-24
+    * into the batch layout (watermark Jan 25). A select-events over
+    * the canonical window reads THREE provenances — batch,
+    * compacted-from-stream, live L0 — through one opened context and
+    * must equal the flat events frame exactly (one oracle with
+    * ts_select_events_regex). */
+  def engineEventsL0DbFor(spark: SparkSession, dir: String): Engine =
+    eventsL0DbEngines.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc: Encoder[(Long, Long, String)] =
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)]
+      implicit val sqlCtx = spark.sqlContext
+      val splitNs = 1705708800000000000L   // 2024-01-20T00Z: L0 takes over
+      val compactNs = 1706140800000000000L // 2024-01-25T00Z: compaction wm
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val db = scratchDir("graft_evl0_db")
+      graft.model.TsdbLayout.writeDatabase(
+        ctx.copy(events = ctx.events.where(col("ts") < splitNs)), db)
+      val rows = ctx.events.where(col("ts") >= splitNs)
+        .orderBy("ts", "series_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq
+      val in = MemoryStream[(Long, Long, String)]
+      val q = graft.streaming.TsdbStream.eventsIngest(
+        in.toDF().toDF("series_id", "ts", "body")
+          .withColumn("metric", lit("!log")),
+        s"$db/events_l0", s"$db/ev_ingest_ckpt")
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      graft.model.TsdbLayout.compactEventsL0(spark, db, compactNs)
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
+    })
+
+  private val rotatedDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a database whose ingest epoch was RETIRED:
+    * the [[engineL0DbFor]] build carried to the end of the lifecycle —
+    * the stream delivered Jan 20-30 into `samples_l0`, compaction
+    * claimed EVERY day (cutoff past the data), and
+    * [[graft.model.TsdbLayout.retireIngestRoot]] verified that and
+    * dropped the root + checkpoint whole (the one destructive step,
+    * behind its loud guards). The opened database serves batch-only
+    * again; entries over this engine prove rotation changes nothing
+    * (one oracle with the plain scans). */
+  def engineRotatedDbFor(spark: SparkSession, dir: String): Engine =
+    rotatedDbEngines.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val enc: Encoder[(Long, Long, Double, String)] =
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double, String)]
+      implicit val sqlCtx = spark.sqlContext
+      val splitNs = 1705708800000000000L // 2024-01-20T00Z: L0 takes over
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val db = scratchDir("graft_rotated_db")
+      graft.model.TsdbLayout.writeDatabase(
+        ctx.copy(samples = ctx.samples.where(col("ts") < splitNs)), db)
+      val rows = ctx.samples.where(col("ts") >= splitNs)
+        .join(ctx.series.select(col("series_id"), col("metric")), "series_id")
+        .orderBy("ts", "series_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toSeq
+      val in = MemoryStream[(Long, Long, Double, String)]
+      val q = graft.streaming.TsdbStream.layoutIngest(
+        in.toDF().toDF("series_id", "ts", "value", "metric"),
+        s"$db/samples_l0", s"$db/ingest_ckpt")
+      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      } finally q.stop()
+      // claim EVERYTHING (cutoff past the data), then rotate the epoch
+      graft.model.TsdbLayout.compactL0(spark, db, ToNs)
+      require(graft.model.TsdbLayout.retireIngestRoot(spark, db,
+        checkpoint = Some(s"$db/ingest_ckpt")),
+        "the fully-compacted root must retire")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
+    })
+
+  private val freshnessCatalogs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized index-catalog directory with one ADOPTED hourly-rollup
+    * sink over the testdata — the fixture
+    * [[graft.model.IndexCatalog.freshness]] reads: the catalog owns
+    * nothing, the "maintainer's" parquet lives outside it, and the
+    * readout must report the sink's max committed bin. */
+  def freshnessCatalogFor(spark: SparkSession, dir: String): String =
+    freshnessCatalogs.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val base = scratchDir("graft_freshness")
+      graft.engine.Rollup.write(ctx.samples, s"$base/rollup_sink", hourNs)
+      graft.model.IndexCatalog.save(ctx, s"$base/cat")
+      graft.model.IndexCatalog.adopt(s"$base/cat", "rollup",
+        s"$base/rollup_sink", windowNs = Some(hourNs))
+      s"$base/cat"
+    })
+
   private val bucketSumLadderEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -1,0 +1,75 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 driver entries: the event log's living-database arc (live
+  * stream ingest → two-tier read → compaction — the samples story
+  * instantiated on the LOG half, which the reference feeds through the
+  * same WAL/append path as metrics, stdb/storage/column_store.cc:
+  * 139-143), ingest-root ROTATION (the lifecycle's one destructive
+  * step as a guarded operator), and the index-catalog freshness
+  * readout (the stalled-maintainer alert). Each shares an oracle with
+  * its flat/batch twin where one exists, because none of these hops
+  * may change answers.
+  */
+object Round11Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LIVE EVENT ingest into the queryable log layout: a REAL
+    // Structured Streaming query (TsdbStream.eventsIngest) delivered
+    // Jan 20-30 of the event log through the transactional file sink
+    // into the events_l0 tier, compactEventsL0 claimed days 20-24
+    // into the batch events layout (watermark Jan 25), and this
+    // select-events reads THREE provenances — batch, compacted-from-
+    // stream, live L0 — through one opened database. Must equal the
+    // flat events frame exactly: tier flips change plans, never
+    // answers. Oracle shared with ts_select_events_regex
+    "stream_events_ingest" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineEventsL0DbFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)),
+
+    // the END of the ingest lifecycle: the stream delivered Jan 20-30,
+    // compaction claimed every day, and TsdbLayout.retireIngestRoot —
+    // after verifying nothing is live and nothing straggles — dropped
+    // the L0 root and its checkpoint whole (the file-sink log pins
+    // compacted files until exactly this rotation). The opened
+    // database serves batch-only again and must equal the plain scan.
+    // Oracle shared with ts_layout_select
+    "ts_select_rotated_db" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineRotatedDbFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "where": {"user": ["2", "4", "6", "8"]}}"""))),
+
+    // the catalog FRESHNESS readout: an adopted stream-maintained
+    // index serves whatever its sink last committed, and describe()
+    // shows kind/path/params but not how current the data is —
+    // IndexCatalog.freshness reads one max() per entry so an operator
+    // can alert on a stalled maintainer (the second standing alert,
+    // pairing with l0Stragglers). Here: one adopted hourly-rollup
+    // sink; the readout must equal the raw table's last hour bin
+    "ts_index_freshness" -> ((s, dir) => {
+      import s.implicits._
+      val cat = EntryUtil.freshnessCatalogFor(s, dir)
+      graft.model.IndexCatalog.freshness(s, cat)
+        .map(f => (f.pos, f.kind, f.owned, f.lastNs.get / 1000L))
+        .toDF("pos", "kind", "owned", "last_us")
+    }))
+
+  lazy val oracle: Map[String, String] = Map(
+    // laid-out + streamed + compacted events = the flat frame exactly
+    "stream_events_ingest" -> TsdbEntries.oracle("ts_select_events_regex"),
+    // rotation = the plain scan exactly
+    "ts_select_rotated_db" -> Round5Entries.oracle("ts_layout_select"),
+    // the adopted rollup's max committed bin IS the raw table's last
+    // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
+    // bins are whole hours)
+    "ts_index_freshness" ->
+      """SELECT 0 AS pos, 'rollup' AS kind, FALSE AS owned,
+           max(epoch_ns(ts) - epoch_ns(ts) % 3600000000000) // 1000 AS last_us
+         FROM events""")
+}

@@ -29,6 +29,15 @@ final case class IndexCatalogEntry(
       * only de-registers, never deletes. */
     owned: Boolean = true)
 
+/** One [[IndexCatalog.freshness]] readout row: how current the data
+  * behind catalog entry `pos` is. `lastNs` = the max committed time key
+  * (ns) in the index parquet — for an ADOPTED stream-maintained entry,
+  * the last window/bin its maintainer committed (the number an operator
+  * alerts on when it stops advancing); for the snapshot kinds
+  * (mad/gap), the registered build-range end. None = no rows yet. */
+final case class IndexFreshness(pos: Int, kind: String, path: String,
+    owned: Boolean, lastNs: Option[Long])
+
 /** Persisted index catalog — the save/load half of index registration,
   * plus the operator surface (list / add / retire without a redeploy).
   *
@@ -86,6 +95,21 @@ object IndexCatalog {
 
   private val mapper = new ObjectMapper
 
+  /** Adopted-storage provenance of LOADED frames: [[load]] records, per
+    * adopted (owned=false) entry, the frame's logical plan → the
+    * resolved absolute data path, so a later [[save]]/[[graft.model
+    * .TsdbLayout.writeDatabase]] of a context carrying that SAME frame
+    * re-emits the POINTER (owned=false, original path) instead of
+    * copying the parquet — a re-save can never silently freeze a live
+    * stream-maintained index at its current content while the
+    * maintainer keeps appending to a now-unreferenced directory.
+    * Weak keys: entries die with their frames. A TRANSFORMED frame
+    * (filter/select over the adopted one) is a different plan and
+    * saves as an owned copy — correct: a derivative is not the sink. */
+  private val adoptedProvenance = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String]())
+
   // ------------------------------------------------------------- write
 
   private def entryNode(e: IndexCatalogEntry): ObjectNode = {
@@ -128,41 +152,71 @@ object IndexCatalog {
 
   /** The (entry, frame) list a context's registration flattens to, in
     * family order — shared by [[save]] and [[append]]. `startPos`
-    * offsets the positions (append continues after the existing max). */
-  private def flatten(ctx: TsdbContext, startPos: Int): Seq[(IndexCatalogEntry, DataFrame)] = {
+    * offsets the positions (append continues after the existing max).
+    * A frame [[load]] recorded as ADOPTED re-stages as the pointer it
+    * was (owned=false, the live data path — relative when it lies
+    * under `dir`), so ownership survives the save round-trip
+    * ([[adoptedProvenance]]); everything else stages as an owned
+    * `idx_<pos>_<kind>` copy. */
+  private def flatten(ctx: TsdbContext, startPos: Int,
+      dir: String): Seq[(IndexCatalogEntry, DataFrame)] = {
     var pos = startPos - 1
-    def next(kind: String): (Int, String) = {
-      pos += 1; (pos, s"idx_${pos}_$kind")
+    def next(kind: String, frame: DataFrame,
+        entryOf: (Int, String) => IndexCatalogEntry): (IndexCatalogEntry, DataFrame) = {
+      pos += 1
+      adoptedProvenance.get(frame.queryExecution.logical) match {
+        case null => (entryOf(pos, s"idx_${pos}_$kind"), frame)
+        case live => (entryOf(pos, storedPath(dir, live))
+          .copy(owned = false), frame)
+      }
     }
     ctx.rollups.map { case (step, r) =>
-      val (p, rel) = next("rollup")
-      (IndexCatalogEntry(p, "rollup", rel, windowNs = Some(step)), r)
+      next("rollup", r, (p, rel) =>
+        IndexCatalogEntry(p, "rollup", rel, windowNs = Some(step)))
     } ++ ctx.histograms.map { case (win, h) =>
-      val (p, rel) = next("histogram")
-      (IndexCatalogEntry(p, "histogram", rel, windowNs = Some(win)), h)
+      next("histogram", h, (p, rel) =>
+        IndexCatalogEntry(p, "histogram", rel, windowNs = Some(win)))
     } ++ ctx.bucketSums.map { case (step, b) =>
-      val (p, rel) = next("bucket_sums")
-      (IndexCatalogEntry(p, "bucket_sums", rel, windowNs = Some(step)), b)
+      next("bucket_sums", b, (p, rel) =>
+        IndexCatalogEntry(p, "bucket_sums", rel, windowNs = Some(step)))
     } ++ ctx.kmvIndexes.map { d =>
-      val (p, rel) = next("kmv")
-      (IndexCatalogEntry(p, "kmv", rel, windowNs = Some(d.windowNs),
-        tag = Some(d.tag), k = Some(d.k)), d.index)
+      next("kmv", d.index, (p, rel) =>
+        IndexCatalogEntry(p, "kmv", rel, windowNs = Some(d.windowNs),
+          tag = Some(d.tag), k = Some(d.k)))
     } ++ ctx.madIndexes.map { d =>
-      val (p, rel) = next("mad")
-      (IndexCatalogEntry(p, "mad", rel,
-        fromNs = Some(d.fromNs), toNs = Some(d.toNs)), d.index)
+      next("mad", d.index, (p, rel) =>
+        IndexCatalogEntry(p, "mad", rel,
+          fromNs = Some(d.fromNs), toNs = Some(d.toNs)))
     } ++ ctx.gapIndexes.map { d =>
-      val (p, rel) = next("gap")
-      (IndexCatalogEntry(p, "gap", rel, fromNs = Some(d.fromNs),
-        toNs = Some(d.toNs), factor = Some(d.factor)), d.index)
+      next("gap", d.index, (p, rel) =>
+        IndexCatalogEntry(p, "gap", rel, fromNs = Some(d.fromNs),
+          toNs = Some(d.toNs), factor = Some(d.factor)))
     }
+  }
+
+  /** How a data path is recorded in the manifest at `dir`: RELATIVE
+    * when it lies under the catalog directory — the whole directory
+    * then moves/copies as a unit (backup, restore, rename) with every
+    * internal reference intact — and absolute otherwise, where moving
+    * the catalog cannot move the external storage anyway (resolution
+    * after a catalog move then either still serves the live directory
+    * or fails loudly on the missing path — never a silent stale read,
+    * spec-pinned). */
+  private def storedPath(dir: String, dataPath: String): String = {
+    val abs = Paths.get(dataPath).toAbsolutePath.normalize
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    if (abs.startsWith(root)) root.relativize(abs).toString else abs.toString
   }
 
   private def writeFrames(dir: String,
       staged: Seq[(IndexCatalogEntry, DataFrame)]): Unit =
     staged.foreach { case (e, frame) =>
-      frame.write.mode("overwrite")
-        .parquet(Paths.get(dir).resolve(e.path).toString)
+      // adopted entries are POINTERS: their storage belongs to the
+      // maintainer (usually a live stream sink) — copying it here
+      // would freeze a live index at its current content
+      if (e.owned)
+        frame.write.mode("overwrite")
+          .parquet(Paths.get(dir).resolve(e.path).toString)
     }
 
   /** Write `ctx`'s full index registration (all six families) under
@@ -175,7 +229,7 @@ object IndexCatalog {
     * catalog rather than a partial one. */
   def save(ctx: TsdbContext, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val staged = flatten(ctx, startPos = 0)
+    val staged = flatten(ctx, startPos = 0, dir)
     writeFrames(dir, staged)
     writeManifest(dir, staged.map(_._1), nextPos = staged.size)
   }
@@ -193,7 +247,7 @@ object IndexCatalog {
     // positions issue from the header's high-water mark, NEVER from the
     // surviving entries' max: reusing a retired entry's pos would let an
     // operator's earlier retire-by-pos silently address a later index
-    val staged = flatten(extra, m.nextPos)
+    val staged = flatten(extra, m.nextPos, dir)
     require(staged.nonEmpty, "append needs at least one index to add")
     writeFrames(dir, staged)
     writeManifest(dir, m.entries ++ staged.map(_._1),
@@ -228,14 +282,24 @@ object IndexCatalog {
     * a directory a streaming maintainer keeps fresh
     * ([[graft.streaming.TsdbStream]]'s rollupBuild / histBuild /
     * kmvBuild / bucketMeansBuild sinks, whose schemas are the
-    * registered-index schemas by construction). The manifest entry
-    * records the ABSOLUTE data path; [[load]] resolves it directly, so
-    * restarts keep serving from the live directory while the stream
-    * keeps appending (subject to the maintainer's own freshness
-    * contract — see [[graft.engine.Rollup]]'s). [[save]]/[[append]]
+    * registered-index schemas by construction). The manifest records
+    * the data path RELATIVE to the catalog directory when the sink
+    * lives under it (the common layout — the catalog then relocates as
+    * a unit, adopted entries intact) and absolute otherwise; [[load]]
+    * resolves against the catalog directory either way, so restarts
+    * keep serving from the live directory while the stream keeps
+    * appending (subject to the maintainer's own freshness contract —
+    * see [[graft.engine.Rollup]]'s; poll [[freshness]] to watch it).
+    * A RELOCATED catalog with an outside-root adopted path either
+    * still resolves the live directory (it did not move) or fails
+    * loudly on the missing path at first read — never a silent stale
+    * resolution (spec-pinned). [[save]]/[[append]]
     * WRITE frames the catalog owns; adopt POINTS at storage someone
-    * else owns, and [[retire]] respects the difference. Parameters are
-    * validated per kind exactly like a parsed manifest entry.
+    * else owns, and [[retire]] respects the difference — as does a
+    * re-[[save]] of a loaded context, which re-emits adopted entries
+    * as pointers instead of freezing a live sink into a copy.
+    * Parameters are validated per kind exactly like a parsed manifest
+    * entry.
     *
     * @return the assigned position (the handle [[retire]] takes). */
   def adopt(dir: String, kind: String, dataPath: String,
@@ -265,9 +329,50 @@ object IndexCatalog {
       s"adopt: no index data directory at $abs")
     val m = parseManifest(dir)
     writeManifest(dir, m.entries :+ IndexCatalogEntry(m.nextPos, kind,
-      abs.toString, windowNs, fromNs, toNs, factor, tag, k, owned = false),
+      storedPath(dir, abs.toString), windowNs, fromNs, toNs, factor, tag, k,
+      owned = false),
       m.nextPos + 1)
     m.nextPos
+  }
+
+  /** How fresh each registered index's data is — the standing alert an
+    * operator pairs with [[graft.model.TsdbLayout.l0Stragglers]]: an
+    * ADOPTED stream-maintained index serves statements with whatever
+    * its sink last committed, and a stalled maintainer is invisible to
+    * [[describe]] (kind/path/params only). Per entry, `lastNs` is the
+    * max committed time key in the index data — rollup `bin` /
+    * histogram and kmv `win` starts verbatim (ns), bucket_sums' `__b`
+    * ordinal × its window — and the registered build-range end for the
+    * snapshot kinds (mad/gap), whose freshness is fixed at build time.
+    * None when the index holds no rows yet.
+    *
+    * Cost: one max() aggregation per entry over its own parquet
+    * (footer-stat-sized, no joins, independent of fact volume) — cheap
+    * enough to poll. */
+  def freshness(spark: SparkSession, dir: String): Seq[IndexFreshness] = {
+    val root = Paths.get(dir)
+    parseManifest(dir).entries.map { e =>
+      val timeCol = e.kind match {
+        case "rollup" => Some("bin")
+        case "histogram" | "kmv" => Some("win")
+        case "bucket_sums" => Some("__b")
+        case _ => None // mad/gap: fixed [fromNs, toNs) builds
+      }
+      val lastNs = timeCol match {
+        case None => e.toNs
+        case Some(c) =>
+          val row = spark.read.parquet(root.resolve(e.path).toString)
+            .agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col(c))).head()
+          if (row.isNullAt(0)) None
+          else {
+            val v = row.getAs[Number](0).longValue
+            Some(if (e.kind == "bucket_sums") v * e.windowNs.get else v)
+          }
+      }
+      IndexFreshness(e.pos, e.kind, root.resolve(e.path).toString,
+        e.owned, lastNs)
+    }
   }
 
   // -------------------------------------------------------------- read
@@ -386,7 +491,14 @@ object IndexCatalog {
   def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
     val root = Paths.get(dir)
     parseManifest(dir).entries.foldLeft(base) { (out, e) =>
-      val frame = spark.read.parquet(root.resolve(e.path).toString)
+      val resolved = root.resolve(e.path).toString
+      val frame = spark.read.parquet(resolved)
+      // adopted entries keep their provenance across a load → re-save
+      // round-trip: a later save re-emits the pointer, never a frozen
+      // copy of the live sink
+      if (!e.owned)
+        adoptedProvenance.put(frame.queryExecution.logical,
+          Paths.get(resolved).toAbsolutePath.normalize.toString)
       e.kind match {
         case "rollup" =>
           out.copy(rollups = out.rollups :+ (e.windowNs.get -> frame))

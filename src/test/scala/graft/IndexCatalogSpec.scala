@@ -300,6 +300,129 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
         windowNs = Some(hourNs)))
   }
 
+  test("adopted entries relocate with the catalog when their storage lives under it; outside-root paths stay loud after a move") {
+    // the backup/restore story this module exists for: a catalog
+    // directory must move/copy as a unit. An adopted sink UNDER the
+    // catalog dir records a RELATIVE path — the moved catalog still
+    // serves, no stale resolution of the old location possible
+    val root = tmp()
+    IndexCatalog.save(ctx, root) // empty catalog
+    Rollup.write(ctx.samples, s"$root/live_rollup", hourNs)
+    IndexCatalog.adopt(root, "rollup", s"$root/live_rollup",
+      windowNs = Some(hourNs))
+    assert(IndexCatalog.describe(root).head.path === "live_rollup",
+      "an in-root adopted path must be recorded relative")
+    val moved = tmp() + "/relocated"
+    Files.move(Paths.get(root), Paths.get(moved))
+    val loaded = IndexCatalog.load(spark, moved, cachedCtx)
+    assert(loaded.rollups.map(_._1) === Seq(hourNs))
+    assert(rowsOf(loaded.rollups.head._2.select("series_id", "bin")) ===
+      rowsOf(Rollup.build(ctx.samples, hourNs).select("series_id", "bin")),
+      "the moved catalog must serve the adopted index from its new home")
+
+    // outside-root storage cannot move with the catalog; after a move
+    // (original gone) the load must FAIL on the missing path — never
+    // silently resolve something stale
+    val ext = tmp() + "/external_sink"
+    Rollup.write(ctx.samples, ext, hourNs)
+    val root2 = tmp()
+    IndexCatalog.save(ctx, root2)
+    IndexCatalog.adopt(root2, "rollup", ext, windowNs = Some(hourNs))
+    assert(Paths.get(IndexCatalog.describe(root2).head.path).isAbsolute)
+    val moved2 = tmp() + "/relocated2"
+    Files.move(Paths.get(root2), Paths.get(moved2))
+    // while the external sink exists, the moved catalog still serves it
+    // (the sink did not move — that IS the live directory)
+    assert(IndexCatalog.load(spark, moved2, cachedCtx).rollups.nonEmpty)
+    val walk = Files.walk(Paths.get(ext))
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(f => Files.deleteIfExists(f))
+    finally walk.close()
+    intercept[Exception](IndexCatalog.load(spark, moved2, cachedCtx))
+  }
+
+  test("ownership survives a save round-trip: re-saving a loaded context re-emits adopted pointers, never frozen copies") {
+    // the silent-detach hazard: load a catalog holding an adopted
+    // (stream-maintained) entry, then re-persist the context. The
+    // re-save must keep POINTING at the live sink — copying it would
+    // freeze the index at its current content while the maintainer
+    // keeps appending to a now-unreferenced directory
+    val sink = tmp() + "/maintained_rollup"
+    val firstHalf = ctx.samples.where(col("ts") <
+      (FromNs + (ToNs - FromNs) / 2))
+    Rollup.write(firstHalf, sink, hourNs)
+    val rootA = tmp()
+    IndexCatalog.save(ctx, rootA)
+    IndexCatalog.adopt(rootA, "rollup", sink, windowNs = Some(hourNs))
+    val loaded = IndexCatalog.load(spark, rootA, cachedCtx)
+
+    // re-save the LOADED context into a fresh catalog (the
+    // writeDatabase path funnels here too)
+    val rootB = tmp()
+    IndexCatalog.save(loaded, rootB)
+    val e = IndexCatalog.describe(rootB).head
+    assert(!e.owned, "re-save must preserve adopted (owned=false) status")
+    assert(Paths.get(e.path).isAbsolute &&
+      Paths.get(e.path).toString == Paths.get(sink).toAbsolutePath.toString,
+      s"re-save must point at the live sink, got ${e.path}")
+    val ls = Files.list(Paths.get(rootB))
+    try assert(!ls.iterator().asScala
+      .exists(_.getFileName.toString.startsWith("idx_")),
+      "re-save must not copy the adopted data")
+    finally ls.close()
+
+    // the maintainer keeps appending — the RE-SAVED catalog sees it
+    Rollup.build(ctx.samples.where(col("ts") >=
+        (FromNs + (ToNs - FromNs) / 2)), hourNs)
+      .write.mode("append").parquet(sink)
+    val viaB = IndexCatalog.load(spark, rootB, cachedCtx)
+    assert(viaB.rollups.head._2.count() ===
+      spark.read.parquet(sink).count(),
+      "the re-saved catalog must serve the sink's LIVE content")
+
+    // a DERIVED frame is not the sink: transforming the adopted frame
+    // before saving stages an owned copy (correct — the derivation is
+    // new data the maintainer does not own)
+    val rootC = tmp()
+    IndexCatalog.save(loaded.copy(rollups = loaded.rollups.map {
+      case (w, f) => (w, f.where(col("cnt") > 0)) }), rootC)
+    assert(IndexCatalog.describe(rootC).head.owned,
+      "a transformed frame must save as an owned copy")
+  }
+
+  test("freshness: the last committed time key per entry — the stalled-maintainer alert") {
+    // an adopted stream sink serves whatever it last committed;
+    // describe shows kind/path/params but not how fresh the data is.
+    // freshness reads one max() per entry so an operator can alert
+    // when an adopted index stops advancing
+    val sink = tmp() + "/fresh_rollup"
+    // mid-JANUARY: the testdata's events span Jan 1-30 only, so a
+    // later split would leave the maintainer's second commit empty
+    val mid = FromNs + 14L * dayNs
+    Rollup.write(ctx.samples.where(col("ts") < mid), sink, hourNs)
+    val root = tmp()
+    // one owned snapshot family (mad: freshness = build-range end) and
+    // one adopted maintained family (rollup: freshness = max bin)
+    IndexCatalog.save(ctx.copy(madIndexes = Seq(MadIndexDef(FromNs, ToNs,
+      graft.ops.Monitoring.madIndex(
+        namedRanged.select(col("name"), col("value")), "name")))), root)
+    IndexCatalog.adopt(root, "rollup", sink, windowNs = Some(hourNs))
+    def byKind = IndexCatalog.freshness(spark, root)
+      .map(f => f.kind -> f).toMap
+    val f0 = byKind
+    assert(f0("mad").lastNs === Some(ToNs),
+      "snapshot kinds report their registered build-range end")
+    val lastBin0 = f0("rollup").lastNs.get
+    assert(lastBin0 < mid && lastBin0 >= FromNs,
+      "the adopted rollup's freshness is its max committed bin")
+    // the maintainer commits more — freshness advances
+    Rollup.build(ctx.samples.where(col("ts") >= mid), hourNs)
+      .write.mode("append").parquet(sink)
+    assert(byKind("rollup").lastNs.get > lastBin0,
+      "freshness must advance with the sink")
+    assert(!f0("rollup").owned && f0("mad").owned)
+  }
+
   test("writeDatabase / openDatabase: the full restart unit round-trips") {
     // one directory = catalog + events + partitioned/sorted samples
     // layout + index catalog; openDatabase reconstructs the whole

@@ -46,6 +46,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"fact side must not shuffle for selection:\n$factSide")
   }
 
+  test("resolved-id join flips to a shuffle join above the catalog broadcast ceiling; answers unchanged") {
+    // the knnSeedProbe discipline (loud, documented ceiling) applied to
+    // the engine's one remaining unguarded broadcast: with the catalog
+    // over Engine.MaxBroadcastSeries (test ceiling: 2 rows), every
+    // resolved-id join plans WITHOUT a broadcast — a match-all `where`
+    // over a 10⁸-series catalog costs one extra exchange of the reduced
+    // fact side instead of an executor-memory blowup
+    val q = SelectQuery("test", TimeRange(100, 300))
+    val capped = new Engine(ctx, maxBroadcastSeries = 2L)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    // Catalyst would re-broadcast the tiny TEST catalog on size grounds
+    // and hide the strategy flip; in the real over-ceiling regime the
+    // catalog exceeds this threshold too
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(capped.select(q))
+      assert(p.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        s"over the ceiling the resolved-id join must not broadcast:\n$p")
+      assert(p.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.nonEmpty, s"expected a shuffle join over the ceiling:\n$p")
+      assert(collectSeries(capped.select(q)) ===
+        collectSeries(engine.select(q)),
+        "the strategy flip must not change answers")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("aggregate: partial (map-side) aggregation precedes the final aggregate") {
     val p = plan(engine.aggregate(AggregateQuery(Seq("test" -> AggFunc.Sum))))
     val aggs = p.collect { case a: BaseAggregateExec => a }
