@@ -52,7 +52,15 @@ object Engine {
     * at any catalog size, one extra exchange of the REDUCED fact side)
     * instead of degrading silently — the uniform loud-contract rule
     * (knnSeedProbe's MaxInRowProbeCenters) applied to the engine's one
-    * remaining unguarded broadcast. The reference holds its whole
+    * remaining unguarded broadcasts. The same ceiling governs the
+    * registered per-series index frames the serve paths join (mad and
+    * gap indexes are one row per series — the identical regime), so
+    * every catalog-scale broadcast in the STATEMENT paths flips
+    * together; the streaming probe forms (flagAnomalies / flagGaps /
+    * flagStale / asofStatic) keep their documented broadcast-index
+    * contract — their indexes are bounded by the registrar, and a
+    * stream has no shuffle-join fallback that preserves their
+    * stateless-probe design. The reference holds its whole
     * series matcher in RAM (series_matcher.h) and simply cannot exceed
     * this regime; a 10⁸-series fleet on Spark can. Override per Engine
     * via the constructor for tests or tighter executors. */
@@ -437,7 +445,7 @@ final class Engine(val ctx: TsdbContext,
                   d.factor == f =>
                 graft.ops.Monitoring.gapsRelativeWith(s,
                   d.index.select(col("name").as("series"), col("thr")),
-                  "series")
+                  "series", hint = idsHint)
             }
           else None
         served.getOrElse(
@@ -478,7 +486,7 @@ final class Engine(val ctx: TsdbContext,
         ctx.madIndexes.collectFirst {
           case d if d.fromNs == q.range.from && d.toNs == q.range.to =>
             graft.ops.Monitoring.madAnomaliesWith(rows,
-              broadcast(d.index.select(col("name").as("series"),
+              idsHint(d.index.select(col("name").as("series"),
                 col("med"), col("mad"))),
               "series", q.c)
         }

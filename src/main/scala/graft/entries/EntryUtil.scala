@@ -783,10 +783,6 @@ object EntryUtil {
     * directory through the ordinary layout reader. */
   def streamIngestedLayoutFor(spark: SparkSession, dir: String): String =
     streamLayouts.getOrElseUpdate((spark, dir), {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val enc: Encoder[(Long, Long, Double)] =
-        org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
-      implicit val sqlCtx = spark.sqlContext
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val rows = ctx.samples
         .join(ctx.series.where(col("metric") === "purchase")
@@ -794,16 +790,48 @@ object EntryUtil {
         .orderBy("ts", "series_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       val base = scratchDir("graft_stream_layout")
-      val in = MemoryStream[(Long, Long, Double)]
-      val q = graft.streaming.TsdbStream.layoutIngest(
-        in.toDF().toDF("series_id", "ts", "value")
-          .withColumn("metric", lit("purchase")),
-        s"$base/samples", s"$base/ckpt")
-      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
-      } finally q.stop()
+      streamRows(spark, rows, Seq("series_id", "ts", "value"),
+        df => graft.streaming.TsdbStream.layoutIngest(
+          df.withColumn("metric", lit("purchase")),
+          s"$base/samples", s"$base/ckpt"))
       s"$base/samples"
     })
+
+  /** The ONE MemoryStream scaffold every lifecycle fixture shares:
+    * feed `rows` (already ts-ordered) in ~3 chunks through the
+    * streaming query `start` builds over the stream's frame (columns
+    * renamed to `cols`), each chunk fully committed before the next —
+    * a real multi-micro-batch execution, deterministic across runs. */
+  private def streamRows[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: SparkSession, rows: Seq[T], cols: Seq[String],
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: Encoder[T] = org.apache.spark.sql.Encoders.product[T]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[T]
+    val q = start(in.toDF().toDF(cols: _*))
+    try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+      in.addData(c); q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  /** Collected (series_id, ts, value, metric) rows of `ctx.samples` at
+    * or past `fromNs`, ts-ordered — the live half a lifecycle fixture
+    * streams into an ingest tier. */
+  private def sampleRowsFrom(ctx: TsdbContext,
+      fromNs: Long): Seq[(Long, Long, Double, String)] =
+    ctx.samples.where(col("ts") >= fromNs)
+      .join(ctx.series.select(col("series_id"), col("metric")), "series_id")
+      .orderBy("ts", "series_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSeq
+
+  /** 2024-01-20T00Z / 2024-01-25T00Z: where the live tier takes over
+    * from the batch load, and the compaction watermark the two-tier
+    * fixtures use (testdata spans January). */
+  private val L0SplitNs = 1705708800000000000L
+  private val L0CompactNs = 1706140800000000000L
 
   private val l0DbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
@@ -820,30 +848,15 @@ object EntryUtil {
     * nothing (one oracle with the plain scans). */
   def engineL0DbFor(spark: SparkSession, dir: String): Engine =
     l0DbEngines.getOrElseUpdate((spark, dir), {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val enc: Encoder[(Long, Long, Double, String)] =
-        org.apache.spark.sql.Encoders.product[(Long, Long, Double, String)]
-      implicit val sqlCtx = spark.sqlContext
-      val splitNs = 1705708800000000000L   // 2024-01-20T00Z: L0 takes over
-      val compactNs = 1706140800000000000L // 2024-01-25T00Z: compaction wm
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val db = scratchDir("graft_l0db_engine")
       graft.model.TsdbLayout.writeDatabase(
-        ctx.copy(samples = ctx.samples.where(col("ts") < splitNs)), db)
-      val rows = ctx.samples.where(col("ts") >= splitNs)
-        .join(ctx.series.select(col("series_id"), col("metric")), "series_id")
-        .orderBy("ts", "series_id")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
-        .toSeq
-      val in = MemoryStream[(Long, Long, Double, String)]
-      val q = graft.streaming.TsdbStream.layoutIngest(
-        in.toDF().toDF("series_id", "ts", "value", "metric"),
-        s"$db/samples_l0", s"$db/ingest_ckpt")
-      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
-      } finally q.stop()
-      graft.model.TsdbLayout.compactL0(spark, db, compactNs)
+        ctx.copy(samples = ctx.samples.where(col("ts") < L0SplitNs)), db)
+      streamRows(spark, sampleRowsFrom(ctx, L0SplitNs),
+        Seq("series_id", "ts", "value", "metric"),
+        df => graft.streaming.TsdbStream.layoutIngest(
+          df, s"$db/samples_l0", s"$db/ingest_ckpt"))
+      graft.model.TsdbLayout.compactL0(spark, db, L0CompactNs)
       val opened = graft.model.TsdbLayout.openDatabase(spark, db)
       new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
     })
@@ -889,33 +902,29 @@ object EntryUtil {
     * ts_select_events_regex). */
   def engineEventsL0DbFor(spark: SparkSession, dir: String): Engine =
     eventsL0DbEngines.getOrElseUpdate((spark, dir), {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val enc: Encoder[(Long, Long, String)] =
-        org.apache.spark.sql.Encoders.product[(Long, Long, String)]
-      implicit val sqlCtx = spark.sqlContext
-      val splitNs = 1705708800000000000L   // 2024-01-20T00Z: L0 takes over
-      val compactNs = 1706140800000000000L // 2024-01-25T00Z: compaction wm
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val db = scratchDir("graft_evl0_db")
       graft.model.TsdbLayout.writeDatabase(
-        ctx.copy(events = ctx.events.where(col("ts") < splitNs)), db)
-      val rows = ctx.events.where(col("ts") >= splitNs)
-        .orderBy("ts", "series_id")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-        .toSeq
-      val in = MemoryStream[(Long, Long, String)]
-      val q = graft.streaming.TsdbStream.eventsIngest(
-        in.toDF().toDF("series_id", "ts", "body")
-          .withColumn("metric", lit("!log")),
-        s"$db/events_l0", s"$db/ev_ingest_ckpt")
-      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
-      } finally q.stop()
-      graft.model.TsdbLayout.compactEventsL0(spark, db, compactNs)
+        ctx.copy(events = ctx.events.where(col("ts") < L0SplitNs)), db)
+      streamRows(spark, eventRowsFrom(ctx, L0SplitNs),
+        Seq("series_id", "ts", "body"),
+        df => graft.streaming.TsdbStream.eventsIngest(
+          df.withColumn("metric", lit("!log")),
+          s"$db/events_l0", s"$db/ev_ingest_ckpt"))
+      graft.model.TsdbLayout.compactEventsL0(spark, db, L0CompactNs)
       val opened = graft.model.TsdbLayout.openDatabase(spark, db)
       new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
     })
+
+  /** Collected (series_id, ts, body) event rows at or past `fromNs`,
+    * ts-ordered — the log half's live stream. */
+  private def eventRowsFrom(ctx: TsdbContext,
+      fromNs: Long): Seq[(Long, Long, String)] =
+    ctx.events.where(col("ts") >= fromNs)
+      .orderBy("ts", "series_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq
 
   private val rotatedDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
@@ -931,35 +940,56 @@ object EntryUtil {
     * (one oracle with the plain scans). */
   def engineRotatedDbFor(spark: SparkSession, dir: String): Engine =
     rotatedDbEngines.getOrElseUpdate((spark, dir), {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val enc: Encoder[(Long, Long, Double, String)] =
-        org.apache.spark.sql.Encoders.product[(Long, Long, Double, String)]
-      implicit val sqlCtx = spark.sqlContext
-      val splitNs = 1705708800000000000L // 2024-01-20T00Z: L0 takes over
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val db = scratchDir("graft_rotated_db")
       graft.model.TsdbLayout.writeDatabase(
-        ctx.copy(samples = ctx.samples.where(col("ts") < splitNs)), db)
-      val rows = ctx.samples.where(col("ts") >= splitNs)
-        .join(ctx.series.select(col("series_id"), col("metric")), "series_id")
-        .orderBy("ts", "series_id")
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
-        .toSeq
-      val in = MemoryStream[(Long, Long, Double, String)]
-      val q = graft.streaming.TsdbStream.layoutIngest(
-        in.toDF().toDF("series_id", "ts", "value", "metric"),
-        s"$db/samples_l0", s"$db/ingest_ckpt")
-      try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-        in.addData(c); q.processAllAvailable()
-      } finally q.stop()
-      // claim EVERYTHING (cutoff past the data), then rotate the epoch
+        ctx.copy(samples = ctx.samples.where(col("ts") < L0SplitNs),
+          events = ctx.events.where(col("ts") < L0SplitNs)), db)
+      streamRows(spark, sampleRowsFrom(ctx, L0SplitNs),
+        Seq("series_id", "ts", "value", "metric"),
+        df => graft.streaming.TsdbStream.layoutIngest(
+          df, s"$db/samples_l0", s"$db/ingest_ckpt"))
+      streamRows(spark, eventRowsFrom(ctx, L0SplitNs),
+        Seq("series_id", "ts", "body"),
+        df => graft.streaming.TsdbStream.eventsIngest(
+          df.withColumn("metric", lit("!log")),
+          s"$db/events_l0", s"$db/ev_ingest_ckpt"))
+      // claim EVERYTHING (cutoff past the data), then rotate BOTH
+      // halves' epochs — root + checkpoint dropped whole
       graft.model.TsdbLayout.compactL0(spark, db, ToNs)
+      graft.model.TsdbLayout.compactEventsL0(spark, db, ToNs)
       require(graft.model.TsdbLayout.retireIngestRoot(spark, db,
         checkpoint = Some(s"$db/ingest_ckpt")),
-        "the fully-compacted root must retire")
+        "the fully-compacted samples root must retire")
+      require(graft.model.TsdbLayout.retireEventsIngestRoot(spark, db,
+        checkpoint = Some(s"$db/ev_ingest_ckpt")),
+        "the fully-compacted events root must retire")
       val opened = graft.model.TsdbLayout.openDatabase(spark, db)
       new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
+    })
+
+  private val upsertEventsEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a PRIVATE events layout healed by
+    * [[graft.model.TsdbLayout.upsertEvents]]: the layout was written
+    * MISSING the window's last six days, and the missing slice arrived
+    * as a late batch through the events upsert — a partition-scoped
+    * ADD (only the touched day directories rewritten; events are
+    * appends, not corrections). The served select-events must equal
+    * the flat frame exactly — one oracle with ts_select_events_regex. */
+  def engineEventsUpsertFor(spark: SparkSession, dir: String): Engine =
+    upsertEventsEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val cutNs = 1706140800000000000L // 2024-01-25T00Z
+      val path = scratchDir("graft_ev_upsert") + "/events"
+      graft.model.TsdbLayout.writeEvents(
+        ctx.copy(events = ctx.events.where(col("ts") < cutNs)), path)
+      graft.model.TsdbLayout.upsertEvents(spark, path,
+        ctx.events.where(col("ts") >= cutNs), ctx.series)
+      new Engine(TsdbContext(spark,
+        cachedSeries(spark, dir, ctx.series), ctx.samples,
+        spark.read.parquet(path)))
     })
 
   private val freshnessCatalogs = scala.collection.concurrent.TrieMap

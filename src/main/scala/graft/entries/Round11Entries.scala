@@ -45,6 +45,30 @@ object Round11Entries {
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
              "where": {"user": ["2", "4", "6", "8"]}}"""))),
 
+    // the LOG half's rotation, through the same database: the rotated
+    // fixture streams BOTH halves, compacts both to the end, and
+    // retires both roots (retireEventsIngestRoot) — this select-events
+    // over the batch-only-again events layout must equal the flat
+    // frame. Oracle shared with ts_select_events_regex
+    "ts_select_events_rotated_db" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineRotatedDbFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)),
+
+    // late EVENT data healed by the log half's upsert: the events
+    // layout was written missing Jan 25-30 and TsdbLayout.upsertEvents
+    // added the late slice partition-scoped (events are appends —
+    // existing rows kept byte-for-byte, late rows added once,
+    // idempotent by (series, ts, body) identity; the remediation an
+    // eventsL0Stragglers alert routes through). Served select-events
+    // equals the flat frame. Oracle shared with ts_select_events_regex
+    "ts_events_upsert" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineEventsUpsertFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)),
+
     // the catalog FRESHNESS readout: an adopted stream-maintained
     // index serves whatever its sink last committed, and describe()
     // shows kind/path/params but not how current the data is —
@@ -65,6 +89,10 @@ object Round11Entries {
     "stream_events_ingest" -> TsdbEntries.oracle("ts_select_events_regex"),
     // rotation = the plain scan exactly
     "ts_select_rotated_db" -> Round5Entries.oracle("ts_layout_select"),
+    "ts_select_events_rotated_db" ->
+      TsdbEntries.oracle("ts_select_events_regex"),
+    // the healed layout = the flat frame exactly
+    "ts_events_upsert" -> TsdbEntries.oracle("ts_select_events_regex"),
     // the adopted rollup's max committed bin IS the raw table's last
     // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
     // bins are whole hours)

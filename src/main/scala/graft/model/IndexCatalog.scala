@@ -346,9 +346,12 @@ object IndexCatalog {
     * snapshot kinds (mad/gap), whose freshness is fixed at build time.
     * None when the index holds no rows yet.
     *
-    * Cost: one max() aggregation per entry over its own parquet
-    * (footer-stat-sized, no joins, independent of fact volume) — cheap
-    * enough to poll. */
+    * Cost: one max() aggregation per entry over its own parquet — a
+    * column-pruned single-column scan of the INDEX (no joins, no fact
+    * read; index-sized, never fact-sized). Poll at a cadence the index
+    * size affords; for a multi-GB sink, pruning the read to the sink's
+    * newest partition/window files before the max is the operator's
+    * lever — this readout deliberately stays exact and simple. */
   def freshness(spark: SparkSession, dir: String): Seq[IndexFreshness] = {
     val root = Paths.get(dir)
     parseManifest(dir).entries.map { e =>

@@ -99,11 +99,10 @@ object TsdbLayout {
     pathExists(spark, s"$dir/${tier.wmFile}")
 
   /** Single-writer watermark advance: write a temp file, swing it into
-    * place. Hadoop rename does not replace on every filesystem, so the
-    * old file is deleted first — a crash in that window loses the
-    * watermark, which is exactly the double-read crash state the next
-    * [[compactL0]] run recognizes and heals (verify-and-advance per
-    * day), so the non-atomicity costs one recovery run, never data. */
+    * place with FileContext's OVERWRITE rename — atomic on local and
+    * HDFS (the filesystems with atomic rename), so no crash window
+    * where the watermark file is simply GONE and every reader silently
+    * double-reads all of L0 until the next compaction heals it. */
   private def writeTierWatermark(spark: SparkSession, dir: String, tier: Tier,
       day: Long): Unit = {
     val (f, tmp) = hfs(spark, s"$dir/${tier.wmFile}.tmp")
@@ -111,8 +110,9 @@ object TsdbLayout {
     try out.write(day.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(s"$dir/${tier.wmFile}")
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"failed to move watermark into place at $dst")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // ------------------------------------------------------------- writes
@@ -197,35 +197,7 @@ object TsdbLayout {
     val affected = lateKeyed.select("metric", "ts_day").distinct()
       .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
     if (affected.isEmpty) return 0
-    // two-tier boundary: in a database with a live ingest tier, a day
-    // at or above the compaction watermark is L0-OWNED — an upsert
-    // into it would double-read immediately (the reader unions both
-    // tiers for that day) and brick the next compactL0's exclusivity
-    // check. Correct such days after compaction claims them. Before
-    // the FIRST compaction no watermark exists and ">= Long.MinValue"
-    // would refuse every day, including purely batch-owned history L0
-    // will never hold — so in that window the guard checks the days
-    // the L0 tier ACTUALLY shows rows for (all of L0 is
-    // reader-visible then, so those and only those would double-read).
-    val parent = new org.apache.hadoop.fs.Path(path).getParent
-    if (parent != null &&
-        pathExists(spark, s"$parent/${SamplesTier.l0Sub}")) {
-      val db = parent.toString
-      val owned: Seq[(String, Long)] =
-        if (tierHasWatermark(spark, db, SamplesTier)) {
-          val wm = tierWatermark(spark, db, SamplesTier)
-          affected.filter(_._2 >= wm).toSeq
-        } else readTierL0(spark, db, SamplesTier) match {
-          case Some(l0) => l0.where(dayPred(affected))
-            .select("metric", "ts_day").distinct().collect()
-            .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq
-          case None => Nil
-        }
-      require(owned.isEmpty,
-        s"upsertSamples: day(s) ${owned.map(_._2).distinct.mkString(", ")} " +
-          s"are still owned by the live ingest tier — correct them " +
-          s"after compactL0 claims the day")
-    }
+    requireNotL0Owned(spark, path, SamplesTier, affected, "upsertSamples")
     val existing = readSamples(spark, path).where(dayPred(affected))
       .select(SampleCols.map(col): _*)
     // replace ONLY keys the late batch names: an anti-join (late keys
@@ -242,6 +214,71 @@ object TsdbLayout {
         Seq("series_id", "ts"), "left_anti")
       .unionByName(lateDedup)
       .localCheckpoint()
+    sortedPartitionWrite(merged, path, replaceOnlyWritten = true)
+    affected.length
+  }
+
+  /** Two-tier boundary guard shared by the upsert paths: in a database
+    * with a live ingest tier, a day at or above the half's compaction
+    * watermark is L0-OWNED — a batch rewrite into it would double-read
+    * immediately (the reader unions both tiers for that day) and brick
+    * the next compaction's exclusivity check. Correct such days after
+    * compaction claims them. Before the FIRST compaction no watermark
+    * exists and ">= Long.MinValue" would refuse every day, including
+    * purely batch-owned history L0 will never hold — so in that window
+    * the guard checks the days the L0 tier ACTUALLY shows rows for
+    * (all of L0 is reader-visible then, so those and only those would
+    * double-read). */
+  private def requireNotL0Owned(spark: SparkSession, path: String,
+      tier: Tier, affected: Seq[(String, Long)], op: String): Unit = {
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    if (parent == null || !pathExists(spark, s"$parent/${tier.l0Sub}")) return
+    val db = parent.toString
+    val owned: Seq[(String, Long)] =
+      if (tierHasWatermark(spark, db, tier)) {
+        val wm = tierWatermark(spark, db, tier)
+        affected.filter(_._2 >= wm).toSeq
+      } else readTierL0(spark, db, tier) match {
+        case Some(l0) => l0.where(dayPred(affected))
+          .select("metric", "ts_day").distinct().collect()
+          .map(r => (r.getString(0), r.getAs[Number](1).longValue)).toSeq
+        case None => Nil
+      }
+    require(owned.isEmpty,
+      s"$op: day(s) ${owned.map(_._2).distinct.mkString(", ")} " +
+        s"are still owned by the live ingest tier — correct them " +
+        s"after compaction claims the day")
+  }
+
+  /** Merge LATE EVENTS into a written events layout, rewriting only
+    * the (metric, ts_day) partition directories the late batch touches
+    * — the log half's late-data path, and the remediation an
+    * [[eventsL0Stragglers]] alert routes through. Events are APPENDS,
+    * not corrections ([[upsertSamples]]' latest-wins rule has no
+    * meaning for log bodies): every row the layout already holds is
+    * kept byte-for-byte, and late rows not already present — by
+    * (series_id, ts, body) identity — are ADDED, so re-running the
+    * same late batch adds nothing (idempotent) and never collapses
+    * pre-existing duplicate rows. Identical duplicates WITHIN one late
+    * batch add once. Same partition-scoped mechanics (pruned read,
+    * localCheckpoint, dynamic overwrite of only the touched
+    * directories) and the same L0-owned-day guard as the samples form.
+    *
+    * `late` carries (series_id, ts, body); metric resolves from the
+    * broadcast catalog. @return partition directories rewritten. */
+  def upsertEvents(spark: SparkSession, path: String, late: DataFrame,
+      series: DataFrame): Int = {
+    val lateKeyed = keyed(late, series).select(EventsTier.cols.map(col): _*)
+    val affected = lateKeyed.select("metric", "ts_day").distinct()
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    if (affected.isEmpty) return 0
+    requireNotL0Owned(spark, path, EventsTier, affected, "upsertEvents")
+    val existing = spark.read.parquet(path).where(dayPred(affected))
+      .select(EventsTier.cols.map(col): _*)
+    val toAdd = lateKeyed.distinct()
+      .join(existing, EventsTier.rowKey, "left_anti")
+      .select(EventsTier.cols.map(col): _*)
+    val merged = existing.unionByName(toAdd).localCheckpoint()
     sortedPartitionWrite(merged, path, replaceOnlyWritten = true)
     affected.length
   }
@@ -700,12 +737,19 @@ object TsdbLayout {
     * Then the root directory (and, when given, the stream's
     * checkpoint directory — the next epoch's sink must start fresh,
     * or it would believe old batches committed) is deleted whole.
-    * Refusals are loud requires; answers are unchanged by
-    * construction (spec-pinned): the watermark file REMAINS, so the
-    * late-data guard and the next epoch's union read keep working.
+    * Refusals are loud; answers are unchanged by construction
+    * (spec-pinned): the watermark file REMAINS, so the late-data
+    * guard and the next epoch's union read keep working.
     *
-    * @return true when a root was deleted (false only if absent —
-    *         idempotent re-run). */
+    * A root that exists but shows NO committed data refuses too: it is
+    * either the next epoch's just-started sink (whose live transaction
+    * log this must not destroy — the duplicate-retire race) or an
+    * abandoned empty one, and "fully compacted" describes neither;
+    * an abandoned sink is a manual delete, not a lifecycle step.
+    *
+    * @return true when a root was deleted; false when no root exists
+    *         (idempotent re-run — the checkpoint is left untouched in
+    *         that case, there being nothing to verify it against). */
   def retireIngestRoot(spark: SparkSession, dir: String,
       checkpoint: Option[String] = None): Boolean =
     retireTier(spark, dir, SamplesTier, checkpoint)
@@ -718,11 +762,24 @@ object TsdbLayout {
   private def retireTier(spark: SparkSession, dir: String, tier: Tier,
       checkpoint: Option[String]): Boolean = {
     val l0Path = s"$dir/${tier.l0Sub}"
-    if (!pathExists(spark, l0Path)) {
-      checkpoint.foreach(deleteRecursive(spark, _))
-      return false
-    }
-    readTierL0(spark, dir, tier).foreach { l0 =>
+    // root absent: idempotent no-op — and the checkpoint is NOT touched
+    // (there is nothing to verify it against; a given checkpoint is
+    // only dropped together with the root it belongs to)
+    if (!pathExists(spark, l0Path)) return false
+    readTierL0(spark, dir, tier) match {
+      case None =>
+        // the root EXISTS but shows no committed data: either the NEXT
+        // epoch's sink just started here (its _spark_metadata log is
+        // live — deleting it would kill the running stream) or an
+        // abandoned empty sink. Nothing is compacted either way, so
+        // this operator — whose contract is "retire a FULLY-COMPACTED
+        // root" — refuses rather than guess; an abandoned empty root
+        // is a manual delete, not a lifecycle step.
+        throw new IllegalArgumentException(
+          s"retire: ingest root $l0Path exists but holds no committed " +
+            s"data — if this is a freshly-started epoch it is LIVE; " +
+            s"an abandoned empty sink is a manual delete, not a retire")
+      case Some(l0) =>
       // no watermark ⇒ wm = Long.MinValue ⇒ every held day is "live"
       // and a non-empty root refuses — a pre-first-compaction root is
       // never safe to drop

@@ -190,12 +190,18 @@ object Monitoring {
     * from the index drop out (inner join): no cadence model, no
     * judgement — the [[madAnomaliesWith]] contract for gaps. */
   def gapsRelativeWith(samples: DataFrame, index: DataFrame,
-      keyCol: String = "series_id"): DataFrame = {
+      keyCol: String = "series_id",
+      /** how the per-series threshold index meets the lagged samples:
+        * broadcast by default (the index is series-count-sized); the
+        * engine passes its catalog-ceiling hint so a beyond-broadcast
+        * fleet flips this join to a shuffle with the rest
+        * ([[graft.engine.Engine.MaxBroadcastSeries]]). */
+      hint: DataFrame => DataFrame = broadcast): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol).orderBy("ts", "value")
     samples
       .withColumn("__prev", lag(col("ts"), 1).over(w))
-      .join(broadcast(index), Seq(keyCol))
+      .join(hint(index), Seq(keyCol))
       .where(col("__prev").isNotNull &&
         (col("ts") - col("__prev")).cast("double") > col("thr"))
       .select(col(keyCol), col("__prev").as("gap_start"),

@@ -1283,6 +1283,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the later-cutoff re-run must recover days 2-3 AND move day 4")
     assert(servedRows() === oracle, "recovery restores single-read answers")
 
+    // EVENT STRAGGLER: a late event streamed below the watermark is
+    // reader-invisible; eventsL0Stragglers names it, retirement refuses
+    // (the root holds its only copy), and upsertEvents — the log
+    // half's partition-scoped ADD — heals it, clearing both
+    val late = ("x", 30 * h + 1L, "k=99 late")
+    writeLines("late.txt", Seq(late))
+    val q3 = startIngest() // resumes from the checkpoint; a/b skipped
+    try q3.processAllAvailable() finally q3.stop()
+    assert(graft.model.TsdbLayout.eventsL0Stragglers(spark, db)
+      .as[(String, Long, Long)].collect().toSeq === Seq(("!e", 1L, 1L)),
+      "the events straggler alert must name the claimed day")
+    assert(servedRows() === oracle,
+      "an event straggler must be reader-invisible, not double-read")
+    val eRetire = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireEventsIngestRoot(spark, db))
+    assert(eRetire.getMessage.contains("straggler"))
+    val xId = Seq("!e user=x").toDF("name")
+      .select(xxhash64(col("name"))).head().getLong(0)
+    graft.model.TsdbLayout.upsertEvents(spark, s"$db/events",
+      Seq((xId, late._2, late._3)).toDF("series_id", "ts", "body"),
+      eventsCtxOf(all).series)
+    assert(graft.model.TsdbLayout.eventsL0Stragglers(spark, db).isEmpty,
+      "routing the straggler through upsertEvents must clear the alert")
+    assert(servedRows() === new graft.engine.Engine(
+        eventsCtxOf(all :+ late)).execute(stmt).collect().toSeq,
+      "after the upsert route, the late event reads exactly once")
+    // idempotent re-add: the same late batch adds nothing
+    graft.model.TsdbLayout.upsertEvents(spark, s"$db/events",
+      Seq((xId, late._2, late._3)).toDF("series_id", "ts", "body"),
+      eventsCtxOf(all).series)
+    assert(servedRows() === new graft.engine.Engine(
+        eventsCtxOf(all :+ late)).execute(stmt).collect().toSeq)
+    // nothing straggles, nothing live — the events root retires
+    assert(graft.model.TsdbLayout.retireEventsIngestRoot(spark, db,
+      checkpoint = Some(s"$db/ev_ckpt")))
+    assert(!new java.io.File(s"$db/events_l0").exists())
+    assert(servedRows() === new graft.engine.Engine(
+        eventsCtxOf(all :+ late)).execute(stmt).collect().toSeq,
+      "events rotation must not change answers")
+
     // day exclusivity: an events_l0 holding a batch-owned day with
     // DIFFERENT bodies must refuse to compact
     val db2 = java.nio.file.Files.createTempDirectory("graft_ev_l0_db2").toString
@@ -1386,6 +1426,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
     // idempotent re-run: nothing to drop
     assert(!graft.model.TsdbLayout.retireIngestRoot(spark, db))
+
+    // a root that EXISTS but shows no committed data refuses: it may
+    // be the NEXT epoch's just-started sink, whose live transaction
+    // log a duplicate retire run must not destroy
+    new java.io.File(s"$db/samples_l0/_spark_metadata").mkdirs()
+    val eEmpty = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireIngestRoot(spark, db))
+    assert(eEmpty.getMessage.contains("no committed data"))
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec); f.delete()
+    }
+    rmRec(new java.io.File(s"$db/samples_l0"))
 
     // and the NEXT EPOCH starts clean at the same path: a fresh sink +
     // checkpoint ingests a new day and the union read serves it
