@@ -275,7 +275,7 @@ object EntryUtil {
       val ctx = TsdbContext.fromTestdata(spark, dir)
       val base = scratchDir("graft-expired-")
       graft.model.TsdbLayout.writeSamples(ctx, base)
-      graft.model.TsdbLayout.expire(base, ExpireCutoffNs)
+      graft.model.TsdbLayout.expire(spark, base, ExpireCutoffNs)
       val series = cachedSeries(spark, dir, ctx.series)
       new Engine(graft.model.TsdbLayout.contextOver(
         spark, base, series, ctx.events))

@@ -331,24 +331,24 @@ object TsdbLayout {
     * than `cutoffNs`. Deleting whole directories is the point of the
     * layout — expiry is a metadata operation (no file is opened, no data
     * rewritten), the Parquet counterpart of the reference dropping aged
-    * volumes. Returns the number of partition directories removed.
-    * (Local-filesystem walk; an object-store deployment performs the same
-    * directory drop through its own FileSystem API.) */
-  def expire(path: String, cutoffNs: Long): Int = {
+    * volumes. Walks the layout through the path's Hadoop FileSystem —
+    * the same resolution the tier metadata uses, so retention on an
+    * HDFS/S3A database works like a local one. Returns the number of
+    * partition directories removed. */
+  def expire(spark: SparkSession, path: String, cutoffNs: Long): Int = {
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
-    val root = new java.io.File(path)
-    val metricDirs = Option(root.listFiles())
-      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("metric="))
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-      f.delete()
-    }
-    metricDirs.flatMap { md =>
-      Option(md.listFiles()).getOrElse(Array.empty).filter { d =>
-        d.isDirectory && d.getName.startsWith("ts_day=") &&
-          d.getName.stripPrefix("ts_day=").toLongOption.exists(_ < cutoffDay)
+    val (f, root) = hfs(spark, path)
+    if (!f.exists(root)) return 0
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("metric="))
+      .flatMap { md =>
+        f.listStatus(md.getPath).toSeq.filter { st =>
+          st.isDirectory && st.getPath.getName.startsWith("ts_day=") &&
+            st.getPath.getName.stripPrefix("ts_day=").toLongOption
+              .exists(_ < cutoffDay)
+        }
       }
-    }.map { d => deleteRec(d); 1 }.sum
+      .map { st => f.delete(st.getPath, true); 1 }.sum
   }
 
   /** Write a DataFrame as a bucketed + sorted table on `series_id`: joins

@@ -218,7 +218,7 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       spark, wide, "metric", Seq("tag"), "ts", "value")
     val path = java.nio.file.Files.createTempDirectory("graft_expire").toString
     graft.model.TsdbLayout.writeSamples(lctx, path)
-    val removed = graft.model.TsdbLayout.expire(path, cutoffNs = 2 * dayNs)
+    val removed = graft.model.TsdbLayout.expire(spark, path, cutoffNs = 2 * dayNs)
     assert(removed === 2, "days 0 and 1 dropped")
     val left = graft.model.TsdbLayout.readSamples(spark, path)
       .select("ts_day").distinct().as[Int].collect().toSet

@@ -222,6 +222,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"layout quantile must prune metric AND ts_day partitions at the scan:\n$quant")
   }
 
+  test("two-tier reads: partition filters reach BOTH tiers' scans, samples and events") {
+    // the union read (batch ∪ above-watermark L0) must not cost the
+    // pruning either side had alone: a narrow statement over the
+    // two-tier database planss with metric AND ts_day inside
+    // PartitionFilters on EVERY parquet fact scan — batch directory
+    // and stream-sink directory alike. The entries pin answers; this
+    // pins the plan property that makes them cheap at 100 TB.
+    val dir = "/root/testdata/sf0.001"
+    def partFilterScans(plan: String): Seq[String] =
+      "PartitionFilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+    // samples: the three-provenance db (batch + compacted + live L0)
+    val sel = graft.entries.EntryUtil.engineL0DbFor(spark, dir).execute(
+      """{"select": "purchase",
+          "range": {"from": "20240118T000000", "to": "20240127T000000"}}""")
+      .queryExecution.executedPlan.toString
+    val sScans = partFilterScans(sel)
+      .filter(f => f.contains("metric") && f.contains("ts_day"))
+    assert(sScans.size >= 2,
+      s"both samples tiers must prune metric AND ts_day (saw ${sScans.size}):\n$sel")
+    // events: the streamed+compacted events db
+    val ev = graft.entries.EntryUtil.engineEventsL0DbFor(spark, dir).execute(
+      """{"select-events": "!log",
+          "range": {"from": "20240118T000000", "to": "20240127T000000"}}""")
+      .queryExecution.executedPlan.toString
+    val eScans = partFilterScans(ev)
+      .filter(f => f.contains("metric") && f.contains("ts_day"))
+    assert(eScans.size >= 2,
+      s"both events tiers must prune metric AND ts_day (saw ${eScans.size}):\n$ev")
+  }
+
   test("stream-built rollup actually serves: no parquet scan reads sample values") {
     // the closed-loop entry's oracle is the raw-scan answer, so a silent
     // fallback to raw (schema drift in TsdbStream.rollupBuild, guard
