@@ -829,8 +829,9 @@ object EntryUtil {
 
   /** 2024-01-20T00Z / 2024-01-25T00Z: where the live tier takes over
     * from the batch load, and the compaction watermark the two-tier
-    * fixtures use (testdata spans January). */
-  private val L0SplitNs = 1705708800000000000L
+    * fixtures use (testdata spans January). Split exposed because the
+    * new-series oracles replay it as a predicate. */
+  val L0SplitNs = 1705708800000000000L
   private val L0CompactNs = 1706140800000000000L
 
   private val l0DbEngines = scala.collection.concurrent.TrieMap
@@ -990,6 +991,113 @@ object EntryUtil {
       new Engine(TsdbContext(spark,
         cachedSeries(spark, dir, ctx.series), ctx.samples,
         spark.read.parquet(path)))
+    })
+
+  /** Collected (name, ts, value) NAMED sample rows at or past `fromNs`,
+    * ts-ordered — the live half a new-series fixture streams through
+    * the named ingest (ids derived in-stream, not here). */
+  private def namedRowsFrom(ctx: TsdbContext,
+      fromNs: Long): Seq[(String, Long, Double)] =
+    ctx.samples.where(col("ts") >= fromNs)
+      .join(ctx.series.select(col("series_id"), col("name")), "series_id")
+      .orderBy("ts", "series_id")
+      .collect()
+      .map(r => (r.getString(3), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  /** Feed one in-memory source to BOTH named-ingest halves — the fact
+    * sink ([[graft.streaming.TsdbStream.namedLayoutIngest]]) and the
+    * catalog registration sink ([[graft.streaming.TsdbStream
+    * .catalogIngest]]) — exactly as a deployment attaches two queries
+    * to one Kafka topic. */
+  private def streamNamedRows(spark: SparkSession,
+      rows: Seq[(String, Long, Double)], db: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val enc: Encoder[(String, Long, Double)] =
+      org.apache.spark.sql.Encoders.product[(String, Long, Double)]
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val df = in.toDF().toDF("name", "ts", "value")
+    val qFacts = graft.streaming.TsdbStream.namedLayoutIngest(
+      df, s"$db/samples_l0", s"$db/ingest_ckpt")
+    val qCat = graft.streaming.TsdbStream.catalogIngest(
+      df, s"$db/catalog_l0", s"$db/catalog_ckpt")
+    try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+      in.addData(c); qFacts.processAllAvailable(); qCat.processAllAvailable()
+    } finally { qFacts.stop(); qCat.stop() }
+  }
+
+  /** The new-series fixture's build: a database persisted knowing only
+    * the EVEN-user series (catalog, samples before the split, events),
+    * then a NAMED ingest stream delivers every series' samples from
+    * the split on — odd users are series the database has never seen,
+    * registered live by the catalogIngest half — and compaction claims
+    * days up to `compactNs`. */
+  private def newSeriesDbBuild(spark: SparkSession, dir: String,
+      prefix: String, compactNs: Long): String = {
+    val ctx = TsdbContext.fromTestdata(spark, dir)
+    val even = ctx.series
+      .where(expr("cast(tags['user'] as bigint) % 2 = 0"))
+    val db = scratchDir(prefix)
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      series = even,
+      samples = ctx.samples.where(col("ts") < L0SplitNs)
+        .join(even.select("series_id"), "series_id")
+        .select(col("series_id"), col("ts"), col("value")),
+      events = ctx.events
+        .join(even.select("series_id"), "series_id")
+        .select(col("series_id"), col("ts"), col("body"))), db)
+    streamNamedRows(spark, namedRowsFrom(ctx, L0SplitNs), db)
+    graft.model.TsdbLayout.compactL0(spark, db, compactNs)
+    db
+  }
+
+  private val newSeriesDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a database that REGISTERED NEW SERIES FROM
+    * THE STREAM: the persisted catalog knows only the even users, a
+    * named ingest (TsdbStream.namedLayoutIngest + catalogIngest over
+    * one source) delivered Jan 20-30 of EVERY user — ids derived
+    * in-stream from the canonical name, registrations landing once
+    * each in the `catalog_l0` root — and compactL0 claimed days 20-24.
+    * The opened database resolves odd-user series it never persisted
+    * (catalog = series parquet ∪ catalog_l0, new-only), and a
+    * catalog-wide select reads three fact provenances. The engine's
+    * catalog comes from the OPENED database — the point is that
+    * resolution serves from storage the stream wrote. */
+  def engineNewSeriesDbFor(spark: SparkSession, dir: String): Engine =
+    newSeriesDbEngines.getOrElseUpdate((spark, dir), {
+      val db = newSeriesDbBuild(spark, dir, "graft_newseries_db", L0CompactNs)
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
+  private val catRotatedDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over the new-series database carried to the END
+    * of the catalog lifecycle: compaction claimed every day,
+    * [[graft.model.TsdbLayout.foldCatalogL0]] merged the stream
+    * registrations into the persisted catalog (new-only, idempotent),
+    * and [[graft.model.TsdbLayout.retireCatalogIngestRoot]] +
+    * [[graft.model.TsdbLayout.retireIngestRoot]] verified and dropped
+    * both epoch roots. The reopened database serves the SAME answers
+    * from the persisted catalog alone — fold and rotation change
+    * storage, never results (one oracle with the live-root twin). */
+  def engineCatalogRotatedDbFor(spark: SparkSession, dir: String): Engine =
+    catRotatedDbEngines.getOrElseUpdate((spark, dir), {
+      val db = newSeriesDbBuild(spark, dir, "graft_catrot_db", ToNs)
+      val folded = graft.model.TsdbLayout.foldCatalogL0(spark, db)
+      require(folded > 0, "the stream registered new series to fold")
+      require(graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db,
+        checkpoint = Some(s"$db/catalog_ckpt")),
+        "the fully-folded catalog root must retire")
+      require(graft.model.TsdbLayout.retireIngestRoot(spark, db,
+        checkpoint = Some(s"$db/ingest_ckpt")),
+        "the fully-compacted samples root must retire")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = opened.series.cache()))
     })
 
   private val freshnessCatalogs = scala.collection.concurrent.TrieMap

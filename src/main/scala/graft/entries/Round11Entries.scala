@@ -69,6 +69,36 @@ object Round11Entries {
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
              "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)),
 
+    // NEW SERIES REGISTERED FROM THE STREAM: the persisted catalog
+    // knows only the even users; a NAMED ingest (TsdbStream
+    // .namedLayoutIngest + catalogIngest over one source — ids derived
+    // in-stream by hashing the canonical name, the reference's
+    // register-on-first-write, standalone_database_session.cc:39-87)
+    // delivered Jan 20-30 of EVERY user, landing each odd-user
+    // registration once in the catalog_l0 root; compactL0 claimed days
+    // 20-24. This catalog-wide select resolves series the database
+    // never persisted (catalog = series parquet ∪ catalog_l0) over
+    // three fact provenances. Oracle: the plain scan with the split
+    // replayed — even users' whole window, odd users from the split on
+    "stream_catalog_ingest" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineNewSeriesDbFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "order-by": "series"}"""))),
+
+    // the catalog lifecycle's END: compaction claimed every day,
+    // foldCatalogL0 merged the stream registrations into the persisted
+    // catalog (new-only, idempotent), and retireCatalogIngestRoot +
+    // retireIngestRoot dropped both epoch roots behind their loud
+    // guards. The reopened database serves the SAME select from the
+    // persisted catalog alone — fold and rotation change storage,
+    // never answers (one oracle with the live-root twin)
+    "ts_select_catalog_rotated" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineCatalogRotatedDbFor(s, dir).execute(
+        s"""{"select": "purchase",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "order-by": "series"}"""))),
+
     // the catalog FRESHNESS readout: an adopted stream-maintained
     // index serves whatever its sink last committed, and describe()
     // shows kind/path/params but not how current the data is —
@@ -93,6 +123,29 @@ object Round11Entries {
       TsdbEntries.oracle("ts_select_events_regex"),
     // the healed layout = the flat frame exactly
     "ts_events_upsert" -> TsdbEntries.oracle("ts_select_events_regex"),
+    // stream-registered series resolve like persisted ones: even users
+    // carry their whole window (batch + stream), odd users exist only
+    // from the split on (their earlier samples were never written
+    // anywhere — a new series' history starts when it first reports)
+    "stream_catalog_ingest" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+            AND (user_id % 2 = 0 OR epoch_ns(ts) >= ${EntryUtil.L0SplitNs})
+          ORDER BY series, ts_us""",
+    // fold + rotation change storage, never answers
+    "ts_select_catalog_rotated" ->
+      s"""SELECT concat('purchase user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, round(value, 6) AS value
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+            AND (user_id % 2 = 0 OR epoch_ns(ts) >= ${EntryUtil.L0SplitNs})
+          ORDER BY series, ts_us""",
     // the adopted rollup's max committed bin IS the raw table's last
     // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
     // bins are whole hours)

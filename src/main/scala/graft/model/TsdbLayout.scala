@@ -66,6 +66,13 @@ object TsdbLayout {
   private val SamplesTier = Tier("samples_l0", "samples", "l0_watermark", "value")
   private val EventsTier = Tier("events_l0", "events", "events_l0_watermark", "body")
 
+  /** The catalog's live-registration root ([[graft.streaming.TsdbStream
+    * .catalogIngest]]) and its canonical column set. The catalog has no
+    * time axis, so its lifecycle needs no watermark: [[foldCatalogL0]]
+    * is the compaction, fold-completeness the retire guard. */
+  private val CatalogL0Sub = "catalog_l0"
+  private val CatalogCols = Seq("series_id", "name", "metric", "tags", "lon", "lat")
+
   /** The canonical laid-out samples column set. */
   private val SampleCols = SamplesTier.cols
 
@@ -443,11 +450,114 @@ object TsdbLayout {
     * broadcast catalog so the union still lines up — row-level
     * filtering instead of pruning on that (small or empty) side. */
   def openDatabase(spark: SparkSession, dir: String): TsdbContext = {
-    val series = spark.read.parquet(s"$dir/series")
+    val series = catalogRead(spark, dir)
     val samples = twoTierRead(spark, dir, SamplesTier, series)
     val events = twoTierRead(spark, dir, EventsTier, series)
     IndexCatalog.load(spark, s"$dir/indexes",
       TsdbContext(spark, series, samples, events))
+  }
+
+  /** The catalog half of the two-tier read: the persisted `series`
+    * parquet, unioned with stream-registered entries from the
+    * `catalog_l0` root ([[graft.streaming.TsdbStream.catalogIngest]])
+    * when one exists — NEW ids only (anti-join), so a fold that copied
+    * an entry into the persisted catalog never double-lists it, and a
+    * re-seen series re-registered into a later epoch's root dedups by
+    * id. Every frame here is catalog-sized; statements over series the
+    * database had never persisted resolve with no redeploy — the
+    * reference's register-on-first-write, served from storage. */
+  private def catalogRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/series")
+    readCatalogL0(spark, dir) match {
+      case None => base
+      case Some(cl0) =>
+        base.unionByName(
+          cl0.select(CatalogCols.map(col): _*)
+            .dropDuplicates("series_id")
+            .join(base.select("series_id"), Seq("series_id"), "left_anti")
+            .select(CatalogCols.map(col): _*))
+    }
+  }
+
+  /** The catalog ingest root's frame, or None when absent or not yet
+    * committed — same empty-sink tolerance as [[readTierL0]]. */
+  private def readCatalogL0(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = s"$dir/$CatalogL0Sub"
+    if (!pathExists(spark, path)) return None
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("Unable to infer schema") => None
+    }
+  }
+
+  /** Fold stream-registered series ([[graft.streaming.TsdbStream
+    * .catalogIngest]]'s `catalog_l0` root) into the persisted `series`
+    * parquet — the catalog's compaction step, prerequisite of
+    * [[retireCatalogIngestRoot]]. New-only (anti-join by id) and
+    * IDEMPOTENT: the fresh slice is materialized to a staging
+    * directory first, so a crash between staging and the append
+    * re-runs from scratch, and a crash after the append's job commit
+    * re-computes an empty slice — a registration is never folded
+    * twice. The persisted catalog is never rewritten, only appended
+    * (ids are content-hashed, so an entry's row is immutable); no step
+    * here scales with anything but the NEW-series count.
+    *
+    * @return number of registrations folded. */
+  def foldCatalogL0(spark: SparkSession, dir: String): Long = {
+    val cl0 = readCatalogL0(spark, dir) match {
+      case Some(f) => f
+      case None => return 0L
+    }
+    val basePath = s"$dir/series"
+    val staging = s"$dir/series_staging"
+    val fresh = cl0.select(CatalogCols.map(col): _*)
+      .dropDuplicates("series_id")
+      .join(spark.read.parquet(basePath).select("series_id"),
+        Seq("series_id"), "left_anti")
+      .select(CatalogCols.map(col): _*)
+    fresh.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val n = staged.count()
+    if (n > 0) staged.write.mode("append").parquet(basePath)
+    deleteRecursive(spark, staging)
+    n
+  }
+
+  /** [[retireIngestRoot]] for the catalog half: drop a FULLY-FOLDED
+    * `catalog_l0` root (and optionally its stream checkpoint — the
+    * next epoch's registration dedup state starts clean, which is safe
+    * because re-seen series re-register and dedup by id on read).
+    * Refuses loudly while any registration's ONLY copy lives in this
+    * root (run [[foldCatalogL0]] first) and on a root that exists but
+    * shows no committed data (a freshly-started epoch's live sink, or
+    * an abandoned one — a manual delete, not a lifecycle step).
+    *
+    * @return true when a root was deleted; false when none exists. */
+  def retireCatalogIngestRoot(spark: SparkSession, dir: String,
+      checkpoint: Option[String] = None): Boolean = {
+    val path = s"$dir/$CatalogL0Sub"
+    if (!pathExists(spark, path)) return false
+    readCatalogL0(spark, dir) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"retire: catalog ingest root $path exists but holds no " +
+            s"committed data — if this is a freshly-started epoch it is " +
+            s"LIVE; an abandoned empty sink is a manual delete, not a retire")
+      case Some(cl0) =>
+        val unfolded = cl0.select("series_id", "name")
+          .dropDuplicates("series_id")
+          .join(spark.read.parquet(s"$dir/series").select("series_id"),
+            Seq("series_id"), "left_anti")
+          .limit(6).collect().map(_.getString(1))
+        require(unfolded.isEmpty,
+          s"retire: catalog ingest root $path still holds unfolded " +
+            s"registration(s) ${unfolded.mkString(", ")} whose only copy " +
+            s"lives here — run foldCatalogL0 first")
+    }
+    deleteRecursive(spark, path)
+    checkpoint.foreach(deleteRecursive(spark, _))
+    true
   }
 
   /** One fact half's read: the batch layout, unioned with the

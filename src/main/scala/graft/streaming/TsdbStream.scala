@@ -690,6 +690,84 @@ object TsdbStream extends Serializable {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     ingestTo(events, "body", path, checkpoint)
 
+  /** Key a NAMED fact stream the way the batch registration path does
+    * ([[graft.model.TsdbContext.fromWide]]): `series_id` is the stable
+    * 64-bit hash of the canonical series name (`"metric k=v k=v"`,
+    * sorted unique keys, single spaces — seriesparser.cc:112) and
+    * `metric` its first token. Pure projection — id assignment needs
+    * no lookup, no state and no coordination, which is what lets a
+    * 1000-executor ingest admit NEVER-SEEN series without a round-trip
+    * to any catalog (the reference auto-registers on first write,
+    * standalone_database_session.cc:39-87; its in-memory matcher is
+    * the stateful analog this hash makes unnecessary for KEYING —
+    * [[catalogIngest]] is the half that persists the registration). */
+  def keyNamed(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("series_id", xxhash64(col("name")))
+      .withColumn("metric", substring_index(col("name"), " ", 1))
+
+  /** [[layoutIngest]] for a stream keyed by series NAME instead of id:
+    * `(name, ts, value)` rows are keyed in-stream ([[keyNamed]]) and
+    * sunk through the identical transactional file sink. Pair with
+    * [[catalogIngest]] over the same source so the registrations the
+    * ids imply survive as catalog storage. */
+  def namedLayoutIngest(rows: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    layoutIngest(keyNamed(rows), path, checkpoint)
+
+  /** [[eventsIngest]] for a `(name, ts, body)` stream — the log half of
+    * the named form (the reference ingests events through the same
+    * RESP path, names prefixed `!`; protocolparser.h:131-257). */
+  def namedEventsIngest(rows: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    eventsIngest(keyNamed(rows), path, checkpoint)
+
+  /** Live CATALOG registration: the reference auto-registers a series
+    * on the first sample that names it (standalone_database_session
+    * .cc:39-87, persisted through the sqlite metastorage) — this is
+    * that path for a named ingest stream. Emits each distinct series
+    * ONCE (stateful streaming `dropDuplicates` on `series_id`; the
+    * state is one key per series — the same O(series) the reference's
+    * in-memory matcher holds, checkpointed so a restart neither
+    * re-emits nor forgets) as a catalog-schema row
+    * `(series_id, name, metric, tags, lon, lat)` into the database's
+    * `catalog_l0` root, where [[graft.model.TsdbLayout.openDatabase]]
+    * unions it with the persisted catalog (new-only by anti-join), so
+    * statements, search and suggest see stream-registered series with
+    * no redeploy. Tags are parsed from the canonical name in-stream
+    * (`k=v` pairs after the metric token; a value may itself contain
+    * `=` — the key is everything before the FIRST one). Locations ride
+    * along when the stream carries `lon`/`lat` columns, else null.
+    *
+    * Lifecycle: [[graft.model.TsdbLayout.foldCatalogL0]] merges the
+    * root into the persisted catalog; [[graft.model.TsdbLayout
+    * .retireCatalogIngestRoot]] verifies the fold and drops the root —
+    * the same epoch rotation the fact tiers use. Duplicates across
+    * EPOCHS (a re-seen series after rotation re-registers into the new
+    * root) are eliminated on read and on fold by id, so the dedup
+    * state never needs to outlive its root. */
+  def catalogIngest(rows: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val optF = (c: String) =>
+      if (rows.columns.contains(c)) col(c).cast("float")
+      else lit(null).cast("float")
+    keyNamed(rows)
+      .select(
+        col("series_id"), col("name"), col("metric"),
+        expr("""map_from_entries(transform(
+                  slice(split(name, ' '), 2, 2147483646),
+                  p -> struct(substring_index(p, '=', 1),
+                              substring(p, length(substring_index(p, '=', 1)) + 2))))""")
+          .as("tags"),
+        optF("lon").as("lon"), optF("lat").as("lat"))
+      .dropDuplicates("series_id")
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   /** The one file-sink ingest shape both fact halves share: project to
     * the half's canonical columns, derive the exact-floor ts_day, sink
     * partitioned append. Pure projection, no state, no watermark —

@@ -1501,6 +1501,126 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         "L0 row count (3 ticks × 2 series)")
   }
 
+  test("catalogIngest: stream-registered series resolve, fold once, and the catalog root rotates behind its guards") {
+    // the register-on-first-write arc: a database persisted knowing
+    // only series x; a NAMED ingest (ids hashed in-stream) delivers
+    // x AND never-seen y; the opened database must resolve y with no
+    // redeploy; fold is new-only and idempotent; rotation refuses
+    // while a registration's only copy lives in the root
+    val db = java.nio.file.Files.createTempDirectory("graft_cat_ingest").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val batchRows = (0 until 48).map(i => ("x", i.toLong * h, i / 3.0))
+    graft.model.TsdbLayout.writeDatabase(ctxOf(batchRows), db)
+
+    // named stream: days 2-4 for BOTH series, fed across a kill/restart
+    // so the registration dedup state must survive the checkpoint
+    val in = s"$db/ingest_in"; new java.io.File(in).mkdirs()
+    val streamed = (48 until 120).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def writeLines(name: String, rows: Seq[(String, Long, Double)]): Unit = {
+      val p = java.nio.file.Paths.get(s"$db/tmp_$name")
+      java.nio.file.Files.write(p, rows.map { case (u, ts, v) =>
+        s"m user=$u,$ts,$v" }.mkString("\n").getBytes)
+      java.nio.file.Files.move(p, java.nio.file.Paths.get(s"$in/$name"))
+    }
+    def named() = spark.readStream.format("text").load(in)
+      .selectExpr(
+        "split(value, ',')[0] AS name",
+        "CAST(split(value, ',')[1] AS LONG) AS ts",
+        "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+    def startBoth() = (
+      TsdbStream.namedLayoutIngest(named(), s"$db/samples_l0", s"$db/f_ckpt"),
+      TsdbStream.catalogIngest(named(), s"$db/catalog_l0", s"$db/c_ckpt"))
+    writeLines("a.txt", streamed.take(60))
+    val (f1, c1) = startBoth()
+    try { f1.processAllAvailable(); c1.processAllAvailable() }
+    finally { f1.stop(); c1.stop() }
+    writeLines("b.txt", streamed.drop(60)) // both series reappear
+    val (f2, c2) = startBoth()
+    try { f2.processAllAvailable(); c2.processAllAvailable() }
+    finally { f2.stop(); c2.stop() }
+
+    // each series registered EXACTLY once (dedup state restored from
+    // the checkpoint — b.txt re-saw both names), tags parsed
+    val reg = spark.read.parquet(s"$db/catalog_l0")
+      .select("series_id", "name", "metric")
+      .orderBy("name").collect()
+    assert(reg.map(_.getString(1)).toSeq === Seq("m user=x", "m user=y"),
+      "one registration per distinct series across batches AND restarts")
+    assert(reg.map(_.getString(2)).distinct.toSeq === Seq("m"))
+    val regTags = spark.read.parquet(s"$db/catalog_l0")
+      .selectExpr("tags['user'] AS u").orderBy("u")
+      .collect().map(_.getString(0))
+    assert(regTags.toSeq === Seq("x", "y"), "tags parsed from the name")
+    // ids equal the batch path's content hash — one keying, two paths
+    assert(reg.map(_.getLong(0)).toSet ===
+      ctxOf(streamed).series.select("series_id")
+        .collect().map(_.getLong(0)).toSet)
+
+    // the opened database resolves the NEVER-PERSISTED series y
+    val full = batchRows ++ streamed
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${120 * h}}}"""
+    def opened() = graft.model.TsdbLayout.openDatabase(spark, db)
+    assert(new graft.engine.Engine(opened()).execute(stmt).collect().toSeq
+        === new graft.engine.Engine(ctxOf(full)).execute(stmt).collect().toSeq,
+      "catalog ∪ catalog_l0 must serve the full series universe")
+    assert(new graft.engine.Engine(opened())
+        .run(graft.query.QueryParser.parseSearch(
+          """{"select": "m", "where": {"user": ["y"]}}"""))
+        .select("name").collect().map(_.getString(0)).toSeq
+        === Seq("m user=y"),
+      "search must list the stream-registered series")
+
+    // rotation refuses while y's only copy lives in the root
+    val ex = intercept[IllegalArgumentException] {
+      graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db)
+    }
+    assert(ex.getMessage.contains("unfolded"))
+
+    // fold is new-only (x already persisted) and idempotent
+    assert(graft.model.TsdbLayout.foldCatalogL0(spark, db) === 1L)
+    assert(graft.model.TsdbLayout.foldCatalogL0(spark, db) === 0L)
+
+    // now the root rotates, and answers come from the persisted
+    // catalog alone — unchanged
+    assert(graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db,
+      checkpoint = Some(s"$db/c_ckpt")))
+    assert(!new java.io.File(s"$db/catalog_l0").exists())
+    assert(new graft.engine.Engine(opened()).execute(stmt).collect().toSeq
+        === new graft.engine.Engine(ctxOf(full)).execute(stmt).collect().toSeq,
+      "fold + rotation must not change answers")
+    // idempotent re-retire: nothing left, false
+    assert(!graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db))
+  }
+
+  test("catalogIngest: canonical-name tag parsing handles '=' in values and tagless metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_parse").toString
+    val in = MemoryStream[(String, Long, Double)]
+    val q = TsdbStream.catalogIngest(
+      in.toDF().toDF("name", "ts", "value"), s"$base/out", s"$base/ckpt")
+    try {
+      in.addData(("disk host=a=b zone=1", 1L, 0.0), ("heartbeat", 2L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$base/out")
+      .selectExpr("name", "metric", "tags", "lon")
+      .orderBy("name").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("disk host=a=b zone=1", "disk"), ("heartbeat", "heartbeat")))
+    val tagged = rows(0).getMap[String, String](2)
+    assert(tagged === Map("host" -> "a=b", "zone" -> "1"),
+      "the tag key ends at the FIRST '='; the value keeps the rest")
+    assert(rows(1).getMap[String, String](2).isEmpty,
+      "a tagless name registers with an empty tag map")
+    assert(rows.forall(_.isNullAt(3)), "no lon column in the stream -> null")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
