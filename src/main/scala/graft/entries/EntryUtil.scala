@@ -832,7 +832,7 @@ object EntryUtil {
     * fixtures use (testdata spans January). Split exposed because the
     * new-series oracles replay it as a predicate. */
   val L0SplitNs = 1705708800000000000L
-  private val L0CompactNs = 1706140800000000000L
+  val L0CompactNs = 1706140800000000000L
 
   private val l0DbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
@@ -1052,6 +1052,15 @@ object EntryUtil {
     db
   }
 
+  private val newSeriesDbs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized [[newSeriesDbBuild]] directory (compacted to Jan 25) —
+    * shared by the engine fixture and the describe readout. */
+  def newSeriesDbFor(spark: SparkSession, dir: String): String =
+    newSeriesDbs.getOrElseUpdate((spark, dir),
+      newSeriesDbBuild(spark, dir, "graft_newseries_db", L0CompactNs))
+
   private val newSeriesDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 
@@ -1068,8 +1077,8 @@ object EntryUtil {
     * resolution serves from storage the stream wrote. */
   def engineNewSeriesDbFor(spark: SparkSession, dir: String): Engine =
     newSeriesDbEngines.getOrElseUpdate((spark, dir), {
-      val db = newSeriesDbBuild(spark, dir, "graft_newseries_db", L0CompactNs)
-      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      val opened = graft.model.TsdbLayout.openDatabase(spark,
+        newSeriesDbFor(spark, dir))
       new Engine(opened.copy(series = opened.series.cache()))
     })
 

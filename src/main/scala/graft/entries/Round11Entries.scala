@@ -99,6 +99,22 @@ object Round11Entries {
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
              "order-by": "series"}"""))),
 
+    // the DATABASE DESCRIBE readout: what the reference answers from
+    // its metastorage volume/series tables (meta_storage.h:44+) — one
+    // row per (half, tier, metric) with day extents: the batch tier
+    // from the partition-directory LISTING alone (no data I/O at any
+    // volume; row counts honestly null), the ingest root from the
+    // epoch-sized committed read split at the compaction watermark
+    // into live l0 days vs compacted residue the sink log pins until
+    // rotation. Oracle: the same extents derived from the raw table
+    // with the fixture's split/watermark replayed as predicates
+    "ts_db_describe" -> ((s, dir) =>
+      graft.model.TsdbLayout.describeDatabase(s,
+          EntryUtil.newSeriesDbFor(s, dir))
+        .where(col("half").isin("samples", "events") &&
+          col("tier").isin("batch", "l0", "l0_residue"))
+        .orderBy("half", "tier", "metric")),
+
     // the catalog FRESHNESS readout: an adopted stream-maintained
     // index serves whatever its sink last committed, and describe()
     // shows kind/path/params but not how current the data is —
@@ -146,6 +162,42 @@ object Round11Entries {
             AND epoch_ns(ts) < ${EntryUtil.ToNs}
             AND (user_id % 2 = 0 OR epoch_ns(ts) >= ${EntryUtil.L0SplitNs})
           ORDER BY series, ts_us""",
+    // describe = the directory tree's day extents, derivable from the
+    // raw table by replaying the fixture's split (Jan 20) and
+    // watermark (Jan 25): batch holds the even users before the split
+    // PLUS the compacted days 20-24 every user streamed (row counts
+    // null — the listing opens no file), the live l0 days sit at/past
+    // the watermark, the residue between split and watermark is the
+    // compacted copies the sink log still pins; the events batch holds
+    // the even users' whole log
+    "ts_db_describe" ->
+      s"""WITH d AS (SELECT event_type, user_id, epoch_ns(ts) AS tns,
+                epoch_ns(ts) // 86400000000000 AS day FROM events)
+          SELECT * FROM (
+            SELECT 'samples' AS half, 'batch' AS tier,
+                   event_type AS metric, min(day) AS min_day,
+                   max(day) AS max_day, count(DISTINCT day) AS n_days,
+                   CAST(NULL AS BIGINT) AS n_rows
+            FROM d WHERE (user_id % 2 = 0 AND tns < ${EntryUtil.L0SplitNs})
+               OR (tns >= ${EntryUtil.L0SplitNs}
+                   AND tns < ${EntryUtil.L0CompactNs})
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'samples', 'l0', event_type, min(day), max(day),
+                   count(DISTINCT day), count(*)
+            FROM d WHERE tns >= ${EntryUtil.L0CompactNs}
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'samples', 'l0_residue', event_type, min(day),
+                   max(day), count(DISTINCT day), count(*)
+            FROM d WHERE tns >= ${EntryUtil.L0SplitNs}
+              AND tns < ${EntryUtil.L0CompactNs}
+            GROUP BY event_type
+            UNION ALL
+            SELECT 'events', 'batch', '!log', min(day), max(day),
+                   count(DISTINCT day), CAST(NULL AS BIGINT)
+            FROM d WHERE user_id % 2 = 0
+          ) ORDER BY half, tier, metric""",
     // the adopted rollup's max committed bin IS the raw table's last
     // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
     // bins are whole hours)

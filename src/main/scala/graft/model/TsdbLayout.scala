@@ -599,6 +599,113 @@ object TsdbLayout {
     }
   }
 
+  /** One-frame operational readout of a database directory — the
+    * "what do I have" the reference answers from its metastorage's
+    * volume/series tables (meta_storage.h:44+), here derived from the
+    * directory tree itself. One row per (half, tier, metric):
+    *
+    *   - `(samples|events, batch, metric)` — the laid-out batch tier's
+    *     day extents, from the partition-directory LISTING alone: no
+    *     data I/O at any volume (row counts are therefore null — an
+    *     honest unknown, not a scan). Driver cost = the (metric, day)
+    *     partition count, the same axis every lifecycle operator
+    *     already collects per root. A flat batch directory (the
+    *     empty-events form) has no partition dirs and contributes
+    *     nothing.
+    *   - `(samples|events, l0 | l0_residue, metric)` — the ingest
+    *     root's committed content (the epoch-sized read), split at the
+    *     compaction watermark: `l0` days are LIVE (the union read
+    *     serves them), `l0_residue` days are compacted copies the
+    *     sink log pins until [[retireIngestRoot]] rotation. Row counts
+    *     included (the root is epoch-sized by the rotation contract).
+    *   - `(samples|events, watermark)` — the compaction watermark day,
+    *     when one exists.
+    *   - `(catalog, persisted | l0 | unfolded)` — registration counts:
+    *     the persisted catalog, distinct stream registrations in the
+    *     catalog_l0 root, and how many of those are NOT yet folded
+    *     (nonzero = [[foldCatalogL0]] is due before rotation).
+    *
+    * Pairs with [[l0Stragglers]] / [[IndexCatalog.freshness]] as the
+    * summary view those alerts drill into. */
+  def describeDatabase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = scala.collection.mutable.ListBuffer.empty[Row]
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    for (tier <- Seq(SamplesTier, EventsTier)) {
+      val half = tier.batchSub
+      listPartitionDays(spark, s"$dir/${tier.batchSub}")
+        .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (m, ds) =>
+          val days = ds.map(_._2)
+          rows += Row(half, "batch", m, jl(days.min), jl(days.max),
+            jl(days.distinct.size.toLong), null)
+        }
+      readTierL0(spark, dir, tier).foreach { l0 =>
+        val wm = tierWatermark(spark, dir, tier)
+        val agg = l0
+          .groupBy(col("metric"), col("ts_day").cast("long").as("d"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        def emit(tierName: String, slice: Seq[(String, Long, Long)]): Unit =
+          slice.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (m, ds) =>
+            rows += Row(half, tierName, m, jl(ds.map(_._2).min),
+              jl(ds.map(_._2).max), jl(ds.map(_._2).distinct.size.toLong),
+              jl(ds.map(_._3).sum))
+          }
+        emit("l0", agg.filter(_._2 >= wm).toSeq)
+        emit("l0_residue", agg.filter(_._2 < wm).toSeq)
+        if (wm != Long.MinValue)
+          rows += Row(half, "watermark", null, jl(wm), jl(wm), null, null)
+      }
+    }
+    val persistedIds = spark.read.parquet(s"$dir/series").select("series_id")
+    rows += Row("catalog", "persisted", null, null, null, null,
+      jl(persistedIds.count()))
+    readCatalogL0(spark, dir).foreach { cl0 =>
+      val regs = cl0.select("series_id").distinct()
+      rows += Row("catalog", "l0", null, null, null, null, jl(regs.count()))
+      rows += Row("catalog", "unfolded", null, null, null, null,
+        jl(regs.join(persistedIds, Seq("series_id"), "left_anti").count()))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("half", StringType), StructField("tier", StringType),
+        StructField("metric", StringType), StructField("min_day", LongType),
+        StructField("max_day", LongType), StructField("n_days", LongType),
+        StructField("n_rows", LongType))))
+  }
+
+  /** List a laid-out root's (metric, ts_day) partition directories —
+    * metadata only, no file opened. Partition values are unescaped the
+    * way Spark escaped them on write (%XX for the reserved chars). */
+  private def listPartitionDays(spark: SparkSession,
+      root: String): Seq[(String, Long)] = {
+    val (f, hp) = hfs(spark, root)
+    if (!f.exists(hp)) return Nil
+    val glob = new org.apache.hadoop.fs.Path(s"$root/metric=*/ts_day=*")
+    Option(f.globStatus(glob)).map(_.toSeq).getOrElse(Nil).map { st =>
+      val day = st.getPath.getName.stripPrefix("ts_day=").toLong
+      val metric = unescapePart(
+        st.getPath.getParent.getName.stripPrefix("metric="))
+      (metric, day)
+    }
+  }
+
+  /** Undo Spark's partition-path escaping (%XX per reserved char). */
+  private def unescapePart(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length)
+        { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Below-watermark L0 content the batch tier does NOT hold —
     * (metric, ts_day, n), one row per affected partition. Compacted
     * days leave their files in the L0 root (the sink log pins them),

@@ -1621,6 +1621,89 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.isNullAt(3)), "no lon column in the stream -> null")
   }
 
+  test("namedEventsIngest: a never-seen event series streams in, registers, and serves select-events") {
+    // the log half of register-on-first-write: the database has NO
+    // events and has never heard of series z; a named event stream +
+    // catalogIngest deliver both, and the opened database serves the
+    // select-events from storage alone
+    val db = java.nio.file.Files.createTempDirectory("graft_named_ev").toString
+    val h = 3600L * 1000000000L
+    graft.model.TsdbLayout.writeDatabase(
+      graft.model.TsdbContext.fromWide(spark,
+        (0 until 24).map(i => ("x", i.toLong * h, 1.0))
+          .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value"), db)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String)]
+    val named = in.toDF().toDF("name", "ts", "body")
+    val qEv = TsdbStream.namedEventsIngest(
+      named, s"$db/events_l0", s"$db/ev_ckpt")
+    val qCat = TsdbStream.catalogIngest(
+      named, s"$db/catalog_l0", s"$db/cat_ckpt")
+    try {
+      in.addData(("!audit user=z", 5 * h, "login"),
+        ("!audit user=z", 6 * h, "logout"))
+      qEv.processAllAvailable(); qCat.processAllAvailable()
+    } finally { qEv.stop(); qCat.stop() }
+    val served = new graft.engine.Engine(
+      graft.model.TsdbLayout.openDatabase(spark, db)).execute(
+        s"""{"select-events": "!audit", "range": {"from": 0, "to": ${24 * h}}}""")
+    assert(served.select("series", "ts", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq === Seq(("!audit user=z", 5 * h, "login"),
+        ("!audit user=z", 6 * h, "logout")),
+      "a stream-registered event series must serve select-events")
+  }
+
+  test("describeDatabase: tier extents, watermark and registration state from the directory tree") {
+    val db = java.nio.file.Files.createTempDirectory("graft_describe").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    // batch owns days 0-1 of x; the stream delivers days 2-4 of x AND y
+    graft.model.TsdbLayout.writeDatabase(
+      ctxOf((0 until 48).map(i => ("x", i.toLong * h, 1.0))), db)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val named = in.toDF().toDF("name", "ts", "value")
+    val qF = TsdbStream.namedLayoutIngest(named, s"$db/samples_l0", s"$db/f_ckpt")
+    val qC = TsdbStream.catalogIngest(named, s"$db/catalog_l0", s"$db/c_ckpt")
+    try {
+      in.addData((48 until 120).flatMap(i =>
+        Seq((s"m user=x", i.toLong * h, 1.0), (s"m user=y", i.toLong * h, 2.0))): _*)
+      qF.processAllAvailable(); qC.processAllAvailable()
+    } finally { qF.stop(); qC.stop() }
+    // claim day 2 (cutoff = start of day 3)
+    graft.model.TsdbLayout.compactL0(spark, db, 72 * h)
+
+    def desc() = graft.model.TsdbLayout.describeDatabase(spark, db)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))).toSeq
+    val d1 = desc()
+    // batch: days 0-2 (0-1 written, 2 compacted in); no row count (no scan)
+    assert(d1.contains(("samples", "batch", "m", Some(0L), Some(3L), None)))
+    // live l0: days 3-4; residue: the compacted day-2 copy (48 rows = 24 h × 2 series)
+    assert(d1.contains(("samples", "l0", "m", Some(3L), Some(2L), Some(96L))))
+    assert(d1.contains(("samples", "l0_residue", "m", Some(2L), Some(1L), Some(48L))))
+    assert(d1.contains(("samples", "watermark", null, Some(3L), None, None)))
+    // catalog: 1 persisted (x), 2 stream registrations, y unfolded
+    assert(d1.contains(("catalog", "persisted", null, None, None, Some(1L))))
+    assert(d1.contains(("catalog", "l0", null, None, None, Some(2L))))
+    assert(d1.contains(("catalog", "unfolded", null, None, None, Some(1L))))
+    // the events half contributes nothing (flat empty batch, no tier)
+    assert(!d1.exists(_._1 == "events"))
+
+    graft.model.TsdbLayout.foldCatalogL0(spark, db)
+    val d2 = desc()
+    assert(d2.contains(("catalog", "persisted", null, None, None, Some(2L))))
+    assert(d2.contains(("catalog", "unfolded", null, None, None, Some(0L))),
+      "fold must clear the unfolded count")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
