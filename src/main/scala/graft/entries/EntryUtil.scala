@@ -804,15 +804,24 @@ object EntryUtil {
     * a real multi-micro-batch execution, deterministic across runs. */
   private def streamRows[T <: Product : scala.reflect.runtime.universe.TypeTag](
       spark: SparkSession, rows: Seq[T], cols: Seq[String],
-      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      starts: (DataFrame => org.apache.spark.sql.streaming.StreamingQuery)*): Unit = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val enc: Encoder[T] = org.apache.spark.sql.Encoders.product[T]
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[T]
-    val q = start(in.toDF().toDF(cols: _*))
-    try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-      in.addData(c); q.processAllAvailable()
-    } finally q.stop()
+    val df = in.toDF().toDF(cols: _*)
+    // several queries may attach to the one source (the named-ingest
+    // fixtures run the fact sink and the catalog sink side by side,
+    // as a deployment attaches two queries to one topic); every query
+    // that STARTED is stopped even when a later start throws
+    val qs = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      starts.foreach(s => qs += s(df))
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+        in.addData(c); qs.foreach(_.processAllAvailable())
+      }
+    } finally qs.foreach(q => try q.stop() catch { case _: Throwable => () })
   }
 
   /** Collected (series_id, ts, value, metric) rows of `ctx.samples` at
@@ -1011,21 +1020,12 @@ object EntryUtil {
     * .catalogIngest]]) — exactly as a deployment attaches two queries
     * to one Kafka topic. */
   private def streamNamedRows(spark: SparkSession,
-      rows: Seq[(String, Long, Double)], db: String): Unit = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val enc: Encoder[(String, Long, Double)] =
-      org.apache.spark.sql.Encoders.product[(String, Long, Double)]
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(String, Long, Double)]
-    val df = in.toDF().toDF("name", "ts", "value")
-    val qFacts = graft.streaming.TsdbStream.namedLayoutIngest(
-      df, s"$db/samples_l0", s"$db/ingest_ckpt")
-    val qCat = graft.streaming.TsdbStream.catalogIngest(
-      df, s"$db/catalog_l0", s"$db/catalog_ckpt")
-    try rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
-      in.addData(c); qFacts.processAllAvailable(); qCat.processAllAvailable()
-    } finally { qFacts.stop(); qCat.stop() }
-  }
+      rows: Seq[(String, Long, Double)], db: String): Unit =
+    streamRows(spark, rows, Seq("name", "ts", "value"),
+      df => graft.streaming.TsdbStream.namedLayoutIngest(
+        df, s"$db/samples_l0", s"$db/ingest_ckpt"),
+      df => graft.streaming.TsdbStream.catalogIngest(
+        df, s"$db/catalog_l0", s"$db/catalog_ckpt"))
 
   /** The new-series fixture's build: a database persisted knowing only
     * the EVEN-user series (catalog, samples before the split, events),
@@ -1093,7 +1093,13 @@ object EntryUtil {
     * [[graft.model.TsdbLayout.retireIngestRoot]] verified and dropped
     * both epoch roots. The reopened database serves the SAME answers
     * from the persisted catalog alone — fold and rotation change
-    * storage, never results (one oracle with the live-root twin). */
+    * storage, never results (one oracle with the live-root twin).
+    *
+    * Deliberately a SECOND build rather than a copy of
+    * [[newSeriesDbFor]]'s directory: a streaming file sink's
+    * `_spark_metadata` log records ABSOLUTE file paths, so a copied
+    * root would silently read the ORIGINAL fixture's files — the same
+    * relocation hazard the index catalog's adopt contract guards. */
   def engineCatalogRotatedDbFor(spark: SparkSession, dir: String): Engine =
     catRotatedDbEngines.getOrElseUpdate((spark, dir), {
       val db = newSeriesDbBuild(spark, dir, "graft_catrot_db", ToNs)
@@ -1105,6 +1111,48 @@ object EntryUtil {
       require(graft.model.TsdbLayout.retireIngestRoot(spark, db,
         checkpoint = Some(s"$db/ingest_ckpt")),
         "the fully-compacted samples root must retire")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
+  private val namedEventsDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a database whose EVENT LOG grew new series
+    * from a NAMED stream: the persisted catalog and batch events hold
+    * only the even users (events before the split), then
+    * [[graft.streaming.TsdbStream.namedEventsIngest]] +
+    * [[graft.streaming.TsdbStream.catalogIngest]] over one source
+    * delivered Jan 20-30 of EVERY user's log — odd-user event series
+    * registered live — and compactEventsL0 claimed days 20-24. A
+    * catalog-wide select-events resolves series the database never
+    * persisted over three log provenances. */
+  def engineNamedEventsDbFor(spark: SparkSession, dir: String): Engine =
+    namedEventsDbEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val even = ctx.series
+        .where(expr("cast(tags['user'] as bigint) % 2 = 0"))
+      val db = scratchDir("graft_namedev_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        series = even,
+        samples = ctx.samples
+          .join(even.select("series_id"), "series_id")
+          .select(col("series_id"), col("ts"), col("value")),
+        events = ctx.events.where(col("ts") < L0SplitNs)
+          .join(even.select("series_id"), "series_id")
+          .select(col("series_id"), col("ts"), col("body"))), db)
+      val namedEvents = ctx.events.where(col("ts") >= L0SplitNs)
+        .join(ctx.series.select(col("series_id"), col("name")), "series_id")
+        .orderBy("ts", "series_id")
+        .collect()
+        .map(r => (r.getString(3), r.getLong(1), r.getString(2)))
+        .toSeq
+      streamRows(spark, namedEvents, Seq("name", "ts", "body"),
+        df => graft.streaming.TsdbStream.namedEventsIngest(
+          df, s"$db/events_l0", s"$db/ev_ingest_ckpt"),
+        df => graft.streaming.TsdbStream.catalogIngest(
+          df, s"$db/catalog_l0", s"$db/catalog_ckpt"))
+      graft.model.TsdbLayout.compactEventsL0(spark, db, L0CompactNs)
       val opened = graft.model.TsdbLayout.openDatabase(spark, db)
       new Engine(opened.copy(series = opened.series.cache()))
     })

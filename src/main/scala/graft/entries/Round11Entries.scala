@@ -99,6 +99,20 @@ object Round11Entries {
              "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
              "order-by": "series"}"""))),
 
+    // the LOG half's register-on-first-write: batch events and the
+    // persisted catalog hold only the even users before the split; a
+    // NAMED event stream (TsdbStream.namedEventsIngest + catalogIngest
+    // over one source) delivered every user's log from Jan 20 on —
+    // odd-user event series registered live — and compactEventsL0
+    // claimed days 20-24. This catalog-wide select-events resolves
+    // never-persisted series over three log provenances. Oracle: the
+    // regex select-events with the split replayed
+    "stream_named_events_ingest" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineNamedEventsDbFor(s, dir).execute(
+        s"""{"select-events": "!log",
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"},
+             "filter": "\\"k\\": 4[0-9]"}"""), valueCols = Nil)),
+
     // the DATABASE DESCRIBE readout: what the reference answers from
     // its metastorage volume/series tables (meta_storage.h:44+) — one
     // row per (half, tier, metric) with day extents: the batch tier
@@ -160,6 +174,18 @@ object Round11Entries {
           WHERE event_type = 'purchase'
             AND epoch_ns(ts) >= ${EntryUtil.FromNs}
             AND epoch_ns(ts) < ${EntryUtil.ToNs}
+            AND (user_id % 2 = 0 OR epoch_ns(ts) >= ${EntryUtil.L0SplitNs})
+          ORDER BY series, ts_us""",
+    // stream-registered EVENT series resolve like persisted ones: even
+    // users' log before the split came from the batch write, everyone
+    // from the split on through the named stream
+    "stream_named_events_ingest" ->
+      s"""SELECT concat('!log user=', CAST(user_id AS VARCHAR)) AS series,
+            epoch_us(ts) AS ts_us, props AS body
+          FROM events
+          WHERE epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+            AND regexp_matches(props, '"k": 4[0-9]')
             AND (user_id % 2 = 0 OR epoch_ns(ts) >= ${EntryUtil.L0SplitNs})
           ORDER BY series, ts_us""",
     // describe = the directory tree's day extents, derivable from the

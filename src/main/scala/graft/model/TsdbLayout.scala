@@ -481,8 +481,17 @@ object TsdbLayout {
 
   /** The catalog ingest root's frame, or None when absent or not yet
     * committed — same empty-sink tolerance as [[readTierL0]]. */
-  private def readCatalogL0(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val path = s"$dir/$CatalogL0Sub"
+  private def readCatalogL0(spark: SparkSession, dir: String): Option[DataFrame] =
+    readCommittedRoot(spark, s"$dir/$CatalogL0Sub")
+
+  /** One ingest root's committed frame, or None when the root is
+    * absent or shows no committed data yet — a freshly-started sink
+    * creates its `_spark_metadata` log before the first batch commits,
+    * and a reader in that window must see "no tier", not an
+    * "unable to infer schema" failure. Only the empty-sink condition
+    * is swallowed; any other read problem stays loud. */
+  private def readCommittedRoot(spark: SparkSession,
+      path: String): Option[DataFrame] = {
     if (!pathExists(spark, path)) return None
     try Some(spark.read.parquet(path))
     catch {
@@ -537,23 +546,37 @@ object TsdbLayout {
   def retireCatalogIngestRoot(spark: SparkSession, dir: String,
       checkpoint: Option[String] = None): Boolean = {
     val path = s"$dir/$CatalogL0Sub"
+    retireRoot(spark, path, "catalog ingest root", checkpoint) { cl0 =>
+      val unfolded = cl0.select("series_id", "name")
+        .dropDuplicates("series_id")
+        .join(spark.read.parquet(s"$dir/series").select("series_id"),
+          Seq("series_id"), "left_anti")
+        .limit(6).collect().map(_.getString(1))
+      require(unfolded.isEmpty,
+        s"retire: catalog ingest root $path still holds unfolded " +
+          s"registration(s) ${unfolded.mkString(", ")} whose only copy " +
+          s"lives here — run foldCatalogL0 first")
+    }
+  }
+
+  /** The retire protocol every ingest root shares: absent → false
+    * (idempotent re-run; a given checkpoint is only dropped together
+    * with the root it belongs to); exists-but-uncommitted → loud
+    * refusal (either the NEXT epoch's live sink, whose transaction log
+    * this must not destroy, or an abandoned one — a manual delete,
+    * not a lifecycle step); committed → the root-specific safety
+    * `verify` (which throws to refuse), then the root and optionally
+    * its checkpoint are dropped whole. */
+  private def retireRoot(spark: SparkSession, path: String, what: String,
+      checkpoint: Option[String])(verify: DataFrame => Unit): Boolean = {
     if (!pathExists(spark, path)) return false
-    readCatalogL0(spark, dir) match {
+    readCommittedRoot(spark, path) match {
       case None =>
         throw new IllegalArgumentException(
-          s"retire: catalog ingest root $path exists but holds no " +
-            s"committed data — if this is a freshly-started epoch it is " +
-            s"LIVE; an abandoned empty sink is a manual delete, not a retire")
-      case Some(cl0) =>
-        val unfolded = cl0.select("series_id", "name")
-          .dropDuplicates("series_id")
-          .join(spark.read.parquet(s"$dir/series").select("series_id"),
-            Seq("series_id"), "left_anti")
-          .limit(6).collect().map(_.getString(1))
-        require(unfolded.isEmpty,
-          s"retire: catalog ingest root $path still holds unfolded " +
-            s"registration(s) ${unfolded.mkString(", ")} whose only copy " +
-            s"lives here — run foldCatalogL0 first")
+          s"retire: $what $path exists but holds no committed data — " +
+            s"if this is a freshly-started epoch it is LIVE; an " +
+            s"abandoned empty sink is a manual delete, not a retire")
+      case Some(df) => verify(df)
     }
     deleteRecursive(spark, path)
     checkpoint.foreach(deleteRecursive(spark, _))
@@ -589,15 +612,8 @@ object TsdbLayout {
     * "unable to infer schema" failure. Only the empty-sink condition
     * is swallowed; any other read problem stays loud. */
   private def readTierL0(spark: SparkSession, dir: String,
-      tier: Tier): Option[DataFrame] = {
-    val path = s"$dir/${tier.l0Sub}"
-    if (!pathExists(spark, path)) return None
-    try Some(spark.read.parquet(path))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("Unable to infer schema") => None
-    }
-  }
+      tier: Tier): Option[DataFrame] =
+    readCommittedRoot(spark, s"$dir/${tier.l0Sub}")
 
   /** One-frame operational readout of a database directory — the
     * "what do I have" the reference answers from its metastorage's
@@ -655,9 +671,15 @@ object TsdbLayout {
           }
         emit("l0", agg.filter(_._2 >= wm).toSeq)
         emit("l0_residue", agg.filter(_._2 < wm).toSeq)
-        if (wm != Long.MinValue)
-          rows += Row(half, "watermark", null, jl(wm), jl(wm), null, null)
       }
+      // the watermark outlives its root by design (retireIngestRoot
+      // keeps it so the late-data guard and the next epoch's union
+      // read work) — report it whenever the file exists, not only
+      // while L0 has committed data
+      if (tierHasWatermark(spark, dir, tier))
+        rows += Row(half, "watermark", null,
+          jl(tierWatermark(spark, dir, tier)),
+          jl(tierWatermark(spark, dir, tier)), null, null)
     }
     val persistedIds = spark.read.parquet(s"$dir/series").select("series_id")
     rows += Row("catalog", "persisted", null, null, null, null,
@@ -687,23 +709,11 @@ object TsdbLayout {
     val glob = new org.apache.hadoop.fs.Path(s"$root/metric=*/ts_day=*")
     Option(f.globStatus(glob)).map(_.toSeq).getOrElse(Nil).map { st =>
       val day = st.getPath.getName.stripPrefix("ts_day=").toLong
-      val metric = unescapePart(
-        st.getPath.getParent.getName.stripPrefix("metric="))
+      // Spark's own inverse of the escaping it applied on write
+      val metric = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(st.getPath.getParent.getName.stripPrefix("metric="))
       (metric, day)
     }
-  }
-
-  /** Undo Spark's partition-path escaping (%XX per reserved char). */
-  private def unescapePart(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length)
-        { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-      else { sb.append(c); i += 1 }
-    }
-    sb.toString
   }
 
   /** Below-watermark L0 content the batch tier does NOT hold —
@@ -979,24 +989,7 @@ object TsdbLayout {
   private def retireTier(spark: SparkSession, dir: String, tier: Tier,
       checkpoint: Option[String]): Boolean = {
     val l0Path = s"$dir/${tier.l0Sub}"
-    // root absent: idempotent no-op — and the checkpoint is NOT touched
-    // (there is nothing to verify it against; a given checkpoint is
-    // only dropped together with the root it belongs to)
-    if (!pathExists(spark, l0Path)) return false
-    readTierL0(spark, dir, tier) match {
-      case None =>
-        // the root EXISTS but shows no committed data: either the NEXT
-        // epoch's sink just started here (its _spark_metadata log is
-        // live — deleting it would kill the running stream) or an
-        // abandoned empty sink. Nothing is compacted either way, so
-        // this operator — whose contract is "retire a FULLY-COMPACTED
-        // root" — refuses rather than guess; an abandoned empty root
-        // is a manual delete, not a lifecycle step.
-        throw new IllegalArgumentException(
-          s"retire: ingest root $l0Path exists but holds no committed " +
-            s"data — if this is a freshly-started epoch it is LIVE; " +
-            s"an abandoned empty sink is a manual delete, not a retire")
-      case Some(l0) =>
+    retireRoot(spark, l0Path, "ingest root", checkpoint) { l0 =>
       // no watermark ⇒ wm = Long.MinValue ⇒ every held day is "live"
       // and a non-empty root refuses — a pre-first-compaction root is
       // never safe to drop
@@ -1016,8 +1009,5 @@ object TsdbLayout {
           s"${strag.mkString(", ")} whose only copy lives here — " +
           s"re-route them (upsert / partition rewrite) before retiring")
     }
-    deleteRecursive(spark, l0Path)
-    checkpoint.foreach(deleteRecursive(spark, _))
-    true
   }
 }

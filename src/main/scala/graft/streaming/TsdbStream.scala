@@ -752,13 +752,23 @@ object TsdbStream extends Serializable {
       if (rows.columns.contains(c)) col(c).cast("float")
       else lit(null).cast("float")
     keyNamed(rows)
+      // tag entries first, dedup BY KEY before map construction: a
+      // malformed name repeating a tag key ("m k=1 k=2" — the canonical
+      // form has sorted UNIQUE keys, seriesparser.cc:112) must not
+      // throw Spark's duplicate-map-key error inside a micro-batch,
+      // which would kill the registration stream permanently (every
+      // restart replays the same poison row). First occurrence wins;
+      // the row still registers, resolvable by its exact name.
+      .withColumn("_tag_entries",
+        expr("""transform(slice(split(name, ' '), 2, 2147483646),
+                  p -> named_struct(
+                    'key', substring_index(p, '=', 1),
+                    'value', substring(p, length(substring_index(p, '=', 1)) + 2)))"""))
       .select(
         col("series_id"), col("name"), col("metric"),
-        expr("""map_from_entries(transform(
-                  slice(split(name, ' '), 2, 2147483646),
-                  p -> struct(substring_index(p, '=', 1),
-                              substring(p, length(substring_index(p, '=', 1)) + 2))))""")
-          .as("tags"),
+        expr("""map_from_entries(filter(_tag_entries, (e, i) ->
+                  array_position(transform(_tag_entries, x -> x.key), e.key)
+                    = i + 1))""").as("tags"),
         optF("lon").as("lon"), optF("lat").as("lat"))
       .dropDuplicates("series_id")
       .writeStream.format("parquet")

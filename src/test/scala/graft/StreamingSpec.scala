@@ -1605,18 +1605,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val q = TsdbStream.catalogIngest(
       in.toDF().toDF("name", "ts", "value"), s"$base/out", s"$base/ckpt")
     try {
-      in.addData(("disk host=a=b zone=1", 1L, 0.0), ("heartbeat", 2L, 0.0))
+      // the third name is MALFORMED (repeated tag key — the canonical
+      // form has sorted unique keys): it must not throw the duplicate-
+      // map-key error inside the micro-batch, which would kill the
+      // registration stream permanently (every restart replays it)
+      in.addData(("disk host=a=b zone=1", 1L, 0.0), ("heartbeat", 2L, 0.0),
+        ("bad k=1 k=2", 3L, 0.0))
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.read.parquet(s"$base/out")
       .selectExpr("name", "metric", "tags", "lon")
       .orderBy("name").collect()
     assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
-      Seq(("disk host=a=b zone=1", "disk"), ("heartbeat", "heartbeat")))
-    val tagged = rows(0).getMap[String, String](2)
+      Seq(("bad k=1 k=2", "bad"), ("disk host=a=b zone=1", "disk"),
+        ("heartbeat", "heartbeat")))
+    val tagged = rows(1).getMap[String, String](2)
     assert(tagged === Map("host" -> "a=b", "zone" -> "1"),
       "the tag key ends at the FIRST '='; the value keeps the rest")
-    assert(rows(1).getMap[String, String](2).isEmpty,
+    assert(rows(0).getMap[String, String](2) === Map("k" -> "1"),
+      "a repeated tag key dedups (first wins) instead of poisoning the stream")
+    assert(rows(2).getMap[String, String](2).isEmpty,
       "a tagless name registers with an empty tag map")
     assert(rows.forall(_.isNullAt(3)), "no lon column in the stream -> null")
   }
