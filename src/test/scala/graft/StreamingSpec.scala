@@ -1712,6 +1712,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "fold must clear the unfolded count")
   }
 
+  test("RESP frames drive the full named-ingest pipeline: parse, register, serve from the opened database") {
+    // the reference's complete live path (RESP connection -> parser ->
+    // auto-registration -> WAL/storage -> queryable) as one Spark
+    // composition: protocol chunks -> Resp.toSamples -> the named fact
+    // sink + the registration sink -> openDatabase. Series "m t=b" has
+    // never been persisted; it arrives only as protocol frames.
+    val db = java.nio.file.Files.createTempDirectory("graft_resp_named").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("t", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("t"), "ts", "value")
+    val batchRows = (0 until 48).map(i => ("a", i.toLong * h, i / 3.0))
+    graft.model.TsdbLayout.writeDatabase(ctxOf(batchRows), db)
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val named = graft.sources.Resp.toSamples(in.toDS())
+    val qF = TsdbStream.namedLayoutIngest(named, s"$db/samples_l0", s"$db/f_ckpt")
+    val qC = TsdbStream.catalogIngest(named, s"$db/catalog_l0", s"$db/c_ckpt")
+    val streamed = (48 until 96).flatMap(i =>
+      Seq(("a", i.toLong * h, i / 3.0), ("b", i.toLong * h, 2.0 * i)))
+    try {
+      streamed.grouped(40).foreach { c =>
+        in.addData(c.map { case (t, ts, v) =>
+          s"+m t=$t\r\n:$ts\r\n+$v\r\n" }.mkString)
+        qF.processAllAvailable(); qC.processAllAvailable()
+      }
+    } finally { qF.stop(); qC.stop() }
+
+    val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${96 * h}}}"""
+    assert(new graft.engine.Engine(opened).execute(stmt).collect().toSeq ===
+      new graft.engine.Engine(ctxOf(batchRows ++ streamed))
+        .execute(stmt).collect().toSeq,
+      "protocol-delivered series must serve exactly like batch-loaded ones")
+    assert(new graft.engine.Engine(opened)
+      .run(graft.query.QueryParser.parseSearch(
+        """{"select": "m", "where": {"t": ["b"]}}"""))
+      .select("name").collect().map(_.getString(0)).toSeq === Seq("m t=b"),
+      "the protocol-registered series must be searchable")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
