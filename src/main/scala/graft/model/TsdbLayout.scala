@@ -489,15 +489,45 @@ object TsdbLayout {
     * creates its `_spark_metadata` log before the first batch commits,
     * and a reader in that window must see "no tier", not an
     * "unable to infer schema" failure. Only the empty-sink condition
-    * is swallowed; any other read problem stays loud. */
+    * is swallowed; any other read problem stays loud.
+    *
+    * RELOCATION GUARD: a streaming file sink's `_spark_metadata` log
+    * records ABSOLUTE file paths, so a database directory that was
+    * COPIED or MOVED while it had live ingest tiers would resolve this
+    * root's reads to the ORIGINAL location — silently serving another
+    * database's files (or failing obscurely at scan time once the
+    * original is deleted). Every committed file is verified to lie
+    * under this root; a stale log fails loudly at open with the
+    * remediation. The check lists the root's committed files on the
+    * driver — epoch-sized by the rotation contract, and only paid when
+    * an ingest tier exists. The batch halves and the index catalog are
+    * relocation-safe (plain parquet / dir-relative manifest), so a
+    * database is movable exactly when its epochs are retired — which
+    * this guard enforces instead of assuming. */
   private def readCommittedRoot(spark: SparkSession,
       path: String): Option[DataFrame] = {
     if (!pathExists(spark, path)) return None
-    try Some(spark.read.parquet(path))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("Unable to infer schema") => None
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("Unable to infer schema") => return None
+      }
+    val (f, hp) = hfs(spark, path)
+    val rootUri = f.makeQualified(hp).toUri.toString.stripSuffix("/") + "/"
+    val foreign = df.inputFiles.filterNot { in =>
+      f.makeQualified(new org.apache.hadoop.fs.Path(in))
+        .toUri.toString.startsWith(rootUri)
     }
+    if (foreign.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest root $path: its streaming sink log pins absolute file " +
+          s"paths outside this root (e.g. ${foreign.head}) — the database " +
+          s"directory was copied or moved with a live ingest tier. Sink " +
+          s"roots are not relocatable; retire epochs (compact + fold + " +
+          s"retire*IngestRoot) BEFORE moving a database, or re-ingest " +
+          s"into the new location")
+    Some(df)
   }
 
   /** Fold stream-registered series ([[graft.streaming.TsdbStream

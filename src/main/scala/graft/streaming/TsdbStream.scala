@@ -703,6 +703,13 @@ object TsdbStream extends Serializable {
     * [[catalogIngest]] is the half that persists the registration). */
   def keyNamed(rows: DataFrame): DataFrame =
     rows
+      // a null/blank name can neither key nor partition (its facts
+      // would land in a dead metric=null directory, unresolvable by
+      // any catalog) — drop it, mirroring the protocol parser's
+      // malformed-chunk drop semantics (Resp.parseLenient; the
+      // reference errors the CONNECTION, protocolparser.h:131-257 —
+      // inside a micro-batch a throw would be a permanent poison pill)
+      .where(col("name").isNotNull && trim(col("name")) =!= "")
       .withColumn("series_id", xxhash64(col("name")))
       .withColumn("metric", substring_index(col("name"), " ", 1))
 

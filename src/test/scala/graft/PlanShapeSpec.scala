@@ -252,6 +252,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"both events tiers must prune metric AND ts_day (saw ${eScans.size}):\n$ev")
   }
 
+  test("catalog-union resolution: stream-registered series cost no fact-side shuffle and keep pruning") {
+    // the new-series database resolves ids through series parquet ∪
+    // catalog_l0 (anti-join) — all catalog-sized frames. The plan must
+    // show (a) the fact side joining the resolved ids by BROADCAST,
+    // never a fact-side hash exchange, and (b) metric+ts_day partition
+    // filters still reaching both fact tiers' scans: registration
+    // growth must not cost the scan anything at 100 TB.
+    val dir = "/root/testdata/sf0.001"
+    val plan = graft.entries.EntryUtil.engineNewSeriesDbFor(spark, dir)
+      .execute(
+        """{"select": "purchase",
+            "range": {"from": "20240118T000000", "to": "20240127T000000"}}""")
+      .queryExecution.executedPlan.toString
+    val scans = "PartitionFilters: \\[[^\\]]*".r.findAllIn(plan).toSeq
+      .filter(f => f.contains("metric") && f.contains("ts_day"))
+    assert(scans.size >= 2,
+      s"both fact tiers must keep metric AND ts_day pruning under the " +
+        s"unioned catalog (saw ${scans.size}):\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
+      plan.contains("Broadcast"),
+      s"resolved ids must reach the facts by broadcast:\n$plan")
+    // no exchange may repartition a fact-sized frame. The region above
+    // the BroadcastExchange is the fact side (union of both tiers);
+    // anything below it is the catalog-sized build side, where the
+    // catalog_l0 dedup's own exchange is legitimate (it shuffles
+    // registrations, not facts)
+    val factSide = plan.split("BroadcastExchange")(0)
+    assert(!factSide.contains("Exchange hashpartitioning"),
+      s"the fact side must not hash-shuffle under the unioned catalog:\n$plan")
+  }
+
   test("stream-built rollup actually serves: no parquet scan reads sample values") {
     // the closed-loop entry's oracle is the raw-scan answer, so a silent
     // fallback to raw (schema drift in TsdbStream.rollupBuild, guard

@@ -1629,6 +1629,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.isNullAt(3)), "no lon column in the stream -> null")
   }
 
+  test("keyNamed drops null/blank names; a re-seen series re-registers into the NEXT epoch's root and reads dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_epochs").toString
+    // epoch 1: series s1 registers; a null and a blank name ride along
+    // and must neither kill the stream nor register junk
+    val in1 = MemoryStream[(String, Long, Double)]
+    val q1 = TsdbStream.catalogIngest(
+      in1.toDF().toDF("name", "ts", "value"), s"$base/catalog_l0", s"$base/ck1")
+    try {
+      in1.addData(("m user=s1", 1L, 0.0), (null, 2L, 0.0), ("   ", 3L, 0.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(s"$base/catalog_l0")
+      .select("name").collect().map(_.getString(0)).toSeq === Seq("m user=s1"),
+      "null/blank names are dropped, not registered")
+
+    // fold + retire epoch 1 (checkpoint dropped — dedup state dies
+    // with its root, by contract)
+    spark.read.parquet(s"$base/catalog_l0")
+      .write.parquet(s"$base/series") // minimal persisted catalog
+    assert(graft.model.TsdbLayout.foldCatalogL0(spark, base) === 0L)
+    assert(graft.model.TsdbLayout.retireCatalogIngestRoot(spark, base,
+      checkpoint = Some(s"$base/ck1")))
+
+    // epoch 2: s1 is RE-SEEN (its state died with epoch 1) and s2 is new
+    val in2 = MemoryStream[(String, Long, Double)]
+    val q2 = TsdbStream.catalogIngest(
+      in2.toDF().toDF("name", "ts", "value"), s"$base/catalog_l0", s"$base/ck2")
+    try {
+      in2.addData(("m user=s1", 4L, 0.0), ("m user=s2", 5L, 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // the root re-registers s1 — and the READ path dedups it against
+    // the persisted catalog, so the catalog lists each series once
+    assert(spark.read.parquet(s"$base/catalog_l0").count() === 2)
+    val unioned = {
+      // openDatabase-equivalent catalog read, via describe's counts
+      val d = graft.model.TsdbLayout.describeDatabase(spark, base)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          Option(r.get(6)).map(_.asInstanceOf[Long]))).toSeq
+      d
+    }
+    assert(unioned.contains(("catalog", "persisted", Some(1L))))
+    assert(unioned.contains(("catalog", "l0", Some(2L))))
+    assert(unioned.contains(("catalog", "unfolded", Some(1L))),
+      "only s2 is unfolded — the re-seen s1 dedups against the persisted catalog")
+    assert(graft.model.TsdbLayout.foldCatalogL0(spark, base) === 1L,
+      "fold moves only the genuinely new registration")
+  }
+
   test("namedEventsIngest: a never-seen event series streams in, registers, and serves select-events") {
     // the log half of register-on-first-write: the database has NO
     // events and has never heard of series z; a named event stream +
@@ -1753,6 +1803,92 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         """{"select": "m", "where": {"t": ["b"]}}"""))
       .select("name").collect().map(_.getString(0)).toSeq === Seq("m t=b"),
       "the protocol-registered series must be searchable")
+  }
+
+  test("a copied database with a live ingest tier fails loudly at open; a rotated one relocates cleanly") {
+    // the sink's _spark_metadata log pins ABSOLUTE file paths: a copy
+    // of a database directory with live L0 would silently read the
+    // ORIGINAL's files — the guard must name the problem at open.
+    // After the epoch is retired (compact + rotate), the directory is
+    // plain parquet + the relative-path index manifest, and relocates.
+    val db = java.nio.file.Files.createTempDirectory("graft_reloc_db").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val all = (0 until 96).map(i => ("x", i.toLong * h, i / 3.0))
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.take(48)), db)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Double, String)]
+    val ids = ctxOf(all).samples.select("series_id").distinct()
+      .collect().map(_.getLong(0))
+    val q = TsdbStream.layoutIngest(
+      in.toDF().toDF("series_id", "ts", "value", "metric"),
+      s"$db/samples_l0", s"$db/ckpt")
+    try {
+      in.addData(all.drop(48).map { case (_, ts, v) => (ids(0), ts, v, "m") }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def copyTree(src: String, dst: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).iterator().asScala.toSeq.foreach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val copy1 = java.nio.file.Files.createTempDirectory("graft_reloc_copy1").toString + "/db"
+    copyTree(db, copy1)
+    val ex = intercept[IllegalStateException] {
+      graft.model.TsdbLayout.openDatabase(spark, copy1)
+        .samples.count() // frames are lazy; force the tier resolution
+    }
+    assert(ex.getMessage.contains("copied or moved"),
+      s"the relocation guard must name the hazard: ${ex.getMessage}")
+
+    // retire the epoch, then the directory relocates cleanly
+    graft.model.TsdbLayout.compactL0(spark, db, 200 * h)
+    assert(graft.model.TsdbLayout.retireIngestRoot(spark, db,
+      checkpoint = Some(s"$db/ckpt")))
+    val copy2 = java.nio.file.Files.createTempDirectory("graft_reloc_copy2").toString + "/db"
+    copyTree(db, copy2)
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${96 * h}}}"""
+    val expect = all.take(48) ++ all.drop(48).map { case (_, ts, v) => ("x", ts, v) }
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, copy2))
+        .execute(stmt).collect().toSeq ===
+      new graft.engine.Engine(ctxOf(expect)).execute(stmt).collect().toSeq,
+      "a rotated database must serve unchanged from its new location")
+  }
+
+  test("where-location over stream-registered series: null locations are excluded, never errors") {
+    // catalogIngest registers stream-only series with NULL lon/lat (no
+    // location rode the stream). A spatial restriction must treat them
+    // as outside every box — the reference's R-tree likewise indexes
+    // only located series — not fail, and not match them
+    val dir = "/root/testdata/sf0.001"
+    val eng = graft.entries.EntryUtil.engineNewSeriesDbFor(spark, dir)
+    val got = eng.execute(
+      s"""{"select": "purchase",
+           "range": {"from": "20240101T000000", "to": "20240401T000000"},
+           "where-location": {"box": {"lon": [-180, 180], "lat": [-90, 90]}}}""")
+      .select("series").distinct().collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty, "located (batch-cataloged) series must match")
+    val users = got.map(_.stripPrefix("purchase user=").toLong)
+    assert(users.forall(_ % 2 == 0),
+      s"stream-registered (null-location) series must not match a box, got $users")
+    // and without the clause the odd users ARE served — the exclusion
+    // above is the location semantics, not missing data
+    val all = eng.execute(
+      s"""{"select": "purchase",
+           "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+      .select("series").distinct().collect().map(_.getString(0))
+      .map(_.stripPrefix("purchase user=").toLong).toSet
+    assert(all.exists(_ % 2 == 1),
+      "odd users must be resolvable outside the spatial restriction")
   }
 
   test("streaming EWMA carries per-series state across micro-batches") {
