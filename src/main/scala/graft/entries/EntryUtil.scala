@@ -1115,6 +1115,23 @@ object EntryUtil {
       new Engine(opened.copy(series = opened.series.cache()))
     })
 
+  private val tickResults = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized MAINTENANCE TICK summary: a private new-series database
+    * built with its watermark at the split (nothing claimed yet), then
+    * ONE [[graft.model.TsdbLayout.maintenanceTick]] with the canonical
+    * cutoff — compaction moves the settled (metric, day) partitions,
+    * the fold moves exactly the odd users' stream registrations, and
+    * both straggler alerts are clean. Memoized as the RESULT frame: the
+    * tick mutates its database and is idempotent, so only the first
+    * run's summary is the oracle-comparable one. */
+  def maintenanceTickFor(spark: SparkSession, dir: String): DataFrame =
+    tickResults.getOrElseUpdate((spark, dir), {
+      val db = newSeriesDbBuild(spark, dir, "graft_tick_db", L0SplitNs)
+      graft.model.TsdbLayout.maintenanceTick(spark, db, L0CompactNs)
+    })
+
   private val namedEventsDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -129,6 +129,17 @@ object Round11Entries {
           col("tier").isin("batch", "l0", "l0_residue"))
         .orderBy("half", "tier", "metric")),
 
+    // the MAINTENANCE TICK: the cron-able lifecycle unit — compact
+    // both halves' settled days, fold stream registrations, poll both
+    // straggler alerts — as ONE operator returning a (step, n)
+    // summary. Here: a new-series database with its watermark still at
+    // the split; the tick claims days 20-24 (one write task per
+    // (metric, day) partition), folds exactly the odd users' live
+    // registrations, and both alerts are clean. Oracle: each count
+    // derived from the raw table with the split/cutoff replayed
+    "ts_maintenance_tick" -> ((s, dir) =>
+      EntryUtil.maintenanceTickFor(s, dir).orderBy("step")),
+
     // the catalog FRESHNESS readout: an adopted stream-maintained
     // index serves whatever its sink last committed, and describe()
     // shows kind/path/params but not how current the data is —
@@ -224,6 +235,30 @@ object Round11Entries {
                    count(DISTINCT day), CAST(NULL AS BIGINT)
             FROM d WHERE user_id % 2 = 0
           ) ORDER BY half, tier, metric""",
+    // the tick's counts from the raw table: moved partitions = distinct
+    // (metric, day) in the settled window (all users streamed it);
+    // folded = the odd users' distinct series with post-split samples;
+    // no events tier, no stragglers
+    "ts_maintenance_tick" ->
+      s"""SELECT * FROM (
+            SELECT 'compact_events' AS step, CAST(0 AS BIGINT) AS n
+            UNION ALL
+            SELECT 'compact_samples', (SELECT count(*) FROM (
+              SELECT DISTINCT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day
+              FROM events
+              WHERE epoch_ns(ts) >= ${EntryUtil.L0SplitNs}
+                AND epoch_ns(ts) < ${EntryUtil.L0CompactNs}))
+            UNION ALL
+            SELECT 'fold_catalog', (SELECT count(*) FROM (
+              SELECT DISTINCT event_type, user_id FROM events
+              WHERE user_id % 2 = 1
+                AND epoch_ns(ts) >= ${EntryUtil.L0SplitNs}))
+            UNION ALL
+            SELECT 'stragglers_events', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'stragglers_samples', CAST(0 AS BIGINT)
+          ) ORDER BY step""",
     // the adopted rollup's max committed bin IS the raw table's last
     // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
     // bins are whole hours)

@@ -746,6 +746,41 @@ object TsdbLayout {
     }
   }
 
+  /** The periodic MAINTENANCE TICK a deployment crons — the lifecycle
+    * steps between ingest and rotation, in their required order, as
+    * one operator with one summary: compact both fact halves' settled
+    * days ([[compactL0]] / [[compactEventsL0]], only where an ingest
+    * tier exists — a tick must not stamp watermarks onto absent
+    * tiers), fold stream registrations into the persisted catalog
+    * ([[foldCatalogL0]]), then poll the standing alerts
+    * ([[l0Stragglers]] / [[eventsL0Stragglers]]). Returns one
+    * `(step, n)` row per action: moved partition counts, folded
+    * registration count, straggling partition counts (nonzero = route
+    * through the upserts before the next rotation). Idempotent: a
+    * re-run with the same cutoff reports zeros. Rotation
+    * ([[retireIngestRoot]] family) stays a separate, deliberate act —
+    * it is the one destructive step and no cron should own it.
+    * [[IndexCatalog.freshness]] and [[describeDatabase]] are the
+    * companion readouts for what a tick does not touch. */
+  def maintenanceTick(spark: SparkSession, dir: String,
+      settledCutoffNs: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def compactIfPresent(tier: Tier): Long =
+      if (!pathExists(spark, s"$dir/${tier.l0Sub}")) 0L
+      else compactTier(spark, dir, tier, settledCutoffNs).toLong
+    val rows = Seq(
+      Row("compact_samples", compactIfPresent(SamplesTier)),
+      Row("compact_events", compactIfPresent(EventsTier)),
+      Row("fold_catalog", foldCatalogL0(spark, dir)),
+      Row("stragglers_samples", l0Stragglers(spark, dir).count()),
+      Row("stragglers_events", eventsL0Stragglers(spark, dir).count()))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("step", StringType),
+        StructField("n", LongType))))
+  }
+
   /** Below-watermark L0 content the batch tier does NOT hold —
     * (metric, ts_day, n), one row per affected partition. Compacted
     * days leave their files in the L0 root (the sink log pins them),

@@ -1891,6 +1891,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "odd users must be resolvable outside the spatial restriction")
   }
 
+  test("maintenanceTick: one cron unit compacts, folds and polls; idempotent re-run reports zeros") {
+    val db = java.nio.file.Files.createTempDirectory("graft_tick").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(
+      ctxOf((0 until 48).map(i => ("x", i.toLong * h, 1.0))), db)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val named = in.toDF().toDF("name", "ts", "value")
+    val qF = TsdbStream.namedLayoutIngest(named, s"$db/samples_l0", s"$db/f_ckpt")
+    val qC = TsdbStream.catalogIngest(named, s"$db/catalog_l0", s"$db/c_ckpt")
+    try {
+      in.addData((48 until 120).flatMap(i =>
+        Seq(("m user=x", i.toLong * h, 1.0), ("m user=y", i.toLong * h, 2.0))): _*)
+      qF.processAllAvailable(); qC.processAllAvailable()
+    } finally { qF.stop(); qC.stop() }
+
+    def tick() = graft.model.TsdbLayout.maintenanceTick(spark, db, 96 * h)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val t1 = tick()
+    assert(t1("compact_samples") === 2L, "days 2-3 move, one partition each")
+    assert(t1("compact_events") === 0L)
+    assert(t1("fold_catalog") === 1L, "y is the one live registration")
+    assert(t1("stragglers_samples") === 0L && t1("stragglers_events") === 0L)
+    // the tick must not stamp a watermark onto the ABSENT events tier
+    assert(!new java.io.File(s"$db/events_l0_watermark").exists(),
+      "no events ingest tier -> no events watermark")
+    // idempotent: same cutoff, nothing left to do
+    val t2 = tick()
+    assert(t2.values.forall(_ === 0L), s"re-run must report zeros: $t2")
+    // and the database still answers correctly after the tick
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${120 * h}}}"""
+    val expect = (0 until 48).map(i => ("x", i.toLong * h, 1.0)) ++
+      (48 until 120).flatMap(i =>
+        Seq(("x", i.toLong * h, 1.0), ("y", i.toLong * h, 2.0)))
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, db))
+        .execute(stmt).collect().toSeq ===
+      new graft.engine.Engine(ctxOf(expect)).execute(stmt).collect().toSeq,
+      "the tick changes storage, never answers")
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
