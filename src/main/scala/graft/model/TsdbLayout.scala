@@ -418,7 +418,15 @@ object TsdbLayout {
     * (volumes + sqlite metastorage, meta_storage.h:44+) as one
     * directory tree. [[openDatabase]] round-trips it: a restarted
     * deployment serves pruned scans AND index-served statements with
-    * ZERO re-derivation from code. */
+    * ZERO re-derivation from code.
+    *
+    * `writeDatabase(openDatabase(old), new)` is also the EXPORT path —
+    * the sanctioned way to move a database whose ingest epochs are not
+    * retired: the two-tier unions and the unioned catalog (stream
+    * registrations included) land at the new location as a fresh
+    * batch-only layout with no sink logs, which raw directory copies
+    * cannot do (the open guard refuses them — sink logs pin absolute
+    * paths). Spec-pinned. */
   def writeDatabase(ctx: TsdbContext, dir: String): Unit = {
     ctx.series.write.mode("overwrite").parquet(s"$dir/series")
     // events get the partitioned layout too (the log half is usually

@@ -759,23 +759,9 @@ object TsdbStream extends Serializable {
       if (rows.columns.contains(c)) col(c).cast("float")
       else lit(null).cast("float")
     keyNamed(rows)
-      // tag entries first, dedup BY KEY before map construction: a
-      // malformed name repeating a tag key ("m k=1 k=2" — the canonical
-      // form has sorted UNIQUE keys, seriesparser.cc:112) must not
-      // throw Spark's duplicate-map-key error inside a micro-batch,
-      // which would kill the registration stream permanently (every
-      // restart replays the same poison row). First occurrence wins;
-      // the row still registers, resolvable by its exact name.
-      .withColumn("_tag_entries",
-        expr("""transform(slice(split(name, ' '), 2, 2147483646),
-                  p -> named_struct(
-                    'key', substring_index(p, '=', 1),
-                    'value', substring(p, length(substring_index(p, '=', 1)) + 2)))"""))
+      .withColumn("tags", tagsFromName)
       .select(
-        col("series_id"), col("name"), col("metric"),
-        expr("""map_from_entries(filter(_tag_entries, (e, i) ->
-                  array_position(transform(_tag_entries, x -> x.key), e.key)
-                    = i + 1))""").as("tags"),
+        col("series_id"), col("name"), col("metric"), col("tags"),
         optF("lon").as("lon"), optF("lat").as("lat"))
       .dropDuplicates("series_id")
       .writeStream.format("parquet")
@@ -783,6 +769,27 @@ object TsdbStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+  }
+
+  /** The tag map of a canonical series name (`"metric k=v k=v"`,
+    * seriesparser.cc:112), as a Column over `name` — the in-engine
+    * inverse of [[graft.model.TsdbContext.fromWide]]'s name
+    * construction (property-pinned as a round trip). A tag key ends at
+    * the FIRST `=`; the value keeps any further ones. Entries dedup BY
+    * KEY (first occurrence wins) before map construction: a malformed
+    * name repeating a key ("m k=1 k=2") must not throw Spark's
+    * duplicate-map-key error inside a streaming micro-batch, which
+    * would kill the registration query permanently (every restart
+    * replays the same poison row). Tagless names yield an empty map. */
+  def tagsFromName: Column = {
+    val entries =
+      """transform(slice(split(name, ' '), 2, 2147483646),
+           p -> named_struct(
+             'key', substring_index(p, '=', 1),
+             'value', substring(p, length(substring_index(p, '=', 1)) + 2)))"""
+    expr(s"""map_from_entries(filter($entries, (e, i) ->
+               array_position(transform($entries, x -> x.key), e.key)
+                 = i + 1))""")
   }
 
   /** The one file-sink ingest shape both fact halves share: project to

@@ -1936,6 +1936,79 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "the tick changes storage, never answers")
   }
 
+  test("tagsFromName inverts the canonical name construction (property, '=' in values included)") {
+    // fromWide builds "metric k=v k=v" (sorted unique keys, single
+    // spaces); the registration stream parses it back. Round-trip over
+    // generated tag maps, with values that may themselves contain '='
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tagKey = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
+    val tagVal = Gen.oneOf(
+      Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.identifier.suchThat(_.length >= 4)
+        .map(s => s.take(2) + "=" + s.slice(2, 4)))
+    val seriesGen = for {
+      metric <- Gen.identifier.map("m_" + _.take(10))
+      n <- Gen.chooseNum(0, 6)
+      keys <- Gen.listOfN(n, tagKey)
+      vals <- Gen.listOfN(n, tagVal)
+    } yield (metric, keys.distinct.sorted.zip(vals))
+    val cases = (0 until 150).flatMap(i =>
+      seriesGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    val names = cases.map { case (m, tags) =>
+      (tags.map { case (k, v) => s"$k=$v" }.foldLeft(m)(_ + " " + _), tags.toMap)
+    }
+    val got = names.map(_._1).toDF("name")
+      .select(col("name"), TsdbStream.tagsFromName.as("tags"))
+      .collect().map(r => (r.getString(0), r.getMap[String, String](1).toMap))
+      .toMap
+    names.foreach { case (name, tags) =>
+      assert(got(name) === tags, s"parse must invert construction for '$name'")
+    }
+  }
+
+  test("export: writeDatabase(openDatabase(live)) rewrites a two-tier database into a relocatable one") {
+    // the sanctioned way to MOVE a database whose epochs are not
+    // retired: re-persist the opened context at the new location — the
+    // two-tier union (and the unioned catalog, registrations included)
+    // lands as a fresh batch-only layout, no sink logs, no absolute
+    // paths. The copy guard refuses raw copies; this is the remedy.
+    val db = java.nio.file.Files.createTempDirectory("graft_export_src").toString
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(
+      ctxOf((0 until 48).map(i => ("x", i.toLong * h, 1.0))), db)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val named = in.toDF().toDF("name", "ts", "value")
+    val qF = TsdbStream.namedLayoutIngest(named, s"$db/samples_l0", s"$db/f_ckpt")
+    val qC = TsdbStream.catalogIngest(named, s"$db/catalog_l0", s"$db/c_ckpt")
+    try {
+      in.addData((48 until 96).flatMap(i =>
+        Seq(("m user=x", i.toLong * h, 1.0), ("m user=y", i.toLong * h, 2.0))): _*)
+      qF.processAllAvailable(); qC.processAllAvailable()
+    } finally { qF.stop(); qC.stop() }
+
+    val dst = java.nio.file.Files.createTempDirectory("graft_export_dst").toString + "/db"
+    graft.model.TsdbLayout.writeDatabase(
+      graft.model.TsdbLayout.openDatabase(spark, db), dst)
+    val expect = (0 until 48).map(i => ("x", i.toLong * h, 1.0)) ++
+      (48 until 96).flatMap(i =>
+        Seq(("x", i.toLong * h, 1.0), ("y", i.toLong * h, 2.0)))
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${96 * h}}}"""
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, dst))
+        .execute(stmt).collect().toSeq ===
+      new graft.engine.Engine(ctxOf(expect)).execute(stmt).collect().toSeq,
+      "the exported database must serve every tier's data, registrations included")
+    // the export is batch-only: no ingest tiers, no live-root guard in play
+    assert(!new java.io.File(s"$dst/samples_l0").exists())
+    assert(!new java.io.File(s"$dst/catalog_l0").exists())
+  }
+
   test("streaming EWMA carries per-series state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Double)]
