@@ -194,6 +194,46 @@ object ContractProbe {
           "range": {"from": "20240101T000000", "to": "20240102T000000"},
           "output": {"format": "xml"}}""")
 
+    // ---- lifecycle guards: the loud-refusal surface of the living DB
+    def tryOp(tag: String)(op: => Any): Unit =
+      try println(s"PROBE $tag -> ${op}")
+      catch {
+        case ex: Throwable =>
+          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+      }
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val db = java.nio.file.Files.createTempDirectory("graft_probe_db").toString
+    val h = 3600L * 1000000000L
+    val ctx = TsdbContext.fromWide(spark,
+      spark.range(0, 48).selectExpr("'x' AS user", s"id * ${h}L AS ts",
+        "cast(id AS double) AS value", "'m' AS metric"),
+      "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(
+      ctx.copy(samples = ctx.samples.where(col("ts") < 24 * h)), db)
+    // an uncompacted L0 day and an unfolded registration
+    ctx.samples.where(col("ts") >= 24 * h)
+      .withColumn("metric", lit("m"))
+      .withColumn("ts_day", expr(s"ts div ${24 * h}L"))
+      .write.partitionBy("metric", "ts_day").parquet(s"$db/samples_l0")
+    spark.sql("""SELECT 999L AS series_id, 'm user=z' AS name, 'm' AS metric,
+                   map('user', 'z') AS tags, CAST(NULL AS FLOAT) AS lon,
+                   CAST(NULL AS FLOAT) AS lat""")
+      .write.parquet(s"$db/catalog_l0")
+    tryOp("retire-live-ingest-root") {
+      graft.model.TsdbLayout.retireIngestRoot(spark, db)
+    }
+    tryOp("retire-unfolded-catalog-root") {
+      graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db)
+    }
+    tryOp("maintenance-tick") {
+      graft.model.TsdbLayout.maintenanceTick(spark, db, 48 * h)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    }
+    tryOp("retire-after-tick") {
+      graft.model.TsdbLayout.retireIngestRoot(spark, db) &&
+        graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db)
+    }
+
     spark.stop()
   }
 }
