@@ -1036,19 +1036,29 @@ object EntryUtil {
   private def newSeriesDbBuild(spark: SparkSession, dir: String,
       prefix: String, compactNs: Long): String = {
     val ctx = TsdbContext.fromTestdata(spark, dir)
+    val db = writeEvenSplitDb(spark, ctx, prefix,
+      samplesBeforeNs = L0SplitNs, eventsBeforeNs = Long.MaxValue)
+    streamNamedRows(spark, namedRowsFrom(ctx, L0SplitNs), db)
+    graft.model.TsdbLayout.compactL0(spark, db, compactNs)
+    db
+  }
+
+  /** The even-user half-database every new-series fixture starts from:
+    * the persisted catalog knows only the EVEN users, each fact half
+    * cut at its own boundary (MaxValue = keep the whole even history). */
+  private def writeEvenSplitDb(spark: SparkSession, ctx: TsdbContext,
+      prefix: String, samplesBeforeNs: Long, eventsBeforeNs: Long): String = {
     val even = ctx.series
       .where(expr("cast(tags['user'] as bigint) % 2 = 0"))
     val db = scratchDir(prefix)
     graft.model.TsdbLayout.writeDatabase(ctx.copy(
       series = even,
-      samples = ctx.samples.where(col("ts") < L0SplitNs)
+      samples = ctx.samples.where(col("ts") < samplesBeforeNs)
         .join(even.select("series_id"), "series_id")
         .select(col("series_id"), col("ts"), col("value")),
-      events = ctx.events
+      events = ctx.events.where(col("ts") < eventsBeforeNs)
         .join(even.select("series_id"), "series_id")
         .select(col("series_id"), col("ts"), col("body"))), db)
-    streamNamedRows(spark, namedRowsFrom(ctx, L0SplitNs), db)
-    graft.model.TsdbLayout.compactL0(spark, db, compactNs)
     db
   }
 
@@ -1147,17 +1157,8 @@ object EntryUtil {
   def engineNamedEventsDbFor(spark: SparkSession, dir: String): Engine =
     namedEventsDbEngines.getOrElseUpdate((spark, dir), {
       val ctx = TsdbContext.fromTestdata(spark, dir)
-      val even = ctx.series
-        .where(expr("cast(tags['user'] as bigint) % 2 = 0"))
-      val db = scratchDir("graft_namedev_db")
-      graft.model.TsdbLayout.writeDatabase(ctx.copy(
-        series = even,
-        samples = ctx.samples
-          .join(even.select("series_id"), "series_id")
-          .select(col("series_id"), col("ts"), col("value")),
-        events = ctx.events.where(col("ts") < L0SplitNs)
-          .join(even.select("series_id"), "series_id")
-          .select(col("series_id"), col("ts"), col("body"))), db)
+      val db = writeEvenSplitDb(spark, ctx, "graft_namedev_db",
+        samplesBeforeNs = Long.MaxValue, eventsBeforeNs = L0SplitNs)
       val namedEvents = ctx.events.where(col("ts") >= L0SplitNs)
         .join(ctx.series.select(col("series_id"), col("name")), "series_id")
         .orderBy("ts", "series_id")

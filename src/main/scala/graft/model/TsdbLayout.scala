@@ -420,13 +420,9 @@ object TsdbLayout {
     * deployment serves pruned scans AND index-served statements with
     * ZERO re-derivation from code.
     *
-    * `writeDatabase(openDatabase(old), new)` is also the EXPORT path —
-    * the sanctioned way to move a database whose ingest epochs are not
-    * retired: the two-tier unions and the unioned catalog (stream
-    * registrations included) land at the new location as a fresh
-    * batch-only layout with no sink logs, which raw directory copies
-    * cannot do (the open guard refuses them — sink logs pin absolute
-    * paths). Spec-pinned. */
+    * To MOVE a live database use [[exportDatabase]] — it is this
+    * composed with [[openDatabase]], plus the straggler/overlap guard
+    * a bare re-save would silently persist past. Spec-pinned. */
   def writeDatabase(ctx: TsdbContext, dir: String): Unit = {
     ctx.series.write.mode("overwrite").parquet(s"$dir/series")
     // events get the partitioned layout too (the log half is usually
@@ -523,9 +519,17 @@ object TsdbLayout {
       }
     val (f, hp) = hfs(spark, path)
     val rootUri = f.makeQualified(hp).toUri.toString.stripSuffix("/") + "/"
+    // a log path on a DIFFERENT filesystem (hdfs:// log under a
+    // file:// root — the classic cluster-to-laptop copy) cannot even
+    // qualify against this root's FS: that IS foreign, not an error
+    // of the guard. The check is deliberately conservative-loud:
+    // opening a live-tier database through a symlink/`..` alias of its
+    // original path refuses too (Hadoop paths don't resolve aliases) —
+    // open by the canonical path, or export ([[exportDatabase]])
     val foreign = df.inputFiles.filterNot { in =>
-      f.makeQualified(new org.apache.hadoop.fs.Path(in))
+      try f.makeQualified(new org.apache.hadoop.fs.Path(in))
         .toUri.toString.startsWith(rootUri)
+      catch { case _: IllegalArgumentException => false } // wrong FS
     }
     if (foreign.nonEmpty)
       throw new IllegalStateException(
@@ -533,9 +537,37 @@ object TsdbLayout {
           s"paths outside this root (e.g. ${foreign.head}) — the database " +
           s"directory was copied or moved with a live ingest tier. Sink " +
           s"roots are not relocatable; retire epochs (compact + fold + " +
-          s"retire*IngestRoot) BEFORE moving a database, or re-ingest " +
-          s"into the new location")
+          s"retire*IngestRoot) or exportDatabase BEFORE moving a " +
+          s"database, or re-ingest into the new location")
     Some(df)
+  }
+
+  /** MOVE a database whose ingest epochs are NOT retired: re-persist
+    * the opened context at `dst` — the two-tier unions and the unioned
+    * catalog (stream registrations included) land as a fresh
+    * batch-only layout with no sink logs, which a raw directory copy
+    * cannot do (the open guard refuses one — sink logs pin absolute
+    * paths). Refuses loudly when either half has STRAGGLERS
+    * (below-watermark L0 rows the batch tier never received): the
+    * opened view excludes them by the tier contract, so exporting
+    * would silently drop exactly the rows [[retireIngestRoot]] refuses
+    * to delete — route them through the upserts first, same remedy as
+    * rotation. The unfolded-registration check is NOT needed: the
+    * exported catalog is the unioned read, registrations ride along. */
+  def exportDatabase(spark: SparkSession, src: String, dst: String): Unit = {
+    for ((alert, what) <- Seq(
+        (l0Stragglers(spark, src), "samples"),
+        (eventsL0Stragglers(spark, src), "events"))) {
+      val strag = alert.limit(6).collect()
+      require(strag.isEmpty,
+        s"export: $src has $what alert partition(s) " +
+          s"${strag.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")} — " +
+          s"the opened view mis-serves them (below-watermark stragglers " +
+          s"are excluded, pre-watermark tier overlaps double-read), so an " +
+          s"export would persist that mistake; route them through the " +
+          s"upserts (or compact) first")
+    }
+    writeDatabase(openDatabase(spark, src), dst)
   }
 
   /** Fold stream-registered series ([[graft.streaming.TsdbStream
@@ -714,10 +746,10 @@ object TsdbLayout {
       // keeps it so the late-data guard and the next epoch's union
       // read work) — report it whenever the file exists, not only
       // while L0 has committed data
-      if (tierHasWatermark(spark, dir, tier))
-        rows += Row(half, "watermark", null,
-          jl(tierWatermark(spark, dir, tier)),
-          jl(tierWatermark(spark, dir, tier)), null, null)
+      if (tierHasWatermark(spark, dir, tier)) {
+        val wm = tierWatermark(spark, dir, tier)
+        rows += Row(half, "watermark", null, jl(wm), jl(wm), null, null)
+      }
     }
     val persistedIds = spark.read.parquet(s"$dir/series").select("series_id")
     rows += Row("catalog", "persisted", null, null, null, null,
@@ -774,12 +806,11 @@ object TsdbLayout {
       settledCutoffNs: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    def compactIfPresent(tier: Tier): Long =
-      if (!pathExists(spark, s"$dir/${tier.l0Sub}")) 0L
-      else compactTier(spark, dir, tier, settledCutoffNs).toLong
     val rows = Seq(
-      Row("compact_samples", compactIfPresent(SamplesTier)),
-      Row("compact_events", compactIfPresent(EventsTier)),
+      Row("compact_samples",
+        compactTier(spark, dir, SamplesTier, settledCutoffNs).toLong),
+      Row("compact_events",
+        compactTier(spark, dir, EventsTier, settledCutoffNs).toLong),
       Row("fold_catalog", foldCatalogL0(spark, dir)),
       Row("stragglers_samples", l0Stragglers(spark, dir).count()),
       Row("stragglers_events", eventsL0Stragglers(spark, dir).count()))
@@ -956,6 +987,13 @@ object TsdbLayout {
 
   private def compactTier(spark: SparkSession, dir: String, tier: Tier,
       cutoffNs: Long): Int = {
+    // an ABSENT ingest root is "this half has no live tier", not
+    // "nothing settled": stamping a watermark here would activate the
+    // L0-owned-day upsert guard (and the describe watermark row) for a
+    // tier that never existed. A root that EXISTS but shows no
+    // committed data is different — the tier is live, nothing settled
+    // yet, and advancing the watermark legitimately claims the days
+    if (!pathExists(spark, s"$dir/${tier.l0Sub}")) return 0
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val wm = tierWatermark(spark, dir, tier)
     if (cutoffDay <= wm) return 0

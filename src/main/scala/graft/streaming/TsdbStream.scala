@@ -703,13 +703,16 @@ object TsdbStream extends Serializable {
     * [[catalogIngest]] is the half that persists the registration). */
   def keyNamed(rows: DataFrame): DataFrame =
     rows
-      // a null/blank name can neither key nor partition (its facts
-      // would land in a dead metric=null directory, unresolvable by
-      // any catalog) — drop it, mirroring the protocol parser's
-      // malformed-chunk drop semantics (Resp.parseLenient; the
-      // reference errors the CONNECTION, protocolparser.h:131-257 —
-      // inside a micro-batch a throw would be a permanent poison pill)
-      .where(col("name").isNotNull && trim(col("name")) =!= "")
+      // a name whose METRIC token is empty (null, blank, or a leading
+      // space — "  m k=v" keys fine but partitions to metric='', the
+      // __HIVE_DEFAULT_PARTITION__ dead directory no catalog-resolved
+      // read ever prunes to) can neither key nor partition — drop it,
+      // mirroring the protocol parser's malformed-chunk drop semantics
+      // (Resp.parseLenient; the reference errors the CONNECTION,
+      // protocolparser.h:131-257 — inside a micro-batch a throw would
+      // be a permanent poison pill)
+      .where(col("name").isNotNull &&
+        substring_index(col("name"), " ", 1) =!= "")
       .withColumn("series_id", xxhash64(col("name")))
       .withColumn("metric", substring_index(col("name"), " ", 1))
 
@@ -782,8 +785,11 @@ object TsdbStream extends Serializable {
     * would kill the registration query permanently (every restart
     * replays the same poison row). Tagless names yield an empty map. */
   def tagsFromName: Column = {
+    // empty tokens (doubled/trailing spaces in a non-canonical name)
+    // are dropped before they become a garbage '' -> '' entry
     val entries =
-      """transform(slice(split(name, ' '), 2, 2147483646),
+      """transform(filter(slice(split(name, ' '), 2, 2147483646),
+                          p -> p != ''),
            p -> named_struct(
              'key', substring_index(p, '=', 1),
              'value', substring(p, length(substring_index(p, '=', 1)) + 2)))"""

@@ -19,13 +19,20 @@ object ContractProbe {
     println(s"PROBE entry rows=$n (smoke wants >0)")
 
     val e = new Engine(TsdbContext.fromTestdata(spark, "/root/testdata/sf0.001"))
+    // null- and empty-message safe: the reporter itself must never
+    // throw inside a catch block (a bare NPE would otherwise abort the
+    // whole probe run instead of printing the refusal)
+    def describeEx(ex: Throwable): String = {
+      val msg = Option(ex.getMessage)
+        .flatMap(_.linesIterator.find(_ => true)).getOrElse(ex.toString)
+      s"${ex.getClass.getSimpleName}: $msg"
+    }
     def tryQ(tag: String, json: String): Unit =
       try {
         val c = e.execute(json).count()
         println(s"PROBE $tag -> $c rows")
       } catch {
-        case ex: Throwable =>
-          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+        case ex: Throwable => println(s"PROBE $tag -> ${describeEx(ex)}")
       }
 
     tryQ("malformed-json", """{"select": "purchase", "range"""")
@@ -183,7 +190,7 @@ object ContractProbe {
         println(s"PROBE $tag -> $c lines")
       } catch {
         case ex: Throwable =>
-          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+          println(s"PROBE $tag -> ${describeEx(ex)}")
       }
     tryRendered("output-csv",
       """{"select": "purchase",
@@ -199,7 +206,7 @@ object ContractProbe {
       try println(s"PROBE $tag -> ${op}")
       catch {
         case ex: Throwable =>
-          println(s"PROBE $tag -> ${ex.getClass.getSimpleName}: ${ex.getMessage.linesIterator.next()}")
+          println(s"PROBE $tag -> ${describeEx(ex)}")
       }
     import org.apache.spark.sql.functions.{col, expr, lit}
     val db = java.nio.file.Files.createTempDirectory("graft_probe_db").toString

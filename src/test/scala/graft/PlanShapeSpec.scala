@@ -273,14 +273,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop") ||
       plan.contains("Broadcast"),
       s"resolved ids must reach the facts by broadcast:\n$plan")
-    // no exchange may repartition a fact-sized frame. The region above
-    // the BroadcastExchange is the fact side (union of both tiers);
-    // anything below it is the catalog-sized build side, where the
-    // catalog_l0 dedup's own exchange is legitimate (it shuffles
-    // registrations, not facts)
-    val factSide = plan.split("BroadcastExchange")(0)
-    assert(!factSide.contains("Exchange hashpartitioning"),
-      s"the fact side must not hash-shuffle under the unioned catalog:\n$plan")
+    // no exchange may repartition a fact-sized frame. Robust to plan
+    // print order: inspect every hash exchange's OWN partitioning
+    // columns — a fact-side shuffle necessarily keys on fact columns
+    // (ts/value), while the catalog_l0 dedup's legitimate exchange
+    // keys on catalog columns only
+    val hashExchanges =
+      "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+    val factShuffles = hashExchanges.filter(e =>
+      e.contains("ts#") || e.contains("value#"))
+    assert(factShuffles.isEmpty,
+      s"the fact side must not hash-shuffle under the unioned catalog " +
+        s"($factShuffles):\n$plan")
   }
 
   test("stream-built rollup actually serves: no parquet scan reads sample values") {

@@ -1967,12 +1967,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("export: writeDatabase(openDatabase(live)) rewrites a two-tier database into a relocatable one") {
+  test("exportDatabase rewrites a live two-tier database into a relocatable one; refuses while alerts fire") {
     // the sanctioned way to MOVE a database whose epochs are not
     // retired: re-persist the opened context at the new location — the
     // two-tier union (and the unioned catalog, registrations included)
     // lands as a fresh batch-only layout, no sink logs, no absolute
     // paths. The copy guard refuses raw copies; this is the remedy.
+    // And it must REFUSE while a straggler/overlap alert fires: the
+    // opened view mis-serves those rows, and a bare re-save would
+    // persist the mistake.
     val db = java.nio.file.Files.createTempDirectory("graft_export_src").toString
     val h = 3600L * 1000000000L
     def ctxOf(rows: Seq[(String, Long, Double)]) =
@@ -1993,8 +1996,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally { qF.stop(); qC.stop() }
 
     val dst = java.nio.file.Files.createTempDirectory("graft_export_dst").toString + "/db"
-    graft.model.TsdbLayout.writeDatabase(
-      graft.model.TsdbLayout.openDatabase(spark, db), dst)
+    graft.model.TsdbLayout.exportDatabase(spark, db, dst)
     val expect = (0 until 48).map(i => ("x", i.toLong * h, 1.0)) ++
       (48 until 96).flatMap(i =>
         Seq(("x", i.toLong * h, 1.0), ("y", i.toLong * h, 2.0)))
@@ -2007,6 +2009,20 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // the export is batch-only: no ingest tiers, no live-root guard in play
     assert(!new java.io.File(s"$dst/samples_l0").exists())
     assert(!new java.io.File(s"$dst/catalog_l0").exists())
+
+    // now poison the source: one more streamed row lands in a
+    // batch-owned day (pre-watermark tier overlap — the alert fires)
+    // and the export must refuse rather than persist a double-read
+    val qF2 = TsdbStream.namedLayoutIngest(named, s"$db/samples_l0", s"$db/f_ckpt")
+    try {
+      in.addData(("m user=x", 3 * h, 1.0)); qF2.processAllAvailable()
+    } finally qF2.stop()
+    val dst2 = java.nio.file.Files.createTempDirectory("graft_export_dst2").toString + "/db"
+    val ex = intercept[IllegalArgumentException] {
+      graft.model.TsdbLayout.exportDatabase(spark, db, dst2)
+    }
+    assert(ex.getMessage.contains("alert partition"),
+      s"export must refuse while alerts fire: ${ex.getMessage}")
   }
 
   test("streaming EWMA carries per-series state across micro-batches") {
