@@ -192,6 +192,16 @@ object TsdbLayout {
     * collapse them). Duplicate keys inside one late batch resolve by max
     * value (deterministic; pre-aggregate the batch for another policy).
     *
+    * PERSISTED-INDEX CONTRACT: owned index frames in the database's
+    * index catalog are SNAPSHOTS of the facts at save time — an upsert
+    * corrects the layout, not them, so an index-served statement keeps
+    * answering from pre-correction bins until the affected families are
+    * rebuilt and re-saved (spec-pinned hazard + remedy in LayoutSpec;
+    * adopted stream-maintained indexes instead track their maintainer,
+    * whose lag [[IndexCatalog.freshness]] reads). The reference has no
+    * such window: its SubtreeRef aggregates live inside the tree the
+    * write path updates (nbtree_def.h:47-84).
+    *
     * @return number of partition directories rewritten. */
   def upsertSamples(spark: SparkSession, path: String, late: DataFrame,
       series: DataFrame): Int = {

@@ -302,4 +302,54 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(filesPerDir(dst2).values.forall(_ > 1))
     } finally spark.conf.set(coalesceKey, prevCoalesce)
   }
+
+  test("persisted-index contract: an upsert leaves owned indexes stale until rebuilt and re-saved") {
+    // owned index frames are snapshots of the facts at save time
+    // (the reference's SubtreeRefs live INSIDE the tree the write path
+    // updates; a materialized rollup does not) — pin the hazard AND
+    // the remedy so the window is a stated contract, not a surprise
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val rows = (0 until 48).map(i => ("x", i.toLong * h, 1.0))
+    val ctx = ctxOf(rows)
+    val db = java.nio.file.Files.createTempDirectory("graft_stale_idx").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+
+    // correct hour 10 (+1000) through the layout upsert
+    val late = ctx.samples.where(col("ts") === 10 * h)
+      .select(col("series_id"), col("ts"),
+        (col("value") + lit(1000.0)).as("value"))
+    assert(TsdbLayout.upsertSamples(spark, s"$db/samples", late, ctx.series) === 1)
+
+    val stmt = s"""{"group-aggregate": {"metric": "m", "step": "1h",
+                     "func": "max"},
+                    "range": {"from": 0, "to": ${48 * h}}}"""
+    def servedAt10(e: graft.engine.Engine): Double =
+      e.execute(stmt).where(col("ts") === 10 * h)
+        .collect().head.getAs[Double]("max")
+    // the hazard: the aligned statement serves the SNAPSHOT, the raw
+    // scan the corrected layout
+    val opened1 = TsdbLayout.openDatabase(spark, db)
+    assert(servedAt10(new Engine(opened1)) === 1.0,
+      "an owned rollup is a save-time snapshot: stale after the upsert")
+    assert(new Engine(opened1).execute(
+        s"""{"select": "m", "range": {"from": ${10 * h}, "to": ${11 * h}}}""")
+      .collect().head.getAs[Double]("value") === 1001.0,
+      "the layout itself serves the correction")
+
+    // the remedy: rebuild the family from the corrected facts, re-save
+    val rebuilt = graft.engine.Rollup.build(
+      TsdbLayout.readSamples(spark, s"$db/samples")
+        .select("series_id", "ts", "value"), h)
+    graft.model.IndexCatalog.save(opened1.copy(rollups = Seq(h -> rebuilt)),
+      s"$db/indexes")
+    assert(servedAt10(new Engine(TsdbLayout.openDatabase(spark, db))) === 1001.0,
+      "rebuild + re-save closes the window")
+  }
 }
