@@ -1125,6 +1125,40 @@ object EntryUtil {
       new Engine(opened.copy(series = opened.series.cache()))
     })
 
+  private val rebuiltDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a database whose OWNED index was REBUILT
+    * after a correction: writeDatabase persisted the hourly rollup,
+    * [[graft.model.TsdbLayout.upsertSamples]] applied the canonical
+    * correction batch (users 2/4 in the upsert window, value + 1000 —
+    * the [[engineUpsertedLayoutFor]] batch), and
+    * [[graft.model.IndexCatalog.rebuild]] re-derived the rollup from
+    * the corrected facts, params from the manifest alone. The reopened
+    * database's ALIGNED statements serve the correction from the index
+    * — the staleness window's operator remedy under the oracle gate. */
+  def engineRebuiltDbFor(spark: SparkSession, dir: String): Engine =
+    rebuiltDbEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val db = scratchDir("graft_rebuilt_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        rollups = Seq(hourNs -> graft.engine.Rollup.build(ctx.samples, hourNs))),
+        db)
+      val late = ctx.samples
+        .join(ctx.series.where(col("metric") === "purchase" &&
+            element_at(col("tags"), "user").isin("2", "4"))
+          .select("series_id"), "series_id")
+        .where(col("ts") >= UpsertLoNs && col("ts") < UpsertHiNs)
+        .select(col("series_id"), col("ts"),
+          (col("value") + 1000.0).as("value"))
+      graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples", late, ctx.series)
+      require(graft.model.IndexCatalog.rebuild(spark, db) == 1,
+        "the one owned rollup must rebuild")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
   private val tickResults = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 

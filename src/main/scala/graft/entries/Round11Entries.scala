@@ -140,6 +140,23 @@ object Round11Entries {
     "ts_maintenance_tick" -> ((s, dir) =>
       EntryUtil.maintenanceTickFor(s, dir).orderBy("step")),
 
+    // the INDEX REBUILD remedy: owned index frames are save-time
+    // snapshots, so an upsert leaves index-served statements answering
+    // pre-correction bins (the documented staleness window) —
+    // IndexCatalog.rebuild re-derives every owned family from the
+    // corrected facts with its canonical recipe, params from the
+    // manifest alone (row-for-row reproduction on an unchanged db is
+    // spec-pinned). Here: the canonical correction upserted, the
+    // rollup rebuilt, and this ALIGNED day-step statement serves the
+    // corrected values from the index. Oracle: the correction replayed
+    // as a CASE over the raw table
+    "ts_index_rebuild" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineRebuiltDbFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["max", "cnt"]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}"""),
+        valueCols = Seq("max", "cnt"))),
+
     // the catalog FRESHNESS readout: an adopted stream-maintained
     // index serves whatever its sink last committed, and describe()
     // shows kind/path/params but not how current the data is —
@@ -259,6 +276,23 @@ object Round11Entries {
             UNION ALL
             SELECT 'stragglers_samples', CAST(0 AS BIGINT)
           ) ORDER BY step""",
+    // the rebuilt index serves the correction: max/cnt per day bin
+    // with the upsert window's +1000 replayed as a CASE
+    "ts_index_rebuild" ->
+      s"""SELECT concat('purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+               // 86400000000000) * 86400000000000) // 1000 AS ts_us,
+            round(max(CASE WHEN user_id IN (2, 4)
+                        AND epoch_ns(ts) >= ${EntryUtil.UpsertLoNs}
+                        AND epoch_ns(ts) < ${EntryUtil.UpsertHiNs}
+                      THEN value + 1000 ELSE value END), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= ${EntryUtil.FromNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+          GROUP BY user_id, ts_us ORDER BY series, ts_us""",
     // the adopted rollup's max committed bin IS the raw table's last
     // epoch-aligned hour start (integer ns arithmetic, ns→µs exact:
     // bins are whole hours)

@@ -481,6 +481,70 @@ object IndexCatalog {
     Manifest(entries, nextPos)
   }
 
+  /** Rebuild every OWNED index frame of the database at `dbDir` from
+    * its CURRENT facts — the remedy for the persisted-index staleness
+    * window ([[graft.model.TsdbLayout.upsertSamples]]'s contract: owned
+    * frames are save-time snapshots, corrections reach the layout, not
+    * them). Each family re-derives with its CANONICAL recipe from the
+    * manifest params alone — the same construction the engine's shape
+    * guards assume and the stream maintainers emit — so a rebuild of an
+    * UNCHANGED database reproduces the saved frames row-for-row
+    * (spec-pinned; ladder levels rebuilt from raw equal their
+    * compacted-from-finer originals because every family's accumulators
+    * merge by addition), and a rebuild after upserts serves the
+    * corrections. Adopted entries are untouched — their maintainer owns
+    * the storage and [[freshness]] reads its lag. The manifest is
+    * untouched (params, positions, order all keep); a crash
+    * mid-overwrite leaves that one parquet loudly unreadable and a
+    * re-run IS the recovery (idempotent).
+    *
+    * @return number of owned frames rebuilt. */
+  def rebuild(spark: SparkSession, dbDir: String): Int = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dir = s"$dbDir/indexes"
+    val owned = parseManifest(dir).entries.filter(_.owned)
+    if (owned.isEmpty) return 0
+    val ctx = TsdbLayout.openDatabase(spark, dbDir)
+    val facts = ctx.samples.select("series_id", "ts", "value")
+    def named(from: Long, to: Long) = facts
+      .where(col("ts") >= from && col("ts") < to)
+      .join(ctx.series.select(col("series_id"), col("name")), "series_id")
+    owned.foreach { e =>
+      val frame = e.kind match {
+        case "rollup" =>
+          graft.engine.Rollup.build(facts, e.windowNs.get)
+        case "histogram" =>
+          graft.ops.HistQuantiles.histogram(
+            facts.withColumn("win",
+              col("ts") - pmod(col("ts"), lit(e.windowNs.get))),
+            Seq("series_id", "win"))
+        case "bucket_sums" =>
+          graft.ops.Stats.bucketSums(facts, e.windowNs.get,
+            keyCol = "series_id")
+        case "kmv" =>
+          graft.ops.Sketches.kmvIndex(
+            facts.join(ctx.series.select(col("series_id"), col("metric"),
+                col("tags").getItem(e.tag.get).as("__tv")), "series_id")
+              .where(col("__tv").isNotNull)
+              .select(col("metric"),
+                (col("ts") - pmod(col("ts"), lit(e.windowNs.get))).as("win"),
+                col("__tv")),
+            "metric", "win", "__tv", k = e.k.get)
+        case "mad" =>
+          graft.ops.Monitoring.madIndex(
+            named(e.fromNs.get, e.toNs.get).select(col("name"), col("value")),
+            "name")
+        case "gap" =>
+          graft.ops.Monitoring.gapThresholdIndex(
+            named(e.fromNs.get, e.toNs.get).select(col("name"), col("ts")),
+            factor = e.factor.get, keyCol = "name")
+      }
+      frame.write.mode("overwrite")
+        .parquet(Paths.get(dir).resolve(e.path).toString)
+    }
+    owned.size
+  }
+
   /** Reconstruct a saved registration onto `base` (whose catalog/fact
     * frames are supplied by the caller — the manifest records indexes,
     * not the data they index). Frames load lazily from the recorded

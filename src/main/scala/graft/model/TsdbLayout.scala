@@ -196,7 +196,9 @@ object TsdbLayout {
     * index catalog are SNAPSHOTS of the facts at save time — an upsert
     * corrects the layout, not them, so an index-served statement keeps
     * answering from pre-correction bins until the affected families are
-    * rebuilt and re-saved (spec-pinned hazard + remedy in LayoutSpec;
+    * rebuilt — [[IndexCatalog.rebuild]] is that operator, re-deriving
+    * every owned family from the corrected facts with manifest params
+    * alone (spec-pinned hazard + remedy in LayoutSpec;
     * adopted stream-maintained indexes instead track their maintainer,
     * whose lag [[IndexCatalog.freshness]] reads). The reference has no
     * such window: its SubtreeRef aggregates live inside the tree the

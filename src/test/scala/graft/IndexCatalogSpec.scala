@@ -76,6 +76,26 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     Files.write(Paths.get(root, IndexCatalog.ManifestName),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
+  test("rebuild reproduces every owned family row-for-row on an unchanged database") {
+    // the canonical-recipe proof: rebuilding from the manifest params
+    // alone yields the exact frames save recorded — so the recipes are
+    // the constructions the engine serves from, and a rebuild after an
+    // upsert is trustworthy (the staleness remedy, LayoutSpec)
+    val db = tmp()
+    graft.model.TsdbLayout.writeDatabase(fullCtx, db)
+    val root = java.nio.file.Paths.get(db, "indexes")
+    val entries = IndexCatalog.describe(root.toString)
+    assert(entries.size === 6 && entries.forall(_.owned))
+    val before = entries.map(e =>
+      e.pos -> rowsOf(spark.read.parquet(root.resolve(e.path).toString))).toMap
+    assert(IndexCatalog.rebuild(spark, db) === 6)
+    entries.foreach { e =>
+      assert(rowsOf(spark.read.parquet(root.resolve(e.path).toString))
+          === before(e.pos),
+        s"rebuilt ${e.kind} must equal the saved frame row-for-row")
+    }
+  }
+
   test("save → load round-trips all six index families exactly") {
     val root = tmp()
     IndexCatalog.save(fullCtx, root)

@@ -343,13 +343,10 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getAs[Double]("value") === 1001.0,
       "the layout itself serves the correction")
 
-    // the remedy: rebuild the family from the corrected facts, re-save
-    val rebuilt = graft.engine.Rollup.build(
-      TsdbLayout.readSamples(spark, s"$db/samples")
-        .select("series_id", "ts", "value"), h)
-    graft.model.IndexCatalog.save(opened1.copy(rollups = Seq(h -> rebuilt)),
-      s"$db/indexes")
+    // the remedy IS an operator: rebuild every owned family from the
+    // corrected facts, params from the manifest, in place
+    assert(graft.model.IndexCatalog.rebuild(spark, db) === 1)
     assert(servedAt10(new Engine(TsdbLayout.openDatabase(spark, db))) === 1001.0,
-      "rebuild + re-save closes the window")
+      "IndexCatalog.rebuild closes the window")
   }
 }
