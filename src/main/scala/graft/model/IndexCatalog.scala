@@ -496,7 +496,15 @@ object IndexCatalog {
     * the storage and [[freshness]] reads its lag. The manifest is
     * untouched (params, positions, order all keep); a crash
     * mid-overwrite leaves that one parquet loudly unreadable and a
-    * re-run IS the recovery (idempotent).
+    * re-run IS the recovery (idempotent) — which is why facts come
+    * through [[graft.model.TsdbLayout.openFacts]], NOT openDatabase:
+    * the full open eagerly loads every index frame and would throw on
+    * the destroyed one before any rewrite could run (spec-pinned).
+    * Consistency across families: every family derives from the ONE
+    * fact snapshot openFacts resolves (file listings pinned at open),
+    * so a live ingest committing mid-rebuild cannot make two owned
+    * indexes disagree about the same rows — the new epoch simply waits
+    * for the next rebuild.
     *
     * @return number of owned frames rebuilt. */
   def rebuild(spark: SparkSession, dbDir: String): Int = {
@@ -504,7 +512,7 @@ object IndexCatalog {
     val dir = s"$dbDir/indexes"
     val owned = parseManifest(dir).entries.filter(_.owned)
     if (owned.isEmpty) return 0
-    val ctx = TsdbLayout.openDatabase(spark, dbDir)
+    val ctx = TsdbLayout.openFacts(spark, dbDir)
     val facts = ctx.samples.select("series_id", "ts", "value")
     def named(from: Long, to: Long) = facts
       .where(col("ts") >= from && col("ts") < to)

@@ -465,12 +465,27 @@ object TsdbLayout {
     * empty-events write, or a pre-layout database) re-keys through the
     * broadcast catalog so the union still lines up — row-level
     * filtering instead of pruning on that (small or empty) side. */
-  def openDatabase(spark: SparkSession, dir: String): TsdbContext = {
+  def openDatabase(spark: SparkSession, dir: String): TsdbContext =
+    IndexCatalog.load(spark, s"$dir/indexes", openFacts(spark, dir))
+
+  /** The database's catalog and fact halves WITHOUT the index
+    * registration — what [[openDatabase]] hands to
+    * [[IndexCatalog.load]], exposed because index REPAIR must not
+    * depend on loading the very frames it repairs:
+    * [[IndexCatalog.rebuild]] opens facts through this, so a crash
+    * that left one index parquet unreadable is recoverable by
+    * re-running rebuild (openDatabase would throw on the destroyed
+    * frame before any rewrite could happen). Each root's file listing
+    * is resolved ONCE here (the relocation guard already materializes
+    * it), so every consumer of the returned frames sees one pinned
+    * snapshot — a stream commit landing mid-way through a multi-pass
+    * consumer (rebuild's per-family builds) cannot produce frames
+    * that disagree about the same rows. */
+  def openFacts(spark: SparkSession, dir: String): TsdbContext = {
     val series = catalogRead(spark, dir)
     val samples = twoTierRead(spark, dir, SamplesTier, series)
     val events = twoTierRead(spark, dir, EventsTier, series)
-    IndexCatalog.load(spark, s"$dir/indexes",
-      TsdbContext(spark, series, samples, events))
+    TsdbContext(spark, series, samples, events)
   }
 
   /** The catalog half of the two-tier read: the persisted `series`

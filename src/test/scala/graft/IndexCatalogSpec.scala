@@ -96,6 +96,46 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rebuild recovers a crash-destroyed frame and never touches adopted storage") {
+    // crash window: mode(overwrite) deleted an index parquet and died
+    // before the rewrite committed — openDatabase throws on the
+    // destroyed frame, so rebuild must reach facts WITHOUT it
+    // (TsdbLayout.openFacts) and the re-run IS the recovery. And an
+    // ADOPTED entry's storage belongs to its maintainer: rebuild must
+    // neither rewrite it nor count it.
+    val db = tmp()
+    val hour = hourNs
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(hour -> Rollup.build(ctx.samples, hour))), db)
+    val root = java.nio.file.Paths.get(db, "indexes")
+    // an adopted maintainer's sink outside the catalog dir
+    val sink = tmp() + "/rollup_sink"
+    Rollup.build(ctx.samples, hour).write.parquet(sink)
+    IndexCatalog.adopt(root.toString, "rollup", sink, windowNs = Some(hour))
+    val sinkRowsBefore = rowsOf(spark.read.parquet(sink))
+
+    // destroy the OWNED frame (idx_0_rollup), as a mid-overwrite crash would
+    val ownedPath = root.resolve(IndexCatalog.describe(root.toString)
+      .find(_.owned).get.path).toString
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmRec)); f.delete(); ()
+    }
+    rmRec(new java.io.File(ownedPath))
+    intercept[Exception] {
+      graft.model.TsdbLayout.openDatabase(spark, db).rollups.head._2.count()
+    }
+    // the re-run recovers: only the owned frame rebuilds, the adopted
+    // sink is byte-identical, and the database opens again
+    assert(IndexCatalog.rebuild(spark, db) === 1)
+    assert(rowsOf(spark.read.parquet(sink)) === sinkRowsBefore,
+      "rebuild must never rewrite a maintainer's storage")
+    val reopened = graft.model.TsdbLayout.openDatabase(spark, db)
+    assert(reopened.rollups.size === 2)
+    assert(rowsOf(reopened.rollups.head._2) ===
+      rowsOf(Rollup.build(ctx.samples, hour)),
+      "the recovered owned frame equals the canonical build")
+  }
+
   test("save → load round-trips all six index families exactly") {
     val root = tmp()
     IndexCatalog.save(fullCtx, root)
