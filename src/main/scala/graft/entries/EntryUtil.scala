@@ -1288,6 +1288,156 @@ object EntryUtil {
           spark.read.parquet(s"$path/kmv")))))
     })
 
+  /** The canonical correction batch: purchase users 2/4 in the upsert
+    * window, value + 1000 — touches the window's (purchase, ts_day)
+    * partitions that hold their data (1-2 depending on sf; the oracles
+    * derive the count from the raw table, never hardcode it). Shared
+    * by the rebuild / staleness / health fixtures. */
+  private def canonicalLateBatch(ctx: TsdbContext): DataFrame = ctx.samples
+    .join(ctx.series.where(col("metric") === "purchase" &&
+        element_at(col("tags"), "user").isin("2", "4"))
+      .select("series_id"), "series_id")
+    .where(col("ts") >= UpsertLoNs && col("ts") < UpsertHiNs)
+    .select(col("series_id"), col("ts"), (col("value") + 1000.0).as("value"))
+
+  private val staleFixtures = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, DataFrame)]
+
+  /** Memoized STALENESS-LOOP fixture: a database with an owned hourly
+    * rollup takes the canonical correction through
+    * [[graft.model.TsdbLayout.upsertSamples]] (which RECORDS the two
+    * touched (purchase, ts_day) partitions), one
+    * [[graft.model.TsdbLayout.maintenanceTick]] reports them as
+    * `index_stale` (the alert half), then
+    * [[graft.model.IndexCatalog.rebuildScoped]] — driven by that very
+    * record, no explicit scope — re-derives only the touched bins with
+    * a day-pruned fact read and clears it, and a second tick reports
+    * zero (the loop closes). Returns (dbDir, the two ticks stacked as
+    * one (phase, step, n) frame). */
+  def staleFixtureFor(spark: SparkSession, dir: String): (String, DataFrame) =
+    staleFixtures.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val db = scratchDir("graft_scoped_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        rollups = Seq(hourNs -> graft.engine.Rollup.build(ctx.samples, hourNs))),
+        db)
+      require(graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+        canonicalLateBatch(ctx), ctx.series) >= 1,
+        "the canonical correction touches at least one partition")
+      val dirty = graft.model.TsdbLayout
+        .maintenanceTick(spark, db, L0CompactNs)
+        .withColumn("phase", lit("dirty"))
+      require(graft.model.IndexCatalog.rebuildScoped(spark, db) == 1,
+        "the one owned rollup must rebuild, scope from the record")
+      require(graft.model.TsdbLayout.indexDirtyPairs(spark, db).isEmpty,
+        "the scoped rebuild clears the record it served")
+      val clean = graft.model.TsdbLayout
+        .maintenanceTick(spark, db, L0CompactNs)
+        .withColumn("phase", lit("clean"))
+      (db, dirty.unionByName(clean).select("phase", "step", "n"))
+    })
+
+  private val scopedRebuiltEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over the [[staleFixtureFor]] database AFTER its
+    * scoped rebuild: the reopened database's aligned statements serve
+    * the correction from the index — same oracle as the full-rebuild
+    * twin (`ts_index_rebuild`), because scoped ≡ full is the whole
+    * contract (IndexCatalogSpec pins it bit-for-bit). */
+  def engineScopedRebuiltDbFor(spark: SparkSession, dir: String): Engine =
+    scopedRebuiltEngines.getOrElseUpdate((spark, dir), {
+      val opened = graft.model.TsdbLayout.openDatabase(spark,
+        staleFixtureFor(spark, dir)._1)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
+  private val epochRotatedEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a database rotated through EPOCH-NUMBERED
+    * ingest roots — the zero-downtime form: epoch 1
+    * ([[graft.model.TsdbLayout.nextIngestRoot]] → `samples_l0_e1`)
+    * streamed Jan 20-24, compaction claimed it whole, epoch 2
+    * (`samples_l0_e2`) streamed Jan 25 on and stays LIVE while
+    * [[graft.model.TsdbLayout.retireIngestEpoch]] drops the drained
+    * epoch-1 root + checkpoint behind its per-root guards. The opened
+    * database serves three provenances — batch, compacted epoch 1,
+    * live epoch 2 — through one union read, and must equal the plain
+    * scan exactly (one oracle with ts_layout_select): rotation under
+    * continued ingest changes storage, never answers. */
+  def engineEpochRotatedDbFor(spark: SparkSession, dir: String): Engine =
+    epochRotatedEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val db = scratchDir("graft_epochrot_db")
+      graft.model.TsdbLayout.writeDatabase(
+        ctx.copy(samples = ctx.samples.where(col("ts") < L0SplitNs)), db)
+      val live = sampleRowsFrom(ctx, L0SplitNs)
+      val e1 = graft.model.TsdbLayout.nextIngestRoot(spark, db)
+      streamRows(spark, live.filter(_._2 < L0CompactNs),
+        Seq("series_id", "ts", "value", "metric"),
+        df => graft.streaming.TsdbStream.layoutIngest(
+          df, e1, s"$db/ckpt_e1"))
+      graft.model.TsdbLayout.compactL0(spark, db, L0CompactNs)
+      val e2 = graft.model.TsdbLayout.nextIngestRoot(spark, db)
+      streamRows(spark, live.filter(_._2 >= L0CompactNs),
+        Seq("series_id", "ts", "value", "metric"),
+        df => graft.streaming.TsdbStream.layoutIngest(
+          df, e2, s"$db/ckpt_e2"))
+      require(graft.model.TsdbLayout.retireIngestEpoch(spark, db, 1,
+        checkpoint = Some(s"$db/ckpt_e1")),
+        "the drained epoch-1 root must retire under the live epoch 2")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
+    })
+
+  private val healthChecks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized [[graft.model.TsdbLayout.healthCheck]] readout over a
+    * database with KNOWN dirt: the even-user half-database grew every
+    * user's series through a named ingest (odd registrations live in
+    * `catalog_l0`, unfolded → `catalog_unfolded` alerts), an owned
+    * hourly rollup took the canonical correction through the upsert
+    * (`index_stale` alerts with the two touched partitions), one
+    * ADOPTED maintainer sink STALLED at the split (its last committed
+    * bin trails `nowNs` = the window end far beyond the 1-day
+    * allowance → `index_lagging` alerts; the owned snapshot rollup
+    * deliberately does NOT count — owned staleness is `index_stale`'s
+    * job), and both straggler alerts are clean — each count derivable
+    * from the raw table. */
+  def healthCheckFor(spark: SparkSession, dir: String): DataFrame =
+    healthChecks.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val even = ctx.series
+        .where(expr("cast(tags['user'] as bigint) % 2 = 0"))
+      val evenSamples = ctx.samples.where(col("ts") < L0SplitNs)
+        .join(even.select("series_id"), "series_id")
+        .select(col("series_id"), col("ts"), col("value"))
+      val db = scratchDir("graft_health_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        series = even,
+        samples = evenSamples,
+        events = ctx.events.join(even.select("series_id"), "series_id")
+          .select(col("series_id"), col("ts"), col("body")),
+        rollups = Seq(hourNs ->
+          graft.engine.Rollup.build(evenSamples, hourNs))), db)
+      streamNamedRows(spark, namedRowsFrom(ctx, L0SplitNs), db)
+      graft.model.TsdbLayout.compactL0(spark, db, L0SplitNs)
+      graft.engine.Rollup
+        .build(ctx.samples.where(col("ts") < L0SplitNs), hourNs)
+        .write.parquet(s"$db/rollup_sink")
+      graft.model.IndexCatalog.adopt(s"$db/indexes", "rollup",
+        s"$db/rollup_sink", windowNs = Some(hourNs))
+      require(graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+        canonicalLateBatch(ctx), ctx.series) >= 1,
+        "the canonical correction touches at least one partition")
+      graft.model.TsdbLayout.healthCheck(spark, db, nowNs = Some(ToNs),
+        maxIndexLagNs = 86400000000000L).orderBy("component")
+    })
+
   private val simhashIndexes = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 

@@ -275,6 +275,8 @@ object Round11Entries {
             SELECT 'stragglers_events', CAST(0 AS BIGINT)
             UNION ALL
             SELECT 'stragglers_samples', CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT 'index_stale', CAST(0 AS BIGINT)
           ) ORDER BY step""",
     // the rebuilt index serves the correction: max/cnt per day bin
     // with the upsert window's +1000 replayed as a CASE

@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, pmod}
 
 /** One decoded index-catalog manifest row: which index exists, where
   * its parquet lives (relative to the catalog directory), and its
@@ -27,7 +28,16 @@ final case class IndexCatalogEntry(
       * false = [[IndexCatalog.adopt]]ed storage someone else owns —
       * typically a streaming maintainer's live sink — which retire
       * only de-registers, never deletes. */
-    owned: Boolean = true)
+    owned: Boolean = true,
+    /** true (the default every save/append records) = this frame is
+      * claimed to follow the kind's CANONICAL full-range recipe — the
+      * construction [[IndexCatalog.rebuild]] re-derives from the
+      * manifest params alone. An operator who registers a frame built
+      * over FILTERED or sub-ranged facts marks it with
+      * [[IndexCatalog.markNoncanonical]], and the rebuilds then refuse
+      * (or, with skipNoncanonical, skip) it rather than silently
+      * replacing a bespoke index with the full-facts build. */
+    canonical: Boolean = true)
 
 /** One [[IndexCatalog.freshness]] readout row: how current the data
   * behind catalog entry `pos` is. `lastNs` = the max committed time key
@@ -122,6 +132,7 @@ object IndexCatalog {
     e.tag.foreach(n.put("tag", _))
     e.k.foreach(n.put("k", _))
     if (!e.owned) n.put("owned", false)
+    if (!e.canonical) n.put("canonical", false)
     n
   }
 
@@ -214,10 +225,68 @@ object IndexCatalog {
       // adopted entries are POINTERS: their storage belongs to the
       // maintainer (usually a live stream sink) — copying it here
       // would freeze a live index at its current content
-      if (e.owned)
-        frame.write.mode("overwrite")
-          .parquet(Paths.get(dir).resolve(e.path).toString)
+      if (e.owned) writeOwned(dir, e, frame, dynamicDays = false)
     }
+
+  /** Partition column of OWNED binned index storage: the day of the
+    * row's bin start. Day-partitioning the index parquet is what lets
+    * [[rebuildScoped]] dynamic-overwrite only the bins a correction
+    * touched (the [[graft.model.TsdbLayout.upsertSamples]] discipline
+    * pointed at indexes); [[load]] strips the column, so registered
+    * frames are byte-identical to the flat form. */
+  private val DayCol = "__day"
+
+  private val NsPerDay = graft.time.TimeUtil.NsPerDay
+
+  /** The binned kinds' time-key column (None for the snapshot kinds). */
+  private def timeColOf(kind: String): Option[String] = kind match {
+    case "rollup" => Some("bin")
+    case "histogram" | "kmv" => Some("win")
+    case "bucket_sums" => Some("__b")
+    case _ => None // mad/gap: fixed-range snapshots, no time key
+  }
+
+  /** The time key as epoch ns (bucket_sums labels are ordinals). */
+  private def timeNsCol(e: IndexCatalogEntry): Column = {
+    val c = col(timeColOf(e.kind).get)
+    if (e.kind == "bucket_sums") c * lit(e.windowNs.get) else c
+  }
+
+  /** Write one owned entry's parquet: binned kinds partition by
+    * [[DayCol]] (derived from the bin start; an EMPTY or
+    * unexpected-shape frame writes flat — a zero-row partitionBy write
+    * leaves no readable footer at all); snapshot kinds write flat.
+    * `dynamicDays = true` scopes the overwrite to the day partitions
+    * the frame carries ([[rebuildScoped]]); false replaces the whole
+    * directory. */
+  private def writeOwned(dir: String, e: IndexCatalogEntry,
+      frame: DataFrame, dynamicDays: Boolean): Unit = {
+    val path = Paths.get(dir).resolve(e.path).toString
+    timeColOf(e.kind).filter(frame.columns.contains) match {
+      case None =>
+        frame.write.mode("overwrite").parquet(path)
+      case Some(_) if frame.isEmpty =>
+        // an EMPTY dynamic slice must be a NO-OP, never a fallthrough
+        // that statically replaces the whole index with nothing (a
+        // touched pair matching no rows would otherwise destroy it);
+        // an empty FULL write stays flat — a zero-row partitionBy
+        // write leaves no readable footer at all
+        if (!dynamicDays) frame.write.mode("overwrite").parquet(path)
+      case Some(_) =>
+        val out = frame.withColumn(DayCol,
+          graft.functions.VectorExpressions.longFloorDiv(timeNsCol(e), NsPerDay))
+        def write(): Unit =
+          out.write.partitionBy(DayCol).mode("overwrite").parquet(path)
+        if (!dynamicDays) write()
+        else {
+          val spark = frame.sparkSession
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.get(key, "static")
+          spark.conf.set(key, "dynamic")
+          try write() finally spark.conf.set(key, prev)
+        }
+    }
+  }
 
   /** Write `ctx`'s full index registration (all six families) under
     * `dir`: one parquet directory per index (`idx_<pos>_<kind>`) and
@@ -335,6 +404,25 @@ object IndexCatalog {
     m.nextPos
   }
 
+  /** Record that entry `pos`'s frame does NOT follow its kind's
+    * canonical full-range recipe — it was registered over filtered or
+    * sub-ranged facts the manifest's params cannot describe. The
+    * rebuilds ([[rebuild]] / [[rebuildScoped]]) refuse (or, with
+    * `skipNoncanonical`, skip) such an entry instead of silently
+    * replacing a bespoke index with the full-facts build, which would
+    * change its index-served answers without warning. One-way by
+    * design: proving a frame canonical again means retiring it and
+    * re-registering a canonical build. Unknown positions fail loudly
+    * ([[retire]]'s rule). */
+  def markNoncanonical(dir: String, pos: Int): Unit = {
+    val m = parseManifest(dir)
+    require(m.entries.exists(_.pos == pos),
+      s"index catalog at $dir has no entry at pos $pos " +
+        s"(present: ${m.entries.map(_.pos).mkString(", ")})")
+    writeManifest(dir, m.entries.map(e =>
+      if (e.pos == pos) e.copy(canonical = false) else e), m.nextPos)
+  }
+
   /** How fresh each registered index's data is — the standing alert an
     * operator pairs with [[graft.model.TsdbLayout.l0Stragglers]]: an
     * ADOPTED stream-maintained index serves statements with whatever
@@ -441,6 +529,12 @@ object IndexCatalog {
       require(ownedNode.isMissingNode || ownedNode.isBoolean,
         s"index catalog entry (kind $kind) has non-boolean 'owned'")
       val owned = ownedNode.isMissingNode || ownedNode.asBoolean
+      // same strictness as 'owned': a hand-edited "false" STRING read
+      // leniently would let rebuild replace a bespoke frame
+      val canonNode = n.path("canonical")
+      require(canonNode.isMissingNode || canonNode.isBoolean,
+        s"index catalog entry (kind $kind) has non-boolean 'canonical'")
+      val canonical = canonNode.isMissingNode || canonNode.asBoolean
       (kind match {
         case "rollup" | "histogram" | "bucket_sums" =>
           IndexCatalogEntry(pos, kind, path,
@@ -461,7 +555,7 @@ object IndexCatalog {
             factor = Some(doubleOf(n, "factor", kind)))
         case other => throw new IllegalArgumentException(
           s"index catalog entry ${i + 1} has unknown kind '$other'")
-      }).copy(owned = owned)
+      }).copy(owned = owned, canonical = canonical)
     }
     // pos is each entry's identity: duplicates would make retire-by-pos
     // de-register BOTH while reclaiming one parquet — refuse the
@@ -506,51 +600,258 @@ object IndexCatalog {
     * indexes disagree about the same rows — the new epoch simply waits
     * for the next rebuild.
     *
+    * Non-canonical entries ([[markNoncanonical]]) refuse by default —
+    * replacing a bespoke frame with the full-facts build would change
+    * its index-served answers without warning; pass
+    * `skipNoncanonical = true` to rebuild the canonical entries and
+    * leave the marked ones untouched. A successful rebuild clears the
+    * database's upsert-touched record
+    * ([[graft.model.TsdbLayout.indexDirtyPairs]]) — every canonical
+    * owned frame now reflects the corrected facts.
+    *
     * @return number of owned frames rebuilt. */
-  def rebuild(spark: SparkSession, dbDir: String): Int = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+  def rebuild(spark: SparkSession, dbDir: String,
+      skipNoncanonical: Boolean = false): Int = {
     val dir = s"$dbDir/indexes"
-    val owned = parseManifest(dir).entries.filter(_.owned)
-    if (owned.isEmpty) return 0
+    val canon = canonicalOwned(dir, skipNoncanonical)
+    if (canon.isEmpty) return 0
     val ctx = TsdbLayout.openFacts(spark, dbDir)
     val facts = ctx.samples.select("series_id", "ts", "value")
-    def named(from: Long, to: Long) = facts
+    canon.foreach { e =>
+      writeOwned(dir, e, canonicalFrame(e, facts, ctx), dynamicDays = false)
+    }
+    TsdbLayout.clearIndexDirty(spark, dbDir)
+    canon.size
+  }
+
+  /** The canonical-policy gate both rebuilds share: owned entries,
+    * refusing loudly on non-canonical ones unless `skip`. */
+  private def canonicalOwned(dir: String,
+      skip: Boolean): Seq[IndexCatalogEntry] = {
+    val owned = parseManifest(dir).entries.filter(_.owned)
+    val marked = owned.filterNot(_.canonical)
+    require(marked.isEmpty || skip,
+      s"rebuild: catalog at $dir has non-canonical owned entr" +
+        s"${if (marked.size == 1) "y" else "ies"} at pos " +
+        s"${marked.map(_.pos).mkString(", ")} — rebuilding would replace " +
+        s"bespoke frames with the full-facts build and silently change " +
+        s"their answers; pass skipNoncanonical = true to rebuild only " +
+        s"the canonical entries")
+    owned.filter(_.canonical)
+  }
+
+  /** One entry's CANONICAL construction over a fact slice — the exact
+    * recipes the engine's maintainers emit and the shape guards
+    * assume, shared by [[rebuild]] (full facts) and [[rebuildScoped]]
+    * (a day-pruned slice; every binned family's groupBy keys embed the
+    * bin, so building over the slice yields exactly the slice's bins).
+    * `facts` carries (series_id, ts, value) at minimum. */
+  private def canonicalFrame(e: IndexCatalogEntry, facts: DataFrame,
+      ctx: TsdbContext): DataFrame = {
+    val f3 = facts.select("series_id", "ts", "value")
+    def named(from: Long, to: Long) = f3
       .where(col("ts") >= from && col("ts") < to)
       .join(ctx.series.select(col("series_id"), col("name")), "series_id")
-    owned.foreach { e =>
-      val frame = e.kind match {
-        case "rollup" =>
-          graft.engine.Rollup.build(facts, e.windowNs.get)
-        case "histogram" =>
-          graft.ops.HistQuantiles.histogram(
-            facts.withColumn("win",
-              col("ts") - pmod(col("ts"), lit(e.windowNs.get))),
-            Seq("series_id", "win"))
-        case "bucket_sums" =>
-          graft.ops.Stats.bucketSums(facts, e.windowNs.get,
-            keyCol = "series_id")
-        case "kmv" =>
-          graft.ops.Sketches.kmvIndex(
-            facts.join(ctx.series.select(col("series_id"), col("metric"),
-                col("tags").getItem(e.tag.get).as("__tv")), "series_id")
-              .where(col("__tv").isNotNull)
-              .select(col("metric"),
-                (col("ts") - pmod(col("ts"), lit(e.windowNs.get))).as("win"),
-                col("__tv")),
-            "metric", "win", "__tv", k = e.k.get)
-        case "mad" =>
-          graft.ops.Monitoring.madIndex(
-            named(e.fromNs.get, e.toNs.get).select(col("name"), col("value")),
-            "name")
-        case "gap" =>
-          graft.ops.Monitoring.gapThresholdIndex(
-            named(e.fromNs.get, e.toNs.get).select(col("name"), col("ts")),
-            factor = e.factor.get, keyCol = "name")
-      }
-      frame.write.mode("overwrite")
-        .parquet(Paths.get(dir).resolve(e.path).toString)
+    e.kind match {
+      case "rollup" =>
+        graft.engine.Rollup.build(f3, e.windowNs.get)
+      case "histogram" =>
+        graft.ops.HistQuantiles.histogram(
+          f3.withColumn("win",
+            col("ts") - pmod(col("ts"), lit(e.windowNs.get))),
+          Seq("series_id", "win"))
+      case "bucket_sums" =>
+        graft.ops.Stats.bucketSums(f3, e.windowNs.get,
+          keyCol = "series_id")
+      case "kmv" =>
+        graft.ops.Sketches.kmvIndex(
+          f3.join(ctx.series.select(col("series_id"), col("metric"),
+              col("tags").getItem(e.tag.get).as("__tv")), "series_id")
+            .where(col("__tv").isNotNull)
+            .select(col("metric"),
+              (col("ts") - pmod(col("ts"), lit(e.windowNs.get))).as("win"),
+              col("__tv")),
+          "metric", "win", "__tv", k = e.k.get)
+      case "mad" =>
+        graft.ops.Monitoring.madIndex(
+          named(e.fromNs.get, e.toNs.get).select(col("name"), col("value")),
+          "name")
+      case "gap" =>
+        graft.ops.Monitoring.gapThresholdIndex(
+          named(e.fromNs.get, e.toNs.get).select(col("name"), col("ts")),
+          factor = e.factor.get, keyCol = "name")
     }
-    owned.size
+  }
+
+  /** Merge a pair list's per-metric day set into maximal disjoint
+    * W-aligned ns intervals: for touched day d, every bin whose
+    * [bin, bin+W) overlaps the day is affected, so the interval is
+    * [floor-align(day start), ceil-align(day end)) — wider than the
+    * day only when W does not divide a day (weekly rollups etc.). */
+  private def binIntervals(days: Seq[Long],
+      w: Long): Seq[(Long, Long)] = {
+    val raw = days.sorted.map { d =>
+      (Math.floorDiv(d * NsPerDay, w) * w,
+        Math.floorDiv((d + 1) * NsPerDay + w - 1, w) * w)
+    }
+    raw.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: rest, (l, h)) if l <= hi =>
+        (lo, math.max(hi, h)) :: rest
+      case (acc, iv) => iv :: acc
+    }.reverse
+  }
+
+  /** The day-pruned fact slice covering exactly the affected bin
+    * intervals — metric AND ts_day bound the scan's PARTITION filters
+    * (PlanShapeSpec pins both reach the parquet scan), the ts bounds
+    * trim straddling row groups. Exposed for the plan pin; the slice
+    * is what keeps [[rebuildScoped]]'s fact read day-sized at 100 TB. */
+  private[graft] def scopedFactSlice(facts: DataFrame,
+      ivs: Seq[(String, Seq[(Long, Long)])]): DataFrame =
+    facts.where(ivs.map { case (m, vs) =>
+      val factDays = vs.flatMap { case (l, h) =>
+        Math.floorDiv(l, NsPerDay) to Math.floorDiv(h - 1, NsPerDay)
+      }.distinct
+      col("metric") === m && col("ts_day").isin(factDays: _*) &&
+        vs.map { case (l, h) => col("ts") >= l && col("ts") < h }
+          .reduce(_ || _)
+    }.reduce(_ || _))
+
+  /** Expose [[binIntervals]] for the plan/equality specs. */
+  private[graft] def binIntervalsOf(days: Seq[Long], w: Long): Seq[(Long, Long)] =
+    binIntervals(days, w)
+
+  /** Rebuild only the index bins a correction TOUCHED — the
+    * partition-scoped form of [[rebuild]], and the reason an upsert at
+    * 100 TB does not cost six full-history scans: the fact read is
+    * pruned to the (metric, ts_day) partitions covering the affected
+    * bins (every binned family's accumulators merge by addition — the
+    * compaction-ladder law — so bins outside the touched set are kept
+    * verbatim from the existing index), and the index rewrite
+    * dynamic-overwrites only the touched [[DayCol]] partitions of the
+    * day-partitioned owned storage (a legacy FLAT owned parquet falls
+    * back to one index-sized rewrite — still with the day-pruned fact
+    * read — and is upgraded to the partitioned layout in passing).
+    * The reference never pays even this: its SubtreeRef stats update
+    * inside the write path (stdb/storage/nbtree.h:457,
+    * nbtree_def.h:47-84) — a day-scoped re-derivation is the closest a
+    * snapshot index can come.
+    *
+    * The SNAPSHOT kinds (mad/gap) have no additive law — a median
+    * cannot be patched per day — so an entry whose registered
+    * [fromNs, toNs) build range intersects a touched day re-derives
+    * whole, and one that doesn't is skipped untouched.
+    *
+    * `touched` = the corrected (metric, ts_day) set; None reads the
+    * record [[graft.model.TsdbLayout.upsertSamples]] keeps
+    * ([[graft.model.TsdbLayout.indexDirtyPairs]]). Either way the
+    * pairs handled are cleared from that record on success, so
+    * `maintenanceTick`'s `index_stale` alert drops to zero exactly
+    * when every canonical owned frame serves the corrections.
+    * Assumes corrections, not deletions: a day whose rows were
+    * entirely removed from the facts needs [[rebuild]] (the scoped
+    * merge would keep its old bins). Same non-canonical policy,
+    * [[graft.model.TsdbLayout.openFacts]] snapshot-consistency and
+    * crash-idempotence (re-run IS the recovery) as [[rebuild]].
+    *
+    * @return number of owned frames whose storage was rewritten. */
+  def rebuildScoped(spark: SparkSession, dbDir: String,
+      touched: Option[Seq[(String, Long)]] = None,
+      skipNoncanonical: Boolean = false): Int = {
+    val dir = s"$dbDir/indexes"
+    val canon = canonicalOwned(dir, skipNoncanonical)
+    val pairs = touched.getOrElse(TsdbLayout.indexDirtyPairs(spark, dbDir))
+      .distinct
+    if (pairs.isEmpty || canon.isEmpty) {
+      // nothing touched (or nothing rebuildable): an explicit empty
+      // call is a no-op; clearing would hide pairs a later rebuild owes
+      return 0
+    }
+    val ctx = TsdbLayout.openFacts(spark, dbDir)
+    // broadcast (series_id, metric) of the touched metrics: the
+    // series-keyed index rows' metric resolution (catalog-sized). A
+    // touched metric the catalog does not know can have contributed no
+    // index row and no fact — drop it up front so it neither forces a
+    // pointless kept-only partition rewrite nor survives as a
+    // perpetually-pending record entry
+    val tSeries = ctx.series
+      .where(col("metric").isin(pairs.map(_._1).distinct: _*))
+      .select(col("series_id"), col("metric"))
+    val knownMetrics = tSeries.select("metric").distinct()
+      .collect().map(_.getString(0)).toSet
+    val effPairs = pairs.filter(p => knownMetrics(p._1))
+    if (effPairs.isEmpty) {
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+      return 0
+    }
+    val metrics = effPairs.map(_._1).distinct
+    var n = 0
+    canon.foreach { e =>
+      timeColOf(e.kind) match {
+        case None =>
+          // snapshot kinds: re-derive whole iff the touched days
+          // intersect the registered build range
+          val lo = e.fromNs.get; val hi = e.toNs.get
+          val hit = effPairs.exists { case (_, d) =>
+            d * NsPerDay < hi && (d + 1) * NsPerDay > lo }
+          if (hit) {
+            writeOwned(dir, e,
+              canonicalFrame(e, ctx.samples, ctx), dynamicDays = false)
+            n += 1
+          }
+        case Some(_) =>
+          val w = e.windowNs.get
+          val ivs: Seq[(String, Seq[(Long, Long)])] = effPairs.groupBy(_._1)
+            .view.mapValues(ps => binIntervals(ps.map(_._2), w)).toSeq
+          // bin-start day partitions of the affected intervals (for
+          // index pruning + the dynamic overwrite) and the fact days
+          // covering the bins' full spans (for the fact read)
+          val partDays = ivs.flatMap(_._2).flatMap { case (l, h) =>
+            Math.floorDiv(l, NsPerDay) to Math.floorDiv(h - w, NsPerDay)
+          }.distinct
+          def hitPred(timeNs: Column): Column = ivs.map { case (m, vs) =>
+            col("metric") === m &&
+              vs.map { case (l, h) => timeNs >= l && timeNs < h }
+                .reduce(_ || _)
+          }.reduce(_ || _)
+          val idxPath = Paths.get(dir).resolve(e.path).toString
+          val old = spark.read.parquet(idxPath)
+          val hasDayCol = old.columns.contains(DayCol)
+          // rows to KEEP inside the touched partitions: everything not
+          // (touched metric AND affected bin). Series-keyed kinds
+          // resolve metric through the broadcast catalog slice — a row
+          // with no match is another metric's, kept verbatim.
+          val scopedOld = (if (hasDayCol)
+              old.where(col(DayCol).isin(partDays: _*)).drop(DayCol)
+            else old)
+          val kept = (if (e.kind == "kmv") scopedOld
+              .where(!(col("metric").isin(metrics: _*) &&
+                hitPred(timeNsCol(e))))
+            else scopedOld
+              .join(broadcast(tSeries), Seq("series_id"), "left")
+              .where(col("metric").isNull || !hitPred(timeNsCol(e)))
+              .drop("metric"))
+          val fresh = canonicalFrame(e, scopedFactSlice(ctx.samples, ivs),
+            ctx)
+          // localCheckpoint severs the read-then-overwrite lineage on
+          // the very directory being rewritten (the upsert discipline);
+          // bounded by the touched slice, never the index
+          val out = kept.unionByName(fresh).localCheckpoint()
+          // a touched set matching no index rows and no facts is a
+          // NO-OP on partitioned storage (nothing to overwrite — and
+          // it must never degrade to a whole-index replace); a flat
+          // legacy index has no partitions to scope: one static
+          // whole-directory rewrite (upgrading it), else dynamic
+          // overwrite of only the touched day partitions
+          if (hasDayCol && out.isEmpty) ()
+          else {
+            writeOwned(dir, e, out, dynamicDays = hasDayCol)
+            n += 1
+          }
+      }
+    }
+    TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+    n
   }
 
   /** Reconstruct a saved registration onto `base` (whose catalog/fact
@@ -567,7 +868,12 @@ object IndexCatalog {
     val root = Paths.get(dir)
     parseManifest(dir).entries.foldLeft(base) { (out, e) =>
       val resolved = root.resolve(e.path).toString
-      val frame = spark.read.parquet(resolved)
+      val raw = spark.read.parquet(resolved)
+      // owned binned storage is day-partitioned for rebuildScoped's
+      // dynamic overwrite; the partition column is storage detail, not
+      // index schema — registered frames match the flat form exactly
+      val frame =
+        if (raw.columns.contains(DayCol)) raw.drop(DayCol) else raw
       // adopted entries keep their provenance across a load → re-save
       // round-trip: a later save re-emits the pointer, never a frozen
       // copy of the live sink

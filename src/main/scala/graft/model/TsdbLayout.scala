@@ -122,6 +122,80 @@ object TsdbLayout {
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  // ------------------------------------ upsert-touched index record
+
+  /** JSON-lines record of (metric, ts_day) partitions an upsert
+    * corrected since the last index rebuild — the standing evidence
+    * behind the `index_stale` alert ([[maintenanceTick]] /
+    * [[healthCheck]]) and the scope
+    * [[IndexCatalog.rebuildScoped]] reads when called without an
+    * explicit set. Lives beside the watermark files in the database
+    * directory; absent = nothing pending. */
+  val IndexDirtyName = "index_dirty"
+
+  private val dirtyMapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  /** The pending upsert-touched (metric, ts_day) set — empty when no
+    * correction has landed since the last rebuild. Driver-side
+    * metadata read (the record is pair-count-sized; late batches touch
+    * hours-to-days, not history). */
+  def indexDirtyPairs(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val (f, hp) = hfs(spark, s"$dir/$IndexDirtyName")
+    if (!f.exists(hp)) return Nil
+    val in = f.open(hp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val n = dirtyMapper.readTree(line)
+      require(n.path("metric").isTextual && n.path("ts_day").isIntegralNumber,
+        s"malformed $IndexDirtyName line: $line")
+      (n.path("metric").asText, n.path("ts_day").asLong)
+    }.toSeq
+  }
+
+  /** Single-writer rewrite of the dirty record (temp + atomic rename,
+    * the watermark discipline). Empty set deletes the file. */
+  private def writeIndexDirty(spark: SparkSession, dir: String,
+      pairs: Seq[(String, Long)]): Unit = {
+    if (pairs.isEmpty) {
+      deleteRecursive(spark, s"$dir/$IndexDirtyName"); return
+    }
+    val lines = pairs.sortBy(p => (p._1, p._2)).map { case (m, d) =>
+      val n = dirtyMapper.createObjectNode()
+      n.put("metric", m); n.put("ts_day", d)
+      dirtyMapper.writeValueAsString(n)
+    }
+    val (f, tmp) = hfs(spark, s"$dir/$IndexDirtyName.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$IndexDirtyName"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def recordIndexDirty(spark: SparkSession, dir: String,
+      pairs: Seq[(String, Long)]): Unit =
+    writeIndexDirty(spark, dir,
+      (indexDirtyPairs(spark, dir) ++ pairs).distinct)
+
+  /** Drop the whole pending record — a FULL [[IndexCatalog.rebuild]]
+    * re-derived every canonical owned frame from the corrected facts. */
+  def clearIndexDirty(spark: SparkSession, dir: String): Unit =
+    deleteRecursive(spark, s"$dir/$IndexDirtyName")
+
+  /** Drop exactly `pairs` from the pending record — the
+    * [[IndexCatalog.rebuildScoped]] completion hook; pairs recorded by
+    * a concurrent upsert in the meantime stay pending. */
+  def clearIndexDirty(spark: SparkSession, dir: String,
+      pairs: Seq[(String, Long)]): Unit = {
+    val remaining = indexDirtyPairs(spark, dir).filterNot(pairs.toSet)
+    writeIndexDirty(spark, dir, remaining)
+  }
+
   // ------------------------------------------------------------- writes
 
   /** Write `ctx.samples` (joined to its catalog for the metric key) as a
@@ -196,12 +270,17 @@ object TsdbLayout {
     * index catalog are SNAPSHOTS of the facts at save time — an upsert
     * corrects the layout, not them, so an index-served statement keeps
     * answering from pre-correction bins until the affected families are
-    * rebuilt — [[IndexCatalog.rebuild]] is that operator, re-deriving
-    * every owned family from the corrected facts with manifest params
-    * alone (spec-pinned hazard + remedy in LayoutSpec;
-    * adopted stream-maintained indexes instead track their maintainer,
-    * whose lag [[IndexCatalog.freshness]] reads). The reference has no
-    * such window: its SubtreeRef aggregates live inside the tree the
+    * rebuilt. The window is ALERTED, not just documented: when an index
+    * catalog sits beside the layout, the touched (metric, ts_day) set
+    * is recorded to the database's [[IndexDirtyName]] file, where
+    * [[maintenanceTick]] / [[healthCheck]] report it as `index_stale`
+    * until a rebuild clears it. [[IndexCatalog.rebuildScoped]] is the
+    * matching remedy — it reads this record and re-derives only the
+    * touched bins with a day-pruned fact read ([[IndexCatalog.rebuild]]
+    * stays the full-history form, and the one deletions need); adopted
+    * stream-maintained indexes instead track their maintainer, whose
+    * lag [[IndexCatalog.freshness]] reads. The reference has no such
+    * window at all: its SubtreeRef aggregates live inside the tree the
     * write path updates (nbtree_def.h:47-84).
     *
     * @return number of partition directories rewritten. */
@@ -234,6 +313,14 @@ object TsdbLayout {
       .unionByName(lateDedup)
       .localCheckpoint()
     sortedPartitionWrite(merged, path, replaceOnlyWritten = true)
+    // a DATABASE's samples layout (an index catalog sits beside it):
+    // record the touched partitions so the staleness window is ALERTED
+    // (maintenanceTick / healthCheck `index_stale`) and scoped-remediable
+    // (IndexCatalog.rebuildScoped reads this record), not just documented
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    if (parent != null && pathExists(spark,
+        s"$parent/indexes/${IndexCatalog.ManifestName}"))
+      recordIndexDirty(spark, parent.toString, affected.toSeq)
     affected.length
   }
 
@@ -251,7 +338,8 @@ object TsdbLayout {
   private def requireNotL0Owned(spark: SparkSession, path: String,
       tier: Tier, affected: Seq[(String, Long)], op: String): Unit = {
     val parent = new org.apache.hadoop.fs.Path(path).getParent
-    if (parent == null || !pathExists(spark, s"$parent/${tier.l0Sub}")) return
+    if (parent == null ||
+      epochRoots(spark, parent.toString, tier.l0Sub).isEmpty) return
     val db = parent.toString
     val owned: Seq[(String, Long)] =
       if (tierHasWatermark(spark, db, tier)) {
@@ -503,17 +591,94 @@ object TsdbLayout {
       case None => base
       case Some(cl0) =>
         base.unionByName(
-          cl0.select(CatalogCols.map(col): _*)
-            .dropDuplicates("series_id")
+          canonicalRegistrations(cl0)
             .join(base.select("series_id"), Seq("series_id"), "left_anti")
             .select(CatalogCols.map(col): _*))
     }
   }
 
-  /** The catalog ingest root's frame, or None when absent or not yet
-    * committed — same empty-sink tolerance as [[readTierL0]]. */
+  /** ONE registration row per stream-registered series, picked by a
+    * FIXED rule instead of arrival order: the ingest dedups by full
+    * variant ([[graft.streaming.TsdbStream.catalogIngest]]), so a
+    * series whose early rows disagreed about location (or reported it
+    * only later) lands several candidate rows — this picks the
+    * non-null-location one first, ties by smallest (lon, lat), making
+    * the registered row a function of the data alone (identical across
+    * replays and batch boundaries; spec-pinned by feeding conflicting
+    * orders). min_by ties are impossible: candidates for one id differ
+    * exactly in the rank columns (name/metric/tags are id-determined). */
+  private def canonicalRegistrations(cl0: DataFrame): DataFrame = {
+    val rest = CatalogCols.filterNot(_ == "series_id")
+    val rank = struct(col("lon").isNull.cast("int"), col("lon"), col("lat"))
+    cl0.select(CatalogCols.map(col): _*)
+      .groupBy(col("series_id"))
+      .agg(min_by(struct(rest.map(col): _*), rank).as("__c"))
+      .select(col("series_id") +: rest.map(c => col(s"__c.$c").as(c)): _*)
+  }
+
+  // --------------------------------------------------- epoch roots
+
+  /** An ingest root family's LIVE directories under `dir`, epoch
+    * order: the un-numbered legacy root (`base`, epoch 0) plus every
+    * `base_e<N>` — the scheme that makes rotation ZERO-DOWNTIME: a new
+    * epoch's sink starts at [[nextEpochRoot]] while the previous root
+    * drains to compaction, every reader unions all live roots'
+    * committed frames, and the retire family drops roots one at a
+    * time behind their per-root guards (the reference's sharded,
+    * sequenced WAL rotates volumes under writes the same way,
+    * stdb/storage/input_log.h:36-80). Driver-side directory listing. */
+  private def epochRoots(spark: SparkSession, dir: String,
+      base: String): Seq[(Long, String)] = {
+    val (f, hp) = hfs(spark, dir)
+    if (!f.exists(hp)) return Nil
+    f.listStatus(hp).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        if (n == base) Some(0L -> s"$dir/$n")
+        else {
+          val suffix = n.stripPrefix(base + "_e")
+          if (n.startsWith(base + "_e") && suffix.nonEmpty &&
+              suffix.forall(_.isDigit))
+            Some(suffix.toLong -> s"$dir/$n")
+          else None
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  private def nextEpochRoot(spark: SparkSession, dir: String,
+      base: String): String = {
+    val next = epochRoots(spark, dir, base).map(_._1).maxOption
+      .getOrElse(0L) + 1
+    s"$dir/${base}_e$next"
+  }
+
+  /** Path for the NEXT samples ingest epoch (`samples_l0_e<N+1>`) —
+    * point a fresh [[graft.streaming.TsdbStream.layoutIngest]] (with a
+    * fresh checkpoint) at it while the previous epoch's root drains,
+    * and ingest never stops for a rotation: readers union every live
+    * root, compaction claims days across all of them through the one
+    * shared watermark, and [[retireIngestEpoch]] drops each drained
+    * root individually. */
+  def nextIngestRoot(spark: SparkSession, dir: String): String =
+    nextEpochRoot(spark, dir, SamplesTier.l0Sub)
+
+  /** [[nextIngestRoot]] for the event-log half (`events_l0_e<N>`). */
+  def nextEventsIngestRoot(spark: SparkSession, dir: String): String =
+    nextEpochRoot(spark, dir, EventsTier.l0Sub)
+
+  /** [[nextIngestRoot]] for the catalog registration half
+    * (`catalog_l0_e<N>`); re-seen series re-register into the new
+    * epoch's root and dedup by id on read and fold. */
+  def nextCatalogIngestRoot(spark: SparkSession, dir: String): String =
+    nextEpochRoot(spark, dir, CatalogL0Sub)
+
+  /** The catalog ingest half's frame — the UNION of every live
+    * catalog epoch root's committed registrations — or None when no
+    * root is committed; same empty-sink tolerance as [[readTierL0]]. */
   private def readCatalogL0(spark: SparkSession, dir: String): Option[DataFrame] =
-    readCommittedRoot(spark, s"$dir/$CatalogL0Sub")
+    unionCommitted(spark,
+      epochRoots(spark, dir, CatalogL0Sub).map(_._2), CatalogCols)
 
   /** One ingest root's committed frame, or None when the root is
     * absent or shows no committed data yet — a freshly-started sink
@@ -580,7 +745,15 @@ object TsdbLayout {
     * would silently drop exactly the rows [[retireIngestRoot]] refuses
     * to delete — route them through the upserts first, same remedy as
     * rotation. The unfolded-registration check is NOT needed: the
-    * exported catalog is the unioned read, registrations ride along. */
+    * exported catalog is the unioned read, registrations ride along.
+    *
+    * PRECONDITION — STOP (or redirect) the ingest streams first: the
+    * export reads the point-in-time snapshot [[openDatabase]] pins at
+    * its file listing, so rows and registrations a live ingest commits
+    * AFTER the open are left behind at `src` — the straggler/overlap
+    * guard covers mis-served EXISTING data, not concurrent commits.
+    * Export, verify `dst`, then decommission `src` (or resume ingest
+    * at `dst` via the next-epoch roots). */
   def exportDatabase(spark: SparkSession, src: String, dst: String): Unit = {
     for ((alert, what) <- Seq(
         (l0Stragglers(spark, src), "samples"),
@@ -617,8 +790,7 @@ object TsdbLayout {
     }
     val basePath = s"$dir/series"
     val staging = s"$dir/series_staging"
-    val fresh = cl0.select(CatalogCols.map(col): _*)
-      .dropDuplicates("series_id")
+    val fresh = canonicalRegistrations(cl0)
       .join(spark.read.parquet(basePath).select("series_id"),
         Seq("series_id"), "left_anti")
       .select(CatalogCols.map(col): _*)
@@ -641,20 +813,38 @@ object TsdbLayout {
     *
     * @return true when a root was deleted; false when none exists. */
   def retireCatalogIngestRoot(spark: SparkSession, dir: String,
-      checkpoint: Option[String] = None): Boolean = {
-    val path = s"$dir/$CatalogL0Sub"
+      checkpoint: Option[String] = None): Boolean =
+    retireCatalogRoot(spark, dir, s"$dir/$CatalogL0Sub", checkpoint)
+
+  private def retireCatalogRoot(spark: SparkSession, dir: String,
+      path: String, checkpoint: Option[String]): Boolean =
     retireRoot(spark, path, "catalog ingest root", checkpoint) { cl0 =>
+      // a registration is safe to drop when its id is persisted OR a
+      // SIBLING live epoch root also carries it (re-seen series
+      // re-register per epoch) — only an ONLY-copy refuses
+      val qualified = {
+        val (f, hp) = hfs(spark, path)
+        f.makeQualified(hp).toString
+      }
+      val siblings = epochRoots(spark, dir, CatalogL0Sub).map(_._2)
+        .filter { r =>
+          val (f, hp) = hfs(spark, r)
+          f.makeQualified(hp).toString != qualified
+        }
+      val safeIds = (spark.read.parquet(s"$dir/series")
+          .select("series_id") +:
+        siblings.flatMap(readCommittedRoot(spark, _))
+          .map(_.select("series_id")))
+        .reduce(_.unionByName(_))
       val unfolded = cl0.select("series_id", "name")
         .dropDuplicates("series_id")
-        .join(spark.read.parquet(s"$dir/series").select("series_id"),
-          Seq("series_id"), "left_anti")
+        .join(safeIds, Seq("series_id"), "left_anti")
         .limit(6).collect().map(_.getString(1))
       require(unfolded.isEmpty,
         s"retire: catalog ingest root $path still holds unfolded " +
           s"registration(s) ${unfolded.mkString(", ")} whose only copy " +
           s"lives here — run foldCatalogL0 first")
     }
-  }
 
   /** The retire protocol every ingest root shares: absent → false
     * (idempotent re-run; a given checkpoint is only dropped together
@@ -663,7 +853,16 @@ object TsdbLayout {
     * this must not destroy, or an abandoned one — a manual delete,
     * not a lifecycle step); committed → the root-specific safety
     * `verify` (which throws to refuse), then the root and optionally
-    * its checkpoint are dropped whole. */
+    * its checkpoint are dropped whole.
+    *
+    * HARD PRECONDITION — the root's OWN stream is STOPPED: the guards
+    * verify committed DATA, not sink liveness, so a fully-drained root
+    * whose stream is still running passes them — and deleting the sink
+    * log (and checkpoint) out from under a running query kills it and
+    * loses its in-flight batches. Rotation never needs to retire a
+    * live root: hand ingest to the next epoch ([[nextIngestRoot]]
+    * family), stop the old epoch's stream, THEN retire its root —
+    * ingest continues on the successor throughout (spec-pinned). */
   private def retireRoot(spark: SparkSession, path: String, what: String,
       checkpoint: Option[String])(verify: DataFrame => Unit): Boolean = {
     if (!pathExists(spark, path)) return false
@@ -701,16 +900,28 @@ object TsdbLayout {
     }
   }
 
-  /** The L0 ingest tier's frame, or None when the tier is absent or
-    * has no COMMITTED data yet — a freshly-started [[graft.streaming
-    * .TsdbStream.layoutIngest]] creates the sink's `_spark_metadata`
-    * log before the first batch commits, and a reader opening the
-    * database in that window must see the batch tier, not an
-    * "unable to infer schema" failure. Only the empty-sink condition
-    * is swallowed; any other read problem stays loud. */
+  /** The L0 ingest tier's frame — the UNION of every live epoch
+    * root's committed data ([[epochRoots]]) — or None when the tier is
+    * absent or no root has COMMITTED data yet: a freshly-started
+    * [[graft.streaming.TsdbStream.layoutIngest]] creates the sink's
+    * `_spark_metadata` log before the first batch commits, and a
+    * reader opening the database in that window must see the batch
+    * tier, not an "unable to infer schema" failure. Only the
+    * empty-sink condition is swallowed; any other read problem stays
+    * loud. */
   private def readTierL0(spark: SparkSession, dir: String,
       tier: Tier): Option[DataFrame] =
-    readCommittedRoot(spark, s"$dir/${tier.l0Sub}")
+    unionCommitted(spark,
+      epochRoots(spark, dir, tier.l0Sub).map(_._2), tier.cols)
+
+  /** Union the committed frames of the given roots on the family's
+    * canonical column set (partition-column order varies per sink). */
+  private def unionCommitted(spark: SparkSession, roots: Seq[String],
+      cols: Seq[String]): Option[DataFrame] = {
+    val frames = roots.flatMap(readCommittedRoot(spark, _))
+      .map(_.select(cols.map(col): _*))
+    frames.reduceOption(_.unionByName(_))
+  }
 
   /** One-frame operational readout of a database directory — the
     * "what do I have" the reference answers from its metastorage's
@@ -820,14 +1031,20 @@ object TsdbLayout {
     * tier exists — a tick must not stamp watermarks onto absent
     * tiers), fold stream registrations into the persisted catalog
     * ([[foldCatalogL0]]), then poll the standing alerts
-    * ([[l0Stragglers]] / [[eventsL0Stragglers]]). Returns one
-    * `(step, n)` row per action: moved partition counts, folded
-    * registration count, straggling partition counts (nonzero = route
-    * through the upserts before the next rotation). Idempotent: a
-    * re-run with the same cutoff reports zeros. Rotation
+    * ([[l0Stragglers]] / [[eventsL0Stragglers]], and `index_stale` —
+    * the count of upsert-touched (metric, ts_day) partitions whose
+    * corrections no owned index serves yet; nonzero until
+    * [[IndexCatalog.rebuildScoped]] (or the full rebuild) clears the
+    * record). Returns one `(step, n)` row per action: moved partition
+    * counts, folded registration count, straggling partition counts
+    * (nonzero = route through the upserts before the next rotation),
+    * pending-stale partition count (nonzero = run the scoped rebuild).
+    * Idempotent: a re-run with the same cutoff reports zeros for the
+    * actions and unchanged counts for the standing alerts. Rotation
     * ([[retireIngestRoot]] family) stays a separate, deliberate act —
     * it is the one destructive step and no cron should own it.
-    * [[IndexCatalog.freshness]] and [[describeDatabase]] are the
+    * [[healthCheck]] is the one-frame alert composition;
+    * [[IndexCatalog.freshness]] and [[describeDatabase]] the
     * companion readouts for what a tick does not touch. */
   def maintenanceTick(spark: SparkSession, dir: String,
       settledCutoffNs: Long): DataFrame = {
@@ -840,11 +1057,69 @@ object TsdbLayout {
         compactTier(spark, dir, EventsTier, settledCutoffNs).toLong),
       Row("fold_catalog", foldCatalogL0(spark, dir)),
       Row("stragglers_samples", l0Stragglers(spark, dir).count()),
-      Row("stragglers_events", eventsL0Stragglers(spark, dir).count()))
+      Row("stragglers_events", eventsL0Stragglers(spark, dir).count()),
+      Row("index_stale", indexDirtyPairs(spark, dir).size.toLong))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("step", StringType),
         StructField("n", LongType))))
+  }
+
+  /** ONE merged health readout — the single frame a deployment's cron
+    * actually watches, composing every standing alert the lifecycle
+    * defines: one `(component, status, n)` row each for
+    *
+    *   - `samples_stragglers` / `events_stragglers` — affected
+    *     (metric, ts_day) partitions from [[l0Stragglers]] /
+    *     [[eventsL0Stragglers]] (route through the upserts);
+    *   - `catalog_unfolded` — stream registrations whose only copy
+    *     lives in the catalog ingest root ([[foldCatalogL0]] is due
+    *     before its rotation);
+    *   - `index_stale` — upsert-touched partitions no owned index
+    *     serves yet ([[IndexCatalog.rebuildScoped]] is due);
+    *   - `index_lagging` (only when `nowNs` is given) — ADOPTED
+    *     stream-maintained index entries whose maintainer's last
+    *     committed bin ([[IndexCatalog.freshness]]) trails `nowNs` by
+    *     more than `maxIndexLagNs` (a stalled maintainer; an index
+    *     with no rows yet counts as maximally stale). Owned entries
+    *     are save-time snapshots — their staleness is `index_stale`'s
+    *     job, not a lag.
+    *
+    * `status` is `ok` when n = 0, `alert` otherwise; all-`ok` means
+    * every queryable view is serving exactly what the contracts
+    * promise. Each count is the alert's own (pruned, epoch-sized or
+    * metadata-sized) read — composing them adds no new scan.
+    * [[describeDatabase]] stays the drill-down view. */
+  def healthCheck(spark: SparkSession, dir: String,
+      nowNs: Option[Long] = None,
+      maxIndexLagNs: Long = NsPerDay): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val counts = scala.collection.mutable.ListBuffer[(String, Long)](
+      "samples_stragglers" -> l0Stragglers(spark, dir).count(),
+      "events_stragglers" -> eventsL0Stragglers(spark, dir).count(),
+      "catalog_unfolded" -> readCatalogL0(spark, dir).fold(0L)(cl0 =>
+        cl0.select("series_id").distinct()
+          .join(spark.read.parquet(s"$dir/series").select("series_id"),
+            Seq("series_id"), "left_anti").count()),
+      "index_stale" -> indexDirtyPairs(spark, dir).size.toLong)
+    nowNs.foreach { now =>
+      val lagging =
+        if (!pathExists(spark,
+            s"$dir/indexes/${IndexCatalog.ManifestName}")) 0L
+        else IndexCatalog.freshness(spark, s"$dir/indexes")
+          .count(f => !f.owned &&
+            f.lastNs.getOrElse(Long.MinValue) < now - maxIndexLagNs)
+          .toLong
+      counts += ("index_lagging" -> lagging)
+    }
+    val rows = counts.sortBy(_._1).map { case (c, n) =>
+      Row(c, if (n == 0) "ok" else "alert", n)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("component", StringType),
+        StructField("status", StringType), StructField("n", LongType))))
   }
 
   /** Below-watermark L0 content the batch tier does NOT hold —
@@ -883,8 +1158,12 @@ object TsdbLayout {
   def eventsL0Stragglers(spark: SparkSession, dir: String): DataFrame =
     tierStragglers(spark, dir, EventsTier)
 
+  /** `l0Override`: restrict the check to ONE root's committed frame —
+    * the per-epoch retire guard asks "does THIS root hold a row's only
+    * copy", not "does any live root" (a sibling epoch's stragglers
+    * must not block retiring a clean one). None = the whole tier. */
   private def tierStragglers(spark: SparkSession, dir: String,
-      tier: Tier): DataFrame = {
+      tier: Tier, l0Override: Option[DataFrame] = None): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -900,7 +1179,7 @@ object TsdbLayout {
       // across calls without a schema-merge surprise
       .groupBy(col("metric"), col("ts_day").cast("long").as("ts_day"))
       .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
-    readTierL0(spark, dir, tier) match {
+    l0Override.orElse(readTierL0(spark, dir, tier)) match {
       case None => empty
       case Some(l0) =>
         val l0c = l0.select(tier.cols.map(col): _*)
@@ -1014,13 +1293,14 @@ object TsdbLayout {
 
   private def compactTier(spark: SparkSession, dir: String, tier: Tier,
       cutoffNs: Long): Int = {
-    // an ABSENT ingest root is "this half has no live tier", not
-    // "nothing settled": stamping a watermark here would activate the
-    // L0-owned-day upsert guard (and the describe watermark row) for a
-    // tier that never existed. A root that EXISTS but shows no
-    // committed data is different — the tier is live, nothing settled
-    // yet, and advancing the watermark legitimately claims the days
-    if (!pathExists(spark, s"$dir/${tier.l0Sub}")) return 0
+    // an ABSENT ingest tier (no root at any epoch) is "this half has
+    // no live tier", not "nothing settled": stamping a watermark here
+    // would activate the L0-owned-day upsert guard (and the describe
+    // watermark row) for a tier that never existed. A root that EXISTS
+    // but shows no committed data is different — the tier is live,
+    // nothing settled yet, and advancing the watermark legitimately
+    // claims the days
+    if (epochRoots(spark, dir, tier.l0Sub).isEmpty) return 0
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val wm = tierWatermark(spark, dir, tier)
     if (cutoffDay <= wm) return 0
@@ -1117,16 +1397,47 @@ object TsdbLayout {
     *         that case, there being nothing to verify it against). */
   def retireIngestRoot(spark: SparkSession, dir: String,
       checkpoint: Option[String] = None): Boolean =
-    retireTier(spark, dir, SamplesTier, checkpoint)
+    retireTier(spark, dir, SamplesTier, s"$dir/${SamplesTier.l0Sub}",
+      checkpoint)
 
   /** [[retireIngestRoot]] for the event-log half (`events_l0`). */
   def retireEventsIngestRoot(spark: SparkSession, dir: String,
       checkpoint: Option[String] = None): Boolean =
-    retireTier(spark, dir, EventsTier, checkpoint)
+    retireTier(spark, dir, EventsTier, s"$dir/${EventsTier.l0Sub}",
+      checkpoint)
+
+  /** Retire ONE samples ingest epoch (`samples_l0_e<epoch>`) — the
+    * zero-downtime rotation's destructive step: with the next epoch's
+    * stream already writing to [[nextIngestRoot]], this verifies THIS
+    * root is fully drained (its own days all compacted, none of its
+    * rows a straggler — a sibling epoch's state neither blocks nor
+    * excuses it) and drops it while ingest continues uninterrupted
+    * (spec-pinned: the successor's live query survives, answers
+    * unchanged throughout). Same guards, checkpoint handling and
+    * stopped-stream precondition as [[retireIngestRoot]]. */
+  def retireIngestEpoch(spark: SparkSession, dir: String, epoch: Long,
+      checkpoint: Option[String] = None): Boolean =
+    retireTier(spark, dir, SamplesTier,
+      s"$dir/${SamplesTier.l0Sub}_e$epoch", checkpoint)
+
+  /** [[retireIngestEpoch]] for the event-log half
+    * (`events_l0_e<epoch>`). */
+  def retireEventsIngestEpoch(spark: SparkSession, dir: String,
+      epoch: Long, checkpoint: Option[String] = None): Boolean =
+    retireTier(spark, dir, EventsTier,
+      s"$dir/${EventsTier.l0Sub}_e$epoch", checkpoint)
+
+  /** [[retireCatalogIngestRoot]] for one catalog epoch
+    * (`catalog_l0_e<epoch>`): drops the root once every registration
+    * it holds is folded OR also registered by a sibling live root —
+    * only a root holding some registration's ONLY copy refuses. */
+  def retireCatalogIngestEpoch(spark: SparkSession, dir: String,
+      epoch: Long, checkpoint: Option[String] = None): Boolean =
+    retireCatalogRoot(spark, dir, s"$dir/${CatalogL0Sub}_e$epoch",
+      checkpoint)
 
   private def retireTier(spark: SparkSession, dir: String, tier: Tier,
-      checkpoint: Option[String]): Boolean = {
-    val l0Path = s"$dir/${tier.l0Sub}"
+      l0Path: String, checkpoint: Option[String]): Boolean =
     retireRoot(spark, l0Path, "ingest root", checkpoint) { l0 =>
       // no watermark ⇒ wm = Long.MinValue ⇒ every held day is "live"
       // and a non-empty root refuses — a pre-first-compaction root is
@@ -1139,7 +1450,11 @@ object TsdbLayout {
         s"retire: ingest root $l0Path still owns uncompacted day(s) " +
           s"${live.mkString(", ")} — run compaction with a cutoff past " +
           s"them first")
-      val strag = tierStragglers(spark, dir, tier)
+      // scoped to THIS root's content: a straggler row in a SIBLING
+      // epoch must not block retiring a drained one (and vice versa —
+      // this root's stragglers refuse even if the union looks healthy)
+      val strag = tierStragglers(spark, dir, tier,
+          l0Override = Some(l0.select(tier.cols.map(col): _*)))
         .select("ts_day").limit(6).collect()
         .map(_.getAs[Number](0).longValue).distinct
       require(strag.isEmpty,
@@ -1147,5 +1462,4 @@ object TsdbLayout {
           s"${strag.mkString(", ")} whose only copy lives here — " +
           s"re-route them (upsert / partition rewrite) before retiring")
     }
-  }
 }

@@ -701,20 +701,30 @@ object TsdbStream extends Serializable {
     * standalone_database_session.cc:39-87; its in-memory matcher is
     * the stateful analog this hash makes unnecessary for KEYING —
     * [[catalogIngest]] is the half that persists the registration). */
-  def keyNamed(rows: DataFrame): DataFrame =
+  def keyNamed(rows: DataFrame): DataFrame = {
+    // a name whose METRIC token is empty (null, blank, or a leading
+    // space — "  m k=v" keys fine but partitions to metric='', the
+    // __HIVE_DEFAULT_PARTITION__ dead directory no catalog-resolved
+    // read ever prunes to) can neither key nor partition — drop it,
+    // mirroring the protocol parser's malformed-chunk drop semantics
+    // (Resp.parseLenient; the reference errors the CONNECTION,
+    // protocolparser.h:131-257 — inside a micro-batch a throw would
+    // be a permanent poison pill). The drop is OBSERVABLE, not silent:
+    // every query through this projection carries the named-ingest
+    // metric pair (dropped_rows / input_rows) in its progress events
+    // (StreamingQueryProgress.observedMetrics["graft_named_ingest"]) —
+    // an operator alerts on a nonzero dropped_rows rate instead of
+    // discovering malformed-name data loss by absence
+    val bad = col("name").isNull ||
+      substring_index(col("name"), " ", 1) === ""
     rows
-      // a name whose METRIC token is empty (null, blank, or a leading
-      // space — "  m k=v" keys fine but partitions to metric='', the
-      // __HIVE_DEFAULT_PARTITION__ dead directory no catalog-resolved
-      // read ever prunes to) can neither key nor partition — drop it,
-      // mirroring the protocol parser's malformed-chunk drop semantics
-      // (Resp.parseLenient; the reference errors the CONNECTION,
-      // protocolparser.h:131-257 — inside a micro-batch a throw would
-      // be a permanent poison pill)
-      .where(col("name").isNotNull &&
-        substring_index(col("name"), " ", 1) =!= "")
+      .observe("graft_named_ingest",
+        count(when(bad, lit(1))).as("dropped_rows"),
+        count(lit(1)).as("input_rows"))
+      .where(!bad)
       .withColumn("series_id", xxhash64(col("name")))
       .withColumn("metric", substring_index(col("name"), " ", 1))
+  }
 
   /** [[layoutIngest]] for a stream keyed by series NAME instead of id:
     * `(name, ts, value)` rows are keyed in-stream ([[keyNamed]]) and
@@ -735,19 +745,29 @@ object TsdbStream extends Serializable {
   /** Live CATALOG registration: the reference auto-registers a series
     * on the first sample that names it (standalone_database_session
     * .cc:39-87, persisted through the sqlite metastorage) — this is
-    * that path for a named ingest stream. Emits each distinct series
-    * ONCE (stateful streaming `dropDuplicates` on `series_id`; the
-    * state is one key per series — the same O(series) the reference's
-    * in-memory matcher holds, checkpointed so a restart neither
-    * re-emits nor forgets) as a catalog-schema row
+    * that path for a named ingest stream. Emits each distinct
+    * registration VARIANT once (stateful streaming `dropDuplicates` on
+    * the catalog key columns — id, name, metric, lon, lat; tags derive
+    * from the name, so the state is one key per series in the common
+    * case and one per distinct reported location for a series whose
+    * rows disagree — the same O(series) the reference's in-memory
+    * matcher holds, checkpointed so a restart neither re-emits nor
+    * forgets) as catalog-schema rows
     * `(series_id, name, metric, tags, lon, lat)` into the database's
     * `catalog_l0` root, where [[graft.model.TsdbLayout.openDatabase]]
     * unions it with the persisted catalog (new-only by anti-join), so
     * statements, search and suggest see stream-registered series with
-    * no redeploy. Tags are parsed from the canonical name in-stream
-    * (`k=v` pairs after the metric token; a value may itself contain
-    * `=` — the key is everything before the FIRST one). Locations ride
-    * along when the stream carries `lon`/`lat` columns, else null.
+    * no redeploy. Keying the dedup by the FULL variant (not id alone)
+    * is what makes registration DETERMINISTIC across replays and batch
+    * boundaries: the landed set is the content-determined distinct
+    * variants, and the READERS (the unioned catalog read / the fold)
+    * pick one per id by a fixed rule — first non-null location,
+    * smallest (lon, lat) — so which row a replay happened to see first
+    * can never change the registered location. Tags are parsed from
+    * the canonical name in-stream (`k=v` pairs after the metric token;
+    * a value may itself contain `=` — the key is everything before the
+    * FIRST one). Locations ride along when the stream carries
+    * `lon`/`lat` columns, else null.
     *
     * Lifecycle: [[graft.model.TsdbLayout.foldCatalogL0]] merges the
     * root into the persisted catalog; [[graft.model.TsdbLayout
@@ -766,7 +786,9 @@ object TsdbStream extends Serializable {
       .select(
         col("series_id"), col("name"), col("metric"), col("tags"),
         optF("lon").as("lon"), optF("lat").as("lat"))
-      .dropDuplicates("series_id")
+      // the full variant key (all columns but the name-derived tags —
+      // maps cannot be grouping keys): replay-deterministic landed set
+      .dropDuplicates(Seq("series_id", "name", "metric", "lon", "lat"))
       .writeStream.format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)

@@ -556,4 +556,181 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](new Engine(loaded))
     assert(e.getMessage.contains("lacks column"))
   }
+
+  // --------------------------------------------------- scoped rebuild
+
+  /** The canonical correction batch: purchase users 2/4 in the upsert
+    * window, value + 1000 (EntryUtil's fixture) — touches exactly two
+    * (purchase, ts_day) partitions. */
+  private def lateBatch: DataFrame = ctx.samples
+    .join(ctx.series.where(col("metric") === "purchase" &&
+        element_at(col("tags"), "user").isin("2", "4"))
+      .select("series_id"), "series_id")
+    .where(col("ts") >= graft.entries.EntryUtil.UpsertLoNs &&
+      col("ts") < graft.entries.EntryUtil.UpsertHiNs)
+    .select(col("series_id"), col("ts"), (col("value") + 1000.0).as("value"))
+
+  private val upsertDays = Seq(
+    Math.floorDiv(graft.entries.EntryUtil.UpsertLoNs, dayNs),
+    Math.floorDiv(graft.entries.EntryUtil.UpsertLoNs, dayNs) + 1)
+
+  test("rebuildScoped == full rebuild bit-for-bit; only touched day partitions rewrite") {
+    // twin databases with every family registered, the same correction
+    // upserted into both: the scoped form (driven by the upsert-touched
+    // record) must yield byte-identical index content to the full
+    // re-derivation — the merge-by-addition law the ladders pin, here
+    // applied as kept-bins ∪ recomputed-bins — while leaving every
+    // UNTOUCHED __day partition's files physically untouched (the
+    // dynamic-overwrite pin; at 100 TB this is the difference between
+    // a day-sized correction and six full-history scans)
+    val dbScoped = tmp(); val dbFull = tmp()
+    for (db <- Seq(dbScoped, dbFull)) {
+      graft.model.TsdbLayout.writeDatabase(fullCtx, db)
+      assert(graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+        lateBatch, ctx.series) === 2)
+    }
+    // the upsert RECORDED its touched partitions beside the layout
+    assert(graft.model.TsdbLayout.indexDirtyPairs(spark, dbScoped).toSet
+      === upsertDays.map(("purchase", _)).toSet)
+    // snapshot the rollup's untouched partition files (day of FromNs is
+    // nine days before the upsert window)
+    val rollDir = Paths.get(dbScoped, "indexes", "idx_0_rollup")
+    val untouchedPart = rollDir.resolve(s"__day=${Math.floorDiv(FromNs, dayNs)}")
+    def partFiles(p: Path): Set[(String, Long)] = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => (f.toString, Files.size(f))).toSet
+      finally walk.close()
+    }
+    assert(Files.isDirectory(untouchedPart),
+      "owned binned storage must be __day-partitioned")
+    val before = partFiles(untouchedPart)
+    // scoped (record-driven) on one twin, full on the other
+    assert(IndexCatalog.rebuildScoped(spark, dbScoped) === 6)
+    assert(graft.model.TsdbLayout.indexDirtyPairs(spark, dbScoped).isEmpty,
+      "a successful scoped rebuild clears the pairs it served")
+    assert(IndexCatalog.rebuild(spark, dbFull) === 6)
+    val root = Paths.get(dbScoped, "indexes")
+    IndexCatalog.describe(root.toString).foreach { e =>
+      assert(rowsOf(spark.read.parquet(root.resolve(e.path).toString))
+          === rowsOf(spark.read.parquet(
+            Paths.get(dbFull, "indexes").resolve(e.path).toString)),
+        s"scoped ${e.kind} must equal the full rebuild bit-for-bit")
+    }
+    assert(partFiles(untouchedPart) === before,
+      "untouched day partitions must not be rewritten by the scoped form")
+    // and the scoped result serves: the reopened database's rollup
+    // equals the canonical build over the corrected facts
+    val reopened = graft.model.TsdbLayout.openDatabase(spark, dbScoped)
+    assert(rowsOf(reopened.rollups.head._2) ===
+      rowsOf(Rollup.build(reopened.samples.select("series_id", "ts", "value"),
+        hourNs)))
+  }
+
+  test("non-canonical owned entries refuse rebuilds by default, skip on request") {
+    val db = tmp()
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs)),
+      histograms = Seq(hourNs -> graft.ops.HistQuantiles.histogram(
+        ctx.samples.withColumn("win",
+          col("ts") - pmod(col("ts"), lit(hourNs))),
+        Seq("series_id", "win")))), db)
+    val root = Paths.get(db, "indexes").toString
+    // an operator declares the ROLLUP was built over filtered facts
+    IndexCatalog.markNoncanonical(root, 0)
+    assert(IndexCatalog.describe(root).map(e => e.pos -> e.canonical).toMap
+      === Map(0 -> false, 1 -> true))
+    // the flag survives the manifest round-trip strictly (boolean only)
+    val marked = rowsOf(spark.read.parquet(
+      Paths.get(root).resolve("idx_0_rollup").toString))
+    val err = intercept[IllegalArgumentException](
+      IndexCatalog.rebuild(spark, db))
+    assert(err.getMessage.contains("non-canonical"))
+    intercept[IllegalArgumentException](IndexCatalog.rebuildScoped(
+      spark, db, Some(upsertDays.map(("purchase", _)))))
+    // skipNoncanonical rebuilds the others, leaves the marked frame be
+    assert(IndexCatalog.rebuild(spark, db, skipNoncanonical = true) === 1)
+    assert(rowsOf(spark.read.parquet(
+        Paths.get(root).resolve("idx_0_rollup").toString)) === marked,
+      "a skipped non-canonical frame must stay byte-identical")
+    // unknown pos fails loudly, like retire
+    intercept[IllegalArgumentException](IndexCatalog.markNoncanonical(root, 9))
+  }
+
+  test("rebuildScoped upgrades a flat legacy owned index in one pass") {
+    // a catalog written before day-partitioned owned storage holds a
+    // FLAT rollup parquet: the scoped rebuild must still serve the
+    // correction (falling back to one index-sized rewrite with the
+    // day-pruned fact read) and leave the storage partitioned for the
+    // next correction
+    val db = tmp()
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs))), db)
+    val p = Paths.get(db, "indexes", "idx_0_rollup").toString
+    val flat = spark.read.parquet(p).drop("__day").localCheckpoint()
+    flat.write.mode("overwrite").parquet(p)
+    assert(!Files.list(Paths.get(p)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("__day=")))
+    assert(graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+      lateBatch, ctx.series) === 2)
+    assert(IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(Files.list(Paths.get(p)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("__day=")),
+      "the flat legacy storage must come out day-partitioned")
+    val reopened = graft.model.TsdbLayout.openDatabase(spark, db)
+    assert(rowsOf(reopened.rollups.head._2) ===
+      rowsOf(Rollup.build(reopened.samples.select("series_id", "ts", "value"),
+        hourNs)))
+  }
+
+  test("snapshot families (mad/gap) scoped-rebuild whole iff touched") {
+    // no additive law for a median: a touched day inside the build
+    // range re-derives the whole frame; a touch entirely outside it is
+    // a SKIP — storage byte-identical, not counted
+    val db = tmp()
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      madIndexes = fullCtx.madIndexes, gapIndexes = fullCtx.gapIndexes), db)
+    val root = Paths.get(db, "indexes")
+    def allFiles(): Set[(String, Long)] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString == IndexCatalog.ManifestName)
+        .map(f => (f.toString, Files.size(f))).toSet
+      finally walk.close()
+    }
+    val before = allFiles()
+    val outsideDay = Math.floorDiv(FromNs, dayNs) - 30
+    assert(IndexCatalog.rebuildScoped(spark, db,
+      Some(Seq(("purchase", outsideDay)))) === 0)
+    assert(allFiles() === before,
+      "a touch outside the snapshot ranges must rewrite nothing")
+    assert(IndexCatalog.rebuildScoped(spark, db,
+      Some(upsertDays.map(("purchase", _)))) === 2,
+      "a touch inside the build range re-derives both snapshot frames")
+  }
+
+  test("a touched pair matching no index rows is a no-op, never a wipe") {
+    // a bogus (metric, day) — unknown metric, or a day with no data —
+    // must leave partitioned owned storage byte-identical: the empty
+    // scoped slice may not degrade into a whole-index overwrite
+    val db = tmp()
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs))), db)
+    val idx = Paths.get(db, "indexes", "idx_0_rollup")
+    def files(): Set[(String, Long)] = {
+      val walk = Files.walk(idx)
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(f => (f.toString, Files.size(f))).toSet
+      finally walk.close()
+    }
+    val before = files()
+    assert(IndexCatalog.rebuildScoped(spark, db,
+      Some(Seq(("no_such_metric", Math.floorDiv(FromNs, dayNs))))) === 0)
+    assert(IndexCatalog.rebuildScoped(spark, db,
+      Some(Seq(("purchase", Math.floorDiv(FromNs, dayNs) - 400)))) === 0)
+    assert(files() === before,
+      "empty scoped slices must rewrite nothing")
+    assert(graft.model.TsdbLayout.openDatabase(spark, db)
+      .rollups.head._2.count() > 0)
+  }
 }

@@ -349,4 +349,138 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(servedAt10(new Engine(TsdbLayout.openDatabase(spark, db))) === 1001.0,
       "IndexCatalog.rebuild closes the window")
   }
+
+  test("index staleness is ALERTED: the upsert records touched partitions, the tick reports them, the scoped rebuild serves and clears") {
+    // round-11 left the staleness window a documented contract with an
+    // on-demand remedy; this pins the alert-driven loop: upsert →
+    // index_dirty record → maintenanceTick index_stale > 0 →
+    // rebuildScoped (reading the record) → served correction + record
+    // cleared → tick reports zero (idempotent)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    val d = 24 * h
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val ctx = ctxOf((0 until 96).map(i => ("x", i.toLong * h, 1.0)))
+    val db = java.nio.file.Files.createTempDirectory("graft_stale_alert").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    def tickStale(): Long = TsdbLayout.maintenanceTick(spark, db, 0L)
+      .where(col("step") === "index_stale").head().getLong(1)
+    assert(tickStale() === 0L)
+
+    // two upserts, overlapping days: the record MERGES and DEDUPS
+    def correct(hour: Int): Unit = {
+      val late = ctx.samples.where(col("ts") === hour * h)
+        .select(col("series_id"), col("ts"),
+          (col("value") + lit(1000.0)).as("value"))
+      assert(TsdbLayout.upsertSamples(spark, s"$db/samples", late,
+        ctx.series) === 1)
+    }
+    correct(10); correct(11); correct(30)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).toSet ===
+      Set(("m", 0L), ("m", 1L)),
+      "touched partitions record once each, across upserts")
+    assert(tickStale() === 2L)
+
+    // a partial clear drops only the named pairs
+    TsdbLayout.clearIndexDirty(spark, db, Seq(("m", 1L)))
+    assert(TsdbLayout.indexDirtyPairs(spark, db) === Seq(("m", 0L)))
+    TsdbLayout.clearIndexDirty(spark, db)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty)
+    // the record is evidence; re-record the full touched set for the
+    // remedy (the operator's path when a manual clear went too far)
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db,
+      Some(Seq(("m", 0L), ("m", 1L)))) === 1)
+
+    // the scoped rebuild SERVES the corrections (all three hours)
+    val served = new Engine(TsdbLayout.openDatabase(spark, db)).execute(
+      s"""{"group-aggregate": {"metric": "m", "step": "1h", "func": "max"},
+           "range": {"from": 0, "to": ${96 * h}}}""")
+    val byTs = served.collect().map(r =>
+      r.getAs[Long]("ts") -> r.getAs[Double]("max")).toMap
+    for (hour <- Seq(10, 11, 30))
+      assert(byTs(hour * h) === 1001.0, s"hour $hour must serve corrected")
+    assert(byTs(12 * h) === 1.0)
+    assert(tickStale() === 0L, "the loop closes: nothing pending")
+
+    // an upsert into a plain layout (no index catalog beside it)
+    // records nothing — there is nothing to go stale
+    val bare = java.nio.file.Files.createTempDirectory("graft_bare").toString
+    TsdbLayout.writeSamples(ctx, s"$bare/samples")
+    val late = ctx.samples.where(col("ts") === 5 * h)
+      .select(col("series_id"), col("ts"), (col("value") + lit(1.0)).as("value"))
+    assert(TsdbLayout.upsertSamples(spark, s"$bare/samples", late,
+      ctx.series) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, bare).isEmpty)
+  }
+
+  test("healthCheck: one merged frame, all-clean first, then each alert fires") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val ctx = ctxOf((0 until 48).map(i => ("x", i.toLong * h, 1.0)))
+    val db = java.nio.file.Files.createTempDirectory("graft_health").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    def hc(now: Option[Long] = Some(48 * h), lag: Long = 3 * h) =
+      TsdbLayout.healthCheck(spark, db, now, maxIndexLagNs = lag)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    assert(hc() === Seq(
+      ("catalog_unfolded", "ok", 0L), ("events_stragglers", "ok", 0L),
+      ("index_lagging", "ok", 0L), ("index_stale", "ok", 0L),
+      ("samples_stragglers", "ok", 0L)),
+      "an all-clean database reads all-ok")
+    // without a clock the lag readout is absent, not a fake ok
+    assert(hc(now = None).map(_._1) === Seq("catalog_unfolded",
+      "events_stragglers", "index_stale", "samples_stragglers"))
+
+    // index_stale: an upsert-touched partition pending rebuild
+    val late = ctx.samples.where(col("ts") === 10 * h)
+      .select(col("series_id"), col("ts"), (col("value") + lit(1.0)).as("value"))
+    TsdbLayout.upsertSamples(spark, s"$db/samples", late, ctx.series)
+    assert(hc().contains(("index_stale", "alert", 1L)))
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(hc().contains(("index_stale", "ok", 0L)))
+
+    // index_lagging: an adopted maintainer whose last committed bin
+    // trails now by more than the allowance — the OWNED rollup (also
+    // "behind" in wall-clock terms) must NOT count: owned staleness is
+    // index_stale's job, a snapshot has no maintainer to stall
+    val sink = s"$db/rollup_sink"
+    graft.engine.Rollup.build(
+      ctx.samples.where(col("ts") < 24 * h), h).write.parquet(sink)
+    graft.model.IndexCatalog.adopt(s"$db/indexes", "rollup", sink,
+      windowNs = Some(h))
+    assert(hc().contains(("index_lagging", "alert", 1L)))
+    assert(hc(lag = 40 * h).contains(("index_lagging", "ok", 0L)),
+      "a generous allowance reads the same maintainer as healthy")
+
+    // catalog_unfolded: a stream registration whose only copy lives in
+    // the catalog ingest root
+    ctx.series.withColumn("series_id", col("series_id") + lit(1L))
+      .write.parquet(s"$db/catalog_l0")
+    assert(hc().contains(("catalog_unfolded", "alert", 1L)))
+
+    // samples_stragglers: a pre-watermark tier overlap (the double-read
+    // hazard l0Stragglers reports before the first compaction)
+    TsdbLayout.readSamples(spark, s"$db/samples")
+      .where(col("ts_day") === 0).limit(3)
+      .select(col("series_id"), col("ts"), col("value"), col("metric"),
+        col("ts_day").cast("long").as("ts_day"))
+      .write.parquet(s"$db/samples_l0")
+    val finalRead = hc()
+    assert(finalRead.exists(r => r._1 == "samples_stragglers" &&
+      r._2 == "alert" && r._3 >= 1L))
+    assert(finalRead.count(_._2 == "alert") === 3,
+      s"exactly the three induced alerts fire: $finalRead")
+  }
 }

@@ -1555,4 +1555,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("scoped index rebuild: the fact read prunes metric AND ts_day at the scan") {
+    // IndexCatalog.rebuildScoped's whole point at 100 TB is that a
+    // one-day correction re-derives bins from a DAY-SIZED fact read —
+    // the slice's metric + ts_day predicates must land in the layout
+    // scan's PartitionFilters (directories pruned before I/O), not
+    // degrade to a post-scan row filter
+    val dir = "/root/testdata/sf0.001"
+    val ctx = graft.model.TsdbContext.fromTestdata(spark, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_scoped_plan").toString + "/samples"
+    graft.model.TsdbLayout.writeSamples(ctx, path)
+    val facts = graft.model.TsdbLayout.readSamples(spark, path)
+    val hourNs = 3600000000000L
+    val d0 = Math.floorDiv(graft.entries.EntryUtil.UpsertLoNs, 86400000000000L)
+    val ivs = Seq("purchase" ->
+      graft.model.IndexCatalog.binIntervalsOf(Seq(d0, d0 + 1), hourNs))
+    val p = graft.model.IndexCatalog.scopedFactSlice(facts, ivs)
+      .queryExecution.executedPlan.toString
+    val partFilters = "PartitionFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(partFilters.exists(f => f.contains("metric") && f.contains("ts_day")),
+      s"scoped rebuild's fact slice must prune metric AND ts_day:\n$p")
+  }
 }

@@ -2042,4 +2042,166 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.toSeq === Seq((1L, 10.0), (2L, 15.0)))
     } finally q.stop()
   }
+
+  test("epoch rotation is zero-downtime: the successor streams THROUGH the retire of the drained root") {
+    // the round-11 rotation implied ingest downtime (stop → retire →
+    // restart at the same path); epoch-numbered roots remove it: the
+    // next epoch's sink starts at nextIngestRoot while the old root
+    // drains, readers union every live root, and retireIngestEpoch
+    // drops the drained root per-epoch — the reference's sharded WAL
+    // rotating volumes under writes (input_log.h:36-80)
+    val db = java.nio.file.Files.createTempDirectory("graft_epoch_db").toString
+    val h = 3600L * 1000000000L
+    val all = (0 until 120).flatMap { i =>
+      Seq(("x", i.toLong * h, i / 3.0), ("y", i.toLong * h, 2 * i / 3.0))
+    }
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    graft.model.TsdbLayout.writeDatabase(ctxOf(all.filter(_._2 < 48 * h)), db)
+    def writeLines(in: String, name: String,
+        rows: Seq[(String, Long, Double)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        rows.map { case (u, ts, v) => s"$u,$ts,$v" }.mkString("\n").getBytes)
+    def startIngest(in: String, root: String, ckpt: String) =
+      TsdbStream.layoutIngest(
+        spark.readStream.format("text").load(in)
+          .selectExpr(
+            "xxhash64(concat('m user=', split(value, ',')[0])) AS series_id",
+            "CAST(split(value, ',')[1] AS LONG) AS ts",
+            "CAST(split(value, ',')[2] AS DOUBLE) AS value")
+          .withColumn("metric", lit("m")),
+        root, ckpt)
+
+    // epoch 1 delivers hours 48-95, is compacted whole, stream stopped
+    // (the handover: its successor takes ingest BEFORE the retire)
+    val e1 = graft.model.TsdbLayout.nextIngestRoot(spark, db)
+    assert(e1 === s"$db/samples_l0_e1")
+    val in1 = s"$db/in1"; new java.io.File(in1).mkdirs()
+    writeLines(in1, "a.txt", all.filter(r => r._2 >= 48 * h && r._2 < 96 * h))
+    val q1 = startIngest(in1, e1, s"$db/ckpt_e1")
+    try q1.processAllAvailable() finally q1.stop()
+    graft.model.TsdbLayout.compactL0(spark, db, 96 * h)
+
+    // epoch 2 goes LIVE at the next root before epoch 1 is gone
+    val e2 = graft.model.TsdbLayout.nextIngestRoot(spark, db)
+    assert(e2 === s"$db/samples_l0_e2")
+    val in2 = s"$db/in2"; new java.io.File(in2).mkdirs()
+    writeLines(in2, "b.txt", all.filter(r => r._2 >= 96 * h && r._2 < 108 * h))
+    val q2 = startIngest(in2, e2, s"$db/ckpt_e2")
+    try {
+      q2.processAllAvailable()
+      // the LIVE epoch refuses its own retire (uncompacted days)
+      val eLive = intercept[IllegalArgumentException](
+        graft.model.TsdbLayout.retireIngestEpoch(spark, db, 2))
+      assert(eLive.getMessage.contains("uncompacted"))
+      // the drained epoch retires WHILE the successor streams — its
+      // sibling's live days must not block it (per-root guards)
+      assert(graft.model.TsdbLayout.retireIngestEpoch(spark, db, 1,
+        checkpoint = Some(s"$db/ckpt_e1")))
+      assert(!new java.io.File(e1).exists())
+      assert(q2.isActive, "rotation must kill nothing")
+      // ingest CONTINUES through the rotation on the same query
+      writeLines(in2, "c.txt", all.filter(_._2 >= 108 * h))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // answers unchanged throughout: batch + compacted epoch 1 + live
+    // epoch 2 serve the whole span through one union read
+    val stmt = s"""{"select": "m", "range": {"from": 0, "to": ${120 * h}}}"""
+    assert(new graft.engine.Engine(
+        graft.model.TsdbLayout.openDatabase(spark, db)).execute(stmt)
+        .collect().toSeq ===
+      new graft.engine.Engine(ctxOf(all)).execute(stmt).collect().toSeq,
+      "the epoch handover must never change answers")
+    // the numbering continues past retired epochs (positions are
+    // never reissued — the retire-by-number can't alias)
+    assert(graft.model.TsdbLayout.nextIngestRoot(spark, db)
+      === s"$db/samples_l0_e3")
+  }
+
+  test("keyNamed's malformed-name drop is observable in every named-ingest progress") {
+    // ADVICE round 11: the FACT path dropped null/blank-metric names
+    // silently (the reference errors the connection,
+    // protocolparser.h:131-257; a micro-batch can only drop) — now the
+    // drop rides the query's observed metrics, so an operator alerts
+    // on dropped_rows instead of discovering data loss by absence
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_observe").toString
+    val q = TsdbStream.namedLayoutIngest(
+      in.toDF().toDF("name", "ts", "value"),
+      s"$out/sink", s"$out/ckpt")
+    try {
+      in.addData(("m user=x", 10L, 1.0), ("", 11L, 2.0),
+        (" user=y", 12L, 3.0), ("m user=y", 13L, 4.0))
+      q.processAllAvailable()
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_named_ingest")))
+        .map(r => (r.getAs[Long]("dropped_rows"), r.getAs[Long]("input_rows")))
+      assert(observed.map(_._1).sum === 2,
+        s"both malformed names count as dropped: $observed")
+      assert(observed.map(_._2).sum === 4)
+      // and the sink holds exactly the keyable rows
+      assert(spark.read.parquet(s"$out/sink").count() === 2)
+    } finally q.stop()
+  }
+
+  test("catalogIngest: the registered location is content-determined, not arrival-order-determined") {
+    // ADVICE round 11: dropDuplicates(series_id) registered whichever
+    // variant a replay saw first. The dedup now keys the FULL variant
+    // (landed set = content-determined distinct rows) and the readers
+    // pick one per id by a fixed rule — first non-null location,
+    // smallest (lon, lat) — so two feeds of the same rows in opposite
+    // batch orders register identically
+    def run(batches: Seq[Seq[(String, Long, Double, String, String)]]): Seq[(Long, String, Option[Float], Option[Float])] = {
+      implicit val sqlCtx = spark.sqlContext
+      val db = java.nio.file.Files
+        .createTempDirectory("graft_catdet").toString
+      // an empty persisted catalog: every registration is stream-born
+      val seed = ctxSeed()
+      seed.series.limit(0).write.parquet(s"$db/series")
+      val in = MemoryStream[(String, Long, Double, String, String)]
+      val q = TsdbStream.catalogIngest(
+        in.toDF().toDF("name", "ts", "value", "lonS", "latS")
+          .withColumn("lon", col("lonS").cast("float"))
+          .withColumn("lat", col("latS").cast("float"))
+          .drop("lonS", "latS"),
+        s"$db/catalog_l0", s"$db/ckpt")
+      try batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      assert(graft.model.TsdbLayout.foldCatalogL0(spark, db) === 2)
+      spark.read.parquet(s"$db/series")
+        .orderBy("name")
+        .collect().toSeq.map(r => (
+          r.getAs[Long]("series_id"), r.getAs[String]("name"),
+          Option(r.getAs[java.lang.Float]("lon")).map(_.floatValue),
+          Option(r.getAs[java.lang.Float]("lat")).map(_.floatValue)))
+    }
+    // series A reports no location, then (2,3), then (1,9); series B
+    // never reports one. Expected pick: non-null smallest → (1.0, 9.0)
+    val rows = Seq(
+      ("m user=a", 1L, 1.0, "", ""),
+      ("m user=a", 2L, 1.0, "2.0", "3.0"),
+      ("m user=a", 3L, 1.0, "1.0", "9.0"),
+      ("m user=b", 4L, 1.0, "", ""))
+    val forward = run(Seq(rows.take(2), rows.drop(2)))
+    val backward = run(Seq(rows.reverse.take(2), rows.reverse.drop(2)))
+    assert(forward === backward,
+      "registration must not depend on batch order")
+    val a = forward.find(_._2 == "m user=a").get
+    assert((a._3, a._4) === (Some(1.0f), Some(9.0f)),
+      "the fixed rule picks the smallest non-null location")
+    val b = forward.find(_._2 == "m user=b").get
+    assert((b._3, b._4) === (None, None))
+  }
+
+  /** A minimal context whose series frame donates the catalog schema. */
+  private def ctxSeed() =
+    graft.model.TsdbContext.fromWide(spark,
+      Seq(("x", 1L, 1.0)).toDF("user", "ts", "value")
+        .withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
 }
