@@ -275,16 +275,16 @@ object IndexCatalog {
       case Some(_) =>
         val out = frame.withColumn(DayCol,
           graft.functions.VectorExpressions.longFloorDiv(timeNsCol(e), NsPerDay))
-        def write(): Unit =
-          out.write.partitionBy(DayCol).mode("overwrite").parquet(path)
-        if (!dynamicDays) write()
-        else {
-          val spark = frame.sparkSession
-          val key = "spark.sql.sources.partitionOverwriteMode"
-          val prev = spark.conf.get(key, "static")
-          spark.conf.set(key, "dynamic")
-          try write() finally spark.conf.set(key, prev)
-        }
+        // BOTH modes pinned explicitly: a session-wide "dynamic"
+        // default would make the FULL rewrite keep stale day
+        // partitions the new frame doesn't carry (e.g. a day whose
+        // facts were deleted — exactly what full rebuild must heal)
+        val spark = frame.sparkSession
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.get(key, "static")
+        spark.conf.set(key, if (dynamicDays) "dynamic" else "static")
+        try out.write.partitionBy(DayCol).mode("overwrite").parquet(path)
+        finally spark.conf.set(key, prev)
     }
   }
 
@@ -440,30 +440,31 @@ object IndexCatalog {
     * size affords; for a multi-GB sink, pruning the read to the sink's
     * newest partition/window files before the max is the operator's
     * lever — this readout deliberately stays exact and simple. */
-  def freshness(spark: SparkSession, dir: String): Seq[IndexFreshness] = {
+  def freshness(spark: SparkSession, dir: String,
+      adoptedOnly: Boolean = false): Seq[IndexFreshness] = {
     val root = Paths.get(dir)
-    parseManifest(dir).entries.map { e =>
-      val timeCol = e.kind match {
-        case "rollup" => Some("bin")
-        case "histogram" | "kmv" => Some("win")
-        case "bucket_sums" => Some("__b")
-        case _ => None // mad/gap: fixed [fromNs, toNs) builds
+    parseManifest(dir).entries
+      // the max() scan per entry is the readout's whole cost: a
+      // stalled-MAINTAINER poll ([[graft.model.TsdbLayout
+      // .healthCheck]]'s index_lagging) needs only the adopted
+      // entries, and must not pay a full-history owned index scan per
+      // tick just to discard the answer
+      .filter(e => !adoptedOnly || !e.owned)
+      .map { e =>
+        // time key via the one shared kind mapping ([[timeColOf]] /
+        // [[timeNsCol]] — the same rule the day-partitioning uses, so
+        // the two can never drift per kind)
+        val lastNs = timeColOf(e.kind) match {
+          case None => e.toNs // mad/gap: fixed [fromNs, toNs) builds
+          case Some(_) =>
+            val row = spark.read.parquet(root.resolve(e.path).toString)
+              .agg(org.apache.spark.sql.functions.max(timeNsCol(e))).head()
+            if (row.isNullAt(0)) None
+            else Some(row.getAs[Number](0).longValue)
+        }
+        IndexFreshness(e.pos, e.kind, root.resolve(e.path).toString,
+          e.owned, lastNs)
       }
-      val lastNs = timeCol match {
-        case None => e.toNs
-        case Some(c) =>
-          val row = spark.read.parquet(root.resolve(e.path).toString)
-            .agg(org.apache.spark.sql.functions.max(
-              org.apache.spark.sql.functions.col(c))).head()
-          if (row.isNullAt(0)) None
-          else {
-            val v = row.getAs[Number](0).longValue
-            Some(if (e.kind == "bucket_sums") v * e.windowNs.get else v)
-          }
-      }
-      IndexFreshness(e.pos, e.kind, root.resolve(e.path).toString,
-        e.owned, lastNs)
-    }
   }
 
   // -------------------------------------------------------------- read
@@ -614,13 +615,25 @@ object IndexCatalog {
       skipNoncanonical: Boolean = false): Int = {
     val dir = s"$dbDir/indexes"
     val canon = canonicalOwned(dir, skipNoncanonical)
-    if (canon.isEmpty) return 0
+    // the pending record is read BEFORE the fact snapshot and only
+    // those pairs are cleared at the end: an upsert landing while a
+    // long rebuild runs records pairs this rebuild's (already-pinned)
+    // snapshot does not contain — they must STAY pending or the
+    // staleness alert would go green over uncorrected index bins.
+    // With no canonical owned entry there is nothing a record can owe
+    // (frames appended later derive from then-current facts), so the
+    // pending pairs clear rather than alerting forever
+    val pending = TsdbLayout.indexDirtyPairs(spark, dbDir)
+    if (canon.isEmpty) {
+      TsdbLayout.clearIndexDirty(spark, dbDir, pending)
+      return 0
+    }
     val ctx = TsdbLayout.openFacts(spark, dbDir)
     val facts = ctx.samples.select("series_id", "ts", "value")
     canon.foreach { e =>
       writeOwned(dir, e, canonicalFrame(e, facts, ctx), dynamicDays = false)
     }
-    TsdbLayout.clearIndexDirty(spark, dbDir)
+    TsdbLayout.clearIndexDirty(spark, dbDir, pending)
     canon.size
   }
 
@@ -762,9 +775,13 @@ object IndexCatalog {
     val canon = canonicalOwned(dir, skipNoncanonical)
     val pairs = touched.getOrElse(TsdbLayout.indexDirtyPairs(spark, dbDir))
       .distinct
-    if (pairs.isEmpty || canon.isEmpty) {
-      // nothing touched (or nothing rebuildable): an explicit empty
-      // call is a no-op; clearing would hide pairs a later rebuild owes
+    if (pairs.isEmpty) return 0
+    if (canon.isEmpty) {
+      // nothing rebuildable: with no canonical owned entry the record
+      // can owe nothing (a frame appended later derives from
+      // then-current facts) — clear the pairs rather than leaving a
+      // permanent, un-clearable index_stale alert
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
       return 0
     }
     val ctx = TsdbLayout.openFacts(spark, dbDir)

@@ -307,20 +307,30 @@ object TsdbLayout {
       .groupBy("series_id", "ts", "metric", "ts_day")
       .agg(max(col("value")).as("value"))
       .select(SampleCols.map(col): _*)
+    // a DATABASE's samples layout (an index catalog with canonical
+    // owned entries sits beside it): record the touched partitions so
+    // the staleness window is ALERTED (maintenanceTick / healthCheck
+    // `index_stale`) and scoped-remediable (IndexCatalog.rebuildScoped
+    // reads this record), not just documented. Recorded BEFORE the
+    // data write: a crash between the two then leaves at worst a
+    // false-positive pair (the next scoped rebuild re-derives and
+    // clears it harmlessly), never corrected facts with a green alert
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    if (parent != null && pathExists(spark,
+        s"$parent/indexes/${IndexCatalog.ManifestName}")) {
+      val ownedCanonical =
+        try IndexCatalog.describe(s"$parent/indexes")
+          .exists(e => e.owned && e.canonical)
+        catch { case _: Exception => true } // unreadable: conservative
+      if (ownedCanonical)
+        recordIndexDirty(spark, parent.toString, affected.toSeq)
+    }
     val merged = existing
       .join(broadcast(lateDedup.select("series_id", "ts").distinct()),
         Seq("series_id", "ts"), "left_anti")
       .unionByName(lateDedup)
       .localCheckpoint()
     sortedPartitionWrite(merged, path, replaceOnlyWritten = true)
-    // a DATABASE's samples layout (an index catalog sits beside it):
-    // record the touched partitions so the staleness window is ALERTED
-    // (maintenanceTick / healthCheck `index_stale`) and scoped-remediable
-    // (IndexCatalog.rebuildScoped reads this record), not just documented
-    val parent = new org.apache.hadoop.fs.Path(path).getParent
-    if (parent != null && pathExists(spark,
-        s"$parent/indexes/${IndexCatalog.ManifestName}"))
-      recordIndexDirty(spark, parent.toString, affected.toSeq)
     affected.length
   }
 
@@ -1107,9 +1117,9 @@ object TsdbLayout {
       val lagging =
         if (!pathExists(spark,
             s"$dir/indexes/${IndexCatalog.ManifestName}")) 0L
-        else IndexCatalog.freshness(spark, s"$dir/indexes")
-          .count(f => !f.owned &&
-            f.lastNs.getOrElse(Long.MinValue) < now - maxIndexLagNs)
+        else IndexCatalog.freshness(spark, s"$dir/indexes",
+            adoptedOnly = true)
+          .count(_.lastNs.getOrElse(Long.MinValue) < now - maxIndexLagNs)
           .toLong
       counts += ("index_lagging" -> lagging)
     }

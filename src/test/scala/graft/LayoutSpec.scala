@@ -416,6 +416,28 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(TsdbLayout.upsertSamples(spark, s"$bare/samples", late,
       ctx.series) === 1)
     assert(TsdbLayout.indexDirtyPairs(spark, bare).isEmpty)
+
+    // ...and neither does one whose catalog holds no canonical OWNED
+    // entry (adopted-only / empty manifest): a pair no rebuild could
+    // ever clear would be a permanent false index_stale alert
+    val adoptedOnly = java.nio.file.Files
+      .createTempDirectory("graft_adonly").toString
+    TsdbLayout.writeDatabase(ctx, adoptedOnly) // zero registered indexes
+    assert(TsdbLayout.upsertSamples(spark, s"$adoptedOnly/samples", late,
+      ctx.series) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, adoptedOnly).isEmpty,
+      "no canonical owned entry → nothing can go stale → no record")
+
+    // a record stranded by retiring/marking every owned entry AFTER it
+    // was written clears on the next rebuild instead of alerting forever
+    TsdbLayout.clearIndexDirty(spark, db)
+    correct(10)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).nonEmpty)
+    graft.model.IndexCatalog.markNoncanonical(s"$db/indexes", 0)
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db,
+      skipNoncanonical = true) === 0)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty,
+      "nothing rebuildable → the pending pairs clear, not alert forever")
   }
 
   test("healthCheck: one merged frame, all-clean first, then each alert fires") {
