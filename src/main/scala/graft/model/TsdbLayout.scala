@@ -656,6 +656,13 @@ object TsdbLayout {
       .sortBy(_._1)
   }
 
+  /** Numbering is derived from the LIVE roots: it continues past
+    * retired epochs while any sibling root exists, and restarts at e1
+    * once the whole family is retired — the same reuse contract as
+    * the legacy root taking every epoch at its one path. Safe because
+    * the root DIRECTORY is the identity (retire requires it to exist
+    * and verifies its content), so a reused number can never alias a
+    * dropped root. */
   private def nextEpochRoot(spark: SparkSession, dir: String,
       base: String): String = {
     val next = epochRoots(spark, dir, base).map(_._1).maxOption

@@ -2204,4 +2204,98 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Seq(("x", 1L, 1.0)).toDF("user", "ts", "value")
         .withColumn("metric", lit("m")),
       "metric", Seq("user"), "ts", "value")
+
+  test("epoch roots on the events AND catalog halves: union reads, per-epoch retire, sibling-copy rule") {
+    // the zero-downtime scheme must hold on all three root families;
+    // this drives the LOG half and the catalog through two epochs —
+    // including the catalog's sibling-copy rule: a registration whose
+    // only UNFOLDED copy lives in the retiring root refuses, but one a
+    // sibling live epoch also carries (a re-seen series re-registers
+    // per epoch) releases the older root without a fold
+    val db = java.nio.file.Files.createTempDirectory("graft_evepoch").toString
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 48).map(i => ("x", i.toLong * h, i / 3.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("!m")),
+      "metric", Seq("user"), "ts", "value")
+    val xId = ctx.series.select("series_id").head().getLong(0)
+    val batchEvents = (0 until 48).map(i => (xId, i.toLong * h, s"b$i"))
+    graft.model.TsdbLayout.writeDatabase(
+      ctx.copy(events = batchEvents.toDF("series_id", "ts", "body")), db)
+
+    def runEpoch(tag: String, rows: Seq[(String, Long, String)]): Unit = {
+      val in = s"$db/in_$tag"; new java.io.File(in).mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/a.txt"),
+        rows.map { case (n, ts, b) => s"$n;$ts;$b" }.mkString("\n").getBytes)
+      def named() = spark.readStream.format("text").load(in)
+        .selectExpr("split(value, ';')[0] AS name",
+          "CAST(split(value, ';')[1] AS LONG) AS ts",
+          "split(value, ';')[2] AS body")
+      val evRoot = graft.model.TsdbLayout.nextEventsIngestRoot(spark, db)
+      val catRoot = graft.model.TsdbLayout.nextCatalogIngestRoot(spark, db)
+      assert(evRoot.endsWith(s"events_l0_$tag") &&
+        catRoot.endsWith(s"catalog_l0_$tag"))
+      val f = TsdbStream.namedEventsIngest(named(), evRoot, s"$db/f_$tag")
+      val c = TsdbStream.catalogIngest(named(), catRoot, s"$db/c_$tag")
+      try { f.processAllAvailable(); c.processAllAvailable() }
+      finally { f.stop(); c.stop() }
+    }
+    // epoch 1: hours 48-95 of x AND the never-seen y; compacted whole
+    val e1Rows = (48 until 96).flatMap(i => Seq(
+      ("!m user=x", i.toLong * h, s"x$i"), ("!m user=y", i.toLong * h, s"y$i")))
+    runEpoch("e1", e1Rows)
+    graft.model.TsdbLayout.compactEventsL0(spark, db, 96 * h)
+    // epoch 2: hours 96-119, BOTH series re-seen (fresh dedup state →
+    // both re-register into catalog_l0_e2 — the sibling copies)
+    val e2Rows = (96 until 120).flatMap(i => Seq(
+      ("!m user=x", i.toLong * h, s"x$i"), ("!m user=y", i.toLong * h, s"y$i")))
+    runEpoch("e2", e2Rows)
+
+    def servedBodies(): Seq[(String, Long, String)] =
+      new graft.engine.Engine(
+          graft.model.TsdbLayout.openDatabase(spark, db))
+        .execute(s"""{"select-events": "!m", "range": {"from": 0, "to": ${120 * h}}}""")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sorted
+    val expected = (batchEvents.map { case (_, ts, b) => ("!m user=x", ts, b) }
+      ++ e1Rows ++ e2Rows).sorted
+    assert(servedBodies() === expected,
+      "batch + compacted epoch 1 + live epoch 2 through one union read")
+
+    // catalog epoch 1 retires WITHOUT a fold: its registrations'
+    // copies live in the sibling epoch-2 root (re-registration)
+    assert(graft.model.TsdbLayout.retireCatalogIngestEpoch(spark, db, 1,
+      checkpoint = Some(s"$db/c_e1")))
+    assert(!new java.io.File(s"$db/catalog_l0_e1").exists())
+    // the live events epoch refuses; the drained one retires
+    val eLive = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireEventsIngestEpoch(spark, db, 2))
+    assert(eLive.getMessage.contains("uncompacted"))
+    assert(graft.model.TsdbLayout.retireEventsIngestEpoch(spark, db, 1,
+      checkpoint = Some(s"$db/f_e1")))
+    assert(servedBodies() === expected,
+      "per-epoch rotation must never change answers")
+
+    // epoch 2's catalog root holds the ONLY copies now: retire refuses
+    // until the fold moves them to the persisted catalog
+    val eOnly = intercept[IllegalArgumentException](
+      graft.model.TsdbLayout.retireCatalogIngestEpoch(spark, db, 2))
+    assert(eOnly.getMessage.contains("unfolded"))
+    assert(graft.model.TsdbLayout.foldCatalogL0(spark, db) === 1L,
+      "fold is new-only: x was persisted, y is the one new registration")
+    assert(graft.model.TsdbLayout.retireCatalogIngestEpoch(spark, db, 2,
+      checkpoint = Some(s"$db/c_e2")))
+    assert(servedBodies() === expected,
+      "fold + full catalog rotation must not change answers")
+    // numbering continues past retired epochs while any sibling root
+    // lives (events: e2 still present → e3); with the whole family
+    // retired it restarts at e1 — same as the legacy root reusing its
+    // one path per epoch: the root DIRECTORY is the identity, retire
+    // requires it to exist, so a reused number cannot alias a dead one
+    assert(graft.model.TsdbLayout.nextEventsIngestRoot(spark, db)
+      .endsWith("events_l0_e3"))
+    assert(graft.model.TsdbLayout.nextCatalogIngestRoot(spark, db)
+      .endsWith("catalog_l0_e1"))
+  }
 }
