@@ -1392,6 +1392,34 @@ object EntryUtil {
       new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
     })
 
+  private val expiredDbEngines = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Engine]
+
+  /** Memoized engine over a DATABASE whose retention ran with an owned
+    * hourly rollup registered: `TsdbLayout.expire` dropped every fact
+    * day before [[ExpireCutoffNs]] AND the rollup's matching `__day`
+    * storage partitions in the same call (hour bins never straddle
+    * days, so the drop is the same exact metadata operation) — the
+    * reopened database's index-served statements cannot resurrect
+    * expired data. Gated by `ts_expire_index_heal`, whose oracle
+    * applies the cutoff as a raw-table predicate: equality IS the
+    * serving-path consistency. */
+  def engineExpiredDbFor(spark: SparkSession, dir: String): Engine =
+    expiredDbEngines.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val db = scratchDir("graft_expired_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        rollups = Seq(hourNs ->
+          graft.engine.Rollup.build(ctx.samples, hourNs))), db)
+      require(graft.model.TsdbLayout.expire(spark, s"$db/samples",
+        ExpireCutoffNs) >= 1, "the cutoff expires at least one day")
+      require(graft.model.TsdbLayout.indexDirtyPairs(spark, db).isEmpty,
+        "hourly bins drop exactly with the facts — nothing to record")
+      val opened = graft.model.TsdbLayout.openDatabase(spark, db)
+      new Engine(opened.copy(series = opened.series.cache()))
+    })
+
   private val healthChecks = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 

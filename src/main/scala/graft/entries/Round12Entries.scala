@@ -64,7 +64,23 @@ object Round12Entries {
     // maintainer stalled at the split (lagging far beyond the 1-day
     // allowance), nothing straggling. Oracle: each count derived from
     // the raw table
-    "ts_health_check" -> ((s, dir) => EntryUtil.healthCheckFor(s, dir)))
+    "ts_health_check" -> ((s, dir) => EntryUtil.healthCheckFor(s, dir)),
+
+    // RETENTION REACHES THE INDEXES: serving guards are
+    // alignment/density-based, so before this round a rollup kept
+    // serving bins whose facts expire dropped — index-served and
+    // raw-scan answers diverging by serving path. expire now drops the
+    // owned rollup's aged __day partitions in the same call (hour bins
+    // never straddle days → the same exact metadata operation as the
+    // fact side), and this aligned day-step statement over the
+    // reopened database must equal the raw table WITH the cutoff as a
+    // predicate — served bins cannot resurrect expired data
+    "ts_expire_index_heal" -> ((s, dir) =>
+      EntryUtil.usView(EntryUtil.engineExpiredDbFor(s, dir).execute(
+        s"""{"group-aggregate": {"metric": "purchase", "step": "1d",
+                                 "func": ["max", "cnt"]},
+             "range": {"from": "${EntryUtil.FromIso}", "to": "${EntryUtil.ToIso}"}}"""),
+        valueCols = Seq("max", "cnt"))))
 
   lazy val oracle: Map[String, String] = Map(
     // scoped == full: one oracle for both remedies
@@ -117,5 +133,19 @@ object Round12Entries {
                 AND epoch_ns(ts) < ${EntryUtil.UpsertHiNs}))
             UNION ALL
             SELECT 'samples_stragglers', 'ok', CAST(0 AS BIGINT)
-          ) ORDER BY component""")
+          ) ORDER BY component""",
+    // the healed index serves exactly the surviving days: the cutoff
+    // as a raw predicate, day bins anchored at the range start
+    "ts_expire_index_heal" ->
+      s"""SELECT concat('purchase:max|purchase:cnt user=',
+                        CAST(user_id AS VARCHAR)) AS series,
+            (${EntryUtil.FromNs} + ((epoch_ns(ts) - ${EntryUtil.FromNs})
+               // 86400000000000) * 86400000000000) // 1000 AS ts_us,
+            round(max(value), 6) AS "max",
+            CAST(count(value) AS DOUBLE) AS cnt
+          FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_ns(ts) >= ${EntryUtil.ExpireCutoffNs}
+            AND epoch_ns(ts) < ${EntryUtil.ToNs}
+          GROUP BY user_id, ts_us ORDER BY series, ts_us""")
 }

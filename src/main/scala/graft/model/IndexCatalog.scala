@@ -734,6 +734,71 @@ object IndexCatalog {
   private[graft] def binIntervalsOf(days: Seq[Long], w: Long): Seq[(Long, Long)] =
     binIntervals(days, w)
 
+  /** Retention's index half, called by [[graft.model.TsdbLayout
+    * .expire]]: for every OWNED CANONICAL entry, drop the aged bins
+    * the fact expiry just orphaned. Binned families whose window
+    * divides a day (no bin straddles a day boundary) drop their
+    * `__day < cutoffDay` storage partitions — the same metadata-only
+    * directory delete the fact side used, exact by construction.
+    * Everything else cannot be healed by a partition drop: a window
+    * that straddles days (weekly rollups — the boundary bin holds
+    * surviving facts too), flat legacy storage (no partitions to
+    * drop), and snapshot families whose registered build range
+    * intersects the expired days (a median over partly-vanished facts
+    * must re-derive whole). For those this returns true and the
+    * caller records the dropped (metric, day) set — the standing
+    * `index_stale` alert then drives [[rebuildScoped]], which
+    * re-derives the affected bins over the SURVIVING facts (bins
+    * whose facts vanished entirely come out removed: kept excludes
+    * them, the recompute finds nothing). Adopted and non-canonical
+    * entries are never touched.
+    *
+    * @return true when at least one owned canonical entry needs the
+    *         dirty-record path instead of the partition drop. */
+  private[model] def expireBins(spark: SparkSession, dbDir: String,
+      cutoffDay: Long): Boolean = {
+    val dir = s"$dbDir/indexes"
+    val owned = parseManifest(dir).entries
+      .filter(e => e.owned && e.canonical)
+    var unremovable = false
+    owned.foreach { e =>
+      val idxDir = Paths.get(dir).resolve(e.path)
+      timeColOf(e.kind) match {
+        case Some(_)
+            if e.windowNs.exists(w => w > 0 && NsPerDay % w == 0) =>
+          val parts =
+            if (!Files.isDirectory(idxDir)) Nil
+            else {
+              val ls = Files.list(idxDir)
+              try ls.iterator().asScala.toSeq finally ls.close()
+            }
+          val dayDirs = parts.filter(
+            _.getFileName.toString.startsWith(DayCol + "="))
+          if (dayDirs.isEmpty) unremovable = true // flat legacy storage
+          else {
+            val (aged, surviving) = dayDirs.partition(
+              _.getFileName.toString.stripPrefix(DayCol + "=")
+                .toLongOption.exists(_ < cutoffDay))
+            // whole-index expiry cannot arise through expire (it
+            // refuses to empty the fact layout, and the index covers
+            // the fact days) — defensively route it through the
+            // record instead of leaving an unreadable footer-less dir
+            if (surviving.isEmpty && aged.nonEmpty) unremovable = true
+            else aged.foreach { p =>
+              val walk = Files.walk(p)
+              try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                .foreach(f => Files.deleteIfExists(f))
+              finally walk.close()
+            }
+          }
+        case Some(_) => unremovable = true // bins straddle days
+        case None => // snapshot kinds: re-derive iff range intersects
+          if (e.fromNs.exists(_ < cutoffDay * NsPerDay)) unremovable = true
+      }
+    }
+    unremovable
+  }
+
   /** Rebuild only the index bins a correction TOUCHED — the
     * partition-scoped form of [[rebuild]], and the reason an upsert at
     * 100 TB does not cost six full-history scans: the fact read is

@@ -451,21 +451,61 @@ object TsdbLayout {
     * volumes. Walks the layout through the path's Hadoop FileSystem —
     * the same resolution the tier metadata uses, so retention on an
     * HDFS/S3A database works like a local one. Returns the number of
-    * partition directories removed. */
+    * partition directories removed.
+    *
+    * RETENTION REACHES THE INDEXES: owned index frames hold bins for
+    * the days being dropped, and the serving guards are
+    * alignment/density-based — without healing, an index-served
+    * statement would keep answering from EXPIRED data while the raw
+    * scan returns nothing (answers differing by serving path, the one
+    * thing the serving regimes must never do). When `path` is a
+    * database's `samples` layout with an index catalog beside it,
+    * expiry therefore heals the owned canonical entries in the same
+    * call ([[IndexCatalog.expireBins]]): binned families whose window
+    * divides a day drop their aged `__day` storage partitions — the
+    * SAME metadata-only operation, exact because no bin straddles a
+    * day — and everything else (windows that straddle days, flat
+    * legacy storage, snapshot families whose build range intersects)
+    * is recorded to [[IndexDirtyName]], where the standing
+    * `index_stale` alert drives [[IndexCatalog.rebuildScoped]] to
+    * re-derive the affected bins over the surviving facts. Adopted
+    * entries stay their maintainer's business, and non-canonical
+    * frames are never touched ([[IndexCatalog.markNoncanonical]]). */
   def expire(spark: SparkSession, path: String, cutoffNs: Long): Int = {
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val (f, root) = hfs(spark, path)
     if (!f.exists(root)) return 0
-    f.listStatus(root).toSeq
+    val all = f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("metric="))
       .flatMap { md =>
-        f.listStatus(md.getPath).toSeq.filter { st =>
-          st.isDirectory && st.getPath.getName.startsWith("ts_day=") &&
-            st.getPath.getName.stripPrefix("ts_day=").toLongOption
-              .exists(_ < cutoffDay)
+        val metric = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(md.getPath.getName.stripPrefix("metric="))
+        f.listStatus(md.getPath).toSeq.flatMap { st =>
+          st.getPath.getName.stripPrefix("ts_day=").toLongOption
+            .filter(_ => st.isDirectory &&
+              st.getPath.getName.startsWith("ts_day="))
+            .map(d => (metric, d, st.getPath))
         }
       }
-      .map { st => f.delete(st.getPath, true); 1 }.sum
+    val (aged, surviving) = all.partition(_._2 < cutoffDay)
+    // retention may not EMPTY the layout: a partition-less parquet root
+    // is unreadable (no footer anywhere), so a cutoff past the newest
+    // data would turn the database into a loud read failure wearing a
+    // retention hat — deleting everything is "drop the database", a
+    // deliberate act, not a cron's cutoff arithmetic
+    require(aged.isEmpty || surviving.nonEmpty,
+      s"expire: cutoff day $cutoffDay would drop every partition of " +
+        s"$path — retention may not empty a layout; delete the " +
+        s"database deliberately instead")
+    val dropped = aged.map { case (m, d, p) => f.delete(p, true); (m, d) }
+    val parent = root.getParent
+    if (dropped.nonEmpty && root.getName == "samples" && parent != null &&
+        pathExists(spark, s"$parent/indexes/${IndexCatalog.ManifestName}")) {
+      val unremovable = IndexCatalog.expireBins(spark, parent.toString,
+        cutoffDay)
+      if (unremovable) recordIndexDirty(spark, parent.toString, dropped)
+    }
+    dropped.size
   }
 
   /** Write a DataFrame as a bucketed + sorted table on `series_id`: joins

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Engine
@@ -439,6 +441,87 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty,
       "nothing rebuildable → the pending pairs clear, not alert forever")
   }
+
+  test("retention reaches the indexes: expire drops aged bins; what it can't drop, the staleness loop heals") {
+    // the gap: serving guards are alignment/density-based, so a rollup
+    // over EXPIRED days would keep serving bins whose facts are gone —
+    // index-served and raw-scan answers diverging by serving path.
+    // expire now heals in the same call: day-divisible windows drop
+    // aged __day partitions (metadata, exact), snapshot families
+    // record into the staleness loop
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val allRows = (0 until 96).map(i => ("x", i.toLong * h, i / 3.0))
+    val ctx = ctxOf(allRows)
+    val named = ctx.samples
+      .join(ctx.series.select(col("series_id"), col("name")), "series_id")
+    val db = java.nio.file.Files.createTempDirectory("graft_exp_idx").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h)),
+      madIndexes = Seq(graft.model.MadIndexDef(0L, 96 * h,
+        graft.ops.Monitoring.madIndex(
+          named.select(col("name"), col("value")), "name")))), db)
+
+    assert(TsdbLayout.expire(spark, s"$db/samples", 48 * h) === 2)
+    // the rollup's aged __day partitions dropped with the facts
+    val rollDir = java.nio.file.Paths.get(db, "indexes", "idx_0_rollup")
+    def days(): Set[String] = {
+      val ls = java.nio.file.Files.list(rollDir)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__day=")).toSet
+      finally ls.close()
+    }
+    assert(days() === Set("__day=2", "__day=3"),
+      "days 0-1 of the 96h span expire from the index storage too " +
+        "(hour bins never straddle days, so the drop is exact)")
+
+    // the mad snapshot cannot be partition-dropped: recorded instead
+    assert(TsdbLayout.indexDirtyPairs(spark, db).toSet ===
+      Set(("m", 0L), ("m", 1L)))
+
+    // serving-path equality restored: the opened (healed) database's
+    // aligned statement equals an engine over the surviving facts
+    val survivors = ctxOf(allRows.filter(_._2 >= 48 * h))
+    val stmt = s"""{"group-aggregate": {"metric": "m", "step": "1h",
+                     "func": "max"}, "range": {"from": 0, "to": ${96 * h}}}"""
+    assert(new Engine(TsdbLayout.openDatabase(spark, db)).execute(stmt)
+        .collect().toSeq ===
+      new Engine(survivors).execute(stmt).collect().toSeq,
+      "an index-served statement must not resurrect expired data")
+
+    // the recorded half heals through the standing loop: the mad frame
+    // re-derives over the surviving facts, the rollup's already-healed
+    // pairs no-op, the record clears
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty)
+    val reopened = TsdbLayout.openDatabase(spark, db)
+    assert(rowsOf(reopened.madIndexes.head.index) === rowsOf(
+      graft.ops.Monitoring.madIndex(
+        survivors.samples
+          .join(survivors.series.select(col("series_id"), col("name")),
+            "series_id")
+          .select(col("name"), col("value")), "name")),
+      "the snapshot family re-derives over the surviving facts")
+
+    // retention may not EMPTY a layout: a cutoff past the newest data
+    // would leave footer-less parquet roots (facts AND index) — loud
+    // refusal, nothing deleted
+    val eAll = intercept[IllegalArgumentException](
+      TsdbLayout.expire(spark, s"$db/samples", 200 * h))
+    assert(eAll.getMessage.contains("empty a layout"))
+    assert(new Engine(TsdbLayout.openDatabase(spark, db)).execute(stmt)
+        .collect().toSeq ===
+      new Engine(survivors).execute(stmt).collect().toSeq,
+      "the refused expire must have deleted nothing")
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
 
   test("healthCheck: one merged frame, all-clean first, then each alert fires") {
     import spark.implicits._
