@@ -1100,11 +1100,23 @@ object TsdbLayout {
     * actions and unchanged counts for the standing alerts. Rotation
     * ([[retireIngestRoot]] family) stays a separate, deliberate act —
     * it is the one destructive step and no cron should own it.
+    *
+    * `healIndexes = true` adds the staleness REMEDY to the tick: after
+    * compaction and fold, [[IndexCatalog.rebuildScoped]] runs over the
+    * pending record (day-pruned, non-destructive — unlike rotation it
+    * belongs in a cron) and the summary gains an `index_healed` row
+    * (frames rewritten); `index_stale` then reports what remains
+    * PENDING after the heal — zero unless an upsert raced the tick, or
+    * a non-canonical owned entry refused (the one case the heal
+    * re-throws rather than silently skipping: the operator marked it,
+    * the operator decides). Default false: alert-only, remedy on the
+    * operator's terms.
+    *
     * [[healthCheck]] is the one-frame alert composition;
     * [[IndexCatalog.freshness]] and [[describeDatabase]] the
     * companion readouts for what a tick does not touch. */
   def maintenanceTick(spark: SparkSession, dir: String,
-      settledCutoffNs: Long): DataFrame = {
+      settledCutoffNs: Long, healIndexes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val rows = Seq(
@@ -1112,10 +1124,15 @@ object TsdbLayout {
         compactTier(spark, dir, SamplesTier, settledCutoffNs).toLong),
       Row("compact_events",
         compactTier(spark, dir, EventsTier, settledCutoffNs).toLong),
-      Row("fold_catalog", foldCatalogL0(spark, dir)),
-      Row("stragglers_samples", l0Stragglers(spark, dir).count()),
-      Row("stragglers_events", eventsL0Stragglers(spark, dir).count()),
-      Row("index_stale", indexDirtyPairs(spark, dir).size.toLong))
+      Row("fold_catalog", foldCatalogL0(spark, dir))) ++
+      (if (healIndexes)
+        Seq(Row("index_healed",
+          IndexCatalog.rebuildScoped(spark, dir).toLong))
+      else Nil) ++
+      Seq(
+        Row("stragglers_samples", l0Stragglers(spark, dir).count()),
+        Row("stragglers_events", eventsL0Stragglers(spark, dir).count()),
+        Row("index_stale", indexDirtyPairs(spark, dir).size.toLong))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("step", StringType),

@@ -442,6 +442,38 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       "nothing rebuildable → the pending pairs clear, not alert forever")
   }
 
+  test("maintenanceTick healIndexes: one cron call leaves a consistent database") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 48).map(i => ("x", i.toLong * h, 1.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
+    val db = java.nio.file.Files.createTempDirectory("graft_healtick").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    val late = ctx.samples.where(col("ts") === 10 * h)
+      .select(col("series_id"), col("ts"),
+        (col("value") + lit(1000.0)).as("value"))
+    assert(TsdbLayout.upsertSamples(spark, s"$db/samples", late,
+      ctx.series) === 1)
+    def tick(): Map[String, Long] =
+      TsdbLayout.maintenanceTick(spark, db, 0L, healIndexes = true)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = tick()
+    assert(first("index_healed") === 1L && first("index_stale") === 0L,
+      s"the healing tick rebuilds the touched bins and clears: $first")
+    // the correction serves from the index after ONE cron call
+    assert(new Engine(TsdbLayout.openDatabase(spark, db)).execute(
+        s"""{"group-aggregate": {"metric": "m", "step": "1h",
+             "func": "max"}, "range": {"from": 0, "to": ${48 * h}}}""")
+      .where(col("ts") === 10 * h).head().getAs[Double]("max") === 1001.0)
+    val second = tick()
+    assert(second("index_healed") === 0L && second("index_stale") === 0L,
+      s"idempotent: nothing pending, nothing rewritten: $second")
+  }
+
   test("retention reaches the indexes: expire drops aged bins; what it can't drop, the staleness loop heals") {
     // the gap: serving guards are alignment/density-based, so a rollup
     // over EXPIRED days would keep serving bins whose facts are gone —
