@@ -717,17 +717,22 @@ object IndexCatalog {
   /** The day-pruned fact slice covering exactly the affected bin
     * intervals — metric AND ts_day bound the scan's PARTITION filters
     * (PlanShapeSpec pins both reach the parquet scan), the ts bounds
-    * trim straddling row groups. Exposed for the plan pin; the slice
-    * is what keeps [[rebuildScoped]]'s fact read day-sized at 100 TB. */
+    * trim straddling row groups. Day bounds are RANGE predicates per
+    * merged interval, never per-day enumerations: a months-long
+    * correction (or a retention sweep routed through the record)
+    * stays O(intervals) in the plan, not O(days) — at 100 TB the
+    * predicate must not grow with the span it prunes. Exposed for the
+    * plan pin; the slice is what keeps [[rebuildScoped]]'s fact read
+    * day-sized. */
   private[graft] def scopedFactSlice(facts: DataFrame,
       ivs: Seq[(String, Seq[(Long, Long)])]): DataFrame =
     facts.where(ivs.map { case (m, vs) =>
-      val factDays = vs.flatMap { case (l, h) =>
-        Math.floorDiv(l, NsPerDay) to Math.floorDiv(h - 1, NsPerDay)
-      }.distinct
-      col("metric") === m && col("ts_day").isin(factDays: _*) &&
-        vs.map { case (l, h) => col("ts") >= l && col("ts") < h }
-          .reduce(_ || _)
+      col("metric") === m &&
+        vs.map { case (l, h) =>
+          col("ts_day").between(
+            Math.floorDiv(l, NsPerDay), Math.floorDiv(h - 1, NsPerDay)) &&
+            col("ts") >= l && col("ts") < h
+        }.reduce(_ || _)
     }.reduce(_ || _))
 
   /** Expose [[binIntervals]] for the plan/equality specs. */
@@ -885,11 +890,12 @@ object IndexCatalog {
           val w = e.windowNs.get
           val ivs: Seq[(String, Seq[(Long, Long)])] = effPairs.groupBy(_._1)
             .view.mapValues(ps => binIntervals(ps.map(_._2), w)).toSeq
-          // bin-start day partitions of the affected intervals (for
-          // index pruning + the dynamic overwrite) and the fact days
-          // covering the bins' full spans (for the fact read)
-          val partDays = ivs.flatMap(_._2).flatMap { case (l, h) =>
-            Math.floorDiv(l, NsPerDay) to Math.floorDiv(h - w, NsPerDay)
+          // bin-start day RANGES of the affected intervals (for index
+          // pruning + the dynamic overwrite) — range predicates per
+          // merged interval, O(intervals) in the plan like the fact
+          // slice, never a per-day enumeration
+          val partDayRanges = ivs.flatMap(_._2).map { case (l, h) =>
+            (Math.floorDiv(l, NsPerDay), Math.floorDiv(h - w, NsPerDay))
           }.distinct
           def hitPred(timeNs: Column): Column = ivs.map { case (m, vs) =>
             col("metric") === m &&
@@ -904,7 +910,10 @@ object IndexCatalog {
           // resolve metric through the broadcast catalog slice — a row
           // with no match is another metric's, kept verbatim.
           val scopedOld = (if (hasDayCol)
-              old.where(col(DayCol).isin(partDays: _*)).drop(DayCol)
+              old.where(partDayRanges
+                  .map { case (lo, hi) => col(DayCol).between(lo, hi) }
+                  .reduce(_ || _))
+                .drop(DayCol)
             else old)
           val kept = (if (e.kind == "kmv") scopedOld
               .where(!(col("metric").isin(metrics: _*) &&

@@ -241,6 +241,42 @@ object ContractProbe {
         graft.model.TsdbLayout.retireCatalogIngestRoot(spark, db)
     }
 
+    // ---- round-12 guards: staleness loop, canonical marker, retention
+    val db2 = java.nio.file.Files.createTempDirectory("graft_probe_db2").toString
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db2)
+    tryOp("upsert-records-dirty") {
+      val late = ctx.samples.where(col("ts") === 10 * h)
+        .select(col("series_id"), col("ts"),
+          (col("value") + lit(1.0)).as("value"))
+      graft.model.TsdbLayout.upsertSamples(spark, s"$db2/samples", late,
+        ctx.series)
+      graft.model.TsdbLayout.indexDirtyPairs(spark, db2).mkString(" ")
+    }
+    tryOp("healing-tick") {
+      graft.model.TsdbLayout.maintenanceTick(spark, db2, 0L,
+          healIndexes = true)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    }
+    tryOp("mark-noncanonical-unknown-pos") {
+      graft.model.IndexCatalog.markNoncanonical(s"$db2/indexes", 42)
+    }
+    tryOp("rebuild-refuses-noncanonical") {
+      graft.model.IndexCatalog.markNoncanonical(s"$db2/indexes", 0)
+      graft.model.IndexCatalog.rebuild(spark, db2)
+    }
+    tryOp("retire-absent-epoch-is-idempotent-false") {
+      graft.model.TsdbLayout.retireIngestEpoch(spark, db2, 7)
+    }
+    tryOp("expire-may-not-empty-layout") {
+      graft.model.TsdbLayout.expire(spark, s"$db2/samples", 999 * h)
+    }
+    tryOp("health-check") {
+      graft.model.TsdbLayout.healthCheck(spark, db2, nowNs = Some(48 * h))
+        .collect().map(r => s"${r.getString(0)}=${r.getString(1)}")
+        .mkString(" ")
+    }
+
     spark.stop()
   }
 }
