@@ -275,16 +275,16 @@ object IndexCatalog {
       case Some(_) =>
         val out = frame.withColumn(DayCol,
           graft.functions.VectorExpressions.longFloorDiv(timeNsCol(e), NsPerDay))
-        // BOTH modes pinned explicitly: a session-wide "dynamic"
-        // default would make the FULL rewrite keep stale day
+        // BOTH modes pinned explicitly, PER WRITE (the DataFrameWriter
+        // option, never a session-conf toggle — which would race any
+        // concurrent partitioned write in the session): a session-wide
+        // "dynamic" default would make the FULL rewrite keep stale day
         // partitions the new frame doesn't carry (e.g. a day whose
         // facts were deleted — exactly what full rebuild must heal)
-        val spark = frame.sparkSession
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.get(key, "static")
-        spark.conf.set(key, if (dynamicDays) "dynamic" else "static")
-        try out.write.partitionBy(DayCol).mode("overwrite").parquet(path)
-        finally spark.conf.set(key, prev)
+        out.write
+          .option("partitionOverwriteMode",
+            if (dynamicDays) "dynamic" else "static")
+          .partitionBy(DayCol).mode("overwrite").parquet(path)
     }
   }
 
@@ -831,9 +831,14 @@ object IndexCatalog {
     * pairs handled are cleared from that record on success, so
     * `maintenanceTick`'s `index_stale` alert drops to zero exactly
     * when every canonical owned frame serves the corrections.
-    * Assumes corrections, not deletions: a day whose rows were
-    * entirely removed from the facts needs [[rebuild]] (the scoped
-    * merge would keep its old bins). Same non-canonical policy,
+    * DELETIONS heal too, as long as they are in the touched set: a
+    * touched bin whose facts vanished (retention routed through the
+    * record, a recorded manual purge) comes out REMOVED — kept
+    * excludes it, the recompute finds nothing, and the partition
+    * delete below reclaims day partitions the output no longer
+    * carries. Only an UNRECORDED fact removal (manual surgery that
+    * never touched the record) still needs [[rebuild]] or an explicit
+    * `touched` set naming it. Same non-canonical policy,
     * [[graft.model.TsdbLayout.openFacts]] snapshot-consistency and
     * crash-idempotence (re-run IS the recovery) as [[rebuild]].
     *
@@ -842,10 +847,18 @@ object IndexCatalog {
       touched: Option[Seq[(String, Long)]] = None,
       skipNoncanonical: Boolean = false): Int = {
     val dir = s"$dbDir/indexes"
-    val canon = canonicalOwned(dir, skipNoncanonical)
+    // pairs first, manifest second: a database with NO index catalog
+    // at all (stream-assembled, never writeDatabase'd) must make a
+    // healing maintenanceTick a clean zero, not a manifest-not-found
+    // crash after the tick already paid its compaction work
     val pairs = touched.getOrElse(TsdbLayout.indexDirtyPairs(spark, dbDir))
       .distinct
     if (pairs.isEmpty) return 0
+    if (!Files.isRegularFile(Paths.get(dir).resolve(ManifestName))) {
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+      return 0
+    }
+    val canon = canonicalOwned(dir, skipNoncanonical)
     if (canon.isEmpty) {
       // nothing rebuildable: with no canonical owned entry the record
       // can owe nothing (a frame appended later derives from
@@ -928,16 +941,55 @@ object IndexCatalog {
           // the very directory being rewritten (the upsert discipline);
           // bounded by the touched slice, never the index
           val out = kept.unionByName(fresh).localCheckpoint()
-          // a touched set matching no index rows and no facts is a
-          // NO-OP on partitioned storage (nothing to overwrite — and
-          // it must never degrade to a whole-index replace); a flat
-          // legacy index has no partitions to scope: one static
-          // whole-directory rewrite (upgrading it), else dynamic
-          // overwrite of only the touched day partitions
-          if (hasDayCol && out.isEmpty) ()
-          else {
-            writeOwned(dir, e, out, dynamicDays = hasDayCol)
+          if (!hasDayCol) {
+            // flat legacy index: one static whole-directory rewrite
+            // (upgrading it to partitioned — or to a readable empty
+            // flat frame when everything vanished)
+            writeOwned(dir, e, out, dynamicDays = false)
             n += 1
+          } else {
+            // dynamic overwrite only replaces partitions the output
+            // CARRIES — a touched partition whose bins all VANISHED
+            // (their facts expired/deleted) emits no rows and would
+            // silently keep its stale files, serving data the layout
+            // no longer holds. So: write the partitions that exist,
+            // then DELETE touched partitions absent from the output;
+            // if that would empty the index entirely, replace it with
+            // a readable empty flat frame instead (a no-partition
+            // parquet root has no footer to read). Touched-but-absent
+            // on BOTH sides (no rows before or after) is the no-op.
+            val outDays = out.select(graft.functions.VectorExpressions
+                .longFloorDiv(timeNsCol(e), NsPerDay).as("__d"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val idxDirPath = Paths.get(idxPath)
+            val dayDirs: Seq[(Long, java.nio.file.Path)] = {
+              val ls = Files.list(idxDirPath)
+              try ls.iterator().asScala.toSeq finally ls.close()
+            }.flatMap { p =>
+              val name = p.getFileName.toString
+              if (name.startsWith(DayCol + "="))
+                name.stripPrefix(DayCol + "=").toLongOption.map(_ -> p)
+              else None
+            }
+            val stale = dayDirs.filter { case (d, _) =>
+              !outDays(d) &&
+                partDayRanges.exists { case (lo, hi) => d >= lo && d <= hi }
+            }
+            if (outDays.isEmpty && stale.nonEmpty &&
+                stale.size == dayDirs.size) {
+              out.write.mode("overwrite").parquet(idxPath)
+              n += 1
+            } else {
+              if (outDays.nonEmpty)
+                writeOwned(dir, e, out, dynamicDays = true)
+              stale.foreach { case (_, p) =>
+                val walk = Files.walk(p)
+                try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+                  .foreach(f => Files.deleteIfExists(f))
+                finally walk.close()
+              }
+              if (outDays.nonEmpty || stale.nonEmpty) n += 1
+            }
           }
       }
     }

@@ -124,25 +124,43 @@ object TsdbLayout {
 
   // ------------------------------------ upsert-touched index record
 
-  /** JSON-lines record of (metric, ts_day) partitions an upsert
-    * corrected since the last index rebuild — the standing evidence
-    * behind the `index_stale` alert ([[maintenanceTick]] /
-    * [[healthCheck]]) and the scope
+  /** DIRECTORY of immutable JSON-lines pair files recording the
+    * (metric, ts_day) partitions corrections touched since the last
+    * index rebuild — the standing evidence behind the `index_stale`
+    * alert ([[maintenanceTick]] / [[healthCheck]]) and the scope
     * [[IndexCatalog.rebuildScoped]] reads when called without an
     * explicit set. Lives beside the watermark files in the database
-    * directory; absent = nothing pending. */
+    * directory; absent = nothing pending.
+    *
+    * Every RECORDER (upsert, expire) CREATES a new uniquely-named
+    * file and never modifies an existing one; CLEARS shrink or delete
+    * existing files only. An upsert recording while a long rebuild
+    * runs therefore cannot be lost to the rebuild's completion clear
+    * — its file is simply not among those the clear shrinks, so its
+    * pairs STAY pending (at worst a pair the rebuild's snapshot
+    * already served re-reports once, and the next scoped rebuild
+    * no-ops it — a false positive, never a false green). Concurrent
+    * CLEARS remain the single-maintenance-writer discipline every
+    * lifecycle mutation here assumes. */
   val IndexDirtyName = "index_dirty"
 
   private val dirtyMapper = new com.fasterxml.jackson.databind.ObjectMapper
 
-  /** The pending upsert-touched (metric, ts_day) set — empty when no
-    * correction has landed since the last rebuild. Driver-side
-    * metadata read (the record is pair-count-sized; late batches touch
-    * hours-to-days, not history). */
-  def indexDirtyPairs(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+  /** The record's files — or the path itself when a pre-directory
+    * single-file record is still in place (read/shrink it as one). */
+  private def dirtyFiles(spark: SparkSession,
+      dir: String): Seq[org.apache.hadoop.fs.Path] = {
     val (f, hp) = hfs(spark, s"$dir/$IndexDirtyName")
-    if (!f.exists(hp)) return Nil
-    val in = f.open(hp)
+    if (!f.exists(hp)) Nil
+    else if (f.getFileStatus(hp).isFile) Seq(hp)
+    else f.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.endsWith(".tmp"))
+  }
+
+  private def readDirtyFile(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+    val (f, _) = hfs(spark, p.toString)
+    val in = f.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -154,46 +172,80 @@ object TsdbLayout {
     }.toSeq
   }
 
-  /** Single-writer rewrite of the dirty record (temp + atomic rename,
-    * the watermark discipline). Empty set deletes the file. */
-  private def writeIndexDirty(spark: SparkSession, dir: String,
-      pairs: Seq[(String, Long)]): Unit = {
-    if (pairs.isEmpty) {
-      deleteRecursive(spark, s"$dir/$IndexDirtyName"); return
-    }
-    val lines = pairs.sortBy(p => (p._1, p._2)).map { case (m, d) =>
+  private def pairLines(pairs: Seq[(String, Long)]): Array[Byte] =
+    pairs.sortBy(p => (p._1, p._2)).map { case (m, d) =>
       val n = dirtyMapper.createObjectNode()
       n.put("metric", m); n.put("ts_day", d)
       dirtyMapper.writeValueAsString(n)
-    }
-    val (f, tmp) = hfs(spark, s"$dir/$IndexDirtyName.tmp")
-    val out = f.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/$IndexDirtyName"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The pending touched (metric, ts_day) set — empty when no
+    * correction has landed since the last rebuild. Driver-side
+    * metadata read (the record is pair-count-sized; late batches touch
+    * hours-to-days, not history). */
+  def indexDirtyPairs(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    dirtyFiles(spark, dir).flatMap(readDirtyFile(spark, _)).distinct
+
+  /** Append one recorder's pairs as a NEW immutable file. */
+  private def recordIndexDirty(spark: SparkSession, dir: String,
+      pairs: Seq[(String, Long)]): Unit = {
+    if (pairs.isEmpty) return
+    val root = s"$dir/$IndexDirtyName"
+    val (f, hp) = hfs(spark, root)
+    if (f.exists(hp) && f.getFileStatus(hp).isFile) {
+      // migrate a pre-directory single-file record in passing: its
+      // pairs become the first file of the directory form
+      val legacy = readDirtyFile(spark, hp)
+      f.delete(hp, false)
+      f.mkdirs(hp)
+      writeDirtyMember(spark, root, legacy)
+    } else f.mkdirs(hp)
+    writeDirtyMember(spark, root, pairs.distinct)
   }
 
-  private def recordIndexDirty(spark: SparkSession, dir: String,
-      pairs: Seq[(String, Long)]): Unit =
-    writeIndexDirty(spark, dir,
-      (indexDirtyPairs(spark, dir) ++ pairs).distinct)
+  private def writeDirtyMember(spark: SparkSession, root: String,
+      pairs: Seq[(String, Long)]): Unit = {
+    if (pairs.isEmpty) return
+    val (f, _) = hfs(spark, root)
+    val p = new org.apache.hadoop.fs.Path(
+      s"$root/p_${java.util.UUID.randomUUID().toString}")
+    val out = f.create(p, false)
+    try out.write(pairLines(pairs)) finally out.close()
+  }
 
   /** Drop the whole pending record — a FULL [[IndexCatalog.rebuild]]
-    * re-derived every canonical owned frame from the corrected facts. */
+    * re-derived every canonical owned frame from the corrected facts.
+    * (The full rebuild still clears only the pairs it read — see its
+    * scaladoc — so this whole-record drop is for operators.) */
   def clearIndexDirty(spark: SparkSession, dir: String): Unit =
     deleteRecursive(spark, s"$dir/$IndexDirtyName")
 
-  /** Drop exactly `pairs` from the pending record — the
-    * [[IndexCatalog.rebuildScoped]] completion hook; pairs recorded by
-    * a concurrent upsert in the meantime stay pending. */
+  /** Drop exactly `pairs` from the pending record — the rebuilds'
+    * completion hook: each existing file shrinks (temp + atomic
+    * rename) or deletes; files CREATED meanwhile by a concurrent
+    * recorder are untouched, so their pairs stay pending. */
   def clearIndexDirty(spark: SparkSession, dir: String,
       pairs: Seq[(String, Long)]): Unit = {
-    val remaining = indexDirtyPairs(spark, dir).filterNot(pairs.toSet)
-    writeIndexDirty(spark, dir, remaining)
+    val drop = pairs.toSet
+    dirtyFiles(spark, dir).foreach { p =>
+      val remaining = readDirtyFile(spark, p).filterNot(drop)
+      val (f, _) = hfs(spark, p.toString)
+      if (remaining.isEmpty) f.delete(p, false)
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+        val out = f.create(tmp, true)
+        try out.write(pairLines(remaining)) finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
+    // a fully-drained directory disappears (absent = nothing pending)
+    val (f, hp) = hfs(spark, s"$dir/$IndexDirtyName")
+    if (f.exists(hp) && !f.getFileStatus(hp).isFile &&
+        f.listStatus(hp).isEmpty)
+      f.delete(hp, true)
   }
 
   // ------------------------------------------------------------- writes
@@ -429,20 +481,18 @@ object TsdbLayout {
     * (the full [[writeSamples]]/[[writeEvents]] loads). One helper so
     * the sort key and overwrite mode can never drift between callers. */
   private def sortedPartitionWrite(df: DataFrame, path: String,
-      replaceOnlyWritten: Boolean): Unit = {
-    def write(): Unit = df
-      .repartition(col("metric"), col("ts_day"))
-      .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
-      .write.partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
-    if (!replaceOnlyWritten) write()
-    else {
-      val spark = df.sparkSession
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(key, "static")
-      spark.conf.set(key, "dynamic")
-      try write() finally spark.conf.set(key, prev)
-    }
-  }
+      replaceOnlyWritten: Boolean): Unit = df
+    .repartition(col("metric"), col("ts_day"))
+    .sortWithinPartitions(col("metric"), col("ts_day"), col("series_id"), col("ts"))
+    .write
+    // the PER-WRITE DataFrameWriter option, never a session-conf
+    // toggle: a toggle races any concurrent partitioned write in the
+    // same session (one of the two then runs under the wrong mode —
+    // a full load under "dynamic" keeps stale partitions, a slice
+    // rewrite under "static" wipes unwritten ones)
+    .option("partitionOverwriteMode",
+      if (replaceOnlyWritten) "dynamic" else "static")
+    .partitionBy("metric", "ts_day").mode("overwrite").parquet(path)
 
   /** Time-based retention: drop every `ts_day` partition directory older
     * than `cutoffNs`. Deleting whole directories is the point of the
@@ -498,8 +548,14 @@ object TsdbLayout {
         s"$path — retention may not empty a layout; delete the " +
         s"database deliberately instead")
     val dropped = aged.map { case (m, d, p) => f.delete(p, true); (m, d) }
+    // heal whenever an index catalog sits beside the layout — the same
+    // gate the upsert's dirty recording uses, so a custom-named samples
+    // layout can't record staleness on correction but skip it on
+    // retention. Only the EVENTS half is excluded: indexes derive from
+    // the samples facts, so expiring the log must not touch them
     val parent = root.getParent
-    if (dropped.nonEmpty && root.getName == "samples" && parent != null &&
+    if (dropped.nonEmpty && root.getName != EventsTier.batchSub &&
+        parent != null &&
         pathExists(spark, s"$parent/indexes/${IndexCatalog.ManifestName}")) {
       val unremovable = IndexCatalog.expireBins(spark, parent.toString,
         cutoffDay)
@@ -685,13 +741,12 @@ object TsdbLayout {
       .map(_.getPath.getName)
       .flatMap { n =>
         if (n == base) Some(0L -> s"$dir/$n")
-        else {
-          val suffix = n.stripPrefix(base + "_e")
-          if (n.startsWith(base + "_e") && suffix.nonEmpty &&
-              suffix.forall(_.isDigit))
-            Some(suffix.toLong -> s"$dir/$n")
-          else None
-        }
+        else if (n.startsWith(base + "_e"))
+          // toLongOption, not toLong: a stray digits-only directory
+          // beyond Long range must be ignored, not brick every read
+          n.stripPrefix(base + "_e").toLongOption.filter(_ >= 0)
+            .map(_ -> s"$dir/$n")
+        else None
       }
       .sortBy(_._1)
   }

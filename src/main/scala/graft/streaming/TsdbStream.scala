@@ -767,7 +767,13 @@ object TsdbStream extends Serializable {
     * the canonical name in-stream (`k=v` pairs after the metric token;
     * a value may itself contain `=` — the key is everything before the
     * FIRST one). Locations ride along when the stream carries
-    * `lon`/`lat` columns, else null.
+    * `lon`/`lat` columns, else null — they are REGISTRATION
+    * attributes (the reference stores one location per series in its
+    * metastorage for where-location queries), expected constant per
+    * series: state and catalog_l0 volume are O(series × distinct
+    * variants), so a feed that jitters per-row coordinates should
+    * quantize or omit them here (per-row geo data is telemetry and
+    * belongs in the fact stream, not the registration).
     *
     * Lifecycle: [[graft.model.TsdbLayout.foldCatalogL0]] merges the
     * root into the persisted catalog; [[graft.model.TsdbLayout

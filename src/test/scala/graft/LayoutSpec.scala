@@ -555,6 +555,42 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("the staleness loop REMOVES bins whose facts vanished (weekly rollup retention)") {
+    // a weekly window does not divide a day, so expire routes it
+    // through the record — and the scoped rebuild must DELETE the
+    // fully-vanished week bins (a dynamic overwrite alone cannot: a
+    // partition absent from the output is silently kept) and recompute
+    // the straddling week from the survivors
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val h = 3600L * 1000000000L
+    val weekNs = 7 * 24 * h
+    def ctxOf(rows: Seq[(String, Long, Double)]) =
+      graft.model.TsdbContext.fromWide(spark,
+        rows.toDF("user", "ts", "value").withColumn("metric", lit("m")),
+        "metric", Seq("user"), "ts", "value")
+    val allRows = (0 until 28 * 24).map(i => ("x", i.toLong * h, i / 7.0))
+    val ctx = ctxOf(allRows)
+    val db = java.nio.file.Files.createTempDirectory("graft_weekly").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(weekNs ->
+        graft.engine.Rollup.build(ctx.samples, weekNs))), db)
+
+    assert(TsdbLayout.expire(spark, s"$db/samples", 10 * 24 * h) === 10)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).size === 10,
+      "the day-straddling window routes through the record")
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty)
+
+    val survivors = ctxOf(allRows.filter(_._2 >= 10 * 24 * h))
+    val reopened = TsdbLayout.openDatabase(spark, db)
+    assert(rowsOf(reopened.rollups.head._2) === rowsOf(
+      graft.engine.Rollup.build(
+        survivors.samples.select("series_id", "ts", "value"), weekNs)),
+      "vanished week bins removed, the straddling week recomputed " +
+        "from survivors, later weeks untouched")
+  }
+
   test("healthCheck: one merged frame, all-clean first, then each alert fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
