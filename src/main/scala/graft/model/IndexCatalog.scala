@@ -105,6 +105,16 @@ object IndexCatalog {
 
   private val mapper = new ObjectMapper
 
+  /** Delete a local directory tree deepest-first (index storage is
+    * java.nio/local-FS-bound throughout this module, matching the
+    * manifest IO). */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+      .foreach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
   /** Adopted-storage provenance of LOADED frames: [[load]] records, per
     * adopted (owned=false) entry, the frame's logical plan → the
     * resolved absolute data path, so a later [[save]]/[[graft.model
@@ -339,12 +349,7 @@ object IndexCatalog {
         s"(present: ${m.entries.map(_.pos).mkString(", ")})")
     writeManifest(dir, rest, m.nextPos)
     val idxDir = Paths.get(dir).resolve(hit.head.path)
-    if (hit.head.owned && Files.exists(idxDir)) {
-      val walk = Files.walk(idxDir)
-      try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-        .foreach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
+    if (hit.head.owned && Files.exists(idxDir)) deleteTree(idxDir)
   }
 
   /** Register an EXISTING index parquet without copying it — typically
@@ -789,12 +794,7 @@ object IndexCatalog {
             // the fact days) — defensively route it through the
             // record instead of leaving an unreadable footer-less dir
             if (surviving.isEmpty && aged.nonEmpty) unremovable = true
-            else aged.foreach { p =>
-              val walk = Files.walk(p)
-              try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                .foreach(f => Files.deleteIfExists(f))
-              finally walk.close()
-            }
+            else aged.foreach { case (p) => deleteTree(p) }
           }
         case Some(_) => unremovable = true // bins straddle days
         case None => // snapshot kinds: re-derive iff range intersects
@@ -982,12 +982,7 @@ object IndexCatalog {
             } else {
               if (outDays.nonEmpty)
                 writeOwned(dir, e, out, dynamicDays = true)
-              stale.foreach { case (_, p) =>
-                val walk = Files.walk(p)
-                try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-                  .foreach(f => Files.deleteIfExists(f))
-                finally walk.close()
-              }
+              stale.foreach { case (_, p) => deleteTree(p) }
               if (outDays.nonEmpty || stale.nonEmpty) n += 1
             }
           }

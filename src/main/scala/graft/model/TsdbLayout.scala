@@ -111,16 +111,9 @@ object TsdbLayout {
     * where the watermark file is simply GONE and every reader silently
     * double-reads all of L0 until the next compaction heals it. */
   private def writeTierWatermark(spark: SparkSession, dir: String, tier: Tier,
-      day: Long): Unit = {
-    val (f, tmp) = hfs(spark, s"$dir/${tier.wmFile}.tmp")
-    val out = f.create(tmp, true)
-    try out.write(day.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(s"$dir/${tier.wmFile}")
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      day: Long): Unit =
+    atomicWrite(spark, new org.apache.hadoop.fs.Path(s"$dir/${tier.wmFile}"),
+      day.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // ------------------------------------ upsert-touched index record
 
@@ -187,31 +180,42 @@ object TsdbLayout {
   def indexDirtyPairs(spark: SparkSession, dir: String): Seq[(String, Long)] =
     dirtyFiles(spark, dir).flatMap(readDirtyFile(spark, _)).distinct
 
-  /** Append one recorder's pairs as a NEW immutable file. */
+  /** Append one recorder's pairs as a NEW immutable file. A database
+    * still carrying the pre-directory single-FILE record keeps that
+    * form (merged rewrite via temp + atomic rename — migrating in
+    * place would open a delete-before-rewrite crash window that
+    * silently drops pending pairs); records on a file-less database
+    * start the directory form. */
   private def recordIndexDirty(spark: SparkSession, dir: String,
       pairs: Seq[(String, Long)]): Unit = {
     if (pairs.isEmpty) return
     val root = s"$dir/$IndexDirtyName"
     val (f, hp) = hfs(spark, root)
-    if (f.exists(hp) && f.getFileStatus(hp).isFile) {
-      // migrate a pre-directory single-file record in passing: its
-      // pairs become the first file of the directory form
-      val legacy = readDirtyFile(spark, hp)
-      f.delete(hp, false)
+    if (f.exists(hp) && f.getFileStatus(hp).isFile)
+      atomicWrite(spark, hp,
+        pairLines((readDirtyFile(spark, hp) ++ pairs).distinct))
+    else {
       f.mkdirs(hp)
-      writeDirtyMember(spark, root, legacy)
-    } else f.mkdirs(hp)
-    writeDirtyMember(spark, root, pairs.distinct)
+      // temp + rename INTO the unique final name: a reader or a crash
+      // must never see a half-written member (dirtyFiles skips .tmp)
+      val name = s"p_${java.util.UUID.randomUUID().toString}"
+      atomicWrite(spark,
+        new org.apache.hadoop.fs.Path(s"$root/$name"),
+        pairLines(pairs.distinct))
+    }
   }
 
-  private def writeDirtyMember(spark: SparkSession, root: String,
-      pairs: Seq[(String, Long)]): Unit = {
-    if (pairs.isEmpty) return
-    val (f, _) = hfs(spark, root)
-    val p = new org.apache.hadoop.fs.Path(
-      s"$root/p_${java.util.UUID.randomUUID().toString}")
-    val out = f.create(p, false)
-    try out.write(pairLines(pairs)) finally out.close()
+  /** Write bytes at `dst` via `dst+".tmp"` + atomic rename — the
+    * watermark discipline, shared by every small-record writer here. */
+  private def atomicWrite(spark: SparkSession,
+      dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val (f, _) = hfs(spark, dst.toString)
+    val tmp = new org.apache.hadoop.fs.Path(dst.toString + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop the whole pending record — a FULL [[IndexCatalog.rebuild]]
@@ -232,20 +236,19 @@ object TsdbLayout {
       val remaining = readDirtyFile(spark, p).filterNot(drop)
       val (f, _) = hfs(spark, p.toString)
       if (remaining.isEmpty) f.delete(p, false)
-      else {
-        val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
-        val out = f.create(tmp, true)
-        try out.write(pairLines(remaining)) finally out.close()
-        org.apache.hadoop.fs.FileContext
-          .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
+      else atomicWrite(spark, p, pairLines(remaining))
     }
-    // a fully-drained directory disappears (absent = nothing pending)
+    // a fully-drained directory disappears (absent = nothing pending).
+    // NON-recursive delete only: a member file a concurrent recorder
+    // creates between the listing and the delete must survive — the
+    // recursive form would silently destroy it (the false green this
+    // record's whole design forbids). Non-empty → the delete fails →
+    // the directory simply stays, correctly non-empty.
     val (f, hp) = hfs(spark, s"$dir/$IndexDirtyName")
     if (f.exists(hp) && !f.getFileStatus(hp).isFile &&
         f.listStatus(hp).isEmpty)
-      f.delete(hp, true)
+      try f.delete(hp, false)
+      catch { case _: java.io.IOException => () } // raced a recorder
   }
 
   // ------------------------------------------------------------- writes
@@ -525,6 +528,18 @@ object TsdbLayout {
     val cutoffDay = Math.floorDiv(cutoffNs, NsPerDay)
     val (f, root) = hfs(spark, path)
     if (!f.exists(root)) return 0
+    // retention NEVER runs on an ingest root: the streaming sink's
+    // transaction log pins every committed file, so deleting day
+    // directories out from under it breaks every reader of the tier
+    // (and would mis-trigger the index heal for days the BATCH tier
+    // still holds). Aged live-tier days leave through the lifecycle:
+    // compact settled days, then retire the drained root
+    require(!Seq(SamplesTier.l0Sub, EventsTier.l0Sub, CatalogL0Sub)
+        .exists(root.getName.startsWith),
+      s"expire: $path is an ingest root — its sink log pins committed " +
+        s"files, so dropping day directories would break every reader " +
+        s"of the tier; compact settled days (compactL0 family) and " +
+        s"retire the drained root instead")
     val all = f.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("metric="))
       .flatMap { md =>
@@ -741,12 +756,15 @@ object TsdbLayout {
       .map(_.getPath.getName)
       .flatMap { n =>
         if (n == base) Some(0L -> s"$dir/$n")
-        else if (n.startsWith(base + "_e"))
-          // toLongOption, not toLong: a stray digits-only directory
-          // beyond Long range must be ignored, not brick every read
-          n.stripPrefix(base + "_e").toLongOption.filter(_ >= 0)
-            .map(_ -> s"$dir/$n")
-        else None
+        else if (n.startsWith(base + "_e")) {
+          val suffix = n.stripPrefix(base + "_e")
+          // digits-only AND toLongOption: a stray directory beyond
+          // Long range must be ignored (not brick every read), and a
+          // signed suffix ('+5') must not alias a real epoch number
+          if (suffix.nonEmpty && suffix.forall(_.isDigit))
+            suffix.toLongOption.map(_ -> s"$dir/$n")
+          else None
+        } else None
       }
       .sortBy(_._1)
   }

@@ -550,6 +550,15 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         .collect().toSeq ===
       new Engine(survivors).execute(stmt).collect().toSeq,
       "the refused expire must have deleted nothing")
+
+    // ...and never runs on an ingest root at all: the sink log pins
+    // committed files, and healing would mis-fire for days the batch
+    // tier still holds
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(db, "samples_l0"))
+    val eL0 = intercept[IllegalArgumentException](
+      TsdbLayout.expire(spark, s"$db/samples_l0", 48 * h))
+    assert(eL0.getMessage.contains("ingest root"))
   }
 
   private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
