@@ -23,6 +23,52 @@ class PropertySpec extends AnyFunSuite {
   private val nsGen = Gen.chooseNum(0L, 4102444800000000000L) // to year 2100
   private val stepGen = Gen.chooseNum(1L, TimeUtil.NsPerDay * 30)
 
+  test("binIntervals: disjoint, W-aligned, and exactly the bins the touched days intersect") {
+    // the scoped rebuild's core arithmetic — a wrong interval either
+    // rebuilds a bin it shouldn't (wasted but correct) or MISSES one
+    // (a stale bin with a green alert), so it gets the property pin:
+    // for any day set and window, the merged intervals are disjoint,
+    // aligned, and a bin b is inside one iff [b, b+W) overlaps a
+    // touched day — including pre-epoch days and W > day
+    val dayGen = Gen.chooseNum(-40000L, 40000L) // ±~109 years of days
+    val wGen = Gen.oneOf(Gen.chooseNum(1L, TimeUtil.NsPerDay * 9),
+      Gen.oneOf(3600000000000L, TimeUtil.NsPerDay, 7 * TimeUtil.NsPerDay))
+    forAllN(Gen.zip(Gen.nonEmptyListOf(dayGen), wGen), n = 300) {
+      case (days, w) =>
+      val ivs = graft.model.IndexCatalog.binIntervalsOf(days, w)
+      // disjoint, sorted, W-aligned (floorDiv multiples), non-empty
+      ivs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(h1 < l2, s"$ivs not disjoint")
+        case _ => ()
+      }
+      ivs.foreach { case (l, h) =>
+        assert(l < h, s"empty interval in $ivs")
+        assert(l == Math.floorDiv(l, w) * w && h == Math.floorDiv(h, w) * w,
+          s"interval ($l, $h) not aligned to w=$w")
+      }
+      // membership law on sampled bins around each touched day
+      val daySet = days.toSet
+      def overlapsTouched(bin: Long): Boolean = {
+        val lo = Math.floorDiv(bin, TimeUtil.NsPerDay)
+        val hi = Math.floorDiv(bin + w - 1, TimeUtil.NsPerDay)
+        (lo to hi).exists(daySet)
+      }
+      def inIvs(bin: Long): Boolean =
+        ivs.exists { case (l, h) => bin >= l && bin < h }
+      days.foreach { d =>
+        val first = Math.floorDiv(d * TimeUtil.NsPerDay, w) * w
+        Seq(first - w, first, first + w,
+            Math.floorDiv((d + 1) * TimeUtil.NsPerDay - 1, w) * w,
+            Math.floorDiv((d + 1) * TimeUtil.NsPerDay - 1, w) * w + w)
+          .foreach { bin =>
+            assert(inIvs(bin) === overlapsTouched(bin),
+              s"bin $bin (w=$w, day $d): interval membership must equal " +
+                s"day overlap; ivs=$ivs")
+          }
+      }
+    }
+  }
+
   test("group-aggregate bins partition the range and align to begin") {
     forAllN(Gen.zip(nsGen, Gen.chooseNum(0L, Long.MaxValue / 4), stepGen)) {
       case (begin, off, step) =>
