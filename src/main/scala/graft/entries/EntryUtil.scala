@@ -1392,6 +1392,36 @@ object EntryUtil {
       new Engine(opened.copy(series = cachedSeries(spark, dir, ctx.series)))
     })
 
+  private val healTicks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoized HEALING-TICK fixture: a database with one owned hourly
+    * rollup takes the canonical correction, then TWO
+    * `maintenanceTick(healIndexes = true)` calls — the first heals
+    * (index_healed = the one owned frame, index_stale already zero in
+    * the same summary: the heal runs before the alert poll), the
+    * second is the idempotent zero tick. One cron call = a consistent
+    * database, gated. */
+  def healTickFor(spark: SparkSession, dir: String): DataFrame =
+    healTicks.getOrElseUpdate((spark, dir), {
+      val ctx = TsdbContext.fromTestdata(spark, dir)
+      val hourNs = 3600000000000L
+      val db = scratchDir("graft_healtick_db")
+      graft.model.TsdbLayout.writeDatabase(ctx.copy(
+        rollups = Seq(hourNs ->
+          graft.engine.Rollup.build(ctx.samples, hourNs))), db)
+      require(graft.model.TsdbLayout.upsertSamples(spark, s"$db/samples",
+        canonicalLateBatch(ctx), ctx.series) >= 1,
+        "the canonical correction touches at least one partition")
+      val first = graft.model.TsdbLayout
+        .maintenanceTick(spark, db, L0CompactNs, healIndexes = true)
+        .withColumn("phase", lit("first"))
+      val second = graft.model.TsdbLayout
+        .maintenanceTick(spark, db, L0CompactNs, healIndexes = true)
+        .withColumn("phase", lit("second"))
+      first.unionByName(second).select("phase", "step", "n")
+    })
+
   private val expiredDbEngines = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Engine]
 

@@ -66,6 +66,16 @@ object Round12Entries {
     // the raw table
     "ts_health_check" -> ((s, dir) => EntryUtil.healthCheckFor(s, dir)),
 
+    // the HEALING tick: maintenanceTick(healIndexes = true) runs the
+    // scoped rebuild inside the cron unit (non-destructive, unlike
+    // rotation) — the first tick on a corrected database reports the
+    // one owned frame healed and index_stale already zero in the SAME
+    // summary (the heal precedes the alert poll); the second tick is
+    // the idempotent all-zero. One cron call leaves a consistent
+    // database, as an oracle-gated accounting
+    "ts_maintenance_heal" -> ((s, dir) =>
+      EntryUtil.healTickFor(s, dir).orderBy("phase", "step")),
+
     // RETENTION REACHES THE INDEXES: serving guards are
     // alignment/density-based, so before this round a rollup kept
     // serving bins whose facts expire dropped — index-served and
@@ -134,6 +144,26 @@ object Round12Entries {
             UNION ALL
             SELECT 'samples_stragglers', 'ok', CAST(0 AS BIGINT)
           ) ORDER BY component""",
+    // the healing tick's accounting: one owned frame healed on the
+    // first tick (stale zero in the same summary), all-zero second
+    "ts_maintenance_heal" ->
+      s"""SELECT * FROM (
+            SELECT 'first' AS phase, 'compact_events' AS step,
+                   CAST(0 AS BIGINT) AS n
+            UNION ALL SELECT 'first', 'compact_samples', 0
+            UNION ALL SELECT 'first', 'fold_catalog', 0
+            UNION ALL SELECT 'first', 'index_healed', 1
+            UNION ALL SELECT 'first', 'index_stale', 0
+            UNION ALL SELECT 'first', 'stragglers_events', 0
+            UNION ALL SELECT 'first', 'stragglers_samples', 0
+            UNION ALL SELECT 'second', 'compact_events', 0
+            UNION ALL SELECT 'second', 'compact_samples', 0
+            UNION ALL SELECT 'second', 'fold_catalog', 0
+            UNION ALL SELECT 'second', 'index_healed', 0
+            UNION ALL SELECT 'second', 'index_stale', 0
+            UNION ALL SELECT 'second', 'stragglers_events', 0
+            UNION ALL SELECT 'second', 'stragglers_samples', 0
+          ) ORDER BY phase, step""",
     // the healed index serves exactly the surviving days: the cutoff
     // as a raw predicate, day bins anchored at the range start
     "ts_expire_index_heal" ->
