@@ -1,9 +1,6 @@
 package graft.model
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -89,7 +86,12 @@ final case class IndexFreshness(pos: Int, kind: String, path: String,
   * 100 TB notes: the manifest is O(#indexes) — tens of lines — and
   * lives beside index parquet that executors read directly; load does
   * no Spark job at all (frames stay lazy), so catalog recovery is a
-  * driver-side millisecond operation regardless of data volume.
+  * driver-side millisecond operation regardless of data volume. ALL
+  * catalog IO resolves through the path's Hadoop FileSystem — the
+  * same resolution the tier metadata uses — so a database on HDFS/S3A
+  * keeps its index registration exactly like a local one (the active
+  * session's Hadoop configuration supplies runtime credentials;
+  * spec-pinned by a scheme-qualified round-trip).
   */
 object IndexCatalog {
 
@@ -105,14 +107,69 @@ object IndexCatalog {
 
   private val mapper = new ObjectMapper
 
-  /** Delete a local directory tree deepest-first (index storage is
-    * java.nio/local-FS-bound throughout this module, matching the
-    * manifest IO). */
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-      .foreach(f => Files.deleteIfExists(f))
-    finally walk.close()
+  // ------------------------------------ filesystem (Hadoop, like the
+  // tier metadata: a catalog on HDFS/S3A resolves exactly like a
+  // local one instead of silently losing its index registration)
+
+  /** The active session's Hadoop configuration when one exists (it
+    * carries runtime credentials — S3A keys etc.); the classpath
+    * default otherwise, so the Spark-free readouts ([[describe]],
+    * [[markNoncanonical]], [[adopt]], [[retire]]) stay Spark-free. */
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def hfs(p: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(hadoopConf) match {
+      // unwrap the client-side-checksum wrapper (LocalFileSystem):
+      // the manifest is an OPERATOR-EDITABLE text file ("manage
+      // indexes by editing storage"), and a .crc sidecar would turn
+      // every hand edit into a ChecksumException at the next read.
+      // HDFS/S3A handle integrity server-side and pass through as-is
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    (fs, hp)
+  }
+
+  /** `dir`-relative entry paths join by string (URI-safe); absolute
+    * recorded paths (local `/...` or scheme-qualified `scheme://...`)
+    * resolve as themselves. */
+  private def resolvePath(dir: String, entryPath: String): String =
+    if (entryPath.startsWith("/") || entryPath.contains("://")) entryPath
+    else s"${dir.stripSuffix("/")}/$entryPath"
+
+  private def deleteTree(p: String): Unit = {
+    val (f, hp) = hfs(p)
+    f.delete(hp, true); ()
+  }
+
+  /** An owned binned index's `__day=<N>` storage partitions as
+    * (day, path) — empty for an absent or FLAT (legacy) directory. */
+  private def listDayPartitions(idxDir: String): Seq[(Long, String)] = {
+    val (f, hp) = hfs(idxDir)
+    if (!f.exists(hp) || f.getFileStatus(hp).isFile) Nil
+    else f.listStatus(hp).toSeq.filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(DayCol + "="))
+        name.stripPrefix(DayCol + "=").toLongOption
+          .map(_ -> st.getPath.toString)
+      else None
+    }
+  }
+
+  /** Write bytes at `dst` via temp + atomic rename (the watermark
+    * discipline — a crashed write leaves no readable half-file). */
+  private def atomicWrite(dst: String, bytes: Array[Byte]): Unit = {
+    val (f, hp) = hfs(dst)
+    val tmp = new org.apache.hadoop.fs.Path(dst + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hadoopConf)
+      .rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Adopted-storage provenance of LOADED frames: [[load]] records, per
@@ -163,12 +220,8 @@ object IndexCatalog {
     header.put("next_pos", nextPos)
     val lines = (header +: entries.map(entryNode))
       .map(mapper.writeValueAsString)
-    val root = Paths.get(dir)
-    val tmp = root.resolve(ManifestName + ".tmp")
-    Files.write(tmp,
+    atomicWrite(resolvePath(dir, ManifestName),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve(ManifestName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The (entry, frame) list a context's registration flattens to, in
@@ -224,9 +277,17 @@ object IndexCatalog {
     * or fails loudly on the missing path — never a silent stale read,
     * spec-pinned). */
   private def storedPath(dir: String, dataPath: String): String = {
-    val abs = Paths.get(dataPath).toAbsolutePath.normalize
-    val root = Paths.get(dir).toAbsolutePath.normalize
-    if (abs.startsWith(root)) root.relativize(abs).toString else abs.toString
+    // qualified-URI prefix comparison instead of java.nio relativize:
+    // works identically for local paths and scheme-qualified remote
+    // ones (an hdfs:// data path under an hdfs:// catalog dir records
+    // relative; across filesystems it records the full qualified URI)
+    val (rf, rp) = hfs(dir)
+    val rootUri = rf.makeQualified(rp).toUri.toString.stripSuffix("/") + "/"
+    val (df, dp) = hfs(dataPath)
+    val dataUri = df.makeQualified(dp).toUri.toString
+    if (dataUri.startsWith(rootUri)) dataUri.stripPrefix(rootUri)
+    else if (dataUri.startsWith("file:")) dataUri.stripPrefix("file:")
+    else dataUri
   }
 
   private def writeFrames(dir: String,
@@ -271,7 +332,7 @@ object IndexCatalog {
     * directory. */
   private def writeOwned(dir: String, e: IndexCatalogEntry,
       frame: DataFrame, dynamicDays: Boolean): Unit = {
-    val path = Paths.get(dir).resolve(e.path).toString
+    val path = resolvePath(dir, e.path)
     timeColOf(e.kind).filter(frame.columns.contains) match {
       case None =>
         frame.write.mode("overwrite").parquet(path)
@@ -307,7 +368,7 @@ object IndexCatalog {
     * manifest is written LAST, so a crashed save leaves no readable
     * catalog rather than a partial one. */
   def save(ctx: TsdbContext, dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val (f, hp) = hfs(dir); f.mkdirs(hp)
     val staged = flatten(ctx, startPos = 0, dir)
     writeFrames(dir, staged)
     writeManifest(dir, staged.map(_._1), nextPos = staged.size)
@@ -348,8 +409,7 @@ object IndexCatalog {
       s"index catalog at $dir has no entry at pos $pos " +
         s"(present: ${m.entries.map(_.pos).mkString(", ")})")
     writeManifest(dir, rest, m.nextPos)
-    val idxDir = Paths.get(dir).resolve(hit.head.path)
-    if (hit.head.owned && Files.exists(idxDir)) deleteTree(idxDir)
+    if (hit.head.owned) deleteTree(resolvePath(dir, hit.head.path))
   }
 
   /** Register an EXISTING index parquet without copying it — typically
@@ -398,12 +458,12 @@ object IndexCatalog {
     }
     require(missing.isEmpty,
       s"adopt (kind $kind) lacks required parameter(s): ${missing.mkString(", ")}")
-    val abs = Paths.get(dataPath).toAbsolutePath
-    require(Files.isDirectory(abs),
-      s"adopt: no index data directory at $abs")
+    val (df, dp) = hfs(dataPath)
+    require(df.exists(dp) && df.getFileStatus(dp).isDirectory,
+      s"adopt: no index data directory at ${df.makeQualified(dp)}")
     val m = parseManifest(dir)
     writeManifest(dir, m.entries :+ IndexCatalogEntry(m.nextPos, kind,
-      storedPath(dir, abs.toString), windowNs, fromNs, toNs, factor, tag, k,
+      storedPath(dir, dataPath), windowNs, fromNs, toNs, factor, tag, k,
       owned = false),
       m.nextPos + 1)
     m.nextPos
@@ -447,7 +507,6 @@ object IndexCatalog {
     * lever — this readout deliberately stays exact and simple. */
   def freshness(spark: SparkSession, dir: String,
       adoptedOnly: Boolean = false): Seq[IndexFreshness] = {
-    val root = Paths.get(dir)
     parseManifest(dir).entries
       // the max() scan per entry is the readout's whole cost: a
       // stalled-MAINTAINER poll ([[graft.model.TsdbLayout
@@ -462,12 +521,12 @@ object IndexCatalog {
         val lastNs = timeColOf(e.kind) match {
           case None => e.toNs // mad/gap: fixed [fromNs, toNs) builds
           case Some(_) =>
-            val row = spark.read.parquet(root.resolve(e.path).toString)
+            val row = spark.read.parquet(resolvePath(dir, e.path))
               .agg(org.apache.spark.sql.functions.max(timeNsCol(e))).head()
             if (row.isNullAt(0)) None
             else Some(row.getAs[Number](0).longValue)
         }
-        IndexFreshness(e.pos, e.kind, root.resolve(e.path).toString,
+        IndexFreshness(e.pos, e.kind, resolvePath(dir, e.path),
           e.owned, lastNs)
       }
   }
@@ -481,11 +540,16 @@ object IndexCatalog {
     parseManifest(dir).entries
 
   private def parseManifest(dir: String): Manifest = {
-    val manifest = Paths.get(dir).resolve(ManifestName)
-    require(Files.isRegularFile(manifest),
+    val manifest = resolvePath(dir, ManifestName)
+    val (mf, mp) = hfs(manifest)
+    require(mf.exists(mp) && mf.getFileStatus(mp).isFile,
       s"index catalog manifest not found: $manifest")
-    val lines = Files.readAllLines(manifest, StandardCharsets.UTF_8)
-      .asScala.map(_.trim).filter(_.nonEmpty).toSeq
+    val in = mf.open(mp)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
     require(lines.nonEmpty, s"index catalog manifest is empty: $manifest")
 
     def parse(line: String, what: String): JsonNode =
@@ -772,29 +836,20 @@ object IndexCatalog {
       .filter(e => e.owned && e.canonical)
     var unremovable = false
     owned.foreach { e =>
-      val idxDir = Paths.get(dir).resolve(e.path)
+      val idxDir = resolvePath(dir, e.path)
       timeColOf(e.kind) match {
         case Some(_)
             if e.windowNs.exists(w => w > 0 && NsPerDay % w == 0) =>
-          val parts =
-            if (!Files.isDirectory(idxDir)) Nil
-            else {
-              val ls = Files.list(idxDir)
-              try ls.iterator().asScala.toSeq finally ls.close()
-            }
-          val dayDirs = parts.filter(
-            _.getFileName.toString.startsWith(DayCol + "="))
+          val dayDirs = listDayPartitions(idxDir)
           if (dayDirs.isEmpty) unremovable = true // flat legacy storage
           else {
-            val (aged, surviving) = dayDirs.partition(
-              _.getFileName.toString.stripPrefix(DayCol + "=")
-                .toLongOption.exists(_ < cutoffDay))
+            val (aged, surviving) = dayDirs.partition(_._1 < cutoffDay)
             // whole-index expiry cannot arise through expire (it
             // refuses to empty the fact layout, and the index covers
             // the fact days) — defensively route it through the
             // record instead of leaving an unreadable footer-less dir
             if (surviving.isEmpty && aged.nonEmpty) unremovable = true
-            else aged.foreach { case (p) => deleteTree(p) }
+            else aged.foreach { case (_, p) => deleteTree(p) }
           }
         case Some(_) => unremovable = true // bins straddle days
         case None => // snapshot kinds: re-derive iff range intersects
@@ -854,7 +909,8 @@ object IndexCatalog {
     val pairs = touched.getOrElse(TsdbLayout.indexDirtyPairs(spark, dbDir))
       .distinct
     if (pairs.isEmpty) return 0
-    if (!Files.isRegularFile(Paths.get(dir).resolve(ManifestName))) {
+    val (mf0, mp0) = hfs(resolvePath(dir, ManifestName))
+    if (!mf0.exists(mp0)) {
       TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
       return 0
     }
@@ -915,7 +971,7 @@ object IndexCatalog {
               vs.map { case (l, h) => timeNs >= l && timeNs < h }
                 .reduce(_ || _)
           }.reduce(_ || _)
-          val idxPath = Paths.get(dir).resolve(e.path).toString
+          val idxPath = resolvePath(dir, e.path)
           val old = spark.read.parquet(idxPath)
           val hasDayCol = old.columns.contains(DayCol)
           // rows to KEEP inside the touched partitions: everything not
@@ -961,16 +1017,7 @@ object IndexCatalog {
             val outDays = out.select(graft.functions.VectorExpressions
                 .longFloorDiv(timeNsCol(e), NsPerDay).as("__d"))
               .distinct().collect().map(_.getLong(0)).toSet
-            val idxDirPath = Paths.get(idxPath)
-            val dayDirs: Seq[(Long, java.nio.file.Path)] = {
-              val ls = Files.list(idxDirPath)
-              try ls.iterator().asScala.toSeq finally ls.close()
-            }.flatMap { p =>
-              val name = p.getFileName.toString
-              if (name.startsWith(DayCol + "="))
-                name.stripPrefix(DayCol + "=").toLongOption.map(_ -> p)
-              else None
-            }
+            val dayDirs = listDayPartitions(idxPath)
             val stale = dayDirs.filter { case (d, _) =>
               !outDays(d) &&
                 partDayRanges.exists { case (lo, hi) => d >= lo && d <= hi }
@@ -1003,9 +1050,8 @@ object IndexCatalog {
     * Build an [[graft.engine.Engine]] over the result to re-run the
     * constructor shape guards on every loaded frame. */
   def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
-    val root = Paths.get(dir)
     parseManifest(dir).entries.foldLeft(base) { (out, e) =>
-      val resolved = root.resolve(e.path).toString
+      val resolved = resolvePath(dir, e.path)
       val raw = spark.read.parquet(resolved)
       // owned binned storage is day-partitioned for rebuildScoped's
       // dynamic overwrite; the partition column is storage detail, not
@@ -1015,9 +1061,11 @@ object IndexCatalog {
       // adopted entries keep their provenance across a load → re-save
       // round-trip: a later save re-emits the pointer, never a frozen
       // copy of the live sink
-      if (!e.owned)
+      if (!e.owned) {
+        val (pf, pp) = hfs(resolved)
         adoptedProvenance.put(frame.queryExecution.logical,
-          Paths.get(resolved).toAbsolutePath.normalize.toString)
+          pf.makeQualified(pp).toUri.toString)
+      }
       e.kind match {
         case "rollup" =>
           out.copy(rollups = out.rollups :+ (e.windowNs.get -> frame))

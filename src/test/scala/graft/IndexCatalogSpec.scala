@@ -709,6 +709,43 @@ class IndexCatalogSpec extends AnyFunSuite with SparkTestBase {
       "a touch inside the build range re-derives both snapshot frames")
   }
 
+  test("catalog IO is filesystem-generic: a scheme-qualified (file:) catalog round-trips whole") {
+    // all catalog IO goes through the path's Hadoop FileSystem (the
+    // round-11 tier-metadata rule extended to the index half): save /
+    // describe / adopt / markNoncanonical / retire / load / rebuild
+    // against an explicit file: URI must behave exactly like a plain
+    // local path — the proof a database on HDFS/S3A keeps its index
+    // registration instead of silently losing it to java.nio
+    val local = tmp()
+    val root = s"file:$local/indexes"
+    val db = s"file:$local"
+    graft.model.TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(hourNs -> Rollup.build(ctx.samples, hourNs))), db)
+    assert(IndexCatalog.describe(root).map(_.kind) === Seq("rollup"))
+    // adopt by qualified URI: the pointer records RELATIVE (under the
+    // catalog dir) and resolves back
+    Rollup.build(ctx.samples, dayNs).write.parquet(s"$root/day_sink")
+    val pos = IndexCatalog.adopt(root, "rollup", s"$root/day_sink",
+      windowNs = Some(dayNs))
+    val adopted = IndexCatalog.describe(root).find(_.pos == pos).get
+    assert(!adopted.owned && adopted.path === "day_sink",
+      s"an under-root qualified sink records relative: ${adopted.path}")
+    // the full lifecycle over the URI: mark, refuse, unmark via
+    // re-registration order is not needed — rebuild skips the adopted
+    // entry and re-derives the owned one
+    assert(IndexCatalog.rebuild(spark, db) === 1)
+    val loaded = graft.model.TsdbLayout.openDatabase(spark, db)
+    assert(loaded.rollups.map(_._1).sorted === Seq(hourNs, dayNs))
+    assert(rowsOf(loaded.rollups.find(_._1 == hourNs).get._2) ===
+      rowsOf(Rollup.build(loaded.samples.select("series_id", "ts", "value"),
+        hourNs)))
+    // retire the owned entry through the URI: storage reclaimed
+    IndexCatalog.retire(root, 0)
+    assert(IndexCatalog.describe(root).map(_.pos) === Seq(pos))
+    assert(!Files.exists(Paths.get(local, "indexes", "idx_0_rollup")),
+      "retire must reclaim owned storage through the qualified path")
+  }
+
   test("a touched pair matching no index rows is a no-op, never a wipe") {
     // a bogus (metric, day) — unknown metric, or a day with no data —
     // must leave partitioned owned storage byte-identical: the empty
