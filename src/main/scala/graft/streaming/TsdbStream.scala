@@ -771,9 +771,12 @@ object TsdbStream extends Serializable {
     * attributes (the reference stores one location per series in its
     * metastorage for where-location queries), expected constant per
     * series: state and catalog_l0 volume are O(series × distinct
-    * variants), so a feed that jitters per-row coordinates should
-    * quantize or omit them here (per-row geo data is telemetry and
-    * belongs in the fact stream, not the registration).
+    * variants), and to keep a JITTERING feed from inflating "distinct
+    * variants" to O(rows), coordinates are quantized in-stream to a
+    * 1e-4-degree grid (~11 m) before the dedup — a noisy GPS feed
+    * degrades to a few grid cells per series, never unbounded state
+    * (per-row geo data is telemetry and belongs in the fact stream,
+    * not the registration).
     *
     * Lifecycle: [[graft.model.TsdbLayout.foldCatalogL0]] merges the
     * root into the persisted catalog; [[graft.model.TsdbLayout
@@ -784,8 +787,17 @@ object TsdbStream extends Serializable {
     * state never needs to outlive its root. */
   def catalogIngest(rows: DataFrame, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // locations QUANTIZE in-stream (1e-4 degrees ≈ 11 m — registration
+    // granularity, far below any where-location radius) BEFORE the
+    // stateful dedup: a feed whose coordinates jitter per row (GPS
+    // noise on a "constant" series location) must degrade to a few
+    // grid cells per series, not grow the dropDuplicates state and
+    // catalog_l0 volume to O(rows) — an unbounded-state hazard on a
+    // plausible feed. Exact reported locations are telemetry and
+    // belong in the fact stream, not the registration.
     val optF = (c: String) =>
-      if (rows.columns.contains(c)) col(c).cast("float")
+      if (rows.columns.contains(c))
+        round(col(c).cast("double"), 4).cast("float")
       else lit(null).cast("float")
     keyNamed(rows)
       .withColumn("tags", tagsFromName)

@@ -2198,6 +2198,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert((b._3, b._4) === (None, None))
   }
 
+  test("catalogIngest quantizes locations in-stream: a jittering feed lands O(grid cells), not O(rows)") {
+    // ADVICE round 12: the full-variant dedup key includes lon/lat, so
+    // per-row GPS noise on a "constant" series location would grow the
+    // stateful dropDuplicates state and catalog_l0 volume to O(rows).
+    // Coordinates quantize to a 1e-4-degree grid (~11 m) before the
+    // dedup — the landed variant set is the distinct GRID CELLS
+    implicit val sqlCtx = spark.sqlContext
+    val db = java.nio.file.Files.createTempDirectory("graft_catq").toString
+    val in = MemoryStream[(String, Long, Double, Double, Double)]
+    val q = TsdbStream.catalogIngest(
+      in.toDF().toDF("name", "ts", "value", "lon", "lat"),
+      s"$db/catalog_l0", s"$db/ckpt")
+    try {
+      // 200 rows of one series, coordinates jittering within ±2e-5
+      // degrees of (10.0, 20.0) — all inside one or two grid cells
+      in.addData((0 until 200).map { i =>
+        ("m user=a", i.toLong, 1.0,
+          10.0 + (i % 5 - 2) * 1e-5, 20.0 + (i % 3 - 1) * 1e-5)
+      }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$db/catalog_l0")
+    assert(landed.count() <= 4,
+      s"a jittering feed must land a few grid cells, got ${landed.count()}")
+    val lons = landed.select("lon").collect().map(_.getFloat(0)).toSet
+    assert(lons.forall(l => math.abs(l - 10.0f) < 1e-3f),
+      s"quantized registration stays at the true location: $lons")
+  }
+
   /** A minimal context whose series frame donates the catalog schema. */
   private def ctxSeed() =
     graft.model.TsdbContext.fromWide(spark,
