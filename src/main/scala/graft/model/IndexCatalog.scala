@@ -21,6 +21,14 @@ final case class IndexCatalogEntry(
     fromNs: Option[Long] = None, toNs: Option[Long] = None,
     factor: Option[Double] = None,
     tag: Option[String] = None, k: Option[Int] = None,
+    /** The corpus-index kinds' recipe (content_hashes / lsh_bands,
+      * [[graft.pipeline.CorpusStore]]): which document columns the
+      * index derives from, and for lsh_bands the MinHash banding
+      * parameters (shingle k rides the shared `k` field). A probe
+      * built with different parameters would silently under-match —
+      * the manifest is the one place the recipe lives. */
+    idCol: Option[String] = None, textCol: Option[String] = None,
+    numPerm: Option[Int] = None, bands: Option[Int] = None,
     /** true = the catalog wrote (and on retire deletes) this parquet;
       * false = [[IndexCatalog.adopt]]ed storage someone else owns —
       * typically a streaming maintainer's live sink — which retire
@@ -104,6 +112,16 @@ object IndexCatalog {
   /** The manifest kinds, in the order [[save]] emits the families. */
   val Kinds: Seq[String] =
     Seq("rollup", "histogram", "bucket_sums", "kmv", "mad", "gap")
+
+  /** The LLM-pipeline corpus-index kinds ([[graft.pipeline
+    * .CorpusStore]]): `content_hashes` = the exact-dedup md5 lookup,
+    * `lsh_bands` = the MinHash-LSH band rows carrying verification
+    * sets. They share this manifest machinery (registration, recipe
+    * params, canonical flag, describe) but NOT the fact rebuilds —
+    * their facts are the corpus documents, their staleness record is
+    * the store's pending/unbanded batch listing, and their heal is
+    * [[graft.pipeline.CorpusStore.heal]]. */
+  val CorpusKinds: Seq[String] = Seq("content_hashes", "lsh_bands")
 
   private val mapper = new ObjectMapper
 
@@ -198,6 +216,10 @@ object IndexCatalog {
     e.factor.foreach(n.put("factor", _))
     e.tag.foreach(n.put("tag", _))
     e.k.foreach(n.put("k", _))
+    e.idCol.foreach(n.put("idCol", _))
+    e.textCol.foreach(n.put("textCol", _))
+    e.numPerm.foreach(n.put("numPerm", _))
+    e.bands.foreach(n.put("bands", _))
     if (!e.owned) n.put("owned", false)
     if (!e.canonical) n.put("canonical", false)
     n
@@ -623,6 +645,17 @@ object IndexCatalog {
             fromNs = Some(longOf(n, "fromNs", kind)),
             toNs = Some(longOf(n, "toNs", kind)),
             factor = Some(doubleOf(n, "factor", kind)))
+        case "content_hashes" =>
+          IndexCatalogEntry(pos, kind, path,
+            idCol = Some(textOf(n, "idCol", kind)),
+            textCol = Some(textOf(n, "textCol", kind)))
+        case "lsh_bands" =>
+          IndexCatalogEntry(pos, kind, path,
+            idCol = Some(textOf(n, "idCol", kind)),
+            textCol = Some(textOf(n, "textCol", kind)),
+            k = Some(longOf(n, "k", kind).toInt),
+            numPerm = Some(longOf(n, "numPerm", kind).toInt),
+            bands = Some(longOf(n, "bands", kind).toInt))
         case other => throw new IllegalArgumentException(
           s"index catalog entry ${i + 1} has unknown kind '$other'")
       }).copy(owned = owned, canonical = canonical)
@@ -684,17 +717,21 @@ object IndexCatalog {
       skipNoncanonical: Boolean = false): Int = {
     val dir = s"$dbDir/indexes"
     val canon = canonicalOwned(dir, skipNoncanonical)
-    // the pending record is read BEFORE the fact snapshot and only
-    // those pairs are cleared at the end: an upsert landing while a
-    // long rebuild runs records pairs this rebuild's (already-pinned)
-    // snapshot does not contain — they must STAY pending or the
-    // staleness alert would go green over uncorrected index bins.
-    // With no canonical owned entry there is nothing a record can owe
-    // (frames appended later derive from then-current facts), so the
-    // pending pairs clear rather than alerting forever
-    val pending = TsdbLayout.indexDirtyPairs(spark, dbDir)
+    // the pending record is read BEFORE the fact snapshot — pairs AND
+    // the files holding them — and the completion clear shrinks only
+    // those files: an upsert landing while a long rebuild runs records
+    // pairs this rebuild's (already-pinned) snapshot does not contain
+    // into a NEW file, which must STAY pending even when it repeats a
+    // pair the snapshot held (a hot partition's repeated correction)
+    // or the staleness alert would go green over uncorrected index
+    // bins. Residual window documented at
+    // [[graft.model.TsdbLayout.IndexDirtyName]]. With no canonical
+    // owned entry there is nothing a record can owe (frames appended
+    // later derive from then-current facts), so the pending pairs
+    // clear rather than alerting forever
+    val (pending, pendingFiles) = TsdbLayout.indexDirtySnapshot(spark, dbDir)
     if (canon.isEmpty) {
-      TsdbLayout.clearIndexDirty(spark, dbDir, pending)
+      TsdbLayout.clearIndexDirty(spark, dbDir, pending, pendingFiles)
       return 0
     }
     val ctx = TsdbLayout.openFacts(spark, dbDir)
@@ -702,7 +739,7 @@ object IndexCatalog {
     canon.foreach { e =>
       writeOwned(dir, e, canonicalFrame(e, facts, ctx), dynamicDays = false)
     }
-    TsdbLayout.clearIndexDirty(spark, dbDir, pending)
+    TsdbLayout.clearIndexDirty(spark, dbDir, pending, pendingFiles)
     canon.size
   }
 
@@ -711,6 +748,18 @@ object IndexCatalog {
   private def canonicalOwned(dir: String,
       skip: Boolean): Seq[IndexCatalogEntry] = {
     val owned = parseManifest(dir).entries.filter(_.owned)
+    // the corpus-index kinds derive from DOCUMENTS, not the fact
+    // layout — a fact rebuild could only destroy them. Their heal is
+    // CorpusStore.heal (pending/unbanded batch listing); refuse loudly
+    // rather than silently skipping an owned canonical entry
+    val corpus = owned.filter(e => CorpusKinds.contains(e.kind))
+    require(corpus.isEmpty,
+      s"rebuild: catalog at $dir registers corpus-index entr" +
+        s"${if (corpus.size == 1) "y" else "ies"} at pos " +
+        s"${corpus.map(_.pos).mkString(", ")} (${corpus.map(_.kind).distinct
+          .mkString(", ")}) — those derive from corpus documents and " +
+        s"heal through graft.pipeline.CorpusStore.heal, not the fact " +
+        s"rebuilds")
     val marked = owned.filterNot(_.canonical)
     require(marked.isEmpty || skip,
       s"rebuild: catalog at $dir has non-canonical owned entr" +
@@ -906,12 +955,17 @@ object IndexCatalog {
     // at all (stream-assembled, never writeDatabase'd) must make a
     // healing maintenanceTick a clean zero, not a manifest-not-found
     // crash after the tick already paid its compaction work
-    val pairs = touched.getOrElse(TsdbLayout.indexDirtyPairs(spark, dbDir))
-      .distinct
+    // pairs AND the record files holding them are snapshotted at
+    // ENTRY: the completion clear shrinks only those files, so a
+    // recorder landing mid-rebuild stays pending even when it repeats
+    // a pair this run serves (file identity — see
+    // [[graft.model.TsdbLayout.IndexDirtyName]])
+    val (recPairs, recFiles) = TsdbLayout.indexDirtySnapshot(spark, dbDir)
+    val pairs = touched.getOrElse(recPairs).distinct
     if (pairs.isEmpty) return 0
     val (mf0, mp0) = hfs(resolvePath(dir, ManifestName))
     if (!mf0.exists(mp0)) {
-      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs, recFiles)
       return 0
     }
     val canon = canonicalOwned(dir, skipNoncanonical)
@@ -920,7 +974,7 @@ object IndexCatalog {
       // can owe nothing (a frame appended later derives from
       // then-current facts) — clear the pairs rather than leaving a
       // permanent, un-clearable index_stale alert
-      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs, recFiles)
       return 0
     }
     val ctx = TsdbLayout.openFacts(spark, dbDir)
@@ -937,7 +991,7 @@ object IndexCatalog {
       .collect().map(_.getString(0)).toSet
     val effPairs = pairs.filter(p => knownMetrics(p._1))
     if (effPairs.isEmpty) {
-      TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+      TsdbLayout.clearIndexDirty(spark, dbDir, pairs, recFiles)
       return 0
     }
     val metrics = effPairs.map(_._1).distinct
@@ -1035,7 +1089,7 @@ object IndexCatalog {
           }
       }
     }
-    TsdbLayout.clearIndexDirty(spark, dbDir, pairs)
+    TsdbLayout.clearIndexDirty(spark, dbDir, pairs, recFiles)
     n
   }
 
@@ -1082,7 +1136,35 @@ object IndexCatalog {
         case "gap" =>
           out.copy(gapIndexes = out.gapIndexes :+
             GapIndexDef(e.fromNs.get, e.toNs.get, e.factor.get, frame))
+        case other if CorpusKinds.contains(other) =>
+          throw new IllegalArgumentException(
+            s"index catalog entry pos ${e.pos} (kind $other) is a " +
+              s"corpus-index registration — it loads through " +
+              s"graft.pipeline.CorpusStore, not onto a TsdbContext")
       }
     }
+  }
+
+  /** Write the corpus-index manifest ([[graft.pipeline.CorpusStore]]'s
+    * registration): the exact-dedup `content_hashes` entry and the
+    * MinHash-LSH `lsh_bands` entry, recipe parameters recorded so a
+    * probe or append with DIFFERENT parameters is refusable instead of
+    * a silent under-match. Paths are the store's fixed relative
+    * `hashes`/`bands` directories; both entries are owned + canonical
+    * (the recipe is the canonical construction [[graft.pipeline
+    * .CorpusStore.heal]] re-derives per batch). */
+  def saveCorpusManifest(dir: String, idCol: String, textCol: String,
+      k: Int, numPerm: Int, bands: Int): Unit = {
+    require(k > 0 && numPerm > 0 && bands > 0 && numPerm % bands == 0,
+      s"corpus index recipe invalid: k=$k numPerm=$numPerm bands=$bands " +
+        s"(numPerm must be a positive multiple of bands)")
+    val (f, hp) = hfs(dir); f.mkdirs(hp)
+    writeManifest(dir, Seq(
+      IndexCatalogEntry(0, "content_hashes", "hashes",
+        idCol = Some(idCol), textCol = Some(textCol)),
+      IndexCatalogEntry(1, "lsh_bands", "bands",
+        idCol = Some(idCol), textCol = Some(textCol),
+        k = Some(k), numPerm = Some(numPerm), bands = Some(bands))),
+      nextPos = 2)
   }
 }

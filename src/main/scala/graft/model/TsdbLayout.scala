@@ -71,6 +71,13 @@ object TsdbLayout {
     * time axis, so its lifecycle needs no watermark: [[foldCatalogL0]]
     * is the compaction, fold-completeness the retire guard. */
   private val CatalogL0Sub = "catalog_l0"
+
+  /** Where a curation deployment's [[graft.pipeline.CorpusStore]] sits
+    * inside the database directory — the convention that folds the
+    * pipeline-index alerts into [[healthCheck]] and its heal into
+    * [[maintenanceTick]]. A store anywhere else works identically
+    * through [[graft.pipeline.CorpusStore.health]]/`heal` directly. */
+  val CorpusSub = "corpus"
   private val CatalogCols = Seq("series_id", "name", "metric", "tags", "lon", "lat")
 
   /** The canonical laid-out samples column set. */
@@ -127,14 +134,28 @@ object TsdbLayout {
     *
     * Every RECORDER (upsert, expire) CREATES a new uniquely-named
     * file and never modifies an existing one; CLEARS shrink or delete
-    * existing files only. An upsert recording while a long rebuild
-    * runs therefore cannot be lost to the rebuild's completion clear
-    * — its file is simply not among those the clear shrinks, so its
-    * pairs STAY pending (at worst a pair the rebuild's snapshot
-    * already served re-reports once, and the next scoped rebuild
-    * no-ops it — a false positive, never a false green). Concurrent
-    * CLEARS remain the single-maintenance-writer discipline every
-    * lifecycle mutation here assumes. */
+    * existing files only, and the rebuilds' completion clear shrinks
+    * ONLY the files its opening [[indexDirtySnapshot]] actually read
+    * (identified by path + status) — a file a concurrent recorder
+    * creates mid-rebuild is untouched EVEN WHEN it repeats a pair the
+    * snapshot already held, so a hot partition's repeated correction
+    * stays pending (at worst a pair the rebuild's snapshot already
+    * served re-reports once, and the next scoped rebuild no-ops it —
+    * a false positive, never a false green).
+    *
+    * RESIDUAL WINDOW (inherent to the lock-free design, not fixable
+    * by file identity): a recorder writes its pair BEFORE its data
+    * (see [[upsertSamples]]), so an upsert whose pair lands before a
+    * rebuild's snapshot read but whose DATA commits after the
+    * rebuild's fact listing gets its pair cleared without the
+    * correction being served — the pair was in the snapshot, the rows
+    * were not. The window is one in-flight upsert wide and closes at
+    * that upsert's next recording; deployments that upsert
+    * concurrently with rebuilds should re-run [[IndexCatalog
+    * .rebuildScoped]] once after the upsert completes, or serialize
+    * the two (the single-maintenance-writer discipline every
+    * lifecycle MUTATION here already assumes covers clears vs
+    * clears). */
   val IndexDirtyName = "index_dirty"
 
   private val dirtyMapper = new com.fasterxml.jackson.databind.ObjectMapper
@@ -180,6 +201,30 @@ object TsdbLayout {
   def indexDirtyPairs(spark: SparkSession, dir: String): Seq[(String, Long)] =
     dirtyFiles(spark, dir).flatMap(readDirtyFile(spark, _)).distinct
 
+  /** One dirty-record file's identity at snapshot time: path plus the
+    * (mtime, length) the snapshot's status read saw. Directory-form
+    * member files are immutable once created, so the path alone would
+    * do; the legacy single-FILE record is merged-rewritten in place by
+    * later recorders, so the status pins the exact content version — a
+    * mismatch at clear time means a recorder appended meanwhile and
+    * the file must stay untouched (its pairs stay pending). */
+  private[graft] final case class DirtyFileId(
+      path: org.apache.hadoop.fs.Path, mtime: Long, len: Long)
+
+  /** The pending record WITH file identity — what the rebuilds read at
+    * entry so their completion clear (the files-scoped
+    * [[clearIndexDirty]]) shrinks only the files this snapshot saw,
+    * never one a concurrent recorder creates mid-rebuild. */
+  private[graft] def indexDirtySnapshot(spark: SparkSession,
+      dir: String): (Seq[(String, Long)], Seq[DirtyFileId]) = {
+    val files = dirtyFiles(spark, dir).map { p =>
+      val (f, _) = hfs(spark, p.toString)
+      val st = f.getFileStatus(p)
+      DirtyFileId(p, st.getModificationTime, st.getLen)
+    }
+    (files.flatMap(id => readDirtyFile(spark, id.path)).distinct, files)
+  }
+
   /** Append one recorder's pairs as a NEW immutable file. A database
     * still carrying the pre-directory single-FILE record keeps that
     * form (merged rewrite via temp + atomic rename — migrating in
@@ -187,22 +232,28 @@ object TsdbLayout {
     * silently drops pending pairs); records on a file-less database
     * start the directory form. */
   private def recordIndexDirty(spark: SparkSession, dir: String,
-      pairs: Seq[(String, Long)]): Unit = {
-    if (pairs.isEmpty) return
+      pairs: Seq[(String, Long)]): Option[DirtyFileId] = {
+    if (pairs.isEmpty) return None
     val root = s"$dir/$IndexDirtyName"
     val (f, hp) = hfs(spark, root)
-    if (f.exists(hp) && f.getFileStatus(hp).isFile)
-      atomicWrite(spark, hp,
-        pairLines((readDirtyFile(spark, hp) ++ pairs).distinct))
-    else {
-      f.mkdirs(hp)
-      // temp + rename INTO the unique final name: a reader or a crash
-      // must never see a half-written member (dirtyFiles skips .tmp)
-      val name = s"p_${java.util.UUID.randomUUID().toString}"
-      atomicWrite(spark,
-        new org.apache.hadoop.fs.Path(s"$root/$name"),
-        pairLines(pairs.distinct))
-    }
+    val written =
+      if (f.exists(hp) && f.getFileStatus(hp).isFile) {
+        atomicWrite(spark, hp,
+          pairLines((readDirtyFile(spark, hp) ++ pairs).distinct))
+        hp
+      } else {
+        f.mkdirs(hp)
+        // temp + rename INTO the unique final name: a reader or a crash
+        // must never see a half-written member (dirtyFiles skips .tmp)
+        val name = s"p_${java.util.UUID.randomUUID().toString}"
+        val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+        atomicWrite(spark, p, pairLines(pairs.distinct))
+        p
+      }
+    // the identity a recorder that later CLEARS its own pairs scopes
+    // the clear to (expire's record-before-delete heal does)
+    val st = f.getFileStatus(written)
+    Some(DirtyFileId(written, st.getModificationTime, st.getLen))
   }
 
   /** Write bytes at `dst` via `dst+".tmp"` + atomic rename — the
@@ -225,10 +276,13 @@ object TsdbLayout {
   def clearIndexDirty(spark: SparkSession, dir: String): Unit =
     deleteRecursive(spark, s"$dir/$IndexDirtyName")
 
-  /** Drop exactly `pairs` from the pending record — the rebuilds'
-    * completion hook: each existing file shrinks (temp + atomic
-    * rename) or deletes; files CREATED meanwhile by a concurrent
-    * recorder are untouched, so their pairs stay pending. */
+  /** Drop exactly `pairs` from the pending record — the OPERATOR form
+    * (an explicit touched set corrected out-of-band): each existing
+    * file shrinks (temp + atomic rename) or deletes. The rebuilds do
+    * NOT use this form — they clear through the files-scoped overload
+    * below so a file a concurrent recorder creates mid-rebuild is
+    * untouched even when it repeats a pair (file identity, see
+    * [[IndexDirtyName]]). */
   def clearIndexDirty(spark: SparkSession, dir: String,
       pairs: Seq[(String, Long)]): Unit = {
     val drop = pairs.toSet
@@ -238,12 +292,41 @@ object TsdbLayout {
       if (remaining.isEmpty) f.delete(p, false)
       else atomicWrite(spark, p, pairLines(remaining))
     }
-    // a fully-drained directory disappears (absent = nothing pending).
-    // NON-recursive delete only: a member file a concurrent recorder
-    // creates between the listing and the delete must survive — the
-    // recursive form would silently destroy it (the false green this
-    // record's whole design forbids). Non-empty → the delete fails →
-    // the directory simply stays, correctly non-empty.
+    dropDirtyDirIfEmpty(spark, dir)
+  }
+
+  /** Drop exactly `pairs` from exactly `files` — the rebuilds'
+    * completion hook ([[indexDirtySnapshot]] supplies both). A file
+    * created after the snapshot is untouched by construction (not
+    * listed); the legacy single-file record is additionally skipped
+    * when its status no longer matches the snapshot's (a recorder
+    * merged new pairs in meanwhile — shrinking the rewritten content
+    * would erase the NEW recording of a repeated pair, the exact
+    * false green file identity exists to prevent). */
+  private[graft] def clearIndexDirty(spark: SparkSession, dir: String,
+      pairs: Seq[(String, Long)], files: Seq[DirtyFileId]): Unit = {
+    val drop = pairs.toSet
+    files.foreach { id =>
+      val (f, _) = hfs(spark, id.path.toString)
+      if (f.exists(id.path)) {
+        val st = f.getFileStatus(id.path)
+        if (st.getModificationTime == id.mtime && st.getLen == id.len) {
+          val remaining = readDirtyFile(spark, id.path).filterNot(drop)
+          if (remaining.isEmpty) f.delete(id.path, false)
+          else atomicWrite(spark, id.path, pairLines(remaining))
+        }
+      }
+    }
+    dropDirtyDirIfEmpty(spark, dir)
+  }
+
+  /** A fully-drained directory disappears (absent = nothing pending).
+    * NON-recursive delete only: a member file a concurrent recorder
+    * creates between the listing and the delete must survive — the
+    * recursive form would silently destroy it (the false green this
+    * record's whole design forbids). Non-empty → the delete fails →
+    * the directory simply stays, correctly non-empty. */
+  private def dropDirtyDirIfEmpty(spark: SparkSession, dir: String): Unit = {
     val (f, hp) = hfs(spark, s"$dir/$IndexDirtyName")
     if (f.exists(hp) && !f.getFileStatus(hp).isFile &&
         f.listStatus(hp).isEmpty)
@@ -562,21 +645,44 @@ object TsdbLayout {
       s"expire: cutoff day $cutoffDay would drop every partition of " +
         s"$path — retention may not empty a layout; delete the " +
         s"database deliberately instead")
-    val dropped = aged.map { case (m, d, p) => f.delete(p, true); (m, d) }
-    // heal whenever an index catalog sits beside the layout — the same
-    // gate the upsert's dirty recording uses, so a custom-named samples
-    // layout can't record staleness on correction but skip it on
-    // retention. Only the EVENTS half is excluded: indexes derive from
-    // the samples facts, so expiring the log must not touch them
+    val agedPairs = aged.map { case (m, d, _) => (m, d) }
+    // record whenever an index catalog sits beside a non-events layout
+    // — the same gate the upsert's dirty recording uses, so a
+    // custom-named samples layout can't record staleness on correction
+    // but skip it on retention. Only the EVENTS half is excluded:
+    // indexes derive from the samples facts, so expiring the log must
+    // not touch them. Recorded BEFORE the fact delete (upsertSamples'
+    // own ordering): a crash between the two then leaves at worst a
+    // false-positive record the next scoped rebuild no-ops — never
+    // deleted facts with owned index bins still serving them and no
+    // record, no alert (the serving-path divergence this layout
+    // forbids).
     val parent = root.getParent
-    if (dropped.nonEmpty && root.getName != EventsTier.batchSub &&
-        parent != null &&
-        pathExists(spark, s"$parent/indexes/${IndexCatalog.ManifestName}")) {
+    val healGate = agedPairs.nonEmpty &&
+      root.getName != EventsTier.batchSub && parent != null &&
+      pathExists(spark, s"$parent/indexes/${IndexCatalog.ManifestName}")
+    val recorded =
+      if (healGate) recordIndexDirty(spark, parent.toString, agedPairs)
+      else None
+    aged.foreach { case (_, _, p) => f.delete(p, true) }
+    // the partition-DROPPING heal runs only under the canonical samples
+    // layout name: expireBins walks the catalog beside `parent`, which
+    // indexes the SAMPLES facts — running it from any other layout
+    // (an events log under a non-standard name, a bespoke root) would
+    // apply THIS half's cutoff to samples-derived index __day
+    // partitions whose facts still hold those days. A custom-named
+    // layout keeps the record instead: the standing index_stale alert
+    // drives rebuildScoped, which re-derives the touched bins over the
+    // surviving facts (fully-expired bins come out removed). When the
+    // drop healed every owned canonical entry, clear exactly the file
+    // this call recorded — concurrent recorders' files stay pending.
+    if (healGate && root.getName == SamplesTier.batchSub) {
       val unremovable = IndexCatalog.expireBins(spark, parent.toString,
         cutoffDay)
-      if (unremovable) recordIndexDirty(spark, parent.toString, dropped)
+      if (!unremovable)
+        clearIndexDirty(spark, parent.toString, agedPairs, recorded.toSeq)
     }
-    dropped.size
+    agedPairs.size
   }
 
   /** Write a DataFrame as a bucketed + sorted table on `series_id`: joins
@@ -1192,6 +1298,12 @@ object TsdbLayout {
       settledCutoffNs: Long, healIndexes: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // a CORPUS STORE at the database's `corpus/` sub-directory (the
+    // curation deployment layout) joins the tick: its heal is as
+    // non-destructive as the scoped rebuild, and its standing alerts
+    // belong in the same summary the cron watches
+    val corpusDir = s"$dir/${CorpusSub}"
+    val hasCorpus = graft.pipeline.CorpusStore.exists(spark, corpusDir)
     val rows = Seq(
       Row("compact_samples",
         compactTier(spark, dir, SamplesTier, settledCutoffNs).toLong),
@@ -1200,12 +1312,20 @@ object TsdbLayout {
       Row("fold_catalog", foldCatalogL0(spark, dir))) ++
       (if (healIndexes)
         Seq(Row("index_healed",
-          IndexCatalog.rebuildScoped(spark, dir).toLong))
+          IndexCatalog.rebuildScoped(spark, dir).toLong)) ++
+          (if (hasCorpus)
+            Seq(Row("corpus_healed",
+              graft.pipeline.CorpusStore.heal(spark, corpusDir).toLong))
+          else Nil)
       else Nil) ++
       Seq(
         Row("stragglers_samples", l0Stragglers(spark, dir).count()),
         Row("stragglers_events", eventsL0Stragglers(spark, dir).count()),
-        Row("index_stale", indexDirtyPairs(spark, dir).size.toLong))
+        Row("index_stale", indexDirtyPairs(spark, dir).size.toLong)) ++
+      (if (hasCorpus)
+        graft.pipeline.CorpusStore.health(spark, corpusDir)
+          .map { case (c, n) => Row(c, n) }
+      else Nil)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("step", StringType),
@@ -1250,6 +1370,14 @@ object TsdbLayout {
           .join(spark.read.parquet(s"$dir/series").select("series_id"),
             Seq("series_id"), "left_anti").count()),
       "index_stale" -> indexDirtyPairs(spark, dir).size.toLong)
+    // the pipeline-index rows: a corpus store at `corpus/` has its own
+    // staged-intent and index-coverage alerts (directory listings —
+    // composing them adds no scan); `corpus_pending` = staged
+    // accepts/takedowns no heal applied, `corpus_unbanded` = docs
+    // batches the dedup index does not cover
+    // ([[graft.pipeline.CorpusStore.health]])
+    if (graft.pipeline.CorpusStore.exists(spark, s"$dir/$CorpusSub"))
+      counts ++= graft.pipeline.CorpusStore.health(spark, s"$dir/$CorpusSub")
     nowNs.foreach { now =>
       val lagging =
         if (!pathExists(spark,

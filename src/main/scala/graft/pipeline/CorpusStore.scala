@@ -1,0 +1,396 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.IndexCatalog
+
+/** Lifecycle-managed document corpus + its dedup index — the
+  * LLM-pipeline half's answer to the TSDB database directory: one root
+  * whose documents and whose exact/near-dup index can only move
+  * together, so continuous curation never runs against an index that
+  * silently stopped covering the corpus.
+  *
+  * Layout under one `dir`:
+  * {{{
+  *   docs/                       corpus parquet, partitioned by __batch
+  *   indexes/catalog.json        IndexCatalog manifest: content_hashes +
+  *                               lsh_bands entries carrying the recipe
+  *                               (idCol, textCol, k, numPerm, bands)
+  *   indexes/hashes/             (cid, th) md5 lookup, per-batch partitions
+  *   indexes/bands/              (cid, band, band_key, cset) LSH band rows
+  *                               carrying verification sets, per-batch
+  *   pending/p_<seq>_<id>/       a STAGED accepted batch (docs parquet)
+  *   pending/t_<seq>_<id>/       a STAGED takedown (ids parquet)
+  * }}}
+  *
+  * The lifecycle discipline is the TSDB layout's, pointed at the
+  * band/hash index:
+  *
+  *   - RECORD BEFORE MUTATE: accepting a batch or removing documents
+  *     first stages the intent under `pending/` ([[stageBatch]] /
+  *     [[stageTakedown]]); only [[heal]] mutates docs and index. A
+  *     crash at any point leaves the staged record, the standing
+  *     `corpus_pending` alert ([[health]], surfaced through
+  *     [[graft.model.TsdbLayout.healthCheck]]) fires, and re-running
+  *     [[heal]] IS the recovery.
+  *   - IDEMPOTENT HEAL: a staged batch's identity is its pending
+  *     directory name, which becomes its `__batch` partition value in
+  *     docs, hashes and bands — re-running a crashed heal
+  *     dynamic-overwrites the SAME partitions, never duplicates.
+  *   - METADATA-ONLY STALENESS: `corpus_unbanded` = docs `__batch`
+  *     partitions missing from the hashes or bands listings — a
+  *     directory-listing diff, no file opened — which catches even
+  *     out-of-band document writes that bypassed the staging
+  *     discipline; [[heal]] re-derives exactly those batch partitions
+  *     from their docs (batch-sized, partition-pruned).
+  *   - RECIPE IN THE MANIFEST: the banding parameters live in the
+  *     index-catalog registration ([[graft.model.IndexCatalog
+  *     .saveCorpusManifest]]); every append and probe reads them from
+  *     there, so a drifting caller cannot poison the index with
+  *     incomparable band keys.
+  *
+  * The reference registers new series on the FIRST WRITE that names
+  * them (/root/reference/stdb/core/standalone_database_session.cc:39-87)
+  * and keeps index state current inside the write path
+  * (stdb/storage/nbtree.h:457); this store is that register-on-write
+  * contract for the corpus index, expressed as staged batches over
+  * immutable-ish parquet.
+  *
+  * 100 TB notes: every operation here is BATCH-sized, never
+  * corpus-sized — accept cost is the staged batch's two in-row
+  * projections ([[Dedup.corpusIndexFrames]]); probe cost is
+  * [[Dedup.dedupAgainstIndex]]'s broadcast-probe of the index scan;
+  * takedown cost is one id-column index scan plus rewrites of only the
+  * `__batch` partitions holding the removed ids; staleness reads are
+  * directory listings. Nothing shuffles the corpus.
+  */
+object CorpusStore {
+
+  val DocsSub = "docs"
+  val IndexesSub = "indexes"
+  val PendingSub = "pending"
+
+  /** Per-batch partition column of docs/hashes/bands storage — the
+    * batch's identity, what makes the heal idempotent and the
+    * takedown rewrite partition-scoped. Storage detail: probe reads
+    * ignore it, [[readDocs]] drops it on request. */
+  val BatchCol = "__batch"
+
+  /** The initial corpus batch id ([[create]]). */
+  val InitBatch = "b00000_init"
+
+  /** The registered recipe — one source of truth for every append and
+    * probe, read from the manifest ([[recipe]]). */
+  final case class Recipe(idCol: String, textCol: String,
+      k: Int, numPerm: Int, bands: Int)
+
+  // ------------------------------------------------------- filesystem
+
+  private def hfs(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def listDirs(spark: SparkSession, root: String,
+      prefix: String): Seq[org.apache.hadoop.fs.Path] = {
+    val (f, hp) = hfs(spark, root)
+    if (!f.exists(hp)) Nil
+    else f.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+  }
+
+  /** `__batch=` partition values of one storage side — a directory
+    * listing, no file opened (the staleness read's whole cost). */
+  private def batchesOf(spark: SparkSession, path: String): Set[String] =
+    listDirs(spark, path, s"$BatchCol=").map { p =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(p.getName.stripPrefix(s"$BatchCol="))
+    }.toSet
+
+  private def docsPath(dir: String) = s"$dir/$DocsSub"
+  private def hashesPath(dir: String) = s"$dir/$IndexesSub/hashes"
+  private def bandsPath(dir: String) = s"$dir/$IndexesSub/bands"
+
+  // ------------------------------------------------------------ reads
+
+  /** The registered recipe, from the manifest — fails loudly when the
+    * directory is not a corpus store or the two entries disagree. */
+  def recipe(dir: String): Recipe = {
+    val entries = IndexCatalog.describe(s"$dir/$IndexesSub")
+    def one(kind: String) = entries.filter(_.kind == kind) match {
+      case Seq(e) => e
+      case es => throw new IllegalArgumentException(
+        s"corpus store at $dir must register exactly one $kind entry, " +
+          s"found ${es.size}")
+    }
+    val h = one("content_hashes"); val b = one("lsh_bands")
+    require(h.idCol == b.idCol && h.textCol == b.textCol,
+      s"corpus store at $dir: content_hashes and lsh_bands disagree on " +
+        s"the document columns (${h.idCol}/${h.textCol} vs " +
+        s"${b.idCol}/${b.textCol})")
+    Recipe(b.idCol.get, b.textCol.get, b.k.get, b.numPerm.get, b.bands.get)
+  }
+
+  /** The corpus documents (every healed batch). `withBatch = true`
+    * keeps the storage partition column. */
+  def readDocs(spark: SparkSession, dir: String,
+      withBatch: Boolean = false): DataFrame = {
+    val d = spark.read.parquet(docsPath(dir))
+    if (withBatch) d else d.drop(BatchCol)
+  }
+
+  // ------------------------------------------------------------ write
+
+  /** One batch's docs + index partitions, dynamic-overwritten under its
+    * `__batch` identity — THE mutation primitive every heal path
+    * shares. Dynamic overwrite (per-write option, the
+    * [[graft.model.IndexCatalog]] rule — never a session conf) makes a
+    * crashed re-run replace its own half-written partition instead of
+    * appending a duplicate. An empty batch writes nothing — consistent
+    * absence on all three sides. */
+  private def writeBatch(spark: SparkSession, dir: String, bid: String,
+      docsBatch: DataFrame, r: Recipe, alsoDocs: Boolean): Unit = {
+    val clean = docsBatch.drop(BatchCol)
+    val (hashes, bandRows) = Dedup.corpusIndexFrames(
+      clean, r.idCol, r.textCol, r.k, r.numPerm, r.bands)
+    def dyn(df: DataFrame, path: String): Unit =
+      df.withColumn(BatchCol, lit(bid))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BatchCol).mode("overwrite").parquet(path)
+    if (alsoDocs) dyn(clean, docsPath(dir))
+    dyn(hashes, hashesPath(dir))
+    dyn(bandRows, bandsPath(dir))
+  }
+
+  /** Create a corpus store at `dir` from its curation-time corpus:
+    * docs + index written first (as batch [[InitBatch]]), the manifest
+    * LAST — the save crash rule: a crash mid-create leaves no manifest
+    * and therefore no store, never a registered store whose index is
+    * half-written. */
+  def create(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, numPerm: Int = 32,
+      bands: Int = 8): Unit = {
+    val (f, hp) = hfs(spark, s"$dir/$IndexesSub/${IndexCatalog.ManifestName}")
+    require(!f.exists(hp), s"corpus store already exists at $dir")
+    require(!docs.isEmpty,
+      "create: an empty corpus would leave footer-less parquet roots — " +
+        "create the store from its first real batch")
+    writeBatch(spark, dir, InitBatch, docs,
+      Recipe(idCol, textCol, k, numPerm, bands), alsoDocs = true)
+    IndexCatalog.saveCorpusManifest(s"$dir/$IndexesSub",
+      idCol, textCol, k, numPerm, bands)
+  }
+
+  // ---------------------------------------------------------- staging
+
+  /** Next staged sequence number: heal applies staged intents in
+    * staging order (an accept re-adding ids a prior takedown removed
+    * must land after it). Single-maintenance-writer discipline, like
+    * every lifecycle mutation. */
+  private def nextSeq(spark: SparkSession, dir: String): Int =
+    listDirs(spark, s"$dir/$PendingSub", "")
+      .flatMap(_.getName.split("_").lift(1)).flatMap(_.toIntOption)
+      .maxOption.getOrElse(-1) + 1
+
+  private def stage(spark: SparkSession, dir: String, prefix: String,
+      payload: DataFrame): String = {
+    val name = f"${prefix}_${nextSeq(spark, dir)}%05d_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    // parquet-write INTO a temp name, then one atomic-enough directory
+    // rename: heal never sees a half-staged record
+    val tmp = s"$dir/$PendingSub/.tmp_$name"
+    payload.write.mode("overwrite").parquet(tmp)
+    val (f, _) = hfs(spark, tmp)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/$PendingSub/$name")),
+      s"stage: rename failed for $name")
+    name
+  }
+
+  /** Stage an ACCEPTED batch (the record half of [[acceptBatch]]) —
+    * the docs enter the corpus and its index at the next [[heal]].
+    * Returns the batch id (its `__batch` identity once healed). */
+  def stageBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): String = {
+    val r = recipe(dir)
+    require(batch.columns.contains(r.idCol) &&
+      batch.columns.contains(r.textCol),
+      s"stageBatch: batch lacks the registered document columns " +
+        s"(${r.idCol}, ${r.textCol})")
+    stage(spark, dir, "p", batch)
+  }
+
+  /** Stage a TAKEDOWN (license revocation, removal request): the named
+    * document ids leave the corpus AND its index at the next [[heal]].
+    * The record is the intent — a crash after staging loses nothing. */
+  def stageTakedown(spark: SparkSession, dir: String,
+      ids: Seq[Long]): String = {
+    require(ids.nonEmpty, "stageTakedown: empty id list")
+    val r = recipe(dir)
+    stage(spark, dir, "t",
+      spark.createDataFrame(ids.map(Tuple1(_))).toDF(r.idCol))
+  }
+
+  // ------------------------------------------------------------- heal
+
+  /** Apply every staged intent and re-derive every unbanded batch —
+    * the remedy behind both standing alerts, idempotent and
+    * crash-recoverable (re-run IS the recovery). Order: unbanded
+    * re-derivation first (so takedowns can find ids whose batch was
+    * written out-of-band), then staged intents in staging order.
+    * Returns the number of intents + batches healed. */
+  def heal(spark: SparkSession, dir: String): Int = {
+    val r = recipe(dir)
+    var n = 0
+    // 1. unbanded batches: docs partitions the index listings lack —
+    //    re-derive exactly those partitions from their docs
+    unbandedBatches(spark, dir).toSeq.sorted.foreach { bid =>
+      val docsB = spark.read.parquet(docsPath(dir))
+        .where(col(BatchCol) === bid)
+      writeBatch(spark, dir, bid, docsB, r, alsoDocs = false)
+      n += 1
+    }
+    // 2. staged intents, in staging order
+    listDirs(spark, s"$dir/$PendingSub", "").sortBy(_.getName)
+      .filterNot(_.getName.startsWith(".")).foreach { p =>
+        val name = p.getName
+        val staged = spark.read.parquet(p.toString)
+        if (name.startsWith("p_")) applyAccept(spark, dir, name, staged, r)
+        else if (name.startsWith("t_")) applyTakedown(spark, dir, staged, r)
+        else throw new IllegalArgumentException(
+          s"heal: unknown staged record $name under $dir/$PendingSub")
+        val (f, _) = hfs(spark, p.toString)
+        f.delete(p, true)
+        n += 1
+      }
+    n
+  }
+
+  /** One accepted batch lands: docs + index partitions under the
+    * batch's identity. Ids the index already covers under ANOTHER
+    * batch drop first (an operator staging the same docs twice must
+    * not duplicate the corpus) — a crashed re-run of THIS batch keeps
+    * its own rows because the filter excludes its own partition. */
+  private def applyAccept(spark: SparkSession, dir: String, bid: String,
+      staged: DataFrame, r: Recipe): Unit = {
+    // broadcast-probe the hashes index by id (index-sized scan of two
+    // skinny columns, batch-bounded result) — never a corpus shuffle
+    val stagedIds = staged.select(col(r.idCol).as("cid")).distinct()
+    val dupIds = spark.read.parquet(hashesPath(dir))
+      .where(col(BatchCol) =!= bid)
+      .join(broadcast(stagedIds), "cid")
+      .select("cid").distinct().collect().map(_.get(0)).toSet
+    val fresh =
+      if (dupIds.isEmpty) staged
+      else staged.where(!col(r.idCol).isin(dupIds.toSeq: _*))
+    writeBatch(spark, dir, bid, fresh, r, alsoDocs = true)
+  }
+
+  /** One takedown lands: the `__batch` partitions holding the ids are
+    * rewritten WITHOUT them — docs first, bands second, the hashes
+    * LOOKUP last, so a crash between sides leaves the ids still
+    * findable and the staged record still present: the re-run finds
+    * and finishes them. Partitions left empty are deleted explicitly
+    * (a dynamic overwrite cannot express "now empty" — the
+    * rebuildScoped lesson); emptying the whole corpus refuses, like
+    * retention refusing to empty a layout. */
+  private def applyTakedown(spark: SparkSession, dir: String,
+      staged: DataFrame, r: Recipe): Unit = {
+    val ids = staged.select(col(r.idCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (ids.isEmpty) return
+    val idSeq = ids.toSeq
+    // affected batches via the hashes lookup (id-column index scan)
+    val affected = spark.read.parquet(hashesPath(dir))
+      .where(col("cid").isin(idSeq: _*))
+      .select(BatchCol).distinct().collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return
+    val affSeq = affected.toSeq
+    def rewrite(path: String, idColName: String): Unit = {
+      val slice = spark.read.parquet(path)
+        .where(col(BatchCol).isin(affSeq: _*)) // partition-pruned
+      // localCheckpoint severs the read-then-overwrite lineage on the
+      // directory being rewritten (the upsert discipline)
+      val remaining = slice.where(!col(idColName).isin(idSeq: _*))
+        .localCheckpoint()
+      val keptBatches = remaining.select(BatchCol).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (path == docsPath(dir))
+        require(keptBatches.nonEmpty ||
+          (batchesOf(spark, path) -- affected).nonEmpty,
+          s"takedown would empty the corpus at $dir — removing every " +
+            s"document is \"drop the store\", a deliberate act")
+      if (keptBatches.nonEmpty)
+        remaining.write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol).mode("overwrite").parquet(path)
+      (affected -- keptBatches).foreach { bid =>
+        val (f, _) = hfs(spark, path)
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$BatchCol=${org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(bid)}"), true)
+      }
+    }
+    rewrite(docsPath(dir), r.idCol)
+    rewrite(bandsPath(dir), "cid")
+    rewrite(hashesPath(dir), "cid")
+  }
+
+  // --------------------------------------------------- alerts / probe
+
+  /** Docs `__batch` partitions missing from the hashes OR bands
+    * listings — the metadata-only staleness read. */
+  private def unbandedBatches(spark: SparkSession, dir: String): Set[String] = {
+    val docs = batchesOf(spark, docsPath(dir))
+    (docs -- batchesOf(spark, hashesPath(dir))) ++
+      (docs -- batchesOf(spark, bandsPath(dir)))
+  }
+
+  /** The standing alerts, as (component, n) — `corpus_pending` =
+    * staged intents no heal has applied, `corpus_unbanded` = docs
+    * batches the index does not cover. Directory listings only.
+    * [[graft.model.TsdbLayout.healthCheck]] merges these rows when a
+    * store sits at the database's `corpus/` sub-directory. */
+  def health(spark: SparkSession, dir: String): Seq[(String, Long)] = Seq(
+    "corpus_pending" -> listDirs(spark, s"$dir/$PendingSub", "")
+      .count(p => !p.getName.startsWith(".")).toLong,
+    "corpus_unbanded" -> unbandedBatches(spark, dir).size.toLong)
+
+  /** Is there a corpus store at `dir`? (Manifest presence — the same
+    * gate the TSDB health composition uses.) */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val (f, hp) = hfs(spark, s"$dir/$IndexesSub/${IndexCatalog.ManifestName}")
+    f.exists(hp)
+  }
+
+  /** Incremental dedup of an arriving batch against the store —
+    * [[Dedup.dedupAgainstIndex]] with the recipe read from the
+    * manifest, so a probe can never run with parameters the index was
+    * not built with. The corpus text is never read. */
+  def probeBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val r = recipe(dir)
+    Dedup.dedupAgainstIndex(
+      spark.read.parquet(hashesPath(dir)),
+      spark.read.parquet(bandsPath(dir)),
+      batch, r.idCol, r.textCol, r.k, r.numPerm, r.bands, threshold)
+  }
+
+  /** Stage + heal in one call — the common operator flow. The staging
+    * half is what makes it crash-safe; see [[stageBatch]]/[[heal]]. */
+  def acceptBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): String = {
+    val bid = stageBatch(spark, dir, batch)
+    heal(spark, dir)
+    bid
+  }
+
+  /** Stage + heal a takedown — see [[stageTakedown]]/[[heal]]. */
+  def removeDocuments(spark: SparkSession, dir: String,
+      ids: Seq[Long]): Unit = {
+    stageTakedown(spark, dir, ids)
+    heal(spark, dir)
+  }
+}

@@ -693,14 +693,61 @@ object Dedup {
   def writeCorpusIndex(corpus: DataFrame, path: String, idCol: String,
       textCol: String, k: Int = 3, numPerm: Int = 32,
       bands: Int = 8): Unit = {
-    corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
+    val (hashes, bandRows) =
+      corpusIndexFrames(corpus, idCol, textCol, k, numPerm, bands)
+    hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    bandRows.write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** The corpus index's two projection frames — ONE definition shared
+    * by [[writeCorpusIndex]] (full build), [[appendCorpusIndex]] (the
+    * lifecycle append) and [[graft.pipeline.CorpusStore]]'s per-batch
+    * partitions, so an appended batch's index rows are bit-identical
+    * to what a full rewrite would have produced for the same documents
+    * (append+probe == rewrite+probe, spec-pinned). Both are in-row
+    * projections of one corpus scan each: no shuffle, batch-sized when
+    * the input is a batch. */
+  private[pipeline] def corpusIndexFrames(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, numPerm: Int,
+      bands: Int): (DataFrame, DataFrame) = (
+    corpus.select(col(idCol).as("cid"), md5(col(textCol)).as("th")),
     minhashSignature(corpus, idCol, textCol, k, numPerm)
       .select(col("id").as("cid"), col("set").as("cset"),
         explode(array(bandCols(numPerm, bands): _*)).as("bk"))
       .select(col("cid"), col("bk.band").as("band"),
-        col("bk.band_key").as("band_key"), col("cset"))
-      .write.mode("overwrite").parquet(s"$path/bands")
+        col("bk.band_key").as("band_key"), col("cset")))
+
+  /** Append `accepted` documents' rows to an EXISTING
+    * [[writeCorpusIndex]] index at `path` — the index-maintenance half
+    * of accepting a batch into the corpus: without it the index serves
+    * only the curation-time corpus and silently under-matches from the
+    * first accepted batch onward (the reference registers new series
+    * on FIRST WRITE — standalone_database_session.cc:39-87 — never
+    * only at save time). Same in-row projections as the full build
+    * ([[corpusIndexFrames]]), append mode: cost is accepted-batch-
+    * sized, never corpus-sized. `k`/`numPerm`/`bands` MUST equal the
+    * index build's — a mismatched append poisons the index with
+    * incomparable band keys; this bare form checks what parquet can
+    * check (the existing index's schema), and
+    * [[graft.pipeline.CorpusStore]] is the fully-checked form, with
+    * the recipe registered in an index-catalog manifest and appends
+    * validated against it. */
+  def appendCorpusIndex(accepted: DataFrame, path: String, idCol: String,
+      textCol: String, k: Int = 3, numPerm: Int = 32,
+      bands: Int = 8): Unit = {
+    val spark = accepted.sparkSession
+    val (hashes, bandRows) =
+      corpusIndexFrames(accepted, idCol, textCol, k, numPerm, bands)
+    // loud structural guard: appending to a non-index (or the two
+    // directories swapped) must fail here, not corrupt silently
+    Seq("hashes" -> hashes, "bands" -> bandRows).foreach { case (sub, df) =>
+      val existing = spark.read.parquet(s"$path/$sub")
+      require(df.columns.toSeq.forall(existing.columns.contains),
+        s"appendCorpusIndex: $path/$sub does not have the corpus-index " +
+          s"schema (existing: ${existing.columns.mkString(", ")}; " +
+          s"appending: ${df.columns.mkString(", ")})")
+      df.write.mode("append").parquet(s"$path/$sub")
+    }
   }
 
   /** [[dedupAgainstCorpus]] probing a PERSISTED [[writeCorpusIndex]]

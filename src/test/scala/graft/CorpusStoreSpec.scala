@@ -1,0 +1,218 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusStore, Dedup}
+import graft.model.IndexCatalog
+
+/** The corpus-index LIFECYCLE ([[graft.pipeline.CorpusStore]]): accept
+  * and takedown move docs and dedup index together, heals are
+  * idempotent and crash-recoverable, staleness is a listing-only
+  * alert, and the recipe lives in the index-catalog manifest. */
+class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  /** A tiny corpus with exact and near duplicates across splits. */
+  private def docRows(ids: Seq[Long]): Seq[(Long, String)] = ids.map { i =>
+    val base = (0 until 12).map(w => s"w${(i * 7 + w * 3) % 5}_${w % 4}")
+    // ids ≡ 0 (mod 10) duplicate the text of id+1 exactly
+    val words = if (i % 10 == 0) (0 until 12)
+      .map(w => s"w${((i + 1) * 7 + w * 3) % 5}_${w % 4}") else base
+    (i, words.mkString(" "))
+  }
+
+  private def docsDf(ids: Seq[Long]): DataFrame =
+    docRows(ids).toDF("doc_id", "text")
+
+  private def store(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("append == rewrite: an accept-grown index is row-identical to a full rebuild over the grown corpus, and probes identically") {
+    val dir = store("graft_cs_append")
+    val corpus0 = docsDf(1L to 40L)
+    val accepted = docsDf(41L to 60L)
+    val batch = docsDf(100L to 120L)
+    CorpusStore.create(spark, dir, corpus0, "doc_id", "text")
+    CorpusStore.acceptBatch(spark, dir, accepted)
+
+    // the store's index rows == writeCorpusIndex over corpus0 ∪ accepted
+    val full = store("graft_cs_full")
+    Dedup.writeCorpusIndex(corpus0.unionByName(accepted), full,
+      "doc_id", "text")
+    for (sub <- Seq("hashes", "bands")) {
+      assert(rowsOf(spark.read.parquet(s"$dir/indexes/$sub")
+          .drop(CorpusStore.BatchCol)) ===
+        rowsOf(spark.read.parquet(s"$full/$sub")),
+        s"$sub: append+heal must equal the full rewrite")
+    }
+    // ...and the probe equals the live recompute over the grown corpus
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(corpus0.unionByName(accepted),
+        batch, "doc_id", "text")))
+  }
+
+  test("the bare appendCorpusIndex: flat-index append equals rewrite; wrong directory refuses") {
+    val a = store("graft_cs_bare_a"); val b = store("graft_cs_bare_b")
+    Dedup.writeCorpusIndex(docsDf(1L to 30L), a, "doc_id", "text")
+    Dedup.appendCorpusIndex(docsDf(31L to 45L), a, "doc_id", "text")
+    Dedup.writeCorpusIndex(docsDf(1L to 45L), b, "doc_id", "text")
+    for (sub <- Seq("hashes", "bands"))
+      assert(rowsOf(spark.read.parquet(s"$a/$sub")) ===
+        rowsOf(spark.read.parquet(s"$b/$sub")))
+    val junk = store("graft_cs_junk")
+    Seq((1L, 2L)).toDF("x", "y").write.parquet(s"$junk/hashes")
+    val e = intercept[IllegalArgumentException](
+      Dedup.appendCorpusIndex(docsDf(1L to 3L), junk, "doc_id", "text"))
+    assert(e.getMessage.contains("corpus-index schema"))
+  }
+
+  test("heal is idempotent and crash-recoverable: re-runs and partial writes never duplicate or lose documents") {
+    val dir = store("graft_cs_crash")
+    CorpusStore.create(spark, dir, docsDf(1L to 30L), "doc_id", "text")
+    // stage a batch, then simulate a crash mid-heal: the docs partition
+    // landed under the staged identity but the index partitions did not
+    val bid = CorpusStore.stageBatch(spark, dir, docsDf(31L to 40L))
+    docsDf(31L to 40L).withColumn(CorpusStore.BatchCol, lit(bid))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CorpusStore.BatchCol).mode("overwrite")
+      .parquet(s"$dir/${CorpusStore.DocsSub}")
+    assert(CorpusStore.health(spark, dir).toMap ===
+      Map("corpus_pending" -> 1L, "corpus_unbanded" -> 1L),
+      "both alerts fire on the half-landed batch")
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.health(spark, dir).toMap ===
+      Map("corpus_pending" -> 0L, "corpus_unbanded" -> 0L))
+    assert(CorpusStore.readDocs(spark, dir).count() === 40L,
+      "the re-run overwrites the same partition — never a duplicate")
+    assert(spark.read.parquet(s"$dir/indexes/hashes").count() === 40L)
+    // a second heal is a no-op
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.readDocs(spark, dir).count() === 40L)
+    assert(spark.read.parquet(s"$dir/indexes/hashes").count() === 40L)
+    // staging the SAME docs again must not duplicate them either
+    CorpusStore.acceptBatch(spark, dir, docsDf(31L to 40L))
+    assert(CorpusStore.readDocs(spark, dir).count() === 40L,
+      "ids the index already covers drop from a re-staged batch")
+  }
+
+  test("takedown rewrites only the batch partitions holding the removed ids; removed ids match nothing afterwards") {
+    val dir = store("graft_cs_take")
+    CorpusStore.create(spark, dir, docsDf(1L to 30L), "doc_id", "text")
+    val b2 = CorpusStore.acceptBatch(spark, dir, docsDf(31L to 50L))
+    def partFiles(sub: String, bid: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(dir, sub,
+        s"${CorpusStore.BatchCol}=$bid")
+      val ls = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+      } finally ls.close()
+    }
+    val before = Seq("docs", "indexes/hashes", "indexes/bands")
+      .map(s => s -> partFiles(s, CorpusStore.InitBatch)).toMap
+    // remove ids living only in batch b2
+    CorpusStore.removeDocuments(spark, dir, Seq(35L, 36L, 40L))
+    Seq("docs", "indexes/hashes", "indexes/bands").foreach { s =>
+      assert(partFiles(s, CorpusStore.InitBatch) === before(s),
+        s"$s: the untouched batch's partition files must not be rewritten")
+    }
+    assert(CorpusStore.readDocs(spark, dir).where(
+      col("doc_id").isin(35L, 36L, 40L)).count() === 0L)
+    assert(spark.read.parquet(s"$dir/indexes/hashes")
+      .where(col("cid").isin(35L, 36L, 40L)).count() === 0L)
+    assert(spark.read.parquet(s"$dir/indexes/bands")
+      .where(col("cid").isin(35L, 36L, 40L)).count() === 0L)
+    // an exact duplicate of a REMOVED doc probes as new (id 40 ≡ 0
+    // mod 10 duplicated 41's text; removing 41 would free 40 — here
+    // remove nothing more, just assert the probe agrees with a live
+    // recompute over the shrunk corpus)
+    val batch = docsDf(100L to 110L)
+    val shrunk = docsDf((1L to 50L).filterNot(Seq(35L, 36L, 40L).contains))
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(shrunk, batch, "doc_id", "text")))
+    // removing a batch's LAST documents deletes its partitions whole
+    CorpusStore.removeDocuments(spark, dir,
+      (31L to 50L).filterNot(Seq(35L, 36L, 40L).contains))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir, "docs", s"${CorpusStore.BatchCol}=$b2")),
+      "a fully-emptied batch partition is deleted, not left stale")
+    assert(CorpusStore.readDocs(spark, dir).count() === 30L)
+    // ...but emptying the whole corpus refuses, like retention
+    val e = intercept[IllegalArgumentException](
+      CorpusStore.removeDocuments(spark, dir, (1L to 30L).toSeq))
+    assert(e.getMessage.contains("empty the corpus"))
+  }
+
+  test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {
+    val dir = store("graft_cs_recipe")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text",
+      k = 3, numPerm = 16, bands = 4)
+    assert(CorpusStore.recipe(dir) ===
+      CorpusStore.Recipe("doc_id", "text", 3, 16, 4))
+    val entries = IndexCatalog.describe(s"$dir/indexes")
+    assert(entries.map(_.kind).sorted === Seq("content_hashes", "lsh_bands"))
+    assert(entries.forall(e => e.owned && e.canonical))
+    // an invalid recipe refuses at registration
+    val bad = store("graft_cs_badrecipe")
+    val e1 = intercept[IllegalArgumentException](
+      IndexCatalog.saveCorpusManifest(bad, "doc_id", "text",
+        k = 3, numPerm = 16, bands = 5))
+    assert(e1.getMessage.contains("multiple of bands"))
+    // the FACT rebuilds refuse corpus kinds loudly (their heal is
+    // CorpusStore.heal, their facts are documents, not the layout)
+    val e2 = intercept[IllegalArgumentException](
+      IndexCatalog.rebuild(spark, dir))
+    assert(e2.getMessage.contains("CorpusStore"))
+    // ...and so does loading them onto a TsdbContext
+    val base = rampContext(Seq(1), 0L, 4L)
+    val e3 = intercept[IllegalArgumentException](
+      IndexCatalog.load(spark, s"$dir/indexes", base))
+    assert(e3.getMessage.contains("CorpusStore"))
+    // a probe cannot run with drifted parameters: it reads the manifest
+    val probed = CorpusStore.probeBatch(spark, dir, docsDf(100L to 105L))
+    assert(rowsOf(probed) === rowsOf(Dedup.dedupAgainstCorpus(
+      docsDf(1L to 20L), docsDf(100L to 105L), "doc_id", "text",
+      k = 3, numPerm = 16, bands = 4)))
+  }
+
+  test("healthCheck and maintenanceTick carry the pipeline-index rows for a store at the database's corpus/ directory") {
+    import graft.model.TsdbLayout
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 24).map(i => ("x", i.toLong * h, 1.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
+    val db = java.nio.file.Files.createTempDirectory("graft_cs_db").toString
+    TsdbLayout.writeDatabase(ctx, db)
+    CorpusStore.create(spark, s"$db/${TsdbLayout.CorpusSub}",
+      docsDf(1L to 20L), "doc_id", "text")
+    CorpusStore.stageBatch(spark, s"$db/${TsdbLayout.CorpusSub}",
+      docsDf(21L to 30L))
+    def hc(): Map[String, (String, Long)] =
+      TsdbLayout.healthCheck(spark, db).collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(hc()("corpus_pending") === ("alert", 1L),
+      "a staged-but-unhealed batch is a standing alert in the ONE frame")
+    assert(hc()("corpus_unbanded") === ("ok", 0L))
+    // the healing tick applies it and reports the work
+    val tick = TsdbLayout.maintenanceTick(spark, db, 0L, healIndexes = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tick("corpus_healed") === 1L)
+    assert(tick("corpus_pending") === 0L)
+    assert(hc()("corpus_pending") === ("ok", 0L))
+    assert(CorpusStore.readDocs(spark, s"$db/${TsdbLayout.CorpusSub}")
+      .count() === 30L)
+    // a database WITHOUT a corpus store shows no pipeline rows
+    val bare = java.nio.file.Files.createTempDirectory("graft_cs_bare").toString
+    TsdbLayout.writeDatabase(ctx, bare)
+    assert(!TsdbLayout.healthCheck(spark, bare).collect()
+      .exists(_.getString(0).startsWith("corpus_")))
+  }
+}

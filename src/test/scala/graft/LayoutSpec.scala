@@ -600,6 +600,137 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
         "from survivors, later weeks untouched")
   }
 
+  test("the completion clear is FILE-scoped: a recorder landing mid-rebuild stays pending even when it repeats a cleared pair") {
+    // the false-green the old pair-scoped clear allowed: a hot
+    // partition corrected AGAIN while a long rebuild runs records the
+    // same (metric, ts_day) into a NEW file; the rebuild's fact
+    // snapshot predates the second correction, so its completion clear
+    // must not erase the re-recording
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 48).map(i => ("x", i.toLong * h, 1.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
+    val db = java.nio.file.Files.createTempDirectory("graft_clearrace").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    def correct(hour: Int): Unit = {
+      val late = ctx.samples.where(col("ts") === hour * h)
+        .select(col("series_id"), col("ts"),
+          (col("value") + lit(1000.0)).as("value"))
+      assert(TsdbLayout.upsertSamples(spark, s"$db/samples", late,
+        ctx.series) === 1)
+    }
+    correct(10)
+    // what a rebuild reads at entry: pairs + the files holding them
+    val (pairs, files) = TsdbLayout.indexDirtySnapshot(spark, db)
+    assert(pairs === Seq(("m", 0L)) && files.size === 1)
+    // a SECOND correction of the same partition lands mid-rebuild —
+    // a new record file repeating the pair the snapshot already holds
+    correct(11)
+    TsdbLayout.clearIndexDirty(spark, db, pairs, files)
+    assert(TsdbLayout.indexDirtyPairs(spark, db) === Seq(("m", 0L)),
+      "the mid-rebuild recording must STAY pending — clearing it would " +
+        "leave stale index bins with index_stale green")
+    // the loop still closes: the next scoped rebuild serves and clears
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty)
+
+    // the legacy single-FILE record form: recorders REWRITE the file,
+    // so identity is (path, status) — a merge landing after the
+    // snapshot must leave the whole file untouched at clear time
+    // (both pairs stay pending: false positive, never false green)
+    val one = java.nio.file.Files.createTempDirectory("graft_onefile")
+    java.nio.file.Files.write(one.resolve("index_dirty"),
+      "{\"metric\":\"m\",\"ts_day\":0}\n".getBytes("UTF-8"))
+    val (p1, f1) = TsdbLayout.indexDirtySnapshot(spark, one.toString)
+    assert(p1 === Seq(("m", 0L)) && f1.size === 1)
+    java.nio.file.Files.write(one.resolve("index_dirty"),
+      ("{\"metric\":\"m\",\"ts_day\":0}\n" +
+        "{\"metric\":\"m\",\"ts_day\":7}\n").getBytes("UTF-8"))
+    TsdbLayout.clearIndexDirty(spark, one.toString, p1, f1)
+    assert(TsdbLayout.indexDirtyPairs(spark, one.toString).toSet ===
+      Set(("m", 0L), ("m", 7L)),
+      "a rewritten single-file record is skipped whole — shrinking the " +
+        "new content would erase the re-recording")
+  }
+
+  test("expire's heal clears only its OWN record: pre-existing pending pairs survive a fully-healed retention") {
+    // expire records the aged pairs BEFORE deleting fact partitions
+    // (the upsert's record-before-mutate ordering — a crash between
+    // the two leaves a false positive, never unalerted stale bins) and
+    // clears exactly the file it recorded when the partition drop
+    // healed everything — an upsert's earlier record is not its to
+    // clear
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 96).map(i => ("x", i.toLong * h, 1.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
+    val db = java.nio.file.Files.createTempDirectory("graft_exp_own").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    // an upsert's pending pair on a SURVIVING day (day 3)
+    val late = ctx.samples.where(col("ts") === 80 * h)
+      .select(col("series_id"), col("ts"),
+        (col("value") + lit(5.0)).as("value"))
+    assert(TsdbLayout.upsertSamples(spark, s"$db/samples", late,
+      ctx.series) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, db) === Seq(("m", 3L)))
+    // retention drops days 0-1; the hourly rollup divides a day, so
+    // the heal is a clean partition drop → expire's pairs clear...
+    assert(TsdbLayout.expire(spark, s"$db/samples", 48 * h) === 2)
+    assert(TsdbLayout.indexDirtyPairs(spark, db) === Seq(("m", 3L)),
+      "...but the upsert's pending pair is not expire's to clear")
+  }
+
+  test("the partition-dropping heal is gated on the samples layout NAME: a custom-named layout records instead") {
+    // running IndexCatalog.expireBins with another layout's cutoff
+    // would delete samples-derived index __day partitions for days the
+    // samples facts still hold — so any root that is not the canonical
+    // samples layout takes the record-only path, and the standing
+    // staleness loop (rebuildScoped over the REAL samples facts) is
+    // the heal
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val h = 3600L * 1000000000L
+    val ctx = graft.model.TsdbContext.fromWide(spark,
+      (0 until 96).map(i => ("x", i.toLong * h, 1.0))
+        .toDF("user", "ts", "value").withColumn("metric", lit("m")),
+      "metric", Seq("user"), "ts", "value")
+    val db = java.nio.file.Files.createTempDirectory("graft_exp_name").toString
+    TsdbLayout.writeDatabase(ctx.copy(
+      rollups = Seq(h -> graft.engine.Rollup.build(ctx.samples, h))), db)
+    // a bespoke layout under a NON-standard name beside the catalog —
+    // e.g. an events log an operator stored as "archive"
+    TsdbLayout.writeSamples(ctx, s"$db/archive")
+    assert(TsdbLayout.expire(spark, s"$db/archive", 48 * h) === 2)
+    val rollDir = java.nio.file.Paths.get(db, "indexes", "idx_0_rollup")
+    val ls = java.nio.file.Files.list(rollDir)
+    val days =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__day=")).toSet
+      finally ls.close()
+    assert(days === Set("__day=0", "__day=1", "__day=2", "__day=3"),
+      "the custom-named expire must NOT drop samples-derived index " +
+        "partitions — the samples facts still hold those days")
+    assert(TsdbLayout.indexDirtyPairs(spark, db).toSet ===
+      Set(("m", 0L), ("m", 1L)),
+      "it records instead — the staleness alert drives the heal")
+    // the recorded heal is a no-op re-derivation over the INTACT
+    // samples facts: index-served answers unchanged
+    assert(graft.model.IndexCatalog.rebuildScoped(spark, db) === 1)
+    assert(TsdbLayout.indexDirtyPairs(spark, db).isEmpty)
+    val stmt = s"""{"group-aggregate": {"metric": "m", "step": "1h",
+                     "func": "max"}, "range": {"from": 0, "to": ${96 * h}}}"""
+    assert(new Engine(TsdbLayout.openDatabase(spark, db)).execute(stmt)
+        .count() === 96L)
+  }
+
   test("healthCheck: one merged frame, all-clean first, then each alert fires") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
