@@ -158,6 +158,23 @@ final class Engine(val ctx: TsdbContext,
     require(missing.isEmpty,
       s"registered gap index ([${reg.fromNs}, ${reg.toNs})) lacks column(s): ${missing.mkString(", ")}")
   }
+  // the pipeline tables keep the same construction-time shape contract
+  // as the index frames: statement code trusts these columns exist
+  ctx.documents.foreach { d =>
+    val missing = Seq("id", "text").filterNot(d.columns.contains)
+    require(missing.isEmpty,
+      s"registered documents table lacks column(s): ${missing.mkString(", ")}")
+  }
+  ctx.embeddings.foreach { e =>
+    val missing = Seq("id", "embedding").filterNot(e.columns.contains)
+    require(missing.isEmpty,
+      s"registered embeddings table lacks column(s): ${missing.mkString(", ")}")
+  }
+  ctx.ivfCodebook.foreach { cb =>
+    require(cb.nonEmpty, "registered IVF codebook must not be empty")
+    require(cb.map(_._1).distinct.size == cb.size,
+      "registered IVF codebook has duplicate cell ids")
+  }
 
   /** One catalog count per Engine lifetime decides the resolved-id
     * join strategy everywhere ([[Engine.MaxBroadcastSeries]]): a
@@ -212,6 +229,67 @@ final class Engine(val ctx: TsdbContext,
     case g: GroupAggregateJoinQuery => groupAggregateJoin(g)
     case s: SearchQuery             => search(s)
     case s: SuggestQuery            => suggest(s)
+    case q: KnnQuery                => knn(q)
+    case q: DedupQuery              => dedup(q)
+  }
+
+  // ------------------------------------------- pipeline statements
+
+  /** A statement predicate string as a Column over `df` — Catalyst is
+    * the expression engine (the `eval` apply-node precedent); parse
+    * and resolution failures surface as BadQuery at the library
+    * boundary, never raw Catalyst internals. */
+  private def predicateOver(df: DataFrame, pred: String,
+      stmt: String): DataFrame =
+    try {
+      val filtered = df.where(expr(pred))
+      filtered.schema // force analysis: unresolved columns fail HERE
+      filtered
+    } catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new BadQuery(s"$stmt: malformed predicate '$pred': " +
+          e.getMessage.linesIterator.take(2).mkString(" "))
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new BadQuery(s"$stmt: predicate '$pred' does not resolve " +
+          s"against the registered table: " +
+          e.getMessage.linesIterator.take(2).mkString(" "))
+    }
+
+  /** `{"knn": ...}` over the registered embeddings table. `brute` is
+    * the exact broadcast-queries scan; `ivf` serves from the
+    * registered codebook when its size matches the statement's
+    * `nlist` (the registered-index discipline — never a silent
+    * different-parameter answer) and pays the deterministic Lloyd
+    * fit otherwise. */
+  def knn(q: KnnQuery): DataFrame = {
+    val emb = ctx.embeddings.getOrElse(throw new BadQuery(
+      "knn: no embeddings table registered on this context"))
+    val queries = predicateOver(emb, q.queries, "knn")
+      .select(col("id").as("qid"), col("embedding"))
+    q.index match {
+      case "brute" =>
+        graft.pipeline.Similarity.knnBrute(emb, queries, q.k)
+      case "ivf" =>
+        val centers = ctx.ivfCodebook
+          .filter(_.size == q.nlist.get)
+          .getOrElse(graft.pipeline.Similarity.fitCodebook(
+            emb, q.nlist.get, q.iters))
+        graft.pipeline.Similarity.knnIvfWith(centers, emb, queries,
+          q.k, q.nprobe)
+    }
+  }
+
+  /** `{"dedup": ...}` over the registered documents table: rows
+    * matching the batch predicate are the arriving batch, the rest the
+    * corpus — [[graft.pipeline.Dedup.dedupAgainstCorpus]]'s
+    * corpus-never-shuffled split behind the JSON front end. */
+  def dedup(q: DedupQuery): DataFrame = {
+    val docs = ctx.documents.getOrElse(throw new BadQuery(
+      "dedup: no documents table registered on this context"))
+    val batch = predicateOver(docs, q.batch, "dedup")
+    val corpus = docs.where(!expr(q.batch))
+    graft.pipeline.Dedup.dedupAgainstCorpus(corpus, batch, "id", "text",
+      q.k, q.numPerm, q.bands, q.threshold)
   }
 
   // ---------------------------------------------------------------- select

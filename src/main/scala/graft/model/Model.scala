@@ -133,7 +133,21 @@ final case class TsdbContext(
       * pass and flag the one ranged fact pass against the broadcast
       * thresholds — identical intervals (the model stores the same
       * thresholds the scan path derives). */
-    gapIndexes: Seq[GapIndexDef] = Nil) {
+    gapIndexes: Seq[GapIndexDef] = Nil,
+    /** The LLM-pipeline tables, registered like the index frames so
+      * the JSON surface covers the pipeline half too: `documents`
+      * (columns `id`, `text`) serves `{"dedup": ...}` statements;
+      * `embeddings` (columns `id`, `embedding`) serves
+      * `{"knn": ...}`. Both optional — a pure TSDB context refuses
+      * those statements loudly. */
+    documents: Option[DataFrame] = None,
+    embeddings: Option[DataFrame] = None,
+    /** A pre-fitted IVF codebook `{"knn"}` statements with a matching
+      * `nlist` serve from instead of paying the Lloyd fit per
+      * statement — the registered-index discipline pointed at ANN
+      * (fit once at index-build time, [[graft.pipeline.Similarity
+      * .fitCodebook]] / `writeCodebook`). */
+    ivfCodebook: Option[Seq[(Int, Seq[Double])]] = None) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

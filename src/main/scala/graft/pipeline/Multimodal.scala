@@ -379,6 +379,29 @@ object Multimodal {
     *     once and reused across the partition's rows — the exact
     *     lifecycle a real weight matrix needs). PipelineSpec proves the
     *     projection against a hand-computed vector.
+    *
+    * ==== THE SWAP POINT (pluggable-featurizer contract) ====
+    * A real model replaces ONLY the body of the `it.map` below (the
+    * per-row bytes → Array[Double] function) plus the per-partition
+    * setup line above it (where `bw.map(_.value)` materializes the
+    * broadcast weights — a JNI session / ONNX runtime / tokenizer
+    * loads THERE, once per partition, never per row and never on the
+    * driver). Callers are untouched because the boundary is pinned by
+    * MultimodalContractSpec and must be preserved by any drop-in:
+    *   - output schema is exactly `(id: long, features: array<double>)`
+    *     on BOTH paths — downstream (Similarity.fitCodebook / knn*)
+    *     consumes it positionally;
+    *   - the kernel consumes the partition ITERATOR lazily (map, not
+    *     toList) — a 100 TB partition must stream through the model in
+    *     batches, never materialize;
+    *   - per-element code touches NO SparkSession/SparkContext (the
+    *     closure runs on executors; session access throws there);
+    *   - heavyweight state rides a BROADCAST handle created once on
+    *     the driver (`bw`), materialized once per partition — per-task
+    *     closure capture would re-ship the weights with every task;
+    *   - the result is a pure function of (bytes, weights): same rows
+    *     under any partitioning yield the same feature set
+    *     (repartition-invariance, spec-pinned).
     */
   final case class FeatureRow(id: Long, features: Seq[Double])
 

@@ -498,6 +498,59 @@ object Similarity {
           .as("share_delta"))
   }
 
+  /** The REMEDY behind [[cellDrift]] — the scoped-rebuild analog for
+    * the embedding half: when the drift alert fires, refit the
+    * codebook over the CURRENT (drifted) corpus, measure IVF recall on
+    * the caller's queries with the stale and the refit codebook
+    * against ONE brute-force exact frame, and RE-REGISTER
+    * ([[writeCodebook]] onto `codebookPath`) only when the refit found
+    * at least as many true neighbors as the stale codebook — the gate
+    * that makes the heal TRUSTABLE: an operator who reacts to drift
+    * with a blind refit has no evidence recall recovered, and a refit
+    * that somehow lost recall (bad iters, degenerate init on a skewed
+    * batch) must not replace a working index.
+    *
+    * The gate compares total exact-neighbor hits (`sum(n_hit)` —
+    * integer, so the decision replays bit-exactly in any engine)
+    * rather than mean rounded recall; the per-query denominators are
+    * identical on both sides (the one exact frame), so the orderings
+    * agree.
+    *
+    * Returns the per-query readout
+    * `(qid, n_hit_stale, recall_stale, n_hit_refit, recall_refit,
+    * healed)` — `healed` = 1 exactly when the refit was re-registered.
+    * Queries should probe where the drift LANDED ([[cellDrift]]'s
+    * over-share cells) — recall on the old modes alone cannot see the
+    * new one.
+    *
+    * Scale shape: one Lloyd refit (the index-build cost, [[fitCodebook]]),
+    * two broadcast-codebook IVF probes and one brute pass over the
+    * query batch — queries are the small side throughout; the corpus
+    * is scanned, never shuffled. */
+  def refitCodebook(spark: org.apache.spark.sql.SparkSession,
+      codebookPath: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nlist: Int, nprobe: Int = 2, iters: Int = 2,
+      idCol: String = "id", qidCol: String = "qid",
+      embCol: String = "embedding"): DataFrame = {
+    val stale = readCodebook(spark, codebookPath)
+    val refit = fitCodebook(corpus, nlist, iters, idCol, embCol)
+    val exact = Dedup.scopedCache(
+      knnBrute(corpus, queries, k, idCol, qidCol, embCol))
+    def recallOf(centers: Seq[(Int, Seq[Double])], suffix: String) =
+      recallAtK(
+        knnIvfWith(centers, corpus, queries, k, nprobe,
+          idCol, qidCol, embCol), exact)
+        .select(col("qid"), col("n_hit").as(s"n_hit_$suffix"),
+          col("recall").as(s"recall_$suffix"))
+    val readout = Dedup.scopedCache(
+      recallOf(stale, "stale").join(recallOf(refit, "refit"), "qid"))
+    val hits = readout
+      .agg(sum(col("n_hit_stale")), sum(col("n_hit_refit"))).head()
+    val healed = hits.getLong(1) >= hits.getLong(0)
+    if (healed) writeCodebook(spark, refit, codebookPath)
+    readout.withColumn("healed", lit(if (healed) 1 else 0))
+  }
+
   /** Persist a fitted codebook — at corpus scale the Lloyd fit runs once
     * at index-build time and queries reuse the stored centers. */
   def writeCodebook(spark: org.apache.spark.sql.SparkSession,

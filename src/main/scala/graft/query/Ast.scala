@@ -491,4 +491,37 @@ object Ast {
       startsWith: Option[String] = None,
       limit: Option[Long] = None,
       offset: Option[Long] = None) extends Query
+
+  // ---- LLM-pipeline statements (beyond-reference: one query surface
+  // for both halves — the reference dispatches every statement kind
+  // through one parser, queryparser.cc:887-918, and "same
+  // capabilities" for its user means the pipeline operators answer to
+  // the same JSON front end as the TSDB ones) ----
+
+  /** `{"knn": {"queries": "<predicate>", "k": N, "index":
+    * "brute"|"ivf", ...}}` — top-k cosine similarity search over the
+    * context's registered embeddings table (columns `id`,
+    * `embedding`). `queries` is a boolean SQL expression over that
+    * table's columns selecting the query vectors (Catalyst is the
+    * expression engine, the `eval` apply-node precedent); everything
+    * is searched. `index: "ivf"` probes `nprobe` cells of an `nlist`
+    * codebook — the context's registered [[graft.model.TsdbContext
+    * .ivfCodebook]] when its size matches `nlist`, else a
+    * deterministic Lloyd fit of `iters` rounds; `"brute"` is the
+    * exact scan (nlist/nprobe/iters must be absent). Output
+    * (qid, id, rank, cos). */
+  final case class KnnQuery(
+      k: Int, queries: String, index: String,
+      nlist: Option[Int] = None, nprobe: Int = 2,
+      iters: Int = 2) extends Query
+
+  /** `{"dedup": {"batch": "<predicate>", "threshold": t, ...}}` —
+    * incremental dedup of a batch against the rest of the context's
+    * registered documents table (columns `id`, `text`): rows matching
+    * the `batch` predicate are the arriving batch, everything else the
+    * corpus ([[graft.pipeline.Dedup.dedupAgainstCorpus]]'s split).
+    * Output (id, exact_dup_of, near_dup_of, status) per batch row. */
+  final case class DedupQuery(
+      batch: String, threshold: Double,
+      k: Int = 3, numPerm: Int = 32, bands: Int = 8) extends Query
 }

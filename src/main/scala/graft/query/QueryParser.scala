@@ -38,7 +38,7 @@ object QueryParser {
       "join", "group-aggregate-join", "asof-join", "quantile", "correlate",
       "trend", "autocorr",
       "active", "distinct", "changepoints", "sessions", "seasonal", "gaps",
-      "stale", "anomaly")
+      "stale", "anomaly", "knn", "dedup")
 
   /** Statement whitelist (reference validate_query, queryparser.cc:920-971:
     * exactly one statement, only known clause keys; `output` drives the
@@ -58,6 +58,8 @@ object QueryParser {
     if (unknown.nonEmpty)
       throw new BadQuery(s"unknown query field(s): ${unknown.mkString(", ")}")
     if (root.has("select-events")) parseSelectEvents(root)
+    else if (root.has("knn")) parseKnn(root)
+    else if (root.has("dedup")) parseDedup(root)
     else if (root.has("quantile")) parseQuantile(root)
     else if (root.has("correlate")) parseCorrelate(root)
     else if (root.has("trend")) parseTrend(root)
@@ -245,6 +247,101 @@ object QueryParser {
         filterKeys ++ groupKeys)
       .filter(root.has).foreach(k =>
         throw new BadQuery(s"$stmt doesn't support '$k'"))
+  }
+
+  /** The pipeline statements operate on registered tables, not the
+    * fact layout — every TSDB clause is meaningless for them, so all
+    * of them reject loudly rather than being silently ignored. */
+  private def rejectTsdbClauses(root: JsonNode, stmt: String): Unit =
+    clauseKeys.toSeq.sorted.filter(root.has).foreach(k =>
+      throw new BadQuery(s"$stmt doesn't support '$k'"))
+
+  /** Beyond-reference `knn` (see [[Ast.KnnQuery]]). */
+  private def parseKnn(root: JsonNode): KnnQuery = {
+    val stmt = root.get("knn")
+    if (!stmt.isObject)
+      throw new BadQuery("knn statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("k", "queries", "index", "nlist", "nprobe", "iters")
+        .contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad knn key(s): ${unknown.mkString(", ")}")
+    rejectTsdbClauses(root, "knn")
+    def intField(name: String, lo: Int): Option[Int] =
+      Option(stmt.get(name)).map { n =>
+        if (!n.isIntegralNumber)
+          throw new BadQuery(s"knn.$name must be an integer")
+        val v = n.asInt()
+        if (v < lo)
+          throw new BadQuery(s"knn.$name must be >= $lo (got $v)")
+        v
+      }
+    val k = intField("k", 1)
+      .getOrElse(throw new BadQuery("knn.k required"))
+    val queries = Option(stmt.get("queries")).filter(_.isTextual)
+      .map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new BadQuery(
+        "knn.queries (a boolean SQL predicate over the embeddings " +
+          "table) required"))
+    val index = Option(stmt.get("index")).filter(_.isTextual)
+      .map(_.asText())
+      .getOrElse(throw new BadQuery("knn.index required: 'brute' or 'ivf'"))
+    index match {
+      case "brute" =>
+        Seq("nlist", "nprobe", "iters").filter(stmt.has).foreach(f =>
+          throw new BadQuery(s"knn.$f only applies to index 'ivf'"))
+        KnnQuery(k, queries, "brute")
+      case "ivf" =>
+        val nlist = intField("nlist", 1)
+          .getOrElse(throw new BadQuery("knn.nlist required for index 'ivf'"))
+        val nprobe = intField("nprobe", 1).getOrElse(2)
+        if (nprobe > nlist)
+          throw new BadQuery(s"knn.nprobe ($nprobe) exceeds nlist ($nlist)")
+        KnnQuery(k, queries, "ivf", Some(nlist), nprobe,
+          intField("iters", 0).getOrElse(2))
+      case other =>
+        throw new BadQuery(s"unknown knn.index '$other' ('brute' or 'ivf')")
+    }
+  }
+
+  /** Beyond-reference `dedup` (see [[Ast.DedupQuery]]). */
+  private def parseDedup(root: JsonNode): DedupQuery = {
+    val stmt = root.get("dedup")
+    if (!stmt.isObject)
+      throw new BadQuery("dedup statement must be an object")
+    val unknown = stmt.fieldNames().asScala
+      .filterNot(Seq("batch", "threshold", "k", "num-perm", "bands")
+        .contains).toSeq
+    if (unknown.nonEmpty)
+      throw new BadQuery(s"bad dedup key(s): ${unknown.mkString(", ")}")
+    rejectTsdbClauses(root, "dedup")
+    val batch = Option(stmt.get("batch")).filter(_.isTextual)
+      .map(_.asText()).filter(_.nonEmpty)
+      .getOrElse(throw new BadQuery(
+        "dedup.batch (a boolean SQL predicate over the documents " +
+          "table selecting the arriving batch) required"))
+    val threshold = Option(stmt.get("threshold")).map { n =>
+      if (!n.isNumber) throw new BadQuery("dedup.threshold must be a number")
+      val v = n.asDouble()
+      if (v.isNaN || v <= 0 || v > 1)
+        throw new BadQuery(s"dedup.threshold out of (0, 1]: ${n.asText()}")
+      v
+    }.getOrElse(throw new BadQuery("dedup.threshold required"))
+    def intField(name: String, default: Int): Int =
+      Option(stmt.get(name)).map { n =>
+        if (!n.isIntegralNumber)
+          throw new BadQuery(s"dedup.$name must be an integer")
+        val v = n.asInt()
+        if (v < 1) throw new BadQuery(s"dedup.$name must be positive")
+        v
+      }.getOrElse(default)
+    val k = intField("k", 3)
+    val numPerm = intField("num-perm", 32)
+    val bands = intField("bands", 8)
+    if (numPerm % bands != 0)
+      throw new BadQuery(
+        s"dedup.num-perm ($numPerm) must be a multiple of bands ($bands)")
+    DedupQuery(batch, threshold, k, numPerm, bands)
   }
 
   /** Beyond-reference `seasonal` (see [[Ast.SeasonalQuery]]). */

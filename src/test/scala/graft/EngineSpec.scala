@@ -634,4 +634,89 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     // linear between the merged points (100,1) (120,3) (140,5)
     assert(rows.map(_._3) === Seq(1.0, 2.0, 3.0, 4.0, 5.0))
   }
+
+  test("knn statement: one JSON surface for similarity search — brute and ivf serve the Similarity results; misuse is BadQuery") {
+    import spark.implicits._
+    import graft.query.QueryParser
+    // three tight 2-d clusters; queries = ids < 10
+    val emb = (Seq(6L -> Array(0f, 10f), 1L -> Array(1f, 10f),
+      19L -> Array(0f, -10f), 3L -> Array(1f, -10f),
+      9L -> Array(10f, 0f), 8L -> Array(10f, 1.5f)))
+      .toDF("id", "embedding")
+    val base = rampContext(Seq(1), 0L, 4L)
+    val centers = graft.pipeline.Similarity.fitCodebook(emb, nlist = 3,
+      iters = 2)
+    val eng = new Engine(base.copy(embeddings = Some(emb),
+      ivfCodebook = Some(centers)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(eng.execute(
+        """{"knn": {"queries": "id < 10", "k": 2, "index": "brute"}}""")) ===
+      rowsOf(graft.pipeline.Similarity.knnBrute(emb,
+        emb.where($"id" < 10).select($"id".as("qid"), $"embedding"), k = 2)))
+    // ivf with matching nlist serves from the REGISTERED codebook
+    assert(rowsOf(eng.execute(
+        """{"knn": {"queries": "id < 10", "k": 2, "index": "ivf",
+             "nlist": 3, "nprobe": 1}}""")) ===
+      rowsOf(graft.pipeline.Similarity.knnIvfWith(centers, emb,
+        emb.where($"id" < 10).select($"id".as("qid"), $"embedding"),
+        k = 2, nprobe = 1)))
+    // validation: every misuse is BadQuery, never a Catalyst internal
+    def bad(q: String): Unit = assertThrows[BadQuery](eng.execute(q))
+    bad("""{"knn": {"queries": "id < 10", "index": "brute"}}""") // no k
+    bad("""{"knn": {"k": 2, "index": "brute"}}""")               // no queries
+    bad("""{"knn": {"k": 2, "queries": "id < 10"}}""")           // no index
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "hnsw"}}""")
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "ivf"}}""") // no nlist
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "ivf",
+           "nlist": 2, "nprobe": 3}}""")                         // nprobe > nlist
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "brute",
+           "nlist": 2}}""")                                      // brute + ivf param
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "brute",
+           "zzz": 1}}""")                                        // unknown key
+    bad("""{"knn": {"k": 2, "queries": "id < 10", "index": "brute"},
+           "range": {"from": 0, "to": 10}}""")                   // TSDB clause
+    bad("""{"knn": {"k": 2, "queries": "no_such_col < 10",
+           "index": "brute"}}""")                                // unresolvable
+    bad("""{"knn": {"k": 2, "queries": "id <", "index": "brute"}}""") // malformed
+    // a context without the table refuses loudly
+    assertThrows[BadQuery](new Engine(base).execute(
+      """{"knn": {"k": 2, "queries": "id < 10", "index": "brute"}}"""))
+  }
+
+  test("dedup statement: the incremental-dedup split through the JSON surface equals the Scala API; misuse is BadQuery") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (3L, "totally different words entirely here now"),
+      (10L, "alpha beta gamma delta epsilon zeta"),  // batch: exact dup
+      (20L, "unseen fresh novel content nothing matches"))
+      .toDF("id", "text")
+    val base = rampContext(Seq(1), 0L, 4L)
+    val eng = new Engine(base.copy(documents = Some(docs)))
+    val out = eng.execute(
+        """{"dedup": {"batch": "id >= 10", "threshold": 0.8}}""")
+      .orderBy("id")
+      .select("id", "exact_dup_of", "status")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2))).toSeq
+    assert(out === Seq((10L, Some(1L), "exact"), (20L, None, "new")))
+    def bad(q: String): Unit = assertThrows[BadQuery](eng.execute(q))
+    bad("""{"dedup": {"threshold": 0.8}}""")                    // no batch
+    bad("""{"dedup": {"batch": "id >= 10"}}""")                 // no threshold
+    bad("""{"dedup": {"batch": "id >= 10", "threshold": 1.5}}""")
+    bad("""{"dedup": {"batch": "id >= 10", "threshold": 0.8,
+           "num-perm": 30, "bands": 8}}""")        // num-perm % bands != 0
+    bad("""{"dedup": {"batch": "id >= 10", "threshold": 0.8, "zzz": 1}}""")
+    bad("""{"dedup": {"batch": "id >= 10", "threshold": 0.8},
+           "limit": 5}""")                          // TSDB clause
+    bad("""{"dedup": {"batch": "nope > 1", "threshold": 0.8}}""")
+    assertThrows[BadQuery](new Engine(base).execute(
+      """{"dedup": {"batch": "id >= 10", "threshold": 0.8}}"""))
+    // ambiguity across halves is still one-statement-only
+    assertThrows[BadQuery](graft.query.QueryParser.parse(
+      """{"dedup": {"batch": "id >= 10", "threshold": 0.8},
+           "select": "m", "range": {"from": 0, "to": 1}}"""))
+  }
 }

@@ -888,6 +888,66 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       (1, 2L, 2L, 0.2, 0.666667, 0.466667)))
   }
 
+  test("refitCodebook: a drifted mode heals — recall recovers and the refit re-registers") {
+    // ids are chosen from the hash60 order (6, 19, 9 are the three
+    // smallest), so both Lloyd inits are designed, not lucky: the
+    // stale fit (nlist 2 over A∪B) seeds one per old cluster, the
+    // refit (nlist 3 over A∪B∪C) seeds one per cluster including the
+    // NEW MODE C — which sits equidistant between the stale centroids,
+    // so its members SPLIT across the stale cells and an nprobe-1
+    // query finds only its own side
+    val a = Seq(6L -> Array(0f, 10f), 1L -> Array(1f, 10f),
+      2L -> Array(-1f, 10f))
+    val b = Seq(19L -> Array(0f, -10f), 3L -> Array(1f, -10f),
+      5L -> Array(-1f, -10f))
+    val c = Seq(9L -> Array(10f, 0f), 8L -> Array(10f, 1.5f),
+      10L -> Array(10f, -1.5f))
+    val old = (a ++ b).toDF("id", "embedding")
+    val drifted = (a ++ b ++ c).toDF("id", "embedding")
+    val queries = Seq(100L -> Array(10f, 0.2f)).toDF("qid", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_refit_pos").toString + "/cb"
+    graft.pipeline.Similarity.writeCodebook(spark,
+      graft.pipeline.Similarity.fitCodebook(old, nlist = 2, iters = 2), path)
+    val out = graft.pipeline.Similarity.refitCodebook(spark, path,
+        drifted, queries, k = 3, nlist = 3, nprobe = 1, iters = 2)
+      .select("qid", "recall_stale", "recall_refit", "healed")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out === Seq((100L, 0.666667, 1.0, 1)),
+      "the stale codebook finds 2 of 3 (the mode member assigned to " +
+        "the other cell is unreachable at nprobe 1); the refit finds all")
+    assert(graft.pipeline.Similarity.readCodebook(spark, path).size === 3,
+      "healed = the refit IS re-registered")
+  }
+
+  test("refitCodebook: a refit that loses recall is REFUSED — the registered codebook stays") {
+    // the gate's negative half: the registered codebook is already
+    // right (one centroid per column), and the candidate refit
+    // (iters 0 → raw init, both seeds in the left column by hash
+    // order) splits the right column across two cells — fewer true
+    // neighbors found, so re-registering would make drift response
+    // DESTROY a working index
+    val corpus = Seq(
+      6L -> Array(0f, 20f), 19L -> Array(0f, 80f),
+      1L -> Array(100f, 30f), 2L -> Array(100f, 45f),
+      3L -> Array(100f, 55f), 5L -> Array(100f, 70f))
+      .toDF("id", "embedding")
+    val queries = Seq(100L -> Array(100f, 50.1f)).toDF("qid", "embedding")
+    val good = Seq((0, Seq(0.0, 50.0)), (1, Seq(100.0, 50.0)))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_refit_neg").toString + "/cb"
+    graft.pipeline.Similarity.writeCodebook(spark, good, path)
+    val out = graft.pipeline.Similarity.refitCodebook(spark, path,
+        corpus, queries, k = 3, nlist = 2, nprobe = 1, iters = 0)
+      .select("qid", "recall_stale", "recall_refit", "healed")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    graft.pipeline.Dedup.releaseCaches()
+    assert(out === Seq((100L, 1.0, 0.666667, 0)))
+    assert(graft.pipeline.Similarity.readCodebook(spark, path) === good,
+      "refused = the registered codebook is untouched")
+  }
+
   test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
     // two far-apart centers; 8 points near center 0, 2 near center 1
     val centers = Seq((0, Seq(0.0, 0.0)), (1, Seq(100.0, 100.0)))

@@ -752,6 +752,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.pipeline.Dedup.releaseCaches()
   }
 
+  test("corpus-store probe: the only file scans are the store's index paths — docs are never re-read, before or after appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = (1L to 60L).map(i =>
+        (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cstore_pin").toString
+    graft.pipeline.CorpusStore.create(spark, dir,
+      docs.where($"doc_id" % 5 =!= 0 && $"doc_id" <= 40L), "doc_id", "text")
+    // grow the store through the lifecycle: the probe's scan set must
+    // not change shape — appended batches are MORE of the same index
+    // parquet, never a docs re-read
+    graft.pipeline.CorpusStore.acceptBatch(spark, dir,
+      docs.where($"doc_id" % 5 =!= 0 && $"doc_id" > 40L))
+    val out = graft.pipeline.CorpusStore.probeBatch(spark, dir,
+      docs.where($"doc_id" % 5 === 0))
+    val scans = plan(out).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected index parquet scans in the probe plan")
+    assert(scans.forall(_.metadata("Location").contains("graft_cstore_pin")),
+      s"probe must read only the store's index:\n${scans.map(_.metadata("Location"))}")
+    assert(scans.forall(f => f.metadata("Location").contains("/hashes") ||
+        f.metadata("Location").contains("/bands")),
+      s"...and only the hashes/bands halves, never docs/:\n${scans.map(_.metadata("Location"))}")
+    // parity with the live recompute over the grown corpus
+    val live = graft.pipeline.Dedup.dedupAgainstCorpus(
+      docs.where($"doc_id" % 5 =!= 0), docs.where($"doc_id" % 5 === 0),
+      "doc_id", "text")
+    assert(out.orderBy("id").collect().toSeq ===
+      live.orderBy("id").collect().toSeq)
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("pq adc: codebook and distance tables broadcast; no vector-bearing join shuffles") {
     import spark.implicits._
     val rnd = Iterator.iterate(17L)(s => s * 6364136223846793005L + 1442695040888963407L)
