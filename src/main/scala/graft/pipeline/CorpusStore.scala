@@ -57,13 +57,19 @@ import graft.model.IndexCatalog
   * contract for the corpus index, expressed as staged batches over
   * immutable-ish parquet.
   *
-  * 100 TB notes: every operation here is BATCH-sized, never
-  * corpus-sized — accept cost is the staged batch's two in-row
-  * projections ([[Dedup.corpusIndexFrames]]); probe cost is
-  * [[Dedup.dedupAgainstIndex]]'s broadcast-probe of the index scan;
-  * takedown cost is one id-column index scan plus rewrites of only the
-  * `__batch` partitions holding the removed ids; staleness reads are
-  * directory listings. Nothing shuffles the corpus.
+  * 100 TB notes: no operation here is corpus-TEXT-sized and nothing
+  * shuffles the corpus. Accept cost is the staged batch's two in-row
+  * projections ([[Dedup.corpusIndexFrames]]) plus ONE broadcast
+  * id-probe of the hashes index (two skinny columns — the same cost
+  * class as the dedup probe every arriving batch already pays; it is
+  * what makes re-staging the same docs a no-op instead of a
+  * duplication); probe cost is [[Dedup.dedupAgainstIndex]]'s
+  * broadcast-probe of the index scan; takedown cost is one id-column
+  * index scan plus rewrites of only the `__batch` partitions holding
+  * the removed ids; staleness reads are directory listings.
+  * Measured ([[graft.tools.CorpusProbe]], SCALING.md): corpus grown
+  * 40x, accept ~flat, full index rewrite growing with the corpus —
+  * the gap IS the reason the lifecycle append exists.
   */
 object CorpusStore {
 
