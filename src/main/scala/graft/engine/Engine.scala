@@ -270,12 +270,19 @@ final class Engine(val ctx: TsdbContext,
       case "brute" =>
         graft.pipeline.Similarity.knnBrute(emb, queries, q.k)
       case "ivf" =>
+        // guarded here too, not only in the JSON parser: KnnQuery is a
+        // public case class and Engine.run a public entry — misuse
+        // must be BadQuery, never a NoSuchElementException
+        val nlist = q.nlist.getOrElse(throw new BadQuery(
+          "knn: index 'ivf' requires nlist"))
         val centers = ctx.ivfCodebook
-          .filter(_.size == q.nlist.get)
+          .filter(_.size == nlist)
           .getOrElse(graft.pipeline.Similarity.fitCodebook(
-            emb, q.nlist.get, q.iters))
+            emb, nlist, q.iters))
         graft.pipeline.Similarity.knnIvfWith(centers, emb, queries,
           q.k, q.nprobe)
+      case other =>
+        throw new BadQuery(s"unknown knn.index '$other' ('brute' or 'ivf')")
     }
   }
 
@@ -287,7 +294,11 @@ final class Engine(val ctx: TsdbContext,
     val docs = ctx.documents.getOrElse(throw new BadQuery(
       "dedup: no documents table registered on this context"))
     val batch = predicateOver(docs, q.batch, "dedup")
-    val corpus = docs.where(!expr(q.batch))
+    // the corpus is the COMPLEMENT of the batch, under SQL's
+    // three-valued logic: a row where the predicate evaluates to NULL
+    // is not in the batch, so it must be in the corpus — bare
+    // !expr would silently drop it from both sides
+    val corpus = docs.where(coalesce(!expr(q.batch), lit(true)))
     graft.pipeline.Dedup.dedupAgainstCorpus(corpus, batch, "id", "text",
       q.k, q.numPerm, q.bands, q.threshold)
   }

@@ -259,19 +259,41 @@ object CorpusStore {
       writeBatch(spark, dir, bid, docsB, r, alsoDocs = false)
       n += 1
     }
-    // 2. staged intents, in staging order
-    listDirs(spark, s"$dir/$PendingSub", "").sortBy(_.getName)
-      .filterNot(_.getName.startsWith(".")).foreach { p =>
-        val name = p.getName
-        val staged = spark.read.parquet(p.toString)
-        if (name.startsWith("p_")) applyAccept(spark, dir, name, staged, r)
-        else if (name.startsWith("t_")) applyTakedown(spark, dir, staged, r)
-        else throw new IllegalArgumentException(
-          s"heal: unknown staged record $name under $dir/$PendingSub")
-        val (f, _) = hfs(spark, p.toString)
-        f.delete(p, true)
-        n += 1
-      }
+    // 2. sweep stage-crash leftovers: a `.tmp_*` directory is an
+    //    incomplete stage that was never visible (the rename is what
+    //    publishes it) — the caller's stage() failed and they retry;
+    //    without the sweep, repeated crashes would accumulate orphan
+    //    batch copies no alert ever reports
+    listDirs(spark, s"$dir/$PendingSub", ".tmp_").foreach { p =>
+      val (f, _) = hfs(spark, p.toString)
+      f.delete(p, true)
+    }
+    // 3. staged intents, in STAGING order — the parsed sequence
+    //    number, never the directory name: names sort p_* before t_*
+    //    regardless of sequence, and applying an accept ahead of an
+    //    earlier takedown of the same ids would silently drop the
+    //    re-added docs (the dup-probe still sees them in the index the
+    //    takedown hasn't cleaned yet)
+    val staged = listDirs(spark, s"$dir/$PendingSub", "")
+      .filterNot(_.getName.startsWith("."))
+      .map { p =>
+        val seq = p.getName.split("_").lift(1).flatMap(_.toIntOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"heal: unparseable staged record name ${p.getName} under " +
+              s"$dir/$PendingSub"))
+        (seq, p)
+      }.sortBy(_._1)
+    staged.foreach { case (_, p) =>
+      val name = p.getName
+      val rows = spark.read.parquet(p.toString)
+      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, r)
+      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
+      else throw new IllegalArgumentException(
+        s"heal: unknown staged record $name under $dir/$PendingSub")
+      val (f, _) = hfs(spark, p.toString)
+      f.delete(p, true)
+      n += 1
+    }
     n
   }
 
@@ -283,15 +305,16 @@ object CorpusStore {
   private def applyAccept(spark: SparkSession, dir: String, bid: String,
       staged: DataFrame, r: Recipe): Unit = {
     // broadcast-probe the hashes index by id (index-sized scan of two
-    // skinny columns, batch-bounded result) — never a corpus shuffle
+    // skinny columns, batch-bounded result) — never a corpus shuffle,
+    // and never a driver-side id list: the dup frame is batch-bounded
+    // by construction, so it broadcasts into an anti-join instead of
+    // becoming a million-literal In expression on a full re-stage
     val stagedIds = staged.select(col(r.idCol).as("cid")).distinct()
-    val dupIds = spark.read.parquet(hashesPath(dir))
+    val dup = spark.read.parquet(hashesPath(dir))
       .where(col(BatchCol) =!= bid)
       .join(broadcast(stagedIds), "cid")
-      .select("cid").distinct().collect().map(_.get(0)).toSet
-    val fresh =
-      if (dupIds.isEmpty) staged
-      else staged.where(!col(r.idCol).isin(dupIds.toSeq: _*))
+      .select(col("cid").as(r.idCol)).distinct()
+    val fresh = staged.join(broadcast(dup), Seq(r.idCol), "left_anti")
     writeBatch(spark, dir, bid, fresh, r, alsoDocs = true)
   }
 

@@ -738,14 +738,21 @@ object Dedup {
     val spark = accepted.sparkSession
     val (hashes, bandRows) =
       corpusIndexFrames(accepted, idCol, textCol, k, numPerm, bands)
-    // loud structural guard: appending to a non-index (or the two
-    // directories swapped) must fail here, not corrupt silently
+    // loud structural guard: appending to a non-index, the two
+    // directories swapped, OR a CorpusStore's __batch-PARTITIONED
+    // layout (whose appends must go through the store so the batch
+    // identity is kept — flat rows at the root of a partitioned
+    // directory are unreadable) must fail here, not corrupt silently.
+    // EXACT column-set equality, not subset: extra existing columns
+    // mean a different layout
     Seq("hashes" -> hashes, "bands" -> bandRows).foreach { case (sub, df) =>
       val existing = spark.read.parquet(s"$path/$sub")
-      require(df.columns.toSeq.forall(existing.columns.contains),
-        s"appendCorpusIndex: $path/$sub does not have the corpus-index " +
-          s"schema (existing: ${existing.columns.mkString(", ")}; " +
-          s"appending: ${df.columns.mkString(", ")})")
+      require(df.columns.toSet == existing.columns.toSet,
+        s"appendCorpusIndex: $path/$sub does not have the FLAT " +
+          s"corpus-index schema (existing: " +
+          s"${existing.columns.mkString(", ")}; appending: " +
+          s"${df.columns.mkString(", ")}) — a partitioned CorpusStore " +
+          s"index appends through CorpusStore.acceptBatch")
       df.write.mode("append").parquet(s"$path/$sub")
     }
   }

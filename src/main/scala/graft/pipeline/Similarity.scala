@@ -546,7 +546,12 @@ object Similarity {
       recallOf(stale, "stale").join(recallOf(refit, "refit"), "qid"))
     val hits = readout
       .agg(sum(col("n_hit_stale")), sum(col("n_hit_refit"))).head()
-    val healed = hits.getLong(1) >= hits.getLong(0)
+    // an EMPTY readout (queries matched nothing, or the corpus is too
+    // small for any exact neighbor) sums to null: no evidence means no
+    // re-registration — healed = 0 over zero rows, never an NPE with
+    // the registration state ambiguous
+    val healed = !hits.isNullAt(0) && !hits.isNullAt(1) &&
+      hits.getLong(1) >= hits.getLong(0)
     if (healed) writeCodebook(spark, refit, codebookPath)
     readout.withColumn("healed", lit(if (healed) 1 else 0))
   }

@@ -70,6 +70,16 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       Dedup.appendCorpusIndex(docsDf(1L to 3L), junk, "doc_id", "text"))
     assert(e.getMessage.contains("corpus-index schema"))
+    // ...and a CorpusStore's __batch-PARTITIONED index refuses too:
+    // flat rows at a partitioned root would make the directory
+    // unreadable — exact column-set equality, not subset
+    val storeDir = store("graft_cs_bare_store")
+    graft.pipeline.CorpusStore.create(spark, storeDir, docsDf(1L to 10L),
+      "doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.appendCorpusIndex(docsDf(11L to 12L),
+        s"$storeDir/indexes", "doc_id", "text"))
+    assert(e2.getMessage.contains("CorpusStore.acceptBatch"))
   }
 
   test("heal is idempotent and crash-recoverable: re-runs and partial writes never duplicate or lose documents") {
@@ -148,6 +158,40 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       CorpusStore.removeDocuments(spark, dir, (1L to 30L).toSeq))
     assert(e.getMessage.contains("empty the corpus"))
+  }
+
+  test("heal applies staged intents in SEQUENCE order: an accept re-adding ids lands AFTER the earlier takedown of them") {
+    // review finding (round 13): name-sorted processing ran every p_*
+    // before every t_* — the accept's dup-probe then saw the
+    // not-yet-taken-down ids in the index, dropped them from the
+    // batch, and the takedown removed the originals: silent permanent
+    // document loss on a re-accept
+    val dir = store("graft_cs_order")
+    CorpusStore.create(spark, dir, docsDf(1L to 30L), "doc_id", "text")
+    CorpusStore.stageTakedown(spark, dir, Seq(7L, 8L))
+    CorpusStore.stageBatch(spark, dir, docsDf(Seq(7L, 8L)))
+    assert(CorpusStore.heal(spark, dir) === 2)
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id").isin(7L, 8L)).count() === 2L,
+      "the re-accepted docs must survive — takedown first, accept second")
+    assert(spark.read.parquet(s"$dir/indexes/hashes")
+      .where(col("cid").isin(7L, 8L)).count() === 2L)
+    assert(CorpusStore.readDocs(spark, dir).count() === 30L)
+  }
+
+  test("heal sweeps stage-crash leftovers: a .tmp_ directory is deleted, never processed, never silently accumulated") {
+    val dir = store("graft_cs_tmp")
+    CorpusStore.create(spark, dir, docsDf(1L to 10L), "doc_id", "text")
+    // simulate a crash between the stage's parquet write and rename
+    docsDf(11L to 12L).write.parquet(s"$dir/pending/.tmp_p_00000_dead")
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_pending") === 0L,
+      "an unpublished stage is not pending")
+    CorpusStore.heal(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "pending", ".tmp_p_00000_dead")),
+      "heal reclaims the orphan — unbounded crash garbage otherwise")
+    assert(CorpusStore.readDocs(spark, dir).count() === 10L,
+      "...and never lands its rows (the stage was never published)")
   }
 
   test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {

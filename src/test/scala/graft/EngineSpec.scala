@@ -718,5 +718,26 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[BadQuery](graft.query.QueryParser.parse(
       """{"dedup": {"batch": "id >= 10", "threshold": 0.8},
            "select": "m", "range": {"from": 0, "to": 1}}"""))
+    // three-valued logic: a row where the batch predicate evaluates to
+    // NULL is not in the batch, so it MUST be in the corpus — doc 1
+    // (null source) is the exact duplicate the batch doc must find
+    val docsN = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", Option.empty[String]),
+      (10L, "alpha beta gamma delta epsilon zeta", Some("crawl2")))
+      .toDF("id", "text", "source")
+    val outN = new Engine(base.copy(documents = Some(docsN))).execute(
+        """{"dedup": {"batch": "source = 'crawl2'", "threshold": 0.8}}""")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(outN === Seq((10L, "exact")),
+      "a NULL-predicate corpus row must not vanish from the split")
+  }
+
+  test("knn/dedup programmatic misuse is BadQuery too — the AST constructors are public, not only the JSON path") {
+    import spark.implicits._
+    val base = rampContext(Seq(1), 0L, 4L)
+    val eng = new Engine(base.copy(
+      embeddings = Some(Seq(1L -> Array(1f, 0f)).toDF("id", "embedding"))))
+    assertThrows[BadQuery](eng.run(KnnQuery(3, "id < 10", "hnsw")))
+    assertThrows[BadQuery](eng.run(KnnQuery(3, "id < 10", "ivf"))) // nlist None
   }
 }

@@ -946,6 +946,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Seq((100L, 1.0, 0.666667, 0)))
     assert(graft.pipeline.Similarity.readCodebook(spark, path) === good,
       "refused = the registered codebook is untouched")
+    // no evidence → no re-registration, no NPE: queries matching
+    // nothing yield an empty readout with the codebook untouched
+    val empty = graft.pipeline.Similarity.refitCodebook(spark, path,
+      corpus, queries.where($"qid" < 0L), k = 3, nlist = 2, nprobe = 1,
+      iters = 0)
+    graft.pipeline.Dedup.releaseCaches()
+    assert(empty.count() === 0L)
+    assert(graft.pipeline.Similarity.readCodebook(spark, path) === good,
+      "an empty readout is not evidence — the registration stays")
   }
 
   test("clusterSample: dense cells cap at k, sparse keep all, order-blind") {
