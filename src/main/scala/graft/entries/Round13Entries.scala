@@ -112,7 +112,40 @@ object Round13Entries {
         ivfCodebook = Some(EntryUtil.ivfCodebookFor(s, dir))))
     })
 
+  private val compactStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized COMPACTED store: same grown corpus as the accept store,
+    * then every per-accept `__batch` partition merged into one
+    * consolidated batch through the staged-compaction path — the LSM
+    * answer to small-partition accumulation. */
+  private def compactStoreFor(s: SparkSession, dir: String): String =
+    compactStores.getOrElseUpdate((s, dir), {
+      val path = EntryUtil.scratchDir("graft_corpus_compact")
+      val d = docs(s, dir)
+      CorpusStore.create(s, path,
+        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+          col("doc_id") % 7 =!= 3),
+        "doc_id", "text", k = 3, numPerm = 32, bands = 8)
+      CorpusStore.acceptBatch(s, path,
+        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+          col("doc_id") % 7 === 3))
+      require(CorpusStore.stageCompaction(s, path).nonEmpty)
+      CorpusStore.heal(s, path)
+      path
+    })
+
   val queries: Map[String, QueryFn] = Map(
+    // the LSM half of the lifecycle: after compaction merges the
+    // per-accept partitions into one consolidated batch, the probe
+    // still serves exactly the full-recompute answer (same oracle as
+    // the accept path — compaction is content-preserving by contract)
+    "docs_corpus_compact_probe" -> ((s, dir) =>
+      CorpusStore.probeBatch(s, compactStoreFor(s, dir),
+          docs(s, dir).where(col("doc_id") % Round6Entries.BatchMod === 0),
+          threshold = 0.8)
+        .orderBy("id")),
+
     // the pipeline half behind the ONE query surface: {"dedup": ...}
     // through QueryParser/Engine — same parser dispatch as every TSDB
     // kind (reference queryparser.cc:887-918) — must serve exactly
@@ -273,6 +306,7 @@ object Round13Entries {
     // must serve exactly what the Scala-API forms serve
     "docs_dedup_stmt" -> Round6Entries.incrementalDedupSql,
     "emb_knn_stmt" -> PipelineEntries.oracle("emb_knn_ivf"),
+    "docs_corpus_compact_probe" -> Round6Entries.incrementalDedupSql,
     // one oracle for every lifecycle path to the same corpus — the
     // accept-grown index must serve the live-recompute answer
     "docs_corpus_accept" -> Round6Entries.incrementalDedupSql,

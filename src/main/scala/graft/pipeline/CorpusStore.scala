@@ -240,6 +240,40 @@ object CorpusStore {
       spark.createDataFrame(ids.map(Tuple1(_))).toDF(r.idCol))
   }
 
+  /** Stage a BATCH COMPACTION — the LSM discipline pointed at the
+    * store: per-accept `__batch` partitions keep the append
+    * batch-sized, and once they settle this merges every CURRENT
+    * batch (on all three sides) into one consolidated batch at the
+    * next [[heal]], reclaiming the small-partition listing/footer cost
+    * a long accept history accumulates. Probe results are unchanged by
+    * construction (the index rows are the same rows under one
+    * partition value — spec-pinned). The record names the source
+    * batches; intents staged AFTER it (new accepts) create batches the
+    * record does not name and survive untouched. Returns None when
+    * there is nothing to merge (fewer than two batches).
+    *
+    * Crash rule (the heal applies it idempotently): per side, the
+    * consolidated target partition is built from the sources only
+    * while it is ABSENT, and source partitions are deleted only after
+    * ALL THREE sides' targets exist — so a re-run after any crash
+    * either rebuilds from still-complete sources or just finishes the
+    * deletes. */
+  def stageCompaction(spark: SparkSession, dir: String): Option[String] = {
+    recipe(dir) // loud not-a-store guard
+    val batches = batchesOf(spark, docsPath(dir))
+    if (batches.size < 2) return None
+    import spark.implicits._
+    val name = stage(spark, dir, "c",
+      batches.toSeq.sorted.toDF("src_batch"))
+    Some(compactionTarget(name))
+  }
+
+  /** The consolidated batch id a compaction record produces — derived
+    * from the record's own name, so a crashed re-run rebuilds the SAME
+    * partition instead of a new one. */
+  private def compactionTarget(recordName: String): String =
+    "m" + recordName.stripPrefix("c")
+
   // ------------------------------------------------------------- heal
 
   /** Apply every staged intent and re-derive every unbanded batch —
@@ -288,6 +322,7 @@ object CorpusStore {
       val rows = spark.read.parquet(p.toString)
       if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, r)
       else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
+      else if (name.startsWith("c_")) applyCompaction(spark, dir, name, rows)
       else throw new IllegalArgumentException(
         s"heal: unknown staged record $name under $dir/$PendingSub")
       val (f, _) = hfs(spark, p.toString)
@@ -365,6 +400,44 @@ object CorpusStore {
     rewrite(docsPath(dir), r.idCol)
     rewrite(bandsPath(dir), "cid")
     rewrite(hashesPath(dir), "cid")
+  }
+
+  /** One compaction record lands ([[stageCompaction]]'s crash rule):
+    * build each side's absent consolidated partition from the named
+    * sources, then — only once all three targets exist — delete the
+    * source partitions. A source a takedown emptied meanwhile simply
+    * contributes nothing (the isin read skips absent partitions); a
+    * re-run after any crash rebuilds from still-complete sources or
+    * finishes the deletes. */
+  private def applyCompaction(spark: SparkSession, dir: String,
+      name: String, staged: DataFrame): Unit = {
+    val sources = staged.collect().map(_.getString(0)).toSet
+    if (sources.isEmpty) return
+    val target = compactionTarget(name)
+    val sides = Seq(docsPath(dir), hashesPath(dir), bandsPath(dir))
+    sides.foreach { path =>
+      if (!batchesOf(spark, path).contains(target)) {
+        val merged = spark.read.parquet(path)
+          .where(col(BatchCol).isin(sources.toSeq: _*))
+          .drop(BatchCol)
+          // severs the read-then-write lineage on the directory
+          .localCheckpoint()
+        if (!merged.isEmpty)
+          merged.withColumn(BatchCol, lit(target))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BatchCol).mode("overwrite").parquet(path)
+      }
+    }
+    // every side's target exists (or its sources held no rows) —
+    // the sources are now redundant copies on all sides
+    sides.foreach { path =>
+      val (f, _) = hfs(spark, path)
+      sources.foreach { bid =>
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$path/$BatchCol=${org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(bid)}"), true)
+      }
+    }
   }
 
   // --------------------------------------------------- alerts / probe

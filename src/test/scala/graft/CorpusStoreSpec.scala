@@ -194,6 +194,68 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
       "...and never lands its rows (the stage was never published)")
   }
 
+  test("batch compaction: partitions merge into one consolidated batch, content and probes unchanged, crash-recoverable") {
+    val dir = store("graft_cs_compact")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
+    CorpusStore.acceptBatch(spark, dir, docsDf(21L to 30L))
+    CorpusStore.acceptBatch(spark, dir, docsDf(31L to 40L))
+    def nBatches(sub: String): Int = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir, sub))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.count(_.getFileName.toString
+          .startsWith(s"${CorpusStore.BatchCol}="))
+      } finally ls.close()
+    }
+    assert(nBatches("docs") === 3)
+    val target = CorpusStore.stageCompaction(spark, dir)
+    assert(target.nonEmpty)
+    assert(CorpusStore.heal(spark, dir) === 1)
+    Seq("docs", "indexes/hashes", "indexes/bands").foreach { s =>
+      assert(nBatches(s) === 1,
+        s"$s: every per-accept partition merges into the consolidated one")
+    }
+    assert(CorpusStore.readDocs(spark, dir).count() === 40L)
+    // probe equality with the live recompute — compaction is
+    // content-preserving by contract
+    val batch = docsDf(100L to 110L)
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 40L), batch,
+        "doc_id", "text")))
+    // nothing to merge → None, and heal is a no-op
+    assert(CorpusStore.stageCompaction(spark, dir).isEmpty)
+    assert(CorpusStore.heal(spark, dir) === 0)
+
+    // crash simulation: a SECOND round of accepts, compaction staged,
+    // and the docs-side target already built when the process died —
+    // the re-run heal must finish the other sides from the
+    // still-present sources and then delete them
+    CorpusStore.acceptBatch(spark, dir, docsDf(41L to 50L))
+    val t2 = CorpusStore.stageCompaction(spark, dir).get
+    CorpusStore.readDocs(spark, dir, withBatch = false)
+      .withColumn(CorpusStore.BatchCol, lit(t2))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CorpusStore.BatchCol).mode("overwrite")
+      .parquet(s"$dir/${CorpusStore.DocsSub}")
+    // the half-built target is ALSO an unbanded docs batch, so the
+    // re-run heals it twice over: the listing-diff pass re-derives its
+    // index sides, then the staged record finishes the deletes — 2
+    assert(CorpusStore.heal(spark, dir) === 2)
+    assert(nBatches("docs") === 1 && nBatches("indexes/hashes") === 1)
+    assert(CorpusStore.readDocs(spark, dir).count() === 50L,
+      "the re-run rebuilt the index sides and deleted the sources — " +
+        "no duplicate, no loss")
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 50L), batch,
+        "doc_id", "text")))
+
+    // an accept staged AFTER the compaction record survives it: the
+    // record names only the batches that existed at staging time
+    CorpusStore.stageCompaction(spark, dir) // None: single batch
+    CorpusStore.acceptBatch(spark, dir, docsDf(51L to 55L))
+    assert(CorpusStore.readDocs(spark, dir).count() === 55L)
+  }
+
   test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {
     val dir = store("graft_cs_recipe")
     CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text",
