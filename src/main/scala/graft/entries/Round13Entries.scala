@@ -26,24 +26,31 @@ object Round13Entries {
   private val acceptStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  /** Memoized ACCEPT-grown store: created over a curation-time subset
+  /** ONE grown-store construction for the accept and compaction
+    * entries (a drifted copy would let the two probe different corpora
+    * under the same oracle): created over a curation-time subset
     * (`doc_id % 5 != 0 AND % 7 != 3`), then the held-out corpus docs
     * (`% 7 == 3`) arrive as an accepted batch — staged, healed,
     * index-appended through the lifecycle. The resulting corpus is
-    * exactly `doc_id % 5 != 0`, so probes share the standing oracle. */
+    * exactly `doc_id % 5 != 0`, the standing oracle's. */
+  private def buildGrownStore(s: SparkSession, dir: String,
+      prefix: String): String = {
+    val path = EntryUtil.scratchDir(prefix)
+    val d = docs(s, dir)
+    CorpusStore.create(s, path,
+      d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+        col("doc_id") % 7 =!= 3),
+      "doc_id", "text", k = 3, numPerm = 32, bands = 8)
+    CorpusStore.acceptBatch(s, path,
+      d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+        col("doc_id") % 7 === 3))
+    path
+  }
+
+  /** Memoized ACCEPT-grown store ([[buildGrownStore]]). */
   private def acceptStoreFor(s: SparkSession, dir: String): String =
-    acceptStores.getOrElseUpdate((s, dir), {
-      val path = EntryUtil.scratchDir("graft_corpus_accept")
-      val d = docs(s, dir)
-      CorpusStore.create(s, path,
-        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
-          col("doc_id") % 7 =!= 3),
-        "doc_id", "text", k = 3, numPerm = 32, bands = 8)
-      CorpusStore.acceptBatch(s, path,
-        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
-          col("doc_id") % 7 === 3))
-      path
-    })
+    acceptStores.getOrElseUpdate((s, dir),
+      buildGrownStore(s, dir, "graft_corpus_accept"))
 
   private val takedownStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
@@ -115,21 +122,15 @@ object Round13Entries {
   private val compactStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  /** Memoized COMPACTED store: same grown corpus as the accept store,
-    * then every per-accept `__batch` partition merged into one
-    * consolidated batch through the staged-compaction path — the LSM
-    * answer to small-partition accumulation. */
+  /** Memoized COMPACTED store: the SAME grown corpus as the accept
+    * store ([[buildGrownStore]] — one construction, so the two entries
+    * can never probe different corpora under the shared oracle), then
+    * every per-accept `__batch` partition merged into one consolidated
+    * batch through the staged-compaction path — the LSM answer to
+    * small-partition accumulation. */
   private def compactStoreFor(s: SparkSession, dir: String): String =
     compactStores.getOrElseUpdate((s, dir), {
-      val path = EntryUtil.scratchDir("graft_corpus_compact")
-      val d = docs(s, dir)
-      CorpusStore.create(s, path,
-        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
-          col("doc_id") % 7 =!= 3),
-        "doc_id", "text", k = 3, numPerm = 32, bands = 8)
-      CorpusStore.acceptBatch(s, path,
-        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
-          col("doc_id") % 7 === 3))
+      val path = buildGrownStore(s, dir, "graft_corpus_compact")
       require(CorpusStore.stageCompaction(s, path).nonEmpty)
       CorpusStore.heal(s, path)
       path

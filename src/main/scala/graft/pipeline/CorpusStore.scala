@@ -402,40 +402,70 @@ object CorpusStore {
     rewrite(hashesPath(dir), "cid")
   }
 
+  /** The hidden commit marker inside a consolidated target partition:
+    * directory PRESENCE is not write COMPLETION on filesystems without
+    * atomic directory rename (S3A-style commits copy staged files one
+    * by one), so a re-run must rebuild unless this marker — written
+    * AFTER the partition job committed, itself one atomic small-file
+    * create — exists. Underscore-prefixed: parquet readers ignore it. */
+  private val CommitMarker = "_graft_compact_committed"
+
+  private def partitionDir(path: String, bid: String): String =
+    s"$path/$BatchCol=${org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(bid)}"
+
   /** One compaction record lands ([[stageCompaction]]'s crash rule):
-    * build each side's absent consolidated partition from the named
-    * sources, then — only once all three targets exist — delete the
-    * source partitions. A source a takedown emptied meanwhile simply
-    * contributes nothing (the isin read skips absent partitions); a
-    * re-run after any crash rebuilds from still-complete sources or
-    * finishes the deletes. */
+    * per side, build the consolidated partition from the named source
+    * partitions unless its COMMIT MARKER exists ([[CommitMarker]] —
+    * a half-committed target rebuilds whole; the dynamic overwrite
+    * replaces any partial content), index sides first and docs LAST,
+    * then delete the docs sources FIRST — so the window in which
+    * [[readDocs]] sees a compacted document twice is the minimum two
+    * filesystem operations, and a crash inside it leaves the pending
+    * record (the `corpus_pending` alert) whose re-run finishes the
+    * deletes. Index-side duplication in the window is harmless by
+    * construction: every probe reduction dedups on `cid`. Sources a
+    * takedown emptied meanwhile simply contribute nothing (the
+    * per-partition read skips absent directories); reading the source
+    * DIRECTORIES directly keeps the read path disjoint from the
+    * overwrite root — no lineage checkpoint, nothing corpus-sized in
+    * executor storage. */
   private def applyCompaction(spark: SparkSession, dir: String,
       name: String, staged: DataFrame): Unit = {
     val sources = staged.collect().map(_.getString(0)).toSet
     if (sources.isEmpty) return
     val target = compactionTarget(name)
-    val sides = Seq(docsPath(dir), hashesPath(dir), bandsPath(dir))
-    sides.foreach { path =>
-      if (!batchesOf(spark, path).contains(target)) {
-        val merged = spark.read.parquet(path)
-          .where(col(BatchCol).isin(sources.toSeq: _*))
-          .drop(BatchCol)
-          // severs the read-then-write lineage on the directory
-          .localCheckpoint()
-        if (!merged.isEmpty)
-          merged.withColumn(BatchCol, lit(target))
-            .write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BatchCol).mode("overwrite").parquet(path)
-      }
-    }
-    // every side's target exists (or its sources held no rows) —
-    // the sources are now redundant copies on all sides
+    // docs LAST: its duplication window is the one readers can observe
+    val sides = Seq(hashesPath(dir), bandsPath(dir), docsPath(dir))
     sides.foreach { path =>
       val (f, _) = hfs(spark, path)
+      val marker = new org.apache.hadoop.fs.Path(
+        s"${partitionDir(path, target)}/$CommitMarker")
+      if (!f.exists(marker)) {
+        val present = sources.toSeq.sorted.map(partitionDir(path, _))
+          .filter(p => f.exists(new org.apache.hadoop.fs.Path(p)))
+        if (present.nonEmpty) {
+          val merged = spark.read.option("basePath", path)
+            .parquet(present: _*).drop(BatchCol)
+          if (!merged.isEmpty)
+            merged.withColumn(BatchCol, lit(target))
+              .write.option("partitionOverwriteMode", "dynamic")
+              .partitionBy(BatchCol).mode("overwrite").parquet(path)
+        }
+        // marker AFTER the job committed (or when there was nothing to
+        // write): from here the target is authoritative for this side
+        val pd = new org.apache.hadoop.fs.Path(partitionDir(path, target))
+        if (f.exists(pd)) f.create(marker, true).close()
+      }
+    }
+    // all three targets committed — sources are redundant copies.
+    // Docs sources first (closes the reader-visible duplication),
+    // index sources after
+    Seq(docsPath(dir), hashesPath(dir), bandsPath(dir)).foreach { path =>
+      val (f, _) = hfs(spark, path)
       sources.foreach { bid =>
-        f.delete(new org.apache.hadoop.fs.Path(
-          s"$path/$BatchCol=${org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.escapePathName(bid)}"), true)
+        f.delete(new org.apache.hadoop.fs.Path(partitionDir(path, bid)),
+          true)
       }
     }
   }
