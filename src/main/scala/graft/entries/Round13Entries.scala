@@ -52,6 +52,37 @@ object Round13Entries {
     acceptStores.getOrElseUpdate((s, dir),
       buildGrownStore(s, dir, "graft_corpus_accept"))
 
+  private val streamStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized STREAM-grown store: the same grown corpus as
+    * [[buildGrownStore]], but the accepted docs arrive through a real
+    * Structured Streaming query ([[graft.streaming.TsdbStream
+    * .corpusStoreIngest]] — file source, one file per trigger, so the
+    * store takes several genuine micro-batches through the staged
+    * lifecycle). */
+  private def streamStoreFor(s: SparkSession, dir: String): String =
+    streamStores.getOrElseUpdate((s, dir), {
+      val path = EntryUtil.scratchDir("graft_corpus_stream")
+      val d = docs(s, dir)
+      CorpusStore.create(s, path,
+        d.where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+          col("doc_id") % 7 =!= 3),
+        "doc_id", "text", k = 3, numPerm = 32, bands = 8)
+      val accepted = d
+        .where(col("doc_id") % Round6Entries.BatchMod =!= 0 &&
+          col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      val feed = EntryUtil.scratchDir("graft_corpus_stream_in") + "/in"
+      accepted.repartition(3).write.parquet(feed)
+      val in = s.readStream.schema(accepted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.TsdbStream.corpusStoreIngest(
+        in, path, s"$path/_ckpt")
+      try q.processAllAvailable() finally q.stop()
+      path
+    })
+
   private val takedownStores = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
@@ -143,6 +174,18 @@ object Round13Entries {
     // the accept path — compaction is content-preserving by contract)
     "docs_corpus_compact_probe" -> ((s, dir) =>
       CorpusStore.probeBatch(s, compactStoreFor(s, dir),
+          docs(s, dir).where(col("doc_id") % Round6Entries.BatchMod === 0),
+          threshold = 0.8)
+        .orderBy("id")),
+
+    // the STREAMING accept path: a real Structured Streaming query
+    // lands each micro-batch through the store's staged lifecycle
+    // (micro-batch-id partition identity = exactly-once at the store),
+    // and the probe over the stream-grown store serves exactly the
+    // full-recompute answer — the same oracle as every other path to
+    // this corpus
+    "stream_corpus_store" -> ((s, dir) =>
+      CorpusStore.probeBatch(s, streamStoreFor(s, dir),
           docs(s, dir).where(col("doc_id") % Round6Entries.BatchMod === 0),
           threshold = 0.8)
         .orderBy("id")),
@@ -308,6 +351,7 @@ object Round13Entries {
     "docs_dedup_stmt" -> Round6Entries.incrementalDedupSql,
     "emb_knn_stmt" -> PipelineEntries.oracle("emb_knn_ivf"),
     "docs_corpus_compact_probe" -> Round6Entries.incrementalDedupSql,
+    "stream_corpus_store" -> Round6Entries.incrementalDedupSql,
     // one oracle for every lifecycle path to the same corpus — the
     // accept-grown index must serve the live-recompute answer
     "docs_corpus_accept" -> Round6Entries.incrementalDedupSql,

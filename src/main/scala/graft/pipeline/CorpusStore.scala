@@ -519,6 +519,39 @@ object CorpusStore {
     bid
   }
 
+  /** The STREAMING accept ([[graft.streaming.TsdbStream
+    * .corpusStoreIngest]]'s per-trigger body): one micro-batch lands
+    * as one accepted batch whose identity derives from the MICRO-BATCH
+    * ID — foreachBatch's at-least-once redelivery re-stages the SAME
+    * record and the heal re-overwrites the SAME `__batch` partitions,
+    * so the store observes each micro-batch exactly once. A stream-fed
+    * store follows the same single-maintenance-writer discipline as
+    * every lifecycle mutation: don't operator-stage into it while the
+    * query runs (the staging sequence is shared).
+    *
+    * @return the landed batch id. */
+  def acceptStreamBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, microBatchId: Long): String = {
+    require(microBatchId >= 0, s"negative micro-batch id $microBatchId")
+    val r = recipe(dir)
+    require(batch.columns.contains(r.idCol) &&
+      batch.columns.contains(r.textCol),
+      s"acceptStreamBatch: batch lacks the registered document columns " +
+        s"(${r.idCol}, ${r.textCol})")
+    val name = f"p_${microBatchId}%05d_sb"
+    // idempotent RE-stage: a redelivered micro-batch replaces any
+    // previous copy of its own record before healing (same tmp+rename
+    // publication as stage(), plus the replace)
+    val tmp = s"$dir/$PendingSub/.tmp_$name"
+    batch.write.mode("overwrite").parquet(tmp)
+    val (f, hp) = hfs(spark, s"$dir/$PendingSub/$name")
+    f.delete(hp, true)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"acceptStreamBatch: rename failed for $name")
+    heal(spark, dir)
+    name
+  }
+
   /** Stage + heal a takedown — see [[stageTakedown]]/[[heal]]. */
   def removeDocuments(spark: SparkSession, dir: String,
       ids: Seq[Long]): Unit = {

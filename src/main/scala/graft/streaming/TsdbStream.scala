@@ -149,6 +149,32 @@ object TsdbStream extends Serializable {
       .drop("event_time")
   }
 
+  /** Live ingest into a LIFECYCLE-MANAGED corpus store
+    * ([[graft.pipeline.CorpusStore]]) — the streaming half of the
+    * accept path: each micro-batch of already-curated documents lands
+    * through the store's staged protocol (record before mutate, heal
+    * applies), with the batch's `__batch` identity derived from the
+    * MICRO-BATCH ID so foreachBatch's at-least-once redelivery
+    * re-overwrites the same partitions instead of duplicating —
+    * exactly-once at the store, like the file sink's commit log gives
+    * the plain-directory form ([[corpusIngest]]'s sink). The dedup
+    * index (hashes + bands) therefore covers every streamed document
+    * the moment its trigger completes: register-on-first-write
+    * (standalone_database_session.cc:39-87) for the corpus half,
+    * continuously. Compose upstream with [[corpusIngest]] /
+    * [[dedupDocumentsByContent]] / [[incrementalDedup]] for the
+    * curation gates. */
+  def corpusStoreIngest(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.CorpusStore.acceptStreamBatch(
+          batch.sparkSession, dir, batch, id)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Stateless streaming curation gate for corpus INGEST: per-document
     * quality features + composite score ([[graft.pipeline.TextOps.quality]]
     * is a pure projection, so it runs unchanged on a streaming frame)

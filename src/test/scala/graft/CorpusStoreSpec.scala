@@ -256,6 +256,30 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusStore.readDocs(spark, dir).count() === 55L)
   }
 
+  test("streaming accept: micro-batch identity makes redelivery exactly-once at the store") {
+    // foreachBatch is at-least-once — a failed trigger redelivers the
+    // SAME micro-batch id. The store derives the __batch identity from
+    // it, so the redelivery re-stages the same record and the heal
+    // re-overwrites the same partitions: no duplicate, no loss
+    val dir = store("graft_cs_stream")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L)
+    assert(CorpusStore.readDocs(spark, dir).count() === 30L)
+    // redelivery of micro-batch 0 (same rows, same id)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L)
+    assert(CorpusStore.readDocs(spark, dir).count() === 30L,
+      "the redelivered micro-batch overwrites its own partitions")
+    assert(spark.read.parquet(s"$dir/indexes/hashes").count() === 30L)
+    // the next micro-batch is a different identity and lands normally
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(31L to 35L), 1L)
+    assert(CorpusStore.readDocs(spark, dir).count() === 35L)
+    // ...and the probe equals the live recompute over the grown corpus
+    val batch = docsDf(100L to 105L)
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 35L), batch,
+        "doc_id", "text")))
+  }
+
   test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {
     val dir = store("graft_cs_recipe")
     CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text",
