@@ -258,9 +258,30 @@ object CorpusStore {
     * ALL THREE sides' targets exist — so a re-run after any crash
     * either rebuilds from still-complete sources or just finishes the
     * deletes. */
-  def stageCompaction(spark: SparkSession, dir: String): Option[String] = {
+  /** @param maxBytes when set, only batches whose DOCS partition holds
+    *   at most this many bytes are merged (a directory-listing size
+    *   read) — the tiered-LSM policy that keeps a CRONNED compaction
+    *   amortized: small per-accept batches fold together while large
+    *   settled batches (including prior consolidation outputs, which
+    *   grow past the threshold) are never rewritten again, so the
+    *   total bytes a batch is rewritten over its lifetime stays
+    *   O(log corpus), never O(compaction runs). None merges every
+    *   batch — the deliberate full consolidation, corpus-sized by
+    *   definition (run it like rotation: an operator's act, not a
+    *   cron's). */
+  def stageCompaction(spark: SparkSession, dir: String,
+      maxBytes: Option[Long] = None): Option[String] = {
     recipe(dir) // loud not-a-store guard
-    val batches = batchesOf(spark, docsPath(dir))
+    val all = batchesOf(spark, docsPath(dir))
+    val batches = maxBytes match {
+      case None => all
+      case Some(b) =>
+        val (f, _) = hfs(spark, docsPath(dir))
+        all.filter { bid =>
+          f.getContentSummary(new org.apache.hadoop.fs.Path(
+            partitionDir(docsPath(dir), bid))).getLength <= b
+        }
+    }
     if (batches.size < 2) return None
     import spark.implicits._
     val name = stage(spark, dir, "c",

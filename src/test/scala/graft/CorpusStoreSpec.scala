@@ -254,6 +254,29 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     CorpusStore.stageCompaction(spark, dir) // None: single batch
     CorpusStore.acceptBatch(spark, dir, docsDf(51L to 55L))
     assert(CorpusStore.readDocs(spark, dir).count() === 55L)
+
+    // the tiered policy: with maxBytes set, the LARGE settled batch is
+    // never re-merged — only small per-accept batches fold together,
+    // which is what keeps a cronned compaction amortized
+    CorpusStore.acceptBatch(spark, dir, docsDf(56L to 58L))
+    val bigBytes = {
+      val root = java.nio.file.Paths.get(dir, "docs")
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.walk(root)
+      try ls.iterator().asScala
+        .filter(p => p.toString.contains("__batch=m") &&
+          java.nio.file.Files.isRegularFile(p) &&
+          // the Hadoop view the policy reads hides .crc sidecars
+          !p.getFileName.toString.startsWith("."))
+        .map(java.nio.file.Files.size(_)).sum
+      finally ls.close()
+    }
+    assert(CorpusStore.stageCompaction(spark, dir,
+        maxBytes = Some(bigBytes - 1)).nonEmpty)
+    assert(CorpusStore.heal(spark, dir) === 1)
+    assert(nBatches("docs") === 2,
+      "small batches merged; the large settled batch untouched")
+    assert(CorpusStore.readDocs(spark, dir).count() === 58L)
   }
 
   test("streaming accept: micro-batch identity makes redelivery exactly-once at the store") {
