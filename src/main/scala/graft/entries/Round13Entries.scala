@@ -78,7 +78,7 @@ object Round13Entries {
       val in = s.readStream.schema(accepted.schema)
         .option("maxFilesPerTrigger", 1).parquet(feed)
       val q = graft.streaming.TsdbStream.corpusStoreIngest(
-        in, path, s"$path/_ckpt")
+        in, path, s"$path/_ckpt", streamTag = "feed1")
       try q.processAllAvailable() finally q.stop()
       path
     })

@@ -201,12 +201,12 @@ object CorpusStore {
       .flatMap(_.getName.split("_").lift(1)).flatMap(_.toIntOption)
       .maxOption.getOrElse(-1) + 1
 
-  private def stage(spark: SparkSession, dir: String, prefix: String,
-      payload: DataFrame): String = {
-    val name = f"${prefix}_${nextSeq(spark, dir)}%05d_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    // parquet-write INTO a temp name, then one atomic-enough directory
-    // rename: heal never sees a half-staged record
+  /** The ONE staged-record publication protocol (both the operator and
+    * the streaming forms): parquet-write INTO a temp name, then one
+    * atomic-enough directory rename — heal never sees a half-staged
+    * record, and its `.tmp_` sweep reclaims the crash leftovers. */
+  private def publishStaged(spark: SparkSession, dir: String,
+      name: String, payload: DataFrame): String = {
     val tmp = s"$dir/$PendingSub/.tmp_$name"
     payload.write.mode("overwrite").parquet(tmp)
     val (f, _) = hfs(spark, tmp)
@@ -215,6 +215,13 @@ object CorpusStore {
       s"stage: rename failed for $name")
     name
   }
+
+  private def stage(spark: SparkSession, dir: String, prefix: String,
+      payload: DataFrame): String =
+    publishStaged(spark, dir,
+      f"${prefix}_${nextSeq(spark, dir)}%05d_" +
+        java.util.UUID.randomUUID().toString.take(8),
+      payload)
 
   /** Stage an ACCEPTED batch (the record half of [[acceptBatch]]) —
     * the docs enter the corpus and its index at the next [[heal]].
@@ -257,8 +264,9 @@ object CorpusStore {
     * while it is ABSENT, and source partitions are deleted only after
     * ALL THREE sides' targets exist — so a re-run after any crash
     * either rebuilds from still-complete sources or just finishes the
-    * deletes. */
-  /** @param maxBytes when set, only batches whose DOCS partition holds
+    * deletes.
+    *
+    * @param maxBytes when set, only batches whose DOCS partition holds
     *   at most this many bytes are merged (a directory-listing size
     *   read) — the tiered-LSM policy that keeps a CRONNED compaction
     *   amortized: small per-accept batches fold together while large
@@ -353,24 +361,53 @@ object CorpusStore {
     n
   }
 
+  /** The permanent takedown record: every id a takedown ever named,
+    * appended by [[applyTakedown]] BEFORE its rewrites (duplicates from
+    * re-runs are harmless — readers use it as a set). STREAM accepts
+    * filter against it so an at-least-once redelivery cannot resurrect
+    * a document removed while the stream was down (a license
+    * revocation must survive a crash-redelivery race); a DELIBERATE
+    * operator accept clears its ids from the record — re-adding after
+    * takedown is an operator's call, never a replay artifact. */
+  private def tombstonesPath(dir: String) = s"$dir/takedowns"
+
   /** One accepted batch lands: docs + index partitions under the
-    * batch's identity. Ids the index already covers under ANOTHER
-    * batch drop first (an operator staging the same docs twice must
-    * not duplicate the corpus) — a crashed re-run of THIS batch keeps
-    * its own rows because the filter excludes its own partition. */
-  private def applyAccept(spark: SparkSession, dir: String, bid: String,
+    * batch's identity ([[acceptBatchId]]). Ids the index already
+    * covers under ANOTHER batch drop first (an operator staging the
+    * same docs twice must not duplicate the corpus) — a crashed re-run
+    * of THIS batch keeps its own rows because the filter excludes its
+    * own partition. Stream records additionally drop TOMBSTONED ids
+    * ([[tombstonesPath]]); operator records un-tombstone theirs. */
+  private def applyAccept(spark: SparkSession, dir: String, record: String,
       staged: DataFrame, r: Recipe): Unit = {
+    val bid = acceptBatchId(record)
+    val isStream = record.contains("_sb_")
+    val (tf, tp) = hfs(spark, tombstonesPath(dir))
+    val hasTombstones = tf.exists(tp)
+    val base =
+      if (isStream && hasTombstones)
+        staged.join(spark.read.parquet(tombstonesPath(dir))
+            .select(col(r.idCol)).distinct(),
+          Seq(r.idCol), "left_anti")
+      else staged
+    if (!isStream && hasTombstones) {
+      val remaining = spark.read.parquet(tombstonesPath(dir))
+        .join(broadcast(staged.select(col(r.idCol)).distinct()),
+          Seq(r.idCol), "left_anti")
+        .localCheckpoint() // read-then-overwrite the same directory
+      remaining.write.mode("overwrite").parquet(tombstonesPath(dir))
+    }
     // broadcast-probe the hashes index by id (index-sized scan of two
     // skinny columns, batch-bounded result) — never a corpus shuffle,
     // and never a driver-side id list: the dup frame is batch-bounded
     // by construction, so it broadcasts into an anti-join instead of
     // becoming a million-literal In expression on a full re-stage
-    val stagedIds = staged.select(col(r.idCol).as("cid")).distinct()
+    val stagedIds = base.select(col(r.idCol).as("cid")).distinct()
     val dup = spark.read.parquet(hashesPath(dir))
       .where(col(BatchCol) =!= bid)
       .join(broadcast(stagedIds), "cid")
       .select(col("cid").as(r.idCol)).distinct()
-    val fresh = staged.join(broadcast(dup), Seq(r.idCol), "left_anti")
+    val fresh = base.join(broadcast(dup), Seq(r.idCol), "left_anti")
     writeBatch(spark, dir, bid, fresh, r, alsoDocs = true)
   }
 
@@ -381,12 +418,17 @@ object CorpusStore {
     * and finishes them. Partitions left empty are deleted explicitly
     * (a dynamic overwrite cannot express "now empty" — the
     * rebuildScoped lesson); emptying the whole corpus refuses, like
-    * retention refusing to empty a layout. */
+    * retention refusing to empty a layout. Every named id lands in the
+    * TOMBSTONE record first ([[tombstonesPath]], before any rewrite —
+    * record-before-mutate), so a stream redelivery racing this
+    * takedown cannot resurrect the documents. */
   private def applyTakedown(spark: SparkSession, dir: String,
       staged: DataFrame, r: Recipe): Unit = {
     val ids = staged.select(col(r.idCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     if (ids.isEmpty) return
+    staged.select(col(r.idCol)).distinct()
+      .write.mode("append").parquet(tombstonesPath(dir))
     val idSeq = ids.toSeq
     // affected batches via the hashes lookup (id-column index scan)
     val affected = spark.read.parquet(hashesPath(dir))
@@ -542,35 +584,53 @@ object CorpusStore {
 
   /** The STREAMING accept ([[graft.streaming.TsdbStream
     * .corpusStoreIngest]]'s per-trigger body): one micro-batch lands
-    * as one accepted batch whose identity derives from the MICRO-BATCH
-    * ID — foreachBatch's at-least-once redelivery re-stages the SAME
-    * record and the heal re-overwrites the SAME `__batch` partitions,
-    * so the store observes each micro-batch exactly once. A stream-fed
-    * store follows the same single-maintenance-writer discipline as
-    * every lifecycle mutation: don't operator-stage into it while the
-    * query runs (the staging sequence is shared).
+    * as one accepted batch. Two identities are deliberately SPLIT:
+    *
+    *   - the staged RECORD gets a fresh sequence number like every
+    *     other intent, so heal's staging order holds against
+    *     interleaved operator records (a takedown staged while the
+    *     stream was down applies BEFORE the restarted stream's first
+    *     accept — sharing the micro-batch id as the sequence would tie
+    *     at 0 and resurrect the round-13 ordering bug);
+    *   - the landed `__batch` PARTITION identity derives from
+    *     (streamTag, micro-batch id), so foreachBatch's at-least-once
+    *     redelivery re-overwrites the SAME partitions — exactly-once
+    *     at the store.
+    *
+    * `streamTag` is the Delta-txnAppId analog: ONE stable tag per
+    * logical feed AND checkpoint lineage. Restarting from the same
+    * checkpoint keeps the tag (micro-batch ids continue, redelivery
+    * dedups); re-pointing the feed at a FRESH checkpoint must change
+    * the tag, because the new query's micro-batch ids restart at 0 and
+    * a kept tag would overwrite the old batches' partitions with the
+    * new rows. A stream-fed store otherwise follows the same
+    * single-maintenance-writer discipline as every lifecycle mutation.
     *
     * @return the landed batch id. */
   def acceptStreamBatch(spark: SparkSession, dir: String,
-      batch: DataFrame, microBatchId: Long): String = {
+      batch: DataFrame, microBatchId: Long, streamTag: String): String = {
     require(microBatchId >= 0, s"negative micro-batch id $microBatchId")
+    require(streamTag.nonEmpty && streamTag.forall(c =>
+        c.isLetterOrDigit || c == '-'),
+      s"streamTag must be non-empty alphanumeric/dash (got '$streamTag')")
     val r = recipe(dir)
     require(batch.columns.contains(r.idCol) &&
       batch.columns.contains(r.textCol),
       s"acceptStreamBatch: batch lacks the registered document columns " +
         s"(${r.idCol}, ${r.textCol})")
-    val name = f"p_${microBatchId}%05d_sb"
-    // idempotent RE-stage: a redelivered micro-batch replaces any
-    // previous copy of its own record before healing (same tmp+rename
-    // publication as stage(), plus the replace)
-    val tmp = s"$dir/$PendingSub/.tmp_$name"
-    batch.write.mode("overwrite").parquet(tmp)
-    val (f, hp) = hfs(spark, s"$dir/$PendingSub/$name")
-    f.delete(hp, true)
-    require(f.rename(new org.apache.hadoop.fs.Path(tmp), hp),
-      s"acceptStreamBatch: rename failed for $name")
+    publishStaged(spark, dir,
+      f"p_${nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId", batch)
     heal(spark, dir)
-    name
+    s"sb_${streamTag}_$microBatchId"
+  }
+
+  /** A staged accept's landed `__batch` identity: stream records strip
+    * their (fresh, ordering-only) sequence so a redelivered micro-batch
+    * lands on the SAME partitions; operator records keep the whole
+    * record name (each staging is a distinct batch). */
+  private def acceptBatchId(recordName: String): String = {
+    val i = recordName.indexOf("_sb_")
+    if (i >= 0) recordName.substring(i + 1) else recordName
   }
 
   /** Stage + heal a takedown — see [[stageTakedown]]/[[heal]]. */

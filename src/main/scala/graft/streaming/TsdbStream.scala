@@ -153,23 +153,29 @@ object TsdbStream extends Serializable {
     * ([[graft.pipeline.CorpusStore]]) — the streaming half of the
     * accept path: each micro-batch of already-curated documents lands
     * through the store's staged protocol (record before mutate, heal
-    * applies), with the batch's `__batch` identity derived from the
-    * MICRO-BATCH ID so foreachBatch's at-least-once redelivery
-    * re-overwrites the same partitions instead of duplicating —
-    * exactly-once at the store, like the file sink's commit log gives
-    * the plain-directory form ([[corpusIngest]]'s sink). The dedup
-    * index (hashes + bands) therefore covers every streamed document
-    * the moment its trigger completes: register-on-first-write
+    * applies), with the batch's `__batch` identity derived from
+    * (streamTag, MICRO-BATCH ID) so foreachBatch's at-least-once
+    * redelivery re-overwrites the same partitions instead of
+    * duplicating — exactly-once at the store, like the file sink's
+    * commit log gives the plain-directory form ([[corpusIngest]]'s
+    * sink). `streamTag` is the Delta-txnAppId analog: one stable tag
+    * per logical feed AND checkpoint lineage — re-pointing the feed at
+    * a FRESH checkpoint must change the tag, or the restarted
+    * micro-batch ids would overwrite the old tag's batches
+    * ([[graft.pipeline.CorpusStore.acceptStreamBatch]]). The dedup
+    * index (hashes + bands) covers every streamed document the moment
+    * its trigger completes: register-on-first-write
     * (standalone_database_session.cc:39-87) for the corpus half,
-    * continuously. Compose upstream with [[corpusIngest]] /
-    * [[dedupDocumentsByContent]] / [[incrementalDedup]] for the
-    * curation gates. */
-  def corpusStoreIngest(docs: DataFrame, dir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * continuously — and documents a takedown tombstoned while the
+    * stream was down stay out even across redelivery. Compose upstream
+    * with [[corpusIngest]] / [[dedupDocumentsByContent]] /
+    * [[incrementalDedup]] for the curation gates. */
+  def corpusStoreIngest(docs: DataFrame, dir: String, checkpoint: String,
+      streamTag: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.pipeline.CorpusStore.acceptStreamBatch(
-          batch.sparkSession, dir, batch, id)
+          batch.sparkSession, dir, batch, id, streamTag)
         ()
       }
       .option("checkpointLocation", checkpoint)

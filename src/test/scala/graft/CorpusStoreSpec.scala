@@ -286,21 +286,65 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     // re-overwrites the same partitions: no duplicate, no loss
     val dir = store("graft_cs_stream")
     CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
-    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L, "f1")
     assert(CorpusStore.readDocs(spark, dir).count() === 30L)
-    // redelivery of micro-batch 0 (same rows, same id)
-    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L)
+    // redelivery of micro-batch 0 (same rows, same tag, same id)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L, "f1")
     assert(CorpusStore.readDocs(spark, dir).count() === 30L,
       "the redelivered micro-batch overwrites its own partitions")
     assert(spark.read.parquet(s"$dir/indexes/hashes").count() === 30L)
     // the next micro-batch is a different identity and lands normally
-    CorpusStore.acceptStreamBatch(spark, dir, docsDf(31L to 35L), 1L)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(31L to 35L), 1L, "f1")
     assert(CorpusStore.readDocs(spark, dir).count() === 35L)
+    // a DIFFERENT feed's micro-batch 0 is a different identity — two
+    // tagged feeds never collide (and a re-pointed feed with a fresh
+    // checkpoint must take a fresh tag for exactly this reason)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(36L to 38L), 0L, "f2")
+    assert(CorpusStore.readDocs(spark, dir).count() === 38L,
+      "feed f2's batch 0 must not overwrite feed f1's")
     // ...and the probe equals the live recompute over the grown corpus
     val batch = docsDf(100L to 105L)
     assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
-      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 35L), batch,
+      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 38L), batch,
         "doc_id", "text")))
+  }
+
+  test("takedown tombstones: a redelivered micro-batch cannot resurrect removed documents; an operator re-accept can") {
+    val dir = store("graft_cs_tomb")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
+    // micro-batch 0 lands, then crashes BEFORE the checkpoint commits;
+    // while the stream is down a takedown removes doc 25 (license
+    // revocation)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L, "f1")
+    CorpusStore.removeDocuments(spark, dir, Seq(25L))
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 25L).count() === 0L)
+    // the restarted stream REDELIVERS micro-batch 0 with the original
+    // rows — the tombstone keeps 25 out of docs AND the index
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(21L to 30L), 0L, "f1")
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 25L).count() === 0L,
+      "a replay artifact must not undo a takedown")
+    assert(spark.read.parquet(s"$dir/indexes/hashes")
+      .where(col("cid") === 25L).count() === 0L)
+    assert(CorpusStore.readDocs(spark, dir).count() === 29L)
+    // heal ordering holds across the staging kinds: a takedown staged
+    // while the stream is down applies BEFORE the restarted stream's
+    // accept (the stream record takes a FRESH sequence number)
+    CorpusStore.stageTakedown(spark, dir, Seq(28L))
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(Seq(28L)), 1L, "f1")
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 28L).count() === 0L,
+      "the stream accept is later in staging order AND 28 is " +
+        "tombstoned — it stays out until an operator re-accepts")
+    // a DELIBERATE operator accept clears the tombstone and re-adds
+    CorpusStore.acceptBatch(spark, dir, docsDf(Seq(25L)))
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 25L).count() === 1L)
+    // ...after which the stream may carry it again too
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(Seq(25L)), 2L, "f1")
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 25L).count() === 1L)
   }
 
   test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {
