@@ -22,6 +22,10 @@ import graft.model.IndexCatalog
   *                               carrying verification sets, per-batch
   *   pending/p_<seq>_<id>/       a STAGED accepted batch (docs parquet)
   *   pending/t_<seq>_<id>/       a STAGED takedown (ids parquet)
+  *   takedowns/                  append-only tombstone log (id, seq, op)
+  *                               — permanent; deleting it re-enables
+  *                               redelivery resurrection of every
+  *                               taken-down document
   * }}}
   *
   * The lifecycle discipline is the TSDB layout's, pointed at the
@@ -346,11 +350,11 @@ object CorpusStore {
               s"$dir/$PendingSub"))
         (seq, p)
       }.sortBy(_._1)
-    staged.foreach { case (_, p) =>
+    staged.foreach { case (seq, p) =>
       val name = p.getName
       val rows = spark.read.parquet(p.toString)
-      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, r)
-      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
+      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, seq, r)
+      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, seq, r)
       else if (name.startsWith("c_")) applyCompaction(spark, dir, name, rows)
       else throw new IllegalArgumentException(
         s"heal: unknown staged record $name under $dir/$PendingSub")
@@ -361,15 +365,47 @@ object CorpusStore {
     n
   }
 
-  /** The permanent takedown record: every id a takedown ever named,
-    * appended by [[applyTakedown]] BEFORE its rewrites (duplicates from
-    * re-runs are harmless — readers use it as a set). STREAM accepts
-    * filter against it so an at-least-once redelivery cannot resurrect
-    * a document removed while the stream was down (a license
-    * revocation must survive a crash-redelivery race); a DELIBERATE
-    * operator accept clears its ids from the record — re-adding after
-    * takedown is an operator's call, never a replay artifact. */
+  /** The permanent takedown record — an APPEND-ONLY log of
+    * `(id, seq, op)` rows, never rewritten in place (an in-place clear
+    * would be the one non-crash-safe mutation in a store whose whole
+    * contract is record-before-mutate): [[applyTakedown]] appends
+    * `add` rows BEFORE its rewrites, and a DELIBERATE operator accept
+    * appends `clear` rows for the ids it re-admits (only when any of
+    * its ids are actually tombstoned — routine accepts never touch the
+    * log). `seq` is the staged record's heal sequence, so the
+    * effective set is "ids whose LATEST op is add" — exactly the
+    * staging-order semantics, replayable after any crash (re-run
+    * appends duplicate the same (id, seq, op) rows, which change
+    * nothing). STREAM accepts filter against the effective set so an
+    * at-least-once redelivery cannot resurrect a document removed
+    * while the stream was down (a license revocation must survive the
+    * crash-redelivery race); re-adding after takedown stays an
+    * operator's call, never a replay artifact.
+    *
+    * Scale: the log is TAKEDOWN-HISTORY-sized — legal/ops events,
+    * orders of magnitude rarer than accepts, a few bytes each — so the
+    * per-trigger effective-set read stays trivial at any corpus size. */
   private def tombstonesPath(dir: String) = s"$dir/takedowns"
+
+  private def appendTombstoneOps(spark: SparkSession, dir: String,
+      r: Recipe, ids: Seq[Long], seq: Int, op: String): Unit = {
+    import spark.implicits._
+    ids.map(i => (i, seq, op)).toDF(r.idCol, "seq", "op")
+      .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
+  }
+
+  /** The currently-tombstoned ids (latest op per id is `add`), or None
+    * when no takedown ever ran. Takedown-history-sized. */
+  private def effectiveTombstones(spark: SparkSession, dir: String,
+      r: Recipe): Option[DataFrame] = {
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    if (!f.exists(hp)) None
+    else Some(spark.read.parquet(tombstonesPath(dir))
+      .groupBy(col(r.idCol))
+      .agg(max_by(col("op"), col("seq")).as("__latest"))
+      .where(col("__latest") === "add")
+      .select(col(r.idCol)))
+  }
 
   /** One accepted batch lands: docs + index partitions under the
     * batch's identity ([[acceptBatchId]]). Ids the index already
@@ -379,23 +415,28 @@ object CorpusStore {
     * own partition. Stream records additionally drop TOMBSTONED ids
     * ([[tombstonesPath]]); operator records un-tombstone theirs. */
   private def applyAccept(spark: SparkSession, dir: String, record: String,
-      staged: DataFrame, r: Recipe): Unit = {
+      staged: DataFrame, seq: Int, r: Recipe): Unit = {
     val bid = acceptBatchId(record)
     val isStream = record.contains("_sb_")
-    val (tf, tp) = hfs(spark, tombstonesPath(dir))
-    val hasTombstones = tf.exists(tp)
-    val base =
-      if (isStream && hasTombstones)
-        staged.join(spark.read.parquet(tombstonesPath(dir))
-            .select(col(r.idCol)).distinct(),
-          Seq(r.idCol), "left_anti")
-      else staged
-    if (!isStream && hasTombstones) {
-      val remaining = spark.read.parquet(tombstonesPath(dir))
+    val tombstoned = effectiveTombstones(spark, dir, r)
+    val base = tombstoned match {
+      case Some(t) if isStream =>
+        // broadcast: the set is takedown-history-sized, and the stream
+        // hot path must stay shuffle-free like every other probe here
+        staged.join(broadcast(t), Seq(r.idCol), "left_anti")
+      case _ => staged
+    }
+    tombstoned.filterNot(_ => isStream).foreach { t =>
+      // a DELIBERATE operator accept re-admits its tombstoned ids — an
+      // append-only `clear` op at this record's sequence (never an
+      // in-place rewrite); routine accepts with no tombstoned id skip
+      // the log entirely
+      val revived = t
         .join(broadcast(staged.select(col(r.idCol)).distinct()),
-          Seq(r.idCol), "left_anti")
-        .localCheckpoint() // read-then-overwrite the same directory
-      remaining.write.mode("overwrite").parquet(tombstonesPath(dir))
+          Seq(r.idCol))
+        .collect().map(_.getLong(0)).toSeq
+      if (revived.nonEmpty)
+        appendTombstoneOps(spark, dir, r, revived, seq, "clear")
     }
     // broadcast-probe the hashes index by id (index-sized scan of two
     // skinny columns, batch-bounded result) — never a corpus shuffle,
@@ -423,12 +464,13 @@ object CorpusStore {
     * record-before-mutate), so a stream redelivery racing this
     * takedown cannot resurrect the documents. */
   private def applyTakedown(spark: SparkSession, dir: String,
-      staged: DataFrame, r: Recipe): Unit = {
+      staged: DataFrame, seq: Int, r: Recipe): Unit = {
     val ids = staged.select(col(r.idCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     if (ids.isEmpty) return
-    staged.select(col(r.idCol)).distinct()
-      .write.mode("append").parquet(tombstonesPath(dir))
+    // tombstone from the already-collected driver set (request-sized)
+    // — no second scan of the staged record
+    appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, seq, "add")
     val idSeq = ids.toSeq
     // affected batches via the hashes lookup (id-column index scan)
     val affected = spark.read.parquet(hashesPath(dir))

@@ -328,15 +328,15 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(s"$dir/indexes/hashes")
       .where(col("cid") === 25L).count() === 0L)
     assert(CorpusStore.readDocs(spark, dir).count() === 29L)
-    // heal ordering holds across the staging kinds: a takedown staged
-    // while the stream is down applies BEFORE the restarted stream's
-    // accept (the stream record takes a FRESH sequence number)
+    // a takedown staged while the stream is down wins against the
+    // restarted stream's accept WHATEVER the staging order resolves
+    // to: the tombstone is what decides (the stream record also takes
+    // a fresh sequence number, but the outcome must not depend on it)
     CorpusStore.stageTakedown(spark, dir, Seq(28L))
     CorpusStore.acceptStreamBatch(spark, dir, docsDf(Seq(28L)), 1L, "f1")
     assert(CorpusStore.readDocs(spark, dir)
       .where(col("doc_id") === 28L).count() === 0L,
-      "the stream accept is later in staging order AND 28 is " +
-        "tombstoned — it stays out until an operator re-accepts")
+      "28 is tombstoned — it stays out until an operator re-accepts")
     // a DELIBERATE operator accept clears the tombstone and re-adds
     CorpusStore.acceptBatch(spark, dir, docsDf(Seq(25L)))
     assert(CorpusStore.readDocs(spark, dir)
