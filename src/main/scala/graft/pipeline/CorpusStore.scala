@@ -350,11 +350,11 @@ object CorpusStore {
               s"$dir/$PendingSub"))
         (seq, p)
       }.sortBy(_._1)
-    staged.foreach { case (seq, p) =>
+    staged.foreach { case (_, p) =>
       val name = p.getName
       val rows = spark.read.parquet(p.toString)
-      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, seq, r)
-      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, seq, r)
+      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, r)
+      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
       else if (name.startsWith("c_")) applyCompaction(spark, dir, name, rows)
       else throw new IllegalArgumentException(
         s"heal: unknown staged record $name under $dir/$PendingSub")
@@ -372,11 +372,15 @@ object CorpusStore {
     * `add` rows BEFORE its rewrites, and a DELIBERATE operator accept
     * appends `clear` rows for the ids it re-admits (only when any of
     * its ids are actually tombstoned — routine accepts never touch the
-    * log). `seq` is the staged record's heal sequence, so the
-    * effective set is "ids whose LATEST op is add" — exactly the
-    * staging-order semantics, replayable after any crash (re-run
-    * appends duplicate the same (id, seq, op) rows, which change
-    * nothing). STREAM accepts filter against the effective set so an
+    * log). `seq` is the LOG's OWN monotonic append counter (current
+    * max + 1, single-writer like every lifecycle mutation) —
+    * deliberately NOT the staging sequence, which resets to 0 whenever
+    * pending drains and would let an old `add` outrank a later
+    * `clear`. Heal applies records in staging order and appends in
+    * apply order, so log order IS causal order, and the effective set
+    * is "ids whose LATEST op is add"; a crashed re-run re-appends the
+    * same op at a higher seq, which changes nothing. STREAM accepts
+    * filter against the effective set so an
     * at-least-once redelivery cannot resurrect a document removed
     * while the stream was down (a license revocation must survive the
     * crash-redelivery race); re-adding after takedown stays an
@@ -388,8 +392,16 @@ object CorpusStore {
   private def tombstonesPath(dir: String) = s"$dir/takedowns"
 
   private def appendTombstoneOps(spark: SparkSession, dir: String,
-      r: Recipe, ids: Seq[Long], seq: Int, op: String): Unit = {
+      r: Recipe, ids: Seq[Long], op: String): Unit = {
     import spark.implicits._
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    val seq =
+      if (!f.exists(hp)) 0L
+      else {
+        val row = spark.read.parquet(tombstonesPath(dir))
+          .agg(max(col("seq"))).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+      }
     ids.map(i => (i, seq, op)).toDF(r.idCol, "seq", "op")
       .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
   }
@@ -415,7 +427,7 @@ object CorpusStore {
     * own partition. Stream records additionally drop TOMBSTONED ids
     * ([[tombstonesPath]]); operator records un-tombstone theirs. */
   private def applyAccept(spark: SparkSession, dir: String, record: String,
-      staged: DataFrame, seq: Int, r: Recipe): Unit = {
+      staged: DataFrame, r: Recipe): Unit = {
     val bid = acceptBatchId(record)
     val isStream = record.contains("_sb_")
     val tombstoned = effectiveTombstones(spark, dir, r)
@@ -436,7 +448,7 @@ object CorpusStore {
           Seq(r.idCol))
         .collect().map(_.getLong(0)).toSeq
       if (revived.nonEmpty)
-        appendTombstoneOps(spark, dir, r, revived, seq, "clear")
+        appendTombstoneOps(spark, dir, r, revived, "clear")
     }
     // broadcast-probe the hashes index by id (index-sized scan of two
     // skinny columns, batch-bounded result) — never a corpus shuffle,
@@ -464,13 +476,13 @@ object CorpusStore {
     * record-before-mutate), so a stream redelivery racing this
     * takedown cannot resurrect the documents. */
   private def applyTakedown(spark: SparkSession, dir: String,
-      staged: DataFrame, seq: Int, r: Recipe): Unit = {
+      staged: DataFrame, r: Recipe): Unit = {
     val ids = staged.select(col(r.idCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     if (ids.isEmpty) return
     // tombstone from the already-collected driver set (request-sized)
     // — no second scan of the staged record
-    appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, seq, "add")
+    appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, "add")
     val idSeq = ids.toSeq
     // affected batches via the hashes lookup (id-column index scan)
     val affected = spark.read.parquet(hashesPath(dir))

@@ -345,6 +345,15 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     CorpusStore.acceptStreamBatch(spark, dir, docsDf(Seq(25L)), 2L, "f1")
     assert(CorpusStore.readDocs(spark, dir)
       .where(col("doc_id") === 25L).count() === 1L)
+    // the LOG's monotonic sequence decides across drained staging
+    // epochs (the staging counter resets to 0 whenever pending drains,
+    // so it must never order the log): take 25 down AGAIN — the newer
+    // add must outrank the earlier clear, and a redelivery stays out
+    CorpusStore.removeDocuments(spark, dir, Seq(25L))
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(Seq(25L)), 3L, "f1")
+    assert(CorpusStore.readDocs(spark, dir)
+      .where(col("doc_id") === 25L).count() === 0L,
+      "the LATEST takedown wins, whatever the staging counters did")
   }
 
   test("the recipe lives in the manifest: round-trips, gates invalid parameters, and corpus kinds refuse the fact paths") {
