@@ -184,6 +184,28 @@ object ContractProbe {
       """{"select": "metric-names",
           "where-location": {"knn": {"lon": 0, "lat": 0, "k": 1}}}""")
 
+    // the pipeline statements at the same boundary: a TSDB-only
+    // context refuses them loudly, and every misuse is BadQuery
+    tryQ("knn-no-tables",
+      """{"knn": {"queries": "id < 10", "k": 3, "index": "brute"}}""")
+    tryQ("dedup-no-tables",
+      """{"dedup": {"batch": "id % 5 = 0", "threshold": 0.8}}""")
+    tryQ("knn-bad-index",
+      """{"knn": {"queries": "id < 10", "k": 3, "index": "hnsw"}}""")
+    tryQ("knn-nprobe-over-nlist",
+      """{"knn": {"queries": "id < 10", "k": 3, "index": "ivf",
+           "nlist": 2, "nprobe": 5}}""")
+    tryQ("knn-with-range",
+      """{"knn": {"queries": "id < 10", "k": 3, "index": "brute"},
+          "range": {"from": "20240101T000000", "to": "20240401T000000"}}""")
+    tryQ("dedup-bad-threshold",
+      """{"dedup": {"batch": "id % 5 = 0", "threshold": 1.5}}""")
+    tryQ("dedup-ragged-bands",
+      """{"dedup": {"batch": "id % 5 = 0", "threshold": 0.8,
+           "num-perm": 30, "bands": 8}}""")
+    tryQ("dedup-malformed-predicate",
+      """{"dedup": {"batch": "id %%% 5", "threshold": 0.8}}""")
+
     def tryRendered(tag: String, json: String): Unit =
       try {
         val c = e.executeRendered(json).count()
