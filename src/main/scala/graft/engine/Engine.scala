@@ -238,10 +238,23 @@ final class Engine(val ctx: TsdbContext,
   /** A statement predicate string as a Column over `df` — Catalyst is
     * the expression engine (the `eval` apply-node precedent); parse
     * and resolution failures surface as BadQuery at the library
-    * boundary, never raw Catalyst internals. */
+    * boundary, never raw Catalyst internals.
+    *
+    * The parsed tree is restricted to comparison / boolean /
+    * arithmetic nodes over the registered table's columns
+    * ([[validatePredicateTree]]): unlike the `eval` apply node — an
+    * operator-authored transform — these statements make the predicate
+    * a REQUIRED free-form string on the query surface, and Catalyst's
+    * full function namespace includes side-effectful built-ins
+    * (`reflect`/`java_method` invoke arbitrary static methods), an
+    * injection surface the moment the JSON front end serves an
+    * untrusted caller. */
   private def predicateOver(df: DataFrame, pred: String,
       stmt: String): DataFrame =
     try {
+      validatePredicateTree(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(pred), stmt, pred)
       val filtered = df.where(expr(pred))
       filtered.schema // force analysis: unresolved columns fail HERE
       filtered
@@ -254,6 +267,40 @@ final class Engine(val ctx: TsdbContext,
           s"against the registered table: " +
           e.getMessage.linesIterator.take(2).mkString(" "))
     }
+
+  /** The statement-predicate expression whitelist: column references,
+    * literals, boolean connectives, comparisons (incl. IN / BETWEEN /
+    * LIKE / RLIKE / null tests), arithmetic and casts. Everything else
+    * — above all any FUNCTION CALL — is BadQuery: a filter needs
+    * nothing more, and the rejected namespace is where the
+    * side-effectful built-ins live. */
+  private def validatePredicateTree(
+      root: org.apache.spark.sql.catalyst.expressions.Expression,
+      stmt: String, pred: String): Unit = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    root.foreach {
+      case _: ce.Literal => ()
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ()
+      case _: ce.And | _: ce.Or | _: ce.Not => ()
+      case _: ce.BinaryComparison => () // = != < <= > >= <=>
+      case _: ce.In | _: ce.Between => ()
+      // the parser emits BETWEEN through the function namespace; only
+      // that one name passes — it resolves to the pure comparison
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("between") => ()
+      case _: ce.BinaryArithmetic => () // + - * / % div
+      case _: ce.UnaryMinus | _: ce.UnaryPositive => ()
+      case _: ce.Cast => ()
+      case _: ce.IsNull | _: ce.IsNotNull => ()
+      case _: ce.Like | _: ce.RLike => ()
+      case other => throw new BadQuery(
+        s"$stmt: predicate '$pred' uses ${other.prettyName}, outside " +
+          s"the statement-predicate grammar (column refs, literals, " +
+          s"boolean/comparison/arithmetic operators, IN, BETWEEN, " +
+          s"LIKE, RLIKE, IS NULL, CAST); function calls are not " +
+          s"admitted here")
+    }
+  }
 
   /** `{"knn": ...}` over the registered embeddings table. `brute` is
     * the exact broadcast-queries scan; `ivf` serves from the

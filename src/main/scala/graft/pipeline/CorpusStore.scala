@@ -242,14 +242,37 @@ object CorpusStore {
 
   /** Stage a TAKEDOWN (license revocation, removal request): the named
     * document ids leave the corpus AND its index at the next [[heal]].
-    * The record is the intent — a crash after staging loses nothing. */
+    * The record is the intent — a crash after staging loses nothing.
+    *
+    * Would-empty validation happens HERE, before the record is
+    * published: a takedown naming every current document refuses at
+    * the caller ("drop the store" is a deliberate act, not a
+    * takedown), so the refusal can never land as a staged record that
+    * blocks every later intent mid-heal. [[applyTakedown]] re-checks
+    * against the CORPUS AT APPLY TIME (earlier staged intents may have
+    * shrunk it) and SKIPS — never throws — when the re-check trips. */
   def stageTakedown(spark: SparkSession, dir: String,
       ids: Seq[Long]): String = {
     require(ids.nonEmpty, "stageTakedown: empty id list")
     val r = recipe(dir)
+    requireNotEmptying(spark, dir, r, ids.toSet, "stageTakedown")
     stage(spark, dir, "t",
       spark.createDataFrame(ids.map(Tuple1(_))).toDF(r.idCol))
   }
+
+  /** True when removing `ids` would leave at least one document — an
+    * id-column read of the docs parquet (column-pruned, never the
+    * text). */
+  private def wouldKeepSome(spark: SparkSession, dir: String,
+      r: Recipe, ids: Set[Long]): Boolean =
+    !spark.read.parquet(docsPath(dir)).select(col(r.idCol))
+      .where(!col(r.idCol).isin(ids.toSeq: _*)).isEmpty
+
+  private def requireNotEmptying(spark: SparkSession, dir: String,
+      r: Recipe, ids: Set[Long], what: String): Unit =
+    require(wouldKeepSome(spark, dir, r, ids),
+      s"$what would empty the corpus at $dir — removing every " +
+        s"document is \"drop the store\", a deliberate act")
 
   /** Stage a BATCH COMPACTION — the LSM discipline pointed at the
     * store: per-accept `__batch` partitions keep the append
@@ -319,11 +342,43 @@ object CorpusStore {
     val r = recipe(dir)
     var n = 0
     // 1. unbanded batches: docs partitions the index listings lack —
-    //    re-derive exactly those partitions from their docs
+    //    re-derive exactly those partitions from their docs. An
+    //    out-of-band write BYPASSED the staging discipline, so it gets
+    //    the same admission rules a staged accept gets before it is
+    //    indexed: tombstoned ids may not resurrect and ids the index
+    //    already covers under another batch may not duplicate — and
+    //    when either rule drops rows, the DOCS partition is rewritten
+    //    to the admitted set too (an index that silently skipped rows
+    //    still sitting in docs would leave the two permanently
+    //    disagreeing about the corpus)
     unbandedBatches(spark, dir).toSeq.sorted.foreach { bid =>
       val docsB = spark.read.parquet(docsPath(dir))
         .where(col(BatchCol) === bid)
-      writeBatch(spark, dir, bid, docsB, r, alsoDocs = false)
+      val noTomb = effectiveTombstones(spark, dir, r) match {
+        case Some(t) => docsB.join(broadcast(t), Seq(r.idCol), "left_anti")
+        case None => docsB
+      }
+      val oobIds = noTomb.select(col(r.idCol).as("cid")).distinct()
+      val dup = spark.read.parquet(hashesPath(dir))
+        .where(col(BatchCol) =!= bid)
+        .join(broadcast(oobIds), "cid")
+        .select(col("cid").as(r.idCol)).distinct()
+      val fresh = noTomb.join(broadcast(dup), Seq(r.idCol), "left_anti")
+      val dropped = !docsB
+        .join(fresh.select(col(r.idCol)), Seq(r.idCol), "left_anti").isEmpty
+      if (!dropped) writeBatch(spark, dir, bid, fresh, r, alsoDocs = false)
+      else {
+        // rows dropped → the docs partition itself is rewritten, so
+        // sever the read-then-overwrite lineage on it first (the
+        // upsert discipline, as in applyTakedown)
+        val admitted = fresh.localCheckpoint()
+        if (admitted.isEmpty) {
+          // nothing admissible: consistent absence on all three sides
+          val (f, _) = hfs(spark, docsPath(dir))
+          f.delete(new org.apache.hadoop.fs.Path(
+            partitionDir(docsPath(dir), bid)), true)
+        } else writeBatch(spark, dir, bid, admitted, r, alsoDocs = true)
+      }
       n += 1
     }
     // 2. sweep stage-crash leftovers: a `.tmp_*` directory is an
@@ -353,14 +408,23 @@ object CorpusStore {
     staged.foreach { case (_, p) =>
       val name = p.getName
       val rows = spark.read.parquet(p.toString)
-      if (name.startsWith("p_")) applyAccept(spark, dir, name, rows, r)
-      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
-      else if (name.startsWith("c_")) applyCompaction(spark, dir, name, rows)
-      else throw new IllegalArgumentException(
-        s"heal: unknown staged record $name under $dir/$PendingSub")
-      val (f, _) = hfs(spark, p.toString)
-      f.delete(p, true)
-      n += 1
+      val applied =
+        if (name.startsWith("p_")) { applyAccept(spark, dir, name, rows, r); true }
+        else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
+        else if (name.startsWith("c_")) { applyCompaction(spark, dir, name, rows); true }
+        else throw new IllegalArgumentException(
+          s"heal: unknown staged record $name under $dir/$PendingSub")
+      // a REFUSED record (applyTakedown's would-empty re-check) stays
+      // staged instead of throwing: the standing `corpus_pending`
+      // alert reports it, LATER intents still apply (a throw here
+      // would permanently block them — the round-13 crash-loop), and
+      // an operator resolves it by accepting docs first or dropping
+      // the record deliberately
+      if (applied) {
+        val (f, _) = hfs(spark, p.toString)
+        f.delete(p, true)
+        n += 1
+      }
     }
     n
   }
@@ -470,16 +534,29 @@ object CorpusStore {
     * findable and the staged record still present: the re-run finds
     * and finishes them. Partitions left empty are deleted explicitly
     * (a dynamic overwrite cannot express "now empty" — the
-    * rebuildScoped lesson); emptying the whole corpus refuses, like
-    * retention refusing to empty a layout. Every named id lands in the
-    * TOMBSTONE record first ([[tombstonesPath]], before any rewrite —
+    * rebuildScoped lesson); emptying the whole corpus SKIPS (returns
+    * false — the record stays staged as a standing alert), like
+    * retention refusing to empty a layout, and the would-empty check
+    * runs BEFORE the tombstone append: a refused takedown must leave
+    * the log untouched (an append-then-throw would re-append the same
+    * ops on every heal retry, growing the log unboundedly while
+    * blocking every later-staged intent — the round-13 ADVICE
+    * finding). Every id of an APPLIED takedown lands in the TOMBSTONE
+    * record first ([[tombstonesPath]], before any rewrite —
     * record-before-mutate), so a stream redelivery racing this
-    * takedown cannot resurrect the documents. */
+    * takedown cannot resurrect the documents.
+    *
+    * @return true when applied (heal deletes the record), false when
+    *   refused (heal keeps it staged and continues). */
   private def applyTakedown(spark: SparkSession, dir: String,
-      staged: DataFrame, r: Recipe): Unit = {
+      staged: DataFrame, r: Recipe): Boolean = {
     val ids = staged.select(col(r.idCol)).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (ids.isEmpty) return
+    if (ids.isEmpty) return true
+    // would-empty re-check against the corpus AT APPLY TIME (staging
+    // validated too, but earlier-staged takedowns may have shrunk the
+    // corpus since) — refusal means SKIP, before any mutation
+    if (!wouldKeepSome(spark, dir, r, ids)) return false
     // tombstone from the already-collected driver set (request-sized)
     // — no second scan of the staged record
     appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, "add")
@@ -488,7 +565,7 @@ object CorpusStore {
     val affected = spark.read.parquet(hashesPath(dir))
       .where(col("cid").isin(idSeq: _*))
       .select(BatchCol).distinct().collect().map(_.getString(0)).toSet
-    if (affected.isEmpty) return
+    if (affected.isEmpty) return true
     val affSeq = affected.toSeq
     def rewrite(path: String, idColName: String): Unit = {
       val slice = spark.read.parquet(path)
@@ -499,11 +576,6 @@ object CorpusStore {
         .localCheckpoint()
       val keptBatches = remaining.select(BatchCol).distinct()
         .collect().map(_.getString(0)).toSet
-      if (path == docsPath(dir))
-        require(keptBatches.nonEmpty ||
-          (batchesOf(spark, path) -- affected).nonEmpty,
-          s"takedown would empty the corpus at $dir — removing every " +
-            s"document is \"drop the store\", a deliberate act")
       if (keptBatches.nonEmpty)
         remaining.write.option("partitionOverwriteMode", "dynamic")
           .partitionBy(BatchCol).mode("overwrite").parquet(path)
@@ -517,6 +589,7 @@ object CorpusStore {
     rewrite(docsPath(dir), r.idCol)
     rewrite(bandsPath(dir), "cid")
     rewrite(hashesPath(dir), "cid")
+    true
   }
 
   /** The hidden commit marker inside a consolidated target partition:

@@ -421,4 +421,84 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(!TsdbLayout.healthCheck(spark, bare).collect()
       .exists(_.getString(0).startsWith("corpus_")))
   }
+
+  test("a would-empty takedown refuses at STAGE time, and a staged one that becomes emptying SKIPS mid-heal instead of blocking later intents") {
+    val dir = store("graft_cs_empty")
+    CorpusStore.create(spark, dir, docsDf(1L to 10L), "doc_id", "text")
+    // stage-time refusal: the record is never published
+    val e = intercept[IllegalArgumentException](
+      CorpusStore.stageTakedown(spark, dir, (1L to 10L).toSeq))
+    assert(e.getMessage.contains("would empty the corpus"))
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_pending") === 0L)
+    // apply-time re-check: two takedowns each valid at staging, whose
+    // SUM empties the corpus — the second must SKIP (stay staged as
+    // the standing alert), never throw, and never touch the tombstone
+    // log; later-staged intents still apply past it
+    CorpusStore.stageTakedown(spark, dir, (1L to 6L).toSeq)
+    CorpusStore.stageTakedown(spark, dir, (5L to 10L).toSeq)
+    CorpusStore.stageBatch(spark, dir, docsDf(21L to 25L))
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_pending") === 1L,
+      "the refused takedown stays staged as a standing alert")
+    assert(rowsOf(CorpusStore.readDocs(spark, dir).select("doc_id")) ===
+      rowsOf(docsDf((7L to 10L) ++ (21L to 25L)).select("doc_id")),
+      "later-staged intents applied past the refused record")
+    // the refused record's ids never reached the tombstone log: only
+    // the APPLIED takedown's 1..6 are tombstoned
+    assert(spark.read.parquet(s"$dir/takedowns")
+      .where(col("op") === "add")
+      .select("doc_id").distinct().count() === 6L,
+      "only the APPLIED takedown's ids are tombstoned")
+    // the next heal re-reads the standing record — the accept landed,
+    // so removing 5..10 no longer empties the corpus and it applies
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_pending") === 0L)
+    assert(rowsOf(CorpusStore.readDocs(spark, dir).select("doc_id")) ===
+      rowsOf(docsDf(21L to 25L).select("doc_id")),
+      "the formerly-refused takedown applied once it stopped emptying")
+    assert(spark.read.parquet(s"$dir/takedowns")
+      .where(col("op") === "add")
+      .select("doc_id").distinct().count() === 10L,
+      "its ids reach the log exactly when it applies")
+  }
+
+  test("unbanded re-derivation applies the accept admission rules: out-of-band writes cannot resurrect tombstoned ids or duplicate indexed ones") {
+    val dir = store("graft_cs_oob")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
+    CorpusStore.removeDocuments(spark, dir, Seq(3L, 4L))
+    // an out-of-band docs write bypassing the staging discipline:
+    // ids 3,4 are tombstoned, ids 5,6 already indexed under another
+    // batch, ids 41,42 genuinely new
+    docsDf(Seq(3L, 4L, 5L, 6L, 41L, 42L))
+      .withColumn(CorpusStore.BatchCol, lit("b_oob"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CorpusStore.BatchCol).mode("overwrite")
+      .parquet(s"$dir/${CorpusStore.DocsSub}")
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_unbanded") === 1L)
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_unbanded") === 0L)
+    val ids = CorpusStore.readDocs(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(!ids.contains(3L) && !ids.contains(4L),
+      "tombstoned ids do not resurrect through an out-of-band write")
+    assert(ids.count(i => i == 5L || i == 6L) === 2 &&
+      ids.distinct.size === ids.size,
+      "already-indexed ids do not duplicate")
+    assert(ids.contains(41L) && ids.contains(42L),
+      "genuinely new out-of-band docs are admitted and indexed")
+    // the admitted rows are probe-visible; 3/4 match nothing
+    val probe = CorpusStore.probeBatch(spark, dir, docsDf(Seq(3L, 41L)))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(probe(41L) === "exact", "admitted oob doc serves from the index")
+    // an ENTIRELY inadmissible oob batch heals to consistent absence
+    docsDf(Seq(3L, 4L))
+      .withColumn(CorpusStore.BatchCol, lit("b_oob2"))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CorpusStore.BatchCol).mode("overwrite")
+      .parquet(s"$dir/${CorpusStore.DocsSub}")
+    CorpusStore.heal(spark, dir)
+    assert(CorpusStore.health(spark, dir).toMap.apply("corpus_unbanded") === 0L)
+    assert(!CorpusStore.readDocs(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).exists(i => i == 3L || i == 4L))
+  }
 }

@@ -732,6 +732,48 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       "a NULL-predicate corpus row must not vanish from the split")
   }
 
+  test("statement predicates admit only comparison/boolean/arithmetic trees — function calls (reflect/java_method) are BadQuery") {
+    import spark.implicits._
+    val base = rampContext(Seq(1), 0L, 4L)
+    val eng = new Engine(base.copy(
+      documents = Some(Seq((1L, "alpha beta"), (10L, "alpha beta"))
+        .toDF("id", "text")),
+      embeddings = Some(Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 1f))
+        .toDF("id", "embedding"))))
+    def bad(q: String): Unit = {
+      val e = intercept[BadQuery](eng.execute(q))
+      assert(e.getMessage.contains("statement-predicate grammar"),
+        s"wrong refusal for $q: ${e.getMessage}")
+    }
+    // the injection surface the whitelist closes: Catalyst's
+    // side-effectful built-ins must not be reachable from the JSON
+    // front end's required free-form predicate strings
+    bad("""{"dedup": {"batch":
+         "java_method('java.lang.System', 'getProperty', 'user.dir') = ''",
+         "threshold": 0.8}}""")
+    bad("""{"knn": {"k": 1, "index": "brute", "queries":
+         "reflect('java.lang.Thread', 'sleep', 0L) IS NULL"}}""")
+    // ANY function call is outside the grammar, benign ones included
+    bad("""{"dedup": {"batch": "length(text) > 3", "threshold": 0.8}}""")
+    bad("""{"dedup": {"batch": "rand() < 0.5", "threshold": 0.8}}""")
+    // ...while the grammar itself stays expressive: comparisons,
+    // boolean connectives, arithmetic, IN/BETWEEN/LIKE/null tests, CAST
+    def ok(q: String): Unit = assert(eng.execute(q).count() >= 0L)
+    ok("""{"dedup": {"batch":
+         "id >= 10 AND NOT (id % 3 = 1) OR id IN (7, 8)",
+         "threshold": 0.8}}""")
+    ok("""{"dedup": {"batch":
+         "id BETWEEN 10 AND 20 AND text LIKE 'alpha%'",
+         "threshold": 0.8}}""")
+    ok("""{"dedup": {"batch":
+         "text RLIKE 'alp.a' AND text IS NOT NULL",
+         "threshold": 0.8}}""")
+    ok("""{"dedup": {"batch": "CAST(id AS STRING) = '10'",
+         "threshold": 0.8}}""")
+    ok("""{"knn": {"k": 1, "index": "brute",
+         "queries": "-id + 3 > 1"}}""")
+  }
+
   test("knn/dedup programmatic misuse is BadQuery too — the AST constructors are public, not only the JSON path") {
     import spark.implicits._
     val base = rampContext(Seq(1), 0L, 4L)
