@@ -29,6 +29,19 @@ final case class IndexCatalogEntry(
       * the manifest is the one place the recipe lives. */
     idCol: Option[String] = None, textCol: Option[String] = None,
     numPerm: Option[Int] = None, bands: Option[Int] = None,
+    /** The embedding-index kind's recipe (`ivf_cells`,
+      * [[graft.pipeline.EmbeddingStore]]): which embedding column the
+      * cells derive from, the deterministic-Lloyd fit parameters
+      * (`nlist`/`iters` — what [[graft.pipeline.Similarity
+      * .fitCodebook]] needs to re-derive the codebook), and the
+      * optional product-quantization split (`m`/`ksub` — present
+      * exactly when the stored assignment carries PQ codes). For this
+      * kind `path` is the CURRENT EPOCH directory: a recall-gated
+      * refit writes a new epoch and flips this pointer (manifest-last,
+      * the save crash rule). */
+    embCol: Option[String] = None,
+    nlist: Option[Int] = None, iters: Option[Int] = None,
+    m: Option[Int] = None, ksub: Option[Int] = None,
     /** true = the catalog wrote (and on retire deletes) this parquet;
       * false = [[IndexCatalog.adopt]]ed storage someone else owns —
       * typically a streaming maintainer's live sink — which retire
@@ -122,6 +135,15 @@ object IndexCatalog {
     * the store's pending/unbanded batch listing, and their heal is
     * [[graft.pipeline.CorpusStore.heal]]. */
   val CorpusKinds: Seq[String] = Seq("content_hashes", "lsh_bands")
+
+  /** The LLM-pipeline embedding-index kind ([[graft.pipeline
+    * .EmbeddingStore]]): `ivf_cells` = the persisted cell-partitioned
+    * IVF assignment with its codebook (and optional PQ codes). Same
+    * manifest machinery as the corpus kinds, same exclusions: its
+    * facts are embedding vectors, its staleness reads are the store's
+    * pending listing and cell-share drift, its heals are
+    * [[graft.pipeline.EmbeddingStore.heal]] / the recall-gated refit. */
+  val EmbeddingKinds: Seq[String] = Seq("ivf_cells")
 
   private val mapper = new ObjectMapper
 
@@ -220,6 +242,11 @@ object IndexCatalog {
     e.textCol.foreach(n.put("textCol", _))
     e.numPerm.foreach(n.put("numPerm", _))
     e.bands.foreach(n.put("bands", _))
+    e.embCol.foreach(n.put("embCol", _))
+    e.nlist.foreach(n.put("nlist", _))
+    e.iters.foreach(n.put("iters", _))
+    e.m.foreach(n.put("m", _))
+    e.ksub.foreach(n.put("ksub", _))
     if (!e.owned) n.put("owned", false)
     if (!e.canonical) n.put("canonical", false)
     n
@@ -656,6 +683,21 @@ object IndexCatalog {
             k = Some(longOf(n, "k", kind).toInt),
             numPerm = Some(longOf(n, "numPerm", kind).toInt),
             bands = Some(longOf(n, "bands", kind).toInt))
+        case "ivf_cells" =>
+          // the PQ half is present-both-or-neither: a manifest naming
+          // only one is hand-edit damage, refused loudly
+          val hasM = !n.path("m").isMissingNode
+          val hasKsub = !n.path("ksub").isMissingNode
+          require(hasM == hasKsub,
+            s"index catalog entry (kind $kind) must carry both 'm' " +
+              s"and 'ksub' or neither")
+          IndexCatalogEntry(pos, kind, path,
+            idCol = Some(textOf(n, "idCol", kind)),
+            embCol = Some(textOf(n, "embCol", kind)),
+            nlist = Some(longOf(n, "nlist", kind).toInt),
+            iters = Some(longOf(n, "iters", kind).toInt),
+            m = if (hasM) Some(longOf(n, "m", kind).toInt) else None,
+            ksub = if (hasKsub) Some(longOf(n, "ksub", kind).toInt) else None)
         case other => throw new IllegalArgumentException(
           s"index catalog entry ${i + 1} has unknown kind '$other'")
       }).copy(owned = owned, canonical = canonical)
@@ -752,14 +794,15 @@ object IndexCatalog {
     // layout — a fact rebuild could only destroy them. Their heal is
     // CorpusStore.heal (pending/unbanded batch listing); refuse loudly
     // rather than silently skipping an owned canonical entry
-    val corpus = owned.filter(e => CorpusKinds.contains(e.kind))
+    val corpus = owned.filter(e =>
+      CorpusKinds.contains(e.kind) || EmbeddingKinds.contains(e.kind))
     require(corpus.isEmpty,
-      s"rebuild: catalog at $dir registers corpus-index entr" +
+      s"rebuild: catalog at $dir registers pipeline-index entr" +
         s"${if (corpus.size == 1) "y" else "ies"} at pos " +
         s"${corpus.map(_.pos).mkString(", ")} (${corpus.map(_.kind).distinct
-          .mkString(", ")}) — those derive from corpus documents and " +
-        s"heal through graft.pipeline.CorpusStore.heal, not the fact " +
-        s"rebuilds")
+          .mkString(", ")}) — those derive from corpus documents / " +
+        s"embeddings and heal through graft.pipeline.CorpusStore.heal " +
+        s"or graft.pipeline.EmbeddingStore, not the fact rebuilds")
     val marked = owned.filterNot(_.canonical)
     require(marked.isEmpty || skip,
       s"rebuild: catalog at $dir has non-canonical owned entr" +
@@ -1105,6 +1148,15 @@ object IndexCatalog {
     * constructor shape guards on every loaded frame. */
   def load(spark: SparkSession, dir: String, base: TsdbContext): TsdbContext = {
     parseManifest(dir).entries.foldLeft(base) { (out, e) =>
+      // pipeline kinds refuse BEFORE any read: their paths resolve
+      // against the STORE directory, not this catalog's, so a read
+      // here would fail obscurely instead of naming the misuse
+      if (CorpusKinds.contains(e.kind) || EmbeddingKinds.contains(e.kind))
+        throw new IllegalArgumentException(
+          s"index catalog entry pos ${e.pos} (kind ${e.kind}) is a " +
+            s"pipeline-index registration — it loads through " +
+            s"graft.pipeline.CorpusStore / EmbeddingStore, not onto " +
+            s"a TsdbContext")
       val resolved = resolvePath(dir, e.path)
       val raw = spark.read.parquet(resolved)
       // owned binned storage is day-partitioned for rebuildScoped's
@@ -1136,11 +1188,6 @@ object IndexCatalog {
         case "gap" =>
           out.copy(gapIndexes = out.gapIndexes :+
             GapIndexDef(e.fromNs.get, e.toNs.get, e.factor.get, frame))
-        case other if CorpusKinds.contains(other) =>
-          throw new IllegalArgumentException(
-            s"index catalog entry pos ${e.pos} (kind $other) is a " +
-              s"corpus-index registration — it loads through " +
-              s"graft.pipeline.CorpusStore, not onto a TsdbContext")
       }
     }
   }
@@ -1166,5 +1213,46 @@ object IndexCatalog {
         idCol = Some(idCol), textCol = Some(textCol),
         k = Some(k), numPerm = Some(numPerm), bands = Some(bands))),
       nextPos = 2)
+  }
+
+  /** Write the embedding-index manifest ([[graft.pipeline
+    * .EmbeddingStore]]'s registration): ONE `ivf_cells` entry whose
+    * `path` names the current epoch directory and whose params are the
+    * codebook recipe (nlist/iters over idCol/embCol, optional PQ
+    * m/ksub). Written LAST at create and REWRITTEN (atomically) at a
+    * refit's epoch flip — the manifest IS the epoch pointer. */
+  def saveEmbeddingManifest(dir: String, epochPath: String,
+      idCol: String, embCol: String, nlist: Int, iters: Int,
+      m: Option[Int], ksub: Option[Int]): Unit = {
+    require(nlist > 0 && iters >= 0,
+      s"embedding index recipe invalid: nlist=$nlist iters=$iters")
+    require(m.isDefined == ksub.isDefined,
+      "embedding index PQ recipe needs both m and ksub or neither")
+    for (mv <- m; kv <- ksub)
+      require(mv > 0 && kv > 0,
+        s"embedding index PQ recipe invalid: m=$mv ksub=$kv")
+    val (f, hp) = hfs(dir); f.mkdirs(hp)
+    writeManifest(dir, Seq(
+      IndexCatalogEntry(0, "ivf_cells", epochPath,
+        idCol = Some(idCol), embCol = Some(embCol),
+        nlist = Some(nlist), iters = Some(iters), m = m, ksub = ksub)),
+      nextPos = 1)
+  }
+
+  /** Flip the `ivf_cells` entry's epoch pointer to `newEpochPath` —
+    * one atomic manifest rewrite, the commit point of a recall-gated
+    * refit (the new epoch's data and codebook are fully written before
+    * this runs; a crash before it leaves the old epoch serving). */
+  def setEmbeddingEpoch(dir: String, newEpochPath: String): Unit = {
+    val mf = parseManifest(dir)
+    val e = mf.entries.filter(_.kind == "ivf_cells") match {
+      case Seq(one) => one
+      case es => throw new IllegalArgumentException(
+        s"setEmbeddingEpoch: catalog at $dir must register exactly one " +
+          s"ivf_cells entry, found ${es.size}")
+    }
+    writeManifest(dir,
+      mf.entries.map(x => if (x.pos == e.pos) x.copy(path = newEpochPath) else x),
+      mf.nextPos)
   }
 }

@@ -78,6 +78,13 @@ object TsdbLayout {
     * [[maintenanceTick]]. A store anywhere else works identically
     * through [[graft.pipeline.CorpusStore.health]]/`heal` directly. */
   val CorpusSub = "corpus"
+
+  /** Where a curation deployment's [[graft.pipeline.EmbeddingStore]]
+    * sits inside the database directory — same convention as
+    * [[CorpusSub]]: its alerts (`emb_pending`, `emb_drift`) join
+    * [[healthCheck]] and its heal + recall-gated refit join
+    * [[maintenanceTick]]. */
+  val EmbSub = "emb"
   private val CatalogCols = Seq("series_id", "name", "metric", "tags", "lon", "lat")
 
   /** The canonical laid-out samples column set. */
@@ -1003,7 +1010,44 @@ object TsdbLayout {
           s"export would persist that mistake; route them through the " +
           s"upserts (or compact) first")
     }
+    // the pipeline stores export WITH the database — a curation
+    // deployment's corpus store carries the docs, the dedup index AND
+    // the takedown TOMBSTONE log, whose loss would re-enable
+    // resurrection of every legally-removed document at the copy
+    // (CorpusStore's scaladoc calls deleting it exactly that); the
+    // embedding store carries the epoch the manifest points at. Both
+    // refuse on STAGED intents, the straggler rule: an un-healed
+    // intent is data the exported view would silently lack — heal
+    // first, then export
+    exportStore(spark, src, dst, CorpusSub, "corpus_pending",
+      graft.pipeline.CorpusStore.exists,
+      d => graft.pipeline.CorpusStore.health(spark, d))
+    exportStore(spark, src, dst, EmbSub, "emb_pending",
+      graft.pipeline.EmbeddingStore.exists,
+      d => graft.pipeline.EmbeddingStore.health(spark, d))
     writeDatabase(openDatabase(spark, src), dst)
+  }
+
+  /** One pipeline store's export: refuse on staged intents, then copy
+    * the whole store tree (docs/index/manifest AND the tombstone log —
+    * plain parquet + manifest files, relocation-safe by construction,
+    * unlike the ingest sink roots whose logs pin absolute paths). */
+  private def exportStore(spark: SparkSession, src: String, dst: String,
+      sub: String, pendingKey: String,
+      existsFn: (SparkSession, String) => Boolean,
+      healthFn: String => Seq[(String, Long)]): Unit = {
+    val storeDir = s"$src/$sub"
+    if (!existsFn(spark, storeDir)) return
+    val pending = healthFn(storeDir).toMap.getOrElse(pendingKey, 0L)
+    require(pending == 0L,
+      s"export: $storeDir has $pending staged intent(s) ($pendingKey) — " +
+        s"the exported copy would silently lack what they stage; run the " +
+        s"heal (maintenanceTick healIndexes = true) first")
+    val (sf, sp) = hfs(spark, storeDir)
+    val (df, dp) = hfs(spark, s"$dst/$sub")
+    require(org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp, false,
+      spark.sparkContext.hadoopConfiguration),
+      s"export: copying $storeDir to $dst/$sub failed")
   }
 
   /** Fold stream-registered series ([[graft.streaming.TsdbStream
@@ -1304,6 +1348,13 @@ object TsdbLayout {
     // belong in the same summary the cron watches
     val corpusDir = s"$dir/${CorpusSub}"
     val hasCorpus = graft.pipeline.CorpusStore.exists(spark, corpusDir)
+    // the EMBEDDING store joins the tick the same way: heal applies
+    // staged intents, and the drift alert triggers the recall-gated
+    // refit ([[graft.pipeline.EmbeddingStore.maintain]] — the
+    // alert→scoped-remedy loop the TSDB index family already has,
+    // closed on the embedding half)
+    val embDir = s"$dir/${EmbSub}"
+    val hasEmb = graft.pipeline.EmbeddingStore.exists(spark, embDir)
     val rows = Seq(
       Row("compact_samples",
         compactTier(spark, dir, SamplesTier, settledCutoffNs).toLong),
@@ -1316,6 +1367,10 @@ object TsdbLayout {
           (if (hasCorpus)
             Seq(Row("corpus_healed",
               graft.pipeline.CorpusStore.heal(spark, corpusDir).toLong))
+          else Nil) ++
+          (if (hasEmb)
+            graft.pipeline.EmbeddingStore.maintain(spark, embDir)
+              .map { case (c, n) => Row(c, n) }
           else Nil)
       else Nil) ++
       Seq(
@@ -1324,6 +1379,10 @@ object TsdbLayout {
         Row("index_stale", indexDirtyPairs(spark, dir).size.toLong)) ++
       (if (hasCorpus)
         graft.pipeline.CorpusStore.health(spark, corpusDir)
+          .map { case (c, n) => Row(c, n) }
+      else Nil) ++
+      (if (hasEmb)
+        graft.pipeline.EmbeddingStore.health(spark, embDir)
           .map { case (c, n) => Row(c, n) }
       else Nil)
     spark.createDataFrame(
@@ -1378,6 +1437,12 @@ object TsdbLayout {
     // ([[graft.pipeline.CorpusStore.health]])
     if (graft.pipeline.CorpusStore.exists(spark, s"$dir/$CorpusSub"))
       counts ++= graft.pipeline.CorpusStore.health(spark, s"$dir/$CorpusSub")
+    // ...and the embedding store's: `emb_pending` staged intents,
+    // `emb_drift` cells whose population share moved past the
+    // threshold since the epoch build (the reading maintenanceTick's
+    // recall-gated refit clears)
+    if (graft.pipeline.EmbeddingStore.exists(spark, s"$dir/$EmbSub"))
+      counts ++= graft.pipeline.EmbeddingStore.health(spark, s"$dir/$EmbSub")
     nowNs.foreach { now =>
       val lagging =
         if (!pathExists(spark,

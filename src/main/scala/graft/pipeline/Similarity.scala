@@ -350,18 +350,8 @@ object Similarity {
       .toDF("cell", "center")
     val s = cellsFor(centersDf,
       seeds.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
-    // in-row probe assignment: an array of (distance, cell) structs over
-    // the literal centers, sorted lexicographically — the same
-    // (distance, cell) ascending tie-break as cellsFor's window — then
-    // cut to nprobe and exploded; map-side only
-    val scoredCells = array(centers.map { case (cell, cv) =>
-      struct(sqDist(col("qe").cast("array<double>"), typedLit(cv)).as("d"),
-        lit(cell).as("cell"))
-    }: _*)
-    val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
-      .withColumn("cell",
-        explode(transform(slice(sort_array(scoredCells), 1, nprobe),
-          x => x.getField("cell"))))
+    // in-row probe assignment ([[probeCellsInRow]]): map-side only
+    val q = probeCellsInRow(centers, queries, qidCol, embCol, nprobe)
     val scored = q.join(broadcast(s), Seq("cell"))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), cosine(col("qe"), col("ce")).as("cos"))
@@ -531,7 +521,13 @@ object Similarity {
       codebookPath: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nlist: Int, nprobe: Int = 2, iters: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      /** Where a PASSING refit is written — defaults to replacing the
+        * stale registration in place; the persisted index passes its
+        * NEW EPOCH's codebook path instead ([[graft.pipeline
+        * .EmbeddingStore.refit]]'s manifest-last flip: never overwrite
+        * the codebook the current epoch still serves from). */
+      writeTo: Option[String] = None): DataFrame = {
     val stale = readCodebook(spark, codebookPath)
     val refit = fitCodebook(corpus, nlist, iters, idCol, embCol)
     val exact = Dedup.scopedCache(
@@ -552,7 +548,7 @@ object Similarity {
     // the registration state ambiguous
     val healed = !hits.isNullAt(0) && !hits.isNullAt(1) &&
       hits.getLong(1) >= hits.getLong(0)
-    if (healed) writeCodebook(spark, refit, codebookPath)
+    if (healed) writeCodebook(spark, refit, writeTo.getOrElse(codebookPath))
     readout.withColumn("healed", lit(if (healed) 1 else 0))
   }
 
@@ -583,6 +579,58 @@ object Similarity {
     val picked = scored.withColumn("__r", row_number().over(w))
       .where(col("__r") <= n)
     picked.drop((if (keepDist) Seq("__r", "center") else Seq("__d", "__r", "center")): _*)
+  }
+
+  /** The canonical 1-nearest-centroid CELL assignment as a public op —
+    * what the persisted index ([[graft.pipeline.EmbeddingStore]])
+    * stores at build time, sharing [[cellsFor]]'s exact distance and
+    * (distance, cell) tie-break with every query path, so
+    * index-served answers equal the recompute's bit-for-bit. Returns
+    * the (idCol, embCol) projection plus `cell`. */
+  def assignCells(centers: Seq[(Int, Seq[Double])], df: DataFrame,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val centersDf = df.sparkSession.createDataFrame(centers)
+      .toDF("cell", "center")
+    cellsFor(centersDf, df.select(col(idCol), col(embCol)),
+      idCol, embCol, 1)
+  }
+
+  /** [[assignCells]] keeping the raw squared-L2 distance to the
+    * assigned centroid as `__d` — what the persisted index's
+    * quantization-error drift stats accumulate per accepted batch. */
+  def assignCellsWithDist(centers: Seq[(Int, Seq[Double])], df: DataFrame,
+      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
+    val centersDf = df.sparkSession.createDataFrame(centers)
+      .toDF("cell", "center")
+    cellsFor(centersDf, df.select(col(idCol), col(embCol)),
+      idCol, embCol, 1, keepDist = true)
+  }
+
+  /** Per-query `nprobe` probe cells computed IN-ROW from plan-literal
+    * centers ([[knnSeedProbe]]'s probe half, shared with the persisted
+    * index's serve path): an array of (distance, cell) structs sorted
+    * lexicographically — the same (distance, cell) ascending tie-break
+    * as [[cellsFor]]'s window — cut to nprobe and exploded, so no
+    * shuffle ever carries a query vector. Guarded by
+    * [[MaxInRowProbeCenters]] like every literal-centers plan.
+    * Returns (qid, qe, cell), one row per (query, probe). */
+  private[graft] def probeCellsInRow(
+      centers: Seq[(Int, Seq[Double])], queries: DataFrame,
+      qidCol: String, embCol: String, nprobe: Int): DataFrame = {
+    require(nprobe > 0, "nprobe must be positive")
+    require(centers.nonEmpty, "probeCellsInRow needs at least one center")
+    require(centers.size <= MaxInRowProbeCenters,
+      s"in-row probe assignment inlines centers as plan literals; " +
+        s"${centers.size} centers exceeds the $MaxInRowProbeCenters " +
+        s"ceiling")
+    val scoredCells = array(centers.map { case (cell, cv) =>
+      struct(sqDist(col("qe").cast("array<double>"), typedLit(cv)).as("d"),
+        lit(cell).as("cell"))
+    }: _*)
+    queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
+      .withColumn("cell",
+        explode(transform(slice(sort_array(scoredCells), 1, nprobe),
+          x => x.getField("cell"))))
   }
 
   /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
@@ -714,6 +762,26 @@ object Similarity {
     // only inside the partial-aggregatable sum
     adcRank(codes.join(broadcast(qt), Seq("sub", "cell"))
       .where(col("id") =!= col("qid")), k)
+  }
+
+  /** ADC top-k over PRECOMPUTED codes — the persisted-index serving
+    * path ([[graft.pipeline.EmbeddingStore.knnPq]]): `codes` =
+    * (id, sub, cell) rows ([[pqCodes]]' output shape, typically read
+    * back from index storage instead of recomputed), optionally
+    * restricted to IVF-pruned `cand` (qid, id) pairs. Same broadcast
+    * query table, rounding and rank cut as [[pqAdcTopK]] /
+    * [[knnIvfPq]], so stored codes serve their answers verbatim. */
+  def pqAdcOverCodes(codes: DataFrame, queries: DataFrame,
+      books: Seq[(Int, Seq[(Int, Seq[Double])])], k: Int,
+      cand: Option[DataFrame] = None,
+      qidCol: String = "qid", embCol: String = "embedding"): DataFrame = {
+    val qt = pqQueryTable(queries, books, qidCol, embCol)
+    cand match {
+      case Some(c) => adcRank(c.join(codes, "id")
+        .join(broadcast(qt), Seq("qid", "sub", "cell")), k)
+      case None => adcRank(codes.join(broadcast(qt), Seq("sub", "cell"))
+        .where(col("id") =!= col("qid")), k)
+    }
   }
 
   /** IVF-PQ: the production ANN layout (Jégou et al. 2011 §V) — IVF
