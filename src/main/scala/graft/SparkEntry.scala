@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.entries.{CurationEntries, ExtraEntries, PipelineEntries, Round2Entries, Round3Entries, Round4Entries, Round5Entries, Round6Entries, Round6bEntries, Round7Entries, Round8Entries, Round9Entries, Round10Entries, Round11Entries, Round12Entries, Round13Entries, TsdbEntries}
+import graft.entries.{CurationEntries, ExtraEntries, PipelineEntries, Round2Entries, Round3Entries, Round4Entries, Round5Entries, Round6Entries, Round6bEntries, Round7Entries, Round8Entries, Round9Entries, Round10Entries, Round11Entries, Round12Entries, Round13Entries, Round14Entries, TsdbEntries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
       Round5Entries.queries ++ Round6Entries.queries ++ Round6bEntries.queries ++
       Round7Entries.queries ++ Round8Entries.queries ++ Round9Entries.queries ++
       Round10Entries.queries ++ Round11Entries.queries ++ Round12Entries.queries ++
-      Round13Entries.queries ++
+      Round13Entries.queries ++ Round14Entries.queries ++
       CurationEntries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
       // TPC-H style aggregate over lineitem (flagship correctness + bench)
@@ -148,7 +148,7 @@ object SparkEntry {
       Round5Entries.oracle ++ Round6Entries.oracle ++ Round6bEntries.oracle ++
       Round7Entries.oracle ++ Round8Entries.oracle ++ Round9Entries.oracle ++
       Round10Entries.oracle ++ Round11Entries.oracle ++ Round12Entries.oracle ++
-      Round13Entries.oracle ++
+      Round13Entries.oracle ++ Round14Entries.oracle ++
       CurationEntries.oracle ++ Map(
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,

@@ -175,6 +175,11 @@ final class Engine(val ctx: TsdbContext,
     require(cb.map(_._1).distinct.size == cb.size,
       "registered IVF codebook has duplicate cell ids")
   }
+  // the store registrations validate at construction like every index
+  // frame: a directory that is not a store (or whose manifest is
+  // damaged) fails HERE, loudly, not at the first statement
+  ctx.corpusStore.foreach(graft.pipeline.CorpusStore.recipe)
+  ctx.embeddingStore.foreach(graft.pipeline.EmbeddingStore.recipe)
 
   /** One catalog count per Engine lifetime decides the resolved-id
     * join strategy everywhere ([[Engine.MaxBroadcastSeries]]): a
@@ -303,51 +308,125 @@ final class Engine(val ctx: TsdbContext,
   }
 
   /** `{"knn": ...}` over the registered embeddings table. `brute` is
-    * the exact broadcast-queries scan; `ivf` serves from the
-    * registered codebook when its size matches the statement's
-    * `nlist` (the registered-index discipline — never a silent
-    * different-parameter answer) and pays the deterministic Lloyd
-    * fit otherwise. */
+    * the exact broadcast-queries scan. `ivf`/`ivfpq` serve from the
+    * registered [[graft.pipeline.EmbeddingStore]] when one is
+    * registered — the persisted cell-partitioned index, probes pruned
+    * to nprobe partitions — REQUIRING the statement's parameters to
+    * match the store's manifest recipe (mismatch = BadQuery, the
+    * registered-index discipline: never a silent recompute with an
+    * incomparable index sitting right there). Without a store, `ivf`
+    * serves from the registered codebook when its size matches
+    * `nlist` and pays the deterministic Lloyd fit otherwise; `ivfpq`
+    * fits its PQ sub-codebooks the same way. */
   def knn(q: KnnQuery): DataFrame = {
     val emb = ctx.embeddings.getOrElse(throw new BadQuery(
       "knn: no embeddings table registered on this context"))
     val queries = predicateOver(emb, q.queries, "knn")
       .select(col("id").as("qid"), col("embedding"))
+    // guarded here too, not only in the JSON parser: KnnQuery is a
+    // public case class and Engine.run a public entry — misuse must
+    // be BadQuery, never a NoSuchElementException
+    def nlistOf: Int = q.nlist.getOrElse(throw new BadQuery(
+      s"knn: index '${q.index}' requires nlist"))
+    def storeRecipe(d: String): graft.pipeline.EmbeddingStore.Recipe = {
+      val r = graft.pipeline.EmbeddingStore.recipe(d)
+      if (r.nlist != nlistOf) throw new BadQuery(
+        s"knn: statement nlist ($nlistOf) does not match the " +
+          s"registered embedding store's recipe (nlist=${r.nlist}) — " +
+          s"restate with the recipe's parameters, or query a context " +
+          s"without the store registration")
+      r
+    }
+    def fitCenters(nlist: Int): Seq[(Int, Seq[Double])] =
+      ctx.ivfCodebook.filter(_.size == nlist)
+        .getOrElse(graft.pipeline.Similarity.fitCodebook(
+          emb, nlist, q.iters))
     q.index match {
       case "brute" =>
         graft.pipeline.Similarity.knnBrute(emb, queries, q.k)
       case "ivf" =>
-        // guarded here too, not only in the JSON parser: KnnQuery is a
-        // public case class and Engine.run a public entry — misuse
-        // must be BadQuery, never a NoSuchElementException
-        val nlist = q.nlist.getOrElse(throw new BadQuery(
-          "knn: index 'ivf' requires nlist"))
-        val centers = ctx.ivfCodebook
-          .filter(_.size == nlist)
-          .getOrElse(graft.pipeline.Similarity.fitCodebook(
-            emb, nlist, q.iters))
-        graft.pipeline.Similarity.knnIvfWith(centers, emb, queries,
-          q.k, q.nprobe)
+        ctx.embeddingStore match {
+          case Some(d) =>
+            storeRecipe(d)
+            graft.pipeline.EmbeddingStore.knn(ctx.spark, d, queries,
+              q.k, q.nprobe)
+          case None =>
+            graft.pipeline.Similarity.knnIvfWith(fitCenters(nlistOf),
+              emb, queries, q.k, q.nprobe)
+        }
+      case "ivfpq" =>
+        val (m, ksub) = (q.m, q.ksub) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => throw new BadQuery(
+            "knn: index 'ivfpq' requires m and ksub")
+        }
+        ctx.embeddingStore match {
+          case Some(d) =>
+            val r = storeRecipe(d)
+            if (!r.m.contains(m) || !r.ksub.contains(ksub))
+              throw new BadQuery(
+                s"knn: statement PQ parameters (m=$m, ksub=$ksub) do " +
+                  s"not match the registered embedding store's recipe " +
+                  s"(m=${r.m.getOrElse("none")}, " +
+                  s"ksub=${r.ksub.getOrElse("none")})")
+            graft.pipeline.EmbeddingStore.knnPq(ctx.spark, d, queries,
+              q.k, q.nprobe)
+          case None =>
+            val dim = emb.select(size(col("embedding"))).head().getInt(0)
+            if (m <= 0 || dim % m != 0) throw new BadQuery(
+              s"knn: ivfpq m ($m) must divide the embedding dim ($dim)")
+            val books = graft.pipeline.Similarity.fitPqCodebooks(
+              emb, dim, m, ksub, q.iters)
+            graft.pipeline.Similarity.knnIvfPq(fitCenters(nlistOf),
+              books, emb, queries, q.k, q.nprobe)
+        }
       case other =>
-        throw new BadQuery(s"unknown knn.index '$other' ('brute' or 'ivf')")
+        throw new BadQuery(
+          s"unknown knn.index '$other' ('brute', 'ivf' or 'ivfpq')")
     }
   }
 
-  /** `{"dedup": ...}` over the registered documents table: rows
-    * matching the batch predicate are the arriving batch, the rest the
-    * corpus — [[graft.pipeline.Dedup.dedupAgainstCorpus]]'s
-    * corpus-never-shuffled split behind the JSON front end. */
+  /** `{"dedup": ...}` — incremental dedup behind the JSON front end.
+    *
+    * With a registered [[graft.pipeline.CorpusStore]], the rows
+    * matching the batch predicate probe the store's PERSISTED index
+    * ([[graft.pipeline.CorpusStore.probeBatch]] — index-only scans,
+    * recipe from the manifest, the corpus text never re-read), and the
+    * statement's (k, num-perm, bands) must MATCH that recipe —
+    * mismatch is BadQuery, never a silent per-statement recompute with
+    * different parameters while an incomparable index sits registered.
+    *
+    * Without one, the self-contained split stays the path: rows
+    * matching the predicate are the arriving batch, the rest of the
+    * documents table the corpus — [[graft.pipeline.Dedup
+    * .dedupAgainstCorpus]]'s corpus-never-shuffled split. */
   def dedup(q: DedupQuery): DataFrame = {
     val docs = ctx.documents.getOrElse(throw new BadQuery(
       "dedup: no documents table registered on this context"))
     val batch = predicateOver(docs, q.batch, "dedup")
-    // the corpus is the COMPLEMENT of the batch, under SQL's
-    // three-valued logic: a row where the predicate evaluates to NULL
-    // is not in the batch, so it must be in the corpus — bare
-    // !expr would silently drop it from both sides
-    val corpus = docs.where(coalesce(!expr(q.batch), lit(true)))
-    graft.pipeline.Dedup.dedupAgainstCorpus(corpus, batch, "id", "text",
-      q.k, q.numPerm, q.bands, q.threshold)
+    ctx.corpusStore match {
+      case Some(d) =>
+        val r = graft.pipeline.CorpusStore.recipe(d)
+        if (q.k != r.k || q.numPerm != r.numPerm || q.bands != r.bands)
+          throw new BadQuery(
+            s"dedup: statement parameters (k=${q.k}, " +
+              s"num-perm=${q.numPerm}, bands=${q.bands}) do not match " +
+              s"the registered corpus store's recipe (k=${r.k}, " +
+              s"num-perm=${r.numPerm}, bands=${r.bands}) — restate " +
+              s"with the recipe's parameters, or query a context " +
+              s"without the store registration")
+        graft.pipeline.CorpusStore.probeBatch(ctx.spark, d,
+          batch.select(col("id").as(r.idCol), col("text").as(r.textCol)),
+          q.threshold)
+      case None =>
+        // the corpus is the COMPLEMENT of the batch, under SQL's
+        // three-valued logic: a row where the predicate evaluates to
+        // NULL is not in the batch, so it must be in the corpus —
+        // bare !expr would silently drop it from both sides
+        val corpus = docs.where(coalesce(!expr(q.batch), lit(true)))
+        graft.pipeline.Dedup.dedupAgainstCorpus(corpus, batch, "id",
+          "text", q.k, q.numPerm, q.bands, q.threshold)
+    }
   }
 
   // ---------------------------------------------------------------- select

@@ -147,7 +147,23 @@ final case class TsdbContext(
       * statement — the registered-index discipline pointed at ANN
       * (fit once at index-build time, [[graft.pipeline.Similarity
       * .fitCodebook]] / `writeCodebook`). */
-    ivfCodebook: Option[Seq[(Int, Seq[Double])]] = None) {
+    ivfCodebook: Option[Seq[(Int, Seq[Double])]] = None,
+    /** A [[graft.pipeline.CorpusStore]] directory: when registered,
+      * `{"dedup"}` statements whose (k, num-perm, bands) MATCH the
+      * store's manifest recipe probe the persisted index
+      * ([[graft.pipeline.CorpusStore.probeBatch]] — index-only scans,
+      * the corpus text never re-read) instead of recomputing corpus
+      * signatures per statement; parameters that DIFFER from the
+      * recipe are BadQuery (never a silent recompute with an
+      * incomparable index sitting right there). Unregistered, the
+      * self-contained split over `documents` stays the path. */
+    corpusStore: Option[String] = None,
+    /** A [[graft.pipeline.EmbeddingStore]] directory: when
+      * registered, `{"knn"}` ivf/ivfpq statements whose recipe
+      * matches (nlist; and m/ksub for ivfpq) serve from the persisted
+      * cell-partitioned index — the probe reads only the probed cell
+      * partitions. Mismatched parameters are BadQuery. */
+    embeddingStore: Option[String] = None) {
 
   /** Expose the model as temp views (`<prefix>series` etc.) so the full
     * Spark SQL surface — arbitrary joins, set ops, window functions, the

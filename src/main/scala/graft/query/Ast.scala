@@ -506,14 +506,21 @@ object Ast {
     * expression engine, the `eval` apply-node precedent); everything
     * is searched. `index: "ivf"` probes `nprobe` cells of an `nlist`
     * codebook — the context's registered [[graft.model.TsdbContext
-    * .ivfCodebook]] when its size matches `nlist`, else a
-    * deterministic Lloyd fit of `iters` rounds; `"brute"` is the
-    * exact scan (nlist/nprobe/iters must be absent). Output
-    * (qid, id, rank, cos). */
+    * .embeddingStore]] when its recipe matches `nlist` (persisted
+    * cell-partitioned index, partition-pruned probes), else the
+    * registered [[graft.model.TsdbContext.ivfCodebook]] when its size
+    * matches `nlist`, else a deterministic Lloyd fit of `iters`
+    * rounds; `"ivfpq"` (requires `m`/`ksub`) scores IVF candidates by
+    * PQ asymmetric distance — the form an operator actually serves
+    * 100 TB with — preferring the store's persisted codes; `"brute"`
+    * is the exact scan (nlist/nprobe/iters/m/ksub must be absent).
+    * Output (qid, id, rank, cos) — ivfpq ranks by ADC and returns
+    * (qid, id, rank, adist). */
   final case class KnnQuery(
       k: Int, queries: String, index: String,
       nlist: Option[Int] = None, nprobe: Int = 2,
-      iters: Int = 2) extends Query
+      iters: Int = 2, m: Option[Int] = None,
+      ksub: Option[Int] = None) extends Query
 
   /** `{"dedup": {"batch": "<predicate>", "threshold": t, ...}}` —
     * incremental dedup of a batch against the rest of the context's

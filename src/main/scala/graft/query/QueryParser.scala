@@ -262,8 +262,8 @@ object QueryParser {
     if (!stmt.isObject)
       throw new BadQuery("knn statement must be an object")
     val unknown = stmt.fieldNames().asScala
-      .filterNot(Seq("k", "queries", "index", "nlist", "nprobe", "iters")
-        .contains).toSeq
+      .filterNot(Seq("k", "queries", "index", "nlist", "nprobe", "iters",
+        "m", "ksub").contains).toSeq
     if (unknown.nonEmpty)
       throw new BadQuery(s"bad knn key(s): ${unknown.mkString(", ")}")
     rejectTsdbClauses(root, "knn")
@@ -285,22 +285,40 @@ object QueryParser {
           "table) required"))
     val index = Option(stmt.get("index")).filter(_.isTextual)
       .map(_.asText())
-      .getOrElse(throw new BadQuery("knn.index required: 'brute' or 'ivf'"))
+      .getOrElse(throw new BadQuery(
+        "knn.index required: 'brute', 'ivf' or 'ivfpq'"))
+    def ivfCommon(): (Int, Int) = {
+      val nlist = intField("nlist", 1)
+        .getOrElse(throw new BadQuery(
+          s"knn.nlist required for index '$index'"))
+      val nprobe = intField("nprobe", 1).getOrElse(2)
+      if (nprobe > nlist)
+        throw new BadQuery(s"knn.nprobe ($nprobe) exceeds nlist ($nlist)")
+      (nlist, nprobe)
+    }
     index match {
       case "brute" =>
-        Seq("nlist", "nprobe", "iters").filter(stmt.has).foreach(f =>
-          throw new BadQuery(s"knn.$f only applies to index 'ivf'"))
+        Seq("nlist", "nprobe", "iters", "m", "ksub").filter(stmt.has)
+          .foreach(f => throw new BadQuery(
+            s"knn.$f only applies to index 'ivf'/'ivfpq'"))
         KnnQuery(k, queries, "brute")
       case "ivf" =>
-        val nlist = intField("nlist", 1)
-          .getOrElse(throw new BadQuery("knn.nlist required for index 'ivf'"))
-        val nprobe = intField("nprobe", 1).getOrElse(2)
-        if (nprobe > nlist)
-          throw new BadQuery(s"knn.nprobe ($nprobe) exceeds nlist ($nlist)")
+        Seq("m", "ksub").filter(stmt.has).foreach(f =>
+          throw new BadQuery(s"knn.$f only applies to index 'ivfpq'"))
+        val (nlist, nprobe) = ivfCommon()
         KnnQuery(k, queries, "ivf", Some(nlist), nprobe,
           intField("iters", 0).getOrElse(2))
+      case "ivfpq" =>
+        val (nlist, nprobe) = ivfCommon()
+        val m = intField("m", 1).getOrElse(throw new BadQuery(
+          "knn.m (PQ subspaces) required for index 'ivfpq'"))
+        val ksub = intField("ksub", 1).getOrElse(throw new BadQuery(
+          "knn.ksub (centers per subspace) required for index 'ivfpq'"))
+        KnnQuery(k, queries, "ivfpq", Some(nlist), nprobe,
+          intField("iters", 0).getOrElse(2), Some(m), Some(ksub))
       case other =>
-        throw new BadQuery(s"unknown knn.index '$other' ('brute' or 'ivf')")
+        throw new BadQuery(
+          s"unknown knn.index '$other' ('brute', 'ivf' or 'ivfpq')")
     }
   }
 

@@ -422,6 +422,45 @@ class CorpusStoreSpec extends AnyFunSuite with SparkTestBase {
       .exists(_.getString(0).startsWith("corpus_")))
   }
 
+  test("a staged compaction interleaves with stream accepts: both apply in staging order, no accept is lost, batch counts stay bounded, probes unchanged") {
+    val dir = store("graft_cs_interleave")
+    CorpusStore.create(spark, dir, docsDf(1L to 20L), "doc_id", "text")
+    // a few settled accepts to give the compaction sources
+    CorpusStore.acceptBatch(spark, dir, docsDf(21L to 25L))
+    CorpusStore.acceptBatch(spark, dir, docsDf(26L to 30L))
+    def batches(): Set[String] = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "docs"))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally ls.close()
+    }
+    assert(batches().size === 3)
+    // stage the compaction; accepts keep arriving THROUGH THE STREAM
+    // path while the record is live — the first trigger's heal applies
+    // the compaction (lower staging sequence) before its own accept
+    assert(CorpusStore.stageCompaction(spark, dir).nonEmpty)
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(31L to 35L), 0L, "live")
+    CorpusStore.acceptStreamBatch(spark, dir, docsDf(36L to 40L), 1L, "live")
+    assert(CorpusStore.health(spark, dir).toMap ===
+      Map("corpus_pending" -> 0L, "corpus_unbanded" -> 0L),
+      "interleaved heals drained everything")
+    // bounded: one consolidated batch + the two stream batches — the
+    // pre-compaction accumulation is gone, the interleaved accepts
+    // (staged AFTER the record, so not named by it) survive untouched
+    val b = batches()
+    assert(b.size === 3, s"expected consolidated + 2 stream batches: $b")
+    assert(b.count(_.contains("=m")) === 1, s"one consolidated batch: $b")
+    assert(b.count(_.contains("sb_live")) === 2, s"both stream accepts: $b")
+    // no accept lost, no duplicate: content is exactly 1..40
+    assert(CorpusStore.readDocs(spark, dir).count() === 40L)
+    // ...and the probe equals the live recompute over that corpus
+    val batch = docsDf(100L to 110L)
+    assert(rowsOf(CorpusStore.probeBatch(spark, dir, batch)) ===
+      rowsOf(Dedup.dedupAgainstCorpus(docsDf(1L to 40L), batch,
+        "doc_id", "text")))
+  }
+
   test("a would-empty takedown refuses at STAGE time, and a staged one that becomes emptying SKIPS mid-heal instead of blocking later intents") {
     val dir = store("graft_cs_empty")
     CorpusStore.create(spark, dir, docsDf(1L to 10L), "doc_id", "text")

@@ -732,6 +732,66 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
       "a NULL-predicate corpus row must not vanish from the split")
   }
 
+  test("store-registered statements: {\"dedup\"}/{\"knn\"} serve from the registered stores and refuse parameter drift against the manifest recipe") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+        (i, (1 to 12).map(w => s"w${(i * 7 + w) % 9}").mkString(" ")))
+      .toDF("id", "text")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_stmt_cstore").toString
+    graft.pipeline.CorpusStore.create(spark, corpusDir,
+      docs.where($"id" % 5 =!= 0), "id", "text",
+      k = 3, numPerm = 16, bands = 4)
+    val vecs = (1L to 40L).map(i => (i, Array.tabulate(4)(d =>
+      (((i * 31 + d * 7) % 11).toFloat - 5f)))).toDF("id", "embedding")
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft_stmt_estore").toString
+    graft.pipeline.EmbeddingStore.create(spark, embDir, vecs,
+      nlist = 3, iters = 1, pq = Some((2, 3)))
+    val base = rampContext(Seq(1), 0L, 4L)
+    val eng = new Engine(base.copy(documents = Some(docs),
+      embeddings = Some(vecs), corpusStore = Some(corpusDir),
+      embeddingStore = Some(embDir)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // dedup: the store-served statement equals probeBatch directly
+    assert(rowsOf(eng.execute(
+        """{"dedup": {"batch": "id % 5 = 0", "threshold": 0.8,
+             "k": 3, "num-perm": 16, "bands": 4}}""")) ===
+      rowsOf(graft.pipeline.CorpusStore.probeBatch(spark, corpusDir,
+        docs.where($"id" % 5 === 0), 0.8)))
+    // knn ivf/ivfpq: the store-served statements equal the store calls
+    val q = vecs.where($"id" < 5).select($"id".as("qid"), $"embedding")
+    assert(rowsOf(eng.execute(
+        """{"knn": {"queries": "id < 5", "k": 2, "index": "ivf",
+             "nlist": 3, "nprobe": 2}}""")) ===
+      rowsOf(graft.pipeline.EmbeddingStore.knn(spark, embDir, q, 2, 2)))
+    assert(rowsOf(eng.execute(
+        """{"knn": {"queries": "id < 5", "k": 2, "index": "ivfpq",
+             "nlist": 3, "nprobe": 2, "m": 2, "ksub": 3}}""")) ===
+      rowsOf(graft.pipeline.EmbeddingStore.knnPq(spark, embDir, q, 2, 2)))
+    // parameter drift against a registered recipe is BadQuery, never a
+    // silent per-statement recompute
+    def bad(json: String, fragment: String): Unit = {
+      val e = intercept[BadQuery](eng.execute(json))
+      assert(e.getMessage.contains(fragment),
+        s"expected '$fragment' in: ${e.getMessage}")
+    }
+    bad("""{"dedup": {"batch": "id % 5 = 0", "threshold": 0.8,
+           "k": 3, "num-perm": 32, "bands": 8}}""",
+      "do not match the registered corpus store's recipe")
+    bad("""{"knn": {"queries": "id < 5", "k": 2, "index": "ivf",
+           "nlist": 8}}""",
+      "does not match the registered embedding store's recipe")
+    bad("""{"knn": {"queries": "id < 5", "k": 2, "index": "ivfpq",
+           "nlist": 3, "m": 4, "ksub": 3}}""",
+      "do not match the registered embedding store's recipe")
+    // a context whose registration is not a store fails at CONSTRUCTION
+    assertThrows[IllegalArgumentException](new Engine(
+      base.copy(documents = Some(docs), corpusStore = Some("/tmp/nope"))))
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("statement predicates admit only comparison/boolean/arithmetic trees — function calls (reflect/java_method) are BadQuery") {
     import spark.implicits._
     val base = rampContext(Seq(1), 0L, 4L)
