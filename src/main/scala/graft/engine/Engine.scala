@@ -372,7 +372,11 @@ final class Engine(val ctx: TsdbContext,
             graft.pipeline.EmbeddingStore.knnPq(ctx.spark, d, queries,
               q.k, q.nprobe)
           case None =>
-            val dim = emb.select(size(col("embedding"))).head().getInt(0)
+            val dim = emb.select(size(col("embedding"))).limit(1)
+              .collect().headOption.map(_.getInt(0))
+              .getOrElse(throw new BadQuery(
+                "knn: the registered embeddings table is empty — " +
+                  "ivfpq cannot infer the embedding dimension"))
             if (m <= 0 || dim % m != 0) throw new BadQuery(
               s"knn: ivfpq m ($m) must divide the embedding dim ($dim)")
             val books = graft.pipeline.Similarity.fitPqCodebooks(

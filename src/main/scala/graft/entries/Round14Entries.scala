@@ -200,6 +200,21 @@ object Round14Entries {
       path
     })
 
+  /** Pre-build the memoized store fixtures — write-once INDEX builds
+    * (kmeans fits, assignments, exports), not query throughput; the
+    * bench warms them untimed exactly like [[EntryUtil
+    * .ivfCodebookFor]] and the layout writes. `emb_drift_tick` stays
+    * fully timed: its fixture is fresh per run by design (the phases
+    * mutate it) and is an index-build-class cost either way. */
+  def warm(s: SparkSession, dir: String): Unit = {
+    embStoreFor(s, dir)
+    grownEmbStoreFor(s, dir)
+    corpusStoreFor(s, dir)
+    storeEngineFor(s, dir)
+    exportedDbFor(s, dir)
+    compactStreamStoreFor(s, dir)
+  }
+
   // ---------------------------------------------------------- queries
 
   val queries: Map[String, QueryFn] = Map(

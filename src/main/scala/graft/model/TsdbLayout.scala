@@ -1045,6 +1045,11 @@ object TsdbLayout {
         s"heal (maintenanceTick healIndexes = true) first")
     val (sf, sp) = hfs(spark, storeDir)
     val (df, dp) = hfs(spark, s"$dst/$sub")
+    // re-running a crashed export IS the recovery: an existing target
+    // store is replaced whole (FileUtil.copy would otherwise NEST the
+    // copy under it — dst/corpus/corpus — and the export would
+    // silently keep serving the first attempt's stale store)
+    if (df.exists(dp)) df.delete(dp, true)
     require(org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp, false,
       spark.sparkContext.hadoopConfiguration),
       s"export: copying $storeDir to $dst/$sub failed")

@@ -97,20 +97,11 @@ object CorpusStore {
 
   // ------------------------------------------------------- filesystem
 
-  private def hfs(spark: SparkSession, p: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
-
-  private def listDirs(spark: SparkSession, root: String,
-      prefix: String): Seq[org.apache.hadoop.fs.Path] = {
-    val (f, hp) = hfs(spark, root)
-    if (!f.exists(hp)) Nil
-    else f.listStatus(hp).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath)
-  }
+  // filesystem + staging protocol shared with the embedding store
+  // ([[StagedStore]] — one publish/ordering discipline, never two)
+  private def hfs(spark: SparkSession, p: String) = StagedStore.hfs(spark, p)
+  private def listDirs(spark: SparkSession, root: String, prefix: String) =
+    StagedStore.listDirs(spark, root, prefix)
 
   /** `__batch=` partition values of one storage side — a directory
     * listing, no file opened (the staleness read's whole cost). */
@@ -196,36 +187,13 @@ object CorpusStore {
 
   // ---------------------------------------------------------- staging
 
-  /** Next staged sequence number: heal applies staged intents in
-    * staging order (an accept re-adding ids a prior takedown removed
-    * must land after it). Single-maintenance-writer discipline, like
-    * every lifecycle mutation. */
-  private def nextSeq(spark: SparkSession, dir: String): Int =
-    listDirs(spark, s"$dir/$PendingSub", "")
-      .flatMap(_.getName.split("_").lift(1)).flatMap(_.toIntOption)
-      .maxOption.getOrElse(-1) + 1
-
-  /** The ONE staged-record publication protocol (both the operator and
-    * the streaming forms): parquet-write INTO a temp name, then one
-    * atomic-enough directory rename — heal never sees a half-staged
-    * record, and its `.tmp_` sweep reclaims the crash leftovers. */
-  private def publishStaged(spark: SparkSession, dir: String,
-      name: String, payload: DataFrame): String = {
-    val tmp = s"$dir/$PendingSub/.tmp_$name"
-    payload.write.mode("overwrite").parquet(tmp)
-    val (f, _) = hfs(spark, tmp)
-    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/$PendingSub/$name")),
-      s"stage: rename failed for $name")
-    name
-  }
-
+  /** Staged-record publication and sequencing live in [[StagedStore]]
+    * (an accept re-adding ids a prior takedown removed must land after
+    * it — staging order; single-maintenance-writer discipline, like
+    * every lifecycle mutation). */
   private def stage(spark: SparkSession, dir: String, prefix: String,
       payload: DataFrame): String =
-    publishStaged(spark, dir,
-      f"${prefix}_${nextSeq(spark, dir)}%05d_" +
-        java.util.UUID.randomUUID().toString.take(8),
-      payload)
+    StagedStore.stage(spark, dir, prefix, payload)
 
   /** Stage an ACCEPTED batch (the record half of [[acceptBatch]]) —
     * the docs enter the corpus and its index at the next [[heal]].
@@ -381,51 +349,23 @@ object CorpusStore {
       }
       n += 1
     }
-    // 2. sweep stage-crash leftovers: a `.tmp_*` directory is an
-    //    incomplete stage that was never visible (the rename is what
-    //    publishes it) — the caller's stage() failed and they retry;
-    //    without the sweep, repeated crashes would accumulate orphan
-    //    batch copies no alert ever reports
-    listDirs(spark, s"$dir/$PendingSub", ".tmp_").foreach { p =>
-      val (f, _) = hfs(spark, p.toString)
-      f.delete(p, true)
-    }
-    // 3. staged intents, in STAGING order — the parsed sequence
-    //    number, never the directory name: names sort p_* before t_*
+    // 2+3. stage-crash sweep, then staged intents in STAGING order
+    //    ([[StagedStore.healStaged]] — the parsed sequence number,
+    //    never the directory name: names sort p_* before t_*
     //    regardless of sequence, and applying an accept ahead of an
     //    earlier takedown of the same ids would silently drop the
-    //    re-added docs (the dup-probe still sees them in the index the
-    //    takedown hasn't cleaned yet)
-    val staged = listDirs(spark, s"$dir/$PendingSub", "")
-      .filterNot(_.getName.startsWith("."))
-      .map { p =>
-        val seq = p.getName.split("_").lift(1).flatMap(_.toIntOption)
-          .getOrElse(throw new IllegalArgumentException(
-            s"heal: unparseable staged record name ${p.getName} under " +
-              s"$dir/$PendingSub"))
-        (seq, p)
-      }.sortBy(_._1)
-    staged.foreach { case (_, p) =>
-      val name = p.getName
-      val rows = spark.read.parquet(p.toString)
-      val applied =
-        if (name.startsWith("p_")) { applyAccept(spark, dir, name, rows, r); true }
-        else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
-        else if (name.startsWith("c_")) { applyCompaction(spark, dir, name, rows); true }
-        else throw new IllegalArgumentException(
-          s"heal: unknown staged record $name under $dir/$PendingSub")
-      // a REFUSED record (applyTakedown's would-empty re-check) stays
-      // staged instead of throwing: the standing `corpus_pending`
-      // alert reports it, LATER intents still apply (a throw here
-      // would permanently block them — the round-13 crash-loop), and
-      // an operator resolves it by accepting docs first or dropping
-      // the record deliberately
-      if (applied) {
-        val (f, _) = hfs(spark, p.toString)
-        f.delete(p, true)
-        n += 1
-      }
-    }
+    //    re-added docs). A REFUSED record (applyTakedown's would-empty
+    //    re-check) stays staged instead of throwing: the standing
+    //    `corpus_pending` alert reports it, LATER intents still apply
+    //    (a throw here would permanently block them — the round-13
+    //    crash-loop), and an operator resolves it by accepting docs
+    //    first or dropping the record deliberately
+    n += StagedStore.healStaged(spark, dir, (name, rows) =>
+      if (name.startsWith("p_")) { applyAccept(spark, dir, name, rows, r); true }
+      else if (name.startsWith("t_")) applyTakedown(spark, dir, rows, r)
+      else if (name.startsWith("c_")) { applyCompaction(spark, dir, name, rows); true }
+      else throw new IllegalArgumentException(
+        s"heal: unknown staged record $name under $dir/$PendingSub"))
     n
   }
 
@@ -676,8 +616,7 @@ object CorpusStore {
     * [[graft.model.TsdbLayout.healthCheck]] merges these rows when a
     * store sits at the database's `corpus/` sub-directory. */
   def health(spark: SparkSession, dir: String): Seq[(String, Long)] = Seq(
-    "corpus_pending" -> listDirs(spark, s"$dir/$PendingSub", "")
-      .count(p => !p.getName.startsWith(".")).toLong,
+    "corpus_pending" -> StagedStore.pendingCount(spark, dir),
     "corpus_unbanded" -> unbandedBatches(spark, dir).size.toLong)
 
   /** Is there a corpus store at `dir`? (Manifest presence — the same
@@ -745,8 +684,9 @@ object CorpusStore {
       batch.columns.contains(r.textCol),
       s"acceptStreamBatch: batch lacks the registered document columns " +
         s"(${r.idCol}, ${r.textCol})")
-    publishStaged(spark, dir,
-      f"p_${nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId", batch)
+    StagedStore.publish(spark, dir,
+      f"p_${StagedStore.nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId",
+      batch)
     heal(spark, dir)
     s"sb_${streamTag}_$microBatchId"
   }

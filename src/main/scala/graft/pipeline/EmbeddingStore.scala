@@ -29,7 +29,9 @@ import graft.model.IndexCatalog
   *   cells_e<N>/data/        (id, embedding[, pq_codes]) partitioned
   *                           by cell=<c>/__batch=<b> — the assignment
   *                           the queries prune into
-  *   cells_e<N>/shares/      (cell, n) build-time member counts — the
+  *   cells_e<N>/stats/       (cell, n, sumd) per-batch drift stats,
+  *                           partitioned by __batch
+  *   cells_e<N>/baseline/    the epoch's frozen (cell, n, sumd)
   *                           drift baseline
   *   pending/                staged accepts (p_...) and takedowns
   *                           (t_...); [[heal]] applies them in
@@ -46,8 +48,10 @@ import graft.model.IndexCatalog
   * with ONE atomic manifest rewrite ([[IndexCatalog
   * .setEmbeddingEpoch]]) only when the recall gate passes
   * ([[Similarity.refitCodebook]]'s integer gate) — a crash anywhere
-  * before the flip leaves the old epoch serving, and [[heal]] sweeps
-  * unreferenced epoch directories.
+  * before the flip leaves the old epoch serving, and the NEXT refit
+  * reclaims any crashed attempt's debris (it is the single epoch
+  * writer; heal deliberately never touches epoch directories, so it
+  * stays safe to run at any time).
   *
   * 100 TB notes: a QUERY touches the codebook (nlist rows, driver) and
   * the probed cell partitions — ~nprobe/nlist of the index, column-
@@ -83,20 +87,11 @@ object EmbeddingStore {
 
   // ------------------------------------------------------- filesystem
 
-  private def hfs(spark: SparkSession, p: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
-  }
-
-  private def listDirs(spark: SparkSession, root: String,
-      prefix: String): Seq[org.apache.hadoop.fs.Path] = {
-    val (f, hp) = hfs(spark, root)
-    if (!f.exists(hp)) Nil
-    else f.listStatus(hp).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath)
-  }
+  // filesystem + staging protocol shared with the corpus store
+  // ([[StagedStore]] — one publish/ordering discipline, never two)
+  private def hfs(spark: SparkSession, p: String) = StagedStore.hfs(spark, p)
+  private def listDirs(spark: SparkSession, root: String, prefix: String) =
+    StagedStore.listDirs(spark, root, prefix)
 
   private def epochDir(dir: String, r: Recipe) = s"$dir/${r.epoch}"
   private def dataPath(dir: String, r: Recipe) = s"${epochDir(dir, r)}/data"
@@ -236,6 +231,8 @@ object EmbeddingStore {
       "create: an empty vector set fits no codebook — create the store " +
         "from its first real corpus")
     val epoch = "cells_e0"
+    requireNoNulls(embeddings,
+      Recipe(idCol, embCol, nlist, iters, None, None, epoch), "create")
     val r = Recipe(idCol, embCol, nlist, iters, pq.map(_._1), pq.map(_._2),
       epoch)
     Similarity.writeCodebook(spark,
@@ -284,7 +281,7 @@ object EmbeddingStore {
     val data = spark.read.parquet(dataPath(dir, r))
       .where(col(CellCol).isin(probed: _*)) // partition-pruned
       .select(col(r.idCol).as("id"), col(r.embCol).as("ce"), col(CellCol))
-    topKOf(data.join(broadcast(q), Seq(CellCol))
+    Similarity.topK(data.join(broadcast(q), Seq(CellCol))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         Similarity.cosine(col("qe"), col("ce")).as("cos")), k)
@@ -329,35 +326,13 @@ object EmbeddingStore {
       books, k, Some(cand), "qid", embCol)
   }
 
-  private def topKOf(scored: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("id"), col("rank"), col("cos"))
-  }
-
   // ---------------------------------------------------------- staging
 
-  private def nextSeq(spark: SparkSession, dir: String): Int =
-    listDirs(spark, s"$dir/$PendingSub", "")
-      .flatMap(_.getName.split("_").lift(1)).flatMap(_.toIntOption)
-      .maxOption.getOrElse(-1) + 1
-
-  /** The staged-record publication protocol ([[CorpusStore]]'s):
-    * parquet into a temp name, one rename — heal never sees a
-    * half-staged record. */
+  /** Staged-record publication and sequencing live in [[StagedStore]]
+    * — the protocol is the corpus store's, verbatim. */
   private def stage(spark: SparkSession, dir: String, prefix: String,
-      payload: DataFrame): String = {
-    val name = f"${prefix}_${nextSeq(spark, dir)}%05d_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val tmp = s"$dir/$PendingSub/.tmp_$name"
-    payload.write.mode("overwrite").parquet(tmp)
-    val (f, _) = hfs(spark, tmp)
-    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$dir/$PendingSub/$name")),
-      s"stage: rename failed for $name")
-    name
-  }
+      payload: DataFrame): String =
+    StagedStore.stage(spark, dir, prefix, payload)
 
   /** Stage an ACCEPTED vector batch — enters the index (assigned to
     * the CURRENT epoch's cells, PQ-encoded when the recipe says so) at
@@ -369,8 +344,20 @@ object EmbeddingStore {
       batch.columns.contains(r.embCol),
       s"stageBatch: batch lacks the registered columns " +
         s"(${r.idCol}, ${r.embCol})")
+    requireNoNulls(batch, r, "stageBatch")
     stage(spark, dir, "p", batch)
   }
+
+  /** A NULL id or embedding refuses at ADMISSION: a null vector would
+    * win the nulls-first assignment window, poison the drift stats
+    * (sum over nulls) and crash every later health read — the loud
+    * boundary is here, not an NPE in the alert loop. */
+  private def requireNoNulls(batch: DataFrame, r: Recipe,
+      what: String): Unit =
+    require(batch.where(col(r.idCol).isNull || col(r.embCol).isNull)
+      .isEmpty,
+      s"$what: batch contains NULL ${r.idCol}/${r.embCol} rows — " +
+        s"filter them before staging (a null vector has no cell)")
 
   /** Stage a TAKEDOWN: the named vector ids leave the index at the
     * next [[heal]]. Would-empty refuses HERE ([[CorpusStore
@@ -393,46 +380,20 @@ object EmbeddingStore {
 
   // ------------------------------------------------------------- heal
 
-  /** Apply every staged intent in staging order — idempotent,
-    * crash-recoverable, the re-run IS the recovery. Also sweeps
-    * `.tmp_` stage leftovers and epoch directories the manifest no
-    * longer references (a refit that crashed before its manifest
-    * flip). Returns intents applied. */
+  /** Apply every staged intent in staging order ([[StagedStore
+    * .healStaged]] — sweep, sequence, refuse-keeps-the-record) —
+    * idempotent, crash-recoverable, the re-run IS the recovery.
+    * Crashed-refit epoch debris is deliberately NOT swept here: heal
+    * must stay safe to run at ANY time, including while a refit is
+    * building its next epoch; [[refit]] reclaims debris itself (it is
+    * the single epoch writer). Returns intents applied. */
   def heal(spark: SparkSession, dir: String): Int = {
     val r = recipe(dir)
-    // sweep unreferenced epochs (crashed refits) and stage leftovers
-    listDirs(spark, dir, "cells_e")
-      .filter(_.getName != r.epoch).foreach { p =>
-        val (f, _) = hfs(spark, p.toString); f.delete(p, true)
-      }
-    listDirs(spark, s"$dir/$PendingSub", ".tmp_").foreach { p =>
-      val (f, _) = hfs(spark, p.toString); f.delete(p, true)
-    }
-    var n = 0
-    val staged = listDirs(spark, s"$dir/$PendingSub", "")
-      .filterNot(_.getName.startsWith("."))
-      .map { p =>
-        val seq = p.getName.split("_").lift(1).flatMap(_.toIntOption)
-          .getOrElse(throw new IllegalArgumentException(
-            s"heal: unparseable staged record name ${p.getName} under " +
-              s"$dir/$PendingSub"))
-        (seq, p)
-      }.sortBy(_._1)
-    staged.foreach { case (_, p) =>
-      val name = p.getName
-      val rows = spark.read.parquet(p.toString)
-      val applied =
-        if (name.startsWith("p_")) { applyAccept(spark, dir, r, name, rows); true }
-        else if (name.startsWith("t_")) applyTakedown(spark, dir, r, rows)
-        else throw new IllegalArgumentException(
-          s"heal: unknown staged record $name under $dir/$PendingSub")
-      if (applied) {
-        val (f, _) = hfs(spark, p.toString)
-        f.delete(p, true)
-        n += 1
-      }
-    }
-    n
+    StagedStore.healStaged(spark, dir, (name, rows) =>
+      if (name.startsWith("p_")) { applyAccept(spark, dir, r, name, rows); true }
+      else if (name.startsWith("t_")) applyTakedown(spark, dir, r, rows)
+      else throw new IllegalArgumentException(
+        s"heal: unknown staged record $name under $dir/$PendingSub"))
   }
 
   /** One accepted batch lands under its record identity; ids the index
@@ -594,8 +555,7 @@ object EmbeddingStore {
     * the database's `emb/` sub-directory. */
   def health(spark: SparkSession, dir: String,
       shareTol: Double = 0.05, distTol: Double = 0.2): Seq[(String, Long)] = Seq(
-    "emb_pending" -> listDirs(spark, s"$dir/$PendingSub", "")
-      .count(p => !p.getName.startsWith(".")).toLong,
+    "emb_pending" -> StagedStore.pendingCount(spark, dir),
     "emb_drift" -> driftedCells(spark, dir, shareTol, distTol).size.toLong)
 
   /** Deterministic refit-gate queries sampled from WHERE THE DRIFT
@@ -607,8 +567,15 @@ object EmbeddingStore {
   def driftQueries(spark: SparkSession, dir: String, n: Int,
       shareTol: Double = 0.05, distTol: Double = 0.2): DataFrame = {
     val r = recipe(dir)
-    val cells = driftedCells(spark, dir, shareTol, distTol) match {
-      case Nil => cellStats(spark, dir, r).map(_._1)
+    val stats = cellStats(spark, dir, r)
+    // only cells with CURRENT members can contribute queries — a cell
+    // drifted by emptying (takedowns) has nothing to probe from, and
+    // sampling it forever would hand refit zero queries (a gate that
+    // can never pass)
+    val populated = stats.collect { case (c, _, _, nn, _) if nn > 0 => c }.toSet
+    val cells = driftedCells(spark, dir, shareTol, distTol)
+      .filter(populated) match {
+      case Nil => populated.toSeq.sorted
       case d => d
     }
     spark.read.parquet(dataPath(dir, r))
@@ -633,6 +600,14 @@ object EmbeddingStore {
   def refit(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 2): DataFrame = {
     val r = recipe(dir)
+    // reclaim crashed-refit debris: unreferenced epoch directories
+    // belong to THIS operation's lineage (single epoch writer) — heal
+    // never touches them, so an always-safe heal cannot destroy an
+    // epoch a refit is mid-building
+    listDirs(spark, dir, "cells_e")
+      .filter(_.getName != r.epoch).foreach { p =>
+        val (f, _) = hfs(spark, p.toString); f.delete(p, true)
+      }
     val epochN = r.epoch.stripPrefix("cells_e").toIntOption.getOrElse(
       throw new IllegalArgumentException(
         s"embedding store at $dir has unparseable epoch '${r.epoch}'"))
@@ -703,9 +678,12 @@ object EmbeddingStore {
       else {
         val q = driftQueries(spark, dir, sampleN, shareTol, distTol)
           .localCheckpoint() // pinned: refit reads it against both codebooks
-        val gate = refit(spark, dir, q, k, nprobe)
-          .agg(max(col("healed"))).head()
-        if (!gate.isNullAt(0) && gate.getInt(0) == 1) 1L else 0L
+        if (q.isEmpty) 0L // no evidence, no corpus-sized refit attempt
+        else {
+          val gate = refit(spark, dir, q, k, nprobe)
+            .agg(max(col("healed"))).head()
+          if (!gate.isNullAt(0) && gate.getInt(0) == 1) 1L else 0L
+        }
       }
     Seq("emb_healed" -> healed, "emb_drift_seen" -> drift,
       "emb_refit_healed" -> refitHealed)

@@ -652,7 +652,9 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  /** The one (cos desc, id asc) rank-k cut every kNN path shares —
+    * [[graft.pipeline.EmbeddingStore.knn]] included. */
+  private[pipeline] def topK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE staged record-before-mutate protocol both lifecycle stores
+  * share ([[CorpusStore]], [[EmbeddingStore]]) — extracted so a fix to
+  * the publish or ordering rules can never apply to one store and
+  * silently miss the other (the round-13 staging-order bug had to be
+  * reasoned about per store; this is the structural remedy):
+  *
+  *   - [[stage]] publishes a record by parquet-writing INTO a temp
+  *     name and then ONE atomic-enough directory rename — a heal never
+  *     sees a half-staged record, and [[sweepTmp]] reclaims the crash
+  *     leftovers (a `.tmp_` directory was never visible, so deleting
+  *     it loses nothing: the caller's stage() failed and they retry);
+  *   - records carry a monotonic STAGING SEQUENCE in their name
+  *     ([[nextSeq]]) and [[healStaged]] applies them in that order —
+  *     the parsed number, never the directory name (names sort `p_*`
+  *     before `t_*` regardless of sequence);
+  *   - an apply callback may REFUSE a record (return false): it stays
+  *     staged as a standing pending alert and LATER intents still
+  *     apply — never a mid-heal throw that blocks everything behind it
+  *     (the round-13 would-empty crash-loop).
+  */
+private[pipeline] object StagedStore {
+
+  val PendingSub = "pending"
+
+  def hfs(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  def listDirs(spark: SparkSession, root: String,
+      prefix: String): Seq[org.apache.hadoop.fs.Path] = {
+    val (f, hp) = hfs(spark, root)
+    if (!f.exists(hp)) Nil
+    else f.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+  }
+
+  /** Next staged sequence number — heal applies staged intents in
+    * staging order; single-maintenance-writer discipline. */
+  def nextSeq(spark: SparkSession, dir: String): Int =
+    listDirs(spark, s"$dir/$PendingSub", "")
+      .flatMap(_.getName.split("_").lift(1)).flatMap(_.toIntOption)
+      .maxOption.getOrElse(-1) + 1
+
+  /** Publish a staged record under an exact name (the streaming accept
+    * passes a name carrying its micro-batch identity). */
+  def publish(spark: SparkSession, dir: String, name: String,
+      payload: DataFrame): String = {
+    val tmp = s"$dir/$PendingSub/.tmp_$name"
+    payload.write.mode("overwrite").parquet(tmp)
+    val (f, _) = hfs(spark, tmp)
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/$PendingSub/$name")),
+      s"stage: rename failed for $name")
+    name
+  }
+
+  /** Stage one record: `<prefix>_<seq>_<uuid8>`. */
+  def stage(spark: SparkSession, dir: String, prefix: String,
+      payload: DataFrame): String =
+    publish(spark, dir,
+      f"${prefix}_${nextSeq(spark, dir)}%05d_" +
+        java.util.UUID.randomUUID().toString.take(8),
+      payload)
+
+  /** Sweep `.tmp_` stage-crash leftovers. */
+  def sweepTmp(spark: SparkSession, dir: String): Unit =
+    listDirs(spark, s"$dir/$PendingSub", ".tmp_").foreach { p =>
+      val (f, _) = hfs(spark, p.toString)
+      f.delete(p, true)
+    }
+
+  /** The staged records pending no heal has applied (the standing
+    * `*_pending` alert's count). */
+  def pendingCount(spark: SparkSession, dir: String): Long =
+    listDirs(spark, s"$dir/$PendingSub", "")
+      .count(p => !p.getName.startsWith(".")).toLong
+
+  /** Apply every staged intent in STAGING order: `apply(name, rows)`
+    * returns true to consume the record (deleted), false to refuse it
+    * (kept staged — the standing alert; later intents still apply).
+    * Returns the number of records consumed. */
+  def healStaged(spark: SparkSession, dir: String,
+      apply: (String, DataFrame) => Boolean): Int = {
+    sweepTmp(spark, dir)
+    var n = 0
+    val staged = listDirs(spark, s"$dir/$PendingSub", "")
+      .filterNot(_.getName.startsWith("."))
+      .map { p =>
+        val seq = p.getName.split("_").lift(1).flatMap(_.toIntOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"heal: unparseable staged record name ${p.getName} under " +
+              s"$dir/$PendingSub"))
+        (seq, p)
+      }.sortBy(_._1)
+    staged.foreach { case (_, p) =>
+      if (apply(p.getName, spark.read.parquet(p.toString))) {
+        val (f, _) = hfs(spark, p.toString)
+        f.delete(p, true)
+        n += 1
+      }
+    }
+    n
+  }
+}

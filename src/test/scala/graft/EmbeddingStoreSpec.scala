@@ -194,12 +194,20 @@ class EmbeddingStoreSpec extends AnyFunSuite with SparkTestBase {
       rowsOf(Similarity.knnIvfWith(refitCenters, corpus, queries, 3, 2)))
     assert(EmbeddingStore.health(spark, dir).toMap.apply("emb_drift") === 0L,
       "the refit resets the drift baseline")
-    // a crashed refit's debris (an unreferenced epoch dir) is swept
+    // a crashed refit's debris (an unreferenced epoch dir) SURVIVES
+    // heal — heal must stay safe to run while a refit is mid-build —
+    // and the NEXT refit reclaims it before building its own epoch
+    // (the sweep runs regardless of that refit's gate outcome)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(dir, "cells_e7"))
     EmbeddingStore.heal(spark, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "cells_e7")),
+      "heal never touches epoch directories")
+    EmbeddingStore.refit(spark, dir, queries, k = 3, nprobe = 2)
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "cells_e7")))
+      java.nio.file.Paths.get(dir, "cells_e7")),
+      "the next refit reclaims crashed-refit debris")
     Dedup.releaseCaches()
   }
 

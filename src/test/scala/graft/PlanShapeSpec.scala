@@ -1589,6 +1589,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("store-served statements: {\"knn\"} prunes to the probed cell partitions; {\"dedup\"} scans only the store's index paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = (1L to 60L).map(i =>
+        (i, (1 to 15).map(w => s"w${(i * 7 + w) % 23}").mkString(" ")))
+      .toDF("id", "text")
+    val vecs = (1L to 60L).map(i => (i, Array.tabulate(6)(d =>
+      (((i * 31 + d * 7) % 11).toFloat - 5f)))).toDF("id", "embedding")
+    val cdir = java.nio.file.Files
+      .createTempDirectory("graft_stmt_cpin").toString
+    graft.pipeline.CorpusStore.create(spark, cdir,
+      docs.where($"id" % 5 =!= 0), "id", "text")
+    val edir = java.nio.file.Files
+      .createTempDirectory("graft_stmt_epin").toString
+    graft.pipeline.EmbeddingStore.create(spark, edir, vecs,
+      nlist = 4, iters = 1)
+    val eng = new Engine(rampContext(Seq(1), 0L, 4L).copy(
+      documents = Some(docs), embeddings = Some(vecs),
+      corpusStore = Some(cdir), embeddingStore = Some(edir)))
+    // {"dedup"}: every file scan in the statement's plan is a store
+    // INDEX path — the corpus docs (files in production) are never
+    // re-read per statement (the round-13 weak-point, closed)
+    val ded = eng.execute(
+      """{"dedup": {"batch": "id % 5 = 0", "threshold": 0.8,
+           "k": 3, "num-perm": 32, "bands": 8}}""")
+    val dedScans = ded.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(dedScans.nonEmpty)
+    assert(dedScans.forall(f =>
+      f.metadata("Location").contains("graft_stmt_cpin") &&
+        (f.metadata("Location").contains("/hashes") ||
+          f.metadata("Location").contains("/bands"))),
+      s"store-served dedup must scan only the index paths:\n${
+        dedScans.map(_.metadata("Location"))}")
+    // {"knn"} ivf: the data scan carries the probed-cell set as a
+    // PARTITION filter — the statement reads ~nprobe/nlist of the
+    // index, never the whole assignment (the round-13 per-statement
+    // full-corpus re-assignment, closed)
+    val knn = eng.execute(
+      """{"knn": {"queries": "id < 5", "k": 2, "index": "ivf",
+           "nlist": 4, "nprobe": 2}}""")
+    val p = knn.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("cell") && f.contains(" IN ")),
+      s"store-served knn must prune cell partitions at the scan:\n$p")
+    graft.pipeline.Dedup.releaseCaches()
+  }
+
   test("scoped index rebuild: the fact read prunes metric AND ts_day at the scan") {
     // IndexCatalog.rebuildScoped's whole point at 100 TB is that a
     // one-day correction re-derives bins from a DAY-SIZED fact read —
