@@ -322,20 +322,28 @@ object CorpusStore {
     unbandedBatches(spark, dir).toSeq.sorted.foreach { bid =>
       val docsB = spark.read.parquet(docsPath(dir))
         .where(col(BatchCol) === bid)
-      val noTomb = effectiveTombstones(spark, dir, r) match {
-        case Some(t) => docsB.join(broadcast(t), Seq(r.idCol), "left_anti")
-        case None => docsB
-      }
-      val oobIds = noTomb.select(col(r.idCol).as("cid")).distinct()
+      // ONE existence probe decides the path: does the batch hold any
+      // tombstoned or already-indexed id at all? The common case — a
+      // genuinely new out-of-band batch — then re-derives with zero
+      // extra jobs (no anti-joins, no lineage checkpoint), paying the
+      // admission machinery only when something must actually drop
+      val oobIds = docsB.select(col(r.idCol).as("cid")).distinct()
+      val tomb = effectiveTombstones(spark, dir, r)
+      val anyTomb = tomb.exists(t =>
+        !t.join(broadcast(oobIds.select(col("cid").as(r.idCol))),
+          Seq(r.idCol)).isEmpty)
       val dup = spark.read.parquet(hashesPath(dir))
         .where(col(BatchCol) =!= bid)
         .join(broadcast(oobIds), "cid")
         .select(col("cid").as(r.idCol)).distinct()
-      val fresh = noTomb.join(broadcast(dup), Seq(r.idCol), "left_anti")
-      val dropped = !docsB
-        .join(fresh.select(col(r.idCol)), Seq(r.idCol), "left_anti").isEmpty
-      if (!dropped) writeBatch(spark, dir, bid, fresh, r, alsoDocs = false)
+      val anyDup = !dup.isEmpty
+      if (!anyTomb && !anyDup)
+        writeBatch(spark, dir, bid, docsB, r, alsoDocs = false)
       else {
+        val noTomb =
+          if (!anyTomb) docsB
+          else docsB.join(broadcast(tomb.get), Seq(r.idCol), "left_anti")
+        val fresh = noTomb.join(broadcast(dup), Seq(r.idCol), "left_anti")
         // rows dropped → the docs partition itself is rewritten, so
         // sever the read-then-overwrite lineage on it first (the
         // upsert discipline, as in applyTakedown)
