@@ -208,6 +208,7 @@ object Round14Entries {
     * mutate it) and is an index-build-class cost either way. */
   def warm(s: SparkSession, dir: String): Unit = {
     driftTemplateFor(s, dir)
+    streamEmbStoreFor(s, dir)
     embStoreFor(s, dir)
     grownEmbStoreFor(s, dir)
     corpusStoreFor(s, dir)
@@ -215,6 +216,32 @@ object Round14Entries {
     exportedDbFor(s, dir)
     compactStreamStoreFor(s, dir)
   }
+
+  private val streamEmbStores = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized STREAM-grown embedding store: created over
+    * `vec_id % 4 != 0`, the `% 4 == 0` vectors arriving through a real
+    * Structured Streaming query ([[graft.streaming.TsdbStream
+    * .embeddingStoreIngest]] — file source, one file per trigger, so
+    * the index takes several genuine micro-batches through the staged
+    * lifecycle with (streamTag, micro-batch) partition identity). */
+  private def streamEmbStoreFor(s: SparkSession, dir: String): String =
+    streamEmbStores.getOrElseUpdate((s, dir), {
+      val path = EntryUtil.scratchDir("graft_emb_stream")
+      val e = emb(s, dir)
+      EmbeddingStore.create(s, path, e.where(col("id") % 4 =!= 0),
+        nlist = 8, iters = 2)
+      val accepted = e.where(col("id") % 4 === 0)
+      val feed = EntryUtil.scratchDir("graft_emb_stream_in") + "/in"
+      accepted.repartition(3).write.parquet(feed)
+      val in = s.readStream.schema(accepted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = graft.streaming.TsdbStream.embeddingStoreIngest(
+        in, path, s"$path/_ckpt", streamTag = "vecfeed")
+      try q.processAllAvailable() finally q.stop()
+      path
+    })
 
   private val driftTemplates = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
@@ -383,6 +410,21 @@ object Round14Entries {
           threshold = 0.8)
         .orderBy("id")),
 
+    // the STREAMING accept path for the embedding index: a real
+    // Structured Streaming query lands each micro-batch through the
+    // staged lifecycle ((streamTag, micro-batch) partition identity =
+    // exactly-once at the index), and kNN over the stream-grown store
+    // serves the fit-on-initial + assign-final answer — the kNN
+    // partitions cover every streamed vector the moment its trigger
+    // completes
+    "stream_emb_store" -> ((s, dir) =>
+      EmbeddingStore.knn(s, streamEmbStoreFor(s, dir),
+          emb(s, dir).where(col("id") < 10)
+            .select(col("id").as("qid"), col("embedding")),
+          k = 3, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("qid", "rank")),
+
     // tiered compaction staged WHILE a stream keeps accepting:
     // interleaved heals apply compaction and accepts in staging
     // order, no accept is lost, and the probe serves the
@@ -395,16 +437,16 @@ object Round14Entries {
 
   // ---------------------------------------------------------- oracles
 
-  /** SQL replay of the GROWN store's serving state: codebook fitted
-    * over the INITIAL corpus (`% 4 != 0` — accepts never refit), the
-    * CURRENT vectors (`% 10 != 7` after the takedown) assigned to its
-    * cells, nprobe-2 probe, cosine top-3. */
-  private def grownStoreSql: String =
+  /** SQL replay of a lifecycle-grown store's serving state: codebook
+    * fitted over the INITIAL corpus (`% 4 != 0` — accepts never
+    * refit; that is the gated refit's job), the CURRENT vectors
+    * (`finPred`) assigned to its cells, nprobe-2 probe, cosine top-3. */
+  private def fitInitialAssignFinalSql(finPred: String): String =
     s"""WITH ${EntryUtil.kmeansCtes("s",
           """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings WHERE vec_id % 4 <> 0""", 8, 2)},
          fin AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE vec_id % 10 <> 7),
+                 FROM embeddings WHERE $finPred),
          fq AS (SELECT id, v FROM fin WHERE id < 10),
          cor AS (${EntryUtil.nearestCellsSql("fin", "sc2", 1)}),
          qry AS (SELECT id AS qid, v AS qv, cell FROM (
@@ -423,7 +465,10 @@ object Round14Entries {
     "emb_knn_store" -> PipelineEntries.oracle("emb_knn_ivf"),
     "emb_knn_stmt_store" -> PipelineEntries.oracle("emb_knn_ivf"),
     "emb_knn_ivfpq_stmt" -> Round6Entries.oracle("emb_knn_ivfpq"),
-    "emb_knn_store_grown" -> grownStoreSql,
+    // fit-on-initial + assign-final across both lifecycle paths to a
+    // grown index: operator accepts+takedowns, and the real stream
+    "emb_knn_store_grown" -> fitInitialAssignFinalSql("vec_id % 10 <> 7"),
+    "stream_emb_store" -> fitInitialAssignFinalSql("TRUE"),
     "docs_dedup_stmt_store" -> Round6Entries.incrementalDedupSql,
     "docs_corpus_export" -> Round6Entries.incrementalDedupSql,
     "stream_corpus_compact" -> Round6Entries.incrementalDedupSql,

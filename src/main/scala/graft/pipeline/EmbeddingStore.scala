@@ -36,6 +36,10 @@ import graft.model.IndexCatalog
   *   pending/                staged accepts (p_...) and takedowns
   *                           (t_...); [[heal]] applies them in
   *                           staging order
+  *   takedowns/              append-only tombstone log (id, seq, op)
+  *                           — permanent; stream accepts filter
+  *                           against it so redelivery cannot
+  *                           resurrect a removed vector
   * }}}
   *
   * Lifecycle discipline (the CorpusStore rules, unchanged):
@@ -396,18 +400,114 @@ object EmbeddingStore {
         s"heal: unknown staged record $name under $dir/$PendingSub"))
   }
 
-  /** One accepted batch lands under its record identity; ids the index
-    * already covers under ANOTHER batch drop first (re-staging must
-    * not duplicate), via a skinny id-column probe of the index. */
+  /** The permanent takedown record — the APPEND-ONLY `(id, seq, op)`
+    * log, [[CorpusStore]]'s tombstone discipline verbatim on the
+    * embedding half: [[applyTakedown]] appends `add` rows BEFORE its
+    * rewrites, a DELIBERATE operator accept appends `clear` rows for
+    * ids it re-admits, `seq` is the log's own monotonic counter, the
+    * effective set is "ids whose latest op is add", and STREAM accepts
+    * filter against it so an at-least-once redelivery cannot resurrect
+    * a vector removed while the stream was down. Takedown-history-
+    * sized; deleting it re-enables redelivery resurrection. */
+  private def tombstonesPath(dir: String) = s"$dir/takedowns"
+
+  private def appendTombstoneOps(spark: SparkSession, dir: String,
+      r: Recipe, ids: Seq[Long], op: String): Unit = {
+    import spark.implicits._
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    val seq =
+      if (!f.exists(hp)) 0L
+      else {
+        val row = spark.read.parquet(tombstonesPath(dir))
+          .agg(max(col("seq"))).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+      }
+    ids.map(i => (i, seq, op)).toDF(r.idCol, "seq", "op")
+      .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
+  }
+
+  private def effectiveTombstones(spark: SparkSession, dir: String,
+      r: Recipe): Option[DataFrame] = {
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    if (!f.exists(hp)) None
+    else Some(spark.read.parquet(tombstonesPath(dir))
+      .groupBy(col(r.idCol))
+      .agg(max_by(col("op"), col("seq")).as("__latest"))
+      .where(col("__latest") === "add")
+      .select(col(r.idCol)))
+  }
+
+  /** One accepted batch lands under its landed identity
+    * ([[acceptBatchId]] — stream records land under their
+    * (streamTag, micro-batch) partition, so redelivery re-overwrites
+    * itself); ids the index already covers under ANOTHER batch drop
+    * first (re-staging must not duplicate), via a skinny id-column
+    * probe of the index. Stream records additionally drop TOMBSTONED
+    * ids; operator records un-tombstone theirs ([[CorpusStore]]'s
+    * applyAccept, id-typed). */
   private def applyAccept(spark: SparkSession, dir: String, r: Recipe,
       record: String, staged: DataFrame): Unit = {
-    val stagedIds = staged.select(col(r.idCol)).distinct()
+    val bid = acceptBatchId(record)
+    val isStream = record.contains("_sb_")
+    val tombstoned = effectiveTombstones(spark, dir, r)
+    val base = tombstoned match {
+      case Some(t) if isStream =>
+        staged.join(broadcast(t), Seq(r.idCol), "left_anti")
+      case _ => staged
+    }
+    tombstoned.filterNot(_ => isStream).foreach { t =>
+      val revived = t
+        .join(broadcast(staged.select(col(r.idCol)).distinct()),
+          Seq(r.idCol))
+        .collect().map(_.getLong(0)).toSeq
+      if (revived.nonEmpty)
+        appendTombstoneOps(spark, dir, r, revived, "clear")
+    }
+    val stagedIds = base.select(col(r.idCol)).distinct()
     val dup = spark.read.parquet(dataPath(dir, r))
-      .where(col(BatchCol) =!= record)
+      .where(col(BatchCol) =!= bid)
       .join(broadcast(stagedIds), r.idCol)
       .select(col(r.idCol)).distinct()
-    val fresh = staged.join(broadcast(dup), Seq(r.idCol), "left_anti")
-    if (!fresh.isEmpty) writeBatch(spark, dir, r, record, fresh)
+    val fresh = base.join(broadcast(dup), Seq(r.idCol), "left_anti")
+    if (!fresh.isEmpty) writeBatch(spark, dir, r, bid, fresh)
+  }
+
+  /** A staged accept's landed `__batch` identity: stream records strip
+    * their (fresh, ordering-only) sequence so a redelivered
+    * micro-batch lands on the SAME partitions; operator records keep
+    * the whole record name ([[CorpusStore.acceptBatchId]]'s split). */
+  private def acceptBatchId(recordName: String): String = {
+    val i = recordName.indexOf("_sb_")
+    if (i >= 0) recordName.substring(i + 1) else recordName
+  }
+
+  /** The STREAMING accept ([[graft.streaming.TsdbStream
+    * .embeddingStoreIngest]]'s per-trigger body) — [[CorpusStore
+    * .acceptStreamBatch]]'s two split identities on the embedding
+    * half: the staged RECORD takes a fresh staging sequence (heal's
+    * ordering holds against interleaved operator takedowns) while the
+    * landed partition identity derives from (streamTag, micro-batch
+    * id), so foreachBatch's at-least-once redelivery re-overwrites
+    * its own partitions — exactly-once at the index. `streamTag` is
+    * the Delta-txnAppId analog: one stable tag per feed AND
+    * checkpoint lineage. */
+  def acceptStreamBatch(spark: SparkSession, dir: String,
+      batch: DataFrame, microBatchId: Long, streamTag: String): String = {
+    require(microBatchId >= 0, s"negative micro-batch id $microBatchId")
+    require(streamTag.nonEmpty && streamTag.forall(c =>
+        c.isLetterOrDigit || c == '-'),
+      s"streamTag must be non-empty alphanumeric/dash (got '$streamTag')")
+    val r = recipe(dir)
+    require(batch.columns.contains(r.idCol) &&
+      batch.columns.contains(r.embCol),
+      s"acceptStreamBatch: batch lacks the registered columns " +
+        s"(${r.idCol}, ${r.embCol})")
+    requireNoNulls(batch, r, "acceptStreamBatch")
+    StagedStore.publish(spark, dir,
+      f"p_${StagedStore.nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId",
+      batch)
+    heal(spark, dir)
+    s"sb_${streamTag}_$microBatchId"
   }
 
   /** One takedown lands: only the (cell, batch) partitions holding the
@@ -419,6 +519,9 @@ object EmbeddingStore {
       .collect().map(_.getLong(0)).toSet
     if (ids.isEmpty) return true
     if (!wouldKeepSome(spark, dir, r, ids)) return false
+    // tombstone BEFORE any rewrite (record-before-mutate): a stream
+    // redelivery racing this takedown cannot resurrect the vectors
+    appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, "add")
     val idSeq = ids.toSeq
     val data = spark.read.parquet(dataPath(dir, r))
     val affected = data.where(col(r.idCol).isin(idSeq: _*))

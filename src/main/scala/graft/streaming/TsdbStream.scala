@@ -181,6 +181,29 @@ object TsdbStream extends Serializable {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Continuous vector accepts into a lifecycle-managed
+    * [[graft.pipeline.EmbeddingStore]]: each micro-batch lands as one
+    * accepted batch through the staged record-before-mutate protocol
+    * ([[graft.pipeline.EmbeddingStore.acceptStreamBatch]]) — assigned
+    * to the current epoch's cells (PQ-encoded when the recipe says
+    * so), partition identity (streamTag, micro-batch id) so
+    * redelivery is exactly-once at the index, tombstone-filtered so a
+    * vector taken down while the stream was down stays out. The kNN
+    * partitions cover every streamed vector the moment its trigger
+    * completes — register-on-first-write for the embedding half
+    * (standalone_database_session.cc:39-87), continuously. */
+  def embeddingStoreIngest(vectors: DataFrame, dir: String,
+      checkpoint: String,
+      streamTag: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.pipeline.EmbeddingStore.acceptStreamBatch(
+          batch.sparkSession, dir, batch, id, streamTag)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Stateless streaming curation gate for corpus INGEST: per-document
     * quality features + composite score ([[graft.pipeline.TextOps.quality]]
     * is a pure projection, so it runs unchanged on a streaming frame)

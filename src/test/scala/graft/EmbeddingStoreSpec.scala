@@ -253,6 +253,46 @@ class EmbeddingStoreSpec extends AnyFunSuite with SparkTestBase {
     Dedup.releaseCaches()
   }
 
+  test("streaming accept: micro-batch identity is exactly-once at the index; tombstones survive redelivery; an operator re-accept clears them") {
+    val dir = store("graft_emb_stream")
+    EmbeddingStore.create(spark, dir, vecsDf(1L to 30L), nlist = 3,
+      iters = 1)
+    val centers = EmbeddingStore.readCenters(spark, dir)
+    // at-least-once redelivery of the same (tag, micro-batch) lands on
+    // the SAME partitions — exactly-once at the index
+    EmbeddingStore.acceptStreamBatch(spark, dir, vecsDf(31L to 40L),
+      0L, "feed")
+    EmbeddingStore.acceptStreamBatch(spark, dir, vecsDf(31L to 40L),
+      0L, "feed")
+    assert(EmbeddingStore.readVectors(spark, dir).count() === 40L)
+    // the stream-grown index serves under the create-time codebook
+    val queries = queriesOf(vecsDf(Seq(5L, 33L)))
+    assert(rowsOf(EmbeddingStore.knn(spark, dir, queries, 3, 2)) ===
+      rowsOf(Similarity.knnIvfWith(centers, vecsDf(1L to 40L),
+        queries, 3, 2)))
+    // a takedown tombstones its ids BEFORE rewriting: redelivering the
+    // micro-batch that carried them cannot resurrect them
+    EmbeddingStore.removeVectors(spark, dir, Seq(35L, 36L))
+    EmbeddingStore.acceptStreamBatch(spark, dir, vecsDf(31L to 40L),
+      0L, "feed")
+    assert(EmbeddingStore.readVectors(spark, dir)
+      .where(col("id").isin(35L, 36L)).count() === 0L,
+      "redelivery must not resurrect taken-down vectors")
+    assert(EmbeddingStore.readVectors(spark, dir).count() === 38L)
+    // ...while a DELIBERATE operator accept re-admits them (clear ops)
+    EmbeddingStore.acceptBatch(spark, dir, vecsDf(Seq(35L, 36L)))
+    assert(EmbeddingStore.readVectors(spark, dir)
+      .where(col("id").isin(35L, 36L)).count() === 2L)
+    // ...and once cleared, stream redelivery of those ids is admitted
+    // again only as duplicates (dropped by the dup probe), never lost
+    EmbeddingStore.acceptStreamBatch(spark, dir, vecsDf(31L to 40L),
+      0L, "feed")
+    assert(EmbeddingStore.readVectors(spark, dir).count() === 40L)
+    assert(EmbeddingStore.readVectors(spark, dir)
+      .select("id").distinct().count() === 40L, "no duplicate ids")
+    Dedup.releaseCaches()
+  }
+
   test("the manifest round-trips the recipe; rebuilds and loads refuse the pipeline kind; epoch flip validates") {
     val dir = store("graft_emb_manifest")
     EmbeddingStore.create(spark, dir, vecsDf(1L to 30L), nlist = 3,
