@@ -37,6 +37,11 @@ import graft.pipeline.{CorpusStore, EmbeddingStore}
   *     real stream keeps accepting — interleaved heals apply both in
   *     staging order and the probe still serves the full-recompute
   *     answer.
+  *   - `stream_emb_store`: the embedding index fed by a real
+  *     Structured Streaming query ([[graft.streaming.TsdbStream
+  *     .embeddingStoreIngest]]) — exactly-once micro-batch identity,
+  *     tombstone-filtered accepts, kNN over the stream-grown
+  *     partitions on the fit-on-initial + assign-final oracle.
   */
 object Round14Entries {
   import EntryUtil.QueryFn
@@ -293,20 +298,17 @@ object Round14Entries {
       db
     })
 
-  /** Local recursive directory copy (fixture-sized). */
+  /** Directory copy through the Hadoop FS (fixture-sized) — the same
+    * utility exportDatabase uses for store trees. */
   private def copyDir(src: String, dst: String): Unit = {
-    val sp = java.nio.file.Paths.get(src)
-    val dp = java.nio.file.Paths.get(dst)
-    val st = java.nio.file.Files.walk(sp)
-    try {
-      st.forEach { p =>
-        val t = dp.resolve(sp.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    } finally st.close()
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val fs = sp.getFileSystem(conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp,
+      dp.getFileSystem(conf), dp, false, conf),
+      s"fixture copy $src -> $dst failed")
   }
 
   // ---------------------------------------------------------- queries

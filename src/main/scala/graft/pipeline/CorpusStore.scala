@@ -401,35 +401,18 @@ object CorpusStore {
     * Scale: the log is TAKEDOWN-HISTORY-sized — legal/ops events,
     * orders of magnitude rarer than accepts, a few bytes each — so the
     * per-trigger effective-set read stays trivial at any corpus size. */
-  private def tombstonesPath(dir: String) = s"$dir/takedowns"
+  private def tombstonesPath(dir: String) =
+    StagedStore.tombstonesPath(dir)
 
   private def appendTombstoneOps(spark: SparkSession, dir: String,
-      r: Recipe, ids: Seq[Long], op: String): Unit = {
-    import spark.implicits._
-    val (f, hp) = hfs(spark, tombstonesPath(dir))
-    val seq =
-      if (!f.exists(hp)) 0L
-      else {
-        val row = spark.read.parquet(tombstonesPath(dir))
-          .agg(max(col("seq"))).head()
-        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-      }
-    ids.map(i => (i, seq, op)).toDF(r.idCol, "seq", "op")
-      .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
-  }
+      r: Recipe, ids: Seq[Long], op: String): Unit =
+    StagedStore.appendTombstoneOps(spark, dir, r.idCol, ids, op)
 
   /** The currently-tombstoned ids (latest op per id is `add`), or None
     * when no takedown ever ran. Takedown-history-sized. */
   private def effectiveTombstones(spark: SparkSession, dir: String,
-      r: Recipe): Option[DataFrame] = {
-    val (f, hp) = hfs(spark, tombstonesPath(dir))
-    if (!f.exists(hp)) None
-    else Some(spark.read.parquet(tombstonesPath(dir))
-      .groupBy(col(r.idCol))
-      .agg(max_by(col("op"), col("seq")).as("__latest"))
-      .where(col("__latest") === "add")
-      .select(col(r.idCol)))
-  }
+      r: Recipe): Option[DataFrame] =
+    StagedStore.effectiveTombstones(spark, dir, r.idCol)
 
   /** One accepted batch lands: docs + index partitions under the
     * batch's identity ([[acceptBatchId]]). Ids the index already
@@ -692,21 +675,16 @@ object CorpusStore {
       batch.columns.contains(r.textCol),
       s"acceptStreamBatch: batch lacks the registered document columns " +
         s"(${r.idCol}, ${r.textCol})")
-    StagedStore.publish(spark, dir,
-      f"p_${StagedStore.nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId",
-      batch)
+    val bid = StagedStore.publishStreamAccept(spark, dir, batch,
+      microBatchId, streamTag)
     heal(spark, dir)
-    s"sb_${streamTag}_$microBatchId"
+    bid
   }
 
-  /** A staged accept's landed `__batch` identity: stream records strip
-    * their (fresh, ordering-only) sequence so a redelivered micro-batch
-    * lands on the SAME partitions; operator records keep the whole
-    * record name (each staging is a distinct batch). */
-  private def acceptBatchId(recordName: String): String = {
-    val i = recordName.indexOf("_sb_")
-    if (i >= 0) recordName.substring(i + 1) else recordName
-  }
+  /** A staged accept's landed `__batch` identity
+    * ([[StagedStore.acceptBatchId]]'s split). */
+  private def acceptBatchId(recordName: String): String =
+    StagedStore.acceptBatchId(recordName)
 
   /** Stage + heal a takedown — see [[stageTakedown]]/[[heal]]. */
   def removeDocuments(spark: SparkSession, dir: String,

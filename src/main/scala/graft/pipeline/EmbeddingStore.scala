@@ -400,43 +400,6 @@ object EmbeddingStore {
         s"heal: unknown staged record $name under $dir/$PendingSub"))
   }
 
-  /** The permanent takedown record — the APPEND-ONLY `(id, seq, op)`
-    * log, [[CorpusStore]]'s tombstone discipline verbatim on the
-    * embedding half: [[applyTakedown]] appends `add` rows BEFORE its
-    * rewrites, a DELIBERATE operator accept appends `clear` rows for
-    * ids it re-admits, `seq` is the log's own monotonic counter, the
-    * effective set is "ids whose latest op is add", and STREAM accepts
-    * filter against it so an at-least-once redelivery cannot resurrect
-    * a vector removed while the stream was down. Takedown-history-
-    * sized; deleting it re-enables redelivery resurrection. */
-  private def tombstonesPath(dir: String) = s"$dir/takedowns"
-
-  private def appendTombstoneOps(spark: SparkSession, dir: String,
-      r: Recipe, ids: Seq[Long], op: String): Unit = {
-    import spark.implicits._
-    val (f, hp) = hfs(spark, tombstonesPath(dir))
-    val seq =
-      if (!f.exists(hp)) 0L
-      else {
-        val row = spark.read.parquet(tombstonesPath(dir))
-          .agg(max(col("seq"))).head()
-        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
-      }
-    ids.map(i => (i, seq, op)).toDF(r.idCol, "seq", "op")
-      .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
-  }
-
-  private def effectiveTombstones(spark: SparkSession, dir: String,
-      r: Recipe): Option[DataFrame] = {
-    val (f, hp) = hfs(spark, tombstonesPath(dir))
-    if (!f.exists(hp)) None
-    else Some(spark.read.parquet(tombstonesPath(dir))
-      .groupBy(col(r.idCol))
-      .agg(max_by(col("op"), col("seq")).as("__latest"))
-      .where(col("__latest") === "add")
-      .select(col(r.idCol)))
-  }
-
   /** One accepted batch lands under its landed identity
     * ([[acceptBatchId]] — stream records land under their
     * (streamTag, micro-batch) partition, so redelivery re-overwrites
@@ -447,9 +410,9 @@ object EmbeddingStore {
     * applyAccept, id-typed). */
   private def applyAccept(spark: SparkSession, dir: String, r: Recipe,
       record: String, staged: DataFrame): Unit = {
-    val bid = acceptBatchId(record)
+    val bid = StagedStore.acceptBatchId(record)
     val isStream = record.contains("_sb_")
-    val tombstoned = effectiveTombstones(spark, dir, r)
+    val tombstoned = StagedStore.effectiveTombstones(spark, dir, r.idCol)
     val base = tombstoned match {
       case Some(t) if isStream =>
         staged.join(broadcast(t), Seq(r.idCol), "left_anti")
@@ -461,7 +424,8 @@ object EmbeddingStore {
           Seq(r.idCol))
         .collect().map(_.getLong(0)).toSeq
       if (revived.nonEmpty)
-        appendTombstoneOps(spark, dir, r, revived, "clear")
+        StagedStore.appendTombstoneOps(spark, dir, r.idCol, revived,
+          "clear")
     }
     val stagedIds = base.select(col(r.idCol)).distinct()
     val dup = spark.read.parquet(dataPath(dir, r))
@@ -470,15 +434,6 @@ object EmbeddingStore {
       .select(col(r.idCol)).distinct()
     val fresh = base.join(broadcast(dup), Seq(r.idCol), "left_anti")
     if (!fresh.isEmpty) writeBatch(spark, dir, r, bid, fresh)
-  }
-
-  /** A staged accept's landed `__batch` identity: stream records strip
-    * their (fresh, ordering-only) sequence so a redelivered
-    * micro-batch lands on the SAME partitions; operator records keep
-    * the whole record name ([[CorpusStore.acceptBatchId]]'s split). */
-  private def acceptBatchId(recordName: String): String = {
-    val i = recordName.indexOf("_sb_")
-    if (i >= 0) recordName.substring(i + 1) else recordName
   }
 
   /** The STREAMING accept ([[graft.streaming.TsdbStream
@@ -490,24 +445,25 @@ object EmbeddingStore {
     * id), so foreachBatch's at-least-once redelivery re-overwrites
     * its own partitions — exactly-once at the index. `streamTag` is
     * the Delta-txnAppId analog: one stable tag per feed AND
-    * checkpoint lineage. */
+    * checkpoint lineage. A stream-fed store otherwise follows the
+    * same single-maintenance-writer discipline as every lifecycle
+    * mutation: the tombstone guarantee covers the crash-redelivery
+    * race under SERIALIZED heals, not wall-clock-concurrent operator
+    * takedowns against a live stream — pause the feed (or route the
+    * takedown through the same maintenance writer) as with every
+    * other store mutation. */
   def acceptStreamBatch(spark: SparkSession, dir: String,
       batch: DataFrame, microBatchId: Long, streamTag: String): String = {
-    require(microBatchId >= 0, s"negative micro-batch id $microBatchId")
-    require(streamTag.nonEmpty && streamTag.forall(c =>
-        c.isLetterOrDigit || c == '-'),
-      s"streamTag must be non-empty alphanumeric/dash (got '$streamTag')")
     val r = recipe(dir)
     require(batch.columns.contains(r.idCol) &&
       batch.columns.contains(r.embCol),
       s"acceptStreamBatch: batch lacks the registered columns " +
         s"(${r.idCol}, ${r.embCol})")
     requireNoNulls(batch, r, "acceptStreamBatch")
-    StagedStore.publish(spark, dir,
-      f"p_${StagedStore.nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId",
-      batch)
+    val bid = StagedStore.publishStreamAccept(spark, dir, batch,
+      microBatchId, streamTag)
     heal(spark, dir)
-    s"sb_${streamTag}_$microBatchId"
+    bid
   }
 
   /** One takedown lands: only the (cell, batch) partitions holding the
@@ -520,8 +476,10 @@ object EmbeddingStore {
     if (ids.isEmpty) return true
     if (!wouldKeepSome(spark, dir, r, ids)) return false
     // tombstone BEFORE any rewrite (record-before-mutate): a stream
-    // redelivery racing this takedown cannot resurrect the vectors
-    appendTombstoneOps(spark, dir, r, ids.toSeq.sorted, "add")
+    // redelivery cannot resurrect the vectors (serialized-heal
+    // contract — see acceptStreamBatch)
+    StagedStore.appendTombstoneOps(spark, dir, r.idCol,
+      ids.toSeq.sorted, "add")
     val idSeq = ids.toSeq
     val data = spark.read.parquet(dataPath(dir, r))
     val affected = data.where(col(r.idCol).isin(idSeq: _*))

@@ -82,6 +82,77 @@ private[pipeline] object StagedStore {
     listDirs(spark, s"$dir/$PendingSub", "")
       .count(p => !p.getName.startsWith(".")).toLong
 
+  // ------------------------------------------------------- tombstones
+
+  /** The permanent takedown record both stores keep — an APPEND-ONLY
+    * `(idCol, seq, op)` log, never rewritten in place: takedowns
+    * append `add` rows BEFORE their rewrites (record-before-mutate),
+    * deliberate operator accepts append `clear` rows for ids they
+    * re-admit, `seq` is the LOG's own monotonic counter (deliberately
+    * NOT the staging sequence, which resets when pending drains), and
+    * the effective set is "ids whose latest op is add". STREAM accepts
+    * filter against it so an at-least-once redelivery cannot
+    * resurrect an id removed while the stream was down — under the
+    * stores' single-maintenance-writer discipline (heals are
+    * serialized; the log's read-max-then-append is not a concurrent
+    * structure). Takedown-history-sized: legal/ops events, orders of
+    * magnitude rarer than accepts. */
+  def tombstonesPath(dir: String): String = s"$dir/takedowns"
+
+  def appendTombstoneOps(spark: SparkSession, dir: String,
+      idCol: String, ids: Seq[Long], op: String): Unit = {
+    import spark.implicits._
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    val seq =
+      if (!f.exists(hp)) 0L
+      else {
+        val row = spark.read.parquet(tombstonesPath(dir))
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("seq"))).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+      }
+    ids.map(i => (i, seq, op)).toDF(idCol, "seq", "op")
+      .coalesce(1).write.mode("append").parquet(tombstonesPath(dir))
+  }
+
+  /** The currently-tombstoned ids (latest op per id is `add`), or None
+    * when no takedown ever ran. */
+  def effectiveTombstones(spark: SparkSession, dir: String,
+      idCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, max_by}
+    val (f, hp) = hfs(spark, tombstonesPath(dir))
+    if (!f.exists(hp)) None
+    else Some(spark.read.parquet(tombstonesPath(dir))
+      .groupBy(col(idCol))
+      .agg(max_by(col("op"), col("seq")).as("__latest"))
+      .where(col("__latest") === "add")
+      .select(col(idCol)))
+  }
+
+  /** A staged accept's LANDED batch identity: stream records
+    * (`..._sb_<tag>_<microBatchId>`) strip their (fresh,
+    * ordering-only) staging sequence so a redelivered micro-batch
+    * lands on the SAME partitions; operator records keep the whole
+    * record name (each staging is a distinct batch). */
+  def acceptBatchId(recordName: String): String = {
+    val i = recordName.indexOf("_sb_")
+    if (i >= 0) recordName.substring(i + 1) else recordName
+  }
+
+  /** Publish a STREAM accept record: fresh staging sequence (heal's
+    * ordering holds against interleaved operator records) + the
+    * (streamTag, microBatchId) landed identity in the name. */
+  def publishStreamAccept(spark: SparkSession, dir: String,
+      batch: DataFrame, microBatchId: Long, streamTag: String): String = {
+    require(microBatchId >= 0, s"negative micro-batch id $microBatchId")
+    require(streamTag.nonEmpty && streamTag.forall(c =>
+        c.isLetterOrDigit || c == '-'),
+      s"streamTag must be non-empty alphanumeric/dash (got '$streamTag')")
+    publish(spark, dir,
+      f"p_${nextSeq(spark, dir)}%05d_sb_${streamTag}_$microBatchId", batch)
+    s"sb_${streamTag}_$microBatchId"
+  }
+
   /** Apply every staged intent in STAGING order: `apply(name, rows)`
     * returns true to consume the record (deleted), false to refuse it
     * (kept staged — the standing alert; later intents still apply).
