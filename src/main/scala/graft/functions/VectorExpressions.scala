@@ -164,6 +164,105 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** The `n` nearest centroids of a vector, as array<struct<__d, cell>>
+    * sorted by (distance asc, cell asc) — the IVF assignment/probe
+    * kernel ([[graft.pipeline.Similarity]]'s `cellsFor`), evaluated as
+    * ONE tight loop per row over the codebook held in a plan reference
+    * object.
+    *
+    * Why an expression: the composable in-row forms pay per-row
+    * allocation and interpreted evaluation exactly on the corpus-scan
+    * hot path — `sort_array`/`array_min` over an array of
+    * (distance, cell) structs is CodegenFallback, and the older
+    * crossJoin + per-key `row_number` window multiplied the corpus by
+    * nlist through an exchange. This kernel keeps whole-stage codegen
+    * intact (the generated code calls [[VecNearestCells.pick]], a
+    * JIT-compiled selection loop) and nothing shuffles.
+    *
+    * Bit-exactness contract: the distance is the same IEEE op sequence
+    * as `sqDist` (x·x + c·c − 2·(x·c), each term a sequential
+    * index-order fold; c·c precomputed once per center — same fold,
+    * same result), and the (distance, cell) order uses
+    * Double.compare with NaN greatest — exactly the window sort's
+    * nanSafeCompareDoubles. The standing oracles pin this. */
+  case class VecNearestCells(child: Expression, cells: Seq[Int],
+      centers: Seq[Seq[Double]], n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(cells.nonEmpty && cells.size == centers.size,
+      "need one cell id per center")
+    require(n > 0, "n must be positive")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("__d", DoubleType, nullable = false),
+      StructField("cell", IntegerType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "vec_nearest_cells"
+    private lazy val cf = isFloatArr(child)
+    @transient private lazy val cellArr: Array[Int] = cells.toArray
+    @transient private lazy val centerArr: Array[Array[Double]] =
+      centers.map(_.toArray).toArray
+    // per-center c·c, the same sequential fold dot(c, c) runs
+    @transient private lazy val ccs: Array[Double] = centerArr.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+
+    /** The selection loop — public so generated code can call it. */
+    def pick(x: ArrayData): ArrayData = {
+      val xn = x.numElements()
+      var xx = 0.0
+      var i = 0
+      while (i < xn) { val v = elem(x, i, cf); xx += v * v; i += 1 }
+      val m = math.min(n, centerArr.length)
+      val bd = new Array[Double](m)
+      val bc = new Array[Int](m)
+      var filled = 0
+      var j = 0
+      while (j < centerArr.length) {
+        val c = centerArr(j)
+        val ln = math.min(xn, c.length)
+        var xc = 0.0
+        i = 0
+        while (i < ln) { xc += elem(x, i, cf) * c(i); i += 1 }
+        val d = xx + ccs(j) - 2.0 * xc
+        val cell = cellArr(j)
+        // insertion position under (d, cell) asc, NaN greatest
+        var pos = filled
+        while (pos > 0 && {
+          val cmp = java.lang.Double.compare(bd(pos - 1), d)
+          cmp > 0 || (cmp == 0 && bc(pos - 1) > cell)
+        }) pos -= 1
+        if (pos < m) {
+          var q = math.min(filled, m - 1)
+          while (q > pos) { bd(q) = bd(q - 1); bc(q) = bc(q - 1); q -= 1 }
+          bd(pos) = d
+          bc(pos) = cell
+          if (filled < m) filled += 1
+        }
+        j += 1
+      }
+      val out = new Array[Any](filled)
+      i = 0
+      while (i < filled) {
+        out(i) = org.apache.spark.sql.catalyst.InternalRow(bd(i), bc(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      pick(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCells", this,
+        classOf[VecNearestCells].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pick($c);")
+    }
+
+    override protected def withNewChildInternal(
+        newChild: Expression): VecNearestCells = copy(child = newChild)
+  }
+
   /** Exact Long integer division by a positive constant. Spark's `/` on
     * Long columns is double division, which rounds above 2^53 — fatal for
     * ns-epoch arithmetic (1.7e18). Java long division, codegen'd. */
@@ -220,4 +319,9 @@ object VectorExpressions {
 
   def vecSrpBucket(a: Column, bits: Int): Column =
     Bridge.column(VecSrpBucket(Bridge.expression(a), bits))
+
+  def vecNearestCells(a: Column, centers: Seq[(Int, Seq[Double])],
+      n: Int): Column =
+    Bridge.column(VecNearestCells(Bridge.expression(a),
+      centers.map(_._1), centers.map(_._2), n))
 }

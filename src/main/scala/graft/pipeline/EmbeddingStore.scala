@@ -179,14 +179,11 @@ object EmbeddingStore {
     val rows =
       if (r.m.isEmpty) asg.drop("__d")
       else {
+        // the codes ride IN-ROW ([[Similarity.pqCodesArray]]) — no
+        // encode-explode-regroup-join round trip per accepted batch
         val books = readPqBooks(spark, dir, r)
-        val codes = Similarity.pqCodes(clean, books, r.idCol, r.embCol)
-          .groupBy(col("id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("sub"), col("cell")))),
-            x => x.getField("cell")).as(PqCol))
-          .withColumnRenamed("id", r.idCol)
-        asg.drop("__d").join(codes, r.idCol)
+        asg.drop("__d").withColumn(PqCol,
+          Similarity.pqCodesArray(books, col(r.embCol)))
       }
     rows.withColumn(BatchCol, lit(bid))
       .write.option("partitionOverwriteMode", "dynamic")
@@ -692,15 +689,15 @@ object EmbeddingStore {
       // read-then-overwrite lineage, and the old epoch serves until
       // the manifest flip below. Deliberately uncached: the
       // reassignment is index-sized (an epoch-build cost) — two passes
-      // beat pinning the whole index in executor memory
+      // beat pinning the whole index in executor memory. The cell is
+      // re-derived IN PLACE over the stored row ([[Similarity
+      // .reassignCellsKeepAll]]) — no assign-then-self-join by id,
+      // which shuffled the whole index twice per pass
       val centers = Similarity.readCodebook(spark,
         codebookPath(dir, nr))
-      val old = spark.read.parquet(dataPath(dir, r))
-      val keep = old.columns.filter(c => c != CellCol)
-      def reassigned = Similarity.assignCellsWithDist(centers,
-          old.select(col(r.idCol), col(r.embCol)), r.idCol, r.embCol)
-        .select(col(r.idCol), col(CellCol), col("__d"))
-        .join(old.select(keep.map(col): _*), r.idCol)
+      def reassigned = Similarity.reassignCellsKeepAll(centers,
+        spark.read.parquet(dataPath(dir, r)).drop(CellCol),
+        r.idCol, r.embCol)
       reassigned.drop("__d")
         .write.partitionBy(CellCol, BatchCol).mode("overwrite")
         .parquet(dataPath(dir, nr))

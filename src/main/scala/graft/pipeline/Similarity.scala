@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Ceiling on the number of centers [[knnSeedProbe]] inlines as plan
-    * literals for its in-row probe assignment — generous for
-    * seed-fitted codebooks (tens to a few hundred cells) while
-    * refusing the regime where an O(nlist)-struct array per query row
-    * and an O(nlist × dim)-literal plan would degrade codegen
-    * silently. */
+  /** Ceiling on the codebook size the in-row assignment kernel
+    * ([[graft.functions.VectorExpressions.VecNearestCells]]) accepts —
+    * generous for fitted codebooks (tens to a few hundred cells) while
+    * refusing the regime where O(nlist · dim) per-row work per
+    * assignment pass stops being the right plan: a corpus needing that
+    * many cells should serve from a persisted cell-partitioned index
+    * ([[graft.pipeline.EmbeddingStore]]), not recompute assignments
+    * per statement. */
   val MaxInRowProbeCenters = 1024
 
   /** Elementwise dot product in double precision — a native codegen'd
@@ -125,8 +127,9 @@ object Similarity {
     * entry be oracle-checked. A cell that loses all members simply
     * drops out (symmetric in the oracle).
     *
-    * Each round is one broadcast join (nlist × dim literals) + one
-    * (cell, dim) aggregation — at 100 TB this is the standard distributed
+    * Each round is one in-row assignment map ([[cellsFor]]'s codegen
+    * kernel — no shuffle ever carries a vector) + one partial-aggregated
+    * (cell, dim) mean — at 100 TB this is the standard distributed
     * k-means cost, paid once at index-build time.
     */
   def fitCodebook(
@@ -146,12 +149,10 @@ object Similarity {
         .orderBy("__hk", "id").limit(nlist).collect().zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     try for (_ <- 0 until iters) {
-      val cdf = spark.createDataFrame(centers).toDF("cell", "cv")
-      val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
-      val assigned = e.crossJoin(broadcast(cdf))
-        .withColumn("__d", sqDist(col("v"), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .where(col("__r") === 1)
+      // in-row argmin over plan-literal centers (cellsFor): the round's
+      // assignment is a pure map — only the partial-aggregated
+      // (cell, pos) means reach the exchange, never a vector
+      val assigned = cellsFor(centers, e, "id", "v", 1)
       centers = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
@@ -208,11 +209,9 @@ object Similarity {
       k: Int, idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
     // the ONE shared assignment path (cellsFor) keeps the distance and
     // tie-break identical to knnIvf/SemDeDup and the shared oracle CTEs
-    val asg = cellsFor(centersDf,
+    val asg = cellsFor(centers,
         corpus.select(col(idCol).as("id"), col(embCol).as("__v")),
         "id", "__v", 1, keepDist = true)
       .select(col("cell"), col("id"), round(col("__d"), 6).as("dist"))
@@ -346,9 +345,7 @@ object Similarity {
       return topK(queries.limit(0).select(col(qidCol).as("qid"))
         .crossJoin(seeds.limit(0).select(col(idCol).as("id")))
         .withColumn("cos", lit(0.0)), k)
-    val centersDf = seeds.sparkSession.createDataFrame(centers)
-      .toDF("cell", "center")
-    val s = cellsFor(centersDf,
+    val s = cellsFor(centers,
       seeds.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
     // in-row probe assignment ([[probeCellsInRow]]): map-side only
     val q = probeCellsInRow(centers, queries, qidCol, embCol, nprobe)
@@ -399,9 +396,7 @@ object Similarity {
       k: Int, idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, "k must be positive")
-    val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
-    val asg = cellsFor(centersDf,
+    val asg = cellsFor(centers,
         corpus.select(col(idCol).as("id"), col(embCol).as("__v")),
         "id", "__v", 1)
       .select(col("cell"), col("id"),
@@ -461,9 +456,8 @@ object Similarity {
       corpus: DataFrame, batch: DataFrame,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
     def cellCounts(df: DataFrame, as: String): DataFrame =
-      cellsFor(centersDf,
+      cellsFor(centers,
           df.select(col(idCol).as("id"), col(embCol).as("__v")),
           "id", "__v", 1)
         .groupBy("cell").agg(count(lit(1)).as(as))
@@ -564,21 +558,46 @@ object Similarity {
     spark.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
 
-  /** n-nearest-centroid assignment against a broadcast centers frame
-    * (n = 1 for corpus cells, n = nprobe for query probes) — the ONE
-    * place the assignment distance + (distance, cell) tie-break live;
-    * `keepDist` retains the raw `__d` for callers that rank by it
-    * (cellOutliers). */
-  private def cellsFor(centersDf: DataFrame, df: DataFrame,
+  /** n-nearest-centroid assignment (n = 1 for corpus cells, n = nprobe
+    * for query probes) — the ONE place the assignment distance +
+    * (distance, cell) tie-break live; `keepDist` retains the raw `__d`
+    * for callers that rank by it (cellOutliers, the persisted index's
+    * drift stats).
+    *
+    * Evaluated IN-ROW by the codegen kernel ([[graft.functions
+    * .VectorExpressions.VecNearestCells]] — one tight loop per row over
+    * the plan-constant codebook): a pure map, so the assignment never
+    * multiplies the input by nlist through a broadcast cross join and
+    * no exchange ever carries a vector to a per-key window (the
+    * previous crossJoin + row_number form did both; at corpus scale
+    * that was an nlist× corpus shuffle per assignment pass). The kernel
+    * reproduces the window's exact IEEE distance sequence and
+    * (distance asc, cell asc) tie-break — pinned by VectorKernelSpec
+    * and the standing oracles. Codebooks past [[MaxInRowProbeCenters]]
+    * keep the broadcast-join + window form; that regime should persist
+    * its assignment ([[graft.pipeline.EmbeddingStore]]) rather than
+    * recompute it per query. */
+  private def cellsFor(centers: Seq[(Int, Seq[Double])], df: DataFrame,
       keyCol: String, vecCol: String, n: Int,
       keepDist: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = df.crossJoin(broadcast(centersDf))
-      .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
-    val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
-    val picked = scored.withColumn("__r", row_number().over(w))
-      .where(col("__r") <= n)
-    picked.drop((if (keepDist) Seq("__r", "center") else Seq("__d", "__r", "center")): _*)
+    if (centers.nonEmpty && centers.size <= MaxInRowProbeCenters) {
+      val picked = df
+        .withColumn("__pick", explode(graft.functions.VectorExpressions
+          .vecNearestCells(col(vecCol), centers, n)))
+        .withColumn("cell", col("__pick").getField("cell"))
+      (if (keepDist) picked.withColumn("__d", col("__pick").getField("__d"))
+       else picked).drop("__pick")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val centersDf = df.sparkSession.createDataFrame(centers)
+        .toDF("cell", "center")
+      val scored = df.crossJoin(broadcast(centersDf))
+        .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
+      val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
+      val picked = scored.withColumn("__r", row_number().over(w))
+        .where(col("__r") <= n)
+      picked.drop((if (keepDist) Seq("__r", "center") else Seq("__d", "__r", "center")): _*)
+    }
   }
 
   /** The canonical 1-nearest-centroid CELL assignment as a public op —
@@ -588,32 +607,26 @@ object Similarity {
     * index-served answers equal the recompute's bit-for-bit. Returns
     * the (idCol, embCol) projection plus `cell`. */
   def assignCells(centers: Seq[(Int, Seq[Double])], df: DataFrame,
-      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    val centersDf = df.sparkSession.createDataFrame(centers)
-      .toDF("cell", "center")
-    cellsFor(centersDf, df.select(col(idCol), col(embCol)),
+      idCol: String = "id", embCol: String = "embedding"): DataFrame =
+    cellsFor(centers, df.select(col(idCol), col(embCol)),
       idCol, embCol, 1)
-  }
 
   /** [[assignCells]] keeping the raw squared-L2 distance to the
     * assigned centroid as `__d` — what the persisted index's
     * quantization-error drift stats accumulate per accepted batch. */
   def assignCellsWithDist(centers: Seq[(Int, Seq[Double])], df: DataFrame,
-      idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    val centersDf = df.sparkSession.createDataFrame(centers)
-      .toDF("cell", "center")
-    cellsFor(centersDf, df.select(col(idCol), col(embCol)),
+      idCol: String = "id", embCol: String = "embedding"): DataFrame =
+    cellsFor(centers, df.select(col(idCol), col(embCol)),
       idCol, embCol, 1, keepDist = true)
-  }
 
-  /** Per-query `nprobe` probe cells computed IN-ROW from plan-literal
-    * centers ([[knnSeedProbe]]'s probe half, shared with the persisted
-    * index's serve path): an array of (distance, cell) structs sorted
-    * lexicographically — the same (distance, cell) ascending tie-break
-    * as [[cellsFor]]'s window — cut to nprobe and exploded, so no
-    * shuffle ever carries a query vector. Guarded by
-    * [[MaxInRowProbeCenters]] like every literal-centers plan.
-    * Returns (qid, qe, cell), one row per (query, probe). */
+  /** Per-query `nprobe` probe cells computed IN-ROW
+    * ([[knnSeedProbe]]'s probe half, shared with the persisted index's
+    * serve path): the [[graft.functions.VectorExpressions
+    * .VecNearestCells]] kernel's (distance, cell)-ascending picks —
+    * [[cellsFor]]'s exact tie-break — exploded, so no shuffle ever
+    * carries a query vector. Guarded by [[MaxInRowProbeCenters]] like
+    * every in-row assignment. Returns (qid, qe, cell), one row per
+    * (query, probe). */
   private[graft] def probeCellsInRow(
       centers: Seq[(Int, Seq[Double])], queries: DataFrame,
       qidCol: String, embCol: String, nprobe: Int): DataFrame = {
@@ -623,14 +636,11 @@ object Similarity {
       s"in-row probe assignment inlines centers as plan literals; " +
         s"${centers.size} centers exceeds the $MaxInRowProbeCenters " +
         s"ceiling")
-    val scoredCells = array(centers.map { case (cell, cv) =>
-      struct(sqDist(col("qe").cast("array<double>"), typedLit(cv)).as("d"),
-        lit(cell).as("cell"))
-    }: _*)
     queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
-      .withColumn("cell",
-        explode(transform(slice(sort_array(scoredCells), 1, nprobe),
-          x => x.getField("cell"))))
+      .withColumn("__pick", explode(graft.functions.VectorExpressions
+        .vecNearestCells(col("qe"), centers, nprobe)))
+      .withColumn("cell", col("__pick").getField("cell"))
+      .drop("__pick")
   }
 
   /** [[knnIvf]] over a prebuilt codebook (the index-build / query split). */
@@ -640,11 +650,9 @@ object Similarity {
       nprobe: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "center")
-    val c = cellsFor(centersDf,
+    val c = cellsFor(centers,
       corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
-    val q = cellsFor(centersDf,
+    val q = cellsFor(centers,
       queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
     val scored = c.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("qid"))
@@ -698,20 +706,71 @@ object Similarity {
   }
 
   /** PQ codes — nearest sub-centroid per (vector, subspace): the m-int
-    * compressed index row (persist at build time). */
+    * compressed index row (persist at build time).
+    *
+    * Encoded IN-ROW like every assignment ([[cellsFor]]): each row
+    * computes its m sub-centroid argmins over plan-literal sub-codebooks
+    * and explodes them — a pure map; the previous broadcast-join +
+    * per-(id, sub) window shuffled m·ksub copies of every subvector.
+    * The argmin is the window's exact (distance asc, cell asc)
+    * tie-break. Sub-codebooks past [[MaxInRowProbeCenters]] keep the
+    * join + window form. */
   def pqCodes(corpus: DataFrame, books: Seq[(Int, Seq[(Int, Seq[Double])])],
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (m, d) = (books.size, books.head._2.head._2.size)
-    val aw = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("__d"), col("cell"))
-    pqSubRows(corpus.select(col(idCol).as("id"), col(embCol)), "id", embCol, m, d)
-      .join(broadcast(pqCentersDf(corpus, books)), "sub")
-      .withColumn("__d", sqDist(col("sv"), col("cv")))
-      .withColumn("__r", row_number().over(aw))
-      .where(col("__r") === 1)
-      .select(col("id"), col("sub"), col("cell"))
+    if (books.forall(_._2.size <= MaxInRowProbeCenters)) {
+      val e = col(embCol).cast("array<double>")
+      val subCells = books.map { case (s, cs) =>
+        struct(lit(s).as("sub"),
+          element_at(graft.functions.VectorExpressions
+            .vecNearestCells(slice(e, s * d + 1, d), cs, 1), 1)
+            .getField("cell").as("cell"))
+      }
+      corpus.select(col(idCol).as("id"),
+          explode(array(subCells: _*)).as("x"))
+        .select(col("id"), col("x.sub").as("sub"), col("x.cell").as("cell"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val aw = Window.partitionBy(col("id"), col("sub"))
+        .orderBy(col("__d"), col("cell"))
+      pqSubRows(corpus.select(col(idCol).as("id"), col(embCol)), "id", embCol, m, d)
+        .join(broadcast(pqCentersDf(corpus, books)), "sub")
+        .withColumn("__d", sqDist(col("sv"), col("cv")))
+        .withColumn("__r", row_number().over(aw))
+        .where(col("__r") === 1)
+        .select(col("id"), col("sub"), col("cell"))
+    }
   }
+
+  /** The m PQ codes of one vector as a single IN-ROW array column
+    * (element s = the sub-centroid id in subspace s) — [[pqCodes]]'
+    * values without the explode/regroup round-trip, for writers that
+    * persist the codes alongside the row ([[graft.pipeline
+    * .EmbeddingStore]]'s `pq_codes`). Same per-subspace (distance,
+    * cell) argmin as [[pqCodes]]; callers must respect the
+    * [[MaxInRowProbeCenters]] ceiling per sub-codebook. */
+  def pqCodesArray(books: Seq[(Int, Seq[(Int, Seq[Double])])],
+      emb: Column): Column = {
+    require(books.forall(_._2.size <= MaxInRowProbeCenters),
+      "pqCodesArray inlines sub-codebooks in-row; use pqCodes' " +
+        "join form past the MaxInRowProbeCenters ceiling")
+    val d = books.head._2.head._2.size
+    val e = emb.cast("array<double>")
+    array(books.sortBy(_._1).map { case (s, cs) =>
+      element_at(graft.functions.VectorExpressions
+        .vecNearestCells(slice(e, s * d + 1, d), cs, 1), 1)
+        .getField("cell")
+    }: _*)
+  }
+
+  /** [[assignCellsWithDist]] IN PLACE: appends `cell` and `__d` to
+    * every row of `df`, keeping all its other columns — the persisted
+    * index's refit uses it to re-derive the coarse cells over the full
+    * stored row (vectors + codes + batch identity) without the
+    * assign-then-self-join round trip a projecting assignment forces. */
+  def reassignCellsKeepAll(centers: Seq[(Int, Seq[Double])],
+      df: DataFrame, idCol: String, embCol: String): DataFrame =
+    cellsFor(centers, df, idCol, embCol, 1, keepDist = true)
 
   /** Per-query ADC distance table: m·ksub rows (sub, cell, qd) per query. */
   private def pqQueryTable(queries: DataFrame,
@@ -796,11 +855,9 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "id", qidCol: String = "qid",
       embCol: String = "embedding"): DataFrame = {
-    val centersDf = corpus.sparkSession.createDataFrame(centers)
-      .toDF("cell", "center")
-    val c = cellsFor(centersDf,
+    val c = cellsFor(centers,
       corpus.select(col(idCol).as("id"), col(embCol).as("ce")), "id", "ce", 1)
-    val q = cellsFor(centersDf,
+    val q = cellsFor(centers,
       queries.select(col(qidCol).as("qid"), col(embCol).as("qe")), "qid", "qe", nprobe)
     val cand = c.select(col("id"), col("cell"))
       .join(broadcast(q.select(col("qid"), col("cell"))), "cell")
@@ -847,20 +904,15 @@ object Similarity {
   def semDedup(
       corpus: DataFrame, centers: Seq[(Int, Seq[Double])], threshold: Double,
       idCol: String = "id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = corpus.sparkSession
-    val centersDf = spark.createDataFrame(centers).toDF("cell", "cv")
-    val w = Window.partitionBy("id").orderBy(col("__d"), col("cell"))
     // scoped-cached: the assignment subtree feeds the self-join's BOTH
     // sides plus the final kept-flag join — uncached it would re-run the
     // corpus pass three times (released per-query by Dedup.releaseCaches).
     // `+ 0.0` maps an FP-cancellation -0.0 cdist to 0.0 (Spark's round
     // drops the sign, DuckDB's keeps it; the oracle normalizes the same)
-    val assigned = Dedup.scopedCache(corpus
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__d", sqDist(col("v"), col("cv")))
-      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+    val assigned = Dedup.scopedCache(cellsFor(centers,
+        corpus.select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("v")),
+        "id", "v", 1, keepDist = true)
       .select(col("id"), col("cell"),
         (round(col("__d"), 6) + lit(0.0)).as("cdist"), col("v")))
     val other = assigned.select(col("cell"), col("id").as("id_b"),

@@ -493,7 +493,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"no per-row probe join:\n$p")
   }
 
-  test("semDedup: centers broadcast; the near-dup search is a cell equi-join, not NLJ") {
+  test("semDedup: in-row assignment; the near-dup search is a cell equi-join, not NLJ") {
     import spark.implicits._
     val corpus = (1L to 60L).map(i => (i, Array(i.toFloat, (i % 7).toFloat)))
       .toDF("id", "embedding")
@@ -504,8 +504,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }.isEmpty,
       s"the candidate search must be the cell equi-join, never a per-row probe:\n$p")
-    assert(p.toString.contains("BroadcastExchange"),
-      s"the centroid table must broadcast:\n$p")
+    // the assignment is the in-row codegen kernel over plan-constant
+    // centers — a pure map; no crossJoin multiplies the corpus by nlist
+    // and no exchange carries a vector to a per-id window (r14)
+    assert(p.toString.contains("vec_nearest_cells"),
+      s"the cell assignment must be the in-row kernel:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no corpus × centers cross join:\n$p")
   }
 
   test("DSIR: the log-ratio table broadcasts onto doc buckets (no corpus re-shuffle)") {
