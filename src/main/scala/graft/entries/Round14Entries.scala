@@ -298,17 +298,25 @@ object Round14Entries {
       db
     })
 
-  /** Directory copy through the Hadoop FS (fixture-sized) — the same
-    * utility exportDatabase uses for store trees. */
+  /** Directory copy for the per-run fixture (local paths) — parallel
+    * per-file NIO copies instead of Hadoop FileUtil's sequential walk:
+    * the template db is many small parquet leaves and the copy is pure
+    * harness transport (each bench run needs a fresh MUTABLE store),
+    * so it should cost I/O, not a single-threaded file loop. */
   private def copyDir(src: String, dst: String): Unit = {
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
-    val sp = new org.apache.hadoop.fs.Path(src)
-    val dp = new org.apache.hadoop.fs.Path(dst)
-    val fs = sp.getFileSystem(conf)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, sp,
-      dp.getFileSystem(conf), dp, false, conf),
-      s"fixture copy $src -> $dst failed")
+    import scala.jdk.CollectionConverters._
+    import scala.collection.parallel.CollectionConverters._
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    val all = java.nio.file.Files.walk(sp).iterator().asScala.toSeq
+    all.filter(java.nio.file.Files.isDirectory(_)).foreach { d =>
+      java.nio.file.Files.createDirectories(dp.resolve(sp.relativize(d)))
+    }
+    val files = all.filterNot(java.nio.file.Files.isDirectory(_))
+    files.par.foreach { f =>
+      java.nio.file.Files.copy(f, dp.resolve(sp.relativize(f)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   // ---------------------------------------------------------- queries

@@ -429,8 +429,11 @@ object EmbeddingStore {
       .where(col(BatchCol) =!= bid)
       .join(broadcast(stagedIds), r.idCol)
       .select(col(r.idCol)).distinct()
-    val fresh = base.join(broadcast(dup), Seq(r.idCol), "left_anti")
-    if (!fresh.isEmpty) writeBatch(spark, dir, r, bid, fresh)
+    // no isEmpty pre-check: writeBatch's dynamic-overwrite write of an
+    // empty frame touches no partition (the documented empty-batch
+    // no-op), so probing first just re-runs the anti-join
+    writeBatch(spark, dir, r, bid,
+      base.join(broadcast(dup), Seq(r.idCol), "left_anti"))
   }
 
   /** The STREAMING accept ([[graft.streaming.TsdbStream
@@ -593,8 +596,14 @@ object EmbeddingStore {
     * Baseline and current both come from the per-batch stats table —
     * accepts and takedowns included, vectors never read. */
   def driftedCells(spark: SparkSession, dir: String,
-      shareTol: Double = 0.05, distTol: Double = 0.2): Seq[Int] = {
-    val stats = cellStats(spark, dir, recipe(dir))
+      shareTol: Double = 0.05, distTol: Double = 0.2): Seq[Int] =
+    driftedFrom(cellStats(spark, dir, recipe(dir)), shareTol, distTol)
+
+  /** [[driftedCells]] over an already-read stats table — [[maintain]]
+    * reads the (codebook-sized) stats once and derives the alert AND
+    * the query sample from the same read. */
+  private def driftedFrom(stats: Seq[(Int, Long, Double, Long, Double)],
+      shareTol: Double, distTol: Double): Seq[Int] = {
     val totB = stats.map(_._2).sum.toDouble
     val totN = stats.map(_._4).sum.toDouble
     if (totB == 0 || totN == 0) Nil
@@ -625,13 +634,19 @@ object EmbeddingStore {
   def driftQueries(spark: SparkSession, dir: String, n: Int,
       shareTol: Double = 0.05, distTol: Double = 0.2): DataFrame = {
     val r = recipe(dir)
-    val stats = cellStats(spark, dir, r)
+    driftQueriesFrom(spark, dir, r, cellStats(spark, dir, r), n,
+      shareTol, distTol)
+  }
+
+  private def driftQueriesFrom(spark: SparkSession, dir: String,
+      r: Recipe, stats: Seq[(Int, Long, Double, Long, Double)], n: Int,
+      shareTol: Double, distTol: Double): DataFrame = {
     // only cells with CURRENT members can contribute queries — a cell
     // drifted by emptying (takedowns) has nothing to probe from, and
     // sampling it forever would hand refit zero queries (a gate that
     // can never pass)
     val populated = stats.collect { case (c, _, _, nn, _) if nn > 0 => c }.toSet
-    val cells = driftedCells(spark, dir, shareTol, distTol)
+    val cells = driftedFrom(stats, shareTol, distTol)
       .filter(populated) match {
       case Nil => populated.toSeq.sorted
       case d => d
@@ -730,11 +745,15 @@ object EmbeddingStore {
       shareTol: Double = 0.05, distTol: Double = 0.2, k: Int = 10,
       nprobe: Int = 2, sampleN: Int = 32): Seq[(String, Long)] = {
     val healed = heal(spark, dir).toLong
-    val drift = driftedCells(spark, dir, shareTol, distTol).size.toLong
+    // one stats read serves both the alert and the query sample
+    val r = recipe(dir)
+    val stats = cellStats(spark, dir, r)
+    val drift = driftedFrom(stats, shareTol, distTol).size.toLong
     val refitHealed =
       if (drift == 0L) 0L
       else {
-        val q = driftQueries(spark, dir, sampleN, shareTol, distTol)
+        val q = driftQueriesFrom(spark, dir, r, stats, sampleN,
+            shareTol, distTol)
           .localCheckpoint() // pinned: refit reads it against both codebooks
         if (q.isEmpty) 0L // no evidence, no corpus-sized refit attempt
         else {
