@@ -45,6 +45,21 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** [[hash60]] of every distinct word k-shingle, in [[wordShingles]]'
+    * first-occurrence order — the fused shingle+hash kernel: one call
+    * per document, values identical to mapping [[hash60]] over
+    * [[wordShingles]] (which the composable `transform(wordShingles,
+    * hash60)` did one interpreted lambda per shingle). */
+  def shingleHash60s(text: UTF8String, k: Int): ArrayData = {
+    val sh = wordShingles(text, k)
+    val n = sh.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hash60(sh.getUTF8String(i)); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** hash60 of one UTF-8 string: the first 15 hex nibbles of its md5 as
     * a non-negative long — bit-identical to the composable form
     * `conv(substring(md5(s), 1, 15), 16, 10)` ([[graft.pipeline.Dedup
@@ -247,6 +262,77 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  case class ShingleHash60s(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "shingle_hash60s"
+
+    override protected def nullSafeEval(input: Any): Any =
+      TextKernels.shingleHash60s(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.shingleHash60s($c, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleHash60s =
+      copy(child = newChild)
+  }
+
+  /** The full MinHash signature of one hash array as ONE kernel call:
+    * element i = min over the array of (aᵢ·(h mod prime) + bᵢ) mod
+    * prime — the same affine arithmetic as the composable
+    * `array_min(transform(...))` chain (interpreted, one lambda per
+    * (shingle, perm)) and as the exploded groupBy's `min(pmod(...))`
+    * aggregates (codegen'd, but an exchange of |docs × shingles| rows).
+    * This kernel is both: codegen'd AND a pure per-row projection —
+    * signature construction never shuffles at any corpus size. Callers
+    * guard non-empty input (as every signature path already does: an
+    * empty shingle set produces no signature row). */
+  case class MinhashSig(child: Expression, as: Seq[Long], bs: Seq[Long],
+      prime: Long) extends UnaryExpression {
+    require(as.nonEmpty && as.size == bs.size,
+      "need one (a, b) parameter pair per permutation")
+    require(prime > 0, "prime must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    @transient private lazy val aArr: Array[Long] = as.toArray
+    @transient private lazy val bArr: Array[Long] = bs.toArray
+
+    /** The signature loop — public so generated code can call it. */
+    def sig(hs: ArrayData): ArrayData = {
+      val n = hs.numElements()
+      val m = new Array[Long](aArr.length)
+      java.util.Arrays.fill(m, Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        var hb = hs.getLong(i) % prime
+        if (hb < 0) hb += prime // pmod, exactly
+        var j = 0
+        while (j < aArr.length) {
+          var r = (hb * aArr(j) + bArr(j)) % prime
+          if (r < 0) r += prime
+          if (r < m(j)) m(j) = r
+          j += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(m)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      sig(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashSig", this,
+        classOf[MinhashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sig($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+      copy(child = newChild)
+  }
+
   case class Simhash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash60"
@@ -311,4 +397,14 @@ object TextExpressions {
   /** All word k-shingles in positional order (duplicates kept). */
   def wordShinglesAll(text: Column, k: Int): Column =
     Bridge.column(WordShinglesAll(Bridge.expression(text), k))
+
+  /** hash60 of each distinct word k-shingle, first-occurrence order. */
+  def shingleHash60s(text: Column, k: Int): Column =
+    Bridge.column(ShingleHash60s(Bridge.expression(text), k))
+
+  /** The numPerm-element MinHash signature of a hash60 array. */
+  def minhashSig(hashes: Column, params: Seq[(Long, Long)],
+      prime: Long): Column =
+    Bridge.column(MinhashSig(Bridge.expression(hashes),
+      params.map(_._1), params.map(_._2), prime))
 }

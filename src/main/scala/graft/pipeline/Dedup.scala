@@ -88,7 +88,11 @@ object Dedup {
     * collisions are ~n²/2⁶¹ — negligible against corpus sizes where this
     * engine applies.) */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    shingles(df, idCol, textCol, k).select(col("id"), hash60(col("shingle")).as("h"))
+    // fused shingle+hash kernel: the explode carries longs, never the
+    // shingle strings (same (id, h) rows as hash60-over-shingles)
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions
+          .shingleHash60s(col(textCol), k)).as("h"))
 
   /** In-row posting-list pair expansion — the ONE spine of every pair
     * operator here ([[jaccardPairs]], [[containmentPairs]],
@@ -234,16 +238,20 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       k: Int, numPerm: Int): DataFrame = {
     val params = permParams(numPerm)
-    val sh = graft.functions.TextExpressions.wordShingles(col(textCol), k)
-    df.select(col(idCol).as("id"), transform(sh, x => hash60(x)).as("set"))
+    // both kernels ([[graft.functions.TextKernels.shingleHash60s]],
+    // MinhashSig) are whole-stage-codegen: the previous composable form
+    // (transform + array_min per perm) ran numPerm interpreted lambdas
+    // per shingle — r14 measured it losing to the exploded groupBy it
+    // was meant to replace; the kernel wins over both
+    df.select(col(idCol).as("id"),
+        graft.functions.TextExpressions
+          .shingleHash60s(col(textCol), k).as("set"))
       .where(size(col("set")) > 0)
-      .withColumn("__hb",
-        transform(col("set"), h => pmod(h, lit(MinhashPrime))))
+      .withColumn("__sig", graft.functions.TextExpressions
+        .minhashSig(col("set"), params, MinhashPrime))
       .select(Seq(col("id"), col("set")) ++
-        params.zipWithIndex.map { case ((a, b), i) =>
-          array_min(transform(col("__hb"),
-            h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$i")
-        }: _*)
+        (0 until numPerm).map(i =>
+          element_at(col("__sig"), i + 1).as(s"m$i")): _*)
   }
 
   /** Band structs `(band, band_key)` over a [[minhashSignature]] frame's
@@ -340,17 +348,23 @@ object Dedup {
       k: Int, threshold: Double, configs: Seq[(Int, Int)],
       maxShingleFreq: Option[Int] = Some(128)): DataFrame = {
     require(configs.nonEmpty, "need at least one (numPerm, bands) config")
-    val hashed = scopedCache(
-      shingleHashes(df, idCol, textCol, k)
-        .withColumn("hb", pmod(col("h"), lit(MinhashPrime))))
+    // ONE corpus scan: the per-doc shingle-hash ARRAY is cached; the
+    // exact posting spine explodes it (cached arrays, not a re-shingle)
+    // and each signature frame is an in-row kernel projection of it —
+    // nothing re-reads the corpus and no signature groupBy shuffles
+    // (r14, the minhashPairs/minhashSignature kernel form)
+    val sets = scopedCache(df.select(col(idCol).as("id"),
+        graft.functions.TextExpressions
+          .shingleHash60s(col(textCol), k).as("set"))
+      .where(size(col("set")) > 0))
     // exact sizes exactly as jaccardPairs derives them: the in-row
     // shingle-array length (hash-collision-proof), map-side
-    val sizes = df.select(col(idCol).as("id"),
-      size(graft.functions.TextExpressions.wordShingles(col(textCol), k)).as("n"))
+    val sizes = sets.select(col("id"), size(col("set")).as("n"))
     // pair-sized and consumed 2× per config by pairEval (hit join +
     // count) — cache or the posting spine re-runs once per consumer
     val exact = scopedCache(
-      postingPairs(hashed.select("id", "h"), "h", maxShingleFreq)
+      postingPairs(sets.select(col("id"), explode(col("set")).as("h")),
+          "h", maxShingleFreq)
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
         .join(sizes.toDF("id_a", "na"), "id_a")
         .join(sizes.toDF("id_b", "nb"), "id_b")
@@ -359,11 +373,12 @@ object Dedup {
         .select("id_a", "id_b"))
     // one signature frame per DISTINCT numPerm, shared by its bandings
     val sigByPerm = configs.map(_._1).distinct.map { np =>
-      val aggs = permParams(np).zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
-      } :+ collect_set(col("h")).as("set")
-      np -> scopedCache(hashed.groupBy(col("id"))
-        .agg(aggs.head, aggs.tail: _*))
+      np -> scopedCache(sets
+        .withColumn("__sig", graft.functions.TextExpressions
+          .minhashSig(col("set"), permParams(np), MinhashPrime))
+        .select(Seq(col("id"), col("set")) ++
+          (0 until np).map(i =>
+            element_at(col("__sig"), i + 1).as(s"m$i")): _*))
     }.toMap
     configs.map { case (np, b) =>
       val sig = sigByPerm(np)
@@ -391,19 +406,14 @@ object Dedup {
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must divide into bands")
-    // One groupBy computes the signature minima AND the shingle set, and
-    // the result (one skinny row per document) is cached: its three
-    // consumers (band explode, verification sets ×2 sides) would
-    // otherwise each re-run the shingling+hashing map side — column
-    // pruning specializes the aggregate per consumer, so ReuseExchange
-    // cannot dedupe them.
-    val hashed = shingleHashes(df, idCol, textCol, k)
-      .withColumn("hb", pmod(col("h"), lit(MinhashPrime)))
-    val params = permParams(numPerm)
-    val aggCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hb") * a + b, lit(MinhashPrime))).as(s"m$i")
-    } :+ collect_set(col("h")).as("set")
-    val sig = scopedCache(hashed.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*))
+    // the in-row kernel signature ([[minhashSignature]] — ZERO shuffle:
+    // the shingle array never leaves its row), cached as one skinny row
+    // per document for its three consumers (band explode, verification
+    // sets ×2 sides). The previous form groupBy'd exploded shingle rows
+    // — same arithmetic, but an exchange of |docs × shingles| rows that
+    // at corpus scale was the dedup stack's dominant data movement
+    // (r14: the codegen kernel removed the reason to explode at all).
+    val sig = scopedCache(minhashSignature(df, idCol, textCol, k, numPerm))
     // bucket posting lists instead of a band self-join: one groupBy per
     // band bucket, candidate pairs expand in-row from each bucket's id
     // array (LSH buckets are small by design — that is the point of the

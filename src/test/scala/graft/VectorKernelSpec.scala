@@ -82,4 +82,55 @@ class VectorKernelSpec extends AnyFunSuite with SparkTestBase {
     assert(picks === picks.sortBy(identity), s"unsorted probe list: $picks")
     assert(picks.map(_._2) === Seq(2, 5, 9))
   }
+
+  // ---- the r14 MinHash kernels (shingleHash60s, MinhashSig) pinned to
+  // the composable forms they replaced
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "a b"), // fewer than k words -> no shingles
+    (4L, "x y z x y z x y z")) // repeated shingles -> in-doc dedup
+
+  test("shingleHash60s == hash60 mapped over wordShingles, order included") {
+    import spark.implicits._
+    val df = docs.toDF("id", "text")
+    val fused = df.select(col("id"), graft.functions.TextExpressions
+        .shingleHash60s(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = df.select(col("id"),
+        transform(graft.functions.TextExpressions.wordShingles(col("text"), 3),
+          x => graft.pipeline.Dedup.hash60(x)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === composed)
+    assert(fused(3L).isEmpty)
+  }
+
+  test("MinhashSig == the exploded groupBy min-aggregates, every perm") {
+    import spark.implicits._
+    val numPerm = 32
+    val params = graft.pipeline.Dedup.permParams(numPerm)
+    val prime = (1L << 31) - 1
+    val df = docs.toDF("id", "text")
+    val viaKernel = graft.pipeline.Dedup
+      .minhashSignature(df, "id", "text", 3, numPerm)
+      .collect().map(r =>
+        r.getLong(0) -> (0 until numPerm).map(i => r.getLong(2 + i)))
+      .toMap
+    val viaAgg = df.select(col("id"),
+        explode(graft.functions.TextExpressions
+          .shingleHash60s(col("text"), 3)).as("h"))
+      .withColumn("hb", pmod(col("h"), lit(prime)))
+      .groupBy("id")
+      .agg(params.map { case (a, b) =>
+          min(pmod(col("hb") * a + b, lit(prime)))
+        }.head, params.map { case (a, b) =>
+          min(pmod(col("hb") * a + b, lit(prime)))
+        }.tail: _*)
+      .collect().map(r =>
+        r.getLong(0) -> (0 until numPerm).map(i => r.getLong(1 + i)))
+      .toMap
+    assert(viaKernel === viaAgg)
+    assert(!viaKernel.contains(3L), "shingle-less docs drop from signatures")
+  }
 }
