@@ -342,20 +342,37 @@ object EntryUtil {
     graft.model.TsdbContext.normalizeTsNs(
       spark.read.parquet(s"$dir/events.parquet"))
 
+  /** Spark-identical STRING ordering for the driver-side feed sorts:
+    * StringType sorts as UTF-8 bytes, which differs from Scala's
+    * UTF-16 `String` ordering outside ASCII — the feed order must not
+    * depend on which side sorted. */
+  private val utf8Ord: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** The streaming entries' shared driver-side feed: one event type's
     * rows as (name, ts, value) tuples, ts-ordered so per-series arrival
     * order IS the fold order and watermarks only ever advance. One place
     * to change the feed — the streaming entries must stay on identical
-    * input or their oracles silently diverge. */
+    * input or their oracles silently diverge.
+    *
+    * The ts-order sort runs ON THE DRIVER over the collected rows
+    * (r14): the feed is driver-sized by definition, and the previous
+    * cluster `orderBy` paid a range-partitioning sampling pass plus a
+    * sort exchange per feed build for rows that were about to be
+    * collected anyway. The full tuple is the sort key, so the order is
+    * total (a proper subset of the cluster sort's allowed orders,
+    * which left key ties partition-ordered). */
   def eventRows(spark: SparkSession, dir: String, eventType: String,
       namePrefix: String): Seq[(String, Long, Double)] =
     rawEvents(spark, dir)
       .where(col("event_type") === eventType)
       .select(concat(lit(namePrefix), col("user_id").cast("string")).as("name"),
         col("ts").cast("long").as("ts"), col("value").cast("double").as("value"))
-      .orderBy("ts", "name")
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(t => (t._2, t._1, t._3))(
+        Ordering.Tuple3(Ordering.Long, utf8Ord, Ordering.Double.TotalOrdering))
 
   def clickRows(spark: SparkSession, dir: String): Seq[(String, Long, Double)] =
     eventRows(spark, dir, "click", "click user=")
@@ -371,9 +388,10 @@ object EntryUtil {
       .where(col("event_type") === "click")
       .select(col("event_type"), col("ts").cast("long"),
         col("user_id").cast("string"))
-      .orderBy("ts", "user_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .toSeq
+      .sortBy(t => (t._2, t._3, t._1))(
+        Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
 
   /** The multi-metric streaming feed keyed by EVENT TYPE (stream_corr /
     * stream_changepoints share it): the named types' rows as
@@ -386,9 +404,10 @@ object EntryUtil {
       .where(col("event_type").isin(types: _*))
       .select(col("event_type"), col("ts").cast("long"),
         col("value").cast("double"))
-      .orderBy("ts", "event_type", "value")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .toSeq
+      .sortBy(t => (t._2, t._1, t._3))(
+        Ordering.Tuple3(Ordering.Long, utf8Ord, Ordering.Double.TotalOrdering))
 
   /** Execute a streaming entry for real: feed `rows` into a MemoryStream
     * in `chunks` micro-batches (callers pre-sort by ts so the watermark

@@ -399,11 +399,13 @@ object Round8Entries {
       val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
       val ids = ctx.series.where(col("metric") === "purchase")
         .select("series_id").collect().map(_.getLong(0))
+      // driver-side feed sort (EntryUtil.eventRows' r14 rationale): the
+      // rows are about to be collected anyway — skip the cluster
+      // range-sort's sampling pass + exchange
       val rows = ctx.samples
         .where(col("series_id").isin(ids.toSeq: _*))
-        .orderBy("ts", "series_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSeq
+        .toSeq.sortBy(t => (t._2, t._1, t._3))
       val sink = EntryUtil.runStreamEntry(s, "stream_qserve_sink", rows,
         chunks = 3, cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.histBuild(_, hourNs,
