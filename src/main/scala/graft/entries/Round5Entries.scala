@@ -132,7 +132,7 @@ object Round5Entries {
     // bin stays in state, never emitted.
     "stream_rollup_serve" -> ((s, dir) => {
       implicit val enc = Encoders.product[(Long, Long, Double)]
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       val ids = ctx.series.where(col("metric") === "purchase")
         .select("series_id").collect().map(_.getLong(0))
       val rows = ctx.samples

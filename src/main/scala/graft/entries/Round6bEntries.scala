@@ -262,7 +262,7 @@ object Round6bEntries {
     // series-creation-rate monitor (each new series is an index entry
     // forever)
     "ts_catalog_growth" -> ((s, dir) => {
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       graft.ops.Monitoring.catalogGrowth(ctx.samples).orderBy("day_idx")
     }),
 
@@ -297,7 +297,7 @@ object Round6bEntries {
     // (events-only) cannot diverge on it — CorpusOpsSpec covers the
     // null branch with a synthetic catalog instead
     "ts_stale_series" -> ((s, dir) => {
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       graft.ops.Monitoring.staleSeries(
           ctx.series.where(col("metric") =!= "!log"), ctx.samples,
           StaleCutoffNs)
@@ -308,7 +308,7 @@ object Round6bEntries {
     // cardinality monitoring: per (metric, tag key) distinct values +
     // series count — the tag-explosion readout; catalog-only
     "ts_tag_cardinality" -> ((s, dir) => {
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       graft.ops.Monitoring.tagCardinality(ctx.series)
         .orderBy("metric", "tag_key")
     }),

@@ -396,7 +396,7 @@ object Round8Entries {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[(Long, Long, Double)]
       val hourNs = 3600000000000L
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       val ids = ctx.series.where(col("metric") === "purchase")
         .select("series_id").collect().map(_.getLong(0))
       // driver-side feed sort (EntryUtil.eventRows' r14 rationale): the
@@ -437,7 +437,7 @@ object Round8Entries {
         chunks = 4, cols = Seq("name", "ts", "value"),
         mkStream = graft.streaming.TsdbStream.kmvBuild(_, dayNs, k = 256),
         outputMode = "update")
-      val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
+      val ctx = EntryUtil.engineFor(s, dir).ctx
       new graft.engine.Engine(ctx.copy(kmvIndexes = Seq(
           graft.model.KmvIndexDef("user", dayNs, 256,
             sink.select(col("name").as("metric"),

@@ -72,10 +72,21 @@ object QServeProfile {
                        "to": "${graft.entries.EntryUtil.ToIso}"}}""")
       served.collect()
       val t3 = System.nanoTime()
+      // serve again over the SAME engine/sink: separates one-time
+      // plan/codegen cost from steady execution of the served plan
+      new graft.engine.Engine(ctx.copy(histograms =
+          Seq(hourNs -> sink.select(col("name").as("series_id"),
+            col("win"), col("lo"), col("cnt")))))
+        .execute(s"""{"quantile": {"metric": "purchase",
+             "p": ["0.5", "0.99"]},
+             "range": {"from": "${graft.entries.EntryUtil.FromIso}",
+                       "to": "${graft.entries.EntryUtil.ToIso}"}}""")
+        .collect()
+      val t4 = System.nanoTime()
       println(f"PROFILE run=$i rows=${rows.size}%d " +
         f"prep=${(t1 - t0) / 1e9}%.2fs " +
         f"feed=${(t2 - t1) / 1e9}%.2fs (micro_batches=$nb%d) " +
-        f"serve=${(t3 - t2) / 1e9}%.2fs")
+        f"serve=${(t3 - t2) / 1e9}%.2fs serve2=${(t4 - t3) / 1e9}%.2fs")
     }
     spark.stop()
   }
