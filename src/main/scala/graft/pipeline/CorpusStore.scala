@@ -154,16 +154,22 @@ object CorpusStore {
     * absence on all three sides. */
   private def writeBatch(spark: SparkSession, dir: String, bid: String,
       docsBatch: DataFrame, r: Recipe, alsoDocs: Boolean): Unit = {
-    val clean = docsBatch.drop(BatchCol)
-    val (hashes, bandRows) = Dedup.corpusIndexFrames(
-      clean, r.idCol, r.textCol, r.k, r.numPerm, r.bands)
-    def dyn(df: DataFrame, path: String): Unit =
-      df.withColumn(BatchCol, lit(bid))
-        .write.option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BatchCol).mode("overwrite").parquet(path)
-    if (alsoDocs) dyn(clean, docsPath(dir))
-    dyn(hashes, hashesPath(dir))
-    dyn(bandRows, bandsPath(dir))
+    // ONE batch computation for the three writes: without the cache,
+    // each side's write job re-ran the whole admission lineage (staged
+    // read, tombstone/dup anti-joins) from scratch — batch-sized by
+    // the accept contract, so caching it is bounded by design
+    val clean = docsBatch.drop(BatchCol).cache()
+    try {
+      val (hashes, bandRows) = Dedup.corpusIndexFrames(
+        clean, r.idCol, r.textCol, r.k, r.numPerm, r.bands)
+      def dyn(df: DataFrame, path: String): Unit =
+        StagedStore.sizedForWrite(df.withColumn(BatchCol, lit(bid)))
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy(BatchCol).mode("overwrite").parquet(path)
+      if (alsoDocs) dyn(clean, docsPath(dir))
+      dyn(hashes, hashesPath(dir))
+      dyn(bandRows, bandsPath(dir))
+    } finally clean.unpersist(false)
   }
 
   /** Create a corpus store at `dir` from its curation-time corpus:
@@ -502,13 +508,16 @@ object CorpusStore {
       val slice = spark.read.parquet(path)
         .where(col(BatchCol).isin(affSeq: _*)) // partition-pruned
       // localCheckpoint severs the read-then-overwrite lineage on the
-      // directory being rewritten (the upsert discipline)
-      val remaining = slice.where(!col(idColName).isin(idSeq: _*))
-        .localCheckpoint()
+      // directory being rewritten (the upsert discipline); the write
+      // sizing estimates from the PRE-checkpoint plan (the checkpoint's
+      // own stats are the unknown default)
+      val kept = slice.where(!col(idColName).isin(idSeq: _*))
+      val remaining = kept.localCheckpoint()
       val keptBatches = remaining.select(BatchCol).distinct()
         .collect().map(_.getString(0)).toSet
       if (keptBatches.nonEmpty)
-        remaining.write.option("partitionOverwriteMode", "dynamic")
+        StagedStore.sizedForWrite(remaining, sizeFrom = Some(kept))
+          .write.option("partitionOverwriteMode", "dynamic")
           .partitionBy(BatchCol).mode("overwrite").parquet(path)
       (affected -- keptBatches).foreach { bid =>
         val (f, _) = hfs(spark, path)
@@ -569,7 +578,7 @@ object CorpusStore {
           val merged = spark.read.option("basePath", path)
             .parquet(present: _*).drop(BatchCol)
           if (!merged.isEmpty)
-            merged.withColumn(BatchCol, lit(target))
+            StagedStore.sizedForWrite(merged.withColumn(BatchCol, lit(target)))
               .write.option("partitionOverwriteMode", "dynamic")
               .partitionBy(BatchCol).mode("overwrite").parquet(path)
         }

@@ -185,7 +185,11 @@ object EmbeddingStore {
         asg.drop("__d").withColumn(PqCol,
           Similarity.pqCodesArray(books, col(r.embCol)))
       }
-    rows.withColumn(BatchCol, lit(bid))
+    // sized write: an unsized batch write fanned one near-empty file
+    // per (input partition × cell) leaf — the small-file storm every
+    // later probe/listing paid for
+    StagedStore.sizedForWrite(rows.withColumn(BatchCol, lit(bid)),
+        sizeFrom = Some(clean))
       .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy(CellCol, BatchCol).mode("overwrite")
       .parquet(dataPath(dir, r))
@@ -202,6 +206,7 @@ object EmbeddingStore {
     assigned.groupBy(col(CellCol))
       .agg(count(lit(1)).as("n"), sum(col("__d")).as("sumd"))
       .withColumn(BatchCol, lit(bid))
+      .coalesce(1) // codebook-sized by construction (≤ nlist rows)
       .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy(BatchCol).mode("overwrite")
       .parquet(statsPath(dir, r))
@@ -491,13 +496,16 @@ object EmbeddingStore {
     val slicePred = affected.toSeq.map { case (c, b) =>
       col(CellCol) === c && col(BatchCol) === b
     }.reduce(_ || _)
-    val remaining = data.where(slicePred)
+    val keptRows = data.where(slicePred)
       .where(!col(r.idCol).isin(idSeq: _*))
-      .localCheckpoint() // sever the read-then-overwrite lineage
+    // sever the read-then-overwrite lineage; size from the
+    // pre-checkpoint plan (the checkpoint's stats are the default)
+    val remaining = keptRows.localCheckpoint()
     val kept = remaining.select(col(CellCol), col(BatchCol)).distinct()
       .collect().map(row => (row.getInt(0), row.getString(1))).toSet
     if (kept.nonEmpty)
-      remaining.write.option("partitionOverwriteMode", "dynamic")
+      StagedStore.sizedForWrite(remaining, sizeFrom = Some(keptRows))
+        .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(CellCol, BatchCol).mode("overwrite")
         .parquet(dataPath(dir, r))
     (affected -- kept).foreach { case (c, b) =>
@@ -530,7 +538,8 @@ object EmbeddingStore {
     val still = postStats.select(BatchCol).distinct()
       .collect().map(_.getString(0)).toSet
     if (still.nonEmpty)
-      postStats.write.option("partitionOverwriteMode", "dynamic")
+      postStats.coalesce(1) // (batch × cell)-sized: ≤ batches · nlist rows
+        .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(BatchCol).mode("overwrite")
         .parquet(statsPath(dir, r))
     (affBatches -- still).foreach { b =>
@@ -713,12 +722,13 @@ object EmbeddingStore {
       def reassigned = Similarity.reassignCellsKeepAll(centers,
         spark.read.parquet(dataPath(dir, r)).drop(CellCol),
         r.idCol, r.embCol)
-      reassigned.drop("__d")
+      StagedStore.sizedForWrite(reassigned.drop("__d"))
         .write.partitionBy(CellCol, BatchCol).mode("overwrite")
         .parquet(dataPath(dir, nr))
       reassigned.groupBy(col(BatchCol), col(CellCol))
         .agg(count(lit(1)).as("n"), sum(col("__d")).as("sumd"))
         .select(col(CellCol), col("n"), col("sumd"), col(BatchCol))
+        .coalesce(1) // (batch × cell)-sized
         .write.partitionBy(BatchCol).mode("overwrite")
         .parquet(statsPath(dir, nr))
       writeBaseline(spark, dir, nr)

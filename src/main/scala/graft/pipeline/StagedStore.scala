@@ -26,6 +26,35 @@ private[pipeline] object StagedStore {
 
   val PendingSub = "pending"
 
+  /** Target bytes per output file of a store write —
+    * `spark.graft.write.targetFileBytes`, default 128 MB (guide §6's
+    * output-file band). A deployment writing 100 TB epochs raises it
+    * toward 1 GB; the local default keeps bench writes one file. */
+  private def targetFileBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.write.targetFileBytes")
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(128L << 20)
+
+  /** Right-size a batch/index-sized frame for a parquet write: coalesce
+    * to ceil(estimated bytes / target), so a KB-sized index/stats write
+    * lands as ONE file instead of fanning one near-empty file per input
+    * partition (the local[32] small-file storm: every store mutation
+    * paid listing+footer overhead on ~32 files per partition
+    * directory). Scale-adaptive, never a constant: the estimate is the
+    * optimizer's plan statistic, the target is configured, and an
+    * unknown/huge estimate (e.g. a checkpoint-backed plan with default
+    * stats — pass `sizeFrom` with the pre-checkpoint plan instead)
+    * leaves the frame untouched rather than forcing a corpus-sized
+    * write through few tasks. `coalesce` only narrows the final stage:
+    * upstream exchanges keep their parallelism. */
+  def sizedForWrite(df: DataFrame, sizeFrom: Option[DataFrame] = None)
+      : DataFrame = {
+    val target = targetFileBytes(df.sparkSession)
+    val est = sizeFrom.getOrElse(df)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) df
+    else df.coalesce((((est + target - 1) / target) min 4096 max 1).toInt)
+  }
+
   def hfs(spark: SparkSession, p: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val hp = new org.apache.hadoop.fs.Path(p)
@@ -53,7 +82,7 @@ private[pipeline] object StagedStore {
   def publish(spark: SparkSession, dir: String, name: String,
       payload: DataFrame): String = {
     val tmp = s"$dir/$PendingSub/.tmp_$name"
-    payload.write.mode("overwrite").parquet(tmp)
+    sizedForWrite(payload).write.mode("overwrite").parquet(tmp)
     val (f, _) = hfs(spark, tmp)
     require(f.rename(new org.apache.hadoop.fs.Path(tmp),
       new org.apache.hadoop.fs.Path(s"$dir/$PendingSub/$name")),
