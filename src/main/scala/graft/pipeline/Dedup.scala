@@ -328,13 +328,20 @@ object Dedup {
     * BEFORE trading the exact pass away at corpus scale.
     *
     * Same pair sets as running [[minhashPairs]]/[[jaccardPairs]] per
-    * config, but the CORPUS IS SCANNED ONCE: the shingle-hash frame is
-    * scope-cached and feeds the exact posting spine, every signature
+    * config, but the CORPUS IS SCANNED ONCE (the scope-cached
+    * shingle-hash frame feeds the exact posting spine, every signature
     * build, and both verification sides; configs sharing a numPerm
-    * also share one cached signature frame (three 32-perm bandings =
-    * one signature aggregation). Measured 7.0 → ~5.0 s warm at sf0.1
-    * over the per-config re-scan form; the remaining cost is the four
-    * set-array verification joins, which are the table's actual work.
+    * share one cached signature frame) and — r15 — the BANDING IS ONE
+    * PASS: every config's band keys are tagged and unioned into one
+    * bucket groupBy + one in-row pair expansion, and each distinct
+    * candidate pair is Jaccard-verified ONCE across configs (the
+    * verification of a pair does not depend on which banding proposed
+    * it). Per-config results are recovered by pair-sized semi-joins.
+    * Measured 7.0 → ~5.0 s warm at sf0.1 for the one-scan form (r12);
+    * the one-pass banding is wall-clock-neutral at sf0.1 (the suite is
+    * per-job-overhead-bound there — r14 verdict) and drops 5 jobs /
+    * one bucket exchange per extra config (JobProbe, r15), which is
+    * the part that grows with corpus size.
     * `maxShingleFreq` caps the exact
     * spine only (the [[jaccardPairs]] parameter); LSH candidates stay
     * uncapped, as in [[minhashPairs]].
@@ -380,21 +387,38 @@ object Dedup {
           (0 until np).map(i =>
             element_at(col("__sig"), i + 1).as(s"m$i")): _*))
     }.toMap
-    configs.map { case (np, b) =>
-      val sig = sigByPerm(np)
-      val cand = postingPairs(
-          sig.select(col("id"),
-            explode(array(bandCols(np, b): _*)).as("bk")),
-          "bk", cap = None)
-        .distinct()
-      val sets = sig.select(col("id"), col("set"))
-      val verified = scopedCache(cand
-        .join(sets.toDF("id_a", "sa"), "id_a")
-        .join(sets.toDF("id_b", "sb"), "id_b")
-        .where((size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))) >= threshold)
-        .select("id_a", "id_b"))
-      pairEval(verified, exact)
+    // ONE banding pass for every config (r15): the configs' band keys
+    // are tagged with their config index and unioned into ONE bucket
+    // groupBy + ONE in-row pair expansion (previously one
+    // explode/groupBy/expand round per config), and each DISTINCT
+    // candidate pair is verified ONCE across configs (the Jaccard
+    // verification of a pair is config-independent at fixed threshold;
+    // the four per-config set-array joins were the sweep's dominant
+    // remaining cost). Per-config verified sets are recovered by a
+    // pair-sized semi-join — identical sets by construction.
+    val tagged = configs.zipWithIndex.map { case ((np, b), i) =>
+      sigByPerm(np).select(col("id"),
+          explode(array(bandCols(np, b): _*)).as("bk0"))
+        .select(col("id"),
+          struct(lit(i).as("cfg"), col("bk0").as("key")).as("bk"))
+    }.reduce(_ unionByName _)
+    val candByCfg = scopedCache(tagged
+      .groupBy("bk").agg(collect_list(col("id")).as("ids"))
+      .select(col("bk.cfg").as("cfg"), explode(col("ids")).as("id_a"),
+        col("ids"))
+      .select(col("cfg"), col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct())
+    val verified = scopedCache(candByCfg
+      .select("id_a", "id_b").distinct()
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
+      .where((size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb")))) >= threshold)
+      .select("id_a", "id_b"))
+    configs.zipWithIndex.map { case ((np, b), i) =>
+      pairEval(candByCfg.where(col("cfg") === i)
+        .select("id_a", "id_b").join(verified, Seq("id_a", "id_b")), exact)
         .select(lit(np).as("num_perm"), lit(b).as("bands"),
           col("n_exact"), col("n_approx"), col("n_hit"),
           col("precision"), col("recall"))
@@ -494,8 +518,8 @@ object Dedup {
     * MinHash index whose band keys depend on build parameters. */
   def writeSimhashIndex(corpus: DataFrame, path: String, idCol: String,
       textCol: String): Unit =
-    simhash(corpus, idCol, textCol)
-      .select(col("id").as("cid"), col("simhash").as("cs"))
+    StagedStore.sizedForWrite(simhash(corpus, idCol, textCol)
+        .select(col("id").as("cid"), col("simhash").as("cs")))
       .write.mode("overwrite").parquet(s"$path/simhash")
 
   /** Incremental SimHash near-dup: each batch document checked against
@@ -705,8 +729,10 @@ object Dedup {
       bands: Int = 8): Unit = {
     val (hashes, bandRows) =
       corpusIndexFrames(corpus, idCol, textCol, k, numPerm, bands)
-    hashes.write.mode("overwrite").parquet(s"$path/hashes")
-    bandRows.write.mode("overwrite").parquet(s"$path/bands")
+    StagedStore.sizedForWrite(hashes)
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    StagedStore.sizedForWrite(bandRows)
+      .write.mode("overwrite").parquet(s"$path/bands")
   }
 
   /** The corpus index's two projection frames — ONE definition shared
@@ -763,7 +789,7 @@ object Dedup {
           s"${existing.columns.mkString(", ")}; appending: " +
           s"${df.columns.mkString(", ")}) — a partitioned CorpusStore " +
           s"index appends through CorpusStore.acceptBatch")
-      df.write.mode("append").parquet(s"$path/$sub")
+      StagedStore.sizedForWrite(df).write.mode("append").parquet(s"$path/$sub")
     }
   }
 
