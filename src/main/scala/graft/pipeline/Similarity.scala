@@ -136,7 +136,6 @@ object Similarity {
       corpus: DataFrame, nlist: Int, iters: Int,
       idCol: String = "id", embCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.Row
     val spark = corpus.sparkSession
     // cached for the fit: every iteration (and the init) re-reads this
     // projection; at corpus scale persist it once instead of re-scanning
@@ -151,16 +150,19 @@ object Similarity {
     try for (_ <- 0 until iters) {
       // in-row argmin over plan-literal centers (cellsFor): the round's
       // assignment is a pure map — only the partial-aggregated
-      // (cell, pos) means reach the exchange, never a vector
+      // (cell, pos) means reach the exchange, never a vector. The
+      // (cell, pos, m) result is nlist × dim rows (codebook-sized), so
+      // it collects directly and assembles per-cell vectors on the
+      // driver — the previous second groupBy (collect_list per cell)
+      // paid one more exchange per Lloyd round for rows this small.
+      // Numerically identical: the mean aggregation is unchanged
       val assigned = cellsFor(centers, e, "id", "v", 1)
       centers = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(round(avg(col("x")), 6).as("m"))
-        .groupBy("cell").agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
-        .collect().map { r =>
-          val cv = r.getSeq[Row](1).map(x => (x.getInt(0), x.getDouble(1)))
-            .sortBy(_._1).map(_._2)
-          (r.getInt(0), cv)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (c, rows) =>
+          (c, rows.sortBy(_._2).map(_._3).toSeq)
         }.toSeq.sortBy(_._1)
     } finally e.unpersist()
     centers
@@ -507,10 +509,12 @@ object Similarity {
     * over-share cells) — recall on the old modes alone cannot see the
     * new one.
     *
-    * Scale shape: one Lloyd refit (the index-build cost, [[fitCodebook]]),
-    * two broadcast-codebook IVF probes and one brute pass over the
-    * query batch — queries are the small side throughout; the corpus
-    * is scanned, never shuffled. */
+    * Scale shape: one Lloyd refit (the index-build cost, [[fitCodebook]])
+    * plus ONE shared corpus pass for the whole gate — the stale and
+    * refit cell assignments ride the same cached projection as two
+    * kernel columns and the brute exact frame scores off it too (r15;
+    * previously three independent corpus scans). Queries are the small
+    * side throughout; the corpus is scanned, never shuffled. */
   def refitCodebook(spark: org.apache.spark.sql.SparkSession,
       codebookPath: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nlist: Int, nprobe: Int = 2, iters: Int = 2,
@@ -524,16 +528,53 @@ object Similarity {
       writeTo: Option[String] = None): DataFrame = {
     val stale = readCodebook(spark, codebookPath)
     val refit = fitCodebook(corpus, nlist, iters, idCol, embCol)
-    val exact = Dedup.scopedCache(
+    // ONE corpus pass for all three evaluations (r15): the stale and
+    // refit cell assignments are two kernel columns of the same cached
+    // projection, and the brute exact frame reads it too — previously
+    // each knnIvfWith and knnBrute re-ran its own corpus scan +
+    // assignment (3 passes). Values are bit-identical: same
+    // VecNearestCells kernel (element_at(…, 1) ≡ the n=1 explode pick),
+    // same cosine, same topK cut. Codebooks past MaxInRowProbeCenters
+    // (or empty) keep the unfused form — that regime's assignment is
+    // the window form and should serve from a persisted index anyway.
+    val inRow = stale.nonEmpty && refit.nonEmpty &&
+      stale.size <= MaxInRowProbeCenters &&
+      refit.size <= MaxInRowProbeCenters
+    val (staleNN, refitNN, exact) = if (inRow) {
+      def cellOf(cs: Seq[(Int, Seq[Double])]): Column =
+        element_at(graft.functions.VectorExpressions
+          .vecNearestCells(col("ce"), cs, 1), 1).getField("cell")
+      val base = Dedup.scopedCache(corpus
+        .select(col(idCol).as("id"), col(embCol).as("ce"))
+        .where(col("ce").isNotNull) // the cellsFor null contract
+        .withColumn("__cs", cellOf(stale))
+        .withColumn("__cr", cellOf(refit)))
+      val q = queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
+      def ivf(cellC: String, centers: Seq[(Int, Seq[Double])]) = {
+        val qp = cellsFor(centers,
+          queries.select(col(qidCol).as("qid"), col(embCol).as("qe")),
+          "qid", "qe", nprobe)
+        topK(base.select(col("id"), col("ce"), col(cellC).as("cell"))
+          .join(broadcast(qp), Seq("cell"))
+          .where(col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            cosine(col("qe"), col("ce")).as("cos")), k)
+      }
+      (ivf("__cs", stale), ivf("__cr", refit),
+        topK(base.join(broadcast(q), col("id") =!= col("qid"))
+          .select(col("qid"), col("id"),
+            cosine(col("qe"), col("ce")).as("cos")), k))
+    } else (
+      knnIvfWith(stale, corpus, queries, k, nprobe, idCol, qidCol, embCol),
+      knnIvfWith(refit, corpus, queries, k, nprobe, idCol, qidCol, embCol),
       knnBrute(corpus, queries, k, idCol, qidCol, embCol))
-    def recallOf(centers: Seq[(Int, Seq[Double])], suffix: String) =
-      recallAtK(
-        knnIvfWith(centers, corpus, queries, k, nprobe,
-          idCol, qidCol, embCol), exact)
+    val exactC = Dedup.scopedCache(exact)
+    def recallOf(nn: DataFrame, suffix: String) =
+      recallAtK(nn, exactC)
         .select(col("qid"), col("n_hit").as(s"n_hit_$suffix"),
           col("recall").as(s"recall_$suffix"))
     val readout = Dedup.scopedCache(
-      recallOf(stale, "stale").join(recallOf(refit, "refit"), "qid"))
+      recallOf(staleNN, "stale").join(recallOf(refitNN, "refit"), "qid"))
     val hits = readout
       .agg(sum(col("n_hit_stale")), sum(col("n_hit_refit"))).head()
     // an EMPTY readout (queries matched nothing, or the corpus is too
@@ -580,8 +621,17 @@ object Similarity {
   private def cellsFor(centers: Seq[(Int, Seq[Double])], df: DataFrame,
       keyCol: String, vecCol: String, n: Int,
       keepDist: Boolean = false): DataFrame = {
+    // NULL-vector contract (r14 ADVICE): a null embedding has no cell.
+    // The kernel is null-safe (null in → null array) and explode()
+    // would drop the row SILENTLY, while the >MaxInRowProbeCenters
+    // window form would assign it a cell (null __d sorts first) — the
+    // explicit filter makes the drop deliberate and IDENTICAL in both
+    // branches. Admission boundaries fail loudly instead
+    // ([[graft.pipeline.EmbeddingStore]]'s requireNoNulls); by the time
+    // a vector reaches an assignment pass, null means "not assignable".
+    val dfNN = df.where(col(vecCol).isNotNull)
     if (centers.nonEmpty && centers.size <= MaxInRowProbeCenters) {
-      val picked = df
+      val picked = dfNN
         .withColumn("__pick", explode(graft.functions.VectorExpressions
           .vecNearestCells(col(vecCol), centers, n)))
         .withColumn("cell", col("__pick").getField("cell"))
@@ -591,7 +641,7 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val centersDf = df.sparkSession.createDataFrame(centers)
         .toDF("cell", "center")
-      val scored = df.crossJoin(broadcast(centersDf))
+      val scored = dfNN.crossJoin(broadcast(centersDf))
         .withColumn("__d", sqDist(col(vecCol).cast("array<double>"), col("center")))
       val w = Window.partitionBy(keyCol).orderBy(col("__d"), col("cell"))
       val picked = scored.withColumn("__r", row_number().over(w))
@@ -637,6 +687,7 @@ object Similarity {
         s"${centers.size} centers exceeds the $MaxInRowProbeCenters " +
         s"ceiling")
     queries.select(col(qidCol).as("qid"), col(embCol).as("qe"))
+      .where(col("qe").isNotNull) // the cellsFor null contract: no cell
       .withColumn("__pick", explode(graft.functions.VectorExpressions
         .vecNearestCells(col("qe"), centers, nprobe)))
       .withColumn("cell", col("__pick").getField("cell"))
