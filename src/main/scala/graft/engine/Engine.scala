@@ -337,10 +337,24 @@ final class Engine(val ctx: TsdbContext,
           s"without the store registration")
       r
     }
-    def fitCenters(nlist: Int): Seq[(Int, Seq[Double])] =
+    def fitCenters(nlist: Int): Seq[(Int, Seq[Double])] = {
+      // the in-row assignment kernel's ceiling, enforced at the
+      // statement boundary (r15, the r14 verdict's fallback-regime
+      // item): past it every statement would silently pay the
+      // window-form fallback — an nlist× corpus shuffle PER QUERY.
+      // That regime's assignment belongs in a persisted store, where
+      // it is computed once at build time and queries prune partitions.
+      if (nlist > graft.pipeline.Similarity.MaxInRowProbeCenters)
+        throw new BadQuery(
+          s"knn: nlist ($nlist) exceeds the in-row assignment ceiling " +
+            s"(${graft.pipeline.Similarity.MaxInRowProbeCenters}); a " +
+            s"codebook this size must serve from a registered " +
+            s"EmbeddingStore (persisted cell partitions), not a " +
+            s"per-statement assignment")
       ctx.ivfCodebook.filter(_.size == nlist)
         .getOrElse(graft.pipeline.Similarity.fitCodebook(
           emb, nlist, q.iters))
+    }
     q.index match {
       case "brute" =>
         graft.pipeline.Similarity.knnBrute(emb, queries, q.k)

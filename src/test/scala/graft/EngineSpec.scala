@@ -682,6 +682,17 @@ class EngineSpec extends AnyFunSuite with SparkTestBase {
     // a context without the table refuses loudly
     assertThrows[BadQuery](new Engine(base).execute(
       """{"knn": {"k": 2, "queries": "id < 10", "index": "brute"}}"""))
+    // the in-row assignment ceiling is enforced at the STATEMENT
+    // boundary (r15): past MaxInRowProbeCenters a store-less statement
+    // would silently pay the window-fallback's nlist× corpus shuffle
+    // per query — that regime must serve from a persisted
+    // EmbeddingStore, and the refusal says so
+    val over = graft.pipeline.Similarity.MaxInRowProbeCenters + 1
+    val eOver = intercept[BadQuery](eng.execute(
+      s"""{"knn": {"k": 2, "queries": "id < 10", "index": "ivf",
+            "nlist": $over, "nprobe": 1}}"""))
+    assert(eOver.getMessage.contains("in-row assignment ceiling") &&
+      eOver.getMessage.contains("EmbeddingStore"))
   }
 
   test("dedup statement: the incremental-dedup split through the JSON surface equals the Scala API; misuse is BadQuery") {
