@@ -268,7 +268,7 @@ object Round14Entries {
     * codebook (create fits it) — no second fit; ONE Lloyd round per
     * fit (the fixture is job-count-bound, and the geometry needs only
     * roughly-settled centroids). */
-  private def driftTemplateFor(s: SparkSession, dir: String): String =
+  private[graft] def driftTemplateFor(s: SparkSession, dir: String): String =
     driftTemplates.getOrElseUpdate((s, dir), {
       val db = EntryUtil.scratchDir("graft_drift_tpl") + "/db"
       val ctx = graft.model.TsdbContext.fromTestdata(s, dir)
@@ -306,9 +306,12 @@ object Round14Entries {
   private def copyDir(src: String, dst: String): Unit = {
     import scala.jdk.CollectionConverters._
     import scala.collection.parallel.CollectionConverters._
+    require(!src.contains("://") && !dst.contains("://"),
+      s"copyDir is a LOCAL-filesystem fixture copy (got $src -> $dst)")
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
-    val all = java.nio.file.Files.walk(sp).iterator().asScala.toSeq
+    val walk = java.nio.file.Files.walk(sp)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
     all.filter(java.nio.file.Files.isDirectory(_)).foreach { d =>
       java.nio.file.Files.createDirectories(dp.resolve(sp.relativize(d)))
     }

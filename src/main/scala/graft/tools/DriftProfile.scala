@@ -35,13 +35,9 @@ object DriftProfile {
     }
     // component pass over a fresh copy
     println("DRIFTPROF -- component pass")
-    val tpl = graft.entries.Round14Entries // force object init
     val db = t("copy") {
       val dbDir = graft.entries.EntryUtil.scratchDir("graft_driftprof") + "/db"
-      val m = tpl.getClass.getDeclaredMethods
-        .find(_.getName == "driftTemplateFor").get
-      m.setAccessible(true)
-      val src = m.invoke(tpl, spark, sfDir).asInstanceOf[String]
+      val src = graft.entries.Round14Entries.driftTemplateFor(spark, sfDir)
       val conf = spark.sparkContext.hadoopConfiguration
       val sp = new org.apache.hadoop.fs.Path(src)
       val dp = new org.apache.hadoop.fs.Path(dbDir)

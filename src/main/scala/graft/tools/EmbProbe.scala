@@ -86,10 +86,24 @@ object EmbProbe {
       val (_, tAccept) = wall {
         EmbeddingStore.acceptBatch(spark, dir, freshBatch(g))
       }
+      // r15: the kernel-assigned Lloyd fit alone (per-round cost =
+      // one in-row assignment map + one (cell, pos) mean — nothing
+      // codebook-shaped shuffles a vector), and the full recall-gated
+      // refit (fit + the r15 FUSED gate: one shared corpus pass for
+      // stale/refit/exact) — the drift remedy's scale slope
+      val (_, tFit) = wall {
+        Similarity.fitCodebook(corpus, nlist = 16, iters = 2)
+      }
+      val (_, tGate) = wall {
+        Similarity.refitCodebook(spark, s"$dir/cells_e0/codebook",
+          corpus, queries, k = 10, nlist = 16, nprobe = 2, iters = 2,
+          writeTo = Some(s"$dir/refit_probe")).count()
+      }
       graft.pipeline.Dedup.releaseCaches()
       println(f"PROBE g=$g%d corpus_rows=${g * n}%d " +
         f"create=$tCreate%.2fs serve_knn=$tServe%.2fs " +
-        f"recompute_knn=$tRecompute%.2fs accept=$tAccept%.2fs")
+        f"recompute_knn=$tRecompute%.2fs accept=$tAccept%.2fs " +
+        f"fit=$tFit%.2fs refit_gate=$tGate%.2fs")
     }
     spark.stop()
   }
