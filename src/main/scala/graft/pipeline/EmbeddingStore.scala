@@ -711,22 +711,40 @@ object EmbeddingStore {
       // reassign the stored rows (vectors + codes) under the refit
       // codebook — reads the OLD epoch, writes the NEW directory: no
       // read-then-overwrite lineage, and the old epoch serves until
-      // the manifest flip below. Deliberately uncached: the
-      // reassignment is index-sized (an epoch-build cost) — two passes
-      // beat pinning the whole index in executor memory. The cell is
-      // re-derived IN PLACE over the stored row ([[Similarity
-      // .reassignCellsKeepAll]]) — no assign-then-self-join by id,
-      // which shuffled the whole index twice per pass
+      // the manifest flip below. The cell is re-derived IN PLACE over
+      // the stored row ([[Similarity.reassignCellsKeepAll]]) — no
+      // assign-then-self-join by id, which shuffled the whole index
+      // twice per pass
       val centers = Similarity.readCodebook(spark,
         codebookPath(dir, nr))
-      def reassigned = Similarity.reassignCellsKeepAll(centers,
-        spark.read.parquet(dataPath(dir, r)).drop(CellCol),
-        r.idCol, r.embCol)
-      StagedStore.sizedForWrite(reassigned.drop("__d"))
+      StagedStore.sizedForWrite(Similarity
+          .reassignCellsKeepAll(centers,
+            spark.read.parquet(dataPath(dir, r)).drop(CellCol),
+            r.idCol, r.embCol)
+          .drop("__d"))
         .write.partitionBy(CellCol, BatchCol).mode("overwrite")
         .parquet(dataPath(dir, nr))
-      reassigned.groupBy(col(BatchCol), col(CellCol))
-        .agg(count(lit(1)).as("n"), sum(col("__d")).as("sumd"))
+      // the epoch's stats derive from the WRITTEN new-epoch data: the
+      // cell is already assigned there, so only the distance to the
+      // assigned centroid is recomputed (the x·x + c·c − 2·x·c
+      // expansion — the kernel's own __d sequence; [[applyTakedown]]'s
+      // stats refresh already relies on this equivalence, and
+      // VectorKernelSpec pins it). This replaces a SECOND full argmin
+      // pass over the index per refit with a broadcast-join distance
+      // over the columnar read-back — cheaper at any size, and the
+      // index is still never pinned in executor memory (r15)
+      val centersDf = spark.createDataFrame(centers)
+        .toDF(CellCol, "center")
+      val d2 = {
+        val a = col(r.embCol).cast("array<double>"); val b = col("center")
+        Similarity.dot(a, a) + Similarity.dot(b, b) -
+          lit(2.0) * Similarity.dot(a, b)
+      }
+      spark.read.parquet(dataPath(dir, nr))
+        .select(col(BatchCol), col(CellCol), col(r.embCol))
+        .join(broadcast(centersDf), CellCol)
+        .groupBy(col(BatchCol), col(CellCol))
+        .agg(count(lit(1)).as("n"), sum(d2).as("sumd"))
         .select(col(CellCol), col("n"), col("sumd"), col(BatchCol))
         .coalesce(1) // (batch × cell)-sized
         .write.partitionBy(BatchCol).mode("overwrite")
