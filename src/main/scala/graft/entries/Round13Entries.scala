@@ -286,8 +286,12 @@ object Round13Entries {
       val staged = phase("staged")
       CorpusStore.heal(s, path)
       val healed = phase("healed")
-      // out-of-band write: a docs batch partition the index never saw
+      // out-of-band write: a docs batch partition the index never saw.
+      // coalesce(1): the BYPASS is the fixture's point, the 32-way
+      // partition fan was incidental (a KB-sized batch at every sf) —
+      // the heal's re-derivation then reads one file, not 32
       d.where(col("doc_id") % Round6Entries.BatchMod === 0)
+        .coalesce(1)
         .withColumn(CorpusStore.BatchCol, lit("b_oob"))
         .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy(CorpusStore.BatchCol).mode("overwrite")
